@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults target the test harness (local[N]) but every knob is chosen for
+cluster scale: AQE handles skew + partition coalescing at runtime, a
+generous broadcast threshold keeps dimension joins shuffle-free, and Arrow
+makes any unavoidable Python exchange vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "crmint-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    local[N] for tests; on a real cluster the master/memory settings come
+    from spark-submit and these SQL confs still apply.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 32) if str(cpus).isdigit() else 32
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Adaptive execution: runtime partition coalescing, skew-join
+        # splitting, and plan re-optimization — essential at 100 TB where
+        # static estimates are wrong.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Dimension tables (region/nation/customer at our SFs, config and
+        # conversion-value tables in the reference pipelines) should always
+        # broadcast: 64 MB threshold.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow for any pandas UDF / toPandas path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Read reference-style partitioned layouts efficiently.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Timestamps in testdata are ns precision (illegal for Spark's
+        # parquet reader): read as int64 nanos, converted to timestamp in
+        # catalog.load.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

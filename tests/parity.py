@@ -1,0 +1,75 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs a queries() entry on Spark and its oracle_sql() on DuckDB over the
+same parquet dir, sorts columns by name and rows by value, and compares.
+Floats must match to high precision (the driver value-hashes, so our
+queries ROUND in both engines — here we check the rounded values agree
+exactly).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from decimal import Decimal
+
+import duckdb
+
+from crmint_spark.catalog import TESTDATA_TABLES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, float) and v.is_integer():
+        return v
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _sorted_rows(cols: list[str], rows: list[tuple]):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=lambda r: tuple(str(x) for x in r))
+
+
+def compare(spark_df, con, sql: str, rel_tol: float = 1e-9):
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    res = con.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    sc, sr = _sorted_rows(s_cols, s_rows)
+    dc, dr = _sorted_rows(d_cols, d_rows)
+    assert sc == dc, f"column mismatch: spark={sc} duckdb={dc}"
+    assert len(sr) == len(dr), f"row count mismatch: spark={len(sr)} duckdb={len(dr)}"
+    for i, (a, b) in enumerate(zip(sr, dr)):
+        for j, (x, y) in enumerate(zip(a, b)):
+            if isinstance(x, float) and isinstance(y, float):
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                assert math.isclose(x, y, rel_tol=rel_tol, abs_tol=1e-9), (
+                    f"row {i} col {sc[j]}: spark={x!r} duckdb={y!r}"
+                )
+                # flag non-exact floats loudly: driver hashes exact values
+                assert x == y, (
+                    f"row {i} col {sc[j]}: close but not exact "
+                    f"spark={x!r} duckdb={y!r} — add ROUND"
+                )
+            else:
+                assert x == y, f"row {i} col {sc[j]}: spark={x!r} duckdb={y!r}"

@@ -1,0 +1,40 @@
+"""Every queries() entry with an oracle must match DuckDB at sf0.001
+(and at sf0.01 when PARITY_FULL=1 — the driver's actual gate)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from crmint_spark.registry import ORACLES, QUERIES  # noqa: E402
+from tests.parity import compare, duckdb_conn  # noqa: E402
+
+SF = (
+    "/root/testdata/sf0.01"
+    if os.environ.get("PARITY_FULL")
+    else "/root/testdata/sf0.001"
+)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_conn(SF)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, con, name):
+    df = QUERIES[name](spark, SF)
+    compare(df, con, ORACLES[name])
+
+
+def test_all_queries_return_rows(spark):
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF)
+        assert df.count() >= 0, name
