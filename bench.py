@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall seconds.
+
+Methodology: one warmup action to JIT/page-cache the input, then each
+query timed end-to-end (plan + execute + count). count() is the action —
+results stay distributed; nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crmint_spark.registry import QUERIES  # noqa: E402
+from crmint_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: one per operator family (scan-agg, join-topk, semi/anti,
+# window, range join, sessionize, higher-order arrays, sampling, plus the
+# scale extensions when registered).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_topk_revenue",
+    "q03_semi_join",
+    "q04_anti_join",
+    "q06_range_join",
+    "q07_first_touch",
+    "q08_sessionize",
+    "q09_json_props",
+    "q10_array_hof",
+    "q11_explode_unnest",
+    "q13_hash_split",
+    "q17_left_join_agg",
+    "q18_running_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    spark = get_spark("crmint-spark-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch every input file once
+    QUERIES["q01_pricing_summary"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
