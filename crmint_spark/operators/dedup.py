@@ -1,0 +1,371 @@
+"""Deduplication operators over the ``documents`` table.
+
+All variants are pure DataFrame compositions (JVM-side, shuffle-aware) so
+they scale: no Python UDFs, no driver collects. Hashing uses the portable
+md5-prefix primitive from ``crmint_spark.functions`` so the DuckDB oracle
+(in queries) computes bit-identical signatures.
+
+Scale design notes (100 TB):
+- exact:    one hash-shuffle on a 60-bit digest; the digest groupBy carries
+            only (digest, count, min_id) — not the documents.
+- minhash:  signatures are built by explode(shingles) -> groupBy(doc) with
+            map-side partial MIN per permutation; LSH banding turns the
+            quadratic pair search into an equi-join on (band, band_hash) —
+            the classic shuffle-friendly formulation.
+- simhash:  bit-vote aggregation is a single groupBy(doc); candidate pairs
+            join on rotated signature blocks.
+- ngram:    the shingle->doc inverted index join; prune superfrequent
+            shingles (stopword shingles) to cap join fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import MINHASH_PRIME, hash_str
+
+# Fixed universal-hash coefficients for the minhash permutations
+# (mirrored literally in the DuckDB oracle SQL).
+MINHASH_SEEDS: list[tuple[int, int]] = [
+    (2971, 433),
+    (4111, 877),
+    (5381, 1259),
+    (6907, 1693),
+    (8191, 2137),
+    (9973, 2593),
+    (11351, 3037),
+    (13007, 3491),
+]
+N_BANDS = 4  # 8 permutations, 2 rows per band
+ROWS_PER_BAND = 2
+
+
+def _shingles(text_col, n: int = 3):
+    """Word n-gram shingles as an array column (JVM higher-order fns)."""
+    words = F.split(text_col, " ")
+    k = F.size(words) - (n - 1)
+    return F.when(k <= 0, F.array(F.array_join(words, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content digest: one row per duplicate group with
+    the canonical (min) doc_id and the group size."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", hash_str(F.col("text")).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("canonical_doc_id", "n_copies")
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY ('0x' || substr(md5(text), 1, 15))::BIGINT
+HAVING COUNT(*) > 1
+"""
+
+
+def shingle_docs(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """(doc_id, shingle_hash) distinct pairs — the shared inverted index."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(_shingles(F.col("text"), n)).alias("shingle")
+        )
+        .select("doc_id", hash_str(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc minhash signature: one MIN per universal-hash permutation.
+
+    Map-side partial aggregation means the shuffle carries 8 longs per
+    (partition, doc) — not the shingle set.
+    """
+    sh = shingle_docs(spark, sf_dir)
+    aggs = [
+        F.min(
+            F.pmod(
+                F.lit(a) * F.pmod(F.col("sh"), F.lit(MINHASH_PRIME)) + F.lit(b),
+                F.lit(MINHASH_PRIME),
+            )
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: candidate pairs share at least one band;
+    estimated Jaccard = fraction of matching permutations.
+
+    Returns (doc_a, doc_b, est_jaccard) for est >= 0.5.
+    """
+    sig = minhash_signatures(spark, sf_dir).cache()
+    bands = None
+    for band in range(N_BANDS):
+        cols = [f"mh{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        b = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.concat_ws("_", *cols).alias("band_key"),
+        )
+        bands = b if bands is None else bands.unionAll(b)
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sl = sig.alias("sa")
+    sr = sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(len(MINHASH_SEEDS))
+    )
+    return (
+        cand.join(sl, cand.doc_a == F.col("sa.doc_id"))
+        .join(sr, cand.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(len(MINHASH_SEEDS))), 4).alias(
+                "est_jaccard"
+            ),
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+def _minhash_sql_core() -> str:
+    """Shared DuckDB CTEs computing identical shingles + signatures."""
+    mh_exprs = ",\n         ".join(
+        f"MIN(({a} * (sh % {MINHASH_PRIME}) + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    )
+    return f"""
+shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) < 3
+              THEN [text]
+              ELSE list_transform(
+                     range(1, len(string_split(text, ' ')) - 1),
+                     i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+         END AS shingles
+  FROM documents
+), exploded AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(UNNEST(shingles)), 1, 15))::BIGINT AS sh
+  FROM shingled
+), sig AS (
+  SELECT doc_id,
+         {mh_exprs}
+  FROM exploded GROUP BY doc_id
+)"""
+
+
+def minhash_lsh_sql() -> str:
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {band} AS band, "
+        "CAST(mh{c0} AS VARCHAR) || '_' || CAST(mh{c1} AS VARCHAR) AS band_key "
+        "FROM sig".format(band=band, c0=band * ROWS_PER_BAND, c1=band * ROWS_PER_BAND + 1)
+        for band in range(N_BANDS)
+    )
+    match_expr = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(len(MINHASH_SEEDS))
+    )
+    return f"""
+WITH {_minhash_sql_core()},
+bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(({match_expr}) / {float(len(MINHASH_SEEDS))}, 4) AS est_jaccard
+FROM cand
+JOIN sig sa ON cand.doc_a = sa.doc_id
+JOIN sig sb ON cand.doc_b = sb.doc_id
+WHERE ROUND(({match_expr}) / {float(len(MINHASH_SEEDS))}, 4) >= 0.5
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via the inverted-index join:
+    |A ∩ B| from the shingle join, |A ∪ B| = |A| + |B| - |A ∩ B|.
+
+    Scale note: at 100 TB add a document-frequency cap on shingles
+    (drop shingles appearing in > K docs) to bound join fan-out; at the
+    test SFs the full index is exact.
+    """
+    sh = shingle_docs(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jacc = F.col("n_common") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
+        .join(sb, inter.doc_b == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.4)
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH {_minhash_sql_core().split(', sig AS')[0]},
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM exploded GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM exploded a JOIN exploded b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.doc_a = sa.doc_id
+JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.4
+"""
+
+SIMHASH_BITS = 16
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc SimHash over word hashes: for each bit position, sum
+    +1/-1 votes of the words' hash bits, sign -> signature bit.
+
+    One explode + one groupBy(doc) with map-side combine; the bit loop is
+    column arithmetic, not a UDF.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .select("doc_id", hash_str(F.col("w")).alias("wh"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("wh"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = words.groupBy("doc_id").agg(*votes)
+    sig = sum(
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(SIMHASH_BITS)
+    )
+    return agg.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= 2 on the SimHash.
+
+    Candidate generation by block rotation (split the signature into 3
+    blocks; pairs within distance 2 share >= 1 exact block) keeps this an
+    equi-join at scale; here with 16 bits we join on the shared blocks and
+    verify the exact distance with bit_count.
+    """
+    sig = simhash_signatures(spark, sf_dir).cache()
+    blocks = None
+    # 3 blocks of ~6 bits: distance<=2 pigeonholes into >=1 equal block
+    bounds = [(0, 6), (6, 6), (12, 4)]
+    for bi, (off, width) in enumerate(bounds):
+        b = sig.select(
+            "doc_id",
+            "simhash",
+            F.lit(bi).alias("blk"),
+            F.shiftright(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("blk_val"),
+        )
+        blocks = b if blocks is None else blocks.unionAll(b)
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.blk_val") == F.col("r.blk_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sig_a"),
+            F.col("r.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+def simhash_pairs_sql() -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (wh // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(UNNEST(string_split(text, ' '))), 1, 15))::BIGINT AS wh
+  FROM documents
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM words GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""

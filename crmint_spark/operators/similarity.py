@@ -1,0 +1,153 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Two strategies:
+
+- ``ann_cosine_topk``  — exact brute-force cosine top-k. JVM-side
+  higher-order functions (zip_with/aggregate): no Python, no shuffle of
+  vectors, a single pass + a tiny top-k sort. This is the baseline and
+  the correctness oracle for the approximate path.
+- ``ann_lsh_topk``     — sign-bit LSH bucketing on fixed dimensions:
+  candidates share the query's bucket, then exact cosine within the
+  bucket. At 100 TB the bucket key becomes the partition key, so a probe
+  touches one partition instead of the full corpus (IVF-style).
+
+Determinism: projections use the vector's own leading dimensions (sign
+bits) rather than random hyperplanes, so the DuckDB oracle reproduces
+buckets exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import cosine_similarity
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+LSH_BITS = 8
+
+
+def _query_vec(emb: DataFrame):
+    """The probe vector (vec_id = 0) as a broadcastable 1-row DF."""
+    return emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k against the probe vector."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    sim = cosine_similarity(F.col("embedding"), F.col("qvec"))
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+ANN_COSINE_SQL = f"""
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+  FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+), scored AS (
+  SELECT vec_id, label,
+         list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * qvec[i]))
+         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(qvec, x -> x * x)))) AS sim
+  FROM embeddings, q WHERE vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, label, ROUND(sim, 6) AS cos_sim
+FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
+def _bucket_expr(vec_col):
+    """LSH bucket = sign bits of the first LSH_BITS dimensions."""
+    return sum(
+        F.when(F.element_at(vec_col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(LSH_BITS)
+    ).cast("int")
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: exact cosine within the probe's sign-bit bucket.
+
+    The bucket restriction makes this approximate (recall < 1) but the
+    scan is 1/2^bits of the corpus in expectation; at scale, partition
+    (or Z-order) the corpus by bucket for partition-pruned probes.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    bucketed = emb.withColumn("bucket", _bucket_expr(F.col("embedding")))
+    qb = q.withColumn("qbucket", _bucket_expr(F.col("qvec")))
+    sim = cosine_similarity(F.col("embedding"), F.col("qvec"))
+    return (
+        bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
+        .select("vec_id", "label", F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _bucket_sql(col: str) -> str:
+    return " + ".join(
+        f"CASE WHEN {col}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+        for i in range(LSH_BITS)
+    )
+
+
+ANN_LSH_SQL = f"""
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec,
+         {_bucket_sql('embedding')} AS qbucket
+  FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+), scored AS (
+  SELECT vec_id, label,
+         list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * qvec[i]))
+         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(qvec, x -> x * x)))) AS sim
+  FROM embeddings, q
+  WHERE vec_id <> {QUERY_VEC_ID}
+    AND ({_bucket_sql('embedding')}) = qbucket
+)
+SELECT vec_id, label, ROUND(sim, 6) AS cos_sim
+FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector statistics (norm distribution) — the sanity
+    profile a training pipeline runs before ANN indexing."""
+    emb = load(spark, sf_dir, "embeddings")
+    from ..functions import l2_norm
+
+    norm = l2_norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.min(norm), 4).alias("min_norm"),
+        F.round(F.max(norm), 4).alias("max_norm"),
+        F.round(F.avg(norm), 4).alias("avg_norm"),
+    )
+
+
+EMB_NORM_SQL = """
+WITH norms AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vectors,
+       ROUND(MIN(norm), 4) AS min_norm,
+       ROUND(MAX(norm), 4) AS max_norm,
+       ROUND(AVG(norm), 4) AS avg_norm
+FROM norms GROUP BY label
+"""

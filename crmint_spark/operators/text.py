@@ -1,0 +1,197 @@
+"""Text-analysis operators over the ``documents`` table: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything is built from JVM-side builtins (split/filter/aggregate/
+regexp) — no Python in the hot path — and every operator has a DuckDB
+oracle that computes the identical deterministic heuristic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deterministic and mirrored in the oracle SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and"],
+    "fr": ["le", "la", "et", "un"],
+    "de": ["der", "die", "und", "ein"],
+    "es": ["el", "los", "y", "una"],
+    "zh": ["de", "shi", "he", "yi"],
+}
+STOPWORDS = ["the", "a", "of", "and", "le", "la", "der", "die", "el", "los"]
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID: score each language by marker-word
+    hits; prediction = argmax (ties broken by language code).
+
+    The argmax is expressed as sort on (score desc, lang asc) over a tiny
+    exploded score array — per-row, no shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    # negated score + default ascending struct sort == (score desc, lang
+    # asc) argmax — identical tie-breaking in Spark and DuckDB
+    def _marker_hits(markers: list[str]):
+        # single-arg lambda: a 2-arg lambda would be read as (element, index)
+        return F.filter(words, lambda w: w.isin(markers))
+
+    scores = F.array(
+        *[
+            F.struct(
+                (-F.size(_marker_hits(markers))).alias("neg"),
+                F.lit(lang).alias("cand"),
+            )
+            for lang, markers in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_sort(scores)[0]
+    pred = F.when(best["neg"] < 0, best["cand"]).otherwise(F.lit("und"))
+    out = docs.select("doc_id", "lang", pred.alias("pred_lang"))
+    return out.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), w -> w IN ({markers})))"
+    )
+
+
+def lang_id_sql() -> str:
+    struct_rows = ", ".join(
+        f"{{'neg': -{_lang_score_sql(lang)}, 'cand': '{lang}'}}"
+        for lang in sorted(LANG_MARKERS)
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, list_sort([{struct_rows}]) AS ranked
+  FROM documents
+), best AS (
+  SELECT doc_id, lang,
+         CASE WHEN ranked[1].neg < 0 THEN ranked[1].cand ELSE 'und' END AS pred_lang
+  FROM scored
+)
+SELECT lang, pred_lang, COUNT(*) AS n_docs FROM best GROUP BY lang, pred_lang
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: length, token stats, stopword ratio, mean word
+    length — aggregated per source for corpus QA."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    mean_wlen = F.aggregate(
+        words, F.lit(0.0), lambda acc, w: acc + F.length(w)
+    ) / n_tokens
+    per_doc = docs.select(
+        "source",
+        n_tokens.alias("n_tokens"),
+        (stop_hits / n_tokens).alias("stop_ratio"),
+        mean_wlen.alias("mean_wlen"),
+        F.col("n_chars"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+        F.round(F.avg("mean_wlen"), 4).alias("avg_word_len"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+def quality_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH per_doc AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '), w -> w IN ({stops})))
+           * 1.0 / len(string_split(text, ' ')) AS stop_ratio,
+         CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS mean_wlen,
+         n_chars
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(stop_ratio), 4) AS avg_stop_ratio,
+       ROUND(AVG(mean_wlen), 4) AS avg_word_len,
+       ROUND(AVG(n_chars), 2) AS avg_chars
+FROM per_doc GROUP BY source
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per doc: whitespace tokens plus a BPE-ish
+    subword estimate (ceil(chars/4) per word, the common ~4-chars/token
+    rule), bucketed into a token-length histogram."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    ws_tokens = F.size(words)
+    bpe_est = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("bigint"),
+    )
+    per_doc = docs.select(
+        "doc_id",
+        ws_tokens.alias("ws_tokens"),
+        bpe_est.alias("bpe_tokens"),
+    )
+    bucket = (F.floor(F.col("ws_tokens") / 50) * 50).cast("bigint")
+    return per_doc.groupBy(bucket.alias("token_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").cast("bigint").alias("sum_ws_tokens"),
+        F.sum("bpe_tokens").cast("bigint").alias("sum_bpe_tokens"),
+    )
+
+
+TOKEN_COUNTS_SQL = """
+WITH per_doc AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS ws_tokens,
+         list_sum(list_transform(string_split(text, ' '),
+                  w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS bpe_tokens
+  FROM documents
+)
+SELECT CAST(floor(ws_tokens / 50) * 50 AS BIGINT) AS token_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS sum_ws_tokens,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS sum_bpe_tokens
+FROM per_doc GROUP BY 1
+"""
+
+
+def fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-collision fingerprinting (sorted distinct lowercase tokens):
+    docs sharing a fingerprint are permutation/repetition near-dups.
+    The canonical cheap clustering pass before MinHash."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))), " "
+    )
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .select("canonical_doc_id", "cluster_size")
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS cluster_size
+FROM documents
+GROUP BY array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')
+HAVING COUNT(*) > 1
+"""

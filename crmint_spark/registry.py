@@ -11,12 +11,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .operators import dedup, similarity, text
 from .queries import CORE_QUERIES
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 for _name, (_fn, _sql) in CORE_QUERIES.items():
+    QUERIES[_name] = _fn
+    if _sql is not None:
+        ORACLES[_name] = _sql
+
+EXTENSION_QUERIES: dict[str, tuple] = {
+    # dedup family
+    "dedup_exact": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
+    "dedup_minhash_lsh": (dedup.minhash_lsh_pairs, dedup.minhash_lsh_sql()),
+    "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
+    "dedup_simhash": (dedup.simhash_pairs, dedup.simhash_pairs_sql()),
+    # similarity search family
+    "ann_cosine_topk": (similarity.ann_cosine_topk, similarity.ANN_COSINE_SQL),
+    "ann_lsh_topk": (similarity.ann_lsh_topk, similarity.ANN_LSH_SQL),
+    "embedding_norm_stats": (similarity.embedding_norm_stats, similarity.EMB_NORM_SQL),
+    # text analysis family
+    "text_lang_id": (text.lang_id, text.lang_id_sql()),
+    "text_quality": (text.quality_score, text.quality_sql()),
+    "text_token_counts": (text.token_counts, text.TOKEN_COUNTS_SQL),
+    "text_fingerprint": (text.fingerprint_clusters, text.FINGERPRINT_SQL),
+}
+
+for _name, (_fn, _sql) in EXTENSION_QUERIES.items():
     QUERIES[_name] = _fn
     if _sql is not None:
         ORACLES[_name] = _sql
