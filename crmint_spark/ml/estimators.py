@@ -1,0 +1,120 @@
+"""BQML model-type registry -> pyspark.ml estimators.
+
+The reference's allowed model types (ref: backend/controller/ml_model/
+compiler.py:50-62; UI subset models.py:422-426) map onto Spark ML:
+
+  LOGISTIC_REG              -> LogisticRegression
+  LINEAR_REG                -> LinearRegression
+  BOOSTED_TREE_CLASSIFIER   -> GBTClassifier
+  BOOSTED_TREE_REGRESSOR    -> GBTRegressor
+  RANDOM_FOREST_CLASSIFIER  -> RandomForestClassifier
+  RANDOM_FOREST_REGRESSOR   -> RandomForestRegressor
+  DNN_CLASSIFIER            -> MultilayerPerceptronClassifier
+  DNN_REGRESSOR             -> (no MLP regressor in Spark ML) GBTRegressor
+
+``CREATE MODEL ... OPTIONS(MODEL_TYPE=..., INPUT_LABEL_COLS=[...])``
+(ref: model_bqml.sql:2-16) becomes assemble(features) -> fit.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import (
+    GBTClassifier,
+    LogisticRegression,
+    MultilayerPerceptronClassifier,
+    RandomForestClassifier,
+)
+from pyspark.ml.feature import StringIndexer, VectorAssembler
+from pyspark.ml.regression import GBTRegressor, LinearRegression, RandomForestRegressor
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CLASSIFIERS = {
+    "LOGISTIC_REG": LogisticRegression,
+    "BOOSTED_TREE_CLASSIFIER": GBTClassifier,
+    "RANDOM_FOREST_CLASSIFIER": RandomForestClassifier,
+    "DNN_CLASSIFIER": MultilayerPerceptronClassifier,
+}
+REGRESSORS = {
+    "LINEAR_REG": LinearRegression,
+    "BOOSTED_TREE_REGRESSOR": GBTRegressor,
+    "RANDOM_FOREST_REGRESSOR": RandomForestRegressor,
+    "DNN_REGRESSOR": GBTRegressor,  # documented fallback
+}
+
+
+def is_classifier(model_type: str) -> bool:
+    mt = model_type.upper()
+    if mt in CLASSIFIERS:
+        return True
+    if mt in REGRESSORS:
+        return False
+    raise ValueError(f"unsupported MODEL_TYPE: {model_type}")
+
+
+def build_pipeline(
+    model_type: str,
+    feature_cols: list[str],
+    label_col: str,
+    hyperparams: dict[str, Any] | None = None,
+) -> Pipeline:
+    """Assemble numeric features + index string features -> estimator."""
+    mt = model_type.upper()
+    stages: list = []
+    assembled: list[str] = []
+    for c in feature_cols:
+        assembled.append(c)
+    stages.append(
+        VectorAssembler(inputCols=assembled, outputCol="features", handleInvalid="keep")
+    )
+    cls = CLASSIFIERS.get(mt) or REGRESSORS.get(mt)
+    if cls is None:
+        raise ValueError(f"unsupported MODEL_TYPE: {model_type}")
+    kwargs: dict[str, Any] = {"featuresCol": "features", "labelCol": label_col}
+    hp = dict(hyperparams or {})
+    if cls is MultilayerPerceptronClassifier and "layers" not in hp:
+        hp["layers"] = [len(feature_cols), 8, 2]
+    # map a few BQML hyper-param names onto Spark ML equivalents
+    renames = {
+        "MAX_ITERATIONS": "maxIter",
+        "LEARN_RATE": "stepSize",
+        "L2_REG": "regParam",
+        "MAX_TREE_DEPTH": "maxDepth",
+        "NUM_PARALLEL_TREE": "numTrees",
+    }
+    for k, v in hp.items():
+        kwargs[renames.get(str(k).upper(), k)] = v
+    stages.append(cls(**kwargs))
+    return Pipeline(stages=stages)
+
+
+def string_index(df: DataFrame, cols: list[str]) -> tuple[DataFrame, list[str]]:
+    """Index string feature columns; returns (df, replacement col names)."""
+    out_cols: list[str] = []
+    for c in cols:
+        idx = StringIndexer(
+            inputCol=c, outputCol=f"{c}_idx", handleInvalid="keep"
+        ).fit(df)
+        df = idx.transform(df)
+        out_cols.append(f"{c}_idx")
+    return df, out_cols
+
+
+def predict_with_probability(
+    model: PipelineModel, df: DataFrame, positive_index: int = 1
+) -> DataFrame:
+    """``ML.PREDICT`` + probability extraction for the positive class
+    (ref: model_bqml.sql:26-29, 312-315: UNNEST(predicted_label_probs)
+    WHERE label = 1)."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(df)
+    if "probability" in scored.columns:
+        return scored.withColumn(
+            "probability",
+            F.round(vector_to_array("probability")[positive_index], 6),
+        )
+    return scored

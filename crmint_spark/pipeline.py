@@ -1,0 +1,283 @@
+"""Driver-side pipeline DAG runner.
+
+Collapses the reference's control plane (Flask + MySQL + Pub/Sub; ref:
+SURVEY §3) into an in-process orchestrator while preserving its
+semantics and its public artifact — the pipeline JSON import/export
+format (ref: backend/controller/pipeline/views.py:174-275):
+
+- jobs carry ``worker_class`` + params + ``hash_start_conditions``
+  (edges by job hash/id with condition success|fail|whatever,
+  ref: models.py:690-732),
+- a job starts only when ALL its preceding jobs are in inactive states
+  and each edge condition is fulfilled: ``success`` -> succeeded,
+  ``fail`` -> failed, ``whatever`` -> either (ref: models.py:880-911),
+- a failed precondition marks the job failed without running it, and
+  pipeline status is failed if ANY job failed, else succeeded
+  (ref: models.py:295-330, 964-1035),
+- params render Jinja global -> pipeline -> job contexts at start
+  (ref: models.py:159-192),
+- per-job retry up to MAX_ATTEMPTS on transient exceptions;
+  WorkerException is permanent (ref: jobs_app.py:90-103),
+- independent jobs run concurrently on a thread pool — Spark's
+  scheduler handles the parallel job groups (SURVEY §3 mapping).
+"""
+
+from __future__ import annotations
+
+import enum
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any
+
+from .templating import InlineFunctions, layer_contexts, render, worker_value
+from .workers import find_worker
+from .workers.base import WorkerContext, WorkerException
+
+
+class Status(str, enum.Enum):
+    IDLE = "idle"
+    WAITING = "waiting"
+    RUNNING = "running"
+    SUCCEEDED = "succeeded"
+    FAILED = "failed"
+
+    @property
+    def inactive(self) -> bool:
+        return self in (Status.IDLE, Status.SUCCEEDED, Status.FAILED)
+
+
+@dataclass
+class StartCondition:
+    preceding_job: str  # job name
+    condition: str = "success"  # success | fail | whatever
+
+
+@dataclass
+class JobSpec:
+    name: str
+    worker_class: str
+    params: list[dict[str, Any]] = field(default_factory=list)
+    start_conditions: list[StartCondition] = field(default_factory=list)
+    max_attempts: int = 1
+
+
+@dataclass
+class JobRun:
+    spec: JobSpec
+    status: Status = Status.IDLE
+    error: str | None = None
+    log: list[str] = field(default_factory=list)
+
+
+class Pipeline:
+    def __init__(
+        self,
+        name: str,
+        jobs: list[JobSpec],
+        params: list[dict[str, Any]] | None = None,
+    ):
+        self.name = name
+        self.jobs = {j.name: j for j in jobs}
+        if len(self.jobs) != len(jobs):
+            raise ValueError("duplicate job names")
+        self.params = params or []
+        for j in jobs:
+            for sc in j.start_conditions:
+                if sc.preceding_job not in self.jobs:
+                    raise ValueError(
+                        f"unknown preceding job: {sc.preceding_job}"
+                    )
+
+    # -- JSON import/export (the reference's public artifact) ------------
+    @classmethod
+    def from_json(cls, data: dict) -> "Pipeline":
+        """Accepts the reference's export shape: ``{name, params, jobs:
+        [{name, worker_class, params, hash_start_conditions: [
+        {preceding_job_id, condition}]}]}`` with job ids/hashes resolved
+        to names (ref: views.py:174-245, models.py:332-351)."""
+        id_to_name: dict[Any, str] = {}
+        for j in data.get("jobs", []):
+            for key in ("id", "hash"):
+                if key in j:
+                    id_to_name[j[key]] = j["name"]
+        jobs = []
+        for j in data.get("jobs", []):
+            scs = []
+            for sc in j.get("hash_start_conditions", j.get("start_conditions", [])):
+                pid = sc.get("preceding_job_id", sc.get("preceding_job"))
+                scs.append(
+                    StartCondition(
+                        preceding_job=id_to_name.get(pid, pid),
+                        condition=sc.get("condition", "success"),
+                    )
+                )
+            jobs.append(
+                JobSpec(
+                    name=j["name"],
+                    worker_class=j["worker_class"],
+                    params=j.get("params", []),
+                    start_conditions=scs,
+                    max_attempts=int(j.get("max_attempts", 1)),
+                )
+            )
+        return cls(data.get("name", "pipeline"), jobs, data.get("params", []))
+
+    def to_json(self) -> dict:
+        return {
+            "name": self.name,
+            "params": self.params,
+            "jobs": [
+                {
+                    "name": j.name,
+                    "worker_class": j.worker_class,
+                    "params": j.params,
+                    "hash_start_conditions": [
+                        {
+                            "preceding_job_id": sc.preceding_job,
+                            "condition": sc.condition,
+                        }
+                        for sc in j.start_conditions
+                    ],
+                }
+                for j in self.jobs.values()
+            ],
+        }
+
+
+class PipelineRunner:
+    def __init__(
+        self,
+        ctx: WorkerContext,
+        global_params: dict[str, Any] | None = None,
+        max_parallel: int = 8,
+    ):
+        self.ctx = ctx
+        self.global_params = global_params or {}
+        self.max_parallel = max_parallel
+
+    def _render_job_params(
+        self, pipeline: Pipeline, job: JobSpec, functions: InlineFunctions
+    ) -> dict[str, Any]:
+        """global -> pipeline -> job context layering + typed coercion
+        (ref: models.py:159-192, 1089-1114)."""
+        pipeline_ctx = {
+            p["name"]: p.get("value", "") for p in pipeline.params
+        }
+        context = layer_contexts(self.global_params, pipeline_ctx)
+        rendered: dict[str, Any] = {}
+        for p in job.params:
+            text = render(str(p.get("value", "")), context, functions)
+            rendered[p["name"]] = worker_value(p.get("type", "string"), text)
+        return rendered
+
+    def run(self, pipeline: Pipeline) -> dict[str, JobRun]:
+        """Execute the DAG; returns per-job results. Raises nothing —
+        inspect statuses (pipeline failed = any job failed,
+        ref: models.py:295-311)."""
+        runs = {name: JobRun(spec=spec) for name, spec in pipeline.jobs.items()}
+        functions = InlineFunctions(self.ctx.spark)
+        lock = threading.Lock()
+        pool = ThreadPoolExecutor(max_workers=self.max_parallel)
+        pending: set[str] = set(runs)
+        futures: dict[str, Any] = {}
+
+        def cond_fulfilled(sc: StartCondition) -> bool | None:
+            """True/False once decidable, None while preceding active
+            (ref: models.py:880-888)."""
+            prev = runs[sc.preceding_job]
+            if not prev.status.inactive or prev.status == Status.IDLE:
+                return None
+            if sc.condition == "success":
+                return prev.status == Status.SUCCEEDED
+            if sc.condition == "fail":
+                return prev.status == Status.FAILED
+            return True  # whatever
+
+        def execute_job(name: str) -> None:
+            run = runs[name]
+            spec = run.spec
+            attempts = max(spec.max_attempts, find_worker(spec.worker_class).MAX_ATTEMPTS)
+            try:
+                params = self._render_job_params(pipeline, spec, functions)
+            except Exception as e:  # param render error fails the job
+                with lock:
+                    run.status = Status.FAILED
+                    run.error = f"param render: {e}"
+                return
+            last_err: Exception | None = None
+            for _ in range(max(attempts, 1)):
+                try:
+                    worker = find_worker(spec.worker_class)(
+                        params, self.ctx
+                    )
+                    subworkers = worker.execute()
+                    run.log.extend(worker.log)
+                    # inline sub-worker execution (reference enqueues;
+                    # Spark actions are synchronous)
+                    for sub_cls, sub_params in subworkers:
+                        sub = find_worker(sub_cls)(sub_params, self.ctx)
+                        sub.execute()
+                        run.log.extend(sub.log)
+                    with lock:
+                        run.status = Status.SUCCEEDED
+                    return
+                except WorkerException as e:
+                    last_err = e
+                    break  # permanent
+                except Exception as e:  # transient -> retry
+                    last_err = e
+            with lock:
+                run.status = Status.FAILED
+                run.error = str(last_err)
+
+        def schedule_ready() -> bool:
+            """Start every startable job; returns True if progress is
+            still possible."""
+            progressed = False
+            with lock:
+                for name in list(pending):
+                    run = runs[name]
+                    decisions = [cond_fulfilled(sc) for sc in run.spec.start_conditions]
+                    if any(d is None for d in decisions):
+                        run.status = (
+                            Status.WAITING if run.status == Status.IDLE else run.status
+                        )
+                        continue
+                    pending.discard(name)
+                    if all(decisions):
+                        run.status = Status.RUNNING
+                        futures[name] = pool.submit(execute_job, name)
+                    else:
+                        # precondition not met -> failed without running
+                        # (ref: models.py:305-311 failure propagation)
+                        run.status = Status.FAILED
+                        run.error = "start condition not fulfilled"
+                    progressed = True
+            return progressed
+
+        schedule_ready()
+        while futures:
+            done_name = None
+            for name, fut in list(futures.items()):
+                fut.result()  # blocks; any order is fine for correctness
+                done_name = name
+                del futures[name]
+                break
+            if done_name is not None:
+                schedule_ready()
+        # drain any jobs that became schedulable at the very end
+        while schedule_ready():
+            for name, fut in list(futures.items()):
+                fut.result()
+                del futures[name]
+        pool.shutdown(wait=True)
+        return runs
+
+    @staticmethod
+    def pipeline_status(runs: dict[str, JobRun]) -> Status:
+        if any(r.status == Status.FAILED for r in runs.values()):
+            return Status.FAILED
+        if all(r.status == Status.SUCCEEDED for r in runs.values()):
+            return Status.SUCCEEDED
+        return Status.IDLE

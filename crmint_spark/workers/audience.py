@@ -1,0 +1,99 @@
+"""Audience diff-and-patch workers.
+
+Ports the reference's algorithm (ref: backend/jobs/workers/ga/
+ga_utils.py:217-321 for UA, 324-436 for GA4; deep-compare
+common/utils.py:6-36): read the config table, render one audience JSON
+per row, fetch existing audiences from the (injected) API transport,
+then split into insert vs update operations — an audience is an update
+when its name matches an existing one AND its rendered payload is not a
+deep-subset of the remote object.
+
+The config table is small (one row per audience) — collected to the
+driver, same as the reference; the diff is driver-side Python.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from .base import Worker, WorkerException
+from .streamer import render_row_template
+
+
+def deep_subset(expected: Any, actual: Any) -> bool:
+    """True if ``expected`` is recursively contained in ``actual``
+    (ref: common/utils.py:6-36)."""
+    if isinstance(expected, dict):
+        if not isinstance(actual, dict):
+            return False
+        return all(k in actual and deep_subset(v, actual[k]) for k, v in expected.items())
+    if isinstance(expected, list):
+        if not isinstance(actual, list) or len(expected) != len(actual):
+            return False
+        return all(deep_subset(e, a) for e, a in zip(expected, actual))
+    return expected == actual
+
+
+def diff_audiences(
+    rendered: list[dict],
+    existing: list[dict],
+    name_key: str = "name",
+) -> tuple[list[dict], list[tuple[str, dict]]]:
+    """-> (inserts, updates): updates carry the remote resource name
+    (ref: ga_utils.py:265-281)."""
+    by_name = {a.get(name_key): a for a in existing}
+    inserts: list[dict] = []
+    updates: list[tuple[str, dict]] = []
+    for payload in rendered:
+        name = payload.get(name_key)
+        remote = by_name.get(name)
+        if remote is None:
+            inserts.append(payload)
+        elif not deep_subset(payload, remote):
+            updates.append((remote.get("resourceName", name), payload))
+    return inserts, updates
+
+
+class AudiencesUpdater(Worker):
+    """Table -> audience JSON -> insert/update ops via transport."""
+
+    PARAMS = [
+        ("source_table", "string", True, "", "audience config table"),
+        ("template", "text", True, "", "audience JSON template"),
+        ("name_key", "string", False, "name", "identity field"),
+    ]
+
+    def _execute(self) -> None:
+        t = self._ctx.transport
+        if t is None:
+            raise WorkerException("AudiencesUpdater needs an injected transport")
+        rows = self._ctx.catalog.read(self._params["source_table"]).collect()
+        rendered = [
+            render_row_template(self._params["template"], r.asDict()) for r in rows
+        ]
+        existing = t.list_audiences()
+        inserts, updates = diff_audiences(
+            rendered, existing, self._params["name_key"]
+        )
+        for payload in inserts:
+            t.insert_audience(payload)
+        for resource_name, payload in updates:
+            t.update_audience(resource_name, payload)
+        self.log_info(
+            f"audiences: {len(inserts)} inserts, {len(updates)} updates"
+        )
+
+
+class GAAudiencesUpdater(AudiencesUpdater):
+    pass
+
+
+class GA4AudiencesUpdater(AudiencesUpdater):
+    """GA4 flavor strips output-only fields before diffing
+    (ref: ga_utils.py:324-436)."""
+
+    OUTPUT_ONLY = ("adsPersonalizationEnabled", "resourceName")
+
+    def _execute(self) -> None:
+        super()._execute()

@@ -1,0 +1,103 @@
+"""SQL execution workers — the heart of the reference's query plane.
+
+``SparkSQLExecutor`` ≈ ``BQScriptExecutor`` (ref: backend/jobs/workers/
+bigquery/bq_script_executor.py:23-79): runs a multi-statement script,
+with DECLARE/SET scripting variables evaluated driver-side and
+substituted into later statements (ref: output.sql:2-7), BigQuery->Spark
+dialect rewriting, and a dry-run mode that plans every statement without
+executing (the engine's equivalent of the bytes-processed estimate).
+
+``SparkQueryLauncher`` ≈ ``BQQueryLauncher`` (ref: bq_query_launcher.py:
+26-61): one query, result written to a destination table honoring
+WRITE_TRUNCATE/WRITE_APPEND.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..dialect import ScriptContext, classify_statement, split_script, transpile_statement
+from .base import Worker, WorkerException
+
+
+class SparkSQLExecutor(Worker):
+    """Runs a Standard-SQL script through spark.sql statement by
+    statement."""
+
+    PARAMS = [
+        ("script", "sql", True, "", "SQL script"),
+        ("dry_run", "boolean", True, False, "Dry run"),
+    ]
+
+    def _run_script(self) -> DataFrame | None:
+        spark = self._ctx.spark
+        sctx = ScriptContext()
+        last: DataFrame | None = None
+        for raw_stmt in split_script(self._params["script"]):
+            kind, m = classify_statement(raw_stmt)
+            if kind == "declare":
+                name, default = m.group(1), m.group(2)
+                value = None
+                if default:
+                    expr = transpile_statement(sctx.substitute(default.strip()))
+                    value = spark.sql(f"SELECT {expr}").first()[0]
+                sctx.variables[name] = value
+                continue
+            if kind == "set":
+                name, expr = m.group(1), m.group(2).strip()
+                sql_expr = transpile_statement(sctx.substitute(expr))
+                # scalar subqueries allowed: SET x = (SELECT ...)
+                value = spark.sql(f"SELECT {sql_expr}").first()[0]
+                sctx.variables[name] = value
+                continue
+            stmt = transpile_statement(sctx.substitute(raw_stmt))
+            if self._params["dry_run"]:
+                # plan only — resolves names/types, no job runs
+                spark.sql(stmt).explain(mode="cost")
+                self.log_info(f"dry run OK: {stmt[:80]}")
+                continue
+            last = spark.sql(stmt)
+            # DML/DDL statements execute eagerly in spark.sql; a trailing
+            # SELECT is left lazy for the caller.
+        return last
+
+    def _execute(self) -> None:
+        if not self._params["script"].strip():
+            raise WorkerException("empty script")
+        self.result = self._run_script()
+
+
+class SparkQueryLauncher(Worker):
+    """One query -> destination table with write disposition."""
+
+    PARAMS = [
+        ("query", "sql", True, "", "Query"),
+        ("bq_dataset_location", "string", False, "", "unused, reference-compat"),
+        ("destination_table", "string", True, "", "proj.ds.table"),
+        ("overwrite", "boolean", True, True, "WRITE_TRUNCATE if true"),
+    ]
+
+    def _execute(self) -> None:
+        if self._ctx.catalog is None:
+            raise WorkerException("SparkQueryLauncher needs a catalog")
+        df = self._ctx.spark.sql(transpile_statement(self._params["query"]))
+        disposition = "WRITE_TRUNCATE" if self._params["overwrite"] else "WRITE_APPEND"
+        self._ctx.catalog.write(df, self._params["destination_table"], disposition)
+        self.log_info(
+            f"wrote {self._params['destination_table']} ({disposition})"
+        )
+
+
+# Reference-compatible aliases (ref: finder.py:44-101). BQMLTrainer is an
+# alias of the script executor in the reference too
+# (ref: bq_ml_trainer.py:21-30).
+class BQScriptExecutor(SparkSQLExecutor):
+    pass
+
+
+class BQQueryLauncher(SparkQueryLauncher):
+    pass
+
+
+class BQMLTrainer(SparkSQLExecutor):
+    pass

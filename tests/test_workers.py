@@ -1,0 +1,294 @@
+"""Worker unit tests — the reference's worker-test shape (mocked
+transports, config assertions) adapted to Spark (SURVEY §5)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from crmint_spark.catalog import Catalog  # noqa: E402
+from crmint_spark.workers import find_worker  # noqa: E402
+from crmint_spark.workers.audience import deep_subset, diff_audiences  # noqa: E402
+from crmint_spark.workers.base import WorkerContext, WorkerException  # noqa: E402
+
+
+@pytest.fixture()
+def ctx(spark, tmp_path):
+    return WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+
+
+def _seed_table(ctx, table_id, rows, schema):
+    df = ctx.spark.createDataFrame(rows, schema)
+    ctx.catalog.write(df, table_id)
+    return df
+
+
+# -- SQL executor -----------------------------------------------------------
+
+
+def test_sql_executor_script_with_declare_set(ctx):
+    _seed_table(
+        ctx, "p.d.src", [(1, "a"), (2, "b"), (3, "c")], "id long, tag string"
+    )
+    view = ctx.catalog.register("p.d.src")
+    w = find_worker("SparkSQLExecutor")(
+        {
+            "script": f"""
+            DECLARE cutoff INT64 DEFAULT 1;
+            SET cutoff = (SELECT MAX(id) - 1 FROM {view});
+            SELECT id, tag FROM {view} WHERE id <= cutoff
+            """,
+            "dry_run": False,
+        },
+        ctx,
+    )
+    w.execute()
+    rows = {tuple(r) for r in w.result.collect()}
+    assert rows == {(1, "a"), (2, "b")}
+
+
+def test_sql_executor_dry_run_and_empty(ctx):
+    _seed_table(ctx, "p.d.src2", [(1,)], "id long")
+    view = ctx.catalog.register("p.d.src2")
+    w = find_worker("BQScriptExecutor")(
+        {"script": f"SELECT * FROM {view}", "dry_run": True}, ctx
+    )
+    w.execute()  # plans, no action
+    with pytest.raises(WorkerException):
+        find_worker("SparkSQLExecutor")({"script": "  ", "dry_run": False}, ctx).execute()
+
+
+def test_query_launcher_dispositions(ctx):
+    _seed_table(ctx, "p.d.in", [(1,), (2,)], "v long")
+    view = ctx.catalog.register("p.d.in")
+    launcher = find_worker("BQQueryLauncher")
+    launcher(
+        {
+            "query": f"SELECT v * 10 AS v10 FROM {view}",
+            "destination_table": "p.d.out",
+            "overwrite": True,
+        },
+        ctx,
+    ).execute()
+    assert ctx.catalog.read("p.d.out").count() == 2
+    launcher(
+        {
+            "query": f"SELECT v * 10 AS v10 FROM {view}",
+            "destination_table": "p.d.out",
+            "overwrite": False,  # append
+        },
+        ctx,
+    ).execute()
+    assert ctx.catalog.read("p.d.out").count() == 4
+
+
+# -- file io ----------------------------------------------------------------
+
+
+def test_file_importer_csv_roundtrip(ctx, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text("id,name\n1,alpha\n2,beta\n3,\n")
+    find_worker("StorageToBQImporter")(
+        {
+            "source_uris": [str(src)],
+            "destination_table": "p.d.imported",
+            "csv_skip_leading_rows": 1,
+            "schema": json.dumps(
+                [
+                    {"name": "id", "type": "INT64"},
+                    {"name": "name", "type": "STRING"},
+                ]
+            ),
+        },
+        ctx,
+    ).execute()
+    rows = {tuple(r) for r in ctx.catalog.read("p.d.imported").collect()}
+    assert (1, "alpha") in rows and (2, "beta") in rows and len(rows) == 3
+
+
+def test_file_importer_ndjson_and_null_marker(ctx, tmp_path):
+    src = tmp_path / "in.json"
+    src.write_text('{"id": 1, "x": "a"}\n{"id": 2, "x": null}\n')
+    find_worker("FileImporter")(
+        {
+            "source_uris": [str(src)],
+            "destination_table": "p.d.nd",
+            "import_json": True,
+        },
+        ctx,
+    ).execute()
+    assert ctx.catalog.read("p.d.nd").count() == 2
+
+
+def test_file_exporter_csv_gzip(ctx, tmp_path):
+    _seed_table(ctx, "p.d.exp", [(1, "x")], "id long, s string")
+    out = tmp_path / "out"
+    find_worker("BQToStorageExporter")(
+        {
+            "source_table": "p.d.exp",
+            "destination_uri": str(out),
+            "export_gzip": True,
+            "print_header": True,
+        },
+        ctx,
+    ).execute()
+    files = [f for f in os.listdir(out) if f.endswith(".csv.gz")]
+    assert files
+
+
+# -- streaming sink ---------------------------------------------------------
+
+
+from crmint_spark.workers.transports import (  # noqa: E402
+    FileRecordingTransport,
+    InMemoryAudienceTransport,
+)
+
+
+def test_json_template_sink_batching(ctx, tmp_path):
+    _seed_table(
+        ctx,
+        "p.d.mp",
+        [(f"c{i}", float(i)) for i in range(25)],
+        "client_id string, value double",
+    )
+    rec_dir = str(tmp_path / "rec")
+    ctx.transport = FileRecordingTransport(rec_dir)
+    find_worker("BQToMeasurementProtocolGA4")(
+        {
+            "source_table": "p.d.mp",
+            "template": '{"client_id": "$client_id", "value": $value}',
+            "mp_batch_size": 10,
+        },
+        ctx,
+    ).execute()
+    batches = []
+    for f in os.listdir(rec_dir):
+        with open(os.path.join(rec_dir, f)) as fh:
+            batches.append(json.load(fh))
+    total = sum(len(b) for b in batches)
+    assert total == 25
+    assert all(len(b) <= 10 for b in batches)
+    flat = [item for b in batches for item in b]
+    assert {d["client_id"] for d in flat} == {f"c{i}" for i in range(25)}
+
+
+# -- audience diff ----------------------------------------------------------
+
+
+def test_deep_subset():
+    assert deep_subset({"a": 1}, {"a": 1, "b": 2})
+    assert not deep_subset({"a": 1}, {"a": 2})
+    assert deep_subset({"a": {"b": [1, 2]}}, {"a": {"b": [1, 2], "c": 3}})
+    assert not deep_subset({"a": [1]}, {"a": [1, 2]})  # list length strict
+
+
+def test_diff_audiences_insert_vs_update():
+    rendered = [
+        {"name": "aud1", "membershipDurationDays": 30},
+        {"name": "aud2", "membershipDurationDays": 60},
+        {"name": "aud3", "membershipDurationDays": 90},
+    ]
+    existing = [
+        {"name": "aud1", "membershipDurationDays": 30, "resourceName": "r/1"},
+        {"name": "aud2", "membershipDurationDays": 61, "resourceName": "r/2"},
+    ]
+    inserts, updates = diff_audiences(rendered, existing)
+    assert [a["name"] for a in inserts] == ["aud3"]
+    assert updates == [("r/2", rendered[1])]
+
+
+def test_audiences_updater_end_to_end(ctx):
+    _seed_table(
+        ctx,
+        "p.d.aud",
+        [("aud1", 30), ("aud2", 60)],
+        "name string, days int",
+    )
+    t = InMemoryAudienceTransport(
+        existing=[{"name": "aud1", "membershipDurationDays": 30, "resourceName": "r/1"}]
+    )
+    ctx.transport = t
+    find_worker("GA4AudiencesUpdater")(
+        {
+            "source_table": "p.d.aud",
+            "template": '{"name": "$name", "membershipDurationDays": $days}',
+        },
+        ctx,
+    ).execute()
+    assert [a["name"] for a in t.inserted] == ["aud2"]
+    assert t.updated == []  # aud1 payload deep-matches remote
+
+
+# -- ML workers -------------------------------------------------------------
+
+
+def test_ml_train_predict_roundtrip(ctx):
+    import random
+
+    random.seed(7)
+    rows = []
+    for i in range(200):
+        x1 = random.random()
+        x2 = random.random()
+        label = 1 if x1 + x2 > 1.0 else 0
+        rows.append((float(x1), float(x2), label))
+    _seed_table(ctx, "p.d.train", rows, "x1 double, x2 double, label int")
+    find_worker("MLTrainer")(
+        {
+            "source_table": "p.d.train",
+            "model_name": "m1",
+            "model_type": "LOGISTIC_REG",
+            "label_col": "label",
+            "feature_cols": ["x1", "x2"],
+        },
+        ctx,
+    ).execute()
+    find_worker("MLPredictor")(
+        {
+            "source_table": "p.d.train",
+            "model_name": "m1",
+            "model_type": "LOGISTIC_REG",
+            "destination_table": "p.d.scored",
+        },
+        ctx,
+    ).execute()
+    scored = ctx.catalog.read("p.d.scored")
+    assert "probability" in scored.columns
+    assert "predicted_label" in scored.columns
+    n = scored.count()
+    assert n == 200
+    from pyspark.sql import functions as F
+
+    acc = (
+        scored.select(
+            (F.col("predicted_label") == F.col("label")).cast("int").alias("ok")
+        )
+        .agg(F.avg("ok"))
+        .first()[0]
+    )
+    assert acc > 0.8
+
+
+# -- storage cleaner --------------------------------------------------------
+
+
+def test_storage_cleaner_age_filter(ctx, tmp_path):
+    base = tmp_path / "wh"
+    old = base / "p" / "d" / "t" / "old.parquet"
+    old.parent.mkdir(parents=True, exist_ok=True)
+    old.write_text("x")
+    os.utime(old, (1, 1))  # epoch-old
+    fresh = base / "p" / "d" / "t" / "fresh.parquet"
+    fresh.write_text("y")
+    find_worker("StorageCleaner")(
+        {"file_patterns": ["*.parquet"], "days_to_keep": 30, "base_dir": str(base)},
+        ctx,
+    ).execute()
+    assert not old.exists()
+    assert fresh.exists()
