@@ -12,7 +12,7 @@ from .audience import AudiencesUpdater, GA4AudiencesUpdater, GAAudiencesUpdater
 from .base import Worker, WorkerException
 from .commenter import Commenter
 from .file_io import BQToStorageExporter, FileExporter, FileImporter, StorageToBQImporter
-from .ml_workers import MLPredictor, MLTrainer
+from .ml_workers import ConversionValuesWorker, MLPredictor, MLTrainer, OutputWorker
 from .sql_executor import (
     BQMLTrainer,
     BQQueryLauncher,
@@ -38,6 +38,8 @@ WORKERS: dict[str, type[Worker]] = {
         JsonTemplateSink,
         MLTrainer,
         MLPredictor,
+        ConversionValuesWorker,
+        OutputWorker,
         AudiencesUpdater,
         StorageCleaner,
         Commenter,

@@ -53,6 +53,49 @@ class MLTrainer(Worker):
         self.log_info(f"trained {self._params['model_type']} -> {dest}")
 
 
+class ConversionValuesWorker(Worker):
+    """Materializes the conversion-values segment table from scored
+    calibration data (ref: model_bqml.sql:30-49). The compiler provides
+    the SQL with a ``__predictions__`` placeholder view."""
+
+    PARAMS = [
+        ("predictions_table", "string", True, "", "scored calibration table"),
+        ("destination_table", "string", True, "", "output table"),
+        ("sql", "sql", True, "", "SQL with __predictions__ placeholder"),
+    ]
+
+    def _execute(self) -> None:
+        view = self._ctx.catalog.register(self._params["predictions_table"])
+        sql = self._params["sql"].replace("__predictions__", view)
+        df = self._ctx.spark.sql(sql)
+        self._ctx.catalog.write(df, self._params["destination_table"])
+        self.log_info(f"conversion values -> {self._params['destination_table']}")
+
+
+class OutputWorker(Worker):
+    """probability -> value range join + MP output shape
+    (ref: output.sql:36-102)."""
+
+    PARAMS = [
+        ("predictions_table", "string", True, "", "predictions table"),
+        ("conversion_values_table", "string", True, "", "segment table"),
+        ("destination_table", "string", True, "", "output table"),
+        ("sql", "sql", True, "", "SQL with __predictions__/__cv__ placeholders"),
+    ]
+
+    def _execute(self) -> None:
+        pview = self._ctx.catalog.register(self._params["predictions_table"])
+        cview = self._ctx.catalog.register(self._params["conversion_values_table"])
+        sql = (
+            self._params["sql"]
+            .replace("__predictions__", pview)
+            .replace("__cv__", cview)
+        )
+        df = self._ctx.spark.sql(sql)
+        self._ctx.catalog.write(df, self._params["destination_table"])
+        self.log_info(f"output -> {self._params['destination_table']}")
+
+
 class MLPredictor(Worker):
     PARAMS = [
         ("source_table", "string", True, "", "input table"),

@@ -1,0 +1,140 @@
+"""ML compiler tests: golden-SQL fragments (the reference's
+ml_model_templates_compiler_tests.py shape) + full end-to-end runs of
+the generated training and predictive pipelines on driver testdata."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from crmint_spark.catalog import Catalog, load  # noqa: E402
+from crmint_spark.ml.compiler import (  # noqa: E402
+    Compiler,
+    MlModelConfig,
+    Timespans,
+    Variable,
+)
+from crmint_spark.pipeline import PipelineRunner, Status  # noqa: E402
+from crmint_spark.workers.base import WorkerContext  # noqa: E402
+from crmint_spark.workers.transports import FileRecordingTransport  # noqa: E402
+
+
+@pytest.fixture()
+def config():
+    return MlModelConfig(
+        name="propensity",
+        model_type="LOGISTIC_REG",
+        unique_id="user_id",
+        variables=[
+            Variable("view", "FEATURE", comparison="EQUAL", value="view"),
+            Variable("click", "FEATURE", comparison="EQUAL", value="click"),
+            Variable("signup", "FEATURE", comparison="EQUAL", value="signup"),
+            Variable("purchase", "LABEL", comparison="EQUAL", value="purchase"),
+        ],
+        timespans=Timespans(training_days=30, predictive_days=1),
+        class_imbalance=0,
+        conversion_rate_segments=5,
+        dataset="p.models",
+    )
+
+
+# -- golden-SQL fragments ---------------------------------------------------
+
+
+def test_training_dataset_sql_fragments(config):
+    sql = Compiler(config).build_dataset_sql("train")
+    assert "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)" in sql
+    assert "AS f_click" in sql
+    assert "MAX(CASE WHEN event_type = 'purchase'" in sql
+    assert "(unique_id * 9973 + 7) % 100 < 90" in sql  # hash split
+    assert "GROUP BY user_id" in sql
+
+
+def test_calibration_split_complement(config):
+    sql = Compiler(config).build_dataset_sql("calibrate")
+    assert "(unique_id * 9973 + 7) % 100 >= 90" in sql
+
+
+def test_rebalancing_union(config):
+    config.class_imbalance = 4
+    sql = Compiler(config).build_dataset_sql("train")
+    assert "UNION ALL" in sql
+    assert "% 4 = 0" in sql
+
+
+def test_conversion_values_sql(config):
+    sql = Compiler(config).conversion_values_sql("__predictions__")
+    assert "NTILE(5) OVER (ORDER BY probability ASC" in sql
+    assert "LAG(mx) OVER (ORDER BY segment)" in sql
+    assert "LEAD(mn) OVER (ORDER BY segment)" in sql
+
+
+def test_output_sql_range_join(config):
+    sql = Compiler(config).output_sql("__predictions__", "__cv__")
+    assert "p.probability >= cv.probability_range_start" in sql
+    assert "p.probability <= cv.probability_range_end" in sql
+    assert "AS normalized_score" in sql
+
+
+def test_pipeline_shapes_and_crons(config):
+    train_p, train_cron = Compiler(config).build_training_pipeline()
+    pred_p, pred_cron = Compiler(config).build_predictive_pipeline()
+    assert train_cron == "0 0 1 1,4,7,10 *"  # quarterly
+    assert pred_cron == "0 0 * * *"  # daily
+    assert list(train_p.jobs) == [
+        "build_training_dataset",
+        "train_model",
+        "build_calibration_dataset",
+        "score_calibration",
+        "conversion_values",
+    ]
+    assert list(pred_p.jobs) == [
+        "build_scoring_dataset",
+        "predict",
+        "output",
+        "upload",
+    ]
+    # regression drops the conversion-value chain (ref: compiler.py:41-47)
+    config.model_type = "LINEAR_REG"
+    config.variables.append(Variable("spend", "FIRST_VALUE", value="purchase"))
+    reg_p, _ = Compiler(config).build_training_pipeline()
+    assert list(reg_p.jobs) == ["build_training_dataset", "train_model"]
+
+
+# -- end-to-end -------------------------------------------------------------
+
+
+def test_training_and_predictive_pipelines_end_to_end(spark, tmp_path, config):
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+    rec = FileRecordingTransport(str(tmp_path / "mp"))
+    ctx.transport = rec
+    # events table registered under its bare name for the dataset SQL
+    load(spark, "/root/testdata/sf0.001", "events").createOrReplaceTempView("events")
+
+    runner = PipelineRunner(ctx)
+    train_p, _ = Compiler(config).build_training_pipeline()
+    runs = runner.run(train_p)
+    assert {r.status for r in runs.values()} == {Status.SUCCEEDED}, {
+        k: (v.status, v.error) for k, v in runs.items()
+    }
+    cv = ctx.catalog.read("p.models.propensity_conversion_values")
+    # sf0.001 has ~15 users; the 10% calibration split may underfill the
+    # 5 segments — NTILE emits only as many non-empty buckets as rows
+    assert 1 <= cv.count() <= 5
+    cols = set(cv.columns)
+    assert {"normalized_probability", "value",
+            "probability_range_start", "probability_range_end"} <= cols
+
+    pred_p, _ = Compiler(config).build_predictive_pipeline()
+    runs = runner.run(pred_p)
+    assert {r.status for r in runs.values()} == {Status.SUCCEEDED}, {
+        k: (v.status, v.error) for k, v in runs.items()
+    }
+    out = ctx.catalog.read("p.models.propensity_output")
+    assert out.count() > 0
+    batches = rec.read_batches()
+    assert sum(len(b) for b in batches) > 0
