@@ -1,0 +1,128 @@
+"""Streaming ingestion of the events table.
+
+Design notes for 100 TB/day ingestion:
+- file/Kafka source -> ``withWatermark`` bounds state; late rows beyond
+  the watermark are dropped deterministically,
+- tumbling-window counts are a streaming shuffle on (window, key) with
+  partial aggregation — the same plan shape as the batch groupBy,
+- session windows use ``F.session_window`` (gap-based), the streaming
+  twin of the batch LAG+cumsum sessionization in queries.q08,
+- sinks go through ``foreachBatch`` so the batch writers (catalog
+  write dispositions, JSON-template sinks) are reused verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events_from_dir(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of event NDJSON drops (a stand-in for the
+    Kafka topic in production)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(input_dir)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows per user — the streaming counterpart of
+    the batch LAG+cumsum sessionization (queries.q08_sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_table(
+    stream_df: DataFrame,
+    catalog,
+    table_id: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+) -> None:
+    """Drain all available input into a catalog table via foreachBatch
+    (reusing the batch write path), then stop. ``availableNow`` gives
+    batch-job semantics over streaming input — the idiomatic backfill.
+
+    Default ``complete`` mode matters for aggregations: in ``append``
+    mode, windows newer than ``max(ts) - watermark`` are still open when
+    the input is exhausted and would never be emitted; complete mode
+    rewrites the full aggregate each batch (truncate-write), so the
+    final table equals the batch-computed result.
+    """
+
+    def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        disposition = "WRITE_TRUNCATE" if output_mode == "complete" else "WRITE_APPEND"
+        if batch_df.isEmpty():
+            return
+        catalog.write(batch_df, table_id, disposition)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,111 @@
+"""Structured Streaming + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from crmint_spark.catalog import Catalog, load  # noqa: E402
+from crmint_spark.operators import multimodal  # noqa: E402
+from crmint_spark.streaming import events as streaming_events  # noqa: E402
+
+
+@pytest.fixture()
+def events_json_dir(spark, tmp_path):
+    """Dump sf0.001 events as NDJSON to act as a streaming source dir."""
+    out = str(tmp_path / "stream_in")
+    df = load(spark, "/root/testdata/sf0.001", "events")
+    # single file -> single micro-batch: watermark drops nothing, so the
+    # streaming totals are comparable to the batch plan. (Multi-file
+    # unordered replay WOULD drop late rows — that's watermark semantics,
+    # exercised implicitly by the session test's wide watermark.)
+    df.coalesce(1).write.json(out)
+    return out
+
+
+def test_streaming_windowed_counts_matches_batch(spark, tmp_path, events_json_dir):
+    from pyspark.sql import functions as F
+
+    stream = streaming_events.stream_events_from_dir(spark, events_json_dir)
+    assert stream.isStreaming
+    windowed = streaming_events.windowed_event_counts(stream, "1 hour", "2 hours")
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    streaming_events.run_to_table(
+        windowed, catalog, "p.d.win", str(tmp_path / "ckpt")
+    )
+    got = catalog.read("p.d.win")
+    batch = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    # streaming (availableNow, watermark drops nothing on ordered replay
+    # of a finite dir) must agree with the batch plan on totals
+    assert got.agg(F.sum("n_events")).first()[0] == batch.agg(
+        F.sum("n_events")
+    ).first()[0]
+    assert got.count() == batch.count()
+
+
+def test_streaming_session_windows(spark, tmp_path, events_json_dir):
+    from pyspark.sql import functions as F
+
+    stream = streaming_events.stream_events_from_dir(spark, events_json_dir)
+    sessions = streaming_events.sessionized_stream(stream, "30 minutes", "4 hours")
+    catalog = Catalog(spark, str(tmp_path / "wh2"))
+    streaming_events.run_to_table(
+        sessions, catalog, "p.d.sess", str(tmp_path / "ckpt2")
+    )
+    got = catalog.read("p.d.sess")
+    assert got.count() > 0
+    # every session spans >= 1 event and has start <= end
+    bad = got.filter(
+        (F.col("n_events") < 1) | (F.col("session_start") > F.col("session_end"))
+    ).count()
+    assert bad == 0
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, "image", b"\x89PNGfakebytes1", "image/png", 640, 480, None),
+        (2, "image", b"\x89PNGfakebytes2", "image/png", 800, 600, None),
+        (3, "audio", b"RIFFfakewav", "audio/wav", None, None, 4500),
+        (4, "video", b"\x00\x00ftypfakemp4", "video/mp4", 1920, 1080, 3200),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_multimodal_feature_extraction_stub(media_df):
+    feats = multimodal.extract_features(media_df).collect()
+    assert len(feats) == 4
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[1].n_bytes == len(b"\x89PNGfakebytes1")
+    assert len(by_id[1].feature) == multimodal.FEATURE_DIM
+    assert all(0.0 <= x <= 1.0 for x in by_id[1].feature)
+    # deterministic: same bytes -> same feature
+    feats2 = multimodal.extract_features(media_df).collect()
+    assert {r.media_id: r.feature for r in feats2} == {
+        r.media_id: r.feature for r in feats
+    }
+
+
+def test_multimodal_real_decode_raises(media_df):
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_features(media_df, decode_stub=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_multimodal_resize_and_frames(media_df):
+    resized = multimodal.resize_images(media_df, 224, 224).collect()
+    assert len(resized) == 2
+    assert all(r.width == 224 and r.height == 224 for r in resized)
+    frames = multimodal.sample_frames(media_df, every_ms=1000).collect()
+    # 3200ms video sampled at 1000ms -> frames at 0,1000,2000,3000
+    assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
