@@ -110,6 +110,9 @@ class Catalog:
             raise ValueError(f"table {table_id} does not exist (CREATE_NEVER)")
         mode = {"WRITE_TRUNCATE": "overwrite", "WRITE_APPEND": "append"}[disposition]
         df.write.mode(mode).parquet(self.path_for(table_id))
+        # downstream SQL jobs in the same pipeline address the table by
+        # name immediately (BigQuery-catalog semantics)
+        self.register(table_id)
 
     def drop(self, table_id: str) -> None:
         import shutil

@@ -1,0 +1,329 @@
+"""Extended parity queries: GA4-nested params, dialect/script execution,
+latest-partition discovery, window-join composition — plus rows-only
+entries that drive the pipeline runner, ML, streaming, and multimodal
+paths end-to-end so the correctness harness exercises the full engine,
+not just the SQL surface.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import Catalog, load, register_testdata
+
+
+# ---------------------------------------------------------------------------
+# GA4-style nested event_params (ref: model_bqml.sql:163-173, 220-253)
+
+
+def q19_nested_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical GA4 shape: ``event_params ARRAY<STRUCT<key,
+    value STRUCT<int_value,...>>>`` built from the events ``props`` JSON,
+    then the correlated-array aggregate ``IFNULL(SUM((SELECT value.int_value
+    FROM UNNEST(params) WHERE key = 'k')), 0)`` as higher-order functions —
+    per-row, no explode, no shuffle."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    nested = ev.withColumn(
+        "event_params",
+        F.array(
+            F.struct(
+                F.lit("k").alias("key"),
+                F.struct(k.alias("int_value")).alias("value"),
+            )
+        ),
+    )
+    per_row = F.coalesce(
+        F.aggregate(
+            F.filter("event_params", lambda p: p["key"] == "k"),
+            F.lit(0).cast("bigint"),
+            lambda acc, p: acc + F.coalesce(p["value"]["int_value"], F.lit(0)),
+        ),
+        F.lit(0),
+    )
+    return (
+        nested.withColumn("k_sum", per_row)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k_sum").cast("bigint").alias("total_k"),
+            F.max("k_sum").alias("max_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+Q19_SQL = """
+WITH nested AS (
+  SELECT event_type,
+         [{'key': 'k',
+           'value': {'int_value': CAST(json_extract(props, '$.k') AS BIGINT)}}]
+           AS event_params
+  FROM events
+), per_row AS (
+  SELECT event_type,
+         COALESCE(list_sum(list_transform(
+             list_filter(event_params, p -> p.key = 'k'),
+             p -> COALESCE(p.value.int_value, 0))), 0) AS k_sum
+  FROM nested
+)
+SELECT event_type,
+       CAST(SUM(k_sum) AS BIGINT) AS total_k,
+       CAST(MAX(k_sum) AS BIGINT) AS max_k,
+       COUNT(*) AS n_events
+FROM per_row GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Script executor end-to-end: DECLARE/SET + SELECT * EXCEPT + dialect
+
+
+def q20_script_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs a BigQuery-flavored script through SparkSQLExecutor: DECLARE/
+    SET scalar variables (ref: output.sql:2-7) and ``SELECT * EXCEPT``
+    (ref: model_bqml.sql:111, 263-265)."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    DECLARE cutoff INT64 DEFAULT (SELECT MIN(o_orderkey) + 500 FROM orders);
+    SELECT * EXCEPT (o_orderdate, o_orderpriority)
+    FROM orders WHERE o_orderkey <= cutoff
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q20_SQL = """
+SELECT * EXCLUDE (o_orderdate, o_orderpriority)
+FROM orders
+WHERE o_orderkey <= (SELECT MIN(o_orderkey) + 500 FROM orders)
+"""
+
+
+def q21_latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Latest shard' discovery: the reference finds the newest events_*
+    shard via MAX(table_id) over __TABLES_SUMMARY__ (ref: output.sql:2-19);
+    on a date-partitioned table that's a scalar-subquery partition filter,
+    which Catalyst turns into partition pruning on real partitioned
+    layouts."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        WHERE to_date(ts) = (SELECT MAX(to_date(ts)) FROM events)
+        GROUP BY event_type
+        """
+    )
+
+
+Q21_SQL = """
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)
+GROUP BY event_type
+"""
+
+
+def q22_join_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join with the ``t.row_num = 1`` extra condition
+    (ref: model_bqml.sql:187-196): per-user first event joined to
+    per-user lifetime aggregates."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    first = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_event_type"))
+    )
+    totals = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return first.join(totals, "user_id").select(
+        "user_id", "first_event_type", "n_events", "total_value"
+    )
+
+
+Q22_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+), firsts AS (
+  SELECT user_id, event_type AS first_event_type FROM ranked WHERE rn = 1
+), totals AS (
+  SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+  FROM events GROUP BY user_id
+)
+SELECT f.user_id, f.first_event_type, t.n_events, t.total_value
+FROM firsts f JOIN totals t ON f.user_id = t.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Engine-path entries (pipeline runner / ML / streaming / multimodal).
+# pipeline_sql_e2e has a SQL oracle; the others are rows-only checks.
+
+
+def pipeline_sql_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-job DAG through the PipelineRunner: stage a filtered table,
+    then aggregate it — the Phase-0 acceptance slice (SURVEY §7):
+    templated params -> SQL -> written table -> result."""
+    from .pipeline import JobSpec, Pipeline, PipelineRunner, StartCondition, Status
+    from .workers.base import WorkerContext
+
+    register_testdata(spark, sf_dir)
+    wh = tempfile.mkdtemp(prefix="crmint_wh_")
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, wh))
+    pipeline = Pipeline(
+        "e2e",
+        [
+            JobSpec(
+                name="stage",
+                worker_class="SparkQueryLauncher",
+                params=[
+                    {
+                        "name": "query",
+                        "type": "sql",
+                        "value": (
+                            "SELECT c_custkey, c_mktsegment, c_acctbal "
+                            "FROM customer WHERE c_acctbal > {{ min_bal }}"
+                        ),
+                    },
+                    {"name": "destination_table", "type": "string", "value": "p.d.staged"},
+                    {"name": "overwrite", "type": "boolean", "value": "1"},
+                ],
+            ),
+            JobSpec(
+                name="aggregate",
+                worker_class="SparkQueryLauncher",
+                params=[
+                    {
+                        "name": "query",
+                        "type": "sql",
+                        "value": (
+                            "SELECT c_mktsegment, COUNT(*) AS n, "
+                            "ROUND(SUM(c_acctbal), 2) AS sum_bal FROM p__d__staged "
+                            "GROUP BY c_mktsegment"
+                        ),
+                    },
+                    {"name": "destination_table", "type": "string", "value": "p.d.agg"},
+                    {"name": "overwrite", "type": "boolean", "value": "1"},
+                ],
+            ),
+        ],
+        params=[{"name": "min_bal", "value": "0"}],
+    )
+    # DAG edge: job 2 reads the table job 1 wrote (catalog.write
+    # registers the view, so the dependent job resolves it by name)
+    pipeline.jobs["aggregate"].start_conditions.append(StartCondition("stage"))
+    runs = PipelineRunner(ctx).run(pipeline)
+    for name, run in runs.items():
+        assert run.status == Status.SUCCEEDED, f"{name}: {run.error}"
+    return ctx.catalog.read("p.d.agg")
+
+
+PIPELINE_E2E_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS sum_bal
+FROM customer WHERE c_acctbal > 0
+GROUP BY c_mktsegment
+"""
+
+
+def ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML train/predict over the embeddings table (rows-only:
+    model outputs aren't SQL-expressible). Returns per-label prediction
+    counts, schema-stable."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings")
+    data = emb.withColumn("features", array_to_vector("embedding")).withColumn(
+        "is_zero", (F.col("label") == 0).cast("double")
+    )
+    model = LogisticRegression(
+        featuresCol="features", labelCol="is_zero", maxIter=20, regParam=0.01
+    ).fit(data)
+    scored = model.transform(data)
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("prediction").cast("bigint")).alias("predicted_zero"),
+        )
+        .orderBy("label")
+    )
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming session windows drained with availableNow
+    (rows-only: streaming state isn't SQL-expressible)."""
+    from .streaming.events import (
+        sessionized_stream,
+        stream_events_from_dir,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="crmint_stream_")
+    in_dir, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ckpt")
+    load(spark, sf_dir, "events").coalesce(1).write.json(in_dir)
+    stream = stream_events_from_dir(spark, in_dir)
+    sessions = sessionized_stream(stream, "30 minutes", "10 days")
+    wh = Catalog(spark, os.path.join(tmp, "wh"))
+    from .streaming.events import run_to_table
+
+    run_to_table(sessions, wh, "p.d.sessions", ckpt)
+    return (
+        wh.read("p.d.sessions")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through mapInPandas (rows-only:
+    the stub kernel is engine-internal). Media payloads are derived
+    deterministically from the documents table."""
+    from .operators.multimodal import extract_features
+
+    docs = load(spark, sf_dir, "documents").limit(64)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime_type"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        (F.col("n_chars") * 10).alias("duration_ms"),
+    )
+    feats = extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+    )
+
+
+EXTENDED_QUERIES: dict[str, tuple] = {
+    "q19_nested_params": (q19_nested_params, Q19_SQL),
+    "q20_script_except": (q20_script_except, Q20_SQL),
+    "q21_latest_partition": (q21_latest_partition, Q21_SQL),
+    "q22_join_first_event": (q22_join_first_event, Q22_SQL),
+    "pipeline_sql_e2e": (pipeline_sql_e2e, PIPELINE_E2E_SQL),
+    "ml_train_predict": (ml_train_predict, None),
+    "streaming_sessionize": (streaming_sessionize, None),
+    "multimodal_features": (multimodal_features, None),
+}

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import dedup, similarity, text
 from .queries import CORE_QUERIES
+from .queries_extended import EXTENDED_QUERIES as _EXT
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -40,6 +41,11 @@ EXTENSION_QUERIES: dict[str, tuple] = {
 }
 
 for _name, (_fn, _sql) in EXTENSION_QUERIES.items():
+    QUERIES[_name] = _fn
+    if _sql is not None:
+        ORACLES[_name] = _sql
+
+for _name, (_fn, _sql) in _EXT.items():
     QUERIES[_name] = _fn
     if _sql is not None:
         ORACLES[_name] = _sql
