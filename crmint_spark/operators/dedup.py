@@ -79,8 +79,16 @@ HAVING COUNT(*) > 1
 
 
 def shingle_docs(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    """(doc_id, shingle_hash) distinct pairs — the shared inverted index."""
-    docs = load(spark, sf_dir, "documents")
+    """(doc_id, shingle_hash) distinct pairs — the shared inverted index.
+
+    The testdata parquet is one row group (one scan task); the md5-per-
+    shingle work is CPU-bound, so fan the docs out across cores before
+    exploding. On a real multi-file table the scan parallelizes itself
+    and this repartition is a cheap no-op-sized shuffle of doc rows.
+    """
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return (
         docs.select(
             "doc_id", F.explode(_shingles(F.col("text"), n)).alias("shingle")
@@ -115,19 +123,41 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (doc_a, doc_b, est_jaccard) for est >= 0.5.
     """
-    sig = minhash_signatures(spark, sf_dir).cache()
-    bands = None
-    for band in range(N_BANDS):
-        cols = [f"mh{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        b = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.concat_ws("_", *cols).alias("band_key"),
-        )
-        bands = b if bands is None else bands.unionAll(b)
+    # Bands carry the full signature (8 longs), so the estimated Jaccard
+    # is computed inside the band join itself — one shuffle join on
+    # (band, band_key) instead of band-join + two signature re-joins.
+    sig = minhash_signatures(spark, sf_dir)
+    n_mh = len(MINHASH_SEEDS)
+    mh_cols = [f"mh{i}" for i in range(n_mh)]
+    # one pass: explode the 4 band keys per signature row (a union of 4
+    # selects would recompute the signature aggregation 4 times)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        f"mh{band * ROWS_PER_BAND + r}"
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("band_key"),
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", *mh_cols, F.explode(band_structs).alias("bk")
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"), *mh_cols
+    )
     left = bands.alias("l")
     right = bands.alias("r")
-    cand = (
+    matches = sum(
+        F.when(F.col(f"l.mh{i}") == F.col(f"r.mh{i}"), 1).otherwise(0)
+        for i in range(n_mh)
+    )
+    return (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -135,27 +165,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    sl = sig.alias("sa")
-    sr = sig.alias("sb")
-    matches = sum(
-        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
-        for i in range(len(MINHASH_SEEDS))
-    )
-    return (
-        cand.join(sl, cand.doc_a == F.col("sa.doc_id"))
-        .join(sr, cand.doc_b == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(matches / F.lit(float(len(MINHASH_SEEDS))), 4).alias(
-                "est_jaccard"
-            ),
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.round(matches / F.lit(float(n_mh)), 4).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= 0.5)
+        .distinct()
     )
 
 
@@ -278,7 +293,9 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode + one groupBy(doc) with map-side combine; the bit loop is
     column arithmetic, not a UDF.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     words = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .select("doc_id", hash_str(F.col("w")).alias("wh"))

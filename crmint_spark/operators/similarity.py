@@ -26,7 +26,9 @@ from ..functions import cosine_similarity
 
 QUERY_VEC_ID = 0
 TOP_K = 10
-LSH_BITS = 8
+# 2^LSH_BITS buckets; sized so a bucket holds ~corpus/16 — scale this up
+# with corpus size (the bucket count is the IVF nlist analogue)
+LSH_BITS = 4
 
 
 def _query_vec(emb: DataFrame):
