@@ -12,6 +12,7 @@ from .audience import AudiencesUpdater, GA4AudiencesUpdater, GAAudiencesUpdater
 from .base import Worker, WorkerException
 from .commenter import Commenter
 from .file_io import BQToStorageExporter, FileExporter, FileImporter, StorageToBQImporter
+from .ga_config import GA4ConversionEventCreator, GA4CustomDimensionCreator, GADataImporter
 from .ml_workers import ConversionValuesWorker, MLPredictor, MLTrainer, OutputWorker
 from .sql_executor import (
     BQMLTrainer,
@@ -53,8 +54,17 @@ WORKERS: dict[str, type[Worker]] = {
         BQToAdsOfflineClickConversion,
         GAAudiencesUpdater,
         GA4AudiencesUpdater,
+        GA4ConversionEventCreator,
+        GA4CustomDimensionCreator,
+        GADataImporter,
     ]
 }
+
+# The reference's Vertex AI workers map onto the Spark ML workers: fit is
+# synchronous, so trainer/waiter/batch-predictor collapse (SURVEY §2.1).
+WORKERS["VertexAITabularTrainer"] = MLTrainer
+WORKERS["VertexAIBatchPredictorToBQ"] = MLPredictor
+WORKERS["BQToVertexAIDataset"] = SparkQueryLauncher
 
 
 def find_worker(name: str) -> type[Worker]:

@@ -37,6 +37,48 @@ class FileRecordingTransport:
         return out
 
 
+class InMemoryGAConfigTransport:
+    """Driver-side GA4 admin-API stub: conversion events, custom
+    dimensions, data-import uploads with retention listing."""
+
+    def __init__(self):
+        self.conversion_events: list[tuple[str, str]] = []
+        self.custom_dimensions: list[tuple[str, str, str, str]] = []
+        self.chunks: list[bytes] = []
+        self.finished = False
+        self.uploads: list[dict] = []
+        self.deleted: list[str] = []
+
+    def create_conversion_event(self, property_id: str, event_name: str) -> None:
+        from ..workers.ga_config import AlreadyExists
+
+        if (property_id, event_name) in self.conversion_events:
+            raise AlreadyExists(event_name)
+        self.conversion_events.append((property_id, event_name))
+
+    def create_custom_dimension(
+        self, property_id: str, parameter_name: str, display_name: str, scope: str
+    ) -> None:
+        from ..workers.ga_config import AlreadyExists
+
+        key = (property_id, parameter_name, display_name, scope)
+        if key in self.custom_dimensions:
+            raise AlreadyExists(parameter_name)
+        self.custom_dimensions.append(key)
+
+    def upload_chunk(self, property_id: str, dataset_id: str, chunk: bytes) -> None:
+        self.chunks.append(chunk)
+
+    def finish_upload(self, property_id: str, dataset_id: str) -> None:
+        self.finished = True
+
+    def list_uploads(self, property_id: str, dataset_id: str) -> list[dict]:
+        return list(self.uploads)
+
+    def delete_upload(self, property_id: str, dataset_id: str, upload_id: str) -> None:
+        self.deleted.append(upload_id)
+
+
 class InMemoryAudienceTransport:
     """Driver-side audience API stub: list/insert/update with state."""
 

@@ -147,6 +147,7 @@ def test_file_exporter_csv_gzip(ctx, tmp_path):
 from crmint_spark.workers.transports import (  # noqa: E402
     FileRecordingTransport,
     InMemoryAudienceTransport,
+    InMemoryGAConfigTransport,
 )
 
 
@@ -273,6 +274,77 @@ def test_ml_train_predict_roundtrip(ctx):
         .first()[0]
     )
     assert acc > 0.8
+
+
+# -- GA config workers ------------------------------------------------------
+
+
+def test_conversion_event_creator_idempotent(ctx):
+    t = InMemoryGAConfigTransport()
+    ctx.transport = t
+    w = find_worker("GA4ConversionEventCreator")
+    params = {"property_id": "p1", "event_name": "purchase"}
+    w(params, ctx).execute()
+    worker2 = w(params, ctx)
+    worker2.execute()  # 409 path must not raise (ref: ga_utils.py:520-528)
+    assert t.conversion_events == [("p1", "purchase")]
+    assert "already exists" in worker2.log[0]
+
+
+def test_custom_dimension_validation(ctx):
+    from crmint_spark.workers.base import WorkerException
+
+    t = InMemoryGAConfigTransport()
+    ctx.transport = t
+    w = find_worker("GA4CustomDimensionCreator")
+    w(
+        {"property_id": "p1", "parameter_name": "ltv_bucket", "scope": "EVENT"},
+        ctx,
+    ).execute()
+    assert t.custom_dimensions[0][1] == "ltv_bucket"
+    with pytest.raises(WorkerException):
+        w(
+            {"property_id": "p1", "parameter_name": "9bad name", "scope": "EVENT"},
+            ctx,
+        ).execute()
+    with pytest.raises(WorkerException):
+        w(
+            {"property_id": "p1", "parameter_name": "ok", "scope": "BOGUS"},
+            ctx,
+        ).execute()
+
+
+def test_ga_data_importer_chunks_and_retention(ctx, tmp_path):
+    _seed_table(
+        ctx, "p.d.gaimp", [(i, f"u{i}") for i in range(100)], "id long, u string"
+    )
+    t = InMemoryGAConfigTransport()
+    t.uploads = [
+        {"id": "old1", "uploadTime": "2024-01-01"},
+        {"id": "old2", "uploadTime": "2024-01-02"},
+        {"id": "new1", "uploadTime": "2024-02-01"},
+    ]
+    ctx.transport = t
+    find_worker("GADataImporter")(
+        {
+            "source_table": "p.d.gaimp",
+            "property_id": "p1",
+            "dataset_id": "ds1",
+            "max_uploads": 2,
+            "staging_dir": str(tmp_path / "staging"),
+        },
+        ctx,
+    ).execute()
+    assert t.finished
+    assert b"id,u" in t.chunks[0] or b"u,id" in t.chunks[0]  # header present
+    assert t.deleted == ["old1"]  # keep newest 2
+
+
+def test_vertexai_aliases_resolve():
+    from crmint_spark.workers import WORKERS
+
+    assert WORKERS["VertexAITabularTrainer"].__name__ == "MLTrainer"
+    assert WORKERS["VertexAIBatchPredictorToBQ"].__name__ == "MLPredictor"
 
 
 # -- storage cleaner --------------------------------------------------------
