@@ -1,0 +1,86 @@
+"""Physical-layout optimization utilities for the 100 TB path.
+
+The reference delegates physical layout entirely to BigQuery (SURVEY §4).
+On Spark the engine owns it:
+
+- ``bucket_table``     — persist a table hash-bucketed by its join key.
+  Both sides of the canonical orders⋈lineitem join bucketed by orderkey
+  makes the join shuffle-free (SortMergeJoin over pre-clustered buckets,
+  no Exchange). At 100 TB the orderkey shuffle IS the dominant cost of
+  every fact-fact join; bucketing amortizes it once at write time.
+- ``colocated_join``   — join two bucketed tables and verify the plan has
+  no shuffle above the scans.
+- ``partition_by_date``— write a table date-partitioned so the
+  reference's ``_TABLE_SUFFIX`` range predicates become partition
+  pruning (SURVEY §2.2 wildcard-scan mapping).
+- ``explain_has_exchange`` — plan inspector used by tests/benchmarks to
+  enforce "no accidental shuffles" as a regression check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bucket_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist ``df`` as a managed table hash-bucketed on ``bucket_col``.
+
+    ``n_buckets`` should match (a multiple of) the cluster's parallelism;
+    joins between tables with the same bucketing need no exchange.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # a stale location from a previous session blocks managed-table
+    # creation even after DROP; clear it explicitly
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    stale = f"{wh}/{table_name.lower()}"
+    shutil.rmtree(stale, ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def colocated_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed tables on the bucket column."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def partition_by_date(
+    df: DataFrame, path: str, ts_col: str, col_name: str = "dt"
+) -> None:
+    """Write date-partitioned parquet: the engine's replacement for the
+    reference's date-sharded ``events_*`` wildcard tables
+    (ref: model_bqml.sql:91-94 — the ``_TABLE_SUFFIX BETWEEN`` range
+    becomes a pruned partition filter)."""
+    (
+        df.withColumn(col_name, F.to_date(F.col(ts_col)))
+        .write.mode("overwrite")
+        .partitionBy(col_name)
+        .parquet(path)
+    )
+
+
+def explain_has_exchange(df: DataFrame, above_operator: str | None = None) -> bool:
+    """True if the executed plan string contains a shuffle Exchange
+    (broadcast exchanges don't count)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            return True
+    return False
