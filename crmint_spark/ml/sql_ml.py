@@ -1,0 +1,212 @@
+"""BQML statement interception: ``CREATE MODEL`` / ``ML.PREDICT`` /
+``ML.EVALUATE`` inside SQL scripts, routed to Spark ML.
+
+The reference embeds these in BQScriptExecutor scripts
+(ref: backend/controller/ml_model/templates/model_bqml.sql:2-16 CREATE
+OR REPLACE MODEL ... OPTIONS(...) AS <query>; :26-29 ML.PREDICT;
+docs/pipelines/bqml/train_evaluate_model.json ML.EVALUATE). Spark SQL
+has no model DDL, so the script executor intercepts these statements:
+
+- ``CREATE [OR REPLACE] MODEL `name` OPTIONS(MODEL_TYPE='...',
+  INPUT_LABEL_COLS=['label'], ...) AS <query>`` — run the query, fit the
+  mapped pyspark.ml estimator on it (features = every non-label column,
+  string columns indexed), save under the model registry dir.
+- ``SELECT ... FROM ML.PREDICT(MODEL `name`, (<query>))`` — run the
+  inner query, ``model.transform``, expose positive-class
+  ``probability`` + ``predicted_label`` columns, register the result as
+  a temp view substituted into the outer query.
+- ``SELECT * FROM ML.EVALUATE(MODEL `name`, (<query>))`` — evaluation
+  metrics row (AUC/accuracy or RMSE/R2).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from dataclasses import dataclass
+
+from pyspark.ml import PipelineModel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .estimators import build_pipeline, is_classifier, predict_with_probability
+
+_CREATE_MODEL_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MODEL\s+`?([\w.\-]+)`?\s*"
+    r"OPTIONS\s*\((.*?)\)\s*AS\s*(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ML_PREDICT_RE = re.compile(
+    r"ML\.PREDICT\s*\(\s*MODEL\s+`?([\w.\-]+)`?\s*,\s*\((.+?)\)\s*\)",
+    re.IGNORECASE | re.DOTALL,
+)
+_ML_EVALUATE_RE = re.compile(
+    r"ML\.EVALUATE\s*\(\s*MODEL\s+`?([\w.\-]+)`?\s*,\s*\((.+?)\)\s*\)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+@dataclass
+class ModelRegistry:
+    root: str
+
+    def path(self, name: str) -> str:
+        safe = re.sub(r"[^\w\-]", "__", name)
+        return os.path.join(self.root, "_models", safe)
+
+    def meta_path(self, name: str) -> str:
+        return self.path(name) + ".meta.json"
+
+    def save_meta(self, name: str, meta: dict) -> None:
+        import json
+
+        os.makedirs(os.path.dirname(self.meta_path(name)), exist_ok=True)
+        with open(self.meta_path(name), "w") as f:
+            json.dump(meta, f)
+
+    def load_meta(self, name: str) -> dict:
+        import json
+
+        with open(self.meta_path(name)) as f:
+            return json.load(f)
+
+
+def _parse_options(opts: str) -> dict:
+    """OPTIONS(...) k=v parser: strings, numbers, ['list','items']."""
+    out: dict = {}
+    for m in re.finditer(
+        r"(\w+)\s*=\s*(\[[^\]]*\]|'[^']*'|\"[^\"]*\"|[\w.]+)", opts
+    ):
+        key, raw = m.group(1).upper(), m.group(2).strip()
+        if raw.startswith("["):
+            out[key] = [
+                v.strip().strip("'\"") for v in raw[1:-1].split(",") if v.strip()
+            ]
+        elif raw[0] in "'\"":
+            out[key] = raw.strip("'\"")
+        else:
+            try:
+                out[key] = int(raw)
+            except ValueError:
+                try:
+                    out[key] = float(raw)
+                except ValueError:
+                    out[key] = raw
+        # keep original case variant too for hyperparam passthrough
+    return out
+
+
+def try_create_model(
+    spark: SparkSession, stmt: str, registry: ModelRegistry
+) -> bool:
+    """If stmt is CREATE MODEL, execute it and return True."""
+    m = _CREATE_MODEL_RE.match(stmt)
+    if not m:
+        return False
+    name, opts_raw, query = m.group(1), m.group(2), m.group(3).strip()
+    if query.startswith("(") and query.endswith(")"):
+        query = query[1:-1]
+    opts = _parse_options(opts_raw)
+    model_type = str(opts.pop("MODEL_TYPE", "LOGISTIC_REG")).upper()
+    label_cols = opts.pop("INPUT_LABEL_COLS", ["label"])
+    label = label_cols[0] if isinstance(label_cols, list) else str(label_cols)
+    df = spark.sql(query)
+    feature_cols = [c for c, t in df.dtypes if c != label and t not in ("string",)]
+    hyper = {
+        k: v
+        for k, v in opts.items()
+        if k in ("MAX_ITERATIONS", "LEARN_RATE", "L2_REG", "MAX_TREE_DEPTH", "NUM_PARALLEL_TREE")
+    }
+    pipeline = build_pipeline(model_type, feature_cols, label, hyper)
+    model = pipeline.fit(df)
+    dest = registry.path(name)
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    model.write().overwrite().save(dest)
+    registry.save_meta(
+        name,
+        {"model_type": model_type, "label": label, "features": feature_cols},
+    )
+    return True
+
+
+def _load(registry: ModelRegistry, name: str) -> tuple[PipelineModel, dict]:
+    return PipelineModel.load(registry.path(name)), registry.load_meta(name)
+
+
+def rewrite_ml_predict(
+    spark: SparkSession, stmt: str, registry: ModelRegistry
+) -> str:
+    """Replace every ML.PREDICT(MODEL m, (q)) with a temp view of the
+    scored result."""
+    counter = [0]
+
+    def repl(m: re.Match) -> str:
+        name, inner = m.group(1), m.group(2)
+        model, meta = _load(registry, name)
+        df = spark.sql(inner)
+        if is_classifier(meta["model_type"]):
+            scored = predict_with_probability(model, df).withColumnRenamed(
+                "prediction", "predicted_label"
+            )
+        else:
+            scored = model.transform(df).withColumnRenamed(
+                "prediction", "predicted_value"
+            )
+        drop = [f.name for f in scored.schema.fields if f.dataType.typeName() == "vector"]
+        scored = scored.drop(*drop)
+        counter[0] += 1
+        view = f"__ml_predict_{counter[0]}"
+        scored.createOrReplaceTempView(view)
+        return view
+
+    return _ML_PREDICT_RE.sub(repl, stmt)
+
+
+def rewrite_ml_evaluate(
+    spark: SparkSession, stmt: str, registry: ModelRegistry
+) -> str:
+    """Replace ML.EVALUATE(MODEL m, (q)) with a 1-row metrics view."""
+    counter = [0]
+
+    def repl(m: re.Match) -> str:
+        name, inner = m.group(1), m.group(2)
+        model, meta = _load(registry, name)
+        df = spark.sql(inner)
+        label = meta["label"]
+        if is_classifier(meta["model_type"]):
+            from pyspark.ml.evaluation import (
+                BinaryClassificationEvaluator,
+                MulticlassClassificationEvaluator,
+            )
+
+            scored = model.transform(df)
+            auc = BinaryClassificationEvaluator(
+                labelCol=label, rawPredictionCol="rawPrediction"
+            ).evaluate(scored)
+            acc = MulticlassClassificationEvaluator(
+                labelCol=label, predictionCol="prediction", metricName="accuracy"
+            ).evaluate(scored)
+            metrics = spark.createDataFrame(
+                [(float(auc), float(acc))], "roc_auc double, accuracy double"
+            )
+        else:
+            from pyspark.ml.evaluation import RegressionEvaluator
+
+            scored = model.transform(df)
+            rmse = RegressionEvaluator(
+                labelCol=label, predictionCol="prediction", metricName="rmse"
+            ).evaluate(scored)
+            r2 = RegressionEvaluator(
+                labelCol=label, predictionCol="prediction", metricName="r2"
+            ).evaluate(scored)
+            metrics = spark.createDataFrame(
+                [(float(rmse), float(r2))], "rmse double, r2 double"
+            )
+        counter[0] += 1
+        view = f"__ml_evaluate_{counter[0]}"
+        metrics.createOrReplaceTempView(view)
+        return view
+
+    return _ML_EVALUATE_RE.sub(repl, stmt)

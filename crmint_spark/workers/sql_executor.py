@@ -22,15 +22,29 @@ from .base import Worker, WorkerException
 
 class SparkSQLExecutor(Worker):
     """Runs a Standard-SQL script through spark.sql statement by
-    statement."""
+    statement. BQML statements (CREATE MODEL / ML.PREDICT / ML.EVALUATE)
+    are intercepted and routed to Spark ML (SURVEY §4 extension #3)."""
 
     PARAMS = [
         ("script", "sql", True, "", "SQL script"),
         ("dry_run", "boolean", True, False, "Dry run"),
     ]
 
+    def _model_registry(self):
+        from ..ml.sql_ml import ModelRegistry
+
+        root = self._ctx.catalog.root if self._ctx.catalog else "/tmp/crmint_models"
+        return ModelRegistry(root)
+
     def _run_script(self) -> DataFrame | None:
+        from ..ml.sql_ml import (
+            rewrite_ml_evaluate,
+            rewrite_ml_predict,
+            try_create_model,
+        )
+
         spark = self._ctx.spark
+        registry = self._model_registry()
         sctx = ScriptContext()
         last: DataFrame | None = None
         for raw_stmt in split_script(self._params["script"]):
@@ -51,6 +65,12 @@ class SparkSQLExecutor(Worker):
                 sctx.variables[name] = value
                 continue
             stmt = transpile_statement(sctx.substitute(raw_stmt))
+            if not self._params["dry_run"]:
+                if try_create_model(spark, stmt, registry):
+                    self.log_info("CREATE MODEL handled by Spark ML")
+                    continue
+                stmt = rewrite_ml_predict(spark, stmt, registry)
+                stmt = rewrite_ml_evaluate(spark, stmt, registry)
             if self._params["dry_run"]:
                 # plan only — resolves names/types, no job runs
                 spark.sql(stmt).explain(mode="cost")

@@ -1,0 +1,104 @@
+"""BQML-in-SQL interception tests: the model_bqml.sql statement shapes
+running end-to-end through SparkSQLExecutor."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from crmint_spark.catalog import Catalog  # noqa: E402
+from crmint_spark.workers import find_worker  # noqa: E402
+from crmint_spark.workers.base import WorkerContext  # noqa: E402
+
+
+@pytest.fixture()
+def ctx(spark, tmp_path):
+    c = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+    import random
+
+    random.seed(11)
+    rows = []
+    for i in range(300):
+        x1, x2 = random.random(), random.random()
+        rows.append((i, float(x1), float(x2), 1 if x1 + x2 > 1 else 0, x1 * 3 + x2))
+    df = spark.createDataFrame(
+        rows, "uid long, x1 double, x2 double, label int, target double"
+    )
+    df.createOrReplaceTempView("training_data")
+    return c
+
+
+def _run(ctx, script):
+    w = find_worker("BQScriptExecutor")({"script": script, "dry_run": False}, ctx)
+    w.execute()
+    return w
+
+
+def test_create_model_and_predict(ctx):
+    w = _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.clf`
+        OPTIONS(MODEL_TYPE='LOGISTIC_REG', INPUT_LABEL_COLS=['label'],
+                MAX_ITERATIONS=25) AS (
+          SELECT x1, x2, label FROM training_data
+        );
+        SELECT uid, probability, predicted_label
+        FROM ML.PREDICT(MODEL `p.d.clf`, (SELECT uid, x1, x2, label FROM training_data))
+        """,
+    )
+    rows = w.result.collect()
+    assert len(rows) == 300
+    assert {r.predicted_label for r in rows} <= {0.0, 1.0}
+    assert all(0.0 <= r.probability <= 1.0 for r in rows)
+    assert "CREATE MODEL handled by Spark ML" in w.log
+
+
+def test_ml_evaluate_classification(ctx):
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.clf2`
+        OPTIONS(MODEL_TYPE='LOGISTIC_REG', INPUT_LABEL_COLS=['label']) AS (
+          SELECT x1, x2, label FROM training_data
+        )
+        """,
+    )
+    w = _run(
+        ctx,
+        "SELECT * FROM ML.EVALUATE(MODEL `p.d.clf2`, "
+        "(SELECT x1, x2, label FROM training_data))",
+    )
+    row = w.result.first()
+    assert row.roc_auc > 0.9
+    assert row.accuracy > 0.8
+
+
+def test_ml_regression_model(ctx):
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.reg`
+        OPTIONS(MODEL_TYPE='LINEAR_REG', INPUT_LABEL_COLS=['target']) AS (
+          SELECT x1, x2, target FROM training_data
+        )
+        """,
+    )
+    w = _run(
+        ctx,
+        "SELECT * FROM ML.EVALUATE(MODEL `p.d.reg`, "
+        "(SELECT x1, x2, target FROM training_data))",
+    )
+    row = w.result.first()
+    assert row.rmse < 0.2
+    assert row.r2 > 0.95
+    w2 = _run(
+        ctx,
+        "SELECT uid, predicted_value FROM ML.PREDICT(MODEL `p.d.reg`, "
+        "(SELECT uid, x1, x2 FROM training_data)) WHERE uid < 10",
+    )
+    assert w2.result.count() == 10
