@@ -53,10 +53,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to a proper micros timestamp here so every consumer sees TimestampType
     (matching DuckDB's micros truncation of the same values).
     """
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    if name == "events":
+        # runtime-settable; required for TIMESTAMP(NANOS) parquet even
+        # under a caller-provided session that didn't set it at build time
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
     return df
