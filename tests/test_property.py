@@ -1,0 +1,151 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels:
+script splitting, schema parsing, cron, templating coercion, deep
+subset — the layers where malformed input must never corrupt SQL."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from crmint_spark import cron, dialect, schema, templating  # noqa: E402
+from crmint_spark.workers.audience import deep_subset  # noqa: E402
+
+# -- dialect.split_script ---------------------------------------------------
+
+sql_fragment = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("L", "N", "Zs"), whitelist_characters="_,.()=<>"
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(st.lists(sql_fragment, min_size=1, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_split_script_roundtrip_statement_count(fragments):
+    script = ";".join(fragments)
+    stmts = dialect.split_script(script)
+    assert len(stmts) == sum(1 for f in fragments if f.strip())
+    for f, s in zip([f for f in fragments if f.strip()], stmts):
+        assert s == f.strip()
+
+
+@given(sql_fragment)
+@settings(max_examples=100, deadline=None)
+def test_split_script_semicolon_in_string_literal_preserved(frag):
+    script = f"SELECT '{frag};x' AS c; SELECT 2"
+    stmts = dialect.split_script(script)
+    assert len(stmts) == 2
+    assert f"'{frag};x'" in stmts[0]
+
+
+@given(sql_fragment)
+@settings(max_examples=100, deadline=None)
+def test_split_script_comments_ignored(frag):
+    script = f"SELECT 1 -- {frag};\n; SELECT 2 /* {frag}; */"
+    stmts = dialect.split_script(script)
+    assert len(stmts) == 2
+
+
+# -- schema parser ----------------------------------------------------------
+
+field_names = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll",)), min_size=1, max_size=8
+)
+scalar_types = st.sampled_from(
+    ["STRING", "INT64", "FLOAT64", "BOOLEAN", "DATE", "TIMESTAMP", "NUMERIC"]
+)
+modes = st.sampled_from(["NULLABLE", "REQUIRED", "REPEATED"])
+
+
+@st.composite
+def schema_items(draw, depth=0):
+    name = draw(field_names)
+    if depth < 2 and draw(st.booleans()):
+        fields = draw(
+            st.lists(schema_items(depth=depth + 1), min_size=1, max_size=3)
+        )
+        return {"name": name, "type": "RECORD", "mode": draw(modes), "fields": fields}
+    return {"name": name, "type": draw(scalar_types), "mode": draw(modes)}
+
+
+@given(st.lists(schema_items(), min_size=1, max_size=5))
+@settings(max_examples=100, deadline=None)
+def test_schema_parser_total_and_mode_semantics(items):
+    st_ = schema.parse_schema(items)
+    assert len(st_.fields) == len(items)
+    for item, field in zip(items, st_.fields):
+        if item["mode"] == "REPEATED":
+            assert field.dataType.typeName() == "array"
+        elif item["mode"] == "REQUIRED":
+            assert not field.nullable
+
+
+# -- cron -------------------------------------------------------------------
+
+
+@given(
+    st.integers(0, 59),
+    st.integers(0, 23),
+    st.integers(1, 28),
+    st.integers(1, 12),
+)
+@settings(max_examples=100, deadline=None)
+def test_cron_pinned_time_matches_itself(minute, hour, dom, month):
+    from datetime import datetime
+
+    expr = f"{minute} {hour} {dom} {month} *"
+    assert cron.cron_matches(expr, datetime(2024, month, dom, hour, minute))
+    # any other minute must not match
+    other = (minute + 1) % 60
+    assert not cron.cron_matches(expr, datetime(2024, month, dom, hour, other))
+
+
+# -- templating coercion ----------------------------------------------------
+
+
+@given(st.integers(-(10**12), 10**12))
+@settings(max_examples=50, deadline=None)
+def test_worker_value_number_roundtrip_int(n):
+    assert templating.worker_value("number", str(n)) == n
+
+
+@given(st.lists(st.text(alphabet="abc123", min_size=1, max_size=5), max_size=5))
+@settings(max_examples=50, deadline=None)
+def test_worker_value_string_list_roundtrip(items):
+    rendered = "\n".join(items)
+    assert templating.worker_value("string_list", rendered) == [
+        i for i in items if i
+    ]
+
+
+# -- deep subset ------------------------------------------------------------
+
+json_values = st.recursive(
+    st.one_of(st.integers(-5, 5), st.text(alphabet="xy", max_size=2), st.booleans()),
+    lambda children: st.one_of(
+        st.lists(children, max_size=3),
+        st.dictionaries(st.text(alphabet="ab", min_size=1, max_size=2), children, max_size=3),
+    ),
+    max_leaves=8,
+)
+
+
+@given(json_values)
+@settings(max_examples=100, deadline=None)
+def test_deep_subset_reflexive(v):
+    assert deep_subset(v, v)
+
+
+@given(st.dictionaries(st.text(alphabet="ab", min_size=1, max_size=2), json_values, max_size=3))
+@settings(max_examples=100, deadline=None)
+def test_deep_subset_superset_holds(d):
+    bigger = dict(d)
+    bigger["__extra__"] = 1
+    assert deep_subset(d, bigger)
