@@ -140,6 +140,39 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CENTROID_DIMS = 8
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (first CENTROID_DIMS dims) via
+    posexplode -> groupBy(label, dim) — the distributed vector-mean that
+    underlies IVF coarse quantizers and k-means steps. The shuffle
+    carries (label, dim, partial sum/count), never whole vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    ).filter(F.col("dim") < CENTROID_DIMS)
+    return exploded.groupBy("label", "dim").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+CENTROID_SQL = f"""
+WITH exploded AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         UNNEST(embedding) AS val
+  FROM embeddings
+)
+SELECT label, dim,
+       ROUND(AVG(CAST(val AS DOUBLE)), 6) AS centroid_val,
+       COUNT(*) AS n_vectors
+FROM exploded WHERE dim < {CENTROID_DIMS}
+GROUP BY label, dim
+"""
+
+
 EMB_NORM_SQL = """
 WITH norms AS (
   SELECT label,

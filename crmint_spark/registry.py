@@ -33,6 +33,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (similarity.ann_cosine_topk, similarity.ANN_COSINE_SQL),
     "ann_lsh_topk": (similarity.ann_lsh_topk, similarity.ANN_LSH_SQL),
     "embedding_norm_stats": (similarity.embedding_norm_stats, similarity.EMB_NORM_SQL),
+    "embedding_centroids": (similarity.embedding_centroids, similarity.CENTROID_SQL),
     # text analysis family
     "text_lang_id": (text.lang_id, text.lang_id_sql()),
     "text_quality": (text.quality_score, text.quality_sql()),
