@@ -180,6 +180,28 @@ def transpile_statement(sql: str) -> str:
     return out
 
 
+_CREATE_OR_REPLACE_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+(`?[\w.\-]+`?)(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def expand_create_or_replace_table(stmt: str) -> list[str]:
+    """``CREATE OR REPLACE TABLE x ... AS ...`` -> [DROP IF EXISTS,
+    CREATE TABLE ...]: Spark's v1 session catalog rejects REPLACE TABLE
+    AS SELECT (a v2-catalog feature), but the reference's generated DDL
+    uses OR REPLACE everywhere (ref: model_bqml.sql:18,31; output.sql:9).
+    """
+    m = _CREATE_OR_REPLACE_TABLE_RE.match(stmt)
+    if not m:
+        return [stmt]
+    name, rest = m.group(1), m.group(2)
+    return [
+        f"DROP TABLE IF EXISTS {name}",
+        f"CREATE TABLE {name}{rest}",
+    ]
+
+
 _DECLARE_RE = re.compile(
     r"^\s*DECLARE\s+(\w+)\s+[\w<>,() ]+?(?:\s+DEFAULT\s+(.+))?$",
     re.IGNORECASE | re.DOTALL,

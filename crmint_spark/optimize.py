@@ -76,6 +76,32 @@ def partition_by_date(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (large, skewed) left side by a
+    deterministic hash of its row, replicate the right side across all
+    salt values, and join on (key, salt).
+
+    AQE's skew-join split handles moderate skew automatically; explicit
+    salting is for the pathological hot key (one key = 30% of rows) where
+    a single partition would still exceed executor memory. Cost: the
+    right side is duplicated ``n_salts`` times — use on dimension-sized
+    right sides only.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    left_s = left.withColumn("__salt", salt)
+    right_s = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = left_s.join(right_s, [on, "__salt"], how)
+    return joined.drop("__salt")
+
+
 def explain_has_exchange(df: DataFrame, above_operator: str | None = None) -> bool:
     """True if the executed plan string contains a shuffle Exchange
     (broadcast exchanges don't count)."""

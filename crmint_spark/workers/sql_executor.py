@@ -16,7 +16,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..dialect import ScriptContext, classify_statement, split_script, transpile_statement
+from ..dialect import (
+    ScriptContext,
+    classify_statement,
+    expand_create_or_replace_table,
+    split_script,
+    transpile_statement,
+)
 from .base import Worker, WorkerException
 
 
@@ -76,7 +82,8 @@ class SparkSQLExecutor(Worker):
                 spark.sql(stmt).explain(mode="cost")
                 self.log_info(f"dry run OK: {stmt[:80]}")
                 continue
-            last = spark.sql(stmt)
+            for sub in expand_create_or_replace_table(stmt):
+                last = spark.sql(sub)
             # DML/DDL statements execute eagerly in spark.sql; a trailing
             # SELECT is left lazy for the caller.
         return last

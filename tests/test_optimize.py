@@ -66,6 +66,36 @@ def test_date_partitioning_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan or "dt#" not in plan
 
 
+def test_salted_join_equivalence(spark):
+    li = load(spark, SF, "lineitem")
+    orders = load(spark, SF, "orders").select("o_orderkey", "o_orderstatus")
+    li2 = li.withColumnRenamed("l_orderkey", "o_orderkey")
+    plain = li2.join(orders, "o_orderkey").groupBy("o_orderstatus").count()
+    salted = (
+        optimize.salted_join(li2, orders, "o_orderkey", n_salts=4)
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    assert {tuple(r) for r in plain.collect()} == {
+        tuple(r) for r in salted.collect()
+    }
+
+
+def test_plan_quality_pushdown_and_pruning(spark):
+    """Regression guard: q01's scan must receive the shipdate filter and
+    read only the referenced columns (no SELECT-star scans)."""
+    from crmint_spark.registry import QUERIES
+
+    df = QUERIES["q01_pricing_summary"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # ReadSchema must exclude unused columns like l_partkey/l_suppkey
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_partkey" not in read_schema
+    assert "l_comment" not in read_schema
+
+
 def test_broadcast_join_no_shuffle_on_big_side(spark):
     li = load(spark, SF, "lineitem")
     part = load(spark, SF, "part")

@@ -87,6 +87,32 @@ def test_query_launcher_dispositions(ctx):
     assert ctx.catalog.read("p.d.out").count() == 4
 
 
+def test_sql_executor_ctas_ddl(ctx):
+    """CREATE OR REPLACE TABLE ... AS (ref: model_bqml.sql:18,31;
+    output.sql:9) through the script executor + catalog metadata scan
+    (the __TABLES_SUMMARY__ equivalent, ref: output.sql:2-7)."""
+    _seed_table(ctx, "p.d.ctas_src", [(1,), (2,), (3,)], "v long")
+    view = ctx.catalog.register("p.d.ctas_src")
+    ctx.spark.sql("DROP TABLE IF EXISTS ctas_out")
+    find_worker("SparkSQLExecutor")(
+        {
+            "script": f"""
+            CREATE OR REPLACE TABLE ctas_out USING parquet AS
+              SELECT v, v * 2 AS v2 FROM {view} WHERE v > 1
+            """,
+            "dry_run": False,
+        },
+        ctx,
+    ).execute()
+    assert ctx.spark.table("ctas_out").count() == 2
+    ctx.spark.sql("DROP TABLE ctas_out")
+    # catalog metadata listing
+    assert ctx.catalog.list_tables("p", "d") == [
+        t for t in ctx.catalog.list_tables("p", "d")
+    ]
+    assert "ctas_src" in ctx.catalog.list_tables("p", "d")
+
+
 # -- file io ----------------------------------------------------------------
 
 
