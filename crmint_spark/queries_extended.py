@@ -169,6 +169,44 @@ FROM firsts f JOIN totals t ON f.user_id = t.user_id
 """
 
 
+def q23_timespan_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timespan arithmetic: the training/predictive/exclusion windows the
+    ML compiler stacks behind an anchor date (ref: controller/ml_model/
+    shared.py:35-64; DATE_SUB ... INTERVAL n DAY shapes at
+    model_bqml.sql:90-94). Anchor fixed for oracle determinism."""
+    ev = load(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-25").cast("date")
+    train_lo = F.date_sub(anchor, 14)
+    excl_lo = F.date_sub(anchor, 2)
+    window = (
+        F.when(F.to_date("ts") < train_lo, "before")
+        .when(F.to_date("ts") < excl_lo, "training")
+        .when(F.to_date("ts") <= anchor, "exclusion")
+        .otherwise("predictive")
+    )
+    return ev.groupBy(window.alias("window")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min(F.to_date("ts")).alias("min_date"),
+        F.max(F.to_date("ts")).alias("max_date"),
+    )
+
+
+Q23_SQL = """
+SELECT CASE
+         WHEN CAST(ts AS DATE) < DATE '2024-01-25' - INTERVAL 14 DAY THEN 'before'
+         WHEN CAST(ts AS DATE) < DATE '2024-01-25' - INTERVAL 2 DAY THEN 'training'
+         WHEN CAST(ts AS DATE) <= DATE '2024-01-25' THEN 'exclusion'
+         ELSE 'predictive'
+       END AS window,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       MIN(CAST(ts AS DATE)) AS min_date,
+       MAX(CAST(ts AS DATE)) AS max_date
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Engine-path entries (pipeline runner / ML / streaming / multimodal).
 # pipeline_sql_e2e has a SQL oracle; the others are rows-only checks.
@@ -322,6 +360,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q20_script_except": (q20_script_except, Q20_SQL),
     "q21_latest_partition": (q21_latest_partition, Q21_SQL),
     "q22_join_first_event": (q22_join_first_event, Q22_SQL),
+    "q23_timespan_window": (q23_timespan_window, Q23_SQL),
     "pipeline_sql_e2e": (pipeline_sql_e2e, PIPELINE_E2E_SQL),
     "ml_train_predict": (ml_train_predict, None),
     "streaming_sessionize": (streaming_sessionize, None),
