@@ -140,6 +140,53 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_DUP_THRESHOLD = 0.99
+
+
+def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share a sign-bit
+    LSH bucket (same partition at scale), verified with exact cosine
+    >= NEAR_DUP_THRESHOLD. The vector analogue of MinHash dedup."""
+    emb = load(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
+    )
+
+
+EMB_DEDUP_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS sim
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, ROUND(sim, 6) AS cos_sim
+FROM pairs WHERE ROUND(sim, 6) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
 CENTROID_DIMS = 8
 
 

@@ -195,3 +195,52 @@ FROM documents
 GROUP BY array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')
 HAVING COUNT(*) > 1
 """
+
+ROLL_BASE = 31
+ROLL_PRIME = 2147483647
+
+
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: Rabin-Karp-style polynomial
+    rolling hash over the word-hash sequence, folded JVM-side with
+    ``F.aggregate`` — one pass per row, no shuffle until the tiny
+    (fingerprint -> count) aggregation. Distinguishes permuted texts that
+    the sorted-token fingerprint (fingerprint_clusters) collapses."""
+    from ..functions import hash_str
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    whs = F.transform(words, lambda w: F.pmod(
+        F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"),
+        F.lit(ROLL_PRIME),
+    ))
+    fp = F.aggregate(
+        whs,
+        F.lit(0).cast("bigint"),
+        lambda acc, wh: F.pmod(acc * ROLL_BASE + wh, F.lit(ROLL_PRIME)),
+    )
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select("canonical_doc_id", "n_docs", "fingerprint")
+    )
+
+
+ROLLING_FP_SQL = f"""
+WITH fp AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ' '),
+               w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % {ROLL_PRIME})),
+           (acc, wh) -> (acc * {ROLL_BASE} + wh) % {ROLL_PRIME}) AS fingerprint
+  FROM documents
+)
+SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_docs, fingerprint
+FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+"""
