@@ -39,10 +39,17 @@ HEADLINE = [
     "q13_hash_split",
     "q17_left_join_agg",
     "q18_running_window",
+    "q19_nested_params",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "text_quality",
+    "text_lang_id",
+    "text_rolling_fingerprint",
+    "embedding_centroids",
 ]
 
 

@@ -283,7 +283,11 @@ JOIN sizes sb ON inter.doc_b = sb.doc_id
 WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.4
 """
 
-SIMHASH_BITS = 16
+# 48 bits: the synthetic corpus's small vocabulary makes narrow
+# signatures collide en masse (16-bit: 1M+ candidate pairs at sf0.1;
+# 32-bit: 800k). 48 bits in 3x16-bit pigeonhole blocks keeps candidate
+# generation selective while all math stays in signed int64 range.
+SIMHASH_BITS = 48
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,20 +328,30 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join at scale; here with 16 bits we join on the shared blocks and
     verify the exact distance with bit_count.
     """
-    sig = simhash_signatures(spark, sf_dir).cache()
-    blocks = None
-    # 3 blocks of ~6 bits: distance<=2 pigeonholes into >=1 equal block
-    bounds = [(0, 6), (6, 6), (12, 4)]
-    for bi, (off, width) in enumerate(bounds):
-        b = sig.select(
-            "doc_id",
-            "simhash",
-            F.lit(bi).alias("blk"),
-            F.shiftright(F.col("simhash"), off)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("blk_val"),
-        )
-        blocks = b if blocks is None else blocks.unionAll(b)
+    sig = simhash_signatures(spark, sf_dir)
+    # 3 blocks of 16 bits: distance<=2 pigeonholes into >=1 equal block.
+    # Single-pass explode (a union of per-block selects would recompute
+    # the signature aggregation per block).
+    bounds = [(0, 16), (16, 16), (32, SIMHASH_BITS - 32)]
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("blk"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("blk_val"),
+            )
+            for bi, (off, width) in enumerate(bounds)
+        ]
+    )
+    blocks = sig.select(
+        "doc_id", "simhash", F.explode(block_structs).alias("bk")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bk.blk").alias("blk"),
+        F.col("bk.blk_val").alias("blk_val"),
+    )
     l, r = blocks.alias("l"), blocks.alias("r")
     cand = (
         l.join(
