@@ -207,6 +207,128 @@ FROM events GROUP BY 1
 """
 
 
+def q24_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation HAVING filter (ANSI surface)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .filter(F.col("n_items") >= 20)
+    )
+
+
+Q24_SQL = """
+SELECT l_suppkey, COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice), 2) AS total_price
+FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) >= 20
+"""
+
+
+def q25_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst RewriteCorrelatedScalarSubquery
+    decorrelates to a join): customers above their nation's average
+    balance."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_nationkey, COUNT(*) AS n_above_avg,
+               ROUND(MAX(c_acctbal), 2) AS top_bal
+        FROM customer c1
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c1.c_nationkey)
+        GROUP BY c_nationkey
+        """
+    )
+
+
+Q25_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_above_avg,
+       ROUND(MAX(c_acctbal), 2) AS top_bal
+FROM customer c1
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c1.c_nationkey)
+GROUP BY c_nationkey
+"""
+
+
+def q26_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS subqueries (RewritePredicateSubquery ->
+    semi/anti joins)."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_nationkey, COUNT(*) AS n_suppliers_with_twin
+        FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_nationkey = s.s_nationkey
+                        AND c.c_acctbal > s.s_acctbal)
+          AND NOT EXISTS (SELECT 1 FROM customer c2
+                          WHERE c2.c_nationkey = s.s_nationkey
+                            AND c2.c_acctbal > 9990)
+        GROUP BY s_nationkey
+        """
+    )
+
+
+Q26_SQL = """
+SELECT s_nationkey, COUNT(*) AS n_suppliers_with_twin
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_nationkey = s.s_nationkey
+                AND c.c_acctbal > s.s_acctbal)
+  AND NOT EXISTS (SELECT 1 FROM customer c2
+                  WHERE c2.c_nationkey = s.s_nationkey
+                    AND c2.c_acctbal > 9990)
+GROUP BY s_nationkey
+"""
+
+
+def q27_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group: Spark ``percentile``
+    == DuckDB ``quantile_cont``."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q27_SQL = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q28_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: corr / stddev_samp / var_samp."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("disc_stddev"),
+        F.round(F.var_samp("l_tax"), 6).alias("tax_var"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q28_SQL = """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(stddev_samp(l_discount), 6) AS disc_stddev,
+       ROUND(var_samp(l_tax), 6) AS tax_var,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Engine-path entries (pipeline runner / ML / streaming / multimodal).
 # pipeline_sql_e2e has a SQL oracle; the others are rows-only checks.
@@ -361,6 +483,11 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q21_latest_partition": (q21_latest_partition, Q21_SQL),
     "q22_join_first_event": (q22_join_first_event, Q22_SQL),
     "q23_timespan_window": (q23_timespan_window, Q23_SQL),
+    "q24_having": (q24_having, Q24_SQL),
+    "q25_correlated_subquery": (q25_correlated_subquery, Q25_SQL),
+    "q26_exists": (q26_exists, Q26_SQL),
+    "q27_percentiles": (q27_percentiles, Q27_SQL),
+    "q28_corr_stats": (q28_corr_stats, Q28_SQL),
     "pipeline_sql_e2e": (pipeline_sql_e2e, PIPELINE_E2E_SQL),
     "ml_train_predict": (ml_train_predict, None),
     "streaming_sessionize": (streaming_sessionize, None),
