@@ -164,6 +164,8 @@ def _rewrite_backtick_tables(sql: str) -> str:
 def transpile_statement(sql: str) -> str:
     """Apply all BigQuery->Spark rewrites to one statement."""
     out = sql
+    # BigQuery UI dialect markers
+    out = re.sub(r"^\s*#(standardSQL|legacySQL)\b", "", out, flags=re.IGNORECASE)
     out = _rewrite_backtick_tables(out)
     out = _rewrite_select_except(out)
     out = _rewrite_cast_date_format(out)
@@ -178,6 +180,47 @@ def transpile_statement(sql: str) -> str:
         r"\bGENERATE_UUID\s*\(\s*\)", "uuid()", out, flags=re.IGNORECASE
     )
     return out
+
+
+def extract_with_clause(sql: str) -> str:
+    """Return the leading ``WITH name AS (...), ...`` clause (or '').
+
+    Used to re-scope outer CTEs when an inner ``ML.PREDICT``/
+    ``ML.EVALUATE`` subquery references them (the reference's
+    evaluate-model SQL does exactly this)."""
+    m = re.match(r"\s*WITH\b", sql, re.IGNORECASE)
+    if not m:
+        return ""
+    i = m.end()
+    n = len(sql)
+    while True:
+        # skip "name AS ("
+        open_paren = sql.find("(", i)
+        if open_paren < 0:
+            return ""
+        depth, j = 1, open_paren + 1
+        in_str: str | None = None
+        while j < n and depth:
+            ch = sql[j]
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+            elif ch in ("'", '"'):
+                in_str = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            return ""
+        # another CTE follows?
+        rest = sql[j:]
+        m2 = re.match(r"\s*,", rest)
+        if m2:
+            i = j + m2.end()
+            continue
+        return sql[: j]
 
 
 _CREATE_OR_REPLACE_TABLE_RE = re.compile(

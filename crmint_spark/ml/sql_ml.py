@@ -139,13 +139,17 @@ def rewrite_ml_predict(
     spark: SparkSession, stmt: str, registry: ModelRegistry
 ) -> str:
     """Replace every ML.PREDICT(MODEL m, (q)) with a temp view of the
-    scored result."""
+    scored result. Outer CTEs are re-scoped into the inner query (the
+    reference's SQL references them from inside ML.* calls)."""
+    from ..dialect import extract_with_clause
+
+    cte = extract_with_clause(stmt)
     counter = [0]
 
     def repl(m: re.Match) -> str:
         name, inner = m.group(1), m.group(2)
         model, meta = _load(registry, name)
-        df = spark.sql(inner)
+        df = spark.sql(f"{cte} {inner}" if cte else inner)
         if is_classifier(meta["model_type"]):
             scored = predict_with_probability(model, df).withColumnRenamed(
                 "prediction", "predicted_label"
@@ -168,12 +172,15 @@ def rewrite_ml_evaluate(
     spark: SparkSession, stmt: str, registry: ModelRegistry
 ) -> str:
     """Replace ML.EVALUATE(MODEL m, (q)) with a 1-row metrics view."""
+    from ..dialect import extract_with_clause
+
+    cte = extract_with_clause(stmt)
     counter = [0]
 
     def repl(m: re.Match) -> str:
         name, inner = m.group(1), m.group(2)
         model, meta = _load(registry, name)
-        df = spark.sql(inner)
+        df = spark.sql(f"{cte} {inner}" if cte else inner)
         label = meta["label"]
         if is_classifier(meta["model_type"]):
             from pyspark.ml.evaluation import (

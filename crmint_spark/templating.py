@@ -109,7 +109,8 @@ def worker_value(ptype: str, rendered: str) -> Any:
     """Coerce a rendered param to the typed value handed to workers
     (ref: models.py:1100-1114)."""
     if ptype == "boolean":
-        return rendered == "1"
+        # reference uses '1'; imported JSON may carry true/True
+        return str(rendered).strip().lower() in ("1", "true")
     if ptype == "number":
         return parse_number(rendered)
     if ptype == "string_list":

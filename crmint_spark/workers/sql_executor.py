@@ -14,6 +14,8 @@ WRITE_TRUNCATE/WRITE_APPEND.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 from ..dialect import (
@@ -95,24 +97,54 @@ class SparkSQLExecutor(Worker):
 
 
 class SparkQueryLauncher(Worker):
-    """One query -> destination table with write disposition."""
+    """One query -> destination table with write disposition.
+
+    Accepts either ``destination_table`` or the reference's 3-part
+    ``bq_project_id``/``bq_dataset_id``/``bq_table_id`` params
+    (ref: bq_query_launcher.py:26-43) so exported pipeline JSON runs
+    unchanged. Scripts with BQML statements are delegated to the script
+    path (the reference's legacy BQQueryLauncher accepted them too)."""
 
     PARAMS = [
         ("query", "sql", True, "", "Query"),
+        ("bq_project_id", "string", False, "", "reference-compat"),
+        ("bq_dataset_id", "string", False, "", "reference-compat"),
+        ("bq_table_id", "string", False, "", "reference-compat"),
         ("bq_dataset_location", "string", False, "", "unused, reference-compat"),
-        ("destination_table", "string", True, "", "proj.ds.table"),
+        ("destination_table", "string", False, "", "proj.ds.table"),
         ("overwrite", "boolean", True, True, "WRITE_TRUNCATE if true"),
     ]
+
+    def _destination(self) -> str:
+        if self._params["destination_table"]:
+            return self._params["destination_table"]
+        parts = [
+            self._params[k]
+            for k in ("bq_project_id", "bq_dataset_id", "bq_table_id")
+            if self._params[k]
+        ]
+        if not parts:
+            raise WorkerException("destination_table or bq_*_id params required")
+        return ".".join(parts)
 
     def _execute(self) -> None:
         if self._ctx.catalog is None:
             raise WorkerException("SparkQueryLauncher needs a catalog")
-        df = self._ctx.spark.sql(transpile_statement(self._params["query"]))
+        query = self._params["query"]
+        if re.search(r"\bML\.(PREDICT|EVALUATE)\s*\(", query, re.IGNORECASE):
+            # run through the script path for BQML interception
+            executor = SparkSQLExecutor(
+                {"script": query, "dry_run": False}, self._ctx
+            )
+            executor.execute()
+            df = executor.result
+            self.log.extend(executor.log)
+        else:
+            df = self._ctx.spark.sql(transpile_statement(query))
         disposition = "WRITE_TRUNCATE" if self._params["overwrite"] else "WRITE_APPEND"
-        self._ctx.catalog.write(df, self._params["destination_table"], disposition)
-        self.log_info(
-            f"wrote {self._params['destination_table']} ({disposition})"
-        )
+        dest = self._destination()
+        self._ctx.catalog.write(df, dest, disposition)
+        self.log_info(f"wrote {dest} ({disposition})")
 
 
 # Reference-compatible aliases (ref: finder.py:44-101). BQMLTrainer is an
@@ -127,4 +159,16 @@ class BQQueryLauncher(SparkQueryLauncher):
 
 
 class BQMLTrainer(SparkSQLExecutor):
-    pass
+    """Legacy BQML trainer: takes ``query`` instead of ``script``
+    (ref: bq_ml_trainer.py:21-30)."""
+
+    PARAMS = [
+        ("query", "sql", True, "", "BQML SQL"),
+        ("bq_project_id", "string", False, "", "reference-compat"),
+        ("bq_dataset_location", "string", False, "", "reference-compat"),
+        ("dry_run", "boolean", False, False, "Dry run"),
+    ]
+
+    def _execute(self) -> None:
+        self._params["script"] = self._params["query"]
+        super()._execute()
