@@ -165,7 +165,11 @@ def transpile_statement(sql: str) -> str:
     """Apply all BigQuery->Spark rewrites to one statement."""
     out = sql
     # BigQuery UI dialect markers
-    out = re.sub(r"^\s*#(standardSQL|legacySQL)\b", "", out, flags=re.IGNORECASE)
+    out = re.sub(r"^\s*#\s*(standardSQL|legacySQL)\b", "", out, flags=re.IGNORECASE)
+    # BigQuery allows unordered ranking windows (ROW_NUMBER() OVER());
+    # Spark demands an ORDER BY — constant ordering reproduces BigQuery's
+    # arbitrary-order semantics
+    out = re.sub(r"\bOVER\s*\(\s*\)", "OVER (ORDER BY 1)", out, flags=re.IGNORECASE)
     out = _rewrite_backtick_tables(out)
     out = _rewrite_select_except(out)
     out = _rewrite_cast_date_format(out)

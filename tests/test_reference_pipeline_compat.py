@@ -81,3 +81,17 @@ def test_reference_sample_pipeline_runs_unchanged(spark, tmp_path, stand_in_tabl
     row = out.first()
     assert row.rmse is not None and row.r2 is not None
     assert row.r2 > 0.5  # linear data -> linear_reg must fit decently
+
+    # the second sample pipeline (predict.json): ML.PREDICT + empty
+    # OVER() + 3-part destination, reusing the model just trained
+    with open(os.path.join(os.path.dirname(REF_JSON), "predict.json")) as f:
+        pdata = json.load(f)
+    ppipe = eng.import_pipeline(pdata)
+    runs = eng.start(ppipe.name)
+    assert eng.status(runs) == Status.SUCCEEDED, {
+        k: (v.status, v.error) for k, v in runs.items()
+    }
+    preds = eng.catalog.read("predict_realestate_brasil.predictions")
+    assert preds.count() > 0
+    assert "predicted_value" in preds.columns
+    assert "row_number" in preds.columns
