@@ -90,10 +90,57 @@ class GAAudiencesUpdater(AudiencesUpdater):
 
 
 class GA4AudiencesUpdater(AudiencesUpdater):
-    """GA4 flavor strips output-only fields before diffing
-    (ref: ga_utils.py:324-436)."""
+    """GA4 flavor: strips output-only fields from remote objects before
+    diffing, and warns (without attempting the update) when an immutable
+    field drifted (ref: ga_utils.py:324-436)."""
 
-    OUTPUT_ONLY = ("adsPersonalizationEnabled", "resourceName")
+    OUTPUT_ONLY = ("adsPersonalizationEnabled", "resourceName", "name")
+    IMMUTABLE = ("membershipDurationDays", "exclusionDurationMode")
 
     def _execute(self) -> None:
-        super()._execute()
+        t = self._ctx.transport
+        if t is None:
+            raise WorkerException("AudiencesUpdater needs an injected transport")
+        rows = self._ctx.catalog.read(self._params["source_table"]).collect()
+        rendered = [
+            render_row_template(self._params["template"], r.asDict()) for r in rows
+        ]
+        name_key = self._params["name_key"]
+        existing = t.list_audiences()
+        stripped = [
+            {
+                k: v
+                for k, v in a.items()
+                if k not in self.OUTPUT_ONLY or k == name_key
+            }
+            for a in existing
+        ]
+        by_name = {a.get(name_key): (a, orig) for a, orig in zip(stripped, existing)}
+        inserts: list[dict] = []
+        updates: list[tuple[str, dict]] = []
+        for payload in rendered:
+            hit = by_name.get(payload.get(name_key))
+            if hit is None:
+                inserts.append(payload)
+                continue
+            remote, orig = hit
+            drifted_immutable = [
+                f
+                for f in self.IMMUTABLE
+                if f in payload and f in remote and payload[f] != remote[f]
+            ]
+            if drifted_immutable:
+                self.log_info(
+                    f"WARNING: audience {payload.get(name_key)} immutable "
+                    f"field(s) changed, skipping: {drifted_immutable}"
+                )
+                continue
+            if not deep_subset(payload, remote):
+                updates.append((orig.get("resourceName", payload.get(name_key)), payload))
+        for payload in inserts:
+            t.insert_audience(payload)
+        for resource_name, payload in updates:
+            t.update_audience(resource_name, payload)
+        self.log_info(
+            f"audiences: {len(inserts)} inserts, {len(updates)} updates"
+        )

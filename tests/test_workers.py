@@ -230,6 +230,35 @@ def test_diff_audiences_insert_vs_update():
     assert updates == [("r/2", rendered[1])]
 
 
+def test_ga4_audiences_immutable_field_warning(ctx):
+    _seed_table(
+        ctx,
+        "p.d.aud_im",
+        [("aud1", 90), ("aud2", 45)],
+        "name string, days int",
+    )
+    t = InMemoryAudienceTransport(
+        existing=[
+            # aud1 exists with a different (immutable) duration
+            {"name": "aud1", "membershipDurationDays": 30, "resourceName": "r/1",
+             "adsPersonalizationEnabled": True},
+        ]
+    )
+    ctx.transport = t
+    w = find_worker("GA4AudiencesUpdater")(
+        {
+            "source_table": "p.d.aud_im",
+            "template": '{"name": "$name", "membershipDurationDays": $days}',
+        },
+        ctx,
+    )
+    w.execute()
+    # aud1: immutable drift -> warned, NOT updated; aud2: inserted
+    assert t.updated == []
+    assert [a["name"] for a in t.inserted] == ["aud2"]
+    assert any("immutable" in line for line in w.log)
+
+
 def test_audiences_updater_end_to_end(ctx):
     _seed_table(
         ctx,
