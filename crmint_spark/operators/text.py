@@ -196,6 +196,40 @@ GROUP BY array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))
 HAVING COUNT(*) > 1
 """
 
+def normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization pass (lowercase, punctuation strip, whitespace
+    collapse, trim) + post-normalization dedup stats per lang — the
+    first stage of every training-data cleaning pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    per_doc = docs.select("lang", norm.alias("norm_text"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("norm_text").alias("n_distinct_norm"),
+        F.sum(F.length("norm_text")).cast("bigint").alias("total_norm_chars"),
+    )
+
+
+NORMALIZE_SQL = """
+WITH per_doc AS (
+  SELECT lang,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       COUNT(DISTINCT norm_text) AS n_distinct_norm,
+       CAST(SUM(length(norm_text)) AS BIGINT) AS total_norm_chars
+FROM per_doc GROUP BY lang
+"""
+
+
 ROLL_BASE = 31
 ROLL_PRIME = 2147483647
 

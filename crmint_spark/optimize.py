@@ -76,6 +76,40 @@ def partition_by_date(
     )
 
 
+def write_sized(
+    df: DataFrame,
+    path: str,
+    target_file_mb: int = 256,
+    approx_row_bytes: int | None = None,
+) -> None:
+    """Write parquet with bounded file sizes — the small-files guard.
+
+    At 100 TB the failure modes are both directions: millions of tiny
+    files (NameNode/listing pressure, per-task overhead) or giant
+    unsplittable row groups. ``maxRecordsPerFile`` bounds the upper end;
+    the repartition bounds the lower end by packing rows into
+    ~target-sized partitions first.
+    """
+    if approx_row_bytes is None:
+        sample = df.limit(1000)
+        n = sample.count()
+        approx_row_bytes = 100 if n == 0 else max(
+            50,
+            int(
+                sample.rdd.map(lambda r: len(str(r))).sum() / max(n, 1)
+            ),
+        )
+    rows_per_file = max(1000, (target_file_mb * 1024 * 1024) // approx_row_bytes)
+    total = df.count()
+    n_parts = max(1, int(total // rows_per_file) + (1 if total % rows_per_file else 0))
+    (
+        df.repartition(n_parts)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_file)
+        .parquet(path)
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -41,6 +41,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "text_quality": (text.quality_score, text.quality_sql()),
     "text_token_counts": (text.token_counts, text.TOKEN_COUNTS_SQL),
     "text_fingerprint": (text.fingerprint_clusters, text.FINGERPRINT_SQL),
+    "text_normalize": (text.normalize_corpus, text.NORMALIZE_SQL),
 }
 
 for _name, (_fn, _sql) in EXTENSION_QUERIES.items():

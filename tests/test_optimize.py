@@ -96,6 +96,18 @@ def test_plan_quality_pushdown_and_pruning(spark):
     assert "l_comment" not in read_schema
 
 
+def test_write_sized_bounds_file_count(spark, tmp_path):
+    li = load(spark, SF, "lineitem")
+    out = str(tmp_path / "sized")
+    optimize.write_sized(li, out, target_file_mb=1, approx_row_bytes=200)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    # ~6k rows * 200B = 1.2MB at 1MB target -> small handful of files,
+    # never hundreds of tiny ones and never one giant file per row
+    assert 1 <= len(files) <= 8
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+
+
 def test_broadcast_join_no_shuffle_on_big_side(spark):
     li = load(spark, SF, "lineitem")
     part = load(spark, SF, "part")

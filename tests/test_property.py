@@ -53,6 +53,14 @@ def test_split_script_comments_ignored(frag):
     assert len(stmts) == 2
 
 
+@given(sql_fragment)
+@settings(max_examples=100, deadline=None)
+def test_transpile_idempotent(frag):
+    sql = f"SELECT {frag} FROM t WHERE REGEXP_CONTAINS(x, 'p')"
+    once = dialect.transpile_statement(sql)
+    assert dialect.transpile_statement(once) == once
+
+
 # -- schema parser ----------------------------------------------------------
 
 field_names = st.text(

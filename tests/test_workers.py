@@ -137,6 +137,23 @@ def test_file_importer_csv_roundtrip(ctx, tmp_path):
     assert (1, "alpha") in rows and (2, "beta") in rows and len(rows) == 3
 
 
+def test_file_importer_multi_file_glob(ctx, tmp_path):
+    (tmp_path / "part1.csv").write_text("id,name\n1,a\n")
+    (tmp_path / "part2.csv").write_text("id,name\n2,b\n3,c\n")
+    find_worker("FileImporter")(
+        {
+            "source_uris": [str(tmp_path / "part*.csv")],
+            "destination_table": "p.d.globbed",
+            "csv_skip_leading_rows": 1,
+            "schema": json.dumps(
+                [{"name": "id", "type": "INT64"}, {"name": "name", "type": "STRING"}]
+            ),
+        },
+        ctx,
+    ).execute()
+    assert ctx.catalog.read("p.d.globbed").count() == 3
+
+
 def test_file_importer_ndjson_and_null_marker(ctx, tmp_path):
     src = tmp_path / "in.json"
     src.write_text('{"id": 1, "x": "a"}\n{"id": 2, "x": null}\n')
