@@ -216,6 +216,8 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("dim", "val")
     ).filter(F.col("dim") < CENTROID_DIMS)
+    # bigint dim: DuckDB generate_subscripts yields int64
+    exploded = exploded.withColumn("dim", F.col("dim").cast("bigint"))
     return exploded.groupBy("label", "dim").agg(
         F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"),
         F.count(F.lit(1)).alias("n_vectors"),

@@ -176,7 +176,10 @@ def q05_conversion_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
     ranked = cust.select(
-        "c_acctbal", "c_custkey", F.ntile(10).over(w).alias("bucket")
+        "c_acctbal",
+        "c_custkey",
+        # bigint: DuckDB's NTILE yields int64, Spark's int32 — align types
+        F.ntile(10).over(w).cast("bigint").alias("bucket"),
     )
     agg = ranked.groupBy("bucket").agg(
         F.min("c_acctbal").alias("mn"),
@@ -342,7 +345,7 @@ WITH lagged AS (
          ROUND(SUM(value), 2) AS session_value
   FROM sess GROUP BY user_id, session_id
 )
-SELECT user_id, MAX(session_id) AS n_sessions,
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
        MAX(n_events) AS max_session_events,
        ROUND(SUM(session_value), 2) AS total_value
 FROM per_session GROUP BY user_id
@@ -511,7 +514,7 @@ def q15_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.select(
-            F.year("o_orderdate").alias("order_year"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
             pri_class.alias("priority_class"),
             F.date_format("o_orderdate", "yyyyMM").alias("order_month"),
             F.lower(F.split(F.col("o_orderpriority"), "-").getItem(1)).alias(
