@@ -329,6 +329,74 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q29_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via RANK (the grouped twin of the reference's
+    global top-100): 3 highest-value orders per market segment."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "o_orderkey", "o_totalprice")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+Q29_SQL = """
+SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rk <= 3
+"""
+
+
+def q30_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators beyond the reference's UNION ALL: UNION DISTINCT,
+    INTERSECT, EXCEPT over customer/supplier nation keys."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nk")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nk")
+    )
+    union_d = cust.union(supp).distinct().select(
+        F.lit("union").alias("op"), "nk"
+    )
+    intersect = cust.intersect(supp).select(F.lit("intersect").alias("op"), "nk")
+    # subtract = EXCEPT DISTINCT (set semantics, matching the SQL EXCEPT);
+    # exceptAll would keep multiplicity and leak shared keys
+    except_ = cust.distinct().subtract(supp.distinct()).select(
+        F.lit("except").alias("op"), "nk"
+    )
+    return (
+        union_d.unionAll(intersect)
+        .unionAll(except_)
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+Q30_SQL = """
+WITH c AS (SELECT c_nationkey AS nk FROM customer),
+     s AS (SELECT s_nationkey AS nk FROM supplier),
+     combined AS (
+       SELECT 'union' AS op, nk FROM (SELECT DISTINCT nk FROM (SELECT nk FROM c UNION SELECT nk FROM s))
+       UNION ALL
+       SELECT 'intersect' AS op, nk FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+       UNION ALL
+       SELECT 'except' AS op, nk FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+     )
+SELECT op, COUNT(*) AS n_nations FROM combined GROUP BY op
+"""
+
+
 # ---------------------------------------------------------------------------
 # Engine-path entries (pipeline runner / ML / streaming / multimodal).
 # pipeline_sql_e2e has a SQL oracle; the others are rows-only checks.
@@ -488,6 +556,8 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q26_exists": (q26_exists, Q26_SQL),
     "q27_percentiles": (q27_percentiles, Q27_SQL),
     "q28_corr_stats": (q28_corr_stats, Q28_SQL),
+    "q29_topk_per_group": (q29_topk_per_group, Q29_SQL),
+    "q30_set_ops": (q30_set_ops, Q30_SQL),
     "pipeline_sql_e2e": (pipeline_sql_e2e, PIPELINE_E2E_SQL),
     "ml_train_predict": (ml_train_predict, None),
     "streaming_sessionize": (streaming_sessionize, None),

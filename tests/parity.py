@@ -47,9 +47,31 @@ def _sorted_rows(cols: list[str], rows: list[tuple]):
     return sorted(cols), sorted(out, key=lambda r: tuple(str(x) for x in r))
 
 
+_SPARK_TO_ARROW = {
+    "bigint": {"int64"},
+    "int": {"int32"},
+    "double": {"double"},
+    "float": {"float"},
+    "string": {"string", "large_string"},
+    "date": {"date32[day]"},
+    "timestamp": {"timestamp[us]"},
+    "boolean": {"bool"},
+}
+
+
 def compare(spark_df, con, sql: str, rel_tol: float = 1e-9):
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
+    # dtype agreement (the driver compares schemas, not just values)
+    arrow = con.execute(sql).fetch_arrow_table()
+    d_types = {f.name: str(f.type) for f in arrow.schema}
+    for f in spark_df.schema.fields:
+        st = f.dataType.simpleString()
+        dt = d_types.get(f.name)
+        allowed = _SPARK_TO_ARROW.get(st, {st})
+        assert dt in allowed, (
+            f"dtype mismatch {f.name}: spark={st} duckdb={dt}"
+        )
     res = con.execute(sql)
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
