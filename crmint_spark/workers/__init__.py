@@ -14,6 +14,7 @@ from .commenter import Commenter
 from .file_io import BQToStorageExporter, FileExporter, FileImporter, StorageToBQImporter
 from .ga_config import GA4ConversionEventCreator, GA4CustomDimensionCreator, GADataImporter
 from .ml_workers import ConversionValuesWorker, MLPredictor, MLTrainer, OutputWorker
+from .operator_worker import OperatorWorker
 from .sql_executor import (
     BQMLTrainer,
     BQQueryLauncher,
@@ -41,6 +42,7 @@ WORKERS: dict[str, type[Worker]] = {
         MLPredictor,
         ConversionValuesWorker,
         OutputWorker,
+        OperatorWorker,
         AudiencesUpdater,
         StorageCleaner,
         Commenter,
