@@ -33,6 +33,22 @@ def _safe_view_name(table_id: str) -> str:
     return re.sub(r"[^A-Za-z0-9_]", "_", table_id.replace(".", "__"))
 
 
+def tune_session(spark: SparkSession) -> None:
+    """Apply the engine's runtime-settable tuning to a caller-provided
+    session, touching only confs still at their stock defaults (a
+    session built by ``crmint_spark.session.get_spark`` already has
+    these; a vanilla driver session gets 200 shuffle partitions and no
+    AQE coalescing, which wastes 6x scheduling overhead at test scale).
+    """
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    except Exception:
+        pass  # read-only conf service (e.g. Connect) — run as-is
+
+
 def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every driver testdata parquet as a temp view by bare name."""
     out: dict[str, DataFrame] = {}
@@ -56,6 +72,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    tune_session(spark)
     if name == "events":
         # runtime-settable; required for TIMESTAMP(NANOS) parquet even
         # under a caller-provided session that didn't set it at build time
