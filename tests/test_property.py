@@ -95,6 +95,31 @@ def test_schema_parser_total_and_mode_semantics(items):
             assert not field.nullable
 
 
+@given(field_names)
+@settings(max_examples=50, deadline=None)
+def test_create_or_replace_expansion(name):
+    stmts = dialect.expand_create_or_replace_table(
+        f"CREATE OR REPLACE TABLE {name} USING parquet AS SELECT 1"
+    )
+    assert stmts[0] == f"DROP TABLE IF EXISTS {name}"
+    assert stmts[1].startswith(f"CREATE TABLE {name}")
+    # non-matching statements pass through untouched
+    passthrough = dialect.expand_create_or_replace_table(f"SELECT * FROM {name}")
+    assert passthrough == [f"SELECT * FROM {name}"]
+
+
+@given(field_names, field_names)
+@settings(max_examples=50, deadline=None)
+def test_extract_with_clause_balanced(a, b):
+    sql = f"WITH {a} AS (SELECT 1 FROM t WHERE x = ')'), {b} AS (SELECT (2)) SELECT * FROM {a}"
+    clause = dialect.extract_with_clause(sql)
+    assert clause.lstrip().upper().startswith("WITH")
+    # covers both CTEs (the quoted ')' must not end the scan early)
+    assert f"{a} AS" in clause and f"{b} AS" in clause
+    assert "SELECT (2)" in clause
+    assert not clause.rstrip().endswith(f"FROM {a}")
+
+
 # -- cron -------------------------------------------------------------------
 
 
