@@ -89,6 +89,9 @@ def shingle_docs(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    # NOTE: a broadcast hash-dictionary over the distinct shingle
+    # vocabulary was measured SLOWER here (the distinct + broadcast
+    # outweigh JVM-codegen md5); keep the straight-line hash.
     return (
         docs.select(
             "doc_id", F.explode(_shingles(F.col("text"), n)).alias("shingle")
