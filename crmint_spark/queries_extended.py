@@ -397,6 +397,74 @@ SELECT op, COUNT(*) AS n_nations FROM combined GROUP BY op
 """
 
 
+def q31_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> total). The reference
+    never emits grouping sets (SURVEY §2.2) — included for a complete
+    OLAP surface. COALESCE over the null super-aggregate rows keeps the
+    output engine-comparable."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(r_name, '<all>') AS region,
+               COALESCE(n_name, '<all>') AS nation,
+               COUNT(*) AS n_customers,
+               ROUND(SUM(c_acctbal), 2) AS sum_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        """
+    )
+
+
+Q31_SQL = """
+SELECT COALESCE(r_name, '<all>') AS region,
+       COALESCE(n_name, '<all>') AS nation,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def q32_pivot_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc bucketing + manual pivot via conditional aggregation
+    (the portable PIVOT): one column per order status over monthly
+    buckets."""
+    orders = load(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    return (
+        orders.groupBy(month.cast("date").alias("month"))
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_f"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_o"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_p"),
+            F.round(
+                F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))),
+                2,
+            ).alias("f_revenue"),
+        )
+    )
+
+
+Q32_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f_revenue
+FROM orders GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Engine-path entries (pipeline runner / ML / streaming / multimodal).
 # pipeline_sql_e2e has a SQL oracle; the others are rows-only checks.
@@ -558,6 +626,8 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q28_corr_stats": (q28_corr_stats, Q28_SQL),
     "q29_topk_per_group": (q29_topk_per_group, Q29_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
+    "q31_rollup": (q31_rollup, Q31_SQL),
+    "q32_pivot_monthly": (q32_pivot_monthly, Q32_SQL),
     "pipeline_sql_e2e": (pipeline_sql_e2e, PIPELINE_E2E_SQL),
     "ml_train_predict": (ml_train_predict, None),
     "streaming_sessionize": (streaming_sessionize, None),
