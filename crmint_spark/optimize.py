@@ -136,7 +136,7 @@ def salted_join(
     return joined.drop("__salt")
 
 
-def explain_has_exchange(df: DataFrame, above_operator: str | None = None) -> bool:
+def explain_has_exchange(df: DataFrame) -> bool:
     """True if the executed plan string contains a shuffle Exchange
     (broadcast exchanges don't count)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
