@@ -96,6 +96,30 @@ def test_plan_quality_pushdown_and_pruning(spark):
     assert "l_comment" not in read_schema
 
 
+def test_cluster_write_produces_disjoint_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    li = load(spark, SF, "lineitem")
+    out = str(tmp_path / "clustered")
+    optimize.cluster_write(li, out, "l_orderkey", n_files=4)
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(out, f)).metadata
+        col_idx = [
+            meta.schema.column(i).name for i in range(meta.num_columns)
+        ].index("l_orderkey")
+        stats = meta.row_group(0).column(col_idx).statistics
+        ranges.append((stats.min, stats.max))
+    ranges.sort()
+    assert len(ranges) >= 2
+    # disjoint: each file's min exceeds the previous file's max — a
+    # range predicate on l_orderkey then prunes whole files
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+
+
 def test_write_sized_bounds_file_count(spark, tmp_path):
     li = load(spark, SF, "lineitem")
     out = str(tmp_path / "sized")

@@ -69,6 +69,24 @@ def test_streaming_session_windows(spark, tmp_path, events_json_dir):
     assert bad == 0
 
 
+def test_streaming_restart_is_exactly_once(spark, tmp_path, events_json_dir):
+    """Re-running the drain with the same checkpoint must be a no-op:
+    the checkpoint records consumed files, so restarts neither reprocess
+    nor duplicate (exactly-once table state)."""
+    stream = streaming_events.stream_events_from_dir(spark, events_json_dir)
+    windowed = streaming_events.windowed_event_counts(stream, "1 hour", "2 hours")
+    catalog = Catalog(spark, str(tmp_path / "wh3"))
+    ckpt = str(tmp_path / "ckpt3")
+    streaming_events.run_to_table(windowed, catalog, "p.d.win2", ckpt)
+    first = catalog.read("p.d.win2").collect()
+    # restart with the same checkpoint: no new input -> state unchanged
+    stream2 = streaming_events.stream_events_from_dir(spark, events_json_dir)
+    windowed2 = streaming_events.windowed_event_counts(stream2, "1 hour", "2 hours")
+    streaming_events.run_to_table(windowed2, catalog, "p.d.win2", ckpt)
+    second = catalog.read("p.d.win2").collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
 @pytest.fixture()
 def media_df(spark):
     rows = [
