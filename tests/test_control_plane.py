@@ -134,7 +134,39 @@ def test_declare_set_classification():
     assert dialect.classify_statement("SELECT 1")[0] == "sql"
 
 
+def test_format_timestamp_strftime_mapping():
+    # the reference's conversionDateTime format "%F %T%Ez"
+    # (ref: bq_to_ads_offline_click_conversion template) must map fully
+    out = dialect.transpile_statement("FORMAT_TIMESTAMP('%F %T%Ez', ts)")
+    assert out == "date_format(ts, 'yyyy-MM-dd HH:mm:ssXXX')"
+    out2 = dialect.transpile_statement("FORMAT_DATE('%Y-%m-%d', d)")
+    assert out2 == "date_format(d, 'yyyy-MM-dd')"
+
+
+def test_inline_hours_ago_and_legacy_combo():
+    from datetime import datetime
+
+    fns = templating.InlineFunctions(now=datetime(2024, 3, 15, 12, 0, 0))
+    assert (
+        templating.render("{{ hours_ago(36, '%Y-%m-%d %H') }}", {}, fns)
+        == "2024-03-14 00"
+    )
+    # legacy var syntax + inline function in the same template
+    out = templating.render("%(tbl)_{{ today('%Y%m%d') }}", {"tbl": "events"}, fns)
+    assert out == "events_20240315"
+
+
 # -- cron -------------------------------------------------------------------
+
+
+def test_cron_dow_dom_or_semantics():
+    # standard cron: when both day fields are restricted they OR
+    # 2024-01-01 is a Monday (dow=1)
+    assert cron.cron_matches("0 0 15 * 1", datetime(2024, 1, 1, 0, 0))  # dow hit
+    assert cron.cron_matches("0 0 1 * 3", datetime(2024, 1, 1, 0, 0))  # dom hit
+    assert not cron.cron_matches("0 0 15 * 3", datetime(2024, 1, 1, 0, 0))
+    # sunday is 0
+    assert cron.cron_matches("0 0 * * 0", datetime(2024, 1, 7, 0, 0))
 
 
 def test_cron_subset_semantics():
