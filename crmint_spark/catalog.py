@@ -95,6 +95,10 @@ class Catalog:
     def __init__(self, spark: SparkSession, warehouse_root: str):
         self.spark = spark
         self.root = warehouse_root
+        # (project, dataset) -> {table_name: view_name} for shard tables
+        # registered as views rather than parquet dirs (zero-copy shards
+        # over an already-loaded DataFrame)
+        self._virtual: dict[tuple[str, str], dict[str, str]] = {}
         os.makedirs(warehouse_root, exist_ok=True)
 
     def path_for(self, table_id: str) -> str:
@@ -144,10 +148,114 @@ class Catalog:
 
     def list_tables(self, project: str, dataset: str) -> list[str]:
         """Equivalent of the reference's ``__TABLES_SUMMARY__`` metadata
-        scan (ref: output.sql:2-7)."""
+        scan (ref: output.sql:2-7). Includes virtual shard views."""
         base = os.path.join(self.root, project, dataset)
-        if not os.path.isdir(base):
-            return []
-        return sorted(
-            d for d in os.listdir(base) if os.path.isdir(os.path.join(base, d))
+        names: set[str] = set(self._virtual.get((project, dataset), {}))
+        if os.path.isdir(base):
+            names.update(
+                d for d in os.listdir(base) if os.path.isdir(os.path.join(base, d))
+            )
+        return sorted(names)
+
+    def register_virtual_shards(
+        self,
+        project: str,
+        dataset: str,
+        family: str,
+        df: DataFrame,
+        suffix_col: str,
+    ) -> list[str]:
+        """Register date-sharded tables ``<family><suffix>`` as zero-copy
+        filtered views over one DataFrame (the BigQuery ``events_YYYYMMDD``
+        layout; ref: model_bqml.sql:91, output.sql:18). ``suffix_col``
+        holds each row's shard suffix. At 100 TB the same surface comes
+        from a single date-partitioned table instead — see
+        ``register_partitioned_wildcard``."""
+        from pyspark.sql import functions as F
+
+        suffixes = [
+            r[0]
+            for r in df.select(suffix_col).distinct().collect()
+        ]
+        shard_map = self._virtual.setdefault((project, dataset), {})
+        out = []
+        for s in sorted(suffixes):
+            table = f"{family}{s}"
+            view = _safe_view_name(f"{project}.{dataset}.{table}")
+            df.filter(F.col(suffix_col) == s).createOrReplaceTempView(view)
+            shard_map[table] = view
+            out.append(table)
+        return out
+
+    def register_partitioned_wildcard(
+        self, table_id: str, family_prefix: str, date_col: str
+    ) -> str:
+        """The scale path for wildcard scans: map an existing
+        date-partitioned table onto the ``family_*`` + ``_TABLE_SUFFIX``
+        surface as a single view ``SELECT *, date_format(date_col,
+        'yyyyMMdd') AS _TABLE_SUFFIX``. A ``_TABLE_SUFFIX`` predicate is
+        an expression over the partition column only, so the file scan
+        partition-prunes — no union of shard tables, no extra shuffle."""
+        project, dataset, _ = table_id.split(".")
+        src = self.register(table_id)
+        view = _safe_view_name(f"{project}.{dataset}.{family_prefix}*".replace("*", "__star__"))
+        self.spark.sql(
+            f"CREATE OR REPLACE TEMP VIEW {view} AS "
+            f"SELECT *, date_format({date_col}, 'yyyyMMdd') AS _TABLE_SUFFIX FROM {src}"
         )
+        return view
+
+    def ensure_wildcard_view(self, table_id: str) -> str:
+        """``project.dataset.family_*`` -> a UNION-ALL view over every
+        matching shard, each branch tagged with its literal
+        ``_TABLE_SUFFIX``. Catalyst pushes suffix predicates into the
+        branches where they constant-fold, so non-matching shards
+        collapse to empty relations before any file is read — the
+        engine's analogue of BigQuery's wildcard pruning
+        (ref: model_bqml.sql:91-94; output.sql:18-19)."""
+        project, dataset, pattern = table_id.split(".")
+        assert pattern.endswith("*"), table_id
+        prefix = pattern[:-1]
+        view = _safe_view_name(table_id.replace("*", "__star__"))
+        shard_map = self._virtual.get((project, dataset), {})
+        branches = []
+        for table in self.list_tables(project, dataset):
+            if not table.startswith(prefix) or table == prefix.rstrip("_"):
+                continue
+            suffix = table[len(prefix):]
+            src = shard_map.get(table) or self.register(
+                f"{project}.{dataset}.{table}"
+            )
+            branches.append(f"SELECT *, '{suffix}' AS _TABLE_SUFFIX FROM {src}")
+        if not branches:
+            raise ValueError(f"no shards match {table_id}")
+        self.spark.sql(
+            f"CREATE OR REPLACE TEMP VIEW {view} AS "
+            + " UNION ALL ".join(branches)
+        )
+        return view
+
+    def ensure_tables_summary_view(self, project: str, dataset: str) -> str:
+        """``project.dataset.__TABLES_SUMMARY__`` as a queryable relation
+        (columns mirror BigQuery's: project_id, dataset_id, table_id,
+        type; ref: output.sql:2-7)."""
+        view = _safe_view_name(f"{project}.{dataset}.__TABLES_SUMMARY__")
+        rows = [
+            (project, dataset, t, 1)
+            for t in self.list_tables(project, dataset)
+        ]
+        self.spark.createDataFrame(
+            rows,
+            "project_id string, dataset_id string, table_id string, type int",
+        ).createOrReplaceTempView(view)
+        return view
+
+    def resolve_table(self, table_id: str) -> str:
+        """Dialect resolver hook: wildcard and metadata names ->
+        materialized view names (everything else is a plain mapping)."""
+        if table_id.endswith("*"):
+            return self.ensure_wildcard_view(table_id)
+        if table_id.endswith("__TABLES_SUMMARY__"):
+            project, dataset, _ = table_id.split(".")
+            return self.ensure_tables_summary_view(project, dataset)
+        return _safe_view_name(table_id)

@@ -16,9 +16,28 @@ reference's generated SQL actually uses (SURVEY §2.2 / §4):
 - ``IFNULL`` -> ``coalesce`` (Spark has ifnull, kept for safety),
 - ``REGEXP_CONTAINS(x, p)`` -> ``x RLIKE p``,
 - ``FORMAT_DATE/FORMAT_TIMESTAMP`` strftime patterns -> date_format
-  patterns,
+  patterns (balanced-paren scan, so nested calls like
+  ``FORMAT_DATE("%Y%m%d", DATE_SUB(CURRENT_DATE(), INTERVAL 1 DAY))``
+  survive; ref: model_bqml.sql:92-94),
 - ``TIMESTAMP_MICROS`` -> ``timestamp_micros`` (same name; passthrough),
-- backtick-quoted ``project.dataset.table`` -> catalog-safe view name.
+- ``DATE_SUB/DATE_ADD/DATETIME_SUB/TIMESTAMP_SUB(x, INTERVAL n U)`` ->
+  ``(x - INTERVAL n U)`` (Spark's date_sub only takes int days),
+- ``DATETIME(x)`` -> ``CAST(x AS TIMESTAMP)`` (ref: model_bqml.sql:277),
+- ``CAST(x AS NUMERIC)`` -> ``DECIMAL(38, 9)`` (BigQuery NUMERIC scale;
+  Spark's bare NUMERIC is DECIMAL(10,0) which truncates),
+- raw strings ``r"pat"`` -> escaped plain strings (ref: output.sql:6),
+- ``STRING_AGG([DISTINCT] x[, sep])`` -> ``array_join(collect_*)``
+  (ref: controller/ml_model/bigquery.py:95-103),
+- lateral ``FROM t, UNNEST(arr) AS a`` -> ``, LATERAL (SELECT
+  explode(arr) AS a)`` (ref: model_bqml.sql:166,188; output.sql:74,113),
+- correlated scalar ``(SELECT e FROM UNNEST(arr) WHERE c)`` ->
+  ``get(transform(filter(arr, ...), ...), 0)`` higher-order expression
+  (ref: model_bqml.sql:220-253),
+- backtick-quoted ``project.dataset.table`` -> catalog-safe view name;
+  wildcard ``project.dataset.events_*`` and
+  ``project.dataset.__TABLES_SUMMARY__`` are routed through a resolver
+  callback so the executor's catalog can materialize shard-union /
+  metadata views (ref: model_bqml.sql:91-94; output.sql:2-7,19).
 """
 
 from __future__ import annotations
@@ -40,6 +59,92 @@ _STRFTIME_TO_SPARK = [
 ]
 
 _BQ_DATE_FMT = {"YYYYMMDD": "yyyyMMdd", "YYYY-MM-DD": "yyyy-MM-dd"}
+
+
+def _skip_string(sql: str, i: int) -> int:
+    """If sql[i] opens a quoted literal, return the index just past its
+    close; else return i."""
+    q = sql[i]
+    if q not in ("'", '"', "`"):
+        return i
+    n = len(sql)
+    j = i + 1
+    while j < n:
+        if sql[j] == "\\" and q != "`":
+            j += 2
+            continue
+        if sql[j] == q:
+            return j + 1
+        j += 1
+    return n
+
+
+def _balanced_end(sql: str, open_idx: int) -> int:
+    """Index just past the ``)`` matching the ``(`` at ``open_idx``
+    (string-literal aware); -1 if unbalanced."""
+    depth = 0
+    i, n = open_idx, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            i = _skip_string(sql, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return -1
+
+
+def _split_top_level(args: str, sep: str = ",") -> list[str]:
+    """Split on top-level separators (paren/string aware)."""
+    out: list[str] = []
+    buf_start = 0
+    depth = 0
+    i, n = 0, len(args)
+    while i < n:
+        ch = args[i]
+        if ch in ("'", '"', "`"):
+            i = _skip_string(args, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            out.append(args[buf_start:i])
+            buf_start = i + 1
+        i += 1
+    out.append(args[buf_start:])
+    return out
+
+
+def _iter_calls(sql: str, names: tuple[str, ...]):
+    """Yield (start, open_paren, end, func_name_lower) for every
+    top-level call of any name in ``names`` (word-bounded, case-ins.),
+    scanning left to right and skipping string literals."""
+    pat = re.compile(
+        r"\b(" + "|".join(names) + r")\s*\(", re.IGNORECASE
+    )
+    i = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            i = _skip_string(sql, i)
+            continue
+        m = pat.match(sql, i)
+        if m:
+            open_idx = m.end() - 1
+            end = _balanced_end(sql, open_idx)
+            if end > 0:
+                yield m.start(), open_idx, end, m.group(1).lower()
+                i = end
+                continue
+        i += 1
 
 
 def split_script(script: str) -> list[str]:
@@ -135,34 +240,326 @@ def _rewrite_offset_ordinal(sql: str) -> str:
     return sql
 
 
+def _strftime_to_spark(fmt: str) -> str:
+    for a, b in sorted(_STRFTIME_TO_SPARK, key=lambda p: -len(p[0])):
+        fmt = fmt.replace(a, b)
+    return fmt
+
+
 def _rewrite_format_date(sql: str) -> str:
-    def repl(m: re.Match) -> str:
-        func, fmt, expr = m.group(1).lower(), m.group(2), m.group(3)
-        for a, b in sorted(_STRFTIME_TO_SPARK, key=lambda p: -len(p[0])):
-            fmt = fmt.replace(a, b)
-        return f"date_format({expr}, '{fmt}')"
+    """FORMAT_DATE/TIMESTAMP/DATETIME('fmt', expr) -> date_format(expr,
+    'fmt'). Balanced-paren scan so nested calls in the expr (DATE_SUB,
+    CURRENT_DATE(), ...) survive (ref: model_bqml.sql:92-94)."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, _fn in _iter_calls(
+        sql, ("FORMAT_DATE", "FORMAT_TIMESTAMP", "FORMAT_DATETIME")
+    ):
+        args = _split_top_level(sql[open_idx + 1 : end - 1])
+        if len(args) != 2:
+            continue
+        fmt_raw = args[0].strip()
+        if not (fmt_raw[:1] in "'\"" and fmt_raw[-1:] == fmt_raw[:1]):
+            continue
+        fmt = _strftime_to_spark(fmt_raw[1:-1])
+        expr = _rewrite_format_date(args[1].strip())  # nested FORMAT_*
+        out.append(sql[pos:start])
+        out.append(f"date_format({expr}, '{fmt}')")
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
 
-    return re.sub(
-        r"(FORMAT_DATE|FORMAT_TIMESTAMP|FORMAT_DATETIME)\s*\(\s*'([^']*)'\s*,\s*([^)]+)\)",
-        repl,
-        sql,
-        flags=re.IGNORECASE,
+
+def _rewrite_interval_arith(sql: str) -> str:
+    """DATE_SUB/DATE_ADD/DATETIME_SUB/TIMESTAMP_SUB/..(x, INTERVAL n U)
+    -> (x +/- INTERVAL n U). Spark's date_sub/date_add only accept int
+    days (ref: model_bqml.sql:93, 277-278; output.sql:32-33)."""
+    names = (
+        "DATE_SUB",
+        "DATE_ADD",
+        "DATETIME_SUB",
+        "DATETIME_ADD",
+        "TIMESTAMP_SUB",
+        "TIMESTAMP_ADD",
     )
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, fn in _iter_calls(sql, names):
+        args = _split_top_level(sql[open_idx + 1 : end - 1])
+        if len(args) != 2 or not re.match(r"\s*INTERVAL\b", args[1], re.IGNORECASE):
+            continue
+        op = "-" if fn.endswith("_sub") else "+"
+        expr = _rewrite_interval_arith(args[0].strip())  # nested *_SUB
+        base = f"({expr} {op} {args[1].strip()})"
+        if fn.startswith("datetime"):
+            base = f"CAST({base} AS TIMESTAMP)"
+        out.append(sql[pos:start])
+        out.append(base)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
 
 
-def _rewrite_backtick_tables(sql: str) -> str:
-    """```proj.ds.table``` -> safe single-part view name."""
+def _rewrite_datetime_fn(sql: str) -> str:
+    """Single-arg ``DATETIME(x)`` -> ``CAST(x AS TIMESTAMP)``
+    (ref: model_bqml.sql:277; output.sql:32)."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, _fn in _iter_calls(sql, ("DATETIME",)):
+        args = _split_top_level(sql[open_idx + 1 : end - 1])
+        if len(args) != 1:
+            continue
+        out.append(sql[pos:start])
+        out.append(f"CAST({args[0].strip()} AS TIMESTAMP)")
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_raw_strings(sql: str) -> str:
+    """BigQuery raw strings ``r"pat"``/``r'pat'`` -> plain strings with
+    backslashes escaped (Spark has no raw literals; ref: output.sql:6,
+    model_bqml.sql:226)."""
+
+    def repl(m: re.Match) -> str:
+        body = m.group(2) if m.group(2) is not None else m.group(3)
+        return "'" + body.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    return re.sub(r"\br(\"([^\"]*)\"|'([^']*)')", repl, sql)
+
+
+def _rewrite_string_agg(sql: str) -> str:
+    """``STRING_AGG([DISTINCT] x[, sep][ ORDER BY ...])`` ->
+    ``array_join(array_sort(collect_set(x)), sep)`` (DISTINCT; sorted so
+    the output is deterministic — BigQuery's unordered STRING_AGG is
+    free to pick any order) or ``array_join(collect_list(x), sep)``
+    (ref: controller/ml_model/bigquery.py:95-103)."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, _fn in _iter_calls(sql, ("STRING_AGG",)):
+        inner = sql[open_idx + 1 : end - 1].strip()
+        distinct = bool(re.match(r"DISTINCT\b", inner, re.IGNORECASE))
+        if distinct:
+            inner = inner[len("DISTINCT") :].strip()
+        # strip a top-level trailing ORDER BY (the sort is reproduced by
+        # array_sort in the DISTINCT form)
+        m_ord = re.search(r"\bORDER\s+BY\b", inner, re.IGNORECASE)
+        if m_ord and _balanced_end("(" + inner[: m_ord.start()] + ")", 0) == -1:
+            m_ord = None  # ORDER BY sits inside parens — leave it
+        if m_ord:
+            inner = inner[: m_ord.start()].rstrip()
+        parts = _split_top_level(inner)
+        expr = parts[0].strip()
+        sep = parts[1].strip() if len(parts) > 1 else "','"
+        agg = (
+            f"array_join(array_sort(collect_set({expr})), {sep})"
+            if distinct
+            else f"array_join(collect_list({expr}), {sep})"
+        )
+        out.append(sql[pos:start])
+        out.append(agg)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _find_top_level(s: str, pat: re.Pattern, start: int = 0) -> re.Match | None:
+    """First match of ``pat`` at paren-depth 0 (string aware)."""
+    depth = 0
+    i, n = start, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"', "`"):
+            i = _skip_string(s, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(s, i)
+            if m:
+                return m
+        i += 1
+    return None
+
+
+_SELECT_OPEN_RE = re.compile(r"^\(\s*SELECT\s+", re.IGNORECASE)
+_FROM_UNNEST_RE = re.compile(r"\bFROM\s+UNNEST\s*\(", re.IGNORECASE)
+_FROM_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+
+
+def _rewrite_elem_refs(expr: str, alias: str | None, var: str) -> str:
+    """Rewrite array-element references inside a correlated UNNEST
+    subquery to the HOF lambda variable: ``alias.f`` -> ``var.f``, and
+    the GA4 ``event_params`` element fields ``key`` / ``value`` when
+    they appear unqualified (ref: model_bqml.sql:224-246 uses bare
+    ``key``/``value`` for the unnested element while outer columns stay
+    ``e.``-qualified)."""
+    if alias:
+        expr = re.sub(
+            rf"\b{re.escape(alias)}\s*\.", f"{var}.", expr
+        )
+    expr = re.sub(r"(?<![\w.$])(key|value)\b", rf"{var}.\1", expr)
+    # un-rewrite doubles like var.value created from an already-qualified
+    # var.value (alias pass already prefixed)
+    expr = expr.replace(f"{var}.{var}.", f"{var}.")
+    return expr
+
+
+def _rewrite_correlated_unnest(sql: str) -> str:
+    """Scalar subquery over a row's array ->  higher-order expression:
+
+      (SELECT e FROM UNNEST(arr) [AS a] [WHERE c])
+        -> get(transform(filter(arr, __u -> c), __u -> e), 0)
+
+    Matches BigQuery's semantics for the reference's usage (at most one
+    array element matches, so first-match == the scalar; with >1 match
+    BigQuery would error while this picks the first — documented
+    divergence). NULL when nothing matches, which is what SUM/IFNULL
+    over the subquery rely on (ref: model_bqml.sql:220-253)."""
+    out: list[str] = []
+    pos = 0
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            i = _skip_string(sql, i)
+            continue
+        if ch == "(":
+            end = _balanced_end(sql, i)
+            if end > 0:
+                sub = sql[i:end]
+                m_sel = _SELECT_OPEN_RE.match(sub)
+                # the subquery's own top-level FROM (depth 1 inside the
+                # wrapping paren == depth 0 of the body) must be an
+                # UNNEST — a non-greedy regex would cross nested parens
+                body = sub[1:-1]
+                m_from = (
+                    _find_top_level(body, _FROM_RE, m_sel.end() - 1)
+                    if m_sel
+                    else None
+                )
+                m = (
+                    _FROM_UNNEST_RE.match(body, m_from.start())
+                    if m_from is not None
+                    else None
+                )
+                if m:
+                    sel_text = body[m_sel.end() - 1 : m_from.start()].strip()
+                    arr_open = m.end()  # index in body of char after '('
+                    arr_end = _balanced_end(body, arr_open - 1)
+                    arr = body[arr_open:arr_end - 1].strip()
+                    rest = body[arr_end:].strip()
+                    alias = None
+                    m_alias = re.match(r"^(?:AS\s+)?(\w+)", rest, re.IGNORECASE)
+                    if m_alias and m_alias.group(1).upper() not in ("WHERE",):
+                        alias = m_alias.group(1)
+                        rest = rest[m_alias.end() :].strip()
+                    cond = None
+                    m_where = re.match(r"^WHERE\b", rest, re.IGNORECASE)
+                    if m_where:
+                        cond = rest[m_where.end() :].strip()
+                    elif rest:
+                        # GROUP BY / JOIN / ... — not the scalar shape;
+                        # leave for the lateral rewrite
+                        out.append(sql[pos:end])
+                        pos = end
+                        i = end
+                        continue
+                    sel = _rewrite_correlated_unnest(sel_text)
+                    var = "__u"
+                    sel_r = _rewrite_elem_refs(sel, alias, var)
+                    if cond:
+                        cond_r = _rewrite_elem_refs(
+                            _rewrite_correlated_unnest(cond), alias, var
+                        )
+                        repl = (
+                            f"get(transform(filter({arr}, {var} -> {cond_r}),"
+                            f" {var} -> {sel_r}), 0)"
+                        )
+                    else:
+                        repl = f"get(transform({arr}, {var} -> {sel_r}), 0)"
+                    out.append(sql[pos:i])
+                    out.append(repl)
+                    pos = end
+                    i = end
+                    continue
+                i += 1
+                continue
+        i += 1
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_lateral_unnest(sql: str) -> str:
+    """``, UNNEST(arr) AS a`` in a FROM clause -> ``, LATERAL (SELECT
+    explode(arr) AS a)`` — Spark's lateral correlated subquery, which
+    (unlike LATERAL VIEW) still allows a following JOIN clause
+    (ref: model_bqml.sql:166,188,313-314; output.sql:74,113;
+    controller/ml_model/bigquery.py:104-105)."""
+    out: list[str] = []
+    pos = 0
+    i, n = 0, len(sql)
+    pat = re.compile(r",\s*UNNEST\s*\(", re.IGNORECASE)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            i = _skip_string(sql, i)
+            continue
+        m = pat.match(sql, i)
+        if m:
+            arr_open = m.end() - 1
+            arr_end = _balanced_end(sql, arr_open)
+            if arr_end > 0:
+                arr = sql[arr_open + 1 : arr_end - 1].strip()
+                m_alias = re.match(
+                    r"\s*(?:AS\s+)?(\w+)", sql[arr_end:], re.IGNORECASE
+                )
+                if m_alias:
+                    alias = m_alias.group(1)
+                    out.append(sql[pos:i])
+                    out.append(f", LATERAL (SELECT explode({arr}) AS {alias})")
+                    pos = arr_end + m_alias.end()
+                    i = pos
+                    continue
+        i += 1
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _default_resolver(table_id: str) -> str:
     from .catalog import _safe_view_name
 
-    return re.sub(
-        r"`([A-Za-z0-9_\-.]+)`",
-        lambda m: _safe_view_name(m.group(1)) if "." in m.group(1) else m.group(0),
-        sql,
-    )
+    return _safe_view_name(table_id.replace("*", "__star__"))
 
 
-def transpile_statement(sql: str) -> str:
-    """Apply all BigQuery->Spark rewrites to one statement."""
+def _rewrite_backtick_tables(sql: str, resolver=None) -> str:
+    """```proj.ds.table``` -> safe single-part view name. Wildcard
+    (``events_*``) and ``__TABLES_SUMMARY__`` names go through
+    ``resolver(table_id) -> view_name`` so the executor's catalog can
+    materialize shard-union / metadata views on demand
+    (ref: model_bqml.sql:91; output.sql:5,18)."""
+    resolver = resolver or _default_resolver
+    from .catalog import _safe_view_name
+
+    def repl(m: re.Match) -> str:
+        t = m.group(1)
+        if "." not in t:
+            return m.group(0)
+        if t.endswith("*") or t.endswith("__TABLES_SUMMARY__"):
+            return resolver(t)
+        return _safe_view_name(t)
+
+    return re.sub(r"`([A-Za-z0-9_\-.*]+)`", repl, sql)
+
+
+def transpile_statement(sql: str, resolver=None) -> str:
+    """Apply all BigQuery->Spark rewrites to one statement.
+
+    ``resolver(table_id) -> view_name`` materializes wildcard-shard and
+    ``__TABLES_SUMMARY__`` relations (supplied by the executor's
+    catalog; defaults to a pure name mapping)."""
     out = sql
     # BigQuery UI dialect markers
     out = re.sub(r"^\s*#\s*(standardSQL|legacySQL)\b", "", out, flags=re.IGNORECASE)
@@ -170,11 +567,16 @@ def transpile_statement(sql: str) -> str:
     # Spark demands an ORDER BY — constant ordering reproduces BigQuery's
     # arbitrary-order semantics
     out = re.sub(r"\bOVER\s*\(\s*\)", "OVER (ORDER BY 1)", out, flags=re.IGNORECASE)
-    out = _rewrite_backtick_tables(out)
+    out = _rewrite_raw_strings(out)
+    out = _rewrite_correlated_unnest(out)
+    out = _rewrite_lateral_unnest(out)
+    out = _rewrite_backtick_tables(out, resolver)
     out = _rewrite_select_except(out)
     out = _rewrite_cast_date_format(out)
     out = _rewrite_offset_ordinal(out)
     out = _rewrite_format_date(out)
+    out = _rewrite_interval_arith(out)
+    out = _rewrite_datetime_fn(out)
     out = re.sub(
         r"\bFARM_FINGERPRINT\s*\(", "xxhash64(", out, flags=re.IGNORECASE
     )
@@ -183,6 +585,9 @@ def transpile_statement(sql: str) -> str:
     out = re.sub(
         r"\bGENERATE_UUID\s*\(\s*\)", "uuid()", out, flags=re.IGNORECASE
     )
+    out = _rewrite_string_agg(out)
+    out = re.sub(r"\bAS\s+NUMERIC\b", "AS DECIMAL(38, 9)", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bAS\s+BIGNUMERIC\b", "AS DECIMAL(38, 18)", out, flags=re.IGNORECASE)
     return out
 
 
@@ -263,11 +668,44 @@ class ScriptContext:
     variables: dict[str, object] = field(default_factory=dict)
 
     def substitute(self, sql: str) -> str:
-        out = sql
-        for name, value in self.variables.items():
-            lit = f"'{value}'" if isinstance(value, str) else str(value)
-            out = re.sub(rf"\b{re.escape(name)}\b", lit, out)
-        return out
+        """Replace declared variable names with literals — only outside
+        quoted strings/backticks, so a variable name inside a string
+        literal survives untouched."""
+        if not self.variables:
+            return sql
+        out: list[str] = []
+        pos = 0
+        i, n = 0, len(sql)
+        pats = {
+            name: re.compile(rf"\b{re.escape(name)}\b")
+            for name in self.variables
+        }
+        while i < n:
+            ch = sql[i]
+            if ch in ("'", '"', "`"):
+                i = _skip_string(sql, i)
+                continue
+            replaced = False
+            for name, pat in pats.items():
+                m = pat.match(sql, i)
+                if m:
+                    value = self.variables[name]
+                    if isinstance(value, str):
+                        lit = "'" + value.replace("'", "\\'") + "'"
+                    elif value is None:
+                        lit = "NULL"
+                    else:
+                        lit = str(value)
+                    out.append(sql[pos:i])
+                    out.append(lit)
+                    pos = m.end()
+                    i = m.end()
+                    replaced = True
+                    break
+            if not replaced:
+                i += 1
+        out.append(sql[pos:])
+        return "".join(out)
 
 
 def classify_statement(sql: str) -> tuple[str, re.Match | None]:

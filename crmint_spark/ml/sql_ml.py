@@ -97,13 +97,29 @@ def _parse_options(opts: str) -> dict:
     return out
 
 
+def extract_bqml_query(stmt: str) -> str | None:
+    """The inner SELECT of a BQML statement, for dry-run planning
+    (CREATE MODEL ... AS <q>; ML.PREDICT/ML.EVALUATE(MODEL m, (<q>)));
+    None if the statement isn't BQML."""
+    m = _CREATE_MODEL_RE.match(stmt)
+    if m:
+        q = m.group(3).strip()
+        return q[1:-1] if q.startswith("(") and q.endswith(")") else q
+    m = _ML_PREDICT_RE.search(stmt) or _ML_EVALUATE_RE.search(stmt)
+    if m:
+        return m.group(2)
+    return None
+
+
 def try_create_model(
     spark: SparkSession, stmt: str, registry: ModelRegistry
-) -> bool:
-    """If stmt is CREATE MODEL, execute it and return True."""
+) -> DataFrame | None:
+    """If stmt is CREATE MODEL, fit + save the model and return the
+    training-input DataFrame (callers surface it as the statement
+    result); None if the statement isn't CREATE MODEL."""
     m = _CREATE_MODEL_RE.match(stmt)
     if not m:
-        return False
+        return None
     name, opts_raw, query = m.group(1), m.group(2), m.group(3).strip()
     if query.startswith("(") and query.endswith(")"):
         query = query[1:-1]
@@ -128,7 +144,7 @@ def try_create_model(
         name,
         {"model_type": model_type, "label": label, "features": feature_cols},
     )
-    return True
+    return df
 
 
 def _load(registry: ModelRegistry, name: str) -> tuple[PipelineModel, dict]:

@@ -44,6 +44,13 @@ class SparkSQLExecutor(Worker):
         root = self._ctx.catalog.root if self._ctx.catalog else "/tmp/crmint_models"
         return ModelRegistry(root)
 
+    def _resolver(self):
+        """Wildcard-shard / __TABLES_SUMMARY__ names -> catalog views
+        (ref: model_bqml.sql:91; output.sql:2-7)."""
+        if self._ctx.catalog is None:
+            return None
+        return self._ctx.catalog.resolve_table
+
     def _run_script(self) -> DataFrame | None:
         from ..ml.sql_ml import (
             rewrite_ml_evaluate,
@@ -53,6 +60,7 @@ class SparkSQLExecutor(Worker):
 
         spark = self._ctx.spark
         registry = self._model_registry()
+        resolver = self._resolver()
         sctx = ScriptContext()
         last: DataFrame | None = None
         for raw_stmt in split_script(self._params["script"]):
@@ -61,34 +69,75 @@ class SparkSQLExecutor(Worker):
                 name, default = m.group(1), m.group(2)
                 value = None
                 if default:
-                    expr = transpile_statement(sctx.substitute(default.strip()))
+                    expr = transpile_statement(
+                        sctx.substitute(default.strip()), resolver
+                    )
                     value = spark.sql(f"SELECT {expr}").first()[0]
                 sctx.variables[name] = value
                 continue
             if kind == "set":
                 name, expr = m.group(1), m.group(2).strip()
-                sql_expr = transpile_statement(sctx.substitute(expr))
+                sql_expr = transpile_statement(sctx.substitute(expr), resolver)
                 # scalar subqueries allowed: SET x = (SELECT ...)
                 value = spark.sql(f"SELECT {sql_expr}").first()[0]
                 sctx.variables[name] = value
                 continue
-            stmt = transpile_statement(sctx.substitute(raw_stmt))
-            if not self._params["dry_run"]:
-                if try_create_model(spark, stmt, registry):
-                    self.log_info("CREATE MODEL handled by Spark ML")
-                    continue
-                stmt = rewrite_ml_predict(spark, stmt, registry)
-                stmt = rewrite_ml_evaluate(spark, stmt, registry)
+            stmt = transpile_statement(sctx.substitute(raw_stmt), resolver)
             if self._params["dry_run"]:
-                # plan only — resolves names/types, no job runs
-                spark.sql(stmt).explain(mode="cost")
-                self.log_info(f"dry run OK: {stmt[:80]}")
+                self._dry_run_statement(spark, stmt)
                 continue
+            training_df = try_create_model(spark, stmt, registry)
+            if training_df is not None:
+                # expose the training input as the statement's result so
+                # callers can inspect exactly what the model was fit on
+                last = training_df
+                self.log_info("CREATE MODEL handled by Spark ML")
+                continue
+            stmt = rewrite_ml_predict(spark, stmt, registry)
+            stmt = rewrite_ml_evaluate(spark, stmt, registry)
             for sub in expand_create_or_replace_table(stmt):
                 last = spark.sql(sub)
             # DML/DDL statements execute eagerly in spark.sql; a trailing
             # SELECT is left lazy for the caller.
         return last
+
+    def _dry_run_statement(self, spark, stmt: str) -> None:
+        """Plan a statement without executing anything. ``spark.sql`` is
+        EAGER for commands (DDL/DML run at parse time), so commands are
+        never passed through whole: the inner SELECT of CTAS / INSERT /
+        BQML statements is planned instead, and pure DDL is validated by
+        name only (the reference's dry run similarly only estimates;
+        ref: bq_script_executor.py:58-68)."""
+        from ..ml.sql_ml import extract_bqml_query
+
+        inner = extract_bqml_query(stmt)
+        if inner is not None:
+            spark.sql(inner).explain(mode="cost")
+            self.log_info(f"dry run OK (BQML inner query): {stmt[:80]}")
+            return
+        from ..dialect import _balanced_end
+
+        m = re.match(
+            r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+\S+\s*(?:USING\s+\w+\s*)?AS\b(.*)$"
+            r"|^\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?\S+\s*(.*)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        query = None
+        if m:
+            query = (m.group(1) or m.group(2) or "").strip()
+            while query.startswith("(") and _balanced_end(query, 0) == len(query):
+                query = query[1:-1].strip()
+            if not re.match(r"^(SELECT|WITH|FROM)\b", query, re.IGNORECASE):
+                query = None
+        elif re.match(r"^\s*(SELECT|WITH)\b", stmt, re.IGNORECASE):
+            query = stmt
+        if query is not None:
+            spark.sql(query).explain(mode="cost")
+            self.log_info(f"dry run OK: {stmt[:80]}")
+        else:
+            # bare DDL (DROP/CREATE without AS): accept by syntax only
+            self.log_info(f"dry run accepted (DDL not planned): {stmt[:80]}")
 
     def _execute(self) -> None:
         if not self._params["script"].strip():
