@@ -99,6 +99,10 @@ class Catalog:
         # registered as views rather than parquet dirs (zero-copy shards
         # over an already-loaded DataFrame)
         self._virtual: dict[tuple[str, str], dict[str, str]] = {}
+        # wildcard table_id ("p.d.events_*") -> already-materialized view
+        # name (the partitioned-table scale path registers here so SQL
+        # wildcard scans partition-prune instead of unioning shards)
+        self._wildcard_views: dict[str, str] = {}
         os.makedirs(warehouse_root, exist_ok=True)
 
     def path_for(self, table_id: str) -> str:
@@ -187,6 +191,18 @@ class Catalog:
             out.append(table)
         return out
 
+    def register_shard_names(
+        self, project: str, dataset: str, tables: list[str]
+    ) -> None:
+        """Record shard table *names* (no backing view) so
+        ``__TABLES_SUMMARY__`` / ``list_tables`` metadata queries see
+        them — the companion of ``register_wildcard_dataframe``, which
+        serves the actual scans (ref: output.sql:2-7 discovers the
+        latest shard by name only)."""
+        shard_map = self._virtual.setdefault((project, dataset), {})
+        for t in tables:
+            shard_map.setdefault(t, "")
+
     def register_partitioned_wildcard(
         self, table_id: str, family_prefix: str, date_col: str
     ) -> str:
@@ -198,11 +214,30 @@ class Catalog:
         partition-prunes — no union of shard tables, no extra shuffle."""
         project, dataset, _ = table_id.split(".")
         src = self.register(table_id)
-        view = _safe_view_name(f"{project}.{dataset}.{family_prefix}*".replace("*", "__star__"))
+        pattern = f"{project}.{dataset}.{family_prefix}*"
+        view = _safe_view_name(pattern.replace("*", "__star__"))
         self.spark.sql(
             f"CREATE OR REPLACE TEMP VIEW {view} AS "
             f"SELECT *, date_format({date_col}, 'yyyyMMdd') AS _TABLE_SUFFIX FROM {src}"
         )
+        self._wildcard_views[pattern] = view
+        return view
+
+    def register_wildcard_dataframe(
+        self, pattern: str, df: DataFrame, suffix_col: str = "_TABLE_SUFFIX"
+    ) -> str:
+        """Serve ``project.dataset.family_*`` scans from one DataFrame
+        whose ``suffix_col`` plays ``_TABLE_SUFFIX``. Same contract as
+        ``register_partitioned_wildcard`` but for an in-memory/derived
+        DataFrame (no parquet round-trip)."""
+        from pyspark.sql import functions as F
+
+        view = _safe_view_name(pattern.replace("*", "__star__"))
+        out = df
+        if suffix_col != "_TABLE_SUFFIX":
+            out = df.withColumn("_TABLE_SUFFIX", F.col(suffix_col))
+        out.createOrReplaceTempView(view)
+        self._wildcard_views[pattern] = view
         return view
 
     def ensure_wildcard_view(self, table_id: str) -> str:
@@ -254,6 +289,8 @@ class Catalog:
         """Dialect resolver hook: wildcard and metadata names ->
         materialized view names (everything else is a plain mapping)."""
         if table_id.endswith("*"):
+            if table_id in self._wildcard_views:
+                return self._wildcard_views[table_id]
             return self.ensure_wildcard_view(table_id)
         if table_id.endswith("__TABLES_SUMMARY__"):
             project, dataset, _ = table_id.split(".")

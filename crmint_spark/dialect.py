@@ -10,7 +10,10 @@ reference's generated SQL actually uses (SURVEY §2.2 / §4):
 - ``DECLARE``/``SET`` scripting variables -> driver-side scalar eval
   substituted into later statements (ref: output.sql:2-7),
 - ``SELECT * EXCEPT(a, b)`` -> explicit select list,
-- ``FARM_FINGERPRINT(x)`` -> ``xxhash64(x)`` (documented non-bit-parity),
+- ``FARM_FINGERPRINT(x)`` -> portable 60-bit md5-prefix hash (matches
+  DuckDB's ``('0x'||substr(md5(x),1,15))::BIGINT`` exactly, so hash
+  splits reproduce cross-engine; not bit-identical to BigQuery's
+  FarmHash, which has no Spark/DuckDB twin),
 - ``CAST(x AS DATE FORMAT 'YYYYMMDD')`` -> ``to_date(x, 'yyyyMMdd')``,
 - ``arr[OFFSET(n)]`` / ``arr[ORDINAL(n)]`` -> 0/1-based element_at,
 - ``IFNULL`` -> ``coalesce`` (Spark has ifnull, kept for safety),
@@ -363,6 +366,25 @@ def _rewrite_string_agg(sql: str) -> str:
     return "".join(out)
 
 
+def _rewrite_farm_fingerprint(sql: str) -> str:
+    """``FARM_FINGERPRINT(x)`` -> 60-bit md5-prefix hash, the same
+    expression as ``functions.hash_str`` (ref: model_bqml.sql:97-100
+    uses it only for MOD-100 splits, where any stable uniform hash has
+    identical semantics). Balanced-paren scan: the argument may itself
+    contain calls."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, _fn in _iter_calls(sql, ("FARM_FINGERPRINT",)):
+        arg = sql[open_idx + 1 : end - 1].strip()
+        out.append(sql[pos:start])
+        out.append(
+            "CAST(CONV(SUBSTR(MD5(CAST(" + arg + " AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        )
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def _find_top_level(s: str, pat: re.Pattern, start: int = 0) -> re.Match | None:
     """First match of ``pat`` at paren-depth 0 (string aware)."""
     depth = 0
@@ -492,40 +514,95 @@ def _rewrite_correlated_unnest(sql: str) -> str:
     return "".join(out)
 
 
-def _rewrite_lateral_unnest(sql: str) -> str:
-    """``, UNNEST(arr) AS a`` in a FROM clause -> ``, LATERAL (SELECT
-    explode(arr) AS a)`` — Spark's lateral correlated subquery, which
-    (unlike LATERAL VIEW) still allows a following JOIN clause
-    (ref: model_bqml.sql:166,188,313-314; output.sql:74,113;
-    controller/ml_model/bigquery.py:104-105)."""
-    out: list[str] = []
-    pos = 0
+def _enclosing_paren_span(sql: str, idx: int) -> tuple[int, int]:
+    """Interior span (start, end) of the innermost ``(...)`` containing
+    ``idx`` (string aware); the whole string if none."""
+    stack: list[int] = []
+    best: tuple[int, int] | None = None
     i, n = 0, len(sql)
-    pat = re.compile(r",\s*UNNEST\s*\(", re.IGNORECASE)
     while i < n:
         ch = sql[i]
         if ch in ("'", '"', "`"):
             i = _skip_string(sql, i)
             continue
-        m = pat.match(sql, i)
-        if m:
-            arr_open = m.end() - 1
-            arr_end = _balanced_end(sql, arr_open)
-            if arr_end > 0:
-                arr = sql[arr_open + 1 : arr_end - 1].strip()
-                m_alias = re.match(
-                    r"\s*(?:AS\s+)?(\w+)", sql[arr_end:], re.IGNORECASE
-                )
-                if m_alias:
-                    alias = m_alias.group(1)
-                    out.append(sql[pos:i])
-                    out.append(f", LATERAL (SELECT explode({arr}) AS {alias})")
-                    pos = arr_end + m_alias.end()
-                    i = pos
-                    continue
+        if ch == "(":
+            stack.append(i)
+        elif ch == ")":
+            if stack:
+                start = stack.pop()
+                if start < idx < i:
+                    best = (start + 1, i)
+                    break  # innermost: first close after idx whose open precedes it
         i += 1
-    out.append(sql[pos:])
-    return "".join(out)
+    return best if best else (0, n)
+
+
+def _rewrite_lateral_unnest(sql: str) -> str:
+    """``FROM t, UNNEST(arr) AS a`` -> ``FROM t, LATERAL (SELECT
+    explode(arr) AS __unnest_a)`` — Spark's lateral correlated subquery,
+    which (unlike LATERAL VIEW) still allows a following JOIN clause
+    (ref: model_bqml.sql:166,188,313-314; output.sql:74,113;
+    controller/ml_model/bigquery.py:104-105).
+
+    BigQuery gives the UNNEST alias precedence over a same-named column
+    of the base table (the GA4 idiom ``events e, UNNEST(params) AS
+    params`` then ``params.key``); Spark would call that reference
+    ambiguous, so the element column gets a fresh name and every dotted
+    ``a.`` reference inside the enclosing subquery is renamed to match.
+    (Bare un-dotted struct references to the alias are not rewritten —
+    the reference's SQL always qualifies element field access.)"""
+    pat = re.compile(r",\s*UNNEST\s*\(", re.IGNORECASE)
+    while True:
+        m = None
+        i, n = 0, len(sql)
+        while i < n:
+            ch = sql[i]
+            if ch in ("'", '"', "`"):
+                i = _skip_string(sql, i)
+                continue
+            m = pat.match(sql, i)
+            if m:
+                break
+            i += 1
+        if not m:
+            return sql
+        arr_open = m.end() - 1
+        arr_end = _balanced_end(sql, arr_open)
+        if arr_end <= 0:
+            return sql
+        arr = sql[arr_open + 1 : arr_end - 1].strip()
+        m_alias = re.match(r"\s*(?:AS\s+)?(\w+)", sql[arr_end:], re.IGNORECASE)
+        if not m_alias:
+            return sql
+        alias = m_alias.group(1)
+        fresh = f"__unnest_{alias}"
+        clause_start, clause_end = m.start(), arr_end + m_alias.end()
+        scope_start, scope_end = _enclosing_paren_span(sql, clause_start)
+        ref_pat = re.compile(rf"(?<![\w.`]){re.escape(alias)}\s*\.")
+        def rename(chunk: str) -> str:
+            out: list[str] = []
+            pos = j = 0
+            while j < len(chunk):
+                c = chunk[j]
+                if c in ("'", '"', "`"):
+                    j = _skip_string(chunk, j)
+                    continue
+                mm = ref_pat.match(chunk, j)
+                if mm and (j == 0 or not re.match(r"[\w.`]", chunk[j - 1])):
+                    out.append(chunk[pos:j])
+                    out.append(f"{fresh}.")
+                    pos = j = mm.end()
+                    continue
+                j += 1
+            out.append(chunk[pos:])
+            return "".join(out)
+
+        before = sql[:scope_start]
+        scope_pre = rename(sql[scope_start:clause_start])
+        replacement = f", LATERAL (SELECT explode({arr}) AS {fresh})"
+        scope_post = rename(sql[clause_end:scope_end])
+        after = sql[scope_end:]
+        sql = before + scope_pre + replacement + scope_post + after
 
 
 def _default_resolver(table_id: str) -> str:
@@ -577,9 +654,7 @@ def transpile_statement(sql: str, resolver=None) -> str:
     out = _rewrite_format_date(out)
     out = _rewrite_interval_arith(out)
     out = _rewrite_datetime_fn(out)
-    out = re.sub(
-        r"\bFARM_FINGERPRINT\s*\(", "xxhash64(", out, flags=re.IGNORECASE
-    )
+    out = _rewrite_farm_fingerprint(out)
     out = re.sub(r"\bREGEXP_CONTAINS\s*\(", "regexp_like(", out, flags=re.IGNORECASE)
     out = re.sub(r"\bSAFE_DIVIDE\s*\(", "try_divide(", out, flags=re.IGNORECASE)
     out = re.sub(

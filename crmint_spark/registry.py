@@ -54,6 +54,18 @@ for _name, (_fn, _sql) in _EXT.items():
     if _sql is not None:
         ORACLES[_name] = _sql
 
+# verbatim reference-template execution (needs the reference checkout
+# to render from; registered only when it is present)
+from .ml.reference_templates import reference_templates_available
+
+if reference_templates_available():
+    from .queries_bqml import BQML_QUERIES
+
+    for _name, (_fn, _sql) in BQML_QUERIES.items():
+        QUERIES[_name] = _fn
+        if _sql is not None:
+            ORACLES[_name] = _sql
+
 
 def register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None):
     QUERIES[name] = fn

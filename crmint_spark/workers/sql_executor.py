@@ -14,6 +14,7 @@ WRITE_TRUNCATE/WRITE_APPEND.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame
@@ -96,10 +97,36 @@ class SparkSQLExecutor(Worker):
             stmt = rewrite_ml_predict(spark, stmt, registry)
             stmt = rewrite_ml_evaluate(spark, stmt, registry)
             for sub in expand_create_or_replace_table(stmt):
+                self._clean_orphan_location(spark, sub)
                 last = spark.sql(sub)
             # DML/DDL statements execute eagerly in spark.sql; a trailing
             # SELECT is left lazy for the caller.
         return last
+
+    @staticmethod
+    def _clean_orphan_location(spark, stmt: str) -> None:
+        """``DROP TABLE IF EXISTS x`` leaves nothing to clean when ``x``
+        is not in the catalog — but a crashed earlier run may have left
+        the managed-table directory behind, and Spark then refuses the
+        re-CREATE with LOCATION_ALREADY_EXISTS. Remove such orphan dirs
+        (only under the session warehouse, only when the table is
+        absent from the catalog)."""
+        m = re.match(r"^\s*DROP\s+TABLE\s+IF\s+EXISTS\s+`?(\w+)`?\s*$", stmt, re.IGNORECASE)
+        if not m:
+            return
+        name = m.group(1)
+        try:
+            if spark.catalog.tableExists(name):
+                return
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            orphan = os.path.join(wh, name.lower())
+            if os.path.isdir(orphan):
+                shutil.rmtree(orphan)
+        except Exception:
+            pass  # non-local warehouse or races — let CREATE report
 
     def _dry_run_statement(self, spark, stmt: str) -> None:
         """Plan a statement without executing anything. ``spark.sql`` is

@@ -111,7 +111,10 @@ def test_split_script_respects_strings_and_comments():
 
 
 def test_transpile_rewrites():
-    assert dialect.transpile_statement("FARM_FINGERPRINT(id)") == "xxhash64(id)"
+    assert (
+        dialect.transpile_statement("FARM_FINGERPRINT(CONCAT(id, '-x'))")
+        == "CAST(CONV(SUBSTR(MD5(CAST(CONCAT(id, '-x') AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
     assert (
         dialect.transpile_statement("CAST(d AS DATE FORMAT 'YYYYMMDD')")
         == "to_date(d, 'yyyyMMdd')"
