@@ -56,10 +56,21 @@ def _shingles(text_col, n: int = 3):
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content digest: one row per duplicate group with
-    the canonical (min) doc_id and the group size."""
-    docs = load(spark, sf_dir, "documents")
+    the canonical (min) doc_id and the group size.
+
+    The synthetic corpus has no byte-identical documents, so the input
+    is self-seeded with a deterministic re-keyed copy of every 100th
+    document (doc_id % 100 = 3 -> doc_id + 1000000, mirrored in the
+    oracle) — the dedup logic is then validated against real duplicate
+    groups instead of vacuously matching on zero rows."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = docs.unionAll(
+        docs.filter(F.col("doc_id") % 100 == 3).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
     return (
-        docs.select("doc_id", hash_str(F.col("text")).alias("digest"))
+        seeded.select("doc_id", hash_str(F.col("text")).alias("digest"))
         .groupBy("digest")
         .agg(
             F.min("doc_id").alias("canonical_doc_id"),
@@ -71,8 +82,13 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXACT_DEDUP_SQL = """
+WITH seeded AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 3
+)
 SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
-FROM documents
+FROM seeded
 GROUP BY ('0x' || substr(md5(text), 1, 15))::BIGINT
 HAVING COUNT(*) > 1
 """
@@ -233,18 +249,34 @@ WHERE ROUND(({match_expr}) / {float(len(MINHASH_SEEDS))}, 4) >= 0.5
 """
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via the inverted-index join:
-    |A ∩ B| from the shingle join, |A ∪ B| = |A| + |B| - |A ∩ B|.
+# Inverted-index fan-out bound: a shingle present in K docs contributes
+# K*(K-1)/2 candidate rows, so one stopword-gram ("of the and" style)
+# makes the self-join quadratic in corpus size. Shingles in more than
+# NGRAM_DF_CAP docs are dropped from BOTH the intersection AND the
+# per-doc set sizes (a consistent "Jaccard over informative shingles"):
+# such n-grams are ubiquitous boilerplate and carry no near-duplicate
+# evidence, while the cap bounds worst-case join fan-out at
+# NGRAM_DF_CAP^2/2 rows per shingle regardless of corpus size.
+NGRAM_DF_CAP = 256
 
-    Scale note: at 100 TB add a document-frequency cap on shingles
-    (drop shingles appearing in > K docs) to bound join fan-out; at the
-    test SFs the full index is exact.
-    """
-    sh = shingle_docs(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+
+def ngram_pairs_from_shingles(
+    sh: DataFrame, df_cap: int = NGRAM_DF_CAP, threshold: float = 0.4
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via the inverted-index join:
+    |A ∩ B| from the shingle join, |A ∪ B| = |A| + |B| - |A ∩ B|,
+    both computed over the DF-capped shingle set (see NGRAM_DF_CAP)."""
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("sh")
+    )
+    # the over-cap list is tiny by construction — broadcast anti-join
+    kept = sh.join(F.broadcast(hot), "sh", "left_anti").cache()
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = kept.alias("a")
+    b = kept.alias("b")
     inter = (
         a.join(
             b,
@@ -265,17 +297,25 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
         .join(sb, inter.doc_b == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.4)
+        .filter(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_pairs_from_shingles(shingle_docs(spark, sf_dir))
 
 
 NGRAM_JACCARD_SQL = f"""
 WITH {_minhash_sql_core().split(', sig AS')[0]},
-sizes AS (
-  SELECT doc_id, COUNT(*) AS n_sh FROM exploded GROUP BY doc_id
+hot AS (
+  SELECT sh FROM exploded GROUP BY sh HAVING COUNT(*) > {NGRAM_DF_CAP}
+), kept AS (
+  SELECT * FROM exploded WHERE sh NOT IN (SELECT sh FROM hot)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM exploded a JOIN exploded b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,

@@ -142,16 +142,55 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEAR_DUP_THRESHOLD = 0.99
 
+# Dedup bucketing: bits scale with corpus size so the within-bucket
+# all-pairs work stays bounded as the corpus grows (bits = log2(n /
+# TARGET_BUCKET_SIZE), i.e. ~TARGET_BUCKET_SIZE vectors per bucket ->
+# ~TARGET_BUCKET_SIZE^2/2 pairs per bucket regardless of n). Floor of
+# DEDUP_MIN_BITS keeps tiny corpora selective; the ceiling is the
+# vector dimensionality (sign bits come from leading dims). The same
+# formula is computed in SQL inside the DuckDB oracle.
+DEDUP_MIN_BITS = 4
+TARGET_BUCKET_SIZE = 64
+
+
+def dedup_lsh_bits(n_vectors: int, n_dims: int) -> int:
+    import math
+
+    bits = max(
+        DEDUP_MIN_BITS,
+        math.ceil(math.log2(max(n_vectors, 1) / float(TARGET_BUCKET_SIZE))),
+    )
+    return min(bits, n_dims)
+
+
+def _bucket_expr_n(vec_col, bits: int):
+    return sum(
+        F.when(F.element_at(vec_col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(bits)
+    ).cast("int")
+
 
 def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates share a sign-bit
     LSH bucket (same partition at scale), verified with exact cosine
-    >= NEAR_DUP_THRESHOLD. The vector analogue of MinHash dedup."""
+    >= NEAR_DUP_THRESHOLD. The vector analogue of MinHash dedup.
+
+    The synthetic corpus has no true near-duplicates, so the input is
+    self-seeded with a re-keyed copy of every 50th vector (vec_id % 50 =
+    7 -> vec_id + 1000000, mirrored in the oracle): the pipeline is
+    validated against real cos=1.0 duplicate pairs."""
     from ..functions import l2_norm
 
-    emb = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = emb.unionAll(
+        emb.filter(F.col("vec_id") % 50 == 7).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    ).repartition(spark.sparkContext.defaultParallelism)
+    first = emb.select(
+        F.count(F.lit(1)), F.first(F.size("embedding"))
+    ).first()
+    bits = dedup_lsh_bits(first[0], first[1])
     # normalize once per vector: the pairwise kernel is then a bare dot
     # product instead of dot + two norms (3x less array math per pair)
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -159,7 +198,7 @@ def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = emb.select(
         "vec_id",
         F.transform(vd, lambda x: x / norm).alias("unit"),
-        _bucket_expr(F.col("embedding")).alias("bucket"),
+        _bucket_expr_n(F.col("embedding"), bits).alias("bucket"),
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
@@ -184,14 +223,29 @@ def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMB_DEDUP_SQL = f"""
-WITH bucketed AS (
+WITH seeded AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 50 = 7
+), params AS (
+  SELECT LEAST(
+           GREATEST({DEDUP_MIN_BITS},
+                    CAST(CEIL(LOG2(COUNT(*) / {float(TARGET_BUCKET_SIZE)})) AS INT)),
+           (SELECT len(embedding) FROM seeded LIMIT 1)
+         ) AS bits
+  FROM seeded
+), bucketed AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(x AS DOUBLE)
                 / sqrt(list_sum(list_transform(embedding,
                         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS unit,
-         {_bucket_sql('embedding')} AS bucket
-  FROM embeddings
+         CAST(list_sum(list_transform(range(1, (SELECT bits FROM params) + 1),
+              i -> CASE WHEN embedding[i] >= 0
+                        THEN CAST(POWER(2, i - 1) AS BIGINT) ELSE 0 END)) AS INT)
+           AS bucket
+  FROM seeded
 ), pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          list_sum(list_transform(range(1, len(a.unit) + 1),

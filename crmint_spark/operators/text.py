@@ -239,10 +239,18 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling hash over the word-hash sequence, folded JVM-side with
     ``F.aggregate`` — one pass per row, no shuffle until the tiny
     (fingerprint -> count) aggregation. Distinguishes permuted texts that
-    the sorted-token fingerprint (fingerprint_clusters) collapses."""
-    from ..functions import hash_str
+    the sorted-token fingerprint (fingerprint_clusters) collapses.
 
-    docs = load(spark, sf_dir, "documents")
+    The corpus has no identical word sequences, so the input is
+    self-seeded with a re-keyed copy of every 100th document
+    (doc_id % 100 = 9 -> doc_id + 1000000, mirrored in the oracle) to
+    validate the hash fold against real collisions."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.unionAll(
+        docs.filter(F.col("doc_id") % 100 == 9).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
     words = F.split(F.col("text"), " ")
     whs = F.transform(words, lambda w: F.pmod(
         F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"),
@@ -266,14 +274,18 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROLLING_FP_SQL = f"""
-WITH fp AS (
+WITH seeded AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 9
+), fp AS (
   SELECT doc_id,
          list_reduce(
            list_prepend(CAST(0 AS BIGINT),
              list_transform(string_split(text, ' '),
                w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % {ROLL_PRIME})),
            (acc, wh) -> (acc * {ROLL_BASE} + wh) % {ROLL_PRIME}) AS fingerprint
-  FROM documents
+  FROM seeded
 )
 SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_docs, fingerprint
 FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1

@@ -137,12 +137,16 @@ GROUP BY c_mktsegment
 def q04_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT IN subquery → LEFT ANTI join, minding NOT-IN null semantics
     (ref: output.sql:82-83). o_custkey is non-null here, so anti-join and
-    NOT IN agree."""
+    NOT IN agree. The subquery is date-restricted (customers with no
+    order since 1999) so the anti-join produces real rows at every test
+    SF — every customer has *some* order, which previously made this a
+    vacuous 0 = 0 oracle match."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     nation = load(spark, sf_dir, "nation")
+    recent = orders.filter(F.col("o_orderdate") >= "1999-01-01")
     no_orders = cust.join(
-        orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti"
+        recent.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti"
     )
     return (
         no_orders.join(F.broadcast(nation), no_orders.c_nationkey == nation.n_nationkey)
@@ -154,7 +158,8 @@ def q04_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q04_SQL = """
 SELECT n_name, COUNT(*) AS n_customers
 FROM customer JOIN nation ON c_nationkey = n_nationkey
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= DATE '1999-01-01')
 GROUP BY n_name
 """
 

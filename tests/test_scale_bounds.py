@@ -1,0 +1,54 @@
+"""Scale-safety bounds for the dedup operators: hot-shingle fan-out is
+capped and LSH bucket counts grow with the corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crmint_spark.operators.dedup import (
+    NGRAM_DF_CAP,
+    ngram_pairs_from_shingles,
+)
+from crmint_spark.operators.similarity import (
+    DEDUP_MIN_BITS,
+    dedup_lsh_bits,
+)
+
+
+def test_ngram_hot_shingle_fanout_capped(spark):
+    """A stopword shingle present in every document must not make the
+    inverted-index join quadratic: with the DF cap, a corpus of N docs
+    sharing ONE ubiquitous shingle (plus a distinctive one each)
+    produces zero candidate pairs from the hot shingle."""
+    n = 400
+    rows = [(i, 0) for i in range(n)]  # hot shingle hash 0 in every doc
+    rows += [(i, 1000 + i) for i in range(n)]  # unique shingle per doc
+    # one true near-dup pair sharing distinctive shingles
+    rows += [(7, 5001), (7, 5002), (9001, 5001), (9001, 5002), (9001, 1007)]
+    sh = spark.createDataFrame(rows, "doc_id long, sh long").distinct()
+    pairs = ngram_pairs_from_shingles(sh, df_cap=NGRAM_DF_CAP, threshold=0.3)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+    # the hot shingle (df=400 > 256) is excluded: doc 7 has {1007,5001,
+    # 5002}, doc 9001 has {5001,5002,1007} -> jaccard computed on capped
+    # sets; no pair exists solely via the hot shingle
+    assert (7, 9001) in got
+    assert all(a == 7 and b == 9001 for a, b in got)
+
+
+def test_ngram_cap_bounds_candidate_rows(spark):
+    """Candidate volume from any single shingle is <= cap^2/2."""
+    n = NGRAM_DF_CAP + 100  # one shingle above cap
+    sh = spark.createDataFrame(
+        [(i, 42) for i in range(n)], "doc_id long, sh long"
+    )
+    pairs = ngram_pairs_from_shingles(sh, threshold=0.0)
+    assert pairs.count() == 0  # the only shingle is hot -> no candidates
+
+
+def test_dedup_lsh_bits_scale_with_corpus():
+    assert dedup_lsh_bits(500, 64) == DEDUP_MIN_BITS
+    assert dedup_lsh_bits(2000, 64) == 5
+    assert dedup_lsh_bits(1_000_000, 64) == 14
+    assert dedup_lsh_bits(10_000_000_000, 64) == 28
+    # ceiling: vector dimensionality
+    assert dedup_lsh_bits(10_000_000_000, 16) == 16
