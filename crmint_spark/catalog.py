@@ -118,7 +118,19 @@ class Catalog:
         )
 
     def read(self, table_id: str) -> DataFrame:
-        return self.spark.read.parquet(self.path_for(table_id))
+        """Resolve a 3-part name to its parquet dir, else to the session
+        catalog / temp view it was registered under. The fallback is
+        what lets a CTAS from ``SparkSQLExecutor`` (which lands in the
+        Spark session catalog, not the parquet tree) feed a downstream
+        worker in the same pipeline — in the reference both are the
+        same BigQuery table (ref: bq_worker.py:61-66)."""
+        if self.exists(table_id):
+            return self.spark.read.parquet(self.path_for(table_id))
+        view = _safe_view_name(table_id)
+        try:
+            return self.spark.table(view)
+        except Exception:
+            raise ValueError(f"table not found: {table_id}") from None
 
     def register(self, table_id: str) -> str:
         """Make the table resolvable from SQL; returns the view name."""

@@ -91,23 +91,44 @@ def write_sized(
     ~target-sized partitions first.
     """
     if approx_row_bytes is None:
-        sample = df.limit(1000)
-        n = sample.count()
-        approx_row_bytes = 100 if n == 0 else max(
-            50,
-            int(
-                sample.rdd.map(lambda r: len(str(r))).sum() / max(n, 1)
-            ),
-        )
+        # schema-width estimate: zero jobs (the old implementation ran a
+        # 1000-row sample pass AND a full count() before the real write —
+        # at 100 TB that is two extra scans of the input)
+        approx_row_bytes = max(50, _schema_row_bytes(df.schema))
     rows_per_file = max(1000, (target_file_mb * 1024 * 1024) // approx_row_bytes)
-    total = df.count()
-    n_parts = max(1, int(total // rows_per_file) + (1 if total % rows_per_file else 0))
+    # partition count from Catalyst's size estimate (plan statistics, no
+    # extra scan); maxRecordsPerFile still bounds the upper end exactly
+    try:
+        est_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est_bytes = 0
+    target_bytes = target_file_mb * 1024 * 1024
+    n_parts = min(max(1, -(-est_bytes // target_bytes)), 100_000)
     (
         df.repartition(n_parts)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", rows_per_file)
         .parquet(path)
     )
+
+
+def _schema_row_bytes(schema) -> int:
+    """Rough serialized row width from the schema (strings/arrays use a
+    fixed guess — callers pass ``approx_row_bytes`` when they know
+    better)."""
+    from pyspark.sql import types as T
+
+    widths = {
+        T.ByteType: 1, T.ShortType: 2, T.IntegerType: 4, T.LongType: 8,
+        T.FloatType: 4, T.DoubleType: 8, T.BooleanType: 1,
+        T.DateType: 4, T.TimestampType: 8,
+    }
+    total = 0
+    for f in schema.fields:
+        total += widths.get(type(f.dataType), 32)
+    return total
 
 
 def cluster_write(

@@ -19,14 +19,19 @@ format (ref: backend/controller/pipeline/views.py:174-275):
 - per-job retry up to MAX_ATTEMPTS on transient exceptions;
   WorkerException is permanent (ref: jobs_app.py:90-103),
 - independent jobs run concurrently on a thread pool — Spark's
-  scheduler handles the parallel job groups (SURVEY §3 mapping).
+  scheduler handles the parallel job groups (SURVEY §3 mapping),
+- ``stop()`` reproduces Pipeline.stop/Job.stop (ref: models.py:252-259,
+  1043-1052): waiting jobs reset to idle and never start, running jobs
+  go to ``stopping`` and keep their terminal status when the in-flight
+  work completes; optionally the running jobs' Spark job groups are
+  cancelled for a fast abort.
 """
 
 from __future__ import annotations
 
 import enum
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -39,6 +44,7 @@ class Status(str, enum.Enum):
     IDLE = "idle"
     WAITING = "waiting"
     RUNNING = "running"
+    STOPPING = "stopping"
     SUCCEEDED = "succeeded"
     FAILED = "failed"
 
@@ -155,6 +161,68 @@ class PipelineRunner:
         self.ctx = ctx
         self.global_params = global_params or {}
         self.max_parallel = max_parallel
+        # stop()-visible execution state (ref: models.py:252-259)
+        self._lock = threading.Lock()
+        self._runs: dict[str, JobRun] = {}
+        self._pending: set[str] = set()
+        self._running = False
+        self._stop_requested = False
+        self._pipeline_name = ""
+
+    def _job_group(self, job_name: str) -> str:
+        return f"crmint:{self._pipeline_name}:{job_name}"
+
+    def stop(self, cancel_spark_jobs: bool = False) -> bool:
+        """Reference ``Pipeline.stop`` semantics (models.py:252-259 +
+        Job.stop models.py:1043-1052): returns False unless a run is in
+        flight; waiting jobs reset to idle and are never started;
+        running jobs move to ``stopping`` and take their natural
+        terminal status when the in-flight work completes
+        (models_tests.py: stop_succeeds_with_running -> SUCCEEDED).
+
+        With ``cancel_spark_jobs=True`` the running jobs' Spark job
+        groups are cancelled: in-flight actions abort and those jobs
+        fail fast instead of running to completion (the engine's
+        extension — BigQuery jobs in the reference always run out)."""
+        with self._lock:
+            if not self._running:
+                return False
+            self._stop_requested = True
+            for name in list(self._pending):
+                r = self._runs[name]
+                if r.status in (Status.WAITING, Status.IDLE):
+                    r.status = Status.IDLE
+                    self._pending.discard(name)
+            groups = []
+            for name, r in self._runs.items():
+                if r.status == Status.RUNNING:
+                    r.status = Status.STOPPING
+                    groups.append(self._job_group(name))
+        if cancel_spark_jobs and groups:
+            # one-shot cancel misses actions submitted a moment later
+            # (cancelJobGroup only aborts currently-active jobs), so keep
+            # re-cancelling until every stopping job has terminated
+            def _reaper() -> None:
+                import time
+
+                for _ in range(240):  # <= 60 s
+                    with self._lock:
+                        active = [
+                            self._job_group(name)
+                            for name, r in self._runs.items()
+                            if r.status == Status.STOPPING
+                        ]
+                    if not active:
+                        return
+                    for g in active:
+                        try:
+                            self.ctx.spark.sparkContext.cancelJobGroup(g)
+                        except Exception:
+                            pass
+                    time.sleep(0.25)
+
+            threading.Thread(target=_reaper, daemon=True).start()
+        return True
 
     def _render_job_params(
         self, pipeline: Pipeline, job: JobSpec, functions: InlineFunctions
@@ -177,10 +245,16 @@ class PipelineRunner:
         ref: models.py:295-311)."""
         runs = {name: JobRun(spec=spec) for name, spec in pipeline.jobs.items()}
         functions = InlineFunctions(self.ctx.spark)
-        lock = threading.Lock()
+        lock = self._lock
         pool = ThreadPoolExecutor(max_workers=self.max_parallel)
         pending: set[str] = set(runs)
         futures: dict[str, Any] = {}
+        with lock:
+            self._runs = runs
+            self._pending = pending
+            self._pipeline_name = pipeline.name
+            self._running = True
+            self._stop_requested = False
 
         def cond_fulfilled(sc: StartCondition) -> bool | None:
             """True/False once decidable, None while preceding active
@@ -197,7 +271,27 @@ class PipelineRunner:
         def execute_job(name: str) -> None:
             run = runs[name]
             spec = run.spec
-            attempts = max(spec.max_attempts, find_worker(spec.worker_class).MAX_ATTEMPTS)
+            try:
+                # thread-local: tags every Spark action of this job so
+                # stop(cancel_spark_jobs=True) can abort just this job
+                self.ctx.spark.sparkContext.setJobGroup(
+                    self._job_group(name),
+                    f"pipeline {pipeline.name} job {name}",
+                    interruptOnCancel=True,
+                )
+            except Exception:
+                pass  # no SparkContext (e.g. Connect) — cancel unsupported
+            try:
+                # resolved inside the failure boundary: an unknown
+                # worker_class in imported JSON marks THIS job failed
+                # instead of blowing up the whole runner
+                worker_cls = find_worker(spec.worker_class)
+            except Exception as e:
+                with lock:
+                    run.status = Status.FAILED
+                    run.error = f"unknown worker_class: {e}"
+                return
+            attempts = max(spec.max_attempts, worker_cls.MAX_ATTEMPTS)
             try:
                 params = self._render_job_params(pipeline, spec, functions)
             except Exception as e:  # param render error fails the job
@@ -208,9 +302,7 @@ class PipelineRunner:
             last_err: Exception | None = None
             for _ in range(max(attempts, 1)):
                 try:
-                    worker = find_worker(spec.worker_class)(
-                        params, self.ctx
-                    )
+                    worker = worker_cls(params, self.ctx)
                     subworkers = worker.execute()
                     run.log.extend(worker.log)
                     # inline sub-worker execution (reference enqueues;
@@ -220,6 +312,9 @@ class PipelineRunner:
                         sub.execute()
                         run.log.extend(sub.log)
                     with lock:
+                        # a STOPPING job that completes keeps its natural
+                        # terminal status (ref: models_tests.py
+                        # test_stop_succeeds_with_running)
                         run.status = Status.SUCCEEDED
                     return
                 except WorkerException as e:
@@ -233,9 +328,13 @@ class PipelineRunner:
 
         def schedule_ready() -> bool:
             """Start every startable job; returns True if progress is
-            still possible."""
+            still possible. No-op once stop was requested (stopped
+            pipelines never start dependent jobs, ref: models_tests.py
+            test_stopping_one_job_should_not_start_dependent_jobs)."""
             progressed = False
             with lock:
+                if self._stop_requested:
+                    return False
                 for name in list(pending):
                     run = runs[name]
                     decisions = [cond_fulfilled(sc) for sc in run.spec.start_conditions]
@@ -256,22 +355,34 @@ class PipelineRunner:
                     progressed = True
             return progressed
 
-        schedule_ready()
-        while futures:
-            done_name = None
-            for name, fut in list(futures.items()):
-                fut.result()  # blocks; any order is fine for correctness
-                done_name = name
-                del futures[name]
-                break
-            if done_name is not None:
+        try:
+            schedule_ready()
+            while True:
+                with lock:
+                    snapshot = dict(futures)
+                if not snapshot:
+                    if not schedule_ready():
+                        break
+                    continue
+                # first completion wakes the scheduler: successors of a
+                # fast job start immediately even while a slow sibling
+                # is still running
+                done, _ = wait(set(snapshot.values()), return_when=FIRST_COMPLETED)
+                with lock:
+                    for name in [n for n, f in snapshot.items() if f in done]:
+                        futures.pop(name, None)
                 schedule_ready()
-        # drain any jobs that became schedulable at the very end
-        while schedule_ready():
-            for name, fut in list(futures.items()):
-                fut.result()
-                del futures[name]
-        pool.shutdown(wait=True)
+            with lock:
+                # stop() resets un-started jobs to idle; anything still
+                # waiting when the DAG drains ends idle too
+                for name in list(pending):
+                    if runs[name].status in (Status.WAITING, Status.IDLE):
+                        runs[name].status = Status.IDLE
+                        pending.discard(name)
+        finally:
+            with lock:
+                self._running = False
+            pool.shutdown(wait=True)
         return runs
 
     @staticmethod

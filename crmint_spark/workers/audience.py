@@ -59,7 +59,16 @@ class AudiencesUpdater(Worker):
     """Table -> audience JSON -> insert/update ops via transport."""
 
     PARAMS = [
-        ("source_table", "string", True, "", "audience config table"),
+        ("source_table", "string", False, "", "audience config table"),
+        # reference addressing (ref: ga_audiences_updater.py:34-37,
+        # ga_audiences_updater_ga4.py:29-32)
+        ("bq_project_id", "string", False, "", "BQ Project ID"),
+        ("bq_dataset_id", "string", False, "", "BQ Dataset ID"),
+        ("bq_table_id", "string", False, "", "BQ Table ID"),
+        ("bq_dataset_location", "string", False, "", "unused, reference-compat"),
+        ("account_id", "string", False, "", "reference-compat, transport config"),
+        ("property_id", "string", False, "", "reference-compat, transport config"),
+        ("ga_property_id", "string", False, "", "reference-compat, transport config"),
         ("template", "text", True, "", "audience JSON template"),
         ("name_key", "string", False, "name", "identity field"),
     ]
@@ -68,7 +77,7 @@ class AudiencesUpdater(Worker):
         t = self._ctx.transport
         if t is None:
             raise WorkerException("AudiencesUpdater needs an injected transport")
-        rows = self._ctx.catalog.read(self._params["source_table"]).collect()
+        rows = self._ctx.catalog.read(self._source_table()).collect()
         rendered = [
             render_row_template(self._params["template"], r.asDict()) for r in rows
         ]
@@ -101,7 +110,7 @@ class GA4AudiencesUpdater(AudiencesUpdater):
         t = self._ctx.transport
         if t is None:
             raise WorkerException("AudiencesUpdater needs an injected transport")
-        rows = self._ctx.catalog.read(self._params["source_table"]).collect()
+        rows = self._ctx.catalog.read(self._source_table()).collect()
         rendered = [
             render_row_template(self._params["template"], r.asDict()) for r in rows
         ]

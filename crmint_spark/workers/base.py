@@ -58,3 +58,21 @@ class Worker:
 
     def _execute(self) -> None:  # pragma: no cover - abstract
         raise NotImplementedError
+
+    def _source_table(self) -> str:
+        """Source table id from either the engine's ``source_table``
+        param or the reference's ``bq_project_id``/``bq_dataset_id``/
+        ``bq_table_id`` triple (project optional — ref:
+        bq_to_storage_exporter.py:26-33, ga_audiences_updater.py:34-36),
+        so exported reference pipeline JSON runs unchanged."""
+        if self._params.get("source_table"):
+            return self._params["source_table"]
+        ds = self._params.get("bq_dataset_id")
+        tbl = self._params.get("bq_table_id")
+        if ds and tbl:
+            proj = self._params.get("bq_project_id")
+            return ".".join(p for p in (proj, ds, tbl) if p)
+        raise WorkerException(
+            "missing required param: source_table "
+            "(or bq_dataset_id + bq_table_id)"
+        )

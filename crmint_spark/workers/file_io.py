@@ -90,7 +90,11 @@ class FileImporter(Worker):
 
 class FileExporter(Worker):
     PARAMS = [
-        ("source_table", "string", True, "", "proj.ds.table"),
+        ("source_table", "string", False, "", "proj.ds.table"),
+        # reference addressing (ref: bq_to_storage_exporter.py:26-33)
+        ("bq_project_id", "string", False, "", "BQ Project ID"),
+        ("bq_dataset_id", "string", False, "", "BQ Dataset ID"),
+        ("bq_table_id", "string", False, "", "BQ Table ID"),
         ("destination_uri", "string", True, "", "output dir"),
         ("export_json", "boolean", False, False, "NDJSON instead of CSV"),
         ("export_gzip", "boolean", False, False, "gzip compression"),
@@ -98,7 +102,8 @@ class FileExporter(Worker):
     ]
 
     def _execute(self) -> None:
-        df = self._ctx.catalog.read(self._params["source_table"])
+        source = self._source_table()
+        df = self._ctx.catalog.read(source)
         writer = df.write.mode("overwrite")
         if self._params["export_gzip"]:
             writer = writer.option("compression", "gzip")
@@ -109,7 +114,7 @@ class FileExporter(Worker):
                 self._params["destination_uri"]
             )
         self.log_info(
-            f"exported {self._params['source_table']} -> {self._params['destination_uri']}"
+            f"exported {source} -> {self._params['destination_uri']}"
         )
 
 

@@ -56,8 +56,19 @@ def _push_partition(
 class JsonTemplateSink(Worker):
     """Generic table -> templated-JSON -> batched transport sink."""
 
+    # the reference's BQ-triple addressing is accepted everywhere a
+    # source_table is (ref: bq_to_measurement_protocol_ga4.py:50-54,
+    # bq_to_ads_offline_click_conversion.py:50-65)
+    BQ_COMPAT_PARAMS = [
+        ("bq_project_id", "string", False, "", "BQ Project ID"),
+        ("bq_dataset_id", "string", False, "", "BQ Dataset ID"),
+        ("bq_table_id", "string", False, "", "BQ Table ID"),
+        ("bq_dataset_location", "string", False, "", "unused, reference-compat"),
+    ]
+
     PARAMS = [
-        ("source_table", "string", True, "", "proj.ds.table"),
+        ("source_table", "string", False, "", "proj.ds.table"),
+        *BQ_COMPAT_PARAMS,
         ("template", "text", True, "", "JSON string.Template"),
         ("batch_size", "number", False, MP_BATCH_SIZE_DEFAULT, "rows per request"),
         ("partitions", "number", False, 0, "repartition count (0 = leave)"),
@@ -68,7 +79,8 @@ class JsonTemplateSink(Worker):
         transport = self._ctx.transport
         if transport is None:
             raise WorkerException("JsonTemplateSink needs an injected transport")
-        df = self._ctx.catalog.read(self._params["source_table"])
+        source = self._source_table()
+        df = self._ctx.catalog.read(source)
         if self._params["partitions"]:
             df = df.repartition(int(self._params["partitions"]))
         template = self._params["template"]
@@ -77,7 +89,7 @@ class JsonTemplateSink(Worker):
         df.foreachPartition(
             lambda rows: _push_partition(rows, template, batch_size, transport, wrap_key)
         )
-        self.log_info(f"streamed {self._params['source_table']} to transport")
+        self.log_info(f"streamed {source} to transport")
 
 
 class BQToMeasurementProtocolGA4(JsonTemplateSink):
@@ -86,7 +98,10 @@ class BQToMeasurementProtocolGA4(JsonTemplateSink):
     ``events`` envelope; debug mode targets the validation endpoint."""
 
     PARAMS = [
-        ("source_table", "string", True, "", "proj.ds.table"),
+        ("source_table", "string", False, "", "proj.ds.table"),
+        *JsonTemplateSink.BQ_COMPAT_PARAMS,
+        ("measurement_id", "string", False, "", "reference-compat, transport config"),
+        ("api_secret", "string", False, "", "reference-compat, transport config"),
         ("template", "text", True, "", "MP event JSON template"),
         ("mp_batch_size", "number", False, MP_BATCH_SIZE_DEFAULT, "batch"),
         ("debug", "boolean", False, False, "validation endpoint"),
@@ -105,7 +120,8 @@ class BQToAdsOfflineClickConversion(JsonTemplateSink):
     per request, partial-failure semantics left to the transport."""
 
     PARAMS = [
-        ("source_table", "string", True, "", "proj.ds.table"),
+        ("source_table", "string", False, "", "proj.ds.table"),
+        *JsonTemplateSink.BQ_COMPAT_PARAMS,
         ("template", "text", True, "", "ClickConversion JSON template"),
         ("customer_id", "string", False, "", "Ads customer id"),
     ]

@@ -184,6 +184,63 @@ def test_file_exporter_csv_gzip(ctx, tmp_path):
     assert files
 
 
+def test_file_exporter_reference_bq_params(ctx, tmp_path):
+    """The reference addresses the source via bq_project_id/bq_dataset_id/
+    bq_table_id (ref: bq_to_storage_exporter.py:26-33); exported pipeline
+    JSON must run unchanged."""
+    _seed_table(ctx, "p.d.refexp", [(1, "x"), (2, "y")], "id long, s string")
+    out = tmp_path / "refout"
+    w = find_worker("BQToStorageExporter")(
+        {
+            "bq_project_id": "p",
+            "bq_dataset_id": "d",
+            "bq_table_id": "refexp",
+            "destination_uri": str(out),
+            "export_json": True,
+        },
+        ctx,
+    )
+    w.execute()
+    assert ctx.spark.read.json(str(out)).count() == 2
+    # neither addressing form -> loud failure, not an empty-dir read
+    with pytest.raises(WorkerException, match="source_table"):
+        find_worker("BQToStorageExporter")(
+            {"destination_uri": str(out)}, ctx
+        ).execute()
+
+
+def test_exporter_reads_script_ctas_output(ctx, tmp_path):
+    """CTAS from SparkSQLExecutor lands in the Spark session catalog;
+    Catalog.read must fall back to it so a script job can feed a
+    downstream exporter in one pipeline (BigQuery-catalog semantics)."""
+    _seed_table(ctx, "p.d.ctas_src", [(1, "a"), (2, "b")], "id long, tag string")
+    view = ctx.catalog.register("p.d.ctas_src")
+    find_worker("BQScriptExecutor")(
+        {
+            "script": (
+                "CREATE OR REPLACE TABLE `p.d.ctas_out` AS "
+                f"SELECT id, tag FROM {view} WHERE id = 2"
+            ),
+            "dry_run": False,
+        },
+        ctx,
+    ).execute()
+    out = tmp_path / "ctasout"
+    find_worker("BQToStorageExporter")(
+        {
+            "bq_dataset_id": "p.d",
+            "bq_table_id": "ctas_out",
+            "destination_uri": str(out),
+            "export_json": True,
+        },
+        ctx,
+    ).execute()
+    got = ctx.spark.read.json(str(out)).collect()
+    assert [(r["id"], r["tag"]) for r in got] == [(2, "b")]
+    with pytest.raises(ValueError, match="not found"):
+        ctx.catalog.read("p.d.never_created")
+
+
 # -- streaming sink ---------------------------------------------------------
 
 
