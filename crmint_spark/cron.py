@@ -50,29 +50,27 @@ def parse_cron(expr: str) -> dict[str, set[int] | None]:
 
 
 def cron_matches(expr: str, when: datetime) -> bool:
-    """Minute-resolution match (ref: cron_utils.py:54-75). day-of-month
-    and day-of-week combine with OR when both are restricted, per
-    standard cron."""
+    """Minute-resolution match. ALL five fields must match — including
+    day-of-month AND day-of-week when both are restricted
+    (ref: cron_utils.py:65-72 ``all(conditions)``). This deliberately
+    diverges from vixie-cron's dom/dow OR rule to keep schedule parity
+    with the reference: a pipeline scheduled ``0 0 1 * 1`` there fires
+    only on Mondays that are also the 1st."""
     spec = parse_cron(expr)
     # python weekday(): Monday=0 ... Sunday=6; cron: Sunday=0
+    # (ref: cron_utils.py:64 isoweekday with 7 -> 0)
     dow = (when.weekday() + 1) % 7
     checks = {
         "minute": when.minute,
         "hour": when.hour,
+        "day_of_month": when.day,
         "month": when.month,
+        "day_of_week": dow,
     }
-    for name, actual in checks.items():
-        allowed = spec[name]
-        if allowed is not None and actual not in allowed:
-            return False
-    dom_spec, dow_spec = spec["day_of_month"], spec["day_of_week"]
-    if dom_spec is None and dow_spec is None:
-        return True
-    if dom_spec is not None and dow_spec is not None:
-        return when.day in dom_spec or dow in dow_spec
-    if dom_spec is not None:
-        return when.day in dom_spec
-    return dow in dow_spec
+    return all(
+        spec[name] is None or actual in spec[name]
+        for name, actual in checks.items()
+    )
 
 
 def due_pipelines(

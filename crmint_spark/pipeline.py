@@ -235,7 +235,11 @@ class PipelineRunner:
         context = layer_contexts(self.global_params, pipeline_ctx)
         rendered: dict[str, Any] = {}
         for p in job.params:
-            text = render(str(p.get("value", "")), context, functions)
+            raw = p.get("value", "")
+            if isinstance(raw, list):  # JSON array value: render per element
+                text: Any = [render(str(v), context, functions) for v in raw]
+            else:
+                text = render(str(raw), context, functions)
             rendered[p["name"]] = worker_value(p.get("type", "string"), text)
         return rendered
 

@@ -52,17 +52,28 @@ class InlineFunctions:
         return (self._now - datetime.strptime(date_str, fmt)).days
 
     def bigquery(self, table_id: str, field_name: str) -> str:
-        """First-row field lookup with session-scoped cache
-        (ref: inline.py:51-80); list values joined by newline."""
+        """First-row field lookup with session-scoped cache. Error
+        parity with the reference (inline.py:51-80): missing table,
+        empty table, and unknown field all raise ValueError so a config
+        typo fails the job loudly instead of rendering ''."""
         key = f"{table_id}"
         if key not in self._bq_cache:
             if self._spark is None:
                 raise RuntimeError("no SparkSession bound for bigquery() inline")
             from .catalog import _safe_view_name
 
-            rows = self._spark.table(_safe_view_name(table_id)).limit(1).collect()
-            self._bq_cache[key] = rows[0].asDict() if rows else {}
-        value = self._bq_cache[key].get(field_name)
+            try:
+                rows = self._spark.table(_safe_view_name(table_id)).limit(1).collect()
+            except Exception as e:
+                raise ValueError(f"BigQuery table `{table_id}` not found") from e
+            if not rows:
+                raise ValueError(f"BigQuery table `{table_id}` is empty")
+            self._bq_cache[key] = rows[0].asDict()
+        if field_name not in self._bq_cache[key]:
+            raise ValueError(
+                f"No field '{field_name}' in BigQuery table `{table_id}`"
+            )
+        value = self._bq_cache[key][field_name]
         if isinstance(value, list):
             return "\n".join(str(v) for v in value)
         return "" if value is None else str(value)
@@ -114,7 +125,13 @@ def worker_value(ptype: str, rendered: str) -> Any:
     if ptype == "number":
         return parse_number(rendered)
     if ptype == "string_list":
+        # reference stores lists as newline-joined text (models.py:1106);
+        # imported JSON may carry a real array — accept both
+        if isinstance(rendered, list):
+            return [str(v) for v in rendered]
         return [line for line in rendered.split("\n") if line]
     if ptype == "number_list":
+        if isinstance(rendered, list):
+            return [parse_number(str(v)) for v in rendered]
         return [parse_number(line) for line in rendered.split("\n") if line]
     return rendered  # sql / text / string raw

@@ -24,6 +24,67 @@ from ..schema import parse_schema
 from .base import Worker, WorkerException
 
 
+def _offset_after_lines(path: str, n_lines: int, chunk: int = 65536) -> int:
+    """Byte offset just past the ``n_lines``-th newline — reads only the
+    file head, not the file."""
+    seen = 0
+    off = 0
+    with open(path, "rb") as f:
+        while seen < n_lines:
+            buf = f.read(chunk)
+            if not buf:
+                return off  # fewer than n_lines lines: skip everything
+            i = 0
+            while seen < n_lines:
+                j = buf.find(b"\n", i)
+                if j < 0:
+                    off += len(buf) - i
+                    break
+                off += j - i + 1
+                i = j + 1
+                seen += 1
+    return off
+
+
+def _lines_skipping(spark, uris: list[str], n_skip: int):
+    """RDD of CSV lines with the first ``n_skip`` lines of EACH file
+    dropped (ref: storage_to_bq_importer.py skip_leading_rows; Spark's
+    header option can only skip one). The driver reads just each file's
+    head to find the byte offset of line N, then the distributed read
+    filters Hadoop ``(offset, line)`` pairs — large files stay split
+    across executors and no extra pass over the data is made."""
+    import glob as _glob
+
+    sc = spark.sparkContext
+    paths: list[str] = []
+    for u in uris:
+        paths.extend(sorted(_glob.glob(u)) or [u])
+    rdds = []
+    for p in paths:
+        try:
+            skip_off = _offset_after_lines(p, n_skip)
+        except OSError:
+            # non-local path the driver can't head-read: exact per-file
+            # line indices instead (costs one extra pass over this file)
+            rdds.append(
+                sc.textFile(p)
+                .zipWithIndex()
+                .filter(lambda kv, n=n_skip: kv[1] >= n)
+                .map(lambda kv: kv[0])
+            )
+            continue
+        pairs = sc.newAPIHadoopFile(
+            p,
+            "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+            "org.apache.hadoop.io.LongWritable",
+            "org.apache.hadoop.io.Text",
+        )
+        rdds.append(
+            pairs.filter(lambda kv, o=skip_off: kv[0] >= o).map(lambda kv: kv[1])
+        )
+    return sc.union(rdds)
+
+
 class FileImporter(Worker):
     PARAMS = [
         ("source_uris", "string_list", True, None, "file globs"),
@@ -52,12 +113,10 @@ class FileImporter(Worker):
                 "columnNameOfCorruptRecord", "_corrupt"
             ).json(uris)
         else:
+            n_skip = int(self._params["csv_skip_leading_rows"])
             reader = (
                 spark.read.option("mode", "PERMISSIVE")
                 .option("columnNameOfCorruptRecord", "_corrupt")
-                .option("header", self._params["csv_skip_leading_rows"] > 0)
-                .option("multiLine", True)  # quoted newlines tolerated
-                .option("escape", '"')
             )
             if self._params["csv_null_marker"] is not None:
                 reader = reader.option("nullValue", self._params["csv_null_marker"])
@@ -65,7 +124,19 @@ class FileImporter(Worker):
                 reader = reader.schema(schema)
             else:
                 reader = reader.option("inferSchema", True)
-            df = reader.csv(uris)
+            if n_skip > 1:
+                # BigQuery skip_leading_rows=N skips N rows per file;
+                # Spark's header option can only skip one, so feed the
+                # parser a per-file line stream with the first N dropped
+                # (quoted embedded newlines unsupported on this path)
+                df = reader.csv(_lines_skipping(spark, uris, n_skip))
+            else:
+                df = (
+                    reader.option("header", n_skip > 0)
+                    .option("multiLine", True)  # quoted newlines tolerated
+                    .option("escape", '"')
+                    .csv(uris)
+                )
 
         if "_corrupt" in df.columns:
             df = df.cache()

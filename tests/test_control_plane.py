@@ -162,11 +162,12 @@ def test_inline_hours_ago_and_legacy_combo():
 # -- cron -------------------------------------------------------------------
 
 
-def test_cron_dow_dom_or_semantics():
-    # standard cron: when both day fields are restricted they OR
-    # 2024-01-01 is a Monday (dow=1)
-    assert cron.cron_matches("0 0 15 * 1", datetime(2024, 1, 1, 0, 0))  # dow hit
-    assert cron.cron_matches("0 0 1 * 3", datetime(2024, 1, 1, 0, 0))  # dom hit
+def test_cron_dow_dom_and_semantics():
+    # the reference ANDs all five fields (cron_utils.py:65-72), unlike
+    # vixie cron's dom/dow OR; 2024-01-01 is a Monday (dow=1)
+    assert cron.cron_matches("0 0 1 * 1", datetime(2024, 1, 1, 0, 0))  # both hit
+    assert not cron.cron_matches("0 0 15 * 1", datetime(2024, 1, 1, 0, 0))  # dom miss
+    assert not cron.cron_matches("0 0 1 * 3", datetime(2024, 1, 1, 0, 0))  # dow miss
     assert not cron.cron_matches("0 0 15 * 3", datetime(2024, 1, 1, 0, 0))
     # sunday is 0
     assert cron.cron_matches("0 0 * * 0", datetime(2024, 1, 7, 0, 0))

@@ -49,3 +49,21 @@ def test_inline_bigquery_function(spark):
     fns = InlineFunctions(spark)
     out = render("{{ bigquery('p.d.greeting', 'msg') }}-{{ bigquery('p.d.greeting', 'id') }}", {}, fns)
     assert out == "hello-7"
+
+
+def test_inline_bigquery_error_parity(spark):
+    """Reference raises ValueError on missing table / empty table /
+    unknown field (inline.py:51-80) — config typos must fail loudly."""
+    import pytest
+
+    spark.createDataFrame([(1,)], "id long").limit(0).createOrReplaceTempView(
+        "p__d__empty"
+    )
+    fns = InlineFunctions(spark)
+    with pytest.raises(ValueError, match="not found"):
+        fns.bigquery("p.d.no_such_table", "x")
+    with pytest.raises(ValueError, match="is empty"):
+        fns.bigquery("p.d.empty", "id")
+    spark.createDataFrame([(7,)], "id long").createOrReplaceTempView("p__d__one")
+    with pytest.raises(ValueError, match="No field 'nope'"):
+        fns.bigquery("p.d.one", "nope")

@@ -116,6 +116,29 @@ def test_sql_executor_ctas_ddl(ctx):
 # -- file io ----------------------------------------------------------------
 
 
+def test_sql_executor_dry_run_bqml(ctx):
+    """Dry run must validate BQML statements via their inner SELECT
+    instead of handing CREATE MODEL to spark.sql (ParseException)."""
+    _seed_table(
+        ctx, "p.d.train", [(1.0, 0), (2.0, 1)], "f double, label int"
+    )
+    view = ctx.catalog.register("p.d.train")
+    w = find_worker("BQScriptExecutor")(
+        {
+            "script": (
+                "CREATE OR REPLACE MODEL `p.d.m` "
+                "OPTIONS(MODEL_TYPE='LOGISTIC_REG', INPUT_LABEL_COLS=['label']) "
+                f"AS SELECT f, label FROM {view}; "
+                f"SELECT * FROM ML.PREDICT(MODEL `p.d.m`, (SELECT f FROM {view}))"
+            ),
+            "dry_run": True,
+        },
+        ctx,
+    )
+    w.execute()
+    assert sum("dry run OK" in line for line in w.log) == 2
+
+
 def test_file_importer_csv_roundtrip(ctx, tmp_path):
     src = tmp_path / "in.csv"
     src.write_text("id,name\n1,alpha\n2,beta\n3,\n")
@@ -152,6 +175,26 @@ def test_file_importer_multi_file_glob(ctx, tmp_path):
         ctx,
     ).execute()
     assert ctx.catalog.read("p.d.globbed").count() == 3
+
+
+def test_file_importer_skip_leading_rows_gt1(ctx, tmp_path):
+    """BigQuery skip_leading_rows=N skips N rows per file; Spark's
+    header option only skips one — N>1 must really drop N per file."""
+    (tmp_path / "s1.csv").write_text("file one preamble\nid,name\n1,a\n2,b\n")
+    (tmp_path / "s2.csv").write_text("file two preamble\nid,name\n3,c\n")
+    find_worker("StorageToBQImporter")(
+        {
+            "source_uris": [str(tmp_path / "s*.csv")],
+            "destination_table": "p.d.skipped",
+            "csv_skip_leading_rows": 2,
+            "schema": json.dumps(
+                [{"name": "id", "type": "INT64"}, {"name": "name", "type": "STRING"}]
+            ),
+        },
+        ctx,
+    ).execute()
+    rows = {tuple(r) for r in ctx.catalog.read("p.d.skipped").collect()}
+    assert rows == {(1, "a"), (2, "b"), (3, "c")}
 
 
 def test_file_importer_ndjson_and_null_marker(ctx, tmp_path):
