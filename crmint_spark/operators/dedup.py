@@ -145,7 +145,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bands carry the full signature (8 longs), so the estimated Jaccard
     # is computed inside the band join itself — one shuffle join on
     # (band, band_key) instead of band-join + two signature re-joins.
-    sig = minhash_signatures(spark, sf_dir)
+    # persist: both join sides derive from the signatures; without it the
+    # shingle explode + 8-way MIN aggregation runs twice (8 longs/doc —
+    # cacheable at any corpus size)
+    sig = minhash_signatures(spark, sf_dir).persist()
     n_mh = len(MINHASH_SEEDS)
     mh_cols = [f"mh{i}" for i in range(n_mh)]
     # one pass: explode the 4 band keys per signature row (a union of 4
@@ -347,17 +350,16 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .select("doc_id", hash_str(F.col("w")).alias("wh"))
     )
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("wh"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"v{i}")
+    # SUM of the masked bit (plus one shared COUNT) instead of a
+    # SUM(CASE +1/-1) per bit: ~3x cheaper in codegen, identical
+    # semantics (vote sum > 0  <=>  2*ones > count; ties -> 0)
+    ones = [
+        F.sum(F.shiftright(F.col("wh"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
         for i in range(SIMHASH_BITS)
     ]
-    agg = words.groupBy("doc_id").agg(*votes)
+    agg = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt"), *ones)
     sig = sum(
-        F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        F.when(F.col(f"b{i}") * 2 > F.col("cnt"), F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(SIMHASH_BITS)
     )
     return agg.select("doc_id", sig.cast("bigint").alias("simhash"))
@@ -371,7 +373,10 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join at scale; here with 16 bits we join on the shared blocks and
     verify the exact distance with bit_count.
     """
-    sig = simhash_signatures(spark, sf_dir)
+    # persist: the self-join would otherwise run the 48-bit vote
+    # aggregation once per side. The signature table is ~16 B/doc —
+    # trivially cacheable at any corpus size (MEMORY_AND_DISK spills)
+    sig = simhash_signatures(spark, sf_dir).persist()
     # 3 blocks of 16 bits: distance<=2 pigeonholes into >=1 equal block.
     # Single-pass explode (a union of per-block selects would recompute
     # the signature aggregation per block).

@@ -195,11 +195,14 @@ def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # product instead of dot + two norms (3x less array math per pair)
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = l2_norm(F.col("embedding"))
+    # persist: both join sides derive from this — without it the scan +
+    # normalization runs once per side (unit vectors are the same size
+    # as the input embeddings; MEMORY_AND_DISK spills at scale)
     bucketed = emb.select(
         "vec_id",
         F.transform(vd, lambda x: x / norm).alias("unit"),
         _bucket_expr_n(F.col("embedding"), bits).alias("bucket"),
-    )
+    ).persist()
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     dot = F.aggregate(
