@@ -631,6 +631,86 @@ def _rewrite_backtick_tables(sql: str, resolver=None) -> str:
     return re.sub(r"`([A-Za-z0-9_\-.*]+)`", repl, sql)
 
 
+# BigQuery -> Spark SQL type spellings (used in UDF signatures; the
+# CAST spellings are handled separately in transpile_statement)
+_BQ_TYPE_MAP = (
+    ("INT64", "BIGINT"),
+    ("FLOAT64", "DOUBLE"),
+    ("BOOL", "BOOLEAN"),
+    ("BYTES", "BINARY"),
+    ("BIGNUMERIC", "DECIMAL(38, 18)"),
+    ("NUMERIC", "DECIMAL(38, 9)"),
+    ("DATETIME", "TIMESTAMP_NTZ"),
+)
+
+
+def _map_bq_types(fragment: str) -> str:
+    for bq, sp in _BQ_TYPE_MAP:
+        fragment = re.sub(rf"\b{bq}\b", sp, fragment, flags=re.IGNORECASE)
+    return fragment
+
+
+_TEMP_FN_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+FUNCTION\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?(`?[\w.\-]+`?)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_temp_function(sql: str) -> str:
+    """BigQuery ``CREATE TEMP FUNCTION f(a INT64) [RETURNS T] AS (expr)``
+    -> Spark 4 SQL UDF ``CREATE OR REPLACE TEMPORARY FUNCTION f(a BIGINT)
+    [RETURNS T'] RETURN expr`` (the reference's BQScriptExecutor
+    explicitly supports scripts that create UDFs,
+    ref: bq_script_executor.py:26-36). JS UDFs have no Spark analogue."""
+    m = _TEMP_FN_RE.match(sql)
+    if not m:
+        return sql
+    if re.search(r"\bLANGUAGE\s+js\b", sql, re.IGNORECASE):
+        raise ValueError(
+            "JavaScript UDFs are not supported (SQL-expression UDFs only)"
+        )
+    name = m.group(1).strip("`").replace(".", "__")
+    open_idx = sql.index("(", m.end() - 1)
+    params_end = _balanced_end(sql, open_idx)
+    if params_end < 0:
+        return sql
+    params = _map_bq_types(sql[open_idx + 1 : params_end - 1])
+    if re.search(r"\bANY\s+TYPE\b", params, re.IGNORECASE):
+        raise ValueError("templated ANY TYPE UDF parameters are not supported")
+    rest = sql[params_end:]
+    returns = ""
+    m_ret = re.match(r"\s*RETURNS\s+(.+?)\s+AS\s*\(", rest, re.IGNORECASE | re.DOTALL)
+    if m_ret:
+        returns = f" RETURNS {_map_bq_types(m_ret.group(1).strip())}"
+        body_open = params_end + m_ret.end() - 1
+    else:
+        m_as = re.match(r"\s*AS\s*\(", rest, re.IGNORECASE)
+        if not m_as:
+            return sql
+        body_open = params_end + m_as.end() - 1
+    body_end = _balanced_end(sql, body_open)
+    if body_end < 0:
+        return sql
+    body = sql[body_open + 1 : body_end - 1].strip()
+    return (
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params})"
+        f"{returns} RETURN {body}"
+    )
+
+
+def _rewrite_create_view(sql: str) -> str:
+    """``CREATE [OR REPLACE] VIEW `p.d.v` AS q`` -> temporary view (the
+    engine's catalog registers all relations as session views; a Spark
+    permanent view cannot reference them)."""
+    return re.sub(
+        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+",
+        "CREATE OR REPLACE TEMPORARY VIEW ",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
 def transpile_statement(sql: str, resolver=None) -> str:
     """Apply all BigQuery->Spark rewrites to one statement.
 
@@ -638,6 +718,8 @@ def transpile_statement(sql: str, resolver=None) -> str:
     ``__TABLES_SUMMARY__`` relations (supplied by the executor's
     catalog; defaults to a pure name mapping)."""
     out = sql
+    out = _rewrite_temp_function(out)
+    out = _rewrite_create_view(out)
     # BigQuery UI dialect markers
     out = re.sub(r"^\s*#\s*(standardSQL|legacySQL)\b", "", out, flags=re.IGNORECASE)
     # BigQuery allows unordered ranking windows (ROW_NUMBER() OVER());
@@ -663,6 +745,8 @@ def transpile_statement(sql: str, resolver=None) -> str:
     out = _rewrite_string_agg(out)
     out = re.sub(r"\bAS\s+NUMERIC\b", "AS DECIMAL(38, 9)", out, flags=re.IGNORECASE)
     out = re.sub(r"\bAS\s+BIGNUMERIC\b", "AS DECIMAL(38, 18)", out, flags=re.IGNORECASE)
+    # BigQuery type spellings in CAST / UDF bodies (INT64, FLOAT64, ...)
+    out = _map_bq_types(out)
     return out
 
 

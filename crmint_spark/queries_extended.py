@@ -107,6 +107,42 @@ WHERE o_orderkey <= (SELECT MIN(o_orderkey) + 500 FROM orders)
 """
 
 
+def q33_script_udf_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-UDF + view DDL in one script — the BQScriptExecutor surface
+    the reference names explicitly (UDFs and views via DDL,
+    ref: bq_script_executor.py:26-36): CREATE TEMP FUNCTION becomes a
+    Spark 4 SQL UDF, CREATE OR REPLACE VIEW a session view, and the
+    final SELECT consumes both."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE TEMP FUNCTION price_band(p FLOAT64) RETURNS INT64
+      AS (CAST(FLOOR(p / 100) AS INT64));
+    CREATE OR REPLACE VIEW `tmp.ds.banded` AS
+      SELECT p_brand, price_band(CAST(p_retailprice AS FLOAT64)) AS band
+      FROM part;
+    SELECT p_brand, band, COUNT(*) AS n
+    FROM `tmp.ds.banded`
+    GROUP BY p_brand, band
+    HAVING COUNT(*) > 1
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q33_SQL = """
+SELECT p_brand,
+       CAST(FLOOR(CAST(p_retailprice AS DOUBLE) / 100) AS BIGINT) AS band,
+       COUNT(*) AS n
+FROM part
+GROUP BY p_brand, band
+HAVING COUNT(*) > 1
+"""
+
+
 def q21_latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Latest shard' discovery: the reference finds the newest events_*
     shard via MAX(table_id) over __TABLES_SUMMARY__ (ref: output.sql:2-19);
@@ -628,6 +664,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q31_rollup": (q31_rollup, Q31_SQL),
     "q32_pivot_monthly": (q32_pivot_monthly, Q32_SQL),
+    "q33_script_udf_view": (q33_script_udf_view, Q33_SQL),
     "pipeline_sql_e2e": (pipeline_sql_e2e, PIPELINE_E2E_SQL),
     "ml_train_predict": (ml_train_predict, None),
     "streaming_sessionize": (streaming_sessionize, None),

@@ -129,6 +129,34 @@ def test_transpile_rewrites():
     assert "proj__ds__tbl" in dialect.transpile_statement("SELECT * FROM `proj.ds.tbl`")
 
 
+def test_transpile_temp_function_and_view():
+    # scripts may create SQL UDFs (ref: bq_script_executor.py:26-36)
+    out = dialect.transpile_statement(
+        "CREATE TEMP FUNCTION ratio(a INT64, b INT64) AS (SAFE_DIVIDE(a, b))"
+    )
+    assert out == (
+        "CREATE OR REPLACE TEMPORARY FUNCTION ratio(a BIGINT, b BIGINT)"
+        " RETURN try_divide(a, b)"
+    )
+    out = dialect.transpile_statement(
+        "CREATE OR REPLACE TEMP FUNCTION `p.d.f`(x FLOAT64) RETURNS NUMERIC AS (x * 2)"
+    )
+    assert out.startswith(
+        "CREATE OR REPLACE TEMPORARY FUNCTION p__d__f(x DOUBLE)"
+        " RETURNS DECIMAL(38, 9) RETURN"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="JavaScript"):
+        dialect.transpile_statement(
+            'CREATE TEMP FUNCTION j(x INT64) RETURNS INT64 LANGUAGE js AS "return x"'
+        )
+    out = dialect.transpile_statement(
+        "CREATE OR REPLACE VIEW `p.d.v` AS SELECT 1 AS a"
+    )
+    assert out == "CREATE OR REPLACE TEMPORARY VIEW p__d__v AS SELECT 1 AS a"
+
+
 def test_declare_set_classification():
     kind, m = dialect.classify_statement("DECLARE x INT64 DEFAULT 5")
     assert kind == "declare" and m.group(1) == "x" and m.group(2) == "5"

@@ -116,6 +116,28 @@ def test_sql_executor_ctas_ddl(ctx):
 # -- file io ----------------------------------------------------------------
 
 
+def test_sql_executor_temp_function_and_view_script(ctx):
+    """A script creating a SQL UDF + view and using both downstream
+    (ref: bq_script_executor.py:26-36 names UDF/view DDL as supported)."""
+    _seed_table(ctx, "p.d.vals", [(1, 4), (2, 0)], "a long, b long")
+    view = ctx.catalog.register("p.d.vals")
+    w = find_worker("BQScriptExecutor")(
+        {
+            "script": f"""
+            CREATE TEMP FUNCTION ratio(x INT64, y INT64) AS (SAFE_DIVIDE(x, y));
+            CREATE OR REPLACE VIEW `p.d.ratios` AS
+              SELECT a, ratio(a, b) AS r FROM {view};
+            SELECT a, r FROM `p.d.ratios` WHERE r IS NOT NULL
+            """,
+            "dry_run": False,
+        },
+        ctx,
+    )
+    w.execute()
+    rows = [tuple(r) for r in w.result.collect()]
+    assert rows == [(1, 0.25)]
+
+
 def test_sql_executor_dry_run_bqml(ctx):
     """Dry run must validate BQML statements via their inner SELECT
     instead of handing CREATE MODEL to spark.sql (ParseException)."""
