@@ -76,6 +76,21 @@ def create_app(engine: Engine) -> Flask:
             }
         )
 
+    @app.post("/api/pipelines/<name>/stop")
+    def stop_pipeline(name: str):
+        """Reference POST /pipelines/<id>/stop (ref: pipeline/views.py,
+        models.py:252-259): False when the pipeline has no run in
+        flight."""
+        if name not in engine.pipelines:
+            return jsonify({"error": "not found"}), 404
+        stopped = engine.stop(
+            name,
+            cancel_spark_jobs=bool(
+                (request.get_json(silent=True) or {}).get("cancel_spark_jobs")
+            ),
+        )
+        return jsonify({"stopped": stopped})
+
     @app.post("/api/ml-models")
     def register_ml_model():
         data = request.get_json(force=True)

@@ -35,10 +35,15 @@ class Engine:
         self.ctx = WorkerContext(
             spark=spark, catalog=self.catalog, transport=transport
         )
-        self.runner = PipelineRunner(self.ctx, global_params or {})
+        self.global_params = global_params or {}
+        self.runner = PipelineRunner(self.ctx, self.global_params)
         self.pipelines: dict[str, Pipeline] = {}
         self.schedules: dict[str, list[str]] = {}
         self.run_on_schedule: dict[str, bool] = {}
+        # per-pipeline in-flight state for start_async/stop
+        self._active: dict[str, PipelineRunner] = {}
+        self._threads: dict[str, Any] = {}
+        self._results: dict[str, dict[str, JobRun]] = {}
 
     # -- pipeline CRUD (ref: pipeline/views.py) ---------------------------
     def add_pipeline(
@@ -68,6 +73,42 @@ class Engine:
 
     def status(self, runs: dict[str, JobRun]) -> Status:
         return PipelineRunner.pipeline_status(runs)
+
+    def start_async(self, name: str) -> None:
+        """Background start, the reference's enqueue-and-return shape
+        (ref: pipeline/views.py start → task queue). Each run gets its
+        own PipelineRunner so concurrent pipelines don't share stop
+        state; results land in ``wait(name)``."""
+        import threading
+
+        pipeline = self.pipelines[name]
+        runner = PipelineRunner(self.ctx, self.global_params)
+        self._active[name] = runner
+        self._results.pop(name, None)
+
+        def _run() -> None:
+            try:
+                self._results[name] = runner.run(pipeline)
+            finally:
+                self._active.pop(name, None)
+
+        t = threading.Thread(target=_run, daemon=True)
+        self._threads[name] = t
+        t.start()
+
+    def stop(self, name: str, cancel_spark_jobs: bool = False) -> bool:
+        """Reference ``Pipeline.stop`` (models.py:252-259) over the
+        in-flight run; False when the pipeline isn't running."""
+        runner = self._active.get(name)
+        return bool(runner and runner.stop(cancel_spark_jobs=cancel_spark_jobs))
+
+    def wait(self, name: str, timeout: float | None = None) -> dict[str, JobRun] | None:
+        """Join a start_async run; returns its job results (None while
+        still running)."""
+        t = self._threads.get(name)
+        if t is not None:
+            t.join(timeout)
+        return self._results.get(name)
 
     def start_scheduled(self, when: datetime | None = None) -> dict[str, dict[str, JobRun]]:
         """The scheduled-start sweep (ref: starter/views.py:34-80):

@@ -223,7 +223,9 @@ shingled AS (
 )"""
 
 
-def minhash_lsh_sql() -> str:
+def _minhash_pairs_sql_parts() -> tuple[str, str]:
+    """(cte_list, final_select) of the DuckDB minhash-pairs query, so
+    callers can also wrap the pairs as a CTE (clusters oracle)."""
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {band} AS band, "
         "CAST(mh{c0} AS VARCHAR) || '_' || CAST(mh{c1} AS VARCHAR) AS band_key "
@@ -234,22 +236,26 @@ def minhash_lsh_sql() -> str:
         f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
         for i in range(len(MINHASH_SEEDS))
     )
-    return f"""
-WITH {_minhash_sql_core()},
+    ctes = f"""{_minhash_sql_core()},
 bands AS (
 {band_selects}
 ), cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
   FROM bands l JOIN bands r
     ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-)
-SELECT doc_a, doc_b,
+)"""
+    final = f"""SELECT doc_a, doc_b,
        ROUND(({match_expr}) / {float(len(MINHASH_SEEDS))}, 4) AS est_jaccard
 FROM cand
 JOIN sig sa ON cand.doc_a = sa.doc_id
 JOIN sig sb ON cand.doc_b = sb.doc_id
-WHERE ROUND(({match_expr}) / {float(len(MINHASH_SEEDS))}, 4) >= 0.5
-"""
+WHERE ROUND(({match_expr}) / {float(len(MINHASH_SEEDS))}, 4) >= 0.5"""
+    return ctes, final
+
+
+def minhash_lsh_sql() -> str:
+    ctes, final = _minhash_pairs_sql_parts()
+    return f"\nWITH {ctes}\n{final}\n"
 
 
 # Inverted-index fan-out bound: a shingle present in K docs contributes
@@ -447,4 +453,93 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pairs -> clusters: the step that turns near-dup evidence into an
+# actionable dedup decision (keep one representative per component).
+
+
+def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation: every node's label becomes the minimum label
+    in its neighborhood until a fixpoint. Converges in O(component
+    diameter) rounds — near-dup components are shallow (stars/cliques
+    around a source document), so a handful of shuffles in practice; the
+    alternating large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") is the drop-in
+    upgrade if diameters ever grow.
+
+    Each round is one shuffle join + one groupBy MIN, all on the node
+    id; labels are persisted per round and the previous round is
+    unpersisted, so peak storage is 2 x (one long per node).
+
+    Returns (doc_id, cluster_id) where cluster_id is the smallest doc_id
+    in the component.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("s").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges["d"] == labels["doc_id"])
+            .select(F.col("s").alias("doc_id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_min)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if not changed:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters from the MinHash-LSH pairs: every doc that
+    appears in a pair, labeled with its component's smallest doc_id (the
+    canonical representative a dedup pass would keep)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    return connected_components(pairs)
+
+
+def dedup_clusters_sql() -> str:
+    """DuckDB oracle: transitive closure of the same pairs via a
+    recursive CTE, min reachable id per doc."""
+    ctes, final = _minhash_pairs_sql_parts()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({final}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+FROM reach GROUP BY a
 """

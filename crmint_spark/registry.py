@@ -29,6 +29,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (dedup.minhash_lsh_pairs, dedup.minhash_lsh_sql()),
     "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
     "dedup_simhash": (dedup.simhash_pairs, dedup.simhash_pairs_sql()),
+    "dedup_clusters": (dedup.dedup_clusters, dedup.dedup_clusters_sql()),
     "dedup_embedding_cosine": (similarity.embedding_dedup_pairs, similarity.EMB_DEDUP_SQL),
     "text_rolling_fingerprint": (text.rolling_fingerprint, text.ROLLING_FP_SQL),
     # similarity search family

@@ -68,6 +68,62 @@ def test_pipeline_crud_and_start(client):
     assert client.get("/api/pipelines/nope").status_code == 404
 
 
+def test_pipeline_stop_endpoint(client):
+    client.post("/api/pipelines", json=PIPELINE)
+    # not running -> stopped False (ref: test_stop_fails_if_not_running)
+    res = client.post("/api/pipelines/api_pipeline/stop")
+    assert res.status_code == 200 and res.get_json() == {"stopped": False}
+    assert client.post("/api/pipelines/nope/stop").status_code == 404
+
+
+def test_engine_start_async_and_stop(spark, tmp_path):
+    """Engine.start_async + stop reproduce the reference's enqueue/stop
+    pair: a gated running job finishes with its natural status, its
+    dependent never starts."""
+    import threading
+
+    from crmint_spark.engine import Engine
+    from crmint_spark.pipeline import Pipeline, Status
+    from crmint_spark.workers import WORKERS
+    from crmint_spark.workers.base import Worker
+
+    gate = threading.Event()
+    started = threading.Event()
+
+    class _EngGate(Worker):
+        def _execute(self) -> None:
+            started.set()
+            assert gate.wait(timeout=30)
+
+    WORKERS["EngGate"] = _EngGate
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.import_pipeline(
+        {
+            "name": "gated",
+            "jobs": [
+                {"name": "slow", "worker_class": "EngGate", "params": []},
+                {
+                    "name": "after",
+                    "worker_class": "Commenter",
+                    "params": [{"name": "comment", "type": "text", "value": "x"}],
+                    "hash_start_conditions": [
+                        {"preceding_job": "slow", "condition": "success"}
+                    ],
+                },
+            ],
+        }
+    )
+    assert eng.stop("gated") is False
+    eng.start_async("gated")
+    assert started.wait(10)
+    assert eng.stop("gated") is True
+    gate.set()
+    runs = eng.wait("gated", timeout=30)
+    assert runs is not None
+    assert runs["slow"].status == Status.SUCCEEDED
+    assert runs["after"].status == Status.IDLE
+
+
 def test_ml_model_registration_endpoint(client):
     res = client.post(
         "/api/ml-models",

@@ -52,3 +52,24 @@ def test_dedup_lsh_bits_scale_with_corpus():
     assert dedup_lsh_bits(10_000_000_000, 64) == 28
     # ceiling: vector dimensionality
     assert dedup_lsh_bits(10_000_000_000, 16) == 16
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation must traverse a diameter-4 chain (multiple
+    rounds) and keep disjoint components separate."""
+    from crmint_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5 (as scattered ids), island {10,11}, singleton-pair {20,21}
+        [(5, 2), (2, 9), (9, 4), (4, 7), (10, 11), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (2, 2), (4, 2), (5, 2), (7, 2), (9, 2),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20),
+    }
