@@ -309,3 +309,83 @@ SELECT label, COUNT(*) AS n_vectors,
        ROUND(AVG(norm), 4) AS avg_norm
 FROM norms GROUP BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# Int8 symmetric quantization: the storage/serving compression step for
+# embedding tables (scale = max|x|/127, q = round-half-up(x/scale)).
+# All per-row JVM HOF arithmetic — the only shuffle is the final tiny
+# per-label rollup, and the shuffle rows carry scalars, never vectors.
+# Cross-engine note: round-half-up is spelled floor(x + 0.5) so both
+# engines compute the identical IEEE-double sequence; error sums use a
+# left fold (F.aggregate / list_reduce) so addition order matches.
+
+QUANT_LEVELS = 127
+
+
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label accounting of int8 quantization: quantized-value
+    checksums plus mean absolute reconstruction error — the quality
+    gate run before swapping a float32 ANN index for an int8 one."""
+    emb = load(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    scale = maxabs / QUANT_LEVELS
+    q = F.transform(vec, lambda x: F.floor(x / scale + 0.5))
+    q_sum = F.aggregate(q, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    q_l1 = F.aggregate(
+        q, F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)
+    )
+    err = F.aggregate(
+        F.zip_with(q, vec, lambda qi, xi: F.abs(qi * scale - xi)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / F.size(vec)
+    per_vec = emb.select(
+        "label",
+        q_sum.alias("q_sum"),
+        q_l1.alias("q_l1"),
+        err.alias("err"),
+        scale.alias("scale"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("q_sum").cast("bigint").alias("sum_q"),
+        F.sum("q_l1").cast("bigint").alias("sum_q_l1"),
+        F.round(F.avg("err"), 6).alias("avg_abs_err"),
+        F.round(F.avg("scale"), 6).alias("avg_scale"),
+    )
+
+
+QUANT_SQL = f"""
+WITH per_vec AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           / {QUANT_LEVELS} AS scale
+  FROM embeddings
+), quant AS (
+  SELECT label, vec, scale,
+         list_transform(vec, x -> floor(x / scale + 0.5)) AS q
+  FROM per_vec
+), checks AS (
+  SELECT label, scale,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(q, x -> CAST(x AS BIGINT))),
+              (a, x) -> a + x) AS BIGINT) AS q_sum,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(q, x -> CAST(abs(x) AS BIGINT))),
+              (a, x) -> a + x) AS BIGINT) AS q_l1,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip(q, vec),
+                p -> abs(p[1] * scale - p[2]))),
+              (a, x) -> a + x) / len(vec) AS err
+  FROM quant
+)
+SELECT label, COUNT(*) AS n_vectors,
+       CAST(SUM(q_sum) AS BIGINT) AS sum_q,
+       CAST(SUM(q_l1) AS BIGINT) AS sum_q_l1,
+       ROUND(AVG(err), 6) AS avg_abs_err,
+       ROUND(AVG(scale), 6) AS avg_scale
+FROM checks GROUP BY label
+"""

@@ -290,3 +290,150 @@ WITH seeded AS (
 SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_docs, fingerprint
 FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
 """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: the redaction pass every training corpus gets before the
+# tokenizer. Regexes are JVM-side regexp_replace/regexp_count (RE2-safe
+# subset: character classes only, no lookaround) so the oracle computes
+# the identical counts. The synthetic corpus has no PII, so a
+# deterministic slice (doc_id % 10 = 0) is seeded with an email and a
+# phone number built from the doc_id — mirrored in the oracle — to prove
+# the patterns actually fire.
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"555-[0-9]{4}"
+
+
+def _seeded_pii_text():
+    return F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and strip email/phone PII per source: regexp_count for the
+    hit accounting, chained regexp_replace for the redacted text; the
+    chars-removed delta proves the replacement ran. Per-row JVM regex —
+    no shuffle until the tiny per-source rollup."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    seeded = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 0, _seeded_pii_text()).otherwise(
+            F.col("text")
+        ),
+    )
+    n_emails = F.regexp_count("text", F.lit(EMAIL_RE)).cast("bigint")
+    n_phones = F.regexp_count("text", F.lit(PHONE_RE)).cast("bigint")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    per_doc = seeded.select(
+        "source",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        (F.length("text") - F.length(redacted)).cast("bigint").alias("chars_removed"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_emails") + F.col("n_phones") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_pii"),
+        F.sum("n_emails").cast("bigint").alias("total_emails"),
+        F.sum("n_phones").cast("bigint").alias("total_phones"),
+        F.sum("chars_removed").cast("bigint").alias("total_chars_removed"),
+    )
+
+
+PII_SQL = rf"""
+WITH seeded AS (
+  SELECT source,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+              ELSE text END AS text
+  FROM documents
+), per_doc AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+         CAST(length(text) - length(
+           regexp_replace(regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{PHONE_RE}', '[PHONE]', 'g')) AS BIGINT) AS chars_removed
+  FROM seeded
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_pii,
+       CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+       CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+       CAST(SUM(chars_removed) AS BIGINT) AS total_chars_removed
+FROM per_doc GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed-token-budget packs, the
+# step that turns a cleaned corpus into training shards. Packing is done
+# independently per source (window PARTITION BY source), so the only
+# shuffle is on the source key and no global single-partition window
+# exists — at 100 TB each source packs in parallel; use a finer shard key
+# (source, date) if one source dominates.
+
+PACK_TOKEN_BUDGET = 512
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous greedy packing by running token count: docs are laid
+    out in doc_id order within each source and pack k holds the docs
+    whose preceding cumulative token count falls in
+    [k*budget, (k+1)*budget) — deterministic, one window + one groupBy."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_doc = docs.select("source", "doc_id", tokens.alias("n_tokens"))
+    packed = per_doc.withColumn(
+        "pack_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_TOKEN_BUDGET
+        ).cast("bigint"),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
+
+
+PACKING_SQL = f"""
+WITH per_doc AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(floor(COALESCE(CAST(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           / {PACK_TOKEN_BUDGET}.0) AS BIGINT) AS pack_id
+  FROM per_doc
+)
+SELECT source, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+FROM packed GROUP BY source, pack_id
+"""

@@ -43,6 +43,12 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "text_token_counts": (text.token_counts, text.TOKEN_COUNTS_SQL),
     "text_fingerprint": (text.fingerprint_clusters, text.FINGERPRINT_SQL),
     "text_normalize": (text.normalize_corpus, text.NORMALIZE_SQL),
+    "text_pii_redaction": (text.pii_redaction, text.PII_SQL),
+    "text_sequence_packing": (text.sequence_packing, text.PACKING_SQL),
+    "embedding_quantization": (
+        similarity.embedding_quantization,
+        similarity.QUANT_SQL,
+    ),
 }
 
 for _name, (_fn, _sql) in EXTENSION_QUERIES.items():
