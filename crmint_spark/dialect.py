@@ -45,7 +45,9 @@ reference's generated SQL actually uses (SURVEY §2.2 / §4):
 
 from __future__ import annotations
 
+import datetime
 import re
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 _STRFTIME_TO_SPARK = [
@@ -227,6 +229,80 @@ def _rewrite_cast_date_format(sql: str) -> str:
     )
 
 
+_ARRAY_TYPE_PREFIX_RE = re.compile(r"\bARRAY\s*<[\w<>, ]*>\s*$", re.IGNORECASE)
+
+# A "[" after one of these words is an array literal, not a subscript of
+# an identifier ("SELECT [1,2]", "WHEN x THEN [..]", "IN UNNEST([..])").
+_KEYWORDS_BEFORE_ARRAY_LITERAL = frozenset(
+    "SELECT WHEN THEN ELSE END AS IN AND OR NOT BY ON WHERE HAVING "
+    "UNION ALL DISTINCT DEFAULT SET RETURN RETURNS BETWEEN LIKE IS "
+    "COALESCE IF IFNULL NULLIF USING VALUES".split()
+)
+
+
+def _rewrite_array_literals(sql: str) -> str:
+    """BigQuery array literals ``[a, b, c]`` / ``ARRAY<T>[a, b, c]`` ->
+    ``array(a, b, c)``. A ``[`` directly after an identifier, ``)``,
+    ``]`` or backtick is a subscript (``x[OFFSET(i)]``) and is left
+    alone — BigQuery has no other bracket syntax."""
+    out: list[str] = []
+    pos = 0
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            i = _skip_string(sql, i)
+            continue
+        if ch != "[":
+            i += 1
+            continue
+        j = i - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        prev = sql[j] if j >= 0 else ""
+        typed = None
+        if prev == ">":
+            m = _ARRAY_TYPE_PREFIX_RE.search(sql, 0, j + 1)
+            if m and m.end() == j + 1:
+                typed = m
+        if typed is None and prev and (prev.isalnum() or prev in "_)]`"):
+            if prev.isalnum() or prev == "_":
+                w_end = j + 1
+                w_start = j
+                while w_start > 0 and (
+                    sql[w_start - 1].isalnum() or sql[w_start - 1] == "_"
+                ):
+                    w_start -= 1
+                word = sql[w_start:w_end].upper()
+            else:
+                word = ""
+            if word not in _KEYWORDS_BEFORE_ARRAY_LITERAL:
+                i += 1
+                continue  # subscript
+        depth, k = 0, i
+        while k < n:
+            c = sql[k]
+            if c in ("'", '"', "`"):
+                k = _skip_string(sql, k)
+                continue
+            if c == "[":
+                depth += 1
+            elif c == "]":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        if k >= n:
+            i += 1
+            continue  # unbalanced — leave as-is
+        inner = _rewrite_array_literals(sql[i + 1 : k])
+        out.append(sql[pos : typed.start() if typed else i])
+        out.append(f"array({inner})")
+        pos = i = k + 1
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def _rewrite_offset_ordinal(sql: str) -> str:
     sql = re.sub(
         r"\[\s*OFFSET\s*\(\s*(\d+)\s*\)\s*\]",
@@ -361,6 +437,205 @@ def _rewrite_string_agg(sql: str) -> str:
         )
         out.append(sql[pos:start])
         out.append(agg)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+# Everyday BigQuery scalar/aggregate functions whose Spark twin differs
+# only by name. Applied word-bounded and only when followed by "(", so
+# e.g. FORMAT( matches but FORMAT_DATE( (handled structurally above)
+# does not. Spark twins verified against the Spark 4 function registry.
+_FN_RENAMES: list[tuple[str, str]] = [
+    ("SAFE_CAST", "TRY_CAST"),
+    ("COUNTIF", "count_if"),
+    ("LOGICAL_AND", "bool_and"),
+    ("LOGICAL_OR", "bool_or"),
+    ("ARRAY_LENGTH", "size"),
+    ("STRPOS", "instr"),
+    ("STARTS_WITH", "startswith"),
+    ("ENDS_WITH", "endswith"),
+    # BigQuery's scalar JSON extractors all map to get_json_object
+    # (string out — the JSON-typed variants lose their JSON type, which
+    # Spark doesn't have as a column type)
+    ("JSON_EXTRACT_SCALAR", "get_json_object"),
+    ("JSON_VALUE", "get_json_object"),
+    ("JSON_EXTRACT", "get_json_object"),
+    ("JSON_QUERY", "get_json_object"),
+    ("TO_JSON_STRING", "to_json"),
+    ("GENERATE_ARRAY", "sequence"),
+    ("GENERATE_DATE_ARRAY", "sequence"),
+    ("ARRAY_TO_STRING", "array_join"),
+    ("ARRAY_CONCAT", "concat"),
+    ("ARRAY_REVERSE", "reverse"),
+    ("BYTE_LENGTH", "octet_length"),
+    ("FORMAT", "format_string"),
+    ("SAFE_ADD", "try_add"),
+    ("SAFE_SUBTRACT", "try_subtract"),
+    ("SAFE_MULTIPLY", "try_multiply"),
+]
+
+
+def _sub_outside_strings(sql: str, sub: Callable[[str], str]) -> str:
+    """Apply ``sub`` to the segments of ``sql`` outside quoted strings/
+    backticks, leaving literal contents untouched."""
+    out: list[str] = []
+    seg_start = 0
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] in ("'", '"', "`"):
+            out.append(sub(sql[seg_start:i]))
+            lit_end = _skip_string(sql, i)
+            out.append(sql[i:lit_end])
+            i = seg_start = lit_end
+            continue
+        i += 1
+    out.append(sub(sql[seg_start:]))
+    return "".join(out)
+
+
+def _rewrite_fn_renames(sql: str) -> str:
+    def sub(seg: str) -> str:
+        for bq, spark_fn in _FN_RENAMES:
+            seg = re.sub(rf"\b{bq}\s*\(", f"{spark_fn}(", seg, flags=re.IGNORECASE)
+        return re.sub(
+            r"\bCURRENT_DATETIME\s*\(\s*\)", "current_timestamp()", seg,
+            flags=re.IGNORECASE,
+        )
+
+    return _sub_outside_strings(sql, sub)
+
+
+_DIFF_PARTS = {
+    "DAY", "WEEK", "MONTH", "QUARTER", "YEAR",
+    "HOUR", "MINUTE", "SECOND", "MILLISECOND", "MICROSECOND",
+}
+
+
+def _rewrite_datetime_diff(sql: str) -> str:
+    """``DATE_DIFF/DATETIME_DIFF/TIMESTAMP_DIFF(end, start, PART)`` ->
+    ``timestampdiff(PART, start, end)`` (BigQuery leads with the end
+    point; Spark leads with the unit). WEEK keeps Spark's whole-weeks
+    meaning — BigQuery counts Sunday boundaries crossed; scripts that
+    depend on boundary counting should diff DATE_TRUNC(.., WEEK) days."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, _fn in _iter_calls(
+        sql, ("DATE_DIFF", "DATETIME_DIFF", "TIMESTAMP_DIFF")
+    ):
+        args = _split_top_level(sql[open_idx + 1 : end - 1])
+        if len(args) != 3 or args[2].strip().upper() not in _DIFF_PARTS:
+            continue
+        a = _rewrite_datetime_diff(args[0].strip())
+        b = _rewrite_datetime_diff(args[1].strip())
+        out.append(sql[pos:start])
+        out.append(f"timestampdiff({args[2].strip().upper()}, {b}, {a})")
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_datetime_trunc(sql: str) -> str:
+    """``DATE_TRUNC(d, PART)`` -> ``CAST(date_trunc('PART', d) AS DATE)``
+    (BigQuery returns DATE); ``DATETIME_TRUNC/TIMESTAMP_TRUNC(x, PART)``
+    -> ``date_trunc('PART', x)``. BigQuery puts the unit second, Spark
+    first and quoted."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, fn in _iter_calls(
+        sql, ("DATE_TRUNC", "DATETIME_TRUNC", "TIMESTAMP_TRUNC")
+    ):
+        args = _split_top_level(sql[open_idx + 1 : end - 1])
+        if len(args) != 2 or not re.fullmatch(r"\s*\w+\s*", args[1]):
+            continue
+        part = args[1].strip().upper()
+        expr = _rewrite_datetime_trunc(args[0].strip())
+        base = f"date_trunc('{part}', {expr})"
+        if fn == "date_trunc":
+            base = f"CAST({base} AS DATE)"
+        out.append(sql[pos:start])
+        out.append(base)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_parse_datetime(sql: str) -> str:
+    """``PARSE_DATE('%fmt', s)`` -> ``to_date(s, 'spark fmt')``;
+    PARSE_TIMESTAMP/PARSE_DATETIME -> to_timestamp. Reuses the strftime
+    -> SimpleDateFormat table from FORMAT_DATE."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, fn in _iter_calls(
+        sql, ("PARSE_DATE", "PARSE_TIMESTAMP", "PARSE_DATETIME")
+    ):
+        args = _split_top_level(sql[open_idx + 1 : end - 1])
+        if len(args) != 2:
+            continue
+        fmt_raw = args[0].strip()
+        if not (fmt_raw[:1] in "'\"" and fmt_raw[-1:] == fmt_raw[:1]):
+            continue
+        fmt = _strftime_to_spark(fmt_raw[1:-1])
+        target = "to_date" if fn == "parse_date" else "to_timestamp"
+        out.append(sql[pos:start])
+        out.append(f"{target}({args[1].strip()}, '{fmt}')")
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_arith_fns(sql: str) -> str:
+    """Two-arg arithmetic spellings Spark writes as operators or casts:
+    ``DIV(x, y)`` -> ``(x DIV y)``; ``IEEE_DIVIDE(x, y)`` -> IEEE double
+    division (inf/nan, never an error); ``UNIX_DATE(d)`` /
+    ``DATE_FROM_UNIX_DATE(n)`` -> epoch-day arithmetic."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, fn in _iter_calls(
+        sql, ("DIV", "IEEE_DIVIDE", "UNIX_DATE", "DATE_FROM_UNIX_DATE")
+    ):
+        args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : end - 1])]
+        if fn == "div" and len(args) == 2:
+            repl = f"({args[0]} DIV {args[1]})"
+        elif fn == "ieee_divide" and len(args) == 2:
+            # Spark ANSI division errors on /0 for every numeric type;
+            # IEEE wants x/0 -> ±Inf and 0/0 -> NaN, which x * Inf
+            # reproduces exactly (negative-zero divisor maps to +Inf,
+            # the one edge BigQuery would sign-flip)
+            x = f"CAST({args[0]} AS DOUBLE)"
+            y = f"CAST({args[1]} AS DOUBLE)"
+            repl = (
+                f"(CASE WHEN {y} = 0.0D THEN {x} * CAST('Infinity' AS DOUBLE)"
+                f" ELSE {x} / {y} END)"
+            )
+        elif fn == "unix_date" and len(args) == 1:
+            repl = f"datediff({args[0]}, DATE'1970-01-01')"
+        elif fn == "date_from_unix_date" and len(args) == 1:
+            repl = f"date_add(DATE'1970-01-01', CAST({args[0]} AS INT))"
+        else:
+            continue
+        out.append(sql[pos:start])
+        out.append(repl)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_approx_quantiles(sql: str) -> str:
+    """``APPROX_QUANTILES(x, n)`` (n literal) -> ``approx_percentile(x,
+    array(0, 1/n, ..., 1))`` — same n+1-point quantile vector shape."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, _fn in _iter_calls(sql, ("APPROX_QUANTILES",)):
+        args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : end - 1])]
+        if len(args) != 2 or not args[1].isdigit():
+            continue
+        n = int(args[1])
+        if not 1 <= n <= 1000:
+            continue
+        fracs = ", ".join(f"{i}/{n}D" for i in range(n + 1))
+        out.append(sql[pos:start])
+        out.append(f"approx_percentile({args[0]}, array({fracs}))")
         pos = end
     out.append(sql[pos:])
     return "".join(out)
@@ -732,6 +1007,7 @@ def transpile_statement(sql: str, resolver=None) -> str:
     out = _rewrite_backtick_tables(out, resolver)
     out = _rewrite_select_except(out)
     out = _rewrite_cast_date_format(out)
+    out = _rewrite_array_literals(out)
     out = _rewrite_offset_ordinal(out)
     out = _rewrite_format_date(out)
     out = _rewrite_interval_arith(out)
@@ -743,6 +1019,12 @@ def transpile_statement(sql: str, resolver=None) -> str:
         r"\bGENERATE_UUID\s*\(\s*\)", "uuid()", out, flags=re.IGNORECASE
     )
     out = _rewrite_string_agg(out)
+    out = _rewrite_datetime_diff(out)
+    out = _rewrite_datetime_trunc(out)
+    out = _rewrite_parse_datetime(out)
+    out = _rewrite_arith_fns(out)
+    out = _rewrite_approx_quantiles(out)
+    out = _rewrite_fn_renames(out)
     out = re.sub(r"\bAS\s+NUMERIC\b", "AS DECIMAL(38, 9)", out, flags=re.IGNORECASE)
     out = re.sub(r"\bAS\s+BIGNUMERIC\b", "AS DECIMAL(38, 18)", out, flags=re.IGNORECASE)
     # BigQuery type spellings in CAST / UDF bodies (INT64, FLOAT64, ...)
@@ -853,6 +1135,12 @@ class ScriptContext:
                         lit = "'" + value.replace("'", "\\'") + "'"
                     elif value is None:
                         lit = "NULL"
+                    elif isinstance(value, bool):
+                        lit = "TRUE" if value else "FALSE"
+                    elif isinstance(value, datetime.datetime):
+                        lit = f"TIMESTAMP '{value}'"
+                    elif isinstance(value, datetime.date):
+                        lit = f"DATE '{value}'"
                     else:
                         lit = str(value)
                     out.append(sql[pos:i])

@@ -73,15 +73,20 @@ class ModelRegistry:
 
 
 def _parse_options(opts: str) -> dict:
-    """OPTIONS(...) k=v parser: strings, numbers, ['list','items']."""
+    """OPTIONS(...) k=v parser: strings, numbers, ['list','items'] (also
+    in the transpiled ``array('items')`` spelling — the dialect's
+    array-literal rewrite runs before BQML interception)."""
     out: dict = {}
     for m in re.finditer(
-        r"(\w+)\s*=\s*(\[[^\]]*\]|'[^']*'|\"[^\"]*\"|[\w.]+)", opts
+        r"(\w+)\s*=\s*(\[[^\]]*\]|array\s*\([^)]*\)|'[^']*'|\"[^\"]*\"|[\w.]+)",
+        opts,
+        re.IGNORECASE,
     ):
         key, raw = m.group(1).upper(), m.group(2).strip()
-        if raw.startswith("["):
+        if raw.startswith("[") or raw.lower().startswith("array"):
+            inner = raw[raw.index("(") + 1 : -1] if raw.lower().startswith("array") else raw[1:-1]
             out[key] = [
-                v.strip().strip("'\"") for v in raw[1:-1].split(",") if v.strip()
+                v.strip().strip("'\"") for v in inner.split(",") if v.strip()
             ]
         elif raw[0] in "'\"":
             out[key] = raw.strip("'\"")

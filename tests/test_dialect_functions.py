@@ -1,0 +1,124 @@
+"""Everyday BigQuery function surface through the transpiler: each case
+is a BigQuery expression a reference user could have in a script,
+evaluated via transpile_statement + spark.sql and checked by value.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from crmint_spark.dialect import transpile_statement
+
+# (BigQuery expression, expected value)
+CASES = [
+    # SAFE_* family -> try_*
+    ("SAFE_CAST('12x' AS INT64)", None),
+    ("SAFE_CAST('12' AS INT64)", 12),
+    ("SAFE_ADD(9223372036854775807, 1)", None),
+    ("SAFE_MULTIPLY(3, 4)", 12),
+    ("SAFE_SUBTRACT(3, 4)", -1),
+    ("SAFE_DIVIDE(1, 0)", None),
+    # conditional aggregates (scalar via single-row FROM below)
+    ("COUNTIF(1 < 2)", 1),
+    ("LOGICAL_AND(TRUE)", True),
+    ("LOGICAL_OR(FALSE)", False),
+    # arrays
+    ("ARRAY_LENGTH([1, 2, 3])", 3),
+    ("ARRAY_TO_STRING(['a', 'b'], '-')", "a-b"),
+    ("ARRAY_CONCAT([1], [2, 3])", [1, 2, 3]),
+    ("ARRAY_REVERSE([1, 2])", [2, 1]),
+    ("GENERATE_ARRAY(1, 4)", [1, 2, 3, 4]),
+    (
+        "GENERATE_DATE_ARRAY(DATE '2024-01-01', DATE '2024-01-03')",
+        [datetime.date(2024, 1, d) for d in (1, 2, 3)],
+    ),
+    # strings
+    ("STRPOS('banana', 'na')", 3),
+    ("STARTS_WITH('spark', 'sp')", True),
+    ("ENDS_WITH('spark', 'rk')", True),
+    ("BYTE_LENGTH('abc')", 3),
+    ("FORMAT('%d-%s', 7, 'x')", "7-x"),
+    # JSON
+    ("JSON_EXTRACT_SCALAR('{\"a\": 5}', '$.a')", "5"),
+    ("JSON_VALUE('{\"a\": \"b\"}', '$.a')", "b"),
+    ("JSON_QUERY('{\"a\": {\"b\": 1}}', '$.a')", '{"b":1}'),
+    # date/time diffs: BigQuery (end, start, part) ordering
+    ("DATE_DIFF(DATE '2024-03-01', DATE '2024-01-01', DAY)", 60),
+    ("DATE_DIFF(DATE '2024-03-01', DATE '2024-01-01', MONTH)", 2),
+    ("DATE_DIFF(DATE '2023-01-01', DATE '2024-01-01', YEAR)", -1),
+    (
+        "TIMESTAMP_DIFF(TIMESTAMP '2024-01-01 02:30:00', "
+        "TIMESTAMP '2024-01-01 01:00:00', MINUTE)",
+        90,
+    ),
+    # truncation: BigQuery (expr, part) ordering; DATE_TRUNC returns DATE
+    ("DATE_TRUNC(DATE '2024-03-17', MONTH)", datetime.date(2024, 3, 1)),
+    (
+        "TIMESTAMP_TRUNC(TIMESTAMP '2024-03-17 10:40:00', HOUR)",
+        datetime.datetime(2024, 3, 17, 10, 0, 0),
+    ),
+    # parsing with strftime formats
+    ("PARSE_DATE('%Y%m%d', '20240317')", datetime.date(2024, 3, 17)),
+    (
+        "PARSE_TIMESTAMP('%Y-%m-%d %H:%M:%S', '2024-03-17 10:40:00')",
+        datetime.datetime(2024, 3, 17, 10, 40, 0),
+    ),
+    # arithmetic spellings
+    ("DIV(7, 2)", 3),
+    ("IEEE_DIVIDE(1, 0)", float("inf")),
+    ("UNIX_DATE(DATE '1970-01-11')", 10),
+    ("DATE_FROM_UNIX_DATE(10)", datetime.date(1970, 1, 11)),
+    # epoch conversions are same-name passthroughs — prove they survive
+    ("UNIX_MILLIS(TIMESTAMP '1970-01-01 00:00:01')", 1000),
+    (
+        "TIMESTAMP_MILLIS(1000)",
+        datetime.datetime(1970, 1, 1, 0, 0, 1),
+    ),
+    # quantile vector shape (exact on a 1-row group)
+    ("APPROX_QUANTILES(5, 2)", [5, 5, 5]),
+    # array literals (BigQuery bracket syntax) + subscripts untouched
+    ("ARRAY<INT64>[7, 8]", [7, 8]),
+    ("[1, 2, 3][OFFSET(1)]", 2),
+    ("['x', 'a[not a literal]'][ORDINAL(1)]", "x"),
+]
+
+
+@pytest.mark.parametrize("expr,expected", CASES, ids=[c[0][:40] for c in CASES])
+def test_bq_function_surface(spark, expr, expected):
+    stmt = transpile_statement(f"SELECT {expr} AS v")
+    got = spark.sql(stmt).collect()[0]["v"]
+    if isinstance(got, datetime.datetime):
+        got = got.replace(tzinfo=None)
+    assert got == expected, f"{expr} -> {stmt!r} -> {got!r}"
+
+
+def test_nested_rewrites_compose(spark):
+    """Nested calls keep balanced parens across rewrite passes."""
+    stmt = transpile_statement(
+        "SELECT DATE_DIFF(DATE_TRUNC(DATE '2024-03-17', MONTH), "
+        "PARSE_DATE('%Y%m%d', '20240201'), DAY) AS v"
+    )
+    assert spark.sql(stmt).collect()[0]["v"] == 29
+
+
+def test_renames_skip_string_literals():
+    out = transpile_statement("SELECT 'call DATE_DIFF(a, b, DAY) here' AS v")
+    assert "DATE_DIFF" in out  # untouched inside the literal
+
+
+def test_declared_date_variable_substitutes_as_typed_literal(spark):
+    """A DECLAREd DATE/TIMESTAMP variable must splice back in as a typed
+    literal — a bare 2024-03-01 parses as integer subtraction."""
+    from crmint_spark.dialect import ScriptContext
+
+    ctx = ScriptContext(variables={"cutoff": datetime.date(2024, 3, 1)})
+    sql = ctx.substitute("SELECT DATEDIFF(DATE '2024-03-17', cutoff) AS v")
+    assert spark.sql(sql).collect()[0]["v"] == 16
+    ctx = ScriptContext(
+        variables={"t0": datetime.datetime(2024, 3, 1, 12, 0, 0), "flag": True}
+    )
+    sql = ctx.substitute("SELECT hour(t0) AS h, flag AS f")
+    row = spark.sql(sql).collect()[0]
+    assert row["h"] == 12 and row["f"] is True
