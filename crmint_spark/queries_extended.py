@@ -143,6 +143,55 @@ HAVING COUNT(*) > 1
 """
 
 
+def q34_bq_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Everyday BigQuery function surface as a script: *_DIFF/*_TRUNC
+    arg reorder, COUNTIF, SAFE_CAST, DIV, STRPOS, ENDS_WITH,
+    LOGICAL_OR — a user's ad-hoc BigQuery SQL running unchanged through
+    SparkSQLExecutor (ref: bq_script_executor.py:23-79 is the surface
+    users paste arbitrary Standard SQL into)."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    SELECT
+      TIMESTAMP_TRUNC(o_orderdate, MONTH) AS order_month,
+      COUNTIF(o_totalprice > 150000) AS n_big,
+      CAST(SUM(DIV(o_orderkey, 1000)) AS INT64) AS key_kilo_sum,
+      MIN(TIMESTAMP_DIFF(o_orderdate, TIMESTAMP '1995-01-01 00:00:00', DAY))
+        AS min_day_offset,
+      CAST(MAX(STRPOS(o_orderpriority, '-')) AS INT64) AS max_dash_pos,
+      LOGICAL_OR(ENDS_WITH(o_orderpriority, 'URGENT')) AS any_urgent,
+      CAST(SUM(SAFE_CAST(SUBSTR(o_orderpriority, 1, 1) AS INT64)) AS INT64)
+        AS priority_sum
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                          AND TIMESTAMP '1995-12-31 23:59:59'
+    GROUP BY order_month
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q34_SQL = """
+SELECT
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+  COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+  CAST(SUM(o_orderkey // 1000) AS BIGINT) AS key_kilo_sum,
+  MIN(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate))
+    AS min_day_offset,
+  CAST(MAX(strpos(o_orderpriority, '-')) AS BIGINT) AS max_dash_pos,
+  bool_or(ends_with(o_orderpriority, 'URGENT')) AS any_urgent,
+  CAST(SUM(TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)) AS BIGINT)
+    AS priority_sum
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                      AND TIMESTAMP '1995-12-31 23:59:59'
+GROUP BY order_month
+"""
+
+
 def q21_latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Latest shard' discovery: the reference finds the newest events_*
     shard via MAX(table_id) over __TABLES_SUMMARY__ (ref: output.sql:2-19);
@@ -665,6 +714,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q31_rollup": (q31_rollup, Q31_SQL),
     "q32_pivot_monthly": (q32_pivot_monthly, Q32_SQL),
     "q33_script_udf_view": (q33_script_udf_view, Q33_SQL),
+    "q34_bq_functions": (q34_bq_functions, Q34_SQL),
     "pipeline_sql_e2e": (pipeline_sql_e2e, PIPELINE_E2E_SQL),
     "ml_train_predict": (ml_train_predict, None),
     "streaming_sessionize": (streaming_sessionize, None),
