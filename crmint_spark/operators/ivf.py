@@ -115,3 +115,19 @@ def ivf_recall_vs_exact(
         for r in ivf_search(indexed, model, query_vec, top_k, n_probe).collect()
     }
     return len(exact & approx) / float(top_k)
+
+
+def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: IVF-probed top-k against the same probe vector as
+    ann_cosine_topk (vec_id = 0). Rows-only in the driver — KMeans
+    centroids aren't SQL-reproducible — but the recall path against the
+    exact oracle is pytest-asserted (test_ivf_operator_worker)."""
+    from ..catalog import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    indexed, model = build_ivf_index(emb, n_lists=8)
+    return ivf_search(indexed, model, qvec, top_k=10, n_probe=2)

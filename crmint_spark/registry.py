@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, similarity, text
+from .operators import dedup, ivf, similarity, text
 from .queries import CORE_QUERIES
 from .queries_extended import EXTENDED_QUERIES as _EXT
 
@@ -35,6 +35,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     # similarity search family
     "ann_cosine_topk": (similarity.ann_cosine_topk, similarity.ANN_COSINE_SQL),
     "ann_lsh_topk": (similarity.ann_lsh_topk, similarity.ANN_LSH_SQL),
+    "ann_ivf_topk": (ivf.ann_ivf_topk, None),
     "embedding_norm_stats": (similarity.embedding_norm_stats, similarity.EMB_NORM_SQL),
     "embedding_centroids": (similarity.embedding_centroids, similarity.CENTROID_SQL),
     # text analysis family
