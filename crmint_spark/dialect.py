@@ -303,6 +303,82 @@ def _rewrite_array_literals(sql: str) -> str:
     return "".join(out)
 
 
+def _split_angle_members(spec: str) -> list[str]:
+    """Split ``a INT64, b ARRAY<STRING>`` on top-level commas (angle-
+    bracket aware)."""
+    out: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(spec):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(spec[start:i])
+            start = i + 1
+    out.append(spec[start:])
+    return out
+
+
+def _rewrite_typed_struct(sql: str) -> str:
+    """``STRUCT<a T, b U>(v1, v2)`` -> ``named_struct('a', v1, 'b', v2)``
+    (field names come from the type spec; Spark infers the types).
+    Unnamed members fall back to ``struct(...)``. Plain
+    ``STRUCT(v AS a)`` already parses natively. Angle brackets nest
+    (ARRAY<...> members), so scan to the matching ``>``."""
+    out: list[str] = []
+    pos = 0
+    for m in re.finditer(r"\bSTRUCT\s*<", sql, re.IGNORECASE):
+        if m.start() < pos:
+            continue
+        depth, i, n = 1, m.end(), len(sql)
+        while i < n and depth:
+            if sql[i] == "<":
+                depth += 1
+            elif sql[i] == ">":
+                depth -= 1
+            i += 1
+        j = i
+        while j < n and sql[j].isspace():
+            j += 1
+        if depth or j >= n or sql[j] != "(":
+            continue  # a type annotation (DDL), not a literal
+        end = _balanced_end(sql, j)
+        if end < 0:
+            continue
+        names = [
+            mem.strip().split()[0]
+            for mem in _split_angle_members(sql[m.end() : i - 1])
+            if mem.strip()
+        ]
+        args = [
+            _rewrite_typed_struct(a.strip())
+            for a in _split_top_level(sql[j + 1 : end - 1])
+        ]
+        out.append(sql[pos : m.start()])
+        if len(names) == len(args) and all(
+            re.fullmatch(r"\w+", nm) and not _is_type_word(nm) for nm in names
+        ):
+            pairs = ", ".join(f"'{nm}', {arg}" for nm, arg in zip(names, args))
+            out.append(f"named_struct({pairs})")
+        else:
+            out.append(f"struct({', '.join(args)})")
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+_BQ_TYPE_WORDS = frozenset(
+    "INT64 FLOAT64 NUMERIC BIGNUMERIC STRING BYTES BOOL DATE DATETIME "
+    "TIME TIMESTAMP GEOGRAPHY JSON ARRAY STRUCT INTERVAL".split()
+)
+
+
+def _is_type_word(word: str) -> bool:
+    return word.upper() in _BQ_TYPE_WORDS
+
+
 def _rewrite_offset_ordinal(sql: str) -> str:
     sql = re.sub(
         r"\[\s*OFFSET\s*\(\s*(\d+)\s*\)\s*\]",
@@ -1008,6 +1084,7 @@ def transpile_statement(sql: str, resolver=None) -> str:
     out = _rewrite_select_except(out)
     out = _rewrite_cast_date_format(out)
     out = _rewrite_array_literals(out)
+    out = _rewrite_typed_struct(out)
     out = _rewrite_offset_ordinal(out)
     out = _rewrite_format_date(out)
     out = _rewrite_interval_arith(out)

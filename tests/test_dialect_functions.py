@@ -82,6 +82,9 @@ CASES = [
     ("ARRAY<INT64>[7, 8]", [7, 8]),
     ("[1, 2, 3][OFFSET(1)]", 2),
     ("['x', 'a[not a literal]'][ORDINAL(1)]", "x"),
+    # struct literals: named fields parse natively, typed form stripped
+    ("STRUCT(1 AS a, 'x' AS b).b", "x"),
+    ("STRUCT<a INT64, b ARRAY<STRING>>(5, ['y']).a", 5),
 ]
 
 
