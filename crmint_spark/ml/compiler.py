@@ -73,6 +73,9 @@ class Timespans:
     exclusion_days: int = 0
 
 
+DESTINATIONS = ("GOOGLE_ANALYTICS_MP_EVENT", "GOOGLE_ADS_OFFLINE_CONVERSION")
+
+
 @dataclass
 class MlModelConfig:
     name: str
@@ -85,6 +88,15 @@ class MlModelConfig:
     conversion_rate_segments: int = 10
     events_table: str = "events"
     dataset: str = "crmint.models"
+    # upload destination (ref: compiler.py:64-67 Destination enum);
+    # output_parameters carries customer_id/conversion_action_id for Ads
+    # (ref: predictive_pipeline.json:126-133)
+    destination: str = "GOOGLE_ANALYTICS_MP_EVENT"
+    output_parameters: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.destination not in DESTINATIONS:
+            raise ValueError(f"bad destination: {self.destination}")
 
     def vars_with_role(self, role: str) -> list[Variable]:
         return [v for v in self.variables if v.role == role]
@@ -185,9 +197,10 @@ FROM agg"""
 
     def output_sql(self, predictions_view: str, cv_view: str) -> str:
         """probability -> conversion value via the range join
-        (ref: output.sql:36-55), MP-ready output shape
-        (ref: output.sql:92-102)."""
-        return f"""SELECT p.unique_id AS client_id,
+        (ref: output.sql:36-55), then the destination shape: MP event
+        rows (ref: output.sql:92-102) or Ads click conversions with the
+        first-touch gclid + RFC-3339 datetime (ref: output.sql:104-133)."""
+        scored = f"""SELECT p.unique_id AS client_id,
        'prob_{self.c.name}' AS event_name,
        ROUND(p.probability, 6) AS score,
        cv.normalized_probability AS normalized_score,
@@ -196,6 +209,26 @@ FROM {predictions_view} p
 JOIN {cv_view} cv
   ON p.probability >= cv.probability_range_start
  AND p.probability <= cv.probability_range_end"""
+        if self.c.destination != "GOOGLE_ADS_OFFLINE_CONVERSION":
+            return scored
+        # latest non-empty gclid per user (ref: output.sql:105-124:
+        # ROW_NUMBER DESC, row_num = 1) + FORMAT_TIMESTAMP("%F %T%Ez")
+        return f"""WITH scored AS (
+{scored}
+), gclids AS (
+  SELECT unique_id, gclid, datetime FROM (
+    SELECT {self.c.unique_id} AS unique_id,
+           get_json_object(props, '$.gclid') AS gclid,
+           date_format(ts, 'yyyy-MM-dd HH:mm:ssxxx') AS datetime,
+           ROW_NUMBER() OVER (PARTITION BY {self.c.unique_id}
+                              ORDER BY ts DESC, event_id DESC) AS row_num
+    FROM {self.c.events_table}
+    WHERE COALESCE(get_json_object(props, '$.gclid'), '') != ''
+  ) WHERE row_num = 1
+)
+SELECT s.*, g.gclid, g.datetime
+FROM scored s
+JOIN gclids g ON s.client_id = g.unique_id"""
 
     # -- pipelines --------------------------------------------------------
 
@@ -309,23 +342,55 @@ JOIN {cv_view} cv
                 ],
                 start_conditions=[StartCondition("predict")],
             ),
-            JobSpec(
+            self._upload_job(),
+        ]
+        return Pipeline(f"{c.name} - Predictive", jobs), "0 0 * * *"
+
+    def _upload_job(self) -> JobSpec:
+        """Destination-specific upload step (ref:
+        predictive_pipeline.json:55-140 branches on the destination)."""
+        c = self.c
+        if c.destination == "GOOGLE_ADS_OFFLINE_CONVERSION":
+            customer = c.output_parameters.get("customer_id", "")
+            action = c.output_parameters.get("conversion_action_id", "")
+            return JobSpec(
                 name="upload",
-                worker_class="BQToMeasurementProtocolGA4",
+                worker_class="BQToAdsOfflineClickConversion",
                 params=[
                     {"name": "source_table", "type": "string", "value": self._t("output")},
                     {
+                        # ref: templates/google_ads_offline_conversion.json
                         "name": "template",
                         "type": "text",
                         "value": (
-                            '{"client_id": "$client_id", "events": '
-                            '[{"name": "$event_name", "params": '
-                            '{"value": $value, "score": $score}}]}'
+                            '{"conversionEnvironment": "WEB", '
+                            '"gclid": "$gclid", '
+                            f'"conversionAction": "customers/{customer}'
+                            f'/conversionActions/{action}", '
+                            '"conversionDateTime": "$datetime", '
+                            '"conversionValue": $value, '
+                            '"currencyCode": "USD"}'
                         ),
                     },
-                    {"name": "mp_batch_size", "type": "number", "value": "20"},
+                    {"name": "customer_id", "type": "string", "value": customer},
                 ],
                 start_conditions=[StartCondition("output")],
-            ),
-        ]
-        return Pipeline(f"{c.name} - Predictive", jobs), "0 0 * * *"
+            )
+        return JobSpec(
+            name="upload",
+            worker_class="BQToMeasurementProtocolGA4",
+            params=[
+                {"name": "source_table", "type": "string", "value": self._t("output")},
+                {
+                    "name": "template",
+                    "type": "text",
+                    "value": (
+                        '{"client_id": "$client_id", "events": '
+                        '[{"name": "$event_name", "params": '
+                        '{"value": $value, "score": $score}}]}'
+                    ),
+                },
+                {"name": "mp_batch_size", "type": "number", "value": "20"},
+            ],
+            start_conditions=[StartCondition("output")],
+        )

@@ -138,3 +138,49 @@ def test_training_and_predictive_pipelines_end_to_end(spark, tmp_path, config):
     assert out.count() > 0
     batches = rec.read_batches()
     assert sum(len(b) for b in batches) > 0
+
+
+def test_ads_destination_pipeline_end_to_end(spark, tmp_path, config):
+    """GOOGLE_ADS_OFFLINE_CONVERSION destination: upload goes through
+    BQToAdsOfflineClickConversion with the ClickConversion template and
+    output rows carry the first-touch gclid + RFC-3339 datetime
+    (ref: predictive_pipeline.json:102-140, output.sql:104-133)."""
+    from pyspark.sql import functions as F
+
+    config.destination = "GOOGLE_ADS_OFFLINE_CONVERSION"
+    config.output_parameters = {
+        "customer_id": "123-456",
+        "conversion_action_id": "789",
+    }
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+    rec = FileRecordingTransport(str(tmp_path / "ads"))
+    ctx.transport = rec
+    # seed every event with a deterministic per-user gclid
+    ev = load(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "props",
+        F.concat(F.lit('{"gclid": "g'), F.col("user_id"), F.lit('"}')),
+    )
+    ev.createOrReplaceTempView("events")
+
+    runner = PipelineRunner(ctx)
+    runs = runner.run(Compiler(config).build_training_pipeline()[0])
+    assert {r.status for r in runs.values()} == {Status.SUCCEEDED}
+    pred_p, _ = Compiler(config).build_predictive_pipeline()
+    assert pred_p.jobs["upload"].worker_class == "BQToAdsOfflineClickConversion"
+    runs = runner.run(pred_p)
+    assert {r.status for r in runs.values()} == {Status.SUCCEEDED}, {
+        k: (v.status, v.error) for k, v in runs.items()
+    }
+    out = ctx.catalog.read("p.models.propensity_output")
+    assert out.count() > 0
+    row = out.first()
+    assert row["gclid"].startswith("g") and "+" in row["datetime"] or row[
+        "datetime"
+    ].endswith("Z")
+    payloads = [p for b in rec.read_batches() for p in b]
+    assert payloads, "no conversions uploaded"
+    # the ads sink wraps each request under "conversions" (<=2000/request)
+    first = payloads[0]["conversions"][0]
+    assert first["conversionAction"] == "customers/123-456/conversionActions/789"
+    assert first["gclid"].startswith("g")
+    assert first["currencyCode"] == "USD"
