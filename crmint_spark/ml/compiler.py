@@ -200,7 +200,8 @@ FROM agg"""
         (ref: output.sql:36-55), then the destination shape: MP event
         rows (ref: output.sql:92-102) or Ads click conversions with the
         first-touch gclid + RFC-3339 datetime (ref: output.sql:104-133)."""
-        scored = f"""SELECT p.unique_id AS client_id,
+        if self.c.is_classification:
+            scored = f"""SELECT p.unique_id AS client_id,
        'prob_{self.c.name}' AS event_name,
        ROUND(p.probability, 6) AS score,
        cv.normalized_probability AS normalized_score,
@@ -209,6 +210,15 @@ FROM {predictions_view} p
 JOIN {cv_view} cv
   ON p.probability >= cv.probability_range_start
  AND p.probability <= cv.probability_range_end"""
+        else:
+            # regression: predicted value clamped at 0, doubled as
+            # value/revenue, no conversion-values join
+            # (ref: output.sql:57-67)
+            scored = f"""SELECT p.unique_id AS client_id,
+       'prob_{self.c.name}' AS event_name,
+       IF(p.predicted_value > 0, ROUND(p.predicted_value, 4), 0.0) AS value,
+       IF(p.predicted_value > 0, ROUND(p.predicted_value, 4), 0.0) AS revenue
+FROM {predictions_view} p"""
         if self.c.destination != "GOOGLE_ADS_OFFLINE_CONVERSION":
             return scored
         # latest non-empty gclid per user (ref: output.sql:105-124:
@@ -376,6 +386,13 @@ JOIN gclids g ON s.client_id = g.unique_id"""
                 ],
                 start_conditions=[StartCondition("output")],
             )
+        # classification sends score + normalized score, regression
+        # sends revenue (ref: google_analytics_mp_event.json:14-21)
+        metric_fields = (
+            '"value": $value, "score": $score, "nscore": $normalized_score'
+            if c.is_classification
+            else '"value": $value, "revenue": $revenue'
+        )
         return JobSpec(
             name="upload",
             worker_class="BQToMeasurementProtocolGA4",
@@ -387,7 +404,7 @@ JOIN gclids g ON s.client_id = g.unique_id"""
                     "value": (
                         '{"client_id": "$client_id", "events": '
                         '[{"name": "$event_name", "params": '
-                        '{"value": $value, "score": $score}}]}'
+                        "{" + metric_fields + "}}]}"
                     ),
                 },
                 {"name": "mp_batch_size", "type": "number", "value": "20"},

@@ -85,12 +85,14 @@ class OutputWorker(Worker):
 
     def _execute(self) -> None:
         pview = self._ctx.catalog.register(self._params["predictions_table"])
-        cview = self._ctx.catalog.register(self._params["conversion_values_table"])
-        sql = (
-            self._params["sql"]
-            .replace("__predictions__", pview)
-            .replace("__cv__", cview)
-        )
+        sql = self._params["sql"].replace("__predictions__", pview)
+        if "__cv__" in sql:
+            # regression output has no conversion-values table
+            # (ref: output.sql:57-67 vs 36-55)
+            cview = self._ctx.catalog.register(
+                self._params["conversion_values_table"]
+            )
+            sql = sql.replace("__cv__", cview)
         df = self._ctx.spark.sql(sql)
         self._ctx.catalog.write(df, self._params["destination_table"])
         self.log_info(f"output -> {self._params['destination_table']}")

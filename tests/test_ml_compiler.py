@@ -184,3 +184,35 @@ def test_ads_destination_pipeline_end_to_end(spark, tmp_path, config):
     assert first["conversionAction"] == "customers/123-456/conversionActions/789"
     assert first["gclid"].startswith("g")
     assert first["currencyCode"] == "USD"
+
+
+def test_regression_predictive_pipeline_end_to_end(spark, tmp_path, config):
+    """LINEAR_REG: no conversion-values chain; output clamps the
+    predicted value at 0 and doubles it as value/revenue; the MP upload
+    sends revenue instead of score (ref: output.sql:57-67,
+    google_analytics_mp_event.json:18-20)."""
+    config.model_type = "LINEAR_REG"
+    config.variables = [
+        v for v in config.variables if v.role == "FEATURE"
+    ] + [Variable("spend", "FIRST_VALUE", value="purchase")]
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+    rec = FileRecordingTransport(str(tmp_path / "mp"))
+    ctx.transport = rec
+    load(spark, "/root/testdata/sf0.001", "events").createOrReplaceTempView("events")
+
+    runner = PipelineRunner(ctx)
+    runs = runner.run(Compiler(config).build_training_pipeline()[0])
+    assert {r.status for r in runs.values()} == {Status.SUCCEEDED}, {
+        k: (v.status, v.error) for k, v in runs.items()
+    }
+    pred_p, _ = Compiler(config).build_predictive_pipeline()
+    runs = runner.run(pred_p)
+    assert {r.status for r in runs.values()} == {Status.SUCCEEDED}, {
+        k: (v.status, v.error) for k, v in runs.items()
+    }
+    out = ctx.catalog.read("p.models.propensity_output")
+    rows = out.collect()
+    assert rows and all(r["value"] >= 0 and r["value"] == r["revenue"] for r in rows)
+    payloads = [p for b in rec.read_batches() for p in b]
+    params = payloads[0]["events"][0]["params"]
+    assert "revenue" in params and "score" not in params
