@@ -87,6 +87,9 @@ class MlModelConfig:
     class_imbalance: int = 4  # negative:positive downsample ratio
     conversion_rate_segments: int = 10
     events_table: str = "events"
+    # user-supplied table with feature/label columns for variables with
+    # source="first_party" (ref: model_bqml.sql:53-69 first_party_variables)
+    first_party_table: str | None = None
     dataset: str = "crmint.models"
     # upload destination (ref: compiler.py:64-67 Destination enum);
     # output_parameters carries customer_id/conversion_action_id for Ads
@@ -122,6 +125,8 @@ class Compiler:
         conditional aggregates over the event stream)."""
         out = []
         for v in self.c.vars_with_role("FEATURE"):
+            if v.source == "first_party":
+                continue
             op = COMPARISONS[v.comparison or "EQUAL"]
             out.append(
                 "CAST(SUM(CASE WHEN event_type "
@@ -130,23 +135,42 @@ class Compiler:
             )
         return out
 
-    def _label_expr(self) -> str:
-        """Label: did the user trigger the label event in-window
-        (classification), or sum of value (regression FIRST_VALUE)."""
+    def _fp_feature_exprs(self) -> list[str]:
+        """First-party features are table columns used directly
+        (ref: model_bqml.sql:56-58)."""
+        return [
+            f"{v.name} AS f_{v.name}"
+            for v in self.c.vars_with_role("FEATURE")
+            if v.source == "first_party"
+        ]
+
+    def _label_var(self) -> Variable:
         labels = self.c.vars_with_role("LABEL")
         if self.c.is_classification:
             if not labels:
                 raise ValueError("classification needs a LABEL variable")
-            v = labels[0]
+            return labels[0]
+        fv = self.c.vars_with_role("FIRST_VALUE") or labels
+        if not fv:
+            raise ValueError("regression needs FIRST_VALUE or LABEL")
+        return fv[0]
+
+    def _label_expr(self) -> str:
+        """Label: did the user trigger the label event in-window
+        (classification), or sum of value (regression FIRST_VALUE).
+        First-party labels are columns taken as-is
+        (ref: model_bqml.sql:59-64)."""
+        v = self._label_var()
+        if v.source == "first_party":
+            if self.c.is_classification:
+                return f"CAST({v.name} AS INT) AS label"
+            return f"ROUND(CAST({v.name} AS DOUBLE), 2) AS label"
+        if self.c.is_classification:
             op = COMPARISONS[v.comparison or "EQUAL"]
             return (
                 f"CAST(MAX(CASE WHEN event_type {op} '{v.value or v.name}' "
                 "THEN 1 ELSE 0 END) AS INT) AS label"
             )
-        fv = self.c.vars_with_role("FIRST_VALUE") or labels
-        if not fv:
-            raise ValueError("regression needs FIRST_VALUE or LABEL")
-        v = fv[0]
         return f"ROUND(SUM(CASE WHEN event_type = '{v.value or v.name}' THEN value ELSE 0.0 END), 2) AS label"
 
     def build_dataset_sql(self, split: str) -> str:
@@ -155,13 +179,46 @@ class Compiler:
         training window + deterministic 90/10 hash split
         (ref: model_bqml.sql:95-101) + class rebalancing via UNION ALL
         (ref: model_bqml.sql:305-311)."""
-        feats = self._feature_exprs()
-        cols = ",\n       ".join(feats + [self._label_expr()])
-        base = f"""WITH per_user AS (
+        ev_feats = self._feature_exprs()
+        fp_feats = self._fp_feature_exprs()
+        label = self._label_expr()
+        label_from_fp = self._label_var().source == "first_party"
+        ev_cols = ev_feats + ([] if label_from_fp else [label])
+        fp_cols = fp_feats + ([label] if label_from_fp else [])
+        if fp_cols and self.c.first_party_table is None:
+            raise ValueError("first_party variables need first_party_table")
+        sep = ",\n       "
+
+        def _ev_cte(name: str) -> str:
+            return f"""{name} AS (
   SELECT {self.c.unique_id} AS unique_id,
-       {cols}
+       {sep.join(ev_cols)}
   FROM {self.c.events_table}
   GROUP BY {self.c.unique_id}
+)"""
+
+        def _fp_cte(name: str) -> str:
+            return f"""{name} AS (
+  SELECT {self.c.unique_id} AS unique_id,
+       {sep.join(fp_cols)}
+  FROM {self.c.first_party_table}
+)"""
+
+        if not fp_cols:
+            # events-only: the classic per-user aggregate
+            base = f"WITH {_ev_cte('per_user')}"
+        elif not ev_cols:
+            # first-party only (ref: model_bqml.sql:210-211)
+            base = f"WITH {_fp_cte('per_user')}"
+        else:
+            # mixed: first-party columns joined to event aggregates on
+            # the unique id (ref: model_bqml.sql:201-208)
+            ev_names = ", ".join("ev." + e.split(" AS ")[-1] for e in ev_cols)
+            base = f"""WITH {_ev_cte('ev')},
+{_fp_cte('fp')},
+per_user AS (
+  SELECT fp.*, {ev_names}
+  FROM fp JOIN ev USING (unique_id)
 )"""
         split_pred = {
             "train": "(unique_id * 9973 + 7) % 100 < 90",

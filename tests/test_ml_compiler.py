@@ -216,3 +216,73 @@ def test_regression_predictive_pipeline_end_to_end(spark, tmp_path, config):
     payloads = [p for b in rec.read_batches() for p in b]
     params = payloads[0]["events"][0]["params"]
     assert "revenue" in params and "score" not in params
+
+
+def test_first_party_dataset_sql(config):
+    """First-party variables read table columns directly; mixed mode
+    joins them to event aggregates on the unique id
+    (ref: model_bqml.sql:53-69, 201-211)."""
+    config.first_party_table = "crm.fp.users"
+    config.variables = [
+        Variable("lifetime_value", "FEATURE", source="first_party"),
+        Variable("tier", "FEATURE", source="first_party"),
+        Variable("converted", "LABEL", source="first_party"),
+    ]
+    sql = Compiler(config).build_dataset_sql("train")
+    assert "lifetime_value AS f_lifetime_value" in sql
+    assert "CAST(converted AS INT) AS label" in sql
+    assert "FROM crm.fp.users" in sql
+    assert "GROUP BY" not in sql  # no event aggregation in fp-only mode
+
+    # mixed: events feature + first-party label/features
+    config.variables.append(
+        Variable("click", "FEATURE", comparison="EQUAL", value="click")
+    )
+    sql = Compiler(config).build_dataset_sql("train")
+    assert "FROM fp JOIN ev USING (unique_id)" in sql
+    assert "SUM(CASE WHEN event_type = 'click'" in sql
+    assert "tier AS f_tier" in sql
+
+    # fp variables without a table is a config error
+    config.first_party_table = None
+    with pytest.raises(ValueError, match="first_party_table"):
+        Compiler(config).build_dataset_sql("train")
+
+
+def test_first_party_pipeline_end_to_end(spark, tmp_path, config):
+    """First-party-only training + prediction over a synthetic CRM
+    table: columns in, label passthrough, same split/score/upload
+    machinery."""
+    from pyspark.sql import functions as F
+
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+    rec = FileRecordingTransport(str(tmp_path / "mp"))
+    ctx.transport = rec
+    # derive a deterministic first-party table from events
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    fp = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 2).alias("lifetime_value"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max((F.col("event_type") == "purchase").cast("int"))).alias("converted"),
+    )
+    ctx.catalog.write(fp, "crm.fp.users")
+    ev.createOrReplaceTempView("events")
+    fp_view = ctx.catalog.register("crm.fp.users")
+    spark.table(fp_view).createOrReplaceTempView("fp_users")
+
+    config.first_party_table = "fp_users"
+    config.variables = [
+        Variable("lifetime_value", "FEATURE", source="first_party"),
+        Variable("n_events", "FEATURE", source="first_party"),
+        Variable("converted", "LABEL", source="first_party"),
+    ]
+    runner = PipelineRunner(ctx)
+    runs = runner.run(Compiler(config).build_training_pipeline()[0])
+    assert {r.status for r in runs.values()} == {Status.SUCCEEDED}, {
+        k: (v.status, v.error) for k, v in runs.items()
+    }
+    runs = runner.run(Compiler(config).build_predictive_pipeline()[0])
+    assert {r.status for r in runs.values()} == {Status.SUCCEEDED}, {
+        k: (v.status, v.error) for k, v in runs.items()
+    }
+    assert ctx.catalog.read("p.models.propensity_output").count() > 0
