@@ -277,7 +277,17 @@ JOIN {cv_view} cv
        IF(p.predicted_value > 0, ROUND(p.predicted_value, 4), 0.0) AS revenue
 FROM {predictions_view} p"""
         if self.c.destination != "GOOGLE_ADS_OFFLINE_CONVERSION":
-            return scored
+            # don't re-score users who already carry the score event
+            # (ref: output.sql:70-90 users_with_score / users_without_score)
+            return f"""WITH scored AS (
+{scored}
+)
+SELECT s.* FROM scored s
+WHERE NOT EXISTS (
+  SELECT 1 FROM {self.c.events_table} e
+  WHERE e.{self.c.unique_id} = s.client_id
+    AND e.event_type = 'prob_{self.c.name}'
+)"""
         # latest non-empty gclid per user (ref: output.sql:105-124:
         # ROW_NUMBER DESC, row_num = 1) + FORMAT_TIMESTAMP("%F %T%Ez")
         return f"""WITH scored AS (

@@ -286,3 +286,36 @@ def test_first_party_pipeline_end_to_end(spark, tmp_path, config):
         k: (v.status, v.error) for k, v in runs.items()
     }
     assert ctx.catalog.read("p.models.propensity_output").count() > 0
+
+
+def test_output_excludes_already_scored_users(spark, tmp_path, config):
+    """Users who already carry the score event are dropped from the MP
+    output (ref: output.sql:70-90 users_without_score)."""
+    from pyspark.sql import functions as F
+
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+    ctx.transport = FileRecordingTransport(str(tmp_path / "mp"))
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    # seed: user with the smallest id already has a prob_propensity event
+    scored_uid = ev.agg(F.min("user_id")).first()[0]
+    seeded = ev.unionByName(
+        ev.limit(1).select(
+            F.lit(999999).alias("event_id"),
+            F.col("ts"),
+            F.lit(scored_uid).alias("user_id"),
+            F.lit("prob_propensity").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    seeded.createOrReplaceTempView("events")
+    runner = PipelineRunner(ctx)
+    runs = runner.run(Compiler(config).build_training_pipeline()[0])
+    assert {r.status for r in runs.values()} == {Status.SUCCEEDED}
+    runs = runner.run(Compiler(config).build_predictive_pipeline()[0])
+    assert {r.status for r in runs.values()} == {Status.SUCCEEDED}, {
+        k: (v.status, v.error) for k, v in runs.items()
+    }
+    out = ctx.catalog.read("p.models.propensity_output")
+    assert out.count() > 0
+    assert out.filter(F.col("client_id") == scored_uid).count() == 0
