@@ -90,6 +90,10 @@ class MlModelConfig:
     # user-supplied table with feature/label columns for variables with
     # source="first_party" (ref: model_bqml.sql:53-69 first_party_variables)
     first_party_table: str | None = None
+    # snapshot date anchoring the timespan windows (the reference anchors
+    # at CURRENT_DATE, ref: model_bqml.sql:91-94/output.sql:31-33);
+    # None = no event-date filter (whole-table mode for static fixtures)
+    as_of_date: str | None = None
     dataset: str = "crmint.models"
     # upload destination (ref: compiler.py:64-67 Destination enum);
     # output_parameters carries customer_id/conversion_action_id for Ads
@@ -188,13 +192,27 @@ class Compiler:
         if fp_cols and self.c.first_party_table is None:
             raise ValueError("first_party variables need first_party_table")
         sep = ",\n       "
+        ev_where = ""
+        if self.c.as_of_date:
+            # training window ends exclusion_days before the snapshot so
+            # labels have matured; scoring looks back predictive_days
+            # (ref: shared.py Timespan, model_bqml.sql:91-94)
+            ts = self.c.timespans
+            if split == "all":
+                days, back = ts.predictive_days, 0
+            else:
+                days, back = ts.training_days, ts.exclusion_days
+            end = f"DATE_SUB(DATE '{self.c.as_of_date}', {back})"
+            ev_where = (
+                f"  WHERE DATE(ts) BETWEEN DATE_SUB({end}, {days}) AND {end}\n"
+            )
 
         def _ev_cte(name: str) -> str:
             return f"""{name} AS (
   SELECT {self.c.unique_id} AS unique_id,
        {sep.join(ev_cols)}
   FROM {self.c.events_table}
-  GROUP BY {self.c.unique_id}
+{ev_where}  GROUP BY {self.c.unique_id}
 )"""
 
         def _fp_cte(name: str) -> str:

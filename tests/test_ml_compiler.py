@@ -319,3 +319,32 @@ def test_output_excludes_already_scored_users(spark, tmp_path, config):
     out = ctx.catalog.read("p.models.propensity_output")
     assert out.count() > 0
     assert out.filter(F.col("client_id") == scored_uid).count() == 0
+
+
+def test_timespan_windows_anchor_at_snapshot(spark, tmp_path, config):
+    """as_of_date anchors training/exclusion/predictive windows on the
+    event date (ref: shared.py Timespan + model_bqml.sql:91-94)."""
+    config.as_of_date = "2024-01-30"
+    config.timespans = Timespans(
+        training_days=20, predictive_days=5, exclusion_days=2
+    )
+    train_sql = Compiler(config).build_dataset_sql("train")
+    assert (
+        "BETWEEN DATE_SUB(DATE_SUB(DATE '2024-01-30', 2), 20) "
+        "AND DATE_SUB(DATE '2024-01-30', 2)" in train_sql
+    )
+    score_sql = Compiler(config).build_dataset_sql("all")
+    assert (
+        "BETWEEN DATE_SUB(DATE_SUB(DATE '2024-01-30', 0), 5) "
+        "AND DATE_SUB(DATE '2024-01-30', 0)" in score_sql
+    )
+    # windows actually restrict rows: the 5-day scoring window sees
+    # fewer distinct users' events than the whole table at sf0.001
+    load(spark, "/root/testdata/sf0.001", "events").createOrReplaceTempView("events")
+    whole = spark.sql(Compiler(MlModelConfig(
+        name="propensity", variables=config.variables, class_imbalance=0,
+    )).build_dataset_sql("all")).count()
+    windowed = spark.sql(score_sql).count()
+    assert 0 < windowed <= whole
+    narrow = spark.sql(train_sql).count()
+    assert 0 < narrow  # 20-day window still populated
