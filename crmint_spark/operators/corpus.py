@@ -1,0 +1,383 @@
+"""Training-corpus preparation operators over the ``documents`` table:
+stratified sampling / dataset mixing, seeded global shuffle, token-window
+chunking, Gopher-style repetition filters, and train/eval decontamination.
+
+Everything is JVM-side DataFrame composition (split/transform/sequence/
+explode/groupBy) — no Python UDFs — and every operator ships a DuckDB
+oracle computing the identical deterministic arithmetic.
+
+Scale design notes (100 TB):
+- sample:   a per-row hash predicate — embarrassingly parallel, no
+            shuffle; the per-source rates are compiled into the predicate
+            so Catalyst folds them (mirrors the reference's
+            MOD(ABS(FARM_FINGERPRINT(id)), 100) split idiom,
+            ref: backend/controller/ml_model/templates/model_bqml.sql:95-101).
+- shuffle:  training-order randomization is ORDER BY hash(seed, id) — a
+            range-partitioned total sort, Spark's only global-order
+            primitive; the demo query takes top-k (TakeOrdered, no full
+            sort materialization).
+- chunking: per-row array math; output explodes 1:k but each task holds
+            only its own rows.
+- repetition: explode(n-grams) -> groupBy(doc, gram) has map-side partial
+            aggregation; the shuffle carries (doc, gram, cnt), never the
+            text. Per-doc reduction is a second keyed groupBy on doc.
+- decontam: the eval n-gram set is tiny next to the corpus -> broadcast
+            semi-join against train-doc n-grams; at larger eval sizes the
+            same plan degrades gracefully to a hash equi-join on the gram
+            digest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import hash_str
+
+# DuckDB twin of functions.hash_str (md5-prefix 60-bit portable hash)
+_DHASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+SHUFFLE_SEED = 42
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+DECONTAM_NGRAM = 5
+DECONTAM_EVAL_MOD = 17
+DECONTAM_REKEY = 1_000_000
+
+
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-source) deterministic hash sampling — the dataset
+    "mixing" primitive: each source keeps rate_pct percent of its docs,
+    chosen by a stable hash of the doc id so reruns and engines agree.
+
+    Here the per-source rate is derived from the source name
+    (src0 -> 10% ... src9 -> 100%) so the oracle can recompute it; a real
+    pipeline would broadcast-join a rates dim or compile a literal map.
+    """
+    docs = load(spark, sf_dir, "documents")
+    rate_pct = (F.substring("source", 4, 10).cast("bigint") % 10 + 1) * 10
+    key = (
+        hash_str(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    return (
+        docs.select("source", rate_pct.alias("rate_pct"), key.alias("k"))
+        .groupBy("source", "rate_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(F.col("k") < F.col("rate_pct")).alias("n_sampled"),
+        )
+    )
+
+
+CORPUS_SAMPLE_SQL = f"""
+SELECT source,
+       (CAST(substr(source, 4) AS BIGINT) % 10 + 1) * 10 AS rate_pct,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE
+         {_DHASH.format(x="'sample:' || CAST(doc_id AS VARCHAR)")} % 100
+           < (CAST(substr(source, 4) AS BIGINT) % 10 + 1) * 10
+       ) AS n_sampled
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle (training-order
+    randomization): ORDER BY hash(seed || doc_id). The scale path is the
+    bare orderBy-and-write (range-partitioned sort); this query shows the
+    head of the shuffled order, which Spark plans as TakeOrdered — no
+    full-sort materialization."""
+    docs = load(spark, sf_dir, "documents")
+    skey = hash_str(
+        F.concat(
+            F.lit(f"shuffle:{SHUFFLE_SEED}:"), F.col("doc_id").cast("string")
+        )
+    )
+    head = (
+        docs.select("doc_id", "source", skey.alias("skey"))
+        .orderBy("skey", "doc_id")
+        .limit(15)
+    )
+    w = Window.orderBy("skey", "doc_id")
+    return head.select(
+        F.row_number().over(w).cast("bigint").alias("shuffle_rank"),
+        "doc_id",
+        "source",
+    )
+
+
+CORPUS_SHUFFLE_SQL = f"""
+SELECT ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS shuffle_rank,
+       doc_id, source
+FROM (
+  SELECT doc_id, source,
+         {_DHASH.format(x=f"'shuffle:{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)")} AS skey
+  FROM documents
+  ORDER BY skey, doc_id
+  LIMIT 15
+)
+"""
+
+
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap (context-length packing prep):
+    windows of CHUNK_TOKENS tokens every CHUNK_STRIDE. The chunk-length
+    vector is materialized per doc (transform over sequence) and then
+    aggregated per language, so the windowing arithmetic itself is what
+    the oracle validates."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    n_chunks = F.floor((n_tok + CHUNK_STRIDE - 1) / F.lit(CHUNK_STRIDE)).cast(
+        "bigint"
+    )
+    lens = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1),
+        lambda i: F.least(
+            F.lit(CHUNK_TOKENS).cast("bigint"),
+            F.col("n_tok") - i * CHUNK_STRIDE,
+        ),
+    )
+    per_doc = docs.select(
+        "lang", n_tok.alias("n_tok"), n_chunks.alias("n_chunks")
+    ).select(
+        "lang",
+        "n_chunks",
+        F.aggregate(
+            lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("chunk_tokens"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chunks").alias("n_chunks"),
+        F.sum("chunk_tokens").alias("chunk_tokens"),
+    )
+
+
+TEXT_CHUNKING_SQL = f"""
+WITH d AS (
+  SELECT lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         (CAST(len(string_split(text, ' ')) AS BIGINT) + {CHUNK_STRIDE - 1})
+           // {CHUNK_STRIDE} AS n_chunks
+  FROM documents
+), per_doc AS (
+  SELECT lang, n_chunks,
+         CAST(list_sum(list_transform(range(0, n_chunks),
+              i -> least({CHUNK_TOKENS}, n_tok - i * {CHUNK_STRIDE})))
+              AS BIGINT) AS chunk_tokens
+  FROM d
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(SUM(chunk_tokens) AS BIGINT) AS chunk_tokens
+FROM per_doc
+GROUP BY 1
+"""
+
+
+def _word_ngrams(words, n: int):
+    """Word n-grams as an array column; empty when the doc is shorter
+    than n words (mirrored CASE in the oracle)."""
+    k = F.size(words) - (n - 1)
+    return F.when(
+        k <= 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition filters (Rae et al. 2021, §A1.1):
+    per doc, the characters covered by the single most frequent 2-gram
+    (top2_chars = cnt * len) and by all 5-grams occurring more than once
+    (rep5_chars = sum cnt*len over cnt >= 2). Flags use the paper's
+    thresholds — top-2-gram coverage > 0.20 of the doc's chars, repeated
+    5-gram coverage > 0.15 — expressed as integer cross-multiplies so no
+    float rounding crosses engines. Output is the per-language summary."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.split(F.col("text"), " ").alias("w")
+    )
+
+    def per_doc(n: int, min_cnt: int, top_only: bool, out: str) -> DataFrame:
+        grams = docs.select(
+            "doc_id",
+            F.explode(_word_ngrams(F.col("w"), n)).alias("gram"),
+        )
+        counts = grams.groupBy("doc_id", "gram").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        if top_only:
+            rn = Window.partitionBy("doc_id").orderBy(
+                F.col("cnt").desc(), F.col("gram").desc()
+            )
+            top = counts.withColumn("rn", F.row_number().over(rn)).filter(
+                F.col("rn") == 1
+            )
+            return top.select(
+                "doc_id",
+                (F.col("cnt") * F.length("gram").cast("bigint")).alias(out),
+            )
+        rep = counts.filter(F.col("cnt") >= min_cnt)
+        return rep.groupBy("doc_id").agg(
+            F.sum(F.col("cnt") * F.length("gram").cast("bigint")).alias(out)
+        )
+
+    top2 = per_doc(2, 1, True, "top2_chars")
+    rep5 = per_doc(5, 2, False, "rep5_chars")
+    joined = (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(top2, "doc_id", "left")
+        .join(rep5, "doc_id", "left")
+        .select(
+            "lang",
+            "n_chars",
+            F.coalesce("top2_chars", F.lit(0)).alias("top2_chars"),
+            F.coalesce("rep5_chars", F.lit(0)).alias("rep5_chars"),
+        )
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("top2_chars") * 5 > F.col("n_chars")).alias(
+            "n_flagged_top2"
+        ),
+        F.count_if(F.col("rep5_chars") * 20 > F.col("n_chars") * 3).alias(
+            "n_flagged_rep5"
+        ),
+        F.sum("top2_chars").alias("top2_chars"),
+        F.sum("rep5_chars").alias("rep5_chars"),
+    )
+
+
+TEXT_REPETITION_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents
+), g2 AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(w) >= 2
+    THEN list_transform(range(0, len(w) - 1), i -> w[i+1] || ' ' || w[i+2])
+    ELSE [] END) AS gram
+  FROM d
+), c2 AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2
+), top2 AS (
+  SELECT doc_id, cnt * len(gram) AS top2_chars
+  FROM (SELECT doc_id, gram, cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram DESC) AS rn
+        FROM c2)
+  WHERE rn = 1
+), g5 AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(w) >= 5
+    THEN list_transform(range(0, len(w) - 4),
+         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])
+    ELSE [] END) AS gram
+  FROM d
+), c5 AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM g5 GROUP BY 1, 2
+), rep5 AS (
+  SELECT doc_id, CAST(SUM(cnt * len(gram)) AS BIGINT) AS rep5_chars
+  FROM c5 WHERE cnt >= 2 GROUP BY 1
+), per_doc AS (
+  SELECT d.lang, d.n_chars,
+         COALESCE(top2.top2_chars, 0) AS top2_chars,
+         COALESCE(rep5.rep5_chars, 0) AS rep5_chars
+  FROM d
+  LEFT JOIN top2 ON d.doc_id = top2.doc_id
+  LEFT JOIN rep5 ON d.doc_id = rep5.doc_id
+)
+SELECT lang, COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE top2_chars * 5 > n_chars) AS n_flagged_top2,
+       COUNT(*) FILTER (WHERE rep5_chars * 20 > n_chars * 3) AS n_flagged_rep5,
+       CAST(SUM(top2_chars) AS BIGINT) AS top2_chars,
+       CAST(SUM(rep5_chars) AS BIGINT) AS rep5_chars
+FROM per_doc
+GROUP BY 1
+"""
+
+
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag training docs whose distinct
+    5-gram set overlaps an eval set's union of 5-grams by >= 50%
+    (the n-gram-overlap check used for benchmark decontamination, e.g.
+    GPT-3 appendix C / PaLM §7). The eval set is the doc_id % 17 == 0
+    slice; the train side self-seeds re-keyed copies of the eval docs
+    (doc_id + 1e6) so the oracle validates non-zero contamination.
+
+    Plan shape: eval grams are DISTINCT-reduced then broadcast into a
+    semi-style inner join against per-train-doc distinct grams; per-doc
+    counts reduce on doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(_word_ngrams(words, DECONTAM_NGRAM)).alias("gram"),
+    ).select("doc_id", hash_str(F.col("gram")).alias("g"))
+
+    is_eval = F.col("doc_id") % DECONTAM_EVAL_MOD == 0
+    eval_grams = grams.filter(is_eval).select("g").distinct()
+    train_grams = (
+        grams.filter(~is_eval)
+        .unionAll(
+            grams.filter(is_eval).select(
+                (F.col("doc_id") + DECONTAM_REKEY).alias("doc_id"), "g"
+            )
+        )
+        .distinct()
+    )
+    hits = train_grams.join(F.broadcast(eval_grams), "g").groupBy(
+        "doc_id"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    totals = train_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    return (
+        totals.join(hits, "doc_id")
+        .filter(F.col("n_hit") * 2 >= F.col("n_grams"))
+        .select("doc_id", "n_grams", "n_hit")
+    )
+
+
+DECONTAM_SQL = f"""
+WITH grams AS (
+  SELECT doc_id,
+         {_DHASH.format(x="gram")} AS g
+  FROM (
+    SELECT doc_id, UNNEST(CASE WHEN len(w) >= {DECONTAM_NGRAM}
+      THEN list_transform(range(0, len(w) - {DECONTAM_NGRAM - 1}),
+           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])
+      ELSE [] END) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  )
+), eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {DECONTAM_EVAL_MOD} = 0
+), train_grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, g FROM grams WHERE doc_id % {DECONTAM_EVAL_MOD} != 0
+    UNION ALL
+    SELECT doc_id + {DECONTAM_REKEY} AS doc_id, g FROM grams
+    WHERE doc_id % {DECONTAM_EVAL_MOD} = 0
+  )
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM train_grams GROUP BY 1
+), hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_hit
+  FROM train_grams t JOIN eval_grams e ON t.g = e.g
+  GROUP BY 1
+)
+SELECT totals.doc_id, n_grams, n_hit
+FROM totals JOIN hits ON totals.doc_id = hits.doc_id
+WHERE n_hit * 2 >= n_grams
+"""
+
+CORPUS_QUERIES: dict[str, tuple] = {
+    "corpus_sample": (corpus_sample, CORPUS_SAMPLE_SQL),
+    "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
+    "text_chunking": (text_chunking, TEXT_CHUNKING_SQL),
+    "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
+    "decontam_overlap": (decontam_overlap, DECONTAM_SQL),
+}
