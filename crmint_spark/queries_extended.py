@@ -716,7 +716,12 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q33_script_udf_view": (q33_script_udf_view, Q33_SQL),
     "q34_bq_functions": (q34_bq_functions, Q34_SQL),
     "pipeline_sql_e2e": (pipeline_sql_e2e, PIPELINE_E2E_SQL),
+    # rows-only entries: the cheap multimodal scan goes first — the model
+    # fit and the streaming backfill are the slowest entries in the whole
+    # registry, and a budget-limited driver sweep should reach everything
+    # cheap before it reaches them (round-1 driver run recorded 50 of 51
+    # entries, dropping exactly the one scheduled after these two)
+    "multimodal_features": (multimodal_features, None),
     "ml_train_predict": (ml_train_predict, None),
     "streaming_sessionize": (streaming_sessionize, None),
-    "multimodal_features": (multimodal_features, None),
 }
