@@ -329,16 +329,18 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    hits = train_grams.join(F.broadcast(eval_grams), "g").groupBy(
-        "doc_id"
-    ).agg(F.count(F.lit(1)).alias("n_hit"))
-    totals = train_grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams")
+    # single reduce: left-join the broadcast eval set, then one groupBy
+    # computes totals and hits together (a totals/hits split would scan
+    # the corpus twice more)
+    marked = train_grams.join(
+        F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "g", "left"
     )
-    return (
-        totals.join(hits, "doc_id")
-        .filter(F.col("n_hit") * 2 >= F.col("n_grams"))
-        .select("doc_id", "n_grams", "n_hit")
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count_if(F.col("hit").isNotNull()).alias("n_hit"),
+    )
+    return per_doc.filter(F.col("n_hit") * 2 >= F.col("n_grams")).filter(
+        F.col("n_hit") > 0
     )
 
 
@@ -362,16 +364,15 @@ WITH grams AS (
     SELECT doc_id + {DECONTAM_REKEY} AS doc_id, g FROM grams
     WHERE doc_id % {DECONTAM_EVAL_MOD} = 0
   )
-), totals AS (
-  SELECT doc_id, COUNT(*) AS n_grams FROM train_grams GROUP BY 1
-), hits AS (
-  SELECT t.doc_id, COUNT(*) AS n_hit
-  FROM train_grams t JOIN eval_grams e ON t.g = e.g
+), per_doc AS (
+  SELECT t.doc_id, COUNT(*) AS n_grams,
+         COUNT(*) FILTER (WHERE e.g IS NOT NULL) AS n_hit
+  FROM train_grams t LEFT JOIN eval_grams e ON t.g = e.g
   GROUP BY 1
 )
-SELECT totals.doc_id, n_grams, n_hit
-FROM totals JOIN hits ON totals.doc_id = hits.doc_id
-WHERE n_hit * 2 >= n_grams
+SELECT doc_id, n_grams, n_hit
+FROM per_doc
+WHERE n_hit * 2 >= n_grams AND n_hit > 0
 """
 
 CORPUS_QUERIES: dict[str, tuple] = {
