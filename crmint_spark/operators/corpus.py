@@ -375,10 +375,70 @@ FROM per_doc
 WHERE n_hit * 2 >= n_grams AND n_hit > 0
 """
 
+TOKEN_BUDGET = 1_000
+
+
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget mixing: walk each source's docs in seeded
+    shuffle order and keep documents while the running token total stays
+    within the budget (the "sample domain X down to N tokens" primitive
+    of corpus mixing). The running total is a window cumsum partitioned
+    by source — sources fill their budgets in parallel; no global sort.
+    A doc is kept if the budget was not yet full when it arrived (its
+    own tokens may overflow the budget — the standard greedy cut)."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    skey = hash_str(
+        F.concat(
+            F.lit(f"budget:{SHUFFLE_SEED}:"), F.col("doc_id").cast("string")
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_doc = docs.select(
+        "source", "doc_id", n_tok.alias("n_tok"), skey.alias("skey")
+    ).select(
+        "source",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("bigint")).alias(
+            "tokens_before"
+        ),
+    )
+    kept = per_doc.filter(F.col("tokens_before") < TOKEN_BUDGET)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.max("tokens_before").alias("max_tokens_before"),
+    )
+
+
+TOKEN_BUDGET_SQL = f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+           PARTITION BY source
+           ORDER BY {_DHASH.format(x=f"'budget:{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)")}, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS tokens_before
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(MAX(tokens_before) AS BIGINT) AS max_tokens_before
+FROM per_doc
+WHERE tokens_before < {TOKEN_BUDGET}
+GROUP BY 1
+"""
+
 CORPUS_QUERIES: dict[str, tuple] = {
     "corpus_sample": (corpus_sample, CORPUS_SAMPLE_SQL),
     "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
     "text_chunking": (text_chunking, TEXT_CHUNKING_SQL),
     "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
     "decontam_overlap": (decontam_overlap, DECONTAM_SQL),
+    "corpus_token_budget": (corpus_token_budget, TOKEN_BUDGET_SQL),
 }

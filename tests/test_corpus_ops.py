@@ -102,3 +102,42 @@ def test_decontam_flags_rekeyed_eval_copies(spark):
         or r["doc_id"] >= corpus.DECONTAM_REKEY
         for r in out
     )
+
+
+def test_token_budget_greedy_cut(spark):
+    from crmint_spark.functions import hash_str
+
+    docs = load(spark, SF, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    ).withColumn(
+        "skey",
+        hash_str(
+            F.concat(
+                F.lit(f"budget:{corpus.SHUFFLE_SEED}:"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(r)
+    expect = {}
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: (r["skey"], r["doc_id"]))
+        run, kept, toks = 0, 0, 0
+        for r in rows:
+            if run < corpus.TOKEN_BUDGET:
+                kept += 1
+                toks += r["n_tok"]
+            run += r["n_tok"]
+        expect[src] = (kept, toks)
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in corpus.corpus_token_budget(spark, SF).collect()
+    }
+    assert got == expect
+    # the budget actually bites: most sources drop docs at the cut
+    n_cut = sum(
+        1 for src, (kept, _) in expect.items() if kept < len(by_src[src])
+    )
+    assert n_cut >= len(by_src) // 2
