@@ -192,6 +192,43 @@ def _word_ngrams(words, n: int):
     )
 
 
+def _repetition_per_doc(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition stats from a (doc_id, w) frame: characters
+    covered by the most frequent 2-gram (top2_chars) and by repeated
+    5-grams (rep5_chars). Shared by text_repetition and quality_funnel."""
+
+    def stats(n: int, top_only: bool, out: str) -> DataFrame:
+        grams = docs.select(
+            "doc_id", F.explode(_word_ngrams(F.col("w"), n)).alias("gram")
+        )
+        counts = grams.groupBy("doc_id", "gram").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        if top_only:
+            rn = Window.partitionBy("doc_id").orderBy(
+                F.col("cnt").desc(), F.col("gram").desc()
+            )
+            return (
+                counts.withColumn("rn", F.row_number().over(rn))
+                .filter(F.col("rn") == 1)
+                .select(
+                    "doc_id",
+                    (F.col("cnt") * F.length("gram").cast("bigint")).alias(out),
+                )
+            )
+        return (
+            counts.filter(F.col("cnt") >= 2)
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.col("cnt") * F.length("gram").cast("bigint")).alias(out)
+            )
+        )
+
+    return stats(2, True, "top2_chars").join(
+        stats(5, False, "rep5_chars"), "doc_id", "left"
+    )
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText repetition filters (Rae et al. 2021, §A1.1):
     per doc, the characters covered by the single most frequent 2-gram
@@ -203,37 +240,9 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars", F.split(F.col("text"), " ").alias("w")
     )
-
-    def per_doc(n: int, min_cnt: int, top_only: bool, out: str) -> DataFrame:
-        grams = docs.select(
-            "doc_id",
-            F.explode(_word_ngrams(F.col("w"), n)).alias("gram"),
-        )
-        counts = grams.groupBy("doc_id", "gram").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        if top_only:
-            rn = Window.partitionBy("doc_id").orderBy(
-                F.col("cnt").desc(), F.col("gram").desc()
-            )
-            top = counts.withColumn("rn", F.row_number().over(rn)).filter(
-                F.col("rn") == 1
-            )
-            return top.select(
-                "doc_id",
-                (F.col("cnt") * F.length("gram").cast("bigint")).alias(out),
-            )
-        rep = counts.filter(F.col("cnt") >= min_cnt)
-        return rep.groupBy("doc_id").agg(
-            F.sum(F.col("cnt") * F.length("gram").cast("bigint")).alias(out)
-        )
-
-    top2 = per_doc(2, 1, True, "top2_chars")
-    rep5 = per_doc(5, 2, False, "rep5_chars")
     joined = (
         docs.select("doc_id", "lang", "n_chars")
-        .join(top2, "doc_id", "left")
-        .join(rep5, "doc_id", "left")
+        .join(_repetition_per_doc(docs), "doc_id", "left")
         .select(
             "lang",
             "n_chars",
@@ -375,6 +384,116 @@ FROM per_doc
 WHERE n_hit * 2 >= n_grams AND n_hit > 0
 """
 
+def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning funnel: language-ID -> quality heuristics ->
+    repetition filter -> exact dedup, reported as cumulative survivor
+    counts per stage (the attrition table every corpus-cleaning run
+    publishes). All flags are integer cross-multiplies (no float
+    thresholds), so the DuckDB oracle matches bit-for-bit.
+
+    Stage predicates (cumulative):
+      lang_id:     at least one language's marker words hit (pred != und)
+      quality:     n_tokens >= 20 and stopword ratio >= 5% (hits*20 >= n)
+      repetition:  top-2-gram char coverage <= 20% of the doc
+      exact_dedup: distinct content digests among survivors
+
+    One pass over the corpus plus the n-gram stats frame; the five
+    counts come out of a single conditional aggregation and are
+    unpivoted with stack()."""
+    from .text import LANG_MARKERS, STOPWORDS
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars", F.split(F.col("text"), " ").alias("w")
+    )
+    words = F.col("w")
+    n_tokens = F.size(words).cast("bigint")
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    lang_ok = F.size(F.filter(words, lambda w: w.isin(all_markers))) > 0
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS))).cast(
+        "bigint"
+    )
+    qual_ok = (n_tokens >= 20) & (stop_hits * 20 >= n_tokens)
+    per_doc = docs.join(_repetition_per_doc(docs), "doc_id", "left").select(
+        lang_ok.alias("f_lang"),
+        qual_ok.alias("f_qual"),
+        (
+            F.coalesce("top2_chars", F.lit(0)) * 5 <= F.col("n_chars")
+        ).alias("f_rep"),
+        F.md5("text").alias("digest"),
+    )
+    agg = per_doc.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count_if(F.col("f_lang")).alias("n1"),
+        F.count_if(F.col("f_lang") & F.col("f_qual")).alias("n2"),
+        F.count_if(
+            F.col("f_lang") & F.col("f_qual") & F.col("f_rep")
+        ).alias("n3"),
+        F.count_distinct(
+            F.when(
+                F.col("f_lang") & F.col("f_qual") & F.col("f_rep"),
+                F.col("digest"),
+            )
+        ).cast("bigint").alias("n4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, '00_all', n0, '10_lang_id', n1, '20_quality', n2, "
+            "'30_repetition', n3, '40_exact_dedup', n4) AS (stage, n_docs)"
+        )
+    )
+
+
+def _funnel_sql() -> str:
+    from .text import LANG_MARKERS, STOPWORDS
+
+    all_markers = ", ".join(
+        f"'{m}'" for m in sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    )
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, n_chars, string_split(text, ' ') AS w FROM documents
+), g2 AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(w) >= 2
+    THEN list_transform(range(0, len(w) - 1), i -> w[i+1] || ' ' || w[i+2])
+    ELSE [] END) AS gram
+  FROM d
+), c2 AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2
+), top2 AS (
+  SELECT doc_id, cnt * len(gram) AS top2_chars
+  FROM (SELECT doc_id, gram, cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram DESC) AS rn
+        FROM c2)
+  WHERE rn = 1
+), per_doc AS (
+  SELECT len(list_filter(d.w, x -> x IN ({all_markers}))) > 0 AS f_lang,
+         CAST(len(d.w) AS BIGINT) >= 20
+           AND CAST(len(list_filter(d.w, x -> x IN ({stops}))) AS BIGINT) * 20
+               >= CAST(len(d.w) AS BIGINT) AS f_qual,
+         COALESCE(top2.top2_chars, 0) * 5 <= d.n_chars AS f_rep,
+         md5(d.text) AS digest
+  FROM d LEFT JOIN top2 ON d.doc_id = top2.doc_id
+), agg AS (
+  SELECT COUNT(*) AS n0,
+         COUNT(*) FILTER (WHERE f_lang) AS n1,
+         COUNT(*) FILTER (WHERE f_lang AND f_qual) AS n2,
+         COUNT(*) FILTER (WHERE f_lang AND f_qual AND f_rep) AS n3,
+         CAST(COUNT(DISTINCT CASE WHEN f_lang AND f_qual AND f_rep
+                             THEN digest END) AS BIGINT) AS n4
+  FROM per_doc
+)
+SELECT '00_all' AS stage, n0 AS n_docs FROM agg
+UNION ALL SELECT '10_lang_id', n1 FROM agg
+UNION ALL SELECT '20_quality', n2 FROM agg
+UNION ALL SELECT '30_repetition', n3 FROM agg
+UNION ALL SELECT '40_exact_dedup', n4 FROM agg
+"""
+
+
+QUALITY_FUNNEL_SQL = _funnel_sql()
+
 TOKEN_BUDGET = 1_000
 
 
@@ -441,4 +560,5 @@ CORPUS_QUERIES: dict[str, tuple] = {
     "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
     "decontam_overlap": (decontam_overlap, DECONTAM_SQL),
     "corpus_token_budget": (corpus_token_budget, TOKEN_BUDGET_SQL),
+    "quality_funnel": (quality_funnel, QUALITY_FUNNEL_SQL),
 }
