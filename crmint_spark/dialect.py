@@ -697,6 +697,38 @@ def _rewrite_arith_fns(sql: str) -> str:
     return "".join(out)
 
 
+_REGEX_SPECIALS = r"\.^$|?*+()[]{}"
+
+
+def _rewrite_split(sql: str) -> str:
+    """BigQuery ``SPLIT(v[, delim])`` treats the delimiter as a LITERAL
+    (default ','); Spark's ``split`` takes a regex. When the delimiter is
+    a quoted literal, escape regex metacharacters so e.g.
+    ``SPLIT(host, '.')`` splits on dots instead of on every character
+    (ref: output.sql:4 ``SPLIT(table_id, "events_")``). Non-literal
+    delimiters pass through unchanged (already regex-safe only if the
+    caller made them so)."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, _fn in _iter_calls(sql, ("SPLIT",)):
+        args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : end - 1])]
+        if len(args) == 1:
+            repl = f"split({args[0]}, ',')"
+        elif len(args) == 2 and args[1][:1] in "'\"" and args[1][-1:] == args[1][:1]:
+            body = args[1][1:-1]
+            esc = "".join(
+                ("\\\\" + ch) if ch in _REGEX_SPECIALS else ch for ch in body
+            ).replace("'", "\\'")
+            repl = f"split({args[0]}, '{esc}')"
+        else:
+            continue
+        out.append(sql[pos:start])
+        out.append(repl)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def _rewrite_approx_quantiles(sql: str) -> str:
     """``APPROX_QUANTILES(x, n)`` (n literal) -> ``approx_percentile(x,
     array(0, 1/n, ..., 1))`` — same n+1-point quantile vector shape."""
@@ -1100,6 +1132,7 @@ def transpile_statement(sql: str, resolver=None) -> str:
     out = _rewrite_datetime_trunc(out)
     out = _rewrite_parse_datetime(out)
     out = _rewrite_arith_fns(out)
+    out = _rewrite_split(out)
     out = _rewrite_approx_quantiles(out)
     out = _rewrite_fn_renames(out)
     out = re.sub(r"\bAS\s+NUMERIC\b", "AS DECIMAL(38, 9)", out, flags=re.IGNORECASE)

@@ -123,9 +123,12 @@ def test_format_date_nested_calls():
     assert out == "date_format((CURRENT_DATE() - INTERVAL 30 DAY), 'yyyyMMdd')"
 
 
-def test_split_offset_passthrough():
+def test_split_offset_literal_delimiter():
+    # SPLIT's literal delimiter becomes a regex-escaped split(); OFFSET
+    # becomes a 0-based subscript (this one is regex-safe so only the
+    # quoting changes)
     out = transpile_statement('SPLIT(table_id, "events_")[OFFSET(1)]')
-    assert out == 'SPLIT(table_id, "events_")[1]'
+    assert out == "split(table_id, 'events_')[1]"
 
 
 @needs_reference

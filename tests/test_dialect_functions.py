@@ -125,3 +125,19 @@ def test_declared_date_variable_substitutes_as_typed_literal(spark):
     sql = ctx.substitute("SELECT hour(t0) AS h, flag AS f")
     row = spark.sql(sql).collect()[0]
     assert row["h"] == 12 and row["f"] is True
+
+
+def test_split_literal_delimiter_escaped(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    out = transpile_statement("SELECT SPLIT('a.b.c', '.') AS parts")
+    assert "split('a.b.c', '\\\\.')" in out
+    assert spark.sql(out).collect()[0]["parts"] == ["a", "b", "c"]
+    # default delimiter is comma
+    out1 = transpile_statement("SELECT SPLIT('a,b') AS parts")
+    assert spark.sql(out1).collect()[0]["parts"] == ["a", "b"]
+    # regex-safe literals unchanged in behavior (output.sql:4 shape)
+    out2 = transpile_statement(
+        "SELECT SPLIT('events_20240101', 'events_')[OFFSET(1)] AS sfx"
+    )
+    assert spark.sql(out2).collect()[0]["sfx"] == "20240101"
