@@ -276,7 +276,10 @@ def _rewrite_array_literals(sql: str) -> str:
                 word = sql[w_start:w_end].upper()
             else:
                 word = ""
-            if word not in _KEYWORDS_BEFORE_ARRAY_LITERAL:
+            if word == "ARRAY":
+                # bare ARRAY[...] literal — consume the keyword too
+                typed = re.compile("ARRAY", re.IGNORECASE).match(sql, w_start)
+            elif word not in _KEYWORDS_BEFORE_ARRAY_LITERAL:
                 i += 1
                 continue  # subscript
         depth, k = 0, i
@@ -377,6 +380,113 @@ _BQ_TYPE_WORDS = frozenset(
 
 def _is_type_word(word: str) -> bool:
     return word.upper() in _BQ_TYPE_WORDS
+
+
+def _rewrite_extract_parts(sql: str) -> str:
+    """BigQuery ``EXTRACT(DATE|DATETIME|TIME FROM x)`` — field names
+    Spark's EXTRACT rejects — become casts/formatting: DATE -> CAST AS
+    DATE, DATETIME -> CAST AS TIMESTAMP_NTZ, TIME -> HH:mm:ss string
+    (Spark has no TIME type; documented approximation)."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, _fn in _iter_calls(sql, ("EXTRACT",)):
+        inner = sql[open_idx + 1 : end - 1].strip()
+        m = re.match(r"(DATE|DATETIME|TIME)\s+FROM\s+(.+)$", inner,
+                     re.IGNORECASE | re.DOTALL)
+        if not m:
+            continue
+        part = m.group(1).upper()
+        expr = _rewrite_extract_parts(m.group(2).strip())
+        if part == "DATE":
+            repl = f"CAST({expr} AS DATE)"
+        elif part == "DATETIME":
+            repl = f"CAST({expr} AS TIMESTAMP_NTZ)"
+        else:
+            repl = f"date_format({expr}, 'HH:mm:ss')"
+        out.append(sql[pos:start])
+        out.append(repl)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_date_ctor(sql: str) -> str:
+    """BigQuery 3-arg ``DATE(y, m, d)`` -> ``make_date(y, m, d)``
+    (Spark's DATE() takes one argument)."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, _fn in _iter_calls(sql, ("DATE",)):
+        args = _split_top_level(sql[open_idx + 1 : end - 1])
+        if len(args) != 3:
+            continue
+        out.append(sql[pos:start])
+        out.append(f"make_date({', '.join(a.strip() for a in args)})")
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _primary_start(sql: str, idx: int) -> int:
+    """Start index of the primary expression (identifier / call /
+    parenthesized / subscript chain, with dots) ending just before
+    ``idx`` — used to wrap the target of a postfix subscript."""
+    i = idx - 1
+    while i >= 0 and sql[i].isspace():
+        i -= 1
+    while i >= 0:
+        ch = sql[i]
+        if ch in ")]":
+            depth = 0
+            close = {")": "(", "]": "["}[ch]
+            while i >= 0:
+                if sql[i] == ch:
+                    depth += 1
+                elif sql[i] == close:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i -= 1
+            i -= 1
+        elif ch == "`":
+            i -= 1
+            while i >= 0 and sql[i] != "`":
+                i -= 1
+            i -= 1
+        elif ch.isalnum() or ch in "_.":
+            i -= 1
+        else:
+            break
+    return i + 1
+
+
+def _rewrite_safe_subscript(sql: str) -> str:
+    """``arr[SAFE_OFFSET(n)]`` / ``arr[SAFE_ORDINAL(n)]`` ->
+    ``get(arr, n)`` / ``get(arr, n-1)`` — Spark's get() returns NULL out
+    of bounds, matching BigQuery's SAFE_ subscripts (plain OFFSET/ORDINAL
+    error on both engines under ANSI mode)."""
+    pat = re.compile(
+        r"\[\s*(SAFE_OFFSET|SAFE_ORDINAL)\s*\(\s*(\d+)\s*\)\s*\]",
+        re.IGNORECASE,
+    )
+    while True:
+        m = None
+        i, n = 0, len(sql)
+        while i < n:
+            if sql[i] in ("'", '"', "`"):
+                i = _skip_string(sql, i)
+                continue
+            m = pat.match(sql, i)
+            if m:
+                break
+            i += 1
+        if not m:
+            return sql
+        idx = int(m.group(2))
+        if m.group(1).upper() == "SAFE_ORDINAL":
+            idx -= 1
+        p = _primary_start(sql, m.start())
+        target = sql[p : m.start()].strip()
+        sql = f"{sql[:p]}get({target}, {idx}){sql[m.end():]}"
 
 
 def _rewrite_offset_ordinal(sql: str) -> str:
@@ -1117,7 +1227,10 @@ def transpile_statement(sql: str, resolver=None) -> str:
     out = _rewrite_cast_date_format(out)
     out = _rewrite_array_literals(out)
     out = _rewrite_typed_struct(out)
+    out = _rewrite_safe_subscript(out)
     out = _rewrite_offset_ordinal(out)
+    out = _rewrite_extract_parts(out)
+    out = _rewrite_date_ctor(out)
     out = _rewrite_format_date(out)
     out = _rewrite_interval_arith(out)
     out = _rewrite_datetime_fn(out)

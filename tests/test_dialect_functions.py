@@ -141,3 +141,38 @@ def test_split_literal_delimiter_escaped(spark):
         "SELECT SPLIT('events_20240101', 'events_')[OFFSET(1)] AS sfx"
     )
     assert spark.sql(out2).collect()[0]["sfx"] == "20240101"
+
+
+def test_extract_date_time_parts(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    out = transpile_statement(
+        "SELECT EXTRACT(DATE FROM TIMESTAMP '2024-01-02 03:04:05') AS d,"
+        " EXTRACT(TIME FROM TIMESTAMP '2024-01-02 03:04:05') AS t,"
+        " EXTRACT(YEAR FROM DATE '2024-01-02') AS y"
+    )
+    r = spark.sql(out).collect()[0]
+    assert str(r["d"]) == "2024-01-02"
+    assert r["t"] == "03:04:05"
+    assert r["y"] == 2024
+
+
+def test_safe_subscripts_and_array_keyword_literal(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    out = transpile_statement(
+        "SELECT [1,2,3][SAFE_OFFSET(9)] AS miss,"
+        " [1,2,3][SAFE_OFFSET(1)] AS o,"
+        " ARRAY[4,5,6][SAFE_ORDINAL(2)] AS kw,"
+        " SPLIT('a.b', '.')[SAFE_OFFSET(0)] AS s"
+    )
+    r = spark.sql(out).collect()[0]
+    assert r["miss"] is None and r["o"] == 2 and r["kw"] == 5 and r["s"] == "a"
+
+
+def test_three_arg_date_constructor(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    out = transpile_statement("SELECT DATE(2024, 1, 2) AS d, DATE('2024-03-04') AS s")
+    r = spark.sql(out).collect()[0]
+    assert str(r["d"]) == "2024-01-02" and str(r["s"]) == "2024-03-04"
