@@ -192,6 +192,47 @@ GROUP BY order_month
 """
 
 
+def q35_bq_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second BigQuery-surface script: EXTRACT(DATE FROM ts), literal
+    SPLIT delimiters, SAFE_OFFSET/SAFE_ORDINAL subscripts, 3-arg DATE,
+    bare ARRAY[...] literals — all through SparkSQLExecutor unchanged."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    SELECT
+      EXTRACT(DATE FROM o_orderdate) AS order_date,
+      SPLIT(o_orderpriority, '-')[SAFE_OFFSET(0)] AS prio_code,
+      SPLIT(o_orderpriority, '-')[SAFE_OFFSET(9)] AS missing,
+      DATE(1995, 1, 1) AS epoch_start,
+      ARRAY[1, 2, 3][SAFE_ORDINAL(2)] AS second_elem,
+      COUNT(*) AS n
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                          AND TIMESTAMP '1995-03-31 23:59:59'
+    GROUP BY 1, 2, 3, 4, 5
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q35_SQL = """
+SELECT
+  CAST(o_orderdate AS DATE) AS order_date,
+  string_split(o_orderpriority, '-')[1] AS prio_code,
+  string_split(o_orderpriority, '-')[10] AS missing,
+  DATE '1995-01-01' AS epoch_start,
+  [1, 2, 3][2] AS second_elem,
+  COUNT(*) AS n
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                      AND TIMESTAMP '1995-03-31 23:59:59'
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
 def q21_latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Latest shard' discovery: the reference finds the newest events_*
     shard via MAX(table_id) over __TABLES_SUMMARY__ (ref: output.sql:2-19);
@@ -715,6 +756,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q32_pivot_monthly": (q32_pivot_monthly, Q32_SQL),
     "q33_script_udf_view": (q33_script_udf_view, Q33_SQL),
     "q34_bq_functions": (q34_bq_functions, Q34_SQL),
+    "q35_bq_functions2": (q35_bq_functions2, Q35_SQL),
     "pipeline_sql_e2e": (pipeline_sql_e2e, PIPELINE_E2E_SQL),
     # rows-only entries: the cheap multimodal scan goes first — the model
     # fit and the streaming backfill are the slowest entries in the whole
