@@ -810,6 +810,141 @@ def _rewrite_arith_fns(sql: str) -> str:
 _REGEX_SPECIALS = r"\.^$|?*+()[]{}"
 
 
+def _regex_group_count(pattern_literal: str) -> int:
+    """Number of capturing groups in a regex given as a quoted SQL
+    literal — '(' not escaped and not opening a (?...) construct."""
+    body = pattern_literal[1:-1]
+    n = 0
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "(" and body[i + 1 : i + 2] != "?":
+            n += 1
+        i += 1
+    return n
+
+
+def _rewrite_regexp_extract(sql: str) -> str:
+    """BigQuery ``REGEXP_EXTRACT[_ALL](x, p)`` returns the capturing
+    group if the pattern has one, else the whole match, and NULL when
+    nothing matches. Spark's twins demand an explicit group index and
+    return '' on no match — so pick the index from the (literal) pattern
+    and NULLIF the miss. (Empty-string matches also become NULL — the
+    one documented divergence.) Non-literal patterns get group 0."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, fn in _iter_calls(
+        sql, ("REGEXP_EXTRACT_ALL", "REGEXP_EXTRACT", "REGEXP_SUBSTR")
+    ):
+        args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : end - 1])]
+        if len(args) != 2:
+            continue
+        pat = args[1]
+        grp = 0
+        if pat[:1] in "'\"" and pat[-1:] == pat[:1]:
+            grp = 1 if _regex_group_count(pat) >= 1 else 0
+        if fn == "regexp_extract_all":
+            repl = f"regexp_extract_all({args[0]}, {args[1]}, {grp})"
+        else:
+            repl = f"nullif(regexp_extract({args[0]}, {args[1]}, {grp}), '')"
+        out.append(sql[pos:start])
+        out.append(repl)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_to_hex(sql: str) -> str:
+    """``TO_HEX(MD5(x))`` -> ``md5(x)`` / ``TO_HEX(SHA256(x))`` ->
+    ``sha2(x, 256)`` (Spark's digest builtins already emit lowercase hex
+    strings, where BigQuery's return BYTES); general ``TO_HEX(b)`` ->
+    ``lower(hex(b))`` (Spark hex() is uppercase, BigQuery lowercase)."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, _fn in _iter_calls(sql, ("TO_HEX",)):
+        inner = sql[open_idx + 1 : end - 1].strip()
+        m = re.match(r"(MD5|SHA1|SHA256|SHA512)\s*\(", inner, re.IGNORECASE)
+        if m and _balanced_end(inner, m.end() - 1) == len(inner):
+            arg = inner[m.end() : len(inner) - 1]
+            digest = m.group(1).upper()
+            if digest == "MD5":
+                repl = f"md5({arg})"
+            elif digest == "SHA1":
+                repl = f"sha1({arg})"
+            else:
+                repl = f"sha2({arg}, {digest[3:]})"
+        else:
+            repl = f"lower(hex({inner}))"
+        out.append(sql[pos:start])
+        out.append(repl)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+_ARRAY_AGG_TAIL_RE = re.compile(
+    r"^(?P<distinct>DISTINCT\s+)?(?P<body>.*)$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _rewrite_array_agg(sql: str) -> str:
+    """BigQuery ``ARRAY_AGG([DISTINCT] x [IGNORE NULLS] [ORDER BY o
+    [ASC|DESC]] [LIMIT n])`` -> collect_list/collect_set compositions:
+    the ORDER BY becomes an array_sort over (o, x) structs projected
+    back to x (DESC = reverse), LIMIT becomes slice. Spark's collectors
+    always drop NULLs, which matches the IGNORE NULLS form (BigQuery
+    without it errors on NULL input — scripts relying on that error
+    don't exist in practice)."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, _fn in _iter_calls(sql, ("ARRAY_AGG",)):
+        inner = _rewrite_array_agg(sql[open_idx + 1 : end - 1].strip())
+        m = _ARRAY_AGG_TAIL_RE.match(inner)
+        distinct = bool(m.group("distinct"))
+        body = m.group("body")
+        limit = None
+        m_lim = re.search(r"\bLIMIT\s+(\d+)\s*$", body, re.IGNORECASE)
+        if m_lim and _find_top_level(
+            body, re.compile(r"\bLIMIT\b", re.IGNORECASE), m_lim.start()
+        ):
+            body, limit = body[: m_lim.start()].rstrip(), int(m_lim.group(1))
+        order_expr = direction = None
+        m_ord = _find_top_level(body, re.compile(r"\bORDER\s+BY\b", re.IGNORECASE))
+        if m_ord:
+            tail = body[m_ord.end() :].strip()
+            body = body[: m_ord.start()].rstrip()
+            m_dir = re.search(r"\s+(ASC|DESC)\s*$", tail, re.IGNORECASE)
+            if m_dir:
+                direction = m_dir.group(1).upper()
+                tail = tail[: m_dir.start()].strip()
+            order_expr = tail
+        ignore = re.search(r"\s+IGNORE\s+NULLS\s*$", body, re.IGNORECASE)
+        if ignore:
+            body = body[: ignore.start()].rstrip()
+        expr = body.strip()
+        agg = f"collect_set({expr})" if distinct else f"collect_list({expr})"
+        if order_expr is not None:
+            if order_expr == expr or distinct:
+                agg = f"array_sort({agg})"
+            else:
+                agg = (
+                    f"transform(array_sort(collect_list("
+                    f"struct({order_expr} AS _o, {expr} AS _v))), s -> s._v)"
+                )
+            if direction == "DESC":
+                agg = f"reverse({agg})"
+        if limit is not None:
+            agg = f"slice({agg}, 1, {limit})"
+        out.append(sql[pos:start])
+        out.append(agg)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def _rewrite_split(sql: str) -> str:
     """BigQuery ``SPLIT(v[, delim])`` treats the delimiter as a LITERAL
     (default ','); Spark's ``split`` takes a regex. When the delimiter is
@@ -1241,6 +1376,9 @@ def transpile_statement(sql: str, resolver=None) -> str:
         r"\bGENERATE_UUID\s*\(\s*\)", "uuid()", out, flags=re.IGNORECASE
     )
     out = _rewrite_string_agg(out)
+    out = _rewrite_regexp_extract(out)
+    out = _rewrite_to_hex(out)
+    out = _rewrite_array_agg(out)
     out = _rewrite_datetime_diff(out)
     out = _rewrite_datetime_trunc(out)
     out = _rewrite_parse_datetime(out)

@@ -176,3 +176,46 @@ def test_three_arg_date_constructor(spark):
     out = transpile_statement("SELECT DATE(2024, 1, 2) AS d, DATE('2024-03-04') AS s")
     r = spark.sql(out).collect()[0]
     assert str(r["d"]) == "2024-01-02" and str(r["s"]) == "2024-03-04"
+
+
+def test_regexp_extract_null_and_group_semantics(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    out = transpile_statement(
+        "SELECT REGEXP_EXTRACT('abc123', r'[0-9]+') AS hit,"
+        " REGEXP_EXTRACT('abc', r'[0-9]+') AS miss,"
+        " REGEXP_EXTRACT('a-b', r'([a-z])-') AS grp,"
+        " REGEXP_EXTRACT_ALL('a1b2', r'[0-9]') AS all_hits"
+    )
+    r = spark.sql(out).collect()[0]
+    assert r["hit"] == "123"
+    assert r["miss"] is None  # BigQuery returns NULL, not ''
+    assert r["grp"] == "a"
+    assert r["all_hits"] == ["1", "2"]
+
+
+def test_to_hex_digest_forms(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    out = transpile_statement(
+        "SELECT TO_HEX(MD5('x')) AS m, TO_HEX(SHA256('x')) AS s"
+    )
+    r = spark.sql(out).collect()[0]
+    assert r["m"] == "9dd4e461268c8034f5c8564e155c67a6"
+    assert r["s"].startswith("2d711642")
+
+
+def test_array_agg_modifiers(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    out = transpile_statement(
+        "SELECT ARRAY_AGG(v ORDER BY k DESC LIMIT 2) AS top2,"
+        " ARRAY_AGG(DISTINCT k ORDER BY k) AS ks,"
+        " ARRAY_AGG(n IGNORE NULLS) AS nn"
+        " FROM (SELECT 1 AS k, 'b' AS v, CAST(NULL AS INT64) AS n"
+        " UNION ALL SELECT 0, 'a', 7 UNION ALL SELECT 2, 'c', NULL)"
+    )
+    r = spark.sql(out).collect()[0]
+    assert r["top2"] == ["c", "b"]
+    assert r["ks"] == [0, 1, 2]
+    assert r["nn"] == [7]
