@@ -656,6 +656,7 @@ _FN_RENAMES: list[tuple[str, str]] = [
     ("ARRAY_REVERSE", "reverse"),
     ("BYTE_LENGTH", "octet_length"),
     ("FORMAT", "format_string"),
+    ("ERROR", "raise_error"),
     ("SAFE_ADD", "try_add"),
     ("SAFE_SUBTRACT", "try_subtract"),
     ("SAFE_MULTIPLY", "try_multiply"),
@@ -852,6 +853,52 @@ def _rewrite_regexp_extract(sql: str) -> str:
             repl = f"nullif(regexp_extract({args[0]}, {args[1]}, {grp}), '')"
         out.append(sql[pos:start])
         out.append(repl)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_regexp_replace(sql: str) -> str:
+    """BigQuery ``REGEXP_REPLACE`` replacement strings use ``\\1``
+    backreferences; Java's (Spark's) use ``$1`` and treat ``\\1`` as a
+    literal. Rewrite literal replacement args: ``\\N`` -> ``$N`` and
+    escape pre-existing ``$``. (Raw strings were already unquoted to
+    doubled backslashes by _rewrite_raw_strings.)"""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, _fn in _iter_calls(sql, ("REGEXP_REPLACE",)):
+        args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : end - 1])]
+        if len(args) != 3:
+            continue
+        rep = args[2]
+        if not (rep[:1] in "'\"" and rep[-1:] == rep[:1]):
+            continue
+        # "$" must reach Java as "\$": SQL-literal form "\\$"
+        body = rep[1:-1].replace("$", "\\\\$")
+        body = re.sub(r"\\\\(\d)", r"$\1", body)
+        out.append(sql[pos:start])
+        out.append(f"regexp_replace({args[0]}, {args[1]}, '{body}')")
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_least_greatest(sql: str) -> str:
+    """BigQuery ``LEAST``/``GREATEST`` return NULL if ANY argument is
+    NULL; Spark's skip NULLs. Guard with an any-null CASE."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, fn in _iter_calls(sql, ("LEAST", "GREATEST")):
+        inner = _rewrite_least_greatest(sql[open_idx + 1 : end - 1])
+        args = [a.strip() for a in _split_top_level(inner)]
+        if len(args) < 2:
+            continue
+        null_checks = " OR ".join(f"({a}) IS NULL" for a in args)
+        out.append(sql[pos:start])
+        out.append(
+            f"(CASE WHEN {null_checks} THEN NULL"
+            f" ELSE {fn}({', '.join(args)}) END)"
+        )
         pos = end
     out.append(sql[pos:])
     return "".join(out)
@@ -1377,6 +1424,8 @@ def transpile_statement(sql: str, resolver=None) -> str:
     )
     out = _rewrite_string_agg(out)
     out = _rewrite_regexp_extract(out)
+    out = _rewrite_regexp_replace(out)
+    out = _rewrite_least_greatest(out)
     out = _rewrite_to_hex(out)
     out = _rewrite_array_agg(out)
     out = _rewrite_datetime_diff(out)

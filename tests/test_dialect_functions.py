@@ -219,3 +219,39 @@ def test_array_agg_modifiers(spark):
     assert r["top2"] == ["c", "b"]
     assert r["ks"] == [0, 1, 2]
     assert r["nn"] == [7]
+
+
+def test_regexp_replace_backreferences(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    out = transpile_statement(
+        r"SELECT REGEXP_REPLACE('a1b2', r'([a-z])([0-9])', r'\2\1') AS swap,"
+        r" REGEXP_REPLACE('cost: 5', r'(\d)', r'$\1') AS dollar"
+    )
+    r = spark.sql(out).collect()[0]
+    assert r["swap"] == "1a2b" and r["dollar"] == "cost: $5"
+
+
+def test_least_greatest_null_propagation(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    out = transpile_statement(
+        "SELECT LEAST(1, NULL) AS l, GREATEST(3, 1) AS g,"
+        " LEAST(LEAST(2, 4), 1) AS nested"
+    )
+    r = spark.sql(out).collect()[0]
+    assert r["l"] is None and r["g"] == 3 and r["nested"] == 1
+
+
+def test_error_function_raises(spark):
+    import pytest
+    from crmint_spark.dialect import transpile_statement
+
+    ok = spark.sql(
+        transpile_statement("SELECT IF(TRUE, 'ok', ERROR('boom')) AS x")
+    ).collect()[0]["x"]
+    assert ok == "ok"
+    with pytest.raises(Exception, match="boom"):
+        spark.sql(
+            transpile_statement("SELECT IF(FALSE, 'ok', ERROR('boom')) AS x")
+        ).collect()
