@@ -687,8 +687,13 @@ def ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming session windows drained with availableNow
-    (rows-only: streaming state isn't SQL-expressible)."""
+    """Structured Streaming session windows drained with availableNow.
+
+    Oracle-checked: over a complete single-batch backfill the watermark
+    drops nothing, so Spark's gap-based session_window is exactly the
+    batch gaps-and-islands computation — a new session starts when the
+    gap to the previous event is >= the 30-minute gap (session windows
+    are [start, last_event + gap) half-open intervals)."""
     from .streaming.events import (
         sessionized_stream,
         stream_events_from_dir,
@@ -711,6 +716,23 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").cast("bigint").alias("n_events"),
         )
     )
+
+
+STREAMING_SESSIONIZE_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL
+              OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+)
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -765,5 +787,5 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     # entries, dropping exactly the one scheduled after these two)
     "multimodal_features": (multimodal_features, None),
     "ml_train_predict": (ml_train_predict, None),
-    "streaming_sessionize": (streaming_sessionize, None),
+    "streaming_sessionize": (streaming_sessionize, STREAMING_SESSIONIZE_SQL),
 }
