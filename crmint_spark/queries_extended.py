@@ -718,6 +718,17 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MULTIMODAL_SQL = """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       COUNT(*) AS n_media,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+FROM documents
+WHERE doc_id < 64
+GROUP BY 1
+"""
+
 STREAMING_SESSIONIZE_SQL = """
 WITH ordered AS (
   SELECT user_id, ts,
@@ -736,12 +747,14 @@ FROM flagged GROUP BY user_id
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column feature extraction through mapInPandas (rows-only:
-    the stub kernel is engine-internal). Media payloads are derived
-    deterministically from the documents table."""
+    """Binary-column feature extraction through mapInPandas. Media
+    payloads are derived deterministically from the documents table
+    (content = UTF-8 text bytes), so the per-kind byte totals the Python
+    kernel reports are SQL-recomputable: the oracle validates that the
+    Arrow batch round-trip preserves every payload byte-for-byte."""
     from .operators.multimodal import extract_features
 
-    docs = load(spark, sf_dir, "documents").limit(64)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")
@@ -785,7 +798,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     # registry, and a budget-limited driver sweep should reach everything
     # cheap before it reaches them (round-1 driver run recorded 50 of 51
     # entries, dropping exactly the one scheduled after these two)
-    "multimodal_features": (multimodal_features, None),
+    "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "ml_train_predict": (ml_train_predict, None),
     "streaming_sessionize": (streaming_sessionize, STREAMING_SESSIONIZE_SQL),
 }
