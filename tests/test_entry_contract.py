@@ -1,0 +1,42 @@
+"""Driver-contract invariants for __spark_entry__: key consistency,
+callable signatures, and the flagship entry() smoke path. The driver
+imports this module blind — a broken contract fails every oracle row at
+once, so guard it directly."""
+
+from __future__ import annotations
+
+import inspect
+
+import __spark_entry__ as entry_mod
+
+
+def test_every_oracle_key_has_a_query():
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(os_) <= set(qs), sorted(set(os_) - set(qs))
+    # rows-only entries are the documented exceptions, nothing else
+    rows_only = set(qs) - set(os_)
+    assert rows_only == {"ann_ivf_topk", "ml_train_predict"}, rows_only
+
+
+def test_query_callables_take_spark_and_sf_dir():
+    for name, fn in entry_mod.queries().items():
+        params = list(inspect.signature(fn).parameters)
+        assert len(params) >= 2, f"{name} must accept (spark, sf_dir)"
+
+
+def test_oracle_sql_mentions_only_registered_tables():
+    from crmint_spark.catalog import TESTDATA_TABLES
+
+    # every oracle runs on DuckDB where only the testdata views exist;
+    # a stray table name would fail all rows at driver time
+    for name, sql in entry_mod.oracle_sql().items():
+        assert isinstance(sql, str) and sql.strip(), name
+        assert any(t in sql for t in TESTDATA_TABLES), (
+            f"{name} oracle references no testdata table"
+        )
+
+
+def test_entry_flagship_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert df.columns  # stable, non-empty schema
