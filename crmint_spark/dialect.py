@@ -1280,6 +1280,94 @@ def _rewrite_lateral_unnest(sql: str) -> str:
         sql = before + scope_pre + replacement + scope_post + after
 
 
+_QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
+_QUALIFY_TAIL_RE = re.compile(
+    r"\b(ORDER\s+BY|LIMIT|UNION|INTERSECT|EXCEPT)\b", re.IGNORECASE
+)
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """BigQuery ``QUALIFY <window predicate>`` (post-window filter; Spark
+    has no equivalent clause) -> wrap the query block in a subquery that
+    projects the predicate and filter outside:
+
+      SELECT ... FROM t QUALIFY p [ORDER BY/LIMIT tail]
+        -> SELECT * EXCEPT (__q) FROM (SELECT ..., p AS __q FROM t)
+           WHERE __q [tail]
+
+    Applied innermost-first so QUALIFY inside CTE bodies and subqueries
+    works; each block may carry one QUALIFY."""
+    # recurse into parenthesized blocks first
+    out: list[str] = []
+    pos = 0
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            i = _skip_string(sql, i)
+            continue
+        if ch == "(":
+            end = _balanced_end(sql, i)
+            if end > 0:
+                inner = _rewrite_qualify(sql[i + 1 : end - 1])
+                out.append(sql[pos : i + 1])
+                out.append(inner)
+                out.append(")")
+                pos = i = end
+                continue
+        i += 1
+    out.append(sql[pos:])
+    sql = "".join(out)
+
+    m = _find_top_level(sql, _QUALIFY_RE)
+    if not m:
+        return sql
+    if not re.match(r"\s*(SELECT|WITH)\b", sql, re.IGNORECASE):
+        # DDL/DML prologue (CREATE ... AS / INSERT INTO ...): split it off
+        # and rewrite only the query part
+        m_q = _find_top_level(sql, re.compile(r"\b(SELECT|WITH)\b", re.IGNORECASE))
+        if not m_q or m_q.start() == 0:
+            return sql
+        return sql[: m_q.start()] + _rewrite_qualify(sql[m_q.start() :])
+    head = sql[: m.start()].rstrip()
+    rest = sql[m.end() :].strip()
+    m_tail = _find_top_level(rest, _QUALIFY_TAIL_RE)
+    if m_tail:
+        pred, tail = rest[: m_tail.start()].rstrip(), " " + rest[m_tail.start() :]
+    else:
+        pred, tail = rest, ""
+    with_clause = ""
+    if re.match(r"\s*WITH\b", head, re.IGNORECASE):
+        # QUALIFY in the main query of a WITH: keep the CTE prologue
+        # outside the wrap (Spark allows WITH only at statement head)
+        with_clause = extract_with_clause(head)
+        if not with_clause:
+            return sql
+        head = head[len(with_clause) :].lstrip()
+    m_sel = re.match(r"\s*SELECT\b(\s+DISTINCT\b)?", head, re.IGNORECASE)
+    if not m_sel:
+        return sql  # QUALIFY outside a plain SELECT block — leave as-is
+    if m_sel.group(1):
+        # DISTINCT: adding __q to the list would change the dedup key —
+        # wrap the whole block instead (pred then sees output columns
+        # only, which is what QUALIFY over DISTINCT means anyway)
+        inner = f"SELECT *, ({pred}) AS __q FROM ({head})"
+    else:
+        m_from = _find_top_level(head, _FROM_RE, m_sel.end())
+        if not m_from:
+            return sql
+        inner = (
+            f"{head[:m_from.start()].rstrip()}, ({pred}) AS __q "
+            f"{head[m_from.start():]}"
+        )
+    return (
+        f"{with_clause} SELECT * EXCEPT (__q) FROM ({inner})"
+        f" WHERE __q{tail}"
+        if with_clause
+        else f"SELECT * EXCEPT (__q) FROM ({inner}) WHERE __q{tail}"
+    )
+
+
 def _default_resolver(table_id: str) -> str:
     from .catalog import _safe_view_name
 
@@ -1402,6 +1490,7 @@ def transpile_statement(sql: str, resolver=None) -> str:
     # arbitrary-order semantics
     out = re.sub(r"\bOVER\s*\(\s*\)", "OVER (ORDER BY 1)", out, flags=re.IGNORECASE)
     out = _rewrite_raw_strings(out)
+    out = _rewrite_qualify(out)
     out = _rewrite_correlated_unnest(out)
     out = _rewrite_lateral_unnest(out)
     out = _rewrite_backtick_tables(out, resolver)

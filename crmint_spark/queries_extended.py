@@ -233,6 +233,37 @@ GROUP BY 1, 2, 3, 4, 5
 """
 
 
+def q36_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY window filtering (BigQuery's post-window filter; Spark has
+    no such clause — the dialect lifts it into a __q projection). DuckDB
+    supports QUALIFY natively, so the oracle runs the same shape."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    SELECT c_nationkey, c_custkey, c_acctbal AS acctbal
+    FROM customer
+    WHERE c_acctbal > 0
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+    ) <= 2
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q36_SQL = """
+SELECT c_nationkey, c_custkey, c_acctbal AS acctbal
+FROM customer
+WHERE c_acctbal > 0
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+) <= 2
+"""
+
+
 def q21_latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Latest shard' discovery: the reference finds the newest events_*
     shard via MAX(table_id) over __TABLES_SUMMARY__ (ref: output.sql:2-19);
@@ -792,6 +823,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q33_script_udf_view": (q33_script_udf_view, Q33_SQL),
     "q34_bq_functions": (q34_bq_functions, Q34_SQL),
     "q35_bq_functions2": (q35_bq_functions2, Q35_SQL),
+    "q36_qualify": (q36_qualify, Q36_SQL),
     "pipeline_sql_e2e": (pipeline_sql_e2e, PIPELINE_E2E_SQL),
     # rows-only entries: the cheap multimodal scan goes first — the model
     # fit and the streaming backfill are the slowest entries in the whole

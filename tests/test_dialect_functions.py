@@ -255,3 +255,58 @@ def test_error_function_raises(spark):
         spark.sql(
             transpile_statement("SELECT IF(FALSE, 'ok', ERROR('boom')) AS x")
         ).collect()
+
+
+def test_qualify_clause_forms(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    base = (
+        "(SELECT 1 AS uid, 10 AS v UNION ALL SELECT 1, 20"
+        " UNION ALL SELECT 2, 5) t"
+    )
+    top1 = spark.sql(
+        transpile_statement(
+            f"SELECT uid, v FROM {base}"
+            " QUALIFY ROW_NUMBER() OVER (PARTITION BY uid ORDER BY v DESC) = 1"
+        )
+    ).collect()
+    assert {tuple(r) for r in top1} == {(1, 20), (2, 5)}
+    # alias reference + WHERE + ORDER BY tail
+    tail = spark.sql(
+        transpile_statement(
+            f"SELECT uid, v, RANK() OVER (ORDER BY v) AS r FROM {base}"
+            " WHERE v > 1 QUALIFY r <= 2 ORDER BY v"
+        )
+    ).collect()
+    assert [(r["uid"], r["v"]) for r in tail] == [(2, 5), (1, 10)]
+    # inside a CTE body and in the WITH main query
+    cte = spark.sql(
+        transpile_statement(
+            f"WITH w AS (SELECT uid, v FROM {base} QUALIFY"
+            " ROW_NUMBER() OVER (PARTITION BY uid ORDER BY v) = 1)"
+            " SELECT COUNT(*) AS n FROM w"
+        )
+    ).collect()
+    assert cte[0]["n"] == 2
+    main = spark.sql(
+        transpile_statement(
+            f"WITH w AS (SELECT uid, v FROM {base}) SELECT uid, v FROM w"
+            " QUALIFY ROW_NUMBER() OVER (PARTITION BY uid ORDER BY v DESC) = 1"
+        )
+    ).collect()
+    assert {tuple(r) for r in main} == {(1, 20), (2, 5)}
+
+
+def test_qualify_inside_ctas(spark):
+    # QUALIFY under a DDL prologue: the rewrite must skip past CREATE ... AS
+    from crmint_spark.dialect import transpile_statement
+
+    out = transpile_statement(
+        "CREATE OR REPLACE TEMPORARY VIEW q_top AS"
+        " SELECT uid, v FROM (SELECT 1 AS uid, 10 AS v"
+        " UNION ALL SELECT 1, 20 UNION ALL SELECT 2, 5) t"
+        " QUALIFY ROW_NUMBER() OVER (PARTITION BY uid ORDER BY v DESC) = 1"
+    )
+    spark.sql(out)
+    rows = spark.table("q_top").collect()
+    assert {tuple(r) for r in rows} == {(1, 20), (2, 5)}
