@@ -1,0 +1,134 @@
+"""Driver-checked queries for the BigQuery DML surface (crmint_spark.dml).
+
+The reference runs DML verbatim on BigQuery (its BQScriptExecutor makes
+no distinction between SELECT and MERGE — ref: backend/jobs/workers/
+bigquery/bq_script_executor.py:40-56); MERGE-based upserts are the
+standard CRM pattern for maintaining audience tables. Each query here
+executes a DML script through ``SparkSQLExecutor`` against a throwaway
+catalog seeded from the driver testdata, returns the final table state,
+and the oracle expresses the same final state as a pure SELECT so DuckDB
+verifies the mutation semantics without needing DML of its own.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import Catalog, register_testdata
+from .workers.base import WorkerContext
+from .workers.sql_executor import SparkSQLExecutor
+
+
+def _run_script(spark: SparkSession, cat: Catalog, script: str) -> None:
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False},
+        WorkerContext(spark=spark, catalog=cat),
+    )
+    w.execute()
+
+
+def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic audience-upsert MERGE: update high-value matches, delete
+    worthless ones, flag target rows with no orders, insert the rest.
+    All four WHEN categories in one statement (the shape BigQuery docs
+    and CRM pipelines use); compiled to one FULL OUTER JOIN by
+    crmint_spark.dml.compile_merge."""
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_q_"))
+    target = spark.sql(
+        "SELECT c_custkey AS id, c_acctbal AS bal FROM customer WHERE c_nationkey = 1"
+    )
+    cat.write(target, "p.crm.audience")
+    _run_script(
+        spark,
+        cat,
+        """
+        MERGE INTO `p.crm.audience` T
+        USING (
+          SELECT o_custkey AS id, SUM(o_totalprice) AS total
+          FROM orders GROUP BY o_custkey
+        ) S
+        ON T.id = S.id
+        WHEN MATCHED AND S.total > 100000 THEN UPDATE SET bal = S.total
+        WHEN MATCHED AND S.total <= 0 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET bal = -1
+        WHEN NOT MATCHED THEN INSERT (id, bal) VALUES (S.id, S.total);
+        """,
+    )
+    final = cat.read("p.crm.audience")
+    return (
+        final.selectExpr("id", "ROUND(bal, 4) AS bal").orderBy("id")
+    )
+
+
+DML_MERGE_SQL = """
+WITH t AS (
+  SELECT c_custkey AS id, c_acctbal AS bal FROM customer WHERE c_nationkey = 1
+), s AS (
+  SELECT o_custkey AS id, SUM(o_totalprice) AS total FROM orders GROUP BY o_custkey
+)
+SELECT id, ROUND(bal, 4) AS bal FROM (
+  SELECT t.id AS id,
+         CASE WHEN s.id IS NOT NULL AND s.total > 100000 THEN s.total
+              WHEN s.id IS NULL THEN CAST(-1 AS DOUBLE)
+              ELSE t.bal END AS bal
+  FROM t LEFT JOIN s ON t.id = s.id
+  WHERE NOT (s.id IS NOT NULL AND NOT (s.total > 100000) AND s.total <= 0)
+  UNION ALL
+  SELECT s.id AS id, s.total AS bal
+  FROM s LEFT JOIN t ON s.id = t.id WHERE t.id IS NULL
+)
+ORDER BY id
+"""
+
+
+def dml_update_delete_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE / DELETE / INSERT script on a catalog table — each compiles
+    to a shuffle-free projection/filter plus a copy-on-write swap."""
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_q_"))
+    target = spark.sql(
+        "SELECT c_custkey AS id, c_mktsegment AS seg, c_acctbal AS bal "
+        "FROM customer WHERE c_custkey <= 300"
+    )
+    cat.write(target, "p.crm.segments")
+    _run_script(
+        spark,
+        cat,
+        """
+        UPDATE `p.crm.segments` SET bal = bal * 2 WHERE seg = 'BUILDING';
+        DELETE FROM `p.crm.segments` WHERE bal < 0;
+        INSERT INTO `p.crm.segments` (id, seg) VALUES (999001, 'NEW'), (999002, 'NEW');
+        """,
+    )
+    return (
+        cat.read("p.crm.segments")
+        .selectExpr("id", "seg", "ROUND(bal, 4) AS bal")
+        .orderBy("id")
+    )
+
+
+DML_UPDATE_SQL = """
+WITH t0 AS (
+  SELECT c_custkey AS id, c_mktsegment AS seg, c_acctbal AS bal
+  FROM customer WHERE c_custkey <= 300
+), t1 AS (
+  SELECT id, seg, CASE WHEN seg = 'BUILDING' THEN bal * 2 ELSE bal END AS bal
+  FROM t0
+), t2 AS (
+  SELECT * FROM t1 WHERE NOT (bal < 0)
+), t3 AS (
+  SELECT * FROM t2
+  UNION ALL SELECT 999001, 'NEW', CAST(NULL AS DOUBLE)
+  UNION ALL SELECT 999002, 'NEW', CAST(NULL AS DOUBLE)
+)
+SELECT id, seg, ROUND(bal, 4) AS bal FROM t3 ORDER BY id
+"""
+
+
+DML_QUERIES: dict[str, tuple] = {
+    "dml_merge_upsert": (dml_merge_upsert, DML_MERGE_SQL),
+    "dml_update_delete_insert": (dml_update_delete_insert, DML_UPDATE_SQL),
+}

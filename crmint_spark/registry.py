@@ -64,6 +64,13 @@ for _name, (_fn, _sql) in _EXT.items():
     if _sql is not None:
         ORACLES[_name] = _sql
 
+from .queries_dml import DML_QUERIES
+
+for _name, (_fn, _sql) in DML_QUERIES.items():
+    QUERIES[_name] = _fn
+    if _sql is not None:
+        ORACLES[_name] = _sql
+
 # verbatim reference-template execution (needs the reference checkout
 # to render from; registered only when it is present)
 from .ml.reference_templates import reference_templates_available

@@ -26,6 +26,19 @@ from ..dialect import (
     split_script,
     transpile_statement,
 )
+from ..dml import (
+    DeleteStmt,
+    DmlError,
+    InsertStmt,
+    MergeStmt,
+    TruncateStmt,
+    UpdateStmt,
+    compile_delete,
+    compile_merge,
+    compile_update,
+    parse_dml,
+    prepare_merge_views,
+)
 from .base import Worker, WorkerException
 
 
@@ -83,7 +96,15 @@ class SparkSQLExecutor(Worker):
                 value = spark.sql(f"SELECT {sql_expr}").first()[0]
                 sctx.variables[name] = value
                 continue
-            stmt = transpile_statement(sctx.substitute(raw_stmt), resolver)
+            sub = sctx.substitute(raw_stmt)
+            if not self._params["dry_run"]:
+                try:
+                    dml = parse_dml(sub)
+                except DmlError as e:
+                    raise WorkerException(str(e)) from None
+                if dml is not None and self._try_dml(dml, resolver):
+                    continue
+            stmt = transpile_statement(sub, resolver)
             if self._params["dry_run"]:
                 self._dry_run_statement(spark, stmt)
                 continue
@@ -102,6 +123,148 @@ class SparkSQLExecutor(Worker):
             # DML/DDL statements execute eagerly in spark.sql; a trailing
             # SELECT is left lazy for the caller.
         return last
+
+    # -- BigQuery DML (MERGE / UPDATE / DELETE / INSERT / TRUNCATE) ------
+    #
+    # Spark SQL cannot mutate plain parquet tables, so DML compiles to
+    # one declarative query over the current contents (crmint_spark.dml)
+    # followed by a copy-on-write storage swap — the same mechanism
+    # Delta/Iceberg use for row-level DML, minus the transaction log.
+
+    def _try_dml(self, dml, resolver) -> bool:
+        """Execute one parsed DML statement; returns False only for
+        INSERT into a session-catalog table, which spark.sql handles
+        natively (managed-table INSERT INTO)."""
+        import uuid
+
+        spark = self._ctx.spark
+        cat = self._ctx.catalog
+        in_catalog = cat is not None and cat.exists(dml.target)
+        if isinstance(dml, InsertStmt):
+            if not in_catalog:
+                return False
+            self._dml_insert(dml)
+            return True
+        target_df, session_name = self._dml_target(dml.target, in_catalog)
+        if isinstance(dml, TruncateStmt):
+            result = target_df.limit(0)
+        elif isinstance(dml, (UpdateStmt, DeleteStmt)):
+            view = f"__dml_t_{uuid.uuid4().hex[:8]}"
+            target_df.createOrReplaceTempView(view)
+            gen = (
+                compile_update(dml, view, target_df.schema)
+                if isinstance(dml, UpdateStmt)
+                else compile_delete(dml, view)
+            )
+            result = spark.sql(transpile_statement(gen, resolver))
+        elif isinstance(dml, MergeStmt):
+            src_sql = dml.source_sql
+            if src_sql.startswith("("):
+                src_query = src_sql[1:-1]
+            else:
+                src_query = f"SELECT * FROM {src_sql}"
+            source_df = spark.sql(transpile_statement(src_query, resolver))
+            tv, sv = prepare_merge_views(spark, target_df, source_df)
+            gen = compile_merge(
+                dml, tv, sv, target_df.schema, source_df.columns
+            )
+            result = spark.sql(transpile_statement(gen, resolver))
+        else:  # pragma: no cover - parse_dml returns only the above
+            return False
+        self._dml_overwrite(dml.target, result, in_catalog, session_name)
+        self.log_info(f"{type(dml).__name__.replace('Stmt', '').upper()} applied to {dml.target}")
+        return True
+
+    def _dml_target(self, table_id: str, in_catalog: bool):
+        """-> (current contents, session name or None)."""
+        from ..catalog import _safe_view_name
+
+        if in_catalog:
+            return self._ctx.catalog.read(table_id), None
+        spark = self._ctx.spark
+        for name in (table_id, _safe_view_name(table_id)):
+            try:
+                return spark.table(name), name
+            except Exception:
+                continue
+        raise WorkerException(f"DML target not found: {table_id}")
+
+    def _dml_insert(self, ins: InsertStmt) -> None:
+        """INSERT into a catalog-tree table: align columns to the target
+        schema (missing -> NULL, everything cast) and append. The rows
+        are staged to a temp parquet first so self-referencing inserts
+        (INSERT INTO t SELECT .. FROM t) read a frozen snapshot."""
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        cat = self._ctx.catalog
+        spark = self._ctx.spark
+        target_df = cat.read(ins.target)
+        rows = spark.sql(transpile_statement(ins.source_sql, self._resolver()))
+        cols = ins.columns or [f.name for f in target_df.schema.fields]
+        if len(rows.columns) != len(cols):
+            raise WorkerException(
+                f"INSERT has {len(rows.columns)} columns for {len(cols)} targets"
+            )
+        unknown = set(cols) - {f.name for f in target_df.schema.fields}
+        if unknown:
+            raise WorkerException(f"INSERT into unknown column(s): {sorted(unknown)}")
+        aligned = rows.toDF(*cols).select(
+            *[
+                (F.col(f.name) if f.name in cols else F.lit(None))
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in target_df.schema.fields
+            ]
+        )
+        tmp = tempfile.mkdtemp(prefix="crmint_dml_ins_")
+        try:
+            aligned.write.mode("overwrite").parquet(tmp)
+            cat.write(spark.read.parquet(tmp), ins.target, "WRITE_APPEND")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        self.log_info(f"INSERT appended to {ins.target}")
+
+    def _dml_overwrite(
+        self, table_id: str, result, in_catalog: bool, session_name: str | None
+    ) -> None:
+        """Copy-on-write swap: materialize the new contents beside the
+        old storage, then replace. The result plan reads the old files,
+        so the write MUST land elsewhere first — never in place."""
+        import os
+        import shutil
+        import tempfile
+
+        spark = self._ctx.spark
+        if in_catalog:
+            cat = self._ctx.catalog
+            path = cat.path_for(table_id)
+            tmp = path + "__dml_tmp"
+            try:
+                result.write.mode("overwrite").parquet(tmp)
+            except Exception:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+            cat.register(table_id)
+            return
+        tmp = tempfile.mkdtemp(prefix="crmint_dml_")
+        result.write.mode("overwrite").parquet(tmp)
+        fresh = spark.read.parquet(tmp)
+        is_temp_view = any(
+            t.name.lower() == session_name.lower() and t.isTemporary
+            for t in spark.catalog.listTables()
+        )
+        if is_temp_view:
+            # temp-view target: rebind the view; the tmp files back it
+            # for the rest of the session
+            fresh.createOrReplaceTempView(session_name)
+        else:
+            fresh.write.mode("overwrite").saveAsTable(session_name)
+            shutil.rmtree(tmp, ignore_errors=True)
 
     @staticmethod
     def _clean_orphan_location(spark, stmt: str) -> None:

@@ -1,0 +1,224 @@
+"""BigQuery DML on parquet tables (crmint_spark.dml + executor routing).
+
+The reference executes DML verbatim on BigQuery (ref: backend/jobs/
+workers/bigquery/bq_script_executor.py:40-56); here MERGE/UPDATE/DELETE/
+INSERT/TRUNCATE compile to declarative queries plus a copy-on-write
+storage swap.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from crmint_spark.catalog import Catalog
+from crmint_spark.dml import (
+    DeleteStmt,
+    DmlError,
+    InsertStmt,
+    MergeStmt,
+    TruncateStmt,
+    UpdateStmt,
+    parse_dml,
+)
+from crmint_spark.workers.base import WorkerContext, WorkerException
+from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+
+@pytest.fixture()
+def cat(spark):
+    return Catalog(spark, tempfile.mkdtemp(prefix="dml_test_"))
+
+
+def run(spark, cat, script, dry_run=False):
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": dry_run},
+        WorkerContext(spark=spark, catalog=cat),
+    )
+    w.execute()
+    return w
+
+
+def seed(spark, cat, rows="SELECT 1 AS id, 'a' AS seg, CAST(10.0 AS DOUBLE) AS bal "
+        "UNION ALL SELECT 2, 'b', 20.0 UNION ALL SELECT 3, 'c', -5.0"):
+    cat.write(spark.sql(rows), "p.d.t")
+
+
+def state(spark, cat):
+    return sorted(map(tuple, cat.read("p.d.t").collect()))
+
+
+# -- parsing ---------------------------------------------------------------
+
+
+def test_parse_classifies_statements():
+    assert isinstance(parse_dml("UPDATE t SET a = 1 WHERE x"), UpdateStmt)
+    assert isinstance(parse_dml("DELETE FROM t WHERE x"), DeleteStmt)
+    assert isinstance(parse_dml("DELETE t WHERE x"), DeleteStmt)
+    assert isinstance(parse_dml("TRUNCATE TABLE t"), TruncateStmt)
+    assert isinstance(parse_dml("INSERT INTO t VALUES (1)"), InsertStmt)
+    assert isinstance(
+        parse_dml("MERGE INTO t USING s ON t.a = s.a WHEN MATCHED THEN DELETE"),
+        MergeStmt,
+    )
+    assert parse_dml("SELECT 1") is None
+    assert parse_dml("CREATE TABLE t AS SELECT 1") is None
+
+
+def test_parse_requires_where():
+    # BigQuery parity: UPDATE/DELETE without WHERE are rejected
+    with pytest.raises(DmlError):
+        parse_dml("UPDATE t SET a = 1")
+    with pytest.raises(DmlError):
+        parse_dml("DELETE FROM t")
+
+
+def test_parse_merge_clauses():
+    m = parse_dml(
+        "MERGE `p.d.t` T USING (SELECT 1 AS a) S ON T.a = S.a "
+        "WHEN MATCHED AND T.a > CASE WHEN S.a > 0 THEN 1 ELSE 2 END "
+        "THEN UPDATE SET b = 1 "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT ROW"
+    )
+    assert m.target == "p.d.t"
+    assert len(m.matched) == 1 and m.matched[0].kind == "update"
+    # CASE..THEN inside the clause condition must not truncate it
+    assert "CASE WHEN S.a > 0 THEN 1 ELSE 2 END" in m.matched[0].condition
+    assert len(m.not_matched_by_source) == 1
+    assert m.not_matched_by_source[0].kind == "delete"
+    assert m.not_matched_by_target[0].insert_values is None  # INSERT ROW
+
+
+def test_parse_merge_rejects_bad_actions():
+    with pytest.raises(DmlError):
+        parse_dml("MERGE t USING s ON x WHEN MATCHED THEN INSERT ROW")
+    with pytest.raises(DmlError):
+        parse_dml("MERGE t USING s ON x WHEN NOT MATCHED THEN DELETE")
+
+
+# -- execution: catalog tables --------------------------------------------
+
+
+def test_update_delete_truncate_catalog(spark, cat):
+    seed(spark, cat)
+    run(spark, cat, "UPDATE `p.d.t` SET bal = bal * 2 WHERE seg = 'a';")
+    assert state(spark, cat) == [(1, "a", 20.0), (2, "b", 20.0), (3, "c", -5.0)]
+    run(spark, cat, "DELETE FROM `p.d.t` WHERE bal < 0;")
+    assert state(spark, cat) == [(1, "a", 20.0), (2, "b", 20.0)]
+    run(spark, cat, "TRUNCATE TABLE `p.d.t`")
+    assert state(spark, cat) == []
+
+
+def test_insert_catalog_aligns_columns(spark, cat):
+    seed(spark, cat)
+    run(spark, cat, "INSERT INTO `p.d.t` (id, seg) VALUES (9, 'z');")
+    assert (9, "z", None) in state(spark, cat)
+    run(spark, cat, "INSERT INTO `p.d.t` (bal, id, seg) SELECT 1.5, 10, 'q';")
+    assert (10, "q", 1.5) in state(spark, cat)
+    with pytest.raises(WorkerException):
+        run(spark, cat, "INSERT INTO `p.d.t` (nope) VALUES (1);")
+
+
+def test_insert_self_reference(spark, cat):
+    seed(spark, cat)
+    run(
+        spark,
+        cat,
+        "INSERT INTO `p.d.t` SELECT id + 100, seg, bal FROM `p.d.t` WHERE id = 1;",
+    )
+    assert (101, "a", 10.0) in state(spark, cat)
+    assert len(state(spark, cat)) == 4
+
+
+def test_merge_all_clause_kinds(spark, cat):
+    seed(spark, cat)
+    run(
+        spark,
+        cat,
+        """
+        MERGE INTO `p.d.t` T
+        USING (SELECT 1 AS id, 'A2' AS seg UNION ALL SELECT 3, 'C2'
+               UNION ALL SELECT 4, 'd') S
+        ON T.id = S.id
+        WHEN MATCHED AND T.bal < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET seg = S.seg
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET seg = 'stale'
+        WHEN NOT MATCHED THEN INSERT (id, seg) VALUES (S.id, S.seg);
+        """,
+    )
+    assert state(spark, cat) == [
+        (1, "A2", 10.0),   # matched -> update
+        (2, "stale", 20.0),  # not matched by source -> update
+        (4, "d", None),    # not matched -> insert
+    ]  # id=3 (bal<0) deleted by the first matched clause
+
+
+def test_merge_multi_match_errors_and_preserves_table(spark, cat):
+    seed(spark, cat)
+    before = state(spark, cat)
+    with pytest.raises(Exception, match="more than one source row"):
+        run(
+            spark,
+            cat,
+            "MERGE INTO `p.d.t` T USING (SELECT 1 AS id UNION ALL SELECT 1) S "
+            "ON T.id = S.id WHEN MATCHED THEN UPDATE SET bal = 0;",
+        )
+    # copy-on-write: the failed statement must not have touched storage
+    assert state(spark, cat) == before
+
+
+def test_merge_keep_dedup(spark, cat):
+    # a target row matching several source rows, none modifying,
+    # must survive exactly once
+    seed(spark, cat)
+    run(
+        spark,
+        cat,
+        "MERGE INTO `p.d.t` T USING (SELECT 1 AS id, 'x' AS tag "
+        "UNION ALL SELECT 1, 'y') S ON T.id = S.id "
+        "WHEN MATCHED AND S.tag = 'nope' THEN UPDATE SET bal = 999;",
+    )
+    assert state(spark, cat) == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", -5.0)]
+
+
+def test_update_from_desugars_to_merge(spark, cat):
+    seed(spark, cat)
+    run(
+        spark,
+        cat,
+        "UPDATE `p.d.t` T SET bal = S.nv FROM (SELECT 2 AS id, 777.0 AS nv) S "
+        "WHERE T.id = S.id;",
+    )
+    assert (2, "b", 777.0) in state(spark, cat)
+    assert (1, "a", 10.0) in state(spark, cat)
+
+
+# -- execution: session-catalog targets -----------------------------------
+
+
+def test_dml_on_ctas_table(spark, cat):
+    run(
+        spark,
+        cat,
+        """
+        CREATE OR REPLACE TABLE `p.d.sess` AS
+        SELECT * FROM (SELECT 1 AS id, 10 AS v UNION ALL SELECT 2, 20);
+        UPDATE `p.d.sess` SET v = 0 WHERE id = 2;
+        DELETE FROM `p.d.sess` WHERE id = 1;
+        """,
+    )
+    assert [tuple(r) for r in spark.table("p__d__sess").collect()] == [(2, 0)]
+
+
+def test_dml_target_missing(spark, cat):
+    with pytest.raises(WorkerException, match="not found"):
+        run(spark, cat, "DELETE FROM `p.d.absent` WHERE true;")
+
+
+def test_dml_dry_run_does_not_execute(spark, cat):
+    seed(spark, cat)
+    before = state(spark, cat)
+    run(spark, cat, "DELETE FROM `p.d.t` WHERE true;", dry_run=True)
+    assert state(spark, cat) == before
