@@ -82,16 +82,24 @@ def q02_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .filter(F.col("o_orderstatus") == "F")
-        .groupBy("o_orderkey", "c_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+    # pre-aggregate lineitem by orderkey BEFORE the join: orderkey is the
+    # full grouping key (orderkey -> custkey -> c_name is functional), so
+    # the groupBy-after-join re-shuffle of every joined row collapses into
+    # one map-side-combined agg whose partitioning the join then reuses —
+    # at 100 TB this is the difference between shuffling lineitem twice
+    # and shuffling its ~4x-smaller aggregate once
+    rev = li.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
         )
+    )
+    return (
+        rev.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            rev.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "c_name", "revenue")
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
