@@ -215,6 +215,39 @@ def _rewrite_select_except(sql: str) -> str:
     )
 
 
+_STAR_REPLACE_RE = re.compile(
+    r"((?:[A-Za-z_]\w*\.)?\*)\s+REPLACE\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_star_replace(sql: str) -> str:
+    """BigQuery ``SELECT [t.]* REPLACE (expr AS col, ...)`` -> Spark
+    ``* EXCEPT (col, ...), expr AS col, ...``. The replaced columns move
+    to the end of the projection (Spark has no positional REPLACE);
+    values and names are identical, which is what downstream SQL sees."""
+    while True:
+        m = _STAR_REPLACE_RE.search(sql)
+        if not m:
+            return sql
+        open_idx = sql.index("(", m.end() - 1)
+        end = _balanced_end(sql, open_idx)
+        if end < 0:
+            return sql
+        star = m.group(1)
+        parts = _split_top_level(sql[open_idx + 1 : end - 1])
+        cols, exprs = [], []
+        for p in parts:
+            ma = None
+            for ma in re.finditer(r"\bAS\s+(`?\w+`?)\s*$", p, re.IGNORECASE):
+                pass
+            if not ma:
+                raise ValueError(f"* REPLACE item needs 'expr AS col': {p[:60]}")
+            cols.append(ma.group(1).strip("`"))
+            exprs.append(p.strip())
+        repl = f"{star} EXCEPT ({', '.join(cols)}), {', '.join(exprs)}"
+        sql = sql[: m.start()] + repl + sql[end:]
+
+
 def _rewrite_cast_date_format(sql: str) -> str:
     def repl(m: re.Match) -> str:
         expr, fmt = m.group(1), m.group(2).strip("'\"")
@@ -1494,7 +1527,12 @@ def transpile_statement(sql: str, resolver=None) -> str:
     out = _rewrite_correlated_unnest(out)
     out = _rewrite_lateral_unnest(out)
     out = _rewrite_backtick_tables(out, resolver)
+    out = _rewrite_star_replace(out)
     out = _rewrite_select_except(out)
+    # BigQuery TABLESAMPLE SYSTEM (n PERCENT) -> Spark TABLESAMPLE (n PERCENT)
+    out = re.sub(
+        r"\bTABLESAMPLE\s+SYSTEM\s*\(", "TABLESAMPLE (", out, flags=re.IGNORECASE
+    )
     out = _rewrite_cast_date_format(out)
     out = _rewrite_array_literals(out)
     out = _rewrite_typed_struct(out)

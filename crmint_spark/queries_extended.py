@@ -264,6 +264,29 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def q37_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery PIVOT + UNPIVOT table operators (round-trip in one
+    query). Spark's grammar matches BigQuery's exactly, so both pass
+    through the transpiler untouched; DuckDB shares the same syntax, so
+    the oracle runs the identical text."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    w = SparkSQLExecutor({"script": Q37_SQL, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q37_SQL = """
+SELECT bucket, status, n FROM (
+  SELECT * FROM (SELECT o_orderstatus AS st, MOD(o_custkey, 5) AS bucket FROM orders)
+  PIVOT (COUNT(*) FOR st IN ('F' AS f, 'O' AS o, 'P' AS p))
+) UNPIVOT (n FOR status IN (f, o, p))
+ORDER BY bucket, status
+"""
+
+
 def q21_latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Latest shard' discovery: the reference finds the newest events_*
     shard via MAX(table_id) over __TABLES_SUMMARY__ (ref: output.sql:2-19);
@@ -824,6 +847,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q34_bq_functions": (q34_bq_functions, Q34_SQL),
     "q35_bq_functions2": (q35_bq_functions2, Q35_SQL),
     "q36_qualify": (q36_qualify, Q36_SQL),
+    "q37_pivot_unpivot": (q37_pivot_unpivot, Q37_SQL),
     "pipeline_sql_e2e": (pipeline_sql_e2e, PIPELINE_E2E_SQL),
     # rows-only entries: the cheap multimodal scan goes first — the model
     # fit and the streaming backfill are the slowest entries in the whole

@@ -297,6 +297,69 @@ def test_qualify_clause_forms(spark):
     assert {tuple(r) for r in main} == {(1, 20), (2, 5)}
 
 
+def test_pivot_unpivot_passthrough(spark):
+    # BigQuery PIVOT/UNPIVOT grammar == Spark grammar; must survive transpile
+    from crmint_spark.dialect import transpile_statement
+
+    base = ("(SELECT 'a' AS k, 1 AS m, 10 AS v UNION ALL SELECT 'b', 1, 20"
+            " UNION ALL SELECT 'a', 2, 30) t")
+    piv = spark.sql(
+        transpile_statement(
+            f"SELECT * FROM {base} PIVOT (SUM(v) FOR k IN ('a' AS ka, 'b' AS kb))"
+            " ORDER BY m"
+        )
+    ).collect()
+    assert [tuple(r) for r in piv] == [(1, 10, 20), (2, 30, None)]
+    unp = spark.sql(
+        transpile_statement(
+            "SELECT * FROM (SELECT 1 AS id, 10 AS c1, 20 AS c2)"
+            " UNPIVOT (val FOR name IN (c1, c2)) ORDER BY name"
+        )
+    ).collect()
+    assert [tuple(r) for r in unp] == [(1, "c1", 10), (1, "c2", 20)]
+
+
+def test_star_replace(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    out = spark.sql(
+        transpile_statement(
+            "SELECT * REPLACE (v * 2 AS v) FROM (SELECT 1 AS id, 10 AS v)"
+        )
+    ).collect()
+    assert out[0]["id"] == 1 and out[0]["v"] == 20
+    multi = spark.sql(
+        transpile_statement(
+            "SELECT t.* REPLACE (UPPER(s) AS s, v + 1 AS v)"
+            " FROM (SELECT 'a' AS s, 1 AS v, 9 AS w) t"
+        )
+    ).collect()[0]
+    assert (multi["s"], multi["v"], multi["w"]) == ("A", 2, 9)
+
+
+def test_tablesample_system(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    n = spark.sql(
+        transpile_statement(
+            "SELECT COUNT(*) AS n FROM (SELECT 1 AS x) TABLESAMPLE SYSTEM (100 PERCENT)"
+        )
+    ).collect()[0]["n"]
+    assert n == 1
+
+
+def test_grouping_sets_passthrough(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    rows = spark.sql(
+        transpile_statement(
+            "SELECT k, m, SUM(v) AS s FROM (SELECT 'a' AS k, 1 AS m, 10 AS v)"
+            " GROUP BY GROUPING SETS ((k), (k, m)) ORDER BY k, m"
+        )
+    ).collect()
+    assert [tuple(r) for r in rows] == [("a", None, 10), ("a", 1, 10)]
+
+
 def test_qualify_inside_ctas(spark):
     # QUALIFY under a DDL prologue: the rewrite must skip past CREATE ... AS
     from crmint_spark.dialect import transpile_statement
