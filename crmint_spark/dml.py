@@ -549,3 +549,61 @@ def prepare_merge_views(
         "__sid", F.monotonically_increasing_id()
     ).createOrReplaceTempView(sv)
     return tv, sv
+
+
+def swap_catalog_table(catalog, table_id: str, result: DataFrame) -> None:
+    """Copy-on-write replace of a catalog parquet table: materialize the
+    new contents BESIDE the old files (the result plan reads them), then
+    swap directories. A failed write leaves the table untouched."""
+    import os
+    import shutil
+
+    path = catalog.path_for(table_id)
+    tmp = path + "__dml_tmp"
+    try:
+        result.write.mode("overwrite").parquet(tmp)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    catalog.register(table_id)
+
+
+def merge_upsert_batch(
+    catalog, table_id: str, batch_df: DataFrame, keys: list[str]
+) -> None:
+    """Programmatic key-upsert (matched -> update every non-key column,
+    unmatched -> insert) of one DataFrame into a catalog table — the
+    building block the streaming CDC sink uses per micro-batch. Creates
+    the table on first batch. One equi-join on the keys (broadcast-able
+    when the batch is small) + copy-on-write swap."""
+    if not catalog.exists(table_id):
+        catalog.write(batch_df, table_id, "WRITE_TRUNCATE")
+        return
+    # everything must live in batch_df's session: inside foreachBatch the
+    # micro-batch runs in a cloned session whose temp views are isolated
+    # from the main one, so read the target through it, not the catalog
+    spark = batch_df.sparkSession
+    target_df = spark.read.parquet(catalog.path_for(table_id))
+    missing = set(keys) - set(batch_df.columns)
+    if missing:
+        raise DmlError(f"upsert keys absent from batch: {sorted(missing)}")
+    on = " AND ".join(f"T.`{k}` = S.`{k}`" for k in keys)
+    sets = [(c, f"S.`{c}`") for c in batch_df.columns if c not in keys]
+    stmt = MergeStmt(
+        target=table_id,
+        target_alias="T",
+        source_sql="s",
+        source_alias="S",
+        on=on,
+        matched=[MergeWhen("update", None, sets)] if sets else [],
+        not_matched_by_target=[
+            MergeWhen("insert", None, insert_columns=None, insert_values=None)
+        ],
+    )
+    tv, sv = prepare_merge_views(spark, target_df, batch_df)
+    result = spark.sql(
+        compile_merge(stmt, tv, sv, target_df.schema, batch_df.columns)
+    )
+    swap_catalog_table(catalog, table_id, result)

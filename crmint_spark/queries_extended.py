@@ -772,6 +772,49 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style streaming upsert: per-user running totals drained in
+    TWO incremental availableNow runs (checkpoint resumes after the
+    first), each micro-batch MERGE-upserted into a catalog table by
+    user_id through the DML compiler. Oracle-checked: upserting
+    update-mode aggregates converges to the plain batch GROUP BY."""
+    from .streaming.events import run_merge_upsert
+
+    tmp = tempfile.mkdtemp(prefix="crmint_stream_")
+    in_dir, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ckpt")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.json(
+        os.path.join(in_dir, "a")
+    )
+    wh = Catalog(spark, os.path.join(tmp, "wh"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema("event_id bigint, user_id bigint, value double")
+            .json(os.path.join(in_dir, "*"))
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+        )
+        run_merge_upsert(stream, wh, "p.d.user_totals", ["user_id"], ckpt)
+
+    drain()
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.json(
+        os.path.join(in_dir, "b")
+    )
+    drain()
+    return wh.read("p.d.user_totals").orderBy("user_id")
+
+
+STREAMING_UPSERT_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 MULTIMODAL_SQL = """
 SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio'
@@ -857,4 +900,5 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "ml_train_predict": (ml_train_predict, None),
     "streaming_sessionize": (streaming_sessionize, STREAMING_SESSIONIZE_SQL),
+    "streaming_merge_upsert": (streaming_merge_upsert, STREAMING_UPSERT_SQL),
 }

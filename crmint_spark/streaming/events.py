@@ -126,3 +126,40 @@ def run_to_table(
         .start()
     )
     q.awaitTermination()
+
+
+def run_merge_upsert(
+    stream_df: DataFrame,
+    catalog,
+    table_id: str,
+    keys: list[str],
+    checkpoint_dir: str,
+) -> None:
+    """CDC-style streaming upsert sink: each micro-batch MERGEs into the
+    catalog table on ``keys`` — matched rows take the batch's non-key
+    columns, new keys insert. This is the foreachBatch-upsert idiom the
+    table formats document for streaming sinks, built here on the DML
+    compiler over plain parquet (one key equi-join — broadcast-able
+    while batches are small — plus a copy-on-write swap).
+
+    Use with ``update``-mode aggregations: only keys changed by the
+    batch are rewritten logically, and keys absent from the batch keep
+    their last value — unlike ``complete`` mode, whose state (and
+    truncate-write) grows with history. ``availableNow`` drains what's
+    there and stops, so repeated calls give incremental-backfill
+    semantics with exactly-once state from the checkpoint."""
+    from ..dml import merge_upsert_batch
+
+    def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_upsert_batch(catalog, table_id, batch_df, keys)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -233,23 +233,14 @@ class SparkSQLExecutor(Worker):
         """Copy-on-write swap: materialize the new contents beside the
         old storage, then replace. The result plan reads the old files,
         so the write MUST land elsewhere first — never in place."""
-        import os
         import shutil
         import tempfile
 
+        from ..dml import swap_catalog_table
+
         spark = self._ctx.spark
         if in_catalog:
-            cat = self._ctx.catalog
-            path = cat.path_for(table_id)
-            tmp = path + "__dml_tmp"
-            try:
-                result.write.mode("overwrite").parquet(tmp)
-            except Exception:
-                shutil.rmtree(tmp, ignore_errors=True)
-                raise
-            shutil.rmtree(path)
-            os.rename(tmp, path)
-            cat.register(table_id)
+            swap_catalog_table(self._ctx.catalog, table_id, result)
             return
         tmp = tempfile.mkdtemp(prefix="crmint_dml_")
         result.write.mode("overwrite").parquet(tmp)

@@ -222,3 +222,65 @@ def test_dml_dry_run_does_not_execute(spark, cat):
     before = state(spark, cat)
     run(spark, cat, "DELETE FROM `p.d.t` WHERE true;", dry_run=True)
     assert state(spark, cat) == before
+
+
+# -- programmatic upsert + streaming CDC sink ------------------------------
+
+
+def test_merge_upsert_batch_creates_then_upserts(spark, cat):
+    from crmint_spark.dml import merge_upsert_batch
+
+    b1 = spark.sql("SELECT 1 AS id, CAST(10.0 AS DOUBLE) AS v UNION ALL SELECT 2, 20.0")
+    merge_upsert_batch(cat, "p.d.up", b1, ["id"])
+    b2 = spark.sql("SELECT 2 AS id, CAST(99.0 AS DOUBLE) AS v UNION ALL SELECT 3, 30.0")
+    merge_upsert_batch(cat, "p.d.up", b2, ["id"])
+    assert sorted(map(tuple, cat.read("p.d.up").collect())) == [
+        (1, 10.0),
+        (2, 99.0),
+        (3, 30.0),
+    ]
+
+
+def test_streaming_merge_upsert_incremental(spark, cat, tmp_path):
+    """Two availableNow drains over a growing directory: the second run
+    only processes the new file (checkpoint), and its keys upsert into
+    the table while untouched keys keep their values."""
+    import pyspark.sql.functions as F
+
+    from crmint_spark.streaming import events as sevents
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    spark.sql(
+        "SELECT 'u1' AS user_id, CAST(5.0 AS DOUBLE) AS value UNION ALL "
+        "SELECT 'u2', 7.0"
+    ).coalesce(1).write.mode("overwrite").json(str(src / "f1"))
+
+    def totals_stream():
+        schema = "user_id string, value double"
+        stream = (
+            spark.readStream.schema(schema).json(str(src / "*"))
+        )
+        return stream.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+        )
+
+    sevents.run_merge_upsert(totals_stream(), cat, "p.d.totals", ["user_id"], ckpt)
+    first = dict(
+        (r["user_id"], (r["n"], r["total"]))
+        for r in cat.read("p.d.totals").collect()
+    )
+    assert first == {"u1": (1, 5.0), "u2": (1, 7.0)}
+
+    spark.sql(
+        "SELECT 'u2' AS user_id, CAST(3.0 AS DOUBLE) AS value UNION ALL "
+        "SELECT 'u3', 1.0"
+    ).coalesce(1).write.mode("overwrite").json(str(src / "f2"))
+    sevents.run_merge_upsert(totals_stream(), cat, "p.d.totals", ["user_id"], ckpt)
+    second = dict(
+        (r["user_id"], (r["n"], r["total"]))
+        for r in cat.read("p.d.totals").collect()
+    )
+    # u1 untouched by batch 2 but keeps its row; u2 updated; u3 inserted
+    assert second == {"u1": (1, 5.0), "u2": (2, 10.0), "u3": (1, 1.0)}
