@@ -62,7 +62,7 @@ def _param(key: str, string_value: str, int_value: str) -> str:
 
 GA4_SPARK_SQL = """
 WITH __ga4_base AS (
-  SELECT event_id, ts, user_id, value,
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value,
     CASE WHEN event_type = 'view' THEN 'user_engagement'
          WHEN event_type = 'error' AND event_id % 11 = 0 THEN 'prop_score'
          WHEN event_type = 'click' THEN 'page_view'

@@ -310,12 +310,12 @@ def q08_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     wo = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     gap = 30 * 60 * 1000 * 1000  # 30 min in micros
     sessionized = (
-        ev.withColumn("prev_us", F.lag(F.unix_micros("ts")).over(wo))
+        ev.withColumn("prev_us", F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(wo))
         .withColumn(
             "is_new",
             F.when(
                 F.col("prev_us").isNull()
-                | (F.unix_micros("ts") - F.col("prev_us") > gap),
+                | (F.unix_micros(F.col("ts").cast("timestamp")) - F.col("prev_us") > gap),
                 1,
             ).otherwise(0),
         )
