@@ -61,6 +61,13 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+# (session id, sf_dir, table) -> DataFrame. The testdata parquet is
+# immutable, so the resolved reader plan (file listing + footer schema,
+# ~0.5 s each) is reusable across queries in a session; without this a
+# 24-query bench pays the listing 24+ times.
+_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame.
 
@@ -72,6 +79,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    key = (id(spark), sf_dir, name)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
     tune_session(spark)
     if name == "events":
         # runtime-settable; required for TIMESTAMP(NANOS) parquet even
@@ -80,6 +91,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    _LOAD_CACHE[key] = df
     return df
 
 

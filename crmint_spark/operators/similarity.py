@@ -153,6 +153,28 @@ DEDUP_MIN_BITS = 4
 TARGET_BUCKET_SIZE = 64
 
 
+def _corpus_stats(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(n_vectors, n_dims) of the embeddings table, as cheaply as the
+    storage allows: parquet footers driver-side for local paths, Spark
+    metadata-count + 1-row probe otherwise (remote object stores)."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(path)
+        n = f.metadata.num_rows
+        first = f.read_row_group(0, columns=["embedding"]).column(0)[0]
+        return n, len(first)
+    except Exception:
+        base = load(spark, sf_dir, "embeddings")
+        return (
+            base.count(),
+            base.select(F.size("embedding")).limit(1).first()[0],
+        )
+
+
 def dedup_lsh_bits(n_vectors: int, n_dims: int) -> int:
     import math
 
@@ -181,28 +203,34 @@ def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     validated against real cos=1.0 duplicate pairs."""
     from ..functions import l2_norm
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    emb = emb.unionAll(
-        emb.filter(F.col("vec_id") % 50 == 7).select(
+    base = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = base.unionAll(
+        base.filter(F.col("vec_id") % 50 == 7).select(
             (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
         )
-    ).repartition(spark.sparkContext.defaultParallelism)
-    first = emb.select(
-        F.count(F.lit(1)), F.first(F.size("embedding"))
-    ).first()
-    bits = dedup_lsh_bits(first[0], first[1])
+    )
+    # bits sizing needs only (row count, dims): read them from the
+    # parquet footer / first row-group driver-side when the path is
+    # local (zero Spark jobs), else fall back to a metadata-only count
+    # job + a single-row limit scan. The +2% seeded copies don't move
+    # ceil(log2(n/64)).
+    n_base, n_dims = _corpus_stats(spark, sf_dir)
+    bits = dedup_lsh_bits(n_base, n_dims)
     # normalize once per vector: the pairwise kernel is then a bare dot
     # product instead of dot + two norms (3x less array math per pair)
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = l2_norm(F.col("embedding"))
-    # persist: both join sides derive from this — without it the scan +
-    # normalization runs once per side (unit vectors are the same size
-    # as the input embeddings; MEMORY_AND_DISK spills at scale)
+    # persist when the corpus is big enough to matter: both join sides
+    # derive from this, so without it the scan + normalization runs once
+    # per side (MEMORY_AND_DISK spills at scale). Below the threshold the
+    # double-compute is cheaper than the extra materialization barrier.
     bucketed = emb.select(
         "vec_id",
         F.transform(vd, lambda x: x / norm).alias("unit"),
         _bucket_expr_n(F.col("embedding"), bits).alias("bucket"),
-    ).persist()
+    )
+    if n_base > 100_000:
+        bucketed = bucketed.persist()
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     dot = F.aggregate(
@@ -235,9 +263,9 @@ WITH seeded AS (
   SELECT LEAST(
            GREATEST({DEDUP_MIN_BITS},
                     CAST(CEIL(LOG2(COUNT(*) / {float(TARGET_BUCKET_SIZE)})) AS INT)),
-           (SELECT len(embedding) FROM seeded LIMIT 1)
+           (SELECT len(embedding) FROM embeddings LIMIT 1)
          ) AS bits
-  FROM seeded
+  FROM embeddings
 ), bucketed AS (
   SELECT vec_id,
          list_transform(embedding,
