@@ -57,7 +57,16 @@ def main() -> None:
     spark = get_spark("crmint-spark-bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: touch every input file once
+    # warmup: touch every input table once (page-cache the parquet,
+    # JIT the scan paths) — queries are then timed against warm inputs,
+    # per the methodology note above
+    from crmint_spark.catalog import TESTDATA_TABLES, load
+
+    for t in TESTDATA_TABLES:
+        try:
+            load(spark, SF_DIR, t).count()
+        except Exception:
+            pass
     QUERIES["q01_pricing_summary"](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}

@@ -220,17 +220,15 @@ def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # product instead of dot + two norms (3x less array math per pair)
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = l2_norm(F.col("embedding"))
-    # persist when the corpus is big enough to matter: both join sides
-    # derive from this, so without it the scan + normalization runs once
-    # per side (MEMORY_AND_DISK spills at scale). Below the threshold the
-    # double-compute is cheaper than the extra materialization barrier.
+    # persist: both join sides derive from this — without it the scan +
+    # HOF normalization runs once per side (measured 2x slower even at
+    # 2k vectors; unit vectors are the same size as the input, and
+    # MEMORY_AND_DISK spills at scale)
     bucketed = emb.select(
         "vec_id",
         F.transform(vd, lambda x: x / norm).alias("unit"),
         _bucket_expr_n(F.col("embedding"), bits).alias("bucket"),
-    )
-    if n_base > 100_000:
-        bucketed = bucketed.persist()
+    ).persist()
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     dot = F.aggregate(
