@@ -553,7 +553,86 @@ WHERE tokens_before < {TOKEN_BUDGET}
 GROUP BY 1
 """
 
+DOMAIN_CAP = 20
+
+
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the web-corpus "max N pages per domain"
+    rule. Keeps a deterministic DOMAIN_CAP-sized subset per source,
+    ranked by a stable hash of the doc id so reruns and engines agree.
+
+    Scale: one shuffle on source + per-partition sort (rank inside the
+    window); a skewed mega-domain is one hot partition — AQE skew
+    handling or pre-aggregation by (source, salt) with a second global
+    rank applies, but the per-group state is only the cap, never the
+    domain's full document list.
+    """
+    docs = load(spark, sf_dir, "documents")
+    rk = hash_str(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(rk.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("source", "doc_id", rk.alias("rk"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= DOMAIN_CAP)
+        .select("source", "doc_id", "rank")
+    )
+
+
+DOMAIN_CAP_SQL = f"""
+SELECT source, doc_id, rank FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {_DHASH.format(x="'cap:' || CAST(doc_id AS VARCHAR)")} ASC,
+                    doc_id ASC
+         ) AS rank
+  FROM documents
+) WHERE rank <= {DOMAIN_CAP}
+"""
+
+VOCAB_TOP_K = 50
+
+
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary table — the tokenizer-training primitive: for
+    the VOCAB_TOP_K most document-frequent words, document frequency
+    and total term frequency.
+
+    Scale: classic wordcount — explode + groupBy(word) with map-side
+    partial aggregation (the shuffle carries (word, df, tf) partials,
+    never text), then a TakeOrdered top-k instead of a global sort.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+        .orderBy(F.desc("df"), F.desc("tf"), F.asc("word"))
+        .limit(VOCAB_TOP_K)
+    )
+
+
+VOCABULARY_SQL = f"""
+SELECT word, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+FROM (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+  FROM documents
+)
+WHERE word <> ''
+GROUP BY word
+ORDER BY df DESC, tf DESC, word ASC
+LIMIT {VOCAB_TOP_K}
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
+    "corpus_domain_cap": (corpus_domain_cap, DOMAIN_CAP_SQL),
+    "text_vocabulary": (text_vocabulary, VOCABULARY_SQL),
     "corpus_sample": (corpus_sample, CORPUS_SAMPLE_SQL),
     "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
     "text_chunking": (text_chunking, TEXT_CHUNKING_SQL),

@@ -437,3 +437,111 @@ SELECT source, pack_id, COUNT(*) AS n_docs,
        MAX(doc_id) AS last_doc_id
 FROM packed GROUP BY source, pack_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms
+# for Document Fingerprinting", SIGMOD 2003) — the MOSS fingerprint
+# selection: hash every k-gram, slide a w-window over the hash sequence,
+# keep each window's minimum. Guarantees a match of length >= w+k-1 is
+# always detected while storing ~2/(w+1) of the k-gram hashes.
+
+WINNOW_K = 4  # words per gram
+WINNOW_W = 4  # grams per window
+WINNOW_PRIME = 2147483647
+
+
+def winnowing_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing sketch, grouped into identical-sketch
+    clusters. All gram hashing, window minima, and set digesting are
+    JVM higher-order functions — per row, no shuffle until the tiny
+    (sketch -> count) aggregation, exactly like the other signature
+    dedups.
+
+    The corpus has no duplicated word sequences, so the input is
+    self-seeded with a re-keyed copy of every 100th document
+    (doc_id % 100 = 11 -> doc_id + 1000000, mirrored in the oracle) so
+    the sketch pipeline is validated against real identical-sketch
+    groups."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.unionAll(
+        docs.filter(F.col("doc_id") % 100 == 11).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    words = F.split(F.col("text"), " ")
+    m = F.size(words) - (WINNOW_K - 1)  # number of k-grams
+    gram_hash = lambda g: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+        F.lit(WINNOW_PRIME),
+    )
+    khash = F.when(m <= 0, F.array(gram_hash(F.col("text")))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: gram_hash(F.concat_ws(" ", F.slice(words, i, WINNOW_K))),
+        )
+    )
+    docs = docs.select("doc_id", khash.alias("kh"))
+    nwin = F.size(F.col("kh")) - (WINNOW_W - 1)
+    wins = F.when(
+        nwin <= 0, F.array(F.array_min(F.col("kh")))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda j: F.array_min(F.slice(F.col("kh"), j, WINNOW_W)),
+        )
+    )
+    fps = F.array_sort(F.array_distinct(wins))
+    sketch = F.md5(F.array_join(F.transform(fps, lambda x: x.cast("string")), ","))
+    per_doc = docs.select(
+        "doc_id", F.size(fps).cast("bigint").alias("n_fp"), sketch.alias("sketch")
+    )
+    return (
+        per_doc.groupBy("sketch")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_fp").alias("n_fp"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select("canonical_doc_id", "n_docs", "n_fp")
+    )
+
+
+WINNOWING_SQL = f"""
+WITH seeded AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 11
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) - {WINNOW_K - 1} <= 0
+              THEN [('0x' || substr(md5(text), 1, 15))::BIGINT % {WINNOW_PRIME}]
+              ELSE list_transform(
+                     range(1, len(string_split(text, ' ')) - {WINNOW_K - 1} + 1),
+                     i -> ('0x' || substr(md5(array_to_string(
+                            string_split(text, ' ')[i:i+{WINNOW_K - 1}], ' ')),
+                          1, 15))::BIGINT % {WINNOW_PRIME})
+         END AS kh
+  FROM seeded
+), winnowed AS (
+  SELECT doc_id,
+         CASE WHEN len(kh) - {WINNOW_W - 1} <= 0
+              THEN [list_min(kh)]
+              ELSE list_transform(
+                     range(1, len(kh) - {WINNOW_W - 1} + 1),
+                     j -> list_min(kh[j:j+{WINNOW_W - 1}]))
+         END AS wins
+  FROM grams
+), sk AS (
+  SELECT doc_id,
+         len(list_sort(list_distinct(wins))) AS n_fp,
+         md5(array_to_string(
+           list_transform(list_sort(list_distinct(wins)),
+                          x -> CAST(x AS VARCHAR)), ',')) AS sketch
+  FROM winnowed
+)
+SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_docs,
+       MIN(n_fp) AS n_fp
+FROM sk GROUP BY sketch HAVING COUNT(*) > 1
+"""

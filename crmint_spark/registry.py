@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import corpus, dedup, ivf, similarity, text
+from .operators import corpus, dedup, ivf, similarity, temporal, text
 from .queries import CORE_QUERIES
 from .queries_extended import EXTENDED_QUERIES as _EXT
 
@@ -50,8 +50,11 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         similarity.embedding_quantization,
         similarity.QUANT_SQL,
     ),
+    "text_winnowing": (text.winnowing_sketches, text.WINNOWING_SQL),
     # training-corpus preparation family
     **corpus.CORPUS_QUERIES,
+    # temporal / as-of family
+    **temporal.TEMPORAL_QUERIES,
 }
 
 for _name, (_fn, _sql) in EXTENSION_QUERIES.items():
