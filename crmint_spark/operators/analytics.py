@@ -1,0 +1,188 @@
+"""Marketing-analytics operators over the ``events`` table: cohort
+retention, ordered funnel analysis, and calendar gap-fill with forward
+fill.
+
+These are the report shapes CRMint pipelines feed into BigQuery for
+(ref: the GA4 event model consumed by
+backend/controller/ml_model/templates/model_bqml.sql — user-level
+event aggregation over timespan windows), expressed as first-class
+distributed operators.
+
+Scale design notes (100 TB):
+- cohort:  two keyed shuffles (user -> first day, then (cohort, offset)
+           counts); both carry scalars only, never event payloads.
+- funnel:  one groupBy(user) computing all stage timestamps as
+           conditional MINs in a single pass (no per-stage join chain);
+           the stage-2/3 "after previous stage" conditions are resolved
+           with a second tiny agg over per-user scalars.
+- gapfill: days are generated per user with sequence() (k rows per
+           user, bounded by the calendar span), left-joined to daily
+           aggregates co-partitioned on (user, day), forward-filled
+           with a per-user window — one shuffle + one sort, the same
+           cost class as any per-key window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by first-activity
+    day, counted at each day offset they return."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.distinct()
+    return (
+        active.join(first_day, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("bigint").alias("offset_days"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+COHORT_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), first_day AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, day FROM ev
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS offset_days,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM active a JOIN first_day f ON a.user_id = f.user_id
+GROUP BY f.cohort_day, offset_days
+"""
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: per user, the earliest ``view``, the earliest
+    ``click`` after that view, the earliest ``purchase`` after that
+    click; reported as per-stage user counts.
+
+    One groupBy(user) collects each stage's candidate timestamps as a
+    sorted conditional MIN-array pass; the ordered-chain constraint is
+    resolved per user with array higher-order functions — no per-stage
+    self-join chain, so adding a funnel stage adds column work, not a
+    shuffle."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.sort_array(
+                F.collect_list(F.when(F.col("event_type") == s, F.col("ts")))
+            ).alias(f"ts_{s}")
+            for s in FUNNEL_STEPS
+        ]
+    )
+    # chain: t1 = min(view); t2 = min(click > t1); t3 = min(purchase > t2)
+    # (F.get: NULL on empty arrays, no ANSI out-of-bounds error)
+    t1 = F.get(F.col("ts_view"), 0)
+    t2 = F.get(F.filter(F.col("ts_click"), lambda t: t > t1), 0)
+    t3 = F.get(F.filter(F.col("ts_purchase"), lambda t: t > t2), 0)
+    staged = per_user.select(
+        "user_id", t1.alias("t1"), t2.alias("t2"), t3.alias("t3")
+    )
+    return staged.select(
+        F.count_if(F.col("t1").isNotNull()).alias("n_view"),
+        F.count_if(F.col("t2").isNotNull()).alias("n_view_click"),
+        F.count_if(F.col("t3").isNotNull()).alias("n_view_click_purchase"),
+    )
+
+
+FUNNEL_SQL = """
+WITH t1s AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), t2s AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1s ON e.user_id = t1s.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1s.t1
+  GROUP BY e.user_id
+), t3s AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2s ON e.user_id = t2s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2s.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM t1s) AS n_view,
+       (SELECT COUNT(*) FROM t2s) AS n_view_click,
+       (SELECT COUNT(*) FROM t3s) AS n_view_click_purchase
+"""
+
+
+def gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + forward fill: one row per (user, day) over
+    each user's observed activity span; days without events carry the
+    last observed daily event count forward and are flagged.
+
+    The generated day spine is sequence()/explode per user (rows bounded
+    by the calendar span, generated distributively), the spine->actuals
+    join is a co-partitioned equi-join on (user, day), and the fill is
+    one per-user window — no driver-side calendar, no cross join against
+    a global date dimension."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.col("n_events").isNull().alias("gap_filled"),
+            F.last("n_events", ignorenulls=True).over(w).alias("n_events_ff"),
+        )
+    )
+
+
+GAPFILL_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), span AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+), spine AS (
+  SELECT user_id, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+)
+SELECT s.user_id, s.day,
+       d.n_events IS NULL AS gap_filled,
+       LAST_VALUE(d.n_events IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS n_events_ff
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+ANALYTICS_QUERIES: dict[str, tuple] = {
+    "q39_cohort_retention": (cohort_retention, COHORT_SQL),
+    "q40_funnel": (funnel_analysis, FUNNEL_SQL),
+    "q41_gapfill_ffill": (gapfill_daily, GAPFILL_SQL),
+}

@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import corpus, dedup, ivf, similarity, temporal, text
+from .operators import analytics, corpus, dedup, ivf, similarity, temporal, text
 from .queries import CORE_QUERIES
 from .queries_extended import EXTENDED_QUERIES as _EXT
 
@@ -55,6 +55,8 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     **corpus.CORPUS_QUERIES,
     # temporal / as-of family
     **temporal.TEMPORAL_QUERIES,
+    # marketing-analytics family
+    **analytics.ANALYTICS_QUERIES,
 }
 
 for _name, (_fn, _sql) in EXTENSION_QUERIES.items():
