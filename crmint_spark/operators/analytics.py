@@ -186,3 +186,101 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "q40_funnel": (funnel_analysis, FUNNEL_SQL),
     "q41_gapfill_ffill": (gapfill_daily, GAPFILL_SQL),
 }
+
+
+def rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE framed rolling aggregate — BigQuery's
+    ``RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW`` shape:
+    per order-priority class, daily totals with a trailing-7-day rolling
+    order count and revenue.
+
+    The RANGE frame runs on an integer day number (unix_date), which is
+    how an interval frame over dates compiles portably; the window is
+    one shuffle on the partition key + one sort, and the frame is
+    evaluated streamingly per partition (no per-row re-scan of the
+    trailing week).
+    """
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            "o_orderpriority",
+            F.to_date("o_orderdate").alias("day"),
+            "o_totalprice",
+        )
+        .groupBy("o_orderpriority", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+        )
+        .withColumn("day_num", F.unix_date("day").cast("long"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_num")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "day",
+        "n_orders",
+        F.sum("n_orders").over(w).alias("n_orders_7d"),
+        F.round(F.sum("revenue").over(w), 2).alias("revenue_7d"),
+    )
+
+
+ROLLING_RANGE_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         COUNT(*) AS n_orders, SUM(o_totalprice) AS revenue,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, day, n_orders,
+       CAST(SUM(n_orders) OVER w AS BIGINT) AS n_orders_7d,
+       ROUND(SUM(revenue) OVER w, 2) AS revenue_7d
+FROM daily
+WINDOW w AS (
+  PARTITION BY o_orderpriority ORDER BY day_num
+  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+)
+"""
+
+# Transitive closure via WITH RECURSIVE — Spark 4 executes recursive
+# CTEs natively, so the IDENTICAL statement runs on both engines (the
+# closure is also the SQL-surface twin of dedup.connected_components'
+# iterative min-label propagation). Spark restricts the recursive
+# branch to UNION ALL (no step dedup yet), so the walk is oriented
+# strictly descending (src > dst) — acyclic by construction, therefore
+# terminating, and seeded with zero-length paths so isolated chain
+# heads still label themselves. Edges: deterministic doc chains
+# (doc_id+1 -> doc_id for doc_id % 100 < 3) => unique descending paths
+# of length <= 3 (no path-multiplicity blowup under UNION ALL).
+RECURSIVE_CLOSURE_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT doc_id + 1 AS src, doc_id AS dst
+  FROM documents WHERE doc_id % 100 < 3
+), nodes AS (
+  SELECT DISTINCT x AS n FROM (
+    SELECT src AS x FROM edges UNION ALL SELECT dst AS x FROM edges
+  )
+), reach (a, b) AS (
+  SELECT n AS a, n AS b FROM nodes
+  UNION ALL
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, MIN(b) AS cluster_id
+FROM reach GROUP BY a
+"""
+
+
+def recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the recursive-CTE closure verbatim through Spark SQL —
+    recursion executes as iterative union steps inside the engine; at
+    scale each step is a keyed equi-join, the same plan class as one
+    round of connected_components."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(RECURSIVE_CLOSURE_SQL)
+
+
+ANALYTICS_QUERIES["q42_rolling_range"] = (rolling_range_window, ROLLING_RANGE_SQL)
+ANALYTICS_QUERIES["q43_recursive_closure"] = (recursive_closure, RECURSIVE_CLOSURE_SQL)
