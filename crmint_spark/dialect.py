@@ -693,7 +693,101 @@ _FN_RENAMES: list[tuple[str, str]] = [
     ("SAFE_ADD", "try_add"),
     ("SAFE_SUBTRACT", "try_subtract"),
     ("SAFE_MULTIPLY", "try_multiply"),
+    ("UNICODE", "ascii"),
 ]
+
+
+def _rewrite_misc_fns(sql: str) -> str:
+    """Structural rewrites for BigQuery functions with no same-shape
+    Spark twin: NET.* URL helpers, code-point conversions,
+    RANGE_BUCKET, and 3-arg INSTR (argument order differs)."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, fn in _iter_calls(
+        sql,
+        (
+            r"NET\.HOST",
+            r"NET\.REG_DOMAIN",
+            "CODE_POINTS_TO_STRING",
+            "TO_CODE_POINTS",
+            "RANGE_BUCKET",
+            "INSTR",
+        ),
+    ):
+        args = [
+            _rewrite_misc_fns(a.strip())
+            for a in _split_top_level(sql[open_idx + 1 : end - 1])
+        ]
+        fn = fn.replace(" ", "")
+        rep = None
+        if fn == "net.host" and len(args) == 1:
+            rep = f"parse_url({args[0]}, 'HOST')"
+        elif fn == "net.reg_domain" and len(args) == 1:
+            # registrable-domain heuristic: last two host labels (no
+            # public-suffix list in-engine; multi-part TLDs like co.uk
+            # resolve to the suffix pair, documented divergence)
+            rep = (
+                f"regexp_extract(parse_url({args[0]}, 'HOST'), "
+                "'([^.]+\\\\.[^.]+)$', 1)"
+            )
+        elif fn == "code_points_to_string" and len(args) == 1:
+            rep = f"concat_ws('', transform({args[0]}, __cp -> char(__cp)))"
+        elif fn == "to_code_points" and len(args) == 1:
+            rep = (
+                f"transform(filter(split({args[0]}, ''), "
+                "__c -> __c <> ''), __c -> ascii(__c))"
+            )
+        elif fn == "range_bucket" and len(args) == 2:
+            rep = (
+                f"CAST(size(filter({args[1]}, __e -> __e <= {args[0]})) "
+                "AS BIGINT)"
+            )
+        elif fn == "instr" and len(args) == 3:
+            # BigQuery INSTR(value, sub, pos); Spark locate(sub, str, pos)
+            rep = f"locate({args[1]}, {args[0]}, {args[2]})"
+        if rep is None:
+            continue
+        out.append(sql[pos:start])
+        out.append(rep)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_ml_scalers(sql: str) -> str:
+    """``ML.STANDARD_SCALER(x) OVER (spec)`` -> z-score via windowed
+    AVG/STDDEV_SAMP; ``ML.MIN_MAX_SCALER(x) OVER (spec)`` -> [0,1]
+    rescale via windowed MIN/MAX (BigQuery's analytic preprocessing
+    functions, used inside CREATE MODEL TRANSFORM clauses)."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, fn in _iter_calls(
+        sql, (r"ML\.STANDARD_SCALER", r"ML\.MIN_MAX_SCALER")
+    ):
+        x = sql[open_idx + 1 : end - 1].strip()
+        m = re.match(r"\s*OVER\s*\(", sql[end:], re.IGNORECASE)
+        if not m:
+            continue
+        over_open = end + m.end() - 1
+        over_end = _balanced_end(sql, over_open)
+        if over_end < 0:
+            continue
+        spec = sql[over_open : over_end]  # includes parens
+        if fn.endswith("standard_scaler"):
+            rep = (
+                f"(({x}) - AVG({x}) OVER {spec}) / "
+                f"NULLIF(STDDEV_SAMP({x}) OVER {spec}, 0)"
+            )
+        else:
+            rep = (
+                f"(({x}) - MIN({x}) OVER {spec}) / "
+                f"NULLIF(MAX({x}) OVER {spec} - MIN({x}) OVER {spec}, 0)"
+            )
+        out.append(sql[pos:start])
+        out.append(rep)
+        pos = over_end
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 def _sub_outside_strings(sql: str, sub: Callable[[str], str]) -> str:
@@ -1561,6 +1655,8 @@ def transpile_statement(sql: str, resolver=None) -> str:
     out = _rewrite_arith_fns(out)
     out = _rewrite_split(out)
     out = _rewrite_approx_quantiles(out)
+    out = _rewrite_misc_fns(out)
+    out = _rewrite_ml_scalers(out)
     out = _rewrite_fn_renames(out)
     out = re.sub(r"\bAS\s+NUMERIC\b", "AS DECIMAL(38, 9)", out, flags=re.IGNORECASE)
     out = re.sub(r"\bAS\s+BIGNUMERIC\b", "AS DECIMAL(38, 18)", out, flags=re.IGNORECASE)

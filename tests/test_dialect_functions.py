@@ -373,3 +373,40 @@ def test_qualify_inside_ctas(spark):
     spark.sql(out)
     rows = spark.table("q_top").collect()
     assert {tuple(r) for r in rows} == {(1, 20), (2, 5)}
+
+
+def test_net_and_codepoint_functions(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    row = spark.sql(
+        transpile_statement(
+            "SELECT NET.HOST('https://sub.example.com/p?q=1') AS h,"
+            " NET.REG_DOMAIN('https://sub.example.com/p') AS rd,"
+            " CODE_POINTS_TO_STRING([72, 105]) AS cps,"
+            " TO_CODE_POINTS('Hi') AS cp,"
+            " UNICODE('A') AS u,"
+            " RANGE_BUCKET(20, [0, 10, 20, 30]) AS rb,"
+            " INSTR('banana', 'an', 2) AS i3"
+        )
+    ).collect()[0]
+    assert row["h"] == "sub.example.com"
+    assert row["rd"] == "example.com"
+    assert row["cps"] == "Hi"
+    assert row["cp"] == [72, 105]
+    assert row["u"] == 65
+    assert row["rb"] == 3
+    assert row["i3"] == 2
+
+
+def test_ml_analytic_scalers(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    rows = spark.sql(
+        transpile_statement(
+            "SELECT x, ROUND(ML.STANDARD_SCALER(x) OVER (), 4) AS z,"
+            " ROUND(ML.MIN_MAX_SCALER(x) OVER (), 4) AS mm"
+            " FROM (SELECT 1.0 AS x UNION ALL SELECT 3.0) t ORDER BY x"
+        )
+    ).collect()
+    assert [float(r["z"]) for r in rows] == [-0.7071, 0.7071]
+    assert [float(r["mm"]) for r in rows] == [0.0, 1.0]
