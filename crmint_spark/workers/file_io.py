@@ -85,10 +85,18 @@ def _lines_skipping(spark, uris: list[str], n_skip: int):
     return sc.union(rdds)
 
 
+#: columnar formats Spark reads/writes natively (self-describing
+#: schemas: csv-specific options do not apply). Avro needs the external
+#: spark-avro package, so it is accepted only when that datasource
+#: resolves (import-gated at call time).
+_COLUMNAR_FORMATS = ("parquet", "orc")
+
+
 class FileImporter(Worker):
     PARAMS = [
         ("source_uris", "string_list", True, None, "file globs"),
         ("destination_table", "string", True, "", "proj.ds.table"),
+        ("source_format", "string", False, "", "csv|json|parquet|orc|avro"),
         ("import_json", "boolean", False, False, "NDJSON instead of CSV"),
         ("csv_skip_leading_rows", "number", False, 0, "header rows to skip"),
         ("csv_null_marker", "string", False, None, "null marker"),
@@ -105,7 +113,22 @@ class FileImporter(Worker):
         if self._params["schema"]:
             schema = parse_schema(json.loads(self._params["schema"]))
 
-        if self._params["import_json"]:
+        fmt = (self._params["source_format"] or "").lower()
+        if not fmt:
+            fmt = "json" if self._params["import_json"] else "csv"
+        if fmt in _COLUMNAR_FORMATS or fmt == "avro":
+            # self-describing columnar input: schema travels with the
+            # files; explicit schema (if given) projects/validates
+            reader = spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            try:
+                df = reader.format(fmt).load(uris)
+            except Exception as e:
+                raise WorkerException(
+                    f"cannot read {fmt} input: {e}"
+                ) from e
+        elif fmt == "json":
             reader = spark.read
             if schema is not None:
                 reader = reader.schema(schema)
@@ -167,6 +190,7 @@ class FileExporter(Worker):
         ("bq_dataset_id", "string", False, "", "BQ Dataset ID"),
         ("bq_table_id", "string", False, "", "BQ Table ID"),
         ("destination_uri", "string", True, "", "output dir"),
+        ("destination_format", "string", False, "", "csv|json|parquet|orc|avro"),
         ("export_json", "boolean", False, False, "NDJSON instead of CSV"),
         ("export_gzip", "boolean", False, False, "gzip compression"),
         ("print_header", "boolean", False, True, "CSV header"),
@@ -175,10 +199,24 @@ class FileExporter(Worker):
     def _execute(self) -> None:
         source = self._source_table()
         df = self._ctx.catalog.read(source)
+        fmt = (self._params["destination_format"] or "").lower()
+        if not fmt:
+            fmt = "json" if self._params["export_json"] else "csv"
         writer = df.write.mode("overwrite")
         if self._params["export_gzip"]:
-            writer = writer.option("compression", "gzip")
-        if self._params["export_json"]:
+            # each format names its deflate codec differently; ORC has
+            # no gzip codec — zlib is the same algorithm
+            writer = writer.option(
+                "compression", "zlib" if fmt == "orc" else "gzip"
+            )
+        if fmt in _COLUMNAR_FORMATS or fmt == "avro":
+            try:
+                writer.format(fmt).save(self._params["destination_uri"])
+            except Exception as e:
+                raise WorkerException(
+                    f"cannot write {fmt} output: {e}"
+                ) from e
+        elif fmt == "json":
             writer.json(self._params["destination_uri"])
         else:
             writer.option("header", self._params["print_header"]).csv(

@@ -558,3 +558,44 @@ def test_storage_cleaner_age_filter(ctx, tmp_path):
     ).execute()
     assert not old.exists()
     assert fresh.exists()
+
+
+def test_file_roundtrip_parquet_and_orc(ctx, tmp_path):
+    _seed_table(ctx, "p.d.colsrc", [(1, "x"), (2, "y")], "id long, s string")
+    for fmt in ("parquet", "orc"):
+        out = tmp_path / f"out_{fmt}"
+        find_worker("FileExporter")(
+            {
+                "source_table": "p.d.colsrc",
+                "destination_uri": str(out),
+                "destination_format": fmt,
+            },
+            ctx,
+        ).execute()
+        find_worker("FileImporter")(
+            {
+                "source_uris": [str(out)],
+                "destination_table": f"p.d.back_{fmt}",
+                "source_format": fmt,
+            },
+            ctx,
+        ).execute()
+        rows = {tuple(r) for r in ctx.catalog.read(f"p.d.back_{fmt}").collect()}
+        assert rows == {(1, "x"), (2, "y")}, fmt
+
+
+def test_file_exporter_orc_gzip_maps_to_zlib(ctx, tmp_path):
+    _seed_table(ctx, "p.d.orcgz", [(1, "x")], "id long, s string")
+    out = tmp_path / "orc_gz"
+    find_worker("FileExporter")(
+        {
+            "source_table": "p.d.orcgz",
+            "destination_uri": str(out),
+            "destination_format": "orc",
+            "export_gzip": True,
+        },
+        ctx,
+    ).execute()
+    import glob
+
+    assert glob.glob(str(out / "*.orc"))
