@@ -148,6 +148,52 @@ def cluster_write(
     )
 
 
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits_per_col: int = 8,
+) -> None:
+    """Z-order (Morton-curve) clustered write: interleave the bit codes
+    of each clustering column's quantile rank and range-partition + sort
+    on the interleaved value. Every output file then covers a tight
+    hyper-rectangle in ALL clustering dimensions, so parquet min/max
+    statistics prune file scans for predicates on ANY of the columns —
+    ``cluster_write`` generalized beyond one dimension (the layout Delta
+    Lake's OPTIMIZE ZORDER BY produces).
+
+    Quantile boundaries come from one approxQuantile sketch pass
+    (driver-side list of 2^bits cutpoints per column, broadcast into a
+    width_bucket-style expression); the write itself is one range
+    shuffle + per-partition sort, identical cost to cluster_write.
+    """
+    n_buckets = 1 << bits_per_col
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    z = None
+    for c in cols:
+        cuts = df.approxQuantile(c, probs, 0.01)
+        # rank bucket via a folded comparison chain would be O(2^bits);
+        # use a broadcast sorted-array binary search instead:
+        # bucket = #cutpoints <= value (width_bucket semantics)
+        arr = F.array(*[F.lit(x) for x in cuts])
+        bucket = F.size(F.filter(arr, lambda b: b <= F.col(c).cast("double")))
+        # interleave this column's bits into the z-value
+        for bit in range(bits_per_col):
+            z_bit = F.shiftright(bucket, bit).bitwiseAND(F.lit(1))
+            pos = bit * len(cols) + cols.index(c)
+            piece = z_bit.cast("long") * F.lit(1 << pos)
+            z = piece if z is None else z + piece
+    zdf = df.withColumn("__z", z)
+    (
+        zdf.repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

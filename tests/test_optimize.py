@@ -140,3 +140,52 @@ def test_broadcast_join_no_shuffle_on_big_side(spark):
     )
     joined.count()
     assert not optimize.explain_has_exchange(joined)
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """Every z-ordered output file must cover a strict sub-range of BOTH
+    clustering columns; a plain unsorted write leaves near-full-range
+    files (no stats pruning possible)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from crmint_spark.catalog import load
+    from crmint_spark.optimize import zorder_write
+
+    df = load(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath = str(tmp_path / "zorders")
+    zorder_write(df, zpath, ["o_custkey", "o_totalprice"], n_files=8)
+
+    def file_coverages(path, col, lo, hi):
+        cov = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            fmin, fmax = None, None
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                for ci in range(rgm.num_columns):
+                    c = rgm.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+            if fmin is not None:
+                cov.append((fmax - fmin) / (hi - lo))
+        return cov
+
+    import pyspark.sql.functions as F
+
+    lo_c, hi_c, lo_p, hi_p = df.select(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).first()
+    cov_cust = file_coverages(zpath, "o_custkey", lo_c, hi_c)
+    cov_price = file_coverages(zpath, "o_totalprice", lo_p, hi_p)
+    assert len(cov_cust) >= 4
+    # each dimension's per-file span must be well under the full range
+    # on average — the multi-dimensional locality z-order exists for
+    assert sum(cov_cust) / len(cov_cust) < 0.75, cov_cust
+    assert sum(cov_price) / len(cov_price) < 0.75, cov_price
