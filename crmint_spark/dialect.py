@@ -1379,6 +1379,22 @@ def _rewrite_lateral_unnest(sql: str) -> str:
         alias = m_alias.group(1)
         fresh = f"__unnest_{alias}"
         clause_start, clause_end = m.start(), arr_end + m_alias.end()
+        # BigQuery `WITH OFFSET [AS] o` — 0-based element index, which
+        # is exactly posexplode's position column
+        m_off = re.match(
+            r"\s*WITH\s+OFFSET(?:\s+AS)?(?:\s+(\w+))?",
+            sql[clause_end:],
+            re.IGNORECASE,
+        )
+        off_alias = None
+        if m_off:
+            off_alias = m_off.group(1) or "offset"
+            clause_end += m_off.end()
+            # WITH OFFSET queries reference the element bare (scalar
+            # arrays), so keep the original alias as the column name —
+            # the fresh-name dance only matters for the struct-field
+            # precedence idiom, which doesn't use WITH OFFSET
+            fresh = alias
         scope_start, scope_end = _enclosing_paren_span(sql, clause_start)
         ref_pat = re.compile(rf"(?<![\w.`]){re.escape(alias)}\s*\.")
         def rename(chunk: str) -> str:
@@ -1401,10 +1417,203 @@ def _rewrite_lateral_unnest(sql: str) -> str:
 
         before = sql[:scope_start]
         scope_pre = rename(sql[scope_start:clause_start])
-        replacement = f", LATERAL (SELECT explode({arr}) AS {fresh})"
+        if off_alias is not None:
+            replacement = (
+                f", LATERAL (SELECT posexplode({arr}) AS ({off_alias}, {fresh}))"
+            )
+        else:
+            replacement = f", LATERAL (SELECT explode({arr}) AS {fresh})"
         scope_post = rename(sql[clause_end:scope_end])
         after = sql[scope_end:]
         sql = before + scope_pre + replacement + scope_post + after
+
+
+def _rewrite_from_unnest(sql: str) -> str:
+    """Standalone ``FROM UNNEST(arr) AS x [WITH OFFSET [AS] o]`` (the
+    array is the whole relation) -> a derived table exploding the array;
+    posexplode supplies BigQuery's 0-based WITH OFFSET column."""
+    out: list[str] = []
+    pos = 0
+    pat = re.compile(r"\bFROM\s+UNNEST\s*\(", re.IGNORECASE)
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            i = _skip_string(sql, i)
+            continue
+        m = pat.match(sql, i)
+        if not m:
+            i += 1
+            continue
+        arr_open = m.end() - 1
+        arr_end = _balanced_end(sql, arr_open)
+        if arr_end <= 0:
+            i += 1
+            continue
+        arr = _rewrite_from_unnest(sql[arr_open + 1 : arr_end - 1].strip())
+        m_alias = re.match(r"\s*(?:AS\s+)?(\w+)", sql[arr_end:], re.IGNORECASE)
+        if not m_alias:
+            i += 1
+            continue
+        alias = m_alias.group(1)
+        clause_end = arr_end + m_alias.end()
+        m_off = re.match(
+            r"\s*WITH\s+OFFSET(?:\s+AS)?(?:\s+(\w+))?",
+            sql[clause_end:],
+            re.IGNORECASE,
+        )
+        if m_off:
+            off_alias = m_off.group(1) or "offset"
+            clause_end += m_off.end()
+            rep = f"FROM (SELECT posexplode({arr}) AS ({off_alias}, {alias}))"
+        else:
+            rep = f"FROM (SELECT explode({arr}) AS {alias})"
+        out.append(sql[pos : m.start()])
+        out.append(rep)
+        pos = i = clause_end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_array_subquery(sql: str) -> str:
+    """``ARRAY(SELECT expr FROM ...)`` -> scalar subquery collecting the
+    column: ``(SELECT collect_list(expr) FROM ...)``; the DISTINCT form
+    collects a set, sorted for determinism (BigQuery leaves the order
+    undefined). A trailing top-level ORDER BY on the same expression
+    maps to array_sort; other orderings are left untouched (loud
+    analyzer error beats a silently unordered array)."""
+    out: list[str] = []
+    pos = 0
+    i, n = 0, len(sql)
+    pat = re.compile(r"\bARRAY\s*\(\s*SELECT\b", re.IGNORECASE)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            i = _skip_string(sql, i)
+            continue
+        m = pat.match(sql, i)
+        if not m:
+            i += 1
+            continue
+        open_idx = sql.index("(", m.start())
+        end = _balanced_end(sql, open_idx)
+        if end <= 0:
+            i += 1
+            continue
+        inner = _rewrite_array_subquery(sql[open_idx + 1 : end - 1].strip())
+        m_sel = re.match(r"SELECT\s+(DISTINCT\s+)?", inner, re.IGNORECASE)
+        body = inner[m_sel.end() :]
+        distinct = bool(m_sel.group(1))
+        # select list = text up to the first top-level FROM
+        m_from = None
+        j = 0
+        while j < len(body):
+            c = body[j]
+            if c in ("'", '"', "`"):
+                j = _skip_string(body, j)
+                continue
+            if c == "(":
+                j = _balanced_end(body, j)
+                if j <= 0:
+                    break
+                continue
+            if (
+                body[j : j + 4].upper() == "FROM"
+                and (j == 0 or not re.match(r"[\w$]", body[j - 1]))
+                and (j + 4 >= len(body) or not re.match(r"[\w$]", body[j + 4]))
+            ):
+                m_from = j
+                break
+            j += 1
+        if m_from is None:
+            i = end
+            continue
+        expr = body[:m_from].strip()
+        rest = body[m_from:]
+        # trailing top-level ORDER BY <expr> [ASC] -> array_sort
+        sort = False
+        m_ord = re.search(r"\bORDER\s+BY\s+(.+?)\s*$", rest, re.IGNORECASE | re.DOTALL)
+        # balanced prefix => the ORDER BY is top-level, not inside parens
+        if m_ord and _balanced_end("(" + rest[: m_ord.start()] + ")", 0) != -1:
+            key = m_ord.group(1).strip().rstrip(";").strip()
+            if key.upper().endswith(" ASC"):
+                key = key[:-4].strip()
+            if key == expr:
+                sort = True
+                rest = rest[: m_ord.start()].rstrip()
+        # FROM UNNEST(arr) [AS] a [WHERE p] — compile straight to array
+        # HOFs (works correlated on an outer column, which a scalar
+        # subquery over an array cannot)
+        m_un = re.match(
+            r"FROM\s+UNNEST\s*\(", rest, re.IGNORECASE
+        )
+        hof = None
+        if m_un:
+            a_open = rest.index("(", m_un.start())
+            a_end = _balanced_end(rest, a_open)
+            if a_end > 0:
+                arr = rest[a_open + 1 : a_end - 1].strip()
+                m_al = re.match(
+                    r"\s*(?:AS\s+)?(\w+)\s*", rest[a_end:], re.IGNORECASE
+                )
+                if m_al:
+                    a_name = m_al.group(1)
+                    tail = rest[a_end + m_al.end() :].strip().rstrip(";").strip()
+                    base = arr
+                    ok_tail = tail == ""
+                    m_wh = re.match(r"WHERE\s+(.+)$", tail, re.IGNORECASE | re.DOTALL)
+                    if m_wh:
+                        base = f"filter({arr}, {a_name} -> {m_wh.group(1).strip()})"
+                        ok_tail = True
+                    if ok_tail:
+                        hof = f"transform({base}, {a_name} -> {expr})"
+        if hof is not None:
+            coll = hof
+            if distinct:
+                coll = f"array_distinct({coll})"
+            if sort or distinct:
+                coll = f"array_sort({coll})"
+            out.append(sql[pos : m.start()])
+            out.append(coll)
+            pos = i = end
+            continue
+        agg = "collect_set" if distinct else "collect_list"
+        coll = f"{agg}({expr})"
+        if sort or distinct:
+            coll = f"array_sort({coll})"
+        out.append(sql[pos : m.start()])
+        out.append(f"(SELECT {coll} {rest})")
+        pos = i = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_numeric_trunc(sql: str) -> str:
+    """BigQuery ``TRUNC(x[, d])`` truncates numbers toward zero (date
+    truncation is DATE_TRUNC there, so TRUNC in a BigQuery script is
+    always numeric); Spark's ``trunc`` is date-only. Rewrite through
+    sign/floor, which keeps the input's floating type."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, _fn in _iter_calls(sql, ("TRUNC",)):
+        args = [
+            a.strip() for a in _split_top_level(sql[open_idx + 1 : end - 1])
+        ]
+        if len(args) == 1:
+            rep = f"(sign({args[0]}) * floor(abs({args[0]})))"
+        elif len(args) == 2:
+            x, d = args
+            rep = (
+                f"(sign({x}) * floor(abs({x}) * power(10, {d}))"
+                f" / power(10, {d}))"
+            )
+        else:
+            continue
+        out.append(sql[pos:start])
+        out.append(rep)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 _QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
@@ -1618,8 +1827,10 @@ def transpile_statement(sql: str, resolver=None) -> str:
     out = re.sub(r"\bOVER\s*\(\s*\)", "OVER (ORDER BY 1)", out, flags=re.IGNORECASE)
     out = _rewrite_raw_strings(out)
     out = _rewrite_qualify(out)
+    out = _rewrite_array_subquery(out)
     out = _rewrite_correlated_unnest(out)
     out = _rewrite_lateral_unnest(out)
+    out = _rewrite_from_unnest(out)
     out = _rewrite_backtick_tables(out, resolver)
     out = _rewrite_star_replace(out)
     out = _rewrite_select_except(out)
@@ -1657,6 +1868,7 @@ def transpile_statement(sql: str, resolver=None) -> str:
     out = _rewrite_approx_quantiles(out)
     out = _rewrite_misc_fns(out)
     out = _rewrite_ml_scalers(out)
+    out = _rewrite_numeric_trunc(out)
     out = _rewrite_fn_renames(out)
     out = re.sub(r"\bAS\s+NUMERIC\b", "AS DECIMAL(38, 9)", out, flags=re.IGNORECASE)
     out = re.sub(r"\bAS\s+BIGNUMERIC\b", "AS DECIMAL(38, 18)", out, flags=re.IGNORECASE)

@@ -410,3 +410,69 @@ def test_ml_analytic_scalers(spark):
     ).collect()
     assert [float(r["z"]) for r in rows] == [-0.7071, 0.7071]
     assert [float(r["mm"]) for r in rows] == [0.0, 1.0]
+
+
+def test_unnest_with_offset(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    rows = spark.sql(
+        transpile_statement(
+            "SELECT x, off FROM UNNEST([10, 20, 30]) AS x"
+            " WITH OFFSET AS off ORDER BY off"
+        )
+    ).collect()
+    assert [tuple(r) for r in rows] == [(10, 0), (20, 1), (30, 2)]
+    # lateral form against a base table, bare references
+    rows = spark.sql(
+        transpile_statement(
+            "SELECT t.id, e, o FROM (SELECT 1 AS id, [7, 8] AS arr) t,"
+            " UNNEST(t.arr) AS e WITH OFFSET o ORDER BY o"
+        )
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, 7, 0), (1, 8, 1)]
+
+
+def test_array_subquery_forms(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    row = spark.sql(
+        transpile_statement(
+            "SELECT ARRAY(SELECT n * 2 FROM UNNEST([1, 2, 3]) AS n) AS plain,"
+            " ARRAY(SELECT DISTINCT n FROM UNNEST([3, 1, 3]) AS n) AS dist,"
+            " ARRAY(SELECT n FROM UNNEST([3, 1, 2]) AS n ORDER BY n) AS ordered,"
+            " ARRAY(SELECT n FROM UNNEST([3, 1, 2]) AS n WHERE n > 1) AS filtered"
+        )
+    ).collect()[0]
+    assert row["plain"] == [2, 4, 6]
+    assert row["dist"] == [1, 3]
+    assert row["ordered"] == [1, 2, 3]
+    assert row["filtered"] == [3, 2]
+    # correlated over an outer column (compiles to HOFs, not a subquery)
+    row = spark.sql(
+        transpile_statement(
+            "SELECT id, ARRAY(SELECT v * 10 FROM UNNEST(t.arr) AS v"
+            " WHERE v != 2) AS a FROM (SELECT 1 AS id, [1, 2, 3] AS arr) t"
+        )
+    ).collect()[0]
+    assert row["a"] == [10, 30]
+    # non-UNNEST FROM falls back to a scalar collect subquery
+    row = spark.sql(
+        transpile_statement(
+            "SELECT ARRAY(SELECT z FROM (SELECT 1 AS z UNION ALL SELECT 2) q"
+            " ORDER BY z) AS a"
+        )
+    ).collect()[0]
+    assert row["a"] == [1, 2]
+
+
+def test_numeric_trunc(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    row = spark.sql(
+        transpile_statement(
+            "SELECT TRUNC(3.77) AS p, TRUNC(-3.77) AS n, TRUNC(3.14159, 2) AS d"
+        )
+    ).collect()[0]
+    assert float(row["p"]) == 3.0
+    assert float(row["n"]) == -3.0
+    assert abs(float(row["d"]) - 3.14) < 1e-9
