@@ -871,6 +871,59 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q44_bq_functions3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third BigQuery-surface script: UNNEST WITH OFFSET, ARRAY(subquery)
+    over a correlated array, numeric TRUNC, RANGE_BUCKET, NET.HOST,
+    TO_CODE_POINTS, 3-arg INSTR — all through SparkSQLExecutor
+    unchanged."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    WITH cust AS (
+      SELECT c_custkey,
+             ARRAY(SELECT w FROM UNNEST(SPLIT(c_mktsegment, \'I\')) AS w
+                   WHERE w != \'\') AS seg_words
+      FROM customer WHERE c_custkey < 50
+    )
+    SELECT
+      c_custkey,
+      word, CAST(off AS INT64) AS off,
+      TRUNC(c_custkey / 7.0) AS bucket7,
+      RANGE_BUCKET(c_custkey, [0, 10, 20, 30, 40]) AS rb,
+      NET.HOST(\'https://shop.example.com/c?id=\' || CAST(c_custkey AS STRING)) AS host,
+      CAST(TO_CODE_POINTS(word)[SAFE_OFFSET(0)] AS INT64) AS first_cp,
+      CAST(INSTR(word, \'A\', 1) AS INT64) AS a_pos
+    FROM cust, UNNEST(cust.seg_words) AS word WITH OFFSET off
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q44_SQL = """
+WITH cust AS (
+  SELECT c_custkey,
+         list_filter(string_split(c_mktsegment, \'I\'), w -> w != \'\') AS seg_words
+  FROM customer WHERE c_custkey < 50
+), exploded AS (
+  SELECT c_custkey, seg_words,
+         UNNEST(seg_words) AS word,
+         UNNEST(range(0, len(seg_words))) AS off
+  FROM cust
+)
+SELECT
+  c_custkey, word, CAST(off AS BIGINT) AS off,
+  sign(c_custkey / 7.0) * floor(abs(c_custkey / 7.0)) AS bucket7,
+  CAST(len(list_filter([0, 10, 20, 30, 40], e -> e <= c_custkey)) AS BIGINT) AS rb,
+  \'shop.example.com\' AS host,
+  CAST(list_transform(string_split(word, \'\'), c -> ascii(c))[1] AS BIGINT) AS first_cp,
+  CAST(instr(word, \'A\') AS BIGINT) AS a_pos
+FROM exploded
+"""
+
+
 EXTENDED_QUERIES: dict[str, tuple] = {
     "q19_nested_params": (q19_nested_params, Q19_SQL),
     "q20_script_except": (q20_script_except, Q20_SQL),
@@ -889,6 +942,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q33_script_udf_view": (q33_script_udf_view, Q33_SQL),
     "q34_bq_functions": (q34_bq_functions, Q34_SQL),
     "q35_bq_functions2": (q35_bq_functions2, Q35_SQL),
+    "q44_bq_functions3": (q44_bq_functions3, Q44_SQL),
     "q36_qualify": (q36_qualify, Q36_SQL),
     "q37_pivot_unpivot": (q37_pivot_unpivot, Q37_SQL),
     "pipeline_sql_e2e": (pipeline_sql_e2e, PIPELINE_E2E_SQL),
