@@ -58,3 +58,22 @@ def test_probe_columns_preserved(spark):
     out = asof_join(probes, builds, "key", "t", ["bid", "val"])
     assert set(out.columns) == {"probe_id", "key", "t", "asof_bid", "asof_val"}
     assert out.count() == 4
+
+
+def test_asof_join_as_scd2_dimension_lookup(spark):
+    """Effective-dated (SCD Type-2) dimension lookup is an as-of join:
+    each fact picks the dimension version in effect at its timestamp."""
+    facts = spark.createDataFrame(
+        [(1, 10, _ts(5)), (2, 10, _ts(20)), (3, 10, _ts(2))],
+        "fact_id long, key long, t timestamp",
+    )
+    dim_versions = spark.createDataFrame(
+        [
+            (10, _ts(0), "v1"),   # effective [0, 10)
+            (10, _ts(10), "v2"),  # effective [10, inf)
+        ],
+        "key long, t timestamp, attr string",
+    )
+    out = asof_join(facts, dim_versions, "key", "t", ["t", "attr"])
+    got = {r["fact_id"]: r["asof_attr"] for r in out.collect()}
+    assert got == {1: "v1", 2: "v2", 3: "v1"}
