@@ -8,7 +8,7 @@ oracle that computes the identical deterministic heuristic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -544,4 +544,75 @@ WITH seeded AS (
 SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_docs,
        MIN(n_fp) AS n_fp
 FROM sk GROUP BY sketch HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction — the relevance-scoring primitive (search,
+# doc tagging, weak labeling). All counts are exact integers; only the
+# final score multiplies by ln(N/df), rounded for cross-engine equality.
+
+TFIDF_TOP_K = 3
+TFIDF_MAX_DOC = 100  # keyword rows are per-doc; bound the demo output
+
+
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k terms per document by tf-idf (ln(N/df) idf, raw tf).
+
+    Scale: tf is one explode + groupBy(doc, word) with map-side combine;
+    df is a groupBy(word) over the distinct pairs (the shuffle carries
+    (word, df) only); N is a broadcast 1-row aggregate. The per-doc
+    top-k is a window over (doc) — the same cost class as any ranked
+    retrieval. Nothing ever shuffles raw text.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("word")
+    )
+    return (
+        scored.filter(F.col("doc_id") < TFIDF_MAX_DOC)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "word", "tf", "tfidf")
+    )
+
+
+TFIDF_SQL = f"""
+WITH words AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words
+  WHERE word <> '' GROUP BY doc_id, word
+), df AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+)
+SELECT doc_id, rank, word, tf, tfidf FROM (
+  SELECT doc_id, word, tf, tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, word ASC
+         ) AS rank
+  FROM scored WHERE doc_id < {TFIDF_MAX_DOC}
+) WHERE rank <= {TFIDF_TOP_K}
 """

@@ -51,6 +51,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         similarity.QUANT_SQL,
     ),
     "text_winnowing": (text.winnowing_sketches, text.WINNOWING_SQL),
+    "text_tfidf": (text.tfidf_keywords, text.TFIDF_SQL),
     # training-corpus preparation family
     **corpus.CORPUS_QUERIES,
     # temporal / as-of family
