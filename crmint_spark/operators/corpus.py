@@ -641,3 +641,62 @@ CORPUS_QUERIES: dict[str, tuple] = {
     "corpus_token_budget": (corpus_token_budget, TOKEN_BUDGET_SQL),
     "quality_funnel": (quality_funnel, QUALITY_FUNNEL_SQL),
 }
+
+
+WEIGHTED_SAMPLE_K = 25
+WEIGHTED_U_MOD = 1_000_000
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis A-Res): each doc draws a reproducible uniform u from a
+    stable hash and is ranked by ln(u)/weight — the top-k is then an
+    exact weighted sample, with longer documents (weight = n_chars)
+    proportionally more likely.
+
+    Scale: the key is per-row arithmetic (no shuffle), and the top-k is
+    a TakeOrdered — the whole operator is one scan + one tiny reduce, so
+    it composes with any corpus size; for per-source samples, rank with
+    a window partitioned by source instead.
+    """
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        F.pmod(
+            hash_str(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+            F.lit(WEIGHTED_U_MOD),
+        )
+        + 0.5
+    ) / float(WEIGHTED_U_MOD)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(WEIGHTED_SAMPLE_K)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("k"), F.asc("doc_id")))
+            .cast("bigint")
+            .alias("rank"),
+            "doc_id",
+            "source",
+            "n_chars",
+        )
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ln(({_DHASH.format(x="'ws:' || CAST(doc_id AS VARCHAR)")} % {WEIGHTED_U_MOD}
+             + 0.5) / {float(WEIGHTED_U_MOD)}) / n_chars AS k
+  FROM documents
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY k DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, source, n_chars
+FROM keyed ORDER BY k DESC, doc_id ASC LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+CORPUS_QUERIES["corpus_weighted_sample"] = (
+    corpus_weighted_sample,
+    WEIGHTED_SAMPLE_SQL,
+)
