@@ -284,3 +284,86 @@ def recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANALYTICS_QUERIES["q42_rolling_range"] = (rolling_range_window, ROLLING_RANGE_SQL)
 ANALYTICS_QUERIES["q43_recursive_closure"] = (recursive_closure, RECURSIVE_CLOSURE_SQL)
+
+
+RFM_SEGMENTS = 5
+RFM_ASOF = "2024-02-01"  # fixed snapshot date (events span 2024-01)
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    canonical CRM scoring table: days since last activity, event count,
+    total purchase value, each NTILE'd into quintiles with deterministic
+    tiebreaks, plus the combined segment code.
+
+    The exact NTILE here runs over one unpartitioned window per metric —
+    correct at report scale. For the 100 TB path, swap the NTILEs for
+    `ml.quantiles.approx_segments` (sketch + broadcast range join),
+    which this engine validates against exact NTILE in its tests.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.lit(RFM_ASOF).cast("date"), F.max(F.to_date("ts"))
+        ).cast("bigint").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    0.0
+                )
+            ),
+            2,
+        ).alias("monetary"),
+    )
+    # low recency = good -> rank ascending gives 1 = most recent quintile
+    r = F.ntile(RFM_SEGMENTS).over(
+        Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    )
+    f = F.ntile(RFM_SEGMENTS).over(
+        Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    )
+    m = F.ntile(RFM_SEGMENTS).over(
+        Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+    )
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.cast("bigint").alias("r_seg"),
+        f.cast("bigint").alias("f_seg"),
+        m.cast("bigint").alias("m_seg"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        F.concat(
+            F.col("r_seg").cast("string"),
+            F.col("f_seg").cast("string"),
+            F.col("m_seg").cast("string"),
+        ),
+    )
+
+
+RFM_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(date_diff('day', MAX(CAST(ts AS DATE)), DATE '{RFM_ASOF}') AS BIGINT)
+           AS recency_days,
+         COUNT(*) AS frequency,
+         ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+           AS monetary
+  FROM events GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency, monetary,
+       CAST(NTILE({RFM_SEGMENTS}) OVER (ORDER BY recency_days ASC, user_id ASC) AS BIGINT) AS r_seg,
+       CAST(NTILE({RFM_SEGMENTS}) OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT) AS f_seg,
+       CAST(NTILE({RFM_SEGMENTS}) OVER (ORDER BY monetary DESC, user_id ASC) AS BIGINT) AS m_seg,
+       CAST(NTILE({RFM_SEGMENTS}) OVER (ORDER BY recency_days ASC, user_id ASC) AS VARCHAR)
+         || CAST(NTILE({RFM_SEGMENTS}) OVER (ORDER BY frequency DESC, user_id ASC) AS VARCHAR)
+         || CAST(NTILE({RFM_SEGMENTS}) OVER (ORDER BY monetary DESC, user_id ASC) AS VARCHAR)
+         AS rfm_code
+FROM per_user
+"""
+
+ANALYTICS_QUERIES["q45_rfm_segmentation"] = (rfm_segmentation, RFM_SQL)
