@@ -367,3 +367,75 @@ FROM per_user
 """
 
 ANALYTICS_QUERIES["q45_rfm_segmentation"] = (rfm_segmentation, RFM_SQL)
+
+
+def cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence with lift — the market-basket association
+    shape over user behavior: for each unordered event-type pair, how
+    many users did both, and how much more often than independence
+    predicts (lift = P(a,b) / (P(a) P(b))).
+
+    Scale: the per-user type set is bounded by the type vocabulary, so
+    the pair explosion is at most |types|^2/2 rows per user — the
+    self-join on user_id has map-side-combinable counts on both sides
+    and never touches raw events after the first distinct."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    baskets = ev.distinct()
+    n_users = baskets.select("user_id").distinct().count()
+    marg = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ma, mb = marg.alias("ma"), marg.alias("mb")
+    return (
+        pairs.join(ma, F.col("type_a") == F.col("ma.event_type"))
+        .join(mb, F.col("type_b") == F.col("mb.event_type"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(F.col("n_both") / F.lit(float(n_users)), 4).alias("support"),
+            F.round(
+                (F.col("n_both") * F.lit(float(n_users)))
+                / (F.col("ma.cnt") * F.col("mb.cnt")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+COOCCURRENCE_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), n AS (
+  SELECT COUNT(DISTINCT user_id) AS n_users FROM baskets
+), marg AS (
+  SELECT event_type, COUNT(*) AS cnt FROM baskets GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+       ROUND(n_both / CAST(n.n_users AS DOUBLE), 4) AS support,
+       ROUND((n_both * CAST(n.n_users AS DOUBLE)) / (ma.cnt * mb.cnt), 4) AS lift
+FROM pairs
+JOIN marg ma ON pairs.type_a = ma.event_type
+JOIN marg mb ON pairs.type_b = mb.event_type
+CROSS JOIN n
+"""
+
+ANALYTICS_QUERIES["q46_cooccurrence_lift"] = (cooccurrence_lift, COOCCURRENCE_SQL)
