@@ -543,3 +543,85 @@ reach AS (
 SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
 FROM reach GROUP BY a
 """
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) matching — the record-linkage primitive behind
+# customer/entity dedup. Blocking keeps it linear: candidates must share
+# a first character AND have lengths within the distance budget, so the
+# join never goes all-pairs (at CRM scale, block on phonetic key or
+# name prefix + sorted-neighborhood instead of first char).
+
+FUZZY_MAX_DIST = 1
+
+
+def fuzzy_word_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical term pairs in the corpus vocabulary: distinct words
+    whose Levenshtein distance <= FUZZY_MAX_DIST, blocked on (first
+    char, |len diff| <= dist). The verify step (levenshtein) only runs
+    inside blocks, exactly like the signature dedups verify inside LSH
+    buckets."""
+    docs = load(spark, sf_dir, "documents")
+    base = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    # the synthetic vocabulary has no natural near-misses, so seed
+    # deterministic one-edit typos (w + 'x' for words of >= 4 chars,
+    # mirrored in the oracle) — the blocking + verify pipeline is then
+    # validated against real distance-1 pairs
+    vocab = (
+        base.unionAll(
+            base.filter(F.length("w") >= 4).select(
+                F.concat(F.col("w"), F.lit("x")).alias("w")
+            )
+        )
+        .distinct()
+        .select(
+            "w",
+            F.substring("w", 1, 1).alias("blk"),
+            F.length("w").alias("len"),
+        )
+    )
+    a, b = vocab.alias("a"), vocab.alias("b")
+    dist = F.levenshtein(F.col("a.w"), F.col("b.w"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.w") < F.col("b.w"))
+            & (
+                F.abs(F.col("a.len") - F.col("b.len"))
+                <= F.lit(FUZZY_MAX_DIST)
+            ),
+        )
+        .select(
+            F.col("a.w").alias("word_a"),
+            F.col("b.w").alias("word_b"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+    )
+
+
+FUZZY_SQL = f"""
+WITH base AS (
+  SELECT DISTINCT word AS w FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> ''
+), vocab AS (
+  SELECT DISTINCT w FROM (
+    SELECT w FROM base
+    UNION ALL
+    SELECT w || 'x' AS w FROM base WHERE length(w) >= 4
+  )
+), blocked AS (
+  SELECT w, substr(w, 1, 1) AS blk, length(w) AS len FROM vocab
+)
+SELECT a.w AS word_a, b.w AS word_b,
+       CAST(levenshtein(a.w, b.w) AS BIGINT) AS edit_dist
+FROM blocked a JOIN blocked b
+  ON a.blk = b.blk AND a.w < b.w AND abs(a.len - b.len) <= {FUZZY_MAX_DIST}
+WHERE levenshtein(a.w, b.w) <= {FUZZY_MAX_DIST}
+"""
