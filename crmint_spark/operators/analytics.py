@@ -439,3 +439,123 @@ CROSS JOIN n
 """
 
 ANALYTICS_QUERIES["q46_cooccurrence_lift"] = (cooccurrence_lift, COOCCURRENCE_SQL)
+
+
+ANOMALY_Z = 2.0
+ANOMALY_WINDOW = 7  # trailing days (exclusive of the current day)
+
+
+def daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly flags: a day's event count is anomalous when
+    it deviates more than ANOMALY_Z sample standard deviations from the
+    trailing ANOMALY_WINDOW-day mean (current day excluded, so the
+    anomaly can't suppress its own baseline).
+
+    One daily pre-aggregation (map-side combined) then one ordered
+    window per event type — the rolling mean/std are streaming frame
+    aggregates, no per-day rescan."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("day_num", F.unix_date("day").cast("long"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-ANOMALY_WINDOW, -1)
+    )
+    mean = F.avg("n").over(w)
+    # constant trailing windows have sd = 0: NULL out (not anomalous by
+    # this test) instead of dividing by zero under ANSI mode
+    sd = F.nullif(F.stddev_samp("n").over(w), F.lit(0.0))
+    z = (F.col("n") - mean) / sd
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "n",
+            F.round(mean, 4).alias("base_mean"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .filter(F.col("zscore").isNotNull() & (F.abs("zscore") > ANOMALY_Z))
+    )
+
+
+ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS day_num
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, day, n,
+         ROUND(AVG(n) OVER w, 4) AS base_mean,
+         ROUND((n - AVG(n) OVER w) / NULLIF(STDDEV_SAMP(n) OVER w, 0), 4) AS zscore
+  FROM daily
+  WINDOW w AS (
+    PARTITION BY event_type ORDER BY day_num
+    RANGE BETWEEN {ANOMALY_WINDOW} PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT event_type, day, n, base_mean, zscore
+FROM scored WHERE zscore IS NOT NULL AND ABS(zscore) > {ANOMALY_Z}
+"""
+
+ABC_THRESH_A = 0.5
+ABC_THRESH_B = 0.8
+
+
+def pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC revenue classification: customers ranked by order
+    revenue; class A = the head covering the first 50% of cumulative
+    revenue, B = to 80%, C = the tail. The classic 80/20 inventory/CRM
+    segmentation.
+
+    One groupBy(customer) then one global ordered window for the
+    cumulative share. The global sort is the report-scale path; at
+    100 TB, bucket the cumulative boundaries with approxQuantile over
+    the revenue distribution instead (same pattern as conversion-value
+    segments)."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    total = per_cust.select(F.sum("revenue").alias("t"))
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    ranked = per_cust.crossJoin(F.broadcast(total)).select(
+        "o_custkey",
+        "revenue",
+        (F.sum("revenue").over(w) / F.col("t")).alias("cum_share"),
+    )
+    cls = (
+        F.when(F.col("cum_share") <= ABC_THRESH_A, "A")
+        .when(F.col("cum_share") <= ABC_THRESH_B, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select("o_custkey", cls.alias("abc"))
+        .groupBy("abc")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+PARETO_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey,
+         SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey ASC)
+           / (SELECT SUM(revenue) FROM per_cust) AS cum_share
+  FROM per_cust
+)
+SELECT CASE WHEN cum_share <= {ABC_THRESH_A} THEN 'A'
+            WHEN cum_share <= {ABC_THRESH_B} THEN 'B'
+            ELSE 'C' END AS abc,
+       COUNT(*) AS n_customers
+FROM ranked GROUP BY 1
+"""
+
+ANALYTICS_QUERIES["q47_daily_anomalies"] = (daily_anomalies, ANOMALY_SQL)
+ANALYTICS_QUERIES["q48_pareto_abc"] = (pareto_abc, PARETO_SQL)
