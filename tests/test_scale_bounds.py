@@ -73,3 +73,29 @@ def test_connected_components_chain_and_islands(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_fuzzy_blocking_bounds_candidates(spark):
+    """The fuzzy-match verify join must only compare words sharing a
+    (first char, compatible length) block — never all pairs."""
+    import pyspark.sql.functions as F
+
+    from crmint_spark.operators.dedup import FUZZY_MAX_DIST
+
+    vocab = spark.createDataFrame(
+        [(w,) for w in
+         ["alpha", "alphax", "beta", "betas", "gamma", "delta", "dolta"]],
+        "w string",
+    ).select(
+        "w", F.substring("w", 1, 1).alias("blk"), F.length("w").alias("len")
+    )
+    a, b = vocab.alias("a"), vocab.alias("b")
+    cands = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.w") < F.col("b.w"))
+        & (F.abs(F.col("a.len") - F.col("b.len")) <= F.lit(FUZZY_MAX_DIST)),
+    )
+    # 7 words -> 21 unordered pairs all-pairs; blocking admits only the
+    # within-block ones: (alpha,alphax), (beta,betas), (delta,dolta)
+    assert cands.count() == 3
