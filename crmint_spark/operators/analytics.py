@@ -559,3 +559,58 @@ FROM ranked GROUP BY 1
 
 ANALYTICS_QUERIES["q47_daily_anomalies"] = (daily_anomalies, ANOMALY_SQL)
 ANALYTICS_QUERIES["q48_pareto_abc"] = (pareto_abc, PARETO_SQL)
+
+
+HIST_BINS = 20
+
+
+def revenue_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order values: the profiling primitive
+    behind data-quality dashboards and feature binning. Bin edges come
+    from one broadcast (min, max) aggregate; the binning itself is
+    per-row arithmetic folded into the scan projection, and the final
+    count is one tiny groupBy(bin). IEEE double arithmetic on identical
+    inputs makes the floor() bin assignment engine-portable."""
+    orders = load(spark, sf_dir, "orders")
+    ext = orders.select(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / HIST_BINS
+    binned = orders.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("bigint"),
+            F.lit(HIST_BINS - 1).cast("bigint"),  # max lands in the last bin
+        ).alias("bin"),
+        "lo",
+        (width).alias("w"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.round(F.first("lo") + F.first("w") * F.col("bin"), 2).alias("bin_lo"),
+            F.round(F.first("lo") + F.first("w") * (F.col("bin") + 1), 2).alias("bin_hi"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("bin", "bin_lo", "bin_hi", "n_orders")
+    )
+
+
+HISTOGRAM_SQL = f"""
+WITH ext AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+), binned AS (
+  SELECT LEAST(
+           CAST(FLOOR((o_totalprice - ext.lo) / ((ext.hi - ext.lo) / {HIST_BINS})) AS BIGINT),
+           {HIST_BINS - 1}
+         ) AS bin,
+         ext.lo AS lo, (ext.hi - ext.lo) / {HIST_BINS} AS w
+  FROM orders CROSS JOIN ext
+)
+SELECT bin,
+       ROUND(MIN(lo) + MIN(w) * bin, 2) AS bin_lo,
+       ROUND(MIN(lo) + MIN(w) * (bin + 1), 2) AS bin_hi,
+       COUNT(*) AS n_orders
+FROM binned GROUP BY bin
+"""
+
+ANALYTICS_QUERIES["q49_revenue_histogram"] = (revenue_histogram, HISTOGRAM_SQL)
