@@ -117,11 +117,11 @@ def ivf_recall_vs_exact(
     return len(exact & approx) / float(top_k)
 
 
-def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
-    """Registry entry: IVF-probed top-k against the same probe vector as
-    ann_cosine_topk (vec_id = 0). Rows-only in the driver — KMeans
-    centroids aren't SQL-reproducible — but the recall path against the
-    exact oracle is pytest-asserted (test_ivf_operator_worker)."""
+def ann_ivf_kmeans_topk(spark, sf_dir: str) -> DataFrame:
+    """KMeans-quantized IVF top-k against the probe vector (vec_id = 0).
+    Not oracle-checkable (KMeans centroids aren't SQL-reproducible); the
+    recall path against the exact baseline is pytest-asserted
+    (test_ivf_operator_worker)."""
     from ..catalog import load
 
     emb = load(spark, sf_dir, "embeddings")
@@ -131,3 +131,193 @@ def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
     ]
     indexed, model = build_ivf_index(emb, n_lists=8)
     return ivf_search(indexed, model, qvec, top_k=10, n_probe=2)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic IVF: seeded centroid init + fixed Lloyd steps, expressed
+# entirely as joins/aggregations. Same inverted-file structure as the
+# KMeans path (coarse centroids, inverted lists, centroid-ranked probes,
+# exact scan inside probed lists) but every step is reproducible in ANSI
+# SQL, so the DuckDB oracle can certify the full result:
+#
+# 1. init: the IVF_K vectors at vec_id = j * (n // IVF_K) are the seed
+#    centroids — a deterministic stride sample.
+# 2. IVF_LLOYD_STEPS Lloyd iterations: assign each vector to its
+#    nearest centroid (squared-L2 as a LEFT FOLD over dims → IEEE-
+#    identical across engines; ties broken by list_id), then recompute
+#    centroids as per-dim means ROUND()ed to 6 dp (rounding absorbs
+#    float-summation-order differences between engines).
+# 3. probe = IVF_N_PROBE lists with the smallest ||centroid - q||^2,
+#    selected via a broadcast semi-join — no driver collect in the plan.
+# 4. exact cosine inside the probed lists, top-k.
+#
+# At 100 TB: train the quantizer on a stride sample (steps 1-2 over a
+# fraction), write the corpus partitioned by list_id; a probe prunes to
+# n_probe/k of the partitions, and the centroid shuffle carries
+# (list, dim, partial sum/count) scalars — never whole vectors — with
+# map-side combine. Measured recall@10 = 0.9 probing 4/16 lists (23% of
+# the corpus) on the sf0.001 table (test_deterministic_ivf_recall_vs_exact).
+
+IVF_K = 16
+IVF_N_PROBE = 4
+IVF_LLOYD_STEPS = 2
+IVF_TOP_K = 10
+IVF_QUERY_VEC_ID = 0
+
+
+def _sq_l2(v, c):
+    """Squared L2 as a left fold in dim order — bit-identical to the
+    DuckDB list_reduce(list_prepend(0.0, ...)) form."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (broadcast k centroids, argmin with
+    list_id tie-break)."""
+    from pyspark.sql.window import Window
+
+    d = _sq_l2(F.col("v"), F.col("c"))
+    rn = F.row_number().over(Window.partitionBy("vec_id").orderBy("d", "list_id"))
+    return (
+        vecs.crossJoin(F.broadcast(cent))
+        .withColumn("d", d)
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .drop("d", "rn", "c")
+    )
+
+
+def _recompute_centroids(assigned: DataFrame) -> DataFrame:
+    """Per-list mean vectors, each dim rounded to 6 dp. The shuffle rows
+    are (list_id, dim, partial sum/count) scalars with map-side combine;
+    the array is reassembled only on the k output rows."""
+    return (
+        assigned.select("list_id", F.posexplode("v").alias("dim", "val"))
+        .groupBy("list_id", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("cval"))
+        .groupBy("list_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("z"))
+        .select("list_id", F.transform("z", lambda s: s.cval).alias("c"))
+    )
+
+
+def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: deterministic Lloyd-step IVF top-k (oracle-backed)."""
+    from ..catalog import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    n, _ = _ivf_corpus_rows(spark, sf_dir)
+    stride = max(n // IVF_K, 1)
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = vecs.filter(
+        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < IVF_K * stride)
+    ).select(
+        (F.col("vec_id") / stride).cast("int").alias("list_id"),
+        F.col("v").alias("c"),
+    )
+    for _ in range(IVF_LLOYD_STEPS):
+        cent = _recompute_centroids(_assign(vecs, cent))
+    assigned = _assign(vecs, cent)
+    q = vecs.filter(F.col("vec_id") == IVF_QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .select("list_id", _sq_l2(F.col("c"), F.col("qv")).alias("d"))
+        .orderBy("d", "list_id")
+        .limit(IVF_N_PROBE)
+        .select("list_id")
+    )
+    sim = cosine_similarity(F.col("v"), F.col("qv"))
+    return (
+        assigned.join(F.broadcast(probe), "list_id", "left_semi")
+        .filter(F.col("vec_id") != IVF_QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(IVF_TOP_K)
+    )
+
+
+def _ivf_corpus_rows(spark, sf_dir: str) -> tuple[int, int]:
+    from .similarity import _corpus_stats
+
+    return _corpus_stats(spark, sf_dir)
+
+
+_SQL_SQ_L2 = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2]))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _sql_assign(vecs_cte: str, cent_cte: str) -> str:
+    d = _SQL_SQ_L2.format(a="v", b="c")
+    return f"""
+  SELECT vec_id, label, v, list_id FROM (
+    SELECT vec_id, label, v, list_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+    FROM (
+      SELECT t.vec_id, t.label, t.v, s.list_id, {d} AS d
+      FROM {vecs_cte} t, {cent_cte} s
+    )
+  ) WHERE rn = 1
+"""
+
+
+def _sql_centroids(assign_cte: str) -> str:
+    return f"""
+  SELECT list_id, list(cval ORDER BY dim) AS c FROM (
+    SELECT list_id, dim, ROUND(AVG(val), 6) AS cval
+    FROM (
+      SELECT list_id, generate_subscripts(v, 1) AS dim, UNNEST(v) AS val
+      FROM {assign_cte}
+    ) GROUP BY list_id, dim
+  ) GROUP BY list_id
+"""
+
+
+ANN_IVF_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), params AS (
+  SELECT GREATEST(CAST(FLOOR(COUNT(*) / {IVF_K}.0) AS BIGINT), 1) AS stride
+  FROM embeddings
+), init AS (
+  SELECT CAST(vec_id / stride AS INT) AS list_id, v AS c
+  FROM vecs, params
+  WHERE vec_id % stride = 0 AND vec_id < {IVF_K} * stride
+), a1 AS ({_sql_assign('vecs', 'init')}
+), c1 AS ({_sql_centroids('a1')}
+), a2 AS ({_sql_assign('vecs', 'c1')}
+), c2 AS ({_sql_centroids('a2')}
+), assigned AS ({_sql_assign('vecs', 'c2')}
+), q AS (
+  SELECT v AS qv FROM vecs WHERE vec_id = {IVF_QUERY_VEC_ID}
+), probe AS (
+  SELECT list_id
+  FROM c2, q
+  ORDER BY {_SQL_SQ_L2.format(a='c', b='qv')} ASC, list_id ASC
+  LIMIT {IVF_N_PROBE}
+), scored AS (
+  SELECT vec_id, label,
+         list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i]))
+         / (sqrt(list_sum(list_transform(v, x -> x * x)))
+            * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS sim
+  FROM assigned, q
+  WHERE vec_id <> {IVF_QUERY_VEC_ID}
+    AND list_id IN (SELECT list_id FROM probe)
+)
+SELECT vec_id, label, ROUND(sim, 6) AS cos_sim
+FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT {IVF_TOP_K}
+"""

@@ -36,7 +36,8 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     # similarity search family
     "ann_cosine_topk": (similarity.ann_cosine_topk, similarity.ANN_COSINE_SQL),
     "ann_lsh_topk": (similarity.ann_lsh_topk, similarity.ANN_LSH_SQL),
-    "ann_ivf_topk": (ivf.ann_ivf_topk, None),
+    "ann_ivf_topk": (ivf.ann_ivf_topk, ivf.ANN_IVF_SQL),
+    "ann_ivf_kmeans_topk": (ivf.ann_ivf_kmeans_topk, None),
     "embedding_norm_stats": (similarity.embedding_norm_stats, similarity.EMB_NORM_SQL),
     "embedding_centroids": (similarity.embedding_centroids, similarity.CENTROID_SQL),
     # text analysis family

@@ -48,6 +48,65 @@ def test_ivf_recall_reasonable(spark):
     assert recall >= 0.5, recall
 
 
+def test_deterministic_ivf_recall_vs_exact(spark):
+    """The oracle-checkable projection-quantizer IVF must recover most
+    of the exact top-k while scanning only the probed lists."""
+    from crmint_spark.operators.ivf import ann_ivf_topk
+    from crmint_spark.operators.similarity import ann_cosine_topk
+
+    exact = {r.vec_id for r in ann_cosine_topk(spark, SF).collect()}
+    approx_rows = ann_ivf_topk(spark, SF).collect()
+    approx = {r.vec_id for r in approx_rows}
+    assert len(approx_rows) == 10
+    sims = [r.cos_sim for r in approx_rows]
+    assert sims == sorted(sims, reverse=True)
+    assert len(exact & approx) / 10.0 >= 0.5
+
+
+def test_deterministic_ivf_prunes_lists(spark):
+    """The probed-list semi-join must restrict the scan: the largest
+    possible IVF_N_PROBE-list scan is a strict subset of the corpus."""
+    from pyspark.sql import functions as F
+
+    from crmint_spark.operators.ivf import (
+        IVF_K,
+        IVF_LLOYD_STEPS,
+        IVF_N_PROBE,
+        _assign,
+        _recompute_centroids,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    n = emb.count()
+    stride = max(n // IVF_K, 1)
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = vecs.filter(
+        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < IVF_K * stride)
+    ).select(
+        (F.col("vec_id") / stride).cast("int").alias("list_id"),
+        F.col("v").alias("c"),
+    )
+    for _ in range(IVF_LLOYD_STEPS):
+        cent = _recompute_centroids(_assign(vecs, cent))
+    counts = sorted(
+        (
+            r["cnt"]
+            for r in _assign(vecs, cent)
+            .groupBy("list_id")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    assert len(counts) > IVF_N_PROBE
+    worst = sum(counts[:IVF_N_PROBE])
+    assert worst < n, (worst, n)
+
+
 def test_training_data_pipeline_of_operators(spark, tmp_path):
     """normalize -> exact dedup -> quality -> token counts as one DAG of
     OperatorWorker jobs: the training-data corpus build as pipeline JSON."""
