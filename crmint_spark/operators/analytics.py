@@ -289,20 +289,35 @@ ANALYTICS_QUERIES["q43_recursive_closure"] = (recursive_closure, RECURSIVE_CLOSU
 RFM_SEGMENTS = 5
 RFM_ASOF = "2024-02-01"  # fixed snapshot date (events span 2024-01)
 
+# Above this input-table row count the exact global-NTILE / global-cumsum
+# forms (single-partition sort) switch to the sketch-based scale paths.
+# The signal is the parquet footer row count — zero Spark jobs; when the
+# footer is unreadable (non-local storage) the scale path is assumed.
+SCALE_ROW_THRESHOLD = 5_000_000
 
-def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM (recency / frequency / monetary) customer segmentation — the
-    canonical CRM scoring table: days since last activity, event count,
-    total purchase value, each NTILE'd into quintiles with deterministic
-    tiebreaks, plus the combined segment code.
 
-    The exact NTILE here runs over one unpartitioned window per metric —
-    correct at report scale. For the 100 TB path, swap the NTILEs for
-    `ml.quantiles.approx_segments` (sketch + broadcast range join),
-    which this engine validates against exact NTILE in its tests.
-    """
+def _footer_rows(sf_dir: str, table: str) -> int | None:
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
+def _use_scale_path(sf_dir: str, table: str, scale_path: bool | None) -> bool:
+    if scale_path is not None:
+        return scale_path
+    n = _footer_rows(sf_dir, table)
+    return n is None or n > SCALE_ROW_THRESHOLD
+
+
+def _rfm_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
+    return ev.groupBy("user_id").agg(
         F.datediff(
             F.lit(RFM_ASOF).cast("date"), F.max(F.to_date("ts"))
         ).cast("bigint").alias("recency_days"),
@@ -316,6 +331,72 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("monetary"),
     )
+
+
+def _rfm_code(scored: DataFrame) -> DataFrame:
+    return scored.withColumn(
+        "rfm_code",
+        F.concat(
+            F.col("r_seg").cast("string"),
+            F.col("f_seg").cast("string"),
+            F.col("m_seg").cast("string"),
+        ),
+    )
+
+
+def _rfm_scale(per_user: DataFrame) -> DataFrame:
+    """100 TB RFM path: Greenwald-Khanna sketch boundaries per metric +
+    map-side segment assignment. No global sort anywhere — the only
+    shuffle is the per-user rollup the caller already did; boundary
+    collection is quantile metadata (RFM_SEGMENTS - 1 scalars/metric),
+    the same driver-side class as approxQuantile itself. Segment
+    populations are approximate within the sketch error (exact-NTILE
+    tie-break semantics are a global-sort property and are intentionally
+    relaxed here); the exact form below the threshold is the oracle."""
+    per_user = per_user.persist()
+
+    def seg(colname: str, descending: bool):
+        bounds = per_user.approxQuantile(
+            colname,
+            [i / RFM_SEGMENTS for i in range(1, RFM_SEGMENTS)],
+            1e-4,
+        )
+        e = F.lit(1)
+        for b in bounds:
+            e = e + F.when(F.col(colname) > F.lit(float(b)), 1).otherwise(0)
+        if descending:
+            e = F.lit(RFM_SEGMENTS + 1) - e
+        return e.cast("bigint")
+
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        seg("recency_days", descending=False).alias("r_seg"),
+        seg("frequency", descending=True).alias("f_seg"),
+        seg("monetary", descending=True).alias("m_seg"),
+    )
+    return _rfm_code(scored)
+
+
+def rfm_segmentation(
+    spark: SparkSession, sf_dir: str, scale_path: bool | None = None
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    canonical CRM scoring table: days since last activity, event count,
+    total purchase value, each NTILE'd into quintiles with deterministic
+    tiebreaks, plus the combined segment code.
+
+    Below SCALE_ROW_THRESHOLD input rows this is the exact NTILE form
+    (one unpartitioned window per metric — correct at report scale, and
+    the DuckDB-oracle path). Above it — or when `scale_path=True` — it
+    routes through `_rfm_scale`: sketch quantile boundaries + map-side
+    bucketing, no single-partition Exchange in the plan
+    (test_rfm_scale_path_plan)."""
+    per_user = _rfm_per_user(spark, sf_dir)
+    if _use_scale_path(sf_dir, "events", scale_path):
+        return _rfm_scale(per_user)
     # low recency = good -> rank ascending gives 1 = most recent quintile
     r = F.ntile(RFM_SEGMENTS).over(
         Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
@@ -335,14 +416,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.cast("bigint").alias("f_seg"),
         m.cast("bigint").alias("m_seg"),
     )
-    return scored.withColumn(
-        "rfm_code",
-        F.concat(
-            F.col("r_seg").cast("string"),
-            F.col("f_seg").cast("string"),
-            F.col("m_seg").cast("string"),
-        ),
-    )
+    return _rfm_code(scored)
 
 
 RFM_SQL = f"""
@@ -506,21 +580,80 @@ ABC_THRESH_A = 0.5
 ABC_THRESH_B = 0.8
 
 
-def pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Quantile-bucket count for the scale path's revenue CDF. Class-boundary
+# resolution is ~1/PARETO_BUCKETS of the customer population regardless
+# of corpus size.
+PARETO_BUCKETS = 128
+
+
+def _pareto_scale(per_cust: DataFrame) -> DataFrame:
+    """100 TB Pareto path: replace the global cumulative-sum window with
+    a quantile-bucketed revenue CDF. One sketch pass gives bucket
+    boundaries; one grouped aggregation gives (bucket, sum, count); the
+    cumulative walk happens over the PARETO_BUCKETS-row bucket table
+    driver-side (bounded metadata, same class as approxQuantile's own
+    collect), yielding two literal revenue thresholds; class assignment
+    is then map-side. No global sort, no single-partition Exchange
+    (test_pareto_scale_path_plan). Customers inside a boundary bucket
+    inherit the bucket's class — precision is 1/PARETO_BUCKETS of the
+    population, the documented trade for losing the global sort."""
+    per_cust = per_cust.persist()
+    probs = [i / PARETO_BUCKETS for i in range(1, PARETO_BUCKETS)]
+    raw = per_cust.approxQuantile("revenue", probs, 1e-4)
+    bounds = sorted(set(float(b) for b in raw))
+    # bucket 0 = lowest revenue; when-chain over deduped boundaries
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col("revenue") > F.lit(b), 1).otherwise(0)
+    stats = (
+        per_cust.select(bucket.alias("bucket"), "revenue")
+        .groupBy("bucket")
+        .agg(F.sum("revenue").alias("rev"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    total = sum(r["rev"] for r in stats)
+    # walk buckets from highest revenue down; a bucket's class is the
+    # class of its *last* (cumulative-share) customer, mirroring the
+    # exact form's `cum_share <= threshold` predicate
+    cum = 0.0
+    a_cut = b_cut = None  # lowest bucket id still in class A / B
+    for r in sorted(stats, key=lambda r: -r["bucket"]):
+        cum += r["rev"]
+        share = cum / total
+        if share <= ABC_THRESH_A:
+            a_cut = r["bucket"]
+        if share <= ABC_THRESH_B:
+            b_cut = r["bucket"]
+    cls = F.lit("C")
+    if b_cut is not None:
+        cls = F.when(bucket >= b_cut, "B").otherwise("C")
+    if a_cut is not None:
+        cls = F.when(bucket >= a_cut, "A").otherwise(cls)
+    return (
+        per_cust.select(cls.alias("abc"))
+        .groupBy("abc")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def pareto_abc(
+    spark: SparkSession, sf_dir: str, scale_path: bool | None = None
+) -> DataFrame:
     """Pareto / ABC revenue classification: customers ranked by order
     revenue; class A = the head covering the first 50% of cumulative
     revenue, B = to 80%, C = the tail. The classic 80/20 inventory/CRM
     segmentation.
 
-    One groupBy(customer) then one global ordered window for the
-    cumulative share. The global sort is the report-scale path; at
-    100 TB, bucket the cumulative boundaries with approxQuantile over
-    the revenue distribution instead (same pattern as conversion-value
-    segments)."""
+    Below SCALE_ROW_THRESHOLD input rows: one groupBy(customer) then one
+    global ordered window for the exact cumulative share (the
+    DuckDB-oracle path). Above it — or with `scale_path=True` — the
+    global sort is replaced by `_pareto_scale`'s bucketed CDF."""
     orders = load(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("revenue")
     )
+    if _use_scale_path(sf_dir, "orders", scale_path):
+        return _pareto_scale(per_cust)
     total = per_cust.select(F.sum("revenue").alias("t"))
     w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
     ranked = per_cust.crossJoin(F.broadcast(total)).select(

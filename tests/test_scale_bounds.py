@@ -99,3 +99,91 @@ def test_fuzzy_blocking_bounds_candidates(spark):
     # 7 words -> 21 unordered pairs all-pairs; blocking admits only the
     # within-block ones: (alpha,alphax), (beta,betas), (delta,dolta)
     assert cands.count() == 3
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan_str(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rfm_scale_path_plan(spark):
+    """Above the row threshold, RFM must not plan a single-partition
+    sort: the sketch+map-side form has no Exchange SinglePartition."""
+    from crmint_spark.operators.analytics import rfm_segmentation
+
+    exact = rfm_segmentation(spark, SF, scale_path=False)
+    scale = rfm_segmentation(spark, SF, scale_path=True)
+    assert "SinglePartition" in _plan_str(exact)  # the thing being removed
+    assert "SinglePartition" not in _plan_str(scale)
+
+
+def test_rfm_scale_path_schema_matches_exact(spark):
+    """Both paths must expose the identical driver-contract schema."""
+    from crmint_spark.operators.analytics import rfm_segmentation
+
+    exact = rfm_segmentation(spark, SF, scale_path=False)
+    scale = rfm_segmentation(spark, SF, scale_path=True)
+    assert exact.columns == scale.columns
+    assert [f.dataType for f in exact.schema] == [f.dataType for f in scale.schema]
+
+
+def test_rfm_scale_sketch_matches_exact_on_distinct_values(spark):
+    """On tie-free metrics the sketch quintiles must reproduce exact
+    NTILE sizes to within sketch error. (Heavily tied metrics are the
+    documented relaxation: NTILE splits ties by rank, a value-based
+    bucketer cannot.)"""
+    from pyspark.sql import functions as F
+
+    from crmint_spark.operators.analytics import RFM_SEGMENTS, _rfm_scale
+
+    n = 1000
+    per_user = spark.range(n).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") * 7 % n).cast("bigint").alias("recency_days"),
+        (F.col("id") * 13 % n).cast("bigint").alias("frequency"),
+        (F.col("id") * 31 % n).cast("double").alias("monetary"),
+    )
+    scored = _rfm_scale(per_user)
+    for col in ("r_seg", "f_seg", "m_seg"):
+        sizes = {
+            r[col]: r["n"]
+            for r in scored.groupBy(col).agg(F.count("*").alias("n")).collect()
+        }
+        assert set(sizes) == set(range(1, RFM_SEGMENTS + 1)), (col, sizes)
+        for seg, cnt in sizes.items():
+            assert abs(cnt - n // RFM_SEGMENTS) <= n // 50, (col, seg, sizes)
+
+
+def test_pareto_scale_path_plan(spark):
+    """The bucketed-CDF Pareto plan must not contain a single-partition
+    Exchange (the exact form's global cumulative window does)."""
+    from crmint_spark.operators.analytics import pareto_abc
+
+    exact = pareto_abc(spark, SF, scale_path=False)
+    scale = pareto_abc(spark, SF, scale_path=True)
+    assert "SinglePartition" in _plan_str(exact)
+    assert "SinglePartition" not in _plan_str(scale)
+
+
+def test_pareto_scale_path_matches_exact_counts(spark):
+    """Bucketed-CDF class counts within 1/PARETO_BUCKETS of the
+    population vs the exact global-sort form."""
+    from crmint_spark.operators.analytics import PARETO_BUCKETS, pareto_abc
+
+    exact = {r.abc: r.n_customers for r in pareto_abc(spark, SF, scale_path=False).collect()}
+    scale = {r.abc: r.n_customers for r in pareto_abc(spark, SF, scale_path=True).collect()}
+    n = sum(exact.values())
+    tol = max(3, n // PARETO_BUCKETS + 2)
+    for c in "ABC":
+        assert abs(exact.get(c, 0) - scale.get(c, 0)) <= tol, (c, exact, scale)
+
+
+def test_scale_path_routing_thresholds():
+    """Footer row counts at test SFs stay below the threshold (exact
+    oracle path), and unknown footers route to the scale path."""
+    from crmint_spark.operators.analytics import _use_scale_path
+
+    assert _use_scale_path(SF, "events", None) is False
+    assert _use_scale_path("/nonexistent", "events", None) is True
