@@ -547,20 +547,57 @@ FROM reach GROUP BY a
 
 # ---------------------------------------------------------------------------
 # Fuzzy (edit-distance) matching — the record-linkage primitive behind
-# customer/entity dedup. Blocking keeps it linear: candidates must share
-# a first character AND have lengths within the distance budget, so the
-# join never goes all-pairs (at CRM scale, block on phonetic key or
-# name prefix + sorted-neighborhood instead of first char).
+# customer/entity dedup. Blocking is single-pass SORTED NEIGHBORHOOD:
+# rank the vocabulary in lexicographic order, candidates are the pairs
+# within FUZZY_WINDOW rank positions. Every word contributes at most
+# FUZZY_WINDOW candidates, so candidate volume is exactly linear in the
+# vocabulary — no skewed blocks at any scale (the old (first char,
+# length) key degenerated to ~26×len giant blocks on CRM-sized
+# vocabularies). The rank comes from a range-partitioned sort +
+# zipWithIndex (two passes, no single-partition stage — the same total-
+# order machinery as the seeded global shuffle in corpus.py); the band
+# equi-join on floor(rank / window) keeps the pairing an equi-join.
 
 FUZZY_MAX_DIST = 1
+FUZZY_WINDOW = 8
+
+
+def fuzzy_candidates(vocab: DataFrame, window: int = FUZZY_WINDOW) -> DataFrame:
+    """Sorted-neighborhood candidate pairs: (word_a, word_b) with
+    0 < rank(b) - rank(a) <= window in lexicographic order. Bounded at
+    `window` candidates per word by construction (test_fuzzy_blocking_
+    bounds_candidates); pairs split across adjacent rank bands are
+    recovered by the two-key explode on the left side."""
+    sorted_words = vocab.select("w").distinct().orderBy("w")
+    indexed = (
+        sorted_words.rdd.zipWithIndex()
+        .map(lambda t: (t[0][0], t[1]))
+        .toDF("w string, rn long")
+    )
+    g = F.floor(F.col("rn") / window)
+    a = indexed.select(
+        F.col("w"), F.col("rn"), F.explode(F.array(g, g + 1)).alias("gk")
+    ).alias("a")
+    b = indexed.select(F.col("w"), F.col("rn"), g.alias("gk")).alias("b")
+    return (
+        a.join(b, F.col("a.gk") == F.col("b.gk"))
+        .filter(
+            (F.col("b.rn") - F.col("a.rn") >= 1)
+            & (F.col("b.rn") - F.col("a.rn") <= window)
+        )
+        .select(F.col("a.w").alias("word_a"), F.col("b.w").alias("word_b"))
+    )
 
 
 def fuzzy_word_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-identical term pairs in the corpus vocabulary: distinct words
-    whose Levenshtein distance <= FUZZY_MAX_DIST, blocked on (first
-    char, |len diff| <= dist). The verify step (levenshtein) only runs
-    inside blocks, exactly like the signature dedups verify inside LSH
-    buckets."""
+    whose Levenshtein distance <= FUZZY_MAX_DIST, blocked by sorted
+    neighborhood (window FUZZY_WINDOW). The verify step (levenshtein)
+    only runs inside the window, exactly like the signature dedups
+    verify inside LSH buckets. Blocking recall is the standard sorted-
+    neighborhood property: a pair further than the window apart in sort
+    order is not considered (multi-pass with a reversed-key sort is the
+    classic recall upgrade)."""
     docs = load(spark, sf_dir, "documents")
     base = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
@@ -571,36 +608,15 @@ def fuzzy_word_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic one-edit typos (w + 'x' for words of >= 4 chars,
     # mirrored in the oracle) — the blocking + verify pipeline is then
     # validated against real distance-1 pairs
-    vocab = (
-        base.unionAll(
-            base.filter(F.length("w") >= 4).select(
-                F.concat(F.col("w"), F.lit("x")).alias("w")
-            )
+    vocab = base.unionAll(
+        base.filter(F.length("w") >= 4).select(
+            F.concat(F.col("w"), F.lit("x")).alias("w")
         )
-        .distinct()
-        .select(
-            "w",
-            F.substring("w", 1, 1).alias("blk"),
-            F.length("w").alias("len"),
-        )
-    )
-    a, b = vocab.alias("a"), vocab.alias("b")
-    dist = F.levenshtein(F.col("a.w"), F.col("b.w"))
+    ).distinct()
+    dist = F.levenshtein(F.col("word_a"), F.col("word_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.w") < F.col("b.w"))
-            & (
-                F.abs(F.col("a.len") - F.col("b.len"))
-                <= F.lit(FUZZY_MAX_DIST)
-            ),
-        )
-        .select(
-            F.col("a.w").alias("word_a"),
-            F.col("b.w").alias("word_b"),
-            dist.cast("bigint").alias("edit_dist"),
-        )
+        fuzzy_candidates(vocab, FUZZY_WINDOW)
+        .withColumn("edit_dist", dist.cast("bigint"))
         .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
     )
 
@@ -616,12 +632,12 @@ WITH base AS (
     UNION ALL
     SELECT w || 'x' AS w FROM base WHERE length(w) >= 4
   )
-), blocked AS (
-  SELECT w, substr(w, 1, 1) AS blk, length(w) AS len FROM vocab
+), ranked AS (
+  SELECT w, ROW_NUMBER() OVER (ORDER BY w) AS rn FROM vocab
 )
 SELECT a.w AS word_a, b.w AS word_b,
        CAST(levenshtein(a.w, b.w) AS BIGINT) AS edit_dist
-FROM blocked a JOIN blocked b
-  ON a.blk = b.blk AND a.w < b.w AND abs(a.len - b.len) <= {FUZZY_MAX_DIST}
+FROM ranked a JOIN ranked b
+  ON b.rn - a.rn BETWEEN 1 AND {FUZZY_WINDOW}
 WHERE levenshtein(a.w, b.w) <= {FUZZY_MAX_DIST}
 """

@@ -76,29 +76,41 @@ def test_connected_components_chain_and_islands(spark):
 
 
 def test_fuzzy_blocking_bounds_candidates(spark):
-    """The fuzzy-match verify join must only compare words sharing a
-    (first char, compatible length) block — never all pairs."""
-    import pyspark.sql.functions as F
+    """Sorted-neighborhood candidate volume is exactly linear: every
+    word pairs with at most FUZZY_WINDOW successors in sort order, and
+    the total is sum over ranks of min(window, n-1-rank) — never
+    all-pairs, and immune to skewed natural blocks."""
+    from crmint_spark.operators.dedup import FUZZY_WINDOW, fuzzy_candidates
 
-    from crmint_spark.operators.dedup import FUZZY_MAX_DIST
-
+    n = 200
+    # adversarial vocabulary: all words share first char AND length (the
+    # old blocking key would have made this ONE quadratic block)
     vocab = spark.createDataFrame(
-        [(w,) for w in
-         ["alpha", "alphax", "beta", "betas", "gamma", "delta", "dolta"]],
-        "w string",
-    ).select(
-        "w", F.substring("w", 1, 1).alias("blk"), F.length("w").alias("len")
+        [(f"a{i:04d}",) for i in range(n)], "w string"
     )
-    a, b = vocab.alias("a"), vocab.alias("b")
-    cands = a.join(
-        b,
-        (F.col("a.blk") == F.col("b.blk"))
-        & (F.col("a.w") < F.col("b.w"))
-        & (F.abs(F.col("a.len") - F.col("b.len")) <= F.lit(FUZZY_MAX_DIST)),
-    )
-    # 7 words -> 21 unordered pairs all-pairs; blocking admits only the
-    # within-block ones: (alpha,alphax), (beta,betas), (delta,dolta)
-    assert cands.count() == 3
+    cands = fuzzy_candidates(vocab, FUZZY_WINDOW)
+    expected = sum(min(FUZZY_WINDOW, n - 1 - r) for r in range(n))
+    assert cands.count() == expected
+    assert expected <= n * FUZZY_WINDOW  # linear, not n^2/2
+
+
+def test_fuzzy_sorted_neighborhood_finds_adjacent_typos(spark):
+    """Seeded one-edit typos sort adjacent to their source word, so the
+    window must recover them regardless of first-char or length skew."""
+    from pyspark.sql import functions as F
+
+    from crmint_spark.operators.dedup import FUZZY_WINDOW, fuzzy_candidates
+
+    words = ["alpha", "alphax", "beta", "betas", "gamma", "delta", "dolta"]
+    vocab = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        (r.word_a, r.word_b)
+        for r in fuzzy_candidates(vocab, FUZZY_WINDOW)
+        .withColumn("d", F.levenshtein("word_a", "word_b"))
+        .filter("d <= 1")
+        .collect()
+    }
+    assert got == {("alpha", "alphax"), ("beta", "betas"), ("delta", "dolta")}
 
 
 SF = "/root/testdata/sf0.001"
