@@ -61,11 +61,28 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
-# (session id, sf_dir, table) -> DataFrame. The testdata parquet is
-# immutable, so the resolved reader plan (file listing + footer schema,
-# ~0.5 s each) is reusable across queries in a session; without this a
-# 24-query bench pays the listing 24+ times.
-_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# (session id, sf_dir, table, file mtime_ns, file size) -> DataFrame.
+# The testdata parquet is immutable within a run, so the resolved reader
+# plan (file listing + footer schema, ~0.5 s each) is reusable across
+# queries in a session; without this a 24-query bench pays the listing
+# 24+ times. The stat components invalidate the entry when the file is
+# regenerated in-process (the driver rebuilds testdata between rounds),
+# and stopped-session entries are evicted on the next miss so a cached
+# DataFrame can't pin a dead SparkSession alive.
+_LOAD_CACHE: dict[tuple[int, str, str, int, int], DataFrame] = {}
+
+
+def clear_load_cache() -> None:
+    """Drop every cached reader plan (e.g. after regenerating testdata)."""
+    _LOAD_CACHE.clear()
+
+
+def _session_stopped(df: DataFrame) -> bool:
+    try:
+        sc = df.sparkSession.sparkContext
+        return sc._jsc is None or sc._jsc.sc().isStopped()
+    except Exception:
+        return True
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -79,10 +96,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
-    key = (id(spark), sf_dir, name)
+    try:
+        st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+        mtime_ns, size = st.st_mtime_ns, st.st_size
+    except OSError:
+        mtime_ns, size = -1, -1
+    key = (id(spark), sf_dir, name, mtime_ns, size)
     cached = _LOAD_CACHE.get(key)
     if cached is not None:
         return cached
+    # miss: evict superseded versions of this table and any entry whose
+    # session has been stopped (both would otherwise leak)
+    for k in [
+        k
+        for k, v in _LOAD_CACHE.items()
+        if k[:3] == (id(spark), sf_dir, name) or _session_stopped(v)
+    ]:
+        _LOAD_CACHE.pop(k, None)
     tune_session(spark)
     if name == "events":
         # runtime-settable; required for TIMESTAMP(NANOS) parquet even

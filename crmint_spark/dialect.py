@@ -731,7 +731,15 @@ def _rewrite_misc_fns(sql: str) -> str:
                 "'([^.]+\\\\.[^.]+)$', 1)"
             )
         elif fn == "code_points_to_string" and len(args) == 1:
-            rep = f"concat_ws('', transform({args[0]}, __cp -> char(__cp)))"
+            # char() wraps mod 256; Character.toString(int) handles the
+            # full Unicode range incl. astral planes. Reflection is
+            # row-at-a-time — acceptable for this conversion function,
+            # which never appears in reference-template hot paths.
+            rep = (
+                f"concat_ws('', transform({args[0]}, "
+                "__cp -> reflect('java.lang.Character', 'toString', "
+                "CAST(__cp AS INT))))"
+            )
         elif fn == "to_code_points" and len(args) == 1:
             rep = (
                 f"transform(filter(split({args[0]}, ''), "
@@ -1382,7 +1390,9 @@ def _rewrite_lateral_unnest(sql: str) -> str:
         # BigQuery `WITH OFFSET [AS] o` — 0-based element index, which
         # is exactly posexplode's position column
         m_off = re.match(
-            r"\s*WITH\s+OFFSET(?:\s+AS)?(?:\s+(\w+))?",
+            r"\s*WITH\s+OFFSET(?:\s+AS)?"
+            r"(?:\s+(?!ORDER\b|WHERE\b|GROUP\b|HAVING\b|LIMIT\b|JOIN\b"
+            r"|ON\b|UNION\b|CROSS\b|LEFT\b|RIGHT\b|INNER\b|FULL\b)(\w+))?",
             sql[clause_end:],
             re.IGNORECASE,
         )
@@ -1458,7 +1468,9 @@ def _rewrite_from_unnest(sql: str) -> str:
         alias = m_alias.group(1)
         clause_end = arr_end + m_alias.end()
         m_off = re.match(
-            r"\s*WITH\s+OFFSET(?:\s+AS)?(?:\s+(\w+))?",
+            r"\s*WITH\s+OFFSET(?:\s+AS)?"
+            r"(?:\s+(?!ORDER\b|WHERE\b|GROUP\b|HAVING\b|LIMIT\b|JOIN\b"
+            r"|ON\b|UNION\b|CROSS\b|LEFT\b|RIGHT\b|INNER\b|FULL\b)(\w+))?",
             sql[clause_end:],
             re.IGNORECASE,
         )

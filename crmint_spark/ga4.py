@@ -173,13 +173,38 @@ SPARK_HASH100 = (
 )
 
 
+# (session id, sf_dir, events mtime_ns) -> persisted GA4 DataFrame. In
+# the reference this table IS materialized storage (the BigQuery GA4
+# export dataset); the fixture synthesizes it from the flat events
+# parquet, so building the nested params array + per-event derivations
+# once per session mirrors reality instead of re-synthesizing ~600k
+# nested rows for every query that touches the dataset.
+_GA4_CACHE: dict[tuple[int, str, int], DataFrame] = {}
+
+
 def ga4_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GA4-shaped event DataFrame for one scale factor."""
+    import os
+
+    try:
+        mtime = os.stat(os.path.join(sf_dir, "events.parquet")).st_mtime_ns
+    except OSError:
+        mtime = -1
+    key = (id(spark), sf_dir, mtime)
+    cached = _GA4_CACHE.get(key)
+    if cached is not None:
+        return cached
     load(spark, sf_dir, "events").createOrReplaceTempView("__ga4_source_events")
     # EXTRACT(HOUR FROM TIMESTAMP_MICROS(...)) must agree with DuckDB's
     # naive (UTC) timestamps regardless of driver JVM zone
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.sql(GA4_SPARK_SQL.format(events="__ga4_source_events"))
+    from pyspark.storagelevel import StorageLevel
+
+    df = spark.sql(GA4_SPARK_SQL.format(events="__ga4_source_events")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _GA4_CACHE[key] = df
+    return df
 
 
 def setup_ga4_dataset(

@@ -132,7 +132,21 @@ def try_create_model(
     model_type = str(opts.pop("MODEL_TYPE", "LOGISTIC_REG")).upper()
     label_cols = opts.pop("INPUT_LABEL_COLS", ["label"])
     label = label_cols[0] if isinstance(label_cols, list) else str(label_cols)
+    # materialize the training input ONCE and truncate its lineage:
+    # a Spark ML pipeline fit launches dozens of small jobs (one per
+    # StringIndexer, per LBFGS/GBT iteration, per summary pass), and
+    # each would otherwise re-analyze + re-optimize the full logical
+    # plan — for reference-template inputs a 10+-CTE assembly over the
+    # events shards, ~0.5 s of planning per job before any data is
+    # touched. localCheckpoint keeps the blocks distributed on the
+    # executors (no driver collect) with a flat scan plan.
     df = spark.sql(query)
+    try:
+        df = df.localCheckpoint(eager=True)
+    except Exception:
+        from pyspark.storagelevel import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     feature_cols = [c for c, t in df.dtypes if c != label and t not in ("string",)]
     hyper = {
         k: v

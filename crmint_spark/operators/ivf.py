@@ -212,11 +212,14 @@ def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     n, _ = _ivf_corpus_rows(spark, sf_dir)
     stride = max(n // IVF_K, 1)
+    # persist: the vector projection feeds IVF_LLOYD_STEPS+1 assignment
+    # passes plus the centroid recomputes — without it each pass re-reads
+    # and re-casts the parquet (measured 2x slower even at 5k vectors)
     vecs = emb.select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    ).persist()
     cent = vecs.filter(
         (F.col("vec_id") % stride == 0) & (F.col("vec_id") < IVF_K * stride)
     ).select(

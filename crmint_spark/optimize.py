@@ -168,10 +168,17 @@ def zorder_write(
     width_bucket-style expression); the write itself is one range
     shuffle + per-partition sort, identical cost to cluster_write.
     """
+    if len(cols) != len(set(cols)):
+        raise ValueError(f"duplicate clustering columns: {cols}")
+    if len(cols) * bits_per_col > 63:
+        raise ValueError(
+            f"z-value needs {len(cols) * bits_per_col} bits; max 63 "
+            "(signed long) — lower bits_per_col or cluster fewer columns"
+        )
     n_buckets = 1 << bits_per_col
     probs = [i / n_buckets for i in range(1, n_buckets)]
     z = None
-    for c in cols:
+    for ci, c in enumerate(cols):
         cuts = df.approxQuantile(c, probs, 0.01)
         # rank bucket via a folded comparison chain would be O(2^bits);
         # use a broadcast sorted-array binary search instead:
@@ -181,7 +188,7 @@ def zorder_write(
         # interleave this column's bits into the z-value
         for bit in range(bits_per_col):
             z_bit = F.shiftright(bucket, bit).bitwiseAND(F.lit(1))
-            pos = bit * len(cols) + cols.index(c)
+            pos = bit * len(cols) + ci
             piece = z_bit.cast("long") * F.lit(1 << pos)
             z = piece if z is None else z + piece
     zdf = df.withColumn("__z", z)

@@ -92,6 +92,13 @@ def _lines_skipping(spark, uris: list[str], n_skip: int):
 _COLUMNAR_FORMATS = ("parquet", "orc")
 
 
+def gzip_codec_for(fmt: str) -> str:
+    """The per-format name of the gzip/deflate codec family: ORC has no
+    'gzip' (zlib = same algorithm), avro only accepts 'deflate' (same
+    algorithm again); everything else takes 'gzip' literally."""
+    return "zlib" if fmt == "orc" else "deflate" if fmt == "avro" else "gzip"
+
+
 class FileImporter(Worker):
     PARAMS = [
         ("source_uris", "string_list", True, None, "file globs"),
@@ -204,11 +211,7 @@ class FileExporter(Worker):
             fmt = "json" if self._params["export_json"] else "csv"
         writer = df.write.mode("overwrite")
         if self._params["export_gzip"]:
-            # each format names its deflate codec differently; ORC has
-            # no gzip codec — zlib is the same algorithm
-            writer = writer.option(
-                "compression", "zlib" if fmt == "orc" else "gzip"
-            )
+            writer = writer.option("compression", gzip_codec_for(fmt))
         if fmt in _COLUMNAR_FORMATS or fmt == "avro":
             try:
                 writer.format(fmt).save(self._params["destination_uri"])

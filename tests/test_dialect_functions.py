@@ -430,6 +430,34 @@ def test_unnest_with_offset(spark):
         )
     ).collect()
     assert [tuple(r) for r in rows] == [(1, 7, 0), (1, 8, 1)]
+    # alias omitted: the next keyword must NOT be captured as the alias
+    rows = spark.sql(
+        transpile_statement(
+            "SELECT x, offset FROM UNNEST([10, 20, 30]) AS x"
+            " WITH OFFSET ORDER BY offset DESC"
+        )
+    ).collect()
+    assert [tuple(r) for r in rows] == [(30, 2), (20, 1), (10, 0)]
+    rows = spark.sql(
+        transpile_statement(
+            "SELECT t.id, e, offset FROM (SELECT 1 AS id, [7, 8] AS arr) t,"
+            " UNNEST(t.arr) AS e WITH OFFSET WHERE offset > 0"
+        )
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, 8, 1)]
+
+
+def test_code_points_to_string_full_unicode(spark):
+    """Code points above 255 (and astral planes) must round-trip — char()
+    wraps mod 256 and is NOT what BigQuery does."""
+    from crmint_spark.dialect import transpile_statement
+
+    row = spark.sql(
+        transpile_statement(
+            "SELECT CODE_POINTS_TO_STRING([72, 233, 8364, 128512]) AS s"
+        )
+    ).first()
+    assert row.s == "Hé€😀"
 
 
 def test_array_subquery_forms(spark):

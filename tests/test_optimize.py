@@ -189,3 +189,23 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
     # on average — the multi-dimensional locality z-order exists for
     assert sum(cov_cust) / len(cov_cust) < 0.75, cov_cust
     assert sum(cov_price) / len(cov_price) < 0.75, cov_price
+
+
+def test_zorder_write_rejects_bit_overflow_and_dup_cols(spark, tmp_path):
+    import pytest
+
+    from crmint_spark.catalog import load
+    from crmint_spark.optimize import zorder_write
+
+    df = load(spark, "/root/testdata/sf0.001", "orders")
+    with pytest.raises(ValueError, match="63"):
+        zorder_write(
+            df,
+            str(tmp_path / "z1"),
+            ["o_custkey", "o_totalprice", "o_orderkey", "o_shippriority"],
+            bits_per_col=16,
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        zorder_write(
+            df, str(tmp_path / "z2"), ["o_custkey", "o_custkey"], bits_per_col=8
+        )

@@ -599,3 +599,12 @@ def test_file_exporter_orc_gzip_maps_to_zlib(ctx, tmp_path):
     import glob
 
     assert glob.glob(str(out / "*.orc"))
+
+
+def test_gzip_codec_per_format():
+    from crmint_spark.workers.file_io import gzip_codec_for
+
+    assert gzip_codec_for("orc") == "zlib"
+    assert gzip_codec_for("avro") == "deflate"
+    assert gzip_codec_for("csv") == "gzip"
+    assert gzip_codec_for("parquet") == "gzip"
