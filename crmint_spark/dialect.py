@@ -699,8 +699,9 @@ _FN_RENAMES: list[tuple[str, str]] = [
 
 def _rewrite_misc_fns(sql: str) -> str:
     """Structural rewrites for BigQuery functions with no same-shape
-    Spark twin: NET.* URL helpers, code-point conversions,
-    RANGE_BUCKET, and 3-arg INSTR (argument order differs)."""
+    Spark twin: NET.* URL helpers, code-point conversions, Unicode
+    normalization, RANGE_BUCKET, and 3/4-arg INSTR (argument order and
+    occurrence/backward-search semantics differ)."""
     out: list[str] = []
     pos = 0
     for start, open_idx, end, fn in _iter_calls(
@@ -710,6 +711,8 @@ def _rewrite_misc_fns(sql: str) -> str:
             r"NET\.REG_DOMAIN",
             "CODE_POINTS_TO_STRING",
             "TO_CODE_POINTS",
+            "NORMALIZE_AND_CASEFOLD",
+            "NORMALIZE",
             "RANGE_BUCKET",
             "INSTR",
         ),
@@ -723,13 +726,14 @@ def _rewrite_misc_fns(sql: str) -> str:
         if fn == "net.host" and len(args) == 1:
             rep = f"parse_url({args[0]}, 'HOST')"
         elif fn == "net.reg_domain" and len(args) == 1:
-            # registrable-domain heuristic: last two host labels (no
-            # public-suffix list in-engine; multi-part TLDs like co.uk
-            # resolve to the suffix pair, documented divergence)
-            rep = (
-                f"regexp_extract(parse_url({args[0]}, 'HOST'), "
-                "'([^.]+\\\\.[^.]+)$', 1)"
-            )
+            # registrable domain against the vendored public-suffix
+            # snapshot (functions/psl.py): ccSLD registries like co.uk
+            # take three labels, everything else the last two. Pure SQL
+            # CASE + IN over a compile-time constant list — codegen'd,
+            # no join, no UDF.
+            from .functions.psl import reg_domain_sql
+
+            rep = reg_domain_sql(f"parse_url({args[0]}, 'HOST')")
         elif fn == "code_points_to_string" and len(args) == 1:
             # char() wraps mod 256; Character.toString(int) handles the
             # full Unicode range incl. astral planes. Reflection is
@@ -750,9 +754,59 @@ def _rewrite_misc_fns(sql: str) -> str:
                 f"CAST(size(filter({args[1]}, __e -> __e <= {args[0]})) "
                 "AS BIGINT)"
             )
-        elif fn == "instr" and len(args) == 3:
-            # BigQuery INSTR(value, sub, pos); Spark locate(sub, str, pos)
-            rep = f"locate({args[1]}, {args[0]}, {args[2]})"
+        elif fn in ("normalize", "normalize_and_casefold") and len(args) in (
+            1,
+            2,
+        ):
+            # Unicode normalization. BigQuery takes the mode as a bare
+            # keyword (NFC default). No Spark builtin → the registered
+            # Arrow Python UDFs (functions.register_engine_udfs); a
+            # scalar conversion fn, never in reference-template hot
+            # paths.
+            form = (args[1] if len(args) == 2 else "NFC").strip("'\" ").upper()
+            if form in ("NFC", "NFKC", "NFD", "NFKD"):
+                udf = (
+                    "bq_normalize_and_casefold"
+                    if fn == "normalize_and_casefold"
+                    else "bq_normalize"
+                )
+                rep = f"{udf}({args[0]}, '{form}')"
+        elif fn == "instr" and len(args) in (3, 4):
+            # BigQuery INSTR(value, sub, pos[, occurrence]). Fast path:
+            # positive literal pos + first occurrence -> Spark locate
+            # (args swapped). General path: enumerate match positions
+            # JVM-side (sequence+filter HOFs), then index the
+            # occurrence'th one — forward for pos > 0, backward from
+            # length+pos+1 for pos < 0 (matches may overlap, as in
+            # BigQuery). pos = 0 errors, like BigQuery.
+            v, s = args[0], args[1]
+            p = args[2]
+            o = args[3] if len(args) == 4 else "1"
+            if len(args) == 3 and re.fullmatch(r"\+?\d+", p):
+                rep = f"locate({s}, {v}, {p})"
+            else:
+                allm = (
+                    f"CASE WHEN length({s}) > 0 AND length({v}) >= "
+                    f"length({s}) THEN filter(sequence(1, length({v}) - "
+                    f"length({s}) + 1), __q -> substring({v}, __q, "
+                    f"length({s})) = {s}) ELSE CAST(array() AS ARRAY<INT>) "
+                    f"END"
+                )
+                fwd = (
+                    f"coalesce(try_element_at(filter({allm}, __q -> "
+                    f"__q >= CAST({p} AS INT)), CAST({o} AS INT)), 0)"
+                )
+                bwd = (
+                    f"coalesce(try_element_at(reverse(filter({allm}, "
+                    f"__q -> __q <= length({v}) + CAST({p} AS INT) + 1)), "
+                    f"CAST({o} AS INT)), 0)"
+                )
+                rep = (
+                    f"CASE WHEN CAST({p} AS INT) = 0 THEN "
+                    f"CAST(raise_error('INSTR: position cannot be 0') "
+                    f"AS INT) WHEN CAST({p} AS INT) > 0 THEN {fwd} "
+                    f"ELSE {bwd} END"
+                )
         if rep is None:
             continue
         out.append(sql[pos:start])

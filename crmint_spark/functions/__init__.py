@@ -73,3 +73,44 @@ def l2_norm(a: Column) -> Column:
     """L2 norm of an array<numeric> column (JVM-side)."""
     ad = F.transform(a, lambda x: x.cast("double"))
     return F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+_UDF_SESSIONS: set[int] = set()
+
+
+def register_engine_udfs(spark) -> None:
+    """Register the (few) Python UDFs the dialect layer emits.
+
+    The transpiler stays JVM-side wherever Spark can express the
+    semantics; the only escape hatch today is Unicode normalization
+    (``NORMALIZE`` / ``NORMALIZE_AND_CASEFOLD``, ref BigQuery string
+    functions), which has no Spark builtin. Arrow-vectorized when the
+    runtime supports it; idempotent per SparkSession.
+    """
+    key = id(spark)
+    if key in _UDF_SESSIONS:
+        return
+
+    import unicodedata
+
+    from pyspark.sql.types import StringType
+
+    def _normalize(s, form):
+        if s is None or form is None:
+            return None
+        return unicodedata.normalize(form, s)
+
+    def _normalize_casefold(s, form):
+        if s is None or form is None:
+            return None
+        return unicodedata.normalize(form, s).casefold()
+
+    try:
+        norm = F.udf(_normalize, StringType(), useArrow=True)
+        normcf = F.udf(_normalize_casefold, StringType(), useArrow=True)
+    except TypeError:  # older pyspark without useArrow
+        norm = F.udf(_normalize, StringType())
+        normcf = F.udf(_normalize_casefold, StringType())
+    spark.udf.register("bq_normalize", norm)
+    spark.udf.register("bq_normalize_and_casefold", normcf)
+    _UDF_SESSIONS.add(key)

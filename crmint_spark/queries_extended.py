@@ -902,6 +902,68 @@ def q44_bq_functions3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.result
 
 
+def q49_bq_functions4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth BigQuery-surface script: NET.REG_DOMAIN against the
+    vendored public-suffix snapshot (functions/psl.py), 4-arg INSTR
+    (occurrence + backward search), and NORMALIZE /
+    NORMALIZE_AND_CASEFOLD — all through SparkSQLExecutor unchanged.
+    The oracle mirrors REG_DOMAIN with the same generated CASE/IN SQL
+    and INSTR with DuckDB list lambdas; customer text is ASCII so NFKC
+    normalization is the identity and casefold is lower()."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    SELECT
+      c_custkey,
+      NET.REG_DOMAIN(\'https://www.\' || LOWER(c_mktsegment) || \'.co.uk/home\') AS dom_uk,
+      NET.REG_DOMAIN(\'http://shop.\' || LOWER(c_mktsegment) || \'.com/x?y=1\') AS dom_com,
+      CAST(INSTR(c_name, \'0\', 1, 3) AS INT64) AS zero_3rd,
+      CAST(INSTR(c_name, \'0\', -1, 1) AS INT64) AS zero_last,
+      CAST(INSTR(c_name, \'00\', 2, 2) AS INT64) AS dd_2nd,
+      NORMALIZE(c_name, NFKC) AS name_norm,
+      NORMALIZE_AND_CASEFOLD(c_mktsegment) AS seg_cf
+    FROM customer
+    WHERE c_custkey <= 300
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+def _q49_oracle() -> str:
+    from .functions.psl import reg_domain_sql
+
+    dom_uk = reg_domain_sql("'www.' || lower(c_mktsegment) || '.co.uk'")
+    dom_com = reg_domain_sql("'shop.' || lower(c_mktsegment) || '.com'")
+    instr_all = (
+        "list_filter(range(1, length({v}) - length({s}) + 2), "
+        "p -> substring({v}, p, length({s})) = {s})"
+    )
+    zero_all = instr_all.format(v="c_name", s="'0'")
+    dd_all = instr_all.format(v="c_name", s="'00'")
+    return f"""
+SELECT
+  c_custkey,
+  {dom_uk} AS dom_uk,
+  {dom_com} AS dom_com,
+  CAST(coalesce(list_extract({zero_all}, 3), 0) AS BIGINT) AS zero_3rd,
+  CAST(coalesce(list_extract(list_reverse({zero_all}), 1), 0) AS BIGINT)
+    AS zero_last,
+  CAST(coalesce(
+    list_extract(list_filter({dd_all}, p -> p >= 2), 2), 0) AS BIGINT)
+    AS dd_2nd,
+  c_name AS name_norm,
+  lower(c_mktsegment) AS seg_cf
+FROM customer
+WHERE c_custkey <= 300
+"""
+
+
+Q49_SQL = _q49_oracle()
+
+
 Q44_SQL = """
 WITH cust AS (
   SELECT c_custkey,
@@ -943,6 +1005,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q34_bq_functions": (q34_bq_functions, Q34_SQL),
     "q35_bq_functions2": (q35_bq_functions2, Q35_SQL),
     "q44_bq_functions3": (q44_bq_functions3, Q44_SQL),
+    "q49_bq_functions4": (q49_bq_functions4, Q49_SQL),
     "q36_qualify": (q36_qualify, Q36_SQL),
     "q37_pivot_unpivot": (q37_pivot_unpivot, Q37_SQL),
     "pipeline_sql_e2e": (pipeline_sql_e2e, PIPELINE_E2E_SQL),

@@ -66,6 +66,9 @@ class SparkSQLExecutor(Worker):
         return self._ctx.catalog.resolve_table
 
     def _run_script(self) -> DataFrame | None:
+        from ..functions import register_engine_udfs
+
+        register_engine_udfs(self._ctx.spark)
         from ..ml.sql_ml import (
             rewrite_ml_evaluate,
             rewrite_ml_predict,

@@ -85,6 +85,20 @@ CASES = [
     # struct literals: named fields parse natively, typed form stripped
     ("STRUCT(1 AS a, 'x' AS b).b", "x"),
     ("STRUCT<a INT64, b ARRAY<STRING>>(5, ['y']).a", 5),
+    # NET.REG_DOMAIN against the vendored public-suffix snapshot
+    ("NET.REG_DOMAIN('https://www.bbc.co.uk/news')", "bbc.co.uk"),
+    ("NET.REG_DOMAIN('http://a.b.example.com/x?y=1')", "example.com"),
+    ("NET.REG_DOMAIN('https://co.uk')", None),
+    ("NET.REG_DOMAIN('https://shop.gov.au/cart')", "shop.gov.au"),
+    # INSTR occurrence + backward search (overlapping matches, like BQ)
+    ("INSTR('banana', 'ana', 1, 2)", 4),
+    ("INSTR('banana', 'ana', 2, 1)", 2),
+    ("INSTR('banana', 'ana', 3, 1)", 4),
+    ("INSTR('banana', 'ana', -1, 1)", 4),
+    ("INSTR('banana', 'ana', -1, 2)", 2),
+    ("INSTR('banana', 'ana', -4, 1)", 2),
+    ("INSTR('banana', 'xyz', 1, 1)", 0),
+    ("INSTR('banana', 'ana', 1, 3)", 0),
 ]
 
 
@@ -504,3 +518,21 @@ def test_numeric_trunc(spark):
     assert float(row["p"]) == 3.0
     assert float(row["n"]) == -3.0
     assert abs(float(row["d"]) - 3.14) < 1e-9
+
+
+def test_unicode_normalize(spark):
+    from crmint_spark.functions import register_engine_udfs
+
+    register_engine_udfs(spark)
+    decomposed = "éclair"  # e + combining acute
+    stmt = transpile_statement(
+        f"SELECT NORMALIZE('{decomposed}', NFC) AS v, "
+        "NORMALIZE_AND_CASEFOLD('Straße', NFKC) AS w, "
+        "NORMALIZE('ﬁt') AS x"  # NFC keeps the fi ligature
+    )
+    row = spark.sql(stmt).collect()[0]
+    assert row["v"] == "éclair"
+    assert row["w"] == "strasse"
+    assert row["x"] == "ﬁt"
+    stmt2 = transpile_statement("SELECT NORMALIZE('ﬁt', NFKC) AS v")
+    assert spark.sql(stmt2).collect()[0]["v"] == "fit"
