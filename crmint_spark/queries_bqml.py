@@ -291,7 +291,130 @@ INNER JOIN users_without_score wos
 ON p.unique_id = wos.unique_id
 """
 
+# ---------------------------------------------------------------------------
+# Deterministic ML-compiler artifacts, oracle-checked. The model FIT
+# itself stays rows-only (ml_train_predict) — but everything around it
+# (dataset assembly, 90/10 hash split + class rebalance, conversion-value
+# segmentation) is deterministic SQL the compiler emits, so both engines
+# execute the compiler's own generated text and must hash-match.
+
+
+def _parity_compiler():
+    from .ml.compiler import Compiler, MlModelConfig, Variable
+
+    return Compiler(
+        MlModelConfig(
+            name="prop_parity",
+            variables=[
+                Variable("view", "FEATURE", comparison="EQUAL", value="view"),
+                Variable("click", "FEATURE", comparison="EQUAL", value="click"),
+                Variable(
+                    "purchase", "LABEL", comparison="EQUAL", value="purchase"
+                ),
+            ],
+            class_imbalance=4,
+            conversion_rate_segments=8,
+        )
+    )
+
+
+def bqml_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(split, label) user counts + feature mass of the compiler's
+    train/calibrate datasets: proves the deterministic 90/10 affine-mod
+    hash split (ref: model_bqml.sql:95-101) and the class-imbalance
+    negative downsample (ref: model_bqml.sql:305-311) end-to-end. The
+    oracle runs the SAME compiler-generated dataset SQL in DuckDB."""
+    from .catalog import register_testdata
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    comp = _parity_compiler()
+    parts = []
+    for split in ("train", "calibrate"):
+        script = (
+            f"SELECT '{split}' AS split_name, label, "
+            "COUNT(*) AS n_users, "
+            "CAST(SUM(f_view) AS INT64) AS views, "
+            "CAST(SUM(f_click) AS INT64) AS clicks "
+            f"FROM ({comp.build_dataset_sql(split)}) GROUP BY label"
+        )
+        w = SparkSQLExecutor(
+            {"script": script, "dry_run": False}, WorkerContext(spark)
+        )
+        w.execute()
+        parts.append(w.result)
+    return parts[0].unionAll(parts[1])
+
+
+def _bqml_split_oracle() -> str:
+    comp = _parity_compiler()
+    parts = []
+    for split in ("train", "calibrate"):
+        parts.append(
+            f"SELECT '{split}' AS split_name, label, "
+            "COUNT(*) AS n_users, "
+            "CAST(SUM(f_view) AS BIGINT) AS views, "
+            "CAST(SUM(f_click) AS BIGINT) AS clicks "
+            f"FROM ({comp.build_dataset_sql(split)}) GROUP BY label"
+        )
+    return " UNION ALL ".join(parts)
+
+
+# CAST, not a 1000.0 literal: Spark types decimal literals as DECIMAL
+# and would carry decimal division through the whole segment table
+_DET_PROB = "((unique_id * 7919 + 13) % 1000) / CAST(1000 AS DOUBLE)"
+
+
+def bqml_conversion_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compiler's conversion-value segment table (NTILE segments
+    with LAG/LEAD boundary midpoints, ref: model_bqml.sql:30-49) over a
+    DETERMINISTIC pseudo-probability (affine-mod of unique_id), so the
+    segmentation SQL — not a model fit — is what both engines compute.
+    The NTILE here is the reference's own literal pattern on
+    segment-count-sized output; the sketch-based scale path for global
+    quantiles lives in ml/quantiles.py."""
+    from .catalog import register_testdata
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    comp = _parity_compiler()
+    script = (
+        "CREATE OR REPLACE VIEW `tmp.ds.preds` AS "
+        f"SELECT unique_id, {_DET_PROB} AS probability, label "
+        f"FROM ({comp.build_dataset_sql('all')});\n"
+        # NTILE is INT in Spark, BIGINT in DuckDB — pin the driver-facing
+        # dtype without touching the compiler's production SQL
+        "SELECT CAST(normalized_probability AS INT64) "
+        "AS normalized_probability, value, probability_range_start, "
+        "probability_range_end FROM ("
+        + comp.conversion_values_sql("`tmp.ds.preds`")
+        + ")"
+    )
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False}, WorkerContext(spark)
+    )
+    w.execute()
+    return w.result
+
+
+def _bqml_cv_oracle() -> str:
+    comp = _parity_compiler()
+    cv = comp.conversion_values_sql("preds")
+    # splice the preds CTE into the compiler's own WITH chain
+    assert cv.startswith("WITH ")
+    return (
+        "WITH preds AS (SELECT unique_id, "
+        f"{_DET_PROB} AS probability, label "
+        f"FROM ({comp.build_dataset_sql('all')})), "
+        + cv[len("WITH ") :]
+    )
+
+
 BQML_QUERIES: dict[str, tuple] = {
+    "bqml_split_counts": (bqml_split_counts, _bqml_split_oracle()),
+    "bqml_conversion_values": (bqml_conversion_values, _bqml_cv_oracle()),
     "bqml_training_verbatim": (
         bqml_training_verbatim,
         BQML_TRAINING_VERBATIM_ORACLE,
