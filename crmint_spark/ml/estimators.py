@@ -10,7 +10,10 @@ compiler.py:50-62; UI subset models.py:422-426) map onto Spark ML:
   RANDOM_FOREST_CLASSIFIER  -> RandomForestClassifier
   RANDOM_FOREST_REGRESSOR   -> RandomForestRegressor
   DNN_CLASSIFIER            -> MultilayerPerceptronClassifier
-  DNN_REGRESSOR             -> (no MLP regressor in Spark ML) GBTRegressor
+  DNN_REGRESSOR             -> crmint_spark.ml.mlp.MLPRegressor
+                               (no MLP regressor in Spark ML; ours trains
+                               by distributed gradient aggregation and
+                               scores as a codegen'd SQL expression)
 
 ``CREATE MODEL ... OPTIONS(MODEL_TYPE=..., INPUT_LABEL_COLS=[...])``
 (ref: model_bqml.sql:2-16) becomes assemble(features) -> fit.
@@ -42,8 +45,44 @@ REGRESSORS = {
     "LINEAR_REG": LinearRegression,
     "BOOSTED_TREE_REGRESSOR": GBTRegressor,
     "RANDOM_FOREST_REGRESSOR": RandomForestRegressor,
-    "DNN_REGRESSOR": GBTRegressor,  # documented fallback
+    "DNN_REGRESSOR": None,  # handled by _MLPPipeline in build_pipeline
 }
+
+
+class _MLPPipeline:
+    """Pipeline-API facade over ml.mlp.MLPRegressor so DNN_REGRESSOR
+    flows through the same fit/save path as the Spark ML estimators.
+    BQML hyper-parameter names (HIDDEN_UNITS, MAX_ITERATIONS,
+    LEARN_RATE, L2_REG) map onto the MLP's knobs."""
+
+    def __init__(self, feature_cols, label_col, hp):
+        self.feature_cols = feature_cols
+        self.label_col = label_col
+        self.hp = {str(k).upper(): v for k, v in (hp or {}).items()}
+
+    def fit(self, df: DataFrame):
+        from .mlp import MLPRegressor
+
+        kwargs = {}
+        if "HIDDEN_UNITS" in self.hp:
+            hu = self.hp["HIDDEN_UNITS"]
+            kwargs["hidden"] = [int(h) for h in (hu if isinstance(hu, list) else [hu])]
+        if "MAX_ITERATIONS" in self.hp:
+            kwargs["max_iter"] = int(self.hp["MAX_ITERATIONS"])
+        if "LEARN_RATE" in self.hp:
+            kwargs["step"] = float(self.hp["LEARN_RATE"])
+        if "L2_REG" in self.hp:
+            kwargs["l2"] = float(self.hp["L2_REG"])
+        return MLPRegressor(self.feature_cols, self.label_col, **kwargs).fit(df)
+
+
+def load_model(path: str):
+    """Load a saved model: JSON-persisted MLP or a Spark ML PipelineModel."""
+    from .mlp import MLPRegressorModel
+
+    if MLPRegressorModel.is_saved(path):
+        return MLPRegressorModel.load(path)
+    return PipelineModel.load(path)
 
 
 def is_classifier(model_type: str) -> bool:
@@ -63,6 +102,8 @@ def build_pipeline(
 ) -> Pipeline:
     """Assemble numeric features + index string features -> estimator."""
     mt = model_type.upper()
+    if mt == "DNN_REGRESSOR":
+        return _MLPPipeline(feature_cols, label_col, hyperparams)
     stages: list = []
     assembled: list[str] = []
     for c in feature_cols:

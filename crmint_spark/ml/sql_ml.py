@@ -30,7 +30,12 @@ from pyspark.ml import PipelineModel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .estimators import build_pipeline, is_classifier, predict_with_probability
+from .estimators import (
+    build_pipeline,
+    is_classifier,
+    load_model,
+    predict_with_probability,
+)
 
 _CREATE_MODEL_RE = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MODEL\s+`?([\w.\-]+)`?\s*"
@@ -151,7 +156,7 @@ def try_create_model(
     hyper = {
         k: v
         for k, v in opts.items()
-        if k in ("MAX_ITERATIONS", "LEARN_RATE", "L2_REG", "MAX_TREE_DEPTH", "NUM_PARALLEL_TREE")
+        if k in ("MAX_ITERATIONS", "LEARN_RATE", "L2_REG", "MAX_TREE_DEPTH", "NUM_PARALLEL_TREE", "HIDDEN_UNITS")
     }
     pipeline = build_pipeline(model_type, feature_cols, label, hyper)
     model = pipeline.fit(df)
@@ -167,7 +172,7 @@ def try_create_model(
 
 
 def _load(registry: ModelRegistry, name: str) -> tuple[PipelineModel, dict]:
-    return PipelineModel.load(registry.path(name)), registry.load_meta(name)
+    return load_model(registry.path(name)), registry.load_meta(name)
 
 
 def rewrite_ml_predict(

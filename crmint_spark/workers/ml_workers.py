@@ -15,7 +15,12 @@ import shutil
 
 from pyspark.ml import PipelineModel
 
-from ..ml.estimators import build_pipeline, is_classifier, predict_with_probability
+from ..ml.estimators import (
+    build_pipeline,
+    is_classifier,
+    load_model,
+    predict_with_probability,
+)
 from .base import Worker, WorkerException
 
 
@@ -111,7 +116,7 @@ class MLPredictor(Worker):
         path = model_dir(self._ctx.catalog.root, self._params["model_name"])
         if not os.path.isdir(path):
             raise WorkerException(f"model not found: {self._params['model_name']}")
-        model = PipelineModel.load(path)
+        model = load_model(path)
         df = self._ctx.catalog.read(self._params["source_table"])
         if is_classifier(self._params["model_type"]):
             # predict_with_probability replaces the probability vector with

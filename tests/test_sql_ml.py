@@ -102,3 +102,33 @@ def test_ml_regression_model(ctx):
         "(SELECT uid, x1, x2 FROM training_data)) WHERE uid < 10",
     )
     assert w2.result.count() == 10
+
+
+def test_ml_dnn_regressor_model(ctx):
+    """DNN_REGRESSOR is a real MLP (ml/mlp.py): distributed-gradient
+    training, JSON persistence, codegen'd-expression scoring — through
+    the same CREATE MODEL / ML.EVALUATE / ML.PREDICT surface."""
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.dnn`
+        OPTIONS(MODEL_TYPE='DNN_REGRESSOR', INPUT_LABEL_COLS=['target'],
+                HIDDEN_UNITS=[8], MAX_ITERATIONS=60, LEARN_RATE=0.1) AS (
+          SELECT x1, x2, target FROM training_data
+        )
+        """,
+    )
+    w = _run(
+        ctx,
+        "SELECT * FROM ML.EVALUATE(MODEL `p.d.dnn`, "
+        "(SELECT x1, x2, target FROM training_data))",
+    )
+    row = w.result.first()
+    # target = 3*x1 + x2 (linear): the MLP must fit it closely
+    assert row.r2 > 0.9, row
+    w2 = _run(
+        ctx,
+        "SELECT uid, predicted_value FROM ML.PREDICT(MODEL `p.d.dnn`, "
+        "(SELECT uid, x1, x2 FROM training_data)) WHERE uid < 10",
+    )
+    assert w2.result.count() == 10
