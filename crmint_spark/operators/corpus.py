@@ -700,3 +700,109 @@ CORPUS_QUERIES["corpus_weighted_sample"] = (
     corpus_weighted_sample,
     WEIGHTED_SAMPLE_SQL,
 )
+
+
+PASSAGE_WORDS = 10
+PASSAGE_SEED_MOD = 23
+PASSAGE_REKEY = 2_000_000
+
+
+def corpus_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-passage detection (the paragraph-level
+    dedup step of CCNet/RefinedWeb-style corpus builds, adapted to
+    word-stream docs): split each doc into consecutive PASSAGE_WORDS-word
+    chunks, hash each chunk, and score each doc by the fraction of its
+    DISTINCT chunks that also occur in at least one other doc. Docs with
+    >= 50% shared-passage mass are the boilerplate/mirror candidates a
+    corpus build drops. The corpus self-seeds re-keyed copies of the
+    doc_id % 23 == 0 slice so the oracle validates non-zero sharing.
+
+    Plan shape: explode -> (doc_id, chunk-hash) DISTINCT -> window count
+    over the chunk hash -> per-doc reduce. Every shuffle keys on the
+    bounded chunk-hash or doc_id; no join back to the text, no
+    all-pairs stage — survives a 100x corpus the same way the other
+    signature-family dedups do."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = docs.unionAll(
+        docs.filter(F.col("doc_id") % PASSAGE_SEED_MOD == 0).select(
+            (F.col("doc_id") + PASSAGE_REKEY).alias("doc_id"), "text"
+        )
+    )
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    k = PASSAGE_WORDS
+    chunks = (
+        seeded.where(F.size(words) >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), (F.floor(F.size(words) / k) - 1).cast("int")
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(words, i * k + 1, k)),
+                )
+            ).alias("chunk"),
+        )
+        .select("doc_id", hash_str(F.col("chunk")).alias("h"))
+        .distinct()
+    )
+    n_docs_with = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    marked = chunks.withColumn("n_docs", n_docs_with)
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_if(F.col("n_docs") > 1).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_chunks"), 6).alias(
+                "dup_fraction"
+            ),
+            (F.col("n_shared") * 2 >= F.col("n_chunks")).alias(
+                "flag_boilerplate"
+            ),
+        )
+    )
+
+
+DUP_PASSAGES_SQL = f"""
+WITH seeded AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PASSAGE_REKEY} AS doc_id, text FROM documents
+  WHERE doc_id % {PASSAGE_SEED_MOD} = 0
+), chunks AS (
+  SELECT DISTINCT doc_id, {_DHASH.format(x="chunk")} AS h
+  FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(
+             range(0, CAST(floor(len(w) / {PASSAGE_WORDS}) AS INT)),
+             i -> array_to_string(
+               list_slice(w, i * {PASSAGE_WORDS} + 1,
+                          i * {PASSAGE_WORDS} + {PASSAGE_WORDS}), ' ')
+           )) AS chunk
+    FROM (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM seeded
+    )
+    WHERE len(w) >= {PASSAGE_WORDS}
+  )
+), marked AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS n_docs FROM chunks
+)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       COUNT(*) FILTER (WHERE n_docs > 1) AS n_shared,
+       ROUND(COUNT(*) FILTER (WHERE n_docs > 1) * 1.0 / COUNT(*), 6)
+         AS dup_fraction,
+       COUNT(*) FILTER (WHERE n_docs > 1) * 2 >= COUNT(*)
+         AS flag_boilerplate
+FROM marked GROUP BY doc_id
+"""
+
+CORPUS_QUERIES["corpus_duplicate_passages"] = (
+    corpus_duplicate_passages,
+    DUP_PASSAGES_SQL,
+)

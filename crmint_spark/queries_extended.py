@@ -772,6 +772,54 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join drained with availableNow: purchases
+    joined to the same user's views in the trailing 24 h, aggregated to
+    per-purchase view counts. Oracle-checked: over a complete
+    single-backfill the watermark drops nothing, so the streaming
+    interval join equals the batch range join on the same predicate."""
+    from .streaming.events import (
+        interval_joined_stream,
+        run_to_table,
+        stream_events_from_dir,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="crmint_sjoin_")
+    in_dir, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ckpt")
+    load(spark, sf_dir, "events").coalesce(1).write.json(in_dir)
+    purchases = stream_events_from_dir(spark, in_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    views = stream_events_from_dir(spark, in_dir).filter(
+        F.col("event_type") == "view"
+    )
+    joined = interval_joined_stream(purchases, views)
+    wh = Catalog(spark, os.path.join(tmp, "wh"))
+    run_to_table(joined, wh, "p.d.attributed", ckpt, output_mode="append")
+    return (
+        wh.read("p.d.attributed")
+        .groupBy("purchase_id")
+        .agg(
+            F.first("p_user").alias("user_id"),
+            F.count(F.lit(1)).alias("n_views_24h"),
+            F.round(F.first("p_value"), 2).alias("value"),
+        )
+    )
+
+
+STREAMING_IJOIN_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       COUNT(*) AS n_views_24h,
+       ROUND(p.value, 2) AS value
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND v.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, ROUND(p.value, 2)
+"""
+
+
 def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style streaming upsert: per-user running totals drained in
     TWO incremental availableNow runs (checkpoint resumes after the
@@ -1017,5 +1065,6 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "ml_train_predict": (ml_train_predict, None),
     "streaming_sessionize": (streaming_sessionize, STREAMING_SESSIONIZE_SQL),
+    "streaming_interval_join": (streaming_interval_join, STREAMING_IJOIN_SQL),
     "streaming_merge_upsert": (streaming_merge_upsert, STREAMING_UPSERT_SQL),
 }

@@ -163,3 +163,35 @@ def run_merge_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def interval_joined_stream(
+    purchases: DataFrame,
+    views: DataFrame,
+    lag: str = "24 hours",
+    watermark: str = "60 days",
+) -> DataFrame:
+    """Stream-stream INNER interval join: each purchase matched to the
+    same user's view events in ``[purchase_ts - lag, purchase_ts]``.
+
+    Both sides carry watermarks and the join predicate bounds event time
+    in BOTH directions, so Spark can expire join state: buffered view
+    rows older than ``watermark + lag`` are evicted — the state bound
+    that makes a stream-stream join runnable indefinitely at ingest
+    scale (an unbounded-state join would OOM on day one)."""
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    return p.join(
+        v,
+        F.expr(
+            f"p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL {lag} AND p_ts"
+        ),
+    )
