@@ -30,6 +30,10 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
     "dedup_simhash": (dedup.simhash_pairs, dedup.simhash_pairs_sql()),
     "dedup_clusters": (dedup.dedup_clusters, dedup.dedup_clusters_sql()),
+    "dedup_clusters_star": (
+        dedup.dedup_clusters_star,
+        dedup.dedup_clusters_sql(),
+    ),
     "dedup_fuzzy_words": (dedup.fuzzy_word_matches, dedup.FUZZY_SQL),
     "dedup_embedding_cosine": (similarity.embedding_dedup_pairs, similarity.EMB_DEDUP_SQL),
     "text_rolling_fingerprint": (text.rolling_fingerprint, text.ROLLING_FP_SQL),

@@ -199,3 +199,29 @@ def test_scale_path_routing_thresholds():
 
     assert _use_scale_path(SF, "events", None) is False
     assert _use_scale_path("/nonexistent", "events", None) is True
+
+
+def test_star_cc_converges_on_chain(spark):
+    """Large-star/small-star components resolve a 64-node chain — the
+    worst case for label propagation (O(diameter) rounds) — and agree
+    with the min-label contract."""
+    from pyspark.sql import functions as F
+
+    from crmint_spark.operators.dedup import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)] + [(100, 101), (101, 102)],
+        "doc_a long, doc_b long",
+    )
+    labels = connected_components_star(pairs)
+    r = labels.agg(
+        F.countDistinct("cluster_id").alias("k"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert r["k"] == 2 and r["n"] == 67
+    assert (
+        labels.filter(F.col("doc_id") == 63).first()["cluster_id"] == 0
+    )
+    assert (
+        labels.filter(F.col("doc_id") == 102).first()["cluster_id"] == 100
+    )
