@@ -176,18 +176,27 @@ def _sq_l2(v, c):
 
 
 def _assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment (broadcast k centroids, argmin with
-    list_id tie-break)."""
-    from pyspark.sql.window import Window
-
+    """Nearest-centroid assignment: broadcast k centroids, argmin via
+    ``min_by`` on (distance, list_id) — a hash aggregation with map-side
+    combine, not a per-vector sort window (same argmin + tie-break
+    semantics as ``ROW_NUMBER ... ORDER BY d, list_id`` at a fraction of
+    the shuffle cost)."""
     d = _sq_l2(F.col("v"), F.col("c"))
-    rn = F.row_number().over(Window.partitionBy("vec_id").orderBy("d", "list_id"))
     return (
         vecs.crossJoin(F.broadcast(cent))
         .withColumn("d", d)
-        .withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .drop("d", "rn", "c")
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("list_id", "label", "v"), F.struct("d", "list_id")
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            F.col("b.label").alias("label"),
+            F.col("b.v").alias("v"),
+            F.col("b.list_id").alias("list_id"),
+        )
     )
 
 
@@ -205,45 +214,107 @@ def _recompute_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _dlit(x: float) -> str:
+    """Exact double literal: repr() is the shortest round-trip decimal,
+    and string->double parsing is correctly rounded on the JVM."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _codebook_literal(cent_rows: list[tuple[int, list[float]]]):
+    """The k centroids as a literal array<struct<list_id, c>> — the
+    codebook ships inside the expression (it IS the broadcast), so an
+    assignment pass is map-only: no join, no shuffle. Built as ONE
+    parsed SQL string: k*dims separate F.lit() calls would cost a py4j
+    round-trip each (~1 s of driver time per pass at 16x64)."""
+    entries = ", ".join(
+        "named_struct('list_id', {i}, 'c', array({cs}))".format(
+            i=int(i), cs=", ".join(_dlit(x) for x in c)
+        )
+        for i, c in cent_rows
+    )
+    return F.expr(f"array({entries})")
+
+
+def _assign_codebook(
+    vecs: DataFrame, cent_rows: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Nearest-centroid assignment against the literal codebook:
+    ``array_min`` over (distance, list_id) structs gives the same argmin
+    + tie-break as ``ORDER BY d, list_id`` with zero shuffle."""
+    dist_structs = F.transform(
+        _codebook_literal(cent_rows),
+        lambda s: F.struct(
+            _sq_l2(F.col("v"), s["c"]).alias("d"),
+            s["list_id"].alias("list_id"),
+        ),
+    )
+    return vecs.withColumn("list_id", F.array_min(dist_structs)["list_id"])
+
+
+def _py_sq_l2(c: list[float], q: list[float]) -> float:
+    """Driver-side twin of ``_sq_l2``: left fold in dim order over IEEE
+    doubles — bit-identical to the SQL fold on both engines."""
+    acc = 0.0
+    for x, y in zip(c, q):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
 def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
-    """Registry entry: deterministic Lloyd-step IVF top-k (oracle-backed)."""
+    """Registry entry: deterministic Lloyd-step IVF top-k (oracle-backed).
+
+    Quantizer state (k centroid vectors) is driver-resident, exactly as
+    in Spark ML KMeans: each Lloyd step is ONE map-only assignment pass
+    (literal-codebook argmin expression, no join/shuffle) plus one
+    scalar-explode centroid reduce; the k*dims floats come back to the
+    driver between steps. Probe selection is k-row float math on the
+    driver (same left-fold order, so bit-identical to the SQL form);
+    the data plane — assignment and in-list exact scan — never leaves
+    the executors. At 100 TB: write the corpus partitioned by list_id
+    and the probe filter prunes to n_probe/k of the partitions."""
     from ..catalog import load
 
     emb = load(spark, sf_dir, "embeddings")
     n, _ = _ivf_corpus_rows(spark, sf_dir)
     stride = max(n // IVF_K, 1)
-    # persist: the vector projection feeds IVF_LLOYD_STEPS+1 assignment
-    # passes plus the centroid recomputes — without it each pass re-reads
-    # and re-casts the parquet (measured 2x slower even at 5k vectors)
     vecs = emb.select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     ).persist()
-    cent = vecs.filter(
-        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < IVF_K * stride)
-    ).select(
-        (F.col("vec_id") / stride).cast("int").alias("list_id"),
-        F.col("v").alias("c"),
-    )
+    cent_rows = [
+        (int(r["vec_id"]) // stride, [float(x) for x in r["v"]])
+        for r in vecs.filter(
+            (F.col("vec_id") % stride == 0)
+            & (F.col("vec_id") < IVF_K * stride)
+        ).collect()
+    ]
     for _ in range(IVF_LLOYD_STEPS):
-        cent = _recompute_centroids(_assign(vecs, cent))
-    assigned = _assign(vecs, cent)
-    q = vecs.filter(F.col("vec_id") == IVF_QUERY_VEC_ID).select(
-        F.col("v").alias("qv")
-    )
-    probe = (
-        cent.crossJoin(F.broadcast(q))
-        .select("list_id", _sq_l2(F.col("c"), F.col("qv")).alias("d"))
-        .orderBy("d", "list_id")
-        .limit(IVF_N_PROBE)
-        .select("list_id")
-    )
-    sim = cosine_similarity(F.col("v"), F.col("qv"))
+        assigned = _assign_codebook(vecs, cent_rows)
+        cent_rows = [
+            (int(r["list_id"]), [float(x) for x in r["c"]])
+            for r in _recompute_centroids(
+                assigned.select("list_id", "v")
+            ).collect()
+        ]
+    assigned = _assign_codebook(vecs, cent_rows)
+    qv = [
+        float(x)
+        for x in vecs.filter(F.col("vec_id") == IVF_QUERY_VEC_ID).first()["v"]
+    ]
+    probes = [
+        lid
+        for _, lid in sorted(
+            (_py_sq_l2(c, qv), lid) for lid, c in cent_rows
+        )[:IVF_N_PROBE]
+    ]
+    q_lit = F.expr("array(" + ", ".join(_dlit(x) for x in qv) + ")")
+    sim = cosine_similarity(F.col("v"), q_lit)
     return (
-        assigned.join(F.broadcast(probe), "list_id", "left_semi")
-        .filter(F.col("vec_id") != IVF_QUERY_VEC_ID)
-        .crossJoin(F.broadcast(q))
+        assigned.filter(
+            F.col("list_id").isin(probes)
+            & (F.col("vec_id") != IVF_QUERY_VEC_ID)
+        )
         .select("vec_id", "label", F.round(sim, 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(IVF_TOP_K)
