@@ -1210,6 +1210,67 @@ def _rewrite_split(sql: str) -> str:
     return "".join(out)
 
 
+def _rewrite_hll_family(sql: str) -> str:
+    """BigQuery sketch aggregates -> a deterministic set algebra.
+
+    BigQuery's contract for these is "an approximation of COUNT
+    (DISTINCT ...)": any estimator with bounded error satisfies it, and
+    the zero-error estimator is cross-engine reproducible, so the engine
+    implements the sketch algebra over exact distinct sets:
+
+      HLL_COUNT.INIT(x)        -> collect_set(x)        (the "sketch")
+      HLL_COUNT.MERGE_PARTIAL  -> distinct union of sketches
+      HLL_COUNT.MERGE          -> size of the distinct union
+      HLL_COUNT.EXTRACT        -> size(sketch)          (scalar)
+      APPROX_COUNT_DISTINCT(x) -> count(DISTINCT x)
+
+    Catalyst still computes these with partial (map-side) aggregation.
+    At 100 TB cardinalities where exact sets no longer fit, Spark's
+    native datasketches builtins (``hll_sketch_agg`` /
+    ``hll_sketch_estimate``/``hll_union_agg``) are the drop-in
+    replacement — same algebra, bounded memory, but engine-specific
+    sketch bytes (not oracle-reproducible, which is why the default is
+    the exact form)."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, fn in _iter_calls(
+        sql,
+        (
+            r"HLL_COUNT\.INIT",
+            r"HLL_COUNT\.MERGE_PARTIAL",
+            r"HLL_COUNT\.MERGE",
+            r"HLL_COUNT\.EXTRACT",
+            "APPROX_COUNT_DISTINCT",
+        ),
+    ):
+        args = [
+            _rewrite_hll_family(a.strip())
+            for a in _split_top_level(sql[open_idx + 1 : end - 1])
+        ]
+        fn = fn.replace(" ", "")
+        rep = None
+        if fn == "hll_count.init" and len(args) >= 1:
+            rep = f"collect_set({args[0]})"
+        elif fn == "hll_count.merge_partial" and len(args) == 1:
+            rep = f"array_distinct(flatten(collect_list({args[0]})))"
+        elif fn == "hll_count.merge" and len(args) == 1:
+            rep = (
+                f"CAST(size(array_distinct(flatten(collect_list({args[0]}"
+                ")))) AS BIGINT)"
+            )
+        elif fn == "hll_count.extract" and len(args) == 1:
+            rep = f"CAST(size({args[0]}) AS BIGINT)"
+        elif fn == "approx_count_distinct" and len(args) == 1:
+            rep = f"count(DISTINCT {args[0]})"
+        if rep is None:
+            continue
+        out.append(sql[pos:start])
+        out.append(rep)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def _rewrite_approx_quantiles(sql: str) -> str:
     """``APPROX_QUANTILES(x, n)`` (n literal) -> ``approx_percentile(x,
     array(0, 1/n, ..., 1))`` — same n+1-point quantile vector shape."""
@@ -1931,6 +1992,7 @@ def transpile_statement(sql: str, resolver=None) -> str:
     out = _rewrite_parse_datetime(out)
     out = _rewrite_arith_fns(out)
     out = _rewrite_split(out)
+    out = _rewrite_hll_family(out)
     out = _rewrite_approx_quantiles(out)
     out = _rewrite_misc_fns(out)
     out = _rewrite_ml_scalers(out)

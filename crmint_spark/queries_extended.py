@@ -1012,6 +1012,66 @@ WHERE c_custkey <= 300
 Q49_SQL = _q49_oracle()
 
 
+def q50_hll_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL_COUNT sketch-algebra script: INIT sketches per (priority,
+    year), EXTRACT per-group cardinalities, MERGE across years, and
+    APPROX_COUNT_DISTINCT — the re-aggregatable distinct-count pattern
+    BigQuery marketing dashboards build on. The engine's implementation
+    is the zero-error estimator (exact distinct sets; see
+    dialect._rewrite_hll_family), so the DuckDB oracle reproduces every
+    value exactly."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    WITH by_year AS (
+      SELECT o_orderpriority AS prio,
+             EXTRACT(YEAR FROM o_orderdate) AS yr,
+             HLL_COUNT.INIT(o_custkey) AS sk
+      FROM orders GROUP BY prio, yr
+    ), merged AS (
+      SELECT prio,
+             CAST(SUM(HLL_COUNT.EXTRACT(sk)) AS INT64) AS sum_yearly,
+             HLL_COUNT.MERGE(sk) AS uniq_custs,
+             CAST(ARRAY_LENGTH(HLL_COUNT.MERGE_PARTIAL(sk)) AS INT64)
+               AS partial_size
+      FROM by_year GROUP BY prio
+    ), direct AS (
+      SELECT o_orderpriority AS prio,
+             APPROX_COUNT_DISTINCT(o_custkey) AS acd
+      FROM orders GROUP BY prio
+    )
+    SELECT m.prio, m.sum_yearly, m.uniq_custs, m.partial_size, d.acd
+    FROM merged m JOIN direct d ON m.prio = d.prio
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q50_SQL = """
+WITH by_year AS (
+  SELECT o_orderpriority AS prio,
+         EXTRACT(YEAR FROM o_orderdate) AS yr,
+         list(DISTINCT o_custkey) AS sk
+  FROM orders GROUP BY 1, 2
+), merged AS (
+  SELECT prio,
+         CAST(SUM(len(sk)) AS BIGINT) AS sum_yearly,
+         CAST(len(list_distinct(flatten(list(sk)))) AS BIGINT) AS uniq_custs,
+         CAST(len(list_distinct(flatten(list(sk)))) AS BIGINT) AS partial_size
+  FROM by_year GROUP BY prio
+), direct AS (
+  SELECT o_orderpriority AS prio,
+         COUNT(DISTINCT o_custkey) AS acd
+  FROM orders GROUP BY 1
+)
+SELECT m.prio, m.sum_yearly, m.uniq_custs, m.partial_size, d.acd
+FROM merged m JOIN direct d ON m.prio = d.prio
+"""
+
+
 Q44_SQL = """
 WITH cust AS (
   SELECT c_custkey,
@@ -1054,6 +1114,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q35_bq_functions2": (q35_bq_functions2, Q35_SQL),
     "q44_bq_functions3": (q44_bq_functions3, Q44_SQL),
     "q49_bq_functions4": (q49_bq_functions4, Q49_SQL),
+    "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
     "q36_qualify": (q36_qualify, Q36_SQL),
     "q37_pivot_unpivot": (q37_pivot_unpivot, Q37_SQL),
     "pipeline_sql_e2e": (pipeline_sql_e2e, PIPELINE_E2E_SQL),

@@ -536,3 +536,16 @@ def test_unicode_normalize(spark):
     assert row["x"] == "ﬁt"
     stmt2 = transpile_statement("SELECT NORMALIZE('ﬁt', NFKC) AS v")
     assert spark.sql(stmt2).collect()[0]["v"] == "fit"
+
+
+def test_hll_family_rewrites(spark):
+    stmt = transpile_statement(
+        "SELECT APPROX_COUNT_DISTINCT(x) AS acd, "
+        "HLL_COUNT.MERGE(s) AS m, "
+        "CAST(ARRAY_LENGTH(HLL_COUNT.MERGE_PARTIAL(s)) AS INT64) AS mp "
+        "FROM (SELECT x, HLL_COUNT.INIT(x) AS s FROM "
+        "(SELECT explode(array(1, 2, 2, 3)) AS x) GROUP BY x)"
+    )
+    row = spark.sql(stmt).collect()[0]
+    assert row["acd"] == 3 and row["m"] == 3 and row["mp"] == 3
+    assert "collect_set" in stmt and "count(DISTINCT" in stmt
