@@ -616,3 +616,65 @@ SELECT doc_id, rank, word, tf, tfidf FROM (
   FROM scored WHERE doc_id < {TFIDF_MAX_DOC}
 ) WHERE rank <= {TFIDF_TOP_K}
 """
+
+
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity scoring — the LM-quality-filter primitive of
+    CCNet-style corpus builds (Wenzek et al. 2020), with the LM reduced
+    to a corpus-trained unigram model so both engines reproduce it
+    exactly: P(w) = count(w)/N over the whole corpus, per-doc
+    bits/token = AVG(-log2 P(w_i)), perplexity = 2^bits. Rare-word soup
+    scores high, boilerplate low; both tails are drop candidates.
+
+    Plan shape: one explode -> vocabulary groupBy -> shuffle join back
+    on the word (vocabulary-bounded key, scales where a broadcast of a
+    web-scale vocab would not) -> per-doc reduce. The corpus token
+    count rides along as a broadcast 1-row aggregate. At 100 TB the LM
+    table is the same join keyed on a capped top-K vocabulary with an
+    OOV smoothing bucket."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: w != "")
+        ).alias("w"),
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    n_total = words.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = words.join(vocab, "w").crossJoin(F.broadcast(n_total))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.avg(-F.log2(F.col("cnt") / F.col("n_total"))), 4
+        ).alias("bits_per_token"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "bits_per_token",
+        F.round(F.pow(F.lit(2.0), F.col("bits_per_token")), 2).alias(
+            "perplexity"
+        ),
+    )
+
+
+PERPLEXITY_SQL = """
+WITH words AS (
+  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), w -> w != ''))
+           AS w
+  FROM documents
+), vocab AS (
+  SELECT w, COUNT(*) AS cnt FROM words GROUP BY w
+), n AS (
+  SELECT COUNT(*) AS n_total FROM words
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         ROUND(AVG(-log2(CAST(cnt AS DOUBLE) / n_total)), 4)
+           AS bits_per_token
+  FROM words JOIN vocab USING (w) CROSS JOIN n
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, bits_per_token,
+       ROUND(pow(2.0, bits_per_token), 2) AS perplexity
+FROM per_doc
+"""

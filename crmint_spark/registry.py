@@ -58,6 +58,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     ),
     "text_winnowing": (text.winnowing_sketches, text.WINNOWING_SQL),
     "text_tfidf": (text.tfidf_keywords, text.TFIDF_SQL),
+    "text_perplexity": (text.text_perplexity, text.PERPLEXITY_SQL),
     # training-corpus preparation family
     **corpus.CORPUS_QUERIES,
     # temporal / as-of family
