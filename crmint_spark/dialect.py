@@ -715,6 +715,11 @@ def _rewrite_misc_fns(sql: str) -> str:
             "NORMALIZE",
             "RANGE_BUCKET",
             "INSTR",
+            "CONTAINS_SUBSTR",
+            "JSON_EXTRACT_STRING_ARRAY",
+            "JSON_EXTRACT_ARRAY",
+            "JSON_QUERY_ARRAY",
+            "JSON_VALUE_ARRAY",
         ),
     ):
         args = [
@@ -807,6 +812,34 @@ def _rewrite_misc_fns(sql: str) -> str:
                     f"AS INT) WHEN CAST({p} AS INT) > 0 THEN {fwd} "
                     f"ELSE {bwd} END"
                 )
+        elif fn == "contains_substr" and len(args) == 2:
+            # BigQuery: case-insensitive containment (its NFKC casefold
+            # pre-pass is approximated by lower(); documented divergence
+            # for non-ASCII case pairs like Straße/STRASSE)
+            rep = (
+                f"contains(lower(CAST({args[0]} AS STRING)), "
+                f"lower(CAST({args[1]} AS STRING)))"
+            )
+        elif fn in (
+            "json_extract_array",
+            "json_extract_string_array",
+            "json_query_array",
+            "json_value_array",
+        ) and len(args) in (1, 2):
+            # array extraction: enumerate the JSON array positionally via
+            # json_array_length + get_json_object (scalar elements are
+            # unquoted, i.e. the *_STRING_ARRAY/VALUE_ARRAY form; the
+            # quoted-JSON variants normalize to scalars too — documented)
+            j = args[0]
+            path = args[1] if len(args) == 2 else "'$'"
+            jal = f"json_array_length(get_json_object({j}, {path}))"
+            rep = (
+                f"(CASE WHEN {jal} IS NULL THEN NULL WHEN {jal} = 0 "
+                f"THEN CAST(array() AS ARRAY<STRING>) "
+                f"ELSE transform(sequence(0, {jal} - 1), "
+                f"__i -> get_json_object({j}, "
+                f"concat({path}, '[', __i, ']'))) END)"
+            )
         if rep is None:
             continue
         out.append(sql[pos:start])

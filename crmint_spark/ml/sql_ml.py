@@ -158,6 +158,11 @@ def try_create_model(
         for k, v in opts.items()
         if k in ("MAX_ITERATIONS", "LEARN_RATE", "L2_REG", "MAX_TREE_DEPTH", "NUM_PARALLEL_TREE", "HIDDEN_UNITS")
     }
+    if model_type in ("LOGISTIC_REG", "LINEAR_REG"):
+        # BQML's documented default is max_iterations = 20; Spark's
+        # LBFGS default of 100 both diverges from that and costs 5x the
+        # passes (the DNN/tree types keep their own tuned defaults)
+        hyper.setdefault("MAX_ITERATIONS", 20)
     pipeline = build_pipeline(model_type, feature_cols, label, hyper)
     model = pipeline.fit(df)
     dest = registry.path(name)

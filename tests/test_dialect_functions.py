@@ -549,3 +549,20 @@ def test_hll_family_rewrites(spark):
     row = spark.sql(stmt).collect()[0]
     assert row["acd"] == 3 and row["m"] == 3 and row["mp"] == 3
     assert "collect_set" in stmt and "count(DISTINCT" in stmt
+
+
+def test_contains_substr_and_json_arrays(spark):
+    stmt = transpile_statement(
+        "SELECT CONTAINS_SUBSTR('Hello World', 'WORLD') AS a, "
+        "CONTAINS_SUBSTR('abc', 'zz') AS b, "
+        "JSON_EXTRACT_ARRAY('{\"a\": [1, 2, 3]}', '$.a') AS c, "
+        "JSON_EXTRACT_STRING_ARRAY('{\"a\": [\"x\", \"y\"]}', '$.a') AS d, "
+        "JSON_QUERY_ARRAY('{\"a\": []}', '$.a') AS e, "
+        "JSON_VALUE_ARRAY('{\"a\": 1}', '$.b') AS f"
+    )
+    row = spark.sql(stmt).collect()[0]
+    assert row["a"] is True and row["b"] is False
+    assert row["c"] == ["1", "2", "3"]
+    assert row["d"] == ["x", "y"]
+    assert row["e"] == []
+    assert row["f"] is None
