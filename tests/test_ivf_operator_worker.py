@@ -146,3 +146,27 @@ def test_training_data_pipeline_of_operators(spark, tmp_path):
     # sf0.001 may genuinely contain no exact duplicates — table exists,
     # row count is data-dependent
     assert ctx.catalog.read("corpus.clean.dup_groups").count() >= 0
+
+
+def test_ivf_partitioned_write_prunes(spark, tmp_path):
+    """The partitioned IVF layout turns a probe into partition pruning:
+    the scan plan carries the list_id filter as PartitionFilters, and
+    only the probed lists' rows are read."""
+    import pyspark.sql.functions as F
+
+    from crmint_spark.operators.ivf import (
+        ivf_probe_read,
+        ivf_write_partitioned,
+    )
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 7).cast("int").alias("list_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(4)), lambda i: i * 0.5).alias("v"),
+    )
+    path = str(tmp_path / "ivf_corpus")
+    ivf_write_partitioned(emb, path)
+    probed = ivf_probe_read(spark, path, [1, 3])
+    assert probed.count() == emb.filter(F.col("list_id").isin([1, 3])).count()
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
