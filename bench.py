@@ -57,7 +57,8 @@ HEADLINE = [
     "text_rolling_fingerprint",
     "embedding_centroids",
     # round-3 additions: DML, QUALIFY, as-of join, verbatim BQML
-    # templates, deterministic IVF, RFM/Pareto analytics
+    # templates, deterministic IVF, RFM/Pareto analytics, passage dedup,
+    # LM perplexity, HLL sketch algebra
     "dml_merge_upsert",
     "q36_qualify",
     "q38_asof_attribution",
@@ -66,6 +67,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "q45_rfm_segmentation",
     "q48_pareto_abc",
+    "corpus_duplicate_passages",
+    "text_perplexity",
+    "q50_hll_sketches",
 ]
 
 
