@@ -260,18 +260,10 @@ def _py_sq_l2(c: list[float], q: list[float]) -> float:
     return acc
 
 
-def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
-    """Registry entry: deterministic Lloyd-step IVF top-k (oracle-backed).
-
-    Quantizer state (k centroid vectors) is driver-resident, exactly as
-    in Spark ML KMeans: each Lloyd step is ONE map-only assignment pass
-    (literal-codebook argmin expression, no join/shuffle) plus one
-    scalar-explode centroid reduce; the k*dims floats come back to the
-    driver between steps. Probe selection is k-row float math on the
-    driver (same left-fold order, so bit-identical to the SQL form);
-    the data plane — assignment and in-list exact scan — never leaves
-    the executors. At 100 TB: write the corpus partitioned by list_id
-    and the probe filter prunes to n_probe/k of the partitions."""
+def deterministic_assign(spark, sf_dir: str):
+    """Shared deterministic quantizer front end: stride-seeded centroids
+    + IVF_LLOYD_STEPS driver-materialized Lloyd steps -> (persisted
+    vecs, assigned corpus with list_id, centroid rows)."""
     from ..catalog import load
 
     emb = load(spark, sf_dir, "embeddings")
@@ -297,7 +289,22 @@ def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
                 assigned.select("list_id", "v")
             ).collect()
         ]
-    assigned = _assign_codebook(vecs, cent_rows)
+    return vecs, _assign_codebook(vecs, cent_rows), cent_rows
+
+
+def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: deterministic Lloyd-step IVF top-k (oracle-backed).
+
+    Quantizer state (k centroid vectors) is driver-resident, exactly as
+    in Spark ML KMeans: each Lloyd step is ONE map-only assignment pass
+    (literal-codebook argmin expression, no join/shuffle) plus one
+    scalar-explode centroid reduce; the k*dims floats come back to the
+    driver between steps. Probe selection is k-row float math on the
+    driver (same left-fold order, so bit-identical to the SQL form);
+    the data plane — assignment and in-list exact scan — never leaves
+    the executors. At 100 TB: write the corpus partitioned by list_id
+    and the probe filter prunes to n_probe/k of the partitions."""
+    vecs, assigned, cent_rows = deterministic_assign(spark, sf_dir)
     qv = [
         float(x)
         for x in vecs.filter(F.col("vec_id") == IVF_QUERY_VEC_ID).first()["v"]
@@ -360,8 +367,8 @@ def _sql_centroids(assign_cte: str) -> str:
 """
 
 
-ANN_IVF_SQL = f"""
-WITH vecs AS (
+# shared CTE chain: stride init + 2 Lloyd steps + final assignment
+_SQL_ASSIGNED_CTES = f"""vecs AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ), params AS (
@@ -376,7 +383,11 @@ WITH vecs AS (
 ), a2 AS ({_sql_assign('vecs', 'c1')}
 ), c2 AS ({_sql_centroids('a2')}
 ), assigned AS ({_sql_assign('vecs', 'c2')}
-), q AS (
+)"""
+
+
+ANN_IVF_SQL = f"""
+WITH {_SQL_ASSIGNED_CTES}, q AS (
   SELECT v AS qv FROM vecs WHERE vec_id = {IVF_QUERY_VEC_ID}
 ), probe AS (
   SELECT list_id
@@ -419,3 +430,75 @@ def ivf_probe_read(spark, path: str, probe_lists: list[int]) -> DataFrame:
     """Read back only the probed lists; the filter is a partition
     predicate, so unprobed lists are never listed or opened."""
     return spark.read.parquet(path).filter(F.col("list_id").isin(probe_lists))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication inside quantizer cells
+
+SEMDEDUP_TAU = 0.9
+SEMDEDUP_SEED_MOD = 29
+SEMDEDUP_REKEY = 3_000_000
+
+
+def semantic_dedup(spark, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
+    embeddings with the deterministic coarse quantizer, then inside each
+    cell mark every vector whose cosine to a LOWER-id cell-mate is >=
+    tau as a duplicate of that mate (greedy keep-lowest-id). Pair
+    comparison never crosses cells, so the candidate count is bounded by
+    cell size — at 100 TB, k grows with the corpus to hold cells at a
+    constant ~thousands of vectors and the join stays an equi-join on
+    list_id. The corpus self-seeds re-keyed copies of the
+    vec_id % 29 == 0 slice (identical vector => provably identical
+    cell), so the oracle validates non-empty dedup; natural pairs top
+    out at cosine ~0.51 on this data, far from tau = 0.9."""
+    _, assigned, _ = deterministic_assign(spark, sf_dir)
+    seeded = assigned.unionByName(
+        assigned.filter(F.col("vec_id") % SEMDEDUP_SEED_MOD == 0)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(SEMDEDUP_REKEY))
+    )
+    a = seeded.select(
+        F.col("list_id"),
+        F.col("vec_id").alias("keep_id"),
+        F.col("v").alias("va"),
+    )
+    b = seeded.select(
+        F.col("list_id"),
+        F.col("vec_id").alias("dup_id"),
+        F.col("v").alias("vb"),
+    )
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    pairs = (
+        a.join(b, "list_id")
+        .where(F.col("keep_id") < F.col("dup_id"))
+        .withColumn("sim", sim)
+        .where(F.col("sim") >= SEMDEDUP_TAU)
+    )
+    return pairs.groupBy("dup_id").agg(
+        F.min("keep_id").alias("kept_by"),
+        F.count(F.lit(1)).alias("n_close"),
+        F.round(F.max("sim"), 6).alias("best_sim"),
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH {_SQL_ASSIGNED_CTES}, seeded AS (
+  SELECT vec_id, v, list_id FROM assigned
+  UNION ALL
+  SELECT vec_id + {SEMDEDUP_REKEY} AS vec_id, v, list_id FROM assigned
+  WHERE vec_id % {SEMDEDUP_SEED_MOD} = 0
+), pairs AS (
+  SELECT b.vec_id AS dup_id, a.vec_id AS keep_id,
+         list_sum(list_transform(range(1, len(a.v) + 1),
+                                 i -> a.v[i] * b.v[i]))
+         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS sim
+  FROM seeded a JOIN seeded b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+)
+SELECT dup_id, MIN(keep_id) AS kept_by,
+       COUNT(*) AS n_close,
+       ROUND(MAX(sim), 6) AS best_sim
+FROM pairs WHERE sim >= {SEMDEDUP_TAU}
+GROUP BY dup_id
+"""

@@ -42,6 +42,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "ann_lsh_topk": (similarity.ann_lsh_topk, similarity.ANN_LSH_SQL),
     "ann_ivf_topk": (ivf.ann_ivf_topk, ivf.ANN_IVF_SQL),
     "ann_ivf_kmeans_topk": (ivf.ann_ivf_kmeans_topk, None),
+    "semantic_dedup": (ivf.semantic_dedup, ivf.SEMANTIC_DEDUP_SQL),
     "embedding_norm_stats": (similarity.embedding_norm_stats, similarity.EMB_NORM_SQL),
     "embedding_centroids": (similarity.embedding_centroids, similarity.CENTROID_SQL),
     # text analysis family
