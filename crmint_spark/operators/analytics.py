@@ -747,3 +747,172 @@ FROM binned GROUP BY bin
 """
 
 ANALYTICS_QUERIES["q49_revenue_histogram"] = (revenue_histogram, HISTOGRAM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Population-stability-index drift detection
+
+PSI_BINS = 10
+PSI_SMOOTH = 0.5
+PSI_SPLIT_DAY = 15
+
+
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring via the Population Stability Index —
+    the standard "did my scoring feature shift" check run between a
+    baseline window and the current window of an event stream. Bins are
+    equi-width over the BASELINE extent (fixed at comparison time, like
+    a deployed monitoring config), counts are Laplace-smoothed so empty
+    bins stay defined, PSI = SUM((p-q)*ln(p/q)); > 0.2 is the
+    conventional "significant shift" flag.
+
+    Plan shape: one pass computes per-type baseline extents (broadcast
+    back), one pass bins + counts (partial agg on (type, period, bin)),
+    a k-row reduce computes the index — no shuffle carries raw events
+    twice."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "period",
+        F.when(F.dayofmonth("ts") <= PSI_SPLIT_DAY, "base").otherwise("curr"),
+    )
+    ext = (
+        ev.filter(F.col("period") == "base")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .withColumn(
+            "w",
+            F.when(
+                F.col("hi") > F.col("lo"),
+                (F.col("hi") - F.col("lo")) / PSI_BINS,
+            ).otherwise(F.lit(1.0)),
+        )
+    )
+    binned = ev.join(F.broadcast(ext), "event_type").withColumn(
+        "bin",
+        F.least(
+            F.greatest(
+                F.floor((F.col("value") - F.col("lo")) / F.col("w")),
+                F.lit(0),
+            ),
+            F.lit(PSI_BINS - 1),
+        ).cast("int"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.count_if(F.col("period") == "base").alias("nb"),
+        F.count_if(F.col("period") == "curr").alias("nc"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("nb").alias("tb"), F.sum("nc").alias("tc")
+    )
+    k = float(PSI_BINS)
+    s = float(PSI_SMOOTH)
+    j = counts.join(F.broadcast(tot), "event_type")
+    p = (F.col("nb") + s) / (F.col("tb") + s * k)
+    q = (F.col("nc") + s) / (F.col("tc") + s * k)
+    term = (p - q) * F.log(p / q)
+    return (
+        j.withColumn("term", term)
+        .groupBy("event_type")
+        .agg(
+            F.max("tb").cast("bigint").alias("n_base"),
+            F.max("tc").cast("bigint").alias("n_curr"),
+            F.round(F.sum("term"), 6).alias("psi"),
+        )
+        .withColumn("drifted", F.col("psi") > 0.2)
+    )
+
+
+PSI_SQL = f"""
+WITH ev AS (
+  SELECT event_type, value,
+         CASE WHEN EXTRACT(DAY FROM ts) <= {PSI_SPLIT_DAY}
+              THEN 'base' ELSE 'curr' END AS period
+  FROM events
+), ext AS (
+  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,
+         CASE WHEN MAX(value) > MIN(value)
+              THEN (MAX(value) - MIN(value)) / {PSI_BINS}
+              ELSE 1.0 END AS w
+  FROM ev WHERE period = 'base' GROUP BY event_type
+), binned AS (
+  SELECT ev.event_type, ev.period,
+         CAST(LEAST(GREATEST(FLOOR((ev.value - ext.lo) / ext.w), 0),
+                    {PSI_BINS - 1}) AS INT) AS bin
+  FROM ev JOIN ext ON ev.event_type = ext.event_type
+), counts AS (
+  SELECT event_type, bin,
+         COUNT(*) FILTER (WHERE period = 'base') AS nb,
+         COUNT(*) FILTER (WHERE period = 'curr') AS nc
+  FROM binned GROUP BY event_type, bin
+), tot AS (
+  SELECT event_type, SUM(nb) AS tb, SUM(nc) AS tc
+  FROM counts GROUP BY event_type
+)
+SELECT c.event_type,
+       CAST(MAX(t.tb) AS BIGINT) AS n_base,
+       CAST(MAX(t.tc) AS BIGINT) AS n_curr,
+       ROUND(SUM(((c.nb + {PSI_SMOOTH}) / (t.tb + {PSI_SMOOTH} * {PSI_BINS}.0)
+                  - (c.nc + {PSI_SMOOTH}) / (t.tc + {PSI_SMOOTH} * {PSI_BINS}.0))
+                 * ln(((c.nb + {PSI_SMOOTH}) / (t.tb + {PSI_SMOOTH} * {PSI_BINS}.0))
+                      / ((c.nc + {PSI_SMOOTH}) / (t.tc + {PSI_SMOOTH} * {PSI_BINS}.0)))),
+             6) AS psi,
+       ROUND(SUM(((c.nb + {PSI_SMOOTH}) / (t.tb + {PSI_SMOOTH} * {PSI_BINS}.0)
+                  - (c.nc + {PSI_SMOOTH}) / (t.tc + {PSI_SMOOTH} * {PSI_BINS}.0))
+                 * ln(((c.nb + {PSI_SMOOTH}) / (t.tb + {PSI_SMOOTH} * {PSI_BINS}.0))
+                      / ((c.nc + {PSI_SMOOTH}) / (t.tc + {PSI_SMOOTH} * {PSI_BINS}.0)))),
+             6) > 0.2 AS drifted
+FROM counts c JOIN tot t ON c.event_type = t.event_type
+GROUP BY c.event_type
+"""
+
+ANALYTICS_QUERIES["q51_psi_drift"] = (psi_drift, PSI_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Column-stats profiler (data-quality summary)
+
+PROFILE_COLS = ("l_quantity", "l_discount", "l_tax", "l_returnflag")
+
+
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of a fact table (the summary a
+    pipeline health check materializes after each load): null count,
+    distinct count, min/max as strings. One aggregate pass computes all
+    columns' stats together (no per-column scans); the stats unpivot to
+    one row per column on the k-row result."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count_if(F.col(c).isNull()).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack}) AS "
+        "(column, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in PROFILE_COLS:
+        parts.append(
+            f"SELECT '{c}' AS column, COUNT(*) AS n_rows, "
+            f"COUNT(*) FILTER (WHERE {c} IS NULL) AS n_nulls, "
+            f"COUNT(DISTINCT {c}) AS n_distinct, "
+            f"MIN(CAST({c} AS VARCHAR)) AS min_value, "
+            f"MAX(CAST({c} AS VARCHAR)) AS max_value FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
+PROFILE_SQL = _profile_sql()
+
+ANALYTICS_QUERIES["q52_profile_columns"] = (profile_columns, PROFILE_SQL)
