@@ -916,3 +916,131 @@ def _profile_sql() -> str:
 PROFILE_SQL = _profile_sql()
 
 ANALYTICS_QUERIES["q52_profile_columns"] = (profile_columns, PROFILE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution
+
+ATTR_LOOKBACK_DAYS = 7
+ATTR_HALFLIFE_DAYS = 2.0
+
+
+def attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: distribute each purchase's value across
+    the user's preceding view/click/signup touches inside a 7-day
+    lookback, under the three standard models marketing teams compare —
+    linear (equal split), time-decay (2-day half-life, normalized per
+    conversion), and U-shaped/position (40% first, 40% last, 20% spread
+    over the middle). The per-channel totals are the channel-ROI input
+    the reference's audience pipelines feed back into Ads/GA4.
+
+    Plan shape: one user-equi join with a time-range predicate (shuffle
+    on user_id, never a cross join), then per-conversion window ranks
+    and ONE channel rollup."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("conv_value"),
+    )
+    t = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        F.col("user_id"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+    )
+    joined = p.join(t, "user_id").where(
+        (F.col("t_ts") <= F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_LOOKBACK_DAYS} DAYS")
+        )
+    )
+    w = Window.partitionBy("conv_id")
+    asc = Window.partitionBy("conv_id").orderBy("t_ts", "touch_id")
+    desc = Window.partitionBy("conv_id").orderBy(
+        F.desc("t_ts"), F.desc("touch_id")
+    )
+    # events load as TIMESTAMP_NTZ; session tz is UTC so the cast to
+    # (ltz) TIMESTAMP is instant-preserving and unix_micros resolves
+    age_days = (
+        F.unix_micros(F.col("p_ts").cast("timestamp"))
+        - F.unix_micros(F.col("t_ts").cast("timestamp"))
+    ) / F.lit(86400.0 * 1e6)
+    decay_w = F.pow(F.lit(0.5), age_days / F.lit(ATTR_HALFLIFE_DAYS))
+    scored = (
+        joined.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("rn_first", F.row_number().over(asc))
+        .withColumn("rn_last", F.row_number().over(desc))
+        .withColumn("dw", decay_w)
+        .withColumn("dw_sum", F.sum(decay_w).over(w))
+    )
+    v = F.col("conv_value")
+    linear = v / F.col("n")
+    decay = v * F.col("dw") / F.col("dw_sum")
+    position = (
+        F.when(F.col("n") == 1, v)
+        .when(F.col("n") == 2, v * 0.5)
+        .when(F.col("rn_first") == 1, v * 0.4)
+        .when(F.col("rn_last") == 1, v * 0.4)
+        .otherwise(v * 0.2 / (F.col("n") - 2))
+    )
+    return (
+        scored.withColumn("linear", linear)
+        .withColumn("decay", decay)
+        .withColumn("position", position)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum("linear"), 4).alias("credit_linear"),
+            F.round(F.sum("decay"), 4).alias("credit_time_decay"),
+            F.round(F.sum("position"), 4).alias("credit_position"),
+        )
+    )
+
+
+ATTRIBUTION_SQL = f"""
+WITH p AS (
+  SELECT user_id, event_id AS conv_id, ts AS p_ts, value AS conv_value
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, event_id AS touch_id, event_type AS channel, ts AS t_ts
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+), joined AS (
+  SELECT p.conv_id, p.p_ts, p.conv_value, t.touch_id, t.channel, t.t_ts
+  FROM p JOIN t ON p.user_id = t.user_id
+  WHERE t.t_ts <= p.p_ts
+    AND t.t_ts >= p.p_ts - INTERVAL {ATTR_LOOKBACK_DAYS} DAY
+), scored AS (
+  SELECT conv_id, conv_value, channel,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY t_ts, touch_id) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY t_ts DESC, touch_id DESC) AS rn_last,
+         POW(0.5, (epoch_us(p_ts) - epoch_us(t_ts))
+                  / (86400.0 * 1e6) / {ATTR_HALFLIFE_DAYS}) AS dw,
+         SUM(POW(0.5, (epoch_us(p_ts) - epoch_us(t_ts))
+                      / (86400.0 * 1e6) / {ATTR_HALFLIFE_DAYS}))
+           OVER (PARTITION BY conv_id) AS dw_sum
+  FROM joined
+)
+SELECT channel, COUNT(*) AS n_touches,
+       ROUND(SUM(conv_value / n), 4) AS credit_linear,
+       ROUND(SUM(conv_value * dw / dw_sum), 4) AS credit_time_decay,
+       ROUND(SUM(CASE WHEN n = 1 THEN conv_value
+                      WHEN n = 2 THEN conv_value * 0.5
+                      WHEN rn_first = 1 THEN conv_value * 0.4
+                      WHEN rn_last = 1 THEN conv_value * 0.4
+                      ELSE conv_value * 0.2 / (n - 2) END), 4)
+         AS credit_position
+FROM scored GROUP BY channel
+"""
+
+ANALYTICS_QUERIES["q53_attribution_models"] = (
+    attribution_models,
+    ATTRIBUTION_SQL,
+)

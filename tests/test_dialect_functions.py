@@ -566,3 +566,43 @@ def test_contains_substr_and_json_arrays(spark):
     assert row["d"] == ["x", "y"]
     assert row["e"] == []
     assert row["f"] is None
+
+
+def _py_instr(value: str, sub: str, pos: int, occ: int) -> int:
+    """Reference INSTR: overlapping match positions, forward from pos or
+    backward from len+pos+1 for negative pos."""
+    if not sub or len(value) < len(sub):
+        return 0
+    matches = [
+        i + 1
+        for i in range(len(value) - len(sub) + 1)
+        if value[i : i + len(sub)] == sub
+    ]
+    if pos > 0:
+        cands = [m for m in matches if m >= pos]
+    else:
+        cands = [m for m in reversed(matches) if m <= len(value) + pos + 1]
+    return cands[occ - 1] if len(cands) >= occ else 0
+
+
+def test_instr_randomized_against_reference(spark):
+    """One batched query over 40 seeded random (value, sub, pos, occ)
+    cases — the enumeration expression must agree with the Python
+    reference on every one (incl. overlapping and backward searches)."""
+    import random
+
+    rng = random.Random(7)
+    cases = []
+    for _ in range(40):
+        v = "".join(rng.choice("abc") for _ in range(rng.randint(0, 10)))
+        s = "".join(rng.choice("abc") for _ in range(rng.randint(1, 3)))
+        p = rng.choice([1, 2, 3, -1, -2, -5])
+        o = rng.randint(1, 3)
+        cases.append((v, s, p, o))
+    exprs = ", ".join(
+        f"INSTR('{v}', '{s}', {p}, {o}) AS c{i}"
+        for i, (v, s, p, o) in enumerate(cases)
+    )
+    row = spark.sql(transpile_statement(f"SELECT {exprs}")).collect()[0]
+    for i, (v, s, p, o) in enumerate(cases):
+        assert row[f"c{i}"] == _py_instr(v, s, p, o), (v, s, p, o)
