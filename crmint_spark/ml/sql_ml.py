@@ -152,6 +152,25 @@ def try_create_model(
         from pyspark.storagelevel import StorageLevel
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if model_type == "ARIMA_PLUS":
+        # time-series path: Holt smoothing fit (ml/forecast.py), state
+        # saved in the meta; ML.FORECAST expands it
+        from .forecast import fit_holt_state
+
+        ts_col = str(opts.get("TIME_SERIES_TIMESTAMP_COL", "ts")).strip("'\"")
+        y_col = str(opts.get("TIME_SERIES_DATA_COL", "y")).strip("'\"")
+        id_col = opts.get("TIME_SERIES_ID_COL")
+        id_col = str(id_col).strip("'\"") if id_col is not None else None
+        state = fit_holt_state(df, ts_col, y_col, id_col)
+        registry.save_meta(
+            name,
+            {
+                "model_type": "ARIMA_PLUS",
+                "state": state,
+                "horizon": int(opts.get("HORIZON", 10)),
+            },
+        )
+        return df
     feature_cols = [c for c, t in df.dtypes if c != label and t not in ("string",)]
     hyper = {
         k: v

@@ -412,9 +412,73 @@ def _bqml_cv_oracle() -> str:
     )
 
 
+def bqml_arima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE MODEL ARIMA_PLUS + ML.FORECAST end-to-end: daily revenue
+    per event type fitted with Holt linear smoothing (ml/forecast.py —
+    the engine's deterministic stand-in for BigQuery's auto-ARIMA,
+    divergence documented there), forecast 5 steps ahead. The fold and
+    the forecast expansion are plain arithmetic, so the DuckDB oracle
+    reproduces every forecast value."""
+    from .catalog import register_testdata
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE MODEL `p.d.rev_forecast`
+    OPTIONS(MODEL_TYPE='ARIMA_PLUS',
+            TIME_SERIES_TIMESTAMP_COL='day',
+            TIME_SERIES_DATA_COL='y',
+            TIME_SERIES_ID_COL='event_type',
+            HORIZON=7) AS (
+      SELECT event_type, TIMESTAMP_TRUNC(ts, DAY) AS day,
+             ROUND(SUM(value), 6) AS y
+      FROM events GROUP BY event_type, day
+    );
+    SELECT series_id, step, forecast_ts_us, forecast_value
+    FROM ML.FORECAST(MODEL `p.d.rev_forecast`, STRUCT(5 AS horizon))
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False}, WorkerContext(spark)
+    )
+    w.execute()
+    return w.result
+
+
+BQML_ARIMA_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, ROUND(SUM(value), 6) AS y
+  FROM events GROUP BY 1, 2
+), pts AS (
+  -- accumulator is a 2-list [level, trend]: a struct accumulator hits a
+  -- DuckDB 1.0 in-place aliasing quirk where acc.<field> rebinds to the
+  -- field just computed within the same struct_pack
+  SELECT event_type,
+         list([CAST(y AS DOUBLE), CAST(0.0 AS DOUBLE)] ORDER BY day) AS st,
+         list(epoch_us(day) ORDER BY day) AS tus
+  FROM daily GROUP BY 1
+), fitted AS (
+  SELECT event_type,
+         list_reduce(st, (acc, x) ->
+            [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+             0.3 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+             + 0.7 * acc[2]]) AS f,
+         tus[-1] AS last_us,
+         (tus[-1] - tus[1]) // (len(tus) - 1) AS iv
+  FROM pts WHERE len(tus) >= 2
+)
+SELECT event_type AS series_id,
+       CAST(h AS INT) AS step,
+       last_us + h * iv AS forecast_ts_us,
+       ROUND(f[1] + h * f[2], 6) AS forecast_value
+FROM fitted, UNNEST(range(1, 6)) AS t(h)
+"""
+
+
 BQML_QUERIES: dict[str, tuple] = {
     "bqml_split_counts": (bqml_split_counts, _bqml_split_oracle()),
     "bqml_conversion_values": (bqml_conversion_values, _bqml_cv_oracle()),
+    "bqml_arima_forecast": (bqml_arima_forecast, BQML_ARIMA_SQL),
     "bqml_training_verbatim": (
         bqml_training_verbatim,
         BQML_TRAINING_VERBATIM_ORACLE,

@@ -74,6 +74,9 @@ class SparkSQLExecutor(Worker):
             rewrite_ml_predict,
             try_create_model,
         )
+        from ..ml.forecast import (  # noqa: F401
+            rewrite_ml_forecast,
+        )
 
         spark = self._ctx.spark
         registry = self._model_registry()
@@ -120,6 +123,7 @@ class SparkSQLExecutor(Worker):
                 continue
             stmt = rewrite_ml_predict(spark, stmt, registry)
             stmt = rewrite_ml_evaluate(spark, stmt, registry)
+            stmt = rewrite_ml_forecast(spark, stmt, registry)
             for sub in expand_create_or_replace_table(stmt):
                 self._clean_orphan_location(spark, sub)
                 last = spark.sql(sub)

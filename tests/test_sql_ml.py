@@ -132,3 +132,39 @@ def test_ml_dnn_regressor_model(ctx):
         "(SELECT uid, x1, x2 FROM training_data)) WHERE uid < 10",
     )
     assert w2.result.count() == 10
+
+
+def test_ml_arima_plus_forecast(ctx):
+    """ARIMA_PLUS (Holt-smoothing stand-in, ml/forecast.py) through
+    CREATE MODEL + ML.FORECAST: a rising linear series must forecast
+    a continued rise with positive trend."""
+    spark = ctx.spark
+    import datetime
+
+    rows = [
+        (datetime.datetime(2024, 1, 1 + d), 100.0 + 10.0 * d)
+        for d in range(20)
+    ]
+    spark.createDataFrame(rows, "ts timestamp, y double").createOrReplaceTempView(
+        "series_data"
+    )
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.fc`
+        OPTIONS(MODEL_TYPE='ARIMA_PLUS', TIME_SERIES_TIMESTAMP_COL='ts',
+                TIME_SERIES_DATA_COL='y', HORIZON=3) AS (
+          SELECT ts, y FROM series_data
+        )
+        """,
+    )
+    w = _run(ctx, "SELECT * FROM ML.FORECAST(MODEL `p.d.fc`)")
+    rows = w.result.orderBy("step").collect()
+    assert len(rows) == 3
+    last_y = 100.0 + 10.0 * 19
+    # monotone rising forecasts near the true line
+    vals = [r["forecast_value"] for r in rows]
+    assert vals[0] < vals[1] < vals[2]
+    assert abs(vals[0] - (last_y + 10)) < 15
+    # forecast timestamps advance by the observed 1-day interval
+    assert rows[1]["forecast_ts_us"] - rows[0]["forecast_ts_us"] == 86400000000
