@@ -70,6 +70,9 @@ HEADLINE = [
     "corpus_duplicate_passages",
     "text_perplexity",
     "q50_hll_sketches",
+    "q53_attribution_models",
+    "q51_psi_drift",
+    "bqml_arima_forecast",
 ]
 
 
