@@ -62,11 +62,13 @@ def fit_holt_state(
 
     def merge(acc, y):
         new_l = F.lit(a) * y + F.lit(one_a) * (acc["l"] + acc["b"])
+        err = y - (acc["l"] + acc["b"])  # one-step-ahead residual
         return F.struct(
             new_l.alias("l"),
             (F.lit(b_) * (new_l - acc["l"]) + F.lit(one_b) * acc["b"]).alias(
                 "b"
             ),
+            (acc["sse"] + err * err).alias("sse"),
         )
 
     fitted = (
@@ -78,7 +80,9 @@ def fit_holt_state(
             F.aggregate(
                 F.slice(F.col("ys"), 2, F.greatest(F.size("ys") - 1, F.lit(0))),
                 F.struct(
-                    F.element_at("ys", 1).alias("l"), F.lit(0.0).alias("b")
+                    F.element_at("ys", 1).alias("l"),
+                    F.lit(0.0).alias("b"),
+                    F.lit(0.0).alias("sse"),
                 ),
                 merge,
             ),
@@ -87,6 +91,7 @@ def fit_holt_state(
             "series_id",
             F.col("acc.l").alias("level"),
             F.col("acc.b").alias("trend"),
+            F.col("acc.sse").alias("sse"),
             F.element_at("tus", -1).alias("last_us"),
             F.expr(
                 "(element_at(tus, -1) - element_at(tus, 1)) div (size(tus) - 1)"
@@ -99,6 +104,7 @@ def fit_holt_state(
             "series_id": r["series_id"],
             "level": float(r["level"]),
             "trend": float(r["trend"]),
+            "sse": float(r["sse"]),
             "last_us": int(r["last_us"]),
             "iv_us": int(r["iv_us"]),
             "n_obs": int(r["n_obs"]),
@@ -162,3 +168,100 @@ def rewrite_ml_forecast(spark: SparkSession, stmt: str, registry) -> str:
         return view
 
     return _ML_FORECAST_RE.sub(repl, stmt)
+
+
+# z-scores for the supported anomaly_prob_threshold values (two-sided
+# normal quantiles); BigQuery accepts any probability — the engine
+# supports this table and errors otherwise (documented)
+ANOMALY_Z = {0.9: 1.6449, 0.95: 1.96, 0.99: 2.5758}
+
+_ML_DETECT_RE = re.compile(
+    r"ML\.DETECT_ANOMALIES\s*\(\s*MODEL\s+`?([\w.\-]+)`?\s*,\s*"
+    r"STRUCT\s*\(\s*([0-9.]+)\s+AS\s+anomaly_prob_threshold\s*\)\s*,\s*"
+    r"\((.+?)\)\s*\)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def detect_anomalies_frame(
+    spark: SparkSession,
+    state: list[dict],
+    data: DataFrame,
+    ts_col: str,
+    y_col: str,
+    id_col: str | None,
+    threshold: float,
+) -> DataFrame:
+    """Flag rows whose value falls outside the z * sigma band around the
+    model's linear extrapolation at that timestamp; sigma is the
+    one-step-ahead residual RMSE from the fit."""
+    if threshold not in ANOMALY_Z:
+        raise ValueError(
+            f"anomaly_prob_threshold must be one of {sorted(ANOMALY_Z)}"
+        )
+    z = ANOMALY_Z[threshold]
+    st = spark.createDataFrame(
+        [
+            (
+                s["series_id"],
+                s["level"],
+                s["trend"],
+                s["sse"],
+                s["last_us"],
+                s["iv_us"],
+                s["n_obs"],
+            )
+            for s in state
+        ],
+        "series_id string, level double, trend double, sse double, "
+        "last_us bigint, iv_us bigint, n_obs bigint",
+    )
+    sid = F.col(id_col).cast("string") if id_col else F.lit("__all__")
+    rows = data.select(
+        sid.alias("series_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    j = rows.join(F.broadcast(st), "series_id")
+    h = (F.col("ts_us") - F.col("last_us")).cast("double") / F.col("iv_us")
+    expected = F.col("level") + h * F.col("trend")
+    sigma = F.sqrt(F.col("sse") / (F.col("n_obs") - 1))
+    return j.select(
+        "series_id",
+        "ts_us",
+        F.round("y", 6).alias("value"),
+        F.round(expected, 6).alias("expected_value"),
+        F.round(F.lit(z) * sigma, 6).alias("band"),
+        (F.abs(F.col("y") - expected) > F.lit(z) * sigma).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+def rewrite_ml_detect_anomalies(
+    spark: SparkSession, stmt: str, registry
+) -> str:
+    """Replace ML.DETECT_ANOMALIES(MODEL m, STRUCT(p AS
+    anomaly_prob_threshold), (query)) with a temp view."""
+    counter = [0]
+
+    def repl(m: re.Match) -> str:
+        name, p, inner = m.group(1), float(m.group(2)), m.group(3)
+        meta = registry.load_meta(name)
+        df = spark.sql(inner)
+        cols = meta.get("detect_cols", {})
+        out = detect_anomalies_frame(
+            spark,
+            meta["state"],
+            df,
+            cols.get("ts", "ts"),
+            cols.get("y", "y"),
+            cols.get("id"),
+            p,
+        )
+        counter[0] += 1
+        view = f"__ml_detect_{counter[0]}"
+        out.createOrReplaceTempView(view)
+        return view
+
+    return _ML_DETECT_RE.sub(repl, stmt)

@@ -168,6 +168,7 @@ def try_create_model(
                 "model_type": "ARIMA_PLUS",
                 "state": state,
                 "horizon": int(opts.get("HORIZON", 10)),
+                "detect_cols": {"ts": ts_col, "y": y_col, "id": id_col},
             },
         )
         return df

@@ -488,3 +488,78 @@ BQML_QUERIES: dict[str, tuple] = {
         BQML_OUTPUT_VERBATIM_ORACLE,
     ),
 }
+
+
+def bqml_detect_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML.DETECT_ANOMALIES over the fitted ARIMA_PLUS model: every daily
+    revenue point checked against the z*sigma band around the model's
+    linear extrapolation (sigma = one-step-ahead residual RMSE from the
+    fit fold). In-sample scoring — the monitoring query a marketing team
+    schedules right after each model refresh."""
+    from .catalog import register_testdata
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE MODEL `p.d.rev_anom`
+    OPTIONS(MODEL_TYPE='ARIMA_PLUS',
+            TIME_SERIES_TIMESTAMP_COL='day',
+            TIME_SERIES_DATA_COL='y',
+            TIME_SERIES_ID_COL='event_type') AS (
+      SELECT event_type, TIMESTAMP_TRUNC(ts, DAY) AS day,
+             ROUND(SUM(value), 6) AS y
+      FROM events GROUP BY event_type, day
+    );
+    SELECT series_id, ts_us, value, expected_value, band, is_anomaly
+    FROM ML.DETECT_ANOMALIES(MODEL `p.d.rev_anom`,
+                             STRUCT(0.95 AS anomaly_prob_threshold),
+      (SELECT event_type, TIMESTAMP_TRUNC(ts, DAY) AS day,
+              ROUND(SUM(value), 6) AS y
+       FROM events GROUP BY event_type, day))
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False}, WorkerContext(spark)
+    )
+    w.execute()
+    return w.result
+
+
+BQML_DETECT_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, ROUND(SUM(value), 6) AS y
+  FROM events GROUP BY 1, 2
+), pts AS (
+  SELECT event_type,
+         list([CAST(y AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]
+              ORDER BY day) AS st,
+         list(epoch_us(day) ORDER BY day) AS tus
+  FROM daily GROUP BY 1
+), fitted AS (
+  SELECT event_type,
+         list_reduce(st, (acc, x) ->
+            [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+             0.3 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+             + 0.7 * acc[2],
+             acc[3] + (x[1] - (acc[1] + acc[2])) * (x[1] - (acc[1] + acc[2]))
+            ]) AS f,
+         tus[-1] AS last_us,
+         (tus[-1] - tus[1]) // (len(tus) - 1) AS iv,
+         len(tus) AS n_obs
+  FROM pts WHERE len(tus) >= 2
+)
+SELECT d.event_type AS series_id,
+       epoch_us(d.day) AS ts_us,
+       ROUND(d.y, 6) AS value,
+       ROUND(f[1] + (CAST(epoch_us(d.day) - last_us AS DOUBLE) / iv) * f[2], 6)
+         AS expected_value,
+       ROUND(1.96 * sqrt(f[3] / (n_obs - 1)), 6) AS band,
+       abs(d.y - (f[1] + (CAST(epoch_us(d.day) - last_us AS DOUBLE) / iv) * f[2]))
+         > 1.96 * sqrt(f[3] / (n_obs - 1)) AS is_anomaly
+FROM daily d JOIN fitted ft ON d.event_type = ft.event_type
+"""
+
+BQML_QUERIES["bqml_detect_anomalies"] = (
+    bqml_detect_anomalies,
+    BQML_DETECT_SQL,
+)

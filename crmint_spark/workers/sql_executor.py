@@ -75,6 +75,7 @@ class SparkSQLExecutor(Worker):
             try_create_model,
         )
         from ..ml.forecast import (  # noqa: F401
+            rewrite_ml_detect_anomalies,
             rewrite_ml_forecast,
         )
 
@@ -124,6 +125,7 @@ class SparkSQLExecutor(Worker):
             stmt = rewrite_ml_predict(spark, stmt, registry)
             stmt = rewrite_ml_evaluate(spark, stmt, registry)
             stmt = rewrite_ml_forecast(spark, stmt, registry)
+            stmt = rewrite_ml_detect_anomalies(spark, stmt, registry)
             for sub in expand_create_or_replace_table(stmt):
                 self._clean_orphan_location(spark, sub)
                 last = spark.sql(sub)
