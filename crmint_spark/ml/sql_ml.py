@@ -244,6 +244,30 @@ def rewrite_ml_evaluate(
 
     def repl(m: re.Match) -> str:
         name, inner = m.group(1), m.group(2)
+        meta = registry.load_meta(name)
+        if meta["model_type"] == "ARIMA_PLUS":
+            # per-series fit diagnostics from the Holt state: one-step
+            # residual RMSE + observation count (BigQuery's ARIMA
+            # evaluate reports its own fit stats; same role). The input
+            # query, when given, is ignored — as in BigQuery, ARIMA
+            # evaluation describes the fitted model.
+            import math
+
+            rows = [
+                (
+                    s["series_id"],
+                    round(math.sqrt(s["sse"] / (s["n_obs"] - 1)), 6),
+                    int(s["n_obs"]),
+                )
+                for s in meta["state"]
+            ]
+            metrics = spark.createDataFrame(
+                rows, "series_id string, rmse double, n_obs int"
+            )
+            counter[0] += 1
+            view = f"__ml_evaluate_{counter[0]}"
+            metrics.createOrReplaceTempView(view)
+            return view
         model, meta = _load(registry, name)
         df = spark.sql(f"{cte} {inner}" if cte else inner)
         label = meta["label"]

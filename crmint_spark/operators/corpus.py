@@ -806,3 +806,72 @@ CORPUS_QUERIES["corpus_duplicate_passages"] = (
     corpus_duplicate_passages,
     DUP_PASSAGES_SQL,
 )
+
+
+BPE_TOP_PAIRS = 30
+
+
+def corpus_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training primitive: corpus-weighted adjacent character
+    pair frequencies — the statistic a BPE trainer (Sennrich et al.
+    2016) recomputes every merge iteration; the top row IS the next
+    merge. One vocabulary groupBy then a bounded explode (pairs per
+    distinct word, weighted by word frequency — the classic trick that
+    makes BPE training corpus-size-independent: the corpus is touched
+    once, iterations run over the vocabulary). The final global
+    ROW_NUMBER ranks the aggregated pair table — cardinality is bounded
+    by the symbol alphabet squared, not the corpus, so the single
+    partition holds ~thousands of rows at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda w: w != "")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .where(F.length("w") >= 2)
+    )
+    cs = F.filter(F.split("w", ""), lambda c: c != "")
+    pair_list = F.transform(
+        F.sequence(F.lit(1), F.size(cs) - 1),
+        lambda i: F.concat(
+            F.element_at(cs, i), F.lit(" "), F.element_at(cs, i + 1)
+        ),
+    )
+    pairs = words.select("wf", F.explode(pair_list).alias("pair"))
+    ranked = (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").cast("bigint").alias("n"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("pair"))
+            ),
+        )
+        .where(F.col("rank") <= BPE_TOP_PAIRS)
+    )
+    return ranked.select(F.col("rank").cast("bigint").alias("rank"), "pair", "n")
+
+
+BPE_PAIRS_SQL = f"""
+WITH words AS (
+  SELECT w, COUNT(*) AS wf FROM (
+    SELECT UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS w
+    FROM documents
+  ) GROUP BY w HAVING length(w) >= 2
+), pairs AS (
+  SELECT wf, UNNEST(list_transform(range(1, len(cs)),
+                    i -> cs[i] || ' ' || cs[i + 1])) AS pair
+  FROM (SELECT wf, list_filter(string_split(w, ''), c -> c != '') AS cs
+        FROM words)
+)
+SELECT rank, pair, n FROM (
+  SELECT pair, CAST(SUM(wf) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (ORDER BY SUM(wf) DESC, pair ASC) AS rank
+  FROM pairs GROUP BY pair
+) WHERE rank <= {BPE_TOP_PAIRS}
+"""
+
+CORPUS_QUERIES["corpus_bpe_pairs"] = (corpus_bpe_pairs, BPE_PAIRS_SQL)

@@ -168,3 +168,30 @@ def test_ml_arima_plus_forecast(ctx):
     assert abs(vals[0] - (last_y + 10)) < 15
     # forecast timestamps advance by the observed 1-day interval
     assert rows[1]["forecast_ts_us"] - rows[0]["forecast_ts_us"] == 86400000000
+
+
+def test_ml_arima_evaluate(ctx):
+    import datetime
+
+    spark = ctx.spark
+    rows = [
+        (datetime.datetime(2024, 1, 1 + d), 100.0 + 10.0 * d + (d % 2))
+        for d in range(15)
+    ]
+    spark.createDataFrame(rows, "ts timestamp, y double").createOrReplaceTempView(
+        "series_eval"
+    )
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.fce`
+        OPTIONS(MODEL_TYPE='ARIMA_PLUS', TIME_SERIES_TIMESTAMP_COL='ts',
+                TIME_SERIES_DATA_COL='y') AS (SELECT ts, y FROM series_eval)
+        """,
+    )
+    w = _run(
+        ctx,
+        "SELECT * FROM ML.EVALUATE(MODEL `p.d.fce`, (SELECT 1))",
+    )
+    row = w.result.first()
+    assert row["n_obs"] == 15 and row["rmse"] > 0
