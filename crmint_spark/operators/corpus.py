@@ -875,3 +875,132 @@ SELECT rank, pair, n FROM (
 """
 
 CORPUS_QUERIES["corpus_bpe_pairs"] = (corpus_bpe_pairs, BPE_PAIRS_SQL)
+
+
+BPE_MERGE_ROUNDS = 6
+
+
+def _bpe_symbol_pairs(sym_col):
+    return F.transform(
+        F.sequence(F.lit(1), F.size(sym_col) - 1),
+        lambda i: F.concat(
+            F.element_at(sym_col, i), F.lit(" "), F.element_at(sym_col, i + 1)
+        ),
+    )
+
+
+def _bpe_apply_merge(sym_col, a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) into a||b — the
+    BPE apply step as a JVM-side fold (no Python in the data path)."""
+    return F.aggregate(
+        sym_col,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An actual BPE trainer (Sennrich et al. 2016): BPE_MERGE_ROUNDS
+    greedy merge iterations over the corpus vocabulary. Each round is
+    one pair-count shuffle over the (vocabulary-sized) symbol table, a
+    1-row driver collect of the argmax pair — merge decisions are driver
+    state exactly like KMeans centroids — and a map-only fold applying
+    the merge. The corpus itself is scanned ONCE (vocabulary + word
+    frequency); iterations touch only the vocabulary, which is why BPE
+    training scales to any corpus size. Returns the learned merge table
+    (round, pair, weighted count) — the tokenizer artifact."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda w: w != "")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .where(F.length("w") >= 2)
+    )
+    syms = vocab.select(
+        "wf", F.filter(F.split("w", ""), lambda c: c != "").alias("sym")
+    )
+    try:
+        syms = syms.localCheckpoint(eager=True)
+    except Exception:
+        syms = syms.persist()
+    merges = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        top = (
+            syms.select("wf", F.explode(_bpe_symbol_pairs(F.col("sym"))).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("wf").cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .first()
+        )
+        merges.append((rnd, top["pair"], int(top["n"])))
+        a, b = top["pair"].split(" ")
+        nxt = syms.select(
+            "wf", _bpe_apply_merge(F.col("sym"), a, b).alias("sym")
+        )
+        try:
+            nxt = nxt.localCheckpoint(eager=True)
+        except Exception:
+            nxt = nxt.persist()
+        syms = nxt
+    return spark.createDataFrame(
+        [(int(r), p, n) for r, p, n in merges],
+        "round bigint, pair string, n bigint",
+    )
+
+
+def _bpe_merges_sql() -> str:
+    """DuckDB oracle: the same rounds unrolled as CTE chains; each
+    round's argmax pair feeds the next round's merge fold via a cross
+    join (scalar 1-row CTE)."""
+    ctes = [
+        """v0 AS (
+  SELECT wf, list_filter(string_split(w, ''), c -> c != '') AS sym
+  FROM (
+    SELECT w, COUNT(*) AS wf FROM (
+      SELECT UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS w
+      FROM documents
+    ) GROUP BY w HAVING length(w) >= 2
+  )
+)"""
+    ]
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        prev = f"v{r - 1}"
+        ctes.append(
+            f"""t{r} AS (
+  SELECT pair, CAST(SUM(wf) AS BIGINT) AS n,
+         split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+  FROM (
+    SELECT wf, UNNEST(list_transform(range(1, len(sym)),
+                      i -> sym[i] || ' ' || sym[i + 1])) AS pair
+    FROM {prev}
+  ) GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""v{r} AS (
+  SELECT wf, list_reduce(list_transform(sym, s -> [s]), (acc, x) ->
+    CASE WHEN len(acc) > 0 AND acc[-1] = t{r}.a AND x[1] = t{r}.b
+         THEN list_append(acc[1:-2], t{r}.a || t{r}.b)
+         ELSE list_append(acc, x[1]) END) AS sym
+  FROM {prev}, t{r}
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, pair, n FROM t{r}"
+        for r in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+CORPUS_QUERIES["corpus_bpe_merges"] = (corpus_bpe_merges, _bpe_merges_sql())
