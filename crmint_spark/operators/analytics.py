@@ -1044,3 +1044,98 @@ ANALYTICS_QUERIES["q53_attribution_models"] = (
     attribution_models,
     ATTRIBUTION_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Holdout incrementality (uplift measurement)
+
+
+def holdout_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementality readout for an activated audience: users are
+    deterministically hash-split 90/10 into treatment/holdout (the same
+    affine-mod split the reference uses for its 90/10 model split, ref
+    model_bqml.sql:95-101 — the holdout never gets uploaded to the ad
+    platform), then conversion rates are compared with the two-proportion
+    z statistic. THE measurement loop behind every CRMint audience push:
+    did activating the audience cause conversions.
+
+    One groupBy(user) rollup then a single-row conditional aggregate —
+    two shuffles total, both on user_id-sized keys."""
+    from ..functions import hash_split_int
+
+    ev = load(spark, sf_dir, "events")
+    # conversion = a high-value purchase (> 200): on this fixture every
+    # user purchases at least once, so the raw flag would be degenerate
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 200)
+            ).cast("int")
+        ).alias("converted")
+    )
+    grouped = users.withColumn(
+        "treated", hash_split_int("user_id") < 90
+    )
+    row = grouped.agg(
+        F.count_if(F.col("treated")).alias("n_t"),
+        F.count_if(~F.col("treated")).alias("n_c"),
+        F.sum(F.when(F.col("treated"), F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_t"),
+        F.sum(F.when(~F.col("treated"), F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_c"),
+    )
+    # double casts: ANSI-mode integer division truncates
+    n_t = F.col("n_t").cast("double")
+    n_c = F.col("n_c").cast("double")
+    p_t = F.col("conv_t").cast("double") / n_t
+    p_c = F.col("conv_c").cast("double") / n_c
+    pooled = (F.col("conv_t") + F.col("conv_c")).cast("double") / (
+        F.col("n_t") + F.col("n_c")
+    ).cast("double")
+    se = F.sqrt(
+        pooled * (1 - pooled) * (F.lit(1.0) / n_t + F.lit(1.0) / n_c)
+    )
+    return row.select(
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.round(p_t, 6).alias("rate_treatment"),
+        F.round(p_c, 6).alias("rate_holdout"),
+        F.round(p_t - p_c, 6).alias("abs_lift"),
+        F.round((p_t - p_c) / se, 6).alias("z_score"),
+    )
+
+
+UPLIFT_SQL = """
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 200
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), grouped AS (
+  SELECT converted, (user_id * 9973 + 7) % 100 < 90 AS treated FROM users
+), agg AS (
+  SELECT COUNT(*) FILTER (WHERE treated) AS n_t,
+         COUNT(*) FILTER (WHERE NOT treated) AS n_c,
+         CAST(SUM(CASE WHEN treated THEN converted ELSE 0 END) AS BIGINT)
+           AS conv_t,
+         CAST(SUM(CASE WHEN NOT treated THEN converted ELSE 0 END) AS BIGINT)
+           AS conv_c
+  FROM grouped
+)
+SELECT n_t, n_c, conv_t, conv_c,
+       ROUND(conv_t / n_t, 6) AS rate_treatment,
+       ROUND(conv_c / n_c, 6) AS rate_holdout,
+       ROUND(conv_t / n_t - conv_c / n_c, 6) AS abs_lift,
+       ROUND((conv_t / n_t - conv_c / n_c)
+             / sqrt(((conv_t + conv_c) / (n_t + n_c))
+                    * (1 - (conv_t + conv_c) / (n_t + n_c))
+                    * (1 / n_t + 1 / n_c)), 6) AS z_score
+FROM agg
+"""
+
+ANALYTICS_QUERIES["q54_holdout_uplift"] = (holdout_uplift, UPLIFT_SQL)
