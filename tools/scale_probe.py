@@ -1,0 +1,138 @@
+"""10x scale probe: how do the heavy operators behave at 10x sf0.1?
+
+The driver's testdata tops out at sf0.1 (single-row-group files, so
+scans are single-task). This tool manufactures a 10x dataset under
+/tmp/crmint_scale by unioning key-shifted copies of the sf0.1 tables —
+key shifts keep join integrity (customer/orders/lineitem) and per-user
+event densities; documents get a per-copy suffix token and embeddings a
+per-copy epsilon so replicas are near- but not exact duplicates (the
+realistic shape for dedup). Files are written repartitioned, so scans
+parallelize — which also removes the single-row-group caveat noted in
+BASELINE.md.
+
+Usage: python tools/scale_probe.py [copies] — prints one JSON line of
+per-query seconds at scale; compare against the bench.py numbers at
+sf0.1 to see the scaling exponent. Results are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from crmint_spark.catalog import TESTDATA_TABLES, load  # noqa: E402
+from crmint_spark.registry import QUERIES  # noqa: E402
+from crmint_spark.session import get_spark  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = "/tmp/crmint_scale/sf1"
+COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SHIFT = 10_000_000
+
+PROBE = [
+    "q01_pricing_summary",
+    "q02_topk_revenue",
+    "q08_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "corpus_duplicate_passages",
+    "text_perplexity",
+    "text_lang_id",
+    "dedup_clusters_star",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "q53_attribution_models",
+    "q45_rfm_segmentation",
+    "q48_pareto_abc",
+    "corpus_shuffle",
+    "corpus_bpe_pairs",
+]
+
+# key columns to shift per copy so joins stay consistent and
+# per-entity densities are preserved
+KEY_SHIFTS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    # region/nation: tiny dims, copied once unshifted
+    "region": [],
+    "nation": [],
+}
+
+
+def build(spark) -> None:
+    os.makedirs(OUT, exist_ok=True)
+    for t in TESTDATA_TABLES:
+        src = load(spark, BASE, t)
+        keys = KEY_SHIFTS.get(t, [])
+        if not keys:
+            out = src
+        else:
+            parts = []
+            for i in range(COPIES):
+                c = src
+                for k in keys:
+                    c = c.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+                if t == "documents" and i > 0:
+                    # replicas become near-duplicates, not exact ones
+                    c = c.withColumn(
+                        "text", F.concat("text", F.lit(f" copy{i}"))
+                    )
+                if t == "embeddings" and i > 0:
+                    c = c.withColumn(
+                        "embedding",
+                        F.transform(
+                            "embedding",
+                            lambda x: (x + F.lit(i * 1e-3)).cast("float"),
+                        ),
+                    )
+                parts.append(c)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(OUT, f"{t}.parquet")
+        )
+        print(f"built {t}", flush=True)
+
+
+def main() -> None:
+    spark = get_spark("crmint-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(os.path.join(OUT, "lineitem.parquet")):
+        t0 = time.time()
+        build(spark)
+        print(f"build took {time.time() - t0:.1f}s", flush=True)
+    timings = {}
+    for name in PROBE:
+        QUERIES[name](spark, OUT).count()  # warm (plan + JIT)
+        t0 = time.time()
+        QUERIES[name](spark, OUT).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(name, timings[name], flush=True)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_seconds",
+                "copies": COPIES,
+                "queries": timings,
+                "total": round(sum(timings.values()), 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
