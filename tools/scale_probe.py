@@ -31,8 +31,8 @@ from crmint_spark.registry import QUERIES  # noqa: E402
 from crmint_spark.session import get_spark  # noqa: E402
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = "/tmp/crmint_scale/sf1"
 COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+OUT = f"/tmp/crmint_scale/x{COPIES}"
 SHIFT = 10_000_000
 
 PROBE = [
