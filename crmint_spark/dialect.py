@@ -807,7 +807,10 @@ def _rewrite_misc_fns(sql: str) -> str:
                     f"CAST({o} AS INT)), 0)"
                 )
                 rep = (
-                    f"CASE WHEN CAST({p} AS INT) = 0 THEN "
+                    f"CASE WHEN {v} IS NULL OR {s} IS NULL OR "
+                    f"({p}) IS NULL OR ({o}) IS NULL THEN "
+                    f"CAST(NULL AS INT) "
+                    f"WHEN CAST({p} AS INT) = 0 THEN "
                     f"CAST(raise_error('INSTR: position cannot be 0') "
                     f"AS INT) WHEN CAST({p} AS INT) > 0 THEN {fwd} "
                     f"ELSE {bwd} END"

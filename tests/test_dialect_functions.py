@@ -99,6 +99,8 @@ CASES = [
     ("INSTR('banana', 'ana', -4, 1)", 2),
     ("INSTR('banana', 'xyz', 1, 1)", 0),
     ("INSTR('banana', 'ana', 1, 3)", 0),
+    ("INSTR(CAST(NULL AS STRING), 'a', 1, 1)", None),
+    ("INSTR('banana', CAST(NULL AS STRING), -1, 1)", None),
 ]
 
 
