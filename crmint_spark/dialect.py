@@ -741,7 +741,9 @@ def _rewrite_misc_fns(sql: str) -> str:
             rep = reg_domain_sql(f"parse_url({args[0]}, 'HOST')")
         elif fn == "code_points_to_string" and len(args) == 1:
             # char() wraps mod 256; Character.toString(int) handles the
-            # full Unicode range incl. astral planes. Reflection is
+            # full Unicode range incl. astral planes (Java 9+ API —
+            # fine everywhere Spark 4 runs, which requires 17+).
+            # Reflection is
             # row-at-a-time — acceptable for this conversion function,
             # which never appears in reference-template hot paths.
             rep = (
@@ -787,7 +789,7 @@ def _rewrite_misc_fns(sql: str) -> str:
             v, s = args[0], args[1]
             p = args[2]
             o = args[3] if len(args) == 4 else "1"
-            if len(args) == 3 and re.fullmatch(r"\+?\d+", p):
+            if len(args) == 3 and re.fullmatch(r"\+?0*[1-9]\d*", p):
                 rep = f"locate({s}, {v}, {p})"
             else:
                 allm = (
@@ -1543,7 +1545,8 @@ def _rewrite_lateral_unnest(sql: str) -> str:
         m_off = re.match(
             r"\s*WITH\s+OFFSET(?:\s+AS)?"
             r"(?:\s+(?!ORDER\b|WHERE\b|GROUP\b|HAVING\b|LIMIT\b|JOIN\b"
-            r"|ON\b|UNION\b|CROSS\b|LEFT\b|RIGHT\b|INNER\b|FULL\b)(\w+))?",
+            r"|ON\b|UNION\b|CROSS\b|LEFT\b|RIGHT\b|INNER\b|FULL\b"
+            r"|QUALIFY\b|WINDOW\b|EXCEPT\b|INTERSECT\b)(\w+))?",
             sql[clause_end:],
             re.IGNORECASE,
         )
@@ -1621,7 +1624,8 @@ def _rewrite_from_unnest(sql: str) -> str:
         m_off = re.match(
             r"\s*WITH\s+OFFSET(?:\s+AS)?"
             r"(?:\s+(?!ORDER\b|WHERE\b|GROUP\b|HAVING\b|LIMIT\b|JOIN\b"
-            r"|ON\b|UNION\b|CROSS\b|LEFT\b|RIGHT\b|INNER\b|FULL\b)(\w+))?",
+            r"|ON\b|UNION\b|CROSS\b|LEFT\b|RIGHT\b|INNER\b|FULL\b"
+            r"|QUALIFY\b|WINDOW\b|EXCEPT\b|INTERSECT\b)(\w+))?",
             sql[clause_end:],
             re.IGNORECASE,
         )

@@ -75,7 +75,11 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-_UDF_SESSIONS: set[int] = set()
+import weakref
+
+# weak refs, not id()s: a stopped session's id can be reused by a new
+# SparkSession object, which would silently skip re-registration
+_UDF_SESSIONS: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def register_engine_udfs(spark) -> None:
@@ -87,8 +91,7 @@ def register_engine_udfs(spark) -> None:
     functions), which has no Spark builtin. Arrow-vectorized when the
     runtime supports it; idempotent per SparkSession.
     """
-    key = id(spark)
-    if key in _UDF_SESSIONS:
+    if spark in _UDF_SESSIONS:
         return
 
     import unicodedata
@@ -113,4 +116,4 @@ def register_engine_udfs(spark) -> None:
         normcf = F.udf(_normalize_casefold, StringType())
     spark.udf.register("bq_normalize", norm)
     spark.udf.register("bq_normalize_and_casefold", normcf)
-    _UDF_SESSIONS.add(key)
+    _UDF_SESSIONS.add(spark)

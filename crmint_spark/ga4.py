@@ -194,6 +194,21 @@ def ga4_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _GA4_CACHE.get(key)
     if cached is not None:
         return cached
+    # evict superseded (same session+dir, older mtime) and dead-session
+    # entries so re-generated testdata / stopped sessions don't pin
+    # persisted ~600k-row DataFrames (mirrors catalog._LOAD_CACHE)
+    from .catalog import _session_stopped
+
+    for k in [
+        k
+        for k, v in _GA4_CACHE.items()
+        if k[:2] == (id(spark), sf_dir) or _session_stopped(v)
+    ]:
+        try:
+            _GA4_CACHE[k].unpersist()
+        except Exception:
+            pass
+        del _GA4_CACHE[k]
     load(spark, sf_dir, "events").createOrReplaceTempView("__ga4_source_events")
     # EXTRACT(HOUR FROM TIMESTAMP_MICROS(...)) must agree with DuckDB's
     # naive (UTC) timestamps regardless of driver JVM zone

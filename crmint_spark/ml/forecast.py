@@ -175,11 +175,9 @@ def rewrite_ml_forecast(spark: SparkSession, stmt: str, registry) -> str:
 # supports this table and errors otherwise (documented)
 ANOMALY_Z = {0.9: 1.6449, 0.95: 1.96, 0.99: 2.5758}
 
-_ML_DETECT_RE = re.compile(
-    r"ML\.DETECT_ANOMALIES\s*\(\s*MODEL\s+`?([\w.\-]+)`?\s*,\s*"
-    r"STRUCT\s*\(\s*([0-9.]+)\s+AS\s+anomaly_prob_threshold\s*\)\s*,\s*"
-    r"\((.+?)\)\s*\)",
-    re.IGNORECASE | re.DOTALL,
+_STRUCT_THRESHOLD_RE = re.compile(
+    r"STRUCT\s*\(\s*([0-9.]+)\s+AS\s+anomaly_prob_threshold\s*\)",
+    re.IGNORECASE,
 )
 
 
@@ -242,13 +240,25 @@ def rewrite_ml_detect_anomalies(
     spark: SparkSession, stmt: str, registry
 ) -> str:
     """Replace ML.DETECT_ANOMALIES(MODEL m, STRUCT(p AS
-    anomaly_prob_threshold), (query)) with a temp view."""
+    anomaly_prob_threshold), (query)) with a temp view. Uses the
+    balanced-paren call scanner — a non-greedy regex would truncate
+    inner queries containing "))"."""
+    from .sql_ml import _inner_query, _sub_ml_table_calls
+
     counter = [0]
 
-    def repl(m: re.Match) -> str:
-        name, p, inner = m.group(1), float(m.group(2)), m.group(3)
+    def handler(name: str, args: list[str]) -> str:
+        if len(args) != 2:
+            raise ValueError(
+                "ML.DETECT_ANOMALIES expects (MODEL m, STRUCT(p AS "
+                "anomaly_prob_threshold), (query))"
+            )
+        ms = _STRUCT_THRESHOLD_RE.match(args[0])
+        if not ms:
+            raise ValueError(f"bad anomaly threshold arg: {args[0]!r}")
+        p = float(ms.group(1))
         meta = registry.load_meta(name)
-        df = spark.sql(inner)
+        df = spark.sql(_inner_query(args[1]))
         cols = meta.get("detect_cols", {})
         out = detect_anomalies_frame(
             spark,
@@ -264,4 +274,4 @@ def rewrite_ml_detect_anomalies(
         out.createOrReplaceTempView(view)
         return view
 
-    return _ML_DETECT_RE.sub(repl, stmt)
+    return _sub_ml_table_calls(stmt, "ML.DETECT_ANOMALIES", handler)

@@ -10,7 +10,7 @@ estimators:
   distributed pass: ``mapInPandas`` computes per-Arrow-batch gradient
   sums with numpy (vectorized backprop, no per-row Python), the
   param-sized partial sums (a few hundred doubles) come back to the
-  driver, which applies the momentum update. This is exactly the
+  driver, which applies the Adam update. This is exactly the
   aggregate-gradients-on-driver loop LBFGS/GBT use internally; data
   never leaves the executors.
 - **Inference** = a generated Spark SQL expression (tanh + arithmetic
@@ -74,8 +74,14 @@ class MLPRegressorModel:
     def _expression(self) -> Column:
         shapes = _shapes(len(self.feature_cols), self.hidden)
         ws, bs = _unflatten(np.asarray(self.flat_weights), shapes)
+        # NULL features are imputed to 0 exactly as in training
+        # (na_value=0.0), so a row scores identically in both paths
         acts: list[Column] = [
-            (F.col(c).cast("double") - F.lit(self.mu[i])) / F.lit(self.sigma[i])
+            (
+                F.coalesce(F.col(c).cast("double"), F.lit(0.0))
+                - F.lit(self.mu[i])
+            )
+            / F.lit(self.sigma[i])
             for i, c in enumerate(self.feature_cols)
         ]
         for li, (w, b) in enumerate(zip(ws, bs)):
@@ -134,7 +140,6 @@ class MLPRegressor:
         max_iter: int = 60,
         step: float = 0.1,
         l2: float = 1e-4,
-        momentum: float = 0.9,
         seed: int = 7,
     ):
         self.feature_cols = list(feature_cols)
@@ -143,7 +148,6 @@ class MLPRegressor:
         self.max_iter = int(max_iter)
         self.step = float(step)
         self.l2 = float(l2)
-        self.momentum = float(momentum)
         self.seed = int(seed)
 
     def fit(self, df: DataFrame) -> MLPRegressorModel:

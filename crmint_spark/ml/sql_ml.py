@@ -196,6 +196,46 @@ def try_create_model(
     return df
 
 
+
+def _sub_ml_table_calls(stmt: str, fn_name: str, handler) -> str:
+    """Replace each ``fn_name(MODEL m, ...)`` call with
+    ``handler(model_name, args)`` (a view name), using BALANCED paren
+    scanning — a non-greedy regex would truncate inner queries that
+    contain "))" (e.g. ``... ROUND(SUM(v)) AS y FROM t))``)."""
+    from ..dialect import _balanced_end, _split_top_level
+
+    pat = re.compile(
+        r"\b" + fn_name.replace(".", r"\.") + r"\s*\(", re.IGNORECASE
+    )
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = pat.search(stmt, pos)
+        if not m:
+            break
+        end = _balanced_end(stmt, m.end() - 1)
+        if end < 0:
+            break
+        args = [
+            a.strip() for a in _split_top_level(stmt[m.end() : end - 1])
+        ]
+        mm = re.match(r"MODEL\s+`?([\w.\-]+)`?$", args[0], re.IGNORECASE)
+        if not mm:
+            out.append(stmt[pos : m.end()])
+            pos = m.end()
+            continue
+        out.append(stmt[pos : m.start()])
+        out.append(handler(mm.group(1), args[1:]))
+        pos = end
+    out.append(stmt[pos:])
+    return "".join(out)
+
+
+def _inner_query(arg: str) -> str:
+    arg = arg.strip()
+    return arg[1:-1] if arg.startswith("(") and arg.endswith(")") else arg
+
+
 def _load(registry: ModelRegistry, name: str) -> tuple[PipelineModel, dict]:
     return load_model(registry.path(name)), registry.load_meta(name)
 
@@ -211,8 +251,8 @@ def rewrite_ml_predict(
     cte = extract_with_clause(stmt)
     counter = [0]
 
-    def repl(m: re.Match) -> str:
-        name, inner = m.group(1), m.group(2)
+    def handler(name: str, args: list[str]) -> str:
+        inner = _inner_query(args[0])
         model, meta = _load(registry, name)
         df = spark.sql(f"{cte} {inner}" if cte else inner)
         if is_classifier(meta["model_type"]):
@@ -230,7 +270,7 @@ def rewrite_ml_predict(
         scored.createOrReplaceTempView(view)
         return view
 
-    return _ML_PREDICT_RE.sub(repl, stmt)
+    return _sub_ml_table_calls(stmt, "ML.PREDICT", handler)
 
 
 def rewrite_ml_evaluate(
@@ -242,8 +282,8 @@ def rewrite_ml_evaluate(
     cte = extract_with_clause(stmt)
     counter = [0]
 
-    def repl(m: re.Match) -> str:
-        name, inner = m.group(1), m.group(2)
+    def handler(name: str, args: list[str]) -> str:
+        inner = _inner_query(args[0]) if args else "SELECT 1"
         meta = registry.load_meta(name)
         if meta["model_type"] == "ARIMA_PLUS":
             # per-series fit diagnostics from the Holt state: one-step
@@ -305,4 +345,4 @@ def rewrite_ml_evaluate(
         metrics.createOrReplaceTempView(view)
         return view
 
-    return _ML_EVALUATE_RE.sub(repl, stmt)
+    return _sub_ml_table_calls(stmt, "ML.EVALUATE", handler)

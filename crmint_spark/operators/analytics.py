@@ -377,7 +377,11 @@ def _rfm_scale(per_user: DataFrame) -> DataFrame:
         seg("frequency", descending=True).alias("f_seg"),
         seg("monetary", descending=True).alias("m_seg"),
     )
-    return _rfm_code(scored)
+    out = _rfm_code(scored)
+    # boundaries are already extracted (driver scalars); release the
+    # rollup cache — the final consumer pass recomputes it once
+    per_user.unpersist()
+    return out
 
 
 def rfm_segmentation(
@@ -611,7 +615,14 @@ def _pareto_scale(per_cust: DataFrame) -> DataFrame:
         .agg(F.sum("revenue").alias("rev"), F.count(F.lit(1)).alias("n"))
         .collect()
     )
+    per_cust.unpersist()
     total = sum(r["rev"] for r in stats)
+    if total == 0:
+        # empty input (or all-zero revenue): match the exact path's
+        # empty result instead of dividing by zero below
+        return per_cust.select(
+            "o_custkey", "revenue", F.lit("C").alias("abc_class")
+        ).limit(0)
     # walk buckets from highest revenue down; a bucket's class is the
     # class of its *last* (cumulative-share) customer, mirroring the
     # exact form's `cum_share <= threshold` predicate

@@ -317,6 +317,9 @@ def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
     ]
     q_lit = F.expr("array(" + ", ".join(_dlit(x) for x in qv) + ")")
     sim = cosine_similarity(F.col("v"), q_lit)
+    # quantizer passes are done (centroids + query are driver scalars);
+    # drop the cached projection — the final scan recomputes it once
+    vecs.unpersist()
     return (
         assigned.filter(
             F.col("list_id").isin(probes)
@@ -452,7 +455,8 @@ def semantic_dedup(spark, sf_dir: str) -> DataFrame:
     vec_id % 29 == 0 slice (identical vector => provably identical
     cell), so the oracle validates non-empty dedup; natural pairs top
     out at cosine ~0.51 on this data, far from tau = 0.9."""
-    _, assigned, _ = deterministic_assign(spark, sf_dir)
+    vecs, assigned, _ = deterministic_assign(spark, sf_dir)
+    vecs.unpersist()
     seeded = assigned.unionByName(
         assigned.filter(F.col("vec_id") % SEMDEDUP_SEED_MOD == 0)
         .withColumn("vec_id", F.col("vec_id") + F.lit(SEMDEDUP_REKEY))

@@ -608,3 +608,17 @@ def test_instr_randomized_against_reference(spark):
     row = spark.sql(transpile_statement(f"SELECT {exprs}")).collect()[0]
     for i, (v, s, p, o) in enumerate(cases):
         assert row[f"c{i}"] == _py_instr(v, s, p, o), (v, s, p, o)
+
+
+def test_with_offset_then_qualify(spark):
+    """Omitted offset alias followed by QUALIFY must not capture the
+    keyword as the alias."""
+    spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["c"])], "id long, arr array<string>"
+    ).createOrReplaceTempView("t_offs")
+    stmt = transpile_statement(
+        "SELECT id, e FROM t_offs, UNNEST(arr) AS e WITH OFFSET "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY offset) = 1"
+    )
+    rows = spark.sql(stmt).collect()
+    assert sorted((r["id"], r["e"]) for r in rows) == [(1, "a"), (2, "c")]

@@ -195,3 +195,31 @@ def test_ml_arima_evaluate(ctx):
     )
     row = w.result.first()
     assert row["n_obs"] == 15 and row["rmse"] > 0
+
+
+def test_ml_calls_with_nested_closing_parens(ctx):
+    """Balanced-paren call scanning: inner queries ending in '))' (e.g.
+    ROUND(SUM(x)) AS y) must not be truncated by the ML.* rewrites."""
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.np`
+        OPTIONS(MODEL_TYPE='LINEAR_REG', INPUT_LABEL_COLS=['target']) AS (
+          SELECT x1, x2, target FROM training_data
+        )
+        """,
+    )
+    w = _run(
+        ctx,
+        "SELECT COUNT(*) AS n FROM ML.PREDICT(MODEL `p.d.np`, "
+        "(SELECT uid, ROUND(ABS(x1)) AS x1, ROUND(ABS(x2)) AS x2 "
+        "FROM training_data WHERE uid < ROUND(ABS(20))))",
+    )
+    assert w.result.first()["n"] == 20
+    w2 = _run(
+        ctx,
+        "SELECT * FROM ML.EVALUATE(MODEL `p.d.np`, "
+        "(SELECT x1, x2, ROUND(target, ABS(2)) AS target "
+        "FROM training_data))",
+    )
+    assert w2.result.first()["rmse"] is not None
