@@ -102,3 +102,15 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str |
     QUERIES[name] = fn
     if sql is not None:
         ORACLES[name] = sql
+
+
+# Budget-ordering: the driver sweeps entries in registry order under a
+# time budget (round-1 run dropped exactly the entries scheduled after
+# the slowest ones). Keep the iterative/multi-round operators at the
+# tail with the model fits and streaming drains so every cheap entry is
+# sampled first.
+for _n in ("dedup_clusters_star", "semantic_dedup", "corpus_bpe_merges"):
+    if _n in QUERIES:
+        QUERIES[_n] = QUERIES.pop(_n)
+    if _n in ORACLES:
+        ORACLES[_n] = ORACLES.pop(_n)
