@@ -42,14 +42,6 @@ _CREATE_MODEL_RE = re.compile(
     r"OPTIONS\s*\((.*?)\)\s*AS\s*(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
-_ML_PREDICT_RE = re.compile(
-    r"ML\.PREDICT\s*\(\s*MODEL\s+`?([\w.\-]+)`?\s*,\s*\((.+?)\)\s*\)",
-    re.IGNORECASE | re.DOTALL,
-)
-_ML_EVALUATE_RE = re.compile(
-    r"ML\.EVALUATE\s*\(\s*MODEL\s+`?([\w.\-]+)`?\s*,\s*\((.+?)\)\s*\)",
-    re.IGNORECASE | re.DOTALL,
-)
 
 
 @dataclass
@@ -115,9 +107,23 @@ def extract_bqml_query(stmt: str) -> str | None:
     if m:
         q = m.group(3).strip()
         return q[1:-1] if q.startswith("(") and q.endswith(")") else q
-    m = _ML_PREDICT_RE.search(stmt) or _ML_EVALUATE_RE.search(stmt)
-    if m:
-        return m.group(2)
+    # balanced scan, not the legacy non-greedy regexes: an inner query
+    # containing "))" would otherwise be truncated in dry-run planning
+    from ..dialect import _balanced_end, _split_top_level
+
+    for fn in ("ML.PREDICT", "ML.EVALUATE", "ML.DETECT_ANOMALIES"):
+        pm = re.search(
+            r"\b" + fn.replace(".", r"\.") + r"\s*\(", stmt, re.IGNORECASE
+        )
+        if not pm:
+            continue
+        end = _balanced_end(stmt, pm.end() - 1)
+        if end < 0:
+            continue
+        args = [a.strip() for a in _split_top_level(stmt[pm.end() : end - 1])]
+        for a in reversed(args):
+            if a.startswith("("):
+                return a[1:-1]
     return None
 
 
