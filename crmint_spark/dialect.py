@@ -715,6 +715,9 @@ def _rewrite_misc_fns(sql: str) -> str:
             "NORMALIZE",
             "RANGE_BUCKET",
             "INSTR",
+            "TRIM",
+            "LTRIM",
+            "RTRIM",
             "CONTAINS_SUBSTR",
             "JSON_EXTRACT_STRING_ARRAY",
             "JSON_EXTRACT_ARRAY",
@@ -817,6 +820,9 @@ def _rewrite_misc_fns(sql: str) -> str:
                     f"AS INT) WHEN CAST({p} AS INT) > 0 THEN {fwd} "
                     f"ELSE {bwd} END"
                 )
+        elif fn in ("trim", "ltrim", "rtrim") and len(args) == 2:
+            # BigQuery: TRIM(value, set); Spark: trim(set, value) — swap
+            rep = f"{fn}({args[1]}, {args[0]})"
         elif fn == "contains_substr" and len(args) == 2:
             # BigQuery: case-insensitive containment (its NFKC casefold
             # pre-pass is approximated by lower(); documented divergence
@@ -981,7 +987,15 @@ def _rewrite_parse_datetime(sql: str) -> str:
     out: list[str] = []
     pos = 0
     for start, open_idx, end, fn in _iter_calls(
-        sql, ("PARSE_DATE", "PARSE_TIMESTAMP", "PARSE_DATETIME")
+        sql,
+        (
+            r"SAFE\.PARSE_DATE",
+            r"SAFE\.PARSE_TIMESTAMP",
+            r"SAFE\.PARSE_DATETIME",
+            "PARSE_DATE",
+            "PARSE_TIMESTAMP",
+            "PARSE_DATETIME",
+        ),
     ):
         args = _split_top_level(sql[open_idx + 1 : end - 1])
         if len(args) != 2:
@@ -990,7 +1004,13 @@ def _rewrite_parse_datetime(sql: str) -> str:
         if not (fmt_raw[:1] in "'\"" and fmt_raw[-1:] == fmt_raw[:1]):
             continue
         fmt = _strftime_to_spark(fmt_raw[1:-1])
-        target = "to_date" if fn == "parse_date" else "to_timestamp"
+        fn = fn.replace(" ", "")
+        safe = fn.startswith("safe.")
+        # SAFE. prefix -> try_* twin (NULL instead of error on bad input)
+        if fn.endswith("parse_date"):
+            target = "try_to_date" if safe else "to_date"
+        else:
+            target = "try_to_timestamp" if safe else "to_timestamp"
         out.append(sql[pos:start])
         out.append(f"{target}({args[1].strip()}, '{fmt}')")
         pos = end

@@ -101,6 +101,27 @@ CASES = [
     ("INSTR('banana', 'ana', 1, 3)", 0),
     ("INSTR(CAST(NULL AS STRING), 'a', 1, 1)", None),
     ("INSTR('banana', CAST(NULL AS STRING), -1, 1)", None),
+    # SAFE.PARSE_* -> try_* twins (NULL instead of error on bad input)
+    ("SAFE.PARSE_DATE('%Y%m%d', 'not-a-date')", None),
+    (
+        "SAFE.PARSE_DATE('%Y%m%d', '20240317')",
+        datetime.date(2024, 3, 17),
+    ),
+    ("SAFE.PARSE_TIMESTAMP('%Y-%m-%d %H:%M:%S', 'zzz')", None),
+    # same-name passthroughs users rely on — prove they survive rewrites
+    ("LPAD('7', 3, '0')", "007"),
+    ("RPAD('ab', 4, 'x')", "abxx"),
+    ("REPEAT('ab', 2)", "abab"),
+    ("REVERSE('abc')", "cba"),
+    ("INITCAP('hello world')", "Hello World"),
+    ("TRANSLATE('abc', 'bc', 'xy')", "axy"),
+    ("ASCII('A')", 65),
+    ("LTRIM('  a  ')", "a  "),
+    # BigQuery arg order TRIM(value, set) -> Spark trim(set, value)
+    ("TRIM('xxaxx', 'x')", "a"),
+    ("LTRIM('xxaxx', 'x')", "axx"),
+    ("RTRIM('xxaxx', 'x')", "xxa"),
+    ("SOUNDEX('Robert')", "R163"),
 ]
 
 
