@@ -694,6 +694,9 @@ _FN_RENAMES: list[tuple[str, str]] = [
     ("SAFE_SUBTRACT", "try_subtract"),
     ("SAFE_MULTIPLY", "try_multiply"),
     ("UNICODE", "ascii"),
+    ("TO_BASE64", "base64"),
+    ("FROM_BASE64", "unbase64"),
+    ("FROM_HEX", "unhex"),
 ]
 
 

@@ -122,6 +122,10 @@ CASES = [
     ("LTRIM('xxaxx', 'x')", "axx"),
     ("RTRIM('xxaxx', 'x')", "xxa"),
     ("SOUNDEX('Robert')", "R163"),
+    # bytes conversions: BigQuery names -> Spark twins
+    ("TO_BASE64(CAST('abc' AS BYTES))", "YWJj"),
+    ("CAST(FROM_BASE64('YWJj') AS STRING)", "abc"),
+    ("CAST(FROM_HEX('616263') AS STRING)", "abc"),
 ]
 
 
