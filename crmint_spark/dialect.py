@@ -796,10 +796,23 @@ def _rewrite_misc_fns(sql: str) -> str:
             p = args[2]
             o = args[3] if len(args) == 4 else "1"
             if len(args) == 3 and re.fullmatch(r"\+?0*[1-9]\d*", p):
-                rep = f"locate({s}, {v}, {p})"
+                # empty substring matches at the search position (BigQuery
+                # STRPOS/INSTR semantics), so guard locate()'s clamping
+                rep = (
+                    f"CASE WHEN {v} IS NULL OR {s} IS NULL THEN "
+                    f"CAST(NULL AS INT) WHEN length({s}) = 0 THEN "
+                    f"IF(CAST({p} AS INT) <= length({v}) + 1, "
+                    f"CAST({p} AS INT), 0) "
+                    f"ELSE locate({s}, {v}, {p}) END"
+                )
             else:
+                # empty substring: a match at every position 1..len+1, so
+                # occurrence indexing below works uniformly (same result
+                # as the 3-arg fast path for INSTR(x, '', p))
                 allm = (
-                    f"CASE WHEN length({s}) > 0 AND length({v}) >= "
+                    f"CASE WHEN length({s}) = 0 THEN "
+                    f"sequence(1, length({v}) + 1) "
+                    f"WHEN length({v}) >= "
                     f"length({s}) THEN filter(sequence(1, length({v}) - "
                     f"length({s}) + 1), __q -> substring({v}, __q, "
                     f"length({s})) = {s}) ELSE CAST(array() AS ARRAY<INT>) "
@@ -2065,6 +2078,18 @@ def transpile_statement(sql: str, resolver=None) -> str:
     out = re.sub(r"\bAS\s+BIGNUMERIC\b", "AS DECIMAL(38, 18)", out, flags=re.IGNORECASE)
     # BigQuery type spellings in CAST / UDF bodies (INT64, FLOAT64, ...)
     out = _map_bq_types(out)
+    if "bq_normalize" in out:
+        # the NORMALIZE rewrites depend on the engine's registered UDFs;
+        # register them lazily on the active session so callers that go
+        # straight to spark.sql(transpile_statement(...)) — without the
+        # SparkSQLExecutor entry point — still resolve the functions
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            from .functions import register_engine_udfs
+
+            register_engine_udfs(active)
     return out
 
 

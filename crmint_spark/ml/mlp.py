@@ -7,12 +7,13 @@ This module implements one the way Spark ML implements its own iterative
 estimators:
 
 - **Training** = full-batch gradient descent. Each iteration is ONE
-  distributed pass: ``mapInPandas`` computes per-Arrow-batch gradient
-  sums with numpy (vectorized backprop, no per-row Python), the
-  param-sized partial sums (a few hundred doubles) come back to the
-  driver, which applies the Adam update. This is exactly the
-  aggregate-gradients-on-driver loop LBFGS/GBT use internally; data
-  never leaves the executors.
+  distributed pass: ``mapInPandas`` computes gradient sums with numpy
+  (vectorized backprop, no per-row Python), accumulated across all
+  Arrow batches of a partition so exactly ONE param-sized row per
+  partition reaches the driver — O(partitions x n_params) traffic,
+  independent of data volume — which applies the Adam update. This is
+  the treeAggregate-gradients contract Spark ML's own LBFGS/GBT loops
+  use; data never leaves the executors.
 - **Inference** = a generated Spark SQL expression (tanh + arithmetic
   over the standardized feature columns). No UDF, no Python at scoring
   time — the fitted network IS a codegen'd expression, so ML.PREDICT
@@ -153,6 +154,10 @@ class MLPRegressor:
     def fit(self, df: DataFrame) -> MLPRegressorModel:
         feats, label = self.feature_cols, self.label_col
         d = len(feats)
+        # BQML excludes NULL-label rows from training (features-only NULL
+        # imputation stays, mirrored by the scoring expression); train and
+        # compute standardization stats on the same filtered population.
+        df = df.filter(F.col(label).isNotNull())
         stats = df.agg(
             *[F.avg(F.col(c).cast("double")).alias(f"mu_{i}") for i, c in enumerate(feats)],
             *[
@@ -203,10 +208,17 @@ class MLPRegressor:
             flat = _flatten(ws, bs)
 
             def batch_grads(batches, _flat=flat):
-                _ws, _bs = _unflatten(_flat, shapes)
-                for pdf in batches:
-                    import pandas as pd
+                # Accumulate across ALL Arrow batches of this partition and
+                # yield exactly ONE param-sized row, so per-iteration driver
+                # traffic is O(partitions x n_params), independent of data
+                # volume (Spark ML's own treeAggregate contract).
+                import pandas as pd
 
+                _ws, _bs = _unflatten(_flat, shapes)
+                acc = np.zeros(_flat.size)
+                sse = 0.0
+                n = 0
+                for pdf in batches:
                     X = pdf[feats].to_numpy(dtype=float, na_value=0.0)
                     y = pdf["__y"].to_numpy(dtype=float, na_value=0.0)
                     a = (X - mu_a) / sd_a
@@ -224,12 +236,12 @@ class MLPRegressor:
                         g_bs[li] = delta.sum(axis=0)
                         if li > 0:
                             delta = (delta @ _ws[li].T) * (1.0 - acts[li] ** 2)
+                    acc += _flatten(g_ws, g_bs)
+                    sse += float((err**2).sum())
+                    n += int(len(y))
+                if n > 0:
                     yield pd.DataFrame(
-                        {
-                            "grad": [_flatten(g_ws, g_bs).tolist()],
-                            "sse": [float((err**2).sum())],
-                            "n": [int(len(y))],
-                        }
+                        {"grad": [acc.tolist()], "sse": [sse], "n": [n]}
                     )
 
             parts = data.mapInPandas(batch_grads, schema=grad_schema).collect()

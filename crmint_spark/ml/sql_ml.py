@@ -225,7 +225,11 @@ def _sub_ml_table_calls(stmt: str, fn_name: str, handler) -> str:
         args = [
             a.strip() for a in _split_top_level(stmt[m.end() : end - 1])
         ]
-        mm = re.match(r"MODEL\s+`?([\w.\-]+)`?$", args[0], re.IGNORECASE)
+        # malformed call with no arguments (e.g. ML.PREDICT()): treat
+        # like the MODEL-regex miss path instead of raising IndexError
+        mm = args and re.match(
+            r"MODEL\s+`?([\w.\-]+)`?$", args[0], re.IGNORECASE
+        )
         if not mm:
             out.append(stmt[pos : m.end()])
             pos = m.end()
@@ -289,8 +293,18 @@ def rewrite_ml_evaluate(
     counter = [0]
 
     def handler(name: str, args: list[str]) -> str:
-        inner = _inner_query(args[0]) if args else "SELECT 1"
         meta = registry.load_meta(name)
+        if not args and meta["model_type"] != "ARIMA_PLUS":
+            # BigQuery evaluates on the held-out training split when the
+            # input query is omitted; we do not persist the split, so
+            # fail loudly instead of selecting a label from "SELECT 1"
+            raise ValueError(
+                f"ML.EVALUATE(MODEL `{name}`) requires an input query for "
+                f"{meta['model_type']} models: pass "
+                "ML.EVALUATE(MODEL `m`, (SELECT <features>, <label> FROM ...)) "
+                "(evaluate-on-training-split is not persisted by this engine)"
+            )
+        inner = _inner_query(args[0]) if args else "SELECT 1"
         if meta["model_type"] == "ARIMA_PLUS":
             # per-series fit diagnostics from the Holt state: one-step
             # residual RMSE + observation count (BigQuery's ARIMA

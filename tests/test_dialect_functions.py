@@ -101,6 +101,17 @@ CASES = [
     ("INSTR('banana', 'ana', 1, 3)", 0),
     ("INSTR(CAST(NULL AS STRING), 'a', 1, 1)", None),
     ("INSTR('banana', CAST(NULL AS STRING), -1, 1)", None),
+    # empty substring: found at the search position (both code paths
+    # agree — fast-path 3-arg locate and general 4-arg enumeration)
+    ("INSTR('abc', '', 1)", 1),
+    ("INSTR('abc', '', 1, 1)", 1),
+    ("INSTR('abc', '', 2)", 2),
+    ("INSTR('abc', '', 2, 2)", 3),
+    ("INSTR('abc', '', 4)", 4),
+    ("INSTR('abc', '', 9)", 0),
+    ("INSTR('abc', '', 9, 1)", 0),
+    ("INSTR('abc', '', -1, 1)", 3),
+    ("INSTR(CAST(NULL AS STRING), '', 1)", None),
     # SAFE.PARSE_* -> try_* twins (NULL instead of error on bad input)
     ("SAFE.PARSE_DATE('%Y%m%d', 'not-a-date')", None),
     (
@@ -548,9 +559,9 @@ def test_numeric_trunc(spark):
 
 
 def test_unicode_normalize(spark):
-    from crmint_spark.functions import register_engine_udfs
-
-    register_engine_udfs(spark)
+    # no explicit register_engine_udfs call: transpile_statement registers
+    # the bq_normalize UDFs lazily on the active session whenever a
+    # rewrite emits them, so transpile + spark.sql works from any caller
     decomposed = "éclair"  # e + combining acute
     stmt = transpile_statement(
         f"SELECT NORMALIZE('{decomposed}', NFC) AS v, "

@@ -134,6 +134,103 @@ def test_ml_dnn_regressor_model(ctx):
     assert w2.result.count() == 10
 
 
+def test_ml_evaluate_requires_input_query(ctx):
+    """ML.EVALUATE with no input query on a classifier/regressor raises a
+    descriptive error (we do not persist the training split), not an
+    opaque missing-column failure downstream."""
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.ev_guard`
+        OPTIONS(MODEL_TYPE='LOGISTIC_REG', INPUT_LABEL_COLS=['label'],
+                MAX_ITERATIONS=5) AS (
+          SELECT x1, x2, label FROM training_data
+        )
+        """,
+    )
+    with pytest.raises(Exception, match="requires an input query"):
+        _run(ctx, "SELECT * FROM ML.EVALUATE(MODEL `p.d.ev_guard`)")
+
+
+def test_ml_table_call_empty_args_passthrough():
+    """Malformed ML.PREDICT() with no arguments is left untouched (same
+    as the MODEL-regex miss path), not an IndexError."""
+    from crmint_spark.ml.sql_ml import _sub_ml_table_calls
+
+    stmt = "SELECT * FROM ML.PREDICT()"
+    assert (
+        _sub_ml_table_calls(stmt, "ML.PREDICT", lambda n, a: "x") == stmt
+    )
+
+
+def test_mlp_gradient_one_row_per_partition(spark):
+    """The per-iteration gradient pass must yield exactly one param-sized
+    row per non-empty partition (O(partitions) driver traffic), even when
+    a partition spans multiple Arrow batches."""
+    from crmint_spark.ml.mlp import MLPRegressor
+
+    n = 5000
+    df = (
+        spark.range(n)
+        .selectExpr(
+            "cast(id % 97 as double) / 97 as x1",
+            "cast(id % 31 as double) / 31 as x2",
+            "cast(id % 97 as double) / 97 * 3 + cast(id % 31 as double) / 31 as target",
+        )
+        .repartition(4)
+    )
+    # force multiple Arrow batches per partition so the per-batch-yield
+    # regression would produce >4 rows
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "200")
+    try:
+        est = MLPRegressor(["x1", "x2"], "target", max_iter=1)
+        captured = {}
+
+        # record how many partial rows the gradient pass emits by wrapping
+        # mapInPandas on the concrete DataFrame class (classic subclass in
+        # Spark 4, so patch type(df), not the abstract base)
+        cls = type(df)
+        orig_mip = cls.mapInPandas
+
+        def patched(self, fn, schema, **kw):
+            out = orig_mip(self, fn, schema, **kw)
+            captured["rows"] = max(captured.get("rows", 0), out.count())
+            return out
+
+        try:
+            cls.mapInPandas = patched
+            model = est.fit(df)
+        finally:
+            cls.mapInPandas = orig_mip
+        assert captured["rows"] == 4, captured
+        assert model.transform(df).count() == n
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_mlp_null_labels_excluded(spark):
+    """Rows with NULL labels are excluded from training (BQML semantics),
+    not imputed to 0: poisoning half the rows with NULL labels must not
+    drag the fit toward zero."""
+    from crmint_spark.ml.mlp import MLPRegressor
+
+    df = spark.range(400).selectExpr(
+        "cast(id % 50 as double) / 50 as x1",
+        "cast(id % 7 as double) / 7 as x2",
+        # every other row: NULL label; clean rows: target = 3*x1 + x2 + 5
+        "case when id % 2 = 0 then cast(id % 50 as double) / 50 * 3 "
+        "+ cast(id % 7 as double) / 7 + 5 end as target",
+    )
+    model = MLPRegressor(["x1", "x2"], "target", max_iter=80).fit(df)
+    scored = model.transform(df.filter("target is not null"))
+    rmse = scored.selectExpr(
+        "sqrt(avg(pow(prediction - target, 2))) as rmse"
+    ).first()["rmse"]
+    # with NULL->0 imputation the model would aim at ~half the mean (~3.3
+    # absolute error); trained on clean rows only it fits tightly
+    assert rmse < 0.5, rmse
+
+
 def test_ml_arima_plus_forecast(ctx):
     """ARIMA_PLUS (Holt-smoothing stand-in, ml/forecast.py) through
     CREATE MODEL + ML.FORECAST: a rising linear series must forecast
