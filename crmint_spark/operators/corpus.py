@@ -906,7 +906,12 @@ def _bpe_apply_merge(sym_col, a: str, b: str):
     )
 
 
-def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_bpe_merges(
+    spark: SparkSession,
+    sf_dir: str,
+    doc_where: str | None = None,
+    rounds: int = BPE_MERGE_ROUNDS,
+) -> DataFrame:
     """An actual BPE trainer (Sennrich et al. 2016): BPE_MERGE_ROUNDS
     greedy merge iterations over the corpus vocabulary. Each round is
     one pair-count shuffle over the (vocabulary-sized) symbol table, a
@@ -915,8 +920,13 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merge. The corpus itself is scanned ONCE (vocabulary + word
     frequency); iterations touch only the vocabulary, which is why BPE
     training scales to any corpus size. Returns the learned merge table
-    (round, pair, weighted count) — the tokenizer artifact."""
+    (round, pair, weighted count) — the tokenizer artifact.
+
+    ``doc_where``/``rounds`` parameterize the driver-sampleable
+    ``corpus_bpe_merges_small`` variant (oracle mirrors both)."""
     docs = load(spark, sf_dir, "documents")
+    if doc_where:
+        docs = docs.filter(doc_where)
     vocab = (
         docs.select(
             F.explode(
@@ -935,7 +945,7 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         syms = syms.persist()
     merges = []
-    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+    for rnd in range(1, rounds + 1):
         top = (
             syms.select("wf", F.explode(_bpe_symbol_pairs(F.col("sym"))).alias("pair"))
             .groupBy("pair")
@@ -959,22 +969,25 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_merges_sql() -> str:
+def _bpe_merges_sql(
+    doc_where: str | None = None, rounds: int = BPE_MERGE_ROUNDS
+) -> str:
     """DuckDB oracle: the same rounds unrolled as CTE chains; each
     round's argmax pair feeds the next round's merge fold via a cross
     join (scalar 1-row CTE)."""
+    where = f"\n      WHERE {doc_where}" if doc_where else ""
     ctes = [
-        """v0 AS (
+        f"""v0 AS (
   SELECT wf, list_filter(string_split(w, ''), c -> c != '') AS sym
   FROM (
     SELECT w, COUNT(*) AS wf FROM (
       SELECT UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS w
-      FROM documents
+      FROM documents{where}
     ) GROUP BY w HAVING length(w) >= 2
   )
 )"""
     ]
-    for r in range(1, BPE_MERGE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         prev = f"v{r - 1}"
         ctes.append(
             f"""t{r} AS (
@@ -998,9 +1011,26 @@ def _bpe_merges_sql() -> str:
         )
     unions = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS round, pair, n FROM t{r}"
-        for r in range(1, BPE_MERGE_ROUNDS + 1)
+        for r in range(1, rounds + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + unions
 
 
 CORPUS_QUERIES["corpus_bpe_merges"] = (corpus_bpe_merges, _bpe_merges_sql())
+
+# Driver-sampleable BPE variant: documents subset + fewer merge rounds,
+# same trainer and unrolled-CTE oracle; the full entry stays at the tail.
+BPE_SMALL_WHERE = "doc_id % 5 = 0"
+BPE_SMALL_ROUNDS = 3
+
+
+def corpus_bpe_merges_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_bpe_merges(
+        spark, sf_dir, doc_where=BPE_SMALL_WHERE, rounds=BPE_SMALL_ROUNDS
+    )
+
+
+CORPUS_QUERIES["corpus_bpe_merges_small"] = (
+    corpus_bpe_merges_small,
+    _bpe_merges_sql(BPE_SMALL_WHERE, BPE_SMALL_ROUNDS),
+)

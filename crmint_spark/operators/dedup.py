@@ -94,17 +94,24 @@ HAVING COUNT(*) > 1
 """
 
 
-def shingle_docs(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+def shingle_docs(
+    spark: SparkSession, sf_dir: str, n: int = 3, doc_where: str | None = None
+) -> DataFrame:
     """(doc_id, shingle_hash) distinct pairs — the shared inverted index.
 
     The testdata parquet is one row group (one scan task); the md5-per-
     shingle work is CPU-bound, so fan the docs out across cores before
     exploding. On a real multi-file table the scan parallelizes itself
     and this repartition is a cheap no-op-sized shuffle of doc rows.
+
+    ``doc_where``: optional SQL predicate on the documents table (the
+    driver-sampleable ``*_small`` registry variants subset here, with
+    the identical predicate mirrored in their oracles).
     """
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load(spark, sf_dir, "documents")
+    if doc_where:
+        docs = docs.filter(doc_where)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     # NOTE: a broadcast hash-dictionary over the distinct shingle
     # vocabulary was measured SLOWER here (the distinct + broadcast
     # outweigh JVM-codegen md5); keep the straight-line hash.
@@ -117,13 +124,15 @@ def shingle_docs(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, doc_where: str | None = None
+) -> DataFrame:
     """Per-doc minhash signature: one MIN per universal-hash permutation.
 
     Map-side partial aggregation means the shuffle carries 8 longs per
     (partition, doc) — not the shingle set.
     """
-    sh = shingle_docs(spark, sf_dir)
+    sh = shingle_docs(spark, sf_dir, doc_where=doc_where)
     aggs = [
         F.min(
             F.pmod(
@@ -136,7 +145,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, doc_where: str | None = None
+) -> DataFrame:
     """MinHash + LSH banding: candidate pairs share at least one band;
     estimated Jaccard = fraction of matching permutations.
 
@@ -148,7 +159,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: both join sides derive from the signatures; without it the
     # shingle explode + 8-way MIN aggregation runs twice (8 longs/doc —
     # cacheable at any corpus size)
-    sig = minhash_signatures(spark, sf_dir).persist()
+    sig = minhash_signatures(spark, sf_dir, doc_where=doc_where).persist()
     n_mh = len(MINHASH_SEEDS)
     mh_cols = [f"mh{i}" for i in range(n_mh)]
     # one pass: explode the 4 band keys per signature row (a union of 4
@@ -196,12 +207,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql_core() -> str:
-    """Shared DuckDB CTEs computing identical shingles + signatures."""
+def _minhash_sql_core(doc_where: str | None = None) -> str:
+    """Shared DuckDB CTEs computing identical shingles + signatures.
+    ``doc_where`` mirrors the Spark-side documents subset predicate."""
     mh_exprs = ",\n         ".join(
         f"MIN(({a} * (sh % {MINHASH_PRIME}) + {b}) % {MINHASH_PRIME}) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_SEEDS)
     )
+    where = f"\n  WHERE {doc_where}" if doc_where else ""
     return f"""
 shingled AS (
   SELECT doc_id,
@@ -211,7 +224,7 @@ shingled AS (
                      range(1, len(string_split(text, ' ')) - 1),
                      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
          END AS shingles
-  FROM documents
+  FROM documents{where}
 ), exploded AS (
   SELECT DISTINCT doc_id,
          ('0x' || substr(md5(UNNEST(shingles)), 1, 15))::BIGINT AS sh
@@ -223,7 +236,7 @@ shingled AS (
 )"""
 
 
-def _minhash_pairs_sql_parts() -> tuple[str, str]:
+def _minhash_pairs_sql_parts(doc_where: str | None = None) -> tuple[str, str]:
     """(cte_list, final_select) of the DuckDB minhash-pairs query, so
     callers can also wrap the pairs as a CTE (clusters oracle)."""
     band_selects = "\n  UNION ALL\n".join(
@@ -236,7 +249,7 @@ def _minhash_pairs_sql_parts() -> tuple[str, str]:
         f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
         for i in range(len(MINHASH_SEEDS))
     )
-    ctes = f"""{_minhash_sql_core()},
+    ctes = f"""{_minhash_sql_core(doc_where)},
 bands AS (
 {band_selects}
 ), cand AS (
@@ -523,10 +536,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-def dedup_clusters_sql() -> str:
+def dedup_clusters_sql(doc_where: str | None = None) -> str:
     """DuckDB oracle: transitive closure of the same pairs via a
     recursive CTE, min reachable id per doc."""
-    ctes, final = _minhash_pairs_sql_parts()
+    ctes, final = _minhash_pairs_sql_parts(doc_where)
     return f"""
 WITH RECURSIVE {ctes},
 pairs AS ({final}),
@@ -737,4 +750,18 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-star components — must equal ``dedup_clusters`` (and does, per
     the shared recursive-CTE oracle)."""
     pairs = minhash_lsh_pairs(spark, sf_dir)
+    return connected_components_star(pairs)
+
+
+# Driver-sampleable star-CC variant: identical algorithm, documents
+# subset by a deterministic predicate so the whole run (pairs + star
+# rounds) fits the driver's per-entry budget. doc_id % 2 keeps both
+# endpoints of enough LSH pairs that the component output is non-empty
+# at sf0.01 (doc_id % 5 kept none — a vacuous oracle). The full-corpus
+# ``dedup_clusters_star`` stays registered at the tail.
+STAR_SMALL_WHERE = "doc_id % 2 = 0"
+
+
+def dedup_clusters_star_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_pairs(spark, sf_dir, doc_where=STAR_SMALL_WHERE)
     return connected_components_star(pairs)

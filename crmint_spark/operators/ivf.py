@@ -260,14 +260,22 @@ def _py_sq_l2(c: list[float], q: list[float]) -> float:
     return acc
 
 
-def deterministic_assign(spark, sf_dir: str):
+def deterministic_assign(spark, sf_dir: str, vec_where: str | None = None):
     """Shared deterministic quantizer front end: stride-seeded centroids
     + IVF_LLOYD_STEPS driver-materialized Lloyd steps -> (persisted
-    vecs, assigned corpus with list_id, centroid rows)."""
+    vecs, assigned corpus with list_id, centroid rows).
+
+    ``vec_where``: optional SQL predicate subsetting the embeddings
+    table (driver-sampleable ``*_small`` variants; the oracle mirrors
+    the predicate), with the stride recomputed over the subset."""
     from ..catalog import load
 
     emb = load(spark, sf_dir, "embeddings")
-    n, _ = _ivf_corpus_rows(spark, sf_dir)
+    if vec_where:
+        emb = emb.filter(vec_where)
+        n = emb.count()
+    else:
+        n, _ = _ivf_corpus_rows(spark, sf_dir)
     stride = max(n // IVF_K, 1)
     vecs = emb.select(
         "vec_id",
@@ -371,12 +379,18 @@ def _sql_centroids(assign_cte: str) -> str:
 
 
 # shared CTE chain: stride init + 2 Lloyd steps + final assignment
-_SQL_ASSIGNED_CTES = f"""vecs AS (
+
+
+def _sql_assigned_ctes(vec_where: str | None = None) -> str:
+    """The quantizer CTE chain, optionally over an embeddings subset
+    (must mirror the Spark-side ``deterministic_assign`` predicate)."""
+    where = f"\n  WHERE {vec_where}" if vec_where else ""
+    return f"""vecs AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM embeddings{where}
 ), params AS (
   SELECT GREATEST(CAST(FLOOR(COUNT(*) / {IVF_K}.0) AS BIGINT), 1) AS stride
-  FROM embeddings
+  FROM embeddings{where}
 ), init AS (
   SELECT CAST(vec_id / stride AS INT) AS list_id, v AS c
   FROM vecs, params
@@ -387,6 +401,9 @@ _SQL_ASSIGNED_CTES = f"""vecs AS (
 ), c2 AS ({_sql_centroids('a2')}
 ), assigned AS ({_sql_assign('vecs', 'c2')}
 )"""
+
+
+_SQL_ASSIGNED_CTES = _sql_assigned_ctes()
 
 
 ANN_IVF_SQL = f"""
@@ -455,7 +472,20 @@ def semantic_dedup(spark, sf_dir: str) -> DataFrame:
     vec_id % 29 == 0 slice (identical vector => provably identical
     cell), so the oracle validates non-empty dedup; natural pairs top
     out at cosine ~0.51 on this data, far from tau = 0.9."""
-    vecs, assigned, _ = deterministic_assign(spark, sf_dir)
+    return _semantic_dedup_impl(spark, sf_dir, None)
+
+
+# Driver-sampleable variant over an embeddings subset (same algorithm,
+# same oracle shape); the full-corpus entry stays at the registry tail.
+SEMDEDUP_SMALL_WHERE = "vec_id % 3 = 0"
+
+
+def semantic_dedup_small(spark, sf_dir: str) -> DataFrame:
+    return _semantic_dedup_impl(spark, sf_dir, SEMDEDUP_SMALL_WHERE)
+
+
+def _semantic_dedup_impl(spark, sf_dir: str, vec_where: str | None) -> DataFrame:
+    vecs, assigned, _ = deterministic_assign(spark, sf_dir, vec_where=vec_where)
     vecs.unpersist()
     seeded = assigned.unionByName(
         assigned.filter(F.col("vec_id") % SEMDEDUP_SEED_MOD == 0)
@@ -485,8 +515,9 @@ def semantic_dedup(spark, sf_dir: str) -> DataFrame:
     )
 
 
-SEMANTIC_DEDUP_SQL = f"""
-WITH {_SQL_ASSIGNED_CTES}, seeded AS (
+def semantic_dedup_sql(vec_where: str | None = None) -> str:
+    return f"""
+WITH {_sql_assigned_ctes(vec_where)}, seeded AS (
   SELECT vec_id, v, list_id FROM assigned
   UNION ALL
   SELECT vec_id + {SEMDEDUP_REKEY} AS vec_id, v, list_id FROM assigned
@@ -506,3 +537,6 @@ SELECT dup_id, MIN(keep_id) AS kept_by,
 FROM pairs WHERE sim >= {SEMDEDUP_TAU}
 GROUP BY dup_id
 """
+
+
+SEMANTIC_DEDUP_SQL = semantic_dedup_sql()

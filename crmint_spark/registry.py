@@ -34,6 +34,13 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         dedup.dedup_clusters_star,
         dedup.dedup_clusters_sql(),
     ),
+    # driver-sampleable subset twin of the tail-ordered star-CC entry:
+    # same algorithm + oracle shape, documents subset so the run fits
+    # the driver's per-entry budget (VERDICT r3 directive #2)
+    "dedup_clusters_star_small": (
+        dedup.dedup_clusters_star_small,
+        dedup.dedup_clusters_sql(dedup.STAR_SMALL_WHERE),
+    ),
     "dedup_fuzzy_words": (dedup.fuzzy_word_matches, dedup.FUZZY_SQL),
     "dedup_embedding_cosine": (similarity.embedding_dedup_pairs, similarity.EMB_DEDUP_SQL),
     "text_rolling_fingerprint": (text.rolling_fingerprint, text.ROLLING_FP_SQL),
@@ -43,6 +50,11 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "ann_ivf_topk": (ivf.ann_ivf_topk, ivf.ANN_IVF_SQL),
     "ann_ivf_kmeans_topk": (ivf.ann_ivf_kmeans_topk, None),
     "semantic_dedup": (ivf.semantic_dedup, ivf.SEMANTIC_DEDUP_SQL),
+    # driver-sampleable subset twin of the tail-ordered SemDeDup entry
+    "semantic_dedup_small": (
+        ivf.semantic_dedup_small,
+        ivf.semantic_dedup_sql(ivf.SEMDEDUP_SMALL_WHERE),
+    ),
     "embedding_norm_stats": (similarity.embedding_norm_stats, similarity.EMB_NORM_SQL),
     "embedding_centroids": (similarity.embedding_centroids, similarity.CENTROID_SQL),
     # text analysis family
