@@ -1284,13 +1284,14 @@ def _rewrite_split(sql: str) -> str:
     return "".join(out)
 
 
-def _rewrite_hll_family(sql: str) -> str:
-    """BigQuery sketch aggregates -> a deterministic set algebra.
+def _rewrite_hll_family(sql: str, approx: bool = False) -> str:
+    """BigQuery sketch aggregates -> a deterministic set algebra, or
+    (``approx=True``) Spark's native Apache DataSketches HLL builtins.
 
     BigQuery's contract for these is "an approximation of COUNT
     (DISTINCT ...)": any estimator with bounded error satisfies it, and
-    the zero-error estimator is cross-engine reproducible, so the engine
-    implements the sketch algebra over exact distinct sets:
+    the zero-error estimator is cross-engine reproducible, so the
+    DEFAULT implements the sketch algebra over exact distinct sets:
 
       HLL_COUNT.INIT(x)        -> collect_set(x)        (the "sketch")
       HLL_COUNT.MERGE_PARTIAL  -> distinct union of sketches
@@ -1298,13 +1299,22 @@ def _rewrite_hll_family(sql: str) -> str:
       HLL_COUNT.EXTRACT        -> size(sketch)          (scalar)
       APPROX_COUNT_DISTINCT(x) -> count(DISTINCT x)
 
-    Catalyst still computes these with partial (map-side) aggregation.
-    At 100 TB cardinalities where exact sets no longer fit, Spark's
-    native datasketches builtins (``hll_sketch_agg`` /
-    ``hll_sketch_estimate``/``hll_union_agg``) are the drop-in
-    replacement — same algebra, bounded memory, but engine-specific
-    sketch bytes (not oracle-reproducible, which is why the default is
-    the exact form)."""
+    Catalyst still computes these with partial (map-side) aggregation,
+    but ``HLL_COUNT.INIT`` materializes the full distinct set per group
+    — unbounded memory at 100 TB cardinalities. The SCALE PATH
+    (``approx=True``, the executor's ``approx_sketches`` script option)
+    swaps the rewrite to constant-memory sketches:
+
+      HLL_COUNT.INIT(x[, p])   -> hll_sketch_agg(x[, p])   (binary)
+      HLL_COUNT.MERGE_PARTIAL  -> hll_union_agg(s, true)   (binary)
+      HLL_COUNT.MERGE          -> hll_sketch_estimate(hll_union_agg(...))
+      HLL_COUNT.EXTRACT        -> hll_sketch_estimate(s)
+      APPROX_COUNT_DISTINCT(x) -> approx_count_distinct(x) (HLL++)
+
+    Same algebra, bounded ~2^p registers per group, but engine-specific
+    sketch bytes — not oracle-reproducible, which is why approx is the
+    option and exact is the default (test_hll_approx_* assert the two
+    paths agree within HLL error bounds)."""
     out: list[str] = []
     pos = 0
     for start, open_idx, end, fn in _iter_calls(
@@ -1318,24 +1328,46 @@ def _rewrite_hll_family(sql: str) -> str:
         ),
     ):
         args = [
-            _rewrite_hll_family(a.strip())
+            _rewrite_hll_family(a.strip(), approx)
             for a in _split_top_level(sql[open_idx + 1 : end - 1])
         ]
         fn = fn.replace(" ", "")
         rep = None
         if fn == "hll_count.init" and len(args) >= 1:
-            rep = f"collect_set({args[0]})"
+            if approx:
+                # BigQuery precision (2nd arg, 10..24) maps onto the
+                # DataSketches lgConfigK parameter (clamped to its 4..21)
+                p = f", least(21, greatest(4, {args[1]}))" if len(args) > 1 else ""
+                rep = f"hll_sketch_agg({args[0]}{p})"
+            else:
+                rep = f"collect_set({args[0]})"
         elif fn == "hll_count.merge_partial" and len(args) == 1:
-            rep = f"array_distinct(flatten(collect_list({args[0]})))"
+            rep = (
+                f"hll_union_agg({args[0]}, true)"
+                if approx
+                else f"array_distinct(flatten(collect_list({args[0]})))"
+            )
         elif fn == "hll_count.merge" and len(args) == 1:
             rep = (
-                f"CAST(size(array_distinct(flatten(collect_list({args[0]}"
-                ")))) AS BIGINT)"
+                f"hll_sketch_estimate(hll_union_agg({args[0]}, true))"
+                if approx
+                else (
+                    f"CAST(size(array_distinct(flatten(collect_list({args[0]}"
+                    ")))) AS BIGINT)"
+                )
             )
         elif fn == "hll_count.extract" and len(args) == 1:
-            rep = f"CAST(size({args[0]}) AS BIGINT)"
+            rep = (
+                f"hll_sketch_estimate({args[0]})"
+                if approx
+                else f"CAST(size({args[0]}) AS BIGINT)"
+            )
         elif fn == "approx_count_distinct" and len(args) == 1:
-            rep = f"count(DISTINCT {args[0]})"
+            rep = (
+                f"approx_count_distinct({args[0]})"
+                if approx
+                else f"count(DISTINCT {args[0]})"
+            )
         if rep is None:
             continue
         out.append(sql[pos:start])
@@ -1959,18 +1991,263 @@ _TEMP_FN_RE = re.compile(
 )
 
 
+# --- JavaScript UDF translation (BigQuery LANGUAGE js) ---------------------
+#
+# BigQuery UDFs may be written in JavaScript (ref bq_script_executor.py:
+# 26-36 runs arbitrary user scripts). Spark has no JS engine, but the
+# overwhelmingly common JS UDF shape is a single `return <expression>;`
+# over arithmetic / string builtins — mechanically expressible in SQL.
+# `_js_body_to_sql` translates that subset (Math.*, String methods,
+# ternaries, ===/&&/||, string +); anything beyond it raises a TARGETED
+# error naming the construct and the SQL-UDF alternative.
+#
+# Documented divergences from real JS (loudly narrow, never silent):
+# - `.replace(a, b)` replaces ALL occurrences (SQL replace), JS replaces
+#   only the first for string patterns.
+# - `+` becomes string concatenation only when a string literal is
+#   adjacent; `a + b` over string-typed *parameters* stays numeric.
+
+_JS_SQL_WORDS = {
+    # emitted by the translator / SQL keywords valid in a UDF body
+    "IF", "AND", "OR", "NOT", "IS", "NULL", "TRUE", "FALSE", "CAST", "AS",
+    "STRING", "DOUBLE", "BIGINT", "upper", "lower", "length", "substring",
+    "instr", "contains", "startswith", "endswith", "replace", "concat",
+    "power", "abs", "floor", "ceil", "round", "sqrt", "greatest", "least",
+    "ln", "exp", "trim", "sign", "mod",
+}
+
+_JS_MATH_FNS = {
+    "abs": "abs", "floor": "floor", "ceil": "ceil", "round": "round",
+    "sqrt": "sqrt", "pow": "power", "max": "greatest", "min": "least",
+    "log": "ln", "exp": "exp", "sign": "sign", "trunc": "cast",
+}
+
+
+class JsUdfError(ValueError):
+    def __init__(self, detail: str):
+        super().__init__(
+            "JavaScript UDF body is outside the translatable subset "
+            f"({detail}). Rewrite it as a SQL-expression UDF: "
+            "CREATE TEMP FUNCTION f(...) AS (<SQL expression>) — the "
+            "engine compiles those natively (see _rewrite_temp_function)."
+        )
+
+
+def _js_ternary_to_if(e: str) -> str:
+    """Top-level ``c ? a : b`` -> ``IF(c, a, b)`` (nesting-aware)."""
+    depth = 0
+    for i, ch in enumerate(e):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "?" and depth == 0:
+            want = 1
+            d2 = 0
+            for j in range(i + 1, len(e)):
+                cj = e[j]
+                if cj == "(":
+                    d2 += 1
+                elif cj == ")":
+                    d2 -= 1
+                elif cj == "?" and d2 == 0:
+                    want += 1
+                elif cj == ":" and d2 == 0:
+                    want -= 1
+                    if want == 0:
+                        return (
+                            f"IF({_js_ternary_to_if(e[:i]).strip()}, "
+                            f"{_js_ternary_to_if(e[i + 1:j]).strip()}, "
+                            f"{_js_ternary_to_if(e[j + 1:]).strip()})"
+                        )
+            raise JsUdfError("unbalanced ternary ?:")
+    return e
+
+
+def _js_body_to_sql(body: str, param_names: list[str]) -> str:
+    """Translate a single-return JS UDF body to a SQL expression, or
+    raise ``JsUdfError`` naming the unsupported construct."""
+    b = body.strip()
+    m = re.fullmatch(r"return\s+(.*?)\s*;?", b, re.DOTALL)
+    if not m:
+        raise JsUdfError(
+            "only a single `return <expression>;` body is supported"
+        )
+    e = m.group(1)
+
+    # 1. protect string literals (JS ' or ") as \x00i\x00 placeholders
+    lits: list[str] = []
+
+    def _take(mm):
+        s = mm.group(0)[1:-1]
+        lits.append("'" + s.replace("\\'", "'").replace("'", "''") + "'")
+        return f"\x00{len(lits) - 1}\x00"
+
+    e = re.sub(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"", _take, e)
+    if "`" in e:
+        raise JsUdfError("template literals (`...`) are not supported")
+
+    # 2. ternaries -> IF()
+    e = _js_ternary_to_if(e)
+
+    # 3. Math.* and global conversion functions
+    def _math(mm):
+        fn = _JS_MATH_FNS.get(mm.group(1))
+        if fn is None:
+            raise JsUdfError(f"Math.{mm.group(1)} is not supported")
+        return "cast_bigint" if fn == "cast" else fn
+
+    e = re.sub(r"\bMath\s*\.\s*(\w+)(?=\s*\()", _math, e)
+    e = re.sub(r"\bString\s*\(", "cast_string(", e)
+    e = re.sub(r"\b(?:Number|parseFloat)\s*\(", "cast_double(", e)
+    e = re.sub(r"\bparseInt\s*\(", "cast_bigint(", e)
+
+    # 4. method calls / .length on simple receivers (identifier or a
+    #    single call result), innermost-first until fixpoint
+    recv = r"([A-Za-z_$][\w$]*(?:\s*\((?:[^()]|\([^()]*\))*\))?)"
+    meth0 = {
+        "toUpperCase": "upper({r})", "toLowerCase": "lower({r})",
+        "trim": "trim({r})", "toString": "cast_string({r})",
+    }
+    while True:
+        prev = e
+
+        def _m0(mm):
+            t = meth0.get(mm.group(2))
+            if t is None:
+                return mm.group(0)
+            return t.format(r=mm.group(1))
+
+        e = re.sub(recv + r"\s*\.\s*(\w+)\s*\(\s*\)", _m0, e)
+        e = re.sub(
+            recv + r"\s*\.\s*charAt\s*\(((?:[^()]|\([^()]*\))*)\)",
+            r"substring(\1, (\2) + 1, 1)", e,
+        )
+        e = re.sub(
+            recv + r"\s*\.\s*substring\s*\(((?:[^()]|\([^()]*\))*),"
+            r"((?:[^()]|\([^()]*\))*)\)",
+            r"substring(\1, (\2) + 1, (\3) - (\2))", e,
+        )
+        e = re.sub(
+            recv + r"\s*\.\s*substring\s*\(((?:[^()]|\([^()]*\))*)\)",
+            r"substring(\1, (\2) + 1)", e,
+        )
+        e = re.sub(
+            recv + r"\s*\.\s*indexOf\s*\(((?:[^()]|\([^()]*\))*)\)",
+            r"(instr(\1, \2) - 1)", e,
+        )
+        for js, sqlfn in (
+            ("includes", "contains"), ("startsWith", "startswith"),
+            ("endsWith", "endswith"), ("concat", "concat"),
+        ):
+            e = re.sub(
+                recv + r"\s*\.\s*" + js + r"\s*\(((?:[^()]|\([^()]*\))*)\)",
+                sqlfn + r"(\1, \2)", e,
+            )
+        e = re.sub(
+            recv + r"\s*\.\s*replace\s*\(((?:[^()]|\([^()]*\))*),"
+            r"((?:[^()]|\([^()]*\))*)\)",
+            r"replace(\1, \2, \3)", e,
+        )
+        e = re.sub(recv + r"\s*\.\s*length\b(?!\s*\()", r"length(\1)", e)
+        if e == prev:
+            break
+    if re.search(r"\.\s*\w", e):
+        mm = re.search(r"\.\s*(\w+)", e)
+        raise JsUdfError(f"method/property .{mm.group(1)} is not supported")
+
+    # 5. operators (null comparisons first: JS `x === null` is SQL
+    #    `x IS NULL`, not the never-true `x = NULL`)
+    e = re.sub(
+        r"([\w$)\x00]+)\s*(?:===|==)\s*(?:null|undefined)\b",
+        r"\1 IS NULL", e,
+    )
+    e = re.sub(
+        r"([\w$)\x00]+)\s*(?:!==|!=)\s*(?:null|undefined)\b",
+        r"\1 IS NOT NULL", e,
+    )
+    e = re.sub(r"!==", "<>", e)
+    e = re.sub(r"===", "=", e)
+    e = re.sub(r"!=", "<>", e)
+    e = re.sub(r"==", "=", e)
+    e = re.sub(r"&&", " AND ", e)
+    e = re.sub(r"\|\|", " OR ", e)
+    e = re.sub(r"!(?=[\s(\w\x00])", " NOT ", e)
+    e = re.sub(r"\bnull\b|\bundefined\b", "NULL", e)
+    e = re.sub(r"\btrue\b", "TRUE", e)
+    e = re.sub(r"\bfalse\b", "FALSE", e)
+
+    # 6. `+` adjacent to a string literal = JS concatenation
+    e = re.sub(r"\+(\s*\x00\d+\x00)", r"||\1", e)
+    e = re.sub(r"(\x00\d+\x00\s*)\+", r"\1||", e)
+
+    # 7. the typed-cast pseudo functions
+    e = re.sub(r"\bcast_string\s*\(", "CAST_S(", e)
+    e = re.sub(r"\bcast_double\s*\(", "CAST_D(", e)
+    e = re.sub(r"\bcast_bigint\s*\(", "CAST_B(", e)
+    for tag, t in (("CAST_S", "STRING"), ("CAST_D", "DOUBLE"), ("CAST_B", "BIGINT")):
+        while tag + "(" in e:
+            i = e.index(tag + "(")
+            end = _balanced_end(e, i + len(tag))
+            if end < 0:
+                raise JsUdfError("unbalanced parentheses")
+            inner = e[i + len(tag) + 1 : end - 1]
+            e = e[:i] + f"CAST({inner} AS {t})" + e[end:]
+
+    # 8. validate every remaining identifier
+    for w in set(re.findall(r"[A-Za-z_$][\w$]*", e)):
+        if w in _JS_SQL_WORDS or w in param_names:
+            continue
+        raise JsUdfError(f"identifier or construct `{w}` is not supported")
+
+    # 9. restore string literals
+    return re.sub(r"\x00(\d+)\x00", lambda mm: lits[int(mm.group(1))], e)
+
+
+_JS_FN_RE = re.compile(
+    r"\bLANGUAGE\s+js\s*(?:OPTIONS\s*\([^)]*\)\s*)?AS\s+r?(\"\"\"|'''|\"|')",
+    re.IGNORECASE,
+)
+
+
 def _rewrite_temp_function(sql: str) -> str:
     """BigQuery ``CREATE TEMP FUNCTION f(a INT64) [RETURNS T] AS (expr)``
     -> Spark 4 SQL UDF ``CREATE OR REPLACE TEMPORARY FUNCTION f(a BIGINT)
     [RETURNS T'] RETURN expr`` (the reference's BQScriptExecutor
     explicitly supports scripts that create UDFs,
-    ref: bq_script_executor.py:26-36). JS UDFs have no Spark analogue."""
+    ref: bq_script_executor.py:26-36). ``LANGUAGE js`` bodies are
+    translated through ``_js_body_to_sql`` when they fit the
+    single-return arithmetic/string subset; otherwise ``JsUdfError``
+    names the construct and the SQL-UDF alternative."""
     m = _TEMP_FN_RE.match(sql)
     if not m:
         return sql
-    if re.search(r"\bLANGUAGE\s+js\b", sql, re.IGNORECASE):
-        raise ValueError(
-            "JavaScript UDFs are not supported (SQL-expression UDFs only)"
+    mjs = _JS_FN_RE.search(sql)
+    if mjs:
+        name = m.group(1).strip("`").replace(".", "__")
+        open_idx = sql.index("(", m.end() - 1)
+        params_end = _balanced_end(sql, open_idx)
+        if params_end < 0:
+            return sql
+        params = _map_bq_types(sql[open_idx + 1 : params_end - 1])
+        param_names = re.findall(r"([A-Za-z_$][\w$]*)\s+\w", params)
+        m_ret = re.search(
+            r"RETURNS\s+(.+?)\s+(?:LANGUAGE|OPTIONS)\b",
+            sql[params_end:],
+            re.IGNORECASE | re.DOTALL,
+        )
+        returns = (
+            f" RETURNS {_map_bq_types(m_ret.group(1).strip())}" if m_ret else ""
+        )
+        delim = mjs.group(1)
+        body_start = mjs.end()
+        body_end = sql.find(delim, body_start)
+        if body_end < 0:
+            raise JsUdfError("unterminated JS body string")
+        body_sql = _js_body_to_sql(sql[body_start:body_end], param_names)
+        return (
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params})"
+            f"{returns} RETURN {body_sql}"
         )
     name = m.group(1).strip("`").replace(".", "__")
     open_idx = sql.index("(", m.end() - 1)
@@ -2013,12 +2290,16 @@ def _rewrite_create_view(sql: str) -> str:
     )
 
 
-def transpile_statement(sql: str, resolver=None) -> str:
+def transpile_statement(sql: str, resolver=None, approx_sketches: bool = False) -> str:
     """Apply all BigQuery->Spark rewrites to one statement.
 
     ``resolver(table_id) -> view_name`` materializes wildcard-shard and
     ``__TABLES_SUMMARY__`` relations (supplied by the executor's
-    catalog; defaults to a pure name mapping)."""
+    catalog; defaults to a pure name mapping).
+
+    ``approx_sketches`` routes the HLL_COUNT/APPROX_COUNT_DISTINCT
+    family to Spark's constant-memory DataSketches builtins instead of
+    the exact-set algebra (see ``_rewrite_hll_family``)."""
     out = sql
     out = _rewrite_temp_function(out)
     out = _rewrite_create_view(out)
@@ -2068,7 +2349,7 @@ def transpile_statement(sql: str, resolver=None) -> str:
     out = _rewrite_parse_datetime(out)
     out = _rewrite_arith_fns(out)
     out = _rewrite_split(out)
-    out = _rewrite_hll_family(out)
+    out = _rewrite_hll_family(out, approx_sketches)
     out = _rewrite_approx_quantiles(out)
     out = _rewrite_misc_fns(out)
     out = _rewrite_ml_scalers(out)

@@ -6,9 +6,11 @@ substitutes **Holt's linear exponential smoothing** (level + trend,
 fixed alpha/beta) — a classical forecaster whose fit is a single
 deterministic left fold over each ordered series, so the whole path is
 reproducible in ANSI SQL and the DuckDB oracle certifies forecasts
-value-for-value. Documented divergence: no seasonality/holiday/anomaly
-decomposition, no prediction intervals (``standard_error`` is omitted
-from the output).
+value-for-value — including the prediction intervals (additive-error
+bands, +/- z * sigma * sqrt(h) from the fit's one-step residual RMSE).
+Documented divergence: no seasonality/holiday/anomaly decomposition;
+interval widths come from Holt's additive-error model, not BigQuery's
+ARIMA ensemble quantiles.
 
 Execution shape: fitting is ONE groupBy(series) with a JVM-side
 ``array_sort`` + ``aggregate`` fold — no Python, no per-series jobs;
@@ -113,35 +115,64 @@ def fit_holt_state(
     ]
 
 
+FORECAST_CONFIDENCE_LEVEL = 0.95
+FORECAST_Z = 1.96  # two-sided 95% normal quantile
+
+
 def forecast_frame(
     spark: SparkSession, state: list[dict], horizon: int
 ) -> DataFrame:
     """Expand the per-series state into h forecast rows each:
-    (series_id, step, forecast_ts_us, forecast_value)."""
+    (series_id, step, forecast_ts_us, forecast_value, standard_error,
+    confidence_level, prediction_interval_lower_bound, ..._upper_bound).
+
+    Intervals are Holt's additive-error bands: the one-step residual
+    RMSE from the fit grows with sqrt(h), bounds are forecast +/- z *
+    sigma * sqrt(h) — deterministic arithmetic over the fit state, so
+    the DuckDB oracle certifies the bounds value-for-value (BigQuery's
+    ML.FORECAST emits the same four interval columns)."""
     st = spark.createDataFrame(
         [
-            (s["series_id"], s["level"], s["trend"], s["last_us"], s["iv_us"])
+            (
+                s["series_id"],
+                s["level"],
+                s["trend"],
+                s["sse"],
+                s["last_us"],
+                s["iv_us"],
+                s["n_obs"],
+            )
             for s in state
         ],
-        "series_id string, level double, trend double, "
-        "last_us bigint, iv_us bigint",
+        "series_id string, level double, trend double, sse double, "
+        "last_us bigint, iv_us bigint, n_obs bigint",
     )
+    point = F.col("level") + F.col("step") * F.col("trend")
+    se = F.sqrt(F.col("sse") / (F.col("n_obs") - 1)) * F.sqrt(F.col("step"))
     return st.select(
         "series_id",
         F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("step"),
         "level",
         "trend",
+        "sse",
         "last_us",
         "iv_us",
+        "n_obs",
     ).select(
         "series_id",
         "step",
         (F.col("last_us") + F.col("step") * F.col("iv_us")).alias(
             "forecast_ts_us"
         ),
-        F.round(
-            F.col("level") + F.col("step") * F.col("trend"), 6
-        ).alias("forecast_value"),
+        F.round(point, 6).alias("forecast_value"),
+        F.round(se, 6).alias("standard_error"),
+        F.lit(FORECAST_CONFIDENCE_LEVEL).alias("confidence_level"),
+        F.round(point - F.lit(FORECAST_Z) * se, 6).alias(
+            "prediction_interval_lower_bound"
+        ),
+        F.round(point + F.lit(FORECAST_Z) * se, 6).alias(
+            "prediction_interval_upper_bound"
+        ),
     )
 
 

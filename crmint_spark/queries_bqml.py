@@ -435,7 +435,9 @@ def bqml_arima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(SUM(value), 6) AS y
       FROM events GROUP BY event_type, day
     );
-    SELECT series_id, step, forecast_ts_us, forecast_value
+    SELECT series_id, step, forecast_ts_us, forecast_value,
+           standard_error, confidence_level,
+           prediction_interval_lower_bound, prediction_interval_upper_bound
     FROM ML.FORECAST(MODEL `p.d.rev_forecast`, STRUCT(5 AS horizon))
     """
     w = SparkSQLExecutor(
@@ -450,11 +452,12 @@ WITH daily AS (
   SELECT event_type, date_trunc('day', ts) AS day, ROUND(SUM(value), 6) AS y
   FROM events GROUP BY 1, 2
 ), pts AS (
-  -- accumulator is a 2-list [level, trend]: a struct accumulator hits a
-  -- DuckDB 1.0 in-place aliasing quirk where acc.<field> rebinds to the
-  -- field just computed within the same struct_pack
+  -- accumulator is a 3-list [level, trend, sse]: a struct accumulator
+  -- hits a DuckDB 1.0 in-place aliasing quirk where acc.<field> rebinds
+  -- to the field just computed within the same struct_pack
   SELECT event_type,
-         list([CAST(y AS DOUBLE), CAST(0.0 AS DOUBLE)] ORDER BY day) AS st,
+         list([CAST(y AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]
+              ORDER BY day) AS st,
          list(epoch_us(day) ORDER BY day) AS tus
   FROM daily GROUP BY 1
 ), fitted AS (
@@ -462,15 +465,24 @@ WITH daily AS (
          list_reduce(st, (acc, x) ->
             [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
              0.3 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
-             + 0.7 * acc[2]]) AS f,
+             + 0.7 * acc[2],
+             acc[3] + (x[1] - (acc[1] + acc[2])) * (x[1] - (acc[1] + acc[2]))
+            ]) AS f,
          tus[-1] AS last_us,
-         (tus[-1] - tus[1]) // (len(tus) - 1) AS iv
+         (tus[-1] - tus[1]) // (len(tus) - 1) AS iv,
+         len(tus) AS n
   FROM pts WHERE len(tus) >= 2
 )
 SELECT event_type AS series_id,
        CAST(h AS INT) AS step,
        last_us + h * iv AS forecast_ts_us,
-       ROUND(f[1] + h * f[2], 6) AS forecast_value
+       ROUND(f[1] + h * f[2], 6) AS forecast_value,
+       ROUND(sqrt(f[3] / (n - 1)) * sqrt(h), 6) AS standard_error,
+       CAST(0.95 AS DOUBLE) AS confidence_level,
+       ROUND((f[1] + h * f[2]) - 1.96 * (sqrt(f[3] / (n - 1)) * sqrt(h)), 6)
+         AS prediction_interval_lower_bound,
+       ROUND((f[1] + h * f[2]) + 1.96 * (sqrt(f[3] / (n - 1)) * sqrt(h)), 6)
+         AS prediction_interval_upper_bound
 FROM fitted, UNNEST(range(1, 6)) AS t(h)
 """
 

@@ -50,6 +50,11 @@ class SparkSQLExecutor(Worker):
     PARAMS = [
         ("script", "sql", True, "", "SQL script"),
         ("dry_run", "boolean", True, False, "Dry run"),
+        # scale path: route HLL_COUNT.* / APPROX_COUNT_DISTINCT to
+        # Spark's constant-memory DataSketches builtins instead of the
+        # exact-set algebra (bounded memory at 100 TB cardinalities;
+        # estimates carry standard HLL error instead of being exact)
+        ("approx_sketches", "boolean", False, False, "Approximate sketches"),
     ]
 
     def _model_registry(self):
@@ -111,7 +116,9 @@ class SparkSQLExecutor(Worker):
                     raise WorkerException(str(e)) from None
                 if dml is not None and self._try_dml(dml, resolver):
                     continue
-            stmt = transpile_statement(sub, resolver)
+            stmt = transpile_statement(
+                sub, resolver, approx_sketches=self._params["approx_sketches"]
+            )
             if self._params["dry_run"]:
                 self._dry_run_statement(spark, stmt)
                 continue

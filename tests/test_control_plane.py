@@ -147,9 +147,20 @@ def test_transpile_temp_function_and_view():
     )
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="JavaScript"):
+    # simple single-return JS bodies are translated to SQL UDFs
+    out = dialect.transpile_statement(
+        'CREATE TEMP FUNCTION j(x INT64) RETURNS INT64 LANGUAGE js AS "return x"'
+    )
+    assert out == (
+        "CREATE OR REPLACE TEMPORARY FUNCTION j(x BIGINT)"
+        " RETURNS BIGINT RETURN x"
+    )
+    # bodies beyond the subset raise a targeted error naming the
+    # construct and the SQL-UDF alternative
+    with _pytest.raises(ValueError, match="SQL-expression UDF"):
         dialect.transpile_statement(
-            'CREATE TEMP FUNCTION j(x INT64) RETURNS INT64 LANGUAGE js AS "return x"'
+            "CREATE TEMP FUNCTION j(x INT64) RETURNS INT64 LANGUAGE js AS "
+            '"for (var i = 0; i < x; i++) {} return i"'
         )
     out = dialect.transpile_statement(
         "CREATE OR REPLACE VIEW `p.d.v` AS SELECT 1 AS a"

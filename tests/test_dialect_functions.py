@@ -589,6 +589,85 @@ def test_hll_family_rewrites(spark):
     assert "collect_set" in stmt and "count(DISTINCT" in stmt
 
 
+def test_js_udf_translation(spark):
+    """LANGUAGE js UDFs in the single-return arithmetic/string subset
+    are translated to native SQL UDFs and evaluate correctly."""
+    cases = [
+        # (js body, params sql, call args, expected)
+        ("return a + b;", "a FLOAT64, b FLOAT64", "2.0, 3.0", 5.0),
+        ("return Math.pow(a, 2) + Math.abs(b);", "a FLOAT64, b FLOAT64", "3.0, -4.0", 13.0),
+        ("return a > b ? a : b;", "a INT64, b INT64", "7, 9", 9),
+        (
+            "return s.toUpperCase().trim();",
+            "s STRING", "' spark '", "SPARK",
+        ),
+        ("return s.length;", "s STRING", "'abcd'", 4),
+        ("return s.substring(1, 3);", "s STRING", "'abcdef'", "bc"),
+        ("return s.indexOf('c');", "s STRING", "'abc'", 2),
+        ("return s.includes('b') && !s.startsWith('z');", "s STRING", "'abc'", True),
+        ("return 'id-' + String(x);", "x INT64", "42", "id-42"),
+        ("return parseInt(s) * 2;", "s STRING", "'21'", 42),
+        (
+            "return x === null ? 'none' : 'some';",
+            "x STRING", "CAST(NULL AS STRING)", "none",
+        ),
+        ("return s.replace('a', 'o');", "s STRING", "'banana'", "bonono"),
+    ]
+    for i, (body, params, args, expected) in enumerate(cases):
+        stmt = transpile_statement(
+            f"CREATE TEMP FUNCTION jf{i}({params}) LANGUAGE js AS "
+            f"'''{body}'''"
+        )
+        spark.sql(stmt)
+        got = spark.sql(f"SELECT jf{i}({args}) AS v").first()["v"]
+        assert got == expected, (body, got, expected)
+
+
+def test_js_udf_untranslatable_errors():
+    """Constructs beyond the subset fail with a targeted message."""
+    for body, needle in [
+        ("var t = 0; return t;", "single `return"),
+        ("return JSON.parse(s).a;", "JSON"),
+        ("return `tpl ${s}`;", "template literals"),
+        ("return s.match(/x/);", "not supported"),
+    ]:
+        with pytest.raises(ValueError, match="SQL-expression UDF"):
+            transpile_statement(
+                "CREATE TEMP FUNCTION f(s STRING) RETURNS STRING "
+                f"LANGUAGE js AS '''{body}'''"
+            )
+
+
+def test_hll_approx_scale_path(spark):
+    """approx_sketches=True routes the HLL family to Spark's
+    DataSketches builtins (constant memory per group); the estimates
+    must agree with the exact-set default within HLL error bounds
+    (~1.6% at default lgConfigK=12; 5% margin here)."""
+    q = (
+        "SELECT APPROX_COUNT_DISTINCT(x) AS acd, "
+        "HLL_COUNT.MERGE(s) AS m, "
+        "HLL_COUNT.EXTRACT(HLL_COUNT.MERGE_PARTIAL(s)) AS mp "
+        "FROM (SELECT x, HLL_COUNT.INIT(x) AS s FROM "
+        "(SELECT id % 1000 AS x, id % 7 AS g FROM range(20000)) "
+        "GROUP BY g, x) "
+    )
+    exact = spark.sql(transpile_statement(q)).first()
+    assert (exact["acd"], exact["m"], exact["mp"]) == (1000, 1000, 1000)
+    stmt = transpile_statement(q, approx_sketches=True)
+    assert "hll_sketch_agg" in stmt and "hll_union_agg" in stmt
+    assert "collect_set" not in stmt
+    approx = spark.sql(stmt).first()
+    for k in ("acd", "m", "mp"):
+        assert abs(approx[k] - 1000) <= 50, (k, approx[k])
+    # precision argument maps onto lgConfigK (clamped)
+    stmt2 = transpile_statement(
+        "SELECT HLL_COUNT.EXTRACT(HLL_COUNT.INIT(x, 15)) AS c "
+        "FROM (SELECT id AS x FROM range(500))",
+        approx_sketches=True,
+    )
+    assert abs(spark.sql(stmt2).first()["c"] - 500) <= 25
+
+
 def test_contains_substr_and_json_arrays(spark):
     stmt = transpile_statement(
         "SELECT CONTAINS_SUBSTR('Hello World', 'WORLD') AS a, "

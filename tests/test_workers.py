@@ -52,6 +52,29 @@ def test_sql_executor_script_with_declare_set(ctx):
     assert rows == {(1, "a"), (2, "b")}
 
 
+def test_sql_executor_approx_sketches_option(ctx):
+    """The approx_sketches script option swaps the HLL family from the
+    exact-set algebra to DataSketches aggregates end-to-end; the
+    estimate stays within HLL error of the exact answer."""
+    rows = [(i % 500,) for i in range(5000)]
+    _seed_table(ctx, "p.d.hll_src", rows, "x long")
+    view = ctx.catalog.register("p.d.hll_src")
+    script = (
+        f"SELECT HLL_COUNT.MERGE(s) AS m FROM "
+        f"(SELECT x % 7 AS g, HLL_COUNT.INIT(x) AS s FROM {view} GROUP BY x % 7)"
+    )
+    exact = find_worker("BQScriptExecutor")(
+        {"script": script, "dry_run": False}, ctx
+    )
+    exact.execute()
+    assert exact.result.first()["m"] == 500
+    approx = find_worker("BQScriptExecutor")(
+        {"script": script, "dry_run": False, "approx_sketches": True}, ctx
+    )
+    approx.execute()
+    assert abs(approx.result.first()["m"] - 500) <= 25
+
+
 def test_sql_executor_dry_run_and_empty(ctx):
     _seed_table(ctx, "p.d.src2", [(1,)], "id long")
     view = ctx.catalog.register("p.d.src2")
