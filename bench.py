@@ -75,6 +75,31 @@ HEADLINE = [
     "bqml_arima_forecast",
 ]
 
+# Secondary tier: oracle-backed entries with no headline presence, so
+# perf drift there stays visible (VERDICT r3 directive #7). Timed ONCE
+# each with no per-query warmup — a drift tripwire, not a headline
+# claim, so the numbers are first-run latencies.
+SECONDARY = [
+    "q33_script_udf_view",
+    "q37_pivot_unpivot",
+    "q39_cohort_retention",
+    "q40_funnel",
+    "q41_gapfill_ffill",
+    "q42_rolling_range",
+    "q43_recursive_closure",
+    "q44_bq_functions3",
+    "q46_cooccurrence_lift",
+    "q47_daily_anomalies",
+    "q49_revenue_histogram",
+    "q52_profile_columns",
+    "q54_holdout_uplift",
+    "dedup_clusters_star_small",
+    "semantic_dedup_small",
+    "corpus_bpe_merges_small",
+    "embedding_pq_codes",
+    "ann_pq_adc_topk",
+]
+
 
 def main() -> None:
     spark = get_spark("crmint-spark-bench", cpus=CPUS)
@@ -113,6 +138,19 @@ def main() -> None:
         timings[name] = dt
         total += dt
 
+    secondary: dict[str, float] = {}
+    sec_total = 0.0
+    for name in (n for n in SECONDARY if n in QUERIES):
+        t0 = time.perf_counter()
+        try:
+            QUERIES[name](spark, SF_DIR).count()
+        except Exception:
+            secondary[name] = -1.0
+            continue
+        dt = round(time.perf_counter() - t0, 3)
+        secondary[name] = dt
+        sec_total += dt
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -122,6 +160,8 @@ def main() -> None:
                 "unit": "sec",
                 "mode": "cold" if cold else "steady_state",
                 "queries": timings,
+                "secondary": secondary,
+                "secondary_seconds": round(sec_total, 3),
                 "sf": float(sf) if sf else None,
             }
         )

@@ -697,14 +697,20 @@ _FN_RENAMES: list[tuple[str, str]] = [
     ("TO_BASE64", "base64"),
     ("FROM_BASE64", "unbase64"),
     ("FROM_HEX", "unhex"),
+    ("JSON_KEYS", "json_object_keys"),
+    ("IS_NAN", "isnan"),
+    # same 3-arg (start, stop, INTERVAL step) shape as Spark sequence
+    ("GENERATE_TIMESTAMP_ARRAY", "sequence"),
 ]
 
 
 def _rewrite_misc_fns(sql: str) -> str:
     """Structural rewrites for BigQuery functions with no same-shape
     Spark twin: NET.* URL helpers, code-point conversions, Unicode
-    normalization, RANGE_BUCKET, and 3/4-arg INSTR (argument order and
-    occurrence/backward-search semantics differ)."""
+    normalization, RANGE_BUCKET, 3/4-arg INSTR (argument order and
+    occurrence/backward-search semantics differ), EDIT_DISTANCE /
+    IS_INF / byte decoding, vector COSINE/EUCLIDEAN_DISTANCE (HOF
+    folds), and APPROX_TOP_COUNT/SUM (exact top-k pair algebra)."""
     out: list[str] = []
     pos = 0
     for start, open_idx, end, fn in _iter_calls(
@@ -726,6 +732,13 @@ def _rewrite_misc_fns(sql: str) -> str:
             "JSON_EXTRACT_ARRAY",
             "JSON_QUERY_ARRAY",
             "JSON_VALUE_ARRAY",
+            "EDIT_DISTANCE",
+            "IS_INF",
+            "SAFE_CONVERT_BYTES_TO_STRING",
+            "COSINE_DISTANCE",
+            "EUCLIDEAN_DISTANCE",
+            "APPROX_TOP_COUNT",
+            "APPROX_TOP_SUM",
         ),
     ):
         args = [
@@ -866,6 +879,73 @@ def _rewrite_misc_fns(sql: str) -> str:
                 f"ELSE transform(sequence(0, {jal} - 1), "
                 f"__i -> get_json_object({j}, "
                 f"concat({path}, '[', __i, ']'))) END)"
+            )
+        elif fn == "edit_distance" and len(args) in (2, 3):
+            # BigQuery caps the result at max_distance (3rd arg, also
+            # spelled `max_distance => d`)
+            if len(args) == 2:
+                rep = f"levenshtein({args[0]}, {args[1]})"
+            else:
+                d = re.sub(
+                    r"^max_distance\s*=>\s*", "", args[2], flags=re.IGNORECASE
+                )
+                rep = f"least(levenshtein({args[0]}, {args[1]}), {d})"
+        elif fn == "is_inf" and len(args) == 1:
+            rep = f"(abs({args[0]}) = CAST('Infinity' AS DOUBLE))"
+        elif fn == "safe_convert_bytes_to_string" and len(args) == 1:
+            # Spark decode replaces invalid UTF-8 with U+FFFD — the same
+            # lenient contract as BigQuery's SAFE_CONVERT
+            rep = f"decode({args[0]}, 'UTF-8')"
+        elif fn == "cosine_distance" and len(args) == 2:
+            a, b = args
+            dot = (
+                f"aggregate(zip_with({a}, {b}, (__x, __y) -> "
+                f"CAST(__x AS DOUBLE) * CAST(__y AS DOUBLE)), "
+                f"CAST(0.0 AS DOUBLE), (__acc, __z) -> __acc + __z)"
+            )
+            na = (
+                f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (__acc, __z) -> "
+                f"__acc + CAST(__z AS DOUBLE) * CAST(__z AS DOUBLE)))"
+            )
+            nb = (
+                f"sqrt(aggregate({b}, CAST(0.0 AS DOUBLE), (__acc, __z) -> "
+                f"__acc + CAST(__z AS DOUBLE) * CAST(__z AS DOUBLE)))"
+            )
+            rep = f"(CAST(1.0 AS DOUBLE) - {dot} / ({na} * {nb}))"
+        elif fn == "euclidean_distance" and len(args) == 2:
+            a, b = args
+            rep = (
+                f"sqrt(aggregate(zip_with({a}, {b}, (__x, __y) -> "
+                f"(CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE)) * "
+                f"(CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE))), "
+                f"CAST(0.0 AS DOUBLE), (__acc, __z) -> __acc + __z))"
+            )
+        elif fn == "approx_top_count" and len(args) == 2:
+            # exact top-k (value, count) pairs — BigQuery's contract is
+            # "approximate top k"; the zero-error answer satisfies it and
+            # is oracle-reproducible. Ties break by value ASC
+            # (deterministic; BigQuery's tie order is unspecified).
+            # Catalyst dedupes the repeated collect_list aggregate into
+            # one buffer; memory is the group's distinct set — the same
+            # exact-vs-sketch tradeoff as the HLL family default.
+            x, k = args
+            cl = f"collect_list({x})"
+            rep = (
+                f"transform(slice(array_sort(transform(array_distinct({cl}), "
+                f"__v -> struct(-size(filter({cl}, __e -> __e = __v)) AS c, "
+                f"__v AS v))), 1, {k}), "
+                f"__s -> struct(__s.v AS value, CAST(-__s.c AS BIGINT) AS count))"
+            )
+        elif fn == "approx_top_sum" and len(args) == 3:
+            x, w, k = args
+            cl = f"collect_list(struct({x} AS x, CAST({w} AS DOUBLE) AS w))"
+            rep = (
+                f"transform(slice(array_sort(transform("
+                f"array_distinct(transform({cl}, __p -> __p.x)), "
+                f"__v -> struct(-aggregate(filter({cl}, __p -> __p.x = __v), "
+                f"CAST(0.0 AS DOUBLE), (__a, __p) -> __a + __p.w) AS s, "
+                f"__v AS v))), 1, {k}), "
+                f"__s -> struct(__s.v AS value, -__s.s AS sum))"
             )
         if rep is None:
             continue

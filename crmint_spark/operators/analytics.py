@@ -884,19 +884,35 @@ ANALYTICS_QUERIES["q51_psi_drift"] = (psi_drift, PSI_SQL)
 PROFILE_COLS = ("l_quantity", "l_discount", "l_tax", "l_returnflag")
 
 
-def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+def profile_columns(
+    spark: SparkSession, sf_dir: str, scale_path: bool | None = None
+) -> DataFrame:
     """Per-column data-quality profile of a fact table (the summary a
     pipeline health check materializes after each load): null count,
     distinct count, min/max as strings. One aggregate pass computes all
     columns' stats together (no per-column scans); the stats unpivot to
-    one row per column on the k-row result."""
+    one row per column on the k-row result.
+
+    Scale path: k exact COUNT(DISTINCT) in one aggregate makes Catalyst
+    Expand-multiply the input k-fold (every row re-emitted once per
+    distinct aggregate) — a k*N shuffle at 100 TB. Above
+    SCALE_ROW_THRESHOLD footer rows the profiler swaps to
+    approx_count_distinct (HLL++, one pass, no Expand, ~2% error — the
+    usual contract for a profile readout); the exact form stays the
+    sub-threshold oracle path (test_scale_bounds asserts the no-Expand
+    plan)."""
     li = load(spark, sf_dir, "lineitem")
+    approx = _use_scale_path(sf_dir, "lineitem", scale_path)
     aggs = []
     for c in PROFILE_COLS:
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.count_if(F.col(c).isNull()).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
+            (
+                F.approx_count_distinct(c)
+                if approx
+                else F.countDistinct(c)
+            ).alias(f"{c}__distinct"),
             F.min(F.col(c).cast("string")).alias(f"{c}__min"),
             F.max(F.col(c).cast("string")).alias(f"{c}__max"),
         ]

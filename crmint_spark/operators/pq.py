@@ -1,0 +1,331 @@
+"""Product quantization (PQ) over the ``embeddings`` table.
+
+PQ is the compression half of the canonical 100 TB vector-search layout
+(IVF-PQ, Jégou et al., "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011): split each d-dim vector into M subvectors, learn a
+small per-subspace codebook (K centroids), and store each vector as M
+small codes — 64 float32 dims become 4 bytes here. Query scoring is
+ADC (asymmetric distance computation): the query stays un-quantized and
+its distance to each of the M*K centroids is precomputed, so scoring a
+vector is M table lookups + adds, never a float-vector read.
+
+Spark-first shape (mirrors the deterministic-IVF design, ivf.py):
+
+- Codebook training is the same stride-seeded init + one Lloyd step as
+  the deterministic IVF quantizer, run per subspace on ``slice(v, ...)``
+  columns. Centroid state (M*K*subdim doubles) is driver-resident like
+  Spark ML KMeans; per-dim means are ROUND()ed to 6 dp so the DuckDB
+  oracle reproduces them bit-for-bit.
+- ENCODING IS MAP-ONLY: each code is an ``array_min`` argmin over the
+  literal codebook (the codebook ships inside the expression — it IS
+  the broadcast), so encoding has no join and no shuffle at any corpus
+  size — the plan is Scan -> Project.
+- ADC SCORING IS MAP-ONLY TOO: the query's M*K partial distances are
+  literals, a score is M ``element_at`` lookups summed, and top-k is a
+  single TakeOrderedAndProject.
+
+At 100 TB: store (vec_id, codes) — ~25x smaller than raw float32 —
+partitioned by an IVF coarse list (ivf.ivf_write_partitioned); a query
+prunes to probed partitions and scans codes only. Re-ranking reads raw
+vectors for the top candidates alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ivf import _dlit, _sq_l2, _SQL_SQ_L2
+
+PQ_M = 4          # subspaces
+PQ_K = 16         # codes per subspace
+PQ_DIM = 64       # corpus embedding dims (TESTDATA.md)
+PQ_SUBDIM = PQ_DIM // PQ_M
+PQ_TOP_K = 10
+PQ_QUERY_VEC_ID = 0
+
+
+def _sub(col, j: int):
+    """Subspace j of an array<double> column (1-based slice)."""
+    return F.slice(col, j * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+
+def _sub_codebook_literal(cents: list[tuple[int, list[float]]]):
+    entries = ", ".join(
+        "named_struct('code', {i}, 'c', array({cs}))".format(
+            i=int(i), cs=", ".join(_dlit(x) for x in c)
+        )
+        for i, c in cents
+    )
+    return F.expr(f"array({entries})")
+
+
+def _assign_code(sub_col, cents: list[tuple[int, list[float]]]):
+    """argmin over the literal sub-codebook, ties broken by code asc —
+    map-only (no join, no shuffle)."""
+    dist_structs = F.transform(
+        _sub_codebook_literal(cents),
+        lambda s: F.struct(
+            _sq_l2(sub_col, s["c"]).alias("d"), s["code"].alias("code")
+        ),
+    )
+    return F.array_min(dist_structs)["code"]
+
+
+def _all_centroid_rows(
+    df: DataFrame, codes_col
+) -> list[list[tuple[int, list[float]]]]:
+    """ALL M per-code mean sub-codebooks in ONE aggregation pass: the
+    posexplode carries (subspace, code, dim, val) scalars with map-side
+    combine, so the shuffle is M*K*subdim partial sums regardless of
+    corpus size; dims are rounded to 6 dp (oracle-reproducible means).
+
+    The coded projection is materialized (localCheckpoint) BEFORE the
+    explode: Catalyst otherwise inlines the M argmin expressions under
+    the generator and re-optimizes/evaluates them per exploded dim —
+    measured 6x slower. Training runs on a bounded sample at 100 TB
+    (same contract as the IVF quantizer), so the checkpoint is
+    sample-sized, never corpus-sized."""
+    coded = df.select(codes_col.alias("codes"), "v")
+    try:
+        coded = coded.localCheckpoint(eager=True)
+    except Exception:
+        coded = coded.persist()
+    exploded = coded.select(
+        "codes", F.posexplode("v").alias("dim", "val")
+    ).select(
+        (F.col("dim") / PQ_SUBDIM).cast("int").alias("sub"),
+        F.element_at("codes", (F.col("dim") / PQ_SUBDIM).cast("int") + 1).alias(
+            "code"
+        ),
+        (F.col("dim") % PQ_SUBDIM).alias("sdim"),
+        "val",
+    )
+    out = (
+        exploded.groupBy("sub", "code", "sdim")
+        .agg(F.round(F.avg("val"), 6).alias("cval"))
+        .groupBy("sub", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("sdim", "cval"))).alias("z"))
+        .select("sub", "code", F.transform("z", lambda s: s.cval).alias("c"))
+    )
+    books: list[list[tuple[int, list[float]]]] = [[] for _ in range(PQ_M)]
+    for r in out.collect():
+        books[int(r["sub"])].append(
+            (int(r["code"]), [float(x) for x in r["c"]])
+        )
+    return books
+
+
+def train_pq_codebooks(spark, sf_dir: str):
+    """-> (vecs DataFrame, [per-subspace codebook]); stride-seeded init
+    + ONE Lloyd step per subspace. The whole train is TWO jobs: one
+    k-row seeds collect, then one pass computing every subspace's
+    assignment AND all M centroid sets together (driver holds
+    M*K*subdim doubles, like Spark ML)."""
+    from ..catalog import load
+    from .similarity import _corpus_stats
+
+    emb = load(spark, sf_dir, "embeddings")
+    n, _ = _corpus_stats(spark, sf_dir)
+    stride = max(n // PQ_K, 1)
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).persist()
+    seeds = vecs.filter(
+        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < PQ_K * stride)
+    ).collect()
+    inits = [
+        [
+            (
+                int(r["vec_id"]) // stride,
+                [float(x) for x in r["v"][j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]],
+            )
+            for r in seeds
+        ]
+        for j in range(PQ_M)
+    ]
+    init_codes = F.array(
+        *[_assign_code(_sub(F.col("v"), j), inits[j]) for j in range(PQ_M)]
+    )
+    return vecs, _all_centroid_rows(vecs, init_codes)
+
+
+def encode_pq(vecs: DataFrame, books) -> DataFrame:
+    """(vec_id, label, v, codes) — ALL M codes in one map-only pass."""
+    codes = F.array(
+        *[_assign_code(_sub(F.col("v"), j), books[j]) for j in range(PQ_M)]
+    )
+    return vecs.withColumn("codes", codes)
+
+
+def embedding_pq_codes(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: the PQ-encoded corpus with per-vector
+    reconstruction error (squared L2 to the decoded centroids, summed
+    subspace-by-subspace in index order — fold order matches the
+    oracle). The plan is Scan -> Project: no join, no shuffle."""
+    vecs, books = train_pq_codebooks(spark, sf_dir)
+    enc = encode_pq(vecs, books)
+    err = None
+    for j in range(PQ_M):
+        cb = _sub_codebook_literal(books[j])
+        # look the centroid up BY code (codes need not stay dense after
+        # the Lloyd step), still map-only
+        code_j = F.element_at("codes", j + 1)
+        cent = F.element_at(
+            F.filter(cb, lambda s: s["code"] == code_j), 1
+        )["c"]
+        d = _sq_l2(_sub(F.col("v"), j), cent)
+        err = d if err is None else err + d
+    out = enc.select(
+        "vec_id",
+        F.concat_ws("-", *[F.element_at("codes", j + 1) for j in range(PQ_M)])
+        .alias("pq_code"),
+        F.round(err, 6).alias("recon_sq_err"),
+    )
+    vecs.unpersist()
+    return out
+
+
+def ann_pq_adc_topk(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: ADC top-k for the probe vector (vec_id = 0).
+    The query's M*K partial distances are literals, so scoring is M
+    element_at lookups + adds per row and the whole query is one
+    map-only pass + TakeOrderedAndProject."""
+    vecs, books = train_pq_codebooks(spark, sf_dir)
+    enc = encode_pq(vecs, books)
+    q = [
+        float(x)
+        for x in vecs.filter(F.col("vec_id") == PQ_QUERY_VEC_ID).first()["v"]
+    ]
+
+    def py_sq_l2(c, qs):
+        acc = 0.0
+        for x, y in zip(c, qs):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    adc = None
+    for j in range(PQ_M):
+        qs = q[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]
+        # partial-distance LUT keyed BY code (codes need not stay dense
+        # after the Lloyd step): a literal map, one lookup per subspace
+        pairs = ", ".join(
+            f"{int(c)}, {_dlit(py_sq_l2(v, qs))}" for c, v in books[j]
+        )
+        lut = F.expr(f"map({pairs})")
+        d = F.element_at(lut, F.element_at("codes", j + 1))
+        adc = d if adc is None else adc + d
+    out = (
+        enc.filter(F.col("vec_id") != PQ_QUERY_VEC_ID)
+        .select("vec_id", "label", F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(PQ_TOP_K)
+    )
+    vecs.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles: identical stride init + 1 Lloyd step per subspace.
+
+def _sql_sub_assign(vecs_cte: str, cent_cte: str, j: int) -> str:
+    d = _SQL_SQ_L2.format(a=f"v[{j * PQ_SUBDIM + 1}:{(j + 1) * PQ_SUBDIM}]", b="c")
+    return f"""
+  SELECT vec_id, label, v, code FROM (
+    SELECT vec_id, label, v, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, code) AS rn
+    FROM (
+      SELECT t.vec_id, t.label, t.v, s.code, {d} AS d
+      FROM {vecs_cte} t, {cent_cte} s
+    )
+  ) WHERE rn = 1
+"""
+
+
+def _sql_sub_centroids(assign_cte: str, j: int) -> str:
+    return f"""
+  SELECT code, list(cval ORDER BY dim) AS c FROM (
+    SELECT code, dim, ROUND(AVG(val), 6) AS cval
+    FROM (
+      SELECT code,
+             generate_subscripts(v[{j * PQ_SUBDIM + 1}:{(j + 1) * PQ_SUBDIM}], 1) AS dim,
+             UNNEST(v[{j * PQ_SUBDIM + 1}:{(j + 1) * PQ_SUBDIM}]) AS val
+      FROM {assign_cte}
+    ) GROUP BY code, dim
+  ) GROUP BY code
+"""
+
+
+def _sql_pq_ctes() -> str:
+    parts = [
+        f"""vecs AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), params AS (
+  SELECT GREATEST(CAST(FLOOR(COUNT(*) / {PQ_K}.0) AS BIGINT), 1) AS stride
+  FROM embeddings
+)"""
+    ]
+    for j in range(PQ_M):
+        parts.append(
+            f"""init_{j} AS (
+  SELECT CAST(vec_id / stride AS INT) AS code,
+         v[{j * PQ_SUBDIM + 1}:{(j + 1) * PQ_SUBDIM}] AS c
+  FROM vecs, params
+  WHERE vec_id % stride = 0 AND vec_id < {PQ_K} * stride
+), a_{j} AS ({_sql_sub_assign('vecs', f'init_{j}', j)}
+), cb_{j} AS ({_sql_sub_centroids(f'a_{j}', j)}
+), asg_{j} AS ({_sql_sub_assign('vecs', f'cb_{j}', j)}
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _sql_recon_err() -> str:
+    terms = []
+    for j in range(PQ_M):
+        terms.append(
+            _SQL_SQ_L2.format(
+                a=f"a{j}.v[{j * PQ_SUBDIM + 1}:{(j + 1) * PQ_SUBDIM}]",
+                b=f"c{j}.c",
+            )
+        )
+    return " + ".join(terms)
+
+
+_PQ_JOINS = "\n".join(
+    f"JOIN asg_{j} a{j} ON a0.vec_id = a{j}.vec_id "
+    f"JOIN cb_{j} c{j} ON a{j}.code = c{j}.code"
+    for j in range(1, PQ_M)
+) + "\n" + "JOIN cb_0 c0 ON a0.code = c0.code"
+
+PQ_CODES_SQL = f"""
+WITH {_sql_pq_ctes()}
+SELECT a0.vec_id AS vec_id,
+       {" || '-' || ".join(f"CAST(a{j}.code AS VARCHAR)" for j in range(PQ_M))}
+         AS pq_code,
+       ROUND({_sql_recon_err()}, 6) AS recon_sq_err
+FROM asg_0 a0
+{_PQ_JOINS}
+"""
+
+_PQ_ADC_TERMS = " + ".join(
+    _SQL_SQ_L2.format(
+        a=f"q.qv[{j * PQ_SUBDIM + 1}:{(j + 1) * PQ_SUBDIM}]", b=f"c{j}.c"
+    )
+    for j in range(PQ_M)
+)
+
+PQ_ADC_SQL = f"""
+WITH {_sql_pq_ctes()}, q AS (
+  SELECT v AS qv FROM vecs WHERE vec_id = {PQ_QUERY_VEC_ID}
+)
+SELECT a0.vec_id AS vec_id, a0.label AS label,
+       ROUND({_PQ_ADC_TERMS}, 6) AS adc_dist
+FROM asg_0 a0
+{_PQ_JOINS}, q
+WHERE a0.vec_id <> {PQ_QUERY_VEC_ID}
+ORDER BY adc_dist ASC, vec_id ASC LIMIT {PQ_TOP_K}
+"""

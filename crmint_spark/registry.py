@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import analytics, corpus, dedup, ivf, similarity, temporal, text
+from .operators import analytics, corpus, dedup, ivf, pq, similarity, temporal, text
 from .queries import CORE_QUERIES
 from .queries_extended import EXTENDED_QUERIES as _EXT
 
@@ -55,6 +55,9 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         ivf.semantic_dedup_small,
         ivf.semantic_dedup_sql(ivf.SEMDEDUP_SMALL_WHERE),
     ),
+    # product quantization: codes + ADC search (map-only encode/score)
+    "embedding_pq_codes": (pq.embedding_pq_codes, pq.PQ_CODES_SQL),
+    "ann_pq_adc_topk": (pq.ann_pq_adc_topk, pq.PQ_ADC_SQL),
     "embedding_norm_stats": (similarity.embedding_norm_stats, similarity.EMB_NORM_SQL),
     "embedding_centroids": (similarity.embedding_centroids, similarity.CENTROID_SQL),
     # text analysis family

