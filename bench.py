@@ -98,6 +98,7 @@ SECONDARY = [
     "corpus_bpe_merges_small",
     "embedding_pq_codes",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -203,7 +203,12 @@ def _assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
 def _recompute_centroids(assigned: DataFrame) -> DataFrame:
     """Per-list mean vectors, each dim rounded to 6 dp. The shuffle rows
     are (list_id, dim, partial sum/count) scalars with map-side combine;
-    the array is reassembled only on the k output rows."""
+    the array is reassembled only on the k output rows.
+
+    (Measured: the single inlined argmin under this explode does NOT
+    trigger the optimizer blowup the PQ trainer's M-argmin array did —
+    a pre-explode localCheckpoint changed nothing here, so none is
+    taken; see pq._all_centroid_rows for the case that needs one.)"""
     return (
         assigned.select("list_id", F.posexplode("v").alias("dim", "val"))
         .groupBy("list_id", "dim")

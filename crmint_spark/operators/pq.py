@@ -116,23 +116,11 @@ def _all_centroid_rows(
     return books
 
 
-def train_pq_codebooks(spark, sf_dir: str):
-    """-> (vecs DataFrame, [per-subspace codebook]); stride-seeded init
-    + ONE Lloyd step per subspace. The whole train is TWO jobs: one
-    k-row seeds collect, then one pass computing every subspace's
-    assignment AND all M centroid sets together (driver holds
-    M*K*subdim doubles, like Spark ML)."""
-    from ..catalog import load
-    from .similarity import _corpus_stats
-
-    emb = load(spark, sf_dir, "embeddings")
-    n, _ = _corpus_stats(spark, sf_dir)
-    stride = max(n // PQ_K, 1)
-    vecs = emb.select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).persist()
+def train_books_from(vecs: DataFrame, stride: int):
+    """Per-subspace codebooks from a prepared (vec_id, label, v) frame:
+    stride-seeded init + ONE Lloyd step, TWO jobs total (one k-row
+    seeds collect, then one pass computing every subspace's assignment
+    AND all M centroid sets together)."""
     seeds = vecs.filter(
         (F.col("vec_id") % stride == 0) & (F.col("vec_id") < PQ_K * stride)
     ).collect()
@@ -149,7 +137,24 @@ def train_pq_codebooks(spark, sf_dir: str):
     init_codes = F.array(
         *[_assign_code(_sub(F.col("v"), j), inits[j]) for j in range(PQ_M)]
     )
-    return vecs, _all_centroid_rows(vecs, init_codes)
+    return _all_centroid_rows(vecs, init_codes)
+
+
+def train_pq_codebooks(spark, sf_dir: str):
+    """-> (vecs DataFrame, [per-subspace codebook]); driver holds
+    M*K*subdim doubles, like Spark ML."""
+    from ..catalog import load
+    from .similarity import _corpus_stats
+
+    emb = load(spark, sf_dir, "embeddings")
+    n, _ = _corpus_stats(spark, sf_dir)
+    stride = max(n // PQ_K, 1)
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).persist()
+    return vecs, train_books_from(vecs, stride)
 
 
 def encode_pq(vecs: DataFrame, books) -> DataFrame:
@@ -188,38 +193,86 @@ def embedding_pq_codes(spark, sf_dir: str) -> DataFrame:
     return out
 
 
+def _py_sq_l2(c, qs) -> float:
+    acc = 0.0
+    for x, y in zip(c, qs):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def adc_expr(books, q: list[float]):
+    """ADC distance column for query ``q``: the M*K partial distances
+    are computed on the driver and shipped as literal maps keyed BY
+    code (codes need not stay dense after the Lloyd step) — scoring is
+    M element_at lookups + adds per row, fully map-only."""
+    adc = None
+    for j in range(PQ_M):
+        qs = q[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]
+        pairs = ", ".join(
+            f"{int(c)}, {_dlit(_py_sq_l2(v, qs))}" for c, v in books[j]
+        )
+        lut = F.expr(f"map({pairs})")
+        d = F.element_at(lut, F.element_at("codes", j + 1))
+        adc = d if adc is None else adc + d
+    return adc
+
+
 def ann_pq_adc_topk(spark, sf_dir: str) -> DataFrame:
-    """Registry entry: ADC top-k for the probe vector (vec_id = 0).
-    The query's M*K partial distances are literals, so scoring is M
-    element_at lookups + adds per row and the whole query is one
-    map-only pass + TakeOrderedAndProject."""
+    """Registry entry: ADC top-k for the probe vector (vec_id = 0) —
+    one map-only pass + TakeOrderedAndProject."""
     vecs, books = train_pq_codebooks(spark, sf_dir)
     enc = encode_pq(vecs, books)
     q = [
         float(x)
         for x in vecs.filter(F.col("vec_id") == PQ_QUERY_VEC_ID).first()["v"]
     ]
-
-    def py_sq_l2(c, qs):
-        acc = 0.0
-        for x, y in zip(c, qs):
-            acc = acc + (x - y) * (x - y)
-        return acc
-
-    adc = None
-    for j in range(PQ_M):
-        qs = q[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]
-        # partial-distance LUT keyed BY code (codes need not stay dense
-        # after the Lloyd step): a literal map, one lookup per subspace
-        pairs = ", ".join(
-            f"{int(c)}, {_dlit(py_sq_l2(v, qs))}" for c, v in books[j]
-        )
-        lut = F.expr(f"map({pairs})")
-        d = F.element_at(lut, F.element_at("codes", j + 1))
-        adc = d if adc is None else adc + d
     out = (
         enc.filter(F.col("vec_id") != PQ_QUERY_VEC_ID)
-        .select("vec_id", "label", F.round(adc, 6).alias("adc_dist"))
+        .select("vec_id", "label", F.round(adc_expr(books, q), 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(PQ_TOP_K)
+    )
+    vecs.unpersist()
+    return out
+
+
+IVFPQ_N_PROBE = 4
+
+
+def ann_ivfpq_topk(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: the canonical IVF-PQ pipeline (Jégou et al. 2011)
+    — the deterministic coarse quantizer (ivf.py, 2 Lloyd steps) prunes
+    to IVFPQ_N_PROBE inverted lists, and ADC over the PQ codes scores
+    ONLY the probed lists' vectors. At 100 TB this is the layout that
+    wins: corpus partitioned by coarse list (partition pruning reads
+    n_probe/k of the files), each partition stores 4-byte codes instead
+    of 256-byte float vectors, and scoring never touches a raw vector.
+    Both quantizers are stride-seeded + Lloyd-stepped, so the DuckDB
+    oracle certifies the full composition end-to-end."""
+    from .ivf import IVF_K, _py_sq_l2 as ivf_sq_l2, deterministic_assign
+
+    vecs, assigned, cent_rows = deterministic_assign(spark, sf_dir)
+    from .similarity import _corpus_stats
+
+    n, _ = _corpus_stats(spark, sf_dir)
+    books = train_books_from(vecs, max(n // PQ_K, 1))
+    q = [
+        float(x)
+        for x in vecs.filter(F.col("vec_id") == PQ_QUERY_VEC_ID).first()["v"]
+    ]
+    probes = [
+        lid
+        for _, lid in sorted(
+            (ivf_sq_l2(c, q), lid) for lid, c in cent_rows
+        )[:IVFPQ_N_PROBE]
+    ]
+    enc = encode_pq(assigned, books)
+    out = (
+        enc.filter(
+            F.col("list_id").isin(probes)
+            & (F.col("vec_id") != PQ_QUERY_VEC_ID)
+        )
+        .select("vec_id", "label", F.round(adc_expr(books, q), 6).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(PQ_TOP_K)
     )
@@ -258,16 +311,21 @@ def _sql_sub_centroids(assign_cte: str, j: int) -> str:
 """
 
 
-def _sql_pq_ctes() -> str:
-    parts = [
-        f"""vecs AS (
+def _sql_pq_ctes(with_base: bool = True) -> str:
+    """``with_base=False`` omits the vecs/params CTEs so the chain can
+    compose with the coarse IVF chain (which defines identical ones —
+    PQ_K == IVF_K, so the stride is shared)."""
+    parts = []
+    if with_base:
+        parts.append(
+            f"""vecs AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ), params AS (
   SELECT GREATEST(CAST(FLOOR(COUNT(*) / {PQ_K}.0) AS BIGINT), 1) AS stride
   FROM embeddings
 )"""
-    ]
+        )
     for j in range(PQ_M):
         parts.append(
             f"""init_{j} AS (
@@ -329,3 +387,35 @@ FROM asg_0 a0
 WHERE a0.vec_id <> {PQ_QUERY_VEC_ID}
 ORDER BY adc_dist ASC, vec_id ASC LIMIT {PQ_TOP_K}
 """
+
+
+def _ivfpq_sql() -> str:
+    """Full IVF-PQ composition: the coarse chain (ivf._sql_assigned_ctes
+    — defines vecs/params/c2/assigned), the PQ chain WITHOUT its base
+    CTEs (shared stride since PQ_K == IVF_K), probe selection, and ADC
+    restricted to the probed coarse lists."""
+    from .ivf import IVF_K, _sql_assigned_ctes, _SQL_SQ_L2 as _L2
+
+    assert IVF_K == PQ_K  # shared params CTE contract
+    return f"""
+WITH {_sql_assigned_ctes()},
+{_sql_pq_ctes(with_base=False)}, q AS (
+  SELECT v AS qv FROM vecs WHERE vec_id = {PQ_QUERY_VEC_ID}
+), probe AS (
+  SELECT list_id
+  FROM c2, q
+  ORDER BY {_L2.format(a='c', b='qv')} ASC, list_id ASC
+  LIMIT {IVFPQ_N_PROBE}
+)
+SELECT a0.vec_id AS vec_id, a0.label AS label,
+       ROUND({_PQ_ADC_TERMS}, 6) AS adc_dist
+FROM asg_0 a0
+{_PQ_JOINS}
+JOIN assigned coarse ON a0.vec_id = coarse.vec_id, q
+WHERE coarse.list_id IN (SELECT list_id FROM probe)
+  AND a0.vec_id <> {PQ_QUERY_VEC_ID}
+ORDER BY adc_dist ASC, vec_id ASC LIMIT {PQ_TOP_K}
+"""
+
+
+IVFPQ_SQL = _ivfpq_sql()

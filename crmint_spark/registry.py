@@ -58,6 +58,8 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     # product quantization: codes + ADC search (map-only encode/score)
     "embedding_pq_codes": (pq.embedding_pq_codes, pq.PQ_CODES_SQL),
     "ann_pq_adc_topk": (pq.ann_pq_adc_topk, pq.PQ_ADC_SQL),
+    # the canonical IVF-PQ composition: coarse-probe pruning + ADC codes
+    "ann_ivfpq_topk": (pq.ann_ivfpq_topk, pq.IVFPQ_SQL),
     "embedding_norm_stats": (similarity.embedding_norm_stats, similarity.EMB_NORM_SQL),
     "embedding_centroids": (similarity.embedding_centroids, similarity.CENTROID_SQL),
     # text analysis family

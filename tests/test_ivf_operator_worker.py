@@ -239,3 +239,30 @@ def test_pq_adc_tracks_exact_distances(spark):
     corr = cov / (sx * sy)
     assert corr > 0.5, corr
     vecs.unpersist()
+
+
+def test_ivfpq_subset_of_full_adc_ranking(spark):
+    """IVF-PQ = full ADC restricted to probed coarse lists: every
+    IVF-PQ hit must appear in the full-ADC ordering with the SAME
+    distance, and the two top-10 sets must overlap substantially (the
+    probe covers the query's own neighborhood)."""
+    from crmint_spark.operators import pq
+
+    sf = "/root/testdata/sf0.001"
+    full = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pq.ann_pq_adc_topk(spark, sf).collect()
+    }
+    pruned = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pq.ann_ivfpq_topk(spark, sf).collect()
+    }
+    assert len(pruned) == pq.PQ_TOP_K
+    overlap = set(full) & set(pruned)
+    # the 4/16-list probe covers 25% of a 50-vector corpus with weak
+    # cluster structure — some full-ADC hits legitimately fall outside
+    # the probed lists; the strict property is distance EQUALITY on the
+    # shared hits (same codes, same LUT)
+    assert len(overlap) >= 3, (full, pruned)
+    for vid in overlap:
+        assert full[vid] == pruned[vid], vid
