@@ -2114,7 +2114,9 @@ class JsUdfError(ValueError):
 
 
 def _js_ternary_to_if(e: str) -> str:
-    """Top-level ``c ? a : b`` -> ``IF(c, a, b)`` (nesting-aware)."""
+    """``c ? a : b`` -> ``IF(c, a, b)``: converts the top-level ternary
+    if present, then recurses into every parenthesized group (a ternary
+    wrapped in parens sits at depth 1 and must still convert)."""
     depth = 0
     for i, ch in enumerate(e):
         if ch == "(":
@@ -2141,7 +2143,22 @@ def _js_ternary_to_if(e: str) -> str:
                             f"{_js_ternary_to_if(e[j + 1:]).strip()})"
                         )
             raise JsUdfError("unbalanced ternary ?:")
-    return e
+    if "?" not in e:
+        return e
+    # no top-level ternary but '?' remains: rewrite inside paren groups
+    out: list[str] = []
+    i, n = 0, len(e)
+    while i < n:
+        if e[i] == "(":
+            end = _balanced_end(e, i)
+            if end < 0:
+                raise JsUdfError("unbalanced parentheses")
+            out.append("(" + _js_ternary_to_if(e[i + 1 : end - 1]) + ")")
+            i = end
+        else:
+            out.append(e[i])
+            i += 1
+    return "".join(out)
 
 
 def _js_body_to_sql(body: str, param_names: list[str]) -> str:

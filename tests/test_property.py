@@ -182,3 +182,83 @@ def test_deep_subset_superset_holds(d):
     bigger = dict(d)
     bigger["__extra__"] = 1
     assert deep_subset(d, bigger)
+
+
+# --- JS UDF translator: arithmetic subset vs Python ground truth ----------
+
+_js_expr = st.recursive(
+    st.sampled_from(["a", "b", "2", "3", "7"]),
+    lambda inner: st.one_of(
+        st.tuples(inner, st.sampled_from(["+", "-", "*"]), inner).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        st.tuples(inner, inner, inner).map(
+            lambda t: f"({t[0]} > {t[1]} ? {t[1]} : {t[2]})"
+        ),
+    ),
+    max_leaves=8,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_js_expr)
+def test_js_arithmetic_translation_matches_python(expr):
+    """For the pure-arithmetic JS subset (ints, + - *, ternaries), the
+    translated SQL expression must agree with Python evaluation of the
+    same expression (JS and Python integer arithmetic coincide here)."""
+    import re as _re
+
+    import duckdb
+
+    from crmint_spark.dialect import _js_body_to_sql
+
+    sql = _js_body_to_sql(f"return {expr};", ["a", "b"])
+
+    def _py_ternary(e):
+        # c ? x : y -> (x if c else y): top-level scan, then recurse
+        # into paren groups (mirrors the translator's structure)
+        depth = 0
+        for i, ch in enumerate(e):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "?" and depth == 0:
+                want, d2 = 1, 0
+                for j in range(i + 1, len(e)):
+                    cj = e[j]
+                    if cj == "(":
+                        d2 += 1
+                    elif cj == ")":
+                        d2 -= 1
+                    elif cj == "?" and d2 == 0:
+                        want += 1
+                    elif cj == ":" and d2 == 0:
+                        want -= 1
+                        if want == 0:
+                            return (
+                                f"(({_py_ternary(e[i + 1:j])}) if "
+                                f"({_py_ternary(e[:i])}) else "
+                                f"({_py_ternary(e[j + 1:])}))"
+                            )
+        if "?" not in e:
+            return e
+        out, i, n = [], 0, len(e)
+        while i < n:
+            if e[i] == "(":
+                d, j = 1, i + 1
+                while d:
+                    d += {"(": 1, ")": -1}.get(e[j], 0)
+                    j += 1
+                out.append("(" + _py_ternary(e[i + 1 : j - 1]) + ")")
+                i = j
+            else:
+                out.append(e[i])
+                i += 1
+        return "".join(out)
+
+    expected = eval(_py_ternary(expr), {"a": 5, "b": -3})  # noqa: S307
+    got = duckdb.sql(
+        f"SELECT ({sql}) AS v FROM (SELECT 5 AS a, -3 AS b)"
+    ).fetchone()[0]
+    assert got == expected, (expr, sql, got, expected)

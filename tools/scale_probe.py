@@ -53,6 +53,12 @@ PROBE = [
     "q48_pareto_abc",
     "corpus_shuffle",
     "corpus_bpe_pairs",
+    # round 4: PQ family + the profiler (approx_count_distinct path
+    # engages above SCALE_ROW_THRESHOLD — no Expand row multiply)
+    "embedding_pq_codes",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
+    "q52_profile_columns",
 ]
 
 # key columns to shift per copy so joins stay consistent and
