@@ -41,6 +41,12 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         dedup.dedup_clusters_star_small,
         dedup.dedup_clusters_sql(dedup.STAR_SMALL_WHERE),
     ),
+    # pinned early for the same reason (its natural CORPUS_QUERIES slot
+    # sits past the driver's ~50-entry sweep horizon; dict insertion
+    # order keeps THIS position when the corpus block re-adds the key)
+    "corpus_bpe_merges_small": corpus.CORPUS_QUERIES[
+        "corpus_bpe_merges_small"
+    ],
     "dedup_fuzzy_words": (dedup.fuzzy_word_matches, dedup.FUZZY_SQL),
     "dedup_embedding_cosine": (similarity.embedding_dedup_pairs, similarity.EMB_DEDUP_SQL),
     "text_rolling_fingerprint": (text.rolling_fingerprint, text.ROLLING_FP_SQL),
