@@ -3,11 +3,20 @@ columns with typed metadata, processed via Arrow-batched pandas UDFs.
 
 The Spark-side architecture here is real and tested: schema contract,
 partition sizing, ``mapInPandas`` batch shape, and metadata extraction.
-The actual codec work (JPEG decode, resampling, frame sampling) needs
-image/audio libraries not present in this container, so the decode
-kernels are STUBBED: ``decode_stub=True`` produces deterministic fake
-features (byte-hash driven), and ``decode_stub=False`` raises
-NotImplementedError where a real libjpeg/ffmpeg call would go.
+Codec status (honest split):
+
+- **REAL decode kernels** for the uncompressed formats expressible with
+  stdlib + numpy alone: binary **PPM (P6)** images (decode, numpy
+  nearest-neighbor resize, re-encode) and **PCM WAV** audio (stdlib
+  ``wave``: RMS / zero-crossings / duration features). These run
+  end-to-end in this container and are value-tested against numpy
+  ground truth.
+- **STUBBED kernels** for compressed formats (JPEG/PNG/MP4/MP3) whose
+  decoders (libjpeg/ffmpeg) are not present in this container:
+  ``decode_stub=True`` produces deterministic fake features (byte-hash
+  driven) and ``decode_stub=False`` raises NotImplementedError where
+  the real library call would go. Payloads are format-sniffed, so a
+  mixed corpus decodes what it can and stubs the rest.
 
 At 100 TB: binary payloads dominate partition size, so repartition by
 ``maxRecordsPerBatch``-aligned counts and keep metadata in separate
@@ -16,8 +25,10 @@ At 100 TB: binary payloads dominate partition size, so repartition by
 
 from __future__ import annotations
 
+import io
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,11 +68,125 @@ FEATURE_DIM = 8
 
 def _fake_feature(payload: bytes) -> list[float]:
     """Deterministic stand-in feature: bytes -> FEATURE_DIM floats.
-    Replaces the real decode+embed kernel in this container."""
+    Replaces the real decode+embed kernel for compressed formats."""
     import hashlib
 
     h = hashlib.md5(payload or b"").digest()
     return [h[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+# --- REAL codecs (stdlib + numpy only) -------------------------------------
+
+
+def decode_ppm(b: bytes) -> "np.ndarray | None":
+    """Binary PPM (P6, maxval 255) -> HxWx3 uint8 array, or None if the
+    payload is not P6. Header = 'P6' + whitespace-separated width,
+    height, maxval (with '#' comments), then raw RGB bytes."""
+    if not b or not b.startswith(b"P6"):
+        return None
+    tokens: list[int] = []
+    i = 2
+    n = len(b)
+    while len(tokens) < 3 and i < n:
+        c = b[i : i + 1]
+        if c == b"#":
+            while i < n and b[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not b[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(b[i:j]))
+            i = j
+    if len(tokens) < 3 or tokens[2] != 255:
+        return None
+    i += 1  # single whitespace after maxval
+    w, h = tokens[0], tokens[1]
+    raw = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+    return raw.reshape(h, w, 3)
+
+
+def encode_ppm(arr: "np.ndarray") -> bytes:
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def resize_nearest(arr: "np.ndarray", width: int, height: int) -> "np.ndarray":
+    """Nearest-neighbor resample via numpy index gather (no loops)."""
+    h, w, _ = arr.shape
+    rows = (np.arange(height) * h // height).clip(0, h - 1)
+    cols = (np.arange(width) * w // width).clip(0, w - 1)
+    return arr[rows][:, cols]
+
+
+def _ppm_feature(arr: "np.ndarray") -> list[float]:
+    h, w, _ = arr.shape
+    f = arr.reshape(-1, 3).astype(np.float64)
+    lum = f @ np.array([0.299, 0.587, 0.114])
+    return [
+        float(w),
+        float(h),
+        round(float(f[:, 0].mean()), 6),
+        round(float(f[:, 1].mean()), 6),
+        round(float(f[:, 2].mean()), 6),
+        round(float(lum.mean()), 6),
+        round(float(lum.std()), 6),
+        round(w / h, 6),
+    ][:FEATURE_DIM]
+
+
+def decode_wav(b: bytes) -> "tuple[np.ndarray, int] | None":
+    """PCM WAV -> (float samples in [-1, 1] mono-mixed, sample_rate),
+    or None if not a RIFF/WAVE payload (stdlib ``wave``)."""
+    import wave
+
+    if not b or not b.startswith(b"RIFF"):
+        return None
+    try:
+        with wave.open(io.BytesIO(b)) as f:
+            sw = f.getsampwidth()
+            nch = f.getnchannels()
+            raw = f.readframes(f.getnframes())
+            rate = f.getframerate()
+    except Exception:
+        return None
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        return None
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def _wav_feature(x: "np.ndarray", rate: int) -> list[float]:
+    zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    return [
+        float(len(x)),
+        float(rate),
+        round(len(x) / rate, 6),
+        round(float(np.sqrt((x**2).mean())), 6),
+        round(zc / max(len(x) - 1, 1), 6),
+        round(float(np.abs(x).max(initial=0.0)), 6),
+        round(float(np.abs(x).mean()), 6),
+        1.0,
+    ][:FEATURE_DIM]
+
+
+def real_feature(payload: bytes) -> "list[float] | None":
+    """Format-sniffed REAL feature extraction; None when the payload is
+    a compressed format this container cannot decode."""
+    img = decode_ppm(payload)
+    if img is not None:
+        return _ppm_feature(img)
+    wav = decode_wav(payload)
+    if wav is not None:
+        return _wav_feature(*wav)
+    return None
 
 
 def extract_features(
@@ -74,13 +199,20 @@ def extract_features(
     plans never pay this path.
     """
 
+    def _one(b) -> list[float]:
+        payload = bytes(b) if b is not None else b""
+        real = real_feature(payload)
+        if real is not None:
+            return real  # PPM / PCM-WAV: genuinely decoded
+        if not decode_stub:
+            raise NotImplementedError(
+                "compressed media decode requires image/audio libs "
+                "(libjpeg/ffmpeg) not present in this container"
+            )
+        return _fake_feature(payload)
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires image/audio libs "
-                    "(libjpeg/ffmpeg) not present in this container"
-                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -88,9 +220,7 @@ def extract_features(
                     "n_bytes": pdf["content"].map(
                         lambda b: len(b) if b is not None else 0
                     ),
-                    "feature": pdf["content"].map(
-                        lambda b: _fake_feature(bytes(b) if b is not None else b"")
-                    ),
+                    "feature": pdf["content"].map(_one),
                 }
             )
 
@@ -100,13 +230,22 @@ def extract_features(
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize plumbing: passes bytes through the stubbed kernel,
-    recording the target dims in metadata. Real implementation would
-    decode -> resample -> re-encode inside the same batch loop."""
+    """Image resize: PPM payloads are REALLY decoded, nearest-neighbor
+    resampled with numpy, and re-encoded inside the batch loop;
+    compressed formats pass bytes through unchanged (stub) with the
+    target dims recorded in metadata."""
+
+    def _resize_bytes(b):
+        payload = bytes(b) if b is not None else b""
+        img = decode_ppm(payload)
+        if img is None:
+            return payload  # compressed format: stub passthrough
+        return encode_ppm(resize_nearest(img, width, height))
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
+            out["content"] = out["content"].map(_resize_bytes)
             out["width"] = width
             out["height"] = height
             yield out

@@ -127,3 +127,79 @@ def test_multimodal_resize_and_frames(media_df):
     frames = multimodal.sample_frames(media_df, every_ms=1000).collect()
     # 3200ms video sampled at 1000ms -> frames at 0,1000,2000,3000
     assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+def _make_ppm(w, h):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return arr, multimodal.encode_ppm(arr)
+
+
+def _make_wav(n=8000, rate=8000):
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(n) / rate
+    x = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(x.tobytes())
+    return x, buf.getvalue()
+
+
+def test_multimodal_real_ppm_and_wav_decode(spark):
+    """PPM and PCM-WAV payloads are REALLY decoded (stdlib + numpy):
+    features match ground truth computed directly on the arrays, even
+    with decode_stub=False (no NotImplementedError for these formats)."""
+    import numpy as np
+
+    arr, ppm = _make_ppm(16, 12)
+    x, wav = _make_wav()
+    df = spark.createDataFrame(
+        [
+            (1, "image", ppm, "image/x-portable-pixmap", 16, 12, None),
+            (2, "audio", wav, "audio/wav", None, None, 1000),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = {
+        r.media_id: r.feature
+        for r in multimodal.extract_features(df, decode_stub=False).collect()
+    }
+    # image: [w, h, mean_r, mean_g, mean_b, lum_mean, lum_std, aspect]
+    img = feats[1]
+    assert img[0] == 16.0 and img[1] == 12.0
+    f = arr.reshape(-1, 3).astype(float)
+    assert img[2] == round(float(f[:, 0].mean()), 6)
+    assert img[7] == round(16 / 12, 6)
+    # audio: [n, rate, dur, rms, zcr, peak, mean_abs, 1.0]
+    aud = feats[2]
+    assert aud[0] == 8000.0 and aud[1] == 8000.0 and aud[2] == 1.0
+    xs = x.astype(float) / 32768.0
+    assert aud[3] == round(float(np.sqrt((xs**2).mean())), 6)
+
+
+def test_multimodal_real_ppm_resize(spark):
+    """PPM resize really resamples: the output payload decodes to the
+    target dims and equals numpy nearest-neighbor ground truth."""
+    import numpy as np
+
+    arr, ppm = _make_ppm(20, 10)
+    df = spark.createDataFrame(
+        [(1, "image", ppm, "image/x-portable-pixmap", 20, 10, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.resize_images(df, 8, 6).collect()[0]
+    dec = multimodal.decode_ppm(bytes(out.content))
+    assert dec.shape == (6, 8, 3)
+    assert np.array_equal(dec, multimodal.resize_nearest(arr, 8, 6))
+    # comment headers survive the parser
+    commented = b"P6\n# a comment\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    assert multimodal.decode_ppm(commented).shape == (1, 2, 3)
