@@ -2407,6 +2407,15 @@ def transpile_statement(sql: str, resolver=None, approx_sketches: bool = False) 
     # arbitrary-order semantics
     out = re.sub(r"\bOVER\s*\(\s*\)", "OVER (ORDER BY 1)", out, flags=re.IGNORECASE)
     out = _rewrite_raw_strings(out)
+    # generic SAFE. scalar prefix: BigQuery returns NULL instead of an
+    # error for any SAFE.-prefixed scalar call. Functions with try_*
+    # twins keep exact semantics (SAFE.PARSE_* below, SAFE_CAST/
+    # SAFE_DIVIDE/... via renames); the rest strip to the plain function
+    # so the script runs — most Spark twins are already NULL-tolerant,
+    # and the divergence (an ANSI error instead of NULL on genuinely
+    # erroring input) is documented here rather than failing to resolve
+    # `SAFE.X` at all.
+    out = re.sub(r"\bSAFE\.(?!PARSE_)(\w+\s*\()", r"\1", out, flags=re.IGNORECASE)
     out = _rewrite_qualify(out)
     out = _rewrite_array_subquery(out)
     out = _rewrite_correlated_unnest(out)

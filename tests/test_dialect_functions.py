@@ -131,6 +131,12 @@ CASES = [
         "TIMESTAMP '2024-01-02', INTERVAL 6 HOUR))",
         5,
     ),
+    # generic SAFE. scalar prefix strips to the plain (NULL-tolerant)
+    # Spark twin and flows through the normal BigQuery rewrites
+    ("SAFE.SUBSTR('abc', 2)", "bc"),
+    ("SAFE.FORMAT_DATE('%Y%m', DATE '2024-03-05')", "202403"),
+    ("SAFE.LOWER('ABC')", "abc"),
+    ("SAFE.STRPOS('banana', 'na')", 3),
     # SAFE.PARSE_* -> try_* twins (NULL instead of error on bad input)
     ("SAFE.PARSE_DATE('%Y%m%d', 'not-a-date')", None),
     (
