@@ -416,16 +416,23 @@ def _is_type_word(word: str) -> bool:
 
 
 def _rewrite_extract_parts(sql: str) -> str:
-    """BigQuery ``EXTRACT(DATE|DATETIME|TIME FROM x)`` — field names
-    Spark's EXTRACT rejects — become casts/formatting: DATE -> CAST AS
-    DATE, DATETIME -> CAST AS TIMESTAMP_NTZ, TIME -> HH:mm:ss string
-    (Spark has no TIME type; documented approximation)."""
+    """BigQuery ``EXTRACT(part FROM x)`` for field names Spark's EXTRACT
+    rejects or renames: DATE -> CAST AS DATE, DATETIME -> CAST AS
+    TIMESTAMP_NTZ, TIME -> HH:mm:ss string (no Spark TIME type;
+    documented approximation), DAYOFYEAR -> DOY, ISOWEEK -> WEEK
+    (Spark's WEEK is the ISO week), ISOYEAR -> YEAROFWEEK, and
+    BigQuery's Sunday-start WEEK (0-53, dates before the year's first
+    Sunday are week 0) as an arithmetic expression."""
     out: list[str] = []
     pos = 0
     for start, open_idx, end, _fn in _iter_calls(sql, ("EXTRACT",)):
         inner = sql[open_idx + 1 : end - 1].strip()
-        m = re.match(r"(DATE|DATETIME|TIME)\s+FROM\s+(.+)$", inner,
-                     re.IGNORECASE | re.DOTALL)
+        m = re.match(
+            r"(DATE|DATETIME|TIME|DAYOFYEAR|ISOWEEK|ISOYEAR|WEEK)"
+            r"\s+FROM\s+(.+)$",
+            inner,
+            re.IGNORECASE | re.DOTALL,
+        )
         if not m:
             continue
         part = m.group(1).upper()
@@ -434,8 +441,25 @@ def _rewrite_extract_parts(sql: str) -> str:
             repl = f"CAST({expr} AS DATE)"
         elif part == "DATETIME":
             repl = f"CAST({expr} AS TIMESTAMP_NTZ)"
-        else:
+        elif part == "TIME":
             repl = f"date_format({expr}, 'HH:mm:ss')"
+        elif part == "DAYOFYEAR":
+            repl = f"EXTRACT(DOY FROM {expr})"
+        elif part == "ISOWEEK":
+            repl = f"EXTRACT(WEEK FROM {expr})"
+        elif part == "ISOYEAR":
+            repl = f"EXTRACT(YEAROFWEEK FROM {expr})"
+        else:  # WEEK, Sunday-start
+            # make_date, not trunc(d, 'YEAR'): the numeric-TRUNC rewrite
+            # would capture the trunc() spelling
+            fsd = (
+                f"(((8 - dayofweek(make_date(year({expr}), 1, 1))) "
+                f"% 7) + 1)"
+            )
+            repl = (
+                f"IF(dayofyear({expr}) < {fsd}, 0, "
+                f"((dayofyear({expr}) - {fsd}) DIV 7) + 1)"
+            )
         out.append(sql[pos:start])
         out.append(repl)
         pos = end
@@ -699,6 +723,7 @@ _FN_RENAMES: list[tuple[str, str]] = [
     ("FROM_HEX", "unhex"),
     ("JSON_KEYS", "json_object_keys"),
     ("IS_NAN", "isnan"),
+    ("ARRAY_INCLUDES", "array_contains"),
     # same 3-arg (start, stop, INTERVAL step) shape as Spark sequence
     ("GENERATE_TIMESTAMP_ARRAY", "sequence"),
 ]
@@ -739,6 +764,22 @@ def _rewrite_misc_fns(sql: str) -> str:
             "EUCLIDEAN_DISTANCE",
             "APPROX_TOP_COUNT",
             "APPROX_TOP_SUM",
+            "ARRAY_FIRST",
+            "ARRAY_LAST",
+            "ARRAY_SLICE",
+            "SHA256",
+            "SHA512",
+            "DATE_BUCKET",
+            "TIMESTAMP_BUCKET",
+            "JSON_ARRAY",
+            "JSON_OBJECT",
+            "LAX_INT64",
+            "LAX_FLOAT64",
+            "LAX_BOOL",
+            "LAX_STRING",
+            "INT64",
+            "FLOAT64",
+            "BOOL",
         ),
     ):
         args = [
@@ -947,11 +988,128 @@ def _rewrite_misc_fns(sql: str) -> str:
                 f"__v AS v))), 1, {k}), "
                 f"__s -> struct(__s.v AS value, -__s.s AS sum))"
             )
+        elif fn == "array_first" and len(args) == 1:
+            rep = f"element_at({args[0]}, 1)"
+        elif fn == "array_last" and len(args) == 1:
+            rep = f"element_at({args[0]}, -1)"
+        elif fn == "array_slice" and len(args) == 3:
+            # BigQuery: 0-based inclusive start/end, negatives count
+            # from the end, out-of-range indices clamp to the array
+            a, s, e = args
+            s1 = (
+                f"IF(({s}) >= 0, ({s}) + 1, "
+                f"greatest(size({a}) + ({s}) + 1, 1))"
+            )
+            e1 = (
+                f"IF(({e}) >= 0, least(({e}) + 1, size({a})), "
+                f"size({a}) + ({e}) + 1)"
+            )
+            rep = f"slice({a}, {s1}, greatest({e1} - {s1} + 1, 0))"
+        elif fn in ("sha256", "sha512") and len(args) == 1:
+            # BigQuery digests return BYTES; unhex(sha2 hex) restores the
+            # binary type (TO_HEX(SHA*) keeps its direct hex mapping —
+            # that rewrite runs before this one)
+            rep = f"unhex(sha2({args[0]}, {fn[3:]}))"
+        elif fn == "date_bucket" and len(args) in (2, 3):
+            m_iv = re.match(
+                r"INTERVAL\s+(\d+)\s+(DAY|WEEK)\b", args[1], re.IGNORECASE
+            )
+            if m_iv:
+                nd = int(m_iv.group(1)) * (
+                    7 if m_iv.group(2).upper() == "WEEK" else 1
+                )
+                o = args[2] if len(args) == 3 else "DATE '1950-01-01'"
+                # exact integer math: start = d - ((d - origin) mod width)
+                rep = f"date_sub({args[0]}, pmod(datediff({args[0]}, {o}), {nd}))"
+        elif fn == "timestamp_bucket" and len(args) in (2, 3):
+            m_iv = re.match(
+                r"INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY|WEEK)\b",
+                args[1],
+                re.IGNORECASE,
+            )
+            if m_iv:
+                mult = {
+                    "SECOND": 1, "MINUTE": 60, "HOUR": 3600,
+                    "DAY": 86400, "WEEK": 604800,
+                }[m_iv.group(2).upper()]
+                w = int(m_iv.group(1)) * mult
+                o = (
+                    args[2]
+                    if len(args) == 3
+                    else "TIMESTAMP '1950-01-01 00:00:00'"
+                )
+                # CAST: unix_seconds rejects TIMESTAMP_NTZ (the parquet
+                # corpus's type); under the engine's UTC session the
+                # cast is value-preserving
+                t = f"CAST({args[0]} AS TIMESTAMP)"
+                oc = f"CAST({o} AS TIMESTAMP)"
+                rep = (
+                    f"timestamp_seconds(unix_seconds({t}) - "
+                    f"pmod(unix_seconds({t}) - unix_seconds({oc}), {w}))"
+                )
+        elif fn == "json_array":
+            rep = f"to_json(array({', '.join(args)}))"
+        elif fn == "json_object" and len(args) % 2 == 0:
+            if not args:
+                rep = "'{}'"
+            else:
+                rep = f"to_json(named_struct({', '.join(args)}))"
+        elif fn in ("int64", "float64", "bool") and len(args) == 1:
+            t = {"int64": "BIGINT", "float64": "DOUBLE", "bool": "BOOLEAN"}[fn]
+            rep = f"CAST(get_json_object({args[0]}, '$') AS {t})"
+        elif fn in ("lax_int64", "lax_float64", "lax_bool") and len(args) == 1:
+            t = {
+                "lax_int64": "BIGINT",
+                "lax_float64": "DOUBLE",
+                "lax_bool": "BOOLEAN",
+            }[fn]
+            rep = f"TRY_CAST(get_json_object({args[0]}, '$') AS {t})"
+        elif fn == "lax_string" and len(args) == 1:
+            rep = f"get_json_object({args[0]}, '$')"
         if rep is None:
             continue
         out.append(sql[pos:start])
         out.append(rep)
         pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_percentile_window(sql: str) -> str:
+    """BigQuery's 2-arg analytic ``PERCENTILE_CONT(x, p) OVER (spec)``
+    -> Spark ``percentile(x, p) OVER (spec)`` (exact interpolated — the
+    CONT contract); ``PERCENTILE_DISC(x, p) OVER (spec)`` -> the
+    smallest x whose cumulative distribution reaches p, via a nested
+    CUME_DIST window (BigQuery's OVER clause here admits only PARTITION
+    BY, so appending ORDER BY x is safe)."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, fn in _iter_calls(
+        sql, ("PERCENTILE_CONT", "PERCENTILE_DISC")
+    ):
+        args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : end - 1])]
+        if len(args) != 2:
+            continue
+        m = re.match(r"\s*OVER\s*\(", sql[end:], re.IGNORECASE)
+        if not m:
+            continue
+        over_open = end + m.end() - 1
+        over_end = _balanced_end(sql, over_open)
+        if over_end < 0:
+            continue
+        spec = sql[over_open + 1 : over_end - 1].strip()  # inside parens
+        x, p = args
+        if fn == "percentile_cont":
+            rep = f"percentile({x}, {p}) OVER ({spec})"
+        else:
+            inner = f"({spec} ORDER BY {x})" if spec else f"(ORDER BY {x})"
+            rep = (
+                f"MIN(CASE WHEN CUME_DIST() OVER {inner} >= ({p}) "
+                f"THEN {x} END) OVER ({spec})"
+            )
+        out.append(sql[pos:start])
+        out.append(rep)
+        pos = over_end
     out.append(sql[pos:])
     return "".join(out)
 
@@ -2402,6 +2560,9 @@ def transpile_statement(sql: str, resolver=None, approx_sketches: bool = False) 
     out = _rewrite_create_view(out)
     # BigQuery UI dialect markers
     out = re.sub(r"^\s*#\s*(standardSQL|legacySQL)\b", "", out, flags=re.IGNORECASE)
+    # 2-arg analytic percentiles BEFORE the empty-OVER() fill below (the
+    # DISC rewrite appends its own ORDER BY inside the nested window)
+    out = _rewrite_percentile_window(out)
     # BigQuery allows unordered ranking windows (ROW_NUMBER() OVER());
     # Spark demands an ORDER BY — constant ordering reproduces BigQuery's
     # arbitrary-order semantics
@@ -2416,6 +2577,15 @@ def transpile_statement(sql: str, resolver=None, approx_sketches: bool = False) 
     # erroring input) is documented here rather than failing to resolve
     # `SAFE.X` at all.
     out = re.sub(r"\bSAFE\.(?!PARSE_)(\w+\s*\()", r"\1", out, flags=re.IGNORECASE)
+    # JSON typed literals: Spark has no JSON column type; the engine's
+    # JSON accessors (INT64/BOOL/LAX_*/JSON_VALUE...) all operate on the
+    # JSON text, so the literal reduces to its string
+    out = re.sub(
+        r"\bJSON\s+('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")",
+        r"\1",
+        out,
+        flags=re.IGNORECASE,
+    )
     out = _rewrite_qualify(out)
     out = _rewrite_array_subquery(out)
     out = _rewrite_correlated_unnest(out)

@@ -131,6 +131,43 @@ CASES = [
         "TIMESTAMP '2024-01-02', INTERVAL 6 HOUR))",
         5,
     ),
+    # array accessors / slicing (BigQuery 0-based inclusive, negatives
+    # from the end, out-of-range clamped)
+    ("ARRAY_FIRST([7, 8])", 7),
+    ("ARRAY_LAST([7, 8])", 8),
+    ("ARRAY_SLICE([1, 2, 3, 4, 5], 1, 3)", [2, 3, 4]),
+    ("ARRAY_SLICE([1, 2, 3, 4, 5], -2, -1)", [4, 5]),
+    ("ARRAY_SLICE([1, 2, 3, 4, 5], 2, 99)", [3, 4, 5]),
+    ("ARRAY_INCLUDES([1, 2], 2)", True),
+    # bucketing (default origin 1950-01-01; exact integer modulo math)
+    (
+        "DATE_BUCKET(DATE '2024-01-05', INTERVAL 7 DAY, DATE '2024-01-01')",
+        datetime.date(2024, 1, 1),
+    ),
+    (
+        "TIMESTAMP_BUCKET(TIMESTAMP '2024-01-01 10:47:13', INTERVAL 1 HOUR)",
+        datetime.datetime(2024, 1, 1, 10, 0, 0),
+    ),
+    # EXTRACT field mappings: DOY / ISO week+year / BigQuery Sunday-week
+    ("EXTRACT(DAYOFYEAR FROM DATE '2024-02-01')", 32),
+    ("EXTRACT(ISOWEEK FROM DATE '2024-01-07')", 1),
+    ("EXTRACT(ISOYEAR FROM DATE '2023-01-01')", 2022),
+    ("EXTRACT(WEEK FROM DATE '2024-01-06')", 0),
+    ("EXTRACT(WEEK FROM DATE '2024-01-07')", 1),
+    ("EXTRACT(WEEK FROM DATE '2023-12-31')", 53),
+    # digests return BYTES (unhex of the hex digest)
+    ("BYTE_LENGTH(SHA256('x'))", 32),
+    ("BYTE_LENGTH(SHA512('x'))", 64),
+    ("SUBSTR(TO_HEX(SHA256('abc')), 1, 4)", "ba78"),  # TO_HEX keeps hex
+    # JSON constructors / typed literals / accessors
+    ("JSON_ARRAY(1, 2)", "[1,2]"),
+    ("JSON_OBJECT('a', 1)", '{"a":1}'),
+    ("INT64(JSON '5')", 5),
+    ("FLOAT64(JSON '1.5')", 1.5),
+    ("BOOL(JSON 'true')", True),
+    ("LAX_INT64(JSON '\"10\"')", 10),
+    ("LAX_INT64(JSON '\"zz\"')", None),
+    ("LAX_STRING(JSON '\"b\"')", "b"),
     # generic SAFE. scalar prefix strips to the plain (NULL-tolerant)
     # Spark twin and flows through the normal BigQuery rewrites
     ("SAFE.SUBSTR('abc', 2)", "bc"),
@@ -612,6 +649,24 @@ def test_hll_family_rewrites(spark):
     row = spark.sql(stmt).collect()[0]
     assert row["acd"] == 3 and row["m"] == 3 and row["mp"] == 3
     assert "collect_set" in stmt and "count(DISTINCT" in stmt
+
+
+def test_percentile_window_rewrites(spark):
+    """BigQuery's 2-arg analytic PERCENTILE_CONT/DISC: CONT = exact
+    interpolated percentile; DISC = smallest value reaching cumulative
+    probability p, via a nested CUME_DIST window."""
+    rows = spark.sql(
+        transpile_statement(
+            "SELECT DISTINCT g, PERCENTILE_CONT(x, 0.5) OVER "
+            "(PARTITION BY g) AS pc, PERCENTILE_DISC(x, 0.5) OVER "
+            "(PARTITION BY g) AS pd FROM VALUES (1, 1.0), (1, 2.0), "
+            "(1, 3.0), (2, 10.0), (2, 20.0), (2, 30.0), (2, 40.0) "
+            "AS t(g, x)"
+        )
+    ).collect()
+    by_g = {r["g"]: (r["pc"], r["pd"]) for r in rows}
+    assert by_g[1] == (2.0, 2.0)
+    assert by_g[2] == (25.0, 20.0)
 
 
 def test_approx_top_count_and_sum(spark):
