@@ -980,6 +980,76 @@ def q49_bq_functions4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.result
 
 
+def q55_bq_functions5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth BigQuery-surface script (round 4): EXTRACT field mappings
+    (Sunday-start WEEK / DAYOFYEAR / ISOWEEK / ISOYEAR), DATE_BUCKET
+    against the default 1950-01-01 origin, ARRAY_FIRST/LAST/SLICE,
+    EDIT_DISTANCE, bare SHA256 + TO_HEX, JSON_OBJECT, and the 2-arg
+    analytic PERCENTILE_CONT/DISC — all through SparkSQLExecutor
+    unchanged; the oracle reproduces each (CUME_DIST construction for
+    DISC, time_bucket for DATE_BUCKET, ISO parts natively)."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    SELECT o_orderkey,
+      CAST(EXTRACT(WEEK FROM o_orderdate) AS INT64) AS wk,
+      CAST(EXTRACT(DAYOFYEAR FROM o_orderdate) AS INT64) AS doy,
+      CAST(EXTRACT(ISOWEEK FROM o_orderdate) AS INT64) AS isowk,
+      CAST(EXTRACT(ISOYEAR FROM o_orderdate) AS INT64) AS isoyr,
+      DATE_BUCKET(CAST(o_orderdate AS DATE), INTERVAL 7 DAY) AS wk_bucket,
+      ARRAY_FIRST(SPLIT(o_orderpriority, \'-\')) AS pri_num,
+      ARRAY_LAST(SPLIT(o_orderpriority, \'-\')) AS pri_word,
+      ARRAY_TO_STRING(
+        ARRAY_SLICE(SPLIT(o_orderpriority, \'-\'), 0, 0), \'|\') AS pri_head,
+      CAST(EDIT_DISTANCE(o_orderpriority, \'1-URGENT\') AS INT64) AS ed,
+      TO_HEX(SHA256(o_orderpriority)) AS digest,
+      JSON_OBJECT(\'p\', o_orderpriority) AS j,
+      ROUND(PERCENTILE_CONT(o_totalprice, 0.5)
+            OVER (PARTITION BY o_orderpriority), 4) AS med_price,
+      ROUND(PERCENTILE_DISC(o_totalprice, 0.25)
+            OVER (PARTITION BY o_orderpriority), 4) AS q1_price
+    FROM orders WHERE o_orderkey <= 800
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q55_SQL = """
+WITH base AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, o_orderpriority,
+         o_totalprice,
+         CUME_DIST() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice) AS cdist
+  FROM orders WHERE o_orderkey <= 800
+)
+SELECT o_orderkey,
+  CAST(CASE WHEN dayofyear(d) <
+            (((7 - dayofweek(make_date(year(d), 1, 1))) % 7) + 1)
+       THEN 0
+       ELSE (dayofyear(d) -
+             (((7 - dayofweek(make_date(year(d), 1, 1))) % 7) + 1)) // 7 + 1
+       END AS BIGINT) AS wk,
+  CAST(dayofyear(d) AS BIGINT) AS doy,
+  CAST(weekofyear(d) AS BIGINT) AS isowk,
+  CAST(isoyear(d) AS BIGINT) AS isoyr,
+  time_bucket(INTERVAL 7 DAY, d, DATE '1950-01-01') AS wk_bucket,
+  string_split(o_orderpriority, '-')[1] AS pri_num,
+  string_split(o_orderpriority, '-')[-1] AS pri_word,
+  array_to_string(string_split(o_orderpriority, '-')[1:1], '|') AS pri_head,
+  CAST(levenshtein(o_orderpriority, '1-URGENT') AS BIGINT) AS ed,
+  sha256(o_orderpriority) AS digest,
+  CAST(json_object('p', o_orderpriority) AS VARCHAR) AS j,
+  ROUND(quantile_cont(o_totalprice, 0.5)
+        OVER (PARTITION BY o_orderpriority), 4) AS med_price,
+  ROUND(MIN(CASE WHEN cdist >= 0.25 THEN o_totalprice END)
+        OVER (PARTITION BY o_orderpriority), 4) AS q1_price
+FROM base
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -1114,6 +1184,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q35_bq_functions2": (q35_bq_functions2, Q35_SQL),
     "q44_bq_functions3": (q44_bq_functions3, Q44_SQL),
     "q49_bq_functions4": (q49_bq_functions4, Q49_SQL),
+    "q55_bq_functions5": (q55_bq_functions5, Q55_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
     "q36_qualify": (q36_qualify, Q36_SQL),
     "q37_pivot_unpivot": (q37_pivot_unpivot, Q37_SQL),
