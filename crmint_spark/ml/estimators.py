@@ -125,9 +125,26 @@ def build_pipeline(
         "L2_REG": "regParam",
         "MAX_TREE_DEPTH": "maxDepth",
         "NUM_PARALLEL_TREE": "numTrees",
+        "MIN_REL_PROGRESS": "tol",
     }
+    early_stop = True
     for k, v in hp.items():
-        kwargs[renames.get(str(k).upper(), k)] = v
+        ku = str(k).upper()
+        if ku == "EARLY_STOP":
+            early_stop = str(v).strip("'\"").upper() != "FALSE"
+            continue
+        kwargs[renames.get(ku, k)] = v
+    # BQML's documented iterative defaults: early_stop=TRUE with
+    # min_rel_progress=0.01 — stop when the relative loss improvement
+    # drops below 1% instead of always burning max_iterations. Spark's
+    # `tol` plays the same role (its 1e-6 default effectively disables
+    # early stop at BQML's scale).
+    if (
+        cls in (LogisticRegression, LinearRegression)
+        and early_stop
+        and "tol" not in kwargs
+    ):
+        kwargs["tol"] = 0.01
     stages.append(cls(**kwargs))
     return Pipeline(stages=stages)
 

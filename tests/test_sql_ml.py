@@ -134,6 +134,24 @@ def test_ml_dnn_regressor_model(ctx):
     assert w2.result.count() == 10
 
 
+def test_bqml_early_stop_defaults():
+    """BQML's iterative defaults (early_stop=TRUE, min_rel_progress=
+    0.01) map onto Spark's tol; EARLY_STOP='FALSE' keeps Spark's own
+    default and MIN_REL_PROGRESS overrides the 0.01."""
+    from crmint_spark.ml.estimators import build_pipeline
+
+    lr = build_pipeline("LOGISTIC_REG", ["x1"], "label", {}).getStages()[-1]
+    assert lr.getTol() == 0.01
+    lr2 = build_pipeline(
+        "LOGISTIC_REG", ["x1"], "label", {"EARLY_STOP": "FALSE"}
+    ).getStages()[-1]
+    assert lr2.getTol() == 1e-6  # Spark default, no early stop
+    lr3 = build_pipeline(
+        "LOGISTIC_REG", ["x1"], "label", {"MIN_REL_PROGRESS": 0.05}
+    ).getStages()[-1]
+    assert lr3.getTol() == 0.05
+
+
 def test_ml_evaluate_requires_input_query(ctx):
     """ML.EVALUATE with no input query on a classifier/regressor raises a
     descriptive error (we do not persist the training split), not an
