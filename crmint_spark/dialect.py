@@ -780,6 +780,7 @@ def _rewrite_misc_fns(sql: str) -> str:
             "INT64",
             "FLOAT64",
             "BOOL",
+            "ANY_VALUE",
         ),
     ):
         args = [
@@ -1066,6 +1067,16 @@ def _rewrite_misc_fns(sql: str) -> str:
             rep = f"TRY_CAST(get_json_object({args[0]}, '$') AS {t})"
         elif fn == "lax_string" and len(args) == 1:
             rep = f"get_json_object({args[0]}, '$')"
+        elif fn == "any_value" and len(args) == 1:
+            # BigQuery's HAVING MAX/MIN aggregate modifier -> max_by/min_by
+            mh = re.match(
+                r"(.+?)\s+HAVING\s+(MAX|MIN)\s+(.+)$",
+                args[0],
+                re.IGNORECASE | re.DOTALL,
+            )
+            if mh:
+                by = "max_by" if mh.group(2).upper() == "MAX" else "min_by"
+                rep = f"{by}({mh.group(1).strip()}, {mh.group(3).strip()})"
         if rep is None:
             continue
         out.append(sql[pos:start])

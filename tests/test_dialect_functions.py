@@ -168,6 +168,9 @@ CASES = [
     ("LAX_INT64(JSON '\"10\"')", 10),
     ("LAX_INT64(JSON '\"zz\"')", None),
     ("LAX_STRING(JSON '\"b\"')", "b"),
+    # ANY_VALUE with BigQuery's HAVING MAX/MIN aggregate modifier
+    ("ANY_VALUE(5)", 5),
+    ("ANY_VALUE('a' HAVING MAX 3)", "a"),
     # generic SAFE. scalar prefix strips to the plain (NULL-tolerant)
     # Spark twin and flows through the normal BigQuery rewrites
     ("SAFE.SUBSTR('abc', 2)", "bc"),
