@@ -182,7 +182,17 @@ def try_create_model(
     hyper = {
         k: v
         for k, v in opts.items()
-        if k in ("MAX_ITERATIONS", "LEARN_RATE", "L2_REG", "MAX_TREE_DEPTH", "NUM_PARALLEL_TREE", "HIDDEN_UNITS")
+        if k
+        in (
+            "MAX_ITERATIONS",
+            "LEARN_RATE",
+            "L2_REG",
+            "MAX_TREE_DEPTH",
+            "NUM_PARALLEL_TREE",
+            "HIDDEN_UNITS",
+            "EARLY_STOP",
+            "MIN_REL_PROGRESS",
+        )
     }
     if model_type in ("LOGISTIC_REG", "LINEAR_REG"):
         # BQML's documented default is max_iterations = 20; Spark's
