@@ -47,6 +47,9 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "corpus_bpe_merges_small": corpus.CORPUS_QUERIES[
         "corpus_bpe_merges_small"
     ],
+    # likewise: the round-4 function-batch certification script (cheap,
+    # 801 rows) earns driver evidence only if it sits inside the sweep
+    "q55_bq_functions5": _EXT["q55_bq_functions5"],
     "dedup_fuzzy_words": (dedup.fuzzy_word_matches, dedup.FUZZY_SQL),
     "dedup_embedding_cosine": (similarity.embedding_dedup_pairs, similarity.EMB_DEDUP_SQL),
     "text_rolling_fingerprint": (text.rolling_fingerprint, text.ROLLING_FP_SQL),
