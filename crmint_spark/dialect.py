@@ -2587,10 +2587,17 @@ def transpile_statement(sql: str, resolver=None, approx_sketches: bool = False) 
     # and the divergence (an ANSI error instead of NULL on genuinely
     # erroring input) is documented here rather than failing to resolve
     # `SAFE.X` at all.
-    out = re.sub(r"\bSAFE\.(?!PARSE_)(\w+\s*\()", r"\1", out, flags=re.IGNORECASE)
+    out = _sub_outside_strings(
+        out,
+        lambda seg: re.sub(
+            r"\bSAFE\.(?!PARSE_)(\w+\s*\()", r"\1", seg, flags=re.IGNORECASE
+        ),
+    )
     # JSON typed literals: Spark has no JSON column type; the engine's
     # JSON accessors (INT64/BOOL/LAX_*/JSON_VALUE...) all operate on the
     # JSON text, so the literal reduces to its string
+    # (the literal's own quotes delimit a string region, so match the
+    # JSON keyword outside strings and let the quoted part follow)
     out = re.sub(
         r"\bJSON\s+('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")",
         r"\1",
