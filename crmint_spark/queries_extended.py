@@ -820,6 +820,89 @@ GROUP BY p.event_id, p.user_id, ROUND(p.value, 2)
 """
 
 
+def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState exact dedup drained with availableNow: the
+    corpus is dropped into the stream directory TWICE and processed in
+    two separate micro-batches (maxFilesPerTrigger=1), so the
+    seen-marker state must dedup ACROSS batches, not just within one.
+    Oracle-checked: exactly one first-occurrence row survives per
+    event_id, so per-type counts equal the batch distinct counts."""
+    from .streaming.events import run_to_table, stream_events_from_dir
+    from .streaming.stateful import streaming_dedup_by_key
+
+    tmp = tempfile.mkdtemp(prefix="crmint_sdedup_")
+    in_dir, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ckpt")
+    ev = load(spark, sf_dir, "events").coalesce(1)
+    ev.write.json(in_dir)
+    ev.write.mode("append").json(in_dir)  # the duplicate drop
+    stream = stream_events_from_dir(spark, in_dir, max_files_per_trigger=1)
+    deduped = streaming_dedup_by_key(stream)
+    wh = Catalog(spark, os.path.join(tmp, "wh"))
+    run_to_table(deduped, wh, "p.d.deduped", ckpt, output_mode="append")
+    return (
+        wh.read("p.d.deduped")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_first").cast("bigint").alias("n_first"),
+        )
+    )
+
+
+STREAMING_SDEDUP_SQL = """
+SELECT event_type, COUNT(*) AS n_events, COUNT(*) AS n_first
+FROM events GROUP BY event_type
+"""
+
+
+def streaming_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running per-user profiles in update mode,
+    drained over two micro-batches so the state accumulates across
+    triggers. Each batch appends that batch's updated groups; the final
+    state per user is the row with the highest (monotonic) event count.
+    Oracle-checked against the batch per-user aggregate."""
+    from .streaming.events import run_to_table, stream_events_from_dir
+    from .streaming.stateful import user_running_profile
+
+    tmp = tempfile.mkdtemp(prefix="crmint_sprof_")
+    in_dir, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ckpt")
+    ev = load(spark, sf_dir, "events")
+    # split the corpus into two drops -> two triggers -> cross-batch state
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.json(in_dir)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).json(in_dir)
+    stream = stream_events_from_dir(spark, in_dir, max_files_per_trigger=1)
+    prof = user_running_profile(stream)
+    wh = Catalog(spark, os.path.join(tmp, "wh"))
+    run_to_table(prof, wh, "p.d.profiles", ckpt, output_mode="update")
+    final = F.max_by(
+        F.struct("n_events", "total_value", "first_ts", "last_ts"),
+        "n_events",
+    ).alias("f")
+    return (
+        wh.read("p.d.profiles")
+        .groupBy("user_id")
+        .agg(final)
+        .select(
+            "user_id",
+            F.col("f.n_events").alias("n_events"),
+            F.round("f.total_value", 2).alias("total_value"),
+            F.col("f.first_ts").cast("date").alias("first_day"),
+            F.col("f.last_ts").cast("date").alias("last_day"),
+        )
+    )
+
+
+STREAMING_SPROF_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(COALESCE(value, 0)), 2) AS total_value,
+       CAST(MIN(ts) AS DATE) AS first_day,
+       CAST(MAX(ts) AS DATE) AS last_day
+FROM events GROUP BY user_id
+"""
+
+
 def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style streaming upsert: per-user running totals drained in
     TWO incremental availableNow runs (checkpoint resumes after the
@@ -1198,5 +1281,13 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "ml_train_predict": (ml_train_predict, None),
     "streaming_sessionize": (streaming_sessionize, STREAMING_SESSIONIZE_SQL),
     "streaming_interval_join": (streaming_interval_join, STREAMING_IJOIN_SQL),
+    "streaming_stateful_dedup": (
+        streaming_stateful_dedup,
+        STREAMING_SDEDUP_SQL,
+    ),
+    "streaming_stateful_profile": (
+        streaming_stateful_profile,
+        STREAMING_SPROF_SQL,
+    ),
     "streaming_merge_upsert": (streaming_merge_upsert, STREAMING_UPSERT_SQL),
 }
