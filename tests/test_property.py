@@ -262,3 +262,27 @@ def test_js_arithmetic_translation_matches_python(expr):
         f"SELECT ({sql}) AS v FROM (SELECT 5 AS a, -3 AS b)"
     ).fetchone()[0]
     assert got == expected, (expr, sql, got, expected)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(-5, 5), min_size=0, max_size=6),
+    st.integers(-8, 8),
+    st.integers(-8, 8),
+)
+def test_array_slice_matches_python_semantics(spark, arr, s, e):
+    """ARRAY_SLICE fuzz: the translated Spark expression must agree
+    with a direct Python model of BigQuery's semantics (0-based
+    inclusive bounds, negatives from the end, out-of-range clamped)."""
+    from crmint_spark.dialect import transpile_statement
+
+    n = len(arr)
+    s1 = max(s if s >= 0 else n + s, 0)
+    e1 = min(e if e >= 0 else n + e, n - 1)
+    expected = arr[s1 : e1 + 1] if s1 <= e1 else []
+
+    lit = "ARRAY<INT64>[" + ", ".join(map(str, arr)) + "]"
+    got = spark.sql(
+        transpile_statement(f"SELECT ARRAY_SLICE({lit}, {s}, {e}) AS v")
+    ).first()["v"]
+    assert list(got) == expected, (arr, s, e, got, expected)
