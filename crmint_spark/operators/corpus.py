@@ -84,6 +84,69 @@ GROUP BY 1, 2
 """
 
 
+MIX_ALPHA_NOTE = "alpha = 0.5 (sqrt temperature)"
+MIX_TARGET = 200
+
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing — the standard LLM data-recipe
+    sampler (sampling weight proportional to n_s^alpha flattens the
+    source distribution; alpha=1 is size-proportional, alpha=0 uniform;
+    alpha=0.5 here so sqrt keeps the math engine-exact). Per-source
+    keep thresholds derive from corpus stats in ONE aggregation pass
+    over k source rows (k is tiny at any corpus size, so the empty
+    window below never sees data volume), ship via a broadcast join,
+    and membership is the deterministic portable hash — reruns and
+    engines agree row-for-row. Thresholds round to basis points so a
+    float boundary can never flip a row between engines."""
+    docs = load(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    total_w = F.sum(F.sqrt("n_s")).over(Window.partitionBy())
+    thr = F.round(
+        10000
+        * F.least(
+            F.lit(1.0),
+            F.lit(float(MIX_TARGET)) * F.sqrt("n_s") / total_w / F.col("n_s"),
+        ),
+        0,
+    ).cast("bigint")
+    rates = sizes.select("source", "n_s", thr.alias("thr_bps"))
+    k = (
+        hash_str(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+        % 10000
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_s", "thr_bps")
+        .agg(F.count_if(k < F.col("thr_bps")).alias("n_kept"))
+        .select(
+            "source",
+            F.col("n_s").alias("n_total"),
+            "thr_bps",
+            "n_kept",
+        )
+    )
+
+
+CORPUS_TEMPERATURE_MIX_SQL = f"""
+WITH sizes AS (
+  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+), rates AS (
+  SELECT source, n_s,
+         CAST(ROUND(10000 * LEAST(1.0,
+           {float(MIX_TARGET)} * sqrt(n_s) / SUM(sqrt(n_s)) OVER () / n_s
+         ), 0) AS BIGINT) AS thr_bps
+  FROM sizes
+)
+SELECT d.source, r.n_s AS n_total, r.thr_bps,
+       COUNT(*) FILTER (WHERE
+         {_DHASH.format(x="'mix:' || CAST(doc_id AS VARCHAR)")} % 10000
+           < r.thr_bps) AS n_kept
+FROM documents d JOIN rates r USING (source)
+GROUP BY 1, 2, 3
+"""
+
+
 def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded deterministic global shuffle (training-order
     randomization): ORDER BY hash(seed || doc_id). The scale path is the
@@ -634,6 +697,10 @@ CORPUS_QUERIES: dict[str, tuple] = {
     "corpus_domain_cap": (corpus_domain_cap, DOMAIN_CAP_SQL),
     "text_vocabulary": (text_vocabulary, VOCABULARY_SQL),
     "corpus_sample": (corpus_sample, CORPUS_SAMPLE_SQL),
+    "corpus_temperature_mix": (
+        corpus_temperature_mix,
+        CORPUS_TEMPERATURE_MIX_SQL,
+    ),
     "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
     "text_chunking": (text_chunking, TEXT_CHUNKING_SQL),
     "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
