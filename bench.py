@@ -99,6 +99,8 @@ SECONDARY = [
     "embedding_pq_codes",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
+    "corpus_temperature_mix",
+    "q55_bq_functions5",
 ]
 
 
