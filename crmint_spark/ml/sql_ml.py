@@ -293,6 +293,79 @@ def rewrite_ml_predict(
     return _sub_ml_table_calls(stmt, "ML.PREDICT", handler)
 
 
+def _model_feature_rows(model, meta: dict) -> list[tuple[str, float]]:
+    """(feature, attribution) pairs from the fitted estimator: linear
+    models expose coefficients, tree ensembles featureImportances."""
+    est = model.stages[-1]
+    feats = meta["features"]
+    if hasattr(est, "coefficients"):
+        vals = [float(x) for x in est.coefficients]
+    elif hasattr(est, "featureImportances"):
+        vals = [float(est.featureImportances[i]) for i in range(len(feats))]
+    else:
+        raise ValueError(
+            f"{meta['model_type']} exposes no weights/importances "
+            "(DNN models: inspect the saved network artifact instead)"
+        )
+    return list(zip(feats, vals))
+
+
+def rewrite_ml_weights(
+    spark: SparkSession, stmt: str, registry: ModelRegistry
+) -> str:
+    """``ML.WEIGHTS(MODEL m)`` -> (processed_input, weight) rows — the
+    linear-model coefficient table BigQuery exposes (plus the intercept
+    row BigQuery labels __INTERCEPT__)."""
+    counter = [0]
+
+    def handler(name: str, args: list[str]) -> str:
+        model, meta = _load(registry, name)
+        est = model.stages[-1]
+        if not hasattr(est, "coefficients"):
+            raise ValueError(
+                f"ML.WEIGHTS requires a linear model; {meta['model_type']} "
+                "has none — use ML.GLOBAL_EXPLAIN for tree importances"
+            )
+        rows = [
+            (f, round(w, 6)) for f, w in _model_feature_rows(model, meta)
+        ] + [("__INTERCEPT__", round(float(est.intercept), 6))]
+        out = spark.createDataFrame(rows, "processed_input string, weight double")
+        counter[0] += 1
+        view = f"__ml_weights_{counter[0]}"
+        out.createOrReplaceTempView(view)
+        return view
+
+    return _sub_ml_table_calls(stmt, "ML.WEIGHTS", handler)
+
+
+def rewrite_ml_global_explain(
+    spark: SparkSession, stmt: str, registry: ModelRegistry
+) -> str:
+    """``ML.GLOBAL_EXPLAIN(MODEL m)`` -> (feature, attribution) rows,
+    attribution descending — |coefficient| for linear models,
+    featureImportances for tree ensembles (BigQuery's global feature
+    attribution table; its Shapley variants for trees are approximated
+    by the ensemble's own impurity importances, documented)."""
+    counter = [0]
+
+    def handler(name: str, args: list[str]) -> str:
+        model, meta = _load(registry, name)
+        rows = sorted(
+            (
+                (f, round(abs(w), 6))
+                for f, w in _model_feature_rows(model, meta)
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )
+        out = spark.createDataFrame(rows, "feature string, attribution double")
+        counter[0] += 1
+        view = f"__ml_explain_{counter[0]}"
+        out.createOrReplaceTempView(view)
+        return view
+
+    return _sub_ml_table_calls(stmt, "ML.GLOBAL_EXPLAIN", handler)
+
+
 def rewrite_ml_evaluate(
     spark: SparkSession, stmt: str, registry: ModelRegistry
 ) -> str:

@@ -76,7 +76,9 @@ class SparkSQLExecutor(Worker):
         register_engine_udfs(self._ctx.spark)
         from ..ml.sql_ml import (
             rewrite_ml_evaluate,
+            rewrite_ml_global_explain,
             rewrite_ml_predict,
+            rewrite_ml_weights,
             try_create_model,
         )
         from ..ml.forecast import (  # noqa: F401
@@ -135,6 +137,8 @@ class SparkSQLExecutor(Worker):
                 continue
             stmt = rewrite_ml_predict(spark, stmt, registry)
             stmt = rewrite_ml_evaluate(spark, stmt, registry)
+            stmt = rewrite_ml_weights(spark, stmt, registry)
+            stmt = rewrite_ml_global_explain(spark, stmt, registry)
             stmt = rewrite_ml_forecast(spark, stmt, registry)
             stmt = rewrite_ml_detect_anomalies(spark, stmt, registry)
             for sub in expand_create_or_replace_table(stmt):

@@ -134,6 +134,45 @@ def test_ml_dnn_regressor_model(ctx):
     assert w2.result.count() == 10
 
 
+def test_ml_weights_and_global_explain(ctx):
+    """ML.WEIGHTS exposes the linear coefficient table (+__INTERCEPT__);
+    ML.GLOBAL_EXPLAIN ranks |attribution| descending. On target =
+    3*x1 + x2 the x1 weight must dominate and approximate 3."""
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.wexp`
+        OPTIONS(MODEL_TYPE='LINEAR_REG', INPUT_LABEL_COLS=['target'],
+                MAX_ITERATIONS=30, EARLY_STOP=FALSE) AS (
+          SELECT x1, x2, target FROM training_data
+        )
+        """,
+    )
+    w = _run(ctx, "SELECT * FROM ML.WEIGHTS(MODEL `p.d.wexp`)")
+    rows = {r.processed_input: r.weight for r in w.result.collect()}
+    assert set(rows) == {"x1", "x2", "__INTERCEPT__"}
+    assert abs(rows["x1"] - 3.0) < 0.2 and abs(rows["x2"] - 1.0) < 0.2, rows
+    g = _run(ctx, "SELECT * FROM ML.GLOBAL_EXPLAIN(MODEL `p.d.wexp`)")
+    feats = [r.feature for r in g.result.collect()]
+    assert feats == ["x1", "x2"]  # attribution-descending
+    # tree model path: featureImportances
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.rfexp`
+        OPTIONS(MODEL_TYPE='RANDOM_FOREST_REGRESSOR',
+                INPUT_LABEL_COLS=['target']) AS (
+          SELECT x1, x2, target FROM training_data
+        )
+        """,
+    )
+    g2 = _run(ctx, "SELECT * FROM ML.GLOBAL_EXPLAIN(MODEL `p.d.rfexp`)")
+    rows2 = {r.feature: r.attribution for r in g2.result.collect()}
+    assert set(rows2) == {"x1", "x2"} and rows2["x1"] > rows2["x2"]
+    with pytest.raises(Exception, match="linear model"):
+        _run(ctx, "SELECT * FROM ML.WEIGHTS(MODEL `p.d.rfexp`)")
+
+
 def test_bqml_early_stop_defaults():
     """BQML's iterative defaults (early_stop=TRUE, min_rel_progress=
     0.01) map onto Spark's tol; EARLY_STOP='FALSE' keeps Spark's own
