@@ -320,6 +320,31 @@ class SparkSQLExecutor(Worker):
             spark.sql(inner).explain(mode="cost")
             self.log_info(f"dry run OK (BQML inner query): {stmt[:80]}")
             return
+        # query-less ML table functions (WEIGHTS/GLOBAL_EXPLAIN/FORECAST)
+        # have no inner query to plan and no fitted model at dry-run
+        # time: substitute a typed empty relation so the REST of the
+        # statement still validates
+        from ..ml.sql_ml import _sub_ml_table_calls
+
+        shapes = {
+            "ML.WEIGHTS": "processed_input STRING, weight DOUBLE",
+            "ML.GLOBAL_EXPLAIN": "feature STRING, attribution DOUBLE",
+            "ML.FORECAST": (
+                "series_id STRING, step INT, forecast_ts_us BIGINT, "
+                "forecast_value DOUBLE, standard_error DOUBLE, "
+                "confidence_level DOUBLE, "
+                "prediction_interval_lower_bound DOUBLE, "
+                "prediction_interval_upper_bound DOUBLE"
+            ),
+        }
+        for fn, shape in shapes.items():
+            cols = ", ".join(
+                f"CAST(NULL AS {c.rsplit(' ', 1)[1]}) AS {c.rsplit(' ', 1)[0]}"
+                for c in shape.split(", ")
+            )
+            stmt = _sub_ml_table_calls(
+                stmt, fn, lambda n, a, _c=cols: f"(SELECT {_c} WHERE 1 = 0)"
+            )
         from ..dialect import _balanced_end
 
         m = re.match(

@@ -173,6 +173,27 @@ def test_ml_weights_and_global_explain(ctx):
         _run(ctx, "SELECT * FROM ML.WEIGHTS(MODEL `p.d.rfexp`)")
 
 
+def test_dry_run_queryless_ml_functions(ctx):
+    """Dry-running a script with ML.WEIGHTS/GLOBAL_EXPLAIN/FORECAST must
+    validate without a fitted model: the query-less calls substitute
+    typed empty relations so the surrounding statement still plans."""
+    w = find_worker("BQScriptExecutor")(
+        {
+            "script": """
+            SELECT w.processed_input, g.attribution
+            FROM ML.WEIGHTS(MODEL `p.d.never`) w
+            JOIN ML.GLOBAL_EXPLAIN(MODEL `p.d.never`) g
+              ON w.processed_input = g.feature;
+            SELECT series_id, forecast_value
+            FROM ML.FORECAST(MODEL `p.d.never`, STRUCT(5 AS horizon))
+            """,
+            "dry_run": True,
+        },
+        ctx,
+    )
+    w.execute()  # must not raise
+
+
 def test_bqml_early_stop_defaults():
     """BQML's iterative defaults (early_stop=TRUE, min_rel_progress=
     0.01) map onto Spark's tol; EARLY_STOP='FALSE' keeps Spark's own
