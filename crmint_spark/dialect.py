@@ -965,29 +965,40 @@ def _rewrite_misc_fns(sql: str) -> str:
         elif fn == "approx_top_count" and len(args) == 2:
             # exact top-k (value, count) pairs — BigQuery's contract is
             # "approximate top k"; the zero-error answer satisfies it and
-            # is oracle-reproducible. Ties break by value ASC
+            # is oracle-reproducible. NULL is a returnable value with its
+            # own count (BigQuery documents this in its examples), so the
+            # input is struct-tagged before collect_list (which would drop
+            # bare NULL elements). Ties break by value ASC with NULL last
             # (deterministic; BigQuery's tie order is unspecified).
             # Catalyst dedupes the repeated collect_list aggregate into
             # one buffer; memory is the group's distinct set — the same
             # exact-vs-sketch tradeoff as the HLL family default.
             x, k = args
-            cl = f"collect_list({x})"
+            cl = f"collect_list(struct(({x}) IS NULL AS n, {x} AS v))"
             rep = (
                 f"transform(slice(array_sort(transform(array_distinct({cl}), "
-                f"__v -> struct(-size(filter({cl}, __e -> __e = __v)) AS c, "
-                f"__v AS v))), 1, {k}), "
-                f"__s -> struct(__s.v AS value, CAST(-__s.c AS BIGINT) AS count))"
+                f"__v -> struct(-size(filter({cl}, __e -> __e.n = __v.n "
+                f"AND __e.v <=> __v.v)) AS c, "
+                f"__v.n AS vn, __v.v AS vv))), 1, {k}), "
+                f"__s -> struct(__s.vv AS value, CAST(-__s.c AS BIGINT) AS count))"
             )
         elif fn == "approx_top_sum" and len(args) == 3:
+            # same NULL-value contract as APPROX_TOP_COUNT; NULL weights
+            # contribute 0 to the sum (BigQuery skips NULL weights)
             x, w, k = args
-            cl = f"collect_list(struct({x} AS x, CAST({w} AS DOUBLE) AS w))"
+            cl = (
+                f"collect_list(struct(({x}) IS NULL AS n, {x} AS x, "
+                f"coalesce(CAST({w} AS DOUBLE), CAST(0.0 AS DOUBLE)) AS w))"
+            )
             rep = (
                 f"transform(slice(array_sort(transform("
-                f"array_distinct(transform({cl}, __p -> __p.x)), "
-                f"__v -> struct(-aggregate(filter({cl}, __p -> __p.x = __v), "
+                f"array_distinct(transform({cl}, __p -> "
+                f"struct(__p.n AS n, __p.x AS x))), "
+                f"__v -> struct(-aggregate(filter({cl}, __p -> __p.n = __v.n "
+                f"AND __p.x <=> __v.x), "
                 f"CAST(0.0 AS DOUBLE), (__a, __p) -> __a + __p.w) AS s, "
-                f"__v AS v))), 1, {k}), "
-                f"__s -> struct(__s.v AS value, -__s.s AS sum))"
+                f"__v.n AS vn, __v.x AS vv))), 1, {k}), "
+                f"__s -> struct(__s.vv AS value, -__s.s AS sum))"
             )
         elif fn == "array_first" and len(args) == 1:
             rep = f"element_at({args[0]}, 1)"
@@ -1113,9 +1124,16 @@ def _rewrite_percentile_window(sql: str) -> str:
         if fn == "percentile_cont":
             rep = f"percentile({x}, {p}) OVER ({spec})"
         else:
+            # BigQuery PERCENTILE_DISC ignores NULL values by default
+            # (RESPECT NULLS is opt-in). CUME_DIST counts every row, so
+            # NULLs would inflate the denominator; a cumulative COUNT(x)
+            # over the x-ordered frame skips NULLs in both numerator and
+            # denominator (COUNT(col) never counts NULL), matching the
+            # NULL-ignoring PERCENTILE_CONT rewrite above.
             inner = f"({spec} ORDER BY {x})" if spec else f"(ORDER BY {x})"
             rep = (
-                f"MIN(CASE WHEN CUME_DIST() OVER {inner} >= ({p}) "
+                f"MIN(CASE WHEN CAST(COUNT({x}) OVER {inner} AS DOUBLE) "
+                f"/ COUNT({x}) OVER ({spec}) >= ({p}) "
                 f"THEN {x} END) OVER ({spec})"
             )
         out.append(sql[pos:start])
@@ -1176,6 +1194,32 @@ def _sub_outside_strings(sql: str, sub: Callable[[str], str]) -> str:
             continue
         i += 1
     out.append(sub(sql[seg_start:]))
+    return "".join(out)
+
+
+def _strip_json_typed_literals(sql: str) -> str:
+    """``JSON '...'`` typed literal -> its bare string literal. The
+    pattern spans a code region (the JSON keyword) and the following
+    string region, so this walks the quote structure itself instead of
+    going through ``_sub_outside_strings``: the keyword is stripped only
+    when it sits in CODE immediately before an opening quote — a string
+    literal whose *content* contains ``JSON '...'``-shaped text is
+    untouched."""
+    out: list[str] = []
+    seg_start = 0
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] in ("'", '"', "`"):
+            seg = sql[seg_start:i]
+            if sql[i] != "`":
+                seg = re.sub(r"\bJSON\s+$", "", seg, flags=re.IGNORECASE)
+            out.append(seg)
+            lit_end = _skip_string(sql, i)
+            out.append(sql[i:lit_end])
+            i = seg_start = lit_end
+            continue
+        i += 1
+    out.append(sql[seg_start:])
     return "".join(out)
 
 
@@ -2244,15 +2288,15 @@ _TEMP_FN_RE = re.compile(
 #
 # BigQuery UDFs may be written in JavaScript (ref bq_script_executor.py:
 # 26-36 runs arbitrary user scripts). Spark has no JS engine, but the
-# overwhelmingly common JS UDF shape is a single `return <expression>;`
-# over arithmetic / string builtins — mechanically expressible in SQL.
-# `_js_body_to_sql` translates that subset (Math.*, String methods,
-# ternaries, ===/&&/||, string +); anything beyond it raises a TARGETED
-# error naming the construct and the SQL-UDF alternative.
+# overwhelmingly common JS UDF shapes are `return <expression>;` —
+# optionally preceded by var/let/const bindings, which inline by
+# substitution — over arithmetic / string builtins, mechanically
+# expressible in SQL. `_js_body_to_sql` translates that subset (Math.*,
+# String methods incl. first-occurrence-only .replace, ternaries,
+# ===/&&/||, string +); anything beyond it raises a TARGETED error
+# naming the construct and the SQL-UDF alternative.
 #
 # Documented divergences from real JS (loudly narrow, never silent):
-# - `.replace(a, b)` replaces ALL occurrences (SQL replace), JS replaces
-#   only the first for string patterns.
 # - `+` becomes string concatenation only when a string literal is
 #   adjacent; `a + b` over string-typed *parameters* stays numeric.
 
@@ -2330,28 +2374,83 @@ def _js_ternary_to_if(e: str) -> str:
     return "".join(out)
 
 
+_JS_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "'": "'", '"': '"', "\\": "\\", "0": "\x00"}
+
+
+def _js_unescape(s: str) -> str:
+    """Decode JS string-literal backslash escapes (both quote styles)."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            out.append(_JS_ESCAPES.get(s[i + 1], s[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _js_body_to_sql(body: str, param_names: list[str]) -> str:
-    """Translate a single-return JS UDF body to a SQL expression, or
-    raise ``JsUdfError`` naming the unsupported construct."""
+    """Translate a JS UDF body — leading ``var``/``let``/``const``
+    bindings followed by a single ``return <expression>;`` — to a SQL
+    expression, or raise ``JsUdfError`` naming the unsupported
+    construct. Bindings are inlined by substitution (each variable's
+    expression replaces its uses, earlier bindings resolving into later
+    ones), so ``var x = a + 1; return x * x;`` becomes
+    ``(a + 1) * (a + 1)``; re-assignment, loops, and branches stay
+    targeted errors."""
     b = body.strip()
-    m = re.fullmatch(r"return\s+(.*?)\s*;?", b, re.DOTALL)
-    if not m:
-        raise JsUdfError(
-            "only a single `return <expression>;` body is supported"
-        )
-    e = m.group(1)
 
     # 1. protect string literals (JS ' or ") as \x00i\x00 placeholders
+    #    over the WHOLE body, so statement splitting and variable
+    #    substitution never touch literal contents
     lits: list[str] = []
 
     def _take(mm):
-        s = mm.group(0)[1:-1]
-        lits.append("'" + s.replace("\\'", "'").replace("'", "''") + "'")
+        s = _js_unescape(mm.group(0)[1:-1])
+        lits.append("'" + s.replace("'", "''") + "'")
         return f"\x00{len(lits) - 1}\x00"
 
-    e = re.sub(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"", _take, e)
-    if "`" in e:
+    e_all = re.sub(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"", _take, b)
+    if "`" in e_all:
         raise JsUdfError("template literals (`...`) are not supported")
+
+    # 2. statement structure: var bindings then a single return
+    parts = [p.strip() for p in e_all.split(";") if p.strip()]
+    if not parts:
+        raise JsUdfError("empty body")
+    for kw in ("for", "while", "do", "if", "switch", "try", "function"):
+        for p in parts:
+            if re.match(rf"\b{kw}\b", p):
+                raise JsUdfError(f"`{kw}` statements are not supported")
+
+    def _subst(name: str, expr: str, target: str) -> str:
+        return re.sub(
+            rf"(?<![\w$.]){re.escape(name)}(?![\w$])", f"({expr})", target
+        )
+
+    bindings: list[tuple[str, str]] = []
+    for p in parts[:-1]:
+        m = re.fullmatch(
+            r"(?:var|let|const)\s+([A-Za-z_$][\w$]*)\s*=\s*(.*)", p, re.DOTALL
+        )
+        if not m:
+            raise JsUdfError(
+                "only `var/let/const <name> = <expression>;` statements "
+                "may precede the return (no re-assignment)"
+            )
+        name, expr = m.group(1), m.group(2)
+        for bn, be in bindings:
+            expr = _subst(bn, be, expr)
+        bindings.append((name, expr))
+    m = re.fullmatch(r"return\s+(.*)", parts[-1], re.DOTALL)
+    if not m:
+        raise JsUdfError("the body must end with `return <expression>;`")
+    e = m.group(1)
+    for bn, be in bindings:
+        e = _subst(bn, be, e)
 
     # 2. ternaries -> IF()
     e = _js_ternary_to_if(e)
@@ -2368,9 +2467,10 @@ def _js_body_to_sql(body: str, param_names: list[str]) -> str:
     e = re.sub(r"\b(?:Number|parseFloat)\s*\(", "cast_double(", e)
     e = re.sub(r"\bparseInt\s*\(", "cast_bigint(", e)
 
-    # 4. method calls / .length on simple receivers (identifier or a
-    #    single call result), innermost-first until fixpoint
-    recv = r"([A-Za-z_$][\w$]*(?:\s*\((?:[^()]|\([^()]*\))*\))?)"
+    # 4. method calls / .length on simple receivers (an identifier, a
+    #    single call result, or a parenthesized group — the shape var
+    #    substitution produces), innermost-first until fixpoint
+    recv = r"((?:[A-Za-z_$][\w$]*)?\s*\((?:[^()]|\([^()]*\))*\)|[A-Za-z_$][\w$]*)"
     meth0 = {
         "toUpperCase": "upper({r})", "toLowerCase": "lower({r})",
         "trim": "trim({r})", "toString": "cast_string({r})",
@@ -2410,10 +2510,27 @@ def _js_body_to_sql(body: str, param_names: list[str]) -> str:
                 recv + r"\s*\.\s*" + js + r"\s*\(((?:[^()]|\([^()]*\))*)\)",
                 sqlfn + r"(\1, \2)", e,
             )
+        def _js_replace(mm):
+            # JS string .replace substitutes only the FIRST occurrence;
+            # SQL replace() substitutes all, so emit a first-occurrence
+            # splice instead (instr('', pat)=1 gives JS's prepend-on-
+            # empty-pattern behavior for free). Regex literals can't be
+            # translated — reject loudly.
+            r, pat, rep_ = mm.group(1), mm.group(2).strip(), mm.group(3).strip()
+            if pat.startswith("/"):
+                raise JsUdfError(
+                    ".replace with a regex literal is not supported"
+                )
+            return (
+                f"IF(instr({r}, {pat}) = 0, {r}, "
+                f"concat(substring({r}, 1, instr({r}, {pat}) - 1), {rep_}, "
+                f"substring({r}, instr({r}, {pat}) + length({pat}))))"
+            )
+
         e = re.sub(
             recv + r"\s*\.\s*replace\s*\(((?:[^()]|\([^()]*\))*),"
             r"((?:[^()]|\([^()]*\))*)\)",
-            r"replace(\1, \2, \3)", e,
+            _js_replace, e,
         )
         e = re.sub(recv + r"\s*\.\s*length\b(?!\s*\()", r"length(\1)", e)
         if e == prev:
@@ -2596,14 +2713,7 @@ def transpile_statement(sql: str, resolver=None, approx_sketches: bool = False) 
     # JSON typed literals: Spark has no JSON column type; the engine's
     # JSON accessors (INT64/BOOL/LAX_*/JSON_VALUE...) all operate on the
     # JSON text, so the literal reduces to its string
-    # (the literal's own quotes delimit a string region, so match the
-    # JSON keyword outside strings and let the quoted part follow)
-    out = re.sub(
-        r"\bJSON\s+('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")",
-        r"\1",
-        out,
-        flags=re.IGNORECASE,
-    )
+    out = _strip_json_typed_literals(out)
     out = _rewrite_qualify(out)
     out = _rewrite_array_subquery(out)
     out = _rewrite_correlated_unnest(out)

@@ -670,6 +670,53 @@ def test_percentile_window_rewrites(spark):
     by_g = {r["g"]: (r["pc"], r["pd"]) for r in rows}
     assert by_g[1] == (2.0, 2.0)
     assert by_g[2] == (25.0, 20.0)
+    # BigQuery default is IGNORE NULLS for both: a NULL x must not
+    # inflate the DISC denominator (for (NULL,1,2,3) at p=0.5 BigQuery
+    # returns 2, not 1)
+    rows = spark.sql(
+        transpile_statement(
+            "SELECT DISTINCT PERCENTILE_CONT(x, 0.5) OVER () AS pc, "
+            "PERCENTILE_DISC(x, 0.5) OVER () AS pd FROM VALUES "
+            "(CAST(NULL AS DOUBLE)), (1.0), (2.0), (3.0) AS t(x)"
+        )
+    ).collect()
+    assert (rows[0]["pc"], rows[0]["pd"]) == (2.0, 2.0)
+
+
+def test_approx_top_count_null_values(spark):
+    """NULL is a returnable APPROX_TOP_COUNT/SUM value with its own
+    count/sum (BigQuery documents this in its examples); ties at equal
+    count order non-NULL values first."""
+    row = spark.sql(
+        transpile_statement(
+            "SELECT APPROX_TOP_COUNT(x, 2) AS tc FROM "
+            "(SELECT explode(array('a', NULL, NULL, NULL, 'a', 'b')) AS x)"
+        )
+    ).first()
+    assert [(s["value"], s["count"]) for s in row["tc"]] == [
+        (None, 3), ("a", 2),
+    ]
+    row = spark.sql(
+        transpile_statement(
+            "SELECT APPROX_TOP_SUM(x, w, 2) AS ts FROM (SELECT "
+            "explode(array(struct(CAST(NULL AS STRING) AS x, 4.0 AS w), "
+            "struct('b' AS x, 5.0 AS w), "
+            "struct(CAST(NULL AS STRING) AS x, 2.5 AS w))) AS s"
+            ") LATERAL VIEW OUTER inline(array(s)) AS x, w"
+        )
+    ).first()
+    assert [(s["value"], s["sum"]) for s in row["ts"]] == [
+        (None, 6.5), ("b", 5.0),
+    ]
+
+
+def test_json_literal_strip_outside_strings():
+    """JSON typed literals reduce to their string; a string literal
+    whose CONTENT contains JSON '...'-shaped text stays intact."""
+    out = transpile_statement("SELECT JSON '{\"a\": 1}' AS j")
+    assert "JSON" not in out and "{\"a\": 1}" in out
+    keep = "SELECT 'see JSON ''x'' spec' AS s"
+    assert "see JSON ''x'' spec" in transpile_statement(keep)
 
 
 def test_approx_top_count_and_sum(spark):
@@ -725,7 +772,23 @@ def test_js_udf_translation(spark):
             "return x === null ? 'none' : 'some';",
             "x STRING", "CAST(NULL AS STRING)", "none",
         ),
-        ("return s.replace('a', 'o');", "s STRING", "'banana'", "bonono"),
+        # JS .replace substitutes only the FIRST occurrence
+        ("return s.replace('a', 'o');", "s STRING", "'banana'", "bonana"),
+        # empty pattern prepends (JS semantics)
+        ("return s.replace('', 'X');", "s STRING", "'abc'", "Xabc"),
+        # double-quoted literals with escapes
+        ('return s + "\\"q\\"";', "s STRING", "'v='", 'v="q"'),
+        # var/let/const bindings inline by substitution
+        ("var t = a + 1; return t * t;", "a INT64", "3", 16),
+        (
+            "var u = s.toUpperCase(); var n = u.length; "
+            "return u + '-' + String(n);",
+            "s STRING", "'ab'", "AB-2",
+        ),
+        (
+            "let half = x / 2; const sq = half * half; return sq + half;",
+            "x FLOAT64", "4.0", 6.0,
+        ),
     ]
     for i, (body, params, args, expected) in enumerate(cases):
         stmt = transpile_statement(
@@ -740,7 +803,11 @@ def test_js_udf_translation(spark):
 def test_js_udf_untranslatable_errors():
     """Constructs beyond the subset fail with a targeted message."""
     for body, needle in [
-        ("var t = 0; return t;", "single `return"),
+        ("t = 0; return t;", "re-assignment"),
+        ("var t = 0; t = t + 1; return t;", "re-assignment"),
+        ("for (var i = 0; i < 3; i++) {} return 0;", "`for`"),
+        ("if (s) { return s; } return '';", "`if`"),
+        ("return s.replace(/x/g, 'y');", "regex"),
         ("return JSON.parse(s).a;", "JSON"),
         ("return `tpl ${s}`;", "template literals"),
         ("return s.match(/x/);", "not supported"),
