@@ -163,6 +163,18 @@ IVF_N_PROBE = 4
 IVF_LLOYD_STEPS = 2
 IVF_TOP_K = 10
 IVF_QUERY_VEC_ID = 0
+# Trainer bound: Lloyd-step statistics are computed over a seeded
+# deterministic stride sample of at most ~IVF_TRAIN_ROWS vectors
+# (vec_id % tstride = 0, tstride = ceil(n / IVF_TRAIN_ROWS)), so trainer
+# state and IO are sample-sized at ANY corpus size; the final assignment
+# always covers the full corpus. 256 < the sf0.01 driver corpus (500),
+# so the bound is exercised — not just present — on every driver run.
+# The DuckDB oracles mirror the same stride, so results stay certified.
+IVF_TRAIN_ROWS = 256
+
+
+def _train_stride(n: int) -> int:
+    return max(-(-n // IVF_TRAIN_ROWS), 1)
 
 
 def _sq_l2(v, c):
@@ -272,7 +284,7 @@ def deterministic_assign(spark, sf_dir: str, vec_where: str | None = None):
 
     ``vec_where``: optional SQL predicate subsetting the embeddings
     table (driver-sampleable ``*_small`` variants; the oracle mirrors
-    the predicate), with the stride recomputed over the subset."""
+    the predicate), with the strides recomputed over the subset."""
     from ..catalog import load
 
     emb = load(spark, sf_dir, "embeddings")
@@ -287,6 +299,8 @@ def deterministic_assign(spark, sf_dir: str, vec_where: str | None = None):
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     ).persist()
+    # the trainer bound: Lloyd statistics over a stride sample only
+    train = vecs.filter(F.col("vec_id") % _train_stride(n) == 0)
     cent_rows = [
         (int(r["vec_id"]) // stride, [float(x) for x in r["v"]])
         for r in vecs.filter(
@@ -295,7 +309,7 @@ def deterministic_assign(spark, sf_dir: str, vec_where: str | None = None):
         ).collect()
     ]
     for _ in range(IVF_LLOYD_STEPS):
-        assigned = _assign_codebook(vecs, cent_rows)
+        assigned = _assign_codebook(train, cent_rows)
         cent_rows = [
             (int(r["list_id"]), [float(x) for x in r["c"]])
             for r in _recompute_centroids(
@@ -394,15 +408,19 @@ def _sql_assigned_ctes(vec_where: str | None = None) -> str:
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings{where}
 ), params AS (
-  SELECT GREATEST(CAST(FLOOR(COUNT(*) / {IVF_K}.0) AS BIGINT), 1) AS stride
+  SELECT GREATEST(CAST(FLOOR(COUNT(*) / {IVF_K}.0) AS BIGINT), 1) AS stride,
+         GREATEST(CAST(CEIL(COUNT(*) / {IVF_TRAIN_ROWS}.0) AS BIGINT), 1)
+           AS tstride
   FROM embeddings{where}
+), train AS (
+  SELECT vec_id, label, v FROM vecs, params WHERE vec_id % tstride = 0
 ), init AS (
   SELECT CAST(vec_id / stride AS INT) AS list_id, v AS c
   FROM vecs, params
   WHERE vec_id % stride = 0 AND vec_id < {IVF_K} * stride
-), a1 AS ({_sql_assign('vecs', 'init')}
+), a1 AS ({_sql_assign('train', 'init')}
 ), c1 AS ({_sql_centroids('a1')}
-), a2 AS ({_sql_assign('vecs', 'c1')}
+), a2 AS ({_sql_assign('train', 'c1')}
 ), c2 AS ({_sql_centroids('a2')}
 ), assigned AS ({_sql_assign('vecs', 'c2')}
 )"""

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ivf import _dlit, _sq_l2, _SQL_SQ_L2
+from .ivf import IVF_TRAIN_ROWS, _dlit, _sq_l2, _train_stride, _SQL_SQ_L2
 
 PQ_M = 4          # subspaces
 PQ_K = 16         # codes per subspace
@@ -43,6 +43,12 @@ PQ_DIM = 64       # corpus embedding dims (TESTDATA.md)
 PQ_SUBDIM = PQ_DIM // PQ_M
 PQ_TOP_K = 10
 PQ_QUERY_VEC_ID = 0
+# Trainer bound shared with the coarse quantizer (the IVF-PQ oracle
+# composes both chains over ONE params/train CTE pair, so the strides
+# must agree): Lloyd statistics — and therefore the pre-explode
+# localCheckpoint in _all_centroid_rows — cover at most ~PQ_TRAIN_ROWS
+# vectors at any corpus size; encoding always covers the full corpus.
+PQ_TRAIN_ROWS = IVF_TRAIN_ROWS
 
 
 def _sub(col, j: int):
@@ -83,9 +89,9 @@ def _all_centroid_rows(
     The coded projection is materialized (localCheckpoint) BEFORE the
     explode: Catalyst otherwise inlines the M argmin expressions under
     the generator and re-optimizes/evaluates them per exploded dim —
-    measured 6x slower. Training runs on a bounded sample at 100 TB
-    (same contract as the IVF quantizer), so the checkpoint is
-    sample-sized, never corpus-sized."""
+    measured 6x slower. Callers pass the PQ_TRAIN_ROWS-bounded stride
+    sample (train_books_from), so the checkpoint is sample-sized —
+    never corpus-sized — at any scale."""
     coded = df.select(codes_col.alias("codes"), "v")
     try:
         coded = coded.localCheckpoint(eager=True)
@@ -116,11 +122,13 @@ def _all_centroid_rows(
     return books
 
 
-def train_books_from(vecs: DataFrame, stride: int):
+def train_books_from(vecs: DataFrame, stride: int, tstride: int = 1):
     """Per-subspace codebooks from a prepared (vec_id, label, v) frame:
     stride-seeded init + ONE Lloyd step, TWO jobs total (one k-row
     seeds collect, then one pass computing every subspace's assignment
-    AND all M centroid sets together)."""
+    AND all M centroid sets together). The Lloyd step — and its
+    pre-explode checkpoint — runs over the vec_id % tstride = 0 sample
+    only, bounding trainer IO at any corpus size."""
     seeds = vecs.filter(
         (F.col("vec_id") % stride == 0) & (F.col("vec_id") < PQ_K * stride)
     ).collect()
@@ -137,7 +145,8 @@ def train_books_from(vecs: DataFrame, stride: int):
     init_codes = F.array(
         *[_assign_code(_sub(F.col("v"), j), inits[j]) for j in range(PQ_M)]
     )
-    return _all_centroid_rows(vecs, init_codes)
+    train = vecs.filter(F.col("vec_id") % tstride == 0)
+    return _all_centroid_rows(train, init_codes)
 
 
 def train_pq_codebooks(spark, sf_dir: str):
@@ -154,7 +163,7 @@ def train_pq_codebooks(spark, sf_dir: str):
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     ).persist()
-    return vecs, train_books_from(vecs, stride)
+    return vecs, train_books_from(vecs, stride, _train_stride(n))
 
 
 def encode_pq(vecs: DataFrame, books) -> DataFrame:
@@ -255,7 +264,7 @@ def ann_ivfpq_topk(spark, sf_dir: str) -> DataFrame:
     from .similarity import _corpus_stats
 
     n, _ = _corpus_stats(spark, sf_dir)
-    books = train_books_from(vecs, max(n // PQ_K, 1))
+    books = train_books_from(vecs, max(n // PQ_K, 1), _train_stride(n))
     q = [
         float(x)
         for x in vecs.filter(F.col("vec_id") == PQ_QUERY_VEC_ID).first()["v"]
@@ -322,8 +331,12 @@ def _sql_pq_ctes(with_base: bool = True) -> str:
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ), params AS (
-  SELECT GREATEST(CAST(FLOOR(COUNT(*) / {PQ_K}.0) AS BIGINT), 1) AS stride
+  SELECT GREATEST(CAST(FLOOR(COUNT(*) / {PQ_K}.0) AS BIGINT), 1) AS stride,
+         GREATEST(CAST(CEIL(COUNT(*) / {PQ_TRAIN_ROWS}.0) AS BIGINT), 1)
+           AS tstride
   FROM embeddings
+), train AS (
+  SELECT vec_id, label, v FROM vecs, params WHERE vec_id % tstride = 0
 )"""
         )
     for j in range(PQ_M):
@@ -333,7 +346,7 @@ def _sql_pq_ctes(with_base: bool = True) -> str:
          v[{j * PQ_SUBDIM + 1}:{(j + 1) * PQ_SUBDIM}] AS c
   FROM vecs, params
   WHERE vec_id % stride = 0 AND vec_id < {PQ_K} * stride
-), a_{j} AS ({_sql_sub_assign('vecs', f'init_{j}', j)}
+), a_{j} AS ({_sql_sub_assign('train', f'init_{j}', j)}
 ), cb_{j} AS ({_sql_sub_centroids(f'a_{j}', j)}
 ), asg_{j} AS ({_sql_sub_assign('vecs', f'cb_{j}', j)}
 )"""
