@@ -289,6 +289,67 @@ def ann_ivfpq_topk(spark, sf_dir: str) -> DataFrame:
     return out
 
 
+PQ_RERANK_R = 50
+
+
+def ann_ivfpq_rerank_topk(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: IVF-PQ with an exact re-rank stage — the
+    production composition promised in the module docstring. Stage 1 is
+    ann_ivfpq_topk's map-only ADC scan over the probed lists, kept to
+    the top PQ_RERANK_R candidates; stage 2 re-scores ONLY those R
+    vectors against their raw floats (exact squared L2 to the query) and
+    emits the exact-ordered top-k, fixing any ADC quantization rank
+    inversions inside the candidate set.
+
+    At 100 TB the raw-vector read is candidate-bounded by construction:
+    the R ids are driver scalars (like the probe list), so the re-rank
+    scan carries a pushed-down ``vec_id IN (...)`` parquet filter — R
+    row-group lookups, never a corpus scan or a shuffle join."""
+    from ..catalog import load
+    from .ivf import _py_sq_l2 as ivf_sq_l2, deterministic_assign
+    from .similarity import _corpus_stats
+
+    vecs, assigned, cent_rows = deterministic_assign(spark, sf_dir)
+    n, _ = _corpus_stats(spark, sf_dir)
+    books = train_books_from(vecs, max(n // PQ_K, 1), _train_stride(n))
+    q = [
+        float(x)
+        for x in vecs.filter(F.col("vec_id") == PQ_QUERY_VEC_ID).first()["v"]
+    ]
+    probes = [
+        lid
+        for _, lid in sorted(
+            (ivf_sq_l2(c, q), lid) for lid, c in cent_rows
+        )[:IVFPQ_N_PROBE]
+    ]
+    enc = encode_pq(assigned, books)
+    cand_ids = [
+        r["vec_id"]
+        for r in enc.filter(
+            F.col("list_id").isin(probes)
+            & (F.col("vec_id") != PQ_QUERY_VEC_ID)
+        )
+        .select("vec_id", F.round(adc_expr(books, q), 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(PQ_RERANK_R)
+        .collect()
+    ]
+    vecs.unpersist()
+    # fresh scan so the IN filter reaches the parquet reader
+    raw = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isin(cand_ids)
+    )
+    q_lit = F.expr("array(" + ", ".join(_dlit(x) for x in q) + ")")
+    exact = _sq_l2(
+        F.transform("embedding", lambda x: x.cast("double")), q_lit
+    )
+    return (
+        raw.select("vec_id", "label", F.round(exact, 6).alias("exact_sq_dist"))
+        .orderBy(F.asc("exact_sq_dist"), F.asc("vec_id"))
+        .limit(PQ_TOP_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles: identical stride init + 1 Lloyd step per subspace.
 
@@ -432,3 +493,38 @@ ORDER BY adc_dist ASC, vec_id ASC LIMIT {PQ_TOP_K}
 
 
 IVFPQ_SQL = _ivfpq_sql()
+
+
+def _ivfpq_rerank_sql() -> str:
+    """Candidate CTE = the IVF-PQ ADC query kept to top-R; the re-rank
+    joins those R ids back to raw vectors and orders by exact sq-L2."""
+    from .ivf import IVF_K, _sql_assigned_ctes, _SQL_SQ_L2 as _L2
+
+    assert IVF_K == PQ_K
+    return f"""
+WITH {_sql_assigned_ctes()},
+{_sql_pq_ctes(with_base=False)}, q AS (
+  SELECT v AS qv FROM vecs WHERE vec_id = {PQ_QUERY_VEC_ID}
+), probe AS (
+  SELECT list_id
+  FROM c2, q
+  ORDER BY {_L2.format(a='c', b='qv')} ASC, list_id ASC
+  LIMIT {IVFPQ_N_PROBE}
+), cand AS (
+  SELECT a0.vec_id AS vec_id,
+         ROUND({_PQ_ADC_TERMS}, 6) AS adc_dist
+  FROM asg_0 a0
+  {_PQ_JOINS}
+  JOIN assigned coarse ON a0.vec_id = coarse.vec_id, q
+  WHERE coarse.list_id IN (SELECT list_id FROM probe)
+    AND a0.vec_id <> {PQ_QUERY_VEC_ID}
+  ORDER BY adc_dist ASC, vec_id ASC LIMIT {PQ_RERANK_R}
+)
+SELECT v.vec_id AS vec_id, v.label AS label,
+       ROUND({_L2.format(a='v.v', b='qv')}, 6) AS exact_sq_dist
+FROM vecs v JOIN cand c ON v.vec_id = c.vec_id, q
+ORDER BY exact_sq_dist ASC, vec_id ASC LIMIT {PQ_TOP_K}
+"""
+
+
+IVFPQ_RERANK_SQL = _ivfpq_rerank_sql()

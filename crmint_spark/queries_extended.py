@@ -1203,6 +1203,71 @@ def q50_hll_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.result
 
 
+def q50_hll_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q50 sketch script on the SCALE path (``approx_sketches=True``
+    routes the HLL family to Spark's DataSketches builtins — constant
+    memory per group instead of exact distinct sets). Driver-checkable
+    despite the estimator being non-reproducible in DuckDB: the entry
+    emits the EXACT per-group cardinality plus booleans asserting the
+    HLL estimates landed within 10% — ~2 standard errors for
+    APPROX_COUNT_DISTINCT's default rsd=5% HLL++, comfortably wide for
+    the DataSketches MERGE path (~1.6% at lgConfigK=12) — so the oracle
+    is a plain deterministic aggregate with TRUE literals: any
+    out-of-bounds estimate flips a boolean and fails the hash compare."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    WITH by_year AS (
+      SELECT o_orderpriority AS prio,
+             EXTRACT(YEAR FROM o_orderdate) AS yr,
+             HLL_COUNT.INIT(o_custkey) AS sk
+      FROM orders GROUP BY prio, yr
+    ), merged AS (
+      SELECT prio, HLL_COUNT.MERGE(sk) AS uniq_custs
+      FROM by_year GROUP BY prio
+    ), direct AS (
+      SELECT o_orderpriority AS prio,
+             APPROX_COUNT_DISTINCT(o_custkey) AS acd
+      FROM orders GROUP BY prio
+    )
+    SELECT m.prio, m.uniq_custs, d.acd
+    FROM merged m JOIN direct d ON m.prio = d.prio
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False, "approx_sketches": True},
+        WorkerContext(spark),
+    )
+    w.execute()
+    approx = w.result
+    exact = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(F.countDistinct("o_custkey").alias("exact_uniq"))
+    )
+    tol = F.col("exact_uniq") * 0.10
+    return approx.join(exact, "prio").select(
+        "prio",
+        "exact_uniq",
+        (F.abs(F.col("uniq_custs") - F.col("exact_uniq")) <= tol).alias(
+            "merge_within_10pct"
+        ),
+        (F.abs(F.col("acd") - F.col("exact_uniq")) <= tol).alias(
+            "acd_within_10pct"
+        ),
+    )
+
+
+Q50_APPROX_SQL = """
+SELECT o_orderpriority AS prio,
+       COUNT(DISTINCT o_custkey) AS exact_uniq,
+       TRUE AS merge_within_10pct,
+       TRUE AS acd_within_10pct
+FROM orders GROUP BY prio
+"""
+
+
 Q50_SQL = """
 WITH by_year AS (
   SELECT o_orderpriority AS prio,
@@ -1269,6 +1334,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q49_bq_functions4": (q49_bq_functions4, Q49_SQL),
     "q55_bq_functions5": (q55_bq_functions5, Q55_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
+    "q50_hll_approx": (q50_hll_approx, Q50_APPROX_SQL),
     "q36_qualify": (q36_qualify, Q36_SQL),
     "q37_pivot_unpivot": (q37_pivot_unpivot, Q37_SQL),
     "pipeline_sql_e2e": (pipeline_sql_e2e, PIPELINE_E2E_SQL),

@@ -50,6 +50,10 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     # likewise: the round-4 function-batch certification script (cheap,
     # 801 rows) earns driver evidence only if it sits inside the sweep
     "q55_bq_functions5": _EXT["q55_bq_functions5"],
+    # r5 additions registered early so their first-appearance index puts
+    # them inside the driver's sweep horizon (VERDICT r4 #6/#7)
+    "ann_ivfpq_rerank_topk": (pq.ann_ivfpq_rerank_topk, pq.IVFPQ_RERANK_SQL),
+    "q50_hll_approx": _EXT["q50_hll_approx"],
     "dedup_fuzzy_words": (dedup.fuzzy_word_matches, dedup.FUZZY_SQL),
     "dedup_embedding_cosine": (similarity.embedding_dedup_pairs, similarity.EMB_DEDUP_SQL),
     "text_rolling_fingerprint": (text.rolling_fingerprint, text.ROLLING_FP_SQL),
