@@ -44,6 +44,57 @@ _CREATE_MODEL_RE = re.compile(
 )
 
 
+def _resolve_split(df: DataFrame, opts: dict) -> tuple[DataFrame, dict]:
+    """BigQuery DATA_SPLIT_METHOD semantics -> (training frame, split
+    metadata). The split predicate is persisted with the model so
+    no-input ``ML.EVALUATE(MODEL m)`` can re-derive the held-out rows
+    from the training-source SQL (BigQuery evaluates on the reserved
+    split; ref model_bqml.sql:95-101 uses the same hash-bucket idiom in
+    its own pipelines).
+
+    AUTO_SPLIT follows BigQuery's documented thresholds: < 500 rows ->
+    no split (train on everything, evaluate on everything); 500-50,000
+    -> 20% held out; > 50,000 -> 10,000 rows held out. RANDOM honors
+    DATA_SPLIT_EVAL_FRACTION. CUSTOM holds out rows where the BOOL
+    DATA_SPLIT_COL is true. Divergence (documented): RANDOM/AUTO_SPLIT
+    bucket rows by a deterministic whole-row hash rather than an RNG, so
+    the split — and therefore evaluation — is reproducible across runs."""
+    method = str(opts.pop("DATA_SPLIT_METHOD", "AUTO_SPLIT")).strip("'\"").upper()
+    frac = opts.pop("DATA_SPLIT_EVAL_FRACTION", None)
+    split_col = opts.pop("DATA_SPLIT_COL", None)
+    split_col = str(split_col).strip("'\"") if split_col is not None else None
+    if method == "NO_SPLIT":
+        return df, {"method": method}
+    if method == "CUSTOM":
+        if not split_col:
+            raise ValueError("DATA_SPLIT_METHOD='CUSTOM' requires DATA_SPLIT_COL")
+        pred = f"NOT coalesce(`{split_col}`, false)"
+        return (
+            df.filter(F.expr(pred)),
+            {"method": method, "split_col": split_col, "holdout_predicate": f"coalesce(`{split_col}`, false)"},
+        )
+    if method == "SEQ":
+        raise ValueError(
+            "DATA_SPLIT_METHOD='SEQ' is not supported; use AUTO_SPLIT, "
+            "RANDOM, CUSTOM, or NO_SPLIT"
+        )
+    n = df.count()
+    if method == "RANDOM":
+        pct = int(round(float(frac if frac is not None else 0.2) * 100))
+    else:  # AUTO_SPLIT
+        if n < 500:
+            return df, {"method": method, "eval_pct": 0}
+        pct = 20 if n <= 50_000 else max(int(round(10_000.0 / n * 100)), 1)
+    pct = min(max(pct, 0), 100)
+    if pct == 0:
+        return df, {"method": method, "eval_pct": 0}
+    holdout = f"(abs(xxhash64(struct(*))) % 100) < {pct}"
+    return (
+        df.filter(~F.expr(holdout)),
+        {"method": method, "eval_pct": pct, "holdout_predicate": holdout},
+    )
+
+
 @dataclass
 class ModelRegistry:
     root: str
@@ -178,7 +229,13 @@ def try_create_model(
             },
         )
         return df
-    feature_cols = [c for c, t in df.dtypes if c != label and t not in ("string",)]
+    train_df, split_meta = _resolve_split(df, opts)
+    split_col = split_meta.get("split_col")
+    feature_cols = [
+        c
+        for c, t in df.dtypes
+        if c != label and c != split_col and t not in ("string",)
+    ]
     hyper = {
         k: v
         for k, v in opts.items()
@@ -200,14 +257,22 @@ def try_create_model(
         # passes (the DNN/tree types keep their own tuned defaults)
         hyper.setdefault("MAX_ITERATIONS", 20)
     pipeline = build_pipeline(model_type, feature_cols, label, hyper)
-    model = pipeline.fit(df)
+    model = pipeline.fit(train_df)
     dest = registry.path(name)
     if os.path.isdir(dest):
         shutil.rmtree(dest)
     model.write().overwrite().save(dest)
     registry.save_meta(
         name,
-        {"model_type": model_type, "label": label, "features": feature_cols},
+        {
+            "model_type": model_type,
+            "label": label,
+            "features": feature_cols,
+            # persisted so no-input ML.EVALUATE can rebuild the held-out
+            # split (BigQuery's evaluate-on-reserved-split behavior)
+            "source_sql": query,
+            "data_split": split_meta,
+        },
     )
     return df
 
@@ -378,15 +443,34 @@ def rewrite_ml_evaluate(
     def handler(name: str, args: list[str]) -> str:
         meta = registry.load_meta(name)
         if not args and meta["model_type"] != "ARIMA_PLUS":
-            # BigQuery evaluates on the held-out training split when the
-            # input query is omitted; we do not persist the split, so
-            # fail loudly instead of selecting a label from "SELECT 1"
-            raise ValueError(
-                f"ML.EVALUATE(MODEL `{name}`) requires an input query for "
-                f"{meta['model_type']} models: pass "
-                "ML.EVALUATE(MODEL `m`, (SELECT <features>, <label> FROM ...)) "
-                "(evaluate-on-training-split is not persisted by this engine)"
-            )
+            # BigQuery evaluates on the reserved training split when the
+            # input query is omitted. CREATE MODEL persists the source
+            # SQL + holdout hash predicate, so rebuild that split here;
+            # models trained before the split was persisted (or whose
+            # source tables have vanished) still fail loudly.
+            src = meta.get("source_sql")
+            if not src:
+                raise ValueError(
+                    f"ML.EVALUATE(MODEL `{name}`) without an input query "
+                    "needs the persisted training split, but this model "
+                    "predates split persistence — retrain it, or pass "
+                    "ML.EVALUATE(MODEL `m`, (SELECT <features>, <label> "
+                    "FROM ...))"
+                )
+            try:
+                df = spark.sql(src)
+            except Exception as exc:
+                raise ValueError(
+                    f"ML.EVALUATE(MODEL `{name}`) could not re-read the "
+                    f"persisted training source ({exc}); the source tables "
+                    "are no longer available — pass an explicit input query"
+                ) from exc
+            pred = meta.get("data_split", {}).get("holdout_predicate")
+            # no reserved split (NO_SPLIT / AUTO_SPLIT under 500 rows):
+            # BigQuery evaluates on the entire training input
+            if pred:
+                df = df.filter(F.expr(pred))
+            return _metrics_view(name, df)
         inner = _inner_query(args[0]) if args else "SELECT 1"
         if meta["model_type"] == "ARIMA_PLUS":
             # per-series fit diagnostics from the Holt state: one-step
@@ -411,8 +495,11 @@ def rewrite_ml_evaluate(
             view = f"__ml_evaluate_{counter[0]}"
             metrics.createOrReplaceTempView(view)
             return view
-        model, meta = _load(registry, name)
         df = spark.sql(f"{cte} {inner}" if cte else inner)
+        return _metrics_view(name, df)
+
+    def _metrics_view(name: str, df: DataFrame) -> str:
+        model, meta = _load(registry, name)
         label = meta["label"]
         if is_classifier(meta["model_type"]):
             from pyspark.ml.evaluation import (

@@ -212,10 +212,10 @@ def test_bqml_early_stop_defaults():
     assert lr3.getTol() == 0.05
 
 
-def test_ml_evaluate_requires_input_query(ctx):
-    """ML.EVALUATE with no input query on a classifier/regressor raises a
-    descriptive error (we do not persist the training split), not an
-    opaque missing-column failure downstream."""
+def test_ml_evaluate_no_input_under_500_rows(ctx):
+    """No-input ML.EVALUATE evaluates on the persisted training source;
+    with under 500 rows AUTO_SPLIT reserves nothing, so (as in BigQuery)
+    evaluation covers the entire training input."""
     _run(
         ctx,
         """
@@ -226,8 +226,68 @@ def test_ml_evaluate_requires_input_query(ctx):
         )
         """,
     )
-    with pytest.raises(Exception, match="requires an input query"):
-        _run(ctx, "SELECT * FROM ML.EVALUATE(MODEL `p.d.ev_guard`)")
+    w = _run(ctx, "SELECT * FROM ML.EVALUATE(MODEL `p.d.ev_guard`)")
+    row = w.result.first()
+    assert 0.5 <= row["roc_auc"] <= 1.0
+    assert 0.0 <= row["accuracy"] <= 1.0
+
+
+def test_ml_evaluate_no_input_holdout_split(ctx, spark):
+    """600-row source: AUTO_SPLIT holds out 20% by a deterministic
+    whole-row hash; the model fits on the remaining 80% and no-input
+    ML.EVALUATE scores exactly the reserved rows. The persisted split
+    predicate partitions the source cleanly and both halves are
+    non-trivial."""
+    import json
+
+    spark.sql(
+        "SELECT CAST(id AS DOUBLE) / 600 AS x1, "
+        "CAST(id % 7 AS DOUBLE) AS x2, "
+        "CAST(id % 2 AS INT) AS label FROM range(600)"
+    ).createOrReplaceTempView("training_600")
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.ev_hold`
+        OPTIONS(MODEL_TYPE='LOGISTIC_REG', INPUT_LABEL_COLS=['label'],
+                MAX_ITERATIONS=5) AS (
+          SELECT x1, x2, label FROM training_600
+        )
+        """,
+    )
+    reg = _run(ctx, "SELECT 1")._model_registry()
+    meta = reg.load_meta("p.d.ev_hold")
+    split = meta["data_split"]
+    assert split["eval_pct"] == 20 and "xxhash64" in split["holdout_predicate"]
+    src = spark.sql(meta["source_sql"])
+    n_hold = src.filter(split["holdout_predicate"]).count()
+    assert 0 < n_hold < 600 and abs(n_hold - 120) < 60
+    w = _run(ctx, "SELECT * FROM ML.EVALUATE(MODEL `p.d.ev_hold`)")
+    row = w.result.first()
+    assert 0.0 <= row["accuracy"] <= 1.0
+
+
+def test_ml_evaluate_no_input_vanished_source_errors(ctx, spark):
+    """If the persisted training source can no longer be read, the
+    no-input form still fails with a descriptive error, not an opaque
+    analysis failure."""
+    spark.sql(
+        "SELECT CAST(id AS DOUBLE) AS x1, CAST(id % 2 AS INT) AS label "
+        "FROM range(100)"
+    ).createOrReplaceTempView("vanishing_view")
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.ev_gone`
+        OPTIONS(MODEL_TYPE='LOGISTIC_REG', INPUT_LABEL_COLS=['label'],
+                MAX_ITERATIONS=5) AS (
+          SELECT x1, label FROM vanishing_view
+        )
+        """,
+    )
+    spark.catalog.dropTempView("vanishing_view")
+    with pytest.raises(Exception, match="no longer available"):
+        _run(ctx, "SELECT * FROM ML.EVALUATE(MODEL `p.d.ev_gone`)")
 
 
 def test_ml_table_call_empty_args_passthrough():
