@@ -2,21 +2,26 @@
 and ``ML.FORECAST``.
 
 BigQuery's ARIMA_PLUS is a proprietary auto-ARIMA ensemble; the engine
-substitutes **Holt's linear exponential smoothing** (level + trend,
-fixed alpha/beta) — a classical forecaster whose fit is a single
-deterministic left fold over each ordered series, so the whole path is
-reproducible in ANSI SQL and the DuckDB oracle certifies forecasts
-value-for-value — including the prediction intervals (additive-error
-bands, +/- z * sigma * sqrt(h) from the fit's one-step residual RMSE).
-Documented divergence: no seasonality/holiday/anomaly decomposition;
-interval widths come from Holt's additive-error model, not BigQuery's
-ARIMA ensemble quantiles.
+substitutes **Holt-Winters additive exponential smoothing** — level +
+trend + an additive seasonal component (fixed alpha/beta/gamma), the
+classical forecaster family whose fit is a single deterministic left
+fold over each ordered series, so the whole path is reproducible in
+ANSI SQL and the DuckDB oracle certifies forecasts value-for-value —
+including the prediction intervals (additive-error bands, +/- z *
+sigma * sqrt(h) from the fit's one-step residual RMSE). The seasonal
+period derives from the model's DATA_FREQUENCY option (HOURLY -> 24,
+DAILY -> 7, MONTHLY -> 12, ...; AUTO_FREQUENCY infers the grid step
+from the minimum distinct-timestamp gap); series shorter than two full
+periods fall back to plain Holt (level + trend). Documented divergence:
+no holiday effects or step-change decomposition; interval widths come
+from the additive-error model, not BigQuery's ARIMA ensemble quantiles.
 
 Execution shape: fitting is ONE groupBy(series) with a JVM-side
 ``array_sort`` + ``aggregate`` fold — no Python, no per-series jobs;
-per-series state is 4 scalars, materialized on the driver exactly like
-the other model registries. Forecasting expands ``sequence(1, horizon)``
-per series — k*h rows from a k-row state table.
+per-series state is 4 scalars + m seasonal terms, materialized on the
+driver exactly like the other model registries. Forecasting expands
+``sequence(1, horizon)`` per series — k*h rows from a k-row state
+table.
 """
 
 from __future__ import annotations
@@ -28,19 +33,96 @@ from pyspark.sql import functions as F
 
 HOLT_ALPHA = 0.5
 HOLT_BETA = 0.3
+HOLT_GAMMA = 0.3
+
+# DATA_FREQUENCY -> seasonal period (one full cycle in grid steps):
+# hour-of-day, day-of-week, week-of-year, month-of-year, quarter-of-year
+_FREQ_PERIOD = {
+    "HOURLY": 24,
+    "DAILY": 7,
+    "WEEKLY": 52,
+    "MONTHLY": 12,
+    "QUARTERLY": 4,
+    "YEARLY": 0,
+    "PER_MINUTE": 60,
+}
+
+# AUTO_FREQUENCY: minimum gap between distinct timestamps -> period
+_AUTO_PERIOD = (
+    (60_000_000, 60),            # minute grid -> hour cycle
+    (3_600_000_000, 24),         # hour grid -> day cycle
+    (86_400_000_000, 7),         # day grid -> week cycle
+    (604_800_000_000, 52),       # week grid -> year cycle
+    (2_419_200_000_000, 12),     # ~month grid -> year cycle
+)
+
+
+def infer_seasonal_period(df: DataFrame, ts_col: str, freq: str) -> int:
+    """Resolve DATA_FREQUENCY to a seasonal period. AUTO_FREQUENCY takes
+    the minimum positive gap between distinct timestamps (one tiny
+    sort-distinct aggregation) and maps it onto the table above; an
+    unrecognized grid (or YEARLY) disables seasonality."""
+    freq = freq.upper()
+    if freq != "AUTO_FREQUENCY":
+        return _FREQ_PERIOD.get(freq, 0)
+    # grid detection from the first 10k distinct timestamps — a
+    # TakeOrdered (no full sort/collect), so the probe stays O(10k)
+    # driver-side at any corpus size
+    head = (
+        df.select(F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"))
+        .where(F.col("us").isNotNull())
+        .distinct()
+        .orderBy("us")
+        .limit(10_001)
+        .select(F.array_sort(F.collect_list("us")).alias("a"))
+        .select(
+            F.array_min(
+                F.zip_with(
+                    F.slice("a", 2, F.greatest(F.size("a") - 1, F.lit(0))),
+                    F.slice("a", 1, F.greatest(F.size("a") - 1, F.lit(0))),
+                    lambda b, a: b - a,
+                )
+            ).alias("g")
+        )
+        .first()
+    )
+    g = head["g"] if head else None
+    if not g or g <= 0:
+        return 0
+    for grid, period in _AUTO_PERIOD:
+        if g <= grid:
+            return period
+    return 0
 
 
 def fit_holt_state(
-    df: DataFrame, ts_col: str, y_col: str, id_col: str | None
+    df: DataFrame, ts_col: str, y_col: str, id_col: str | None,
+    period: int = 0,
 ) -> list[dict]:
-    """-> [{series_id, level, trend, last_us, iv_us, n_obs}, ...].
+    """-> [{series_id, level, trend, seasonal, period, n_resid, last_us,
+    iv_us, n_obs}, ...].
 
-    Fold (identical expression order on both engines, so IEEE-identical):
+    Fold (identical expression order on both engines, so IEEE-identical).
+    Plain Holt (period 0, or series shorter than two periods):
       l_1 = y_1, b_1 = 0
       l_t = A*y_t + (1-A)*(l + b);  b_t = B*(l_t - l) + (1-B)*b
+    Holt-Winters additive (period m, series with >= 2m points), with the
+    classical initialization (Hyndman & Athanasopoulos, "Forecasting:
+    Principles and Practice", §7.3 — trend from the first two period
+    means, seasonal indices detrended so a pure-trend series gets zero
+    seasonality):
+      l_m = mean(y_1..y_m)
+      b_m = (mean(y_{m+1}..y_{2m}) - mean(y_1..y_m)) / m
+      s_i = y_i - (l_m + (i - (m+1)/2) * b_m)   (i = 1..m)
+      l_t = A*(y_t - s_{t-m}) + (1-A)*(l + b)
+      b_t = B*(l_t - l) + (1-B)*b
+      s_t = G*(y_t - l_t) + (1-G)*s_{t-m}
+    with one-step residuals e_t = y_t - ((l + b) + s_{t-m}).
     """
     a, one_a = float(HOLT_ALPHA), 1.0 - HOLT_ALPHA
     b_, one_b = float(HOLT_BETA), 1.0 - HOLT_BETA
+    g_, one_g = float(HOLT_GAMMA), 1.0 - HOLT_GAMMA
+    m = int(period)
     sid = (
         F.col(id_col).cast("string")
         if id_col
@@ -73,27 +155,86 @@ def fit_holt_state(
             (acc["sse"] + err * err).alias("sse"),
         )
 
+    holt_acc = F.aggregate(
+        F.slice(F.col("ys"), 2, F.greatest(F.size("ys") - 1, F.lit(0))),
+        F.struct(
+            F.element_at("ys", 1).alias("l"),
+            F.lit(0.0).alias("b"),
+            F.lit(0.0).alias("sse"),
+        ),
+        merge,
+    )
+    empty_s = F.expr("CAST(array() AS array<double>)")
+    holt_full = F.struct(
+        holt_acc["l"].alias("l"),
+        holt_acc["b"].alias("b"),
+        holt_acc["sse"].alias("sse"),
+        empty_s.alias("s"),
+    )
+    if m >= 2:
+        l0 = F.aggregate(
+            F.slice("ys", 1, m), F.lit(0.0), lambda ac, x: ac + x
+        ) / F.lit(float(m))
+        mean2 = F.aggregate(
+            F.slice("ys", m + 1, m), F.lit(0.0), lambda ac, x: ac + x
+        ) / F.lit(float(m))
+        b0 = (mean2 - l0) / F.lit(float(m))
+        mid = F.lit((m + 1) / 2.0)
+
+        def merge_hw(acc, y):
+            sm = F.element_at(acc["s"], 1)
+            new_l = F.lit(a) * (y - sm) + F.lit(one_a) * (acc["l"] + acc["b"])
+            err = y - ((acc["l"] + acc["b"]) + sm)
+            return F.struct(
+                new_l.alias("l"),
+                (
+                    F.lit(b_) * (new_l - acc["l"]) + F.lit(one_b) * acc["b"]
+                ).alias("b"),
+                (acc["sse"] + err * err).alias("sse"),
+                F.concat(
+                    F.slice(acc["s"], 2, m - 1),
+                    F.array(F.lit(g_) * (y - new_l) + F.lit(one_g) * sm),
+                ).alias("s"),
+            )
+
+        hw_acc = F.aggregate(
+            F.slice(F.col("ys"), m + 1, F.greatest(F.size("ys") - m, F.lit(0))),
+            F.struct(
+                l0.alias("l"),
+                b0.alias("b"),
+                F.lit(0.0).alias("sse"),
+                F.transform(
+                    F.slice("ys", 1, m),
+                    lambda v, i: v
+                    - (l0 + ((i + 1).cast("double") - mid) * b0),
+                ).alias("s"),
+            ),
+            merge_hw,
+        )
+        seasonal_on = F.size("ys") >= F.lit(2 * m)
+        acc_col = F.when(seasonal_on, hw_acc).otherwise(holt_full)
+        period_eff = F.when(seasonal_on, F.lit(m)).otherwise(F.lit(0))
+        n_resid = F.when(
+            seasonal_on, F.size("ys") - m
+        ).otherwise(F.size("ys") - 1)
+    else:
+        acc_col = holt_full
+        period_eff = F.lit(0)
+        n_resid = F.size("ys") - 1
+
     fitted = (
         pts.where(F.size("p") >= 2)
         .withColumn("ys", ys)
         .withColumn("tus", tus)
-        .withColumn(
-            "acc",
-            F.aggregate(
-                F.slice(F.col("ys"), 2, F.greatest(F.size("ys") - 1, F.lit(0))),
-                F.struct(
-                    F.element_at("ys", 1).alias("l"),
-                    F.lit(0.0).alias("b"),
-                    F.lit(0.0).alias("sse"),
-                ),
-                merge,
-            ),
-        )
+        .withColumn("acc", acc_col)
         .select(
             "series_id",
             F.col("acc.l").alias("level"),
             F.col("acc.b").alias("trend"),
             F.col("acc.sse").alias("sse"),
+            F.col("acc.s").alias("seasonal"),
+            period_eff.cast("int").alias("period"),
+            n_resid.cast("bigint").alias("n_resid"),
             F.element_at("tus", -1).alias("last_us"),
             F.expr(
                 "(element_at(tus, -1) - element_at(tus, 1)) div (size(tus) - 1)"
@@ -107,6 +248,9 @@ def fit_holt_state(
             "level": float(r["level"]),
             "trend": float(r["trend"]),
             "sse": float(r["sse"]),
+            "seasonal": [float(x) for x in (r["seasonal"] or [])],
+            "period": int(r["period"]),
+            "n_resid": int(r["n_resid"]),
             "last_us": int(r["last_us"]),
             "iv_us": int(r["iv_us"]),
             "n_obs": int(r["n_obs"]),
@@ -126,11 +270,12 @@ def forecast_frame(
     (series_id, step, forecast_ts_us, forecast_value, standard_error,
     confidence_level, prediction_interval_lower_bound, ..._upper_bound).
 
-    Intervals are Holt's additive-error bands: the one-step residual
-    RMSE from the fit grows with sqrt(h), bounds are forecast +/- z *
-    sigma * sqrt(h) — deterministic arithmetic over the fit state, so
-    the DuckDB oracle certifies the bounds value-for-value (BigQuery's
-    ML.FORECAST emits the same four interval columns)."""
+    Intervals are the additive-error bands: the one-step residual RMSE
+    from the fit grows with sqrt(h), bounds are forecast +/- z * sigma *
+    sqrt(h) — deterministic arithmetic over the fit state, so the DuckDB
+    oracle certifies the bounds value-for-value (BigQuery's ML.FORECAST
+    emits the same four interval columns). Seasonal series add the
+    cyclic component s[(h-1) mod m] to the linear extrapolation."""
     st = spark.createDataFrame(
         [
             (
@@ -138,6 +283,9 @@ def forecast_frame(
                 s["level"],
                 s["trend"],
                 s["sse"],
+                s.get("seasonal", []),
+                int(s.get("period", 0)),
+                int(s.get("n_resid", s["n_obs"] - 1)),
                 s["last_us"],
                 s["iv_us"],
                 s["n_obs"],
@@ -145,16 +293,28 @@ def forecast_frame(
             for s in state
         ],
         "series_id string, level double, trend double, sse double, "
+        "seasonal array<double>, period int, n_resid bigint, "
         "last_us bigint, iv_us bigint, n_obs bigint",
     )
-    point = F.col("level") + F.col("step") * F.col("trend")
-    se = F.sqrt(F.col("sse") / (F.col("n_obs") - 1)) * F.sqrt(F.col("step"))
+    linear = F.col("level") + F.col("step") * F.col("trend")
+    point = F.when(
+        F.col("period") > 0,
+        linear
+        + F.element_at(
+            "seasonal",
+            (F.pmod(F.col("step") - 1, F.col("period")) + 1).cast("int"),
+        ),
+    ).otherwise(linear)
+    se = F.sqrt(F.col("sse") / F.col("n_resid")) * F.sqrt(F.col("step"))
     return st.select(
         "series_id",
         F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("step"),
         "level",
         "trend",
         "sse",
+        "seasonal",
+        "period",
+        "n_resid",
         "last_us",
         "iv_us",
         "n_obs",
@@ -222,8 +382,9 @@ def detect_anomalies_frame(
     threshold: float,
 ) -> DataFrame:
     """Flag rows whose value falls outside the z * sigma band around the
-    model's linear extrapolation at that timestamp; sigma is the
-    one-step-ahead residual RMSE from the fit."""
+    model's extrapolation (linear + seasonal cycle for Holt-Winters
+    fits) at that timestamp; sigma is the one-step-ahead residual RMSE
+    from the fit."""
     if threshold not in ANOMALY_Z:
         raise ValueError(
             f"anomaly_prob_threshold must be one of {sorted(ANOMALY_Z)}"
@@ -236,6 +397,9 @@ def detect_anomalies_frame(
                 s["level"],
                 s["trend"],
                 s["sse"],
+                s.get("seasonal", []),
+                int(s.get("period", 0)),
+                int(s.get("n_resid", s["n_obs"] - 1)),
                 s["last_us"],
                 s["iv_us"],
                 s["n_obs"],
@@ -243,6 +407,7 @@ def detect_anomalies_frame(
             for s in state
         ],
         "series_id string, level double, trend double, sse double, "
+        "seasonal array<double>, period int, n_resid bigint, "
         "last_us bigint, iv_us bigint, n_obs bigint",
     )
     sid = F.col(id_col).cast("string") if id_col else F.lit("__all__")
@@ -253,8 +418,17 @@ def detect_anomalies_frame(
     )
     j = rows.join(F.broadcast(st), "series_id")
     h = (F.col("ts_us") - F.col("last_us")).cast("double") / F.col("iv_us")
-    expected = F.col("level") + h * F.col("trend")
-    sigma = F.sqrt(F.col("sse") / (F.col("n_obs") - 1))
+    linear = F.col("level") + h * F.col("trend")
+    hi = F.round(h, 0).cast("bigint")
+    expected = F.when(
+        F.col("period") > 0,
+        linear
+        + F.element_at(
+            "seasonal",
+            (F.pmod(hi - 1, F.col("period")) + 1).cast("int"),
+        ),
+    ).otherwise(linear)
+    sigma = F.sqrt(F.col("sse") / F.col("n_resid"))
     return j.select(
         "series_id",
         "ts_us",

@@ -212,13 +212,15 @@ def try_create_model(
     if model_type == "ARIMA_PLUS":
         # time-series path: Holt smoothing fit (ml/forecast.py), state
         # saved in the meta; ML.FORECAST expands it
-        from .forecast import fit_holt_state
+        from .forecast import fit_holt_state, infer_seasonal_period
 
         ts_col = str(opts.get("TIME_SERIES_TIMESTAMP_COL", "ts")).strip("'\"")
         y_col = str(opts.get("TIME_SERIES_DATA_COL", "y")).strip("'\"")
         id_col = opts.get("TIME_SERIES_ID_COL")
         id_col = str(id_col).strip("'\"") if id_col is not None else None
-        state = fit_holt_state(df, ts_col, y_col, id_col)
+        freq = str(opts.get("DATA_FREQUENCY", "AUTO_FREQUENCY")).strip("'\"")
+        period = infer_seasonal_period(df, ts_col, freq)
+        state = fit_holt_state(df, ts_col, y_col, id_col, period)
         registry.save_meta(
             name,
             {
@@ -483,7 +485,12 @@ def rewrite_ml_evaluate(
             rows = [
                 (
                     s["series_id"],
-                    round(math.sqrt(s["sse"] / (s["n_obs"] - 1)), 6),
+                    round(
+                        math.sqrt(
+                            s["sse"] / s.get("n_resid", s["n_obs"] - 1)
+                        ),
+                        6,
+                    ),
                     int(s["n_obs"]),
                 )
                 for s in meta["state"]

@@ -447,41 +447,89 @@ def bqml_arima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.result
 
 
-BQML_ARIMA_SQL = """
-WITH daily AS (
+# Shared Holt-Winters fit CTE chain (m = 7, daily grid -> weekly cycle,
+# mirroring ml/forecast.py's AUTO_FREQUENCY inference on this fixture).
+# Accumulator is a flat DOUBLE[] [level, trend, sse, s1..s7] (a struct
+# accumulator hits a DuckDB 1.0 in-place aliasing quirk where
+# acc.<field> rebinds to the field just computed within the same
+# struct_pack); series shorter than 2 periods fall back to plain Holt
+# with a 3-list accumulator — exactly the Spark-side branch. Every
+# arithmetic expression matches ml/forecast.py term-for-term so the
+# folds are IEEE-identical.
+_HW_NL = "0.5 * (x[1] - acc[4]) + 0.5 * (acc[1] + acc[2])"
+_HW_ERR = "(x[1] - ((acc[1] + acc[2]) + acc[4]))"
+
+_HW_FIT_CTES = f"""daily AS (
   SELECT event_type, date_trunc('day', ts) AS day, ROUND(SUM(value), 6) AS y
   FROM events GROUP BY 1, 2
 ), pts AS (
-  -- accumulator is a 3-list [level, trend, sse]: a struct accumulator
-  -- hits a DuckDB 1.0 in-place aliasing quirk where acc.<field> rebinds
-  -- to the field just computed within the same struct_pack
   SELECT event_type,
-         list([CAST(y AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]
-              ORDER BY day) AS st,
+         list(CAST(y AS DOUBLE) ORDER BY day) AS ys,
          list(epoch_us(day) ORDER BY day) AS tus
   FROM daily GROUP BY 1
+), base AS (
+  SELECT event_type, ys, tus,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys[1:7]),
+                     (a, x) -> a + x) / 7.0 AS l0,
+         (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys[8:14]),
+                      (a, x) -> a + x) / 7.0
+          - list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys[1:7]),
+                        (a, x) -> a + x) / 7.0) / 7.0 AS b0
+  FROM pts WHERE len(ys) >= 2
 ), fitted AS (
   SELECT event_type,
-         list_reduce(st, (acc, x) ->
-            [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
-             0.3 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
-             + 0.7 * acc[2],
-             acc[3] + (x[1] - (acc[1] + acc[2])) * (x[1] - (acc[1] + acc[2]))
-            ]) AS f,
+         CASE WHEN len(ys) >= 14 THEN
+           list_reduce(
+             list_prepend(
+               list_concat([l0, b0, CAST(0.0 AS DOUBLE)],
+                           list_transform(range(1, 8),
+                             i -> ys[i] - (l0 + (CAST(i AS DOUBLE) - 4.0) * b0))),
+               list_transform(ys[8:], v -> [v])),
+             (acc, x) -> list_concat(
+               [{_HW_NL},
+                0.3 * (({_HW_NL}) - acc[1]) + 0.7 * acc[2],
+                acc[3] + {_HW_ERR} * {_HW_ERR}],
+               list_concat(acc[5:],
+                 [0.3 * (x[1] - ({_HW_NL})) + 0.7 * acc[4]])))
+         ELSE
+           list_reduce(
+             list_prepend([ys[1], CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+                          list_transform(ys[2:], v -> [v])),
+             (acc, x) ->
+               [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                0.3 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                + 0.7 * acc[2],
+                acc[3] + (x[1] - (acc[1] + acc[2]))
+                       * (x[1] - (acc[1] + acc[2]))])
+         END AS f,
+         CASE WHEN len(ys) >= 14 THEN 7 ELSE 0 END AS per,
+         CASE WHEN len(ys) >= 14 THEN len(ys) - 7 ELSE len(ys) - 1 END
+           AS n_resid,
          tus[-1] AS last_us,
          (tus[-1] - tus[1]) // (len(tus) - 1) AS iv,
          len(tus) AS n
-  FROM pts WHERE len(tus) >= 2
-)
+  FROM base
+)"""
+
+BQML_ARIMA_SQL = f"""
+WITH {_HW_FIT_CTES}
 SELECT event_type AS series_id,
        CAST(h AS INT) AS step,
        last_us + h * iv AS forecast_ts_us,
-       ROUND(f[1] + h * f[2], 6) AS forecast_value,
-       ROUND(sqrt(f[3] / (n - 1)) * sqrt(h), 6) AS standard_error,
+       ROUND(CASE WHEN per > 0
+             THEN (f[1] + h * f[2]) + f[4 + ((h - 1) % per)]
+             ELSE f[1] + h * f[2] END, 6) AS forecast_value,
+       ROUND(sqrt(f[3] / n_resid) * sqrt(h), 6) AS standard_error,
        CAST(0.95 AS DOUBLE) AS confidence_level,
-       ROUND((f[1] + h * f[2]) - 1.96 * (sqrt(f[3] / (n - 1)) * sqrt(h)), 6)
+       ROUND((CASE WHEN per > 0
+              THEN (f[1] + h * f[2]) + f[4 + ((h - 1) % per)]
+              ELSE f[1] + h * f[2] END)
+             - 1.96 * (sqrt(f[3] / n_resid) * sqrt(h)), 6)
          AS prediction_interval_lower_bound,
-       ROUND((f[1] + h * f[2]) + 1.96 * (sqrt(f[3] / (n - 1)) * sqrt(h)), 6)
+       ROUND((CASE WHEN per > 0
+              THEN (f[1] + h * f[2]) + f[4 + ((h - 1) % per)]
+              ELSE f[1] + h * f[2] END)
+             + 1.96 * (sqrt(f[3] / n_resid) * sqrt(h)), 6)
          AS prediction_interval_upper_bound
 FROM fitted, UNNEST(range(1, 6)) AS t(h)
 """
@@ -537,37 +585,21 @@ def bqml_detect_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.result
 
 
-BQML_DETECT_SQL = """
-WITH daily AS (
-  SELECT event_type, date_trunc('day', ts) AS day, ROUND(SUM(value), 6) AS y
-  FROM events GROUP BY 1, 2
-), pts AS (
-  SELECT event_type,
-         list([CAST(y AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]
-              ORDER BY day) AS st,
-         list(epoch_us(day) ORDER BY day) AS tus
-  FROM daily GROUP BY 1
-), fitted AS (
-  SELECT event_type,
-         list_reduce(st, (acc, x) ->
-            [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
-             0.3 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
-             + 0.7 * acc[2],
-             acc[3] + (x[1] - (acc[1] + acc[2])) * (x[1] - (acc[1] + acc[2]))
-            ]) AS f,
-         tus[-1] AS last_us,
-         (tus[-1] - tus[1]) // (len(tus) - 1) AS iv,
-         len(tus) AS n_obs
-  FROM pts WHERE len(tus) >= 2
-)
+_HW_HD = "(CAST(epoch_us(d.day) - last_us AS DOUBLE) / iv)"
+_HW_EXPECTED = f"""CASE WHEN per > 0
+  THEN (f[1] + {_HW_HD} * f[2])
+       + f[3 + (((CAST(round({_HW_HD}) AS BIGINT) - 1) % per + per) % per + 1)]
+  ELSE f[1] + {_HW_HD} * f[2] END"""
+
+BQML_DETECT_SQL = f"""
+WITH {_HW_FIT_CTES}
 SELECT d.event_type AS series_id,
        epoch_us(d.day) AS ts_us,
        ROUND(d.y, 6) AS value,
-       ROUND(f[1] + (CAST(epoch_us(d.day) - last_us AS DOUBLE) / iv) * f[2], 6)
-         AS expected_value,
-       ROUND(1.96 * sqrt(f[3] / (n_obs - 1)), 6) AS band,
-       abs(d.y - (f[1] + (CAST(epoch_us(d.day) - last_us AS DOUBLE) / iv) * f[2]))
-         > 1.96 * sqrt(f[3] / (n_obs - 1)) AS is_anomaly
+       ROUND({_HW_EXPECTED}, 6) AS expected_value,
+       ROUND(1.96 * sqrt(f[3] / n_resid), 6) AS band,
+       abs(d.y - ({_HW_EXPECTED}))
+         > 1.96 * sqrt(f[3] / n_resid) AS is_anomaly
 FROM daily d JOIN fitted ft ON d.event_type = ft.event_type
 """
 

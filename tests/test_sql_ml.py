@@ -458,3 +458,54 @@ def test_ml_calls_with_nested_closing_parens(ctx):
         "FROM training_data))",
     )
     assert w2.result.first()["rmse"] is not None
+
+
+def test_holt_winters_seasonal_beats_linear_fit(ctx):
+    """VERDICT r4 #4: a daily series with a strong weekly cycle fits
+    with visibly lower one-step RMSE under the Holt-Winters seasonal
+    fold (period 7) than under the plain Holt linear fit, and the
+    forecasts reproduce the cycle."""
+    import datetime
+    import math
+
+    from crmint_spark.ml.forecast import (
+        fit_holt_state,
+        forecast_frame,
+        infer_seasonal_period,
+    )
+
+    spark = ctx.spark
+    season = [40.0, -10.0, -20.0, -15.0, -5.0, 25.0, -15.0]  # sums to 0
+    rows = [
+        (
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d),
+            200.0 + 2.0 * d + season[d % 7],
+        )
+        for d in range(42)  # six full weeks
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, y double")
+    # AUTO_FREQUENCY detects the daily grid -> weekly period
+    assert infer_seasonal_period(df, "ts", "AUTO_FREQUENCY") == 7
+    assert infer_seasonal_period(df, "ts", "DAILY") == 7
+    assert infer_seasonal_period(df, "ts", "YEARLY") == 0
+
+    hw = fit_holt_state(df, "ts", "y", None, period=7)[0]
+    holt = fit_holt_state(df, "ts", "y", None, period=0)[0]
+    rmse_hw = math.sqrt(hw["sse"] / hw["n_resid"])
+    rmse_holt = math.sqrt(holt["sse"] / holt["n_resid"])
+    assert rmse_hw < 0.5 * rmse_holt, (rmse_hw, rmse_holt)
+    assert hw["period"] == 7 and len(hw["seasonal"]) == 7
+    assert holt["period"] == 0 and holt["seasonal"] == []
+
+    # forecasts carry the weekly cycle: day-42..48 predictions track the
+    # true seasonal values far better than the linear fit could
+    fc = {
+        r["step"]: r["forecast_value"]
+        for r in forecast_frame(spark, [hw], 7).collect()
+    }
+    for h in range(1, 8):
+        truth = 200.0 + 2.0 * (41 + h) + season[(41 + h) % 7]
+        assert abs(fc[h] - truth) < 6.0, (h, fc[h], truth)
+    # a 60-point amplitude cycle cannot be tracked by a line: the plain
+    # fit's residual scale stays ~cycle-sized
+    assert rmse_holt > 15.0
