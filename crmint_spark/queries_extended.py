@@ -826,7 +826,11 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     two separate micro-batches (maxFilesPerTrigger=1), so the
     seen-marker state must dedup ACROSS batches, not just within one.
     Oracle-checked: exactly one first-occurrence row survives per
-    event_id, so per-type counts equal the batch distinct counts."""
+    event_id, so per-type counts equal the batch distinct counts. State
+    runs under the production TTL contract — a 1-hour retention far
+    beyond the drain's span, so no marker expires mid-run and the result
+    is identical to forever-dedup (the expiry behavior itself is
+    pytest-asserted in test_stateful_streaming)."""
     from .streaming.events import run_to_table, stream_events_from_dir
     from .streaming.stateful import streaming_dedup_by_key
 
@@ -836,7 +840,7 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.write.json(in_dir)
     ev.write.mode("append").json(in_dir)  # the duplicate drop
     stream = stream_events_from_dir(spark, in_dir, max_files_per_trigger=1)
-    deduped = streaming_dedup_by_key(stream)
+    deduped = streaming_dedup_by_key(stream, ttl_ms=3_600_000)
     wh = Catalog(spark, os.path.join(tmp, "wh"))
     run_to_table(deduped, wh, "p.d.deduped", ckpt, output_mode="append")
     return (

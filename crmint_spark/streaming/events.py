@@ -125,7 +125,33 @@ def run_to_table(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    drain_and_stop(q)
+
+
+def drain_and_stop(q, timeout_s: float = 600.0) -> None:
+    """Wait until the query has consumed every available input row,
+    then stop it. A stateful operator with a ProcessingTimeTimeout keeps
+    scheduling no-data "cleaning up state" batches to service future
+    expirations, so neither availableNow auto-termination nor
+    processAllAvailable() ever returns — instead, poll progress until a
+    zero-input batch runs with no data pending, which for an
+    availableNow query means the latched input is fully processed."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    try:
+        while q.isActive and _time.monotonic() < deadline:
+            p = q.lastProgress
+            if (
+                p is not None
+                and p.get("numInputRows", 0) == 0
+                and not q.status.get("isDataAvailable", True)
+            ):
+                break
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination()
 
 
 def run_merge_upsert(

@@ -11,8 +11,9 @@ Implemented:
   total value, first/last seen) emitted on every update; the streaming
   twin of the batch per-user aggregate with no window bound.
 - ``streaming_dedup_by_key`` — drop rows whose key was already seen
-  (exact streaming dedup with unbounded-by-default state; production
-  would set a TTL timeout per key).
+  (exact streaming dedup; an optional ``ttl_ms`` retention arms a
+  ProcessingTimeTimeout per key so quiet keys expire and state stays
+  bounded by the retention window's working set).
 """
 
 from __future__ import annotations
@@ -100,41 +101,62 @@ DEDUP_SCHEMA = StructType(
 _SEEN_STATE_SCHEMA = StructType([StructField("seen", LongType())])
 
 
-def _dedup_events(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (event_id,) = key
-    seen = state.exists
-    out = []
-    for pdf in pdfs:
-        if pdf.empty:
-            continue
-        if not seen:
-            first = pdf.iloc[[0]]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "event_id": first["event_id"],
-                        "user_id": first["user_id"],
-                        "event_type": first["event_type"],
-                        "is_first": [1],
-                    }
+def streaming_dedup_by_key(
+    events: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
+    """Emit only the first occurrence of each event_id across the
+    stream (exact dedup; state = one marker per key).
+
+    ``ttl_ms`` is the state retention contract: with a TTL, each key's
+    marker arms a ProcessingTimeTimeout that is re-armed on every
+    sighting; once a key goes quiet for ttl_ms the state-store entry is
+    removed (bounding state to the working set of keys seen within the
+    retention window — the knob that keeps per-key state finite on an
+    unbounded 100 TB stream), and a later arrival of that key re-emits
+    as a fresh first occurrence. ``None`` keeps exact forever-dedup
+    (unbounded state, suitable when the key space itself is bounded)."""
+    empty = pd.DataFrame(columns=[f.name for f in DEDUP_SCHEMA.fields])
+
+    def dedup(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield empty
+            return
+        seen = state.exists
+        out = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            if not seen:
+                first = pdf.iloc[[0]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "event_id": first["event_id"],
+                            "user_id": first["user_id"],
+                            "event_type": first["event_type"],
+                            "is_first": [1],
+                        }
+                    )
                 )
-            )
-            seen = True
-    state.update((1,))
-    yield from out or [pd.DataFrame(columns=[f.name for f in DEDUP_SCHEMA.fields])]
+                seen = True
+        state.update((1,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(int(ttl_ms))
+        yield from out or [empty]
 
-
-def streaming_dedup_by_key(events: DataFrame) -> DataFrame:
-    """Emit only the first occurrence of each event_id across the whole
-    stream (exact dedup; state = one marker per key)."""
     return events.groupBy("event_id").applyInPandasWithState(
-        _dedup_events,
+        dedup,
         outputStructType=DEDUP_SCHEMA,
         stateStructType=_SEEN_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 
