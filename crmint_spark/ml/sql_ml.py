@@ -56,7 +56,8 @@ def _resolve_split(df: DataFrame, opts: dict) -> tuple[DataFrame, dict]:
     no split (train on everything, evaluate on everything); 500-50,000
     -> 20% held out; > 50,000 -> 10,000 rows held out. RANDOM honors
     DATA_SPLIT_EVAL_FRACTION. CUSTOM holds out rows where the BOOL
-    DATA_SPLIT_COL is true. Divergence (documented): RANDOM/AUTO_SPLIT
+    DATA_SPLIT_COL is true. SEQ holds out the last eval-fraction of rows
+    ordered by DATA_SPLIT_COL. Divergence (documented): RANDOM/AUTO_SPLIT
     bucket rows by a deterministic whole-row hash rather than an RNG, so
     the split — and therefore evaluation — is reproducible across runs."""
     method = str(opts.pop("DATA_SPLIT_METHOD", "AUTO_SPLIT")).strip("'\"").upper()
@@ -74,9 +75,36 @@ def _resolve_split(df: DataFrame, opts: dict) -> tuple[DataFrame, dict]:
             {"method": method, "split_col": split_col, "holdout_predicate": f"coalesce(`{split_col}`, false)"},
         )
     if method == "SEQ":
-        raise ValueError(
-            "DATA_SPLIT_METHOD='SEQ' is not supported; use AUTO_SPLIT, "
-            "RANDOM, CUSTOM, or NO_SPLIT"
+        # BigQuery SEQ: order by DATA_SPLIT_COL, the LAST
+        # data_split_eval_fraction of rows is the evaluation set. The
+        # cutoff is resolved to a literal at train time via
+        # percentile_approx (deterministic sketch, single aggregation at
+        # any scale); divergence (documented): the boundary lands within
+        # the sketch's 1/10000 quantile accuracy, and rows TIED with the
+        # cutoff value all go to the eval side.
+        if not split_col:
+            raise ValueError("DATA_SPLIT_METHOD='SEQ' requires DATA_SPLIT_COL")
+        fr = float(frac if frac is not None else 0.2)
+        cut_row = df.select(
+            F.percentile_approx(
+                F.col(split_col).cast("double"), 1.0 - fr, F.lit(10_000)
+            ).alias("c")
+        ).first()
+        if cut_row["c"] is None:
+            raise ValueError(
+                f"DATA_SPLIT_COL `{split_col}` must be numeric (or "
+                "numerically castable) and non-NULL for SEQ splits"
+            )
+        cutoff = float(cut_row["c"])
+        pred = f"CAST(`{split_col}` AS DOUBLE) >= {cutoff!r}"
+        return (
+            df.filter(~F.expr(pred)),
+            {
+                "method": method,
+                "split_col": split_col,
+                "eval_pct": int(round(fr * 100)),
+                "holdout_predicate": pred,
+            },
         )
     n = df.count()
     if method == "RANDOM":

@@ -133,6 +133,61 @@ def ann_ivf_kmeans_topk(spark, sf_dir: str) -> DataFrame:
     return ivf_search(indexed, model, qvec, top_k=10, n_probe=2)
 
 
+def ann_ivf_kmeans_recall(spark, sf_dir: str) -> DataFrame:
+    """Oracle-checkable wrapper for the KMeans IVF path (closes the one
+    `no_oracle` registry gap): KMeans centroids aren't SQL-reproducible,
+    so instead of the probe's rows the entry emits the EXACT brute-force
+    top-k (fully oracle-reproducible) plus a constant boolean asserting
+    the seeded KMeans probe (n_lists=8, n_probe=3, seed=42) achieved
+    recall@10 >= 0.3 against it — a loose sanity floor (measured recall
+    is 0.6-0.8 across the fixture SFs; the precise value is
+    pytest-asserted in test_ivf_operator_worker). A broken index flips
+    the boolean and fails the hash compare."""
+    from ..catalog import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    recall = ivf_recall_vs_exact(emb, qvec, top_k=10, n_lists=8, n_probe=3)
+    qdf = emb.sparkSession.createDataFrame([(qvec,)], "qvec array<double>")
+    sim = cosine_similarity(F.col("embedding"), F.col("qvec"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "vec_id",
+            "label",
+            F.round(sim, 6).alias("cos_sim"),
+            F.lit(bool(recall >= 0.3)).alias("kmeans_recall_ok"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+ANN_IVF_KMEANS_RECALL_SQL = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT vec_id, label,
+         list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i]))
+         / (sqrt(list_sum(list_transform(v, x -> x * x)))
+            * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS sim
+  FROM (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE vec_id <> 0
+  ), q
+)
+SELECT vec_id, label, ROUND(sim, 6) AS cos_sim,
+       TRUE AS kmeans_recall_ok
+FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deterministic IVF: seeded centroid init + fixed Lloyd steps, expressed
 # entirely as joins/aggregations. Same inverted-file structure as the

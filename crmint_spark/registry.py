@@ -54,6 +54,10 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     # them inside the driver's sweep horizon (VERDICT r4 #6/#7)
     "ann_ivfpq_rerank_topk": (pq.ann_ivfpq_rerank_topk, pq.IVFPQ_RERANK_SQL),
     "q50_hll_approx": _EXT["q50_hll_approx"],
+    "ann_ivf_kmeans_recall": (
+        ivf.ann_ivf_kmeans_recall,
+        ivf.ANN_IVF_KMEANS_RECALL_SQL,
+    ),
     "dedup_fuzzy_words": (dedup.fuzzy_word_matches, dedup.FUZZY_SQL),
     "dedup_embedding_cosine": (similarity.embedding_dedup_pairs, similarity.EMB_DEDUP_SQL),
     "text_rolling_fingerprint": (text.rolling_fingerprint, text.ROLLING_FP_SQL),

@@ -509,3 +509,56 @@ def test_holt_winters_seasonal_beats_linear_fit(ctx):
     # a 60-point amplitude cycle cannot be tracked by a line: the plain
     # fit's residual scale stays ~cycle-sized
     assert rmse_holt > 15.0
+
+
+def test_ml_data_split_seq_and_custom(ctx, spark):
+    """SEQ holds out the last eval-fraction of rows by DATA_SPLIT_COL
+    (cutoff resolved to a literal at train time); CUSTOM holds out rows
+    where the BOOL split column is true and drops it from features."""
+    reg = _run(ctx, "SELECT 1")._model_registry()
+    spark.sql(
+        "SELECT CAST(id AS DOUBLE) AS uid, CAST(id AS DOUBLE) / 600 AS x1, "
+        "CAST(id % 2 AS INT) AS label, id >= 450 AS is_eval FROM range(600)"
+    ).createOrReplaceTempView("seq_train")
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.seq`
+        OPTIONS(MODEL_TYPE='LOGISTIC_REG', INPUT_LABEL_COLS=['label'],
+                DATA_SPLIT_METHOD='SEQ', DATA_SPLIT_COL='uid',
+                DATA_SPLIT_EVAL_FRACTION=0.25, MAX_ITERATIONS=5) AS (
+          SELECT uid, x1, label FROM seq_train
+        )
+        """,
+    )
+    meta = reg.load_meta("p.d.seq")
+    assert meta["data_split"]["method"] == "SEQ"
+    assert "uid" not in meta["features"]  # split col excluded
+    hold = spark.sql(meta["source_sql"]).filter(
+        meta["data_split"]["holdout_predicate"]
+    )
+    n_hold = hold.count()
+    assert abs(n_hold - 150) <= 2, n_hold  # last 25% by uid
+    assert hold.agg({"uid": "min"}).first()[0] >= 449
+    w = _run(ctx, "SELECT * FROM ML.EVALUATE(MODEL `p.d.seq`)")
+    assert 0.0 <= w.result.first()["accuracy"] <= 1.0
+
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.cust`
+        OPTIONS(MODEL_TYPE='LOGISTIC_REG', INPUT_LABEL_COLS=['label'],
+                DATA_SPLIT_METHOD='CUSTOM', DATA_SPLIT_COL='is_eval',
+                MAX_ITERATIONS=5) AS (
+          SELECT x1, label, is_eval FROM seq_train
+        )
+        """,
+    )
+    meta2 = reg.load_meta("p.d.cust")
+    assert "is_eval" not in meta2["features"]
+    hold2 = spark.sql(meta2["source_sql"]).filter(
+        meta2["data_split"]["holdout_predicate"]
+    )
+    assert hold2.count() == 150
+    w2 = _run(ctx, "SELECT * FROM ML.EVALUATE(MODEL `p.d.cust`)")
+    assert 0.0 <= w2.result.first()["accuracy"] <= 1.0
