@@ -2306,7 +2306,8 @@ _JS_SQL_WORDS = {
     "STRING", "DOUBLE", "BIGINT", "upper", "lower", "length", "substring",
     "instr", "contains", "startswith", "endswith", "replace", "concat",
     "power", "abs", "floor", "ceil", "round", "sqrt", "greatest", "least",
-    "ln", "exp", "trim", "sign", "mod",
+    "ln", "exp", "trim", "sign", "mod", "lpad", "rpad", "ltrim", "rtrim",
+    "ascii", "char", "format_string", "regexp_replace", "repeat",
 }
 
 _JS_MATH_FNS = {
@@ -2417,14 +2418,15 @@ def _js_body_to_sql(body: str, param_names: list[str]) -> str:
     if "`" in e_all:
         raise JsUdfError("template literals (`...`) are not supported")
 
-    # 2. statement structure: var bindings then a single return
-    parts = [p.strip() for p in e_all.split(";") if p.strip()]
-    if not parts:
+    # 2. statement structure: var bindings, then either a single return
+    #    or an if/return chain (converted to a JS ternary and handled by
+    #    the existing ternary -> IF() translation)
+    rest = e_all.strip()
+    if not rest:
         raise JsUdfError("empty body")
-    for kw in ("for", "while", "do", "if", "switch", "try", "function"):
-        for p in parts:
-            if re.match(rf"\b{kw}\b", p):
-                raise JsUdfError(f"`{kw}` statements are not supported")
+    for kw in ("for", "while", "do", "switch", "try", "function"):
+        if re.search(rf"\b{kw}\b", rest):
+            raise JsUdfError(f"`{kw}` statements are not supported")
 
     def _subst(name: str, expr: str, target: str) -> str:
         return re.sub(
@@ -2432,23 +2434,82 @@ def _js_body_to_sql(body: str, param_names: list[str]) -> str:
         )
 
     bindings: list[tuple[str, str]] = []
-    for p in parts[:-1]:
-        m = re.fullmatch(
-            r"(?:var|let|const)\s+([A-Za-z_$][\w$]*)\s*=\s*(.*)", p, re.DOTALL
-        )
+    var_re = re.compile(
+        r"^(?:var|let|const)\s+([A-Za-z_$][\w$]*)\s*=\s*([^;{}]*);\s*"
+    )
+    while True:
+        m = var_re.match(rest)
         if not m:
-            raise JsUdfError(
-                "only `var/let/const <name> = <expression>;` statements "
-                "may precede the return (no re-assignment)"
-            )
-        name, expr = m.group(1), m.group(2)
+            break
+        name, expr = m.group(1), m.group(2).strip()
         for bn, be in bindings:
             expr = _subst(bn, be, expr)
         bindings.append((name, expr))
-    m = re.fullmatch(r"return\s+(.*)", parts[-1], re.DOTALL)
-    if not m:
-        raise JsUdfError("the body must end with `return <expression>;`")
-    e = m.group(1)
+        rest = rest[m.end():]
+
+    def _brace_end(s: str, i: int) -> int:
+        depth = 0
+        for j in range(i, len(s)):
+            if s[j] == "{":
+                depth += 1
+            elif s[j] == "}":
+                depth -= 1
+                if depth == 0:
+                    return j + 1
+        raise JsUdfError("unbalanced braces")
+
+    def _tail_expr(text: str) -> str:
+        """A statement tail -> one JS expression: `return <e>;`, or an
+        if/else-if/return chain folded into nested ternaries."""
+        text = text.strip()
+        m = re.match(r"^if\s*\(", text)
+        if m:
+            cond_end = _balanced_end(text, m.end() - 1)
+            if cond_end < 0:
+                raise JsUdfError("unbalanced parentheses in if condition")
+            cond = text[m.end(): cond_end - 1]
+            after = text[cond_end:].strip()
+            if after.startswith("{"):
+                bend = _brace_end(after, 0)
+                then_body, after2 = after[1: bend - 1], after[bend:].strip()
+            else:
+                semi = after.find(";")
+                if semi < 0:
+                    raise JsUdfError("if branch must end with `;`")
+                then_body, after2 = after[: semi + 1], after[semi + 1:].strip()
+            if after2.startswith("else"):
+                after2 = after2[4:].strip()
+                if after2.startswith("{"):
+                    bend = _brace_end(after2, 0)
+                    else_body = after2[1: bend - 1]
+                    if after2[bend:].strip():
+                        raise JsUdfError(
+                            "statements after the else branch are not "
+                            "supported"
+                        )
+                else:
+                    else_body = after2
+            else:
+                # fall-through: the code after the if IS the else branch
+                else_body = after2
+            if not else_body.strip():
+                raise JsUdfError(
+                    "every if branch must lead to a return (no "
+                    "fall-off-the-end)"
+                )
+            return (
+                f"(({cond}) ? ({_tail_expr(then_body)}) "
+                f": ({_tail_expr(else_body)}))"
+            )
+        m = re.fullmatch(r"return\s+(.*?);?\s*", text, re.DOTALL)
+        if not m or ";" in m.group(1):
+            raise JsUdfError(
+                "the body must end with `return <expression>;` (or an "
+                "if/return chain)"
+            )
+        return m.group(1)
+
+    e = _tail_expr(rest)
     for bn, be in bindings:
         e = _subst(bn, be, e)
 
@@ -2474,6 +2535,7 @@ def _js_body_to_sql(body: str, param_names: list[str]) -> str:
     meth0 = {
         "toUpperCase": "upper({r})", "toLowerCase": "lower({r})",
         "trim": "trim({r})", "toString": "cast_string({r})",
+        "trimStart": "ltrim({r})", "trimEnd": "rtrim({r})",
     }
     while True:
         prev = e
@@ -2502,9 +2564,63 @@ def _js_body_to_sql(body: str, param_names: list[str]) -> str:
             recv + r"\s*\.\s*indexOf\s*\(((?:[^()]|\([^()]*\))*)\)",
             r"(instr(\1, \2) - 1)", e,
         )
+        e = re.sub(
+            recv + r"\s*\.\s*charCodeAt\s*\(((?:[^()]|\([^()]*\))*)\)",
+            r"ascii(substring(\1, (\2) + 1, 1))", e,
+        )
+        for js, sqlfn in (("padStart", "lpad"), ("padEnd", "rpad")):
+            e = re.sub(
+                recv + r"\s*\.\s*" + js
+                + r"\s*\(((?:[^()]|\([^()]*\))*),((?:[^()]|\([^()]*\))*)\)",
+                sqlfn + r"(\1, \2, \3)", e,
+            )
+            e = re.sub(
+                recv + r"\s*\.\s*" + js + r"\s*\(((?:[^()]|\([^()]*\))*)\)",
+                sqlfn + r"(\1, \2, ' ')", e,
+            )
+
+        def _to_fixed(mm):
+            r, n = mm.group(1), mm.group(2).strip()
+            if not re.fullmatch(r"\d+", n):
+                raise JsUdfError(".toFixed requires a literal digit count")
+            lits.append(f"'%.{int(n)}f'")
+            return (
+                f"format_string(\x00{len(lits) - 1}\x00, "
+                f"CAST({r} AS DOUBLE))"
+            )
+
+        e = re.sub(
+            recv + r"\s*\.\s*toFixed\s*\(((?:[^()]|\([^()]*\))*)\)",
+            _to_fixed, e,
+        )
+
+        def _js_slice(mm):
+            # string .slice with literal non-negative bounds only —
+            # negative (from-the-end) offsets would silently diverge
+            r = mm.group(1)
+            args_ = [a.strip() for a in mm.group(2).split(",")]
+            if not all(re.fullmatch(r"\d+", a) for a in args_):
+                raise JsUdfError(
+                    ".slice supports literal non-negative bounds only"
+                )
+            if len(args_) == 1:
+                return f"substring({r}, {int(args_[0]) + 1})"
+            if len(args_) == 2:
+                a0, a1 = int(args_[0]), int(args_[1])
+                return f"substring({r}, {a0 + 1}, {max(a1 - a0, 0)})"
+            raise JsUdfError(".slice takes 1 or 2 arguments")
+
+        e = re.sub(
+            recv + r"\s*\.\s*slice\s*\(((?:[^()]|\([^()]*\))*)\)",
+            _js_slice, e,
+        )
+        e = re.sub(
+            r"\bString\s*\.\s*fromCharCode\s*(?=\()", "char", e,
+        )
         for js, sqlfn in (
             ("includes", "contains"), ("startsWith", "startswith"),
             ("endsWith", "endswith"), ("concat", "concat"),
+            ("repeat", "repeat"),
         ):
             e = re.sub(
                 recv + r"\s*\.\s*" + js + r"\s*\(((?:[^()]|\([^()]*\))*)\)",
@@ -2514,12 +2630,25 @@ def _js_body_to_sql(body: str, param_names: list[str]) -> str:
             # JS string .replace substitutes only the FIRST occurrence;
             # SQL replace() substitutes all, so emit a first-occurrence
             # splice instead (instr('', pat)=1 gives JS's prepend-on-
-            # empty-pattern behavior for free). Regex literals can't be
-            # translated — reject loudly.
+            # empty-pattern behavior for free). A /regex/g literal maps
+            # to regexp_replace (global, $1 backrefs work in both);
+            # non-global regex replacement isn't SQL-expressible —
+            # targeted error.
             r, pat, rep_ = mm.group(1), mm.group(2).strip(), mm.group(3).strip()
             if pat.startswith("/"):
-                raise JsUdfError(
-                    ".replace with a regex literal is not supported"
+                rm = re.fullmatch(r"/((?:\\.|[^/\\])*)/([a-z]*)", pat)
+                if not rm:
+                    raise JsUdfError(f"unparsable regex literal {pat!r}")
+                if "g" not in rm.group(2):
+                    raise JsUdfError(
+                        ".replace with a non-global regex replaces only "
+                        "the first match, which SQL regexp_replace "
+                        "cannot express — use a /g regex or a string "
+                        "pattern"
+                    )
+                lits.append("'" + rm.group(1).replace("'", "''") + "'")
+                return (
+                    f"regexp_replace({r}, \x00{len(lits) - 1}\x00, {rep_})"
                 )
             return (
                 f"IF(instr({r}, {pat}) = 0, {r}, "

@@ -789,6 +789,34 @@ def test_js_udf_translation(spark):
             "let half = x / 2; const sq = half * half; return sq + half;",
             "x FLOAT64", "4.0", 6.0,
         ),
+        # if/return chains fold into ternaries
+        (
+            "if (x > 10) { return 'big'; } return 'small';",
+            "x INT64", "42", "big",
+        ),
+        (
+            "if (x > 10) return 'big'; else if (x > 5) return 'mid'; "
+            "else return 'small';",
+            "x INT64", "7", "mid",
+        ),
+        (
+            "var t = x * 2; if (t >= 10) { return t; } else { return 10; }",
+            "x INT64", "3", 10,
+        ),
+        # global regex replace -> regexp_replace
+        (
+            "return s.replace(/[0-9]+/g, '#');",
+            "s STRING", "'a1b22c'", "a#b#c",
+        ),
+        # new string methods
+        ("return s.padStart(5, '0');", "s STRING", "'42'", "00042"),
+        ("return s.padEnd(4);", "s STRING", "'ab'", "ab  "),
+        ("return s.repeat(3);", "s STRING", "'ab'", "ababab"),
+        ("return s.charCodeAt(1);", "s STRING", "'AB'", 66),
+        ("return s.trimStart();", "s STRING", "'  x '", "x "),
+        ("return s.slice(1, 3);", "s STRING", "'abcdef'", "bc"),
+        ("return String.fromCharCode(66);", "s STRING", "''", "B"),
+        ("return x.toFixed(2);", "x FLOAT64", "1.5", "1.50"),
     ]
     for i, (body, params, args, expected) in enumerate(cases):
         stmt = transpile_statement(
@@ -806,8 +834,10 @@ def test_js_udf_untranslatable_errors():
         ("t = 0; return t;", "re-assignment"),
         ("var t = 0; t = t + 1; return t;", "re-assignment"),
         ("for (var i = 0; i < 3; i++) {} return 0;", "`for`"),
-        ("if (s) { return s; } return '';", "`if`"),
-        ("return s.replace(/x/g, 'y');", "regex"),
+        ("return s.replace(/x/, 'y');", "non-global regex"),
+        ("return s.slice(-2);", "literal non-negative"),
+        ("return x.toFixed(n);", "literal digit"),
+        ("if (s) { return s; }", "fall-off-the-end"),
         ("return JSON.parse(s).a;", "JSON"),
         ("return `tpl ${s}`;", "template literals"),
         ("return s.match(/x/);", "not supported"),
