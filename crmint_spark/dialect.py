@@ -781,6 +781,9 @@ def _rewrite_misc_fns(sql: str) -> str:
             "FLOAT64",
             "BOOL",
             "ANY_VALUE",
+            "LAST_DAY",
+            "PARSE_JSON",
+            "JSON_TYPE",
         ),
     ):
         args = [
@@ -999,6 +1002,40 @@ def _rewrite_misc_fns(sql: str) -> str:
                 f"CAST(0.0 AS DOUBLE), (__a, __p) -> __a + __p.w) AS s, "
                 f"__v.n AS vn, __v.x AS vv))), 1, {k}), "
                 f"__s -> struct(__s.vv AS value, -__s.s AS sum))"
+            )
+        elif fn == "last_day" and len(args) == 2:
+            # BigQuery 2-arg LAST_DAY: last day of the part containing d.
+            # WEEK ends Saturday (BigQuery weeks start Sunday); ISOWEEK
+            # ends Sunday. 1-arg LAST_DAY is Spark-native (month).
+            d, part = args[0], args[1].strip().upper()
+            if part == "MONTH":
+                rep = f"last_day({d})"
+            elif part == "YEAR":
+                rep = f"make_date(year({d}), 12, 31)"
+            elif part == "QUARTER":
+                rep = f"last_day(make_date(year({d}), quarter({d}) * 3, 1))"
+            elif part == "WEEK":
+                rep = f"date_add({d}, (7 - dayofweek({d})) % 7)"
+            elif part == "ISOWEEK":
+                rep = f"date_add({d}, (8 - dayofweek({d})) % 7)"
+            else:
+                rep = sql[start:end]
+        elif fn == "parse_json" and len(args) in (1, 2):
+            # JSON is carried as its text in this engine (see the typed-
+            # literal strip): PARSE_JSON reduces to its string argument
+            # (the optional wide_number_mode arg only affects error
+            # behavior BigQuery-side)
+            rep = f"({args[0]})"
+        elif fn == "json_type" and len(args) == 1:
+            t = f"ltrim({args[0]})"
+            rep = (
+                f"CASE WHEN {args[0]} IS NULL THEN NULL "
+                f"WHEN startswith({t}, '{{') THEN 'object' "
+                f"WHEN startswith({t}, '[') THEN 'array' "
+                f"WHEN startswith({t}, '\"') THEN 'string' "
+                f"WHEN rtrim({t}) IN ('true', 'false') THEN 'boolean' "
+                f"WHEN rtrim({t}) = 'null' THEN 'null' "
+                f"ELSE 'number' END"
             )
         elif fn == "array_first" and len(args) == 1:
             rep = f"element_at({args[0]}, 1)"

@@ -1067,6 +1067,71 @@ def q49_bq_functions4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.result
 
 
+def q56_bq_functions6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth BigQuery-surface script (round 5): INITCAP/TRANSLATE/CHR
+    passthroughs, 1- and 2-arg LAST_DAY (YEAR/WEEK parts), the bitwise
+    aggregate trio BIT_AND/BIT_OR/BIT_XOR + BIT_COUNT, CBRT/SINH/COT
+    math, and PARSE_JSON/JSON_TYPE over the engine's JSON-as-text
+    representation — all through SparkSQLExecutor unchanged; the oracle
+    reproduces each (word-split initcap emulation, exp-based sinh,
+    0-based-Sunday dayofweek week-end arithmetic)."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    SELECT
+      o_orderpriority AS prio,
+      INITCAP(LOWER(o_orderpriority)) AS prio_title,
+      TRANSLATE(o_orderpriority, '- ', '_.') AS prio_tr,
+      MIN(LAST_DAY(DATE(o_orderdate))) AS first_month_end,
+      MIN(LAST_DAY(DATE(o_orderdate), YEAR)) AS year_end,
+      MIN(LAST_DAY(DATE(o_orderdate), WEEK)) AS week_end,
+      CAST(BIT_AND(o_orderkey) AS INT64) AS key_band,
+      CAST(BIT_OR(o_orderkey) AS INT64) AS key_bor,
+      CAST(BIT_XOR(o_orderkey) AS INT64) AS key_bxor,
+      CAST(MAX(BIT_COUNT(o_orderkey)) AS INT64) AS max_bits,
+      ROUND(CBRT(MAX(o_totalprice)), 6) AS cbrt_max,
+      ROUND(SINH(MIN(o_totalprice) / 100000), 6) AS sinh_min,
+      ROUND(COT(1 + MOD(MIN(o_orderkey), 3)), 6) AS cot_k,
+      JSON_TYPE(PARSE_JSON(
+        IF(MOD(MIN(o_orderkey), 2) = 0, '{"a": 1}', '[1, 2]'))) AS jtype,
+      CHR(65 + CAST(MOD(MIN(o_orderkey), 26) AS INT64)) AS chr_k
+    FROM orders
+    GROUP BY prio
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q56_SQL = """
+SELECT
+  o_orderpriority AS prio,
+  array_to_string(list_transform(
+    string_split(lower(o_orderpriority), ' '),
+    w -> upper(w[1:1]) || w[2:]), ' ') AS prio_title,
+  translate(o_orderpriority, '- ', '_.') AS prio_tr,
+  MIN(last_day(CAST(o_orderdate AS DATE))) AS first_month_end,
+  MIN(make_date(CAST(year(o_orderdate) AS INT), 12, 31)) AS year_end,
+  MIN(CAST(CAST(o_orderdate AS DATE)
+      + ((6 - dayofweek(CAST(o_orderdate AS DATE))) % 7) * INTERVAL 1 DAY
+      AS DATE)) AS week_end,
+  CAST(BIT_AND(o_orderkey) AS BIGINT) AS key_band,
+  CAST(BIT_OR(o_orderkey) AS BIGINT) AS key_bor,
+  CAST(BIT_XOR(o_orderkey) AS BIGINT) AS key_bxor,
+  CAST(MAX(BIT_COUNT(o_orderkey)) AS BIGINT) AS max_bits,
+  ROUND(CBRT(MAX(o_totalprice)), 6) AS cbrt_max,
+  ROUND((EXP(MIN(o_totalprice) / 100000) - EXP(-(MIN(o_totalprice) / 100000)))
+        / 2, 6) AS sinh_min,
+  ROUND(COT(CAST(1 + MIN(o_orderkey) % 3 AS DOUBLE)), 6) AS cot_k,
+  CASE WHEN MIN(o_orderkey) % 2 = 0 THEN 'object' ELSE 'array' END AS jtype,
+  CHR(65 + CAST(MIN(o_orderkey) % 26 AS INT)) AS chr_k
+FROM orders
+GROUP BY prio
+"""
+
+
 def q55_bq_functions5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fifth BigQuery-surface script (round 4): EXTRACT field mappings
     (Sunday-start WEEK / DAYOFYEAR / ISOWEEK / ISOYEAR), DATE_BUCKET
@@ -1337,6 +1402,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q44_bq_functions3": (q44_bq_functions3, Q44_SQL),
     "q49_bq_functions4": (q49_bq_functions4, Q49_SQL),
     "q55_bq_functions5": (q55_bq_functions5, Q55_SQL),
+    "q56_bq_functions6": (q56_bq_functions6, Q56_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
     "q50_hll_approx": (q50_hll_approx, Q50_APPROX_SQL),
     "q36_qualify": (q36_qualify, Q36_SQL),

@@ -58,6 +58,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         ivf.ann_ivf_kmeans_recall,
         ivf.ANN_IVF_KMEANS_RECALL_SQL,
     ),
+    "q56_bq_functions6": _EXT["q56_bq_functions6"],
     "dedup_fuzzy_words": (dedup.fuzzy_word_matches, dedup.FUZZY_SQL),
     "dedup_embedding_cosine": (similarity.embedding_dedup_pairs, similarity.EMB_DEDUP_SQL),
     "text_rolling_fingerprint": (text.rolling_fingerprint, text.ROLLING_FP_SQL),
