@@ -11,7 +11,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import analytics, corpus, dedup, ivf, pq, similarity, temporal, text
+from .operators import (
+    analytics,
+    corpus,
+    dedup,
+    ivf,
+    pca,
+    pq,
+    similarity,
+    temporal,
+    text,
+)
 from .queries import CORE_QUERIES
 from .queries_extended import EXTENDED_QUERIES as _EXT
 
@@ -59,6 +69,10 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         ivf.ANN_IVF_KMEANS_RECALL_SQL,
     ),
     "q56_bq_functions6": _EXT["q56_bq_functions6"],
+    "embedding_pca_top_component": (
+        pca.embedding_pca_top_component,
+        pca.PCA_SQL,
+    ),
     "dedup_fuzzy_words": (dedup.fuzzy_word_matches, dedup.FUZZY_SQL),
     "dedup_embedding_cosine": (similarity.embedding_dedup_pairs, similarity.EMB_DEDUP_SQL),
     "text_rolling_fingerprint": (text.rolling_fingerprint, text.ROLLING_FP_SQL),

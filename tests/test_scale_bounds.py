@@ -292,3 +292,34 @@ def test_pq_ivf_trainer_checkpoint_is_sample_bounded(spark, monkeypatch):
     assert ivf._train_stride(256) == 1
     assert ivf._train_stride(257) == 2
     assert -(-10**9 // ivf._train_stride(10**9)) <= ivf.IVF_TRAIN_ROWS
+
+
+def test_pca_power_iteration_matches_numpy(spark):
+    """embedding_pca_top_component: the deterministic power-iteration
+    direction must align with numpy's exact top eigenvector of the
+    sample covariance (|cos| > 0.99), with a matching eigenvalue, and
+    the fit must run on the same vec_id-stride sample as the quantizer
+    trainers."""
+    import numpy as np
+
+    from crmint_spark.operators.ivf import _train_stride
+    from crmint_spark.operators.pca import embedding_pca_top_component
+
+    sf = "/root/testdata/sf0.001"
+    rows = embedding_pca_top_component(spark, sf).orderBy("dim").collect()
+    pc1 = np.array([r["pc1"] for r in rows])
+    eig = rows[0]["eigenvalue"]
+    assert abs(np.linalg.norm(pc1) - 1.0) < 1e-4
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(sf + "/embeddings.parquet").to_pandas()
+    ts = _train_stride(len(tbl))
+    X = np.array(
+        [list(map(float, e)) for e in tbl[tbl.vec_id % ts == 0].embedding]
+    )
+    C = np.cov(X.T, bias=True)
+    vals, vecs_np = np.linalg.eigh(C)
+    top = vecs_np[:, -1]
+    assert abs(float(np.dot(pc1, top))) > 0.99, float(np.dot(pc1, top))
+    assert abs(eig - vals[-1]) < 0.05 * vals[-1], (eig, vals[-1])
