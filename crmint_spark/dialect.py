@@ -1707,6 +1707,146 @@ def _rewrite_hll_family(sql: str, approx: bool = False) -> str:
     return "".join(out)
 
 
+def _rewrite_kll_family(sql: str, approx: bool = False) -> str:
+    """BigQuery KLL_QUANTILES.* sketch aggregates -> a deterministic
+    sorted-multiset algebra, or (``approx=True``) Spark's native Apache
+    DataSketches KLL builtins.
+
+    Same two-path contract as ``_rewrite_hll_family``: BigQuery promises
+    "approximate quantiles", the zero-error estimator satisfies that and
+    is cross-engine reproducible, so the DEFAULT carries the sorted
+    value multiset as the "sketch":
+
+      KLL_QUANTILES.INIT_INT64(x[, p])    -> array_sort(collect_list(x))
+      KLL_QUANTILES.MERGE_PARTIAL(s)      -> sorted flatten of sketches
+      KLL_QUANTILES.MERGE_INT64(s, n)     -> n+1 boundaries over the
+                                             union (min .. max, ranks
+                                             i*(len-1) DIV n — integer
+                                             math, oracle-exact)
+      KLL_QUANTILES.EXTRACT_INT64(s, n)   -> same boundaries, one sketch
+      KLL_QUANTILES.MERGE_POINT_INT64(s, phi)   -> value at rank
+                                             max(ceil(phi*len), 1)
+      KLL_QUANTILES.EXTRACT_POINT_INT64(s, phi) -> same, one sketch
+
+    The SCALE PATH swaps in constant-memory DataSketches KLL state
+    (kll_sketch_agg_* / kll_merge_agg_* / kll_sketch_get_quantile_*);
+    BigQuery precision (default 1000) maps onto the KLL k parameter.
+    The boundary forms need a literal division count there (the merged
+    sketch is probed once per boundary); non-literal n raises a
+    targeted error rather than silently degrading. FLOAT64 variants map
+    to the _double twins."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, fn in _iter_calls(
+        sql,
+        (
+            r"KLL_QUANTILES\.INIT_INT64",
+            r"KLL_QUANTILES\.INIT_FLOAT64",
+            r"KLL_QUANTILES\.MERGE_PARTIAL",
+            r"KLL_QUANTILES\.MERGE_POINT_INT64",
+            r"KLL_QUANTILES\.MERGE_POINT_FLOAT64",
+            r"KLL_QUANTILES\.MERGE_INT64",
+            r"KLL_QUANTILES\.MERGE_FLOAT64",
+            r"KLL_QUANTILES\.EXTRACT_POINT_INT64",
+            r"KLL_QUANTILES\.EXTRACT_POINT_FLOAT64",
+            r"KLL_QUANTILES\.EXTRACT_INT64",
+            r"KLL_QUANTILES\.EXTRACT_FLOAT64",
+        ),
+    ):
+        args = [
+            _rewrite_kll_family(a.strip(), approx)
+            for a in _split_top_level(sql[open_idx + 1 : end - 1])
+        ]
+        fn = fn.replace(" ", "")
+        suffix = "double" if fn.endswith("float64") else "bigint"
+        base = fn[len("kll_quantiles."):]
+        for t in ("_int64", "_float64"):
+            base = base.replace(t, "")
+        rep = None
+
+        def _boundaries_exact(arr: str, n: str) -> str:
+            return (
+                f"transform(sequence(0, {n}), __i -> element_at({arr}, "
+                f"CAST(__i * (size({arr}) - 1) DIV ({n}) AS INT) + 1))"
+            )
+
+        def _point_exact(arr: str, phi: str) -> str:
+            return (
+                f"element_at({arr}, greatest(CAST(ceil(({phi}) * "
+                f"size({arr})) AS INT), 1))"
+            )
+
+        def _boundaries_approx(sk: str, n: str) -> str:
+            if not re.fullmatch(r"\d+", n.strip()):
+                raise ValueError(
+                    "KLL_QUANTILES boundary forms need a literal integer "
+                    "division count under approx_sketches"
+                )
+            k = int(n)
+            probes = ", ".join(
+                f"kll_sketch_get_quantile_{suffix}({sk}, "
+                f"CAST({i} AS DOUBLE) / {k})"
+                for i in range(k + 1)
+            )
+            return f"array({probes})"
+
+        merged_exact = None
+        if args:
+            merged_exact = (
+                f"array_sort(flatten(collect_list({args[0]})))"
+            )
+        if base == "init" and len(args) >= 1:
+            if approx:
+                p = (
+                    f", least(65535, greatest(8, {args[1]}))"
+                    if len(args) > 1
+                    else ""
+                )
+                rep = f"kll_sketch_agg_{suffix}({args[0]}{p})"
+            else:
+                rep = f"array_sort(collect_list({args[0]}))"
+        elif base == "merge_partial" and len(args) == 1:
+            rep = (
+                f"kll_merge_agg_{suffix}({args[0]})"
+                if approx
+                else merged_exact
+            )
+        elif base == "merge_point" and len(args) == 2:
+            rep = (
+                f"kll_sketch_get_quantile_{suffix}("
+                f"kll_merge_agg_{suffix}({args[0]}), {args[1]})"
+                if approx
+                else _point_exact(merged_exact, args[1])
+            )
+        elif base == "extract_point" and len(args) == 2:
+            rep = (
+                f"kll_sketch_get_quantile_{suffix}({args[0]}, {args[1]})"
+                if approx
+                else _point_exact(f"({args[0]})", args[1])
+            )
+        elif base == "merge" and len(args) == 2:
+            rep = (
+                _boundaries_approx(
+                    f"kll_merge_agg_{suffix}({args[0]})", args[1]
+                )
+                if approx
+                else _boundaries_exact(merged_exact, args[1])
+            )
+        elif base == "extract" and len(args) == 2:
+            rep = (
+                _boundaries_approx(args[0], args[1])
+                if approx
+                else _boundaries_exact(f"({args[0]})", args[1])
+            )
+        if rep is None:
+            continue
+        out.append(sql[pos:start])
+        out.append(rep)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def _rewrite_approx_quantiles(sql: str) -> str:
     """``APPROX_QUANTILES(x, n)`` (n literal) -> ``approx_percentile(x,
     array(0, 1/n, ..., 1))`` — same n+1-point quantile vector shape."""
@@ -2920,6 +3060,7 @@ def transpile_statement(sql: str, resolver=None, approx_sketches: bool = False) 
     out = _rewrite_arith_fns(out)
     out = _rewrite_split(out)
     out = _rewrite_hll_family(out, approx_sketches)
+    out = _rewrite_kll_family(out, approx_sketches)
     out = _rewrite_approx_quantiles(out)
     out = _rewrite_misc_fns(out)
     out = _rewrite_ml_scalers(out)

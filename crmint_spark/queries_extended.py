@@ -1132,6 +1132,54 @@ GROUP BY prio
 """
 
 
+def q57_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL_QUANTILES sketch-algebra script (round 5): INIT per
+    (priority, year), MERGE_POINT median + MERGE quartile boundaries
+    across years — the re-aggregatable quantile pattern that pairs with
+    the q50 HLL family. The default engine path is the exact
+    sorted-multiset estimator (dialect._rewrite_kll_family), so the
+    DuckDB oracle reproduces every boundary; the DataSketches scale path
+    is pytest-asserted (test_kll_quantiles_family)."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    WITH by_year AS (
+      SELECT o_orderpriority AS prio,
+             EXTRACT(YEAR FROM o_orderdate) AS yr,
+             KLL_QUANTILES.INIT_FLOAT64(o_totalprice, 1000) AS sk
+      FROM orders GROUP BY prio, yr
+    ), merged AS (
+      SELECT prio,
+             ROUND(KLL_QUANTILES.MERGE_POINT_FLOAT64(sk, 0.5), 6)
+               AS median_price,
+             KLL_QUANTILES.MERGE_FLOAT64(sk, 4) AS bounds
+      FROM by_year GROUP BY prio
+    )
+    SELECT prio, median_price, off AS bucket, ROUND(b, 6) AS boundary
+    FROM merged, UNNEST(bounds) AS b WITH OFFSET AS off
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q57_SQL = """
+WITH s AS (
+  SELECT o_orderpriority AS prio,
+         list(CAST(o_totalprice AS DOUBLE) ORDER BY o_totalprice) AS arr
+  FROM orders GROUP BY prio
+)
+SELECT prio,
+       ROUND(arr[GREATEST(CAST(CEIL(0.5 * len(arr)) AS INT), 1)], 6)
+         AS median_price,
+       CAST(i AS INT) AS bucket,
+       ROUND(arr[CAST((i * (len(arr) - 1)) // 4 AS INT) + 1], 6) AS boundary
+FROM s, UNNEST(range(0, 5)) AS t(i)
+"""
+
+
 def q55_bq_functions5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fifth BigQuery-surface script (round 4): EXTRACT field mappings
     (Sunday-start WEEK / DAYOFYEAR / ISOWEEK / ISOYEAR), DATE_BUCKET
@@ -1403,6 +1451,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q49_bq_functions4": (q49_bq_functions4, Q49_SQL),
     "q55_bq_functions5": (q55_bq_functions5, Q55_SQL),
     "q56_bq_functions6": (q56_bq_functions6, Q56_SQL),
+    "q57_kll_quantiles": (q57_kll_quantiles, Q57_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
     "q50_hll_approx": (q50_hll_approx, Q50_APPROX_SQL),
     "q36_qualify": (q36_qualify, Q36_SQL),

@@ -69,6 +69,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         ivf.ANN_IVF_KMEANS_RECALL_SQL,
     ),
     "q56_bq_functions6": _EXT["q56_bq_functions6"],
+    "q57_kll_quantiles": _EXT["q57_kll_quantiles"],
     "embedding_pca_top_component": (
         pca.embedding_pca_top_component,
         pca.PCA_SQL,

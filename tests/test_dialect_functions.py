@@ -948,3 +948,39 @@ def test_with_offset_then_qualify(spark):
     )
     rows = spark.sql(stmt).collect()
     assert sorted((r["id"], r["e"]) for r in rows) == [(1, "a"), (2, "c")]
+
+
+def test_kll_quantiles_family(spark):
+    """KLL_QUANTILES.* sketch algebra: exact sorted-multiset default
+    (oracle-reproducible) and the approx_sketches scale path on Spark's
+    native DataSketches KLL builtins — both within sketch error of the
+    true quantiles."""
+    q = """
+    WITH grouped AS (
+      SELECT id % 4 AS g, KLL_QUANTILES.INIT_INT64(id, 1000) AS sk
+      FROM range(1000) GROUP BY g
+    )
+    SELECT KLL_QUANTILES.MERGE_POINT_INT64(sk, 0.5) AS med,
+           KLL_QUANTILES.MERGE_INT64(sk, 4) AS quartiles
+    FROM grouped
+    """
+    exact = spark.sql(transpile_statement(q)).first()
+    assert exact["med"] == 499
+    assert list(exact["quartiles"]) == [0, 249, 499, 749, 999]
+    stmt = transpile_statement(q, approx_sketches=True)
+    assert "kll_sketch_agg_bigint" in stmt and "kll_merge_agg_bigint" in stmt
+    assert "collect_list" not in stmt
+    approx = spark.sql(stmt).first()
+    assert abs(approx["med"] - 499) <= 25
+    assert approx["quartiles"][0] == 0 and abs(approx["quartiles"][2] - 499) <= 25
+
+    q2 = (
+        "SELECT KLL_QUANTILES.EXTRACT_POINT_FLOAT64(sk, 0.25) AS p25, "
+        "KLL_QUANTILES.EXTRACT_FLOAT64(sk, 2) AS halves FROM "
+        "(SELECT KLL_QUANTILES.INIT_FLOAT64(CAST(id AS FLOAT64)) AS sk "
+        "FROM range(101))"
+    )
+    e2 = spark.sql(transpile_statement(q2)).first()
+    assert e2["p25"] == 25.0 and list(e2["halves"]) == [0.0, 50.0, 100.0]
+    a2 = spark.sql(transpile_statement(q2, approx_sketches=True)).first()
+    assert abs(a2["p25"] - 25) <= 5 and abs(a2["halves"][1] - 50) <= 5
