@@ -5,13 +5,13 @@ The Spark-side architecture here is real and tested: schema contract,
 partition sizing, ``mapInPandas`` batch shape, and metadata extraction.
 Codec status (honest split):
 
-- **REAL decode kernels** for the uncompressed formats expressible with
-  stdlib + numpy alone: binary **PPM (P6)** images (decode, numpy
-  nearest-neighbor resize, re-encode) and **PCM WAV** audio (stdlib
-  ``wave``: RMS / zero-crossings / duration features). These run
-  end-to-end in this container and are value-tested against numpy
-  ground truth.
-- **STUBBED kernels** for compressed formats (JPEG/PNG/MP4/MP3) whose
+- **REAL decode kernels** for the formats expressible with stdlib +
+  numpy alone: binary **PPM (P6)** images, **PNG** (full zlib inflate +
+  scanline unfilter decode AND filter-0 encode — stdlib zlib, no
+  libpng), and **PCM WAV** audio (stdlib ``wave``: RMS /
+  zero-crossings / duration features). These run end-to-end in this
+  container and are value-tested against numpy ground truth.
+- **STUBBED kernels** for compressed formats (JPEG/MP4/MP3) whose
   decoders (libjpeg/ffmpeg) are not present in this container:
   ``decode_stub=True`` produces deterministic fake features (byte-hash
   driven) and ``decode_stub=False`` raises NotImplementedError where
@@ -137,6 +137,129 @@ def _ppm_feature(arr: "np.ndarray") -> list[float]:
     ][:FEATURE_DIM]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# colortype -> channels (8-bit depth, non-interlaced)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(b: bytes) -> "np.ndarray | None":
+    """PNG -> HxWx3 uint8 RGB array, or None if the payload is not a
+    decodable PNG. Pure stdlib-zlib + numpy: IDAT chunks inflate to
+    filtered scanlines; filters 0/2 (None/Up) and 1 (Sub, via int32
+    cumsum mod 256) unfilter vectorized, 3/4 (Average/Paeth) per-pixel.
+    Supports bit depth 8, colortypes gray/RGB/gray-alpha/RGBA,
+    non-interlaced (the overwhelming majority of real PNGs); alpha is
+    dropped, gray broadcast to RGB."""
+    import zlib
+
+    if not b or not b.startswith(_PNG_SIG):
+        return None
+    i, n = len(_PNG_SIG), len(b)
+    w = h = None
+    ctype = None
+    idat = bytearray()
+    while i + 8 <= n:
+        ln = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + ln]
+        i += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            if ln < 13:
+                return None
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, _comp, _filt, interlace = data[8:13]
+            if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+                return None
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if not w or not h or ctype is None or not idat:
+        return None
+    ch = _PNG_CHANNELS[ctype]
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except Exception:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    rows = raw[: h * (stride + 1)].reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f, line = int(rows[r, 0]), rows[r, 1:].astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: per byte-lane cumulative sum mod 256
+            cur = (
+                np.cumsum(line.reshape(w, ch), axis=0) % 256
+            ).reshape(stride)
+        elif f == 2:  # Up
+            cur = (line + prev) % 256
+        elif f == 3:  # Average
+            cur = np.empty(stride, dtype=np.int32)
+            for j in range(stride):
+                left = cur[j - ch] if j >= ch else 0
+                cur[j] = (line[j] + ((left + prev[j]) >> 1)) % 256
+        elif f == 4:  # Paeth
+            cur = np.empty(stride, dtype=np.int32)
+            for j in range(stride):
+                a = cur[j - ch] if j >= ch else 0
+                c_ = prev[j - ch] if j >= ch else 0
+                p = a + prev[j] - c_
+                pa, pb, pc = abs(p - a), abs(p - prev[j]), abs(p - c_)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    prev[j] if pb <= pc else c_
+                )
+                cur[j] = (line[j] + pred) % 256
+        else:
+            return None
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if ctype == 6:
+        return px[:, :, :3]
+    return px
+
+
+def encode_png(arr: "np.ndarray") -> bytes:
+    """HxWx3 uint8 RGB -> PNG bytes (filter 0 scanlines, one zlib
+    stream, stdlib-only)."""
+    import struct
+    import zlib
+
+    h, w, _ = arr.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    lines = np.concatenate(
+        [
+            np.zeros((h, 1), dtype=np.uint8),
+            arr.astype(np.uint8).reshape(h, w * 3),
+        ],
+        axis=1,
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(lines.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(b: bytes) -> "tuple[np.ndarray, int] | None":
     """PCM WAV -> (float samples in [-1, 1] mono-mixed, sample_rate),
     or None if not a RIFF/WAVE payload (stdlib ``wave``)."""
@@ -181,6 +304,8 @@ def real_feature(payload: bytes) -> "list[float] | None":
     """Format-sniffed REAL feature extraction; None when the payload is
     a compressed format this container cannot decode."""
     img = decode_ppm(payload)
+    if img is None:
+        img = decode_png(payload)
     if img is not None:
         return _ppm_feature(img)
     wav = decode_wav(payload)
@@ -206,8 +331,8 @@ def extract_features(
             return real  # PPM / PCM-WAV: genuinely decoded
         if not decode_stub:
             raise NotImplementedError(
-                "compressed media decode requires image/audio libs "
-                "(libjpeg/ffmpeg) not present in this container"
+                "compressed media decode (JPEG/MP4/MP3) requires "
+                "libjpeg/ffmpeg, not present in this container"
             )
         return _fake_feature(payload)
 
@@ -238,9 +363,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     def _resize_bytes(b):
         payload = bytes(b) if b is not None else b""
         img = decode_ppm(payload)
-        if img is None:
-            return payload  # compressed format: stub passthrough
-        return encode_ppm(resize_nearest(img, width, height))
+        if img is not None:
+            return encode_ppm(resize_nearest(img, width, height))
+        img = decode_png(payload)
+        if img is not None:
+            return encode_png(resize_nearest(img, width, height))
+        return payload  # compressed format: stub passthrough
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
