@@ -59,6 +59,10 @@ PROBE = [
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
     "q52_profile_columns",
+    # round 5: bounded trainers, re-rank stage, PCA, KLL
+    "ann_ivfpq_rerank_topk",
+    "embedding_pca_top_component",
+    "q57_kll_quantiles",
 ]
 
 # key columns to shift per copy so joins stay consistent and
