@@ -101,6 +101,13 @@ SECONDARY = [
     "ann_ivfpq_topk",
     "corpus_temperature_mix",
     "q55_bq_functions5",
+    # round 5
+    "ann_ivfpq_rerank_topk",
+    "ann_ivf_kmeans_recall",
+    "q50_hll_approx",
+    "q56_bq_functions6",
+    "q57_kll_quantiles",
+    "embedding_pca_top_component",
 ]
 
 

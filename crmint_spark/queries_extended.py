@@ -1180,6 +1180,61 @@ FROM s, UNNEST(range(0, 5)) AS t(i)
 """
 
 
+def q57_kll_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q57 sketch script on the SCALE path (``approx_sketches=True``
+    -> DataSketches KLL, constant memory per group). Driver-checkable
+    via the q50_hll_approx pattern: emit the EXACT per-group median
+    (deterministic oracle) plus a boolean asserting the KLL estimate
+    landed within 2% of it — k=1000 gives ~0.6% rank error, so the
+    boolean flips only if the sketch path breaks."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    WITH by_year AS (
+      SELECT o_orderpriority AS prio,
+             EXTRACT(YEAR FROM o_orderdate) AS yr,
+             KLL_QUANTILES.INIT_FLOAT64(o_totalprice, 1000) AS sk
+      FROM orders GROUP BY prio, yr
+    )
+    SELECT prio, KLL_QUANTILES.MERGE_POINT_FLOAT64(sk, 0.5) AS approx_med
+    FROM by_year GROUP BY prio
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False, "approx_sketches": True},
+        WorkerContext(spark),
+    )
+    w.execute()
+    approx = w.result
+    exact = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(
+            F.expr(
+                "round(percentile_disc(0.5) WITHIN GROUP "
+                "(ORDER BY o_totalprice), 6)"
+            ).alias("exact_med")
+        )
+    )
+    tol = F.col("exact_med") * 0.02
+    return approx.join(exact, "prio").select(
+        "prio",
+        "exact_med",
+        (F.abs(F.col("approx_med") - F.col("exact_med")) <= tol).alias(
+            "kll_within_2pct"
+        ),
+    )
+
+
+Q57_APPROX_SQL = """
+SELECT o_orderpriority AS prio,
+       ROUND(quantile_disc(o_totalprice, 0.5), 6) AS exact_med,
+       TRUE AS kll_within_2pct
+FROM orders GROUP BY prio
+"""
+
+
 def q55_bq_functions5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fifth BigQuery-surface script (round 4): EXTRACT field mappings
     (Sunday-start WEEK / DAYOFYEAR / ISOWEEK / ISOYEAR), DATE_BUCKET
@@ -1452,6 +1507,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q55_bq_functions5": (q55_bq_functions5, Q55_SQL),
     "q56_bq_functions6": (q56_bq_functions6, Q56_SQL),
     "q57_kll_quantiles": (q57_kll_quantiles, Q57_SQL),
+    "q57_kll_approx": (q57_kll_approx, Q57_APPROX_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
     "q50_hll_approx": (q50_hll_approx, Q50_APPROX_SQL),
     "q36_qualify": (q36_qualify, Q36_SQL),
