@@ -286,3 +286,67 @@ def test_array_slice_matches_python_semantics(spark, arr, s, e):
         transpile_statement(f"SELECT ARRAY_SLICE({lit}, {s}, {e}) AS v")
     ).first()["v"]
     assert list(got) == expected, (arr, s, e, got, expected)
+
+
+# -- JS UDF translator ------------------------------------------------------
+
+_js_expr = st.deferred(
+    lambda: st.one_of(
+        st.integers(-30, 30).map(lambda n: (str(n) if n >= 0 else f"({n})", n)),
+        st.tuples(_js_expr, st.sampled_from("+-*"), _js_expr).map(
+            lambda t: (
+                f"({t[0][0]} {t[1]} {t[2][0]})",
+                {"+": t[0][1] + t[2][1], "-": t[0][1] - t[2][1],
+                 "*": t[0][1] * t[2][1]}[t[1]],
+            )
+        ),
+        st.tuples(
+            _js_expr, st.sampled_from([">", "<", ">=", "<=", "==="]),
+            _js_expr, _js_expr, _js_expr,
+        ).map(
+            lambda t: (
+                f"(({t[0][0]} {t[1].replace('===', '===')} {t[2][0]}) "
+                f"? {t[3][0]} : {t[4][0]})",
+                t[3][1]
+                if {
+                    ">": t[0][1] > t[2][1], "<": t[0][1] < t[2][1],
+                    ">=": t[0][1] >= t[2][1], "<=": t[0][1] <= t[2][1],
+                    "===": t[0][1] == t[2][1],
+                }[t[1]]
+                else t[4][1],
+            )
+        ),
+    )
+)
+
+
+@given(_js_expr)
+@settings(max_examples=150, deadline=None)
+def test_js_udf_numeric_translation_semantics(expr):
+    """Generated JS numeric/ternary expressions translate to SQL whose
+    value (DuckDB-evaluated) equals the JS semantics computed alongside
+    the generated tree — no leftover JS tokens survive translation."""
+    import duckdb
+
+    js, expected = expr
+    sql = dialect._js_body_to_sql(f"return {js};", [])
+    for tok in ("?", "===", "&&", "||", "\x00"):
+        assert tok not in sql, (js, sql)
+    got = duckdb.sql(f"SELECT {sql} AS v").fetchone()[0]
+    assert got == expected, (js, sql, got, expected)
+
+
+@given(_js_expr, _js_expr)
+@settings(max_examples=60, deadline=None)
+def test_js_udf_var_binding_equals_inline(a, b):
+    """`var t = A; return (t + B);` must translate to the same value as
+    the inlined form."""
+    import duckdb
+
+    js_a, val_a = a
+    js_b, val_b = b
+    sql = dialect._js_body_to_sql(
+        f"var t = {js_a}; return (t + {js_b});", []
+    )
+    got = duckdb.sql(f"SELECT {sql} AS v").fetchone()[0]
+    assert got == val_a + val_b, (js_a, js_b, sql)
