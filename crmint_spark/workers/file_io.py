@@ -107,6 +107,7 @@ class FileImporter(Worker):
         ("import_json", "boolean", False, False, "NDJSON instead of CSV"),
         ("csv_skip_leading_rows", "number", False, 0, "header rows to skip"),
         ("csv_null_marker", "string", False, None, "null marker"),
+        ("csv_field_delimiter", "string", False, None, "CSV delimiter"),
         ("schema", "text", False, "", "JSON schema (optional)"),
         ("errors_allowed", "number", False, 0, "max bad records"),
         ("import_overwrite", "boolean", False, True, "truncate vs append"),
@@ -150,6 +151,8 @@ class FileImporter(Worker):
             )
             if self._params["csv_null_marker"] is not None:
                 reader = reader.option("nullValue", self._params["csv_null_marker"])
+            if self._params["csv_field_delimiter"]:
+                reader = reader.option("sep", self._params["csv_field_delimiter"])
             if schema is not None:
                 reader = reader.schema(schema)
             else:

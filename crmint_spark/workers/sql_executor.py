@@ -111,6 +111,8 @@ class SparkSQLExecutor(Worker):
                 sctx.variables[name] = value
                 continue
             sub = sctx.substitute(raw_stmt)
+            if self._try_export_load(sub, resolver):
+                continue
             if not self._params["dry_run"]:
                 try:
                     dml = parse_dml(sub)
@@ -147,6 +149,132 @@ class SparkSQLExecutor(Worker):
             # DML/DDL statements execute eagerly in spark.sql; a trailing
             # SELECT is left lazy for the caller.
         return last
+
+    # -- BigQuery EXPORT DATA / LOAD DATA script statements --------------
+    #
+    # EXPORT DATA OPTIONS(uri=..., format=..., ...) AS <query> runs the
+    # query and writes it with the FileExporter conventions; LOAD DATA
+    # {INTO|OVERWRITE} t FROM FILES(format=..., uris=[...]) delegates to
+    # FileImporter (same skip/null/delimiter/bad-record machinery), so
+    # the script surface and the worker surface share one code path.
+
+    _EXPORT_DATA_RE = re.compile(
+        r"^\s*EXPORT\s+DATA\s+OPTIONS\s*\(", re.IGNORECASE
+    )
+    _LOAD_DATA_RE = re.compile(
+        r"^\s*LOAD\s+DATA\s+(OVERWRITE|INTO)\s+`?([\w.\-$]+)`?\s*"
+        r"FROM\s+FILES\s*\(",
+        re.IGNORECASE,
+    )
+
+    def _try_export_load(self, sub: str, resolver) -> bool:
+        import os
+
+        from ..dialect import _balanced_end, transpile_statement
+        from ..ml.sql_ml import _parse_options
+        from .file_io import FileImporter, gzip_codec_for
+
+        spark = self._ctx.spark
+        m = self._EXPORT_DATA_RE.match(sub)
+        if m:
+            end = _balanced_end(sub, m.end() - 1)
+            if end < 0:
+                raise WorkerException("EXPORT DATA: unbalanced OPTIONS(...)")
+            opts = _parse_options(sub[m.end(): end - 1])
+            rest = sub[end:].strip()
+            am = re.match(r"AS\b", rest, re.IGNORECASE)
+            if not am:
+                raise WorkerException("EXPORT DATA requires AS <query>")
+            stmt = transpile_statement(
+                rest[am.end():].strip(),
+                resolver,
+                approx_sketches=bool(self._params.get("approx_sketches")),
+            )
+            if self._params["dry_run"]:
+                self._dry_run_statement(spark, stmt)
+                return True
+            uri = str(opts.get("URI", ""))
+            if not uri:
+                raise WorkerException("EXPORT DATA OPTIONS must set uri")
+            out_dir = (
+                os.path.dirname(uri)
+                if "*" in os.path.basename(uri)
+                else uri
+            )
+            fmt = str(opts.get("FORMAT", "CSV")).upper()
+            overwrite = str(opts.get("OVERWRITE", "false")).lower() in (
+                "true", "1",
+            )
+            df = spark.sql(stmt)
+            writer = df.write.mode(
+                "overwrite" if overwrite else "errorifexists"
+            )
+            if str(opts.get("COMPRESSION", "")).upper() == "GZIP":
+                writer = writer.option(
+                    "compression", gzip_codec_for(fmt.lower())
+                )
+            if fmt == "CSV":
+                writer = writer.option(
+                    "header",
+                    str(opts.get("HEADER", "false")).lower() in ("true", "1"),
+                )
+                if opts.get("FIELD_DELIMITER"):
+                    writer = writer.option("sep", opts["FIELD_DELIMITER"])
+                writer.csv(out_dir)
+            elif fmt in ("JSON", "NEWLINE_DELIMITED_JSON"):
+                writer.json(out_dir)
+            elif fmt == "PARQUET":
+                writer.parquet(out_dir)
+            elif fmt == "AVRO":
+                try:
+                    writer.format("avro").save(out_dir)
+                except Exception as e:
+                    raise WorkerException(
+                        f"cannot write avro output: {e}"
+                    ) from e
+            else:
+                raise WorkerException(
+                    f"EXPORT DATA format {fmt!r} not supported "
+                    "(CSV/JSON/PARQUET/AVRO)"
+                )
+            self.log_info(f"EXPORT DATA -> {out_dir} ({fmt})")
+            return True
+        m = self._LOAD_DATA_RE.match(sub)
+        if m:
+            mode, target = m.group(1).upper(), m.group(2)
+            end = _balanced_end(sub, m.end() - 1)
+            if end < 0:
+                raise WorkerException("LOAD DATA: unbalanced FILES(...)")
+            opts = _parse_options(sub[m.end(): end - 1])
+            if self._params["dry_run"]:
+                self.log_info("LOAD DATA validated (dry run)")
+                return True
+            uris = opts.get("URIS") or []
+            if isinstance(uris, str):
+                uris = [uris]
+            if not uris:
+                raise WorkerException("LOAD DATA FROM FILES must set uris")
+            fmt = str(opts.get("FORMAT", "CSV")).lower()
+            if fmt == "newline_delimited_json":
+                fmt = "json"
+            imp = FileImporter(
+                {
+                    "source_uris": list(uris),
+                    "destination_table": target,
+                    "source_format": fmt,
+                    "csv_skip_leading_rows": int(
+                        opts.get("SKIP_LEADING_ROWS", 0)
+                    ),
+                    "csv_null_marker": opts.get("NULL_MARKER"),
+                    "csv_field_delimiter": opts.get("FIELD_DELIMITER"),
+                    "import_overwrite": mode == "OVERWRITE",
+                },
+                self._ctx,
+            )
+            imp.execute()
+            self.log.extend(imp.log)
+            return True
+        return False
 
     # -- BigQuery DML (MERGE / UPDATE / DELETE / INSERT / TRUNCATE) ------
     #

@@ -631,3 +631,82 @@ def test_gzip_codec_per_format():
     assert gzip_codec_for("avro") == "deflate"
     assert gzip_codec_for("csv") == "gzip"
     assert gzip_codec_for("parquet") == "gzip"
+
+
+def test_export_data_and_load_data_statements(spark, tmp_path):
+    """BigQuery EXPORT DATA / LOAD DATA script statements: export writes
+    the query result in the requested format, LOAD DATA ingests files
+    into a catalog table through the FileImporter machinery (INTO
+    appends, OVERWRITE truncates, skip_leading_rows/delimiter honored)."""
+    from crmint_spark.catalog import Catalog
+    from crmint_spark.workers import find_worker
+    from crmint_spark.workers.base import WorkerContext
+
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+    out = str(tmp_path / "export_out")
+    w = find_worker("BQScriptExecutor")(
+        {
+            "script": f"""
+            EXPORT DATA OPTIONS(
+              uri='{out}/*.csv', format='CSV', overwrite=true,
+              header=true, field_delimiter=';'
+            ) AS SELECT id AS k, id * 2 AS v FROM UNNEST([1, 2, 3]) AS id
+            """,
+            "dry_run": False,
+        },
+        ctx,
+    )
+    w.execute()
+    import glob
+
+    files = glob.glob(out + "/*.csv")
+    assert files
+    text = "".join(open(f).read() for f in sorted(files))
+    assert "k;v" in text and "2;4" in text
+
+    # write a semicolon CSV with a junk preamble line, then LOAD it
+    src = tmp_path / "in.csv"
+    src.write_text("JUNK PREAMBLE\nk;v\n10;20\n30;60\n")
+    w2 = find_worker("BQScriptExecutor")(
+        {
+            "script": f"""
+            LOAD DATA INTO `p.d.loaded` FROM FILES(
+              format='CSV', uris=['{src}'], skip_leading_rows=2,
+              field_delimiter=';'
+            );
+            LOAD DATA INTO `p.d.loaded` FROM FILES(
+              format='CSV', uris=['{src}'], skip_leading_rows=2,
+              field_delimiter=';'
+            );
+            SELECT COUNT(*) AS n FROM `p.d.loaded`
+            """,
+            "dry_run": False,
+        },
+        ctx,
+    )
+    w2.execute()
+    assert w2.result.first()["n"] == 4  # INTO appends
+    w3 = find_worker("BQScriptExecutor")(
+        {
+            "script": f"""
+            LOAD DATA OVERWRITE `p.d.loaded` FROM FILES(
+              format='CSV', uris=['{src}'], skip_leading_rows=2,
+              field_delimiter=';'
+            );
+            SELECT COUNT(*) AS n FROM `p.d.loaded`
+            """,
+            "dry_run": False,
+        },
+        ctx,
+    )
+    w3.execute()
+    assert w3.result.first()["n"] == 2  # OVERWRITE truncates
+    # dry run validates without side effects
+    w4 = find_worker("BQScriptExecutor")(
+        {
+            "script": "EXPORT DATA OPTIONS(uri='/tmp/x/*.csv') AS SELECT 1 AS a",
+            "dry_run": True,
+        },
+        ctx,
+    )
+    w4.execute()
