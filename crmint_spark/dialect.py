@@ -3183,21 +3183,8 @@ class ScriptContext:
             for name, pat in pats.items():
                 m = pat.match(sql, i)
                 if m:
-                    value = self.variables[name]
-                    if isinstance(value, str):
-                        lit = "'" + value.replace("'", "\\'") + "'"
-                    elif value is None:
-                        lit = "NULL"
-                    elif isinstance(value, bool):
-                        lit = "TRUE" if value else "FALSE"
-                    elif isinstance(value, datetime.datetime):
-                        lit = f"TIMESTAMP '{value}'"
-                    elif isinstance(value, datetime.date):
-                        lit = f"DATE '{value}'"
-                    else:
-                        lit = str(value)
                     out.append(sql[pos:i])
-                    out.append(lit)
+                    out.append(script_literal(self.variables[name]))
                     pos = m.end()
                     i = m.end()
                     replaced = True
@@ -3206,6 +3193,45 @@ class ScriptContext:
                 i += 1
         out.append(sql[pos:])
         return "".join(out)
+
+
+def script_literal(value: object) -> str:
+    """Render a Python scripting value as a typed SQL literal (shared by
+    DECLARE/SET variable splicing and EXECUTE IMMEDIATE USING params)."""
+    if isinstance(value, str):
+        return "'" + value.replace("'", "\\'") + "'"
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, datetime.datetime):
+        return f"TIMESTAMP '{value}'"
+    if isinstance(value, datetime.date):
+        return f"DATE '{value}'"
+    return str(value)
+
+
+def splice_query_params(sql: str, params: dict[str, object]) -> str:
+    """Replace ``@name`` query parameters with typed literals, only
+    outside quoted strings (EXECUTE IMMEDIATE ... USING)."""
+    out: list[str] = []
+    pos = 0
+    i, n = 0, len(sql)
+    pat = re.compile(r"@(\w+)")
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            i = _skip_string(sql, i)
+            continue
+        m = pat.match(sql, i)
+        if m and m.group(1) in params:
+            out.append(sql[pos:i])
+            out.append(script_literal(params[m.group(1)]))
+            pos = i = m.end()
+            continue
+        i += 1
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 def classify_statement(sql: str) -> tuple[str, re.Match | None]:

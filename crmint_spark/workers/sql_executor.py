@@ -110,45 +110,189 @@ class SparkSQLExecutor(Worker):
                 value = spark.sql(f"SELECT {sql_expr}").first()[0]
                 sctx.variables[name] = value
                 continue
-            sub = sctx.substitute(raw_stmt)
-            if self._try_export_load(sub, resolver):
-                continue
-            if not self._params["dry_run"]:
-                try:
-                    dml = parse_dml(sub)
-                except DmlError as e:
-                    raise WorkerException(str(e)) from None
-                if dml is not None and self._try_dml(dml, resolver):
+            # EXECUTE IMMEDIATE parses the RAW statement: its INTO
+            # clause names variables, which substitution would replace
+            # with their current literals
+            ei = self._try_execute_immediate(raw_stmt, sctx, resolver, registry)
+            if ei is not None:
+                handled, result = ei
+                if handled:
+                    if result is not None:
+                        last = result
                     continue
-            stmt = transpile_statement(
-                sub,
-                resolver,
-                # .get: subclasses (BQMLTrainer, BQQueryLauncher) declare
-                # their own PARAMS without this optional knob
-                approx_sketches=bool(self._params.get("approx_sketches")),
-            )
-            if self._params["dry_run"]:
-                self._dry_run_statement(spark, stmt)
-                continue
-            training_df = try_create_model(spark, stmt, registry)
-            if training_df is not None:
-                # expose the training input as the statement's result so
-                # callers can inspect exactly what the model was fit on
-                last = training_df
-                self.log_info("CREATE MODEL handled by Spark ML")
-                continue
-            stmt = rewrite_ml_predict(spark, stmt, registry)
-            stmt = rewrite_ml_evaluate(spark, stmt, registry)
-            stmt = rewrite_ml_weights(spark, stmt, registry)
-            stmt = rewrite_ml_global_explain(spark, stmt, registry)
-            stmt = rewrite_ml_forecast(spark, stmt, registry)
-            stmt = rewrite_ml_detect_anomalies(spark, stmt, registry)
-            for sub in expand_create_or_replace_table(stmt):
-                self._clean_orphan_location(spark, sub)
-                last = spark.sql(sub)
-            # DML/DDL statements execute eagerly in spark.sql; a trailing
-            # SELECT is left lazy for the caller.
+            sub = sctx.substitute(raw_stmt)
+            result = self._run_statement(sub, resolver, registry)
+            if result is not None:
+                last = result
         return last
+
+    def _run_statement(
+        self, sub: str, resolver, registry
+    ) -> DataFrame | None:
+        """Execute ONE (already variable-substituted) SQL statement
+        through the full routing chain — export/load, DML, BQML
+        interception, ML table functions, CTAS expansion. Returns the
+        statement's result DataFrame, or None for side-effect-only
+        statements. Shared by the script loop and EXECUTE IMMEDIATE."""
+        from ..ml.sql_ml import (
+            rewrite_ml_evaluate,
+            rewrite_ml_global_explain,
+            rewrite_ml_predict,
+            rewrite_ml_weights,
+            try_create_model,
+        )
+        from ..ml.forecast import (
+            rewrite_ml_detect_anomalies,
+            rewrite_ml_forecast,
+        )
+
+        spark = self._ctx.spark
+        if self._try_export_load(sub, resolver):
+            return None
+        if not self._params["dry_run"]:
+            try:
+                dml = parse_dml(sub)
+            except DmlError as e:
+                raise WorkerException(str(e)) from None
+            if dml is not None and self._try_dml(dml, resolver):
+                return None
+        stmt = transpile_statement(
+            sub,
+            resolver,
+            # .get: subclasses (BQMLTrainer, BQQueryLauncher) declare
+            # their own PARAMS without this optional knob
+            approx_sketches=bool(self._params.get("approx_sketches")),
+        )
+        if self._params["dry_run"]:
+            self._dry_run_statement(spark, stmt)
+            return None
+        training_df = try_create_model(spark, stmt, registry)
+        if training_df is not None:
+            # expose the training input as the statement's result so
+            # callers can inspect exactly what the model was fit on
+            self.log_info("CREATE MODEL handled by Spark ML")
+            return training_df
+        stmt = rewrite_ml_predict(spark, stmt, registry)
+        stmt = rewrite_ml_evaluate(spark, stmt, registry)
+        stmt = rewrite_ml_weights(spark, stmt, registry)
+        stmt = rewrite_ml_global_explain(spark, stmt, registry)
+        stmt = rewrite_ml_forecast(spark, stmt, registry)
+        stmt = rewrite_ml_detect_anomalies(spark, stmt, registry)
+        last: DataFrame | None = None
+        for piece in expand_create_or_replace_table(stmt):
+            self._clean_orphan_location(spark, piece)
+            last = spark.sql(piece)
+        # DML/DDL statements execute eagerly in spark.sql; a trailing
+        # SELECT is left lazy for the caller.
+        return last
+
+    # -- EXECUTE IMMEDIATE ------------------------------------------------
+
+    _EXEC_IMM_RE = re.compile(
+        r"^\s*EXECUTE\s+IMMEDIATE\s+(.*)$", re.IGNORECASE | re.DOTALL
+    )
+
+    def _try_execute_immediate(
+        self, sub: str, sctx, resolver, registry
+    ) -> "tuple[bool, DataFrame | None] | None":
+        """BigQuery dynamic SQL:
+        ``EXECUTE IMMEDIATE <string expr> [INTO v1, v2] [USING e AS n,
+        ...]``. The string expression evaluates engine-side (CONCAT /
+        FORMAT / variables all work), @name parameters splice as typed
+        literals, and the resulting statement runs through the full
+        routing chain; INTO captures the first result row into script
+        variables. Returns None if not an EXECUTE IMMEDIATE."""
+        from ..dialect import (
+            _split_top_level,
+            splice_query_params,
+            transpile_statement as _transpile,
+        )
+
+        m = self._EXEC_IMM_RE.match(sub)
+        if not m:
+            return None
+        spark = self._ctx.spark
+        body = m.group(1).strip().rstrip(";").strip()
+        # split off top-level INTO / USING clauses (scan outside strings
+        # and parens via the dialect's top-level splitter on a sentinel)
+        into_vars: list[str] = []
+        using_raw = None
+        um = self._clause_split(body, "USING")
+        if um is not None:
+            body, using_raw = um
+        im = self._clause_split(body, "INTO")
+        if im is not None:
+            body, into_raw = im
+            into_vars = [v.strip() for v in into_raw.split(",") if v.strip()]
+        sql_text = spark.sql(
+            f"SELECT ({_transpile(sctx.substitute(body), resolver)})"
+        ).first()[0]
+        if not isinstance(sql_text, str) or not sql_text.strip():
+            raise WorkerException(
+                "EXECUTE IMMEDIATE expression must evaluate to a "
+                "non-empty STRING"
+            )
+        params: dict[str, object] = {}
+        if using_raw:
+            for part in _split_top_level(using_raw):
+                pm = re.match(
+                    r"(.+?)\s+AS\s+(\w+)\s*$", part.strip(),
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not pm:
+                    raise WorkerException(
+                        "EXECUTE IMMEDIATE USING requires `expr AS name` "
+                        "parameters (positional ? is not supported)"
+                    )
+                params[pm.group(2)] = spark.sql(
+                    f"SELECT ({_transpile(sctx.substitute(pm.group(1)), resolver)})"
+                ).first()[0]
+        dyn = splice_query_params(sql_text, params) if params else sql_text
+        self.log_info(f"EXECUTE IMMEDIATE: {dyn[:200]}")
+        result = self._run_statement(sctx.substitute(dyn), resolver, registry)
+        if self._params["dry_run"]:
+            return True, None
+        if into_vars:
+            if result is None:
+                raise WorkerException(
+                    "EXECUTE IMMEDIATE ... INTO requires a query statement"
+                )
+            row = result.first()
+            vals = list(row) if row is not None else [None] * len(into_vars)
+            if len(vals) != len(into_vars):
+                raise WorkerException(
+                    f"EXECUTE IMMEDIATE INTO expects {len(into_vars)} "
+                    f"columns, query returned {len(vals)}"
+                )
+            for name, val in zip(into_vars, vals):
+                sctx.variables[name] = val
+            return True, None
+        return True, result
+
+    @staticmethod
+    def _clause_split(body: str, keyword: str) -> "tuple[str, str] | None":
+        """Split ``body`` at a TOP-LEVEL (outside strings/parens)
+        trailing ``keyword`` clause; -> (head, clause_text) or None."""
+        from ..dialect import _skip_string
+
+        pat = re.compile(rf"\b{keyword}\b", re.IGNORECASE)
+        depth = 0
+        i, n = 0, len(body)
+        while i < n:
+            ch = body[i]
+            if ch in ("'", '"', "`"):
+                i = _skip_string(body, i)
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                mm = pat.match(body, i)
+                if mm:
+                    return body[:i].strip(), body[mm.end():].strip()
+            i += 1
+        return None
 
     # -- BigQuery EXPORT DATA / LOAD DATA script statements --------------
     #

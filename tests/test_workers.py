@@ -710,3 +710,74 @@ def test_export_data_and_load_data_statements(spark, tmp_path):
         ctx,
     )
     w4.execute()
+
+
+def test_execute_immediate_dynamic_sql(spark, tmp_path):
+    """EXECUTE IMMEDIATE: the string expression evaluates engine-side
+    (CONCAT + script variables), @params splice as typed literals via
+    USING, INTO captures the first row into script variables, and the
+    dynamic statement runs through the full routing chain (CTAS here)."""
+    from crmint_spark.catalog import Catalog
+    from crmint_spark.workers import find_worker
+    from crmint_spark.workers.base import WorkerContext
+
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+    w = find_worker("BQScriptExecutor")(
+        {
+            "script": """
+            DECLARE tbl STRING DEFAULT 'p.d.dyn';
+            DECLARE n INT64;
+            EXECUTE IMMEDIATE CONCAT(
+              'CREATE OR REPLACE TABLE `', tbl,
+              '` AS SELECT id * @mult AS v FROM UNNEST([1, 2, 3]) AS id'
+            ) USING 10 AS mult;
+            EXECUTE IMMEDIATE 'SELECT CAST(SUM(v) AS INT64) FROM `p.d.dyn`'
+              INTO n;
+            SELECT n AS total, n > 50 AS big
+            """,
+            "dry_run": False,
+        },
+        ctx,
+    )
+    w.execute()
+    row = w.result.first()
+    assert row["total"] == 60 and row["big"] is True
+    assert any("EXECUTE IMMEDIATE" in line for line in w.log)
+
+    # string params splice safely; INTO arity mismatch is a loud error
+    w2 = find_worker("BQScriptExecutor")(
+        {
+            "script": """
+            EXECUTE IMMEDIATE
+              "SELECT COUNT(*) FROM (SELECT @w AS x) WHERE x = 'a''b'"
+              USING "a'b" AS w
+            """,
+            "dry_run": False,
+        },
+        ctx,
+    )
+    w2.execute()
+    assert w2.result.first()[0] == 1
+    import pytest as _pytest
+
+    from crmint_spark.workers.base import WorkerException
+
+    w3 = find_worker("BQScriptExecutor")(
+        {
+            "script": "DECLARE a INT64; DECLARE b INT64;\n"
+            "EXECUTE IMMEDIATE 'SELECT 1' INTO a, b",
+            "dry_run": False,
+        },
+        ctx,
+    )
+    with _pytest.raises(WorkerException, match="expects 2"):
+        w3.execute()
+    # dry run validates the dynamic statement without side effects
+    w4 = find_worker("BQScriptExecutor")(
+        {
+            "script": "EXECUTE IMMEDIATE 'SELECT 1 AS x'",
+            "dry_run": True,
+        },
+        ctx,
+    )
+    w4.execute()
