@@ -201,7 +201,243 @@ def split_script(script: str) -> list[str]:
     tail = "".join(buf).strip()
     if tail:
         stmts.append(tail)
-    return stmts
+    return _group_block_statements(stmts)
+
+
+# -- BigQuery procedural blocks (IF / WHILE / LOOP / BEGIN) -----------------
+#
+# Blocks contain semicolons, so the plain splitter fragments them;
+# _group_block_statements re-joins fragments until each block's net
+# depth returns to zero. Token rules: IF (not the IF() function), WHILE,
+# LOOP, BEGIN (not BEGIN TRANSACTION) open; END IF/WHILE/LOOP/FOR close;
+# a bare END closes the innermost CASE expression if one is open, else a
+# BEGIN block. FOR..IN blocks are not supported (detected downstream).
+
+_BLOCK_TOKEN_RE = re.compile(
+    r"\b(END\s+IF|END\s+WHILE|END\s+LOOP|END\s+FOR|END|CASE|IF|WHILE|"
+    r"BEGIN|LOOP)\b",
+    re.IGNORECASE,
+)
+_BLOCK_OPEN_RE = re.compile(r"^\s*(IF|WHILE|LOOP|BEGIN)\b", re.IGNORECASE)
+
+
+def _at_statement_position(s: str, i: int) -> bool:
+    """True when position i begins a STATEMENT (start of fragment,
+    after ';', or right after a block keyword) — distinguishes the IF
+    procedural block from the IF() scalar function, which only ever
+    appears in expression context."""
+    j = i - 1
+    while j >= 0 and s[j].isspace():
+        j -= 1
+    if j < 0 or s[j] == ";":
+        return True
+    head = s[max(0, j - 9): j + 1]
+    return bool(re.search(r"\b(?:THEN|ELSE|DO|BEGIN|LOOP)$", head, re.IGNORECASE))
+
+
+def _strip_strings(sql: str) -> str:
+    """Blank out quoted regions (same length) so token scans can't match
+    keyword text inside literals."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] in ("'", '"', "`"):
+            end = _skip_string(sql, i)
+            for j in range(i, min(end, n)):
+                out[j] = " "
+            i = end
+        else:
+            i += 1
+    return "".join(out)
+
+
+def _block_depth_delta(fragment: str) -> int:
+    s = _strip_strings(fragment)
+    depth = 0
+    case_depth = 0
+    for m in _BLOCK_TOKEN_RE.finditer(s):
+        k = re.sub(r"\s+", " ", m.group(1).upper())
+        after = s[m.end():].lstrip()
+        if k == "CASE":
+            case_depth += 1
+        elif k == "END":
+            if case_depth > 0:
+                case_depth -= 1
+            else:
+                depth -= 1
+        elif k in ("END IF", "END WHILE", "END LOOP", "END FOR"):
+            depth -= 1
+        elif k == "IF":
+            if case_depth == 0 and _at_statement_position(s, m.start()):
+                depth += 1
+        elif k == "BEGIN":
+            if not re.match(r"TRANSACTION\b", after, re.IGNORECASE):
+                depth += 1
+        elif k in ("WHILE", "LOOP"):
+            depth += 1
+    return depth
+
+
+def _group_block_statements(stmts: list[str]) -> list[str]:
+    out: list[str] = []
+    i = 0
+    while i < len(stmts):
+        s = stmts[i]
+        if not _BLOCK_OPEN_RE.match(s):
+            out.append(s)
+            i += 1
+            continue
+        depth = _block_depth_delta(s)
+        parts = [s]
+        while depth > 0 and i + 1 < len(stmts):
+            i += 1
+            parts.append(stmts[i])
+            depth += _block_depth_delta(stmts[i])
+        out.append(";\n".join(parts))
+        i += 1
+    return out
+
+
+def parse_script_block(stmt: str) -> dict | None:
+    """Parse one grouped procedural block -> a structure the executor
+    walks, or None if ``stmt`` is not a block:
+
+      {"kind": "IF",    "branches": [(cond, body), ...], "else": body?}
+      {"kind": "WHILE", "cond": c, "body": b}
+      {"kind": "LOOP",  "body": b}
+      {"kind": "BEGIN", "body": b, "handler": b?}
+
+    Bodies are raw sub-scripts (re-split by split_script downstream)."""
+    m = _BLOCK_OPEN_RE.match(stmt)
+    if not m:
+        return None
+    kind = m.group(1).upper()
+    body_from = m.end()
+
+    def markers(names: tuple[str, ...]) -> list[tuple[int, int, str]]:
+        """(start, end, NAME) for marker phrases at block depth 1,
+        paren depth 0, outside strings/CASE, scanning after the
+        opener."""
+        s = _strip_strings(stmt)
+        found: list[tuple[int, int, str]] = []
+        depth, case_depth, paren = 1, 0, 0
+        ws = r"[ \t\r\n]+"
+        pats = [
+            (re.compile(n.replace(" ", ws) + r"\b", re.IGNORECASE), n)
+            for n in names
+        ]
+        i, n_len = body_from, len(s)
+        while i < n_len:
+            ch = s[i]
+            if ch == "(":
+                paren += 1
+                i += 1
+                continue
+            if ch == ")":
+                paren -= 1
+                i += 1
+                continue
+            if paren == 0 and re.match(r"[A-Za-z]", ch) and (
+                i == 0 or not re.match(r"[\w$]", s[i - 1])
+            ):
+                if depth == 1 and case_depth == 0:
+                    hit = None
+                    for pat, name in pats:
+                        mm = pat.match(s, i)
+                        if mm:
+                            hit = (i, mm.end(), name)
+                            break
+                    if hit:
+                        found.append(hit)
+                        i = hit[1]
+                        continue
+                tm = _BLOCK_TOKEN_RE.match(s, i)
+                if tm:
+                    k = re.sub(r"\s+", " ", tm.group(1).upper())
+                    after = s[tm.end():].lstrip()
+                    if k == "CASE":
+                        case_depth += 1
+                    elif k == "END":
+                        if case_depth > 0:
+                            case_depth -= 1
+                        else:
+                            depth -= 1
+                    elif k in ("END IF", "END WHILE", "END LOOP", "END FOR"):
+                        depth -= 1
+                    elif k == "IF" and case_depth == 0 and _at_statement_position(s, i):
+                        depth += 1
+                    elif k == "BEGIN" and not re.match(
+                        r"TRANSACTION\b", after, re.IGNORECASE
+                    ):
+                        depth += 1
+                    elif k in ("WHILE", "LOOP"):
+                        depth += 1
+                    i = tm.end()
+                    continue
+            i += 1
+        return found
+
+    if kind == "IF":
+        ms = markers(("THEN", "ELSEIF", "ELSE", "END IF"))
+        if not ms or ms[0][2] != "THEN" or ms[-1][2] != "END IF":
+            raise ValueError(f"malformed IF block: {stmt[:120]!r}")
+        branches: list[tuple[str, str]] = []
+        else_body: str | None = None
+        cond = stmt[body_from: ms[0][0]].strip()
+        seg_start = ms[0][1]
+        j = 1
+        while j < len(ms):
+            pos, end, name = ms[j]
+            if name == "ELSEIF":
+                branches.append((cond, stmt[seg_start:pos]))
+                k = j + 1
+                if k >= len(ms) or ms[k][2] != "THEN":
+                    raise ValueError("ELSEIF without THEN")
+                cond = stmt[end: ms[k][0]].strip()
+                seg_start = ms[k][1]
+                j = k + 1
+                continue
+            if name == "ELSE":
+                branches.append((cond, stmt[seg_start:pos]))
+                cond = None
+                seg_start = end
+                j += 1
+                continue
+            if name == "END IF":
+                if cond is None:
+                    else_body = stmt[seg_start:pos]
+                else:
+                    branches.append((cond, stmt[seg_start:pos]))
+                break
+            raise ValueError(f"unexpected {name} in IF block")
+        return {"kind": "IF", "branches": branches, "else": else_body}
+    if kind == "WHILE":
+        ms = markers(("DO", "END WHILE"))
+        if len(ms) < 2 or ms[0][2] != "DO" or ms[-1][2] != "END WHILE":
+            raise ValueError(f"malformed WHILE block: {stmt[:120]!r}")
+        return {
+            "kind": "WHILE",
+            "cond": stmt[body_from: ms[0][0]].strip(),
+            "body": stmt[ms[0][1]: ms[-1][0]],
+        }
+    if kind == "LOOP":
+        ms = markers(("END LOOP",))
+        if not ms:
+            raise ValueError(f"malformed LOOP block: {stmt[:120]!r}")
+        return {"kind": "LOOP", "body": stmt[body_from: ms[-1][0]]}
+    # BEGIN [body] [EXCEPTION WHEN ERROR THEN handler] END
+    if re.match(r"\s*TRANSACTION\b", stmt[body_from:], re.IGNORECASE):
+        return None  # BEGIN TRANSACTION: not a block
+    ms = markers(("EXCEPTION WHEN ERROR THEN", "END"))
+    if not ms or ms[-1][2] != "END":
+        raise ValueError(f"malformed BEGIN block: {stmt[:120]!r}")
+    handler: str | None = None
+    if ms[0][2] == "EXCEPTION WHEN ERROR THEN":
+        body = stmt[body_from: ms[0][0]]
+        handler = stmt[ms[0][1]: ms[-1][0]]
+    else:
+        body = stmt[body_from: ms[-1][0]]
+    return {"kind": "BEGIN", "body": body, "handler": handler}
 
 
 def _rewrite_select_except(sql: str) -> str:

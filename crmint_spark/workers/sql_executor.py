@@ -42,6 +42,22 @@ from ..dml import (
 from .base import Worker, WorkerException
 
 
+class _BreakSignal(Exception):
+    """BREAK/LEAVE inside WHILE/LOOP."""
+
+
+class _ContinueSignal(Exception):
+    """CONTINUE/ITERATE inside WHILE/LOOP."""
+
+
+class _ReturnSignal(Exception):
+    """RETURN: stop the script, keeping the last result."""
+
+    def __init__(self, last):
+        super().__init__("RETURN")
+        self.last = last
+
+
 class SparkSQLExecutor(Worker):
     """Runs a Standard-SQL script through spark.sql statement by
     statement. BQML statements (CREATE MODEL / ML.PREDICT / ML.EVALUATE)
@@ -74,24 +90,31 @@ class SparkSQLExecutor(Worker):
         from ..functions import register_engine_udfs
 
         register_engine_udfs(self._ctx.spark)
-        from ..ml.sql_ml import (
-            rewrite_ml_evaluate,
-            rewrite_ml_global_explain,
-            rewrite_ml_predict,
-            rewrite_ml_weights,
-            try_create_model,
-        )
-        from ..ml.forecast import (  # noqa: F401
-            rewrite_ml_detect_anomalies,
-            rewrite_ml_forecast,
-        )
-
-        spark = self._ctx.spark
         registry = self._model_registry()
         resolver = self._resolver()
         sctx = ScriptContext()
+        try:
+            return self._exec_statements(
+                split_script(self._params["script"]), sctx, resolver, registry
+            )
+        except _ReturnSignal as sig:
+            return sig.last
+        except (_BreakSignal, _ContinueSignal):
+            raise WorkerException(
+                "BREAK/LEAVE/CONTINUE/ITERATE outside a loop"
+            ) from None
+
+    def _exec_statements(
+        self, stmts: list[str], sctx, resolver, registry
+    ) -> DataFrame | None:
+        """Walk a (sub-)script's statement list: DECLARE/SET scripting,
+        procedural blocks (IF/WHILE/LOOP/BEGIN), EXECUTE IMMEDIATE, and
+        plain statements. Raises control-flow signals upward."""
+        from ..dialect import parse_script_block
+
+        spark = self._ctx.spark
         last: DataFrame | None = None
-        for raw_stmt in split_script(self._params["script"]):
+        for raw_stmt in stmts:
             kind, m = classify_statement(raw_stmt)
             if kind == "declare":
                 name, default = m.group(1), m.group(2)
@@ -110,6 +133,24 @@ class SparkSQLExecutor(Worker):
                 value = spark.sql(f"SELECT {sql_expr}").first()[0]
                 sctx.variables[name] = value
                 continue
+            flow = re.match(
+                r"^\s*(BREAK|LEAVE|CONTINUE|ITERATE|RETURN)\s*$",
+                raw_stmt,
+                re.IGNORECASE,
+            )
+            if flow:
+                kw = flow.group(1).upper()
+                if kw in ("BREAK", "LEAVE"):
+                    raise _BreakSignal()
+                if kw in ("CONTINUE", "ITERATE"):
+                    raise _ContinueSignal()
+                raise _ReturnSignal(last)
+            block = parse_script_block(raw_stmt)
+            if block is not None:
+                result = self._exec_block(block, sctx, resolver, registry)
+                if result is not None:
+                    last = result
+                continue
             # EXECUTE IMMEDIATE parses the RAW statement: its INTO
             # clause names variables, which substitution would replace
             # with their current literals
@@ -125,6 +166,96 @@ class SparkSQLExecutor(Worker):
             if result is not None:
                 last = result
         return last
+
+    # -- procedural blocks -------------------------------------------------
+
+    _MAX_LOOP_ITERATIONS = 100_000
+
+    def _eval_cond(self, cond: str, sctx, resolver) -> bool:
+        expr = transpile_statement(sctx.substitute(cond), resolver)
+        val = self._ctx.spark.sql(f"SELECT ({expr})").first()[0]
+        return bool(val)
+
+    def _exec_block(
+        self, block: dict, sctx, resolver, registry
+    ) -> DataFrame | None:
+        """Execute one parsed IF/WHILE/LOOP/BEGIN block. In dry-run,
+        every branch/body is validated instead of one path executing."""
+        kind = block["kind"]
+        dry = bool(self._params["dry_run"])
+
+        def run(body: str) -> DataFrame | None:
+            return self._exec_statements(
+                split_script(body), sctx, resolver, registry
+            )
+
+        if kind == "IF":
+            if dry:
+                for _cond, body in block["branches"]:
+                    run(body)
+                if block["else"]:
+                    run(block["else"])
+                return None
+            for cond, body in block["branches"]:
+                if self._eval_cond(cond, sctx, resolver):
+                    return run(body)
+            if block["else"]:
+                return run(block["else"])
+            return None
+        if kind in ("WHILE", "LOOP"):
+            if dry:
+                run(block["body"])
+                return None
+            last: DataFrame | None = None
+            for _ in range(self._MAX_LOOP_ITERATIONS):
+                if kind == "WHILE" and not self._eval_cond(
+                    block["cond"], sctx, resolver
+                ):
+                    return last
+                try:
+                    result = run(block["body"])
+                    if result is not None:
+                        last = result
+                except _BreakSignal:
+                    return last
+                except _ContinueSignal:
+                    continue
+            raise WorkerException(
+                f"{kind} exceeded {self._MAX_LOOP_ITERATIONS} iterations"
+            )
+        # BEGIN [EXCEPTION WHEN ERROR THEN handler] END
+        if dry:
+            run(block["body"])
+            if block["handler"]:
+                run(block["handler"])
+            return None
+        try:
+            result = run(block["body"])
+            if block["handler"] is not None and result is not None:
+                # trailing SELECTs are normally left lazy; a handler
+                # only fires if the body actually EXECUTES (BigQuery
+                # runs each statement eagerly), so materialize here
+                rows = result.collect()
+                result = self._ctx.spark.createDataFrame(
+                    rows, result.schema
+                )
+            return result
+        except (_BreakSignal, _ContinueSignal, _ReturnSignal):
+            raise
+        except Exception as exc:
+            if not block["handler"]:
+                raise
+            # expose @@error.message to the handler (BigQuery system
+            # variable), spliced as a literal
+            msg = str(exc).split("\n", 1)[0][:500]
+            handler = re.sub(
+                r"@@error\.message",
+                lambda _m: "'" + msg.replace("'", "\\'") + "'",
+                block["handler"],
+                flags=re.IGNORECASE,
+            )
+            self.log_info(f"BEGIN handler caught: {msg[:120]}")
+            return run(handler)
 
     def _run_statement(
         self, sub: str, resolver, registry

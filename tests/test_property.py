@@ -29,6 +29,15 @@ sql_fragment = st.text(
 @given(st.lists(sql_fragment, min_size=1, max_size=5))
 @settings(max_examples=200, deadline=None)
 def test_split_script_roundtrip_statement_count(fragments):
+    from hypothesis import assume
+
+    # fragments that open procedural blocks (IF/WHILE/LOOP/BEGIN) are
+    # intentionally grouped across semicolons — out of scope here
+    assume(
+        not any(
+            dialect._BLOCK_OPEN_RE.match(f.strip()) for f in fragments
+        )
+    )
     script = ";".join(fragments)
     stmts = dialect.split_script(script)
     assert len(stmts) == sum(1 for f in fragments if f.strip())

@@ -781,3 +781,84 @@ def test_execute_immediate_dynamic_sql(spark, tmp_path):
         ctx,
     )
     w4.execute()
+
+
+def test_script_control_flow_blocks(spark, tmp_path):
+    """BigQuery procedural scripting: IF/ELSEIF/ELSE, WHILE with
+    BREAK/CONTINUE, BEGIN...EXCEPTION handlers with @@error.message,
+    and RETURN — blocks group across semicolons and nest."""
+    from crmint_spark.catalog import Catalog
+    from crmint_spark.workers import find_worker
+    from crmint_spark.workers.base import WorkerContext
+
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+
+    def run(script, dry=False):
+        w = find_worker("BQScriptExecutor")(
+            {"script": script, "dry_run": dry}, ctx
+        )
+        w.execute()
+        return w
+
+    # IF / ELSEIF / ELSE picks exactly one branch
+    w = run("""
+    DECLARE x INT64 DEFAULT 7;
+    IF x > 10 THEN
+      SELECT 'big' AS r;
+    ELSEIF x > 5 THEN
+      SELECT 'mid' AS r;
+    ELSE
+      SELECT 'small' AS r;
+    END IF
+    """)
+    assert w.result.first()["r"] == "mid"
+
+    # WHILE accumulates via SET; CONTINUE skips, BREAK exits; nested IF
+    w = run("""
+    DECLARE i INT64 DEFAULT 0;
+    DECLARE total INT64 DEFAULT 0;
+    WHILE TRUE DO
+      SET i = i + 1;
+      IF i = 3 THEN
+        CONTINUE;
+      END IF;
+      IF i > 6 THEN
+        BREAK;
+      END IF;
+      SET total = total + i;
+    END WHILE;
+    SELECT total AS t, i AS n
+    """)
+    row = w.result.first()
+    assert row["t"] == 1 + 2 + 4 + 5 + 6 and row["n"] == 7
+
+    # BEGIN ... EXCEPTION WHEN ERROR THEN captures @@error.message
+    w = run("""
+    BEGIN
+      SELECT ERROR('boom boom');
+    EXCEPTION WHEN ERROR THEN
+      SELECT CONTAINS_SUBSTR(@@error.message, 'boom') AS caught;
+    END
+    """)
+    assert w.result.first()["caught"] is True
+
+    # RETURN stops the script, keeping the last result
+    w = run("""
+    SELECT 1 AS before;
+    RETURN;
+    SELECT ERROR('never runs')
+    """)
+    assert w.result.first()["before"] == 1
+
+    # dry run validates every branch without executing
+    run(
+        "IF TRUE THEN SELECT 1 AS a; ELSE SELECT 2 AS a; END IF",
+        dry=True,
+    )
+    # CASE expressions inside blocks don't confuse END matching
+    w = run("""
+    IF (CASE WHEN 1 < 2 THEN 'y' ELSE 'n' END) = 'y' THEN
+      SELECT CASE WHEN TRUE THEN 10 END AS v;
+    END IF
+    """)
+    assert w.result.first()["v"] == 10
