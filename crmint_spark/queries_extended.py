@@ -1235,6 +1235,50 @@ FROM orders GROUP BY prio
 """
 
 
+def q58_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Procedural scripting end-to-end (round 5): a WHILE loop drives
+    EXECUTE IMMEDIATE dynamic INSERTs into a session table (one per
+    year), an IF/ELSE block validates the loop's row count, and the
+    final SELECT returns the per-year revenue — all deterministic, so
+    the DuckDB oracle is the equivalent plain aggregate."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    DECLARE i INT64 DEFAULT 0;
+    DECLARE cur_year INT64;
+    CREATE OR REPLACE TABLE `tmp.d.year_rev` AS
+      SELECT CAST(NULL AS INT64) AS yr, CAST(NULL AS FLOAT64) AS rev
+      WHERE FALSE;
+    WHILE i < 3 DO
+      SET cur_year = 1995 + i;
+      EXECUTE IMMEDIATE CONCAT(
+        'INSERT INTO `tmp.d.year_rev` ',
+        'SELECT @y AS yr, ROUND(SUM(o_totalprice), 6) AS rev ',
+        'FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = @y'
+      ) USING cur_year AS y;
+      SET i = i + 1;
+    END WHILE;
+    IF (SELECT COUNT(*) FROM `tmp.d.year_rev`) = 3 THEN
+      SELECT yr, rev FROM `tmp.d.year_rev`;
+    ELSE
+      SELECT ERROR('loop under-filled year_rev');
+    END IF
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q58_SQL = """
+SELECT CAST(1995 + i AS BIGINT) AS yr,
+       (SELECT ROUND(SUM(o_totalprice), 6) FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 + i) AS rev
+FROM range(0, 3) t(i)
+"""
+
+
 def q55_bq_functions5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fifth BigQuery-surface script (round 4): EXTRACT field mappings
     (Sunday-start WEEK / DAYOFYEAR / ISOWEEK / ISOYEAR), DATE_BUCKET
@@ -1508,6 +1552,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q56_bq_functions6": (q56_bq_functions6, Q56_SQL),
     "q57_kll_quantiles": (q57_kll_quantiles, Q57_SQL),
     "q57_kll_approx": (q57_kll_approx, Q57_APPROX_SQL),
+    "q58_scripting": (q58_scripting, Q58_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
     "q50_hll_approx": (q50_hll_approx, Q50_APPROX_SQL),
     "q36_qualify": (q36_qualify, Q36_SQL),

@@ -71,6 +71,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "q56_bq_functions6": _EXT["q56_bq_functions6"],
     "q57_kll_quantiles": _EXT["q57_kll_quantiles"],
     "q57_kll_approx": _EXT["q57_kll_approx"],
+    "q58_scripting": _EXT["q58_scripting"],
     "embedding_pca_top_component": (
         pca.embedding_pca_top_component,
         pca.PCA_SQL,

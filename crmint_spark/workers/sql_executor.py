@@ -380,7 +380,10 @@ class SparkSQLExecutor(Worker):
                 ).first()[0]
         dyn = splice_query_params(sql_text, params) if params else sql_text
         self.log_info(f"EXECUTE IMMEDIATE: {dyn[:200]}")
-        result = self._run_statement(sctx.substitute(dyn), resolver, registry)
+        # the dynamic statement sees only @params, never script
+        # variables (BigQuery semantics — an alias named like a DECLARE
+        # must not be rewritten)
+        result = self._run_statement(dyn, resolver, registry)
         if self._params["dry_run"]:
             return True, None
         if into_vars:
