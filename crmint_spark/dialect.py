@@ -215,10 +215,10 @@ def split_script(script: str) -> list[str]:
 
 _BLOCK_TOKEN_RE = re.compile(
     r"\b(END\s+IF|END\s+WHILE|END\s+LOOP|END\s+FOR|END|CASE|IF|WHILE|"
-    r"BEGIN|LOOP)\b",
+    r"BEGIN|LOOP|FOR)\b",
     re.IGNORECASE,
 )
-_BLOCK_OPEN_RE = re.compile(r"^\s*(IF|WHILE|LOOP|BEGIN)\b", re.IGNORECASE)
+_BLOCK_OPEN_RE = re.compile(r"^\s*(IF|WHILE|LOOP|BEGIN|FOR)\b", re.IGNORECASE)
 
 
 def _at_statement_position(s: str, i: int) -> bool:
@@ -275,6 +275,9 @@ def _block_depth_delta(fragment: str) -> int:
                 depth += 1
         elif k in ("WHILE", "LOOP"):
             depth += 1
+        elif k == "FOR":
+            if _at_statement_position(s, m.start()):
+                depth += 1
     return depth
 
 
@@ -305,6 +308,7 @@ def parse_script_block(stmt: str) -> dict | None:
       {"kind": "IF",    "branches": [(cond, body), ...], "else": body?}
       {"kind": "WHILE", "cond": c, "body": b}
       {"kind": "LOOP",  "body": b}
+      {"kind": "FOR",   "var": v, "query": q, "body": b}
       {"kind": "BEGIN", "body": b, "handler": b?}
 
     Bodies are raw sub-scripts (re-split by split_script downstream)."""
@@ -372,6 +376,8 @@ def parse_script_block(stmt: str) -> dict | None:
                         depth += 1
                     elif k in ("WHILE", "LOOP"):
                         depth += 1
+                    elif k == "FOR" and _at_statement_position(s, i):
+                        depth += 1
                     i = tm.end()
                     continue
             i += 1
@@ -425,6 +431,22 @@ def parse_script_block(stmt: str) -> dict | None:
         if not ms:
             raise ValueError(f"malformed LOOP block: {stmt[:120]!r}")
         return {"kind": "LOOP", "body": stmt[body_from: ms[-1][0]]}
+    if kind == "FOR":
+        # FOR var IN (query) DO body END FOR
+        ms = markers(("IN", "DO", "END FOR"))
+        if (
+            len(ms) < 3
+            or ms[0][2] != "IN"
+            or ms[1][2] != "DO"
+            or ms[-1][2] != "END FOR"
+        ):
+            raise ValueError(f"malformed FOR block: {stmt[:120]!r}")
+        return {
+            "kind": "FOR",
+            "var": stmt[body_from: ms[0][0]].strip(),
+            "query": stmt[ms[0][1]: ms[1][0]].strip(),
+            "body": stmt[ms[1][1]: ms[-1][0]],
+        }
     # BEGIN [body] [EXCEPTION WHEN ERROR THEN handler] END
     if re.match(r"\s*TRANSACTION\b", stmt[body_from:], re.IGNORECASE):
         return None  # BEGIN TRANSACTION: not a block

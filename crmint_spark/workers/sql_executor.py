@@ -202,6 +202,44 @@ class SparkSQLExecutor(Worker):
             if block["else"]:
                 return run(block["else"])
             return None
+        if kind == "FOR":
+            if dry:
+                self._dry_run_statement(
+                    self._ctx.spark,
+                    transpile_statement(
+                        sctx.substitute(block["query"]), resolver
+                    ),
+                )
+                run(block["body"])
+                return None
+            rows = self._ctx.spark.sql(
+                transpile_statement(sctx.substitute(block["query"]), resolver)
+            ).limit(self._MAX_LOOP_ITERATIONS).collect()
+            var = block["var"]
+            last: DataFrame | None = None
+            saved = {
+                k: sctx.variables[k]
+                for k in list(sctx.variables)
+                if k.startswith(var + ".")
+            }
+            try:
+                for row in rows:
+                    for col, val in row.asDict().items():
+                        sctx.variables[f"{var}.{col}"] = val
+                    try:
+                        result = run(block["body"])
+                        if result is not None:
+                            last = result
+                    except _BreakSignal:
+                        return last
+                    except _ContinueSignal:
+                        continue
+            finally:
+                for k in list(sctx.variables):
+                    if k.startswith(var + "."):
+                        del sctx.variables[k]
+                sctx.variables.update(saved)
+            return last
         if kind in ("WHILE", "LOOP"):
             if dry:
                 run(block["body"])

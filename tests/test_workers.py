@@ -862,3 +862,37 @@ def test_script_control_flow_blocks(spark, tmp_path):
     END IF
     """)
     assert w.result.first()["v"] == 10
+
+
+def test_script_for_in_loop(spark, tmp_path):
+    """FOR record IN (query) DO ... END FOR: iterates the query rows in
+    order, exposing record.col to the body; BREAK works."""
+    from crmint_spark.catalog import Catalog
+    from crmint_spark.workers import find_worker
+    from crmint_spark.workers.base import WorkerContext
+
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+    w = find_worker("BQScriptExecutor")(
+        {
+            "script": """
+            DECLARE total INT64 DEFAULT 0;
+            DECLARE names STRING DEFAULT '';
+            FOR rec IN (
+              SELECT id AS k, CONCAT('n', CAST(id AS STRING)) AS label
+              FROM UNNEST([1, 2, 3, 4]) AS id ORDER BY id
+            ) DO
+              IF rec.k > 3 THEN
+                BREAK;
+              END IF;
+              SET total = total + rec.k;
+              SET names = CONCAT(names, rec.label);
+            END FOR;
+            SELECT total AS t, names AS s
+            """,
+            "dry_run": False,
+        },
+        ctx,
+    )
+    w.execute()
+    row = w.result.first()
+    assert row["t"] == 6 and row["s"] == "n1n2n3"
