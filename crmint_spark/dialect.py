@@ -281,12 +281,17 @@ def _block_depth_delta(fragment: str) -> int:
     return depth
 
 
+_CREATE_PROC_OPEN_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\b", re.IGNORECASE
+)
+
+
 def _group_block_statements(stmts: list[str]) -> list[str]:
     out: list[str] = []
     i = 0
     while i < len(stmts):
         s = stmts[i]
-        if not _BLOCK_OPEN_RE.match(s):
+        if not (_BLOCK_OPEN_RE.match(s) or _CREATE_PROC_OPEN_RE.match(s)):
             out.append(s)
             i += 1
             continue

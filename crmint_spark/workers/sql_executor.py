@@ -133,6 +133,8 @@ class SparkSQLExecutor(Worker):
                 value = spark.sql(f"SELECT {sql_expr}").first()[0]
                 sctx.variables[name] = value
                 continue
+            if self._try_procedure(raw_stmt, sctx, resolver, registry):
+                continue
             flow = re.match(
                 r"^\s*(BREAK|LEAVE|CONTINUE|ITERATE|RETURN)\s*$",
                 raw_stmt,
@@ -166,6 +168,119 @@ class SparkSQLExecutor(Worker):
             if result is not None:
                 last = result
         return last
+
+    # -- stored procedures -------------------------------------------------
+
+    _CREATE_PROC_RE = re.compile(
+        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\s+`?([\w.\-]+)`?"
+        r"\s*\((.*?)\)\s*(BEGIN\b.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _CALL_RE = re.compile(
+        r"^\s*CALL\s+`?([\w.\-]+)`?\s*\((.*)\)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _proc_store_path(self) -> str:
+        root = (
+            self._ctx.catalog.root if self._ctx.catalog else "/tmp/crmint_models"
+        )
+        return os.path.join(root, "_procedures.json")
+
+    def _try_procedure(self, raw_stmt, sctx, resolver, registry) -> bool:
+        """CREATE [OR REPLACE] PROCEDURE name(IN/OUT/INOUT p TYPE, ...)
+        BEGIN ... END persists the body; CALL name(args) executes it in
+        a fresh variable scope, copying OUT/INOUT values back into the
+        caller's variables. RETURN inside a procedure exits only the
+        procedure."""
+        import json
+
+        from ..dialect import _split_top_level, parse_script_block
+
+        m = self._CREATE_PROC_RE.match(raw_stmt)
+        if m:
+            name, params_raw, body = m.group(1), m.group(2), m.group(3)
+            sig: list[tuple[str, str]] = []
+            for part in _split_top_level(params_raw):
+                part = part.strip()
+                if not part:
+                    continue
+                pm = re.match(
+                    r"(?:(IN|OUT|INOUT)\s+)?([A-Za-z_]\w*)\s+\S.*",
+                    part,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not pm:
+                    raise WorkerException(
+                        f"bad procedure parameter: {part!r}"
+                    )
+                sig.append(
+                    ((pm.group(1) or "IN").upper(), pm.group(2))
+                )
+            if parse_script_block(body) is None:
+                raise WorkerException(
+                    "procedure body must be a BEGIN ... END block"
+                )
+            path = self._proc_store_path()
+            store = {}
+            if os.path.exists(path):
+                with open(path) as fh:
+                    store = json.load(fh)
+            store[name] = {"sig": sig, "body": body}
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as fh:
+                json.dump(store, fh)
+            self.log_info(f"CREATE PROCEDURE {name} ({len(sig)} params)")
+            return True
+        m = self._CALL_RE.match(raw_stmt)
+        if not m:
+            return False
+        name, args_raw = m.group(1), m.group(2)
+        path = self._proc_store_path()
+        store = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                store = json.load(fh)
+        if name not in store:
+            raise WorkerException(f"CALL: unknown procedure `{name}`")
+        if self._params["dry_run"]:
+            self.log_info(f"CALL {name} validated (dry run)")
+            return True
+        sig = [tuple(p) for p in store[name]["sig"]]
+        args = [a.strip() for a in _split_top_level(args_raw) if a.strip()]
+        if len(args) != len(sig):
+            raise WorkerException(
+                f"CALL {name}: expected {len(sig)} args, got {len(args)}"
+            )
+        inner = ScriptContext()
+        out_map: list[tuple[str, str]] = []  # (param, caller var)
+        for (mode, pname), arg in zip(sig, args):
+            if mode == "IN":
+                expr = transpile_statement(sctx.substitute(arg), resolver)
+                inner.variables[pname] = (
+                    self._ctx.spark.sql(f"SELECT ({expr})").first()[0]
+                )
+            else:
+                vm = re.fullmatch(r"[A-Za-z_]\w*", arg)
+                if not vm:
+                    raise WorkerException(
+                        f"CALL {name}: {mode} argument for `{pname}` must "
+                        "be a variable name"
+                    )
+                inner.variables[pname] = (
+                    sctx.variables.get(arg) if mode == "INOUT" else None
+                )
+                out_map.append((pname, arg))
+        try:
+            self._exec_statements(
+                split_script(store[name]["body"]), inner, resolver, registry
+            )
+        except _ReturnSignal:
+            pass
+        for pname, var in out_map:
+            sctx.variables[var] = inner.variables.get(pname)
+        self.log_info(f"CALL {name} done")
+        return True
 
     # -- procedural blocks -------------------------------------------------
 

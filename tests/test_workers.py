@@ -896,3 +896,57 @@ def test_script_for_in_loop(spark, tmp_path):
     w.execute()
     row = w.result.first()
     assert row["t"] == 6 and row["s"] == "n1n2n3"
+
+
+def test_create_procedure_and_call(spark, tmp_path):
+    """CREATE PROCEDURE persists a BEGIN block with IN/OUT/INOUT
+    parameters; CALL evaluates IN args, runs the body in its own
+    variable scope, and copies OUT/INOUT values back. Procedures
+    persist across scripts in the same catalog; RETURN exits only the
+    procedure."""
+    from crmint_spark.catalog import Catalog
+    from crmint_spark.workers import find_worker
+    from crmint_spark.workers.base import WorkerContext
+
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+
+    def run(script):
+        w = find_worker("BQScriptExecutor")(
+            {"script": script, "dry_run": False}, ctx
+        )
+        w.execute()
+        return w
+
+    run("""
+    CREATE OR REPLACE PROCEDURE `p.d.scale_it`(
+      IN x INT64, IN factor INT64, OUT y INT64, INOUT acc INT64)
+    BEGIN
+      SET y = x * factor;
+      SET acc = acc + y;
+      IF y > 100 THEN
+        RETURN;
+      END IF;
+      SET y = y + 1;
+    END
+    """)
+    # second script: CALL twice, proving persistence + INOUT threading
+    w = run("""
+    DECLARE got INT64;
+    DECLARE running INT64 DEFAULT 0;
+    CALL `p.d.scale_it`(7, 3, got, running);
+    CALL `p.d.scale_it`(60, 2, got, running);
+    SELECT got AS g, running AS r
+    """)
+    row = w.result.first()
+    # call 1: y = 21 -> +1 = 22, acc 0+21=21; call 2: y=120 (RETURN
+    # before increment), acc 21+120 = 141
+    assert row["g"] == 120 and row["r"] == 141, row
+
+    import pytest as _pytest
+
+    from crmint_spark.workers.base import WorkerException
+
+    with _pytest.raises(WorkerException, match="unknown procedure"):
+        run("CALL `p.d.nope`(1)")
+    with _pytest.raises(WorkerException, match="expected 4"):
+        run("CALL `p.d.scale_it`(1, 2)")
