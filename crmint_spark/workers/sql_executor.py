@@ -169,6 +169,141 @@ class SparkSQLExecutor(Worker):
                 last = result
         return last
 
+    # -- SQL table functions (TVFs) ---------------------------------------
+
+    _CREATE_TVF_RE = re.compile(
+        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+FUNCTION\s+"
+        r"`?([\w.\-]+)`?\s*\((.*?)\)\s*AS\s*\(",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _tvf_store_path(self) -> str:
+        root = (
+            self._ctx.catalog.root if self._ctx.catalog else "/tmp/crmint_models"
+        )
+        return os.path.join(root, "_table_functions.json")
+
+    def _tvf_store(self) -> dict:
+        import json
+
+        path = self._tvf_store_path()
+        if os.path.exists(path):
+            with open(path) as fh:
+                return json.load(fh)
+        return {}
+
+    def _try_table_function_ddl(self, sub: str) -> bool:
+        """``CREATE [OR REPLACE] TABLE FUNCTION f(p TYPE, ...) AS
+        (query)`` persists the parameterized query per catalog. The body
+        is transpiled STANDALONE at DDL time (so its FROM UNNEST /
+        wildcard shards resolve as a top-level query, not as the
+        expression-position array subquery a parenthesized call-site
+        expansion would look like); parameter names survive the rewrite
+        and are spliced per call."""
+        import json
+
+        from ..dialect import _balanced_end, _split_top_level
+
+        m = self._CREATE_TVF_RE.match(sub)
+        if not m:
+            return False
+        name, params_raw = m.group(1), m.group(2)
+        body_end = _balanced_end(sub, m.end() - 1)
+        if body_end < 0:
+            raise WorkerException("CREATE TABLE FUNCTION: unbalanced body")
+        body = transpile_statement(
+            sub[m.end(): body_end - 1].strip(), self._resolver()
+        )
+        names: list[str] = []
+        for part in _split_top_level(params_raw):
+            part = part.strip()
+            if not part:
+                continue
+            pm = re.match(r"([A-Za-z_]\w*)\s+\S.*", part, re.DOTALL)
+            if not pm:
+                raise WorkerException(f"bad table-function parameter: {part!r}")
+            names.append(pm.group(1))
+        store = self._tvf_store()
+        store[name] = {"params": names, "body": body}
+        path = self._tvf_store_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(store, fh)
+        self.log_info(f"CREATE TABLE FUNCTION {name} ({len(names)} params)")
+        return True
+
+    def _expand_table_functions(self, sub: str) -> str:
+        """Rewrite ``f(args)`` call sites of stored table functions into
+        parenthesized subqueries with the argument expressions spliced
+        for the parameter names (word-boundary, outside strings)."""
+        from ..dialect import _balanced_end, _skip_string, _split_top_level
+
+        store = self._tvf_store()
+        if not store:
+            return sub
+        for name, spec in store.items():
+            pat = re.compile(
+                r"(`" + re.escape(name) + r"`|\b" + re.escape(name) + r")\s*\(",
+            )
+            guard = 0
+            while guard < 20:
+                guard += 1
+                # find a call site outside string literals
+                pos = 0
+                site = None
+                while pos < len(sub):
+                    ch = sub[pos]
+                    if ch in ("'", '"'):
+                        pos = _skip_string(sub, pos)
+                        continue
+                    m = pat.match(sub, pos)
+                    if m:
+                        site = m
+                        break
+                    pos += 1
+                if site is None:
+                    break
+                end = _balanced_end(sub, site.end() - 1)
+                if end < 0:
+                    break
+                args = [
+                    a.strip()
+                    for a in _split_top_level(sub[site.end(): end - 1])
+                    if a.strip()
+                ]
+                if len(args) != len(spec["params"]):
+                    raise WorkerException(
+                        f"table function {name} expects "
+                        f"{len(spec['params'])} args, got {len(args)}"
+                    )
+                body = spec["body"]
+                for pname, arg in zip(spec["params"], args):
+                    body = self._splice_word(body, pname, f"({arg})")
+                sub = sub[: site.start()] + "(" + body + ")" + sub[end:]
+        return sub
+
+    @staticmethod
+    def _splice_word(sql: str, name: str, replacement: str) -> str:
+        from ..dialect import _skip_string
+
+        pat = re.compile(rf"(?<![\w$.`]){re.escape(name)}(?![\w$])")
+        out: list[str] = []
+        pos = 0
+        i, n = 0, len(sql)
+        while i < n:
+            if sql[i] in ("'", '"', "`"):
+                i = _skip_string(sql, i)
+                continue
+            m = pat.match(sql, i)
+            if m:
+                out.append(sql[pos:i])
+                out.append(replacement)
+                pos = i = m.end()
+                continue
+            i += 1
+        out.append(sql[pos:])
+        return "".join(out)
+
     # -- stored procedures -------------------------------------------------
 
     _CREATE_PROC_RE = re.compile(
@@ -431,6 +566,9 @@ class SparkSQLExecutor(Worker):
         )
 
         spark = self._ctx.spark
+        if self._try_table_function_ddl(sub):
+            return None
+        sub = self._expand_table_functions(sub)
         if self._try_export_load(sub, resolver):
             return None
         if not self._params["dry_run"]:

@@ -984,3 +984,70 @@ def test_kll_quantiles_family(spark):
     assert e2["p25"] == 25.0 and list(e2["halves"]) == [0.0, 50.0, 100.0]
     a2 = spark.sql(transpile_statement(q2, approx_sketches=True)).first()
     assert abs(a2["p25"] - 25) <= 5 and abs(a2["halves"][1] - 50) <= 5
+
+
+def test_block_grouping_edge_cases():
+    """split_script block grouping: strings containing keywords, CASE
+    expressions inside blocks, nested blocks, BEGIN TRANSACTION
+    passthrough, and IF()-function non-grouping."""
+    from crmint_spark.dialect import parse_script_block, split_script
+
+    # keywords inside strings never group
+    stmts = split_script("SELECT 'END IF; WHILE' AS a; SELECT 2")
+    assert len(stmts) == 2
+
+    # IF() scalar function at statement start is not a block
+    stmts = split_script("SELECT IF(1 < 2, 'a', 'b'); SELECT 2")
+    assert len(stmts) == 2
+
+    # nested blocks group into ONE statement and parse recursively
+    script = """
+    WHILE a < 3 DO
+      IF b THEN
+        SET x = CASE WHEN c THEN 1 ELSE 2 END;
+      ELSE
+        SET x = 3;
+      END IF;
+    END WHILE;
+    SELECT 1
+    """
+    stmts = split_script(script)
+    assert len(stmts) == 2
+    blk = parse_script_block(stmts[0])
+    assert blk["kind"] == "WHILE" and blk["cond"] == "a < 3"
+    inner = split_script(blk["body"])
+    assert len(inner) == 1
+    iblk = parse_script_block(inner[0])
+    assert iblk["kind"] == "IF"
+    assert len(iblk["branches"]) == 1 and iblk["else"] is not None
+    assert "CASE WHEN c THEN 1 ELSE 2 END" in iblk["branches"][0][1]
+
+    # BEGIN with handler; CASE END inside body doesn't close the block
+    script = """BEGIN
+      SELECT CASE WHEN x THEN 1 END;
+      SELECT 2;
+    EXCEPTION WHEN ERROR THEN
+      SELECT 'handled';
+    END"""
+    blk = parse_script_block(split_script(script)[0])
+    assert blk["kind"] == "BEGIN"
+    assert "SELECT 2" in blk["body"] and "handled" in blk["handler"]
+
+    # BEGIN TRANSACTION is NOT a block
+    assert parse_script_block("BEGIN TRANSACTION") is None
+
+    # FOR..IN parses var/query/body
+    blk = parse_script_block(
+        "FOR r IN (SELECT 1 AS a WHERE 1 IN (1)) DO SET x = r.a; END FOR"
+    )
+    assert blk["kind"] == "FOR" and blk["var"] == "r"
+    assert blk["query"].startswith("(SELECT")
+    assert "SET x = r.a" in blk["body"]
+
+    # ELSEIF chains
+    blk = parse_script_block(
+        "IF a THEN SELECT 1; ELSEIF b THEN SELECT 2; "
+        "ELSEIF c THEN SELECT 3; ELSE SELECT 4; END IF"
+    )
+    assert [c for c, _ in blk["branches"]] == ["a", "b", "c"]
+    assert "SELECT 4" in blk["else"]

@@ -950,3 +950,45 @@ def test_create_procedure_and_call(spark, tmp_path):
         run("CALL `p.d.nope`(1)")
     with _pytest.raises(WorkerException, match="expected 4"):
         run("CALL `p.d.scale_it`(1, 2)")
+
+
+def test_create_table_function_and_call(spark, tmp_path):
+    """SQL table functions: CREATE TABLE FUNCTION persists the
+    parameterized query; call sites expand to subqueries with argument
+    expressions spliced for the parameters (joins, aliases, and repeat
+    calls all work; arity mismatches are loud)."""
+    from crmint_spark.catalog import Catalog
+    from crmint_spark.workers import find_worker
+    from crmint_spark.workers.base import WorkerContext
+
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+
+    def run(script):
+        w = find_worker("BQScriptExecutor")(
+            {"script": script, "dry_run": False}, ctx
+        )
+        w.execute()
+        return w
+
+    run("""
+    CREATE OR REPLACE TABLE FUNCTION `p.d.upto`(n INT64, tag STRING) AS (
+      SELECT id AS k, CONCAT(tag, CAST(id AS STRING)) AS label
+      FROM UNNEST(GENERATE_ARRAY(1, n)) AS id
+    )
+    """)
+    w = run("""
+    SELECT a.k, a.label, b.label AS blabel
+    FROM `p.d.upto`(3, 'x') a
+    JOIN `p.d.upto`(2 + 3, 'y') b ON a.k = b.k
+    ORDER BY a.k
+    """)
+    rows = w.result.collect()
+    assert [(r.k, r.label, r.blabel) for r in rows] == [
+        (1, "x1", "y1"), (2, "x2", "y2"), (3, "x3", "y3"),
+    ]
+    import pytest as _pytest
+
+    from crmint_spark.workers.base import WorkerException
+
+    with _pytest.raises(WorkerException, match="expects 2"):
+        run("SELECT * FROM `p.d.upto`(1)")
