@@ -2472,6 +2472,14 @@ def _rewrite_array_subquery(sql: str) -> str:
         m_sel = re.match(r"SELECT\s+(DISTINCT\s+)?", inner, re.IGNORECASE)
         body = inner[m_sel.end() :]
         distinct = bool(m_sel.group(1))
+        # BigQuery SELECT AS STRUCT packs the select list into one
+        # struct element; SELECT AS VALUE passes the single expression
+        # through unchanged
+        m_struct = re.match(r"AS\s+(STRUCT|VALUE)\s+", body, re.IGNORECASE)
+        wrap_struct = False
+        if m_struct:
+            wrap_struct = m_struct.group(1).upper() == "STRUCT"
+            body = body[m_struct.end():]
         # select list = text up to the first top-level FROM
         m_from = None
         j = 0
@@ -2497,6 +2505,8 @@ def _rewrite_array_subquery(sql: str) -> str:
             i = end
             continue
         expr = body[:m_from].strip()
+        if wrap_struct:
+            expr = f"struct({expr})"
         rest = body[m_from:]
         # trailing top-level ORDER BY <expr> [ASC] -> array_sort
         sort = False

@@ -1051,3 +1051,28 @@ def test_block_grouping_edge_cases():
     )
     assert [c for c, _ in blk["branches"]] == ["a", "b", "c"]
     assert "SELECT 4" in blk["else"]
+
+
+def test_array_select_as_struct(spark):
+    """ARRAY(SELECT AS STRUCT ...) packs the select list into struct
+    elements; AS VALUE passes the single expression through; both work
+    over UNNEST sources (HOF path) and table sources (collect path)."""
+    q = (
+        "SELECT ARRAY(SELECT AS STRUCT id AS k, id * 2 AS v "
+        "FROM UNNEST([3, 1, 2]) AS id WHERE id > 1) AS pairs"
+    )
+    r = spark.sql(transpile_statement(q)).first()["pairs"]
+    assert sorted((p["k"], p["v"]) for p in r) == [(2, 4), (3, 6)]
+    q2 = (
+        "SELECT ARRAY(SELECT AS VALUE STRUCT(id AS k) "
+        "FROM UNNEST([1, 2]) AS id) AS s"
+    )
+    r2 = spark.sql(transpile_statement(q2)).first()["s"]
+    assert [p["k"] for p in r2] == [1, 2]
+    # table-source path goes through collect_list(struct(...))
+    q3 = (
+        "SELECT ARRAY(SELECT AS STRUCT x, y FROM "
+        "(SELECT 1 AS x, 'a' AS y)) AS one"
+    )
+    r3 = spark.sql(transpile_statement(q3)).first()["one"]
+    assert [(p["x"], p["y"]) for p in r3] == [(1, "a")]
