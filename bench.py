@@ -108,6 +108,8 @@ SECONDARY = [
     "q56_bq_functions6",
     "q57_kll_quantiles",
     "embedding_pca_top_component",
+    "q57_kll_approx",
+    "q58_scripting",
 ]
 
 

@@ -241,14 +241,16 @@ class SparkSQLExecutor(Worker):
         store = self._tvf_store()
         if not store:
             return sub
-        for name, spec in store.items():
-            pat = re.compile(
-                r"(`" + re.escape(name) + r"`|\b" + re.escape(name) + r")\s*\(",
-            )
-            guard = 0
-            while guard < 20:
-                guard += 1
-                # find a call site outside string literals
+        # fixpoint over ALL functions so bodies that call other table
+        # functions expand too; the guard bounds pathological recursion
+        # (a self-referential function) with a loud error
+        for _round in range(100):
+            changed = False
+            for name, spec in store.items():
+                pat = re.compile(
+                    r"(`" + re.escape(name) + r"`|\b" + re.escape(name)
+                    + r")\s*\(",
+                )
                 pos = 0
                 site = None
                 while pos < len(sub):
@@ -262,10 +264,10 @@ class SparkSQLExecutor(Worker):
                         break
                     pos += 1
                 if site is None:
-                    break
+                    continue
                 end = _balanced_end(sub, site.end() - 1)
                 if end < 0:
-                    break
+                    continue
                 args = [
                     a.strip()
                     for a in _split_top_level(sub[site.end(): end - 1])
@@ -280,7 +282,13 @@ class SparkSQLExecutor(Worker):
                 for pname, arg in zip(spec["params"], args):
                     body = self._splice_word(body, pname, f"({arg})")
                 sub = sub[: site.start()] + "(" + body + ")" + sub[end:]
-        return sub
+                changed = True
+            if not changed:
+                return sub
+        raise WorkerException(
+            "table function expansion did not converge (recursive "
+            "definition?)"
+        )
 
     @staticmethod
     def _splice_word(sql: str, name: str, replacement: str) -> str:
