@@ -859,6 +859,43 @@ FROM events GROUP BY event_type
 """
 
 
+def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE event-time dedup operator,
+    ``dropDuplicatesWithinWatermark`` — the built-in complement to the
+    custom applyInPandasWithState dedup: state for a key is dropped once
+    the EVENT-TIME watermark passes its arrival window (vs the custom
+    operator's processing-time TTL). The corpus is dropped twice and
+    drained in separate micro-batches with a watermark wider than the
+    data's span, so every duplicate is caught across batches and the
+    per-type counts equal the batch distinct counts (oracle)."""
+    from .catalog import Catalog
+    from .streaming.events import run_to_table, stream_events_from_dir
+
+    tmp = tempfile.mkdtemp(prefix="crmint_wmdedup_")
+    in_dir, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ckpt")
+    ev = load(spark, sf_dir, "events").coalesce(1)
+    ev.write.json(in_dir)
+    ev.write.mode("append").json(in_dir)  # duplicate drop
+    stream = stream_events_from_dir(spark, in_dir, max_files_per_trigger=1)
+    deduped = (
+        stream.withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    wh = Catalog(spark, os.path.join(tmp, "wh"))
+    run_to_table(deduped, wh, "p.d.wm_deduped", ckpt, output_mode="append")
+    return (
+        wh.read("p.d.wm_deduped")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+STREAMING_WMDEDUP_SQL = """
+SELECT event_type, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def streaming_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState running per-user profiles in update mode,
     drained over two micro-batches so the state accumulates across
@@ -1570,6 +1607,10 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "streaming_stateful_dedup": (
         streaming_stateful_dedup,
         STREAMING_SDEDUP_SQL,
+    ),
+    "streaming_watermark_dedup": (
+        streaming_watermark_dedup,
+        STREAMING_WMDEDUP_SQL,
     ),
     "streaming_stateful_profile": (
         streaming_stateful_profile,
