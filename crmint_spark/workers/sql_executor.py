@@ -169,6 +169,176 @@ class SparkSQLExecutor(Worker):
                 last = result
         return last
 
+    # -- DROP / ALTER TABLE DDL --------------------------------------------
+
+    _DROP_RE = re.compile(
+        r"^\s*DROP\s+(TABLE\s+FUNCTION|TABLE|VIEW|PROCEDURE|MODEL)\s+"
+        r"(IF\s+EXISTS\s+)?`?([\w.\-]+)`?\s*$",
+        re.IGNORECASE,
+    )
+    _ALTER_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+(IF\s+EXISTS\s+)?`?([\w.\-]+)`?\s+(.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _try_drop_alter(self, sub: str) -> bool:
+        """BigQuery DDL beyond CREATE: ``DROP TABLE/VIEW/PROCEDURE/
+        TABLE FUNCTION/MODEL [IF EXISTS]`` and ``ALTER TABLE ...
+        ADD/DROP/RENAME COLUMN | RENAME TO`` — catalog parquet tables
+        evolve copy-on-write (the same mechanism as row-level DML);
+        session-catalog tables fall through to Spark's native DDL."""
+        import json
+        import shutil
+
+        from ..dialect import _split_top_level
+        from ..schema import _TYPE_MAP
+
+        spark = self._ctx.spark
+        cat = self._ctx.catalog
+        m = self._DROP_RE.match(sub)
+        if m:
+            kind = re.sub(r"\s+", " ", m.group(1).upper())
+            if_exists = bool(m.group(2))
+            name = m.group(3)
+            if self._params["dry_run"]:
+                self.log_info(f"DROP {kind} validated (dry run)")
+                return True
+            if kind in ("PROCEDURE", "TABLE FUNCTION"):
+                path = (
+                    self._proc_store_path()
+                    if kind == "PROCEDURE"
+                    else self._tvf_store_path()
+                )
+                store = {}
+                if os.path.exists(path):
+                    with open(path) as fh:
+                        store = json.load(fh)
+                if name not in store:
+                    if if_exists:
+                        return True
+                    raise WorkerException(f"DROP {kind}: unknown `{name}`")
+                del store[name]
+                with open(path, "w") as fh:
+                    json.dump(store, fh)
+                self.log_info(f"DROP {kind} {name}")
+                return True
+            if kind == "MODEL":
+                registry = self._model_registry()
+                mp = registry.path(name)
+                found = os.path.isdir(mp) or os.path.exists(
+                    registry.meta_path(name)
+                )
+                if not found and not if_exists:
+                    raise WorkerException(f"DROP MODEL: unknown `{name}`")
+                if os.path.isdir(mp):
+                    shutil.rmtree(mp)
+                if os.path.exists(registry.meta_path(name)):
+                    os.remove(registry.meta_path(name))
+                self.log_info(f"DROP MODEL {name}")
+                return True
+            # TABLE / VIEW
+            in_catalog = cat is not None and cat.exists(name)
+            if in_catalog and kind == "TABLE":
+                cat.drop(name)
+                self.log_info(f"DROP TABLE {name} (catalog)")
+                return True
+            mapped = name.replace(".", "__")
+            ex = "IF EXISTS " if if_exists else ""
+            spark.sql(f"DROP {kind} {ex}`{mapped}`")
+            self.log_info(f"DROP {kind} {name}")
+            return True
+        m = self._ALTER_RE.match(sub)
+        if not m:
+            return False
+        name, action = m.group(2), m.group(3).strip().rstrip(";").strip()
+        in_catalog = cat is not None and cat.exists(name)
+        if self._params["dry_run"]:
+            self.log_info("ALTER TABLE validated (dry run)")
+            return True
+        rn = re.match(r"RENAME\s+TO\s+`?([\w.\-]+)`?\s*$", action, re.IGNORECASE)
+        if rn and in_catalog:
+            dest = rn.group(1)
+            os.makedirs(os.path.dirname(cat.path_for(dest)), exist_ok=True)
+            shutil.move(cat.path_for(name), cat.path_for(dest))
+            cat.register(dest)
+            self.log_info(f"ALTER TABLE {name} RENAME TO {dest}")
+            return True
+        rc = re.match(
+            r"RENAME\s+COLUMN\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s+TO\s+`?(\w+)`?\s*$",
+            action,
+            re.IGNORECASE,
+        )
+        if rc and in_catalog:
+            df = cat.read(name).withColumnRenamed(rc.group(1), rc.group(2))
+            self._rewrite_catalog_table(name, df)
+            self.log_info(f"ALTER TABLE {name} RENAME COLUMN")
+            return True
+        ac = re.match(r"ADD\s+COLUMN\s+(.*)$", action, re.IGNORECASE | re.DOTALL)
+        if ac and in_catalog:
+            from pyspark.sql import functions as F
+
+            df = cat.read(name)
+            for part in _split_top_level(
+                re.sub(r"\bADD\s+COLUMN\s+", "", action, flags=re.IGNORECASE)
+            ):
+                cm = re.match(
+                    r"\s*(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+([\w<>, ]+?)\s*$",
+                    part,
+                    re.IGNORECASE,
+                )
+                if not cm:
+                    raise WorkerException(f"bad ADD COLUMN clause: {part!r}")
+                col, btype = cm.group(1), cm.group(2).strip().upper()
+                if col in df.columns:
+                    if re.search(r"IF\s+NOT\s+EXISTS", part, re.IGNORECASE):
+                        continue
+                    raise WorkerException(f"column `{col}` already exists")
+                stype = _TYPE_MAP.get(btype)
+                if stype is None:
+                    raise WorkerException(
+                        f"ADD COLUMN: unsupported type {btype!r}"
+                    )
+                df = df.withColumn(col, F.lit(None).cast(stype))
+            self._rewrite_catalog_table(name, df)
+            self.log_info(f"ALTER TABLE {name} ADD COLUMN")
+            return True
+        dc = re.match(
+            r"DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*$",
+            action,
+            re.IGNORECASE,
+        )
+        if dc and in_catalog:
+            col = dc.group(1)
+            df = cat.read(name)
+            if col not in df.columns:
+                if re.search(r"IF\s+EXISTS", action, re.IGNORECASE):
+                    return True
+                raise WorkerException(f"DROP COLUMN: no column `{col}`")
+            self._rewrite_catalog_table(name, df.drop(col))
+            self.log_info(f"ALTER TABLE {name} DROP COLUMN {col}")
+            return True
+        if in_catalog:
+            raise WorkerException(
+                f"unsupported ALTER TABLE action: {action[:80]!r}"
+            )
+        # session-catalog tables: Spark-native DDL
+        spark.sql(transpile_statement(sub, self._resolver()))
+        return True
+
+    def _rewrite_catalog_table(self, name: str, df) -> None:
+        """Copy-on-write storage swap (same mechanism as row-level
+        DML): materialize the evolved frame, then replace the table
+        directory atomically-enough for a single-writer engine."""
+        import shutil
+        import uuid
+
+        cat = self._ctx.catalog
+        tmp_id = f"{name}__alter_{uuid.uuid4().hex[:8]}"
+        cat.write(df, tmp_id)
+        shutil.rmtree(cat.path_for(name))
+        shutil.move(cat.path_for(tmp_id), cat.path_for(name))
+        cat.register(name)
+
     # -- SQL table functions (TVFs) ---------------------------------------
 
     _CREATE_TVF_RE = re.compile(
@@ -575,6 +745,8 @@ class SparkSQLExecutor(Worker):
 
         spark = self._ctx.spark
         if self._try_table_function_ddl(sub):
+            return None
+        if self._try_drop_alter(sub):
             return None
         sub = self._expand_table_functions(sub)
         if self._try_export_load(sub, resolver):

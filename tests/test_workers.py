@@ -992,3 +992,66 @@ def test_create_table_function_and_call(spark, tmp_path):
 
     with _pytest.raises(WorkerException, match="expects 2"):
         run("SELECT * FROM `p.d.upto`(1)")
+
+
+def test_drop_and_alter_table_ddl(spark, tmp_path):
+    """DROP TABLE/VIEW/PROCEDURE/TABLE FUNCTION/MODEL and ALTER TABLE
+    ADD/DROP/RENAME COLUMN + RENAME TO: catalog parquet tables evolve
+    copy-on-write; IF EXISTS forms are idempotent."""
+    from crmint_spark.catalog import Catalog
+    from crmint_spark.workers import find_worker
+    from crmint_spark.workers.base import WorkerContext, WorkerException
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ctx = WorkerContext(spark=spark, catalog=cat)
+
+    def run(script):
+        w = find_worker("BQScriptExecutor")(
+            {"script": script, "dry_run": False}, ctx
+        )
+        w.execute()
+        return w
+
+    cat.write(
+        spark.sql("SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(5)"),
+        "p.d.base",
+    )
+    run("ALTER TABLE `p.d.base` ADD COLUMN note STRING, extra INT64")
+    df = cat.read("p.d.base")
+    assert set(df.columns) == {"k", "v", "note", "extra"}
+    assert df.filter(df.note.isNull()).count() == 5
+    run("ALTER TABLE `p.d.base` RENAME COLUMN v TO value")
+    assert "value" in cat.read("p.d.base").columns
+    run("ALTER TABLE `p.d.base` DROP COLUMN extra")
+    assert "extra" not in cat.read("p.d.base").columns
+    run("ALTER TABLE `p.d.base` RENAME TO `p.d.renamed`")
+    assert cat.exists("p.d.renamed") and not cat.exists("p.d.base")
+    assert cat.read("p.d.renamed").count() == 5
+    run("DROP TABLE `p.d.renamed`")
+    assert not cat.exists("p.d.renamed")
+
+    # procedure / TVF / model drops
+    run(
+        "CREATE OR REPLACE PROCEDURE `p.d.pp`(IN x INT64) BEGIN "
+        "SET x = x; END"
+    )
+    run("DROP PROCEDURE `p.d.pp`")
+    import pytest as _pytest
+
+    with _pytest.raises(WorkerException, match="unknown procedure"):
+        run("CALL `p.d.pp`(1)")
+    run("DROP PROCEDURE IF EXISTS `p.d.pp`")  # idempotent
+    with _pytest.raises(WorkerException, match="unknown"):
+        run("DROP TABLE FUNCTION `p.d.nofn`")
+    run("""
+    CREATE OR REPLACE MODEL `p.d.m1`
+    OPTIONS(MODEL_TYPE='LINEAR_REG', INPUT_LABEL_COLS=['y'],
+            MAX_ITERATIONS=3) AS (
+      SELECT CAST(id AS DOUBLE) AS x, CAST(id * 2 AS DOUBLE) AS y
+      FROM range(50)
+    );
+    DROP MODEL `p.d.m1`
+    """)
+    with _pytest.raises(Exception):
+        run("SELECT * FROM ML.WEIGHTS(MODEL `p.d.m1`)")
+    run("DROP MODEL IF EXISTS `p.d.m1`")
