@@ -195,6 +195,44 @@ class SparkSQLExecutor(Worker):
 
         spark = self._ctx.spark
         cat = self._ctx.catalog
+        cs = re.match(
+            r"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"`?([\w.\-]+)`?\s*(?:OPTIONS\s*\(.*\))?\s*$",
+            sub,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if cs:
+            # dataset = directory in the warehouse tree; OPTIONS ignored
+            if cat is not None and not self._params["dry_run"]:
+                parts = cs.group(2).split(".")
+                os.makedirs(os.path.join(cat.root, *parts), exist_ok=True)
+            self.log_info(f"CREATE SCHEMA {cs.group(2)}")
+            return True
+        ds = re.match(
+            r"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?`?([\w.\-]+)`?"
+            r"\s*(CASCADE|RESTRICT)?\s*$",
+            sub,
+            re.IGNORECASE,
+        )
+        if ds:
+            import shutil as _sh
+
+            if cat is not None and not self._params["dry_run"]:
+                parts = ds.group(2).split(".")
+                p = os.path.join(cat.root, *parts)
+                if os.path.isdir(p):
+                    if os.listdir(p) and (ds.group(3) or "").upper() != "CASCADE":
+                        raise WorkerException(
+                            f"DROP SCHEMA {ds.group(2)}: not empty "
+                            "(use CASCADE)"
+                        )
+                    _sh.rmtree(p)
+                elif not ds.group(1):
+                    raise WorkerException(
+                        f"DROP SCHEMA: unknown `{ds.group(2)}`"
+                    )
+            self.log_info(f"DROP SCHEMA {ds.group(2)}")
+            return True
         m = self._DROP_RE.match(sub)
         if m:
             kind = re.sub(r"\s+", " ", m.group(1).upper())

@@ -1055,3 +1055,34 @@ def test_drop_and_alter_table_ddl(spark, tmp_path):
     with _pytest.raises(Exception):
         run("SELECT * FROM ML.WEIGHTS(MODEL `p.d.m1`)")
     run("DROP MODEL IF EXISTS `p.d.m1`")
+
+
+def test_create_and_drop_schema(spark, tmp_path):
+    """CREATE SCHEMA makes the dataset directory; DROP SCHEMA refuses
+    non-empty datasets without CASCADE."""
+    import os as _os
+
+    from crmint_spark.catalog import Catalog
+    from crmint_spark.workers import find_worker
+    from crmint_spark.workers.base import WorkerContext, WorkerException
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ctx = WorkerContext(spark=spark, catalog=cat)
+
+    def run(script):
+        w = find_worker("BQScriptExecutor")(
+            {"script": script, "dry_run": False}, ctx
+        )
+        w.execute()
+        return w
+
+    run("CREATE SCHEMA `proj.fresh` OPTIONS(location='us')")
+    assert _os.path.isdir(_os.path.join(cat.root, "proj", "fresh"))
+    cat.write(spark.range(3), "proj.fresh.t")
+    import pytest as _pytest
+
+    with _pytest.raises(WorkerException, match="CASCADE"):
+        run("DROP SCHEMA `proj.fresh`")
+    run("DROP SCHEMA `proj.fresh` CASCADE")
+    assert not _os.path.isdir(_os.path.join(cat.root, "proj", "fresh"))
+    run("DROP SCHEMA IF EXISTS `proj.fresh`")
