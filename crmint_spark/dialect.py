@@ -3240,6 +3240,130 @@ def _rewrite_temp_function(sql: str) -> str:
     )
 
 
+def _vs_distance(qc: str, bc: str, kind: str) -> str:
+    """Spark SQL distance expression between two array columns, all
+    JVM-side higher-order functions (no Python on the scoring path)."""
+    dot = (
+        f"aggregate(zip_with({qc}, {bc}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
+        f"(acc, v) -> acc + v)"
+    )
+
+    def norm(col: str) -> str:
+        return (
+            f"sqrt(aggregate(transform({col}, x -> "
+            f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), "
+            f"(acc, v) -> acc + v))"
+        )
+
+    if kind == "COSINE":
+        return f"1.0D - ({dot}) / ({norm(qc)} * {norm(bc)})"
+    if kind == "DOT_PRODUCT":
+        return f"-({dot})"
+    # EUCLIDEAN (BigQuery default)
+    return (
+        f"sqrt(aggregate(zip_with({qc}, {bc}, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE), "
+        f"(acc, v) -> acc + v))"
+    )
+
+
+def _rewrite_vector_search(sql: str) -> str:
+    """BigQuery ``VECTOR_SEARCH`` table function -> scored derived table.
+
+    Surface (ref: BigQuery vector search docs; the reference's
+    BQScriptExecutor runs whatever standard-SQL the user writes,
+    bq_script_executor.py:26-36)::
+
+        FROM VECTOR_SEARCH(
+          {TABLE base | (subquery)}, 'embedding_column',
+          {TABLE query | (subquery)}
+          [, query_column_to_search => 'col']
+          [, top_k => k]                       -- default 10
+          [, distance_type => 'EUCLIDEAN'|'COSINE'|'DOT_PRODUCT']
+          [, options => ...])                  -- accepted, ignored
+
+    Output columns match BigQuery: ``query`` STRUCT (all query-side
+    columns), ``base`` STRUCT (all base-side columns), ``distance``
+    FLOAT64 (DOT_PRODUCT = negative dot product, smaller = closer).
+
+    Spark plan: the query side is wrapped with a synthetic per-row id
+    and BROADCAST-hinted (probes are small by construction), the base
+    side streams through a map-only distance projection (zip_with/
+    aggregate HOFs inside whole-stage codegen), and the top-k cut is a
+    per-query row_number window partitioned on the probe id — no
+    all-pairs materialization beyond the broadcast NLJ itself. This is
+    the exact path (BigQuery ``use_brute_force => true``); the
+    approximate index layouts live in operators/ivf.py + operators/
+    pq.py and share the same distance semantics.
+    """
+    while True:
+        hit = None
+        for start, op, end, _name in _iter_calls(sql, ("VECTOR_SEARCH",)):
+            hit = (start, op, end)
+            break
+        if hit is None:
+            return sql
+        start, op, end = hit
+        raw_args = _split_top_level(sql[op + 1 : end - 1])
+        if len(raw_args) < 3:
+            raise ValueError(
+                "VECTOR_SEARCH needs (base, 'column', query[, named args])"
+            )
+
+        def _rel(arg: str) -> str:
+            a = arg.strip()
+            m_t = re.match(r"TABLE\s+(.+)$", a, re.IGNORECASE | re.DOTALL)
+            if m_t:
+                return m_t.group(1).strip().strip("`")
+            return a  # (subquery) — kept verbatim, later passes transpile it
+
+        base_rel = _rel(raw_args[0])
+        base_col = raw_args[1].strip().strip("'\"")
+        query_rel = _rel(raw_args[2])
+        query_col = base_col
+        top_k = 10
+        dist_kind = "EUCLIDEAN"
+        for extra in raw_args[3:]:
+            m_kv = re.match(r"\s*(\w+)\s*=>\s*(.+)$", extra, re.DOTALL)
+            if not m_kv:
+                raise ValueError(f"VECTOR_SEARCH: bad argument {extra!r}")
+            key = m_kv.group(1).lower()
+            val = m_kv.group(2).strip()
+            if key == "top_k":
+                top_k = int(val)
+            elif key == "distance_type":
+                dist_kind = val.strip("'\"").upper()
+            elif key == "query_column_to_search":
+                query_col = val.strip("'\"")
+            elif key == "options":
+                pass  # index tuning knobs — the exact path ignores them
+            else:
+                raise ValueError(f"VECTOR_SEARCH: unknown argument {key!r}")
+        if dist_kind not in ("EUCLIDEAN", "COSINE", "DOT_PRODUCT"):
+            raise ValueError(
+                f"VECTOR_SEARCH: unsupported distance_type {dist_kind!r}"
+            )
+        dist = _vs_distance(
+            f"vs_q.query.{query_col}", f"vs_b.{base_col}", dist_kind
+        )
+        replacement = (
+            "(SELECT query, base, distance FROM ("
+            " SELECT vs_qid, query, base, distance,"
+            " row_number() OVER (PARTITION BY vs_qid ORDER BY distance ASC)"
+            " AS vs_rn FROM ("
+            " SELECT /*+ BROADCAST(vs_q) */ vs_q.vs_qid AS vs_qid,"
+            " vs_q.query AS query, struct(vs_b.*) AS base,"
+            f" CAST({dist} AS DOUBLE) AS distance"
+            " FROM (SELECT monotonically_increasing_id() AS vs_qid,"
+            f" struct(vs_qt.*) AS query FROM {query_rel} AS vs_qt) AS vs_q"
+            f" CROSS JOIN {base_rel} AS vs_b) AS vs_scored) AS vs_ranked"
+            f" WHERE vs_rn <= {top_k})"
+        )
+        sql = sql[:start] + replacement + sql[end:]
+
+
 def _rewrite_create_view(sql: str) -> str:
     """``CREATE [OR REPLACE] VIEW `p.d.v` AS q`` -> temporary view (the
     engine's catalog registers all relations as session views; a Spark
@@ -3293,6 +3417,7 @@ def transpile_statement(sql: str, resolver=None, approx_sketches: bool = False) 
     # JSON accessors (INT64/BOOL/LAX_*/JSON_VALUE...) all operate on the
     # JSON text, so the literal reduces to its string
     out = _strip_json_typed_literals(out)
+    out = _rewrite_vector_search(out)
     out = _rewrite_qualify(out)
     out = _rewrite_array_subquery(out)
     out = _rewrite_correlated_unnest(out)

@@ -1386,6 +1386,101 @@ FROM base
 """
 
 
+def q59_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery ``VECTOR_SEARCH`` table function through the script
+    executor — all three distance types, named args, TABLE and subquery
+    inputs, and ``query_column_to_search`` renaming. The dialect rewrite
+    (dialect._rewrite_vector_search) compiles each call to a broadcast
+    probe + map-only HOF distance + per-query row_number top-k; this
+    entry certifies the struct output contract (query/base/distance)
+    and the exact distance semantics against a DuckDB brute-force
+    oracle. (Index-accelerated variants: operators/ivf.py, pq.py.)"""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    SELECT 'cos' AS metric, query.vec_id AS query_id,
+           base.vec_id AS base_id, ROUND(distance, 6) AS dist
+    FROM VECTOR_SEARCH(
+      TABLE embeddings, 'embedding',
+      (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+      top_k => 5, distance_type => 'COSINE')
+    UNION ALL
+    SELECT 'euc' AS metric, query.vec_id, base.vec_id, ROUND(distance, 6)
+    FROM VECTOR_SEARCH(
+      TABLE embeddings, 'embedding',
+      (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 7),
+      top_k => 4)
+    UNION ALL
+    SELECT 'dot' AS metric, query.vec_id, base.vec_id, ROUND(distance, 6)
+    FROM VECTOR_SEARCH(
+      (SELECT vec_id, label, embedding FROM embeddings), 'embedding',
+      (SELECT vec_id, embedding AS qv FROM embeddings WHERE vec_id = 11),
+      query_column_to_search => 'qv', top_k => 3,
+      distance_type => 'DOT_PRODUCT')
+    ORDER BY metric, query_id, dist, base_id
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+def _q59_oracle() -> str:
+    dot = (
+        "list_sum(list_transform(range(1, len(b.embedding) + 1), "
+        "i -> CAST(b.embedding[i] AS DOUBLE) * q.qvec[i]))"
+    )
+    norm_b = (
+        "sqrt(list_sum(list_transform(b.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    norm_q = "sqrt(list_sum(list_transform(q.qvec, x -> x * x)))"
+    euc = (
+        "sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), "
+        "i -> (CAST(b.embedding[i] AS DOUBLE) - q.qvec[i]) "
+        "* (CAST(b.embedding[i] AS DOUBLE) - q.qvec[i]))))"
+    )
+    return f"""
+WITH qcos AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+  FROM embeddings WHERE vec_id < 3
+), qeuc AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+  FROM embeddings WHERE vec_id = 7
+), qdot AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+  FROM embeddings WHERE vec_id = 11
+), scored AS (
+  SELECT 'cos' AS metric, q.query_id, b.vec_id AS base_id,
+         1 - {dot} / ({norm_q} * {norm_b}) AS dist
+  FROM embeddings b, qcos q
+  UNION ALL
+  SELECT 'euc', q.query_id, b.vec_id, {euc}
+  FROM embeddings b, qeuc q
+  UNION ALL
+  SELECT 'dot', q.query_id, b.vec_id, -({dot})
+  FROM embeddings b, qdot q
+), ranked AS (
+  SELECT metric, query_id, base_id, dist,
+         row_number() OVER (PARTITION BY metric, query_id
+                            ORDER BY dist ASC) AS rn
+  FROM scored
+)
+SELECT metric, query_id, base_id, ROUND(dist, 6) AS dist
+FROM ranked
+WHERE (metric = 'cos' AND rn <= 5) OR (metric = 'euc' AND rn <= 4)
+   OR (metric = 'dot' AND rn <= 3)
+ORDER BY metric, query_id, dist, base_id
+"""
+
+
+Q59_SQL = _q59_oracle()
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -1590,6 +1685,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q57_kll_quantiles": (q57_kll_quantiles, Q57_SQL),
     "q57_kll_approx": (q57_kll_approx, Q57_APPROX_SQL),
     "q58_scripting": (q58_scripting, Q58_SQL),
+    "q59_vector_search": (q59_vector_search, Q59_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
     "q50_hll_approx": (q50_hll_approx, Q50_APPROX_SQL),
     "q36_qualify": (q36_qualify, Q36_SQL),

@@ -72,6 +72,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "q57_kll_quantiles": _EXT["q57_kll_quantiles"],
     "q57_kll_approx": _EXT["q57_kll_approx"],
     "q58_scripting": _EXT["q58_scripting"],
+    "q59_vector_search": _EXT["q59_vector_search"],
     "embedding_pca_top_component": (
         pca.embedding_pca_top_component,
         pca.PCA_SQL,

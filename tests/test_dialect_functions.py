@@ -1076,3 +1076,69 @@ def test_array_select_as_struct(spark):
     )
     r3 = spark.sql(transpile_statement(q3)).first()["one"]
     assert [(p["x"], p["y"]) for p in r3] == [(1, "a")]
+
+
+def test_vector_search_rewrite(spark):
+    """VECTOR_SEARCH compiles to a broadcast-probe brute-force top-k
+    with BigQuery's output contract (query STRUCT, base STRUCT,
+    distance DOUBLE); EUCLIDEAN is the default distance and
+    DOT_PRODUCT is the NEGATIVE dot product (smaller = closer)."""
+    spark.sql(
+        "SELECT * FROM VALUES (1, array(1.0, 0.0)), (2, array(0.0, 1.0)),"
+        " (3, array(1.0, 1.0)) AS t(id, v)"
+    ).createOrReplaceTempView("vs_base")
+    spark.sql(
+        "SELECT 10 AS qid, array(1.0, 0.0) AS v"
+    ).createOrReplaceTempView("vs_probe")
+
+    rows = spark.sql(
+        transpile_statement(
+            "SELECT query.qid AS qid, base.id AS id, ROUND(distance, 4) AS d"
+            " FROM VECTOR_SEARCH(TABLE vs_base, 'v', TABLE vs_probe,"
+            " top_k => 2) ORDER BY d, id"
+        )
+    ).collect()
+    assert [(r["qid"], r["id"], r["d"]) for r in rows] == [
+        (10, 1, 0.0),
+        (10, 3, 1.0),
+    ]
+
+    dot = spark.sql(
+        transpile_statement(
+            "SELECT base.id AS id, distance FROM VECTOR_SEARCH("
+            " TABLE vs_base, 'v',"
+            " (SELECT array(1.0, 0.5) AS v), top_k => 1,"
+            " distance_type => 'DOT_PRODUCT')"
+        )
+    ).collect()
+    assert [(r["id"], r["distance"]) for r in dot] == [(3, -1.5)]
+
+    # query-side column rename + cosine
+    spark.sql(
+        "SELECT 7 AS qid, array(0.0, 2.0) AS probe_vec"
+    ).createOrReplaceTempView("vs_probe2")
+    cos = spark.sql(
+        transpile_statement(
+            "SELECT base.id AS id, ROUND(distance, 4) AS d"
+            " FROM VECTOR_SEARCH(TABLE vs_base, 'v', TABLE vs_probe2,"
+            " query_column_to_search => 'probe_vec', top_k => 1,"
+            " distance_type => 'COSINE')"
+        )
+    ).collect()
+    assert [(r["id"], r["d"]) for r in cos] == [(2, 0.0)]
+
+
+def test_vector_search_rejects_bad_args():
+    import pytest as _pytest
+
+    from crmint_spark.dialect import transpile_statement as ts
+
+    with _pytest.raises(ValueError, match="needs"):
+        ts("SELECT * FROM VECTOR_SEARCH(TABLE a, 'v')")
+    with _pytest.raises(ValueError, match="distance_type"):
+        ts(
+            "SELECT * FROM VECTOR_SEARCH(TABLE a, 'v', TABLE b,"
+            " distance_type => 'MANHATTAN')"
+        )
+    with _pytest.raises(ValueError, match="unknown argument"):
+        ts("SELECT * FROM VECTOR_SEARCH(TABLE a, 'v', TABLE b, fraction => 1)")
