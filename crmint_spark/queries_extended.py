@@ -1481,6 +1481,70 @@ ORDER BY metric, query_id, dist, base_id
 Q59_SQL = _q59_oracle()
 
 
+def q60_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation surface: GROUP BY GROUPING SETS / CUBE /
+    ROLLUP with the GROUPING() indicator function (BigQuery 2023 SQL
+    additions; pass through the dialect to Spark's identical clauses).
+    All three run in ONE aggregation pass each (Spark's Expand operator
+    — no self-union of the fact table), which is the property that
+    matters at 100 TB: k grouping sets cost one shuffle, not k scans."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    SELECT 'GS' AS src, o_orderpriority AS pri, o_orderstatus AS st,
+      CAST(GROUPING(o_orderpriority) AS INT64) AS g_pri,
+      CAST(GROUPING(o_orderstatus) AS INT64) AS g_st,
+      COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey <= 2000
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    UNION ALL
+    SELECT 'CUBE', o_orderpriority, o_orderstatus,
+      CAST(GROUPING(o_orderpriority) AS INT64),
+      CAST(GROUPING(o_orderstatus) AS INT64),
+      COUNT(*), ROUND(SUM(o_totalprice), 2)
+    FROM orders WHERE o_orderkey <= 2000
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    UNION ALL
+    SELECT 'ROLLUP', o_orderpriority, o_orderstatus,
+      CAST(GROUPING(o_orderpriority) AS INT64),
+      CAST(GROUPING(o_orderstatus) AS INT64),
+      COUNT(*), ROUND(SUM(o_totalprice), 2)
+    FROM orders WHERE o_orderkey <= 2000
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q60_SQL = """
+SELECT 'GS' AS src, o_orderpriority AS pri, o_orderstatus AS st,
+  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+  COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders WHERE o_orderkey <= 2000
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), ())
+UNION ALL
+SELECT 'CUBE', o_orderpriority, o_orderstatus,
+  CAST(GROUPING(o_orderpriority) AS BIGINT),
+  CAST(GROUPING(o_orderstatus) AS BIGINT),
+  COUNT(*), ROUND(SUM(o_totalprice), 2)
+FROM orders WHERE o_orderkey <= 2000
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+UNION ALL
+SELECT 'ROLLUP', o_orderpriority, o_orderstatus,
+  CAST(GROUPING(o_orderpriority) AS BIGINT),
+  CAST(GROUPING(o_orderstatus) AS BIGINT),
+  COUNT(*), ROUND(SUM(o_totalprice), 2)
+FROM orders WHERE o_orderkey <= 2000
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -1686,6 +1750,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q57_kll_approx": (q57_kll_approx, Q57_APPROX_SQL),
     "q58_scripting": (q58_scripting, Q58_SQL),
     "q59_vector_search": (q59_vector_search, Q59_SQL),
+    "q60_grouping_sets": (q60_grouping_sets, Q60_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
     "q50_hll_approx": (q50_hll_approx, Q50_APPROX_SQL),
     "q36_qualify": (q36_qualify, Q36_SQL),

@@ -73,6 +73,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "q57_kll_approx": _EXT["q57_kll_approx"],
     "q58_scripting": _EXT["q58_scripting"],
     "q59_vector_search": _EXT["q59_vector_search"],
+    "q60_grouping_sets": _EXT["q60_grouping_sets"],
     "embedding_pca_top_component": (
         pca.embedding_pca_top_component,
         pca.PCA_SQL,
