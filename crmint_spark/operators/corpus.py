@@ -1101,3 +1101,119 @@ CORPUS_QUERIES["corpus_bpe_merges_small"] = (
     corpus_bpe_merges_small,
     _bpe_merges_sql(BPE_SMALL_WHERE, BPE_SMALL_ROUNDS),
 )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al., "Data Selection for Language
+# Models via Importance Resampling", NeurIPS 2023 — public paper)
+
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document: how target-like its hashed
+    unigram feature counts are, under bag-of-hashed-ngrams language
+    models of the target slice (lang = 'en') vs the full raw corpus:
+
+        w(d) = ROUND(sum_f c_f(d) * (ln p_T(f) - ln p_R(f)), 6)
+
+    with add-1 smoothing over the fixed B = 64 hash buckets, and
+    selected = w > 0 (more target-like than raw average). Features are
+    unigrams bucketed by the portable md5-prefix hash (functions.
+    hash_str — bigram features are the same machinery over zipped
+    adjacent tokens).
+
+    Scale design (100 TB): the feature space is FIXED at B buckets, so
+    both language models are B-row aggregates with map-side partial
+    combine; they broadcast back into the per-doc scoring join, and the
+    per-doc pass is one explode + two keyed groupBys whose shuffle rows
+    carry (doc_id, f, count) — never the text. No state grows with the
+    corpus; resampling from the weights is a per-row Gumbel-top-k over
+    w(d) (orderable without a global sort via TakeOrdered).
+    """
+    docs = load(spark, sf_dir, "documents")
+    b = F.lit(DSIR_BUCKETS)
+    feats = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id", "lang", F.pmod(hash_str(F.col("w")), b).alias("f")
+        )
+    )
+    tgt = (
+        feats.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = feats.groupBy("f").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_tot = tgt.agg(F.sum("ct").alias("nt"))
+    raw_tot = raw.agg(F.sum("cr").alias("nr"))
+    ratio = (
+        raw.join(tgt, "f", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(raw_tot))
+        .select(
+            "f",
+            (
+                F.log((F.col("ct") + F.lit(1.0)) / (F.col("nt") + b))
+                - F.log((F.col("cr") + F.lit(1.0)) / (F.col("nr") + b))
+            ).alias("lr"),
+        )
+    )
+    per_doc = feats.groupBy("doc_id", "lang", "f").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = F.round(F.sum(F.col("c") * F.col("lr")), 6)
+    return (
+        per_doc.join(F.broadcast(ratio), "f")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n_toks"),
+            w.alias("dsir_weight"),
+            (w > 0).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DSIR_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         ((('0x' || substr(md5(w), 1, 15))::BIGINT % {DSIR_BUCKETS})
+          + {DSIR_BUCKETS}) % {DSIR_BUCKETS} AS f
+  FROM (
+    SELECT doc_id, lang,
+           unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+  ) WHERE w <> ''
+), tgt AS (
+  SELECT f, COUNT(*) AS ct FROM feats
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY f
+), raw AS (
+  SELECT f, COUNT(*) AS cr FROM feats GROUP BY f
+), tot AS (
+  SELECT (SELECT COUNT(*) FROM feats WHERE lang = '{DSIR_TARGET_LANG}') AS nt,
+         (SELECT COUNT(*) FROM feats) AS nr
+), ratio AS (
+  SELECT raw.f,
+         ln((COALESCE(ct, 0) + 1.0) / (nt + {DSIR_BUCKETS}))
+         - ln((cr + 1.0) / (nr + {DSIR_BUCKETS})) AS lr
+  FROM raw LEFT JOIN tgt ON raw.f = tgt.f, tot
+), per_doc AS (
+  SELECT doc_id, lang, f, COUNT(*) AS c FROM feats GROUP BY 1, 2, 3
+)
+SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_toks,
+       ROUND(SUM(c * lr), 6) AS dsir_weight,
+       ROUND(SUM(c * lr), 6) > 0 AS selected
+FROM per_doc JOIN ratio USING (f)
+GROUP BY doc_id, lang
+ORDER BY doc_id
+"""
+
+CORPUS_QUERIES["corpus_dsir_weights"] = (corpus_dsir_weights, DSIR_SQL)

@@ -141,3 +141,19 @@ def test_token_budget_greedy_cut(spark):
         1 for src, (kept, _) in expect.items() if kept < len(by_src[src])
     )
     assert n_cut >= len(by_src) // 2
+
+
+def test_dsir_weights_favor_target_language(spark):
+    """DSIR importance weights must rank target-language (en) docs
+    above the raw average: mean weight of en docs > mean of the rest,
+    and the selected flag mirrors weight > 0."""
+    out = corpus.corpus_dsir_weights(spark, SF).collect()
+    en = [r["dsir_weight"] for r in out if r["lang"] == "en"]
+    rest = [r["dsir_weight"] for r in out if r["lang"] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+    for r in out:
+        assert r["selected"] == (r["dsir_weight"] > 0)
+    # every document is scored exactly once
+    docs = load(spark, SF, "documents").count()
+    assert len(out) == docs
