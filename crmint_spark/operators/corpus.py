@@ -1042,6 +1042,17 @@ def _bpe_merges_sql(
     """DuckDB oracle: the same rounds unrolled as CTE chains; each
     round's argmax pair feeds the next round's merge fold via a cross
     join (scalar 1-row CTE)."""
+    ctes = _bpe_trainer_ctes(doc_where, rounds)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, pair, n FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+def _bpe_trainer_ctes(
+    doc_where: str | None = None, rounds: int = BPE_MERGE_ROUNDS
+) -> list[str]:
     where = f"\n      WHERE {doc_where}" if doc_where else ""
     ctes = [
         f"""v0 AS (
@@ -1076,11 +1087,7 @@ def _bpe_merges_sql(
   FROM {prev}, t{r}
 )"""
         )
-    unions = "\nUNION ALL\n".join(
-        f"SELECT CAST({r} AS BIGINT) AS round, pair, n FROM t{r}"
-        for r in range(1, rounds + 1)
-    )
-    return "WITH " + ",\n".join(ctes) + "\n" + unions
+    return ctes
 
 
 CORPUS_QUERIES["corpus_bpe_merges"] = (corpus_bpe_merges, _bpe_merges_sql())
@@ -1217,3 +1224,96 @@ ORDER BY doc_id
 """
 
 CORPUS_QUERIES["corpus_dsir_weights"] = (corpus_dsir_weights, DSIR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer APPLICATION: encode held-out documents with the learned
+# merge table (the missing half of train -> tokenize in a data pipeline)
+
+BPE_ENCODE_WHERE = "doc_id % 7 = 1"
+
+
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode documents with the merge table the BPE trainer learned
+    (same training slice + rounds as ``corpus_bpe_merges_small``) and
+    report per-doc token counts — the tokenizer-application step of a
+    training-data pipeline.
+
+    Scale layout: encoding happens at VOCABULARY level — distinct words
+    are symbolized once and each learned merge is a map-only JVM fold
+    over that (bounded) table; a broadcast join then fans the per-word
+    token counts back onto (doc, word) occurrences. The corpus text is
+    scanned once; nothing per-round touches it. Merge decisions are
+    driver state (rank-ordered pairs), the same contract as KMeans
+    centroids / the PQ codebooks."""
+    merges_df = corpus_bpe_merges(
+        spark, sf_dir, doc_where=BPE_SMALL_WHERE, rounds=BPE_SMALL_ROUNDS
+    )
+    merges = [
+        tuple(r["pair"].split(" "))
+        for r in merges_df.orderBy("round").collect()
+    ]
+    docs = load(spark, sf_dir, "documents").filter(BPE_ENCODE_WHERE)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+            "w"
+        ),
+    )
+    sym = (
+        words.select("w")
+        .distinct()
+        .select(
+            "w", F.filter(F.split("w", ""), lambda c: c != "").alias("sym")
+        )
+    )
+    for a, b in merges:
+        sym = sym.select("w", _bpe_apply_merge(F.col("sym"), a, b).alias("sym"))
+    enc = sym.select("w", F.size("sym").cast("bigint").alias("n_sym"))
+    return (
+        words.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_encode_sql() -> str:
+    """Oracle: replay the trainer CTE chain (t1..tR hold the learned
+    pairs), then apply each merge to the encode slice's words with the
+    same list_reduce fold and aggregate token counts per document."""
+    ctes = _bpe_trainer_ctes(BPE_SMALL_WHERE, BPE_SMALL_ROUNDS)
+    ctes.append(
+        f"""e0 AS (
+  SELECT doc_id, list_filter(string_split(w, ''), c -> c != '') AS sym
+  FROM (
+    SELECT doc_id,
+           UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS w
+    FROM documents WHERE {BPE_ENCODE_WHERE}
+  )
+)"""
+    )
+    for r in range(1, BPE_SMALL_ROUNDS + 1):
+        ctes.append(
+            f"""e{r} AS (
+  SELECT doc_id, list_reduce(list_transform(sym, s -> [s]), (acc, x) ->
+    CASE WHEN len(acc) > 0 AND acc[-1] = t{r}.a AND x[1] = t{r}.b
+         THEN list_append(acc[1:-2], t{r}.a || t{r}.b)
+         ELSE list_append(acc, x[1]) END) AS sym
+  FROM e{r - 1}, t{r}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(len(sym)) AS BIGINT) AS n_tokens
+FROM e{BPE_SMALL_ROUNDS} GROUP BY doc_id ORDER BY doc_id"""
+    )
+
+
+CORPUS_QUERIES["corpus_bpe_encode"] = (corpus_bpe_encode, _bpe_encode_sql())

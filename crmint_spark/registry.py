@@ -75,6 +75,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "q59_vector_search": _EXT["q59_vector_search"],
     "q60_grouping_sets": _EXT["q60_grouping_sets"],
     "corpus_dsir_weights": corpus.CORPUS_QUERIES["corpus_dsir_weights"],
+    "corpus_bpe_encode": corpus.CORPUS_QUERIES["corpus_bpe_encode"],
     "embedding_pca_top_component": (
         pca.embedding_pca_top_component,
         pca.PCA_SQL,

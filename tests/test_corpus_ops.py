@@ -157,3 +157,31 @@ def test_dsir_weights_favor_target_language(spark):
     # every document is scored exactly once
     docs = load(spark, SF, "documents").count()
     assert len(out) == docs
+
+
+def test_bpe_encode_compresses_tokens(spark):
+    """Applying learned merges must strictly shrink token counts vs
+    character count for docs containing the merged pairs, and never
+    produce more tokens than characters."""
+    out = corpus.corpus_bpe_encode(spark, SF).collect()
+    assert out
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF, "documents")
+        .filter(corpus.BPE_ENCODE_WHERE)
+        .collect()
+    }
+    n_chars = {
+        d: sum(len(w) for w in t.split(" ") if w) for d, t in docs.items()
+    }
+    n_words = {
+        d: sum(1 for w in t.split(" ") if w) for d, t in docs.items()
+    }
+    shrunk = 0
+    for r in out:
+        assert r["n_words"] == n_words[r["doc_id"]]
+        assert r["n_tokens"] <= n_chars[r["doc_id"]]
+        assert r["n_tokens"] >= r["n_words"]
+        if r["n_tokens"] < n_chars[r["doc_id"]]:
+            shrunk += 1
+    assert shrunk > 0
