@@ -981,6 +981,7 @@ _FN_RENAMES: list[tuple[str, str]] = [
     ("SAFE_SUBTRACT", "try_subtract"),
     ("SAFE_MULTIPLY", "try_multiply"),
     ("UNICODE", "ascii"),
+    ("CHR", "char"),
     ("TO_BASE64", "base64"),
     ("FROM_BASE64", "unbase64"),
     ("FROM_HEX", "unhex"),
@@ -1034,6 +1035,11 @@ def _rewrite_misc_fns(sql: str) -> str:
             "SHA512",
             "DATE_BUCKET",
             "TIMESTAMP_BUCKET",
+            "DATETIME_BUCKET",
+            r"ML\.DISTANCE",
+            "COTH",
+            "SECH",
+            "CSCH",
             "JSON_ARRAY",
             "JSON_OBJECT",
             "LAX_INT64",
@@ -1333,7 +1339,27 @@ def _rewrite_misc_fns(sql: str) -> str:
                 o = args[2] if len(args) == 3 else "DATE '1950-01-01'"
                 # exact integer math: start = d - ((d - origin) mod width)
                 rep = f"date_sub({args[0]}, pmod(datediff({args[0]}, {o}), {nd}))"
-        elif fn == "timestamp_bucket" and len(args) in (2, 3):
+        elif fn == "ml.distance" and len(args) in (2, 3):
+            # BigQuery ML.DISTANCE(v1, v2[, 'EUCLIDEAN'|'MANHATTAN'|
+            # 'COSINE']) — same HOF folds as VECTOR_SEARCH distances.
+            # NOTE: BigQuery's COSINE type returns cosine DISTANCE
+            # (1 - similarity), matching COSINE_DISTANCE.
+            kind = (
+                args[2].strip().strip("'\"").upper()
+                if len(args) == 3
+                else "EUCLIDEAN"
+            )
+            if kind not in ("EUCLIDEAN", "MANHATTAN", "COSINE"):
+                raise ValueError(
+                    f"ML.DISTANCE: unsupported distance type {kind!r}"
+                )
+            rep = f"CAST({_vs_distance(args[0], args[1], kind)} AS DOUBLE)"
+        elif fn in ("coth", "sech", "csch") and len(args) == 1:
+            # hyperbolic reciprocals (no Spark builtins; tanh/cosh/sinh
+            # are builtins, so these stay codegen'd expressions)
+            base = {"coth": "tanh", "sech": "cosh", "csch": "sinh"}[fn]
+            rep = f"(CAST(1 AS DOUBLE) / {base}({args[0]}))"
+        elif fn in ("timestamp_bucket", "datetime_bucket") and len(args) in (2, 3):
             m_iv = re.match(
                 r"INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY|WEEK)\b",
                 args[1],
@@ -1395,6 +1421,36 @@ def _rewrite_misc_fns(sql: str) -> str:
         pos = end
     out.append(sql[pos:])
     return "".join(out)
+
+
+def _rewrite_ignore_nulls(sql: str) -> str:
+    """BigQuery puts ``IGNORE|RESPECT NULLS`` INSIDE the analytic call
+    (``LAST_VALUE(x IGNORE NULLS) OVER ...``); Spark wants it after the
+    argument list. Hoist it out for the navigation functions."""
+    while True:
+        hit = None
+        for start, open_idx, end, fn in _iter_calls(
+            sql,
+            (
+                "FIRST_VALUE",
+                "LAST_VALUE",
+                "NTH_VALUE",
+                "LEAD",
+                "LAG",
+                "ANY_VALUE",
+            ),
+        ):
+            inner = sql[open_idx + 1 : end - 1]
+            m = re.search(r"\s+(IGNORE|RESPECT)\s+NULLS\s*$", inner, re.IGNORECASE)
+            if m:
+                hit = (open_idx, end, inner[: m.start()], m.group(1).upper())
+                break
+        if hit is None:
+            return sql
+        open_idx, end, args, mode = hit
+        sql = (
+            sql[: open_idx + 1] + args + ") " + mode + " NULLS" + sql[end:]
+        )
 
 
 def _rewrite_percentile_window(sql: str) -> str:
@@ -3260,6 +3316,12 @@ def _vs_distance(qc: str, bc: str, kind: str) -> str:
         return f"1.0D - ({dot}) / ({norm(qc)} * {norm(bc)})"
     if kind == "DOT_PRODUCT":
         return f"-({dot})"
+    if kind == "MANHATTAN":
+        return (
+            f"aggregate(zip_with({qc}, {bc}, (x, y) -> "
+            f"abs(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
     # EUCLIDEAN (BigQuery default)
     return (
         f"sqrt(aggregate(zip_with({qc}, {bc}, (x, y) -> "
@@ -3393,6 +3455,7 @@ def transpile_statement(sql: str, resolver=None, approx_sketches: bool = False) 
     out = re.sub(r"^\s*#\s*(standardSQL|legacySQL)\b", "", out, flags=re.IGNORECASE)
     # 2-arg analytic percentiles BEFORE the empty-OVER() fill below (the
     # DISC rewrite appends its own ORDER BY inside the nested window)
+    out = _rewrite_ignore_nulls(out)
     out = _rewrite_percentile_window(out)
     # BigQuery allows unordered ranking windows (ROW_NUMBER() OVER());
     # Spark demands an ORDER BY — constant ordering reproduces BigQuery's

@@ -1545,6 +1545,80 @@ GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """
 
 
+def q61_bq_functions7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seventh BigQuery-surface batch: ML.DISTANCE (all three types —
+    the scalar twin of VECTOR_SEARCH's metrics), the full hyperbolic
+    family incl. the reciprocal trio COTH/SECH/CSCH (no Spark builtins
+    — compiled to 1/tanh etc.), CBRT, CHR, LEFT/RIGHT,
+    DATETIME_BUCKET, and the navigation-function ``IGNORE NULLS``
+    modifier in BigQuery's inside-the-parens position (hoisted to
+    Spark's postfix position by dialect._rewrite_ignore_nulls)."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    SELECT o_orderkey,
+      ROUND(ML.DISTANCE([CAST(MOD(o_orderkey, 5) AS FLOAT64), 2.0],
+                        [1.0, 0.5]), 6) AS d_euc,
+      ROUND(ML.DISTANCE([CAST(MOD(o_orderkey, 5) AS FLOAT64), 2.0],
+                        [1.0, 0.5], 'MANHATTAN'), 6) AS d_man,
+      ROUND(ML.DISTANCE([CAST(MOD(o_orderkey, 5) AS FLOAT64), 2.0],
+                        [1.0, 0.5], 'COSINE'), 6) AS d_cos,
+      ROUND(SINH(o_totalprice / 500000 + 0.5), 6) AS h_sinh,
+      ROUND(COSH(o_totalprice / 500000 + 0.5), 6) AS h_cosh,
+      ROUND(TANH(o_totalprice / 500000 + 0.5), 6) AS h_tanh,
+      ROUND(COTH(o_totalprice / 500000 + 0.5), 6) AS h_coth,
+      ROUND(SECH(o_totalprice / 500000 + 0.5), 6) AS h_sech,
+      ROUND(CSCH(o_totalprice / 500000 + 0.5), 6) AS h_csch,
+      ROUND(CBRT(o_totalprice), 6) AS cbrt_p,
+      CHR(65 + CAST(MOD(o_orderkey, 26) AS INT64)) AS letter,
+      LEFT(o_orderpriority, 3) AS pri3,
+      RIGHT(o_orderpriority, 4) AS pri4,
+      DATETIME_BUCKET(CAST(o_orderdate AS DATETIME), INTERVAL 7 HOUR) AS hb,
+      LAST_VALUE(NULLIF(o_orderstatus, 'O') IGNORE NULLS)
+        OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS last_closed
+    FROM orders WHERE o_orderkey <= 600
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+def _q61_oracle() -> str:
+    x = "(o_totalprice / 500000 + 0.5)"
+    k = "CAST(o_orderkey % 5 AS DOUBLE)"
+    return f"""
+SELECT o_orderkey,
+  ROUND(sqrt(({k} - 1.0) * ({k} - 1.0) + 2.25), 6) AS d_euc,
+  ROUND(abs({k} - 1.0) + 1.5, 6) AS d_man,
+  ROUND(1 - ({k} * 1.0 + 2.0 * 0.5)
+        / (sqrt({k} * {k} + 4.0) * sqrt(1.25)), 6) AS d_cos,
+  ROUND((exp({x}) - exp(-{x})) / 2, 6) AS h_sinh,
+  ROUND((exp({x}) + exp(-{x})) / 2, 6) AS h_cosh,
+  ROUND((exp({x}) - exp(-{x})) / (exp({x}) + exp(-{x})), 6) AS h_tanh,
+  ROUND((exp({x}) + exp(-{x})) / (exp({x}) - exp(-{x})), 6) AS h_coth,
+  ROUND(2 / (exp({x}) + exp(-{x})), 6) AS h_sech,
+  ROUND(2 / (exp({x}) - exp(-{x})), 6) AS h_csch,
+  ROUND(cbrt(o_totalprice), 6) AS cbrt_p,
+  chr(65 + CAST(o_orderkey % 26 AS INT)) AS letter,
+  left(o_orderpriority, 3) AS pri3,
+  right(o_orderpriority, 4) AS pri4,
+  time_bucket(INTERVAL 7 HOUR, CAST(o_orderdate AS TIMESTAMP),
+              TIMESTAMP '1950-01-01') AS hb,
+  last_value(NULLIF(o_orderstatus, 'O') IGNORE NULLS)
+    OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS last_closed
+FROM orders WHERE o_orderkey <= 600
+"""
+
+
+Q61_SQL = _q61_oracle()
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -1751,6 +1825,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q58_scripting": (q58_scripting, Q58_SQL),
     "q59_vector_search": (q59_vector_search, Q59_SQL),
     "q60_grouping_sets": (q60_grouping_sets, Q60_SQL),
+    "q61_bq_functions7": (q61_bq_functions7, Q61_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
     "q50_hll_approx": (q50_hll_approx, Q50_APPROX_SQL),
     "q36_qualify": (q36_qualify, Q36_SQL),

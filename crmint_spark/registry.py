@@ -76,6 +76,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "q60_grouping_sets": _EXT["q60_grouping_sets"],
     "corpus_dsir_weights": corpus.CORPUS_QUERIES["corpus_dsir_weights"],
     "corpus_bpe_encode": corpus.CORPUS_QUERIES["corpus_bpe_encode"],
+    "q61_bq_functions7": _EXT["q61_bq_functions7"],
     "embedding_pca_top_component": (
         pca.embedding_pca_top_component,
         pca.PCA_SQL,
