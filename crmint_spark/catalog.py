@@ -33,6 +33,36 @@ def _safe_view_name(table_id: str) -> str:
     return re.sub(r"[^A-Za-z0-9_]", "_", table_id.replace(".", "__"))
 
 
+def _bq_type_name(dt) -> str:
+    """Spark type -> BigQuery INFORMATION_SCHEMA.COLUMNS spelling."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return f"ARRAY<{_bq_type_name(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(
+            f"{f.name} {_bq_type_name(f.dataType)}" for f in dt.fields
+        )
+        return f"STRUCT<{inner}>"
+    if isinstance(dt, T.DecimalType):
+        return "NUMERIC"
+    simple = {
+        "tinyint": "INT64",
+        "smallint": "INT64",
+        "int": "INT64",
+        "bigint": "INT64",
+        "float": "FLOAT64",
+        "double": "FLOAT64",
+        "string": "STRING",
+        "boolean": "BOOL",
+        "date": "DATE",
+        "timestamp": "TIMESTAMP",
+        "timestamp_ntz": "DATETIME",
+        "binary": "BYTES",
+    }
+    return simple.get(dt.simpleString(), dt.simpleString().upper())
+
+
 def tune_session(spark: SparkSession) -> None:
     """Apply the engine's runtime-settable tuning to a caller-provided
     session, touching only confs still at their stock defaults (a
@@ -339,6 +369,120 @@ class Catalog:
         ).createOrReplaceTempView(view)
         return view
 
+    def _dataset_tables(self, project: str, dataset: str) -> list[str]:
+        """Tables visible to metadata queries: the parquet/virtual
+        catalog (``list_tables``) plus session-catalog relations a CTAS
+        in this session registered under ``proj__ds__*`` (both are the
+        same BigQuery table in the reference, ref: bq_worker.py:61-66)."""
+        names = set(self.list_tables(project, dataset))
+        prefix = _safe_view_name(f"{project}.{dataset}.")
+        try:
+            for t in self.spark.catalog.listTables():
+                if t.name.startswith(prefix):
+                    names.add(t.name[len(prefix):])
+        except Exception:
+            pass
+        # the materialized metadata views themselves are not tables
+        return sorted(
+            n
+            for n in names
+            if "information_schema__" not in n.lower()
+            and "tables_summary" not in n.lower()
+        )
+
+    def _split_is_qualifier(self, qualifier: str) -> tuple[str, str]:
+        parts = qualifier.split(".")
+        if len(parts) == 2:
+            return parts[0], parts[1]
+        if len(parts) == 1:
+            # dataset-only reference: resolve against the unique project
+            # holding that dataset (BigQuery defaults to the session
+            # project; the engine has no ambient project)
+            hits = [
+                p
+                for p in sorted(os.listdir(self.root))
+                if os.path.isdir(os.path.join(self.root, p, parts[0]))
+            ]
+            hits.extend(
+                p for p, d in self._virtual if d == parts[0] and p not in hits
+            )
+            if len(hits) == 1:
+                return hits[0], parts[0]
+            raise ValueError(
+                f"INFORMATION_SCHEMA: dataset {parts[0]!r} is "
+                f"{'ambiguous' if hits else 'unknown'}; qualify it as "
+                "project.dataset.INFORMATION_SCHEMA.<view>"
+            )
+        raise ValueError(f"bad INFORMATION_SCHEMA qualifier: {qualifier!r}")
+
+    def ensure_information_schema_view(self, qualifier: str, kind: str) -> str:
+        """``[project.]dataset.INFORMATION_SCHEMA.{TABLES|COLUMNS}`` /
+        ``project.INFORMATION_SCHEMA.SCHEMATA`` as queryable relations
+        with BigQuery's column contract (table_catalog/table_schema/
+        table_name/table_type; column_name/ordinal_position/is_nullable/
+        data_type in BigQuery type spellings). Reflects the engine
+        catalog — parquet tables, virtual shard views, and same-session
+        CTAS relations — the same source of truth as
+        ``__TABLES_SUMMARY__``."""
+        kind = kind.upper()
+        view = _safe_view_name(f"{qualifier}.INFORMATION_SCHEMA.{kind}")
+        if kind == "SCHEMATA":
+            project = qualifier
+            base = os.path.join(self.root, project)
+            datasets = sorted(
+                (
+                    {
+                        d
+                        for d in os.listdir(base)
+                        if os.path.isdir(os.path.join(base, d))
+                    }
+                    if os.path.isdir(base)
+                    else set()
+                )
+                | {d for p, d in self._virtual if p == project}
+            )
+            self.spark.createDataFrame(
+                [(project, d) for d in datasets],
+                "catalog_name string, schema_name string",
+            ).createOrReplaceTempView(view)
+            return view
+        project, dataset = self._split_is_qualifier(qualifier)
+        tables = self._dataset_tables(project, dataset)
+        if kind == "TABLES":
+            self.spark.createDataFrame(
+                [(project, dataset, t, "BASE TABLE") for t in tables],
+                "table_catalog string, table_schema string, "
+                "table_name string, table_type string",
+            ).createOrReplaceTempView(view)
+            return view
+        if kind != "COLUMNS":
+            raise ValueError(f"unsupported INFORMATION_SCHEMA view: {kind}")
+        rows = []
+        for t in tables:
+            try:
+                df = self.read(f"{project}.{dataset}.{t}")
+            except ValueError:
+                continue  # name-only shard registration, no schema
+            for i, f in enumerate(df.schema.fields, 1):
+                rows.append(
+                    (
+                        project,
+                        dataset,
+                        t,
+                        f.name,
+                        i,
+                        "YES" if f.nullable else "NO",
+                        _bq_type_name(f.dataType),
+                    )
+                )
+        self.spark.createDataFrame(
+            rows,
+            "table_catalog string, table_schema string, table_name string, "
+            "column_name string, ordinal_position bigint, "
+            "is_nullable string, data_type string",
+        ).createOrReplaceTempView(view)
+        return view
+
     def resolve_table(self, table_id: str) -> str:
         """Dialect resolver hook: wildcard and metadata names ->
         materialized view names (everything else is a plain mapping)."""
@@ -349,4 +493,11 @@ class Catalog:
         if table_id.endswith("__TABLES_SUMMARY__"):
             project, dataset, _ = table_id.split(".")
             return self.ensure_tables_summary_view(project, dataset)
+        m_is = re.match(
+            r"(.+)\.INFORMATION_SCHEMA\.(\w+)$", table_id, re.IGNORECASE
+        )
+        if m_is:
+            return self.ensure_information_schema_view(
+                m_is.group(1), m_is.group(2)
+            )
         return _safe_view_name(table_id)

@@ -2757,11 +2757,27 @@ def _rewrite_backtick_tables(sql: str, resolver=None) -> str:
         t = m.group(1)
         if "." not in t:
             return m.group(0)
-        if t.endswith("*") or t.endswith("__TABLES_SUMMARY__"):
+        if (
+            t.endswith("*")
+            or t.endswith("__TABLES_SUMMARY__")
+            or re.search(r"\.INFORMATION_SCHEMA\.", t, re.IGNORECASE)
+        ):
             return resolver(t)
         return _safe_view_name(t)
 
-    return re.sub(r"`([A-Za-z0-9_\-.*]+)`", repl, sql)
+    sql = re.sub(r"`([A-Za-z0-9_\-.*]+)`", repl, sql)
+    # bare (unbackticked) INFORMATION_SCHEMA references — the common
+    # spelling in BigQuery metadata queries
+    return _sub_outside_strings(
+        sql,
+        lambda seg: re.sub(
+            r"\b([\w\-]+(?:\.[\w\-]+)?\.INFORMATION_SCHEMA\."
+            r"(?:TABLES|COLUMNS|SCHEMATA))\b",
+            lambda m: resolver(m.group(1)),
+            seg,
+            flags=re.IGNORECASE,
+        ),
+    )
 
 
 # BigQuery -> Spark SQL type spellings (used in UDF signatures; the

@@ -1619,6 +1619,80 @@ FROM orders WHERE o_orderkey <= 600
 Q61_SQL = _q61_oracle()
 
 
+def q62_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery ``INFORMATION_SCHEMA`` metadata views (TABLES, COLUMNS
+    with BigQuery type spellings + ordinal positions, and the
+    project-level SCHEMATA), referenced both bare and backticked. The
+    catalog materializes them on demand from the same source of truth
+    as ``__TABLES_SUMMARY__`` (parquet tables + virtual shards + same-
+    session CTAS relations); the oracle pins the exact BigQuery column
+    contract as literals."""
+    import tempfile
+
+    from .catalog import Catalog
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="isq_"))
+    cat.write(
+        spark.sql(
+            "SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE)"
+            " AS o_date FROM orders WHERE o_orderkey <= 10"
+        ),
+        "p.meta.ord_mini",
+    )
+    cat.write(
+        spark.sql(
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 5"
+        ),
+        "p.meta.cust_mini",
+    )
+    script = """
+    SELECT table_catalog, table_schema, table_name, table_type,
+           'table' AS kind, CAST(NULL AS STRING) AS column_name,
+           CAST(NULL AS INT64) AS ordinal_position,
+           CAST(NULL AS STRING) AS data_type
+    FROM p.meta.INFORMATION_SCHEMA.TABLES
+    UNION ALL
+    SELECT table_catalog, table_schema, table_name, 'BASE TABLE',
+           'column', column_name, ordinal_position, data_type
+    FROM `p.meta.INFORMATION_SCHEMA.COLUMNS`
+    UNION ALL
+    SELECT catalog_name, schema_name, '-', '-', 'schema',
+           CAST(NULL AS STRING), CAST(NULL AS INT64),
+           CAST(NULL AS STRING)
+    FROM p.INFORMATION_SCHEMA.SCHEMATA
+    ORDER BY kind, table_name, ordinal_position
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False},
+        WorkerContext(spark=spark, catalog=cat),
+    )
+    w.execute()
+    return w.result
+
+
+Q62_SQL = """
+SELECT table_catalog, table_schema, table_name, table_type, kind,
+       column_name, CAST(ordinal_position AS BIGINT) AS ordinal_position,
+       data_type
+FROM (VALUES
+  ('p', 'meta', 'cust_mini', 'BASE TABLE', 'table', NULL, NULL, NULL),
+  ('p', 'meta', 'ord_mini', 'BASE TABLE', 'table', NULL, NULL, NULL),
+  ('p', 'meta', 'cust_mini', 'BASE TABLE', 'column', 'c_custkey', 1, 'INT64'),
+  ('p', 'meta', 'cust_mini', 'BASE TABLE', 'column', 'c_name', 2, 'STRING'),
+  ('p', 'meta', 'ord_mini', 'BASE TABLE', 'column', 'o_orderkey', 1, 'INT64'),
+  ('p', 'meta', 'ord_mini', 'BASE TABLE', 'column', 'o_totalprice', 2, 'FLOAT64'),
+  ('p', 'meta', 'ord_mini', 'BASE TABLE', 'column', 'o_date', 3, 'DATE'),
+  ('p', 'meta', '-', '-', 'schema', NULL, NULL, NULL)
+) AS t(table_catalog, table_schema, table_name, table_type, kind,
+       column_name, ordinal_position, data_type),
+     (SELECT 1 FROM orders LIMIT 1) AS src_probe
+ORDER BY kind, table_name, ordinal_position
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -1826,6 +1900,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q59_vector_search": (q59_vector_search, Q59_SQL),
     "q60_grouping_sets": (q60_grouping_sets, Q60_SQL),
     "q61_bq_functions7": (q61_bq_functions7, Q61_SQL),
+    "q62_information_schema": (q62_information_schema, Q62_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
     "q50_hll_approx": (q50_hll_approx, Q50_APPROX_SQL),
     "q36_qualify": (q36_qualify, Q36_SQL),

@@ -77,6 +77,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "corpus_dsir_weights": corpus.CORPUS_QUERIES["corpus_dsir_weights"],
     "corpus_bpe_encode": corpus.CORPUS_QUERIES["corpus_bpe_encode"],
     "q61_bq_functions7": _EXT["q61_bq_functions7"],
+    "q62_information_schema": _EXT["q62_information_schema"],
     "embedding_pca_top_component": (
         pca.embedding_pca_top_component,
         pca.PCA_SQL,

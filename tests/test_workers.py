@@ -1086,3 +1086,45 @@ def test_create_and_drop_schema(spark, tmp_path):
     run("DROP SCHEMA `proj.fresh` CASCADE")
     assert not _os.path.isdir(_os.path.join(cat.root, "proj", "fresh"))
     run("DROP SCHEMA IF EXISTS `proj.fresh`")
+
+
+def test_information_schema_views(spark, tmp_path):
+    """INFORMATION_SCHEMA.TABLES/COLUMNS/SCHEMATA resolve bare and
+    backticked, accept dataset-only qualifiers when unambiguous, and
+    report BigQuery type spellings."""
+    import pytest as _pytest
+
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.write(
+        spark.sql("SELECT CAST(1 AS BIGINT) AS k, 'x' AS s, array(CAST(1.5 AS DOUBLE)) AS v"),
+        "proj.dsq.t1",
+    )
+    ctx = WorkerContext(spark=spark, catalog=cat)
+
+    def run(script):
+        w = SparkSQLExecutor({"script": script, "dry_run": False}, ctx)
+        w.execute()
+        return w.result.collect()
+
+    rows = run("SELECT table_name, table_type FROM proj.dsq.INFORMATION_SCHEMA.TABLES")
+    assert [(r[0], r[1]) for r in rows] == [("t1", "BASE TABLE")]
+    cols = run(
+        "SELECT column_name, ordinal_position, data_type"
+        " FROM `proj.dsq.INFORMATION_SCHEMA.COLUMNS` ORDER BY ordinal_position"
+    )
+    assert [(r[0], r[1], r[2]) for r in cols] == [
+        ("k", 1, "INT64"),
+        ("s", 2, "STRING"),
+        ("v", 3, "ARRAY<FLOAT64>"),
+    ]
+    # dataset-only qualifier resolves through the unique owning project
+    rows2 = run("SELECT table_name FROM dsq.INFORMATION_SCHEMA.TABLES")
+    assert [r[0] for r in rows2] == ["t1"]
+    schemas = run(
+        "SELECT schema_name FROM proj.INFORMATION_SCHEMA.SCHEMATA ORDER BY 1"
+    )
+    assert [r[0] for r in schemas] == ["dsq"]
+    with _pytest.raises(Exception, match="unknown|ambiguous"):
+        run("SELECT * FROM nosuch.INFORMATION_SCHEMA.TABLES")
