@@ -110,6 +110,15 @@ SECONDARY = [
     "embedding_pca_top_component",
     "q57_kll_approx",
     "q58_scripting",
+    # round 5b: metadata views, vector search TVF, grouping sets,
+    # function batch 7, DSIR weights, BPE encode
+    "q59_vector_search",
+    "q60_grouping_sets",
+    "q61_bq_functions7",
+    "q62_information_schema",
+    "corpus_dsir_weights",
+    "corpus_bpe_encode",
+    "q63_search",
 ]
 
 

@@ -1037,6 +1037,7 @@ def _rewrite_misc_fns(sql: str) -> str:
             "TIMESTAMP_BUCKET",
             "DATETIME_BUCKET",
             r"ML\.DISTANCE",
+            "SEARCH",
             "COTH",
             "SECH",
             "CSCH",
@@ -1354,6 +1355,29 @@ def _rewrite_misc_fns(sql: str) -> str:
                     f"ML.DISTANCE: unsupported distance type {kind!r}"
                 )
             rep = f"CAST({_vs_distance(args[0], args[1], kind)} AS DOUBLE)"
+        elif fn == "search" and len(args) == 2:
+            # BigQuery full-text SEARCH(data, query): TRUE when every
+            # token of the query appears among the data's tokens.
+            # Tokenization mirrors the default LOG_ANALYZER closely:
+            # lowercase, split on any non-alphanumeric rune (BigQuery's
+            # delimiter list is punctuation + '_' + whitespace).
+            # json_scope / analyzer named args are not supported — the
+            # engine raises rather than silently diverging.
+            def _tok(e: str) -> str:
+                return (
+                    f"filter(split(lower({e}), '[^a-z0-9]+'), "
+                    f"x -> x != '')"
+                )
+
+            rep = (
+                f"forall({_tok(args[1])}, "
+                f"t -> array_contains({_tok(args[0])}, t))"
+            )
+        elif fn == "search" and len(args) > 2:
+            raise ValueError(
+                "SEARCH: json_scope/analyzer arguments are not supported"
+                " (2-arg string form only)"
+            )
         elif fn in ("coth", "sech", "csch") and len(args) == 1:
             # hyperbolic reciprocals (no Spark builtins; tanh/cosh/sinh
             # are builtins, so these stay codegen'd expressions)

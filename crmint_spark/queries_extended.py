@@ -1693,6 +1693,61 @@ ORDER BY kind, table_name, ordinal_position
 """
 
 
+def q63_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery full-text ``SEARCH(data, query)``: TRUE when every
+    query token appears among the data's tokens (default LOG_ANALYZER
+    tokenization: lowercase + split on non-alphanumeric runes). The
+    rewrite is a pure JVM HOF (forall + array_contains over split) —
+    a map-only predicate that pushes into the scan stage at any scale;
+    a search INDEX is the reference's acceleration, which on Spark is
+    the same predicate over a pre-tokenized inverted-index table (see
+    operators/text.py fingerprints for the layout)."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    SELECT
+      COUNT(*) AS n_docs,
+      COUNTIF(SEARCH(text, 'spark merge')) AS hits_both,
+      COUNTIF(SEARCH(text, 'Spark')) AS hits_spark,
+      COUNTIF(SEARCH(text, 'window WINDOW')) AS hits_dup_tok,
+      COUNTIF(SEARCH(CONCAT(source, '-', lang), source)) AS hits_self,
+      COUNTIF(SEARCH(text, 'zzz_unseen')) AS hits_none
+    FROM documents
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+def _q63_oracle() -> str:
+    def tok(e: str) -> str:
+        return (
+            f"list_filter(string_split_regex(lower({e}), '[^a-z0-9]+'), "
+            f"x -> x != '')"
+        )
+
+    def search(data: str, query: str) -> str:
+        return (
+            f"coalesce(list_aggregate(list_transform({tok(query)}, "
+            f"t -> list_contains({tok(data)}, t)), 'bool_and'), TRUE)"
+        )
+
+    return f"""
+SELECT COUNT(*) AS n_docs,
+  COUNT(*) FILTER (WHERE {search('text', "'spark merge'")}) AS hits_both,
+  COUNT(*) FILTER (WHERE {search('text', "'Spark'")}) AS hits_spark,
+  COUNT(*) FILTER (WHERE {search('text', "'window WINDOW'")}) AS hits_dup_tok,
+  COUNT(*) FILTER (WHERE {search("source || '-' || lang", 'source')}) AS hits_self,
+  COUNT(*) FILTER (WHERE {search('text', "'zzz_unseen'")}) AS hits_none
+FROM documents
+"""
+
+
+Q63_SQL = _q63_oracle()
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -1901,6 +1956,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q60_grouping_sets": (q60_grouping_sets, Q60_SQL),
     "q61_bq_functions7": (q61_bq_functions7, Q61_SQL),
     "q62_information_schema": (q62_information_schema, Q62_SQL),
+    "q63_search": (q63_search, Q63_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
     "q50_hll_approx": (q50_hll_approx, Q50_APPROX_SQL),
     "q36_qualify": (q36_qualify, Q36_SQL),

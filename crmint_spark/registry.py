@@ -78,6 +78,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "corpus_bpe_encode": corpus.CORPUS_QUERIES["corpus_bpe_encode"],
     "q61_bq_functions7": _EXT["q61_bq_functions7"],
     "q62_information_schema": _EXT["q62_information_schema"],
+    "q63_search": _EXT["q63_search"],
     "embedding_pca_top_component": (
         pca.embedding_pca_top_component,
         pca.PCA_SQL,

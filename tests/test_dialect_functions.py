@@ -1142,3 +1142,23 @@ def test_vector_search_rejects_bad_args():
         )
     with _pytest.raises(ValueError, match="unknown argument"):
         ts("SELECT * FROM VECTOR_SEARCH(TABLE a, 'v', TABLE b, fraction => 1)")
+
+
+def test_search_function(spark):
+    """SEARCH(data, query): all query tokens must appear among the
+    data's tokens (lowercased, split on non-alphanumerics); named-arg
+    forms are rejected rather than silently diverging."""
+    import pytest as _pytest
+
+    r = spark.sql(
+        transpile_statement(
+            "SELECT SEARCH('The Spark-Merge; engine', 'spark merge') AS a,"
+            " SEARCH('The Spark engine', 'merge') AS b,"
+            " SEARCH('x_y', 'x y') AS c"
+        )
+    ).first()
+    assert (r["a"], r["b"], r["c"]) == (True, False, True)
+    with _pytest.raises(ValueError, match="json_scope"):
+        transpile_statement(
+            "SELECT SEARCH(t, 'q', json_scope => 'JSON_VALUES') FROM x"
+        )
