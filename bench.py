@@ -119,6 +119,7 @@ SECONDARY = [
     "corpus_dsir_weights",
     "corpus_bpe_encode",
     "q63_search",
+    "dedup_char_spans",
 ]
 
 

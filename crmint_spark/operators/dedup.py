@@ -765,3 +765,123 @@ STAR_SMALL_WHERE = "doc_id % 2 = 0"
 def dedup_clusters_star_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(spark, sf_dir, doc_where=STAR_SMALL_WHERE)
     return connected_components_star(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Character-level duplicated-substring spans (the exact-substring dedup
+# axis of Lee et al. 2021, "Deduplicating Training Data Makes Language
+# Models Better" — suffix-array substring dedup re-expressed as a
+# shingle-grid equi-join + per-doc span merge)
+
+SPAN_L = 30  # char window length (the paper's ~50-token analogue, scaled)
+SPAN_S = 10  # grid stride
+
+
+def dedup_char_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated character spans per document.
+
+    A char L-gram grid (stride S) replaces the suffix array: any
+    substring duplicated across documents of length >= L + S - 1 is
+    guaranteed to cover a duplicated grid gram, so the grid detects all
+    long cross-doc repeats with bounded state. Pipeline: grid grams ->
+    one digest groupBy counting DISTINCT docs per gram (the shuffle
+    carries (digest, doc_id), never text) -> per-doc ordered merge of
+    overlapping duplicated offsets into maximal spans (lag window +
+    running segment id). At 100 TB every stage is a bounded-fan-out
+    keyed shuffle — the same scaling shape as the minhash family; no
+    suffix array, no global sort of the corpus.
+    """
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length("text") >= SPAN_L
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.length("text") - SPAN_L) / SPAN_S).cast(
+                        "int"
+                    ),
+                ),
+                lambda i: F.struct(
+                    (i * SPAN_S).alias("off"),
+                    F.substring(
+                        F.col("text"), i * SPAN_S + 1, SPAN_L
+                    ).alias("g"),
+                ),
+            )
+        ).alias("gs"),
+    ).select(
+        "doc_id",
+        F.col("gs.off").alias("off"),
+        hash_str(F.col("gs.g")).alias("gh"),
+    )
+    dup_grams = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") > 1)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("off")
+    hits = (
+        grams.join(dup_grams, "gh")
+        .select("doc_id", "off")
+        .distinct()
+        .withColumn(
+            "new_seg",
+            F.when(
+                F.col("off") - F.lag("off").over(w) <= SPAN_L, 0
+            ).otherwise(1),
+        )
+        .withColumn("seg", F.sum("new_seg").over(w))
+    )
+    spans = hits.groupBy("doc_id", "seg").agg(
+        F.min("off").alias("start"),
+        (F.max("off") + SPAN_L).alias("end"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("end") - F.col("start")).cast("bigint").alias(
+                "dup_chars"
+            ),
+            F.min("start").cast("bigint").alias("first_start"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CHAR_SPANS_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, off,
+         ('0x' || substr(md5(substring(text, off + 1, {SPAN_L})), 1, 15))::BIGINT AS gh
+  FROM (
+    SELECT doc_id, text,
+           UNNEST(range(0, length(text) - {SPAN_L} + 1, {SPAN_S})) AS off
+    FROM documents WHERE length(text) >= {SPAN_L}
+  )
+), dup AS (
+  SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) > 1
+), hits AS (
+  SELECT DISTINCT doc_id, off FROM grams JOIN dup USING (gh)
+), flagged AS (
+  SELECT doc_id, off,
+         CASE WHEN off - lag(off) OVER (PARTITION BY doc_id ORDER BY off)
+                   <= {SPAN_L} THEN 0 ELSE 1 END AS new_seg
+  FROM hits
+), segs AS (
+  SELECT doc_id, off,
+         SUM(new_seg) OVER (PARTITION BY doc_id ORDER BY off) AS seg
+  FROM flagged
+), spans AS (
+  SELECT doc_id, seg, MIN(off) AS start, MAX(off) + {SPAN_L} AS "end"
+  FROM segs GROUP BY doc_id, seg
+)
+SELECT doc_id, COUNT(*) AS n_spans,
+       CAST(SUM("end" - start) AS BIGINT) AS dup_chars,
+       CAST(MIN(start) AS BIGINT) AS first_start
+FROM spans GROUP BY doc_id ORDER BY doc_id
+"""

@@ -79,6 +79,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "q61_bq_functions7": _EXT["q61_bq_functions7"],
     "q62_information_schema": _EXT["q62_information_schema"],
     "q63_search": _EXT["q63_search"],
+    "dedup_char_spans": (dedup.dedup_char_spans, dedup.CHAR_SPANS_SQL),
     "embedding_pca_top_component": (
         pca.embedding_pca_top_component,
         pca.PCA_SQL,

@@ -185,3 +185,32 @@ def test_bpe_encode_compresses_tokens(spark):
         if r["n_tokens"] < n_chars[r["doc_id"]]:
             shrunk += 1
     assert shrunk > 0
+
+
+def test_char_spans_detect_exact_duplicates(spark):
+    """Docs that are exact duplicates of another doc must be fully
+    covered by a duplicated char span; span arithmetic stays within the
+    document bounds."""
+    from crmint_spark.operators import dedup
+
+    out = {r["doc_id"]: r for r in dedup.dedup_char_spans(spark, SF).collect()}
+    assert out
+    docs = {
+        r["doc_id"]: r["text"] for r in load(spark, SF, "documents").collect()
+    }
+    for d, r in out.items():
+        assert r["n_spans"] >= 1
+        assert r["dup_chars"] >= dedup.SPAN_L
+        # a merged span never exceeds the doc (plus the final window)
+        assert r["dup_chars"] <= len(docs[d]) + dedup.SPAN_L
+        assert 0 <= r["first_start"] <= len(docs[d])
+    # ground truth for one flagged pair: the two docs really share an
+    # L-char substring
+    flagged = sorted(out)[:1]
+    for d in flagged:
+        t = docs[d]
+        s = r0 = out[d]["first_start"]
+        window = t[s : s + dedup.SPAN_L]
+        assert any(
+            window in docs[o] for o in docs if o != d
+        ), f"doc {d} span at {r0} not found in any other doc"
