@@ -120,6 +120,7 @@ SECONDARY = [
     "corpus_bpe_encode",
     "q63_search",
     "dedup_char_spans",
+    "ann_binary_hamming_topk",
 ]
 
 

@@ -415,3 +415,134 @@ SELECT label, COUNT(*) AS n_vectors,
        ROUND(AVG(scale), 6) AS avg_scale
 FROM checks GROUP BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization + Hamming search (sign-bit codes; the 1-bit
+# compression tier below int8/PQ — 64 dims -> 8 bytes/vector)
+
+BQ_RERANK_R = 40
+BQ_TOP_K = 10
+
+
+def _pack_bits(vec_col, lo: int, hi: int):
+    """Pack sign bits [lo, hi) of an array column into one BIGINT
+    (<= 32 bits per word so the packing is portable — no sign-bit
+    overflow in either engine)."""
+    return F.aggregate(
+        F.sequence(F.lit(lo), F.lit(hi - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(F.col(vec_col), i + 1) >= 0,
+            # 2^(i-lo) as exact double->bigint (exponent <= 31;
+            # shiftleft only takes literal shift amounts)
+            F.pow(F.lit(2.0), (i - F.lit(lo)).cast("double")).cast(
+                "bigint"
+            ),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
+def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage binary-quantized ANN: sign-bit codes (two 32-bit words
+    per 64-dim vector — a 32x compression over float32) scanned with
+    bit_count(xor) Hamming distance, top BQ_RERANK_R candidates exactly
+    re-scored by cosine against their raw floats.
+
+    Scale design: the code table is 16 bytes/vector, so the Hamming
+    scan is a map-only pass over a table 32x smaller than the corpus —
+    the classic first-tier filter in front of PQ/exact rerank. The R
+    candidate ids are driver scalars, so the re-rank reads carry a
+    pushed ``vec_id IN (...)`` parquet filter (R row-group lookups, no
+    corpus scan; same contract as pq.ann_ivfpq_rerank_topk)."""
+    emb = load(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id",
+        _pack_bits("embedding", 0, 32).alias("w0"),
+        _pack_bits("embedding", 32, 64).alias("w1"),
+    )
+    qc = codes.filter(F.col("vec_id") == QUERY_VEC_ID).first()
+    ham = (
+        F.bit_count(
+            F.col("w0").bitwiseXOR(F.lit(int(qc["w0"])).cast("bigint"))
+        )
+        + F.bit_count(
+            F.col("w1").bitwiseXOR(F.lit(int(qc["w1"])).cast("bigint"))
+        )
+    ).cast("bigint")
+    cand = (
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", ham.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(BQ_RERANK_R)
+        .collect()
+    )
+    cand_ids = [r["vec_id"] for r in cand]
+    ham_by_id = {r["vec_id"]: int(r["hamming"]) for r in cand}
+    # fresh scan so the IN filter reaches the parquet reader
+    raw = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isin(cand_ids)
+    )
+    q = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") == QUERY_VEC_ID
+    ).select(F.col("embedding").alias("qvec"))
+    sim = cosine_similarity(F.col("embedding"), F.col("qvec"))
+    ham_map = F.create_map(
+        *[F.lit(x) for kv in ham_by_id.items() for x in kv]
+    )
+    return (
+        raw.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.element_at(ham_map, F.col("vec_id"))
+            .cast("bigint")
+            .alias("hamming"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(BQ_TOP_K)
+    )
+
+
+def _binary_hamming_sql() -> str:
+    def pack(col: str, lo: int, hi: int) -> str:
+        return (
+            f"list_sum(list_transform(range({lo}, {hi}), i -> "
+            f"CASE WHEN {col}[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << (i - {lo})) "
+            f"ELSE CAST(0 AS BIGINT) END))"
+        )
+
+    return f"""
+WITH codes AS (
+  SELECT vec_id,
+         {pack('embedding', 0, 32)} AS w0,
+         {pack('embedding', 32, 64)} AS w1
+  FROM embeddings
+), qc AS (
+  SELECT w0 AS qw0, w1 AS qw1 FROM codes WHERE vec_id = {QUERY_VEC_ID}
+), cand AS (
+  SELECT vec_id,
+         CAST(bit_count(xor(w0, qw0)) + bit_count(xor(w1, qw1)) AS BIGINT)
+           AS hamming
+  FROM codes, qc WHERE vec_id <> {QUERY_VEC_ID}
+  ORDER BY hamming ASC, vec_id ASC LIMIT {BQ_RERANK_R}
+), q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+  FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+)
+SELECT e.vec_id, e.label, c.hamming,
+       ROUND(
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * qvec[i]))
+         / (sqrt(list_sum(list_transform(e.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(qvec, x -> x * x)))), 6)
+         AS cos_sim
+FROM embeddings e JOIN cand c USING (vec_id), q
+ORDER BY cos_sim DESC, vec_id ASC LIMIT {BQ_TOP_K}
+"""
+
+
+ANN_BINARY_HAMMING_SQL = _binary_hamming_sql()

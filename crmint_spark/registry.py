@@ -80,6 +80,10 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "q62_information_schema": _EXT["q62_information_schema"],
     "q63_search": _EXT["q63_search"],
     "dedup_char_spans": (dedup.dedup_char_spans, dedup.CHAR_SPANS_SQL),
+    "ann_binary_hamming_topk": (
+        similarity.ann_binary_hamming_topk,
+        similarity.ANN_BINARY_HAMMING_SQL,
+    ),
     "embedding_pca_top_component": (
         pca.embedding_pca_top_component,
         pca.PCA_SQL,

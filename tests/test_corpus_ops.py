@@ -214,3 +214,20 @@ def test_char_spans_detect_exact_duplicates(spark):
         assert any(
             window in docs[o] for o in docs if o != d
         ), f"doc {d} span at {r0} not found in any other doc"
+
+
+def test_binary_hamming_recall_and_pushdown(spark):
+    """1-bit quantization with exact rerank must recover a meaningful
+    share of the exact cosine top-k, and the rerank read must carry a
+    pushed vec_id IN filter (candidate-bounded, not a corpus scan)."""
+    from crmint_spark.operators.similarity import (
+        ann_binary_hamming_topk,
+        ann_cosine_topk,
+    )
+
+    approx = ann_binary_hamming_topk(spark, SF)
+    got = {r["vec_id"] for r in approx.collect()}
+    exact = {r["vec_id"] for r in ann_cosine_topk(spark, SF).collect()}
+    assert len(got & exact) / len(exact) >= 0.4
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "In(vec_id" in plan
