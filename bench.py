@@ -121,6 +121,7 @@ SECONDARY = [
     "q63_search",
     "dedup_char_spans",
     "ann_binary_hamming_topk",
+    "text_inverted_index",
 ]
 
 

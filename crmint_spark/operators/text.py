@@ -678,3 +678,97 @@ SELECT doc_id, n_tokens, bits_per_token,
        ROUND(pow(2.0, bits_per_token), 2) AS perplexity
 FROM per_doc
 """
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index full-text search (the index-accelerated layout behind
+# the dialect's SEARCH() predicate — see dialect._rewrite_misc_fns)
+
+SEARCH_QUERY_TOKENS = ("spark", "merge")
+
+
+def inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive full-text search answered from an inverted index:
+    tokenize once into (token, doc_id) postings, then resolve a query
+    by joining its tokens against the postings and keeping docs whose
+    DISTINCT matched-token count equals the query length — the standard
+    AND-query plan over posting lists.
+
+    Scale design (100 TB): the index build is one explode + distinct
+    (map-side combine) shuffled on the token — built once, amortized
+    over every query; a query then touches only the posting lists of
+    its own tokens (partition-prunable when the index is written
+    bucketed/partitioned by token), never the corpus text. Contrast
+    with the scan-side SEARCH() predicate which reads every document
+    per query. Output: matching docs with per-token document
+    frequencies carried for ranking."""
+    docs = load(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                        lambda t: t != "",
+                    )
+                )
+            ).alias("token"),
+        )
+    )
+    qtoks = list(dict.fromkeys(SEARCH_QUERY_TOKENS))
+    hits = postings.filter(F.col("token").isin(qtoks))
+    df_stats = hits.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    matched = (
+        hits.groupBy("doc_id")
+        .agg(F.count_distinct("token").alias("n_matched"))
+        .filter(F.col("n_matched") == len(qtoks))
+    )
+    total_df = df_stats.agg(
+        F.sum("df").cast("bigint").alias("sum_df"),
+        F.min("df").cast("bigint").alias("rarest_df"),
+    )
+    return (
+        matched.crossJoin(F.broadcast(total_df))
+        .select(
+            "doc_id",
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            "sum_df",
+            "rarest_df",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _inverted_index_sql() -> str:
+    toks = ", ".join(f"'{t}'" for t in dict.fromkeys(SEARCH_QUERY_TOKENS))
+    n = len(dict.fromkeys(SEARCH_QUERY_TOKENS))
+    return f"""
+WITH postings AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           UNNEST(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             t -> t != '')) AS token
+    FROM documents
+  )
+), hits AS (
+  SELECT doc_id, token FROM postings WHERE token IN ({toks})
+), df_stats AS (
+  SELECT token, COUNT(*) AS df FROM hits GROUP BY token
+), matched AS (
+  SELECT doc_id, COUNT(DISTINCT token) AS n_matched
+  FROM hits GROUP BY doc_id HAVING COUNT(DISTINCT token) = {n}
+), totals AS (
+  SELECT CAST(SUM(df) AS BIGINT) AS sum_df,
+         CAST(MIN(df) AS BIGINT) AS rarest_df
+  FROM df_stats
+)
+SELECT doc_id, CAST(n_matched AS BIGINT) AS n_matched, sum_df, rarest_df
+FROM matched, totals ORDER BY doc_id
+"""
+
+
+INVERTED_INDEX_SQL = _inverted_index_sql()

@@ -84,6 +84,10 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         similarity.ann_binary_hamming_topk,
         similarity.ANN_BINARY_HAMMING_SQL,
     ),
+    "text_inverted_index": (
+        text.inverted_index_search,
+        text.INVERTED_INDEX_SQL,
+    ),
     "embedding_pca_top_component": (
         pca.embedding_pca_top_component,
         pca.PCA_SQL,

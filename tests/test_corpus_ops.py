@@ -231,3 +231,22 @@ def test_binary_hamming_recall_and_pushdown(spark):
     assert len(got & exact) / len(exact) >= 0.4
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "In(vec_id" in plan
+
+
+def test_inverted_index_agrees_with_scan_search(spark):
+    """The index-accelerated conjunctive search must return exactly the
+    docs the scan-side SEARCH() predicate accepts for the same query."""
+    from crmint_spark.dialect import transpile_statement
+    from crmint_spark.operators.text import inverted_index_search
+
+    load(spark, SF, "documents").createOrReplaceTempView("documents")
+    idx_docs = {r["doc_id"] for r in inverted_index_search(spark, SF).collect()}
+    scan_docs = {
+        r["doc_id"]
+        for r in spark.sql(
+            transpile_statement(
+                "SELECT doc_id FROM documents WHERE SEARCH(text, 'spark merge')"
+            )
+        ).collect()
+    }
+    assert idx_docs == scan_docs and idx_docs
