@@ -122,6 +122,7 @@ SECONDARY = [
     "dedup_char_spans",
     "ann_binary_hamming_topk",
     "text_inverted_index",
+    "q64_bq_functions8",
 ]
 
 

@@ -1748,6 +1748,38 @@ FROM documents
 Q63_SQL = _q63_oracle()
 
 
+def q64_bq_functions8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eighth function batch — SOUNDEX, INITCAP, REGEXP_INSTR and
+    TRANSLATE (all same-shape Spark builtins, certified by value
+    because DuckDB lacks soundex/initcap: the oracle pins the expected
+    outputs as literals, the entry computes them through the dialect)."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    SELECT SOUNDEX('Robert') AS sx_r, SOUNDEX('Rupert') AS sx_r2,
+           SOUNDEX('Ashcraft') AS sx_a,
+           INITCAP('spark SQL engine') AS ic,
+           CAST(REGEXP_INSTR('a1b22c333', '[0-9]+') AS INT64) AS ri_hit,
+           CAST(REGEXP_INSTR('abc', '[0-9]+') AS INT64) AS ri_miss,
+           TRANSLATE('abcd', 'bd', 'xy') AS tr,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 50) AS src_n
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q64_SQL = """
+SELECT 'R163' AS sx_r, 'R163' AS sx_r2, 'A261' AS sx_a,
+       'Spark Sql Engine' AS ic,
+       CAST(2 AS BIGINT) AS ri_hit, CAST(0 AS BIGINT) AS ri_miss,
+       translate('abcd', 'bd', 'xy') AS tr,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 50) AS src_n
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -1957,6 +1989,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q61_bq_functions7": (q61_bq_functions7, Q61_SQL),
     "q62_information_schema": (q62_information_schema, Q62_SQL),
     "q63_search": (q63_search, Q63_SQL),
+    "q64_bq_functions8": (q64_bq_functions8, Q64_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
     "q50_hll_approx": (q50_hll_approx, Q50_APPROX_SQL),
     "q36_qualify": (q36_qualify, Q36_SQL),

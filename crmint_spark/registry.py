@@ -79,6 +79,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "q61_bq_functions7": _EXT["q61_bq_functions7"],
     "q62_information_schema": _EXT["q62_information_schema"],
     "q63_search": _EXT["q63_search"],
+    "q64_bq_functions8": _EXT["q64_bq_functions8"],
     "dedup_char_spans": (dedup.dedup_char_spans, dedup.CHAR_SPANS_SQL),
     "ann_binary_hamming_topk": (
         similarity.ann_binary_hamming_topk,
