@@ -123,6 +123,7 @@ SECONDARY = [
     "ann_binary_hamming_topk",
     "text_inverted_index",
     "q64_bq_functions8",
+    "bqml_generate_embedding",
 ]
 
 

@@ -190,7 +190,12 @@ def extract_bqml_query(stmt: str) -> str | None:
     # containing "))" would otherwise be truncated in dry-run planning
     from ..dialect import _balanced_end, _split_top_level
 
-    for fn in ("ML.PREDICT", "ML.EVALUATE", "ML.DETECT_ANOMALIES"):
+    for fn in (
+        "ML.PREDICT",
+        "ML.EVALUATE",
+        "ML.DETECT_ANOMALIES",
+        "ML.GENERATE_EMBEDDING",
+    ):
         pm = re.search(
             r"\b" + fn.replace(".", r"\.") + r"\s*\(", stmt, re.IGNORECASE
         )
@@ -386,6 +391,84 @@ def rewrite_ml_predict(
         return view
 
     return _sub_ml_table_calls(stmt, "ML.PREDICT", handler)
+
+
+EMBED_DIM = 8
+
+
+def rewrite_ml_generate_embedding(
+    spark: SparkSession, stmt: str, registry: ModelRegistry
+) -> str:
+    """Replace ``ML.GENERATE_EMBEDDING(MODEL m, (q))`` with a temp view
+    adding ``ml_generate_embedding_result`` (ARRAY<FLOAT64>) and
+    ``ml_generate_embedding_status`` ('' on success) to the input rows
+    — BigQuery's output contract for text embedding
+    (the input query must expose a ``content`` STRING column).
+
+    DOCUMENTED DIVERGENCE: BigQuery delegates to a hosted remote model
+    over a connection; no such endpoint exists in-cluster, so the
+    engine substitutes a deterministic signed feature-hashing
+    projector (SimHash-style random projection of the hashed
+    bag-of-tokens — Charikar 2002; Weinberger et al. 2009): dimension
+    d of a document is the sum of ±1 votes hash(token:d) over its
+    tokens, L2-normalized. The vectors are NOT semantically comparable
+    to a neural embedder's, but they are reproducible across engines
+    (md5-prefix hash, oracle-checkable) and preserve token-overlap
+    cosine structure — exactly the property downstream VECTOR_SEARCH /
+    ANN pipelines exercise end-to-end. The model name is accepted and
+    logged, never required to exist (BigQuery's remote models hold no
+    local state). Everything is JVM-side HOFs: the embed pass is
+    map-only at any corpus size."""
+    from ..functions import hash_str
+
+    counter = [0]
+
+    def handler(name: str, args: list[str]) -> str:
+        if not args:
+            raise ValueError(
+                "ML.GENERATE_EMBEDDING needs (MODEL m, (query))"
+            )
+        df = spark.sql(_inner_query(args[0]))
+        if "content" not in df.columns:
+            raise ValueError(
+                "ML.GENERATE_EMBEDDING: the input query must expose a"
+                " 'content' STRING column (BigQuery's contract)"
+            )
+        toks = F.filter(
+            F.split(F.lower(F.col("content")), "[^a-z0-9]+"),
+            lambda x: x != "",
+        )
+        def _comp(d: int):
+            return F.aggregate(
+                toks,
+                F.lit(0.0),
+                lambda acc, t: acc
+                + F.when(
+                    F.pmod(
+                        hash_str(F.concat(t, F.lit(f":{d}"))), F.lit(2)
+                    )
+                    == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            )
+
+        comps = [_comp(d) for d in range(EMBED_DIM)]
+        emb = F.array(*comps)
+        norm = F.sqrt(
+            F.aggregate(emb, F.lit(0.0), lambda a, x: a + x * x)
+        )
+        result = F.when(
+            norm > 0, F.transform(emb, lambda x: x / norm)
+        ).otherwise(emb)
+        out = df.withColumn(
+            "ml_generate_embedding_result", result
+        ).withColumn("ml_generate_embedding_status", F.lit(""))
+        counter[0] += 1
+        view = f"__ml_generate_embedding_{counter[0]}"
+        out.createOrReplaceTempView(view)
+        return view
+
+    return _sub_ml_table_calls(stmt, "ML.GENERATE_EMBEDDING", handler)
 
 
 def _model_feature_rows(model, meta: dict) -> list[tuple[str, float]]:

@@ -1780,6 +1780,82 @@ SELECT 'R163' AS sx_r, 'R163' AS sx_r2, 'A261' AS sx_a,
 """
 
 
+def bqml_generate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG composition in one script: ML.GENERATE_EMBEDDING over a
+    document slice (deterministic feature-hashing projector — see
+    ml/sql_ml.rewrite_ml_generate_embedding for the documented
+    divergence from BigQuery's remote models), materialized as a view,
+    then VECTOR_SEARCH over the embedded corpus with a cosine probe.
+    top_k covers the whole slice so the deterministic outer ORDER BY
+    (dist, base_id) — not the window cut — decides the result under
+    8-dim distance ties."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE TEMPORARY VIEW emb_docs AS
+    SELECT doc_id, ml_generate_embedding_result AS embedding,
+           ml_generate_embedding_status AS status
+    FROM ML.GENERATE_EMBEDDING(MODEL `p.d.text_embedder`,
+      (SELECT doc_id, text AS content FROM documents WHERE doc_id < 120));
+    SELECT query.doc_id AS query_id, base.doc_id AS base_id,
+           ROUND(distance, 6) AS dist,
+           ROUND(base.embedding[OFFSET(0)], 6) AS e0,
+           base.status AS status
+    FROM VECTOR_SEARCH(TABLE emb_docs, 'embedding',
+      (SELECT doc_id, embedding FROM emb_docs WHERE doc_id = 3),
+      top_k => 500, distance_type => 'COSINE')
+    ORDER BY dist, base_id LIMIT 10
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+def _bqml_gen_emb_oracle() -> str:
+    dim = 8
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x != '')) AS t
+  FROM documents WHERE doc_id < 120
+), votes AS (
+  SELECT doc_id, d,
+         SUM(CASE WHEN (('0x' || substr(md5(t || ':' || d), 1, 15))::BIGINT
+                        % 2) = 0 THEN 1.0 ELSE -1.0 END) AS v
+  FROM toks CROSS JOIN (SELECT UNNEST(range(0, {dim})) AS d)
+  GROUP BY doc_id, d
+), raw_emb AS (
+  SELECT doc_id, list(v ORDER BY d) AS e FROM votes GROUP BY doc_id
+), emb AS (
+  SELECT doc_id,
+         CASE WHEN sqrt(list_sum(list_transform(e, y -> y * y))) > 0
+              THEN list_transform(e,
+                     x -> x / sqrt(list_sum(list_transform(e, y -> y * y))))
+              ELSE e END AS e
+  FROM raw_emb
+), q AS (
+  SELECT e AS qe FROM emb WHERE doc_id = 3
+), scored AS (
+  SELECT b.doc_id AS base_id,
+         1 - list_sum(list_transform(range(1, {dim} + 1),
+               i -> b.e[i] * qe[i]))
+           / (sqrt(list_sum(list_transform(b.e, x -> x * x)))
+              * sqrt(list_sum(list_transform(qe, x -> x * x)))) AS dist,
+         b.e[1] AS e0
+  FROM emb b, q
+)
+SELECT CAST(3 AS BIGINT) AS query_id, base_id, ROUND(dist, 6) AS dist,
+       ROUND(e0, 6) AS e0, '' AS status
+FROM scored ORDER BY dist, base_id LIMIT 10
+"""
+
+
+BQML_GEN_EMB_SQL = _bqml_gen_emb_oracle()
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -1990,6 +2066,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q62_information_schema": (q62_information_schema, Q62_SQL),
     "q63_search": (q63_search, Q63_SQL),
     "q64_bq_functions8": (q64_bq_functions8, Q64_SQL),
+    "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
     "q50_hll_approx": (q50_hll_approx, Q50_APPROX_SQL),
     "q36_qualify": (q36_qualify, Q36_SQL),

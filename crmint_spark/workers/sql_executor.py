@@ -771,6 +771,7 @@ class SparkSQLExecutor(Worker):
         statements. Shared by the script loop and EXECUTE IMMEDIATE."""
         from ..ml.sql_ml import (
             rewrite_ml_evaluate,
+            rewrite_ml_generate_embedding,
             rewrite_ml_global_explain,
             rewrite_ml_predict,
             rewrite_ml_weights,
@@ -814,6 +815,7 @@ class SparkSQLExecutor(Worker):
             return training_df
         stmt = rewrite_ml_predict(spark, stmt, registry)
         stmt = rewrite_ml_evaluate(spark, stmt, registry)
+        stmt = rewrite_ml_generate_embedding(spark, stmt, registry)
         stmt = rewrite_ml_weights(spark, stmt, registry)
         stmt = rewrite_ml_global_explain(spark, stmt, registry)
         stmt = rewrite_ml_forecast(spark, stmt, registry)

@@ -562,3 +562,44 @@ def test_ml_data_split_seq_and_custom(ctx, spark):
     assert hold2.count() == 150
     w2 = _run(ctx, "SELECT * FROM ML.EVALUATE(MODEL `p.d.cust`)")
     assert 0.0 <= w2.result.first()["accuracy"] <= 1.0
+
+
+def test_ml_generate_embedding_contract(spark, tmp_path):
+    """ML.GENERATE_EMBEDDING: BigQuery output contract (result array +
+    status), L2-normalized deterministic vectors, content-column
+    validation, and dry-run planning."""
+    import pytest as _pytest
+
+    from crmint_spark.catalog import Catalog
+    from crmint_spark.ml.sql_ml import EMBED_DIM
+    from crmint_spark.workers.base import WorkerContext, WorkerException
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+    script = """
+    SELECT * FROM ML.GENERATE_EMBEDDING(MODEL `p.d.embedder`,
+      (SELECT 'alpha beta' AS content UNION ALL SELECT 'alpha beta'
+       UNION ALL SELECT 'gamma delta'))
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, ctx)
+    w.execute()
+    rows = w.result.collect()
+    assert len(rows) == 3
+    for r in rows:
+        v = r["ml_generate_embedding_result"]
+        assert len(v) == EMBED_DIM
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+        assert r["ml_generate_embedding_status"] == ""
+    same = [r for r in rows if r["content"] == "alpha beta"]
+    assert same[0]["ml_generate_embedding_result"] == same[1][
+        "ml_generate_embedding_result"
+    ]
+    # dry run plans the inner query without executing
+    SparkSQLExecutor({"script": script, "dry_run": True}, ctx).execute()
+    # missing content column -> descriptive error
+    bad = """
+    SELECT * FROM ML.GENERATE_EMBEDDING(MODEL `p.d.embedder`,
+      (SELECT 'x' AS body))
+    """
+    with _pytest.raises((WorkerException, ValueError), match="content"):
+        SparkSQLExecutor({"script": bad, "dry_run": False}, ctx).execute()
