@@ -400,6 +400,100 @@ class SparkSQLExecutor(Worker):
                 return json.load(fh)
         return {}
 
+    _VALID_INDEX_OPTS = {
+        "VECTOR": {
+            "index_type": {"IVF", "TREE_AH"},
+            "distance_type": {"EUCLIDEAN", "COSINE", "DOT_PRODUCT"},
+        },
+        "SEARCH": {"analyzer": {"LOG_ANALYZER", "NO_OP_ANALYZER"}},
+    }
+
+    def _index_store(self) -> dict:
+        cat = self._ctx.catalog
+        if cat is not None:
+            if not hasattr(cat, "_indexes"):
+                cat._indexes = {}
+            return cat._indexes
+        if not hasattr(self, "_session_indexes"):
+            self._session_indexes = {}
+        return self._session_indexes
+
+    def _try_index_ddl(self, sub: str) -> bool:
+        """``CREATE [OR REPLACE] VECTOR|SEARCH INDEX ... ON t(cols)
+        [OPTIONS(...)]`` / ``DROP VECTOR|SEARCH INDEX`` — BigQuery's
+        index DDL is metadata-only from the query's point of view
+        (queries keep their text; the service may or may not use the
+        index), so the engine validates + records the index and keeps
+        serving VECTOR_SEARCH / SEARCH() from the exact path. The
+        materialized acceleration layouts the index names exist as
+        first-class operators instead: operators/ivf.py + pq.py for
+        IVF/IVF-PQ, text.inverted_index_search for the search index."""
+        m = re.match(
+            r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(VECTOR|SEARCH)\s+INDEX\s+"
+            r"(IF\s+NOT\s+EXISTS\s+)?`?([\w.\-]+)`?\s+ON\s+"
+            r"`?([\w.\-]+)`?\s*\((.*?)\)\s*(.*)$",
+            sub,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            kind = m.group(1).upper()
+            name, table = m.group(3), m.group(4)
+            cols = m.group(5).strip()
+            rest = m.group(6) or ""
+            opts: dict[str, str] = {}
+            mo = re.search(r"OPTIONS\s*\(", rest, re.IGNORECASE)
+            if mo:
+                from ..dialect import _balanced_end, _split_top_level
+
+                end = _balanced_end(rest, mo.end() - 1)
+                for kv in _split_top_level(rest[mo.end() : end - 1]):
+                    mk = re.match(r"\s*(\w+)\s*=\s*(.+)$", kv, re.DOTALL)
+                    if mk:
+                        opts[mk.group(1).lower()] = (
+                            mk.group(2).strip().strip("'\"")
+                        )
+            valid = self._VALID_INDEX_OPTS[kind]
+            for k, allowed in valid.items():
+                if k in opts and opts[k].upper() not in allowed:
+                    raise WorkerException(
+                        f"CREATE {kind} INDEX: invalid {k}={opts[k]!r}"
+                        f" (one of {sorted(allowed)})"
+                    )
+            store = self._index_store()
+            if m.group(2) and name in store:
+                self.log_info(f"{kind} INDEX {name} exists; skipped")
+                return True
+            store[name] = {
+                "kind": kind,
+                "table": table,
+                "columns": cols,
+                "options": opts,
+            }
+            self.log_info(
+                f"CREATE {kind} INDEX {name} ON {table}({cols}) recorded;"
+                " queries continue on the exact path (materialized"
+                " acceleration: operators/ivf.py, pq.py,"
+                " text.inverted_index_search)"
+            )
+            return True
+        d = re.match(
+            r"^\s*DROP\s+(VECTOR|SEARCH)\s+INDEX\s+(IF\s+EXISTS\s+)?"
+            r"`?([\w.\-]+)`?(?:\s+ON\s+`?[\w.\-]+`?)?\s*$",
+            sub,
+            re.IGNORECASE,
+        )
+        if d:
+            name = d.group(3)
+            store = self._index_store()
+            if name not in store and not d.group(2):
+                raise WorkerException(
+                    f"DROP {d.group(1).upper()} INDEX: {name} does not exist"
+                )
+            store.pop(name, None)
+            self.log_info(f"DROP {d.group(1).upper()} INDEX {name}")
+            return True
+        return False
+
     def _try_table_function_ddl(self, sub: str) -> bool:
         """``CREATE [OR REPLACE] TABLE FUNCTION f(p TYPE, ...) AS
         (query)`` persists the parameterized query per catalog. The body
@@ -783,6 +877,8 @@ class SparkSQLExecutor(Worker):
         )
 
         spark = self._ctx.spark
+        if self._try_index_ddl(sub):
+            return None
         if self._try_table_function_ddl(sub):
             return None
         if self._try_drop_alter(sub):

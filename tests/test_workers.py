@@ -1128,3 +1128,33 @@ def test_information_schema_views(spark, tmp_path):
     assert [r[0] for r in schemas] == ["dsq"]
     with _pytest.raises(Exception, match="unknown|ambiguous"):
         run("SELECT * FROM nosuch.INFORMATION_SCHEMA.TABLES")
+
+
+def test_vector_and_search_index_ddl(ctx):
+    """CREATE/DROP VECTOR|SEARCH INDEX: metadata-only (BigQuery
+    semantics — queries keep their text), options validated, drops
+    checked for existence."""
+    import pytest as _pytest
+
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    def run(script):
+        w = SparkSQLExecutor({"script": script, "dry_run": False}, ctx)
+        w.execute()
+        return w
+
+    w = run(
+        "CREATE VECTOR INDEX vidx ON p.d.emb(embedding)"
+        " OPTIONS(index_type='IVF', distance_type='COSINE');"
+        "CREATE SEARCH INDEX sidx ON p.d.docs(ALL COLUMNS);"
+        "CREATE VECTOR INDEX IF NOT EXISTS vidx ON p.d.emb(embedding)"
+    )
+    assert any("recorded" in line for line in w.log)
+    assert any("skipped" in line for line in w.log)
+    run("DROP VECTOR INDEX vidx ON p.d.emb; DROP SEARCH INDEX sidx;"
+        " DROP VECTOR INDEX IF EXISTS vidx")
+    with _pytest.raises(WorkerException, match="does not exist"):
+        run("DROP VECTOR INDEX nope")
+    with _pytest.raises(WorkerException, match="invalid distance_type"):
+        run("CREATE VECTOR INDEX bad ON p.d.emb(embedding)"
+            " OPTIONS(distance_type='MANHATTAN')")
