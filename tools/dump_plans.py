@@ -120,6 +120,32 @@ SHOW = [
         "power-iteration steps are stride-sample scans + d-scalar "
         "shuffles; the result frame itself is a 64-row local relation",
     ),
+    (
+        "q59_vector_search",
+        "VECTOR_SEARCH TVF: probe side broadcast (BroadcastNestedLoop"
+        "Join BuildLeft), HOF distance in codegen, WindowGroupLimit "
+        "partial top-k BEFORE the exchange",
+    ),
+    (
+        "dedup_char_spans",
+        "char-gram grid explode -> distinct-doc count on gram digest "
+        "(text never shuffles) -> per-doc lag-window span merge",
+    ),
+    (
+        "corpus_dsir_weights",
+        "two fixed-B-row language models broadcast into the per-doc "
+        "scoring join; shuffle rows carry (doc, bucket, count) only",
+    ),
+    (
+        "ann_binary_hamming_topk",
+        "1-bit codes: map-only bit_count(xor) Hamming scan + "
+        "candidate-bounded rerank with PushedFilters In(vec_id, ...)",
+    ),
+    (
+        "text_inverted_index",
+        "postings explode + distinct; query touches only its own "
+        "token posting lists (token IN filter before the join)",
+    ),
 ]
 
 

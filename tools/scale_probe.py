@@ -63,6 +63,15 @@ PROBE = [
     "ann_ivfpq_rerank_topk",
     "embedding_pca_top_component",
     "q57_kll_quantiles",
+    # round 5b: char-grid substring spans, DSIR, inverted index, binary
+    # hamming, vector-search TVF, embed->search RAG chain, BPE encode
+    "dedup_char_spans",
+    "corpus_dsir_weights",
+    "text_inverted_index",
+    "ann_binary_hamming_topk",
+    "q59_vector_search",
+    "bqml_generate_embedding",
+    "corpus_bpe_encode",
 ]
 
 # key columns to shift per copy so joins stay consistent and
