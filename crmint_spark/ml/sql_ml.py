@@ -182,7 +182,7 @@ def extract_bqml_query(stmt: str) -> str | None:
     """The inner SELECT of a BQML statement, for dry-run planning
     (CREATE MODEL ... AS <q>; ML.PREDICT/ML.EVALUATE(MODEL m, (<q>)));
     None if the statement isn't BQML."""
-    m = _CREATE_MODEL_RE.match(stmt)
+    m = _CREATE_MODEL_RE.match(_split_transform(stmt)[0])
     if m:
         q = m.group(3).strip()
         return q[1:-1] if q.startswith("(") and q.endswith(")") else q
@@ -211,18 +211,92 @@ def extract_bqml_query(stmt: str) -> str | None:
     return None
 
 
+def _split_transform(stmt: str) -> tuple[str, str | None]:
+    """Detach a ``CREATE MODEL name TRANSFORM(select_list) OPTIONS...``
+    clause (BigQuery's model-embedded preprocessing): returns the
+    statement with the clause removed plus the raw select list, or
+    (stmt, None). Balanced-paren scan — the expressions contain
+    parens."""
+    m = re.match(
+        r"(\s*CREATE\s+(?:OR\s+REPLACE\s+)?MODEL\s+`?[\w.\-]+`?\s*)"
+        r"TRANSFORM\s*\(",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        return stmt, None
+    from ..dialect import _balanced_end
+
+    open_idx = stmt.rindex("(", 0, m.end())
+    end = _balanced_end(stmt, open_idx)
+    if end < 0:
+        return stmt, None
+    return m.group(1) + stmt[end:], stmt[open_idx + 1 : end - 1].strip()
+
+
+def _transform_items(transform_sql: str, drop_label: str | None) -> list[str]:
+    """Top-level select-list items of a TRANSFORM clause, minus items
+    that merely pass the label through (at prediction time the label
+    column does not exist — BigQuery likewise serves predictions
+    without it)."""
+    from ..dialect import _split_top_level
+
+    items = []
+    for it in (s.strip() for s in _split_top_level(transform_sql)):
+        if not it:
+            continue
+        if drop_label and (
+            it == drop_label
+            or re.search(
+                rf"\bAS\s+`?{re.escape(drop_label)}`?\s*$", it, re.IGNORECASE
+            )
+        ):
+            continue
+        items.append(it)
+    return items
+
+
+def _apply_transform(
+    spark: SparkSession,
+    inner: str,
+    meta: dict,
+    cte: str = "",
+    drop_label: bool = False,
+) -> DataFrame:
+    """Run the model's persisted TRANSFORM select list over an input
+    query (prediction/evaluation inputs get the same preprocessing the
+    model was trained with — the whole point of the clause)."""
+    tf = meta.get("transform_sql")
+    if not tf:
+        return spark.sql(f"{cte} {inner}" if cte else inner)
+    items = _transform_items(tf, meta.get("label") if drop_label else None)
+    sel = ", ".join(items)
+    return spark.sql(
+        f"{cte} SELECT {sel} FROM ({inner}) AS __transform_src"
+        if cte
+        else f"SELECT {sel} FROM ({inner}) AS __transform_src"
+    )
+
+
 def try_create_model(
     spark: SparkSession, stmt: str, registry: ModelRegistry
 ) -> DataFrame | None:
     """If stmt is CREATE MODEL, fit + save the model and return the
     training-input DataFrame (callers surface it as the statement
     result); None if the statement isn't CREATE MODEL."""
+    stmt, transform_sql = _split_transform(stmt)
     m = _CREATE_MODEL_RE.match(stmt)
     if not m:
         return None
     name, opts_raw, query = m.group(1), m.group(2), m.group(3).strip()
     if query.startswith("(") and query.endswith(")"):
         query = query[1:-1]
+    if transform_sql:
+        # training consumes the TRANSFORMED columns; the raw query and
+        # the clause are both persisted so predict/evaluate replay it
+        query = (
+            f"SELECT {transform_sql} FROM ({query}) AS __transform_src"
+        )
     opts = _parse_options(opts_raw)
     model_type = str(opts.pop("MODEL_TYPE", "LOGISTIC_REG")).upper()
     label_cols = opts.pop("INPUT_LABEL_COLS", ["label"])
@@ -304,9 +378,12 @@ def try_create_model(
             "label": label,
             "features": feature_cols,
             # persisted so no-input ML.EVALUATE can rebuild the held-out
-            # split (BigQuery's evaluate-on-reserved-split behavior)
+            # split (BigQuery's evaluate-on-reserved-split behavior);
+            # source_sql already includes the TRANSFORM projection
             "source_sql": query,
             "data_split": split_meta,
+            # raw clause replayed over ML.PREDICT / ML.EVALUATE inputs
+            "transform_sql": transform_sql,
         },
     )
     return df
@@ -374,7 +451,7 @@ def rewrite_ml_predict(
     def handler(name: str, args: list[str]) -> str:
         inner = _inner_query(args[0])
         model, meta = _load(registry, name)
-        df = spark.sql(f"{cte} {inner}" if cte else inner)
+        df = _apply_transform(spark, inner, meta, cte, drop_label=True)
         if is_classifier(meta["model_type"]):
             scored = predict_with_probability(model, df).withColumnRenamed(
                 "prediction", "predicted_label"
@@ -613,7 +690,9 @@ def rewrite_ml_evaluate(
             view = f"__ml_evaluate_{counter[0]}"
             metrics.createOrReplaceTempView(view)
             return view
-        df = spark.sql(f"{cte} {inner}" if cte else inner)
+        # evaluation inputs carry the label, so the full TRANSFORM list
+        # (label pass-through included) replays over them
+        df = _apply_transform(spark, inner, meta, cte, drop_label=False)
         return _metrics_view(name, df)
 
     def _metrics_view(name: str, df: DataFrame) -> str:

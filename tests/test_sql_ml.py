@@ -603,3 +603,67 @@ def test_ml_generate_embedding_contract(spark, tmp_path):
     """
     with _pytest.raises((WorkerException, ValueError), match="content"):
         SparkSQLExecutor({"script": bad, "dry_run": False}, ctx).execute()
+
+
+def test_create_model_transform_clause(spark, tmp_path):
+    """CREATE MODEL ... TRANSFORM(list) OPTIONS(...): training fits on
+    the transformed columns; ML.PREDICT and ML.EVALUATE replay the
+    clause over raw inputs (predict inputs without the label work —
+    label pass-through items are dropped); no-input ML.EVALUATE uses
+    the persisted transformed source."""
+    from crmint_spark.catalog import Catalog
+    from crmint_spark.workers.base import WorkerContext
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+    spark.createDataFrame(
+        [(float(i), float(i % 7), 1 if i % 2 else 0) for i in range(200)],
+        "f1 double, f2 double, label int",
+    ).createOrReplaceTempView("tf_train")
+
+    def run(script):
+        w = SparkSQLExecutor({"script": script, "dry_run": False}, ctx)
+        w.execute()
+        return w.result
+
+    run(
+        "CREATE OR REPLACE MODEL `p.d.tfm`"
+        " TRANSFORM(f1 * 2 AS f1x, IF(f2 > 3, 1.0, 0.0) AS f2b, label)"
+        " OPTIONS(MODEL_TYPE='LOGISTIC_REG', INPUT_LABEL_COLS=['label'],"
+        " DATA_SPLIT_METHOD='NO_SPLIT')"
+        " AS SELECT f1, f2, label FROM tf_train"
+    )
+    # prediction input has NO label column — transform must still apply
+    pred = run(
+        "SELECT * FROM ML.PREDICT(MODEL `p.d.tfm`,"
+        " (SELECT f1, f2 FROM tf_train LIMIT 5))"
+    )
+    rows = pred.collect()
+    assert len(rows) == 5
+    assert "predicted_label" in pred.columns
+    assert "f1x" in pred.columns and "f2b" in pred.columns
+    # evaluate with an explicit (raw) input
+    ev = run(
+        "SELECT * FROM ML.EVALUATE(MODEL `p.d.tfm`,"
+        " (SELECT f1, f2, label FROM tf_train))"
+    ).collect()
+    assert len(ev) == 1
+    # no-input evaluate (persisted transformed source, NO_SPLIT ->
+    # whole training input)
+    ev2 = run("SELECT * FROM ML.EVALUATE(MODEL `p.d.tfm`)").collect()
+    assert len(ev2) == 1
+    # dry run of the TRANSFORM statement plans its inner query
+    w = SparkSQLExecutor(
+        {
+            "script": (
+                "CREATE OR REPLACE MODEL `p.d.tfm2`"
+                " TRANSFORM(f1 * 2 AS f1x, label)"
+                " OPTIONS(MODEL_TYPE='LOGISTIC_REG') AS"
+                " SELECT f1, label FROM tf_train"
+            ),
+            "dry_run": True,
+        },
+        ctx,
+    )
+    w.execute()
+    assert any("dry run OK" in line for line in w.log)
