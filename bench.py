@@ -124,6 +124,7 @@ SECONDARY = [
     "text_inverted_index",
     "q64_bq_functions8",
     "bqml_generate_embedding",
+    "bqml_arima_evaluate",
 ]
 
 

@@ -480,3 +480,69 @@ def rewrite_ml_detect_anomalies(
         return view
 
     return _sub_ml_table_calls(stmt, "ML.DETECT_ANOMALIES", handler)
+
+
+_ML_ARIMA_EVALUATE_RE = re.compile(
+    r"ML\.ARIMA_EVALUATE\s*\(\s*MODEL\s+`?([\w.\-]+)`?\s*"
+    r"(?:,\s*STRUCT\s*\([^)]*\)\s*)?\)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_ml_arima_evaluate(
+    spark: SparkSession, stmt: str, registry
+) -> str:
+    """Replace ``ML.ARIMA_EVALUATE(MODEL m)`` with a per-series
+    fit-diagnostics view in BigQuery's column shape: non_seasonal_p/d/q,
+    has_drift, log_likelihood, AIC, variance, seasonal_periods.
+
+    DOCUMENTED DIVERGENCE (same note as the module header): the fitted
+    model is the deterministic Holt / Holt-Winters substitute, so there
+    is no ARIMA order search — non_seasonal_p/d/q are NULL and the
+    likelihood/AIC describe the exponential-smoothing fit (gaussian
+    one-step residuals; k = 4 params for plain Holt, 5 + period for the
+    seasonal fit). The diagnostics are exact functions of the persisted
+    fold state, so the DuckDB oracle reproduces every value."""
+    import math
+
+    counter = [0]
+
+    def repl(m: re.Match) -> str:
+        meta = registry.load_meta(m.group(1))
+        rows = []
+        for s in meta["state"]:
+            n_resid = int(s.get("n_resid", s["n_obs"] - 1))
+            per = int(s.get("period", 0))
+            variance = s["sse"] / n_resid
+            ll = (
+                -(n_resid / 2.0) * (math.log(2.0 * math.pi * variance) + 1.0)
+                if variance > 0
+                else None
+            )
+            k = 5 + per if per > 0 else 4
+            rows.append(
+                (
+                    s["series_id"],
+                    None,
+                    None,
+                    None,
+                    False,
+                    round(ll, 6) if ll is not None else None,
+                    round(-2.0 * ll + 2.0 * k, 6) if ll is not None else None,
+                    round(variance, 6),
+                    per if per > 0 else None,
+                )
+            )
+        df = spark.createDataFrame(
+            rows,
+            "series_id string, non_seasonal_p bigint, non_seasonal_d bigint,"
+            " non_seasonal_q bigint, has_drift boolean,"
+            " log_likelihood double, aic double, variance double,"
+            " seasonal_periods bigint",
+        )
+        counter[0] += 1
+        view = f"__ml_arima_evaluate_{counter[0]}"
+        df.createOrReplaceTempView(view)
+        return view
+
+    return _ML_ARIMA_EVALUATE_RE.sub(repl, stmt)

@@ -607,3 +607,56 @@ BQML_QUERIES["bqml_detect_anomalies"] = (
     bqml_detect_anomalies,
     BQML_DETECT_SQL,
 )
+
+
+def bqml_arima_evaluate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML.ARIMA_EVALUATE over the fitted ARIMA_PLUS model: per-series
+    fit diagnostics in BigQuery's column shape. The engine's Holt /
+    Holt-Winters substitute has no ARIMA order search, so
+    non_seasonal_p/d/q are NULL (documented divergence) and the
+    gaussian log-likelihood / AIC / variance are exact functions of the
+    persisted fold state — the oracle replays the same fold."""
+    from .catalog import register_testdata
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE MODEL `p.d.rev_fit`
+    OPTIONS(MODEL_TYPE='ARIMA_PLUS',
+            TIME_SERIES_TIMESTAMP_COL='day',
+            TIME_SERIES_DATA_COL='y',
+            TIME_SERIES_ID_COL='event_type') AS (
+      SELECT event_type, TIMESTAMP_TRUNC(ts, DAY) AS day,
+             ROUND(SUM(value), 6) AS y
+      FROM events GROUP BY event_type, day
+    );
+    SELECT * FROM ML.ARIMA_EVALUATE(MODEL `p.d.rev_fit`)
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False}, WorkerContext(spark)
+    )
+    w.execute()
+    return w.result
+
+
+BQML_ARIMA_EVALUATE_SQL = f"""
+WITH {_HW_FIT_CTES}
+SELECT event_type AS series_id,
+  CAST(NULL AS BIGINT) AS non_seasonal_p,
+  CAST(NULL AS BIGINT) AS non_seasonal_d,
+  CAST(NULL AS BIGINT) AS non_seasonal_q,
+  FALSE AS has_drift,
+  ROUND(-(n_resid / 2.0) * (ln(2 * pi() * (f[3] / n_resid)) + 1), 6)
+    AS log_likelihood,
+  ROUND(n_resid * (ln(2 * pi() * (f[3] / n_resid)) + 1)
+        + 2 * (CASE WHEN per > 0 THEN 5 + per ELSE 4 END), 6) AS aic,
+  ROUND(f[3] / n_resid, 6) AS variance,
+  CASE WHEN per > 0 THEN CAST(per AS BIGINT) END AS seasonal_periods
+FROM fitted
+"""
+
+BQML_QUERIES["bqml_arima_evaluate"] = (
+    bqml_arima_evaluate,
+    BQML_ARIMA_EVALUATE_SQL,
+)

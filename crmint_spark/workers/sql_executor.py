@@ -872,6 +872,7 @@ class SparkSQLExecutor(Worker):
             try_create_model,
         )
         from ..ml.forecast import (
+            rewrite_ml_arima_evaluate,
             rewrite_ml_detect_anomalies,
             rewrite_ml_forecast,
         )
@@ -915,6 +916,7 @@ class SparkSQLExecutor(Worker):
         stmt = rewrite_ml_weights(spark, stmt, registry)
         stmt = rewrite_ml_global_explain(spark, stmt, registry)
         stmt = rewrite_ml_forecast(spark, stmt, registry)
+        stmt = rewrite_ml_arima_evaluate(spark, stmt, registry)
         stmt = rewrite_ml_detect_anomalies(spark, stmt, registry)
         last: DataFrame | None = None
         for piece in expand_create_or_replace_table(stmt):
@@ -1342,6 +1344,12 @@ class SparkSQLExecutor(Worker):
         shapes = {
             "ML.WEIGHTS": "processed_input STRING, weight DOUBLE",
             "ML.GLOBAL_EXPLAIN": "feature STRING, attribution DOUBLE",
+            "ML.ARIMA_EVALUATE": (
+                "series_id STRING, non_seasonal_p BIGINT, "
+                "non_seasonal_d BIGINT, non_seasonal_q BIGINT, "
+                "has_drift BOOLEAN, log_likelihood DOUBLE, aic DOUBLE, "
+                "variance DOUBLE, seasonal_periods BIGINT"
+            ),
             "ML.FORECAST": (
                 "series_id STRING, step INT, forecast_ts_us BIGINT, "
                 "forecast_value DOUBLE, standard_error DOUBLE, "
