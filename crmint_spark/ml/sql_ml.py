@@ -338,6 +338,73 @@ def try_create_model(
             },
         )
         return df
+    if model_type == "MATRIX_FACTORIZATION":
+        # collaborative filtering -> Spark ALS (the same alternating-
+        # least-squares family BigQuery documents for this model type).
+        # seed fixed for reproducibility; factors are still not
+        # SQL-reproducible, so the registry entry is rows-only and the
+        # pytest checks fit quality + determinism instead of an oracle.
+        from pyspark.ml import Pipeline as _Pipeline
+        from pyspark.ml.feature import StringIndexer as _SI
+        from pyspark.ml.recommendation import ALS
+
+        user_col = str(opts.get("USER_COL", "user")).strip("'\"")
+        item_col = str(opts.get("ITEM_COL", "item")).strip("'\"")
+        rating_col = str(opts.get("RATING_COL", "rating")).strip("'\"")
+        feedback = (
+            str(opts.get("FEEDBACK_TYPE", "EXPLICIT")).strip("'\"").upper()
+        )
+        for c in (user_col, item_col, rating_col):
+            if c not in df.columns:
+                raise ValueError(
+                    f"MATRIX_FACTORIZATION: column {c!r} missing from the"
+                    f" training query (have {df.columns})"
+                )
+        stages = [
+            _SI(
+                inputCol=user_col,
+                outputCol=f"__{user_col}_idx",
+                handleInvalid="keep",
+            ),
+            _SI(
+                inputCol=item_col,
+                outputCol=f"__{item_col}_idx",
+                handleInvalid="keep",
+            ),
+            ALS(
+                rank=int(opts.get("NUM_FACTORS", 16)),
+                maxIter=int(opts.get("MAX_ITERATIONS", 20)),
+                regParam=float(opts.get("L2_REG", 1.0)),
+                implicitPrefs=feedback == "IMPLICIT",
+                userCol=f"__{user_col}_idx",
+                itemCol=f"__{item_col}_idx",
+                ratingCol=rating_col,
+                seed=42,
+                coldStartStrategy="drop",
+            ),
+        ]
+        model = _Pipeline(stages=stages).fit(
+            df.withColumn(user_col, F.col(user_col).cast("string"))
+            .withColumn(item_col, F.col(item_col).cast("string"))
+        )
+        dest = registry.path(name)
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        model.write().overwrite().save(dest)
+        registry.save_meta(
+            name,
+            {
+                "model_type": "MATRIX_FACTORIZATION",
+                "label": rating_col,
+                "user_col": user_col,
+                "item_col": item_col,
+                "rating_col": rating_col,
+                "feedback": feedback,
+                "source_sql": query,
+                "transform_sql": transform_sql,
+            },
+        )
+        return df
     train_df, split_meta = _resolve_split(df, opts)
     split_col = split_meta.get("split_col")
     feature_cols = [
@@ -437,6 +504,57 @@ def _load(registry: ModelRegistry, name: str) -> tuple[PipelineModel, dict]:
     return load_model(registry.path(name)), registry.load_meta(name)
 
 
+def _score_mf(model, meta: dict, df: DataFrame) -> DataFrame:
+    """Score user-item rows through a MATRIX_FACTORIZATION pipeline:
+    cast the id columns to string (the indexers' input type) and emit
+    BigQuery's ``predicted_<rating_col>`` output name."""
+    u, i = meta["user_col"], meta["item_col"]
+    out = model.transform(
+        df.withColumn(u, F.col(u).cast("string")).withColumn(
+            i, F.col(i).cast("string")
+        )
+    ).withColumnRenamed("prediction", f"predicted_{meta['rating_col']}")
+    return out.drop(f"__{u}_idx", f"__{i}_idx")
+
+
+def rewrite_ml_recommend(
+    spark: SparkSession, stmt: str, registry: ModelRegistry
+) -> str:
+    """Replace ``ML.RECOMMEND(MODEL m[, (user query)])`` with a scored
+    view. BigQuery semantics: without an input, every (user, item) pair
+    from the training data is scored; with an input query, only the
+    input's users are paired against all training items. The
+    users-by-items cross product is intentional — identical to
+    BigQuery, which warns about its size; at scale pass an input query
+    (the cross join then broadcasts the item side, |items| rows)."""
+    counter = [0]
+
+    def handler(name: str, args: list[str]) -> str:
+        model, meta = _load(registry, name)
+        if meta["model_type"] != "MATRIX_FACTORIZATION":
+            raise ValueError(
+                f"ML.RECOMMEND: model `{name}` is"
+                f" {meta['model_type']}, not MATRIX_FACTORIZATION"
+            )
+        u, i = meta["user_col"], meta["item_col"]
+        src = spark.sql(meta["source_sql"])
+        users = (
+            spark.sql(_inner_query(args[0])).select(u).distinct()
+            if args
+            else src.select(u).distinct()
+        )
+        items = src.select(i).distinct()
+        scored = _score_mf(
+            model, meta, users.crossJoin(F.broadcast(items))
+        )
+        counter[0] += 1
+        view = f"__ml_recommend_{counter[0]}"
+        scored.createOrReplaceTempView(view)
+        return view
+
+    return _sub_ml_table_calls(stmt, "ML.RECOMMEND", handler)
+
+
 def rewrite_ml_predict(
     spark: SparkSession, stmt: str, registry: ModelRegistry
 ) -> str:
@@ -452,7 +570,9 @@ def rewrite_ml_predict(
         inner = _inner_query(args[0])
         model, meta = _load(registry, name)
         df = _apply_transform(spark, inner, meta, cte, drop_label=True)
-        if is_classifier(meta["model_type"]):
+        if meta["model_type"] == "MATRIX_FACTORIZATION":
+            scored = _score_mf(model, meta, df)
+        elif is_classifier(meta["model_type"]):
             scored = predict_with_probability(model, df).withColumnRenamed(
                 "prediction", "predicted_label"
             )

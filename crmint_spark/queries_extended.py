@@ -715,6 +715,34 @@ GROUP BY c_mktsegment
 """
 
 
+def ml_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRIX_FACTORIZATION end-to-end: train ALS on (user, event_type,
+    interaction count) implicit-style ratings from events, then
+    ML.RECOMMEND for a user slice. Rows-only (ALS factors are not
+    SQL-reproducible — seed-fixed determinism and fit quality are
+    pytest-asserted in test_sql_ml instead)."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE MODEL `p.d.ev_recsys`
+    OPTIONS(MODEL_TYPE='MATRIX_FACTORIZATION', USER_COL='user_id',
+            ITEM_COL='event_type', RATING_COL='rating',
+            NUM_FACTORS=4, MAX_ITERATIONS=8, L2_REG=0.1) AS
+      SELECT user_id, event_type,
+             CAST(COUNT(*) AS FLOAT64) AS rating
+      FROM events GROUP BY user_id, event_type;
+    SELECT user_id, event_type, ROUND(predicted_rating, 2) AS score
+    FROM ML.RECOMMEND(MODEL `p.d.ev_recsys`,
+      (SELECT DISTINCT user_id FROM events WHERE user_id <= 20))
+    ORDER BY user_id, event_type
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
 def ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark ML train/predict over the embeddings table (rows-only:
     model outputs aren't SQL-expressible). Returns per-label prediction
@@ -2079,6 +2107,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     # entries, dropping exactly the one scheduled after these two)
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "ml_train_predict": (ml_train_predict, None),
+    "ml_recommend": (ml_recommend, None),
     "streaming_sessionize": (streaming_sessionize, STREAMING_SESSIONIZE_SQL),
     "streaming_interval_join": (streaming_interval_join, STREAMING_IJOIN_SQL),
     "streaming_stateful_dedup": (

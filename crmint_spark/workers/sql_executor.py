@@ -868,6 +868,7 @@ class SparkSQLExecutor(Worker):
             rewrite_ml_generate_embedding,
             rewrite_ml_global_explain,
             rewrite_ml_predict,
+            rewrite_ml_recommend,
             rewrite_ml_weights,
             try_create_model,
         )
@@ -913,6 +914,7 @@ class SparkSQLExecutor(Worker):
         stmt = rewrite_ml_predict(spark, stmt, registry)
         stmt = rewrite_ml_evaluate(spark, stmt, registry)
         stmt = rewrite_ml_generate_embedding(spark, stmt, registry)
+        stmt = rewrite_ml_recommend(spark, stmt, registry)
         stmt = rewrite_ml_weights(spark, stmt, registry)
         stmt = rewrite_ml_global_explain(spark, stmt, registry)
         stmt = rewrite_ml_forecast(spark, stmt, registry)
@@ -1344,6 +1346,9 @@ class SparkSQLExecutor(Worker):
         shapes = {
             "ML.WEIGHTS": "processed_input STRING, weight DOUBLE",
             "ML.GLOBAL_EXPLAIN": "feature STRING, attribution DOUBLE",
+            "ML.RECOMMEND": (
+                "user STRING, item STRING, predicted_rating DOUBLE"
+            ),
             "ML.ARIMA_EVALUATE": (
                 "series_id STRING, non_seasonal_p BIGINT, "
                 "non_seasonal_d BIGINT, non_seasonal_q BIGINT, "

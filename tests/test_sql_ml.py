@@ -667,3 +667,66 @@ def test_create_model_transform_clause(spark, tmp_path):
     )
     w.execute()
     assert any("dry run OK" in line for line in w.log)
+
+
+def test_matrix_factorization_and_recommend(spark, tmp_path):
+    """MATRIX_FACTORIZATION -> Spark ALS: fit reconstructs a planted
+    block-structured rating matrix (low RMSE), ML.PREDICT emits
+    predicted_<rating_col>, ML.RECOMMEND scores the users-x-items cross
+    (restricted to the input's users when given), and reruns are
+    deterministic (fixed seed)."""
+    from crmint_spark.catalog import Catalog
+    from crmint_spark.workers.base import WorkerContext
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+    # planted structure: users 0-9 love even items, hate odd ones
+    rows = [
+        (u, f"it{i}", 5.0 if (u + i) % 2 == 0 else 1.0)
+        for u in range(10)
+        for i in range(8)
+    ]
+    spark.createDataFrame(
+        rows, "user_id bigint, item string, rating double"
+    ).createOrReplaceTempView("mf_train")
+
+    def run(script):
+        w = SparkSQLExecutor({"script": script, "dry_run": False}, ctx)
+        w.execute()
+        return w.result
+
+    run(
+        "CREATE OR REPLACE MODEL `p.d.recsys`"
+        " OPTIONS(MODEL_TYPE='MATRIX_FACTORIZATION', USER_COL='user_id',"
+        " ITEM_COL='item', RATING_COL='rating', NUM_FACTORS=4,"
+        " MAX_ITERATIONS=10, L2_REG=0.1)"
+        " AS SELECT user_id, item, rating FROM mf_train"
+    )
+    pred = run(
+        "SELECT * FROM ML.PREDICT(MODEL `p.d.recsys`,"
+        " (SELECT user_id, item, rating FROM mf_train))"
+    )
+    assert "predicted_rating" in pred.columns
+    rmse = pred.selectExpr(
+        "sqrt(avg(pow(rating - predicted_rating, 2))) AS rmse"
+    ).first()["rmse"]
+    assert rmse < 1.0, f"ALS failed to fit planted structure: rmse={rmse}"
+    rec_all = run("SELECT * FROM ML.RECOMMEND(MODEL `p.d.recsys`)")
+    assert rec_all.count() == 10 * 8
+    rec_two = run(
+        "SELECT * FROM ML.RECOMMEND(MODEL `p.d.recsys`,"
+        " (SELECT user_id FROM mf_train WHERE user_id < 2))"
+    ).collect()
+    assert len(rec_two) == 2 * 8
+    again = {
+        (r["user_id"], r["item"]): round(r["predicted_rating"], 6)
+        for r in run(
+            "SELECT * FROM ML.RECOMMEND(MODEL `p.d.recsys`,"
+            " (SELECT user_id FROM mf_train WHERE user_id < 2))"
+        ).collect()
+    }
+    first = {
+        (r["user_id"], r["item"]): round(r["predicted_rating"], 6)
+        for r in rec_two
+    }
+    assert first == again
