@@ -125,6 +125,8 @@ SECONDARY = [
     "q64_bq_functions8",
     "bqml_generate_embedding",
     "bqml_arima_evaluate",
+    "q65_gap_fill",
+    "ml_recommend",
 ]
 
 

@@ -3466,6 +3466,166 @@ def _rewrite_vector_search(sql: str) -> str:
         sql = sql[:start] + replacement + sql[end:]
 
 
+_GF_UNITS = {
+    "SECOND": 1,
+    "MINUTE": 60,
+    "HOUR": 3600,
+    "DAY": 86400,
+    "WEEK": 604800,
+}
+
+
+def _rewrite_gap_fill(sql: str) -> str:
+    """BigQuery ``GAP_FILL`` time-series table function -> pure-SQL
+    derived table::
+
+        FROM GAP_FILL({TABLE t | (sub)},
+                      ts_column => 'ts',
+                      bucket_width => INTERVAL n SECOND..WEEK
+                      [, partitioning_columns => ['a', 'b']]
+                      [, value_columns => [('v', 'locf'), ...]])
+
+    Fill methods: ``null`` (default), ``locf`` (last observation
+    carried forward), ``linear`` (interpolation between the bracketing
+    observed values; NULL outside the observed range — BigQuery's
+    behavior). Input timestamps are bucket-aligned with the same
+    epoch-anchored modulo as TIMESTAMP_BUCKET.
+
+    Spark plan: the spine is a per-partition ``sequence()`` explode (no
+    driver loop, no cross join with a calendar dim), joined to the data
+    on (partition, bucket) — one keyed shuffle — and the fill methods
+    are IGNORE NULLS navigation windows inside the partition. Scales as
+    a partition-local operation at any series count."""
+    while True:
+        hit = None
+        for start, op, end, _n in _iter_calls(sql, ("GAP_FILL",)):
+            hit = (start, op, end)
+            break
+        if hit is None:
+            return sql
+        start, op, end = hit
+        # bracket-aware arg split: value_columns => [(...), (...)] has
+        # top-paren-level commas inside its [] literal
+        raw = _split_top_level(sql[op + 1 : end - 1])
+        args: list[str] = []
+        for frag in raw:
+            if args and (
+                args[-1].count("[") > args[-1].count("]")
+            ):
+                args[-1] += "," + frag
+            else:
+                args.append(frag)
+        m_t = re.match(r"\s*TABLE\s+(.+)$", args[0], re.IGNORECASE | re.DOTALL)
+        rel = m_t.group(1).strip().strip("`") if m_t else args[0].strip()
+        ts_col = None
+        width = None
+        parts: list[str] = []
+        values: list[tuple[str, str]] = []
+        for extra in args[1:]:
+            m_kv = re.match(r"\s*(\w+)\s*=>\s*(.+)$", extra, re.DOTALL)
+            if not m_kv:
+                raise ValueError(f"GAP_FILL: bad argument {extra!r}")
+            key, val = m_kv.group(1).lower(), m_kv.group(2).strip()
+            if key == "ts_column":
+                ts_col = val.strip("'\"")
+            elif key == "bucket_width":
+                m_iv = re.match(
+                    r"INTERVAL\s+(\d+)\s+(\w+)", val, re.IGNORECASE
+                )
+                if not m_iv or m_iv.group(2).upper() not in _GF_UNITS:
+                    raise ValueError(
+                        f"GAP_FILL: unsupported bucket_width {val!r}"
+                    )
+                width = int(m_iv.group(1)) * _GF_UNITS[m_iv.group(2).upper()]
+            elif key == "partitioning_columns":
+                parts = re.findall(r"'([^']+)'", val)
+            elif key == "value_columns":
+                pairs = re.findall(r"'([^']+)'\s*,\s*'([^']+)'", val)
+                for c, meth in pairs:
+                    if meth.lower() not in ("null", "locf", "linear"):
+                        raise ValueError(
+                            f"GAP_FILL: unknown fill method {meth!r} for"
+                            f" {c!r} (null/locf/linear)"
+                        )
+                    values.append((c, meth.lower()))
+            else:
+                raise ValueError(f"GAP_FILL: unknown argument {key!r}")
+        if not ts_col or not width:
+            raise ValueError(
+                "GAP_FILL needs ts_column => '...' and bucket_width =>"
+                " INTERVAL ..."
+            )
+        t = f"CAST({ts_col} AS TIMESTAMP)"
+        bt = (
+            f"timestamp_seconds(unix_seconds({t}) - "
+            f"pmod(unix_seconds({t}) - "
+            f"unix_seconds(TIMESTAMP '1950-01-01'), {width}))"
+        )
+        p_sel = ", ".join(parts)
+        p_pfx = f"{p_sel}, " if parts else ""
+        v_sel = ", ".join(c for c, _ in values)
+        v_pfx = f", {v_sel}" if values else ""
+        win_base = (
+            f"PARTITION BY {p_sel} ORDER BY gf_ts"
+            if parts
+            else "ORDER BY gf_ts"
+        )
+        w_prev = (
+            f"OVER ({win_base} ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " CURRENT ROW)"
+        )
+        w_next = (
+            f"OVER ({win_base} ROWS BETWEEN CURRENT ROW AND UNBOUNDED"
+            " FOLLOWING)"
+        )
+        outs = []
+        for c, meth in values:
+            if meth == "null":
+                outs.append(c)
+            elif meth == "locf":
+                outs.append(
+                    f"last_value({c}) IGNORE NULLS {w_prev} AS {c}"
+                )
+            else:  # linear
+                pv = f"last_value({c}) IGNORE NULLS {w_prev}"
+                pt = (
+                    f"last_value(CASE WHEN {c} IS NOT NULL THEN gf_ts END)"
+                    f" IGNORE NULLS {w_prev}"
+                )
+                nv = f"first_value({c}) IGNORE NULLS {w_next}"
+                nt = (
+                    f"first_value(CASE WHEN {c} IS NOT NULL THEN gf_ts END)"
+                    f" IGNORE NULLS {w_next}"
+                )
+                interp = (
+                    f"CAST({pv} AS DOUBLE) + "
+                    f"(CAST({nv} AS DOUBLE) - CAST({pv} AS DOUBLE)) * "
+                    f"(CAST(unix_seconds(gf_ts) - unix_seconds({pt}) AS"
+                    f" DOUBLE) / CAST(unix_seconds({nt}) -"
+                    f" unix_seconds({pt}) AS DOUBLE))"
+                )
+                outs.append(
+                    f"CASE WHEN {c} IS NOT NULL THEN CAST({c} AS DOUBLE)"
+                    f" WHEN {pv} IS NOT NULL AND {nv} IS NOT NULL"
+                    f" THEN {interp} END AS {c}"
+                )
+        out_sel = ", ".join([p_pfx + f"gf_ts AS {ts_col}"] + outs)
+        join_keys = ", ".join(parts + ["gf_ts"])
+        group_by = f" GROUP BY {p_sel}" if parts else ""
+        replacement = (
+            f"(SELECT {out_sel} FROM ("
+            f" SELECT {p_pfx}gf_ts{v_pfx} FROM ("
+            f" SELECT {p_pfx}explode(sequence(min(gf_bts), max(gf_bts),"
+            f" INTERVAL {width} SECOND)) AS gf_ts FROM ("
+            f" SELECT {p_pfx}{bt} AS gf_bts FROM {rel}"
+            f" ) AS gf_src{group_by}) AS gf_spine"
+            f" LEFT JOIN (SELECT {p_pfx}{bt} AS gf_ts{v_pfx}"
+            f" FROM {rel}) AS gf_data USING ({join_keys})"
+            f" ) AS gf_joined)"
+        )
+        sql = sql[:start] + replacement + sql[end:]
+
+
 def _rewrite_create_view(sql: str) -> str:
     """``CREATE [OR REPLACE] VIEW `p.d.v` AS q`` -> temporary view (the
     engine's catalog registers all relations as session views; a Spark
@@ -3521,6 +3681,7 @@ def transpile_statement(sql: str, resolver=None, approx_sketches: bool = False) 
     # JSON text, so the literal reduces to its string
     out = _strip_json_typed_literals(out)
     out = _rewrite_vector_search(out)
+    out = _rewrite_gap_fill(out)
     out = _rewrite_qualify(out)
     out = _rewrite_array_subquery(out)
     out = _rewrite_correlated_unnest(out)

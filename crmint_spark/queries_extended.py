@@ -1884,6 +1884,78 @@ FROM scored ORDER BY dist, base_id LIMIT 10
 BQML_GEN_EMB_SQL = _bqml_gen_emb_oracle()
 
 
+def q65_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery ``GAP_FILL`` time-series table function over sparse
+    hourly revenue: all three fill methods (locf / linear / null) in
+    one call. The rewrite (dialect._rewrite_gap_fill) builds the
+    missing-bucket spine with a per-partition sequence() explode and
+    fills via IGNORE NULLS navigation windows — partition-local at any
+    series count; the oracle reproduces spine + fills with
+    generate_series and the same window algebra."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    WITH src AS (
+      SELECT event_type, TIMESTAMP_TRUNC(ts, HOUR) AS ts,
+             ROUND(SUM(value), 6) AS y
+      FROM events WHERE MOD(user_id, 37) = 0
+      GROUP BY event_type, TIMESTAMP_TRUNC(ts, HOUR)
+    )
+    SELECT event_type, ts, ROUND(a, 6) AS locf_v, ROUND(b, 6) AS lin_v,
+           ROUND(c, 6) AS null_v
+    FROM GAP_FILL((SELECT event_type, ts, y AS a, y AS b, y AS c FROM src),
+      ts_column => 'ts', bucket_width => INTERVAL 1 HOUR,
+      partitioning_columns => ['event_type'],
+      value_columns => [('a', 'locf'), ('b', 'linear'), ('c', 'null')])
+    ORDER BY event_type, ts
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q65_SQL = """
+WITH src AS (
+  SELECT event_type, date_trunc('hour', ts) AS ts, ROUND(SUM(value), 6) AS y
+  FROM events WHERE user_id % 37 = 0
+  GROUP BY event_type, date_trunc('hour', ts)
+), bounds AS (
+  SELECT event_type, min(ts) AS t0, max(ts) AS t1 FROM src GROUP BY event_type
+), spine AS (
+  SELECT event_type, UNNEST(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+  FROM bounds
+), j AS (
+  SELECT s.event_type, s.ts, y
+  FROM spine s LEFT JOIN src USING (event_type, ts)
+), filled AS (
+  SELECT event_type, ts, y,
+    last_value(y IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN y IS NOT NULL THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(y IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN y IS NOT NULL THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY ts
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j
+)
+SELECT event_type, ts,
+  ROUND(pv, 6) AS locf_v,
+  ROUND(CASE WHEN y IS NOT NULL THEN y
+        WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+          pv + (nv - pv) * (CAST(epoch(ts) - epoch(pt) AS DOUBLE)
+                            / CAST(epoch(nt) - epoch(pt) AS DOUBLE))
+        END, 6) AS lin_v,
+  ROUND(y, 6) AS null_v
+FROM filled
+ORDER BY event_type, ts
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -2094,6 +2166,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q62_information_schema": (q62_information_schema, Q62_SQL),
     "q63_search": (q63_search, Q63_SQL),
     "q64_bq_functions8": (q64_bq_functions8, Q64_SQL),
+    "q65_gap_fill": (q65_gap_fill, Q65_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
     "q50_hll_approx": (q50_hll_approx, Q50_APPROX_SQL),

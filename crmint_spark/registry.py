@@ -80,6 +80,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "q62_information_schema": _EXT["q62_information_schema"],
     "q63_search": _EXT["q63_search"],
     "q64_bq_functions8": _EXT["q64_bq_functions8"],
+    "q65_gap_fill": _EXT["q65_gap_fill"],
     "bqml_generate_embedding": _EXT["bqml_generate_embedding"],
     "dedup_char_spans": (dedup.dedup_char_spans, dedup.CHAR_SPANS_SQL),
     "ann_binary_hamming_topk": (

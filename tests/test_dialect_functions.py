@@ -1162,3 +1162,47 @@ def test_search_function(spark):
         transpile_statement(
             "SELECT SEARCH(t, 'q', json_scope => 'JSON_VALUES') FROM x"
         )
+
+
+def test_gap_fill_methods(spark):
+    """GAP_FILL: missing buckets materialize per partition; locf
+    carries forward, linear interpolates between bracketing
+    observations (NULL outside the observed range), null leaves gaps."""
+    import pytest as _pytest
+
+    spark.sql(
+        "SELECT * FROM VALUES"
+        " ('a', TIMESTAMP '2024-01-01 00:00:00', 10.0),"
+        " ('a', TIMESTAMP '2024-01-01 00:03:00', 40.0)"
+        " AS t(dev, ts, sig)"
+    ).createOrReplaceTempView("gf_readings")
+    rows = spark.sql(
+        transpile_statement(
+            "SELECT dev, ts, a AS locf_v, b AS lin_v, c AS null_v FROM"
+            " GAP_FILL((SELECT dev, ts, sig AS a, sig AS b, sig AS c"
+            " FROM gf_readings), ts_column => 'ts',"
+            " bucket_width => INTERVAL 1 MINUTE,"
+            " partitioning_columns => ['dev'],"
+            " value_columns => [('a', 'locf'), ('b', 'linear'),"
+            " ('c', 'null')]) ORDER BY ts"
+        )
+    ).collect()
+    assert [
+        (r["ts"].minute, r["locf_v"], r["lin_v"], r["null_v"]) for r in rows
+    ] == [
+        (0, 10.0, 10.0, 10.0),
+        (1, 10.0, 20.0, None),
+        (2, 10.0, 30.0, None),
+        (3, 40.0, 40.0, 40.0),
+    ]
+    with _pytest.raises(ValueError, match="fill method"):
+        transpile_statement(
+            "SELECT * FROM GAP_FILL(TABLE t, ts_column => 'ts',"
+            " bucket_width => INTERVAL 1 HOUR,"
+            " value_columns => [('v', 'spline')])"
+        )
+    with _pytest.raises(ValueError, match="bucket_width"):
+        transpile_statement(
+            "SELECT * FROM GAP_FILL(TABLE t, ts_column => 'ts',"
+            " bucket_width => INTERVAL 1 MONTH)"
+        )
