@@ -126,6 +126,7 @@ SECONDARY = [
     "bqml_generate_embedding",
     "bqml_arima_evaluate",
     "q65_gap_fill",
+    "q66_with_recursive",
     "ml_recommend",
 ]
 

@@ -1956,6 +1956,42 @@ ORDER BY event_type, ts
 """
 
 
+_Q66_BODY = """
+WITH RECURSIVE reach(node, depth) AS (
+  SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+  UNION ALL
+  SELECT DISTINCT MOD(o.o_orderkey, 500) AS node, r.depth + 1
+  FROM reach r JOIN orders o ON o.o_custkey = r.node
+  WHERE r.depth < 3
+)
+SELECT node, CAST(MIN(depth) AS BIGINT) AS min_depth,
+       CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM reach GROUP BY node ORDER BY node
+"""
+
+
+def q66_with_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` passthrough (BigQuery 2023 / Spark 4 both
+    speak the identical ANSI form): bounded-depth reachability over the
+    orders graph (customer -> MOD(orderkey, 500) edges), grouped
+    closure. Complements the iterative-operator formulations
+    (q43_recursive_closure, star-CC) with the declarative surface —
+    Spark plans each recursion step as a joined UNION ALL iteration
+    with the DISTINCT cap bounding per-step width."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    w = SparkSQLExecutor(
+        {"script": _Q66_BODY, "dry_run": False}, WorkerContext(spark)
+    )
+    w.execute()
+    return w.result
+
+
+Q66_SQL = _Q66_BODY
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -2167,6 +2203,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q63_search": (q63_search, Q63_SQL),
     "q64_bq_functions8": (q64_bq_functions8, Q64_SQL),
     "q65_gap_fill": (q65_gap_fill, Q65_SQL),
+    "q66_with_recursive": (q66_with_recursive, Q66_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
     "q50_hll_approx": (q50_hll_approx, Q50_APPROX_SQL),
