@@ -127,6 +127,7 @@ SECONDARY = [
     "bqml_arima_evaluate",
     "q65_gap_fill",
     "q66_with_recursive",
+    "q67_pipe_syntax",
     "ml_recommend",
 ]
 

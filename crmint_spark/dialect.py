@@ -3466,6 +3466,165 @@ def _rewrite_vector_search(sql: str) -> str:
         sql = sql[:start] + replacement + sql[end:]
 
 
+def _split_pipe_segments(sql: str) -> list[str]:
+    """Split on top-level ``|>`` (string- and paren-aware)."""
+    out: list[str] = []
+    depth = 0
+    buf_start = 0
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            i = _skip_string(sql, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "|" and depth == 0 and sql.startswith("|>", i):
+            out.append(sql[buf_start:i])
+            i += 2
+            buf_start = i
+            continue
+        i += 1
+    out.append(sql[buf_start:])
+    return out
+
+
+_PIPE_OPS = (
+    "WHERE, SELECT, EXTEND, AGGREGATE, ORDER BY, LIMIT, DROP, SET, "
+    "RENAME, AS, JOIN (INNER/LEFT/RIGHT/FULL/CROSS), UNION ALL/DISTINCT"
+)
+
+
+def _rewrite_pipe_syntax(sql: str) -> str:
+    """BigQuery pipe query syntax (GoogleSQL 2024) -> nested standard
+    SQL. Each operator wraps the running relation in one subquery, so
+    the result is exactly the plan Catalyst would see from the
+    equivalent standard query — subquery nesting collapses in the
+    optimizer; there is no per-stage materialization.
+
+    Supported operators (a statement-level subset)::
+
+        FROM t |> WHERE c |> SELECT [DISTINCT] list |> EXTEND e AS x
+        |> AGGREGATE aggs [GROUP BY keys] |> ORDER BY ... |> LIMIT n
+        [OFFSET m] |> DROP a, b |> SET a = e |> RENAME a AS b
+        |> AS alias |> [LEFT|RIGHT|FULL|INNER|CROSS] JOIN r ON ...
+        |> UNION ALL (query)
+
+    LIMIT merges into a directly preceding ORDER BY wrap (top-k stays
+    one TakeOrdered). Unknown operators raise a targeted error naming
+    the supported set. DROP/SET/RENAME compose through the engine's
+    ``SELECT * EXCEPT/REPLACE`` rewrites."""
+    if "|>" not in sql:
+        return sql
+    segs = [s.strip() for s in _split_pipe_segments(sql)]
+    if len(segs) < 2 or not segs[0]:
+        return sql
+    first = segs[0]
+    m_from = re.match(r"FROM\s+(.+)$", first, re.IGNORECASE | re.DOTALL)
+    if m_from:
+        cur = f"(SELECT * FROM {m_from.group(1).strip()})"
+    elif re.match(r"\(|SELECT\b|WITH\b", first, re.IGNORECASE):
+        cur = first if first.startswith("(") else f"({first})"
+    else:
+        return sql
+    alias_next: str | None = None
+    last_was_order = False
+
+    def rel(i: int) -> str:
+        nonlocal alias_next
+        a = alias_next or f"__p{i}"
+        alias_next = None
+        return f"{cur} AS {a}"
+
+    for i, seg in enumerate(segs[1:], 1):
+        if not seg:
+            raise ValueError("pipe syntax: empty |> segment")
+        kw_m = re.match(
+            r"(ORDER\s+BY|GROUP\s+BY|UNION\s+ALL|UNION\s+DISTINCT|"
+            r"LEFT\s+(?:OUTER\s+)?JOIN|RIGHT\s+(?:OUTER\s+)?JOIN|"
+            r"FULL\s+(?:OUTER\s+)?JOIN|INNER\s+JOIN|CROSS\s+JOIN|\w+)",
+            seg,
+            re.IGNORECASE,
+        )
+        kw = re.sub(r"\s+", " ", kw_m.group(1).upper())
+        rest = seg[kw_m.end() :].strip()
+        was_order = False
+        if kw == "WHERE":
+            cur = f"(SELECT * FROM {rel(i)} WHERE {rest})"
+        elif kw == "SELECT":
+            cur = f"(SELECT {rest} FROM {rel(i)})"
+        elif kw == "EXTEND":
+            cur = f"(SELECT *, {rest} FROM {rel(i)})"
+        elif kw == "AGGREGATE":
+            parts = re.split(
+                r"\bGROUP\s+BY\b", rest, maxsplit=1, flags=re.IGNORECASE
+            )
+            if len(parts) == 2:
+                aggs, keys = parts[0].strip(), parts[1].strip()
+                cur = (
+                    f"(SELECT {keys}, {aggs} FROM {rel(i)}"
+                    f" GROUP BY {keys})"
+                )
+            else:
+                cur = f"(SELECT {rest} FROM {rel(i)})"
+        elif kw == "ORDER BY":
+            cur = f"(SELECT * FROM {rel(i)} ORDER BY {rest})"
+            was_order = True
+        elif kw == "LIMIT":
+            if last_was_order:
+                # merge into the ORDER BY wrap: one TakeOrdered
+                cur = cur[:-1] + f" LIMIT {rest})"
+            else:
+                cur = f"(SELECT * FROM {rel(i)} LIMIT {rest})"
+        elif kw == "DROP":
+            cur = f"(SELECT * EXCEPT({rest}) FROM {rel(i)})"
+        elif kw == "SET":
+            items = []
+            for a in _split_top_level(rest):
+                m_set = re.match(r"\s*(\w+)\s*=\s*(.+)$", a, re.DOTALL)
+                if not m_set:
+                    raise ValueError(f"pipe SET: bad assignment {a!r}")
+                items.append(f"{m_set.group(2).strip()} AS {m_set.group(1)}")
+            cur = f"(SELECT * REPLACE({', '.join(items)}) FROM {rel(i)})"
+        elif kw == "RENAME":
+            olds, news = [], []
+            for a in _split_top_level(rest):
+                m_rn = re.match(
+                    r"\s*(\w+)\s+AS\s+(\w+)\s*$", a, re.IGNORECASE
+                )
+                if not m_rn:
+                    raise ValueError(f"pipe RENAME: bad clause {a!r}")
+                olds.append(m_rn.group(1))
+                news.append(f"{m_rn.group(1)} AS {m_rn.group(2)}")
+            cur = (
+                f"(SELECT * EXCEPT({', '.join(olds)}), {', '.join(news)}"
+                f" FROM {rel(i)})"
+            )
+        elif kw == "AS":
+            alias_next = rest.strip().strip("`")
+        elif kw.endswith("JOIN"):
+            cur = f"(SELECT * FROM {rel(i)} {seg})"
+        elif kw in ("UNION ALL", "UNION DISTINCT"):
+            op = "UNION ALL" if kw == "UNION ALL" else "UNION"
+            operand = rest.strip()
+            if not operand.startswith("("):
+                operand = f"({operand})"
+            cur = (
+                f"(SELECT * FROM {rel(i)} {op}"
+                f" SELECT * FROM {operand} AS __pu{i})"
+            )
+        else:
+            raise ValueError(
+                f"pipe syntax: unsupported operator {kw!r}"
+                f" (supported: {_PIPE_OPS})"
+            )
+        last_was_order = was_order
+    final_alias = alias_next or "__pipe"
+    return f"SELECT * FROM {cur} AS {final_alias}"
+
+
 _GF_UNITS = {
     "SECOND": 1,
     "MINUTE": 60,
@@ -3680,6 +3839,7 @@ def transpile_statement(sql: str, resolver=None, approx_sketches: bool = False) 
     # JSON accessors (INT64/BOOL/LAX_*/JSON_VALUE...) all operate on the
     # JSON text, so the literal reduces to its string
     out = _strip_json_typed_literals(out)
+    out = _rewrite_pipe_syntax(out)
     out = _rewrite_vector_search(out)
     out = _rewrite_gap_fill(out)
     out = _rewrite_qualify(out)

@@ -1992,6 +1992,50 @@ def q66_with_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q66_SQL = _Q66_BODY
 
 
+def q67_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery pipe query syntax (GoogleSQL 2024) end-to-end: WHERE ->
+    EXTEND -> AGGREGATE..GROUP BY -> SET -> RENAME -> ORDER BY+LIMIT
+    (merged into one TakeOrdered) over orders. The dialect folds each
+    |> operator into one subquery wrap (dialect._rewrite_pipe_syntax),
+    so Catalyst sees exactly the standard-SQL plan; the oracle IS that
+    standard query."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    FROM orders
+    |> WHERE o_orderkey <= 5000
+    |> EXTEND ROUND(o_totalprice / 1000, 3) AS kprice
+    |> AGGREGATE ROUND(SUM(kprice), 3) AS total_k, COUNT(*) AS n
+       GROUP BY o_orderpriority, o_orderstatus
+    |> SET total_k = total_k + 1
+    |> RENAME n AS n_orders
+    |> WHERE n_orders > 3
+    |> ORDER BY total_k DESC, o_orderpriority, o_orderstatus
+    |> LIMIT 10
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q67_SQL = """
+SELECT o_orderpriority, o_orderstatus, total_k + 1 AS total_k,
+       n AS n_orders
+FROM (
+  SELECT o_orderpriority, o_orderstatus,
+         ROUND(SUM(ROUND(o_totalprice / 1000, 3)), 3) AS total_k,
+         COUNT(*) AS n
+  FROM orders WHERE o_orderkey <= 5000
+  GROUP BY o_orderpriority, o_orderstatus
+)
+WHERE n > 3
+ORDER BY total_k + 1 DESC, o_orderpriority, o_orderstatus
+LIMIT 10
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -2204,6 +2248,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q64_bq_functions8": (q64_bq_functions8, Q64_SQL),
     "q65_gap_fill": (q65_gap_fill, Q65_SQL),
     "q66_with_recursive": (q66_with_recursive, Q66_SQL),
+    "q67_pipe_syntax": (q67_pipe_syntax, Q67_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
     "q50_hll_approx": (q50_hll_approx, Q50_APPROX_SQL),

@@ -82,6 +82,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "q64_bq_functions8": _EXT["q64_bq_functions8"],
     "q65_gap_fill": _EXT["q65_gap_fill"],
     "q66_with_recursive": _EXT["q66_with_recursive"],
+    "q67_pipe_syntax": _EXT["q67_pipe_syntax"],
     "bqml_generate_embedding": _EXT["bqml_generate_embedding"],
     "dedup_char_spans": (dedup.dedup_char_spans, dedup.CHAR_SPANS_SQL),
     "ann_binary_hamming_topk": (

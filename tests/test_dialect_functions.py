@@ -1206,3 +1206,36 @@ def test_gap_fill_methods(spark):
             "SELECT * FROM GAP_FILL(TABLE t, ts_column => 'ts',"
             " bucket_width => INTERVAL 1 MONTH)"
         )
+
+
+def test_pipe_syntax_operators(spark):
+    """Pipe-syntax subset: UNION ALL operand, DROP, bare AGGREGATE
+    (global), SELECT DISTINCT; unsupported operators raise naming the
+    supported set; standard queries with |> nowhere pass through."""
+    import pytest as _pytest
+
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'x'), (2, 'x'), (3, 'y')"
+        " AS t(id, g)"
+    ).createOrReplaceTempView("pipe_t")
+    r = spark.sql(
+        transpile_statement(
+            "FROM pipe_t |> AGGREGATE COUNT(*) AS n, SUM(id) AS s"
+        )
+    ).first()
+    assert (r["n"], r["s"]) == (3, 6)
+    rows = spark.sql(
+        transpile_statement(
+            "FROM pipe_t |> DROP id |> SELECT DISTINCT g |> ORDER BY g"
+        )
+    ).collect()
+    assert [r["g"] for r in rows] == ["x", "y"]
+    u = spark.sql(
+        transpile_statement(
+            "FROM pipe_t |> WHERE id = 1 |> SELECT id"
+            " |> UNION ALL (SELECT 9 AS id) |> ORDER BY id"
+        )
+    ).collect()
+    assert [r["id"] for r in u] == [1, 9]
+    with _pytest.raises(ValueError, match="unsupported operator"):
+        transpile_statement("FROM pipe_t |> WINDOW x AS y")
