@@ -128,6 +128,7 @@ SECONDARY = [
     "q65_gap_fill",
     "q66_with_recursive",
     "q67_pipe_syntax",
+    "q68_ml_preprocessing",
     "ml_recommend",
 ]
 

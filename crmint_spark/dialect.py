@@ -1037,6 +1037,9 @@ def _rewrite_misc_fns(sql: str) -> str:
             "TIMESTAMP_BUCKET",
             "DATETIME_BUCKET",
             r"ML\.DISTANCE",
+            r"ML\.BUCKETIZE",
+            r"ML\.FEATURE_CROSS",
+            r"ML\.NGRAMS",
             "SEARCH",
             "COTH",
             "SECH",
@@ -1355,6 +1358,66 @@ def _rewrite_misc_fns(sql: str) -> str:
                     f"ML.DISTANCE: unsupported distance type {kind!r}"
                 )
             rep = f"CAST({_vs_distance(args[0], args[1], kind)} AS DOUBLE)"
+        elif fn == "ml.bucketize" and len(args) == 2:
+            # ML.BUCKETIZE(v, [s1, s2, ...]) -> 'bin_<k>' where k =
+            # 1 + #(split points <= v): bin_1 below s1, bin_2 in
+            # [s1, s2), ... (BigQuery's TRANSFORM-clause bucketizer).
+            # The 3-arg exclude_boundaries form is not supported.
+            rep = (
+                f"concat('bin_', CAST(1 + size(filter({args[1]}, "
+                f"p -> CAST(p AS DOUBLE) <= CAST({args[0]} AS DOUBLE)))"
+                f" AS STRING))"
+            )
+        elif fn == "ml.feature_cross" and len(args) == 1:
+            m_st = re.match(
+                r"STRUCT\s*\((.*)\)\s*$", args[0], re.IGNORECASE | re.DOTALL
+            )
+            if not m_st:
+                raise ValueError(
+                    "ML.FEATURE_CROSS takes STRUCT(col [AS name], ...)"
+                )
+            fields = []
+            for f_raw in _split_top_level(m_st.group(1)):
+                f_raw = f_raw.strip()
+                m_as = re.match(
+                    r"(.+?)\s+AS\s+(\w+)\s*$", f_raw, re.IGNORECASE | re.DOTALL
+                )
+                if m_as:
+                    fields.append((m_as.group(1).strip(), m_as.group(2)))
+                elif re.match(r"[\w.]+$", f_raw):
+                    fields.append((f_raw, f_raw.split(".")[-1]))
+                else:
+                    raise ValueError(
+                        f"ML.FEATURE_CROSS: field {f_raw!r} needs an AS name"
+                    )
+            crossed = [
+                f"concat(CAST({va} AS STRING), '_', CAST({vb} AS STRING))"
+                f" AS {na}_{nb}"
+                for i, (va, na) in enumerate(fields)
+                for vb, nb in (fields[j] for j in range(i + 1, len(fields)))
+            ]
+            rep = f"struct({', '.join(crossed)})"
+        elif fn == "ml.ngrams" and len(args) in (2, 3):
+            m_rng = re.match(
+                r"\s*array\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*$",
+                args[1],
+                re.IGNORECASE,
+            )
+            if not m_rng:
+                raise ValueError(
+                    "ML.NGRAMS needs a literal [min, max] range"
+                )
+            mn = int(m_rng.group(1))
+            mx = int(m_rng.group(2) or m_rng.group(1))
+            sep = args[2] if len(args) == 3 else "' '"
+            arr = args[0]
+            rep = (
+                f"flatten(transform(sequence({mn}, {mx}), n -> "
+                f"CASE WHEN size({arr}) >= n THEN "
+                f"transform(sequence(1, size({arr}) - n + 1), "
+                f"i -> array_join(slice({arr}, i, n), {sep})) "
+                f"ELSE CAST(array() AS ARRAY<STRING>) END))"
+            )
         elif fn == "search" and len(args) == 2:
             # BigQuery full-text SEARCH(data, query): TRUE when every
             # token of the query appears among the data's tokens.

@@ -2036,6 +2036,50 @@ LIMIT 10
 """
 
 
+def q68_ml_preprocessing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery's TRANSFORM-clause preprocessing functions:
+    ML.BUCKETIZE (split-point binning -> 'bin_k'), ML.FEATURE_CROSS
+    (pairwise categorical crossing, struct output field-accessed), and
+    ML.NGRAMS (token n-gram ranges with separators). All compile to
+    JVM HOF/CASE expressions — map-only inside codegen, composable
+    inside CREATE MODEL TRANSFORM(...)."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    SELECT o_orderkey,
+      ML.BUCKETIZE(o_totalprice, [50000, 150000, 300000]) AS price_bin,
+      ML.FEATURE_CROSS(
+        STRUCT(o_orderpriority AS pri, o_orderstatus AS st)).pri_st
+        AS pri_x_st,
+      ARRAY_TO_STRING(
+        ML.NGRAMS(SPLIT(o_orderpriority, '-'), [1, 2], '+'), '|')
+        AS pri_grams
+    FROM orders WHERE o_orderkey <= 600
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q68_SQL = """
+SELECT o_orderkey,
+  'bin_' || CAST(1 + len(list_filter([50000.0, 150000.0, 300000.0],
+            p -> p <= o_totalprice)) AS VARCHAR) AS price_bin,
+  o_orderpriority || '_' || o_orderstatus AS pri_x_st,
+  array_to_string(
+    flatten(list_transform(range(1, 3), n ->
+      CASE WHEN len(string_split(o_orderpriority, '-')) >= n
+           THEN list_transform(
+             range(1, len(string_split(o_orderpriority, '-')) - n + 2),
+             i -> array_to_string(
+               string_split(o_orderpriority, '-')[i:i + n - 1], '+'))
+           ELSE CAST([] AS VARCHAR[]) END)), '|') AS pri_grams
+FROM orders WHERE o_orderkey <= 600
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -2249,6 +2293,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q65_gap_fill": (q65_gap_fill, Q65_SQL),
     "q66_with_recursive": (q66_with_recursive, Q66_SQL),
     "q67_pipe_syntax": (q67_pipe_syntax, Q67_SQL),
+    "q68_ml_preprocessing": (q68_ml_preprocessing, Q68_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
     "q50_hll_approx": (q50_hll_approx, Q50_APPROX_SQL),
