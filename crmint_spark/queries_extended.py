@@ -1899,12 +1899,11 @@ def q65_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     script = """
     WITH src AS (
       SELECT event_type, TIMESTAMP_TRUNC(ts, HOUR) AS ts,
-             ROUND(SUM(value), 6) AS y
+             CAST(ROUND(SUM(value) * 1000000) AS INT64) AS y
       FROM events WHERE MOD(user_id, 37) = 0
       GROUP BY event_type, TIMESTAMP_TRUNC(ts, HOUR)
     )
-    SELECT event_type, ts, ROUND(a, 6) AS locf_v, ROUND(b, 6) AS lin_v,
-           ROUND(c, 6) AS null_v
+    SELECT event_type, ts, a AS locf_mic, b AS lin_mic, c AS null_mic
     FROM GAP_FILL((SELECT event_type, ts, y AS a, y AS b, y AS c FROM src),
       ts_column => 'ts', bucket_width => INTERVAL 1 HOUR,
       partitioning_columns => ['event_type'],
@@ -1918,7 +1917,8 @@ def q65_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q65_SQL = """
 WITH src AS (
-  SELECT event_type, date_trunc('hour', ts) AS ts, ROUND(SUM(value), 6) AS y
+  SELECT event_type, date_trunc('hour', ts) AS ts,
+         CAST(ROUND(SUM(value) * 1000000) AS BIGINT) AS y
   FROM events WHERE user_id % 37 = 0
   GROUP BY event_type, date_trunc('hour', ts)
 ), bounds AS (
@@ -1944,13 +1944,18 @@ WITH src AS (
   FROM j
 )
 SELECT event_type, ts,
-  ROUND(pv, 6) AS locf_v,
-  ROUND(CASE WHEN y IS NOT NULL THEN y
-        WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
-          pv + (nv - pv) * (CAST(epoch(ts) - epoch(pt) AS DOUBLE)
-                            / CAST(epoch(nt) - epoch(pt) AS DOUBLE))
-        END, 6) AS lin_v,
-  ROUND(y, 6) AS null_v
+  pv AS locf_mic,
+  -- exact-integer micro inputs + identical IEEE op order as the
+  -- engine's rewrite => bit-identical doubles, no rounding needed
+  -- (a final ROUND would re-open half-up/half-even ties on exact
+  -- interpolated midpoints)
+  CASE WHEN y IS NOT NULL THEN CAST(y AS DOUBLE)
+       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+           * (CAST(epoch(ts) - epoch(pt) AS DOUBLE)
+              / CAST(epoch(nt) - epoch(pt) AS DOUBLE))
+       END AS lin_mic,
+  y AS null_mic
 FROM filled
 ORDER BY event_type, ts
 """

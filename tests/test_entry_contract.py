@@ -15,7 +15,13 @@ def test_every_oracle_key_has_a_query():
     assert set(os_) <= set(qs), sorted(set(os_) - set(qs))
     # rows-only entries are the documented exceptions, nothing else
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"ann_ivf_kmeans_topk", "ml_train_predict"}, rows_only
+    assert rows_only == {
+        "ann_ivf_kmeans_topk",
+        "ml_train_predict",
+        # ALS factors are not SQL-reproducible; recall/determinism
+        # are pytest-asserted in test_sql_ml
+        "ml_recommend",
+    }, rows_only
 
 
 def test_query_callables_take_spark_and_sf_dir():
