@@ -1364,9 +1364,10 @@ def _rewrite_misc_fns(sql: str) -> str:
             # [s1, s2), ... (BigQuery's TRANSFORM-clause bucketizer).
             # The 3-arg exclude_boundaries form is not supported.
             rep = (
-                f"concat('bin_', CAST(1 + size(filter({args[1]}, "
+                f"CASE WHEN ({args[0]}) IS NULL THEN CAST(NULL AS STRING)"
+                f" ELSE concat('bin_', CAST(1 + size(filter({args[1]}, "
                 f"p -> CAST(p AS DOUBLE) <= CAST({args[0]} AS DOUBLE)))"
-                f" AS STRING))"
+                f" AS STRING)) END"
             )
         elif fn == "ml.feature_cross" and len(args) == 1:
             m_st = re.match(
