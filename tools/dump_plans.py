@@ -146,6 +146,16 @@ SHOW = [
         "postings explode + distinct; query touches only its own "
         "token posting lists (token IN filter before the join)",
     ),
+    (
+        "q65_gap_fill",
+        "GAP_FILL: per-partition sequence() spine + one keyed join; "
+        "fills are IGNORE NULLS navigation windows in-partition",
+    ),
+    (
+        "q67_pipe_syntax",
+        "pipe |> fold: nested subqueries collapse in Catalyst — the "
+        "plan equals the standard-SQL twin (one agg, one TakeOrdered)",
+    ),
 ]
 
 
