@@ -3557,7 +3557,8 @@ def _split_pipe_segments(sql: str) -> list[str]:
 
 _PIPE_OPS = (
     "WHERE, SELECT, EXTEND, AGGREGATE, ORDER BY, LIMIT, DROP, SET, "
-    "RENAME, AS, JOIN (INNER/LEFT/RIGHT/FULL/CROSS), UNION ALL/DISTINCT"
+    "RENAME, AS, JOIN (INNER/LEFT/RIGHT/FULL/CROSS), UNION ALL/DISTINCT, "
+    "PIVOT, UNPIVOT, TABLESAMPLE"
 )
 
 
@@ -3666,6 +3667,15 @@ def _rewrite_pipe_syntax(sql: str) -> str:
                 f"(SELECT * EXCEPT({', '.join(olds)}), {', '.join(news)}"
                 f" FROM {rel(i)})"
             )
+        elif kw in ("PIVOT", "UNPIVOT"):
+            # Spark shares BigQuery's FROM-clause PIVOT/UNPIVOT shape,
+            # so the pipe form is the same clause appended to the
+            # running relation
+            cur = f"(SELECT * FROM {rel(i)} {seg})"
+        elif kw == "TABLESAMPLE":
+            # Spark attaches TABLESAMPLE to the relation primary, ahead
+            # of any alias
+            cur = f"(SELECT * FROM {cur} {seg})"
         elif kw == "AS":
             alias_next = rest.strip().strip("`")
         elif kw.endswith("JOIN"):

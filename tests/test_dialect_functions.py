@@ -1239,3 +1239,33 @@ def test_pipe_syntax_operators(spark):
     assert [r["id"] for r in u] == [1, 9]
     with _pytest.raises(ValueError, match="unsupported operator"):
         transpile_statement("FROM pipe_t |> WINDOW x AS y")
+
+
+def test_pipe_syntax_pivot_unpivot_tablesample(spark):
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'a', 10.0), (2, 'a', 20.0),"
+        " (3, 'b', 5.0) AS t(id, g, v)"
+    ).createOrReplaceTempView("pipe_pv")
+    rows = spark.sql(
+        transpile_statement(
+            "FROM pipe_pv |> PIVOT (SUM(v) FOR g IN ('a', 'b'))"
+            " |> ORDER BY id"
+        )
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 2, 3]
+    assert rows[2]["b"] is not None and rows[2]["a"] is None
+    n = spark.sql(
+        transpile_statement(
+            "FROM pipe_pv |> TABLESAMPLE SYSTEM (100 PERCENT)"
+            " |> AGGREGATE COUNT(*) AS n"
+        )
+    ).first()["n"]
+    assert n == 3
+    n2 = spark.sql(
+        transpile_statement(
+            "FROM pipe_pv |> PIVOT (SUM(v) FOR g IN ('a', 'b'))"
+            " |> UNPIVOT (val FOR grp IN (a, b))"
+            " |> AGGREGATE COUNT(*) AS n"
+        )
+    ).first()["n"]
+    assert n2 == 3
