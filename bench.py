@@ -130,6 +130,7 @@ SECONDARY = [
     "q67_pipe_syntax",
     "q68_ml_preprocessing",
     "ml_recommend",
+    "bqml_feature_info",
 ]
 
 

@@ -195,6 +195,7 @@ def extract_bqml_query(stmt: str) -> str | None:
         "ML.EVALUATE",
         "ML.DETECT_ANOMALIES",
         "ML.GENERATE_EMBEDDING",
+        "ML.TRANSFORM",
     ):
         pm = re.search(
             r"\b" + fn.replace(".", r"\.") + r"\s*\(", stmt, re.IGNORECASE
@@ -515,6 +516,102 @@ def _score_mf(model, meta: dict, df: DataFrame) -> DataFrame:
         )
     ).withColumnRenamed("prediction", f"predicted_{meta['rating_col']}")
     return out.drop(f"__{u}_idx", f"__{i}_idx")
+
+
+def rewrite_ml_transform(
+    spark: SparkSession, stmt: str, registry: ModelRegistry
+) -> str:
+    """Replace ``ML.TRANSFORM(MODEL m, (q))`` with the input query run
+    through the model's persisted TRANSFORM clause — BigQuery's way to
+    inspect exactly the features a model would see. Models created
+    without a TRANSFORM clause pass the input through unchanged (same
+    as BigQuery)."""
+    from ..dialect import extract_with_clause
+
+    cte = extract_with_clause(stmt)
+    counter = [0]
+
+    def handler(name: str, args: list[str]) -> str:
+        meta = registry.load_meta(name)
+        if not args:
+            raise ValueError("ML.TRANSFORM needs (MODEL m, (query))")
+        df = _apply_transform(
+            spark, _inner_query(args[0]), meta, cte, drop_label=False
+        )
+        counter[0] += 1
+        view = f"__ml_transform_{counter[0]}"
+        df.createOrReplaceTempView(view)
+        return view
+
+    return _sub_ml_table_calls(stmt, "ML.TRANSFORM", handler)
+
+
+def rewrite_ml_feature_info(
+    spark: SparkSession, stmt: str, registry: ModelRegistry
+) -> str:
+    """Replace ``ML.FEATURE_INFO(MODEL m)`` with the per-feature
+    training statistics view (BigQuery's column shape: input, min, max,
+    mean, stddev, category_count, null_count). Stats are recomputed
+    from the persisted (transformed) training source — the same rows
+    the fit consumed — so the DuckDB oracle can reproduce every value;
+    numeric features report min/max/mean/stddev, categorical (string)
+    features report category_count."""
+    counter = [0]
+
+    def handler(name: str, args: list[str]) -> str:
+        meta = registry.load_meta(name)
+        src = meta.get("source_sql")
+        if not src:
+            raise ValueError(
+                f"ML.FEATURE_INFO(MODEL `{name}`): this model predates"
+                " source persistence — retrain it"
+            )
+        df = spark.sql(src)
+        label = meta.get("label")
+        split_col = meta.get("data_split", {}).get("split_col")
+        rows = []
+        for c, t in df.dtypes:
+            if c == label or c == split_col:
+                continue
+            if t == "string":
+                agg = df.agg(
+                    F.count_distinct(F.col(c)).alias("cc"),
+                    F.count_if(F.col(c).isNull()).alias("nulls"),
+                ).first()
+                rows.append(
+                    (c, None, None, None, None, int(agg["cc"]),
+                     int(agg["nulls"]))
+                )
+            else:
+                agg = df.agg(
+                    F.round(F.min(F.col(c)).cast("double"), 6).alias("mn"),
+                    F.round(F.max(F.col(c)).cast("double"), 6).alias("mx"),
+                    F.round(F.avg(F.col(c)), 6).alias("mean"),
+                    F.round(F.stddev_samp(F.col(c)), 6).alias("sd"),
+                    F.count_if(F.col(c).isNull()).alias("nulls"),
+                ).first()
+                rows.append(
+                    (
+                        c,
+                        agg["mn"],
+                        agg["mx"],
+                        agg["mean"],
+                        agg["sd"],
+                        None,
+                        int(agg["nulls"]),
+                    )
+                )
+        out = spark.createDataFrame(
+            rows,
+            "input string, min double, max double, mean double,"
+            " stddev double, category_count bigint, null_count bigint",
+        )
+        counter[0] += 1
+        view = f"__ml_feature_info_{counter[0]}"
+        out.createOrReplaceTempView(view)
+        return view
+
+    return _sub_ml_table_calls(stmt, "ML.FEATURE_INFO", handler)
 
 
 def rewrite_ml_recommend(

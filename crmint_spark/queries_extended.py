@@ -2085,6 +2085,64 @@ FROM orders WHERE o_orderkey <= 600
 """
 
 
+def bqml_feature_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE MODEL with a TRANSFORM clause (numeric scaling +
+    ML.BUCKETIZE + categorical passthrough), then ML.FEATURE_INFO —
+    BigQuery's per-feature training-statistics view. Stats come from
+    the persisted transformed source (exactly the rows the fit
+    consumed), so the oracle recomputes them from the same SQL."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE MODEL `p.d.fi_model`
+    TRANSFORM(CAST(o_totalprice / 1000 AS FLOAT64) AS kprice,
+              ML.BUCKETIZE(o_totalprice, [100000, 200000]) AS price_bin,
+              o_orderpriority AS pri, label)
+    OPTIONS(MODEL_TYPE='LOGISTIC_REG', INPUT_LABEL_COLS=['label'],
+            DATA_SPLIT_METHOD='NO_SPLIT')
+    AS SELECT o_totalprice, o_orderpriority,
+              IF(o_orderstatus = 'F', 1, 0) AS label
+       FROM orders WHERE o_orderkey <= 2000;
+    SELECT input, min, max, mean, stddev, category_count, null_count
+    FROM ML.FEATURE_INFO(MODEL `p.d.fi_model`) ORDER BY input
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+BQML_FEATURE_INFO_SQL = """
+WITH tf AS (
+  SELECT CAST(o_totalprice / 1000 AS DOUBLE) AS kprice,
+         'bin_' || CAST(1 + len(list_filter([100000.0, 200000.0],
+                    p -> p <= o_totalprice)) AS VARCHAR) AS price_bin,
+         o_orderpriority AS pri
+  FROM orders WHERE o_orderkey <= 2000
+)
+SELECT * FROM (
+  SELECT 'kprice' AS input, ROUND(MIN(kprice), 6) AS min,
+         ROUND(MAX(kprice), 6) AS max, ROUND(AVG(kprice), 6) AS mean,
+         ROUND(stddev_samp(kprice), 6) AS stddev,
+         CAST(NULL AS BIGINT) AS category_count,
+         CAST(COUNT(*) FILTER (WHERE kprice IS NULL) AS BIGINT)
+           AS null_count
+  FROM tf
+  UNION ALL
+  SELECT 'price_bin', NULL, NULL, NULL, NULL,
+         CAST(COUNT(DISTINCT price_bin) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE price_bin IS NULL) AS BIGINT)
+  FROM tf
+  UNION ALL
+  SELECT 'pri', NULL, NULL, NULL, NULL,
+         CAST(COUNT(DISTINCT pri) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE pri IS NULL) AS BIGINT)
+  FROM tf
+) ORDER BY input
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -2299,6 +2357,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q66_with_recursive": (q66_with_recursive, Q66_SQL),
     "q67_pipe_syntax": (q67_pipe_syntax, Q67_SQL),
     "q68_ml_preprocessing": (q68_ml_preprocessing, Q68_SQL),
+    "bqml_feature_info": (bqml_feature_info, BQML_FEATURE_INFO_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
     "q50_hll_approx": (q50_hll_approx, Q50_APPROX_SQL),

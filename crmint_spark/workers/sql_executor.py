@@ -867,8 +867,10 @@ class SparkSQLExecutor(Worker):
             rewrite_ml_evaluate,
             rewrite_ml_generate_embedding,
             rewrite_ml_global_explain,
+            rewrite_ml_feature_info,
             rewrite_ml_predict,
             rewrite_ml_recommend,
+            rewrite_ml_transform,
             rewrite_ml_weights,
             try_create_model,
         )
@@ -915,6 +917,8 @@ class SparkSQLExecutor(Worker):
         stmt = rewrite_ml_evaluate(spark, stmt, registry)
         stmt = rewrite_ml_generate_embedding(spark, stmt, registry)
         stmt = rewrite_ml_recommend(spark, stmt, registry)
+        stmt = rewrite_ml_transform(spark, stmt, registry)
+        stmt = rewrite_ml_feature_info(spark, stmt, registry)
         stmt = rewrite_ml_weights(spark, stmt, registry)
         stmt = rewrite_ml_global_explain(spark, stmt, registry)
         stmt = rewrite_ml_forecast(spark, stmt, registry)
@@ -1346,6 +1350,10 @@ class SparkSQLExecutor(Worker):
         shapes = {
             "ML.WEIGHTS": "processed_input STRING, weight DOUBLE",
             "ML.GLOBAL_EXPLAIN": "feature STRING, attribution DOUBLE",
+            "ML.FEATURE_INFO": (
+                "input STRING, min DOUBLE, max DOUBLE, mean DOUBLE, "
+                "stddev DOUBLE, category_count BIGINT, null_count BIGINT"
+            ),
             "ML.RECOMMEND": (
                 "user STRING, item STRING, predicted_rating DOUBLE"
             ),

@@ -730,3 +730,47 @@ def test_matrix_factorization_and_recommend(spark, tmp_path):
         for r in rec_two
     }
     assert first == again
+
+
+def test_ml_transform_function(spark, tmp_path):
+    """ML.TRANSFORM(MODEL m, (q)) runs the input through the persisted
+    TRANSFORM clause; models without one pass input through unchanged."""
+    from crmint_spark.catalog import Catalog
+    from crmint_spark.workers.base import WorkerContext
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+    spark.createDataFrame(
+        [(float(i), 1 if i % 2 else 0) for i in range(50)],
+        "f double, label int",
+    ).createOrReplaceTempView("mt_train")
+
+    def run(script):
+        w = SparkSQLExecutor({"script": script, "dry_run": False}, ctx)
+        w.execute()
+        return w.result
+
+    run(
+        "CREATE OR REPLACE MODEL `p.d.mt`"
+        " TRANSFORM(f * 10 AS f10, label)"
+        " OPTIONS(MODEL_TYPE='LOGISTIC_REG',"
+        " DATA_SPLIT_METHOD='NO_SPLIT')"
+        " AS SELECT f, label FROM mt_train"
+    )
+    out = run(
+        "SELECT * FROM ML.TRANSFORM(MODEL `p.d.mt`,"
+        " (SELECT 2.0 AS f, 1 AS label))"
+    ).collect()
+    assert [(r["f10"], r["label"]) for r in out] == [(20.0, 1)]
+    # no TRANSFORM clause -> passthrough
+    run(
+        "CREATE OR REPLACE MODEL `p.d.mt2`"
+        " OPTIONS(MODEL_TYPE='LOGISTIC_REG',"
+        " DATA_SPLIT_METHOD='NO_SPLIT')"
+        " AS SELECT f, label FROM mt_train"
+    )
+    out2 = run(
+        "SELECT * FROM ML.TRANSFORM(MODEL `p.d.mt2`,"
+        " (SELECT 3.5 AS f, 0 AS label))"
+    ).collect()
+    assert [(r["f"], r["label"]) for r in out2] == [(3.5, 0)]
