@@ -614,6 +614,231 @@ def rewrite_ml_feature_info(
     return _sub_ml_table_calls(stmt, "ML.FEATURE_INFO", handler)
 
 
+def rewrite_ml_confusion_matrix(
+    spark: SparkSession, stmt: str, registry: ModelRegistry
+) -> str:
+    """Replace ``ML.CONFUSION_MATRIX(MODEL m, (q)[, STRUCT(t AS
+    threshold)])`` with the binary confusion grid at the given
+    threshold (default 0.5) — BigQuery's shape: expected_label,
+    row-per-actual with predicted counts pivoted into columns
+    ``_0`` / ``_1`` (classifier models only)."""
+    from ..dialect import extract_with_clause
+
+    cte = extract_with_clause(stmt)
+    counter = [0]
+
+    def handler(name: str, args: list[str]) -> str:
+        model, meta = _load(registry, name)
+        if not is_classifier(meta["model_type"]):
+            raise ValueError(
+                f"ML.CONFUSION_MATRIX: model `{name}` is not a classifier"
+            )
+        threshold = 0.5
+        inner = None
+        for a in args:
+            m_t = re.search(
+                r"STRUCT\s*\(\s*([0-9.]+)\s+AS\s+threshold\s*\)",
+                a,
+                re.IGNORECASE,
+            )
+            if m_t:
+                threshold = float(m_t.group(1))
+            elif a.strip().startswith("("):
+                inner = _inner_query(a)
+        if inner is None:
+            raise ValueError(
+                "ML.CONFUSION_MATRIX needs (MODEL m, (query))"
+            )
+        df = _apply_transform(spark, inner, meta, cte, drop_label=False)
+        label = meta["label"]
+        scored = predict_with_probability(model, df)
+        pred = F.when(F.col("probability") >= threshold, 1).otherwise(0)
+        grid = (
+            scored.select(
+                F.col(label).cast("string").alias("expected_label"),
+                pred.alias("p"),
+            )
+            .groupBy("expected_label")
+            .agg(
+                F.count_if(F.col("p") == 0).alias("_0"),
+                F.count_if(F.col("p") == 1).alias("_1"),
+            )
+            .orderBy("expected_label")
+        )
+        counter[0] += 1
+        view = f"__ml_confusion_{counter[0]}"
+        grid.createOrReplaceTempView(view)
+        return view
+
+    return _sub_ml_table_calls(stmt, "ML.CONFUSION_MATRIX", handler)
+
+
+ROC_THRESHOLDS = [i / 20.0 for i in range(21)]
+
+
+def rewrite_ml_roc_curve(
+    spark: SparkSession, stmt: str, registry: ModelRegistry
+) -> str:
+    """Replace ``ML.ROC_CURVE(MODEL m, (q))`` with the threshold table
+    in BigQuery's shape (threshold, recall, false_positive_rate,
+    true_positives, false_positives, true_negatives, false_negatives)
+    over a fixed 21-point threshold grid (BigQuery picks its own grid;
+    the metric definitions are identical). One aggregation pass — the
+    grid is computed from per-threshold conditional counts, not 21
+    scans."""
+    from ..dialect import extract_with_clause
+
+    cte = extract_with_clause(stmt)
+    counter = [0]
+
+    def handler(name: str, args: list[str]) -> str:
+        model, meta = _load(registry, name)
+        if not is_classifier(meta["model_type"]):
+            raise ValueError(
+                f"ML.ROC_CURVE: model `{name}` is not a classifier"
+            )
+        if not args:
+            raise ValueError("ML.ROC_CURVE needs (MODEL m, (query))")
+        df = _apply_transform(
+            spark, _inner_query(args[0]), meta, cte, drop_label=False
+        )
+        label = meta["label"]
+        scored = predict_with_probability(model, df).select(
+            F.col(label).cast("int").alias("y"),
+            F.col("probability").alias("p"),
+        )
+        aggs = []
+        for i, t in enumerate(ROC_THRESHOLDS):
+            hit = F.col("p") >= F.lit(t)
+            aggs += [
+                F.count_if(hit & (F.col("y") == 1)).alias(f"tp_{i}"),
+                F.count_if(hit & (F.col("y") == 0)).alias(f"fp_{i}"),
+                F.count_if(~hit & (F.col("y") == 0)).alias(f"tn_{i}"),
+                F.count_if(~hit & (F.col("y") == 1)).alias(f"fn_{i}"),
+            ]
+        row = scored.agg(*aggs).first()
+        out_rows = []
+        for i, t in enumerate(ROC_THRESHOLDS):
+            tp, fp = int(row[f"tp_{i}"]), int(row[f"fp_{i}"])
+            tn, fn = int(row[f"tn_{i}"]), int(row[f"fn_{i}"])
+            recall = tp / (tp + fn) if tp + fn else None
+            fpr = fp / (fp + tn) if fp + tn else None
+            out_rows.append(
+                (
+                    t,
+                    round(recall, 6) if recall is not None else None,
+                    round(fpr, 6) if fpr is not None else None,
+                    tp,
+                    fp,
+                    tn,
+                    fn,
+                )
+            )
+        out = spark.createDataFrame(
+            out_rows,
+            "threshold double, recall double, false_positive_rate double,"
+            " true_positives bigint, false_positives bigint,"
+            " true_negatives bigint, false_negatives bigint",
+        )
+        counter[0] += 1
+        view = f"__ml_roc_{counter[0]}"
+        out.createOrReplaceTempView(view)
+        return view
+
+    return _sub_ml_table_calls(stmt, "ML.ROC_CURVE", handler)
+
+
+def rewrite_ml_explain_predict(
+    spark: SparkSession, stmt: str, registry: ModelRegistry
+) -> str:
+    """Replace ``ML.EXPLAIN_PREDICT(MODEL m, (q)[, STRUCT(k AS
+    top_k_features)])`` with per-row predictions plus the top-k feature
+    attributions. For linear/logistic models the attribution is the
+    exact local contribution coef * feature_value (BigQuery uses the
+    same for linear models); tree/MLP models raise a targeted error
+    naming ML.GLOBAL_EXPLAIN as the supported alternative."""
+    from ..dialect import extract_with_clause
+
+    cte = extract_with_clause(stmt)
+    counter = [0]
+
+    def handler(name: str, args: list[str]) -> str:
+        model, meta = _load(registry, name)
+        if meta["model_type"] not in ("LOGISTIC_REG", "LINEAR_REG"):
+            raise ValueError(
+                "ML.EXPLAIN_PREDICT: per-row attributions are supported"
+                " for LOGISTIC_REG/LINEAR_REG (coef * value); for"
+                f" {meta['model_type']} use ML.GLOBAL_EXPLAIN"
+            )
+        top_k = 3
+        inner = None
+        for a in args:
+            m_k = re.search(
+                r"STRUCT\s*\(\s*(\d+)\s+AS\s+top_k_features\s*\)",
+                a,
+                re.IGNORECASE,
+            )
+            if m_k:
+                top_k = int(m_k.group(1))
+            elif a.strip().startswith("("):
+                inner = _inner_query(a)
+        if inner is None:
+            raise ValueError(
+                "ML.EXPLAIN_PREDICT needs (MODEL m, (query))"
+            )
+        df = _apply_transform(spark, inner, meta, cte, drop_label=True)
+        coefs = dict(_model_feature_rows(model, meta))
+        coefs.pop("__INTERCEPT__", None)
+        contribs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("feature"),
+                    F.round(F.col(c) * F.lit(w), 6).alias("attribution"),
+                )
+                for c, w in coefs.items()
+            ]
+        )
+        ranked = F.slice(
+            F.reverse(
+                F.array_sort(
+                    contribs,
+                    lambda a, b: F.when(
+                        F.abs(a["attribution"]) < F.abs(b["attribution"]),
+                        -1,
+                    )
+                    .when(
+                        F.abs(a["attribution"]) > F.abs(b["attribution"]), 1
+                    )
+                    .otherwise(0),
+                )
+            ),
+            1,
+            top_k,
+        )
+        if is_classifier(meta["model_type"]):
+            scored = predict_with_probability(model, df).withColumnRenamed(
+                "prediction", "predicted_label"
+            )
+        else:
+            scored = model.transform(df).withColumnRenamed(
+                "prediction", "predicted_value"
+            )
+        drop = [
+            f.name
+            for f in scored.schema.fields
+            if f.dataType.typeName() == "vector"
+        ]
+        out = scored.drop(*drop).withColumn(
+            "top_feature_attributions", ranked
+        )
+        counter[0] += 1
+        view = f"__ml_explain_predict_{counter[0]}"
+        out.createOrReplaceTempView(view)
+        return view
+
+    return _sub_ml_table_calls(stmt, "ML.EXPLAIN_PREDICT", handler)
+
+
 def rewrite_ml_recommend(
     spark: SparkSession, stmt: str, registry: ModelRegistry
 ) -> str:

@@ -864,12 +864,15 @@ class SparkSQLExecutor(Worker):
         statement's result DataFrame, or None for side-effect-only
         statements. Shared by the script loop and EXECUTE IMMEDIATE."""
         from ..ml.sql_ml import (
+            rewrite_ml_confusion_matrix,
             rewrite_ml_evaluate,
+            rewrite_ml_explain_predict,
             rewrite_ml_generate_embedding,
             rewrite_ml_global_explain,
             rewrite_ml_feature_info,
             rewrite_ml_predict,
             rewrite_ml_recommend,
+            rewrite_ml_roc_curve,
             rewrite_ml_transform,
             rewrite_ml_weights,
             try_create_model,
@@ -913,8 +916,11 @@ class SparkSQLExecutor(Worker):
             # callers can inspect exactly what the model was fit on
             self.log_info("CREATE MODEL handled by Spark ML")
             return training_df
+        stmt = rewrite_ml_explain_predict(spark, stmt, registry)
         stmt = rewrite_ml_predict(spark, stmt, registry)
         stmt = rewrite_ml_evaluate(spark, stmt, registry)
+        stmt = rewrite_ml_confusion_matrix(spark, stmt, registry)
+        stmt = rewrite_ml_roc_curve(spark, stmt, registry)
         stmt = rewrite_ml_generate_embedding(spark, stmt, registry)
         stmt = rewrite_ml_recommend(spark, stmt, registry)
         stmt = rewrite_ml_transform(spark, stmt, registry)

@@ -774,3 +774,79 @@ def test_ml_transform_function(spark, tmp_path):
         " (SELECT 3.5 AS f, 0 AS label))"
     ).collect()
     assert [(r["f"], r["label"]) for r in out2] == [(3.5, 0)]
+
+
+def test_confusion_matrix_roc_curve_explain_predict(spark, tmp_path):
+    """The classifier evaluation family: ML.CONFUSION_MATRIX counts
+    match a hand-computed grid at the threshold, ML.ROC_CURVE rows are
+    internally consistent (tp+fn and fp+tn constant, recall
+    monotonically non-increasing in threshold), and ML.EXPLAIN_PREDICT
+    emits top-k coef*value attributions for linear models while
+    rejecting tree models with a targeted error."""
+    import pytest as _pytest
+
+    from crmint_spark.catalog import Catalog
+    from crmint_spark.workers.base import WorkerContext, WorkerException
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+    spark.createDataFrame(
+        [(float(i), float((i * 7) % 10), 1 if i >= 25 else 0) for i in range(50)],
+        "f1 double, f2 double, label int",
+    ).createOrReplaceTempView("cm_train")
+
+    def run(script):
+        w = SparkSQLExecutor({"script": script, "dry_run": False}, ctx)
+        w.execute()
+        return w.result
+
+    run(
+        "CREATE OR REPLACE MODEL `p.d.cm`"
+        " OPTIONS(MODEL_TYPE='LOGISTIC_REG', DATA_SPLIT_METHOD='NO_SPLIT')"
+        " AS SELECT f1, f2, label FROM cm_train"
+    )
+    grid = {
+        r["expected_label"]: (r["_0"], r["_1"])
+        for r in run(
+            "SELECT * FROM ML.CONFUSION_MATRIX(MODEL `p.d.cm`,"
+            " (SELECT f1, f2, label FROM cm_train))"
+        ).collect()
+    }
+    assert set(grid) == {"0", "1"}
+    assert sum(a + b for a, b in grid.values()) == 50
+    # a separable planted boundary: most mass on the diagonal
+    assert grid["0"][0] + grid["1"][1] >= 45
+
+    roc = run(
+        "SELECT * FROM ML.ROC_CURVE(MODEL `p.d.cm`,"
+        " (SELECT f1, f2, label FROM cm_train))"
+    ).collect()
+    assert len(roc) == 21
+    for r in roc:
+        assert r["true_positives"] + r["false_negatives"] == 25
+        assert r["false_positives"] + r["true_negatives"] == 25
+    recalls = [r["recall"] for r in sorted(roc, key=lambda r: r["threshold"])]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+
+    ex = run(
+        "SELECT * FROM ML.EXPLAIN_PREDICT(MODEL `p.d.cm`,"
+        " (SELECT 30.0 AS f1, 5.0 AS f2),"
+        " STRUCT(2 AS top_k_features))"
+    ).collect()
+    assert len(ex) == 1
+    attrs = ex[0]["top_feature_attributions"]
+    assert len(attrs) == 2
+    assert abs(attrs[0]["attribution"]) >= abs(attrs[1]["attribution"])
+    assert {a["feature"] for a in attrs} == {"f1", "f2"}
+
+    run(
+        "CREATE OR REPLACE MODEL `p.d.cm_tree`"
+        " OPTIONS(MODEL_TYPE='RANDOM_FOREST_CLASSIFIER',"
+        " DATA_SPLIT_METHOD='NO_SPLIT')"
+        " AS SELECT f1, f2, label FROM cm_train"
+    )
+    with _pytest.raises((WorkerException, ValueError), match="GLOBAL_EXPLAIN"):
+        run(
+            "SELECT * FROM ML.EXPLAIN_PREDICT(MODEL `p.d.cm_tree`,"
+            " (SELECT 1.0 AS f1, 2.0 AS f2))"
+        )
