@@ -3517,7 +3517,8 @@ def _rewrite_vector_search(sql: str) -> str:
         replacement = (
             "(SELECT query, base, distance FROM ("
             " SELECT vs_qid, query, base, distance,"
-            " row_number() OVER (PARTITION BY vs_qid ORDER BY distance ASC)"
+            " row_number() OVER (PARTITION BY vs_qid ORDER BY distance"
+            " ASC NULLS LAST)"
             " AS vs_rn FROM ("
             " SELECT /*+ BROADCAST(vs_q) */ vs_q.vs_qid AS vs_qid,"
             " vs_q.query AS query, struct(vs_b.*) AS base,"
