@@ -569,36 +569,55 @@ def rewrite_ml_feature_info(
         df = spark.sql(src)
         label = meta.get("label")
         split_col = meta.get("data_split", {}).get("split_col")
-        rows = []
-        for c, t in df.dtypes:
-            if c == label or c == split_col:
-                continue
+        feats = [
+            (c, t) for c, t in df.dtypes if c != label and c != split_col
+        ]
+        # ONE aggregation pass over all features (a per-column agg loop
+        # would be N scans of the training source at scale)
+        aggs = []
+        for i, (c, t) in enumerate(feats):
             if t == "string":
-                agg = df.agg(
-                    F.count_distinct(F.col(c)).alias("cc"),
-                    F.count_if(F.col(c).isNull()).alias("nulls"),
-                ).first()
-                rows.append(
-                    (c, None, None, None, None, int(agg["cc"]),
-                     int(agg["nulls"]))
-                )
+                aggs += [
+                    F.count_distinct(F.col(c)).alias(f"cc_{i}"),
+                    F.count_if(F.col(c).isNull()).alias(f"nulls_{i}"),
+                ]
             else:
-                agg = df.agg(
-                    F.round(F.min(F.col(c)).cast("double"), 6).alias("mn"),
-                    F.round(F.max(F.col(c)).cast("double"), 6).alias("mx"),
-                    F.round(F.avg(F.col(c)), 6).alias("mean"),
-                    F.round(F.stddev_samp(F.col(c)), 6).alias("sd"),
-                    F.count_if(F.col(c).isNull()).alias("nulls"),
-                ).first()
+                aggs += [
+                    F.round(F.min(F.col(c)).cast("double"), 6).alias(
+                        f"mn_{i}"
+                    ),
+                    F.round(F.max(F.col(c)).cast("double"), 6).alias(
+                        f"mx_{i}"
+                    ),
+                    F.round(F.avg(F.col(c)), 6).alias(f"mean_{i}"),
+                    F.round(F.stddev_samp(F.col(c)), 6).alias(f"sd_{i}"),
+                    F.count_if(F.col(c).isNull()).alias(f"nulls_{i}"),
+                ]
+        agg = df.agg(*aggs).first() if aggs else None
+        rows = []
+        for i, (c, t) in enumerate(feats):
+            if t == "string":
                 rows.append(
                     (
                         c,
-                        agg["mn"],
-                        agg["mx"],
-                        agg["mean"],
-                        agg["sd"],
                         None,
-                        int(agg["nulls"]),
+                        None,
+                        None,
+                        None,
+                        int(agg[f"cc_{i}"]),
+                        int(agg[f"nulls_{i}"]),
+                    )
+                )
+            else:
+                rows.append(
+                    (
+                        c,
+                        agg[f"mn_{i}"],
+                        agg[f"mx_{i}"],
+                        agg[f"mean_{i}"],
+                        agg[f"sd_{i}"],
+                        None,
+                        int(agg[f"nulls_{i}"]),
                     )
                 )
         out = spark.createDataFrame(
