@@ -463,12 +463,13 @@ class SparkSQLExecutor(Worker):
             if m.group(2) and name in store:
                 self.log_info(f"{kind} INDEX {name} exists; skipped")
                 return True
-            store[name] = {
-                "kind": kind,
-                "table": table,
-                "columns": cols,
-                "options": opts,
-            }
+            if not self._params["dry_run"]:
+                store[name] = {
+                    "kind": kind,
+                    "table": table,
+                    "columns": cols,
+                    "options": opts,
+                }
             self.log_info(
                 f"CREATE {kind} INDEX {name} ON {table}({cols}) recorded;"
                 " queries continue on the exact path (materialized"
@@ -484,6 +485,11 @@ class SparkSQLExecutor(Worker):
         )
         if d:
             name = d.group(3)
+            if self._params["dry_run"]:
+                self.log_info(
+                    f"dry run OK: DROP {d.group(1).upper()} INDEX {name}"
+                )
+                return True
             store = self._index_store()
             if name not in store and not d.group(2):
                 raise WorkerException(
