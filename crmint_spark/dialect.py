@@ -3729,7 +3729,10 @@ def _rewrite_gap_fill(sql: str) -> str:
     driver loop, no cross join with a calendar dim), joined to the data
     on (partition, bucket) — one keyed shuffle — and the fill methods
     are IGNORE NULLS navigation windows inside the partition. Scales as
-    a partition-local operation at any series count."""
+    a partition-local operation at any series count. The input relation
+    is referenced twice (bounds + data); pass a table / materialized
+    view rather than an expensive subquery at scale, or the source
+    computation runs twice."""
     while True:
         hit = None
         for start, op, end, _n in _iter_calls(sql, ("GAP_FILL",)):
