@@ -2143,6 +2143,51 @@ SELECT * FROM (
 """
 
 
+def q69_pipe_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composability tripwire: pipe syntax driving SEARCH(), ML.NGRAMS,
+    ML.BUCKETIZE and an AGGREGATE..GROUP BY in one statement — every
+    rewrite layer (pipe fold -> misc-fn expansion -> rename passes) has
+    to compose for this to parse and hash-match."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    FROM documents
+    |> WHERE SEARCH(text, 'spark')
+    |> EXTEND ARRAY_LENGTH(ML.NGRAMS(SPLIT(text, ' '), [2, 2])) AS n_bigrams
+    |> EXTEND ML.BUCKETIZE(n_chars, [200, 400]) AS len_bin
+    |> AGGREGATE COUNT(*) AS n_docs,
+       CAST(SUM(n_bigrams) AS INT64) AS total_bigrams
+       GROUP BY lang, len_bin
+    |> ORDER BY lang, len_bin
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q69_SQL = """
+WITH hits AS (
+  SELECT lang, n_chars,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+  WHERE list_contains(
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x != ''), 'spark')
+)
+SELECT lang,
+       'bin_' || CAST(1 + len(list_filter([200.0, 400.0],
+                 p -> p <= n_chars)) AS VARCHAR) AS len_bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_words >= 2 THEN n_words - 1 ELSE 0 END)
+            AS BIGINT) AS total_bigrams
+FROM hits
+GROUP BY 1, 2
+ORDER BY lang, len_bin
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -2357,6 +2402,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q66_with_recursive": (q66_with_recursive, Q66_SQL),
     "q67_pipe_syntax": (q67_pipe_syntax, Q67_SQL),
     "q68_ml_preprocessing": (q68_ml_preprocessing, Q68_SQL),
+    "q69_pipe_composite": (q69_pipe_composite, Q69_SQL),
     "bqml_feature_info": (bqml_feature_info, BQML_FEATURE_INFO_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
