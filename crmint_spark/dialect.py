@@ -1775,15 +1775,23 @@ def _rewrite_arith_fns(sql: str) -> str:
     """Two-arg arithmetic spellings Spark writes as operators or casts:
     ``DIV(x, y)`` -> ``(x DIV y)``; ``IEEE_DIVIDE(x, y)`` -> IEEE double
     division (inf/nan, never an error); ``UNIX_DATE(d)`` /
-    ``DATE_FROM_UNIX_DATE(n)`` -> epoch-day arithmetic."""
+    ``DATE_FROM_UNIX_DATE(n)`` -> epoch-day arithmetic; two-arg
+    ``LOG(x, base)`` (BigQuery: log of x to ``base``) -> Spark's
+    reversed-argument ``LOG(base, x)`` — without the swap LOG(8, 2)
+    silently returns 1/3 instead of 3 (1-arg LOG is ln in both)."""
     out: list[str] = []
     pos = 0
     for start, open_idx, end, fn in _iter_calls(
-        sql, ("DIV", "IEEE_DIVIDE", "UNIX_DATE", "DATE_FROM_UNIX_DATE")
+        sql, ("DIV", "IEEE_DIVIDE", "UNIX_DATE", "DATE_FROM_UNIX_DATE", "LOG")
     ):
-        args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : end - 1])]
+        # recurse into the argument list first so nested spellings
+        # (LOG(LOG(256, 2), 2), DIV(DIV(8, 2), 2)) are rewritten too
+        inner = _rewrite_arith_fns(sql[open_idx + 1 : end - 1])
+        args = [a.strip() for a in _split_top_level(inner)]
         if fn == "div" and len(args) == 2:
             repl = f"({args[0]} DIV {args[1]})"
+        elif fn == "log" and len(args) == 2:
+            repl = f"LOG({args[1]}, {args[0]})"
         elif fn == "ieee_divide" and len(args) == 2:
             # Spark ANSI division errors on /0 for every numeric type;
             # IEEE wants x/0 -> ±Inf and 0/0 -> NaN, which x * Inf
@@ -1800,7 +1808,9 @@ def _rewrite_arith_fns(sql: str) -> str:
         elif fn == "date_from_unix_date" and len(args) == 1:
             repl = f"date_add(DATE'1970-01-01', CAST({args[0]} AS INT))"
         else:
-            continue
+            # arity with no rewrite (1-arg LOG = ln in both dialects):
+            # keep the call but splice the recursed argument list back
+            repl = sql[start : open_idx + 1] + inner + ")"
         out.append(sql[pos:start])
         out.append(repl)
         pos = end

@@ -2188,6 +2188,67 @@ ORDER BY lang, len_bin
 """
 
 
+def q70_bq_functions9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ninth function batch — two-arg LOG (BigQuery's LOG(x, base) has
+    the REVERSED argument order vs Spark's log(base, x): without the
+    dialect swap LOG(8, 2) silently returns 1/3 instead of 3),
+    MAX_BY/MIN_BY, BIT_AND/BIT_OR/BIT_XOR aggregates, PERCENT_RANK,
+    COVAR_POP/COVAR_SAMP, LPAD/RPAD. All value-certified against
+    DuckDB over the same orders slice; PERCENT_RANK summed over a
+    unique-key ordering so the window is deterministic."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+             PERCENT_RANK() OVER (ORDER BY o_orderkey) AS pr
+      FROM orders WHERE o_orderkey <= 200
+    )
+    SELECT LOG(8, 2) AS log2_8,
+           ROUND(LOG(LOG(65536, 4), 2), 6) AS log_nested,
+           ROUND(LOG(64), 6) AS ln_64,
+           MAX_BY(o_orderpriority, o_orderkey) AS prio_last,
+           MIN_BY(o_orderpriority, o_orderkey) AS prio_first,
+           BIT_AND(o_orderkey) AS b_and,
+           BIT_OR(o_orderkey) AS b_or,
+           BIT_XOR(o_orderkey) AS b_xor,
+           ROUND(SUM(pr), 6) AS pr_sum,
+           ROUND(COVAR_POP(o_orderkey, o_custkey), 4) AS cv_pop,
+           ROUND(COVAR_SAMP(o_orderkey, o_custkey), 4) AS cv_samp,
+           LPAD(CAST(COUNT(*) AS STRING), 6, '0') AS n_pad,
+           RPAD('ab', 5, 'xy') AS r_pad
+    FROM src
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q70_SQL = """
+WITH src AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority,
+         PERCENT_RANK() OVER (ORDER BY o_orderkey) AS pr
+  FROM orders WHERE o_orderkey <= 200
+)
+SELECT log(2, 8) AS log2_8,
+       ROUND(log(2, log(4, 65536)), 6) AS log_nested,
+       ROUND(ln(64), 6) AS ln_64,
+       max_by(o_orderpriority, o_orderkey) AS prio_last,
+       min_by(o_orderpriority, o_orderkey) AS prio_first,
+       bit_and(o_orderkey) AS b_and,
+       bit_or(o_orderkey) AS b_or,
+       bit_xor(o_orderkey) AS b_xor,
+       ROUND(SUM(pr), 6) AS pr_sum,
+       ROUND(covar_pop(o_orderkey, o_custkey), 4) AS cv_pop,
+       ROUND(covar_samp(o_orderkey, o_custkey), 4) AS cv_samp,
+       lpad(CAST(COUNT(*) AS VARCHAR), 6, '0') AS n_pad,
+       rpad('ab', 5, 'xy') AS r_pad
+FROM src
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -2403,6 +2464,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q67_pipe_syntax": (q67_pipe_syntax, Q67_SQL),
     "q68_ml_preprocessing": (q68_ml_preprocessing, Q68_SQL),
     "q69_pipe_composite": (q69_pipe_composite, Q69_SQL),
+    "q70_bq_functions9": (q70_bq_functions9, Q70_SQL),
     "bqml_feature_info": (bqml_feature_info, BQML_FEATURE_INFO_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),

@@ -68,6 +68,11 @@ CASES = [
     # arithmetic spellings
     ("DIV(7, 2)", 3),
     ("IEEE_DIVIDE(1, 0)", float("inf")),
+    # BigQuery LOG(x, base) has reversed args vs Spark log(base, x)
+    ("LOG(8, 2)", 3.0),
+    ("LOG(LOG(65536, 4), 2)", 3.0),
+    ("ROUND(LOG(EXP(2)), 6)", 2.0),
+    ("DIV(DIV(8, 2), 2)", 2),
     ("UNIX_DATE(DATE '1970-01-11')", 10),
     ("DATE_FROM_UNIX_DATE(10)", datetime.date(1970, 1, 11)),
     # epoch conversions are same-name passthroughs — prove they survive
