@@ -2249,6 +2249,61 @@ FROM src
 """
 
 
+def q71_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The file-exchange statement plane in one script: EXPORT DATA
+    writes a query result to parquet, LOAD DATA OVERWRITE reads it back
+    into a catalog table, ASSERT gates on the row count surviving the
+    roundtrip (BigQuery fails the job on FALSE/NULL), and the final
+    SELECT aggregates the RELOADED table — so the oracle (the same
+    aggregate straight off `orders`) certifies export+load+assert
+    end-to-end, not just the query. Ref: bq_to_storage_exporter.py /
+    storage_to_bq_importer.py are the worker twins of these statements."""
+    import tempfile
+
+    from .catalog import Catalog
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="export_rt_")
+    script = f"""
+    EXPORT DATA OPTIONS(
+      uri='{tmp}/out/part-*.parquet', format='PARQUET', overwrite=true) AS
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey <= 500;
+
+    LOAD DATA OVERWRITE `p.tmp.reloaded`
+    FROM FILES (format='PARQUET', uris=['{tmp}/out/*.parquet']);
+
+    ASSERT (SELECT COUNT(*) FROM `p.tmp.reloaded`) =
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 500)
+      AS 'roundtrip preserved the row count';
+
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_custkey) AS INT64) AS cust_sum,
+           ROUND(SUM(o_totalprice), 4) AS price_sum,
+           CAST(MIN(o_orderkey) AS INT64) AS min_key,
+           CAST(MAX(o_orderkey) AS INT64) AS max_key
+    FROM `p.tmp.reloaded`
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False},
+        WorkerContext(spark=spark, catalog=Catalog(spark, tempfile.mkdtemp(prefix="export_cat_"))),
+    )
+    w.execute()
+    return w.result
+
+
+Q71_SQL = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+       ROUND(SUM(o_totalprice), 4) AS price_sum,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders WHERE o_orderkey <= 500
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -2465,6 +2520,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q68_ml_preprocessing": (q68_ml_preprocessing, Q68_SQL),
     "q69_pipe_composite": (q69_pipe_composite, Q69_SQL),
     "q70_bq_functions9": (q70_bq_functions9, Q70_SQL),
+    "q71_export_roundtrip": (q71_export_roundtrip, Q71_SQL),
     "bqml_feature_info": (bqml_feature_info, BQML_FEATURE_INFO_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),

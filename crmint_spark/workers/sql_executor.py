@@ -897,6 +897,8 @@ class SparkSQLExecutor(Worker):
         if self._try_drop_alter(sub):
             return None
         sub = self._expand_table_functions(sub)
+        if self._try_assert(sub, resolver):
+            return None
         if self._try_export_load(sub, resolver):
             return None
         if not self._params["dry_run"]:
@@ -1054,6 +1056,47 @@ class SparkSQLExecutor(Worker):
                     return body[:i].strip(), body[mm.end():].strip()
             i += 1
         return None
+
+    # -- BigQuery ASSERT statement ---------------------------------------
+
+    _ASSERT_RE = re.compile(r"^\s*ASSERT\b(.*)$", re.IGNORECASE | re.DOTALL)
+    _ASSERT_MSG_RE = re.compile(
+        r"^(.*?)\sAS\s+('(?:[^']|'')*')\s*$", re.IGNORECASE | re.DOTALL
+    )
+
+    def _try_assert(self, sub: str, resolver) -> bool:
+        """BigQuery ``ASSERT <expr> [AS 'description']``: evaluate the
+        boolean expression engine-side (scalar subqueries included) and
+        fail the job when it is FALSE or NULL — BigQuery treats both as
+        assertion failure. Ref: the reference scripts gate pipeline
+        stages on row-count checks (bq_script_executor.py scripts)."""
+        from ..dialect import transpile_statement
+
+        m = self._ASSERT_RE.match(sub)
+        if not m:
+            return False
+        body = m.group(1).strip()
+        if not body:
+            raise WorkerException("ASSERT requires a boolean expression")
+        message = "assertion failed"
+        mm = self._ASSERT_MSG_RE.match(body)
+        if mm:
+            body = mm.group(1).strip()
+            message = mm.group(2)[1:-1].replace("''", "'")
+        stmt = transpile_statement(
+            f"SELECT ({body}) AS ok",
+            resolver,
+            approx_sketches=bool(self._params.get("approx_sketches")),
+        )
+        spark = self._ctx.spark
+        if self._params["dry_run"]:
+            self._dry_run_statement(spark, stmt)
+            return True
+        row = spark.sql(stmt).collect()[0]
+        if row["ok"] is not True:
+            raise WorkerException(f"ASSERT failed: {message}")
+        self.log_info(f"ASSERT passed: {message}")
+        return True
 
     # -- BigQuery EXPORT DATA / LOAD DATA script statements --------------
     #

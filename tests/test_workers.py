@@ -31,6 +31,46 @@ def _seed_table(ctx, table_id, rows, schema):
 # -- SQL executor -----------------------------------------------------------
 
 
+def test_assert_statement(ctx):
+    _seed_table(ctx, "p.d.a_src", [(1,), (2,), (3,)], "id long")
+    view = ctx.catalog.register("p.d.a_src")
+    # passing ASSERT lets the script continue to its final SELECT
+    w = find_worker("SparkSQLExecutor")(
+        {
+            "script": f"""
+            ASSERT (SELECT COUNT(*) FROM {view}) = 3 AS 'seed rows present';
+            SELECT MAX(id) AS m FROM {view}
+            """,
+            "dry_run": False,
+        },
+        ctx,
+    )
+    w.execute()
+    assert w.result.collect()[0]["m"] == 3
+    assert any("ASSERT passed" in line for line in w.log)
+    # FALSE fails with the user message
+    with pytest.raises(WorkerException, match="too few rows"):
+        find_worker("SparkSQLExecutor")(
+            {
+                "script": f"ASSERT (SELECT COUNT(*) FROM {view}) > 99 AS 'too few rows'",
+                "dry_run": False,
+            },
+            ctx,
+        ).execute()
+    # NULL condition is a failure too (BigQuery semantics), default message
+    with pytest.raises(WorkerException, match="ASSERT failed"):
+        find_worker("SparkSQLExecutor")(
+            {"script": "ASSERT CAST(NULL AS BOOL)", "dry_run": False},
+            ctx,
+        ).execute()
+    # dry run only validates
+    w = find_worker("SparkSQLExecutor")(
+        {"script": "ASSERT 1 = 2 AS 'never evaluated'", "dry_run": True},
+        ctx,
+    )
+    w.execute()
+
+
 def test_sql_executor_script_with_declare_set(ctx):
     _seed_table(
         ctx, "p.d.src", [(1, "a"), (2, "b"), (3, "c")], "id long, tag string"
