@@ -878,6 +878,10 @@ def _rewrite_interval_arith(sql: str) -> str:
         base = f"({expr} {op} {args[1].strip()})"
         if fn.startswith("datetime"):
             base = f"CAST({base} AS TIMESTAMP)"
+        elif fn.startswith("date"):
+            # BigQuery DATE_ADD/DATE_SUB return DATE; Spark's
+            # date + day-time interval promotes to TIMESTAMP
+            base = f"CAST({base} AS DATE)"
         out.append(sql[pos:start])
         out.append(base)
         pos = end
@@ -904,13 +908,39 @@ def _rewrite_datetime_fn(sql: str) -> str:
 def _rewrite_raw_strings(sql: str) -> str:
     """BigQuery raw strings ``r"pat"``/``r'pat'`` -> plain strings with
     backslashes escaped (Spark has no raw literals; ref: output.sql:6,
-    model_bqml.sql:226)."""
-
-    def repl(m: re.Match) -> str:
-        body = m.group(2) if m.group(2) is not None else m.group(3)
-        return "'" + body.replace("\\", "\\\\").replace("'", "\\'") + "'"
-
-    return re.sub(r"\br(\"([^\"]*)\"|'([^']*)')", repl, sql)
+    model_bqml.sql:226). Walks the quote structure so the ``r`` prefix
+    is only recognized in CODE position immediately before the opening
+    quote — a plain regex here corrupts any statement where an ``r``
+    sits at the end of one string literal followed by another (e.g.
+    ``'their offer' || 'x'`` or a ``'r'`` column-name argument)."""
+    out: list[str] = []
+    seg_start = 0
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] in ("'", '"', "`"):
+            seg = sql[seg_start:i]
+            lit_end = _skip_string(sql, i)
+            m = (
+                re.search(r"(?<![\w$.])[rR]$", seg)
+                if sql[i] != "`"
+                else None
+            )
+            if m:
+                body = sql[i + 1 : lit_end - 1]
+                out.append(seg[: m.start()])
+                out.append(
+                    "'"
+                    + body.replace("\\", "\\\\").replace("'", "\\'")
+                    + "'"
+                )
+            else:
+                out.append(seg)
+                out.append(sql[i:lit_end])
+            i = seg_start = lit_end
+            continue
+        i += 1
+    out.append(sql[seg_start:])
+    return "".join(out)
 
 
 def _rewrite_string_agg(sql: str) -> str:
@@ -3873,6 +3903,224 @@ def _rewrite_gap_fill(sql: str) -> str:
         sql = sql[:start] + replacement + sql[end:]
 
 
+# -- BigQuery RANGE type -----------------------------------------------------
+#
+# Spark has no range column type; the engine represents RANGE<T> as
+# STRUCT<lower: T, upper: T> with NULL bounds meaning UNBOUNDED, and the
+# half-open [lower, upper) semantics BigQuery defines. Scalar functions
+# rewrite to struct algebra; RANGE_SESSIONIZE is a FROM-clause TVF that
+# compiles to island-detection windows (one keyed shuffle, no self-join).
+
+_RANGE_TYPES = {"DATE": "DATE", "DATETIME": "TIMESTAMP_NTZ", "TIMESTAMP": "TIMESTAMP"}
+
+_RANGE_LIT_TAIL_RE = re.compile(
+    r"\bRANGE\s*<\s*(DATE|DATETIME|TIMESTAMP)\s*>\s*$", re.IGNORECASE
+)
+
+
+def _range_struct(lower: str, upper: str) -> str:
+    return f"named_struct('lower', {lower}, 'upper', {upper})"
+
+
+def _rewrite_range_literals(sql: str) -> str:
+    """``RANGE<DATE> '[2020-01-01, 2020-07-01)'`` -> bound struct, with
+    UNBOUNDED (either side) -> typed NULL. Walks the quote structure
+    like the JSON typed-literal strip, so the keyword is only consumed
+    in code position immediately before the quoted body."""
+    out: list[str] = []
+    seg_start = 0
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] in ("'", '"', "`"):
+            seg = sql[seg_start:i]
+            lit_end = _skip_string(sql, i)
+            m = None if sql[i] == "`" else _RANGE_LIT_TAIL_RE.search(seg)
+            body = sql[i + 1 : lit_end - 1]
+            bm = re.match(r"\s*\[(.*),(.*)\)\s*$", body) if m else None
+            if m and bm:
+                styp = _RANGE_TYPES[m.group(1).upper()]
+
+                def bound(txt: str) -> str:
+                    txt = txt.strip()
+                    if not txt or txt.upper() in ("UNBOUNDED", "NULL"):
+                        return f"CAST(NULL AS {styp})"
+                    return f"{styp} '{txt}'"
+
+                out.append(seg[: m.start()])
+                out.append(_range_struct(bound(bm.group(1)), bound(bm.group(2))))
+            else:
+                out.append(seg)
+                out.append(sql[i:lit_end])
+            i = seg_start = lit_end
+            continue
+        i += 1
+    out.append(sql[seg_start:])
+    return "".join(out)
+
+
+def _rewrite_range_fns(sql: str) -> str:
+    """BigQuery RANGE scalar functions over the struct encoding:
+
+    - ``RANGE(a, b)`` constructor -> struct (BigQuery errors when
+      a >= b; the engine constructs the struct regardless — documented
+      divergence, no hidden assertion in the hot path).
+    - ``RANGE_START/RANGE_END`` -> bound access (NULL = unbounded).
+    - ``RANGE_CONTAINS(r, x)``: the range-in-range form is recognized
+      when the second argument is itself range-typed SYNTACTICALLY (a
+      RANGE literal/constructor or another range function); any other
+      expression is treated as the scalar-value form.
+    - ``RANGE_OVERLAPS/RANGE_INTERSECT`` with UNBOUNDED-aware bound
+      algebra (BigQuery errors on non-overlapping RANGE_INTERSECT
+      inputs; the engine returns an inverted struct instead).
+    - ``GENERATE_RANGE_ARRAY(r, step [, include_last_partial])`` ->
+      sequence/filter/transform HOFs — type-agnostic half-open split
+      with no epsilon arithmetic (the ``s < upper`` filter drops an
+      exactly-landing terminal start).
+    """
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, fn in _iter_calls(
+        sql,
+        (
+            "RANGE_START", "RANGE_END", "RANGE_CONTAINS", "RANGE_OVERLAPS",
+            "RANGE_INTERSECT", "GENERATE_RANGE_ARRAY", "RANGE",
+        ),
+    ):
+        inner = _rewrite_range_fns(sql[open_idx + 1 : end - 1])
+        args = [a.strip() for a in _split_top_level(inner)]
+        a = args[0] if args else ""
+        b = args[1] if len(args) > 1 else ""
+        lo1, up1 = f"({a}).lower", f"({a}).upper"
+        lo2, up2 = f"({b}).lower", f"({b}).upper"
+        if fn == "range" and len(args) == 2:
+            repl = _range_struct(a, b)
+        elif fn == "range_start" and len(args) == 1:
+            repl = lo1
+        elif fn == "range_end" and len(args) == 1:
+            repl = up1
+        elif fn == "range_contains" and len(args) == 2:
+            # literals/constructors are already named_struct here (the
+            # literal pass runs first; the constructor via recursion), so
+            # struct syntax alone marks the range-in-range form — a range
+            # passed as a bare column reference needs the constructor
+            # spelling (documented syntactic limitation)
+            if re.match(r"named_struct\s*\(", b, re.IGNORECASE):
+                repl = (
+                    f"(({lo1} IS NULL OR ({lo2} IS NOT NULL AND {lo2} >= {lo1}))"
+                    f" AND ({up1} IS NULL OR ({up2} IS NOT NULL AND {up2} <= {up1})))"
+                )
+            else:
+                repl = (
+                    f"(({lo1} IS NULL OR {b} >= {lo1})"
+                    f" AND ({up1} IS NULL OR {b} < {up1}))"
+                )
+        elif fn == "range_overlaps" and len(args) == 2:
+            repl = (
+                f"(({lo1} IS NULL OR {up2} IS NULL OR {lo1} < {up2})"
+                f" AND ({lo2} IS NULL OR {up1} IS NULL OR {lo2} < {up1}))"
+            )
+        elif fn == "range_intersect" and len(args) == 2:
+            new_lo = (
+                f"CASE WHEN {lo1} IS NULL THEN {lo2}"
+                f" WHEN {lo2} IS NULL THEN {lo1}"
+                f" ELSE greatest({lo1}, {lo2}) END"
+            )
+            new_up = (
+                f"CASE WHEN {up1} IS NULL THEN {up2}"
+                f" WHEN {up2} IS NULL THEN {up1}"
+                f" ELSE least({up1}, {up2}) END"
+            )
+            repl = _range_struct(new_lo, new_up)
+        elif fn == "generate_range_array" and len(args) in (2, 3):
+            step = b
+            starts = f"filter(sequence({lo1}, {up1}, {step}), _rs -> _rs < {up1})"
+            arr = (
+                f"transform({starts}, _rs -> named_struct('lower', _rs,"
+                f" 'upper', least({up1}, _rs + {step})))"
+            )
+            keep_partial = True
+            if len(args) == 3:
+                keep_partial = args[2].strip().lower() != "false"
+            if not keep_partial:
+                arr = f"filter({arr}, _rr -> _rr.upper = _rr.lower + {step})"
+            repl = arr
+        else:
+            repl = sql[start : open_idx + 1] + inner + ")"
+        out.append(sql[pos:start])
+        out.append(repl)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_range_sessionize(sql: str) -> str:
+    """``RANGE_SESSIONIZE(TABLE t, 'r' [, ['k', ...]
+    [, 'MEETS_OR_OVERLAPS'|'OVERLAPS']])`` -> derived table emitting the
+    input rows plus ``session_range`` (the merged extent of each island
+    of meeting/overlapping ranges per partition key).
+
+    Spark plan: three window functions over ONE (partition, lower,
+    upper) sort — running max-of-upper finds island breaks, a running
+    sum numbers them, min/max per island builds the session range. A
+    single keyed shuffle, no self-join, no driver loop; scales linearly
+    in rows per partition key. NULL (unbounded) bounds are not
+    supported here — the running max would skip them (documented; the
+    scalar RANGE functions do handle UNBOUNDED)."""
+    while True:
+        hit = None
+        for start, op, end, _n in _iter_calls(sql, ("RANGE_SESSIONIZE",)):
+            hit = (start, op, end)
+            break
+        if hit is None:
+            return sql
+        start, op, end = hit
+        raw = _split_top_level(sql[op + 1 : end - 1])
+        args: list[str] = []
+        for frag in raw:
+            if args and args[-1].count("[") > args[-1].count("]"):
+                args[-1] += "," + frag
+            else:
+                args.append(frag)
+        m_t = re.match(r"\s*TABLE\s+(.+)$", args[0], re.IGNORECASE | re.DOTALL)
+        rel = m_t.group(1).strip().strip("`") if m_t else args[0].strip()
+        if len(args) < 2:
+            raise ValueError("RANGE_SESSIONIZE needs (TABLE t, 'range_column')")
+        rcol = args[1].strip().strip("'\"")
+        parts = re.findall(r"'([^']+)'", args[2]) if len(args) > 2 else []
+        mode = (
+            args[3].strip().strip("'\"").upper()
+            if len(args) > 3
+            else "MEETS_OR_OVERLAPS"
+        )
+        if mode not in ("MEETS_OR_OVERLAPS", "OVERLAPS"):
+            raise ValueError(
+                f"RANGE_SESSIONIZE: unknown mode {mode!r}"
+                " (MEETS_OR_OVERLAPS/OVERLAPS)"
+            )
+        # strict OVERLAPS starts a new session when ranges merely touch
+        brk = ">=" if mode == "OVERLAPS" else ">"
+        lo, up = f"({rcol}).lower", f"({rcol}).upper"
+        p_sel = ", ".join(parts)
+        win = (
+            f"PARTITION BY {p_sel} ORDER BY {lo}, {up}"
+            if parts
+            else f"ORDER BY {lo}, {up}"
+        )
+        sess_win = f"PARTITION BY {p_sel + ', ' if parts else ''}rs_id"
+        replacement = (
+            f"(SELECT * EXCEPT (rs_new, rs_id),"
+            f" named_struct('lower', min({lo}) OVER ({sess_win}),"
+            f" 'upper', max({up}) OVER ({sess_win})) AS session_range"
+            f" FROM (SELECT *, SUM(rs_new) OVER ({win}"
+            f" ROWS UNBOUNDED PRECEDING) AS rs_id FROM ("
+            f" SELECT *, CASE WHEN {lo} {brk} max({up}) OVER ({win}"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            f" THEN 1 ELSE 0 END AS rs_new FROM {rel}) AS rs_flag"
+            f") AS rs_num)"
+        )
+        sql = sql[:start] + replacement + sql[end:]
+
+
 def _rewrite_create_view(sql: str) -> str:
     """``CREATE [OR REPLACE] VIEW `p.d.v` AS q`` -> temporary view (the
     engine's catalog registers all relations as session views; a Spark
@@ -3930,6 +4178,12 @@ def transpile_statement(sql: str, resolver=None, approx_sketches: bool = False) 
     out = _rewrite_pipe_syntax(out)
     out = _rewrite_vector_search(out)
     out = _rewrite_gap_fill(out)
+    # RANGE literals first so the scalar-fn pass sees struct syntax for
+    # its range-vs-value argument detection; the sessionize TVF reads
+    # the raw range column so it composes with either
+    out = _rewrite_range_sessionize(out)
+    out = _rewrite_range_literals(out)
+    out = _rewrite_range_fns(out)
     out = _rewrite_qualify(out)
     out = _rewrite_array_subquery(out)
     out = _rewrite_correlated_unnest(out)

@@ -2304,6 +2304,114 @@ FROM orders WHERE o_orderkey <= 500
 """
 
 
+def q72_range_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery RANGE<T> scalar surface (struct<lower,upper> encoding,
+    half-open, NULL = UNBOUNDED): literals, constructor, START/END,
+    CONTAINS (value and range forms), OVERLAPS (touching ranges do NOT
+    overlap), INTERSECT with an unbounded side, and
+    GENERATE_RANGE_ARRAY with/without the trailing partial range. All
+    value-pinned in the oracle; the probe subquery keeps the entry on
+    real testdata."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    SELECT
+      CAST(RANGE_START(RANGE<DATE> '[2020-01-01, 2020-07-01)') AS STRING) AS s,
+      CAST(RANGE_END(RANGE<DATE> '[2020-01-01, UNBOUNDED)') AS STRING) AS e_unb,
+      RANGE_CONTAINS(RANGE<DATE> '[2020-01-01, 2020-07-01)', DATE '2020-06-30') AS c_in,
+      RANGE_CONTAINS(RANGE<DATE> '[2020-01-01, 2020-07-01)', DATE '2020-07-01') AS c_edge,
+      RANGE_CONTAINS(RANGE<DATE> '[2020-01-01, UNBOUNDED)',
+                     RANGE(DATE '2021-01-01', DATE '2022-01-01')) AS c_rng,
+      RANGE_OVERLAPS(RANGE<DATE> '[2020-01-01, 2020-07-01)',
+                     RANGE<DATE> '[2020-06-30, 2020-12-31)') AS o_yes,
+      RANGE_OVERLAPS(RANGE<DATE> '[2020-01-01, 2020-07-01)',
+                     RANGE<DATE> '[2020-07-01, 2020-12-31)') AS o_touch,
+      CAST(RANGE_START(RANGE_INTERSECT(RANGE<DATE> '[2020-01-01, 2020-07-01)',
+           RANGE<DATE> '[2020-03-01, UNBOUNDED)')) AS STRING) AS i_lo,
+      CAST(RANGE_END(RANGE_INTERSECT(RANGE<DATE> '[2020-01-01, 2020-07-01)',
+           RANGE<DATE> '[2020-03-01, UNBOUNDED)')) AS STRING) AS i_up,
+      CAST(ARRAY_LENGTH(GENERATE_RANGE_ARRAY(
+        RANGE<DATE> '[2020-01-01, 2020-01-10)', INTERVAL 4 DAY)) AS INT64) AS g_all,
+      CAST(ARRAY_LENGTH(GENERATE_RANGE_ARRAY(
+        RANGE<DATE> '[2020-01-01, 2020-01-10)', INTERVAL 4 DAY, false)) AS INT64) AS g_full,
+      CAST(RANGE_END(GENERATE_RANGE_ARRAY(
+        RANGE<DATE> '[2020-01-01, 2020-01-10)', INTERVAL 4 DAY)[OFFSET(2)])
+        AS STRING) AS g_last_end,
+      (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 50) AS src_n
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q72_SQL = """
+SELECT '2020-01-01' AS s, CAST(NULL AS VARCHAR) AS e_unb,
+       TRUE AS c_in, FALSE AS c_edge, TRUE AS c_rng,
+       TRUE AS o_yes, FALSE AS o_touch,
+       '2020-03-01' AS i_lo, '2020-07-01' AS i_up,
+       CAST(3 AS BIGINT) AS g_all, CAST(2 AS BIGINT) AS g_full,
+       '2020-01-10' AS g_last_end,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 50) AS src_n
+"""
+
+
+def q73_range_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE_SESSIONIZE TVF: per-customer 30-day activity ranges from
+    orders merge into sessions when they meet or overlap. Compiled to
+    three windows over one (customer, lower, upper) sort — a single
+    keyed shuffle, no self-join (dialect._rewrite_range_sessionize).
+    The oracle reproduces the island detection with plain window SQL in
+    DuckDB (separate CTEs — DuckDB cannot nest window calls)."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE TEMPORARY VIEW order_ranges AS
+    SELECT o_custkey, RANGE(CAST(o_orderdate AS DATE),
+           DATE_ADD(CAST(o_orderdate AS DATE), INTERVAL 30 DAY)) AS r
+    FROM orders WHERE o_custkey <= 200;
+
+    SELECT o_custkey,
+           CAST(RANGE_START(session_range) AS STRING) AS s_start,
+           CAST(RANGE_END(session_range) AS STRING) AS s_end,
+           COUNT(*) AS n_orders
+    FROM RANGE_SESSIONIZE(TABLE order_ranges, 'r', ['o_custkey'])
+    GROUP BY o_custkey, s_start, s_end
+    ORDER BY o_custkey, s_start
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q73_SQL = """
+WITH r AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS lo,
+         CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS up
+  FROM orders WHERE o_custkey <= 200
+), f AS (
+  SELECT *, CASE WHEN lo > max(up) OVER (PARTITION BY o_custkey
+            ORDER BY lo, up ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            THEN 1 ELSE 0 END AS brk
+  FROM r
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY o_custkey ORDER BY lo, up
+            ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT o_custkey,
+       CAST(CAST(MIN(lo) AS DATE) AS VARCHAR) AS s_start,
+       CAST(CAST(MAX(up) AS DATE) AS VARCHAR) AS s_end,
+       COUNT(*) AS n_orders
+FROM s
+GROUP BY o_custkey, sid
+ORDER BY o_custkey, s_start
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -2521,6 +2629,8 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q69_pipe_composite": (q69_pipe_composite, Q69_SQL),
     "q70_bq_functions9": (q70_bq_functions9, Q70_SQL),
     "q71_export_roundtrip": (q71_export_roundtrip, Q71_SQL),
+    "q72_range_functions": (q72_range_functions, Q72_SQL),
+    "q73_range_sessionize": (q73_range_sessionize, Q73_SQL),
     "bqml_feature_info": (bqml_feature_info, BQML_FEATURE_INFO_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),

@@ -228,6 +228,22 @@ def test_nested_rewrites_compose(spark):
     assert spark.sql(stmt).collect()[0]["v"] == 29
 
 
+def test_raw_string_prefix_only_in_code_position(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    # a literal ENDING in r followed by another literal must not be
+    # parsed as a raw-string prefix (the old regex corrupted this)
+    out = transpile_statement("SELECT 'their offer' AS a, 'x' AS b")
+    assert spark.sql(out).collect()[0]["a"] == "their offer"
+    out = transpile_statement("SELECT 'r' AS a, 'b' AS b")
+    assert spark.sql(out).collect()[0]["a"] == "r"
+    # genuine raw strings still convert (backslashes preserved)
+    out = transpile_statement(r"SELECT r'\d+' AS pat")
+    assert spark.sql(out).collect()[0]["pat"] == r"\d+"
+    out = transpile_statement('SELECT r"\\w" AS pat')
+    assert spark.sql(out).collect()[0]["pat"] == "\\w"
+
+
 def test_renames_skip_string_literals():
     out = transpile_statement("SELECT 'call DATE_DIFF(a, b, DAY) here' AS v")
     assert "DATE_DIFF" in out  # untouched inside the literal
