@@ -234,6 +234,25 @@ class Catalog:
         if os.path.isdir(p):
             shutil.rmtree(p)
 
+    def clone(self, src_id: str, dst_id: str) -> None:
+        """Table clone/snapshot: a filesystem copy of the immutable
+        parquet directory — no Spark job, no row rewrite (the engine's
+        analog of BigQuery's metadata-only snapshots; DML and
+        WRITE_TRUNCATE swap whole directories, so the copy is isolated
+        from later base-table mutations). A source that only exists as
+        a session view (CTAS output) is materialized instead."""
+        import shutil
+
+        if self.exists(src_id):
+            dst = self.path_for(dst_id)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copytree(self.path_for(src_id), dst)
+            self.register(dst_id)
+        else:
+            self.write(self.read(src_id), dst_id)
+
     def list_tables(self, project: str, dataset: str) -> list[str]:
         """Equivalent of the reference's ``__TABLES_SUMMARY__`` metadata
         scan (ref: output.sql:2-7). Includes virtual shard views."""

@@ -2412,6 +2412,53 @@ ORDER BY o_custkey, s_start
 """
 
 
+def q74_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE SNAPSHOT TABLE ... CLONE + isolation proof: snapshot the
+    base, UPDATE the base through the DML plane, then join snapshot to
+    base — the snapshot must still show pre-update values (the clone is
+    a directory-level copy, Catalog.clone, so base mutations can't leak
+    into it). The oracle computes both states declaratively."""
+    import tempfile
+
+    from .catalog import Catalog
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="snap_q_"))
+    base = spark.sql(
+        "SELECT c_custkey AS id, c_acctbal AS bal FROM customer WHERE c_custkey <= 100"
+    )
+    cat.write(base, "p.tmp.base")
+    script = """
+    CREATE SNAPSHOT TABLE `p.tmp.snap` CLONE `p.tmp.base`;
+    UPDATE `p.tmp.base` SET bal = bal + 100 WHERE id <= 50;
+    SELECT b.id,
+           ROUND(s.bal, 4) AS before_bal,
+           ROUND(b.bal, 4) AS after_bal
+    FROM `p.tmp.base` b JOIN `p.tmp.snap` s ON b.id = s.id
+    WHERE b.id <= 60
+    ORDER BY b.id
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False},
+        WorkerContext(spark=spark, catalog=cat),
+    )
+    w.execute()
+    return w.result
+
+
+Q74_SQL = """
+SELECT c_custkey AS id,
+       ROUND(c_acctbal, 4) AS before_bal,
+       ROUND(CASE WHEN c_custkey <= 50 THEN c_acctbal + 100
+                  ELSE c_acctbal END, 4) AS after_bal
+FROM customer
+WHERE c_custkey <= 60
+ORDER BY id
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -2631,6 +2678,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q71_export_roundtrip": (q71_export_roundtrip, Q71_SQL),
     "q72_range_functions": (q72_range_functions, Q72_SQL),
     "q73_range_sessionize": (q73_range_sessionize, Q73_SQL),
+    "q74_snapshot_clone": (q74_snapshot_clone, Q74_SQL),
     "bqml_feature_info": (bqml_feature_info, BQML_FEATURE_INFO_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),

@@ -89,6 +89,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "q71_export_roundtrip": _EXT["q71_export_roundtrip"],
     "q72_range_functions": _EXT["q72_range_functions"],
     "q73_range_sessionize": _EXT["q73_range_sessionize"],
+    "q74_snapshot_clone": _EXT["q74_snapshot_clone"],
     "bqml_feature_info": _EXT["bqml_feature_info"],
     "bqml_generate_embedding": _EXT["bqml_generate_embedding"],
     "dedup_char_spans": (dedup.dedup_char_spans, dedup.CHAR_SPANS_SQL),

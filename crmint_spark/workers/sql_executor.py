@@ -195,6 +195,52 @@ class SparkSQLExecutor(Worker):
 
         spark = self._ctx.spark
         cat = self._ctx.catalog
+        sn = re.match(
+            r"^\s*CREATE\s+(?:SNAPSHOT\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"`?([\w.\-]+)`?\s+CLONE\s+`?([\w.\-]+)`?"
+            r"(\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\b.*?)?"
+            r"\s*(?:OPTIONS\s*\(.*\))?\s*$",
+            sub,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if sn:
+            # CREATE SNAPSHOT TABLE / CREATE TABLE ... CLONE: both are
+            # directory-level copies in the catalog (Catalog.clone —
+            # the metadata-only-snapshot analog, no row rewrite).
+            # BigQuery's snapshot DDL: cloud.google.com table snapshots;
+            # time travel needs historical state the engine doesn't
+            # keep, so it fails loudly rather than silently cloning HEAD
+            if sn.group(4):
+                raise WorkerException(
+                    "CLONE ... FOR SYSTEM_TIME AS OF is not supported:"
+                    " the engine keeps only current table state"
+                )
+            if cat is None:
+                raise WorkerException(
+                    "CLONE requires a catalog-backed session"
+                )
+            if not self._params["dry_run"]:
+                if sn.group(1) and cat.exists(sn.group(2)):
+                    self.log_info(f"{sn.group(2)} exists — skipped")
+                    return True
+                cat.clone(sn.group(3), sn.group(2))
+            self.log_info(f"CLONE {sn.group(3)} -> {sn.group(2)}")
+            return True
+        dsn = re.match(
+            r"^\s*DROP\s+SNAPSHOT\s+TABLE\s+(IF\s+EXISTS\s+)?"
+            r"`?([\w.\-]+)`?\s*$",
+            sub,
+            re.IGNORECASE,
+        )
+        if dsn:
+            if cat is not None and not self._params["dry_run"]:
+                if not cat.exists(dsn.group(2)) and not dsn.group(1):
+                    raise WorkerException(
+                        f"snapshot not found: {dsn.group(2)}"
+                    )
+                cat.drop(dsn.group(2))
+            self.log_info(f"DROP SNAPSHOT TABLE {dsn.group(2)}")
+            return True
         cs = re.match(
             r"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?"
             r"`?([\w.\-]+)`?\s*(?:OPTIONS\s*\(.*\))?\s*$",

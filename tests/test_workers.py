@@ -71,6 +71,36 @@ def test_assert_statement(ctx):
     w.execute()
 
 
+def test_snapshot_clone_ddl(ctx):
+    _seed_table(ctx, "p.d.sn_base", [(1, 10.0), (2, 20.0)], "id long, bal double")
+    run = lambda s: find_worker("SparkSQLExecutor")(
+        {"script": s, "dry_run": False}, ctx
+    ).execute()
+    run("CREATE SNAPSHOT TABLE `p.d.sn_snap` CLONE `p.d.sn_base`")
+    assert ctx.catalog.exists("p.d.sn_snap")
+    # IF NOT EXISTS skips an existing snapshot instead of overwriting
+    ctx.catalog.write(
+        ctx.spark.createDataFrame([(9, 99.0)], "id long, bal double"),
+        "p.d.sn_base",
+    )
+    run("CREATE SNAPSHOT TABLE IF NOT EXISTS `p.d.sn_snap` CLONE `p.d.sn_base`")
+    assert ctx.catalog.read("p.d.sn_snap").count() == 2
+    # plain CREATE TABLE ... CLONE also routes here
+    run("CREATE TABLE `p.d.sn_copy` CLONE `p.d.sn_base`")
+    assert ctx.catalog.read("p.d.sn_copy").count() == 1
+    # time travel fails loudly
+    with pytest.raises(WorkerException, match="SYSTEM_TIME"):
+        run(
+            "CREATE SNAPSHOT TABLE `p.d.sn_t` CLONE `p.d.sn_base`"
+            " FOR SYSTEM_TIME AS OF TIMESTAMP '2020-01-01'"
+        )
+    run("DROP SNAPSHOT TABLE `p.d.sn_snap`")
+    assert not ctx.catalog.exists("p.d.sn_snap")
+    with pytest.raises(WorkerException, match="snapshot not found"):
+        run("DROP SNAPSHOT TABLE `p.d.sn_snap`")
+    run("DROP SNAPSHOT TABLE IF EXISTS `p.d.sn_snap`")
+
+
 def test_sql_executor_script_with_declare_set(ctx):
     _seed_table(
         ctx, "p.d.src", [(1, "a"), (2, "b"), (3, "c")], "id long, tag string"
