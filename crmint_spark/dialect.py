@@ -4121,6 +4121,70 @@ def _rewrite_range_sessionize(sql: str) -> str:
         sql = sql[:start] + replacement + sql[end:]
 
 
+# -- BigQuery AEAD / deterministic encryption --------------------------------
+
+
+def _rewrite_aead(sql: str) -> str:
+    """BigQuery column-level encryption -> Spark ``aes_encrypt`` /
+    ``aes_decrypt`` (AES-GCM, the same AEAD primitive).
+
+    Divergences, all documented here: keysets are RAW 32-byte AES keys
+    (``KEYS.NEW_KEYSET`` returns ``unhex(sha2(uuid(), 256))``), not
+    Tink-serialized keyset protos — ciphertexts are not portable to or
+    from BigQuery; ``DETERMINISTIC_ENCRYPT`` approximates AES-SIV with
+    GCM under a synthetic IV derived as sha2(key, plaintext, aad) —
+    deterministic per (key, plaintext, aad) exactly like SIV, and
+    decryptable by the standard GCM path since Spark prefixes the IV to
+    the ciphertext, but not the RFC 5297 bit layout. The plaintext
+    expression is referenced twice in the deterministic form (IV
+    derivation + encryption) — pass a column, not an expensive call."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, fn in _iter_calls(
+        sql,
+        (
+            r"KEYS\.NEW_KEYSET",
+            r"AEAD\.ENCRYPT",
+            r"AEAD\.DECRYPT_STRING",
+            r"AEAD\.DECRYPT_BYTES",
+            "DETERMINISTIC_ENCRYPT",
+            "DETERMINISTIC_DECRYPT_STRING",
+            "DETERMINISTIC_DECRYPT_BYTES",
+        ),
+    ):
+        inner = _rewrite_aead(sql[open_idx + 1 : end - 1])
+        args = [a.strip() for a in _split_top_level(inner)]
+        if fn == "keys.new_keyset":
+            repl = "unhex(sha2(uuid(), 256))"
+        elif fn in ("aead.encrypt", "deterministic_encrypt") and len(args) == 3:
+            k, pt, aad = args
+            if fn == "deterministic_encrypt":
+                iv = (
+                    f"substr(unhex(sha2(concat(base64({k}),"
+                    f" CAST({pt} AS STRING), {aad}), 256)), 1, 12)"
+                )
+            else:
+                iv = "''"
+            repl = f"aes_encrypt({pt}, {k}, 'GCM', 'NONE', {iv}, {aad})"
+        elif fn in (
+            "aead.decrypt_string",
+            "aead.decrypt_bytes",
+            "deterministic_decrypt_string",
+            "deterministic_decrypt_bytes",
+        ) and len(args) == 3:
+            k, ct, aad = args
+            repl = f"aes_decrypt({ct}, {k}, 'GCM', 'NONE', {aad})"
+            if fn.endswith("_string"):
+                repl = f"CAST({repl} AS STRING)"
+        else:
+            repl = sql[start : open_idx + 1] + inner + ")"
+        out.append(sql[pos:start])
+        out.append(repl)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def _rewrite_create_view(sql: str) -> str:
     """``CREATE [OR REPLACE] VIEW `p.d.v` AS q`` -> temporary view (the
     engine's catalog registers all relations as session views; a Spark
@@ -4227,6 +4291,7 @@ def transpile_statement(sql: str, resolver=None, approx_sketches: bool = False) 
     out = _rewrite_kll_family(out, approx_sketches)
     out = _rewrite_approx_quantiles(out)
     out = _rewrite_misc_fns(out)
+    out = _rewrite_aead(out)
     out = _rewrite_ml_scalers(out)
     out = _rewrite_numeric_trunc(out)
     out = _rewrite_fn_renames(out)
@@ -4368,6 +4433,9 @@ def script_literal(value: object) -> str:
         return "NULL"
     if isinstance(value, bool):
         return "TRUE" if value else "FALSE"
+    if isinstance(value, (bytes, bytearray)):
+        # Spark's binary literal form (Python's b'...' repr won't parse)
+        return "X'" + bytes(value).hex() + "'"
     if isinstance(value, datetime.datetime):
         return f"TIMESTAMP '{value}'"
     if isinstance(value, datetime.date):

@@ -2459,6 +2459,44 @@ ORDER BY id
 """
 
 
+def q75_aead_encryption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: a per-run keyset (DECLARE +
+    KEYS.NEW_KEYSET), AEAD.ENCRYPT/DECRYPT_STRING roundtrip over
+    customer PII, and DETERMINISTIC_ENCRYPT equality (same plaintext +
+    aad -> same ciphertext, the property that makes encrypted join keys
+    possible; see dialect._rewrite_aead for the GCM-with-synthetic-IV
+    construction and its documented divergences from Tink AES-SIV).
+    Ciphertexts are key-dependent so the oracle certifies the
+    roundtrip/determinism PROPERTIES, not ciphertext bytes."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    DECLARE ks BYTES DEFAULT (SELECT KEYS.NEW_KEYSET('AEAD_AES_GCM_256'));
+    SELECT c_custkey,
+           AEAD.DECRYPT_STRING(ks, AEAD.ENCRYPT(ks, c_name, CAST(c_custkey AS STRING)),
+                               CAST(c_custkey AS STRING)) AS roundtrip,
+           DETERMINISTIC_ENCRYPT(ks, c_name, 'join') =
+             DETERMINISTIC_ENCRYPT(ks, c_name, 'join') AS det_stable,
+           DETERMINISTIC_DECRYPT_STRING(ks,
+             DETERMINISTIC_ENCRYPT(ks, c_mktsegment, ''), '') AS det_roundtrip
+    FROM customer WHERE c_custkey <= 100
+    ORDER BY c_custkey
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q75_SQL = """
+SELECT c_custkey, c_name AS roundtrip, TRUE AS det_stable,
+       c_mktsegment AS det_roundtrip
+FROM customer WHERE c_custkey <= 100
+ORDER BY c_custkey
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -2679,6 +2717,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q72_range_functions": (q72_range_functions, Q72_SQL),
     "q73_range_sessionize": (q73_range_sessionize, Q73_SQL),
     "q74_snapshot_clone": (q74_snapshot_clone, Q74_SQL),
+    "q75_aead_encryption": (q75_aead_encryption, Q75_SQL),
     "bqml_feature_info": (bqml_feature_info, BQML_FEATURE_INFO_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),

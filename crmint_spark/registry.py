@@ -90,6 +90,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "q72_range_functions": _EXT["q72_range_functions"],
     "q73_range_sessionize": _EXT["q73_range_sessionize"],
     "q74_snapshot_clone": _EXT["q74_snapshot_clone"],
+    "q75_aead_encryption": _EXT["q75_aead_encryption"],
     "bqml_feature_info": _EXT["bqml_feature_info"],
     "bqml_generate_embedding": _EXT["bqml_generate_embedding"],
     "dedup_char_spans": (dedup.dedup_char_spans, dedup.CHAR_SPANS_SQL),
