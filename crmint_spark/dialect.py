@@ -4121,6 +4121,86 @@ def _rewrite_range_sessionize(sql: str) -> str:
         sql = sql[:start] + replacement + sql[end:]
 
 
+# -- BigQuery GEOGRAPHY (point subset) ---------------------------------------
+
+# Spherical radius (m). BigQuery measures on the WGS84 ellipsoid; the
+# haversine great-circle approximation below diverges from it by up to
+# ~0.3% — acceptable for the proximity/geofence shapes CRM pipelines
+# use, and documented here as the engine's contract.
+_EARTH_RADIUS_M = "6371008.8"
+
+
+def _st_haversine(a: str, b: str) -> str:
+    lat1, lon1 = f"radians(({a}).lat)", f"radians(({a}).lon)"
+    lat2, lon2 = f"radians(({b}).lat)", f"radians(({b}).lon)"
+    return (
+        f"(2.0 * {_EARTH_RADIUS_M} * asin(sqrt("
+        f"pow(sin(({lat2} - {lat1}) / 2), 2) + cos({lat1}) * cos({lat2})"
+        f" * pow(sin(({lon2} - {lon1}) / 2), 2))))"
+    )
+
+
+def _rewrite_geography(sql: str) -> str:
+    """BigQuery GEOGRAPHY — POINT subset only, encoded as
+    STRUCT<lon: double, lat: double>: ST_GEOGPOINT, ST_X/ST_Y,
+    ST_ASTEXT/ST_GEOGFROMTEXT (POINT WKT), ST_DISTANCE (haversine — see
+    _EARTH_RADIUS_M note), ST_DWITHIN, and the ST_CENTROID_AGG
+    aggregate (arithmetic mean of coordinates — exact for the
+    small-extent clusters it's used on). Lines/polygons/geodesic edges
+    are NOT implemented; those calls fall through unreplaced and fail
+    loudly at name resolution rather than returning wrong geometry."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, fn in _iter_calls(
+        sql,
+        (
+            "ST_GEOGPOINT", "ST_GEOGFROMTEXT", "ST_ASTEXT", "ST_X", "ST_Y",
+            "ST_DISTANCE", "ST_DWITHIN", "ST_CENTROID_AGG",
+        ),
+    ):
+        inner = _rewrite_geography(sql[open_idx + 1 : end - 1])
+        args = [a.strip() for a in _split_top_level(inner)]
+        a = args[0] if args else ""
+        b = args[1] if len(args) > 1 else ""
+        if fn == "st_geogpoint" and len(args) == 2:
+            repl = (
+                f"named_struct('lon', CAST({a} AS DOUBLE),"
+                f" 'lat', CAST({b} AS DOUBLE))"
+            )
+        elif fn == "st_geogfromtext" and len(args) == 1:
+            pat = r"POINT\\s*\\(\\s*(-?[0-9.]+)\\s+(-?[0-9.]+)\\s*\\)"
+            repl = (
+                f"named_struct("
+                f"'lon', CAST(regexp_extract({a}, '{pat}', 1) AS DOUBLE),"
+                f" 'lat', CAST(regexp_extract({a}, '{pat}', 2) AS DOUBLE))"
+            )
+        elif fn == "st_astext" and len(args) == 1:
+            repl = (
+                f"concat('POINT(', CAST(({a}).lon AS STRING), ' ',"
+                f" CAST(({a}).lat AS STRING), ')')"
+            )
+        elif fn == "st_x" and len(args) == 1:
+            repl = f"({a}).lon"
+        elif fn == "st_y" and len(args) == 1:
+            repl = f"({a}).lat"
+        elif fn == "st_distance" and len(args) == 2:
+            repl = _st_haversine(a, b)
+        elif fn == "st_dwithin" and len(args) == 3:
+            repl = f"({_st_haversine(a, b)} <= {args[2]})"
+        elif fn == "st_centroid_agg" and len(args) == 1:
+            repl = (
+                f"named_struct('lon', avg(({a}).lon),"
+                f" 'lat', avg(({a}).lat))"
+            )
+        else:
+            repl = sql[start : open_idx + 1] + inner + ")"
+        out.append(sql[pos:start])
+        out.append(repl)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 # -- BigQuery AEAD / deterministic encryption --------------------------------
 
 
@@ -4291,6 +4371,7 @@ def transpile_statement(sql: str, resolver=None, approx_sketches: bool = False) 
     out = _rewrite_kll_family(out, approx_sketches)
     out = _rewrite_approx_quantiles(out)
     out = _rewrite_misc_fns(out)
+    out = _rewrite_geography(out)
     out = _rewrite_aead(out)
     out = _rewrite_ml_scalers(out)
     out = _rewrite_numeric_trunc(out)

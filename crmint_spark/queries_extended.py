@@ -2497,6 +2497,74 @@ ORDER BY c_custkey
 """
 
 
+_HAVERSINE_DUCK = (
+    "(2.0 * 6371008.8 * asin(sqrt("
+    "pow(sin((radians({lat2}) - radians({lat1})) / 2), 2)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    " * pow(sin((radians({lon2}) - radians({lon1})) / 2), 2))))"
+)
+
+
+def q76_geography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOGRAPHY point subset: ST_GEOGPOINT / ST_X / ST_Y / ST_ASTEXT /
+    ST_GEOGFROMTEXT / ST_DISTANCE / ST_DWITHIN / ST_CENTROID_AGG over
+    synthetic store-proximity coordinates derived from customer keys.
+    Haversine on a sphere (dialect._EARTH_RADIUS_M documents the ~0.3%
+    divergence from BigQuery's ellipsoid); the oracle runs the
+    IDENTICAL formula text in DuckDB, 3-dp rounding absorbs libm ulp
+    differences."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE TEMPORARY VIEW cust_geo AS
+    SELECT c_custkey,
+           ST_GEOGPOINT(-122.0 + MOD(c_custkey, 100) * 0.01,
+                        37.0 + MOD(c_custkey, 50) * 0.01) AS loc
+    FROM customer WHERE c_custkey <= 300;
+
+    SELECT c_custkey,
+           ROUND(ST_DISTANCE(loc, ST_GEOGPOINT(-121.5, 37.25)), 3) AS dist_m,
+           ST_DWITHIN(loc, ST_GEOGPOINT(-121.5, 37.25), 50000) AS within_50km,
+           ROUND(ST_X(loc), 6) AS lon,
+           ROUND(ST_Y(loc), 6) AS lat,
+           ST_ASTEXT(ST_GEOGPOINT(-121.5, 37.25)) AS ref_wkt,
+           ROUND(ST_X(ST_GEOGFROMTEXT('POINT(-120.5 36.75)')), 6) AS parsed_lon,
+           (SELECT ROUND(ST_Y(ST_CENTROID_AGG(loc)), 6) FROM cust_geo) AS centroid_lat
+    FROM cust_geo ORDER BY c_custkey LIMIT 120
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+_Q76_DIST = _HAVERSINE_DUCK.format(
+    lat1="(37.0 + (c_custkey % 50) * 0.01)",
+    lon1="(-122.0 + (c_custkey % 100) * 0.01)",
+    lat2="37.25",
+    lon2="-121.5",
+)
+
+Q76_SQL = f"""
+WITH cust_geo AS (
+  SELECT c_custkey,
+         CAST(-122.0 + (c_custkey % 100) * 0.01 AS DOUBLE) AS lon,
+         CAST(37.0 + (c_custkey % 50) * 0.01 AS DOUBLE) AS lat
+  FROM customer WHERE c_custkey <= 300
+)
+SELECT c_custkey,
+       ROUND({_Q76_DIST}, 3) AS dist_m,
+       {_Q76_DIST} <= 50000 AS within_50km,
+       ROUND(lon, 6) AS lon,
+       ROUND(lat, 6) AS lat,
+       'POINT(-121.5 37.25)' AS ref_wkt,
+       CAST(-120.5 AS DOUBLE) AS parsed_lon,
+       (SELECT ROUND(avg(lat), 6) FROM cust_geo) AS centroid_lat
+FROM cust_geo ORDER BY c_custkey LIMIT 120
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -2718,6 +2786,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q73_range_sessionize": (q73_range_sessionize, Q73_SQL),
     "q74_snapshot_clone": (q74_snapshot_clone, Q74_SQL),
     "q75_aead_encryption": (q75_aead_encryption, Q75_SQL),
+    "q76_geography": (q76_geography, Q76_SQL),
     "bqml_feature_info": (bqml_feature_info, BQML_FEATURE_INFO_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
