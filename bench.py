@@ -131,6 +131,16 @@ SECONDARY = [
     "q68_ml_preprocessing",
     "ml_recommend",
     "bqml_feature_info",
+    # round 5c: pipe composite, fn batch 9, export roundtrip, RANGE
+    # type, snapshot clone, AEAD, geography
+    "q69_pipe_composite",
+    "q70_bq_functions9",
+    "q71_export_roundtrip",
+    "q72_range_functions",
+    "q73_range_sessionize",
+    "q74_snapshot_clone",
+    "q75_aead_encryption",
+    "q76_geography",
 ]
 
 

@@ -120,7 +120,12 @@ def test_format_date_nested_calls():
     out = transpile_statement(
         "FORMAT_DATE(\"%Y%m%d\", DATE_SUB(CURRENT_DATE(), INTERVAL 30 DAY))"
     )
-    assert out == "date_format((CURRENT_DATE() - INTERVAL 30 DAY), 'yyyyMMdd')"
+    # the CAST preserves BigQuery's DATE return type (Spark promotes
+    # date +/- day-time interval to TIMESTAMP)
+    assert out == (
+        "date_format(CAST((CURRENT_DATE() - INTERVAL 30 DAY) AS DATE),"
+        " 'yyyyMMdd')"
+    )
 
 
 def test_split_offset_literal_delimiter():

@@ -156,6 +156,16 @@ SHOW = [
         "pipe |> fold: nested subqueries collapse in Catalyst — the "
         "plan equals the standard-SQL twin (one agg, one TakeOrdered)",
     ),
+    (
+        "q73_range_sessionize",
+        "RANGE_SESSIONIZE: 3 windows share ONE (key, lower, upper) "
+        "sort — a single Exchange, no self-join, no driver loop",
+    ),
+    (
+        "q76_geography",
+        "ST_DISTANCE/DWITHIN: pure JVM trig inside WholeStageCodegen; "
+        "no UDF, no shuffle for the per-row proximity scan",
+    ),
 ]
 
 
