@@ -1617,17 +1617,90 @@ def _rewrite_percentile_window(sql: str) -> str:
     return "".join(out)
 
 
+_ML_PREP_REJECT = ("ML.LABEL_ENCODER", "ML.ONE_HOT_ENCODER",
+                   "ML.MULTI_HOT_ENCODER", "ML.TF_IDF")
+
+
 def _rewrite_ml_scalers(sql: str) -> str:
-    """``ML.STANDARD_SCALER(x) OVER (spec)`` -> z-score via windowed
-    AVG/STDDEV_SAMP; ``ML.MIN_MAX_SCALER(x) OVER (spec)`` -> [0,1]
-    rescale via windowed MIN/MAX (BigQuery's analytic preprocessing
-    functions, used inside CREATE MODEL TRANSFORM clauses)."""
+    """BigQuery analytic preprocessing functions (the CREATE MODEL
+    TRANSFORM surface) -> window algebra:
+
+    - ``ML.STANDARD_SCALER(x) OVER (spec)`` z-score (AVG/STDDEV_SAMP);
+    - ``ML.MIN_MAX_SCALER(x) OVER (spec)`` [0,1] rescale;
+    - ``ML.MAX_ABS_SCALER(x) OVER (spec)`` x / max(|x|);
+    - ``ML.ROBUST_SCALER(x) OVER (spec)`` (x - median) / IQR;
+    - ``ML.IMPUTER(x, 'mean'|'median'|'most_frequent') OVER (spec)``
+      NULL fill (most_frequent ties pick Spark's mode() choice —
+      BigQuery's tie is equally unspecified);
+    - ``ML.QUANTILE_BUCKETIZE(x, nb) OVER (spec)`` equal-count bins
+      via a NULL-ignoring cumulative count — 'bin_1'..'bin_nb', NULL
+      in -> NULL out, exact-rank boundaries rather than BigQuery's
+      APPROX_QUANTILES sketch (documented divergence; identical in
+      both engines because ties share one cumulative count under the
+      RANGE frame, independent of NULL sort order);
+
+    and scalar forms:
+
+    - ``ML.NORMALIZER(arr [, p])`` Lp-normalized array (p=2 default,
+      p=0 -> Linf like BigQuery);
+    - ``ML.HASH_BUCKETIZE(s, n)`` stable bucket in [0, n) via the
+      engine's fingerprint hash (xxhash64 — same documented swap as
+      FARM_FINGERPRINT).
+
+    Vocabulary-building encoders (ML.LABEL_ENCODER / ONE_HOT / MULTI_HOT
+    / TF_IDF) need a frequency-ranked dictionary — a window over a
+    window, which SQL window algebra can't express in one pass; they
+    raise a targeted error pointing at the operator-level equivalents
+    (operators/text.tfidf_keywords, ml/estimators' StringIndexer path)
+    instead of silently mis-encoding."""
+    for bad in _ML_PREP_REJECT:
+        if re.search(re.escape(bad) + r"\s*\(", sql, re.IGNORECASE):
+            raise ValueError(
+                f"{bad} needs a frequency-ranked vocabulary (two window"
+                " passes); use the operator-level equivalent"
+                " (text_tfidf / Spark ML StringIndexer-backed"
+                " estimators) or materialize the vocabulary as a join"
+            )
     out: list[str] = []
     pos = 0
     for start, open_idx, end, fn in _iter_calls(
-        sql, (r"ML\.STANDARD_SCALER", r"ML\.MIN_MAX_SCALER")
+        sql,
+        (
+            r"ML\.STANDARD_SCALER", r"ML\.MIN_MAX_SCALER",
+            r"ML\.MAX_ABS_SCALER", r"ML\.ROBUST_SCALER", r"ML\.IMPUTER",
+            r"ML\.QUANTILE_BUCKETIZE", r"ML\.NORMALIZER",
+            r"ML\.HASH_BUCKETIZE",
+        ),
     ):
-        x = sql[open_idx + 1 : end - 1].strip()
+        args = [
+            a.strip() for a in _split_top_level(sql[open_idx + 1 : end - 1])
+        ]
+        x = args[0] if args else ""
+        short = fn.split(".")[-1]
+        if short in ("normalizer", "hash_bucketize"):
+            # scalar forms — no OVER clause
+            if short == "normalizer":
+                p = args[1] if len(args) > 1 else "2"
+                if p.strip() == "0":
+                    # CAST keeps decimal array literals from producing
+                    # a decimal-typed quotient
+                    norm = (
+                        f"CAST(array_max(transform({x},"
+                        f" _ne -> abs(_ne))) AS DOUBLE)"
+                    )
+                else:
+                    norm = (
+                        f"power(aggregate({x}, CAST(0 AS DOUBLE),"
+                        f" (_na, _ne) -> _na + power(abs(_ne), {p})),"
+                        f" 1.0 / {p})"
+                    )
+                rep = f"transform({x}, _ne -> _ne / NULLIF({norm}, 0))"
+            else:
+                rep = f"pmod(xxhash64({x}), {args[1]})"
+            out.append(sql[pos:start])
+            out.append(rep)
+            pos = end
+            continue
         m = re.match(r"\s*OVER\s*\(", sql[end:], re.IGNORECASE)
         if not m:
             continue
@@ -1636,15 +1709,57 @@ def _rewrite_ml_scalers(sql: str) -> str:
         if over_end < 0:
             continue
         spec = sql[over_open : over_end]  # includes parens
-        if fn.endswith("standard_scaler"):
+        if short == "standard_scaler":
             rep = (
                 f"(({x}) - AVG({x}) OVER {spec}) / "
                 f"NULLIF(STDDEV_SAMP({x}) OVER {spec}, 0)"
             )
-        else:
+        elif short == "min_max_scaler":
             rep = (
                 f"(({x}) - MIN({x}) OVER {spec}) / "
                 f"NULLIF(MAX({x}) OVER {spec} - MIN({x}) OVER {spec}, 0)"
+            )
+        elif short == "max_abs_scaler":
+            rep = f"({x}) / NULLIF(MAX(ABS({x})) OVER {spec}, 0)"
+        elif short == "robust_scaler":
+            med = f"percentile({x}, 0.5) OVER {spec}"
+            iqr = (
+                f"(percentile({x}, 0.75) OVER {spec} -"
+                f" percentile({x}, 0.25) OVER {spec})"
+            )
+            rep = f"(({x}) - {med}) / NULLIF({iqr}, 0)"
+        elif short == "imputer":
+            strategy = (args[1] if len(args) > 1 else "'mean'").strip(
+                "'\""
+            ).lower()
+            if strategy == "mean":
+                fill = f"AVG({x}) OVER {spec}"
+            elif strategy == "median":
+                fill = f"percentile({x}, 0.5) OVER {spec}"
+            elif strategy == "most_frequent":
+                fill = f"mode({x}) OVER {spec}"
+            else:
+                raise ValueError(
+                    f"ML.IMPUTER: unknown strategy {strategy!r}"
+                    " (mean/median/most_frequent)"
+                )
+            rep = f"coalesce({x}, {fill})"
+        else:  # quantile_bucketize
+            nb = args[1]
+            interior = spec[1:-1].strip()
+            # the generic empty-OVER() fill may have injected a
+            # constant ordering; replace it with the value ordering
+            interior = re.sub(
+                r"\s*ORDER\s+BY\s+1\s*$", "", interior, flags=re.IGNORECASE
+            )
+            ospec = f"({interior} ORDER BY {x})"
+            cnt_le = f"COUNT({x}) OVER {ospec}"
+            cnt = f"COUNT({x}) OVER {spec}"
+            rep = (
+                f"CASE WHEN ({x}) IS NULL THEN NULL ELSE"
+                f" CONCAT('bin_', CAST(least(CAST({nb} AS INT),"
+                f" 1 + CAST(floor(({cnt_le} - 1) * ({nb}) / {cnt})"
+                f" AS INT)) AS STRING)) END"
             )
         out.append(sql[pos:start])
         out.append(rep)

@@ -2565,6 +2565,73 @@ FROM cust_geo ORDER BY c_custkey LIMIT 120
 """
 
 
+def q77_ml_preprocessing2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second ML preprocessing batch — the remaining TRANSFORM-clause
+    analytic functions: ML.MAX_ABS_SCALER, ML.ROBUST_SCALER (median/
+    IQR), ML.IMPUTER (mean + median strategies over a column with
+    injected NULLs), ML.QUANTILE_BUCKETIZE (equal-count bins via a
+    NULL-ignoring cumulative count; NULL -> NULL), plus scalar
+    ML.NORMALIZER (L2 and Linf) and ML.HASH_BUCKETIZE (stability +
+    range certified — the bucket hash is the engine's xxhash64, so
+    values are property-checked, not byte-compared). DuckDB mirrors
+    every window with quantile_cont/stddev_samp."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    WITH src AS (
+      SELECT o_orderkey AS id, o_custkey,
+             CASE WHEN MOD(o_orderkey, 7) = 0 THEN NULL
+                  ELSE o_totalprice END AS x
+      FROM orders WHERE o_orderkey <= 400
+    )
+    SELECT id,
+      ROUND(ML.STANDARD_SCALER(x) OVER (), 6) AS z,
+      ROUND(ML.MAX_ABS_SCALER(x) OVER (), 6) AS ma,
+      ROUND(ML.ROBUST_SCALER(x) OVER (), 6) AS rs,
+      ROUND(ML.IMPUTER(x, 'mean') OVER (), 4) AS imp_mean,
+      ROUND(ML.IMPUTER(x, 'median') OVER (), 4) AS imp_med,
+      ML.QUANTILE_BUCKETIZE(x, 4) OVER () AS qb,
+      ML.HASH_BUCKETIZE(CAST(o_custkey AS STRING), 16) =
+        ML.HASH_BUCKETIZE(CAST(o_custkey AS STRING), 16) AS hb_stable,
+      ML.HASH_BUCKETIZE(CAST(o_custkey AS STRING), 16)
+        BETWEEN 0 AND 15 AS hb_range,
+      ROUND(ML.NORMALIZER([3.0, 4.0])[OFFSET(0)], 6) AS norm_l2,
+      ROUND(ML.NORMALIZER([3.0, 4.0], 0)[OFFSET(1)], 6) AS norm_inf
+    FROM src ORDER BY id
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q77_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS id, o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_totalprice END AS x
+  FROM orders WHERE o_orderkey <= 400
+)
+SELECT id,
+  ROUND((x - avg(x) OVER ()) / nullif(stddev_samp(x) OVER (), 0), 6) AS z,
+  ROUND(x / nullif(max(abs(x)) OVER (), 0), 6) AS ma,
+  ROUND((x - quantile_cont(x, 0.5) OVER ()) /
+        nullif(quantile_cont(x, 0.75) OVER ()
+               - quantile_cont(x, 0.25) OVER (), 0), 6) AS rs,
+  ROUND(coalesce(x, avg(x) OVER ()), 4) AS imp_mean,
+  ROUND(coalesce(x, quantile_cont(x, 0.5) OVER ()), 4) AS imp_med,
+  CASE WHEN x IS NULL THEN NULL ELSE
+    'bin_' || CAST(least(4, 1 + CAST(floor((count(x) OVER
+      (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - 1) * 4 / count(x) OVER ()) AS INT)) AS VARCHAR) END AS qb,
+  TRUE AS hb_stable, TRUE AS hb_range,
+  CAST(0.6 AS DOUBLE) AS norm_l2,
+  CAST(1.0 AS DOUBLE) AS norm_inf
+FROM src ORDER BY id
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -2787,6 +2854,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q74_snapshot_clone": (q74_snapshot_clone, Q74_SQL),
     "q75_aead_encryption": (q75_aead_encryption, Q75_SQL),
     "q76_geography": (q76_geography, Q76_SQL),
+    "q77_ml_preprocessing2": (q77_ml_preprocessing2, Q77_SQL),
     "bqml_feature_info": (bqml_feature_info, BQML_FEATURE_INFO_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),

@@ -92,6 +92,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "q74_snapshot_clone": _EXT["q74_snapshot_clone"],
     "q75_aead_encryption": _EXT["q75_aead_encryption"],
     "q76_geography": _EXT["q76_geography"],
+    "q77_ml_preprocessing2": _EXT["q77_ml_preprocessing2"],
     "bqml_feature_info": _EXT["bqml_feature_info"],
     "bqml_generate_embedding": _EXT["bqml_generate_embedding"],
     "dedup_char_spans": (dedup.dedup_char_spans, dedup.CHAR_SPANS_SQL),
