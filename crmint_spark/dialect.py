@@ -2485,6 +2485,12 @@ def _rewrite_elem_refs(expr: str, alias: str | None, var: str) -> str:
         expr = re.sub(
             rf"\b{re.escape(alias)}\s*\.", f"{var}.", expr
         )
+        # the BARE alias is the element itself (SELECT u FROM
+        # UNNEST(arr) AS u) — substitute it too, skipping function
+        # calls named like the alias
+        expr = re.sub(
+            rf"(?<![\w.$]){re.escape(alias)}\b(?!\s*[.(])", var, expr
+        )
     expr = re.sub(r"(?<![\w.$])(key|value)\b", rf"{var}.\1", expr)
     # un-rewrite doubles like var.value created from an already-qualified
     # var.value (alias pass already prefixed)
@@ -2512,6 +2518,12 @@ def _rewrite_correlated_unnest(sql: str) -> str:
             i = _skip_string(sql, i)
             continue
         if ch == "(":
+            # relational positions are NOT scalar subqueries: a CTE
+            # definition (WITH v AS (...)) or a derived table
+            # (FROM (...) / JOIN (...)) must keep its SELECT intact
+            if re.search(r"\b(AS|FROM|JOIN)\s*$", sql[pos:i], re.IGNORECASE):
+                i += 1
+                continue
             end = _balanced_end(sql, i)
             if end > 0:
                 sub = sql[i:end]

@@ -228,6 +228,27 @@ def test_nested_rewrites_compose(spark):
     assert spark.sql(stmt).collect()[0]["v"] == 29
 
 
+def test_unnest_select_in_relational_position(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    # a CTE / derived table whose body is SELECT ... FROM UNNEST must
+    # NOT be collapsed by the scalar-subquery-over-array rewrite
+    out = transpile_statement(
+        "WITH v AS (SELECT * FROM UNNEST([1, 2, 3]) AS x)"
+        " SELECT SUM(x) AS s FROM v"
+    )
+    assert spark.sql(out).collect()[0]["s"] == 6
+    out = transpile_statement(
+        "SELECT s FROM (SELECT x + 1 AS s FROM UNNEST([41]) AS x)"
+    )
+    assert spark.sql(out).collect()[0]["s"] == 42
+    # the scalar form still rewrites to first-match HOF semantics
+    out = transpile_statement(
+        "SELECT (SELECT u FROM UNNEST([5, 6, 7]) AS u WHERE u > 5) AS v"
+    )
+    assert spark.sql(out).collect()[0]["v"] == 6
+
+
 def test_raw_string_prefix_only_in_code_position(spark):
     from crmint_spark.dialect import transpile_statement
 
