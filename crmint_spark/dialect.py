@@ -4248,6 +4248,43 @@ def _rewrite_range_sessionize(sql: str) -> str:
         sql = sql[:start] + replacement + sql[end:]
 
 
+def _rewrite_bytes_fns(sql: str) -> str:
+    """BYTES constructors Spark spells differently:
+    ``CODE_POINTS_TO_BYTES(arr)`` -> hex-assembled binary (each element
+    is a byte value 0-255, NOT a Unicode code point — BigQuery's
+    contract for this function); ``SAFE_CONVERT_BYTES_TO_STRING(b)`` ->
+    ``decode(b, 'UTF-8')`` (Java charset decoding substitutes U+FFFD
+    for invalid sequences, matching BigQuery's replacement behavior);
+    ``PARSE_NUMERIC/PARSE_BIGNUMERIC`` -> decimal CASTs at the
+    engine's NUMERIC/BIGNUMERIC precisions."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, fn in _iter_calls(
+        sql,
+        (
+            "CODE_POINTS_TO_BYTES", "SAFE_CONVERT_BYTES_TO_STRING",
+            "PARSE_NUMERIC", "PARSE_BIGNUMERIC",
+        ),
+    ):
+        inner = _rewrite_bytes_fns(sql[open_idx + 1 : end - 1]).strip()
+        if fn == "code_points_to_bytes":
+            repl = (
+                f"unhex(concat_ws('', transform({inner},"
+                f" _b -> lpad(hex(_b), 2, '0'))))"
+            )
+        elif fn == "parse_numeric":
+            repl = f"CAST({inner} AS DECIMAL(38, 9))"
+        elif fn == "parse_bignumeric":
+            repl = f"CAST({inner} AS DECIMAL(38, 18))"
+        else:
+            repl = f"decode({inner}, 'UTF-8')"
+        out.append(sql[pos:start])
+        out.append(repl)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 # -- BigQuery GEOGRAPHY (point subset) ---------------------------------------
 
 # Spherical radius (m). BigQuery measures on the WGS84 ellipsoid; the
@@ -4392,6 +4429,30 @@ def _rewrite_aead(sql: str) -> str:
     return "".join(out)
 
 
+def _rewrite_materialized_view(sql: str) -> str:
+    """``CREATE [OR REPLACE] MATERIALIZED VIEW v [OPTIONS(...)] AS q``
+    -> the engine's CTAS machinery (a point-in-time materialization
+    queryable like any table; BigQuery's auto/incremental refresh has
+    no batch-engine analog — re-running the statement IS the refresh,
+    documented here). OPTIONS (enable_refresh, refresh_interval_minutes)
+    are validated-ignored; DROP MATERIALIZED VIEW maps to DROP TABLE."""
+    m = re.match(
+        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+"
+        r"(?:IF\s+NOT\s+EXISTS\s+)?(`?[\w.\-]+`?)\s*"
+        r"(?:OPTIONS\s*\(.*?\)\s*)?AS\b(.*)$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        return f"CREATE OR REPLACE TABLE {m.group(1)} AS{m.group(2)}"
+    return re.sub(
+        r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+",
+        "DROP TABLE ",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
 def _rewrite_create_view(sql: str) -> str:
     """``CREATE [OR REPLACE] VIEW `p.d.v` AS q`` -> temporary view (the
     engine's catalog registers all relations as session views; a Spark
@@ -4416,6 +4477,7 @@ def transpile_statement(sql: str, resolver=None, approx_sketches: bool = False) 
     the exact-set algebra (see ``_rewrite_hll_family``)."""
     out = sql
     out = _rewrite_temp_function(out)
+    out = _rewrite_materialized_view(out)
     out = _rewrite_create_view(out)
     # BigQuery UI dialect markers
     out = re.sub(r"^\s*#\s*(standardSQL|legacySQL)\b", "", out, flags=re.IGNORECASE)
@@ -4498,6 +4560,7 @@ def transpile_statement(sql: str, resolver=None, approx_sketches: bool = False) 
     out = _rewrite_kll_family(out, approx_sketches)
     out = _rewrite_approx_quantiles(out)
     out = _rewrite_misc_fns(out)
+    out = _rewrite_bytes_fns(out)
     out = _rewrite_geography(out)
     out = _rewrite_aead(out)
     out = _rewrite_ml_scalers(out)

@@ -2632,6 +2632,91 @@ FROM src ORDER BY id
 """
 
 
+def q78_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE MATERIALIZED VIEW -> point-in-time materialization via
+    the CTAS machinery (re-running the DDL IS the refresh — documented
+    divergence from BigQuery's auto-refresh), then a join of the MV
+    aggregate back to the live table, and DROP MATERIALIZED VIEW
+    cleanup validated by the script completing."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE MATERIALIZED VIEW `p.tmp.cust_rev`
+    OPTIONS(enable_refresh = true) AS
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders GROUP BY o_custkey;
+
+    SELECT c.c_custkey, mv.n_orders, mv.revenue,
+           mv.revenue / mv.n_orders AS avg_order
+    FROM customer c JOIN `p.tmp.cust_rev` mv ON c.c_custkey = mv.o_custkey
+    WHERE c.c_custkey <= 150
+    ORDER BY c.c_custkey
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q78_SQL = """
+WITH mv AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 4) AS revenue
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey, mv.n_orders, mv.revenue,
+       mv.revenue / mv.n_orders AS avg_order
+FROM customer c JOIN mv ON c.c_custkey = mv.o_custkey
+WHERE c.c_custkey <= 150
+ORDER BY c.c_custkey
+"""
+
+
+def q79_bq_functions10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tenth function batch — bitwise operator surface (<<, >>, &, |,
+    ^, ~ are native in Spark; DuckDB's ^ is POWER so the oracle uses
+    xor()), BIT_COUNT, PARSE_NUMERIC/PARSE_BIGNUMERIC decimal casts,
+    CODE_POINTS_TO_BYTES (byte values, not code points) certified
+    through TO_HEX, and SAFE_CONVERT_BYTES_TO_STRING on valid UTF-8."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    SELECT CAST(3 << 2 AS INT64) AS shl,
+           CAST(16 >> 2 AS INT64) AS shr,
+           CAST(12 & 10 AS INT64) AS b_and,
+           CAST(12 | 3 AS INT64) AS b_or,
+           CAST(12 ^ 10 AS INT64) AS b_xor,
+           CAST(~5 AS INT64) AS b_not,
+           CAST(BIT_COUNT(255) AS INT64) AS bc,
+           CAST(PARSE_NUMERIC('123.456') AS STRING) AS pn,
+           TO_HEX(CODE_POINTS_TO_BYTES([72, 105, 255])) AS cpb,
+           SAFE_CONVERT_BYTES_TO_STRING(CODE_POINTS_TO_BYTES([104, 105])) AS scb,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 50) AS src_n
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q79_SQL = """
+SELECT CAST(3 << 2 AS BIGINT) AS shl,
+       CAST(16 >> 2 AS BIGINT) AS shr,
+       CAST(12 & 10 AS BIGINT) AS b_and,
+       CAST(12 | 3 AS BIGINT) AS b_or,
+       CAST(xor(12, 10) AS BIGINT) AS b_xor,
+       CAST(~5 AS BIGINT) AS b_not,
+       CAST(bit_count(255) AS BIGINT) AS bc,
+       '123.456000000' AS pn,
+       '4869ff' AS cpb,
+       'hi' AS scb,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 50) AS src_n
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -2855,6 +2940,8 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q75_aead_encryption": (q75_aead_encryption, Q75_SQL),
     "q76_geography": (q76_geography, Q76_SQL),
     "q77_ml_preprocessing2": (q77_ml_preprocessing2, Q77_SQL),
+    "q78_materialized_view": (q78_materialized_view, Q78_SQL),
+    "q79_bq_functions10": (q79_bq_functions10, Q79_SQL),
     "bqml_feature_info": (bqml_feature_info, BQML_FEATURE_INFO_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
