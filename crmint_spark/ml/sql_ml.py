@@ -154,7 +154,10 @@ def _parse_options(opts: str) -> dict:
     array-literal rewrite runs before BQML interception)."""
     out: dict = {}
     for m in re.finditer(
-        r"(\w+)\s*=\s*(\[[^\]]*\]|array\s*\([^)]*\)|'[^']*'|\"[^\"]*\"|[\w.]+)",
+        # HPARAM_RANGE(a, b) / HPARAM_CANDIDATES([..]) call values kept
+        # raw (one nested paren level covers the array(..) spelling)
+        r"(\w+)\s*=\s*(HPARAM_\w+\s*\((?:[^()]|\([^()]*\))*\)"
+        r"|\[[^\]]*\]|array\s*\([^)]*\)|'[^']*'|\"[^\"]*\"|[\w.]+)",
         opts,
         re.IGNORECASE,
     ):
@@ -277,6 +280,59 @@ def _apply_transform(
         if cte
         else f"SELECT {sel} FROM ({inner}) AS __transform_src"
     )
+
+
+_INT_HPARAMS = ("MAX_ITERATIONS", "MAX_TREE_DEPTH", "NUM_PARALLEL_TREE")
+
+
+def _parse_hparam_spec(raw: str):
+    """HPARAM_RANGE(lo, hi) -> ('range', lo, hi);
+    HPARAM_CANDIDATES([v, ...]) (or the transpiled array(..) spelling)
+    -> ('cand', [v, ...])."""
+    m = re.match(r"HPARAM_RANGE\s*\(([^)]*)\)\s*$", raw, re.IGNORECASE)
+    if m:
+        lo, hi = (float(x) for x in m.group(1).split(","))
+        return ("range", lo, hi)
+    m = re.match(
+        r"HPARAM_CANDIDATES\s*\(\s*(?:\[([^\]]*)\]|array\s*\(([^)]*)\))"
+        r"\s*\)\s*$",
+        raw,
+        re.IGNORECASE,
+    )
+    if m:
+        inner = m.group(1) if m.group(1) is not None else m.group(2)
+        return (
+            "cand",
+            [v.strip().strip("'\"") for v in inner.split(",") if v.strip()],
+        )
+    raise ValueError(f"unsupported hyperparameter spec: {raw!r}")
+
+
+def _hparam_trials(specs: dict, n: int) -> list[dict]:
+    """Deterministic trial grid (BigQuery runs Bayesian search; the
+    engine substitutes a reproducible grid — log-spaced for positive
+    HPARAM_RANGE bounds, linear otherwise — truncated to NUM_TRIALS.
+    Documented divergence: same budget, deterministic coverage)."""
+    from itertools import product
+
+    axes = []
+    for k in sorted(specs):
+        spec = specs[k]
+        if spec[0] == "cand":
+            vals = list(spec[1])
+        else:
+            lo, hi = spec[1], spec[2]
+            pts = n if len(specs) == 1 else max(2, int(round(n ** (1.0 / len(specs)))))
+            if pts < 2:
+                vals = [lo]
+            elif lo > 0:
+                vals = [lo * (hi / lo) ** (i / (pts - 1)) for i in range(pts)]
+            else:
+                vals = [lo + (hi - lo) * i / (pts - 1) for i in range(pts)]
+        coerce = int if k in _INT_HPARAMS else float
+        axes.append((k, [coerce(float(v)) for v in vals]))
+    combos = product(*[[(k, v) for v in vals] for k, vals in axes])
+    return [dict(c) for _, c in zip(range(n), combos)]
 
 
 def try_create_model(
@@ -406,6 +462,12 @@ def try_create_model(
             },
         )
         return df
+    num_trials = int(opts.pop("NUM_TRIALS", 0) or 0)
+    hp_specs: dict = {}
+    for k, v in list(opts.items()):
+        if isinstance(v, str) and re.match(r"HPARAM_", v, re.IGNORECASE):
+            hp_specs[k] = _parse_hparam_spec(v)
+            del opts[k]
     train_df, split_meta = _resolve_split(df, opts)
     split_col = split_meta.get("split_col")
     feature_cols = [
@@ -433,8 +495,63 @@ def try_create_model(
         # LBFGS default of 100 both diverges from that and costs 5x the
         # passes (the DNN/tree types keep their own tuned defaults)
         hyper.setdefault("MAX_ITERATIONS", 20)
-    pipeline = build_pipeline(model_type, feature_cols, label, hyper)
-    model = pipeline.fit(train_df)
+    trials_meta: list[dict] = []
+    if num_trials and hp_specs:
+        # hyperparameter tuning: fit every trial on the training split,
+        # score on the reserved split (fall back to the training frame
+        # when AUTO_SPLIT decided the input was too small to split —
+        # documented), keep the best fitted model. Deterministic grid
+        # in place of BigQuery's Bayesian search (_hparam_trials).
+        from pyspark.ml.evaluation import (
+            MulticlassClassificationEvaluator,
+            RegressionEvaluator,
+        )
+
+        pred = split_meta.get("holdout_predicate")
+        eval_df = df.filter(F.expr(pred)) if pred else train_df
+        classifier = is_classifier(model_type)
+        if classifier:
+            evaluator = MulticlassClassificationEvaluator(
+                labelCol=label, metricName="accuracy"
+            )
+            objective, better = "accuracy", lambda a, b: a > b
+        else:
+            evaluator = RegressionEvaluator(
+                labelCol=label, metricName="rmse"
+            )
+            objective, better = "rmse", lambda a, b: a < b
+        best_val, model = None, None
+        for i, trial_hp in enumerate(_hparam_trials(hp_specs, num_trials)):
+            fitted = build_pipeline(
+                model_type, feature_cols, label, {**hyper, **trial_hp}
+            ).fit(train_df)
+            val = float(evaluator.evaluate(fitted.transform(eval_df)))
+            trials_meta.append(
+                {
+                    "trial_id": i + 1,
+                    "hparams": {k.lower(): v for k, v in trial_hp.items()},
+                    "objective": objective,
+                    "value": round(val, 6),
+                    "status": "SUCCEEDED",
+                }
+            )
+            if best_val is None or better(val, best_val):
+                best_val, model = val, fitted
+        best_i = max(
+            range(len(trials_meta)),
+            key=lambda i: (
+                trials_meta[i]["value"]
+                if classifier
+                else -trials_meta[i]["value"],
+                # earlier trial wins exact ties, matching the loop
+                -i,
+            ),
+        )
+        for i, t in enumerate(trials_meta):
+            t["is_optimal"] = i == best_i
+    else:
+        pipeline = build_pipeline(model_type, feature_cols, label, hyper)
+        model = pipeline.fit(train_df)
     dest = registry.path(name)
     if os.path.isdir(dest):
         shutil.rmtree(dest)
@@ -452,6 +569,7 @@ def try_create_model(
             "data_split": split_meta,
             # raw clause replayed over ML.PREDICT / ML.EVALUATE inputs
             "transform_sql": transform_sql,
+            **({"trials": trials_meta} if trials_meta else {}),
         },
     )
     return df
@@ -1052,6 +1170,51 @@ def rewrite_ml_weights(
         return view
 
     return _sub_ml_table_calls(stmt, "ML.WEIGHTS", handler)
+
+
+def rewrite_ml_trial_info(
+    spark: SparkSession, stmt: str, registry: ModelRegistry
+) -> str:
+    """``ML.TRIAL_INFO(MODEL m)`` -> one row per hyperparameter-tuning
+    trial: trial_id, hyperparameters (sorted-key JSON — BigQuery's
+    STRUCT flattened to a stable string), objective/objective_value
+    (its hparam_tuning_evaluation_metrics), status, is_optimal. Errors
+    descriptively for models trained without NUM_TRIALS."""
+    import json
+
+    counter = [0]
+
+    def handler(name: str, args: list[str]) -> str:
+        _, meta = _load(registry, name)
+        trials = meta.get("trials")
+        if not trials:
+            raise ValueError(
+                f"model {name} was not hyperparameter-tuned — CREATE it"
+                " with NUM_TRIALS and HPARAM_RANGE/HPARAM_CANDIDATES"
+                " options to get ML.TRIAL_INFO output"
+            )
+        rows = [
+            (
+                t["trial_id"],
+                json.dumps(t["hparams"], sort_keys=True),
+                t["objective"],
+                float(t["value"]),
+                t["status"],
+                bool(t["is_optimal"]),
+            )
+            for t in trials
+        ]
+        out = spark.createDataFrame(
+            rows,
+            "trial_id bigint, hyperparameters string, objective string,"
+            " objective_value double, status string, is_optimal boolean",
+        )
+        counter[0] += 1
+        view = f"__ml_trials_{counter[0]}"
+        out.createOrReplaceTempView(view)
+        return view
+
+    return _sub_ml_table_calls(stmt, "ML.TRIAL_INFO", handler)
 
 
 def rewrite_ml_global_explain(

@@ -2717,6 +2717,51 @@ SELECT CAST(3 << 2 AS BIGINT) AS shl,
 """
 
 
+def q80_hparam_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperparameter tuning end-to-end: CREATE MODEL with NUM_TRIALS +
+    HPARAM_CANDIDATES trains every trial on the AUTO_SPLIT training
+    partition, scores each on the reserved split, persists the trial
+    table, and ML.TRIAL_INFO exposes it. The grid is deterministic
+    (ml/sql_ml._hparam_trials — documented substitute for BigQuery's
+    Bayesian search), so trial ids/hyperparameters/status are
+    value-pinned in the oracle; objective_value and is_optimal are
+    model-fit floats certified by pytest (test_sql_ml), not the hash
+    gate."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE MODEL `p.tmp.tuned_clf`
+    OPTIONS(model_type='LOGISTIC_REG', input_label_cols=['label'],
+            NUM_TRIALS=4, max_iterations=5,
+            l2_reg=HPARAM_CANDIDATES([0.01, 0.1, 1.0, 10.0])) AS
+    SELECT CAST(o_custkey AS FLOAT64) AS f1,
+           CAST(MOD(o_orderkey, 97) AS FLOAT64) AS f2,
+           IF(o_totalprice > 150000, 1, 0) AS label
+    FROM orders WHERE o_orderkey <= 600;
+
+    SELECT trial_id, hyperparameters, objective, status
+    FROM ML.TRIAL_INFO(MODEL `p.tmp.tuned_clf`)
+    ORDER BY trial_id
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q80_SQL = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), '{"l2_reg": 0.01}', 'accuracy', 'SUCCEEDED'),
+  (CAST(2 AS BIGINT), '{"l2_reg": 0.1}', 'accuracy', 'SUCCEEDED'),
+  (CAST(3 AS BIGINT), '{"l2_reg": 1.0}', 'accuracy', 'SUCCEEDED'),
+  (CAST(4 AS BIGINT), '{"l2_reg": 10.0}', 'accuracy', 'SUCCEEDED')
+) AS t(trial_id, hyperparameters, objective, status)
+WHERE EXISTS (SELECT 1 FROM orders LIMIT 1)
+ORDER BY trial_id
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -2942,6 +2987,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q77_ml_preprocessing2": (q77_ml_preprocessing2, Q77_SQL),
     "q78_materialized_view": (q78_materialized_view, Q78_SQL),
     "q79_bq_functions10": (q79_bq_functions10, Q79_SQL),
+    "q80_hparam_tuning": (q80_hparam_tuning, Q80_SQL),
     "bqml_feature_info": (bqml_feature_info, BQML_FEATURE_INFO_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),

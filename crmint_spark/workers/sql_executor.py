@@ -926,6 +926,7 @@ class SparkSQLExecutor(Worker):
             rewrite_ml_recommend,
             rewrite_ml_roc_curve,
             rewrite_ml_transform,
+            rewrite_ml_trial_info,
             rewrite_ml_weights,
             try_create_model,
         )
@@ -979,6 +980,7 @@ class SparkSQLExecutor(Worker):
         stmt = rewrite_ml_recommend(spark, stmt, registry)
         stmt = rewrite_ml_transform(spark, stmt, registry)
         stmt = rewrite_ml_feature_info(spark, stmt, registry)
+        stmt = rewrite_ml_trial_info(spark, stmt, registry)
         stmt = rewrite_ml_weights(spark, stmt, registry)
         stmt = rewrite_ml_global_explain(spark, stmt, registry)
         stmt = rewrite_ml_forecast(spark, stmt, registry)

@@ -58,6 +58,72 @@ def test_create_model_and_predict(ctx):
     assert "CREATE MODEL handled by Spark ML" in w.log
 
 
+def test_hyperparameter_tuning_and_trial_info(ctx):
+    script = """
+    CREATE OR REPLACE MODEL `p.d.tuned`
+    OPTIONS(MODEL_TYPE='LOGISTIC_REG', INPUT_LABEL_COLS=['label'],
+            NUM_TRIALS=3, MAX_ITERATIONS=10,
+            L2_REG=HPARAM_CANDIDATES([0.01, 0.5, 5.0])) AS (
+      SELECT x1, x2, label FROM training_data
+    );
+    SELECT * FROM ML.TRIAL_INFO(MODEL `p.d.tuned`) ORDER BY trial_id
+    """
+    rows = _run(ctx, script).result.collect()
+    assert [r.trial_id for r in rows] == [1, 2, 3]
+    assert [r.hyperparameters for r in rows] == [
+        '{"l2_reg": 0.01}', '{"l2_reg": 0.5}', '{"l2_reg": 5.0}'
+    ]
+    assert all(r.status == "SUCCEEDED" for r in rows)
+    assert all(r.objective == "accuracy" for r in rows)
+    assert all(0.0 <= r.objective_value <= 1.0 for r in rows)
+    # exactly one optimal trial, and it carries the best accuracy
+    optima = [r for r in rows if r.is_optimal]
+    assert len(optima) == 1
+    assert optima[0].objective_value == max(r.objective_value for r in rows)
+    # determinism: re-training reproduces the identical trial table
+    rows2 = _run(ctx, script).result.collect()
+    assert [tuple(r) for r in rows2] == [tuple(r) for r in rows]
+    # the persisted model is usable (the best trial's fit)
+    pred = _run(
+        ctx,
+        "SELECT predicted_label FROM ML.PREDICT(MODEL `p.d.tuned`,"
+        " (SELECT x1, x2, label FROM training_data)) LIMIT 5",
+    ).result.collect()
+    assert len(pred) == 5
+    # HPARAM_RANGE builds a log-spaced grid; untuned models error
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.tuned_rng`
+        OPTIONS(MODEL_TYPE='LINEAR_REG', INPUT_LABEL_COLS=['target'],
+                NUM_TRIALS=3, MAX_ITERATIONS=5,
+                L2_REG=HPARAM_RANGE(0.01, 1.0)) AS (
+          SELECT x1, x2, target FROM training_data
+        )
+        """,
+    )
+    rng = _run(
+        ctx,
+        "SELECT hyperparameters, objective FROM"
+        " ML.TRIAL_INFO(MODEL `p.d.tuned_rng`) ORDER BY trial_id",
+    ).result.collect()
+    assert [r.hyperparameters for r in rng] == [
+        '{"l2_reg": 0.01}', '{"l2_reg": 0.1}', '{"l2_reg": 1.0}'
+    ]
+    assert all(r.objective == "rmse" for r in rng)
+    with pytest.raises(ValueError, match="not hyperparameter-tuned"):
+        _run(
+            ctx,
+            """
+            CREATE OR REPLACE MODEL `p.d.plain`
+            OPTIONS(MODEL_TYPE='LOGISTIC_REG', INPUT_LABEL_COLS=['label']) AS (
+              SELECT x1, x2, label FROM training_data
+            );
+            SELECT * FROM ML.TRIAL_INFO(MODEL `p.d.plain`)
+            """,
+        )
+
+
 def test_ml_evaluate_classification(ctx):
     _run(
         ctx,
