@@ -4429,6 +4429,71 @@ def _rewrite_aead(sql: str) -> str:
     return "".join(out)
 
 
+_CT_HEAD_RE = re.compile(
+    r"^(\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+|TEMP\s+)?TABLE\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?`?[\w.\-]+`?)(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_AS_RE = re.compile(r"\bAS\b", re.IGNORECASE)
+
+
+def _rewrite_create_table_layout(sql: str) -> str:
+    """Strip BigQuery physical-layout clauses from CREATE TABLE:
+    ``PARTITION BY expr``, ``CLUSTER BY cols`` and ``OPTIONS(...)``
+    between the table name and ``AS`` (or at the end of a schema-only
+    definition). They are storage-layout hints for BigQuery's engine;
+    in this engine the catalog's layout is directory-per-table parquet
+    with file-level pruning, and partition-shaped reads come from the
+    wildcard-shard machinery — semantics of the created table are
+    identical, so scripts keep running instead of failing to parse.
+    The stripped text is validated to contain ONLY those clauses;
+    anything else is left untouched for Spark to reject loudly."""
+    m = _CT_HEAD_RE.match(sql)
+    if not m:
+        return sql
+    head, rest = m.group(1), m.group(2)
+    if re.match(r"\s+FUNCTION\b", rest, re.IGNORECASE):
+        return sql
+    m_as = _find_top_level(rest, _AS_RE)
+    mid, tail = (
+        (rest[: m_as.start()], rest[m_as.start() :])
+        if m_as
+        else (rest, "")
+    )
+    # a leading parenthesized column list (schema form) is preserved
+    schema = ""
+    ms = re.match(r"\s*\(", mid)
+    if ms:
+        send = _balanced_end(mid, ms.end() - 1)
+        if send > 0:
+            schema, mid = mid[:send], mid[send:]
+    probe = mid
+    found = False
+    while probe.strip():
+        p = probe.lstrip()
+        mk = re.match(
+            r"(PARTITION\s+BY|CLUSTER\s+BY|OPTIONS|DEFAULT\s+COLLATE)\b",
+            p,
+            re.IGNORECASE,
+        )
+        if not mk:
+            return sql  # unknown clause — don't touch the statement
+        found = True
+        # consume up to the next top-level clause keyword or the end
+        nxt = _find_top_level(
+            p,
+            re.compile(
+                r"\b(PARTITION\s+BY|CLUSTER\s+BY|OPTIONS|DEFAULT\s+COLLATE)\b",
+                re.IGNORECASE,
+            ),
+            mk.end(),
+        )
+        probe = p[nxt.start() :] if nxt else ""
+    if not found:
+        return sql
+    return head + schema + (" " + tail.lstrip() if tail else "")
+
+
 def _rewrite_materialized_view(sql: str) -> str:
     """``CREATE [OR REPLACE] MATERIALIZED VIEW v [OPTIONS(...)] AS q``
     -> the engine's CTAS machinery (a point-in-time materialization
@@ -4477,6 +4542,7 @@ def transpile_statement(sql: str, resolver=None, approx_sketches: bool = False) 
     the exact-set algebra (see ``_rewrite_hll_family``)."""
     out = sql
     out = _rewrite_temp_function(out)
+    out = _rewrite_create_table_layout(out)
     out = _rewrite_materialized_view(out)
     out = _rewrite_create_view(out)
     # BigQuery UI dialect markers

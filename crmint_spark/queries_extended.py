@@ -2762,6 +2762,55 @@ ORDER BY trial_id
 """
 
 
+def q81_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE EXTERNAL TABLE (read-in-place, no copy): EXPORT DATA
+    writes a CSV extract with header, an external table with an
+    explicit BigQuery-typed schema reads it back in place, a
+    partitioned-CTAS (PARTITION BY/CLUSTER BY/OPTIONS are validated
+    layout hints — dialect._rewrite_create_table_layout) summarizes it,
+    and the final SELECT aggregates that summary. The oracle computes
+    the same aggregate straight off orders."""
+    import tempfile
+
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ext_rt_")
+    script = f"""
+    EXPORT DATA OPTIONS(
+      uri='{tmp}/out/part-*.csv', format='CSV', header=true,
+      overwrite=true) AS
+    SELECT o_orderkey, o_custkey, o_orderpriority
+    FROM orders WHERE o_orderkey <= 300;
+
+    CREATE EXTERNAL TABLE `p.ext.orders_csv`
+      (o_orderkey INT64, o_custkey INT64, o_orderpriority STRING)
+    OPTIONS(format='CSV', uris=['{tmp}/out/*.csv'], skip_leading_rows=1);
+
+    CREATE OR REPLACE TABLE `p.ext.summary`
+    PARTITION BY o_orderpriority CLUSTER BY n OPTIONS(description='layout hints validated')
+    AS SELECT o_orderpriority, COUNT(*) AS n,
+              CAST(SUM(o_custkey) AS INT64) AS cust_sum
+       FROM `p.ext.orders_csv` GROUP BY o_orderpriority;
+
+    SELECT o_orderpriority, n, cust_sum
+    FROM `p.ext.summary` ORDER BY o_orderpriority
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q81_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+FROM orders WHERE o_orderkey <= 300
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -2988,6 +3037,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q78_materialized_view": (q78_materialized_view, Q78_SQL),
     "q79_bq_functions10": (q79_bq_functions10, Q79_SQL),
     "q80_hparam_tuning": (q80_hparam_tuning, Q80_SQL),
+    "q81_external_table": (q81_external_table, Q81_SQL),
     "bqml_feature_info": (bqml_feature_info, BQML_FEATURE_INFO_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),

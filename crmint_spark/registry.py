@@ -96,6 +96,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "q78_materialized_view": _EXT["q78_materialized_view"],
     "q79_bq_functions10": _EXT["q79_bq_functions10"],
     "q80_hparam_tuning": _EXT["q80_hparam_tuning"],
+    "q81_external_table": _EXT["q81_external_table"],
     "bqml_feature_info": _EXT["bqml_feature_info"],
     "bqml_generate_embedding": _EXT["bqml_generate_embedding"],
     "dedup_char_spans": (dedup.dedup_char_spans, dedup.CHAR_SPANS_SQL),

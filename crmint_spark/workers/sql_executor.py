@@ -944,6 +944,8 @@ class SparkSQLExecutor(Worker):
         if self._try_drop_alter(sub):
             return None
         sub = self._expand_table_functions(sub)
+        if self._try_external_table(sub):
+            return None
         if self._try_assert(sub, resolver):
             return None
         if self._try_export_load(sub, resolver):
@@ -1104,6 +1106,74 @@ class SparkSQLExecutor(Worker):
                     return body[:i].strip(), body[mm.end():].strip()
             i += 1
         return None
+
+    # -- BigQuery CREATE EXTERNAL TABLE ----------------------------------
+
+    _EXT_TABLE_RE = re.compile(
+        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?EXTERNAL\s+TABLE\s+"
+        r"(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.\-]+)`?\s*"
+        r"(\((?:[^()]|\([^()]*\))*\))?\s*OPTIONS\s*\(",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _try_external_table(self, sub: str) -> bool:
+        """``CREATE EXTERNAL TABLE t [(schema)] OPTIONS(format=...,
+        uris=[...])`` -> a session view READING the files in place (no
+        copy — the defining property of an external table; LOAD DATA is
+        the copying twin). CSV (skip_leading_rows/field_delimiter),
+        NDJSON, parquet and ORC; the optional column list maps BigQuery
+        types through the engine's type table."""
+        from ..dialect import _balanced_end, _map_bq_types
+        from ..catalog import _safe_view_name
+        from ..ml.sql_ml import _parse_options
+
+        m = self._EXT_TABLE_RE.match(sub)
+        if not m:
+            return False
+        name, schema_raw = m.group(1), m.group(2)
+        end = _balanced_end(sub, m.end() - 1)
+        if end < 0:
+            raise WorkerException(
+                "CREATE EXTERNAL TABLE: unbalanced OPTIONS(...)"
+            )
+        opts = _parse_options(sub[m.end() : end - 1])
+        if self._params["dry_run"]:
+            self.log_info(f"CREATE EXTERNAL TABLE {name} validated (dry run)")
+            return True
+        uris = opts.get("URIS") or []
+        if isinstance(uris, str):
+            uris = [uris]
+        if not uris:
+            raise WorkerException(
+                "CREATE EXTERNAL TABLE OPTIONS must set uris"
+            )
+        fmt = str(opts.get("FORMAT", "CSV")).lower()
+        if fmt == "newline_delimited_json":
+            fmt = "json"
+        spark = self._ctx.spark
+        reader = spark.read
+        if schema_raw:
+            reader = reader.schema(_map_bq_types(schema_raw[1:-1]).strip())
+        if fmt == "csv":
+            n_skip = int(opts.get("SKIP_LEADING_ROWS", 0))
+            reader = reader.option("header", n_skip > 0)
+            if not schema_raw:
+                reader = reader.option("inferSchema", True)
+            if opts.get("FIELD_DELIMITER"):
+                reader = reader.option("sep", opts["FIELD_DELIMITER"])
+            df = reader.csv(list(uris))
+        elif fmt == "json":
+            df = reader.json(list(uris))
+        elif fmt in ("parquet", "orc"):
+            df = reader.format(fmt).load(list(uris))
+        else:
+            raise WorkerException(
+                f"CREATE EXTERNAL TABLE format {fmt!r} not supported"
+                " (CSV/JSON/PARQUET/ORC)"
+            )
+        df.createOrReplaceTempView(_safe_view_name(name))
+        self.log_info(f"CREATE EXTERNAL TABLE {name} -> {len(uris)} uri(s)")
+        return True
 
     # -- BigQuery ASSERT statement ---------------------------------------
 
