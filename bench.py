@@ -141,6 +141,11 @@ SECONDARY = [
     "q74_snapshot_clone",
     "q75_aead_encryption",
     "q76_geography",
+    "q77_ml_preprocessing2",
+    "q78_materialized_view",
+    "q79_bq_functions10",
+    "q80_hparam_tuning",
+    "q81_external_table",
 ]
 
 
