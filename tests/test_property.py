@@ -70,6 +70,37 @@ def test_transpile_idempotent(frag):
     assert dialect.transpile_statement(once) == once
 
 
+# string-literal CONTENT must survive the whole rewrite pipeline: two
+# real bugs in this class (raw-string prefix matching inside literals,
+# function renames in literals) motivated the guard. Contents draw from
+# letters/digits/spaces plus the characters those bugs involved.
+literal_body = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "N", "Zs"),
+        whitelist_characters="_r<>[](),.",
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(st.lists(literal_body, min_size=1, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_transpile_preserves_string_literal_contents(bodies):
+    from hypothesis import assume
+
+    # keyword-shaped contents (e.g. 'JSON', a lone 'r') are allowed to
+    # interact with ADJACENT literals by design (typed literals); keep
+    # each literal independent by checking it still appears verbatim
+    sel = ", ".join(f"'{b}' AS c{i}" for i, b in enumerate(bodies))
+    out = dialect.transpile_statement(f"SELECT {sel} FROM t")
+    for b in bodies:
+        # the engine may rewrite the QUOTING but never the content;
+        # a content-corrupting rewrite drops or mangles the text
+        assume("RANGE" not in b.upper())  # RANGE<T> '...' is a typed literal
+        assert b in out, (b, out)
+
+
 # -- schema parser ----------------------------------------------------------
 
 field_names = st.text(
