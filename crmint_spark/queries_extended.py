@@ -2811,6 +2811,59 @@ ORDER BY o_orderpriority
 """
 
 
+def q82_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-statement transactions over the DML plane: a rolled-back
+    UPDATE leaves no trace (directory pre-image restore), a committed
+    UPDATE+DELETE pair persists atomically with its backups discarded.
+    The final state is the committed mutation only — which is exactly
+    what the declarative oracle expresses. Rollback-on-error and
+    open-transaction failure paths are pytest-certified
+    (test_workers.test_transactions)."""
+    import tempfile
+
+    from .catalog import Catalog
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="txn_q_"))
+    cat.write(
+        spark.sql(
+            "SELECT c_custkey AS id, c_acctbal AS bal FROM customer"
+            " WHERE c_custkey <= 120"
+        ),
+        "p.tmp.accounts",
+    )
+    script = """
+    BEGIN TRANSACTION;
+    UPDATE `p.tmp.accounts` SET bal = 0 WHERE id <= 120;
+    ROLLBACK TRANSACTION;
+
+    BEGIN TRANSACTION;
+    UPDATE `p.tmp.accounts` SET bal = bal * 2 WHERE id <= 40;
+    DELETE FROM `p.tmp.accounts` WHERE id > 100;
+    COMMIT TRANSACTION;
+
+    SELECT id, ROUND(bal, 4) AS bal FROM `p.tmp.accounts` ORDER BY id
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False},
+        WorkerContext(spark=spark, catalog=cat),
+    )
+    w.execute()
+    return w.result
+
+
+Q82_SQL = """
+SELECT c_custkey AS id,
+       ROUND(CASE WHEN c_custkey <= 40 THEN c_acctbal * 2
+                  ELSE c_acctbal END, 4) AS bal
+FROM customer
+WHERE c_custkey <= 100
+ORDER BY id
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -3038,6 +3091,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q79_bq_functions10": (q79_bq_functions10, Q79_SQL),
     "q80_hparam_tuning": (q80_hparam_tuning, Q80_SQL),
     "q81_external_table": (q81_external_table, Q81_SQL),
+    "q82_transactions": (q82_transactions, Q82_SQL),
     "bqml_feature_info": (bqml_feature_info, BQML_FEATURE_INFO_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),

@@ -97,6 +97,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "q79_bq_functions10": _EXT["q79_bq_functions10"],
     "q80_hparam_tuning": _EXT["q80_hparam_tuning"],
     "q81_external_table": _EXT["q81_external_table"],
+    "q82_transactions": _EXT["q82_transactions"],
     "bqml_feature_info": _EXT["bqml_feature_info"],
     "bqml_generate_embedding": _EXT["bqml_generate_embedding"],
     "dedup_char_spans": (dedup.dedup_char_spans, dedup.CHAR_SPANS_SQL),

@@ -73,6 +73,8 @@ class SparkSQLExecutor(Worker):
         ("approx_sketches", "boolean", False, False, "Approximate sketches"),
     ]
 
+    _txn = None  # open-transaction state; see _try_transaction_stmt
+
     def _model_registry(self):
         from ..ml.sql_ml import ModelRegistry
 
@@ -93,16 +95,93 @@ class SparkSQLExecutor(Worker):
         registry = self._model_registry()
         resolver = self._resolver()
         sctx = ScriptContext()
+        self._txn = None
         try:
-            return self._exec_statements(
+            result = self._exec_statements(
                 split_script(self._params["script"]), sctx, resolver, registry
             )
         except _ReturnSignal as sig:
-            return sig.last
+            result = sig.last
         except (_BreakSignal, _ContinueSignal):
             raise WorkerException(
                 "BREAK/LEAVE/CONTINUE/ITERATE outside a loop"
             ) from None
+        except Exception:
+            # BigQuery rolls an open transaction back when the script
+            # fails (unless an EXCEPTION handler dealt with it first)
+            if self._txn is not None:
+                self._txn_rollback()
+                self.log_info("open transaction rolled back after error")
+            raise
+        if self._txn is not None:
+            self._txn_rollback()
+            raise WorkerException(
+                "script ended with an open transaction —"
+                " COMMIT TRANSACTION or ROLLBACK TRANSACTION"
+            )
+        return result
+
+    # -- multi-statement transactions -------------------------------------
+    #
+    # BigQuery scripts support BEGIN TRANSACTION / COMMIT / ROLLBACK
+    # over table mutations. The engine's DML is copy-on-write directory
+    # swaps, so transactions are snapshot-based: the first mutation of
+    # each catalog table inside a transaction captures a directory-level
+    # pre-image (Catalog.clone — no row rewrite); ROLLBACK restores the
+    # pre-images, COMMIT discards them. Scope (documented): catalog
+    # parquet tables mutated through the DML plane; session-catalog
+    # tables and DDL are outside the transaction boundary.
+
+    _TXN_RE = re.compile(
+        r"^\s*(BEGIN\s+TRANSACTION|COMMIT|ROLLBACK)(\s+TRANSACTION)?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _try_transaction_stmt(self, sub: str) -> bool:
+        m = self._TXN_RE.match(sub)
+        if not m:
+            return False
+        kw = m.group(1).upper().split()[0]
+        if self._params["dry_run"]:
+            self.log_info(f"{kw} TRANSACTION validated (dry run)")
+            return True
+        if kw == "BEGIN":
+            if self._txn is not None:
+                raise WorkerException("nested BEGIN TRANSACTION")
+            if self._ctx.catalog is None:
+                raise WorkerException(
+                    "transactions need a catalog-backed session"
+                )
+            self._txn = {"snapshots": {}}
+            self.log_info("BEGIN TRANSACTION")
+            return True
+        if self._txn is None:
+            raise WorkerException(f"{kw} without an open transaction")
+        if kw == "COMMIT":
+            for backup in self._txn["snapshots"].values():
+                self._ctx.catalog.drop(backup)
+            self._txn = None
+            self.log_info("COMMIT TRANSACTION")
+        else:
+            self._txn_rollback()
+            self.log_info("ROLLBACK TRANSACTION")
+        return True
+
+    def _txn_snapshot_target(self, table_id: str) -> None:
+        """Capture the pre-image of a catalog table about to be mutated
+        inside an open transaction (first mutation only)."""
+        if self._txn is None or table_id in self._txn["snapshots"]:
+            return
+        backup = f"__txn__.backup.b{len(self._txn['snapshots'])}"
+        self._ctx.catalog.clone(table_id, backup)
+        self._txn["snapshots"][table_id] = backup
+
+    def _txn_rollback(self) -> None:
+        cat = self._ctx.catalog
+        for table_id, backup in self._txn["snapshots"].items():
+            cat.clone(backup, table_id)
+            cat.drop(backup)
+        self._txn = None
 
     def _exec_statements(
         self, stmts: list[str], sctx, resolver, registry
@@ -937,6 +1016,8 @@ class SparkSQLExecutor(Worker):
         )
 
         spark = self._ctx.spark
+        if self._try_transaction_stmt(sub):
+            return None
         if self._try_index_ddl(sub):
             return None
         if self._try_table_function_ddl(sub):
@@ -1358,6 +1439,8 @@ class SparkSQLExecutor(Worker):
         spark = self._ctx.spark
         cat = self._ctx.catalog
         in_catalog = cat is not None and cat.exists(dml.target)
+        if in_catalog:
+            self._txn_snapshot_target(dml.target)
         if isinstance(dml, InsertStmt):
             if not in_catalog:
                 return False

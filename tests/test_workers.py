@@ -101,6 +101,74 @@ def test_snapshot_clone_ddl(ctx):
     run("DROP SNAPSHOT TABLE IF EXISTS `p.d.sn_snap`")
 
 
+def test_transactions(ctx):
+    _seed_table(
+        ctx, "p.d.tx", [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, bal double"
+    )
+    run = lambda s: find_worker("SparkSQLExecutor")(
+        {"script": s, "dry_run": False}, ctx
+    ).execute()
+
+    def bals():
+        return {
+            r["id"]: r["bal"] for r in ctx.catalog.read("p.d.tx").collect()
+        }
+
+    # rollback restores the pre-image across multiple mutations
+    run("""
+        BEGIN TRANSACTION;
+        UPDATE `p.d.tx` SET bal = 0 WHERE id = 1;
+        DELETE FROM `p.d.tx` WHERE id = 3;
+        ROLLBACK TRANSACTION;
+        SELECT 1
+        """)
+    assert bals() == {1: 10.0, 2: 20.0, 3: 30.0}
+    # a failing statement inside an open transaction rolls back
+    with pytest.raises(Exception):
+        run("""
+            BEGIN TRANSACTION;
+            UPDATE `p.d.tx` SET bal = 99 WHERE id = 2;
+            SELECT * FROM `p.d.not_a_table`;
+            COMMIT TRANSACTION
+            """)
+    assert bals() == {1: 10.0, 2: 20.0, 3: 30.0}
+    # a script that forgets COMMIT fails loudly and rolls back
+    with pytest.raises(WorkerException, match="open transaction"):
+        run("BEGIN TRANSACTION; UPDATE `p.d.tx` SET bal = 7 WHERE id = 1")
+    assert bals()[1] == 10.0
+    # an EXCEPTION handler may ROLLBACK explicitly and continue
+    w = find_worker("SparkSQLExecutor")(
+        {
+            "script": """
+            BEGIN TRANSACTION;
+            UPDATE `p.d.tx` SET bal = -1 WHERE id = 1;
+            BEGIN
+              SELECT ERROR('boom');
+            EXCEPTION WHEN ERROR THEN
+              ROLLBACK TRANSACTION;
+            END;
+            SELECT COUNT(*) AS n FROM `p.d.tx`
+            """,
+            "dry_run": False,
+        },
+        ctx,
+    )
+    w.execute()
+    assert w.result.collect()[0]["n"] == 3
+    assert bals()[1] == 10.0
+    # commit persists and discards backups
+    run("""
+        BEGIN TRANSACTION;
+        UPDATE `p.d.tx` SET bal = bal + 1 WHERE id = 2;
+        COMMIT
+        """)
+    assert bals()[2] == 21.0
+    with pytest.raises(WorkerException, match="without an open"):
+        run("COMMIT TRANSACTION")
+    with pytest.raises(WorkerException, match="nested"):
+        run("BEGIN TRANSACTION; BEGIN TRANSACTION; COMMIT; COMMIT")
+
+
 def test_sql_executor_script_with_declare_set(ctx):
     _seed_table(
         ctx, "p.d.src", [(1, "a"), (2, "b"), (3, "c")], "id long, tag string"
