@@ -1645,7 +1645,13 @@ def _rewrite_ml_scalers(sql: str) -> str:
       p=0 -> Linf like BigQuery);
     - ``ML.HASH_BUCKETIZE(s, n)`` stable bucket in [0, n) via the
       engine's fingerprint hash (xxhash64 — same documented swap as
-      FARM_FINGERPRINT).
+      FARM_BUCKETIZE's FARM_FINGERPRINT).
+    - ``ML.POLYNOMIAL_EXPAND(arr [, degree])`` degree<=2 feature
+      expansion: the input features followed by all pairwise products
+      in index order (i<=j). The engine's output ORDER is documented
+      here and consistent across train/predict, which is the property
+      feature expansion needs; degree 3 raises rather than silently
+      truncating.
 
     Vocabulary-building encoders (ML.LABEL_ENCODER / ONE_HOT / MULTI_HOT
     / TF_IDF) need a frequency-ranked dictionary — a window over a
@@ -1669,7 +1675,7 @@ def _rewrite_ml_scalers(sql: str) -> str:
             r"ML\.STANDARD_SCALER", r"ML\.MIN_MAX_SCALER",
             r"ML\.MAX_ABS_SCALER", r"ML\.ROBUST_SCALER", r"ML\.IMPUTER",
             r"ML\.QUANTILE_BUCKETIZE", r"ML\.NORMALIZER",
-            r"ML\.HASH_BUCKETIZE",
+            r"ML\.HASH_BUCKETIZE", r"ML\.POLYNOMIAL_EXPAND",
         ),
     ):
         args = [
@@ -1677,6 +1683,25 @@ def _rewrite_ml_scalers(sql: str) -> str:
         ]
         x = args[0] if args else ""
         short = fn.split(".")[-1]
+        if short == "polynomial_expand":
+            degree = (args[1] if len(args) > 1 else "2").strip()
+            if degree != "2":
+                raise ValueError(
+                    "ML.POLYNOMIAL_EXPAND: only degree 2 is implemented"
+                )
+            pairs = (
+                f"flatten(transform(sequence(0, size({x}) - 1), _pi ->"
+                f" transform(sequence(_pi, size({x}) - 1), _pj ->"
+                f" CAST(get({x}, _pi) * get({x}, _pj) AS DOUBLE))))"
+            )
+            repl = (
+                f"concat(transform({x}, _pe -> CAST(_pe AS DOUBLE)),"
+                f" {pairs})"
+            )
+            out.append(sql[pos:start])
+            out.append(repl)
+            pos = end
+            continue
         if short in ("normalizer", "hash_bucketize"):
             # scalar forms — no OVER clause
             if short == "normalizer":

@@ -2598,7 +2598,9 @@ def q77_ml_preprocessing2(spark: SparkSession, sf_dir: str) -> DataFrame:
       ML.HASH_BUCKETIZE(CAST(o_custkey AS STRING), 16)
         BETWEEN 0 AND 15 AS hb_range,
       ROUND(ML.NORMALIZER([3.0, 4.0])[OFFSET(0)], 6) AS norm_l2,
-      ROUND(ML.NORMALIZER([3.0, 4.0], 0)[OFFSET(1)], 6) AS norm_inf
+      ROUND(ML.NORMALIZER([3.0, 4.0], 0)[OFFSET(1)], 6) AS norm_inf,
+      ARRAY_TO_STRING(ARRAY(SELECT CAST(CAST(e AS INT64) AS STRING)
+        FROM UNNEST(ML.POLYNOMIAL_EXPAND([2.0, 3.0], 2)) AS e), ',') AS poly2
     FROM src ORDER BY id
     """
     w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
@@ -2627,7 +2629,8 @@ SELECT id,
       - 1) * 4 / count(x) OVER ()) AS INT)) AS VARCHAR) END AS qb,
   TRUE AS hb_stable, TRUE AS hb_range,
   CAST(0.6 AS DOUBLE) AS norm_l2,
-  CAST(1.0 AS DOUBLE) AS norm_inf
+  CAST(1.0 AS DOUBLE) AS norm_inf,
+  '2,3,4,6,9' AS poly2
 FROM src ORDER BY id
 """
 
