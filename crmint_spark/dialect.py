@@ -913,34 +913,21 @@ def _rewrite_raw_strings(sql: str) -> str:
     quote — a plain regex here corrupts any statement where an ``r``
     sits at the end of one string literal followed by another (e.g.
     ``'their offer' || 'x'`` or a ``'r'`` column-name argument)."""
-    out: list[str] = []
-    seg_start = 0
-    i, n = 0, len(sql)
-    while i < n:
-        if sql[i] in ("'", '"', "`"):
-            seg = sql[seg_start:i]
-            lit_end = _skip_string(sql, i)
-            m = (
-                re.search(r"(?<![\w$.])[rR]$", seg)
-                if sql[i] != "`"
-                else None
-            )
-            if m:
-                body = sql[i + 1 : lit_end - 1]
-                out.append(seg[: m.start()])
-                out.append(
-                    "'"
-                    + body.replace("\\", "\\\\").replace("'", "\\'")
-                    + "'"
-                )
-            else:
-                out.append(seg)
-                out.append(sql[i:lit_end])
-            i = seg_start = lit_end
-            continue
-        i += 1
-    out.append(sql[seg_start:])
-    return "".join(out)
+
+    def fn(code: str, lit: str) -> tuple[str, str]:
+        if not lit or lit[0] == "`":
+            return code, lit
+        # only the last 2 chars matter (prefix char + r) — O(n) scan
+        m = re.search(r"(?<![\w$.])[rR]$", code[-2:])
+        if not m:
+            return code, lit
+        body = lit[1:-1]
+        return (
+            code[: max(0, len(code) - 2) + m.start()],
+            "'" + body.replace("\\", "\\\\").replace("'", "\\'") + "'",
+        )
+
+    return _map_code_literal_pairs(sql, fn)
 
 
 def _rewrite_string_agg(sql: str) -> str:
@@ -1659,14 +1646,15 @@ def _rewrite_ml_scalers(sql: str) -> str:
     raise a targeted error pointing at the operator-level equivalents
     (operators/text.tfidf_keywords, ml/estimators' StringIndexer path)
     instead of silently mis-encoding."""
-    for bad in _ML_PREP_REJECT:
-        if re.search(re.escape(bad) + r"\s*\(", sql, re.IGNORECASE):
-            raise ValueError(
-                f"{bad} needs a frequency-ranked vocabulary (two window"
-                " passes); use the operator-level equivalent"
-                " (text_tfidf / Spark ML StringIndexer-backed"
-                " estimators) or materialize the vocabulary as a join"
-            )
+    for _s, _o, _e, bad in _iter_calls(
+        sql, tuple(re.escape(b) for b in _ML_PREP_REJECT)
+    ):
+        raise ValueError(
+            f"{bad.upper()} needs a frequency-ranked vocabulary (two"
+            " window passes); use the operator-level equivalent"
+            " (text_tfidf / Spark ML StringIndexer-backed estimators)"
+            " or materialize the vocabulary as a join"
+        )
     out: list[str] = []
     pos = 0
     for start, open_idx, end, fn in _iter_calls(
@@ -1721,6 +1709,10 @@ def _rewrite_ml_scalers(sql: str) -> str:
                     )
                 rep = f"transform({x}, _ne -> _ne / NULLIF({norm}, 0))"
             else:
+                if len(args) != 2:
+                    raise ValueError(
+                        "ML.HASH_BUCKETIZE needs (expr, bucket_count)"
+                    )
                 rep = f"pmod(xxhash64({x}), {args[1]})"
             out.append(sql[pos:start])
             out.append(rep)
@@ -1770,6 +1762,10 @@ def _rewrite_ml_scalers(sql: str) -> str:
                 )
             rep = f"coalesce({x}, {fill})"
         else:  # quantile_bucketize
+            if len(args) != 2:
+                raise ValueError(
+                    "ML.QUANTILE_BUCKETIZE needs (expr, num_buckets)"
+                )
             nb = args[1]
             interior = spec[1:-1].strip()
             # the generic empty-OVER() fill may have injected a
@@ -1790,6 +1786,32 @@ def _rewrite_ml_scalers(sql: str) -> str:
         out.append(rep)
         pos = over_end
     out.append(sql[pos:])
+    return "".join(out)
+
+
+def _map_code_literal_pairs(sql: str, fn) -> str:
+    """Walk the quote structure once and let ``fn(code_seg, literal)``
+    -> ``(code', literal')`` transform each code segment together with
+    the string literal that follows it (literal includes its quotes;
+    the final trailing code segment gets literal ``""``). The shared
+    scanner for every rewrite whose pattern SPANS a code region and the
+    adjacent literal (raw-string prefix, JSON / RANGE typed literals) —
+    one place to get escape/backtick handling right instead of three
+    hand-rolled copies."""
+    out: list[str] = []
+    seg_start = 0
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] in ("'", '"', "`"):
+            lit_end = _skip_string(sql, i)
+            code, lit = fn(sql[seg_start:i], sql[i:lit_end])
+            out.append(code)
+            out.append(lit)
+            i = seg_start = lit_end
+            continue
+        i += 1
+    code, _ = fn(sql[seg_start:], "")
+    out.append(code)
     return "".join(out)
 
 
@@ -1819,22 +1841,13 @@ def _strip_json_typed_literals(sql: str) -> str:
     when it sits in CODE immediately before an opening quote — a string
     literal whose *content* contains ``JSON '...'``-shaped text is
     untouched."""
-    out: list[str] = []
-    seg_start = 0
-    i, n = 0, len(sql)
-    while i < n:
-        if sql[i] in ("'", '"', "`"):
-            seg = sql[seg_start:i]
-            if sql[i] != "`":
-                seg = re.sub(r"\bJSON\s+$", "", seg, flags=re.IGNORECASE)
-            out.append(seg)
-            lit_end = _skip_string(sql, i)
-            out.append(sql[i:lit_end])
-            i = seg_start = lit_end
-            continue
-        i += 1
-    out.append(sql[seg_start:])
-    return "".join(out)
+
+    def fn(code: str, lit: str) -> tuple[str, str]:
+        if lit and lit[0] != "`":
+            code = re.sub(r"\bJSON\s+$", "", code, flags=re.IGNORECASE)
+        return code, lit
+
+    return _map_code_literal_pairs(sql, fn)
 
 
 def _rewrite_fn_renames(sql: str) -> str:
@@ -1946,9 +1959,14 @@ def _rewrite_arith_fns(sql: str) -> str:
     ``DIV(x, y)`` -> ``(x DIV y)``; ``IEEE_DIVIDE(x, y)`` -> IEEE double
     division (inf/nan, never an error); ``UNIX_DATE(d)`` /
     ``DATE_FROM_UNIX_DATE(n)`` -> epoch-day arithmetic; two-arg
-    ``LOG(x, base)`` (BigQuery: log of x to ``base``) -> Spark's
-    reversed-argument ``LOG(base, x)`` — without the swap LOG(8, 2)
-    silently returns 1/3 instead of 3 (1-arg LOG is ln in both)."""
+    ``LOG(x, base)`` (BigQuery: log of x to ``base``) -> the explicit
+    ``ln(x)/ln(base)`` ratio — Spark's ``LOG(base, x)`` has REVERSED
+    arguments (without a rewrite LOG(8, 2) silently returns 1/3
+    instead of 3), and emitting a swapped LOG would be un-swapped by a
+    second transpile (table-function bodies are transpiled at DDL time
+    and again after call-site splicing); the ratio is bit-identical to
+    Spark's builtin (which computes exactly this) and idempotent
+    (1-arg LOG is ln in both dialects and passes through)."""
     out: list[str] = []
     pos = 0
     for start, open_idx, end, fn in _iter_calls(
@@ -1961,7 +1979,7 @@ def _rewrite_arith_fns(sql: str) -> str:
         if fn == "div" and len(args) == 2:
             repl = f"({args[0]} DIV {args[1]})"
         elif fn == "log" and len(args) == 2:
-            repl = f"LOG({args[1]}, {args[0]})"
+            repl = f"(ln({args[0]}) / ln({args[1]}))"
         elif fn == "ieee_divide" and len(args) == 2:
             # Spark ANSI division errors on /0 for every numeric type;
             # IEEE wants x/0 -> ±Inf and 0/0 -> NaN, which x * Inf
@@ -2507,16 +2525,26 @@ def _rewrite_elem_refs(expr: str, alias: str | None, var: str) -> str:
     ``key``/``value`` for the unnested element while outer columns stay
     ``e.``-qualified)."""
     if alias:
-        expr = re.sub(
-            rf"\b{re.escape(alias)}\s*\.", f"{var}.", expr
+        expr = _sub_outside_strings(
+            expr,
+            lambda seg: re.sub(
+                rf"\b{re.escape(alias)}\s*\.", f"{var}.", seg
+            ),
         )
         # the BARE alias is the element itself (SELECT u FROM
         # UNNEST(arr) AS u) — substitute it too, skipping function
-        # calls named like the alias
-        expr = re.sub(
-            rf"(?<![\w.$]){re.escape(alias)}\b(?!\s*[.(])", var, expr
+        # calls named like the alias; string-literal contents stay
+        # untouched (a literal 'u' is data, not a reference)
+        expr = _sub_outside_strings(
+            expr,
+            lambda seg: re.sub(
+                rf"(?<![\w.$]){re.escape(alias)}\b(?!\s*[.(])", var, seg
+            ),
         )
-    expr = re.sub(r"(?<![\w.$])(key|value)\b", rf"{var}.\1", expr)
+    expr = _sub_outside_strings(
+        expr,
+        lambda seg: re.sub(r"(?<![\w.$])(key|value)\b", rf"{var}.\1", seg),
+    )
     # un-rewrite doubles like var.value created from an already-qualified
     # var.value (alias pass already prefixed)
     expr = expr.replace(f"{var}.{var}.", f"{var}.")
@@ -2545,8 +2573,15 @@ def _rewrite_correlated_unnest(sql: str) -> str:
         if ch == "(":
             # relational positions are NOT scalar subqueries: a CTE
             # definition (WITH v AS (...)) or a derived table
-            # (FROM (...) / JOIN (...)) must keep its SELECT intact
-            if re.search(r"\b(AS|FROM|JOIN)\s*$", sql[pos:i], re.IGNORECASE):
+            # (FROM (...) / JOIN (...)) must keep its SELECT intact.
+            # The lookbehind window is bounded (keyword + one preceding
+            # char + whitespace) so the pass stays O(n); a cut mid-
+            # identifier can only SKIP a rewrite, never corrupt one
+            if re.search(
+                r"\b(AS|FROM|JOIN)\s*$",
+                sql[max(pos, i - 8) : i],
+                re.IGNORECASE,
+            ):
                 i += 1
                 continue
             end = _balanced_end(sql, i)
@@ -4079,35 +4114,28 @@ def _rewrite_range_literals(sql: str) -> str:
     UNBOUNDED (either side) -> typed NULL. Walks the quote structure
     like the JSON typed-literal strip, so the keyword is only consumed
     in code position immediately before the quoted body."""
-    out: list[str] = []
-    seg_start = 0
-    i, n = 0, len(sql)
-    while i < n:
-        if sql[i] in ("'", '"', "`"):
-            seg = sql[seg_start:i]
-            lit_end = _skip_string(sql, i)
-            m = None if sql[i] == "`" else _RANGE_LIT_TAIL_RE.search(seg)
-            body = sql[i + 1 : lit_end - 1]
-            bm = re.match(r"\s*\[(.*),(.*)\)\s*$", body) if m else None
-            if m and bm:
-                styp = _RANGE_TYPES[m.group(1).upper()]
 
-                def bound(txt: str) -> str:
-                    txt = txt.strip()
-                    if not txt or txt.upper() in ("UNBOUNDED", "NULL"):
-                        return f"CAST(NULL AS {styp})"
-                    return f"{styp} '{txt}'"
+    def fn(code: str, lit: str) -> tuple[str, str]:
+        if not lit or lit[0] == "`":
+            return code, lit
+        m = _RANGE_LIT_TAIL_RE.search(code)
+        bm = re.match(r"\s*\[(.*),(.*)\)\s*$", lit[1:-1]) if m else None
+        if not (m and bm):
+            return code, lit
+        styp = _RANGE_TYPES[m.group(1).upper()]
 
-                out.append(seg[: m.start()])
-                out.append(_range_struct(bound(bm.group(1)), bound(bm.group(2))))
-            else:
-                out.append(seg)
-                out.append(sql[i:lit_end])
-            i = seg_start = lit_end
-            continue
-        i += 1
-    out.append(sql[seg_start:])
-    return "".join(out)
+        def bound(txt: str) -> str:
+            txt = txt.strip()
+            if not txt or txt.upper() in ("UNBOUNDED", "NULL"):
+                return f"CAST(NULL AS {styp})"
+            return f"{styp} '{txt}'"
+
+        return (
+            code[: m.start()],
+            _range_struct(bound(bm.group(1)), bound(bm.group(2))),
+        )
+
+    return _map_code_literal_pairs(sql, fn)
 
 
 def _rewrite_range_fns(sql: str) -> str:

@@ -283,6 +283,10 @@ def _apply_transform(
 
 
 _INT_HPARAMS = ("MAX_ITERATIONS", "MAX_TREE_DEPTH", "NUM_PARALLEL_TREE")
+# the numeric knobs build_pipeline maps onto Spark ML params; anything
+# else in an HPARAM_* spec gets a descriptive rejection up front rather
+# than a mid-training estimator crash
+_TUNABLE_HPARAMS = _INT_HPARAMS + ("LEARN_RATE", "L2_REG", "MIN_REL_PROGRESS")
 
 
 def _parse_hparam_spec(raw: str):
@@ -330,7 +334,13 @@ def _hparam_trials(specs: dict, n: int) -> list[dict]:
             else:
                 vals = [lo + (hi - lo) * i / (pts - 1) for i in range(pts)]
         coerce = int if k in _INT_HPARAMS else float
-        axes.append((k, [coerce(float(v)) for v in vals]))
+        try:
+            axes.append((k, [coerce(float(v)) for v in vals]))
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"hyperparameter {k}: candidates must be numeric,"
+                f" got {vals!r}"
+            ) from None
     combos = product(*[[(k, v) for v in vals] for k, vals in axes])
     return [dict(c) for _, c in zip(range(n), combos)]
 
@@ -466,8 +476,19 @@ def try_create_model(
     hp_specs: dict = {}
     for k, v in list(opts.items()):
         if isinstance(v, str) and re.match(r"HPARAM_", v, re.IGNORECASE):
+            if k not in _TUNABLE_HPARAMS:
+                raise ValueError(
+                    f"hyperparameter {k} is not tunable — supported:"
+                    f" {', '.join(sorted(_TUNABLE_HPARAMS))}"
+                )
             hp_specs[k] = _parse_hparam_spec(v)
             del opts[k]
+    if hp_specs and not num_trials:
+        # BigQuery rejects HPARAM_* without NUM_TRIALS; dropping the
+        # spec silently would train with defaults the user didn't ask
+        raise ValueError(
+            "HPARAM_RANGE/HPARAM_CANDIDATES require NUM_TRIALS"
+        )
     train_df, split_meta = _resolve_split(df, opts)
     split_col = split_meta.get("split_col")
     feature_cols = [

@@ -152,7 +152,11 @@ class SparkSQLExecutor(Worker):
                 raise WorkerException(
                     "transactions need a catalog-backed session"
                 )
-            self._txn = {"snapshots": {}}
+            import uuid
+
+            # per-transaction id so concurrent executors on a shared
+            # catalog never clobber each other's pre-images
+            self._txn = {"snapshots": {}, "id": uuid.uuid4().hex[:12]}
             self.log_info("BEGIN TRANSACTION")
             return True
         if self._txn is None:
@@ -172,7 +176,9 @@ class SparkSQLExecutor(Worker):
         inside an open transaction (first mutation only)."""
         if self._txn is None or table_id in self._txn["snapshots"]:
             return
-        backup = f"__txn__.backup.b{len(self._txn['snapshots'])}"
+        backup = (
+            f"__txn__.{self._txn['id']}.b{len(self._txn['snapshots'])}"
+        )
         self._ctx.catalog.clone(table_id, backup)
         self._txn["snapshots"][table_id] = backup
 
@@ -1237,12 +1243,19 @@ class SparkSQLExecutor(Worker):
             reader = reader.schema(_map_bq_types(schema_raw[1:-1]).strip())
         if fmt == "csv":
             n_skip = int(opts.get("SKIP_LEADING_ROWS", 0))
-            reader = reader.option("header", n_skip > 0)
             if not schema_raw:
                 reader = reader.option("inferSchema", True)
             if opts.get("FIELD_DELIMITER"):
                 reader = reader.option("sep", opts["FIELD_DELIMITER"])
-            df = reader.csv(list(uris))
+            if n_skip > 1:
+                # Spark's header option skips ONE line; BigQuery skips
+                # N per file — reuse the importer's per-file line
+                # stream (same contract as LOAD DATA)
+                from .file_io import _lines_skipping
+
+                df = reader.csv(_lines_skipping(spark, list(uris), n_skip))
+            else:
+                df = reader.option("header", n_skip > 0).csv(list(uris))
         elif fmt == "json":
             df = reader.json(list(uris))
         elif fmt in ("parquet", "orc"):

@@ -249,6 +249,33 @@ def test_unnest_select_in_relational_position(spark):
     assert spark.sql(out).collect()[0]["v"] == 6
 
 
+def test_review_fix_regressions(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    # two-arg LOG must survive DOUBLE transpile (table-function bodies
+    # are transpiled at DDL time and again after call-site splicing)
+    once = transpile_statement("SELECT LOG(8, 2) AS lg")
+    twice = transpile_statement(once)
+    assert once == twice
+    assert spark.sql(twice).collect()[0]["lg"] == 3.0
+    # UNNEST alias substitution must not touch string literals
+    out = transpile_statement(
+        "SELECT (SELECT CONCAT(u, '-x') FROM UNNEST(['a', 'u']) AS u"
+        " WHERE u <> 'u') AS v"
+    )
+    assert spark.sql(out).collect()[0]["v"] == "a-x"
+    # encoder names inside string literals are data, not calls
+    out = transpile_statement("SELECT 'docs mention ML.TF_IDF(x)' AS note")
+    assert "ML.TF_IDF" in spark.sql(out).collect()[0]["note"]
+    # arity errors are descriptive, not IndexErrors
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="HASH_BUCKETIZE"):
+        transpile_statement("SELECT ML.HASH_BUCKETIZE(x) FROM t")
+    with _pytest.raises(ValueError, match="QUANTILE_BUCKETIZE"):
+        transpile_statement("SELECT ML.QUANTILE_BUCKETIZE(x) OVER () FROM t")
+
+
 def test_raw_string_prefix_only_in_code_position(spark):
     from crmint_spark.dialect import transpile_statement
 
