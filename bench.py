@@ -146,6 +146,7 @@ SECONDARY = [
     "q79_bq_functions10",
     "q80_hparam_tuning",
     "q81_external_table",
+    "q82_transactions",
 ]
 
 
