@@ -4627,6 +4627,18 @@ def transpile_statement(sql: str, resolver=None, approx_sketches: bool = False) 
     # JSON accessors (INT64/BOOL/LAX_*/JSON_VALUE...) all operate on the
     # JSON text, so the literal reduces to its string
     out = _strip_json_typed_literals(out)
+    # SELECT AS VALUE: BigQuery makes the subquery's row type the bare
+    # single-column value instead of a 1-field struct — which is what
+    # Spark subqueries produce anyway, so the modifier strips exactly
+    out = _sub_outside_strings(
+        out,
+        lambda seg: re.sub(
+            r"\bSELECT\s+(DISTINCT\s+)?AS\s+VALUE\b",
+            lambda m: "SELECT " + (m.group(1) or ""),
+            seg,
+            flags=re.IGNORECASE,
+        ),
+    )
     out = _rewrite_pipe_syntax(out)
     out = _rewrite_vector_search(out)
     out = _rewrite_gap_fill(out)

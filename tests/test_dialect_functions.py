@@ -249,6 +249,21 @@ def test_unnest_select_in_relational_position(spark):
     assert spark.sql(out).collect()[0]["v"] == 6
 
 
+def test_select_as_value(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    out = transpile_statement(
+        "SELECT (SELECT AS VALUE STRUCT(7 AS a)).a AS v,"
+        " ARRAY(SELECT AS VALUE x * 2 FROM UNNEST([1, 2]) AS x) AS arr"
+    )
+    row = spark.sql(out).collect()[0]
+    assert row["v"] == 7
+    assert sorted(row["arr"]) == [2, 4]
+    # contents of string literals stay untouched
+    out = transpile_statement("SELECT 'SELECT AS VALUE docs' AS s")
+    assert spark.sql(out).collect()[0]["s"] == "SELECT AS VALUE docs"
+
+
 def test_review_fix_regressions(spark):
     from crmint_spark.dialect import transpile_statement
 
