@@ -282,16 +282,17 @@ class SparkSQLExecutor(Worker):
         cat = self._ctx.catalog
         sn = re.match(
             r"^\s*CREATE\s+(?:SNAPSHOT\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
-            r"`?([\w.\-]+)`?\s+CLONE\s+`?([\w.\-]+)`?"
+            r"`?([\w.\-]+)`?\s+(?:CLONE|COPY)\s+`?([\w.\-]+)`?"
             r"(\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\b.*?)?"
             r"\s*(?:OPTIONS\s*\(.*\))?\s*$",
             sub,
             re.IGNORECASE | re.DOTALL,
         )
         if sn:
-            # CREATE SNAPSHOT TABLE / CREATE TABLE ... CLONE: both are
-            # directory-level copies in the catalog (Catalog.clone —
-            # the metadata-only-snapshot analog, no row rewrite).
+            # CREATE SNAPSHOT TABLE / CREATE TABLE ... CLONE / COPY:
+            # all directory-level copies in the catalog (Catalog.clone
+            # — the metadata-only-snapshot analog, no row rewrite;
+            # BigQuery's COPY and CLONE differ only in billing).
             # BigQuery's snapshot DDL: cloud.google.com table snapshots;
             # time travel needs historical state the engine doesn't
             # keep, so it fails loudly rather than silently cloning HEAD
@@ -310,6 +311,24 @@ class SparkSQLExecutor(Worker):
                     return True
                 cat.clone(sn.group(3), sn.group(2))
             self.log_info(f"CLONE {sn.group(3)} -> {sn.group(2)}")
+            return True
+        lk = re.match(
+            r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"`?([\w.\-]+)`?\s+LIKE\s+`?([\w.\-]+)`?"
+            r"\s*(?:OPTIONS\s*\(.*\))?\s*$",
+            sub,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if lk:
+            # CREATE TABLE ... LIKE: same schema, no rows
+            if cat is None:
+                raise WorkerException("LIKE requires a catalog-backed session")
+            if not self._params["dry_run"]:
+                if lk.group(1) and cat.exists(lk.group(2)):
+                    self.log_info(f"{lk.group(2)} exists — skipped")
+                    return True
+                cat.write(cat.read(lk.group(3)).limit(0), lk.group(2))
+            self.log_info(f"CREATE TABLE {lk.group(2)} LIKE {lk.group(3)}")
             return True
         dsn = re.match(
             r"^\s*DROP\s+SNAPSHOT\s+TABLE\s+(IF\s+EXISTS\s+)?"

@@ -99,6 +99,13 @@ def test_snapshot_clone_ddl(ctx):
     with pytest.raises(WorkerException, match="snapshot not found"):
         run("DROP SNAPSHOT TABLE `p.d.sn_snap`")
     run("DROP SNAPSHOT TABLE IF EXISTS `p.d.sn_snap`")
+    # COPY routes through the same clone machinery; LIKE copies only
+    # the schema
+    run("CREATE TABLE `p.d.sn_copy2` COPY `p.d.sn_base`")
+    assert ctx.catalog.read("p.d.sn_copy2").count() == 1
+    run("CREATE TABLE `p.d.sn_like` LIKE `p.d.sn_base`")
+    like = ctx.catalog.read("p.d.sn_like")
+    assert like.count() == 0 and like.columns == ["id", "bal"]
 
 
 def test_transactions(ctx):
