@@ -1891,24 +1891,57 @@ def _rewrite_datetime_diff(sql: str) -> str:
     return "".join(out)
 
 
+_WEEKDAY_IDX = {
+    "SUNDAY": 0, "MONDAY": 1, "TUESDAY": 2, "WEDNESDAY": 3,
+    "THURSDAY": 4, "FRIDAY": 5, "SATURDAY": 6,
+}
+
+
 def _rewrite_datetime_trunc(sql: str) -> str:
     """``DATE_TRUNC(d, PART)`` -> ``CAST(date_trunc('PART', d) AS DATE)``
     (BigQuery returns DATE); ``DATETIME_TRUNC/TIMESTAMP_TRUNC(x, PART)``
     -> ``date_trunc('PART', x)``. BigQuery puts the unit second, Spark
-    first and quoted."""
+    first and quoted.
+
+    WEEK semantics: BigQuery's bare ``WEEK`` starts SUNDAY while
+    Spark's 'week' starts Monday — passing it through would silently
+    shift every week bucket by a day. Bare WEEK / WEEK(<WEEKDAY>)
+    compile to explicit start-day arithmetic (pmod over dayofweek);
+    ``ISOWEEK`` and ``WEEK(MONDAY)`` map to Spark's Monday-start
+    'WEEK' directly."""
     out: list[str] = []
     pos = 0
     for start, open_idx, end, fn in _iter_calls(
         sql, ("DATE_TRUNC", "DATETIME_TRUNC", "TIMESTAMP_TRUNC")
     ):
         args = _split_top_level(sql[open_idx + 1 : end - 1])
-        if len(args) != 2 or not re.fullmatch(r"\s*\w+\s*", args[1]):
+        if len(args) != 2 or not re.fullmatch(
+            r"\s*\w+\s*(\(\s*\w+\s*\))?\s*", args[1]
+        ):
             continue
         part = args[1].strip().upper()
         expr = _rewrite_datetime_trunc(args[0].strip())
-        base = f"date_trunc('{part}', {expr})"
-        if fn == "date_trunc":
-            base = f"CAST({base} AS DATE)"
+        m_wk = re.fullmatch(r"WEEK(?:\s*\(\s*(\w+)\s*\))?", part)
+        if part == "ISOWEEK" or (m_wk and m_wk.group(1) == "MONDAY"):
+            part, m_wk = "WEEK", None
+        if m_wk:
+            day = m_wk.group(1) or "SUNDAY"
+            if day not in _WEEKDAY_IDX:
+                raise ValueError(f"DATE_TRUNC: unknown weekday {day!r}")
+            back = (
+                f"pmod(dayofweek(CAST({expr} AS DATE)) - 1"
+                f" - {_WEEKDAY_IDX[day]}, 7)"
+            )
+            if fn == "date_trunc":
+                base = f"date_sub(CAST({expr} AS DATE), {back})"
+            else:
+                base = (
+                    f"(date_trunc('DAY', {expr}) - make_dt_interval({back}))"
+                )
+        else:
+            base = f"date_trunc('{part}', {expr})"
+            if fn == "date_trunc":
+                base = f"CAST({base} AS DATE)"
         out.append(sql[pos:start])
         out.append(base)
         pos = end
