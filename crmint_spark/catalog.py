@@ -28,6 +28,24 @@ TESTDATA_TABLES = (
 )
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Replicate a parquet directory tree by hardlinking every file
+    (``os.link`` — metadata cost only); per-file copy fallback for
+    filesystems without link support (e.g. cross-device mounts)."""
+    import shutil
+
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(root, f), os.path.join(out, f)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
 def _safe_view_name(table_id: str) -> str:
     """``proj.ds.tbl`` -> ``proj__ds__tbl`` (temp views are single-part)."""
     return re.sub(r"[^A-Za-z0-9_]", "_", table_id.replace(".", "__"))
@@ -45,7 +63,8 @@ def _bq_type_name(dt) -> str:
         )
         return f"STRUCT<{inner}>"
     if isinstance(dt, T.DecimalType):
-        return "NUMERIC"
+        # engine convention: NUMERIC=DECIMAL(38,9), BIGNUMERIC=DECIMAL(38,18)
+        return "BIGNUMERIC" if dt.scale > 9 else "NUMERIC"
     simple = {
         "tinyint": "INT64",
         "smallint": "INT64",
@@ -235,12 +254,17 @@ class Catalog:
             shutil.rmtree(p)
 
     def clone(self, src_id: str, dst_id: str) -> None:
-        """Table clone/snapshot: a filesystem copy of the immutable
-        parquet directory — no Spark job, no row rewrite (the engine's
-        analog of BigQuery's metadata-only snapshots; DML and
-        WRITE_TRUNCATE swap whole directories, so the copy is isolated
-        from later base-table mutations). A source that only exists as
-        a session view (CTAS output) is materialized instead."""
+        """Table clone/snapshot: a zero-copy HARDLINK of the immutable
+        parquet files — no Spark job, no row rewrite, no byte copy (the
+        engine's analog of BigQuery's metadata-only snapshots). Safe
+        because the DML plane and WRITE_TRUNCATE swap whole directories
+        and appends only ADD part files — existing parquet files are
+        never mutated in place, so shared inodes can never observe a
+        later mutation. Cost scales with file COUNT, not table bytes
+        (asserted in test_scale_bounds). Falls back to a byte copy per
+        file on filesystems without hardlink support. A source that
+        only exists as a session view (CTAS output) is materialized
+        instead."""
         import shutil
 
         if self.exists(src_id):
@@ -248,7 +272,7 @@ class Catalog:
             if os.path.isdir(dst):
                 shutil.rmtree(dst)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.copytree(self.path_for(src_id), dst)
+            _link_tree(self.path_for(src_id), dst)
             self.register(dst_id)
         else:
             self.write(self.read(src_id), dst_id)

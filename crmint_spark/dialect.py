@@ -4589,13 +4589,22 @@ def _rewrite_materialized_view(sql: str) -> str:
     are validated-ignored; DROP MATERIALIZED VIEW maps to DROP TABLE."""
     m = re.match(
         r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+"
-        r"(?:IF\s+NOT\s+EXISTS\s+)?(`?[\w.\-]+`?)\s*"
-        r"(?:OPTIONS\s*\(.*?\)\s*)?AS\b(.*)$",
+        r"(?:IF\s+NOT\s+EXISTS\s+)?(`?[\w.\-]+`?)\s*",
         sql,
         re.IGNORECASE | re.DOTALL,
     )
     if m:
-        return f"CREATE OR REPLACE TABLE {m.group(1)} AS{m.group(2)}"
+        rest = sql[m.end():]
+        # OPTIONS(...) may nest parens/brackets (labels=[('a','b')]):
+        # find its end with the balanced scanner, not a non-greedy regex
+        mo = re.match(r"OPTIONS\s*\(", rest, re.IGNORECASE)
+        if mo:
+            end = _balanced_end(rest, mo.end() - 1)
+            if end > 0:
+                rest = rest[end:].lstrip()
+        ma = re.match(r"AS\b(.*)$", rest, re.IGNORECASE | re.DOTALL)
+        if ma:
+            return f"CREATE OR REPLACE TABLE {m.group(1)} AS{ma.group(1)}"
     return re.sub(
         r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+",
         "DROP TABLE ",
@@ -4863,7 +4872,8 @@ def script_literal(value: object) -> str:
     """Render a Python scripting value as a typed SQL literal (shared by
     DECLARE/SET variable splicing and EXECUTE IMMEDIATE USING params)."""
     if isinstance(value, str):
-        return "'" + value.replace("'", "\\'") + "'"
+        # backslashes first: Spark string literals interpret \t, \n, ...
+        return "'" + value.replace("\\", "\\\\").replace("'", "\\'") + "'"
     if value is None:
         return "NULL"
     if isinstance(value, bool):

@@ -1429,19 +1429,19 @@ def q59_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_testdata(spark, sf_dir)
     script = """
     SELECT 'cos' AS metric, query.vec_id AS query_id,
-           base.vec_id AS base_id, ROUND(distance, 6) AS dist
+           base.vec_id AS base_id, ROUND(distance, 6) + 0 AS dist
     FROM VECTOR_SEARCH(
       TABLE embeddings, 'embedding',
       (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
       top_k => 5, distance_type => 'COSINE')
     UNION ALL
-    SELECT 'euc' AS metric, query.vec_id, base.vec_id, ROUND(distance, 6)
+    SELECT 'euc' AS metric, query.vec_id, base.vec_id, ROUND(distance, 6) + 0
     FROM VECTOR_SEARCH(
       TABLE embeddings, 'embedding',
       (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 7),
       top_k => 4)
     UNION ALL
-    SELECT 'dot' AS metric, query.vec_id, base.vec_id, ROUND(distance, 6)
+    SELECT 'dot' AS metric, query.vec_id, base.vec_id, ROUND(distance, 6) + 0
     FROM VECTOR_SEARCH(
       (SELECT vec_id, label, embedding FROM embeddings), 'embedding',
       (SELECT vec_id, embedding AS qv FROM embeddings WHERE vec_id = 11),
@@ -1498,7 +1498,7 @@ WITH qcos AS (
                             ORDER BY dist ASC) AS rn
   FROM scored
 )
-SELECT metric, query_id, base_id, ROUND(dist, 6) AS dist
+SELECT metric, query_id, base_id, ROUND(dist, 6) + 0 AS dist
 FROM ranked
 WHERE (metric = 'cos' AND rn <= 5) OR (metric = 'euc' AND rn <= 4)
    OR (metric = 'dot' AND rn <= 3)
@@ -1828,8 +1828,8 @@ def bqml_generate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ML.GENERATE_EMBEDDING(MODEL `p.d.text_embedder`,
       (SELECT doc_id, text AS content FROM documents WHERE doc_id < 120));
     SELECT query.doc_id AS query_id, base.doc_id AS base_id,
-           ROUND(distance, 6) AS dist,
-           ROUND(base.embedding[OFFSET(0)], 6) AS e0,
+           ROUND(distance, 6) + 0 AS dist,
+           ROUND(base.embedding[OFFSET(0)], 6) + 0 AS e0,
            base.status AS status
     FROM VECTOR_SEARCH(TABLE emb_docs, 'embedding',
       (SELECT doc_id, embedding FROM emb_docs WHERE doc_id = 3),
@@ -1875,8 +1875,8 @@ WITH toks AS (
          b.e[1] AS e0
   FROM emb b, q
 )
-SELECT CAST(3 AS BIGINT) AS query_id, base_id, ROUND(dist, 6) AS dist,
-       ROUND(e0, 6) AS e0, '' AS status
+SELECT CAST(3 AS BIGINT) AS query_id, base_id, ROUND(dist, 6) + 0 AS dist,
+       ROUND(e0, 6) + 0 AS e0, '' AS status
 FROM scored ORDER BY dist, base_id LIMIT 10
 """
 

@@ -430,7 +430,9 @@ class SparkSQLExecutor(Worker):
                 cat.drop(name)
                 self.log_info(f"DROP TABLE {name} (catalog)")
                 return True
-            mapped = name.replace(".", "__")
+            from ..catalog import _safe_view_name
+
+            mapped = _safe_view_name(name)
             ex = "IF EXISTS " if if_exists else ""
             spark.sql(f"DROP {kind} {ex}`{mapped}`")
             self.log_info(f"DROP {kind} {name}")
@@ -930,7 +932,12 @@ class SparkSQLExecutor(Worker):
                 return None
             rows = self._ctx.spark.sql(
                 transpile_statement(sctx.substitute(block["query"]), resolver)
-            ).limit(self._MAX_LOOP_ITERATIONS).collect()
+            ).limit(self._MAX_LOOP_ITERATIONS + 1).collect()
+            if len(rows) > self._MAX_LOOP_ITERATIONS:
+                raise WorkerException(
+                    f"FOR..IN query exceeded {self._MAX_LOOP_ITERATIONS} "
+                    "rows (mirrors the WHILE/LOOP iteration bound)"
+                )
             var = block["var"]
             last: DataFrame | None = None
             saved = {
@@ -988,11 +995,10 @@ class SparkSQLExecutor(Worker):
             if block["handler"] is not None and result is not None:
                 # trailing SELECTs are normally left lazy; a handler
                 # only fires if the body actually EXECUTES (BigQuery
-                # runs each statement eagerly), so materialize here
-                rows = result.collect()
-                result = self._ctx.spark.createDataFrame(
-                    rows, result.schema
-                )
+                # runs each statement eagerly). Materialize on the
+                # EXECUTORS (localCheckpoint), not via collect() — a
+                # large trailing SELECT must not OOM the driver.
+                result = result.localCheckpoint(eager=True)
             return result
         except (_BreakSignal, _ContinueSignal, _ReturnSignal):
             raise
@@ -1004,7 +1010,9 @@ class SparkSQLExecutor(Worker):
             msg = str(exc).split("\n", 1)[0][:500]
             handler = re.sub(
                 r"@@error\.message",
-                lambda _m: "'" + msg.replace("'", "\\'") + "'",
+                lambda _m: "'"
+                + msg.replace("\\", "\\\\").replace("'", "\\'")
+                + "'",
                 block["handler"],
                 flags=re.IGNORECASE,
             )

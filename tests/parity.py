@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import datetime
 import math
+import struct
 from decimal import Decimal
 
 import duckdb
@@ -92,6 +93,16 @@ def compare(spark_df, con, sql: str, rel_tol: float = 1e-9):
                 assert x == y, (
                     f"row {i} col {sc[j]}: close but not exact "
                     f"spark={x!r} duckdb={y!r} — add ROUND"
+                )
+                # byte-level strict mode mirroring the driver's value
+                # hash: -0.0 == 0.0 under Python ==, but the byte
+                # patterns differ and the driver hashes bytes (the r5
+                # q59 divergence class). Oracle style rule: any ROUNDed
+                # difference/distance must append `+ 0` in BOTH engines.
+                assert struct.pack(">d", x) == struct.pack(">d", y), (
+                    f"row {i} col {sc[j]}: byte-level float mismatch "
+                    f"(negative zero?) spark={x!r} duckdb={y!r} — "
+                    f"append '+ 0' after ROUND in both engines"
                 )
             else:
                 assert x == y, f"row {i} col {sc[j]}: spark={x!r} duckdb={y!r}"

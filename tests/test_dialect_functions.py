@@ -1353,3 +1353,32 @@ def test_pipe_syntax_pivot_unpivot_tablesample(spark):
         )
     ).first()["n"]
     assert n2 == 3
+
+
+def test_materialized_view_nested_options(spark):
+    """OPTIONS with nested parens/brackets (labels=[('a','b')]) must
+    still be stripped via the balanced scanner (ADVICE r5)."""
+    from crmint_spark.dialect import _rewrite_materialized_view
+
+    out = _rewrite_materialized_view(
+        "CREATE MATERIALIZED VIEW `p.d.mv` OPTIONS("
+        "enable_refresh=true, labels=[('team', 'growth')], "
+        "description='a (nested) note') AS SELECT 1 AS a"
+    )
+    assert out == "CREATE OR REPLACE TABLE `p.d.mv` AS SELECT 1 AS a"
+    # no OPTIONS still works
+    out = _rewrite_materialized_view(
+        "CREATE OR REPLACE MATERIALIZED VIEW v AS SELECT 2 AS b"
+    )
+    assert out == "CREATE OR REPLACE TABLE v AS SELECT 2 AS b"
+
+
+def test_bignumeric_type_name():
+    """INFORMATION_SCHEMA reports BIGNUMERIC for scale>9 decimals
+    (engine convention: NUMERIC=38,9 / BIGNUMERIC=38,18) (ADVICE r5)."""
+    from pyspark.sql import types as T
+
+    from crmint_spark.catalog import _bq_type_name
+
+    assert _bq_type_name(T.DecimalType(38, 9)) == "NUMERIC"
+    assert _bq_type_name(T.DecimalType(38, 18)) == "BIGNUMERIC"

@@ -46,3 +46,30 @@ def test_entry_flagship_returns_rows(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert df.columns  # stable, non-empty schema
+
+
+def test_rounded_distance_columns_carry_plus_zero_guard():
+    """Registry style rule (VERDICT r5 #8): a ROUNDed float that can be
+    a difference/distance may round to -0.0 in one engine and +0.0 in
+    the other — Python == hides it, the driver's byte-hash does not.
+    Any ROUND(...) aliased to a *dist*-like column must append `+ 0`
+    (IEEE: -0.0 + 0 = +0.0) in the oracle SQL. Best-effort lint: flags
+    `ROUND(...)` directly aliased `AS <name~dist>` without the guard."""
+    import re
+
+    oracles = entry_mod.oracle_sql()
+    pat = re.compile(
+        r"ROUND\s*\((?:[^()]|\([^()]*(?:\([^()]*\)[^()]*)*\))*\)"
+        r"(?P<guard>\s*\+\s*0)?\s+AS\s+(?P<alias>\w+)",
+        re.IGNORECASE,
+    )
+    bad = []
+    for name, sql in oracles.items():
+        for m in pat.finditer(sql):
+            alias = m.group("alias").lower()
+            if ("dist" in alias or alias in ("e0",)) and not m.group("guard"):
+                bad.append(f"{name}: ROUND(...) AS {m.group('alias')}")
+    assert not bad, (
+        "ROUNDed distance columns without '+ 0' guard (negative-zero "
+        "hash risk):\n" + "\n".join(bad)
+    )

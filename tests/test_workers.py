@@ -1303,3 +1303,115 @@ def test_vector_and_search_index_ddl(ctx):
     with _pytest.raises(WorkerException, match="invalid distance_type"):
         run("CREATE VECTOR INDEX bad ON p.d.emb(embedding)"
             " OPTIONS(distance_type='MANHATTAN')")
+
+
+def test_for_in_over_bound_raises(ctx, monkeypatch):
+    """FOR..IN must fail loudly (not silently truncate) when the
+    driving query exceeds the loop bound, mirroring WHILE/LOOP."""
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    monkeypatch.setattr(SparkSQLExecutor, "_MAX_LOOP_ITERATIONS", 5)
+    script = """
+    DECLARE n INT64 DEFAULT 0;
+    FOR rec IN (
+      SELECT id AS k FROM UNNEST([1, 2, 3, 4, 5, 6]) AS id ORDER BY id
+    ) DO
+      SET n = n + rec.k;
+    END FOR;
+    SELECT n AS total
+    """
+    with pytest.raises(WorkerException, match="FOR..IN query exceeded"):
+        find_worker("SparkSQLExecutor")(
+            {"script": script, "dry_run": False}, ctx
+        ).execute()
+    # at exactly the bound it still runs
+    monkeypatch.setattr(SparkSQLExecutor, "_MAX_LOOP_ITERATIONS", 6)
+    w = find_worker("SparkSQLExecutor")(
+        {"script": script, "dry_run": False}, ctx
+    )
+    w.execute()
+    assert w.result.collect()[0]["total"] == 21
+
+
+def test_exception_handler_large_trailing_select(ctx):
+    """Arming an EXCEPTION handler materializes the trailing SELECT on
+    the executors (localCheckpoint), not via a driver collect — result
+    stays a full distributed DataFrame."""
+    w = find_worker("SparkSQLExecutor")(
+        {
+            "script": """
+            BEGIN
+              SELECT x AS id, x * 2 AS dbl
+              FROM UNNEST(GENERATE_ARRAY(1, 50000)) AS x;
+            EXCEPTION WHEN ERROR THEN
+              SELECT -1 AS id, -2 AS dbl;
+            END
+            """,
+            "dry_run": False,
+        },
+        ctx,
+    )
+    w.execute()
+    assert w.result.count() == 50000
+    agg = w.result.selectExpr("SUM(dbl) AS s").collect()[0]["s"]
+    assert agg == 50000 * 50001
+
+
+def test_script_literal_backslash_roundtrip(ctx):
+    """A string variable containing backslashes splices losslessly
+    (backslashes escaped before quotes — ADVICE r5)."""
+    from crmint_spark.dialect import script_literal
+
+    val = "C:\\temp\\new\\'quoted'"
+    lit = script_literal(val)
+    got = ctx.spark.sql(f"SELECT {lit} AS v").collect()[0]["v"]
+    assert got == val
+    # end-to-end through EXECUTE IMMEDIATE USING
+    w = find_worker("SparkSQLExecutor")(
+        {
+            "script": r"""
+            DECLARE p STRING DEFAULT 'C:\\temp\\x';
+            EXECUTE IMMEDIATE 'SELECT @pp AS path' USING p AS pp
+            """,
+            "dry_run": False,
+        },
+        ctx,
+    )
+    w.execute()
+    assert w.result.collect()[0]["path"] == "C:\\temp\\x"
+
+
+def test_drop_view_hyphenated_name(ctx):
+    """DROP VIEW on a hyphenated project id resolves through
+    _safe_view_name, consistent with registration (ADVICE r5)."""
+    run = lambda s: find_worker("SparkSQLExecutor")(
+        {"script": s, "dry_run": False}, ctx
+    ).execute()
+    run("CREATE VIEW `my-proj.d.v` AS SELECT 1 AS a")
+    run("DROP VIEW `my-proj.d.v`")
+    # re-create works after a clean drop
+    run("CREATE VIEW `my-proj.d.v` AS SELECT 2 AS a; DROP VIEW `my-proj.d.v`")
+
+
+def test_clone_snapshot_zero_copy(ctx):
+    """Catalog.clone hardlinks parquet files — snapshot cost scales
+    with file count, not table bytes (VERDICT r5 #5)."""
+    _seed_table(ctx, "p.d.zc_base", [(i, float(i)) for i in range(100)],
+                "id long, bal double")
+    ctx.catalog.clone("p.d.zc_base", "p.d.zc_snap")
+    src_dir = ctx.catalog.path_for("p.d.zc_base")
+    dst_dir = ctx.catalog.path_for("p.d.zc_snap")
+    src_files = sorted(
+        f for f in os.listdir(src_dir) if f.endswith(".parquet")
+    )
+    assert src_files
+    for f in src_files:
+        s, d = os.stat(os.path.join(src_dir, f)), os.stat(os.path.join(dst_dir, f))
+        assert s.st_ino == d.st_ino and s.st_nlink >= 2, f
+    # rollback semantics survive zero-copy: mutate base, snapshot intact
+    run = lambda s: find_worker("SparkSQLExecutor")(
+        {"script": s, "dry_run": False}, ctx
+    ).execute()
+    run("BEGIN TRANSACTION; DELETE FROM `p.d.zc_base` WHERE id >= 50;"
+        " ROLLBACK TRANSACTION; SELECT 1")
+    assert ctx.catalog.read("p.d.zc_base").count() == 100
