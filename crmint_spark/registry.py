@@ -197,28 +197,31 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str |
 # under a time budget, so the order is made ROUND-AWARE — computed from
 # the CORRECTNESS_r*.json files the driver leaves in the repo root:
 #
-#   1. pinned core (q01-q18 + one driver-sized `*_small` twin per heavy
-#      iterative family) — regression safety every round;
-#   2. entries with no driver evidence yet, cheap ones first — the
-#      rotation window, recomputed each round as new CORRECTNESS files
-#      land, so every oracle entry earns a driver row within ~2 rounds;
-#   3. previously-sampled remainder;
+#   1. a minimal pin (the flagship q01) — regression canary;
+#   2. entries with no ALL-GREEN driver row yet, cheap ones first —
+#      the rotation window, recomputed each round as new CORRECTNESS
+#      files land (a red row counts as UNSAMPLED, so a fixed entry
+#      automatically re-enters the window until the driver re-greens
+#      it); costly families (streaming/BQML/multimodal/ML-fit) rank
+#      after the cheap block but still inside the window;
+#   3. previously-green remainder;
 #   4. the iterative/multi-round heavies (full-corpus star-CC, SemDeDup,
-#      BPE) last — their `*_small` twins in tier 1 carry their evidence.
+#      BPE) last — their `*_small` twins carry their evidence.
+#
+# r6: the pin block shrank from 21 entries to 1 (VERDICT r5 #2 — bias
+# the window entirely to the 56 never-sampled entries; q02-q18 and the
+# small twins each already hold 3-5 green rows from r1-r5).
 
-_PINNED = [f"q{i:02d}_" for i in range(1, 19)]
-_PINNED_EXACT = (
-    "dedup_clusters_star_small",
-    "semantic_dedup_small",
-    "corpus_bpe_merges_small",
-)
+_PINNED = ["q01_"]
 _HEAVY_TAIL = ("dedup_clusters_star", "semantic_dedup", "corpus_bpe_merges")
 _COSTLY_PREFIXES = ("streaming_", "bqml_", "multimodal_", "ml_train")
 
 
-def _driver_sampled_names() -> set[str]:
-    """Names with at least one row in any CORRECTNESS_r*.json the
-    driver has written so far (absent/unreadable files = empty set)."""
+def _driver_green_names() -> set[str]:
+    """Names with at least one ALL-GREEN row (rows+schema+hash) in any
+    CORRECTNESS_r*.json the driver has written so far (absent or
+    unreadable files = empty set). Red rows do NOT count — a fixed
+    entry must re-earn its driver evidence."""
     import glob
     import json
     import os
@@ -228,19 +231,31 @@ def _driver_sampled_names() -> set[str]:
     for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(p) as fh:
-                out |= set(json.load(fh))
+                data = json.load(fh)
         except (OSError, ValueError):
             continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                out.add(name)
+                continue
+            if row.get("err") == "no_oracle" and row.get("spark_rows", 0) >= 0:
+                # rows-only entries: the driver records a weaker
+                # ran-and-returned-rows check (all matches are None)
+                out.add(name)
+            elif (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match", True)
+            ):
+                out.add(name)
     return out
 
 
 def _sweep_order(names: list[str]) -> list[str]:
-    sampled = _driver_sampled_names()
+    sampled = _driver_green_names()
 
     def rank(item: tuple[int, str]) -> tuple[int, int, int]:
         i, name = item
-        if name in _PINNED_EXACT:
-            return (0, 100 + _PINNED_EXACT.index(name), 0)
         for j, pfx in enumerate(_PINNED):
             if name.startswith(pfx):
                 return (0, j, 0)
