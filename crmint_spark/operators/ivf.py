@@ -618,3 +618,97 @@ GROUP BY dup_id
 
 
 SEMANTIC_DEDUP_SQL = semantic_dedup_sql()
+
+
+# ---------------------------------------------------------------------------
+# SQL-plane vector index materialization (CREATE VECTOR INDEX routing)
+
+
+def materialize_sql_vector_index(
+    spark, base_df: DataFrame, column: str, id_col: str, path: str
+) -> tuple[list[tuple[int, list[float]]], list[str]]:
+    """Build the physical layout behind ``CREATE VECTOR INDEX`` on an
+    arbitrary table: deterministic stride-seeded Lloyd quantizer over
+    the indexed column (identical training chain to
+    ``deterministic_assign`` / ``_sql_assigned_ctes``, so a DuckDB
+    oracle can replay the centroids exactly), then the full base rows
+    + ``list_id`` written partitioned by list — VECTOR_SEARCH probes
+    then read n_probe/k of the partitions via partition pruning.
+
+    -> (centroid rows, base column names). Training statistics stay
+    stride-bounded (<= IVF_TRAIN_ROWS rows on the driver); assignment
+    is a map-only literal-codebook pass — no join, no shuffle beyond
+    the partitioned write itself.
+    """
+    base_cols = list(base_df.columns)
+    vecs = base_df.withColumn(
+        "__v", F.transform(F.col(column), lambda x: x.cast("double"))
+    )
+    n = vecs.count()
+    stride = max(n // IVF_K, 1)
+    tstride = _train_stride(n)
+    train = vecs.filter(F.col(id_col) % tstride == 0).select(
+        F.col(id_col).alias("vec_id"),
+        F.lit("").alias("label"),
+        F.col("__v").alias("v"),
+    )
+    cent_rows = [
+        (int(r["vec_id"]) // stride, [float(x) for x in r["v"]])
+        for r in vecs.filter(
+            (F.col(id_col) % stride == 0)
+            & (F.col(id_col) < IVF_K * stride)
+        )
+        .select(F.col(id_col).alias("vec_id"), F.col("__v").alias("v"))
+        .collect()
+    ]
+    for _ in range(IVF_LLOYD_STEPS):
+        assigned = _assign_codebook(train, cent_rows)
+        cent_rows = [
+            (int(r["list_id"]), [float(x) for x in r["c"]])
+            for r in _recompute_centroids(
+                assigned.select("list_id", "v")
+            ).collect()
+        ]
+    dist_structs = F.transform(
+        _codebook_literal(cent_rows),
+        lambda s: F.struct(
+            _sq_l2(F.col("__v"), s["c"]).alias("d"),
+            s["list_id"].alias("list_id"),
+        ),
+    )
+    indexed = vecs.withColumn(
+        "list_id", F.array_min(dist_structs)["list_id"]
+    ).drop("__v")
+    (
+        indexed.repartition("list_id")
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+    return cent_rows, base_cols
+
+
+def sql_probe_expr(
+    cent_rows: list[tuple[int, list[float]]], query_col: str, n_probe: int
+) -> str:
+    """Spark SQL expression: the ``n_probe`` nearest list_ids for one
+    query vector, as an array — literal codebook, left-fold squared-L2
+    in dim order (bit-identical to the DuckDB probe CTE), ties broken
+    by list_id via struct sort order."""
+    entries = ", ".join(
+        "named_struct('list_id', {i}, 'c', array({cs}))".format(
+            i=int(i), cs=", ".join(_dlit(x) for x in c)
+        )
+        for i, c in cent_rows
+    )
+    sq = (
+        f"aggregate(zip_with({query_col}, s.c, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        f"transform(slice(array_sort(transform(array({entries}), "
+        f"s -> named_struct('d', {sq}, 'l', s.list_id))), 1, {n_probe}), "
+        f"s -> s.l)"
+    )

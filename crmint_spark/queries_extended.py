@@ -2867,6 +2867,79 @@ ORDER BY id
 """
 
 
+def q83_vector_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CREATE VECTOR INDEX`` + index-ROUTED ``VECTOR_SEARCH`` (VERDICT
+    r5 #3): the DDL materializes a deterministic IVF layout partitioned
+    by list_id (sql_executor._materialize_vector_index -> operators/
+    ivf.materialize_sql_vector_index), and the search compiles to the
+    probe path — per-query nearest-centroid lists via a literal-codebook
+    expression, equi-join on the exploded probe ids, and a static
+    ``list_id IN (<probe union>)`` partition filter so only probed
+    lists are read (PartitionFilters asserted in
+    test_ivf_operator_worker). fraction_lists_to_search => 0.25 probes
+    4/16 lists; the oracle replays the identical quantizer + probe
+    chain in DuckDB, so the hash match certifies the routed result, not
+    just its shape. ``use_brute_force => true`` / unindexed tables keep
+    the exact path (pytest-certified equality at fraction 1.0)."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE VECTOR INDEX q83_vidx ON embeddings(embedding)
+      OPTIONS(index_type='IVF', distance_type='COSINE');
+    SELECT query.vec_id AS query_id, base.vec_id AS base_id,
+           base.label AS label, ROUND(distance, 6) + 0 AS dist
+    FROM VECTOR_SEARCH(TABLE embeddings, 'embedding',
+      (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+      top_k => 10, distance_type => 'COSINE',
+      options => '{"fraction_lists_to_search": 0.25}')
+    ORDER BY dist, base_id
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    assert any("routed through index" in line for line in w.log), w.log
+    return w.result
+
+
+def _q83_oracle() -> str:
+    from .operators.ivf import (
+        IVF_TOP_K,
+        _SQL_SQ_L2,
+        _sql_assigned_ctes,
+    )
+
+    n_probe = 4  # ceil(0.25 * IVF_K)
+    return f"""
+WITH {_sql_assigned_ctes()}, q AS (
+  SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id = 0
+), probe AS (
+  SELECT list_id
+  FROM c2, q
+  ORDER BY {_SQL_SQ_L2.format(a='c', b='qv')} ASC, list_id ASC
+  LIMIT {n_probe}
+), scored AS (
+  SELECT q.qid AS query_id, b.vec_id AS base_id, b.label,
+         1 - list_sum(list_transform(range(1, len(b.v) + 1),
+                                     i -> b.v[i] * qv[i]))
+           / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS d
+  FROM assigned b, q
+  WHERE b.list_id IN (SELECT list_id FROM probe)
+), ranked AS (
+  SELECT query_id, base_id, label, d,
+         row_number() OVER (ORDER BY d ASC) AS rn
+  FROM scored
+)
+SELECT query_id, base_id, label, ROUND(d, 6) + 0 AS dist
+FROM ranked WHERE rn <= {IVF_TOP_K}
+ORDER BY dist, base_id
+"""
+
+
+Q83_SQL = _q83_oracle()
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -3095,6 +3168,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q80_hparam_tuning": (q80_hparam_tuning, Q80_SQL),
     "q81_external_table": (q81_external_table, Q81_SQL),
     "q82_transactions": (q82_transactions, Q82_SQL),
+    "q83_vector_index_search": (q83_vector_index_search, Q83_SQL),
     "bqml_feature_info": (bqml_feature_info, BQML_FEATURE_INFO_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),

@@ -290,3 +290,64 @@ def test_ivfpq_rerank_fixes_adc_inversion(spark):
     # exact nearest neighbor while re-rank's is
     assert [r["vec_id"] for r in rr] != [r["vec_id"] for r in adc]
     assert rr[0]["vec_id"] != adc[0]["vec_id"]
+
+
+def _vs_script(opts: str) -> str:
+    return f"""
+    SELECT query.vec_id AS query_id, base.vec_id AS base_id,
+           ROUND(distance, 6) + 0 AS dist
+    FROM VECTOR_SEARCH(TABLE embeddings, 'embedding',
+      (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+      top_k => 10, distance_type => 'COSINE',
+      options => '{opts}')
+    ORDER BY dist, base_id
+    """
+
+
+def test_vector_search_index_routing(spark):
+    """CREATE VECTOR INDEX routes VECTOR_SEARCH to the IVF probe path
+    (VERDICT r5 #3): the layout scan is partition-pruned to the probed
+    lists, fraction=1.0 reproduces the brute-force result exactly, and
+    use_brute_force => true forces the exact path per BigQuery's
+    contract."""
+    from crmint_spark.catalog import register_testdata
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, SF)
+
+    def run(script):
+        w = SparkSQLExecutor(
+            {"script": script, "dry_run": False}, WorkerContext(spark)
+        )
+        w.execute()
+        return w
+
+    ddl = (
+        "CREATE VECTOR INDEX vidx_rt ON embeddings(embedding)"
+        " OPTIONS(index_type='IVF', distance_type='COSINE');"
+    )
+    w = run(ddl + _vs_script('{"fraction_lists_to_search": 0.25}'))
+    assert any("IVF layout materialized" in line for line in w.log)
+    assert any("routed through index (4/16 lists" in line for line in w.log)
+    probed = [tuple(r) for r in w.result.collect()]
+    assert len(probed) == 10 and probed[0][2] == 0.0  # self-match first
+    plan = w.result._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        line for line in plan.splitlines()
+        if "FileScan" in line and "list_id" in line
+    ]
+    assert scans and all(
+        "PartitionFilters: [list_id" in line and " IN (" in line
+        for line in scans
+    ), plan
+    # probing every list == exact brute force, row for row
+    w_full = run(ddl + _vs_script('{"fraction_lists_to_search": 1.0}'))
+    w_brute = run(ddl + _vs_script('{"use_brute_force": true}'))
+    assert not any("routed" in line for line in w_brute.log)
+    full = [tuple(r) for r in w_full.result.collect()]
+    brute = [tuple(r) for r in w_brute.result.collect()]
+    assert full == brute
+    # the 4-list probe keeps most of the exact top-10 here (recall
+    # sanity, not a contract: approximate by design; measured 7/10 at
+    # sf0.001 — ivf_recall_vs_exact covers the calibrated measurement)
+    assert len(set(p[1] for p in probed) & set(b[1] for b in brute)) >= 6
