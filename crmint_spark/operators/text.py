@@ -772,3 +772,52 @@ FROM matched, totals ORDER BY doc_id
 
 
 INVERTED_INDEX_SQL = _inverted_index_sql()
+
+
+SEARCH_INDEX_BUCKETS = 64
+
+
+def materialize_search_index(
+    spark: SparkSession,
+    df,
+    columns: list[str],
+    id_col: str,
+    path: str,
+    n_buckets: int = SEARCH_INDEX_BUCKETS,
+) -> None:
+    """Build the physical postings layout behind ``CREATE SEARCH
+    INDEX``: one ``(token, __id)`` row per distinct token per document,
+    tokenized exactly like the scan-side ``SEARCH()`` predicate
+    (LOG_ANALYZER: lowercase + split on non-alphanumeric runes),
+    written partitioned by ``tok_bucket = pmod(xxhash64(token), B)``
+    and token-sorted within partitions. A conjunctive query then reads
+    at most |query tokens| buckets via partition pruning (plus min/max
+    row-group skipping on the sorted token column) — it never touches
+    the corpus text. Build cost: one explode + distinct, shuffled on
+    the token; B fixed buckets keep directory fan-out bounded at any
+    vocabulary size."""
+    toks = [
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col(c).cast("string")), "[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        )
+        for c in columns
+    ]
+    arr = toks[0] if len(toks) == 1 else F.array_distinct(
+        F.flatten(F.array(*toks))
+    )
+    postings = (
+        df.select(F.col(id_col).alias("__id"), F.explode(arr).alias("token"))
+        .withColumn(
+            "tok_bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets))
+        )
+    )
+    (
+        postings.repartition("tok_bucket")
+        .sortWithinPartitions("token", "__id")
+        .write.mode("overwrite")
+        .partitionBy("tok_bucket")
+        .parquet(path)
+    )

@@ -2940,6 +2940,50 @@ ORDER BY dist, base_id
 Q83_SQL = _q83_oracle()
 
 
+def q84_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CREATE SEARCH INDEX`` + index-ROUTED ``SEARCH()`` (VERDICT r5
+    #7): the DDL materializes a (token, __id) postings layout
+    partitioned by token-hash bucket (operators/text.
+    materialize_search_index), and the predicate compiles to an
+    IN-subquery semi join over posting lists pruned to the query
+    tokens' buckets — the executed plan reads ``struct<doc_id>`` from
+    the corpus (text column pruned) and the postings scan carries
+    ``PartitionFilters: [tok_bucket IN (...)]`` (asserted in
+    test_workers). Scan-side SEARCH() equality is pytest-certified;
+    this oracle certifies the routed RESULT against DuckDB's own
+    conjunctive token query."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE SEARCH INDEX q84_sidx ON documents(text);
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents AS d
+    WHERE SEARCH(d.text, 'spark merge') AND NOT SEARCH(d.text, 'window')
+    ORDER BY d.doc_id
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    assert any("routed through index" in line for line in w.log), w.log
+    return w.result
+
+
+Q84_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM documents
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN toks USING (doc_id)
+WHERE list_contains(t, 'spark') AND list_contains(t, 'merge')
+  AND NOT list_contains(t, 'window')
+ORDER BY d.doc_id
+"""
+
+
 def _q49_oracle() -> str:
     from .functions.psl import reg_domain_sql
 
@@ -3169,6 +3213,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q81_external_table": (q81_external_table, Q81_SQL),
     "q82_transactions": (q82_transactions, Q82_SQL),
     "q83_vector_index_search": (q83_vector_index_search, Q83_SQL),
+    "q84_search_index": (q84_search_index, Q84_SQL),
     "bqml_feature_info": (bqml_feature_info, BQML_FEATURE_INFO_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),

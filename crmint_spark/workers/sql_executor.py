@@ -635,6 +635,15 @@ class SparkSQLExecutor(Worker):
                             f"VECTOR INDEX {name}: layout not"
                             f" materialized ({exc}); exact path serves"
                         )
+                elif kind == "SEARCH":
+                    try:
+                        self._materialize_search_index(name, store[name])
+                    except Exception as exc:  # noqa: BLE001
+                        self.log_info(
+                            f"SEARCH INDEX {name}: layout not"
+                            f" materialized ({exc}); scan predicate"
+                            " serves"
+                        )
             self.log_info(
                 f"CREATE {kind} INDEX {name} ON {table}({cols}) recorded"
             )
@@ -718,6 +727,147 @@ class SparkSQLExecutor(Worker):
             f"VECTOR INDEX {name}: IVF layout materialized"
             f" ({len(cent_rows)} lists, partitioned by list_id)"
         )
+
+    def _materialize_search_index(self, name: str, entry: dict) -> None:
+        """Build the postings layout behind ``CREATE SEARCH INDEX``
+        (VERDICT r5 #7): (token, __id) rows partitioned by a fixed-size
+        token-hash bucket, so a SEARCH() predicate over the indexed
+        table is answered from pruned posting lists instead of a
+        full-corpus text scan. The postings snapshot the table at index
+        creation (BigQuery refreshes asynchronously; re-running the DDL
+        is the refresh here, like MATERIALIZED VIEW)."""
+        import tempfile
+
+        from ..catalog import _safe_view_name
+        from ..dialect import _default_resolver
+        from ..operators.text import materialize_search_index
+
+        spark = self._ctx.spark
+        table = entry["table"]
+        resolver = self._resolver() or _default_resolver
+        view = resolver(table) if "." in table else table
+        df = spark.table(view)
+        cols_raw = entry["columns"].strip()
+        if re.fullmatch(r"ALL\s+COLUMNS", cols_raw, re.IGNORECASE):
+            columns = [
+                f.name
+                for f in df.schema.fields
+                if f.dataType.simpleString() == "string"
+            ]
+        else:
+            columns = [
+                c.strip().strip("`") for c in cols_raw.split(",") if c.strip()
+            ]
+        if not columns:
+            raise WorkerException(f"no string columns to index on {table}")
+        id_col = next(
+            (
+                f.name
+                for f in df.schema.fields
+                if f.dataType.simpleString() in ("bigint", "int", "smallint")
+            ),
+            None,
+        )
+        if id_col is None:
+            raise WorkerException(
+                f"no integral id column on {table} to key postings"
+            )
+        root = getattr(self._ctx.catalog, "root", None) or tempfile.mkdtemp(
+            prefix="crmint_sidx_"
+        )
+        path = os.path.join(root, "__search_index__", _safe_view_name(name))
+        materialize_search_index(spark, df, columns, id_col, path)
+        layout_view = f"__sidx_{_safe_view_name(name)}"
+        spark.read.parquet(path).createOrReplaceTempView(layout_view)
+        entry.update(
+            {
+                "layout_view": layout_view,
+                "layout_path": path,
+                "indexed_columns": columns,
+                "id_column": id_col,
+            }
+        )
+        self.log_info(
+            f"SEARCH INDEX {name}: postings layout materialized"
+            f" ({len(columns)} columns, bucket-partitioned)"
+        )
+
+    def _route_search_predicate(self, sub: str) -> str:
+        """Serve ``SEARCH(<col>, '<literal>')`` from a recorded SEARCH
+        index's postings layout: the predicate becomes an IN-subquery
+        (semi join) over posting lists pruned to the query tokens'
+        hash buckets — the corpus text column never enters the plan.
+        Falls through to the scan-side forall/array_contains rewrite
+        when the column is unindexed, the query is not a literal, the
+        query has no tokens (vacuous TRUE), or the column name is
+        ambiguous across recorded indexes."""
+        from ..dialect import _iter_calls, _split_top_level
+        from ..operators.text import SEARCH_INDEX_BUCKETS
+
+        store = self._index_store()
+        search_indexes = [
+            e
+            for e in store.values()
+            if e.get("kind") == "SEARCH" and e.get("layout_view")
+        ]
+        if not search_indexes:
+            return sub
+
+        calls = list(_iter_calls(sub, ("SEARCH",)))
+        for start, op, end, _name in reversed(calls):
+            args = _split_top_level(sub[op + 1 : end - 1])
+            if len(args) != 2:
+                continue
+            m_col = re.match(
+                r"\s*(?:(\w+)\s*\.\s*)?`?(\w+)`?\s*$", args[0]
+            )
+            m_q = re.match(r"\s*'([^']*)'\s*$", args[1])
+            if not m_col or not m_q:
+                continue
+            qual, col = m_col.group(1), m_col.group(2)
+            hits = [
+                e for e in search_indexes if col in e["indexed_columns"]
+            ]
+            if len(hits) != 1:
+                continue
+            entry = hits[0]
+            toks = sorted(
+                {t for t in re.split(r"[^a-z0-9]+", m_q.group(1).lower()) if t}
+            )
+            if not toks:
+                continue  # vacuous TRUE: scan rewrite folds it cheaply
+            tok_list = ", ".join(f"'{t}'" for t in toks)
+            # bucket literals for STATIC partition pruning (one tiny
+            # job, |query tokens| rows)
+            vals = ", ".join(f"('{t}')" for t in toks)
+            buckets = sorted(
+                {
+                    int(r["b"])
+                    for r in self._ctx.spark.sql(
+                        f"SELECT pmod(xxhash64(t), {SEARCH_INDEX_BUCKETS})"
+                        f" AS b FROM VALUES {vals} AS v(t)"
+                    ).collect()
+                }
+            )
+            bucket_list = ", ".join(str(b) for b in buckets)
+            idref = (
+                f"{qual}.`{entry['id_column']}`"
+                if qual
+                else f"`{entry['id_column']}`"
+            )
+            rep = (
+                f"({idref} IN (SELECT __id FROM {entry['layout_view']}"
+                f" WHERE tok_bucket IN ({bucket_list})"
+                f" AND token IN ({tok_list})"
+                f" GROUP BY __id"
+                f" HAVING count(DISTINCT token) = {len(toks)}))"
+            )
+            sub = sub[:start] + rep + sub[end:]
+            self.log_info(
+                f"SEARCH({col}, ...): routed through index"
+                f" ({len(toks)} tokens, {len(buckets)} buckets probed)"
+            )
+        return sub
 
     def _route_vector_search(self, sub: str, resolver) -> str:
         """Compile ``VECTOR_SEARCH(TABLE t, ...)`` calls whose base
@@ -1284,6 +1434,8 @@ class SparkSQLExecutor(Worker):
                 return None
             if "VECTOR_SEARCH" in sub.upper():
                 sub = self._route_vector_search(sub, resolver)
+            if re.search(r"\bSEARCH\s*\(", sub, re.IGNORECASE):
+                sub = self._route_search_predicate(sub)
         stmt = transpile_statement(
             sub,
             resolver,

@@ -1415,3 +1415,39 @@ def test_clone_snapshot_zero_copy(ctx):
     run("BEGIN TRANSACTION; DELETE FROM `p.d.zc_base` WHERE id >= 50;"
         " ROLLBACK TRANSACTION; SELECT 1")
     assert ctx.catalog.read("p.d.zc_base").count() == 100
+
+
+def test_search_index_routing_plan_and_equality(spark):
+    """SEARCH() over an indexed table is served from pruned posting
+    lists: corpus text column absent from every scan, postings scan
+    partition-pruned to the query tokens' buckets, results identical
+    to the scan-side predicate (VERDICT r5 #7)."""
+    from crmint_spark.catalog import register_testdata
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+
+    def run(script):
+        w = SparkSQLExecutor(
+            {"script": script, "dry_run": False},
+            WorkerContext(spark),
+        )
+        w.execute()
+        return w
+
+    q = ("SELECT doc_id FROM documents WHERE SEARCH(text, 'spark merge')"
+         " ORDER BY doc_id")
+    w = run("CREATE SEARCH INDEX sidx_rt ON documents(text);" + q)
+    assert any("postings layout materialized" in line for line in w.log)
+    assert any("routed through index (2 tokens" in line for line in w.log)
+    routed = [r["doc_id"] for r in w.result.collect()]
+    plan = w.result._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scans and not any("text" in l for l in scans), plan
+    assert any(
+        "PartitionFilters: [tok_bucket" in l and " IN (" in l for l in scans
+    ), plan
+    # unindexed worker: scan-side predicate, same rows
+    w2 = run(q)
+    assert not any("routed" in line for line in w2.log)
+    assert routed == [r["doc_id"] for r in w2.result.collect()]
