@@ -1641,20 +1641,37 @@ def _rewrite_ml_scalers(sql: str) -> str:
       truncating.
 
     Vocabulary-building encoders (ML.LABEL_ENCODER / ONE_HOT / MULTI_HOT
-    / TF_IDF) need a frequency-ranked dictionary — a window over a
-    window, which SQL window algebra can't express in one pass; they
-    raise a targeted error pointing at the operator-level equivalents
+    / TF_IDF) need a frequency-ranked dictionary. Inside a CREATE MODEL
+    TRANSFORM clause the ML layer fits that vocabulary from the training
+    input, persists it with the model, and replays it at predict
+    (sql_ml._fit_vocab_encoders — VERDICT r5 #4); this pass only strips
+    the analytic ``OVER (...)`` marker so the calls reach the ML layer
+    as plain function calls. OUTSIDE a model clause they still raise a
+    targeted error pointing at the operator-level equivalents
     (operators/text.tfidf_keywords, ml/estimators' StringIndexer path)
     instead of silently mis-encoding."""
-    for _s, _o, _e, bad in _iter_calls(
-        sql, tuple(re.escape(b) for b in _ML_PREP_REJECT)
-    ):
+    in_create_model = re.match(
+        r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?MODEL\b", sql, re.IGNORECASE
+    )
+    enc_calls = list(
+        _iter_calls(sql, tuple(re.escape(b) for b in _ML_PREP_REJECT))
+    )
+    if enc_calls and not in_create_model:
+        bad = enc_calls[0][3]
         raise ValueError(
-            f"{bad.upper()} needs a frequency-ranked vocabulary (two"
-            " window passes); use the operator-level equivalent"
-            " (text_tfidf / Spark ML StringIndexer-backed estimators)"
+            f"{bad.upper()} needs a frequency-ranked vocabulary: it is"
+            " only valid inside CREATE MODEL TRANSFORM(...) (where the"
+            " model fits and persists the vocabulary); standalone use ->"
+            " text_tfidf / Spark ML StringIndexer-backed estimators,"
             " or materialize the vocabulary as a join"
         )
+    for _start, _open, end, _fn in reversed(enc_calls):
+        m_over = re.match(
+            r"\s*OVER\s*\(\s*(?:ORDER\s+BY\s+1\s*)?\)", sql[end:],
+            re.IGNORECASE,
+        )
+        if m_over:
+            sql = sql[:end] + sql[end + m_over.end():]
     out: list[str] = []
     pos = 0
     for start, open_idx, end, fn in _iter_calls(

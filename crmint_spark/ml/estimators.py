@@ -30,7 +30,7 @@ from pyspark.ml.classification import (
     MultilayerPerceptronClassifier,
     RandomForestClassifier,
 )
-from pyspark.ml.feature import StringIndexer, VectorAssembler
+from pyspark.ml.feature import StringIndexer, VectorAssembler, VectorSizeHint
 from pyspark.ml.regression import GBTRegressor, LinearRegression, RandomForestRegressor
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -99,8 +99,14 @@ def build_pipeline(
     feature_cols: list[str],
     label_col: str,
     hyperparams: dict[str, Any] | None = None,
+    vector_sizes: dict[str, int] | None = None,
 ) -> Pipeline:
-    """Assemble numeric features + index string features -> estimator."""
+    """Assemble numeric features + index string features -> estimator.
+
+    ``vector_sizes``: fixed widths for vector-typed feature columns
+    (dense one-hot twins from the TRANSFORM encoders) — VectorSizeHint
+    metadata lets the assembler keep handleInvalid='keep' without a
+    length-inference pass."""
     mt = model_type.upper()
     if mt == "DNN_REGRESSOR":
         return _MLPPipeline(feature_cols, label_col, hyperparams)
@@ -108,6 +114,13 @@ def build_pipeline(
     assembled: list[str] = []
     for c in feature_cols:
         assembled.append(c)
+    for c, size in (vector_sizes or {}).items():
+        if c in feature_cols:
+            stages.append(
+                VectorSizeHint(
+                    inputCol=c, size=int(size), handleInvalid="optimistic"
+                )
+            )
     stages.append(
         VectorAssembler(inputCols=assembled, outputCol="features", handleInvalid="keep")
     )

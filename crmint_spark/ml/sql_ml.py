@@ -266,20 +266,53 @@ def _apply_transform(
     meta: dict,
     cte: str = "",
     drop_label: bool = False,
+    densify: bool = True,
 ) -> DataFrame:
     """Run the model's persisted TRANSFORM select list over an input
     query (prediction/evaluation inputs get the same preprocessing the
-    model was trained with — the whole point of the clause)."""
+    model was trained with — the whole point of the clause). Scoring
+    paths also densify sparse one-hot columns to the fixed widths the
+    fit recorded (``densify=False`` keeps ML.TRANSFORM's user-facing
+    BigQuery shape)."""
     tf = meta.get("transform_sql")
     if not tf:
-        return spark.sql(f"{cte} {inner}" if cte else inner)
-    items = _transform_items(tf, meta.get("label") if drop_label else None)
-    sel = ", ".join(items)
-    return spark.sql(
-        f"{cte} SELECT {sel} FROM ({inner}) AS __transform_src"
-        if cte
-        else f"SELECT {sel} FROM ({inner}) AS __transform_src"
-    )
+        df = spark.sql(f"{cte} {inner}" if cte else inner)
+    else:
+        items = _transform_items(
+            tf, meta.get("label") if drop_label else None
+        )
+        sel = ", ".join(items)
+        df = spark.sql(
+            f"{cte} SELECT {sel} FROM ({inner}) AS __transform_src"
+            if cte
+            else f"SELECT {sel} FROM ({inner}) AS __transform_src"
+        )
+    return _densify_encoded(df, meta) if densify else df
+
+
+_ENCODED_DTYPE = "array<struct<index:bigint,value:double>>"
+
+
+def _densify_encoded(df: DataFrame, meta: dict) -> DataFrame:
+    """Sparse ``ARRAY<STRUCT<index, value>>`` encoder outputs ->
+    fixed-width dense ml vectors (``<col>__dense``), widths persisted
+    by the fit (meta['onehot_dense']) so train and serve agree by
+    construction. Map-only expression (no shuffle); the sparse column
+    is kept — only the assembler consumes the dense twin."""
+    widths = meta.get("onehot_dense") or {}
+    if not widths:
+        return df
+    from pyspark.ml.functions import array_to_vector
+
+    for c, w in widths.items():
+        if c in df.columns:
+            dense = F.expr(
+                f"transform(sequence(0, {int(w) - 1}), __di ->"
+                f" CAST(coalesce(get(filter(`{c}`,"
+                f" __ds -> __ds.index = __di), 0).value, 0.0) AS DOUBLE))"
+            )
+            df = df.withColumn(f"{c}__dense", array_to_vector(dense))
+    return df
 
 
 _INT_HPARAMS = ("MAX_ITERATIONS", "MAX_TREE_DEPTH", "NUM_PARALLEL_TREE")
@@ -345,6 +378,133 @@ def _hparam_trials(specs: dict, n: int) -> list[dict]:
     return [dict(c) for _, c in zip(range(n), combos)]
 
 
+_VOCAB_ENCODERS = (
+    "ML.LABEL_ENCODER",
+    "ML.ONE_HOT_ENCODER",
+    "ML.MULTI_HOT_ENCODER",
+)
+# literal-map replay bound: beyond this, an expression-level encode is
+# the wrong tool (use a broadcast-join against a materialized
+# vocabulary table); BigQuery's own defaults are top_k=32000 (one-hot)
+_VOCAB_MAX = 10_000
+
+
+def _sql_str_lit(v: str) -> str:
+    return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _fit_vocab_encoders(
+    spark: SparkSession, transform_sql: str, query: str
+) -> str:
+    """Fit the vocabulary-dependent TRANSFORM encoders (VERDICT r5 #4)
+    and inline them as deterministic literal-map expressions:
+
+    - ``ML.LABEL_ENCODER(x [, top_k [, frequency_threshold]])`` ->
+      INT64 in [0, k]: categories ranked by frequency DESC, value ASC
+      get 1..k; NULL / unseen / below-threshold -> 0.
+    - ``ML.ONE_HOT_ENCODER(x [, drop [, top_k [, freq]]])`` ->
+      ARRAY<STRUCT<index BIGINT, value DOUBLE>> (sparse one-hot: one
+      entry, index as above, value 1.0). ``drop`` accepts 'none'
+      (default); other modes raise.
+    - ``ML.MULTI_HOT_ENCODER(arr [, top_k [, freq]])`` -> same struct
+      array over an ARRAY<STRING> input, one entry per distinct
+      in-vocabulary element, index-sorted.
+
+    The vocabulary is computed ONCE from the training input (one
+    groupBy over the source — map-side combine), then inlined into the
+    persisted transform_sql, so ML.PREDICT/EVALUATE replay is map-only
+    with no refit (train/serve skew impossible by construction). The
+    rewritten clause is what gets persisted. Cardinality beyond
+    _VOCAB_MAX raises with a pointer at the broadcast-join alternative
+    rather than emitting an unplannable expression."""
+    from ..dialect import _iter_calls, _split_top_level
+
+    while True:
+        calls = list(
+            _iter_calls(
+                transform_sql,
+                tuple(e.replace(".", r"\.") for e in _VOCAB_ENCODERS),
+            )
+        )
+        if not calls:
+            return transform_sql
+        start, op, end, fn = calls[0]
+        fn = fn.upper().replace("\\", "")
+        args = [
+            a.strip()
+            for a in _split_top_level(transform_sql[op + 1 : end - 1])
+        ]
+        expr = args[0]
+        extras = args[1:]
+        drop = "none"
+        if fn == "ML.ONE_HOT_ENCODER" and extras and not extras[0].isdigit():
+            drop = extras.pop(0).strip("'\"").lower()
+            if drop != "none":
+                raise ValueError(
+                    "ML.ONE_HOT_ENCODER: only drop => 'none' is"
+                    " implemented (BigQuery default)"
+                )
+        top_k = int(extras[0]) if len(extras) > 0 else 32_000
+        freq_th = int(extras[1]) if len(extras) > 1 else 1
+        multi = fn == "ML.MULTI_HOT_ENCODER"
+        val_expr = (
+            f"__ve FROM ({query}) AS __vsrc"
+            f" LATERAL VIEW explode({expr}) __vx AS __ve"
+            if multi
+            else f"{expr} AS __ve FROM ({query}) AS __vsrc"
+        )
+        vocab_rows = spark.sql(
+            f"SELECT __ve AS v, COUNT(*) AS c FROM"
+            f" (SELECT {val_expr}) AS __vvals"
+            f" WHERE __ve IS NOT NULL GROUP BY __ve"
+            f" HAVING COUNT(*) >= {freq_th}"
+            f" ORDER BY c DESC, v ASC LIMIT {top_k + 1}"
+        ).collect()
+        if len(vocab_rows) > min(top_k, _VOCAB_MAX):
+            if len(vocab_rows) > _VOCAB_MAX:
+                raise ValueError(
+                    f"{fn}: vocabulary exceeds {_VOCAB_MAX} categories;"
+                    " encode via a broadcast-join against a materialized"
+                    " vocabulary table (corpus_vocabulary operator)"
+                    " or lower top_k"
+                )
+            vocab_rows = vocab_rows[:top_k]
+        vocab = [str(r["v"]) for r in vocab_rows]
+        if vocab:
+            map_lit = "map(" + ", ".join(
+                f"{_sql_str_lit(v)}, {i + 1}" for i, v in enumerate(vocab)
+            ) + ")"
+            enc = (
+                f"CAST(coalesce(element_at({map_lit}, "
+                f"CAST({expr} AS STRING)), 0) AS BIGINT)"
+            )
+        else:
+            enc = f"CAST(0 AS BIGINT)"
+        if fn == "ML.LABEL_ENCODER":
+            rep = enc
+        elif fn == "ML.ONE_HOT_ENCODER":
+            rep = (
+                f"array(named_struct('index', {enc},"
+                f" 'value', CAST(1.0 AS DOUBLE)))"
+            )
+        else:  # MULTI_HOT: one entry per distinct in-vocab element
+            if vocab:
+                rep = (
+                    f"array_sort(transform(array_distinct(filter("
+                    f"transform({expr}, __mh ->"
+                    f" element_at({map_lit}, CAST(__mh AS STRING))),"
+                    f" __mi -> __mi IS NOT NULL)),"
+                    f" __mi -> named_struct('index', CAST(__mi AS BIGINT),"
+                    f" 'value', CAST(1.0 AS DOUBLE))))"
+                )
+            else:
+                rep = (
+                    "CAST(array() AS"
+                    " ARRAY<STRUCT<index: BIGINT, value: DOUBLE>>)"
+                )
+        transform_sql = transform_sql[:start] + rep + transform_sql[end:]
+
+
 def try_create_model(
     spark: SparkSession, stmt: str, registry: ModelRegistry
 ) -> DataFrame | None:
@@ -359,6 +519,9 @@ def try_create_model(
     if query.startswith("(") and query.endswith(")"):
         query = query[1:-1]
     if transform_sql:
+        # vocabulary encoders fit on the raw training input and inline
+        # as literal maps BEFORE the clause is persisted/applied
+        transform_sql = _fit_vocab_encoders(spark, transform_sql, query)
         # training consumes the TRANSFORMED columns; the raw query and
         # the clause are both persisted so predict/evaluate replay it
         query = (
@@ -489,12 +652,33 @@ def try_create_model(
         raise ValueError(
             "HPARAM_RANGE/HPARAM_CANDIDATES require NUM_TRIALS"
         )
+    # sparse one-hot/multi-hot encoder outputs: record fixed dense
+    # widths (one bounded agg job) and feed the model their dense
+    # twins — VectorAssembler takes vectors, not struct arrays
+    encoded_cols = [c for c, t in df.dtypes if t == _ENCODED_DTYPE]
+    onehot_dense: dict[str, int] = {}
+    if encoded_cols:
+        aggs = [
+            F.max(
+                F.expr(f"array_max(transform(`{c}`, __s -> __s.index))")
+            ).alias(c)
+            for c in encoded_cols
+        ]
+        row = df.agg(*aggs).collect()[0]
+        onehot_dense = {
+            c: int(row[c] if row[c] is not None else 0) + 1
+            for c in encoded_cols
+        }
+        df = _densify_encoded(df, {"onehot_dense": onehot_dense})
+    dense_sizes = {f"{c}__dense": w for c, w in onehot_dense.items()}
     train_df, split_meta = _resolve_split(df, opts)
     split_col = split_meta.get("split_col")
     feature_cols = [
         c
         for c, t in df.dtypes
-        if c != label and c != split_col and t not in ("string",)
+        if c != label
+        and c != split_col
+        and t not in ("string", _ENCODED_DTYPE)
     ]
     hyper = {
         k: v
@@ -544,7 +728,8 @@ def try_create_model(
         best_val, model = None, None
         for i, trial_hp in enumerate(_hparam_trials(hp_specs, num_trials)):
             fitted = build_pipeline(
-                model_type, feature_cols, label, {**hyper, **trial_hp}
+                model_type, feature_cols, label, {**hyper, **trial_hp},
+                vector_sizes=dense_sizes,
             ).fit(train_df)
             val = float(evaluator.evaluate(fitted.transform(eval_df)))
             trials_meta.append(
@@ -571,7 +756,10 @@ def try_create_model(
         for i, t in enumerate(trials_meta):
             t["is_optimal"] = i == best_i
     else:
-        pipeline = build_pipeline(model_type, feature_cols, label, hyper)
+        pipeline = build_pipeline(
+            model_type, feature_cols, label, hyper,
+            vector_sizes=dense_sizes,
+        )
         model = pipeline.fit(train_df)
     dest = registry.path(name)
     if os.path.isdir(dest):
@@ -589,7 +777,9 @@ def try_create_model(
             "source_sql": query,
             "data_split": split_meta,
             # raw clause replayed over ML.PREDICT / ML.EVALUATE inputs
+            # (vocabulary encoders already inlined as literal maps)
             "transform_sql": transform_sql,
+            **({"onehot_dense": onehot_dense} if onehot_dense else {}),
             **({"trials": trials_meta} if trials_meta else {}),
         },
     )
@@ -675,7 +865,8 @@ def rewrite_ml_transform(
         if not args:
             raise ValueError("ML.TRANSFORM needs (MODEL m, (query))")
         df = _apply_transform(
-            spark, _inner_query(args[0]), meta, cte, drop_label=False
+            spark, _inner_query(args[0]), meta, cte, drop_label=False,
+            densify=False,
         )
         counter[0] += 1
         view = f"__ml_transform_{counter[0]}"
@@ -715,7 +906,9 @@ def rewrite_ml_feature_info(
         # would be N scans of the training source at scale)
         aggs = []
         for i, (c, t) in enumerate(feats):
-            if t == "string":
+            if t == "string" or t.startswith(("array<", "struct<")):
+                # categorical / encoded (sparse one-hot) features:
+                # category_count + nulls, no numeric moments
                 aggs += [
                     F.count_distinct(F.col(c)).alias(f"cc_{i}"),
                     F.count_if(F.col(c).isNull()).alias(f"nulls_{i}"),
@@ -735,7 +928,7 @@ def rewrite_ml_feature_info(
         agg = df.agg(*aggs).first() if aggs else None
         rows = []
         for i, (c, t) in enumerate(feats):
-            if t == "string":
+            if t == "string" or t.startswith(("array<", "struct<")):
                 rows.append(
                     (
                         c,

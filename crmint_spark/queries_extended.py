@@ -2940,6 +2940,95 @@ ORDER BY dist, base_id
 Q83_SQL = _q83_oracle()
 
 
+def q85_vocab_encoders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-dependent TRANSFORM encoders (VERDICT r5 #4):
+    ML.LABEL_ENCODER / ML.ONE_HOT_ENCODER / ML.MULTI_HOT_ENCODER inside
+    CREATE MODEL TRANSFORM(...). The vocabulary is fitted ONCE from the
+    training input (frequency DESC, value ASC — deterministic, so the
+    oracle can replay it), inlined into the persisted clause as a
+    literal map (sql_ml._fit_vocab_encoders), and replayed verbatim by
+    ML.TRANSFORM / ML.PREDICT — train/serve skew impossible by
+    construction. Encoding contract certified here: ranks 1..top_k,
+    NULL/unseen/below-threshold -> 0; one-hot emits a sparse
+    struct array (flattened to scalars for the hash compare)."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE MODEL `p.d.q85_enc`
+    TRANSFORM(
+      c_custkey,
+      ML.LABEL_ENCODER(c_mktsegment, 3, 2) OVER () AS seg_enc,
+      ML.ONE_HOT_ENCODER(c_mktsegment) OVER () AS seg_oh,
+      ML.MULTI_HOT_ENCODER(SPLIT(c_mktsegment, 'O')) OVER () AS seg_mh,
+      c_acctbal,
+      IF(c_acctbal > 0, 1, 0) AS label
+    )
+    OPTIONS(model_type='LOGISTIC_REG', input_label_cols=['label'],
+            max_iterations=3, data_split_method='NO_SPLIT')
+    AS SELECT c_mktsegment, c_acctbal, c_custkey FROM customer
+       WHERE c_custkey <= 100;
+
+    SELECT seg_enc,
+           MIN(seg_oh[OFFSET(0)].index) AS oh_min_idx,
+           MAX(seg_oh[OFFSET(0)].index) AS oh_max_idx,
+           MAX(seg_oh[OFFSET(0)].value) AS oh_value,
+           CAST(MIN(ARRAY_LENGTH(seg_mh)) AS INT64) AS mh_min_n,
+           CAST(MAX(ARRAY_LENGTH(seg_mh)) AS INT64) AS mh_max_n,
+           MAX(seg_mh[OFFSET(0)].index) AS mh_first_idx,
+           COUNT(*) AS n,
+           CAST(MIN(c_custkey) AS INT64) AS first_key
+    FROM ML.TRANSFORM(MODEL `p.d.q85_enc`,
+      (SELECT c_mktsegment, c_acctbal, c_custkey FROM customer
+       WHERE c_custkey <= 100))
+    GROUP BY seg_enc ORDER BY seg_enc
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q85_SQL = """
+WITH src AS (
+  SELECT c_mktsegment AS seg, c_acctbal, c_custkey
+  FROM customer WHERE c_custkey <= 100
+), label_vocab AS (
+  SELECT seg, row_number() OVER (ORDER BY COUNT(*) DESC, seg ASC) AS rnk
+  FROM src WHERE seg IS NOT NULL
+  GROUP BY seg HAVING COUNT(*) >= 2
+  ORDER BY COUNT(*) DESC, seg ASC LIMIT 3
+), oh_vocab AS (
+  SELECT seg, row_number() OVER (ORDER BY COUNT(*) DESC, seg ASC) AS rnk
+  FROM src WHERE seg IS NOT NULL GROUP BY seg
+), mh_vocab AS (
+  SELECT part, row_number() OVER (ORDER BY COUNT(*) DESC, part ASC) AS rnk
+  FROM (SELECT UNNEST(string_split(seg, 'O')) AS part FROM src)
+  WHERE part IS NOT NULL GROUP BY part
+), enc AS (
+  SELECT s.c_custkey,
+         COALESCE(lv.rnk, 0) AS seg_enc,
+         COALESCE(ov.rnk, 0) AS oh_idx,
+         (SELECT list(mv.rnk ORDER BY mv.rnk) FROM mh_vocab mv
+          WHERE list_contains(
+            list_distinct(string_split(s.seg, 'O')), mv.part)) AS mh_idx
+  FROM src s
+  LEFT JOIN label_vocab lv ON s.seg = lv.seg
+  LEFT JOIN oh_vocab ov ON s.seg = ov.seg
+)
+SELECT CAST(seg_enc AS BIGINT) AS seg_enc,
+       CAST(MIN(oh_idx) AS BIGINT) AS oh_min_idx,
+       CAST(MAX(oh_idx) AS BIGINT) AS oh_max_idx,
+       CAST(1.0 AS DOUBLE) AS oh_value,
+       CAST(MIN(len(mh_idx)) AS BIGINT) AS mh_min_n,
+       CAST(MAX(len(mh_idx)) AS BIGINT) AS mh_max_n,
+       CAST(MAX(mh_idx[1]) AS BIGINT) AS mh_first_idx,
+       COUNT(*) AS n,
+       CAST(MIN(c_custkey) AS BIGINT) AS first_key
+FROM enc GROUP BY seg_enc ORDER BY seg_enc
+"""
+
+
 def q84_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``CREATE SEARCH INDEX`` + index-ROUTED ``SEARCH()`` (VERDICT r5
     #7): the DDL materializes a (token, __id) postings layout
@@ -3214,6 +3303,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q82_transactions": (q82_transactions, Q82_SQL),
     "q83_vector_index_search": (q83_vector_index_search, Q83_SQL),
     "q84_search_index": (q84_search_index, Q84_SQL),
+    "q85_vocab_encoders": (q85_vocab_encoders, Q85_SQL),
     "bqml_feature_info": (bqml_feature_info, BQML_FEATURE_INFO_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),

@@ -916,3 +916,72 @@ def test_confusion_matrix_roc_curve_explain_predict(spark, tmp_path):
             "SELECT * FROM ML.EXPLAIN_PREDICT(MODEL `p.d.cm_tree`,"
             " (SELECT 1.0 AS f1, 2.0 AS f2))"
         )
+
+
+def test_vocab_encoders_in_transform(ctx, spark):
+    """ML.LABEL_ENCODER / ONE_HOT / MULTI_HOT inside CREATE MODEL
+    TRANSFORM: deterministic frequency-DESC/value-ASC vocabulary fitted
+    once, inlined into the persisted clause, replayed identically by
+    ML.TRANSFORM and ML.PREDICT (VERDICT r5 #4)."""
+    rows = [(i, ["b", "a", "a", "c", "b", "a"][i % 6], float(i % 7)) for i in range(60)]
+    spark.createDataFrame(rows, "uid long, cat string, v double") \
+        .createOrReplaceTempView("enc_train")
+    _run(ctx, """
+        CREATE OR REPLACE MODEL `p.d.encm`
+        TRANSFORM(
+          ML.LABEL_ENCODER(cat, 2, 1) OVER () AS cat_enc,
+          ML.ONE_HOT_ENCODER(cat) OVER () AS cat_oh,
+          v,
+          IF(v > 3, 1, 0) AS label
+        )
+        OPTIONS(model_type='LOGISTIC_REG', input_label_cols=['label'],
+                max_iterations=3, data_split_method='NO_SPLIT')
+        AS SELECT cat, v FROM enc_train
+        """)
+    # encode contract: a (freq 30) -> 1, b (20) -> 2, c (10) -> 0 (top_k=2)
+    w = _run(ctx, """
+        SELECT cat_enc, cat_oh[OFFSET(0)].index AS oh_idx, COUNT(*) AS n
+        FROM ML.TRANSFORM(MODEL `p.d.encm`,
+          (SELECT cat, v FROM enc_train))
+        GROUP BY cat_enc, oh_idx ORDER BY oh_idx
+        """)
+    got = {r["oh_idx"]: (r["cat_enc"], r["n"]) for r in w.result.collect()}
+    # a (freq 30) -> rank 1, b (20) -> 2, c (10) -> 0 under top_k=2
+    assert got == {1: (1, 30), 2: (2, 20), 3: (0, 10)}
+    # unseen categories at predict encode to 0 / index 0 and still score
+    spark.createDataFrame(
+        [(99, "zzz", 1.0), (98, "a", 5.0)], "uid long, cat string, v double"
+    ).createOrReplaceTempView("enc_serve")
+    w2 = _run(ctx, """
+        SELECT cat_enc, predicted_label FROM ML.PREDICT(MODEL `p.d.encm`,
+          (SELECT cat, v FROM enc_serve)) ORDER BY cat_enc
+        """)
+    assert len(w2.result.collect()) == 2
+    # ML.TRANSFORM on the unseen row shows the 0 encoding
+    w3 = _run(ctx, """
+        SELECT cat_enc, cat_oh[OFFSET(0)].index AS oh_idx
+        FROM ML.TRANSFORM(MODEL `p.d.encm`,
+          (SELECT cat, v FROM enc_serve WHERE cat = 'zzz'))
+        """)
+    r = w3.result.collect()[0]
+    assert (r["cat_enc"], r["oh_idx"]) == (0, 0)
+
+
+def test_vocab_encoders_rejected_outside_create_model(ctx):
+    """Standalone ML.LABEL_ENCODER still raises the targeted error —
+    only CREATE MODEL TRANSFORM fits vocabularies."""
+    with pytest.raises(Exception, match="frequency-ranked vocabulary"):
+        _run(ctx, "SELECT ML.LABEL_ENCODER(c, 3) OVER () FROM t")
+
+
+def test_one_hot_drop_mode_rejected(ctx, spark):
+    spark.createDataFrame([(1, "a")], "uid long, cat string") \
+        .createOrReplaceTempView("enc_d")
+    with pytest.raises(Exception, match="drop"):
+        _run(ctx, """
+            CREATE OR REPLACE MODEL `p.d.encd`
+            TRANSFORM(ML.ONE_HOT_ENCODER(cat, 'most_frequent') OVER ()
+                        AS oh, uid AS label)
+            OPTIONS(model_type='LINEAR_REG', input_label_cols=['label'])
+            AS SELECT cat, uid FROM enc_d
+            """)
