@@ -147,6 +147,11 @@ SECONDARY = [
     "q80_hparam_tuning",
     "q81_external_table",
     "q82_transactions",
+    # round 6: index-routed VECTOR_SEARCH + SEARCH(), vocab encoders
+    "q83_vector_index_search",
+    "q84_search_index",
+    "q85_vocab_encoders",
+    "q86_tfidf_encoder",
 ]
 
 

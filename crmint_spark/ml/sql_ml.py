@@ -382,6 +382,7 @@ _VOCAB_ENCODERS = (
     "ML.LABEL_ENCODER",
     "ML.ONE_HOT_ENCODER",
     "ML.MULTI_HOT_ENCODER",
+    "ML.TF_IDF",
 )
 # literal-map replay bound: beyond this, an expression-level encode is
 # the wrong tool (use a broadcast-join against a materialized
@@ -447,11 +448,22 @@ def _fit_vocab_encoders(
         top_k = int(extras[0]) if len(extras) > 0 else 32_000
         freq_th = int(extras[1]) if len(extras) > 1 else 1
         multi = fn == "ML.MULTI_HOT_ENCODER"
+        tfidf = fn == "ML.TF_IDF"
+        # TF_IDF vocabulary ranks by DOCUMENT frequency (distinct per
+        # row); multi-hot ranks by occurrence count
+        exploded_src = f"array_distinct({expr})" if tfidf else expr
         val_expr = (
             f"__ve FROM ({query}) AS __vsrc"
-            f" LATERAL VIEW explode({expr}) __vx AS __ve"
-            if multi
+            f" LATERAL VIEW explode({exploded_src}) __vx AS __ve"
+            if multi or tfidf
             else f"{expr} AS __ve FROM ({query}) AS __vsrc"
+        )
+        n_docs = (
+            spark.sql(
+                f"SELECT COUNT(*) AS n FROM ({query}) AS __vsrc"
+            ).collect()[0]["n"]
+            if tfidf
+            else 0
         )
         vocab_rows = spark.sql(
             f"SELECT __ve AS v, COUNT(*) AS c FROM"
@@ -470,6 +482,7 @@ def _fit_vocab_encoders(
                 )
             vocab_rows = vocab_rows[:top_k]
         vocab = [str(r["v"]) for r in vocab_rows]
+        doc_freq = [int(r["c"]) for r in vocab_rows]
         if vocab:
             map_lit = "map(" + ", ".join(
                 f"{_sql_str_lit(v)}, {i + 1}" for i, v in enumerate(vocab)
@@ -480,7 +493,35 @@ def _fit_vocab_encoders(
             )
         else:
             enc = f"CAST(0 AS BIGINT)"
-        if fn == "ML.LABEL_ENCODER":
+        if fn == "ML.TF_IDF":
+            # value = tf(t, d) * idf(t); tf = count(t in d) / len(d);
+            # idf = ln((N + 1) / (df + 1)) + 1 (smoothed — deterministic
+            # and documented; evaluated as the same formula text in the
+            # oracle, with ROUND absorbing the libm/JVM ln() ulp)
+            if vocab:
+                idf_map = "map(" + ", ".join(
+                    f"{_sql_str_lit(v)},"
+                    f" (ln(CAST({n_docs + 1} AS DOUBLE)"
+                    f" / CAST({df + 1} AS DOUBLE)) + CAST(1 AS DOUBLE))"
+                    for v, df in zip(vocab, doc_freq)
+                ) + ")"
+                strs = f"transform({expr}, __x -> CAST(__x AS STRING))"
+                rep = (
+                    f"array_sort(transform(array_distinct(filter({strs},"
+                    f" __x -> element_at({map_lit}, __x) IS NOT NULL)),"
+                    f" __tk -> named_struct("
+                    f"'index', CAST(element_at({map_lit}, __tk) AS BIGINT),"
+                    f" 'value', CAST((size(filter({strs},"
+                    f" __e -> __e = __tk))"
+                    f" / CAST(size({expr}) AS DOUBLE))"
+                    f" * element_at({idf_map}, __tk) AS DOUBLE))))"
+                )
+            else:
+                rep = (
+                    "CAST(array() AS"
+                    " ARRAY<STRUCT<index: BIGINT, value: DOUBLE>>)"
+                )
+        elif fn == "ML.LABEL_ENCODER":
             rep = enc
         elif fn == "ML.ONE_HOT_ENCODER":
             rep = (

@@ -3029,6 +3029,68 @@ FROM enc GROUP BY seg_enc ORDER BY seg_enc
 """
 
 
+def q86_tfidf_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ML.TF_IDF`` inside CREATE MODEL TRANSFORM (completes the
+    vocabulary-encoder family, VERDICT r5 #4): vocabulary ranked by
+    DOCUMENT frequency (DESC, value ASC), value = tf(t,d) * idf(t)
+    with tf = count/len and smoothed idf = ln((N+1)/(df+1)) + 1 —
+    deterministic, inlined as literal idf/index maps, replayed
+    verbatim by ML.TRANSFORM. The oracle recomputes the identical
+    formula text in DuckDB; ROUND(,4) absorbs the JVM-vs-libm ln()
+    ulp."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE MODEL `p.d.q86_tfidf`
+    TRANSFORM(
+      ML.TF_IDF(SPLIT(LOWER(text), ' '), 12, 2) OVER () AS tf,
+      doc_id AS label
+    )
+    OPTIONS(model_type='LINEAR_REG', input_label_cols=['label'],
+            max_iterations=2, data_split_method='NO_SPLIT')
+    AS SELECT text, doc_id FROM documents WHERE doc_id < 60;
+
+    SELECT label AS doc_id, e.index AS idx, ROUND(e.value, 4) + 0 AS val
+    FROM ML.TRANSFORM(MODEL `p.d.q86_tfidf`,
+      (SELECT text, doc_id FROM documents WHERE doc_id < 8)), UNNEST(tf) AS e
+    ORDER BY doc_id, idx
+    """
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
+    w.execute()
+    return w.result
+
+
+Q86_SQL = """
+WITH corpus AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks
+  FROM documents WHERE doc_id < 60
+), stats AS (
+  SELECT COUNT(*) AS n_docs FROM corpus
+), vocab AS (
+  SELECT tok,
+         COUNT(*) AS df,
+         row_number() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rnk
+  FROM (SELECT doc_id, UNNEST(list_distinct(toks)) AS tok FROM corpus)
+  GROUP BY tok HAVING COUNT(*) >= 2
+  ORDER BY df DESC, tok ASC LIMIT 12
+), probe AS (
+  SELECT doc_id, toks FROM corpus WHERE doc_id < 8
+), expanded AS (
+  SELECT p.doc_id, v.rnk AS idx,
+         (CAST(len(list_filter(p.toks, t -> t = v.tok)) AS DOUBLE)
+          / CAST(len(p.toks) AS DOUBLE))
+         * (ln(CAST(s.n_docs + 1 AS DOUBLE) / CAST(v.df + 1 AS DOUBLE))
+            + CAST(1 AS DOUBLE)) AS val
+  FROM probe p, vocab v, stats s
+  WHERE list_contains(p.toks, v.tok)
+)
+SELECT doc_id, CAST(idx AS BIGINT) AS idx, ROUND(val, 4) + 0 AS val
+FROM expanded ORDER BY doc_id, idx
+"""
+
+
 def q84_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``CREATE SEARCH INDEX`` + index-ROUTED ``SEARCH()`` (VERDICT r5
     #7): the DDL materializes a (token, __id) postings layout
@@ -3304,6 +3366,7 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     "q83_vector_index_search": (q83_vector_index_search, Q83_SQL),
     "q84_search_index": (q84_search_index, Q84_SQL),
     "q85_vocab_encoders": (q85_vocab_encoders, Q85_SQL),
+    "q86_tfidf_encoder": (q86_tfidf_encoder, Q86_SQL),
     "bqml_feature_info": (bqml_feature_info, BQML_FEATURE_INFO_SQL),
     "bqml_generate_embedding": (bqml_generate_embedding, BQML_GEN_EMB_SQL),
     "q50_hll_sketches": (q50_hll_sketches, Q50_SQL),
