@@ -12,9 +12,12 @@ sigma * sqrt(h) from the fit's one-step residual RMSE). The seasonal
 period derives from the model's DATA_FREQUENCY option (HOURLY -> 24,
 DAILY -> 7, MONTHLY -> 12, ...; AUTO_FREQUENCY infers the grid step
 from the minimum distinct-timestamp gap); series shorter than two full
-periods fall back to plain Holt (level + trend). Documented divergence:
-no holiday effects or step-change decomposition; interval widths come
-from the additive-error model, not BigQuery's ARIMA ensemble quantiles.
+periods fall back to plain Holt (level + trend). ``HOLIDAY_REGION``
+fits a RegARIMA-style pooled additive holiday-dummy effect (see the
+HOLIDAY_REGION section below). Documented divergence: no step-change
+decomposition, holidays are one pooled indicator (not BigQuery's
+per-holiday decomposition); interval widths come from the
+additive-error model, not BigQuery's ARIMA ensemble quantiles.
 
 Execution shape: fitting is ONE groupBy(series) with a JVM-side
 ``array_sort`` + ``aggregate`` fold — no Python, no per-series jobs;
@@ -263,8 +266,188 @@ FORECAST_CONFIDENCE_LEVEL = 0.95
 FORECAST_Z = 1.96  # two-sided 95% normal quantile
 
 
+# ---------------------------------------------------------------------------
+# HOLIDAY_REGION support (reference surface: BigQuery ARIMA_PLUS's
+# holiday_region option; CRMint's model SQL passes OPTIONS through
+# verbatim). The engine models holidays as ONE pooled additive
+# ``is_holiday`` indicator effect per series — the classical RegARIMA
+# holiday-dummy regressor — rather than BigQuery's proprietary
+# per-holiday decomposition (documented divergence, same class as the
+# Holt-Winters substitution above). The calendar is the algorithmic
+# US federal list (public law: 5 U.S.C. 6103), no observed-date
+# shifting. Effect fit is deterministic and oracle-replicable:
+#   e_t = y_t - (y_{t-1} + y_{t+1}) / 2     (interior holiday rows)
+#   effect = ordered-fold mean of e_t        (0.0 when none interior)
+# The Holt-Winters fold then runs on the de-holidayed series
+# (y_t - effect on holiday rows); forecasts and anomaly expectations
+# add the effect back on calendar holiday dates.
+# ---------------------------------------------------------------------------
+
+
+def _nth_weekday(year: int, month: int, weekday: int, n: int):
+    import datetime as _dt
+
+    d = _dt.date(year, month, 1)
+    return d + _dt.timedelta(days=(weekday - d.weekday()) % 7 + 7 * (n - 1))
+
+
+def _last_weekday(year: int, month: int, weekday: int):
+    import datetime as _dt
+
+    nxt = _dt.date(year + month // 12, month % 12 + 1, 1)
+    d = nxt - _dt.timedelta(days=1)
+    return d - _dt.timedelta(days=(d.weekday() - weekday) % 7)
+
+
+def us_federal_holidays(year: int) -> list:
+    """The 11 US federal holidays of ``year`` (actual dates, Mon=0)."""
+    import datetime as _dt
+
+    return [
+        _dt.date(year, 1, 1),            # New Year's Day
+        _nth_weekday(year, 1, 0, 3),     # Birthday of MLK Jr. (3rd Mon)
+        _nth_weekday(year, 2, 0, 3),     # Washington's Birthday (3rd Mon)
+        _last_weekday(year, 5, 0),       # Memorial Day (last Mon)
+        _dt.date(year, 6, 19),           # Juneteenth
+        _dt.date(year, 7, 4),            # Independence Day
+        _nth_weekday(year, 9, 0, 1),     # Labor Day (1st Mon)
+        _nth_weekday(year, 10, 0, 2),    # Columbus Day (2nd Mon)
+        _dt.date(year, 11, 11),          # Veterans Day
+        _nth_weekday(year, 11, 3, 4),    # Thanksgiving (4th Thu)
+        _dt.date(year, 12, 25),          # Christmas Day
+    ]
+
+
+SUPPORTED_HOLIDAY_REGIONS = ("US",)
+
+
+def holiday_calendar(region: str, years: list[int]) -> list[str]:
+    """Sorted ISO date strings of every holiday in ``years``. Only 'US'
+    is modeled; other regions raise with the supported list (BigQuery
+    accepts ~40 region codes — the engine keeps the contract loud)."""
+    if region.upper() not in SUPPORTED_HOLIDAY_REGIONS:
+        raise ValueError(
+            f"HOLIDAY_REGION {region!r} is not supported; the engine "
+            f"models {SUPPORTED_HOLIDAY_REGIONS} (algorithmic federal "
+            "calendar). Other regions need a calendar table."
+        )
+    return sorted(
+        d.isoformat() for y in years for d in us_federal_holidays(y)
+    )
+
+
+def fit_holiday_effects(
+    df: DataFrame,
+    ts_col: str,
+    y_col: str,
+    id_col: str | None,
+    dates: list[str],
+) -> dict[str, float]:
+    """-> {series_id: pooled additive holiday effect}.
+
+    Same collect-sorted-array shape as :func:`fit_holt_state` (one
+    groupBy, k driver rows). For each interior position i (2..n-1) whose
+    date is in ``dates``: residual y_i - (y_{i-1} + y_{i+1}) / 2 against
+    the local linear interpolation; the effect is the ordered-fold mean
+    (IEEE-identical to the DuckDB oracle's list_reduce). Boundary
+    holidays have no neighbors and are skipped — documented."""
+    sid = F.col(id_col).cast("string") if id_col else F.lit("__all__")
+    pts = (
+        df.select(
+            sid.alias("series_id"),
+            F.col(ts_col).alias("__ts"),
+            F.col(y_col).cast("double").alias("__y"),
+        )
+        .groupBy("series_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__ts", "__y"))).alias("p")
+        )
+        .select(
+            "series_id",
+            F.transform("p", lambda s: s["__y"]).alias("ys"),
+            F.transform(
+                "p",
+                lambda s: F.date_format(
+                    s["__ts"].cast("timestamp"), "yyyy-MM-dd"
+                ),
+            ).alias("ds"),
+        )
+    )
+    date_arr = F.array(*[F.lit(d) for d in dates])
+    interior = F.when(
+        F.size("ys") >= 3,
+        F.sequence(F.lit(2), F.size("ys") - 1),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    resids = F.filter(
+        F.transform(
+            interior,
+            lambda i: F.when(
+                F.array_contains(date_arr, F.element_at("ds", i)),
+                F.element_at("ys", i)
+                - (
+                    F.element_at("ys", i - F.lit(1))
+                    + F.element_at("ys", i + F.lit(1))
+                )
+                / F.lit(2.0),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    eff = pts.select(
+        "series_id",
+        F.when(
+            F.size(resids) > 0,
+            F.aggregate(resids, F.lit(0.0), lambda a, x: a + x)
+            / F.size(resids).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("e"),
+    )
+    return {r["series_id"]: float(r["e"]) for r in eff.collect()}
+
+
+def apply_holiday_adjustment(
+    df: DataFrame,
+    spark: SparkSession,
+    ts_col: str,
+    y_col: str,
+    id_col: str | None,
+    effects: dict[str, float],
+    dates: list[str],
+) -> DataFrame:
+    """Subtract each series' pooled effect from its holiday rows (the
+    de-holidayed series the Holt-Winters fold fits on). Effects join in
+    as a broadcast k-row table — no shuffle of the data side."""
+    eff_df = spark.createDataFrame(
+        [(k, v) for k, v in effects.items()], "__hol_sid string, __e double"
+    )
+    sid = F.col(id_col).cast("string") if id_col else F.lit("__all__")
+    date_arr = F.array(*[F.lit(d) for d in dates])
+    out = (
+        df.withColumn("__sid", sid)
+        .join(F.broadcast(eff_df), F.col("__sid") == F.col("__hol_sid"), "left")
+        .withColumn(
+            y_col,
+            F.when(
+                F.array_contains(
+                    date_arr,
+                    F.date_format(
+                        F.col(ts_col).cast("timestamp"), "yyyy-MM-dd"
+                    ),
+                ),
+                F.col(y_col).cast("double") - F.coalesce("__e", F.lit(0.0)),
+            ).otherwise(F.col(y_col).cast("double")),
+        )
+        .drop("__sid", "__hol_sid", "__e")
+    )
+    return out
+
+
 def forecast_frame(
-    spark: SparkSession, state: list[dict], horizon: int
+    spark: SparkSession,
+    state: list[dict],
+    horizon: int,
+    holiday: dict | None = None,
 ) -> DataFrame:
     """Expand the per-series state into h forecast rows each:
     (series_id, step, forecast_ts_us, forecast_value, standard_error,
@@ -275,7 +458,11 @@ def forecast_frame(
     sqrt(h) — deterministic arithmetic over the fit state, so the DuckDB
     oracle certifies the bounds value-for-value (BigQuery's ML.FORECAST
     emits the same four interval columns). Seasonal series add the
-    cyclic component s[(h-1) mod m] to the linear extrapolation."""
+    cyclic component s[(h-1) mod m] to the linear extrapolation. With a
+    ``holiday`` dict ({"effects": {sid: e}, "dates": [iso, ...]}) the
+    series' pooled effect is added back on calendar holiday dates."""
+    hol_eff = (holiday or {}).get("effects", {})
+    hol_dates = (holiday or {}).get("dates", [])
     st = spark.createDataFrame(
         [
             (
@@ -289,12 +476,13 @@ def forecast_frame(
                 s["last_us"],
                 s["iv_us"],
                 s["n_obs"],
+                float(hol_eff.get(s["series_id"], 0.0)),
             )
             for s in state
         ],
         "series_id string, level double, trend double, sse double, "
         "seasonal array<double>, period int, n_resid bigint, "
-        "last_us bigint, iv_us bigint, n_obs bigint",
+        "last_us bigint, iv_us bigint, n_obs bigint, hol_e double",
     )
     linear = F.col("level") + F.col("step") * F.col("trend")
     point = F.when(
@@ -305,6 +493,19 @@ def forecast_frame(
             (F.pmod(F.col("step") - 1, F.col("period")) + 1).cast("int"),
         ),
     ).otherwise(linear)
+    if hol_dates:
+        point = point + F.when(
+            F.array_contains(
+                F.array(*[F.lit(d) for d in hol_dates]),
+                F.date_format(
+                    F.timestamp_micros(
+                        F.col("last_us") + F.col("step") * F.col("iv_us")
+                    ),
+                    "yyyy-MM-dd",
+                ),
+            ),
+            F.col("hol_e"),
+        ).otherwise(F.lit(0.0))
     se = F.sqrt(F.col("sse") / F.col("n_resid")) * F.sqrt(F.col("step"))
     return st.select(
         "series_id",
@@ -318,6 +519,7 @@ def forecast_frame(
         "last_us",
         "iv_us",
         "n_obs",
+        "hol_e",
     ).select(
         "series_id",
         "step",
@@ -352,7 +554,9 @@ def rewrite_ml_forecast(spark: SparkSession, stmt: str, registry) -> str:
         name, h = m.group(1), m.group(2)
         meta = registry.load_meta(name)
         horizon = int(h) if h else int(meta.get("horizon", 10))
-        df = forecast_frame(spark, meta["state"], horizon)
+        df = forecast_frame(
+            spark, meta["state"], horizon, meta.get("holiday")
+        )
         counter[0] += 1
         view = f"__ml_forecast_{counter[0]}"
         df.createOrReplaceTempView(view)
@@ -380,16 +584,21 @@ def detect_anomalies_frame(
     y_col: str,
     id_col: str | None,
     threshold: float,
+    holiday: dict | None = None,
 ) -> DataFrame:
     """Flag rows whose value falls outside the z * sigma band around the
     model's extrapolation (linear + seasonal cycle for Holt-Winters
     fits) at that timestamp; sigma is the one-step-ahead residual RMSE
-    from the fit."""
+    from the fit. With a fitted ``holiday`` dict the series' pooled
+    effect joins the expectation on calendar holiday dates — a holiday
+    spike the model learned is not an anomaly."""
     if threshold not in ANOMALY_Z:
         raise ValueError(
             f"anomaly_prob_threshold must be one of {sorted(ANOMALY_Z)}"
         )
     z = ANOMALY_Z[threshold]
+    hol_eff = (holiday or {}).get("effects", {})
+    hol_dates = (holiday or {}).get("dates", [])
     st = spark.createDataFrame(
         [
             (
@@ -403,12 +612,13 @@ def detect_anomalies_frame(
                 s["last_us"],
                 s["iv_us"],
                 s["n_obs"],
+                float(hol_eff.get(s["series_id"], 0.0)),
             )
             for s in state
         ],
         "series_id string, level double, trend double, sse double, "
         "seasonal array<double>, period int, n_resid bigint, "
-        "last_us bigint, iv_us bigint, n_obs bigint",
+        "last_us bigint, iv_us bigint, n_obs bigint, hol_e double",
     )
     sid = F.col(id_col).cast("string") if id_col else F.lit("__all__")
     rows = data.select(
@@ -428,6 +638,14 @@ def detect_anomalies_frame(
             (F.pmod(hi - 1, F.col("period")) + 1).cast("int"),
         ),
     ).otherwise(linear)
+    if hol_dates:
+        expected = expected + F.when(
+            F.array_contains(
+                F.array(*[F.lit(d) for d in hol_dates]),
+                F.date_format(F.timestamp_micros("ts_us"), "yyyy-MM-dd"),
+            ),
+            F.col("hol_e"),
+        ).otherwise(F.lit(0.0))
     sigma = F.sqrt(F.col("sse") / F.col("n_resid"))
     return j.select(
         "series_id",
@@ -473,6 +691,7 @@ def rewrite_ml_detect_anomalies(
             cols.get("y", "y"),
             cols.get("id"),
             p,
+            meta.get("holiday"),
         )
         counter[0] += 1
         view = f"__ml_detect_{counter[0]}"

@@ -598,16 +598,44 @@ def try_create_model(
         id_col = str(id_col).strip("'\"") if id_col is not None else None
         freq = str(opts.get("DATA_FREQUENCY", "AUTO_FREQUENCY")).strip("'\"")
         period = infer_seasonal_period(df, ts_col, freq)
-        state = fit_holt_state(df, ts_col, y_col, id_col, period)
-        registry.save_meta(
-            name,
-            {
-                "model_type": "ARIMA_PLUS",
-                "state": state,
-                "horizon": int(opts.get("HORIZON", 10)),
-                "detect_cols": {"ts": ts_col, "y": y_col, "id": id_col},
-            },
-        )
+        holiday = None
+        region = opts.get("HOLIDAY_REGION")
+        if region is not None:
+            # RegARIMA-style pooled holiday dummy (ml/forecast.py module
+            # note): fit the additive effect on the raw series, fold on
+            # the de-holidayed series, add the effect back at serve time
+            from .forecast import (
+                apply_holiday_adjustment,
+                fit_holiday_effects,
+                holiday_calendar,
+            )
+
+            region = str(region).strip("'\"")
+            yr = df.select(
+                F.min(F.year(F.col(ts_col).cast("timestamp"))).alias("lo"),
+                F.max(F.year(F.col(ts_col).cast("timestamp"))).alias("hi"),
+            ).first()
+            # one calendar year past the data so horizons that cross a
+            # year boundary still see their holidays
+            years = list(range(int(yr["lo"]), int(yr["hi"]) + 2))
+            dates = holiday_calendar(region, years)
+            effects = fit_holiday_effects(df, ts_col, y_col, id_col, dates)
+            df_fit = apply_holiday_adjustment(
+                df, spark, ts_col, y_col, id_col, effects, dates
+            )
+            holiday = {"region": region, "effects": effects, "dates": dates}
+        else:
+            df_fit = df
+        state = fit_holt_state(df_fit, ts_col, y_col, id_col, period)
+        meta = {
+            "model_type": "ARIMA_PLUS",
+            "state": state,
+            "horizon": int(opts.get("HORIZON", 10)),
+            "detect_cols": {"ts": ts_col, "y": y_col, "id": id_col},
+        }
+        if holiday is not None:
+            meta["holiday"] = holiday
+        registry.save_meta(name, meta)
         return df
     if model_type == "MATRIX_FACTORIZATION":
         # collaborative filtering -> Spark ALS (the same alternating-

@@ -459,7 +459,7 @@ def bqml_arima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HW_NL = "0.5 * (x[1] - acc[4]) + 0.5 * (acc[1] + acc[2])"
 _HW_ERR = "(x[1] - ((acc[1] + acc[2]) + acc[4]))"
 
-_HW_FIT_CTES = f"""daily AS (
+_HW_DAILY_PTS = """daily AS (
   SELECT event_type, date_trunc('day', ts) AS day, ROUND(SUM(value), 6) AS y
   FROM events GROUP BY 1, 2
 ), pts AS (
@@ -467,7 +467,12 @@ _HW_FIT_CTES = f"""daily AS (
          list(CAST(y AS DOUBLE) ORDER BY day) AS ys,
          list(epoch_us(day) ORDER BY day) AS tus
   FROM daily GROUP BY 1
-), base AS (
+)"""
+
+# the fold itself (base + fitted) consumes any CTE named ``pts`` with
+# (event_type, ys, tus) — the holiday oracle feeds it the de-holidayed
+# series instead of the raw one
+_HW_FOLD_CTES = f"""base AS (
   SELECT event_type, ys, tus,
          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys[1:7]),
                      (a, x) -> a + x) / 7.0 AS l0,
@@ -510,6 +515,8 @@ _HW_FIT_CTES = f"""daily AS (
          len(tus) AS n
   FROM base
 )"""
+
+_HW_FIT_CTES = _HW_DAILY_PTS + ", " + _HW_FOLD_CTES
 
 BQML_ARIMA_SQL = f"""
 WITH {_HW_FIT_CTES}
@@ -659,4 +666,121 @@ FROM fitted
 BQML_QUERIES["bqml_arima_evaluate"] = (
     bqml_arima_evaluate,
     BQML_ARIMA_EVALUATE_SQL,
+)
+
+
+def bqml_arima_holiday_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ARIMA_PLUS with HOLIDAY_REGION='US': the RegARIMA-style pooled
+    holiday-dummy fit (ml/forecast.py module note — effect estimated
+    from interior holiday residuals vs the local linear interpolation,
+    fold run on the de-holidayed series, effect added back on calendar
+    holiday dates). The January fixture contains MLK Day (Jan 15,
+    interior -> drives the effect) and New Year's Day (boundary ->
+    adjusted but not estimated); the 20-step horizon lands on
+    Washington's Birthday (Feb 19), exercising the forecast add-back.
+    Every step is deterministic arithmetic, replayed by the DuckDB
+    oracle term-for-term. ref: BigQuery ARIMA_PLUS ``holiday_region``
+    option (CRMint passes model OPTIONS through verbatim)."""
+    from .catalog import register_testdata
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE MODEL `p.d.rev_forecast_hol`
+    OPTIONS(MODEL_TYPE='ARIMA_PLUS',
+            TIME_SERIES_TIMESTAMP_COL='day',
+            TIME_SERIES_DATA_COL='y',
+            TIME_SERIES_ID_COL='event_type',
+            HOLIDAY_REGION='US',
+            HORIZON=20) AS (
+      SELECT event_type, TIMESTAMP_TRUNC(ts, DAY) AS day,
+             ROUND(SUM(value), 6) AS y
+      FROM events GROUP BY event_type, day
+    );
+    SELECT series_id, step, forecast_ts_us, forecast_value,
+           standard_error, confidence_level,
+           prediction_interval_lower_bound, prediction_interval_upper_bound
+    FROM ML.FORECAST(MODEL `p.d.rev_forecast_hol`)
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False}, WorkerContext(spark)
+    )
+    w.execute()
+    return w.result
+
+
+def _holiday_dates_literal() -> str:
+    from .ml.forecast import holiday_calendar
+
+    dates = holiday_calendar("US", [2024, 2025])
+    return "[" + ", ".join(f"'{d}'" for d in dates) + "]"
+
+
+_HOL = _holiday_dates_literal()
+
+# point forecast including the holiday add-back — grouping mirrors the
+# Spark side exactly: (linear [+ seasonal]) + (holiday effect | 0.0)
+_HOL_POINT = f"""(CASE WHEN per > 0
+              THEN (f[1] + h * f[2]) + f[4 + ((h - 1) % per)]
+              ELSE f[1] + h * f[2] END)
+             + (CASE WHEN list_contains({_HOL},
+                  strftime(make_timestamp(last_us + h * iv), '%Y-%m-%d'))
+                THEN e ELSE CAST(0.0 AS DOUBLE) END)"""
+
+BQML_ARIMA_HOLIDAY_SQL = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, ROUND(SUM(value), 6) AS y
+  FROM events GROUP BY 1, 2
+), pts0 AS (
+  SELECT event_type,
+         list(CAST(y AS DOUBLE) ORDER BY day) AS ys0,
+         list(strftime(day, '%Y-%m-%d') ORDER BY day) AS ds,
+         list(epoch_us(day) ORDER BY day) AS tus
+  FROM daily GROUP BY 1
+), eff AS (
+  SELECT event_type, ys0, ds, tus,
+         list_filter(
+           list_transform(range(2, len(ys0)), i ->
+             CASE WHEN list_contains({_HOL}, ds[i])
+                  THEN ys0[i] - (ys0[i-1] + ys0[i+1]) / 2.0 END),
+           x -> x IS NOT NULL) AS r
+  FROM pts0
+), adj AS (
+  SELECT event_type, ys0, ds, tus,
+         CASE WHEN len(r) > 0
+              THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), r),
+                               (a, x) -> a + x) / CAST(len(r) AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS e
+  FROM eff
+), hol_e AS (
+  SELECT event_type, e FROM adj
+), pts AS (
+  SELECT event_type,
+         list_transform(range(1, len(ys0) + 1), i ->
+           CASE WHEN list_contains({_HOL}, ds[i])
+                THEN ys0[i] - e ELSE ys0[i] END) AS ys,
+         tus
+  FROM adj
+), {_HW_FOLD_CTES}
+SELECT event_type AS series_id,
+       CAST(h AS INT) AS step,
+       last_us + h * iv AS forecast_ts_us,
+       ROUND({_HOL_POINT}, 6) AS forecast_value,
+       ROUND(sqrt(f[3] / n_resid) * sqrt(h), 6) AS standard_error,
+       CAST(0.95 AS DOUBLE) AS confidence_level,
+       ROUND(({_HOL_POINT})
+             - 1.96 * (sqrt(f[3] / n_resid) * sqrt(h)), 6)
+         AS prediction_interval_lower_bound,
+       ROUND(({_HOL_POINT})
+             + 1.96 * (sqrt(f[3] / n_resid) * sqrt(h)), 6)
+         AS prediction_interval_upper_bound
+FROM fitted JOIN hol_e USING (event_type), UNNEST(range(1, 21)) AS t(h)
+"""
+
+BQML_QUERIES["bqml_arima_holiday"] = (
+    bqml_arima_holiday_forecast,
+    BQML_ARIMA_HOLIDAY_SQL,
 )

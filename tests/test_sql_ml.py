@@ -985,3 +985,144 @@ def test_one_hot_drop_mode_rejected(ctx, spark):
             OPTIONS(model_type='LINEAR_REG', input_label_cols=['label'])
             AS SELECT cat, uid FROM enc_d
             """)
+
+
+def test_holiday_calendar():
+    """Algorithmic US federal calendar (5 U.S.C. 6103): floating
+    holidays land on the documented weekdays; unsupported regions
+    raise with the supported list."""
+    from crmint_spark.ml.forecast import holiday_calendar
+
+    cal = holiday_calendar("US", [2024])
+    assert len(cal) == 11
+    assert "2024-01-15" in cal  # MLK: 3rd Monday of January 2024
+    assert "2024-11-28" in cal  # Thanksgiving: 4th Thursday of November
+    assert "2024-05-27" in cal  # Memorial Day: last Monday of May
+    assert "2024-02-19" in cal  # Washington's Birthday: 3rd Monday Feb
+    with pytest.raises(ValueError, match="not supported"):
+        holiday_calendar("JP", [2024])
+
+
+def test_holiday_effect_fit_exact():
+    """On a pure linear series with one +500 spike on an interior
+    holiday, the interpolation-residual estimator recovers the effect
+    exactly (resid = (line+500) - line = 500)."""
+    import datetime
+
+    from crmint_spark.ml.forecast import fit_holiday_effects
+    from crmint_spark.session import get_spark
+
+    spark = get_spark()
+    rows = [
+        (
+            datetime.datetime(2024, 1, 2 + d),
+            100.0 + 10.0 * d + (500.0 if (2 + d) == 15 else 0.0),
+        )
+        for d in range(30)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, y double")
+    eff = fit_holiday_effects(df, "ts", "y", None, ["2024-01-15"])
+    assert eff == {"__all__": 500.0}
+
+
+def test_ml_arima_holiday_region(ctx):
+    """HOLIDAY_REGION='US' end-to-end: the Jan-15 spike is absorbed by
+    the holiday effect (the de-holidayed fold sees a clean line) and
+    added back on the next calendar holiday in the horizon (Feb 19,
+    Washington's Birthday) — non-holiday forecast days stay on the
+    line."""
+    import datetime
+
+    spark = ctx.spark
+    # series starts Jan 2 so New Year's Day (boundary) is out of range
+    rows = [
+        (
+            datetime.datetime(2024, 1, 2 + d),
+            100.0 + 10.0 * d + (500.0 if (2 + d) == 15 else 0.0),
+        )
+        for d in range(30)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, y double"
+    ).createOrReplaceTempView("hol_series")
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.fc_hol`
+        OPTIONS(MODEL_TYPE='ARIMA_PLUS', TIME_SERIES_TIMESTAMP_COL='ts',
+                TIME_SERIES_DATA_COL='y', HOLIDAY_REGION='US',
+                HORIZON=25) AS (SELECT ts, y FROM hol_series)
+        """,
+    )
+    w = _run(ctx, "SELECT * FROM ML.FORECAST(MODEL `p.d.fc_hol`)")
+    fc = {r["step"]: r["forecast_value"] for r in w.result.collect()}
+    # control: the spike-free line fit WITHOUT holidays — the holiday
+    # model's de-holidayed fold sees exactly this series, so its
+    # forecasts must equal the control's, +500 only on Feb 19 (step 19)
+    clean = [
+        (datetime.datetime(2024, 1, 2 + d), 100.0 + 10.0 * d)
+        for d in range(30)
+    ]
+    spark.createDataFrame(
+        clean, "ts timestamp, y double"
+    ).createOrReplaceTempView("clean_series")
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.fc_clean`
+        OPTIONS(MODEL_TYPE='ARIMA_PLUS', TIME_SERIES_TIMESTAMP_COL='ts',
+                TIME_SERIES_DATA_COL='y', HORIZON=25)
+          AS (SELECT ts, y FROM clean_series)
+        """,
+    )
+    w2 = _run(ctx, "SELECT * FROM ML.FORECAST(MODEL `p.d.fc_clean`)")
+    ctl = {r["step"]: r["forecast_value"] for r in w2.result.collect()}
+    assert abs(fc[19] - (ctl[19] + 500.0)) < 1e-4, (fc[19], ctl[19])
+    assert abs(fc[18] - ctl[18]) < 1e-9, (fc[18], ctl[18])
+    assert abs(fc[20] - ctl[20]) < 1e-9, (fc[20], ctl[20])
+
+
+def test_ml_detect_anomalies_holiday(ctx):
+    """The learned holiday effect joins the anomaly expectation: the
+    Jan-15 spike the model fit is NOT an anomaly, and its expected
+    value carries the +500 add-back."""
+    import datetime
+
+    spark = ctx.spark
+    # small d%3 wiggle keeps sse nonzero so the z*sigma band is > 0
+    rows = [
+        (
+            datetime.datetime(2024, 1, 2 + d),
+            100.0 + 10.0 * d + (d % 3) + (500.0 if (2 + d) == 15 else 0.0),
+        )
+        for d in range(30)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, y double"
+    ).createOrReplaceTempView("hol_series2")
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.anom_hol`
+        OPTIONS(MODEL_TYPE='ARIMA_PLUS', TIME_SERIES_TIMESTAMP_COL='ts',
+                TIME_SERIES_DATA_COL='y', HOLIDAY_REGION='US')
+          AS (SELECT ts, y FROM hol_series2)
+        """,
+    )
+    w = _run(
+        ctx,
+        """
+        SELECT * FROM ML.DETECT_ANOMALIES(MODEL `p.d.anom_hol`,
+          STRUCT(0.95 AS anomaly_prob_threshold),
+          (SELECT ts, y FROM hol_series2))
+        """,
+    )
+    by_ts = {r["ts_us"]: r for r in w.result.collect()}
+    jan15 = by_ts[
+        int(datetime.datetime(2024, 1, 15, tzinfo=datetime.timezone.utc).timestamp())
+        * 1_000_000
+    ]
+    assert not jan15["is_anomaly"], jan15
+    # expectation includes the pooled effect: within the wiggle+band of
+    # the actual spiked value, i.e. far above the bare line (~231)
+    assert jan15["expected_value"] > 600.0, jan15
