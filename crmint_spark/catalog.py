@@ -229,6 +229,101 @@ class Catalog:
         self.read(table_id).createOrReplaceTempView(view)
         return view
 
+    # ------------------------------------------------------------------
+    # Time-travel version store (FOR SYSTEM_TIME AS OF).
+    #
+    # Every mutation of a catalog parquet table archives the pre-image
+    # under ``<root>/__versions__/<table>/<mutation_ts_us>/`` — a
+    # HARDLINK tree (or a plain directory rename when the mutation
+    # discards the old directory anyway), so the cost is file COUNT,
+    # never table bytes: the same immutable-parquet argument as
+    # ``clone``. ``resolve_as_of`` then maps a timestamp to the version
+    # directory whose validity interval covers it: the archived version
+    # with the smallest mutation time AFTER the requested instant, else
+    # the live directory. BigQuery semantics mirrored: a time before
+    # the table's creation errors, recreating a dropped table resets
+    # its history. Documented divergences: retention is unbounded (not
+    # 7 days), and because the engine's DML commits eagerly (BEGIN
+    # TRANSACTION is a rollback convenience — see sql_executor), states
+    # later rolled back are visible to time travel exactly as they were
+    # visible to concurrent queries.
+    # ------------------------------------------------------------------
+
+    def _versions_root(self, table_id: str) -> str:
+        return os.path.join(
+            self.root, "__versions__", _safe_view_name(table_id)
+        )
+
+    @staticmethod
+    def _version_internal(table_id: str) -> bool:
+        return table_id.startswith("__txn__.") or table_id.startswith(
+            "__versions__"
+        )
+
+    def archive_preimage(self, table_id: str, move: bool = False) -> bool:
+        """Archive the table's current directory as a version before a
+        mutation. ``move`` renames the directory (zero-cost) when the
+        caller would have deleted it; otherwise hardlink. Returns True
+        when the live directory was consumed by a move."""
+        import time
+
+        if self._version_internal(table_id) or not self.exists(table_id):
+            return False
+        vroot = self._versions_root(table_id)
+        os.makedirs(vroot, exist_ok=True)
+        ts = time.time_ns() // 1000
+        vdir = os.path.join(vroot, str(ts))
+        while os.path.exists(vdir):  # same-microsecond mutations
+            ts += 1
+            vdir = os.path.join(vroot, str(ts))
+        if move:
+            os.rename(self.path_for(table_id), vdir)
+            return True
+        _link_tree(self.path_for(table_id), vdir)
+        return False
+
+    def _record_creation(self, table_id: str) -> None:
+        import shutil
+        import time
+
+        if self._version_internal(table_id):
+            return
+        vroot = self._versions_root(table_id)
+        # recreation resets time-travel history (BigQuery contract)
+        if os.path.isdir(vroot):
+            shutil.rmtree(vroot)
+        os.makedirs(vroot, exist_ok=True)
+        with open(os.path.join(vroot, ".created"), "w") as f:
+            f.write(str(time.time_ns() // 1000))
+
+    def resolve_as_of(self, table_id: str, ts_us: int) -> str:
+        """Directory holding the table's state as of epoch-micros
+        ``ts_us`` (state committed at or before that instant)."""
+        vroot = self._versions_root(table_id)
+        created = None
+        versions: list[int] = []
+        if os.path.isdir(vroot):
+            for d in os.listdir(vroot):
+                if d == ".created":
+                    with open(os.path.join(vroot, d)) as f:
+                        created = int(f.read().strip())
+                elif d.isdigit():
+                    versions.append(int(d))
+        if created is not None and ts_us < created:
+            raise ValueError(
+                f"table {table_id} did not exist as of the requested"
+                " time (created later)"
+            )
+        later = [v for v in versions if v > ts_us]
+        if later:
+            return os.path.join(vroot, str(min(later)))
+        if self.exists(table_id):
+            return self.path_for(table_id)
+        raise ValueError(
+            f"table {table_id} has no state as of the requested time"
+            " (dropped, or never written through the catalog)"
+        )
+
     def write(
         self,
         df: DataFrame,
@@ -238,10 +333,15 @@ class Catalog:
     ) -> None:
         """WRITE_TRUNCATE/WRITE_APPEND + CREATE_IF_NEEDED/CREATE_NEVER
         semantics (ref: bq_query_launcher.py:44-47)."""
-        if not create_if_needed and not self.exists(table_id):
+        existed = self.exists(table_id)
+        if not create_if_needed and not existed:
             raise ValueError(f"table {table_id} does not exist (CREATE_NEVER)")
+        if existed:
+            self.archive_preimage(table_id)
         mode = {"WRITE_TRUNCATE": "overwrite", "WRITE_APPEND": "append"}[disposition]
         df.write.mode(mode).parquet(self.path_for(table_id))
+        if not existed:
+            self._record_creation(table_id)
         # downstream SQL jobs in the same pipeline address the table by
         # name immediately (BigQuery-catalog semantics)
         self.register(table_id)
@@ -251,7 +351,8 @@ class Catalog:
 
         p = self.path_for(table_id)
         if os.path.isdir(p):
-            shutil.rmtree(p)
+            if not self.archive_preimage(table_id, move=True):
+                shutil.rmtree(p)
 
     def clone(self, src_id: str, dst_id: str) -> None:
         """Table clone/snapshot: a zero-copy HARDLINK of the immutable
@@ -268,14 +369,24 @@ class Catalog:
         import shutil
 
         if self.exists(src_id):
-            dst = self.path_for(dst_id)
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            _link_tree(self.path_for(src_id), dst)
-            self.register(dst_id)
+            self.clone_path(self.path_for(src_id), dst_id)
         else:
             self.write(self.read(src_id), dst_id)
+
+    def clone_path(self, src_path: str, dst_id: str) -> None:
+        """Hardlink-clone an arbitrary parquet directory (e.g. a
+        time-travel version dir) into a catalog table."""
+        import shutil
+
+        dst = self.path_for(dst_id)
+        existed = os.path.isdir(dst)
+        if existed and not self.archive_preimage(dst_id, move=True):
+            shutil.rmtree(dst)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        _link_tree(src_path, dst)
+        if not existed:
+            self._record_creation(dst_id)
+        self.register(dst_id)
 
     def list_tables(self, project: str, dataset: str) -> list[str]:
         """Equivalent of the reference's ``__TABLES_SUMMARY__`` metadata
@@ -444,7 +555,8 @@ class Catalog:
             hits = [
                 p
                 for p in sorted(os.listdir(self.root))
-                if os.path.isdir(os.path.join(self.root, p, parts[0]))
+                if p != "__versions__"
+                and os.path.isdir(os.path.join(self.root, p, parts[0]))
             ]
             hits.extend(
                 p for p, d in self._virtual if d == parts[0] and p not in hits

@@ -4642,7 +4642,121 @@ def _rewrite_create_view(sql: str) -> str:
     )
 
 
-def transpile_statement(sql: str, resolver=None, approx_sketches: bool = False) -> str:
+_SYSTEM_TIME_RE = re.compile(
+    r"(`[^`]+`|[A-Za-z_][\w.\-]*)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\b",
+    re.IGNORECASE,
+)
+
+
+def _in_literal(sql: str, idx: int) -> bool:
+    """True when ``idx`` falls inside a quoted literal opened earlier."""
+    i = 0
+    while i < idx:
+        if sql[i] in ("'", '"', "`"):
+            j = _skip_string(sql, i)
+            if j > idx:
+                return True
+            i = j
+        else:
+            i += 1
+    return False
+
+
+def _scan_asof_expr(sql: str, i: int) -> int:
+    """Index just past the timestamp expression starting at ``i``: one
+    primary (string literal / identifier / function call /
+    parenthesized expr / TIMESTAMP 'lit') plus ``+``/``-`` arithmetic
+    continuations including ``INTERVAL n UNIT`` — the grammar BigQuery
+    accepts after FOR SYSTEM_TIME AS OF. Stops before any alias or
+    clause keyword (those sit after the expression at top level)."""
+    n = len(sql)
+
+    def ws(j: int) -> int:
+        while j < n and sql[j].isspace():
+            j += 1
+        return j
+
+    def primary(j: int) -> int:
+        j = ws(j)
+        if j >= n:
+            return j
+        ch = sql[j]
+        if ch in ("'", '"'):
+            return _skip_string(sql, j)
+        if ch == "(":
+            e = _balanced_end(sql, j)
+            return e if e != -1 else n
+        m = re.match(r"[A-Za-z_@][\w.\-@]*", sql[j:])
+        if not m:
+            return j
+        j2 = j + len(m.group(0))
+        k = ws(j2)
+        if k < n and sql[k] == "(":
+            e = _balanced_end(sql, k)
+            return e if e != -1 else n
+        if m.group(0).upper() in ("TIMESTAMP", "DATETIME", "DATE") and (
+            k < n and sql[k] in ("'", '"')
+        ):
+            return _skip_string(sql, k)
+        return j2
+
+    j = primary(i)
+    while True:
+        k = ws(j)
+        if k < n and sql[k] in "+-":
+            k2 = ws(k + 1)
+            mi = re.match(r"INTERVAL\b", sql[k2:], re.IGNORECASE)
+            if mi:
+                k3 = ws(k2 + len(mi.group(0)))
+                mv = re.match(r"[\w']+", sql[k3:])
+                k4 = ws(k3 + (len(mv.group(0)) if mv else 0))
+                mu = re.match(r"[A-Za-z_]+", sql[k4:])
+                j = k4 + (len(mu.group(0)) if mu else 0)
+            else:
+                j = primary(k + 1)
+            continue
+        return j
+
+
+def _rewrite_system_time(sql: str, asof_handler) -> str:
+    """``<table> FOR SYSTEM_TIME AS OF <expr>`` -> a temp view over the
+    catalog's archived version directory (Catalog.resolve_as_of).
+    ``asof_handler(table_id, expr_sql) -> view_name`` is supplied by the
+    executor (it evaluates the expression and registers the view);
+    without one the construct fails loudly instead of reaching Spark's
+    parser."""
+    while True:
+        found = None
+        pos = 0
+        while True:
+            m = _SYSTEM_TIME_RE.search(sql, pos)
+            if not m:
+                break
+            if _in_literal(sql, m.start()):
+                pos = m.start() + 1
+                continue
+            found = m
+            break
+        if found is None:
+            return sql
+        if asof_handler is None:
+            raise ValueError(
+                "FOR SYSTEM_TIME AS OF requires a catalog-backed"
+                " executor (SparkSQLExecutor with a Catalog context)"
+            )
+        end = _scan_asof_expr(sql, found.end())
+        expr = sql[found.end() : end].strip()
+        table = found.group(1).strip("`")
+        view = asof_handler(table, expr)
+        sql = sql[: found.start()] + view + sql[end:]
+
+
+def transpile_statement(
+    sql: str,
+    resolver=None,
+    approx_sketches: bool = False,
+    asof_handler=None,
+) -> str:
     """Apply all BigQuery->Spark rewrites to one statement.
 
     ``resolver(table_id) -> view_name`` materializes wildcard-shard and
@@ -4668,6 +4782,9 @@ def transpile_statement(sql: str, resolver=None, approx_sketches: bool = False) 
     # arbitrary-order semantics
     out = re.sub(r"\bOVER\s*\(\s*\)", "OVER (ORDER BY 1)", out, flags=re.IGNORECASE)
     out = _rewrite_raw_strings(out)
+    # time travel before any FROM-clause rewrite sees the table ref
+    if re.search(r"\bSYSTEM_TIME\b", out, re.IGNORECASE):
+        out = _rewrite_system_time(out, asof_handler)
     # generic SAFE. scalar prefix: BigQuery returns NULL instead of an
     # error for any SAFE.-prefixed scalar call. Functions with try_*
     # twins keep exact semantics (SAFE.PARSE_* below, SAFE_CAST/

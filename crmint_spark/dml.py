@@ -565,7 +565,10 @@ def swap_catalog_table(catalog, table_id: str, result: DataFrame) -> None:
     except Exception:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
-    shutil.rmtree(path)
+    # the old directory becomes the time-travel pre-image (a rename —
+    # zero copy); internal tables skip the version store and delete
+    if not catalog.archive_preimage(table_id, move=True):
+        shutil.rmtree(path)
     os.rename(tmp, path)
     catalog.register(table_id)
 

@@ -128,7 +128,62 @@ SELECT id, seg, ROUND(bal, 4) AS bal FROM t3 ORDER BY id
 """
 
 
+def dml_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOR SYSTEM_TIME AS OF over the DML plane's time-travel store:
+    every copy-on-write swap archives its pre-image (a directory rename
+    — zero copy; Catalog.archive_preimage), and the AS OF clause
+    resolves the version directory covering the requested instant. The
+    script mutates a table twice after capturing t0, then joins the
+    live state against the t0 state — BigQuery's canonical
+    "compare with yesterday" audit query (BigQuery docs: time travel /
+    FOR SYSTEM_TIME AS OF). Documented divergences in catalog.py:
+    unbounded retention, eager DML visibility."""
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_tt_"))
+    target = spark.sql(
+        "SELECT c_custkey AS id, c_mktsegment AS seg, c_acctbal AS bal "
+        "FROM customer WHERE c_custkey <= 200"
+    )
+    cat.write(target, "p.crm.balances")
+    w = SparkSQLExecutor(
+        {
+            "script": """
+        DECLARE t0 TIMESTAMP DEFAULT CURRENT_TIMESTAMP();
+        UPDATE `p.crm.balances` SET bal = bal * 2 WHERE seg = 'BUILDING';
+        DELETE FROM `p.crm.balances` WHERE bal < 0;
+        SELECT cur.id, ROUND(cur.bal, 4) AS bal_now,
+               ROUND(old.bal, 4) AS bal_before
+        FROM `p.crm.balances` cur
+        JOIN `p.crm.balances` FOR SYSTEM_TIME AS OF t0 old
+          ON cur.id = old.id
+        ORDER BY cur.id
+        """,
+            "dry_run": False,
+        },
+        WorkerContext(spark=spark, catalog=cat),
+    )
+    w.execute()
+    return w.result
+
+
+DML_TIME_TRAVEL_SQL = """
+WITH t0 AS (
+  SELECT c_custkey AS id, c_mktsegment AS seg, c_acctbal AS bal
+  FROM customer WHERE c_custkey <= 200
+), t1 AS (
+  SELECT id, seg, CASE WHEN seg = 'BUILDING' THEN bal * 2 ELSE bal END AS bal
+  FROM t0
+), t2 AS (
+  SELECT * FROM t1 WHERE NOT (bal < 0)
+)
+SELECT t2.id, ROUND(t2.bal, 4) AS bal_now, ROUND(t0.bal, 4) AS bal_before
+FROM t2 JOIN t0 ON t2.id = t0.id
+ORDER BY t2.id
+"""
+
+
 DML_QUERIES: dict[str, tuple] = {
     "dml_merge_upsert": (dml_merge_upsert, DML_MERGE_SQL),
     "dml_update_delete_insert": (dml_update_delete_insert, DML_UPDATE_SQL),
+    "dml_time_travel": (dml_time_travel, DML_TIME_TRAVEL_SQL),
 }

@@ -88,6 +88,49 @@ class SparkSQLExecutor(Worker):
             return None
         return self._ctx.catalog.resolve_table
 
+    def _asof_path(self, table_id: str, expr: str) -> str:
+        """Evaluate a FOR SYSTEM_TIME AS OF timestamp expression and
+        resolve the catalog version directory holding that state."""
+        import calendar
+
+        from ..dialect import transpile_statement as _t
+
+        cat, spark = self._ctx.catalog, self._ctx.spark
+        if cat is None:
+            raise WorkerException(
+                "FOR SYSTEM_TIME AS OF requires a catalog-backed session"
+            )
+        ts = spark.sql(
+            _t(f"SELECT CAST(({expr}) AS TIMESTAMP) AS t", self._resolver())
+        ).first()["t"]
+        if ts is None:
+            raise WorkerException(
+                f"FOR SYSTEM_TIME AS OF evaluated to NULL: {expr!r}"
+            )
+        # session timezone is UTC; collect() returns a naive UTC datetime
+        ts_us = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+        try:
+            return cat.resolve_as_of(table_id, ts_us)
+        except ValueError as e:
+            raise WorkerException(str(e)) from None
+
+    def _asof_handler(self):
+        """dialect hook: ``table FOR SYSTEM_TIME AS OF expr`` -> temp
+        view over the resolved version directory."""
+        if self._ctx.catalog is None:
+            return None
+        spark = self._ctx.spark
+
+        def handler(table_id: str, expr: str) -> str:
+            import hashlib
+
+            path = self._asof_path(table_id, expr)
+            view = "__asof_" + hashlib.md5(path.encode()).hexdigest()[:10]
+            spark.read.parquet(path).createOrReplaceTempView(view)
+            return view
+
+        return handler
+
     def _run_script(self) -> DataFrame | None:
         from ..functions import register_engine_udfs
 
@@ -293,14 +336,9 @@ class SparkSQLExecutor(Worker):
             # all directory-level copies in the catalog (Catalog.clone
             # — the metadata-only-snapshot analog, no row rewrite;
             # BigQuery's COPY and CLONE differ only in billing).
-            # BigQuery's snapshot DDL: cloud.google.com table snapshots;
-            # time travel needs historical state the engine doesn't
-            # keep, so it fails loudly rather than silently cloning HEAD
-            if sn.group(4):
-                raise WorkerException(
-                    "CLONE ... FOR SYSTEM_TIME AS OF is not supported:"
-                    " the engine keeps only current table state"
-                )
+            # BigQuery's snapshot DDL: cloud.google.com table snapshots.
+            # FOR SYSTEM_TIME AS OF clones from the catalog's archived
+            # version directory (time-travel store, Catalog.resolve_as_of)
             if cat is None:
                 raise WorkerException(
                     "CLONE requires a catalog-backed session"
@@ -309,7 +347,18 @@ class SparkSQLExecutor(Worker):
                 if sn.group(1) and cat.exists(sn.group(2)):
                     self.log_info(f"{sn.group(2)} exists — skipped")
                     return True
-                cat.clone(sn.group(3), sn.group(2))
+                if sn.group(4):
+                    expr = re.sub(
+                        r"^\s*FOR\s+SYSTEM_TIME\s+AS\s+OF\s*",
+                        "",
+                        sn.group(4),
+                        flags=re.IGNORECASE,
+                    ).strip()
+                    cat.clone_path(
+                        self._asof_path(sn.group(3), expr), sn.group(2)
+                    )
+                else:
+                    cat.clone(sn.group(3), sn.group(2))
             self.log_info(f"CLONE {sn.group(3)} -> {sn.group(2)}")
             return True
         lk = re.match(
@@ -1442,6 +1491,7 @@ class SparkSQLExecutor(Worker):
             # .get: subclasses (BQMLTrainer, BQQueryLauncher) declare
             # their own PARAMS without this optional knob
             approx_sketches=bool(self._params.get("approx_sketches")),
+            asof_handler=self._asof_handler(),
         )
         if self._params["dry_run"]:
             self._dry_run_statement(spark, stmt)
@@ -1741,6 +1791,7 @@ class SparkSQLExecutor(Worker):
                 rest[am.end():].strip(),
                 resolver,
                 approx_sketches=bool(self._params.get("approx_sketches")),
+                asof_handler=self._asof_handler(),
             )
             if self._params["dry_run"]:
                 self._dry_run_statement(spark, stmt)
@@ -2105,8 +2156,13 @@ class SparkQueryLauncher(Worker):
         if self._ctx.catalog is None:
             raise WorkerException("SparkQueryLauncher needs a catalog")
         query = self._params["query"]
-        if re.search(r"\bML\.(PREDICT|EVALUATE)\s*\(", query, re.IGNORECASE):
-            # run through the script path for BQML interception
+        if re.search(
+            r"\bML\.(PREDICT|EVALUATE)\s*\(|\bSYSTEM_TIME\b",
+            query,
+            re.IGNORECASE,
+        ):
+            # run through the script path for BQML interception / the
+            # FOR SYSTEM_TIME AS OF version-store resolution
             executor = SparkSQLExecutor(
                 {"script": query, "dry_run": False}, self._ctx
             )

@@ -284,3 +284,142 @@ def test_streaming_merge_upsert_incremental(spark, cat, tmp_path):
     )
     # u1 untouched by batch 2 but keeps its row; u2 updated; u3 inserted
     assert second == {"u1": (1, 5.0), "u2": (2, 10.0), "u3": (1, 1.0)}
+
+
+# ---------------------------------------------------------------------------
+# FOR SYSTEM_TIME AS OF (time-travel version store)
+# ---------------------------------------------------------------------------
+
+
+def _seed(spark, cat, table="p.d.tt", n=20):
+    df = spark.range(n).selectExpr("id", "CAST(id * 10 AS DOUBLE) AS bal")
+    cat.write(df, table)
+    return df
+
+
+def test_time_travel_select_pre_dml_state(spark, cat):
+    _seed(spark, cat)
+    w = run(
+        spark,
+        cat,
+        """
+        DECLARE t0 TIMESTAMP DEFAULT CURRENT_TIMESTAMP();
+        UPDATE `p.d.tt` SET bal = 0 WHERE TRUE;
+        SELECT (SELECT SUM(bal) FROM `p.d.tt`) AS now_sum,
+               (SELECT SUM(bal) FROM `p.d.tt` FOR SYSTEM_TIME AS OF t0)
+                 AS then_sum
+        """,
+    )
+    r = w.result.first()
+    assert r["now_sum"] == 0.0
+    assert r["then_sum"] == sum(i * 10 for i in range(20))
+
+
+def test_time_travel_picks_correct_version_of_many(spark, cat):
+    """Three mutations; AS OF between each resolves the right state
+    (smallest archive timestamp AFTER the instant)."""
+    _seed(spark, cat, n=5)
+    w = run(
+        spark,
+        cat,
+        """
+        DECLARE t0 TIMESTAMP DEFAULT CURRENT_TIMESTAMP();
+        UPDATE `p.d.tt` SET bal = 1 WHERE TRUE;
+        SET t0 = t0;  -- no-op to keep script shape obvious
+        DECLARE t1 TIMESTAMP DEFAULT CURRENT_TIMESTAMP();
+        UPDATE `p.d.tt` SET bal = 2 WHERE TRUE;
+        DECLARE t2 TIMESTAMP DEFAULT CURRENT_TIMESTAMP();
+        UPDATE `p.d.tt` SET bal = 3 WHERE TRUE;
+        SELECT
+          (SELECT SUM(bal) FROM `p.d.tt` FOR SYSTEM_TIME AS OF t0) AS s0,
+          (SELECT SUM(bal) FROM `p.d.tt` FOR SYSTEM_TIME AS OF t1) AS s1,
+          (SELECT SUM(bal) FROM `p.d.tt` FOR SYSTEM_TIME AS OF t2) AS s2,
+          (SELECT SUM(bal) FROM `p.d.tt`) AS s3
+        """,
+    )
+    r = w.result.first()
+    assert (r["s0"], r["s1"], r["s2"], r["s3"]) == (100.0, 5.0, 10.0, 15.0)
+
+
+def test_time_travel_zero_copy_versions(spark, cat):
+    """Archived versions hardlink the live parquet files: same inodes,
+    so snapshot cost scales with file count, never bytes."""
+    import os
+
+    _seed(spark, cat)
+    live = cat.path_for("p.d.tt")
+    inodes_before = {
+        f: os.stat(os.path.join(live, f)).st_ino
+        for f in os.listdir(live)
+        if f.endswith(".parquet")
+    }
+    run(spark, cat, "DELETE FROM `p.d.tt` WHERE id < 5")
+    vroot = cat._versions_root("p.d.tt")
+    versions = [d for d in os.listdir(vroot) if d.isdigit()]
+    assert len(versions) == 1
+    vdir = os.path.join(vroot, versions[0])
+    archived = {
+        f: os.stat(os.path.join(vdir, f)).st_ino
+        for f in os.listdir(vdir)
+        if f.endswith(".parquet")
+    }
+    # the swap MOVED the old directory: identical inodes, zero copies
+    assert archived == inodes_before
+
+
+def test_time_travel_before_creation_errors(spark, cat):
+    _seed(spark, cat)
+    with pytest.raises(WorkerException, match="did not exist"):
+        run(
+            spark,
+            cat,
+            "SELECT * FROM `p.d.tt` FOR SYSTEM_TIME AS OF TIMESTAMP '2001-01-01'",
+        )
+
+
+def test_time_travel_recreate_resets_history(spark, cat):
+    """Dropping and recreating a table resets its time-travel history
+    (BigQuery contract): the old state is no longer reachable."""
+    _seed(spark, cat)
+    run(spark, cat, "UPDATE `p.d.tt` SET bal = 7 WHERE TRUE")
+    run(spark, cat, "DROP TABLE `p.d.tt`")
+    _seed(spark, cat, n=3)
+    with pytest.raises(WorkerException, match="did not exist"):
+        run(
+            spark,
+            cat,
+            "SELECT * FROM `p.d.tt` FOR SYSTEM_TIME AS OF TIMESTAMP '2001-01-01'",
+        )
+    # current state readable, history starts at the recreation
+    assert cat.read("p.d.tt").count() == 3
+
+
+def test_time_travel_write_append_archives(spark, cat):
+    _seed(spark, cat, n=4)
+    w = run(
+        spark,
+        cat,
+        """
+        DECLARE t0 TIMESTAMP DEFAULT CURRENT_TIMESTAMP();
+        INSERT INTO `p.d.tt` (id, bal) VALUES (100, 1.5);
+        SELECT (SELECT COUNT(*) FROM `p.d.tt`) AS now_n,
+               (SELECT COUNT(*) FROM `p.d.tt` FOR SYSTEM_TIME AS OF t0) AS then_n
+        """,
+    )
+    r = w.result.first()
+    assert (r["now_n"], r["then_n"]) == (5, 4)
+
+
+def test_time_travel_clone_as_of(spark, cat):
+    _seed(spark, cat, n=6)
+    w = run(
+        spark,
+        cat,
+        """
+        DECLARE t0 TIMESTAMP DEFAULT CURRENT_TIMESTAMP();
+        UPDATE `p.d.tt` SET bal = -9 WHERE TRUE;
+        CREATE TABLE `p.d.tt_snap` CLONE `p.d.tt` FOR SYSTEM_TIME AS OF t0;
+        SELECT SUM(bal) AS s FROM `p.d.tt_snap`
+        """,
+    )
+    assert w.result.first()["s"] == sum(i * 10 for i in range(6))

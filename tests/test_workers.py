@@ -88,8 +88,10 @@ def test_snapshot_clone_ddl(ctx):
     # plain CREATE TABLE ... CLONE also routes here
     run("CREATE TABLE `p.d.sn_copy` CLONE `p.d.sn_base`")
     assert ctx.catalog.read("p.d.sn_copy").count() == 1
-    # time travel fails loudly
-    with pytest.raises(WorkerException, match="SYSTEM_TIME"):
+    # time travel: a pre-creation instant errors (BigQuery contract);
+    # a valid instant clones from the version store (test_dml covers
+    # the positive path end-to-end)
+    with pytest.raises(WorkerException, match="did not exist"):
         run(
             "CREATE SNAPSHOT TABLE `p.d.sn_t` CLONE `p.d.sn_base`"
             " FOR SYSTEM_TIME AS OF TIMESTAMP '2020-01-01'"
