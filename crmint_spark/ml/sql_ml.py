@@ -637,6 +637,37 @@ def try_create_model(
             meta["holiday"] = holiday
         registry.save_meta(name, meta)
         return df
+    if model_type == "KMEANS":
+        # clustering: deterministic bounded-sample Lloyd fit
+        # (ml/kmeans.py); centroids persisted in the meta, served by
+        # ML.PREDICT / ML.CENTROIDS / ML.EVALUATE
+        from .kmeans import fit_kmeans_state
+
+        dist = str(opts.get("DISTANCE_TYPE", "EUCLIDEAN")).strip("'\"").upper()
+        if dist != "EUCLIDEAN":
+            raise ValueError(
+                f"KMEANS DISTANCE_TYPE {dist!r} is not supported; the"
+                " engine implements EUCLIDEAN (cosine bucketing lives in"
+                " operators/similarity.py)"
+            )
+        standardize = opts.get("STANDARDIZE_FEATURES", True)
+        if isinstance(standardize, str):
+            standardize = standardize.strip("'\"").upper() != "FALSE"
+        state = fit_kmeans_state(
+            df,
+            int(opts.get("NUM_CLUSTERS", 4)),
+            int(opts.get("MAX_ITERATIONS", 20)),
+            bool(standardize),
+        )
+        registry.save_meta(
+            name,
+            {
+                "model_type": "KMEANS",
+                "kmeans": state,
+                "source_sql": query,
+            },
+        )
+        return df
     if model_type == "MATRIX_FACTORIZATION":
         # collaborative filtering -> Spark ALS (the same alternating-
         # least-squares family BigQuery documents for this model type).
@@ -1310,6 +1341,19 @@ def rewrite_ml_predict(
 
     def handler(name: str, args: list[str]) -> str:
         inner = _inner_query(args[0])
+        meta0 = registry.load_meta(name)
+        if meta0["model_type"] == "KMEANS":
+            from .kmeans import assign_frame
+
+            scored = assign_frame(
+                spark,
+                meta0["kmeans"],
+                _apply_transform(spark, inner, meta0, cte, drop_label=True),
+            )
+            counter[0] += 1
+            view = f"__ml_predict_{counter[0]}"
+            scored.createOrReplaceTempView(view)
+            return view
         model, meta = _load(registry, name)
         df = _apply_transform(spark, inner, meta, cte, drop_label=True)
         if meta["model_type"] == "MATRIX_FACTORIZATION":
@@ -1427,6 +1471,37 @@ def _model_feature_rows(model, meta: dict) -> list[tuple[str, float]]:
     return list(zip(feats, vals))
 
 
+_ML_CENTROIDS_RE = re.compile(
+    r"ML\.CENTROIDS\s*\(\s*MODEL\s+`?([\w.\-]+)`?\s*\)", re.IGNORECASE
+)
+
+
+def rewrite_ml_centroids(
+    spark: SparkSession, stmt: str, registry: ModelRegistry
+) -> str:
+    """``ML.CENTROIDS(MODEL m)`` -> (centroid_id, feature,
+    numerical_value) rows in the original feature space — BigQuery's
+    KMEANS centroid table (clustering docs)."""
+    counter = [0]
+
+    def repl(m: re.Match) -> str:
+        meta = registry.load_meta(m.group(1))
+        if meta["model_type"] != "KMEANS":
+            raise ValueError(
+                f"ML.CENTROIDS requires a KMEANS model, got "
+                f"{meta['model_type']}"
+            )
+        from .kmeans import centroids_frame
+
+        df = centroids_frame(spark, meta["kmeans"])
+        counter[0] += 1
+        view = f"__ml_centroids_{counter[0]}"
+        df.createOrReplaceTempView(view)
+        return view
+
+    return _ML_CENTROIDS_RE.sub(repl, stmt)
+
+
 def rewrite_ml_weights(
     spark: SparkSession, stmt: str, registry: ModelRegistry
 ) -> str:
@@ -1539,6 +1614,22 @@ def rewrite_ml_evaluate(
 
     def handler(name: str, args: list[str]) -> str:
         meta = registry.load_meta(name)
+        if meta["model_type"] == "KMEANS":
+            # clustering metrics: Davies-Bouldin + mean squared distance
+            # (BigQuery's clustering evaluate row); no input -> the
+            # training input, as in BigQuery
+            from .kmeans import evaluate_frame
+
+            if args:
+                inner_q = _inner_query(args[0])
+                df = spark.sql(f"{cte} {inner_q}" if cte else inner_q)
+            else:
+                df = spark.sql(meta["source_sql"])
+            out = evaluate_frame(spark, meta["kmeans"], df)
+            counter[0] += 1
+            view = f"__ml_evaluate_{counter[0]}"
+            out.createOrReplaceTempView(view)
+            return view
         if not args and meta["model_type"] != "ARIMA_PLUS":
             # BigQuery evaluates on the reserved training split when the
             # input query is omitted. CREATE MODEL persists the source

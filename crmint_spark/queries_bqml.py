@@ -784,3 +784,136 @@ BQML_QUERIES["bqml_arima_holiday"] = (
     bqml_arima_holiday_forecast,
     BQML_ARIMA_HOLIDAY_SQL,
 )
+
+
+def bqml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE MODEL MODEL_TYPE='KMEANS' end-to-end: deterministic
+    bounded-sample Lloyd fit (ml/kmeans.py — engine-neutral hash-order
+    trainer sample, 6 dp rounding discipline), then ML.CENTROIDS joined
+    with ML.PREDICT cluster sizes. Every step — standardization stats,
+    sample selection, init spacing, three Lloyd rounds, final
+    assignment — is replayed term-for-term by the DuckDB oracle, so the
+    hash-compare certifies the whole clustering pipeline, not just its
+    shape. ref: BigQuery k-means clustering docs (CRMint passes CREATE
+    MODEL OPTIONS through verbatim)."""
+    from .catalog import register_testdata
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE MODEL `p.d.km_oracle`
+    OPTIONS(MODEL_TYPE='KMEANS', NUM_CLUSTERS=3, MAX_ITERATIONS=3) AS (
+      SELECT CAST(c_acctbal AS FLOAT64) AS bal,
+             CAST(c_nationkey AS FLOAT64) AS nat
+      FROM customer
+      WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL
+    );
+    SELECT c.centroid_id, c.feature, c.numerical_value, s.n
+    FROM ML.CENTROIDS(MODEL `p.d.km_oracle`) c
+    JOIN (SELECT centroid_id, COUNT(*) AS n
+          FROM ML.PREDICT(MODEL `p.d.km_oracle`,
+            (SELECT CAST(c_acctbal AS FLOAT64) AS bal,
+                    CAST(c_nationkey AS FLOAT64) AS nat
+             FROM customer
+             WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL))
+          GROUP BY centroid_id) s USING (centroid_id)
+    ORDER BY c.centroid_id, c.feature
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False}, WorkerContext(spark)
+    )
+    w.execute()
+    return w.result
+
+
+def _kmeans_oracle_sql(k: int = 3, iters: int = 3) -> str:
+    """Generate the DuckDB replay of ml/kmeans.py's fit: same hash
+    sample, same init spacing, same fold order, same ROUND(.,6) every
+    step. d = 2 features (bal, nat)."""
+
+    def dist(p: str, cs: str, i: int) -> str:
+        # squared L2 as the same left fold in dim order as the engine
+        e = "0.0"
+        for j in (1, 2):
+            t = f"({p}[{j}] - {cs}[{i}][{j}])"
+            e = f"({e} + {t} * {t})"
+        return e
+
+    def best(p: str, cs: str) -> str:
+        ds = "[" + ", ".join(dist(p, cs, i + 1) for i in range(k)) + "]"
+        # first index attaining the min == the engine's sequential
+        # strict-< argmin
+        return f"list_position({ds}, list_aggregate({ds}, 'min'))"
+
+    def recompute(cs: str) -> str:
+        parts = []
+        for i in range(k):
+            mem = f"list_filter(pts, p -> {best('p', cs)} = {i + 1})"
+            dims = []
+            for j in (1, 2):
+                s = (
+                    f"list_reduce(list_prepend(0.0, "
+                    f"list_transform({mem}, p -> p[{j}])), (a, x) -> a + x)"
+                )
+                dims.append(f"ROUND({s} / len({mem}), 6)")
+            parts.append(
+                f"CASE WHEN len({mem}) > 0 THEN [{dims[0]}, {dims[1]}]"
+                f" ELSE {cs}[{i + 1}] END"
+            )
+        return "[" + ", ".join(parts) + "]"
+
+    init = ", ".join(f"pts[1 + ({i} * m) // {k}]" for i in range(k))
+    iter_ctes = "".join(
+        f", c{t + 1} AS (SELECT pts, m, {recompute('cs')} AS cs FROM c{t})"
+        for t in range(iters)
+    )
+    cent_rows = "\n  UNION ALL ".join(
+        f"SELECT {i + 1} AS centroid_id, '{feat}' AS feature,"
+        f" ROUND(cs[{i + 1}][{j + 1}] * sd{j + 1} + mu{j + 1}, 6)"
+        f" AS numerical_value FROM fin, st"
+        for i in range(k)
+        for j, feat in enumerate(("bal", "nat"))
+    )
+    return f"""
+WITH feats AS (
+  SELECT CAST(c_acctbal AS DOUBLE) AS x1, CAST(c_nationkey AS DOUBLE) AS x2
+  FROM customer WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL
+), st AS (
+  SELECT ROUND(AVG(x1), 6) AS mu1, ROUND(AVG(x2), 6) AS mu2,
+         CASE WHEN COALESCE(ROUND(STDDEV_POP(x1), 6), 0) = 0 THEN 1.0
+              ELSE ROUND(STDDEV_POP(x1), 6) END AS sd1,
+         CASE WHEN COALESCE(ROUND(STDDEV_POP(x2), 6), 0) = 0 THEN 1.0
+              ELSE ROUND(STDDEV_POP(x2), 6) END AS sd2
+  FROM feats
+), std AS (
+  SELECT ROUND((x1 - mu1) / sd1, 6) AS v1, ROUND((x2 - mu2) / sd2, 6) AS v2
+  FROM feats, st
+), samp AS (
+  SELECT v1, v2 FROM (
+    SELECT v1, v2,
+      (((7 * 9973 + CAST(ROUND(v1 * 1000000) AS BIGINT)) % 1000000007)
+        * 9973 + CAST(ROUND(v2 * 1000000) AS BIGINT)) % 1000000007 AS h
+    FROM std)
+  ORDER BY h, v1, v2 LIMIT 256
+), s0 AS (
+  SELECT list([v1, v2] ORDER BY v1, v2) AS pts, COUNT(*) AS m FROM samp
+), c0 AS (
+  SELECT pts, m, [{init}] AS cs FROM s0
+){iter_ctes}, fin AS (
+  SELECT cs FROM c{iters}
+), assign AS (
+  SELECT {best("[v1, v2]", "cs")} AS centroid_id FROM std, fin
+), counts AS (
+  SELECT centroid_id, COUNT(*) AS n FROM assign GROUP BY 1
+), cent_rows AS (
+  {cent_rows}
+)
+SELECT CAST(c.centroid_id AS BIGINT) AS centroid_id, c.feature,
+       c.numerical_value, s.n
+FROM cent_rows c JOIN counts s USING (centroid_id)
+ORDER BY c.centroid_id, c.feature
+"""
+
+
+BQML_QUERIES["bqml_kmeans"] = (bqml_kmeans, _kmeans_oracle_sql())

@@ -1126,3 +1126,81 @@ def test_ml_detect_anomalies_holiday(ctx):
     # expectation includes the pooled effect: within the wiggle+band of
     # the actual spiked value, i.e. far above the bare line (~231)
     assert jan15["expected_value"] > 600.0, jan15
+
+
+def test_ml_kmeans_fit_predict_centroids_evaluate(ctx):
+    """Three well-separated blobs: assignments recover the blobs,
+    ML.CENTROIDS lands near the true centers (original feature space),
+    ML.EVALUATE reports a tight Davies-Bouldin index."""
+    spark = ctx.spark
+    rows = []
+    centers = [(0.0, 0.0), (50.0, 5.0), (100.0, -10.0)]
+    for b, (cx, cy) in enumerate(centers):
+        for i in range(40):
+            rows.append((cx + (i % 7) * 0.5, cy + (i % 5) * 0.4, b))
+    spark.createDataFrame(
+        rows, "x double, y double, blob int"
+    ).createOrReplaceTempView("blobs")
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.km_t`
+        OPTIONS(MODEL_TYPE='KMEANS', NUM_CLUSTERS=3, MAX_ITERATIONS=5)
+          AS (SELECT x, y FROM blobs)
+        """,
+    )
+    w = _run(
+        ctx,
+        """
+        SELECT b.blob, p.centroid_id, COUNT(*) AS n
+        FROM ML.PREDICT(MODEL `p.d.km_t`, (SELECT x, y FROM blobs)) p
+        JOIN blobs b ON p.x = b.x AND p.y = b.y
+        GROUP BY b.blob, p.centroid_id
+        """,
+    )
+    got = w.result.collect()
+    # each blob maps to exactly one centroid, and the 3 centroids differ
+    by_blob = {}
+    for r in got:
+        by_blob.setdefault(r["blob"], set()).add(r["centroid_id"])
+    assert all(len(v) == 1 for v in by_blob.values()), got
+    assert len({next(iter(v)) for v in by_blob.values()}) == 3, got
+
+    cw = _run(ctx, "SELECT * FROM ML.CENTROIDS(MODEL `p.d.km_t`)")
+    cents = {
+        (r["centroid_id"], r["feature"]): r["numerical_value"]
+        for r in cw.result.collect()
+    }
+    xs = sorted(v for (cid, f), v in cents.items() if f == "x")
+    assert abs(xs[0] - 1.5) < 1.0 and abs(xs[2] - 101.5) < 1.0, xs
+
+    ew = _run(ctx, "SELECT * FROM ML.EVALUATE(MODEL `p.d.km_t`)")
+    m = ew.result.first()
+    assert m["davies_bouldin_index"] < 0.5, m
+    assert m["mean_squared_distance"] < 0.1, m
+
+
+def test_ml_kmeans_rejections(ctx):
+    spark = ctx.spark
+    spark.createDataFrame(
+        [(1.0, "a"), (2.0, "b")], "x double, s string"
+    ).createOrReplaceTempView("km_bad")
+    with pytest.raises(Exception, match="one-hot"):
+        _run(
+            ctx,
+            """
+            CREATE OR REPLACE MODEL `p.d.km_bad`
+            OPTIONS(MODEL_TYPE='KMEANS', NUM_CLUSTERS=2)
+              AS (SELECT x, s FROM km_bad)
+            """,
+        )
+    with pytest.raises(Exception, match="EUCLIDEAN"):
+        _run(
+            ctx,
+            """
+            CREATE OR REPLACE MODEL `p.d.km_bad2`
+            OPTIONS(MODEL_TYPE='KMEANS', NUM_CLUSTERS=2,
+                    DISTANCE_TYPE='COSINE')
+              AS (SELECT x FROM km_bad)
+            """,
+        )
