@@ -66,21 +66,20 @@ def _feature_cols(df: DataFrame) -> list[str]:
     return cols
 
 
-def fit_kmeans_state(
-    df: DataFrame,
-    k: int,
-    max_iterations: int,
-    standardize: bool,
-) -> dict:
-    """Deterministic Lloyd fit (module docstring) -> persistable state:
-    {cols, mu, sigma, centroids (k x d, standardized space), k,
-    standardize, iters, sample_n}."""
+def fit_stats_and_sample(
+    df: DataFrame, center: bool, scale: bool
+) -> tuple[list[str], list[float], list[float], list[list[float]]]:
+    """Shared deterministic trainer front-end (KMEANS here, PCA in
+    pca_model.py): numeric feature columns, NULL rows dropped, 6 dp
+    mean/stddev_pop stats, 6 dp standardized values, and the value-
+    sorted engine-neutral hash-order top-256 sample (module docstring).
+    -> (cols, mu, sigma, sample)."""
     cols = _feature_cols(df)
     d = len(cols)
     feats = df.select(
         *[F.col(c).cast("double").alias(c) for c in cols]
     ).na.drop()
-    if standardize:
+    if center or scale:
         stats = feats.select(
             *[F.round(F.avg(c), 6).alias(f"mu{i}") for i, c in enumerate(cols)],
             *[
@@ -88,10 +87,10 @@ def fit_kmeans_state(
                 for i, c in enumerate(cols)
             ],
         ).first()
-        mu = [float(stats[f"mu{i}"]) for i in range(d)]
+        mu = [float(stats[f"mu{i}"]) if center else 0.0 for i in range(d)]
         # constant columns standardize to 0 (sigma 1), as in BigQuery
         sigma = [
-            float(stats[f"sd{i}"]) if stats[f"sd{i}"] else 1.0
+            float(stats[f"sd{i}"]) if scale and stats[f"sd{i}"] else 1.0
             for i in range(d)
         ]
     else:
@@ -115,6 +114,22 @@ def fit_kmeans_state(
         .collect()
     )
     sample = sorted([float(r[c]) for c in cols] for r in sample_rows)
+    return cols, mu, sigma, sample
+
+
+def fit_kmeans_state(
+    df: DataFrame,
+    k: int,
+    max_iterations: int,
+    standardize: bool,
+) -> dict:
+    """Deterministic Lloyd fit (module docstring) -> persistable state:
+    {cols, mu, sigma, centroids (k x d, standardized space), k,
+    standardize, iters, sample_n}."""
+    cols, mu, sigma, sample = fit_stats_and_sample(
+        df, center=standardize, scale=standardize
+    )
+    d = len(cols)
     m = len(sample)
     if m < k:
         raise ValueError(f"KMEANS: {m} rows < NUM_CLUSTERS={k}")

@@ -668,6 +668,32 @@ def try_create_model(
             },
         )
         return df
+    if model_type == "PCA":
+        # dimensionality reduction: deterministic deflated power
+        # iteration (ml/pca_model.py); loadings persisted in the meta
+        from .pca_model import fit_pca_state
+
+        if "PCA_EXPLAINED_VARIANCE_RATIO" in opts:
+            raise ValueError(
+                "PCA_EXPLAINED_VARIANCE_RATIO is not supported; pass"
+                " NUM_PRINCIPAL_COMPONENTS (the engine's deterministic"
+                " power-iteration fit needs an explicit component count)"
+            )
+        if "NUM_PRINCIPAL_COMPONENTS" not in opts:
+            raise ValueError(
+                "PCA requires NUM_PRINCIPAL_COMPONENTS in OPTIONS"
+            )
+        scale = opts.get("SCALE_FEATURES", False)
+        if isinstance(scale, str):
+            scale = scale.strip("'\"").upper() == "TRUE"
+        state = fit_pca_state(
+            df, int(opts["NUM_PRINCIPAL_COMPONENTS"]), bool(scale)
+        )
+        registry.save_meta(
+            name,
+            {"model_type": "PCA", "pca": state, "source_sql": query},
+        )
+        return df
     if model_type == "MATRIX_FACTORIZATION":
         # collaborative filtering -> Spark ALS (the same alternating-
         # least-squares family BigQuery documents for this model type).
@@ -1342,14 +1368,16 @@ def rewrite_ml_predict(
     def handler(name: str, args: list[str]) -> str:
         inner = _inner_query(args[0])
         meta0 = registry.load_meta(name)
-        if meta0["model_type"] == "KMEANS":
-            from .kmeans import assign_frame
+        if meta0["model_type"] in ("KMEANS", "PCA"):
+            src = _apply_transform(spark, inner, meta0, cte, drop_label=True)
+            if meta0["model_type"] == "KMEANS":
+                from .kmeans import assign_frame
 
-            scored = assign_frame(
-                spark,
-                meta0["kmeans"],
-                _apply_transform(spark, inner, meta0, cte, drop_label=True),
-            )
+                scored = assign_frame(spark, meta0["kmeans"], src)
+            else:
+                from .pca_model import project_frame
+
+                scored = project_frame(spark, meta0["pca"], src)
             counter[0] += 1
             view = f"__ml_predict_{counter[0]}"
             scored.createOrReplaceTempView(view)
@@ -1469,6 +1497,50 @@ def _model_feature_rows(model, meta: dict) -> list[tuple[str, float]]:
             "(DNN models: inspect the saved network artifact instead)"
         )
     return list(zip(feats, vals))
+
+
+_ML_PC_RE = re.compile(
+    r"ML\.PRINCIPAL_COMPONENTS\s*\(\s*MODEL\s+`?([\w.\-]+)`?\s*\)",
+    re.IGNORECASE,
+)
+_ML_PC_INFO_RE = re.compile(
+    r"ML\.PRINCIPAL_COMPONENT_INFO\s*\(\s*MODEL\s+`?([\w.\-]+)`?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_ml_principal_components(
+    spark: SparkSession, stmt: str, registry: ModelRegistry
+) -> str:
+    """``ML.PRINCIPAL_COMPONENTS(MODEL m)`` /
+    ``ML.PRINCIPAL_COMPONENT_INFO(MODEL m)`` -> loading / eigenvalue
+    tables in BigQuery's column shapes (PCA docs)."""
+    from .pca_model import (
+        principal_component_info_frame,
+        principal_components_frame,
+    )
+
+    counter = [0]
+
+    def make(frame_fn):
+        def repl(m: re.Match) -> str:
+            meta = registry.load_meta(m.group(1))
+            if meta["model_type"] != "PCA":
+                raise ValueError(
+                    "ML.PRINCIPAL_COMPONENTS/_INFO requires a PCA model,"
+                    f" got {meta['model_type']}"
+                )
+            df = frame_fn(spark, meta["pca"])
+            counter[0] += 1
+            view = f"__ml_pc_{counter[0]}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return repl
+
+    # _INFO first: its name contains the other's prefix
+    stmt = _ML_PC_INFO_RE.sub(make(principal_component_info_frame), stmt)
+    return _ML_PC_RE.sub(make(principal_components_frame), stmt)
 
 
 _ML_CENTROIDS_RE = re.compile(
@@ -1626,6 +1698,22 @@ def rewrite_ml_evaluate(
             else:
                 df = spark.sql(meta["source_sql"])
             out = evaluate_frame(spark, meta["kmeans"], df)
+            counter[0] += 1
+            view = f"__ml_evaluate_{counter[0]}"
+            out.createOrReplaceTempView(view)
+            return view
+        if meta["model_type"] == "PCA":
+            # BigQuery's PCA evaluate row: total explained variance
+            from .kmeans import _round6
+
+            st = meta["pca"]
+            tot = st["total_var"]
+            ratio = (
+                _round6(sum(st["eigenvalues"]) / tot) if tot > 0 else 0.0
+            )
+            out = spark.createDataFrame(
+                [(ratio,)], "total_explained_variance_ratio double"
+            )
             counter[0] += 1
             view = f"__ml_evaluate_{counter[0]}"
             out.createOrReplaceTempView(view)

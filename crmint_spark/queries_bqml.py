@@ -917,3 +917,131 @@ ORDER BY c.centroid_id, c.feature
 
 
 BQML_QUERIES["bqml_kmeans"] = (bqml_kmeans, _kmeans_oracle_sql())
+
+
+def bqml_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE MODEL MODEL_TYPE='PCA' end-to-end: deterministic deflated
+    power iteration (ml/pca_model.py) over the shared hash-order
+    trainer sample, then ML.PRINCIPAL_COMPONENTS joined with
+    ML.PRINCIPAL_COMPONENT_INFO. The DuckDB oracle replays the whole
+    fit — stats, sample, covariance folds, 48 rounded power-iteration
+    steps per component, Rayleigh eigenvalues, Hotelling deflation —
+    term-for-term. ref: BigQuery PCA docs (CRMint passes CREATE MODEL
+    OPTIONS through verbatim)."""
+    from .catalog import register_testdata
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE MODEL `p.d.pca_oracle`
+    OPTIONS(MODEL_TYPE='PCA', NUM_PRINCIPAL_COMPONENTS=2,
+            SCALE_FEATURES=TRUE) AS (
+      SELECT CAST(c_acctbal AS FLOAT64) AS bal,
+             CAST(c_nationkey AS FLOAT64) AS nat
+      FROM customer
+      WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL
+    );
+    SELECT pc.principal_component_id, pc.feature, pc.numerical_value,
+           i.eigenvalue, i.explained_variance_ratio,
+           i.cumulative_explained_variance_ratio
+    FROM ML.PRINCIPAL_COMPONENTS(MODEL `p.d.pca_oracle`) pc
+    JOIN ML.PRINCIPAL_COMPONENT_INFO(MODEL `p.d.pca_oracle`) i
+      USING (principal_component_id)
+    ORDER BY pc.principal_component_id, pc.feature
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False}, WorkerContext(spark)
+    )
+    w.execute()
+    return w.result
+
+
+def _pca_oracle_sql(iters: int = 48) -> str:
+    """DuckDB replay of ml/pca_model.py's fit for d=2, k=2: identical
+    fold orders, identical ROUND(.,6) discipline."""
+
+    def power_chain(prefix: str, src: str) -> str:
+        # carries every other column (tv, lam1, u1x, ...) through
+        ctes = [
+            f"{prefix}0 AS (SELECT *, 1.0 AS v1, 0.0 AS v2 FROM {src})"
+        ]
+        for t in range(1, iters + 1):
+            ctes.append(
+                f"""{prefix}{t} AS (
+  SELECT * EXCLUDE (v1, v2, w1, w2, nrm),
+    CASE WHEN nrm = 0.0 THEN v1 ELSE ROUND(w1 / nrm, 6) END AS v1,
+    CASE WHEN nrm = 0.0 THEN v2 ELSE ROUND(w2 / nrm, 6) END AS v2
+  FROM (SELECT *, sqrt((0.0 + w1 * w1) + w2 * w2) AS nrm
+        FROM (SELECT *, ((0.0 + c11 * v1) + c12 * v2) AS w1,
+                        ((0.0 + c21 * v1) + c22 * v2) AS w2
+              FROM {prefix}{t - 1})))"""
+            )
+        return ", ".join(ctes)
+
+    def cov_fold(a: int, b: int) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(pts,"
+            f" p -> p[{a}] * p[{b}])), (x, y) -> x + y) / m"
+        )
+
+    rayleigh = (
+        "ROUND(((0.0 + v1 * ((0.0 + c11 * v1) + c12 * v2))"
+        " + v2 * ((0.0 + c21 * v1) + c22 * v2)), 6)"
+    )
+    return f"""
+WITH feats AS (
+  SELECT CAST(c_acctbal AS DOUBLE) AS x1, CAST(c_nationkey AS DOUBLE) AS x2
+  FROM customer WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL
+), st AS (
+  SELECT ROUND(AVG(x1), 6) AS mu1, ROUND(AVG(x2), 6) AS mu2,
+         CASE WHEN COALESCE(ROUND(STDDEV_POP(x1), 6), 0) = 0 THEN 1.0
+              ELSE ROUND(STDDEV_POP(x1), 6) END AS sd1,
+         CASE WHEN COALESCE(ROUND(STDDEV_POP(x2), 6), 0) = 0 THEN 1.0
+              ELSE ROUND(STDDEV_POP(x2), 6) END AS sd2
+  FROM feats
+), std AS (
+  SELECT ROUND((x1 - mu1) / sd1, 6) AS v1, ROUND((x2 - mu2) / sd2, 6) AS v2
+  FROM feats, st
+), samp AS (
+  SELECT v1, v2 FROM (
+    SELECT v1, v2,
+      (((7 * 9973 + CAST(ROUND(v1 * 1000000) AS BIGINT)) % 1000000007)
+        * 9973 + CAST(ROUND(v2 * 1000000) AS BIGINT)) % 1000000007 AS h
+    FROM std)
+  ORDER BY h, v1, v2 LIMIT 256
+), s0 AS (
+  SELECT list([v1, v2] ORDER BY v1, v2) AS pts, COUNT(*) AS m FROM samp
+), cov AS (
+  SELECT {cov_fold(1, 1)} AS c11, {cov_fold(1, 2)} AS c12,
+         {cov_fold(2, 1)} AS c21, {cov_fold(2, 2)} AS c22,
+         ((0.0 + {cov_fold(1, 1)}) + {cov_fold(2, 2)}) AS tv
+  FROM s0
+), {power_chain("p", "cov")}, l1 AS (
+  SELECT *, {rayleigh} AS lam FROM p{iters}
+), d1 AS (
+  SELECT tv, c11 - lam * v1 * v1 AS c11, c12 - lam * v1 * v2 AS c12,
+         c21 - lam * v2 * v1 AS c21, c22 - lam * v2 * v2 AS c22,
+         lam AS lam1, v1 AS u11, v2 AS u12 FROM l1
+), {power_chain("q", "d1")}, l2 AS (
+  SELECT *, {rayleigh} AS lam FROM q{iters}
+), fin AS (
+  SELECT u11, u12, v1 AS u21, v2 AS u22, lam1, lam AS lam2,
+         ROUND(lam1 / tv, 6) AS r1, ROUND(lam / tv, 6) AS r2
+  FROM l2
+), rows_out AS (
+  SELECT 1 AS principal_component_id, 'bal' AS feature, u11 AS numerical_value,
+         lam1 AS eigenvalue, r1 AS explained_variance_ratio,
+         r1 AS cumulative_explained_variance_ratio FROM fin
+  UNION ALL SELECT 1, 'nat', u12, lam1, r1, r1 FROM fin
+  UNION ALL SELECT 2, 'bal', u21, lam2, r2, ROUND(r1 + r2, 6) FROM fin
+  UNION ALL SELECT 2, 'nat', u22, lam2, r2, ROUND(r1 + r2, 6) FROM fin
+)
+SELECT CAST(principal_component_id AS BIGINT) AS principal_component_id,
+       feature, numerical_value, eigenvalue, explained_variance_ratio,
+       cumulative_explained_variance_ratio
+FROM rows_out ORDER BY principal_component_id, feature
+"""
+
+
+BQML_QUERIES["bqml_pca"] = (bqml_pca, _pca_oracle_sql())

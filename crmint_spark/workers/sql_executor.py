@@ -1449,6 +1449,7 @@ class SparkSQLExecutor(Worker):
             rewrite_ml_roc_curve,
             rewrite_ml_transform,
             rewrite_ml_centroids,
+            rewrite_ml_principal_components,
             rewrite_ml_trial_info,
             rewrite_ml_weights,
             try_create_model,
@@ -1515,6 +1516,7 @@ class SparkSQLExecutor(Worker):
         stmt = rewrite_ml_trial_info(spark, stmt, registry)
         stmt = rewrite_ml_weights(spark, stmt, registry)
         stmt = rewrite_ml_centroids(spark, stmt, registry)
+        stmt = rewrite_ml_principal_components(spark, stmt, registry)
         stmt = rewrite_ml_global_explain(spark, stmt, registry)
         stmt = rewrite_ml_forecast(spark, stmt, registry)
         stmt = rewrite_ml_arima_evaluate(spark, stmt, registry)

@@ -1204,3 +1204,78 @@ def test_ml_kmeans_rejections(ctx):
               AS (SELECT x FROM km_bad)
             """,
         )
+
+
+def test_ml_pca_fit_predict_components(ctx):
+    """Anisotropic synthetic data (variance dominated by the x+2y
+    direction): component 1 aligns with it, projections decorrelate,
+    explained-variance ratios order correctly."""
+    spark = ctx.spark
+    rows = []
+    for i in range(200):
+        t = (i - 100) / 10.0          # dominant direction
+        s = ((i * 7) % 11 - 5) / 25.0  # small orthogonal wiggle
+        rows.append((t * 1.0 + s * 2.0, t * 2.0 - s * 1.0))
+    spark.createDataFrame(rows, "x double, y double").createOrReplaceTempView(
+        "aniso"
+    )
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.pca_t`
+        OPTIONS(MODEL_TYPE='PCA', NUM_PRINCIPAL_COMPONENTS=2)
+          AS (SELECT x, y FROM aniso)
+        """,
+    )
+    pc = {
+        (r["principal_component_id"], r["feature"]): r["numerical_value"]
+        for r in _run(
+            ctx, "SELECT * FROM ML.PRINCIPAL_COMPONENTS(MODEL `p.d.pca_t`)"
+        ).result.collect()
+    }
+    # component 1 parallel to (1, 2)/sqrt(5): |x| ~ 0.447, |y| ~ 0.894
+    assert abs(abs(pc[(1, "x")]) - 0.4472) < 0.01, pc
+    assert abs(abs(pc[(1, "y")]) - 0.8944) < 0.01, pc
+    info = {
+        r["principal_component_id"]: r
+        for r in _run(
+            ctx,
+            "SELECT * FROM ML.PRINCIPAL_COMPONENT_INFO(MODEL `p.d.pca_t`)",
+        ).result.collect()
+    }
+    assert info[1]["explained_variance_ratio"] > 0.99, info
+    assert (
+        abs(info[2]["cumulative_explained_variance_ratio"] - 1.0) < 1e-3
+    ), info
+    w = _run(
+        ctx,
+        """
+        SELECT ABS(CORR(principal_component_1, principal_component_2)) AS xcorr,
+               ROUND(STDDEV_POP(principal_component_1), 2) AS s1,
+               ROUND(STDDEV_POP(principal_component_2), 2) AS s2
+        FROM ML.PREDICT(MODEL `p.d.pca_t`, (SELECT x, y FROM aniso))
+        """,
+    )
+    r = w.result.first()
+    assert r["xcorr"] < 0.05 and r["s1"] > r["s2"], r
+    ev = _run(ctx, "SELECT * FROM ML.EVALUATE(MODEL `p.d.pca_t`)").result.first()
+    assert abs(ev["total_explained_variance_ratio"] - 1.0) < 1e-3, ev
+
+
+def test_ml_pca_rejections(ctx):
+    spark = ctx.spark
+    spark.createDataFrame([(1.0,), (2.0,)], "x double").createOrReplaceTempView(
+        "pca_bad"
+    )
+    with pytest.raises(Exception, match="NUM_PRINCIPAL_COMPONENTS"):
+        _run(
+            ctx,
+            "CREATE OR REPLACE MODEL `p.d.pca_b1` OPTIONS(MODEL_TYPE='PCA')"
+            " AS (SELECT x FROM pca_bad)",
+        )
+    with pytest.raises(Exception, match="NUM_PRINCIPAL_COMPONENTS"):
+        _run(
+            ctx,
+            "CREATE OR REPLACE MODEL `p.d.pca_b2` OPTIONS(MODEL_TYPE='PCA',"
+            " PCA_EXPLAINED_VARIANCE_RATIO=0.9) AS (SELECT x FROM pca_bad)",
+        )
