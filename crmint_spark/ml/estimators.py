@@ -40,12 +40,17 @@ CLASSIFIERS = {
     "BOOSTED_TREE_CLASSIFIER": GBTClassifier,
     "RANDOM_FOREST_CLASSIFIER": RandomForestClassifier,
     "DNN_CLASSIFIER": MultilayerPerceptronClassifier,
+    # wide-and-deep: DOCUMENTED DIVERGENCE — the engine serves the deep
+    # tower (the linear "wide" half is a strict subset of an MLP with
+    # the same inputs); BigQuery's combined architecture is proprietary
+    "DNN_LINEAR_COMBINED_CLASSIFIER": MultilayerPerceptronClassifier,
 }
 REGRESSORS = {
     "LINEAR_REG": LinearRegression,
     "BOOSTED_TREE_REGRESSOR": GBTRegressor,
     "RANDOM_FOREST_REGRESSOR": RandomForestRegressor,
     "DNN_REGRESSOR": None,  # handled by _MLPPipeline in build_pipeline
+    "DNN_LINEAR_COMBINED_REGRESSOR": None,  # same MLP path (see above)
 }
 
 
@@ -108,7 +113,7 @@ def build_pipeline(
     metadata lets the assembler keep handleInvalid='keep' without a
     length-inference pass."""
     mt = model_type.upper()
-    if mt == "DNN_REGRESSOR":
+    if mt in ("DNN_REGRESSOR", "DNN_LINEAR_COMBINED_REGRESSOR"):
         return _MLPPipeline(feature_cols, label_col, hyperparams)
     stages: list = []
     assembled: list[str] = []

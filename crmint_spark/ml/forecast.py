@@ -575,6 +575,11 @@ _STRUCT_THRESHOLD_RE = re.compile(
     re.IGNORECASE,
 )
 
+_STRUCT_CONTAMINATION_RE = re.compile(
+    r"STRUCT\s*\(\s*([0-9.]+)\s+AS\s+contamination\s*\)",
+    re.IGNORECASE,
+)
+
 
 def detect_anomalies_frame(
     spark: SparkSession,
@@ -674,13 +679,35 @@ def rewrite_ml_detect_anomalies(
         if len(args) != 2:
             raise ValueError(
                 "ML.DETECT_ANOMALIES expects (MODEL m, STRUCT(p AS "
-                "anomaly_prob_threshold), (query))"
+                "anomaly_prob_threshold | contamination), (query))"
             )
+        meta = registry.load_meta(name)
+        mc = _STRUCT_CONTAMINATION_RE.match(args[0])
+        if mc:
+            # reconstruction-loss anomalies (AUTOENCODER / PCA models —
+            # BigQuery's contamination contract)
+            if meta["model_type"] not in ("AUTOENCODER", "PCA"):
+                raise ValueError(
+                    "STRUCT(c AS contamination) needs an AUTOENCODER or"
+                    f" PCA model, got {meta['model_type']}"
+                )
+            from .pca_model import detect_reconstruction_anomalies
+            from .sql_ml import _inner_query as _iq
+
+            out = detect_reconstruction_anomalies(
+                spark,
+                meta["pca"],
+                spark.sql(_iq(args[1])),
+                float(mc.group(1)),
+            )
+            counter[0] += 1
+            view = f"__ml_detect_{counter[0]}"
+            out.createOrReplaceTempView(view)
+            return view
         ms = _STRUCT_THRESHOLD_RE.match(args[0])
         if not ms:
             raise ValueError(f"bad anomaly threshold arg: {args[0]!r}")
         p = float(ms.group(1))
-        meta = registry.load_meta(name)
         df = spark.sql(_inner_query(args[1]))
         cols = meta.get("detect_cols", {})
         out = detect_anomalies_frame(

@@ -185,3 +185,100 @@ def principal_component_info_frame(
         " explained_variance_ratio double,"
         " cumulative_explained_variance_ratio double",
     )
+
+
+# ---------------------------------------------------------------------------
+# AUTOENCODER (MODEL_TYPE='AUTOENCODER'): the engine serves the LINEAR
+# autoencoder, which is exactly the PCA subspace (tied-weight linear
+# AE minimizing reconstruction MSE spans the top-k principal
+# directions — Baldi & Hornik 1989). DOCUMENTED DIVERGENCE: BigQuery
+# trains a nonlinear network; the engine's latent space is the
+# deterministic PCA fit above, so every serving path stays
+# oracle-replicable. Bottleneck width = min(HIDDEN_UNITS).
+#   ML.PREDICT          -> latent_col_0..k-1 (BigQuery's column names)
+#   ML.EVALUATE         -> mean_absolute_error / mean_squared_error of
+#                          the standardized-space reconstruction
+#   ML.DETECT_ANOMALIES(MODEL m, STRUCT(c AS contamination), (q))
+#                       -> per-row mean_squared_error + is_anomaly for
+#                          the ceil(c*n) worst-reconstructed rows
+#                          (threshold = the ceil((1-c)*n)-th smallest
+#                          MSE — an exact order statistic, so the
+#                          DuckDB oracle reproduces the flags;
+#                          scale note: the order statistic is a global
+#                          sort-and-offset — swap in approx_percentile
+#                          at 100 TB, documented).
+# ---------------------------------------------------------------------------
+
+
+def _mse_expr(state: dict):
+    """Per-row reconstruction mean-squared error in standardized space,
+    written in the exact fold order the DuckDB oracle uses."""
+    cols = state["cols"]
+    d = len(cols)
+    comps = state["components"]
+    std = [
+        F.round(
+            (F.col(c).cast("double") - F.lit(state["mu"][i]))
+            / F.lit(state["sigma"][i]),
+            6,
+        )
+        for i, c in enumerate(cols)
+    ]
+    projs = []
+    for comp in comps:
+        acc = F.lit(0.0)
+        for j in range(d):
+            acc = acc + std[j] * F.lit(comp[j])
+        projs.append(acc)
+    mse = F.lit(0.0)
+    for j in range(d):
+        xhat = F.lit(0.0)
+        for ci, comp in enumerate(comps):
+            xhat = xhat + projs[ci] * F.lit(comp[j])
+        err = std[j] - xhat
+        mse = mse + err * err
+    return mse / F.lit(float(d))
+
+
+def reconstruction_errors(
+    spark: SparkSession, state: dict, df: DataFrame
+) -> DataFrame:
+    """Input rows + 6 dp-rounded ``mean_squared_error`` (map-only)."""
+    return df.withColumn(
+        "mean_squared_error", F.round(_mse_expr(state), 6) + F.lit(0.0)
+    )
+
+
+def autoencoder_evaluate_frame(
+    spark: SparkSession, state: dict, df: DataFrame
+) -> DataFrame:
+    mse = _mse_expr(state)
+    return df.select(
+        F.round(F.avg(F.sqrt(mse * F.lit(float(len(state["cols"]))))), 6)
+        .alias("mean_absolute_error"),
+        F.round(F.avg(mse), 6).alias("mean_squared_error"),
+    )
+
+
+def detect_reconstruction_anomalies(
+    spark: SparkSession, state: dict, df: DataFrame, contamination: float
+) -> DataFrame:
+    """Flag the worst-reconstructed ``contamination`` fraction."""
+    if not 0.0 < contamination < 0.5:
+        raise ValueError(
+            f"contamination must be in (0, 0.5), got {contamination}"
+        )
+    scored = reconstruction_errors(spark, state, df)
+    n = scored.count()
+    k_pos = math.ceil((1.0 - contamination) * n)
+    thr_row = (
+        scored.select("mean_squared_error")
+        .orderBy("mean_squared_error")
+        .offset(k_pos - 1)
+        .limit(1)
+        .first()
+    )
+    thr = float(thr_row["mean_squared_error"])
+    return scored.withColumn(
+        "is_anomaly", F.col("mean_squared_error") > F.lit(thr)
+    )

@@ -694,6 +694,29 @@ def try_create_model(
             {"model_type": "PCA", "pca": state, "source_sql": query},
         )
         return df
+    if model_type == "AUTOENCODER":
+        # linear autoencoder == PCA subspace (Baldi & Hornik 1989);
+        # bottleneck = min(HIDDEN_UNITS). Divergences documented in
+        # ml/pca_model.py.
+        from .pca_model import fit_pca_state
+
+        hu = opts.get("HIDDEN_UNITS", [2])
+        if not isinstance(hu, list):
+            hu = [hu]
+        k = min(int(h) for h in hu)
+        scale = opts.get("SCALE_FEATURES", True)
+        if isinstance(scale, str):
+            scale = scale.strip("'\"").upper() != "FALSE"
+        state = fit_pca_state(df, k, bool(scale))
+        registry.save_meta(
+            name,
+            {
+                "model_type": "AUTOENCODER",
+                "pca": state,
+                "source_sql": query,
+            },
+        )
+        return df
     if model_type == "MATRIX_FACTORIZATION":
         # collaborative filtering -> Spark ALS (the same alternating-
         # least-squares family BigQuery documents for this model type).
@@ -1368,7 +1391,7 @@ def rewrite_ml_predict(
     def handler(name: str, args: list[str]) -> str:
         inner = _inner_query(args[0])
         meta0 = registry.load_meta(name)
-        if meta0["model_type"] in ("KMEANS", "PCA"):
+        if meta0["model_type"] in ("KMEANS", "PCA", "AUTOENCODER"):
             src = _apply_transform(spark, inner, meta0, cte, drop_label=True)
             if meta0["model_type"] == "KMEANS":
                 from .kmeans import assign_frame
@@ -1378,6 +1401,13 @@ def rewrite_ml_predict(
                 from .pca_model import project_frame
 
                 scored = project_frame(spark, meta0["pca"], src)
+                if meta0["model_type"] == "AUTOENCODER":
+                    # BigQuery's autoencoder latent column names
+                    for i in range(len(meta0["pca"]["components"])):
+                        scored = scored.withColumnRenamed(
+                            f"principal_component_{i + 1}",
+                            f"latent_col_{i}",
+                        )
             counter[0] += 1
             view = f"__ml_predict_{counter[0]}"
             scored.createOrReplaceTempView(view)
@@ -1698,6 +1728,21 @@ def rewrite_ml_evaluate(
             else:
                 df = spark.sql(meta["source_sql"])
             out = evaluate_frame(spark, meta["kmeans"], df)
+            counter[0] += 1
+            view = f"__ml_evaluate_{counter[0]}"
+            out.createOrReplaceTempView(view)
+            return view
+        if meta["model_type"] == "AUTOENCODER":
+            # reconstruction-quality metrics over the input (training
+            # input when no query given, as in BigQuery)
+            from .pca_model import autoencoder_evaluate_frame
+
+            if args:
+                inner_q = _inner_query(args[0])
+                df = spark.sql(f"{cte} {inner_q}" if cte else inner_q)
+            else:
+                df = spark.sql(meta["source_sql"])
+            out = autoencoder_evaluate_frame(spark, meta["pca"], df)
             counter[0] += 1
             view = f"__ml_evaluate_{counter[0]}"
             out.createOrReplaceTempView(view)

@@ -957,18 +957,13 @@ def bqml_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.result
 
 
-def _pca_oracle_sql(iters: int = 48) -> str:
-    """DuckDB replay of ml/pca_model.py's fit for d=2, k=2: identical
-    fold orders, identical ROUND(.,6) discipline."""
-
-    def power_chain(prefix: str, src: str) -> str:
-        # carries every other column (tv, lam1, u1x, ...) through
-        ctes = [
-            f"{prefix}0 AS (SELECT *, 1.0 AS v1, 0.0 AS v2 FROM {src})"
-        ]
-        for t in range(1, iters + 1):
-            ctes.append(
-                f"""{prefix}{t} AS (
+def _pca_power_chain(prefix: str, src: str, iters: int = 48) -> str:
+    """One power-iteration CTE chain (d = 2); carries every other
+    column (tv, lam1, u1x, ...) through via EXCLUDE."""
+    ctes = [f"{prefix}0 AS (SELECT *, 1.0 AS v1, 0.0 AS v2 FROM {src})"]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""{prefix}{t} AS (
   SELECT * EXCLUDE (v1, v2, w1, w2, nrm),
     CASE WHEN nrm = 0.0 THEN v1 ELSE ROUND(w1 / nrm, 6) END AS v1,
     CASE WHEN nrm = 0.0 THEN v2 ELSE ROUND(w2 / nrm, 6) END AS v2
@@ -976,8 +971,14 @@ def _pca_oracle_sql(iters: int = 48) -> str:
         FROM (SELECT *, ((0.0 + c11 * v1) + c12 * v2) AS w1,
                         ((0.0 + c21 * v1) + c22 * v2) AS w2
               FROM {prefix}{t - 1})))"""
-            )
-        return ", ".join(ctes)
+        )
+    return ", ".join(ctes)
+
+
+def _pca_fit_prefix() -> str:
+    """Shared fit front-end CTEs (feats -> stats -> std -> sample ->
+    covariance) for the bal/nat customer fixture — identical text in
+    the PCA and AUTOENCODER oracles."""
 
     def cov_fold(a: int, b: int) -> str:
         return (
@@ -985,12 +986,7 @@ def _pca_oracle_sql(iters: int = 48) -> str:
             f" p -> p[{a}] * p[{b}])), (x, y) -> x + y) / m"
         )
 
-    rayleigh = (
-        "ROUND(((0.0 + v1 * ((0.0 + c11 * v1) + c12 * v2))"
-        " + v2 * ((0.0 + c21 * v1) + c22 * v2)), 6)"
-    )
-    return f"""
-WITH feats AS (
+    return f"""feats AS (
   SELECT CAST(c_acctbal AS DOUBLE) AS x1, CAST(c_nationkey AS DOUBLE) AS x2
   FROM customer WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL
 ), st AS (
@@ -1017,7 +1013,22 @@ WITH feats AS (
          {cov_fold(2, 1)} AS c21, {cov_fold(2, 2)} AS c22,
          ((0.0 + {cov_fold(1, 1)}) + {cov_fold(2, 2)}) AS tv
   FROM s0
-), {power_chain("p", "cov")}, l1 AS (
+)"""
+
+
+def _pca_oracle_sql(iters: int = 48) -> str:
+    """DuckDB replay of ml/pca_model.py's fit for d=2, k=2: identical
+    fold orders, identical ROUND(.,6) discipline."""
+
+    def power_chain(prefix: str, src: str) -> str:
+        return _pca_power_chain(prefix, src, iters)
+
+    rayleigh = (
+        "ROUND(((0.0 + v1 * ((0.0 + c11 * v1) + c12 * v2))"
+        " + v2 * ((0.0 + c21 * v1) + c22 * v2)), 6)"
+    )
+    return f"""
+WITH {_pca_fit_prefix()}, {power_chain("p", "cov")}, l1 AS (
   SELECT *, {rayleigh} AS lam FROM p{iters}
 ), d1 AS (
   SELECT tv, c11 - lam * v1 * v1 AS c11, c12 - lam * v1 * v2 AS c12,
@@ -1045,3 +1056,76 @@ FROM rows_out ORDER BY principal_component_id, feature
 
 
 BQML_QUERIES["bqml_pca"] = (bqml_pca, _pca_oracle_sql())
+
+
+def bqml_autoencoder_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE MODEL MODEL_TYPE='AUTOENCODER' + reconstruction-loss
+    ML.DETECT_ANOMALIES (contamination contract): the linear-AE == PCA
+    equivalence (ml/pca_model.py, Baldi & Hornik 1989) makes the whole
+    chain — fit, per-row reconstruction MSE, exact order-statistic
+    threshold, flags — deterministic, and the DuckDB oracle replays all
+    of it. ref: BigQuery autoencoder anomaly-detection docs."""
+    from .catalog import register_testdata
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE MODEL `p.d.ae_oracle`
+    OPTIONS(MODEL_TYPE='AUTOENCODER', HIDDEN_UNITS=[8, 1, 8]) AS (
+      SELECT CAST(c_acctbal AS FLOAT64) AS bal,
+             CAST(c_nationkey AS FLOAT64) AS nat
+      FROM customer
+      WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL
+    );
+    SELECT is_anomaly, COUNT(*) AS n,
+           ROUND(MIN(mean_squared_error), 6) AS min_mse,
+           ROUND(MAX(mean_squared_error), 6) AS max_mse
+    FROM ML.DETECT_ANOMALIES(MODEL `p.d.ae_oracle`,
+                             STRUCT(0.05 AS contamination),
+      (SELECT CAST(c_acctbal AS FLOAT64) AS bal,
+              CAST(c_nationkey AS FLOAT64) AS nat
+       FROM customer
+       WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL))
+    GROUP BY is_anomaly ORDER BY is_anomaly
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False}, WorkerContext(spark)
+    )
+    w.execute()
+    return w.result
+
+
+def _autoencoder_oracle_sql(iters: int = 48) -> str:
+    """DuckDB replay: k=1 PCA fit + per-row reconstruction MSE (same
+    fold order as pca_model._mse_expr) + exact order-statistic
+    threshold at ceil((1 - 0.05) * n)."""
+    # proj = (0.0 + s1*u1) + s2*u2; xhat_j = 0.0 + proj*u_j;
+    # mse = ((0.0 + e1*e1) + e2*e2) / 2.0
+    proj = "((0.0 + v1 * u1) + v2 * u2)"
+    e1 = f"(v1 - (0.0 + {proj} * u1))"
+    e2 = f"(v2 - (0.0 + {proj} * u2))"
+    mse = f"(((0.0 + {e1} * {e1}) + {e2} * {e2}) / 2.0)"
+    return f"""
+WITH {_pca_fit_prefix()}, {_pca_power_chain("p", "cov", iters)}, fin AS (
+  SELECT v1 AS u1, v2 AS u2 FROM p{iters}
+), scored AS (
+  SELECT ROUND({mse}, 6) + 0 AS mse FROM std, fin
+), nrow AS (
+  SELECT COUNT(*) AS n FROM scored
+), thr AS (
+  SELECT mse AS t FROM (
+    SELECT mse, ROW_NUMBER() OVER (ORDER BY mse) AS rn FROM scored)
+  WHERE rn = (SELECT CAST(CEIL((1.0 - 0.05) * n) AS BIGINT) FROM nrow)
+)
+SELECT is_anomaly, COUNT(*) AS n,
+       ROUND(MIN(mse), 6) AS min_mse, ROUND(MAX(mse), 6) AS max_mse
+FROM (SELECT mse, mse > t AS is_anomaly FROM scored, thr)
+GROUP BY is_anomaly ORDER BY is_anomaly
+"""
+
+
+BQML_QUERIES["bqml_autoencoder_anomalies"] = (
+    bqml_autoencoder_anomalies,
+    _autoencoder_oracle_sql(),
+)

@@ -1279,3 +1279,62 @@ def test_ml_pca_rejections(ctx):
             "CREATE OR REPLACE MODEL `p.d.pca_b2` OPTIONS(MODEL_TYPE='PCA',"
             " PCA_EXPLAINED_VARIANCE_RATIO=0.9) AS (SELECT x FROM pca_bad)",
         )
+
+
+def test_ml_autoencoder_latent_evaluate_anomalies(ctx):
+    """Linear-AE (PCA subspace) surface: latent columns, reconstruction
+    metrics, and contamination anomaly flags — a planted outlier must
+    be flagged."""
+    spark = ctx.spark
+    rows = [((i - 50) / 5.0, (i - 50) / 2.5) for i in range(100)]
+    rows.append((30.0, -30.0))  # far off the dominant direction
+    spark.createDataFrame(rows, "x double, y double").createOrReplaceTempView(
+        "ae_data"
+    )
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.ae_t`
+        OPTIONS(MODEL_TYPE='AUTOENCODER', HIDDEN_UNITS=[4, 1, 4])
+          AS (SELECT x, y FROM ae_data)
+        """,
+    )
+    w = _run(
+        ctx,
+        "SELECT latent_col_0 FROM ML.PREDICT(MODEL `p.d.ae_t`,"
+        " (SELECT x, y FROM ae_data))",
+    )
+    assert w.result.count() == 101
+    ev = _run(ctx, "SELECT * FROM ML.EVALUATE(MODEL `p.d.ae_t`)").result.first()
+    assert ev["mean_squared_error"] < 0.15, ev
+    an = _run(
+        ctx,
+        """
+        SELECT x, y, is_anomaly
+        FROM ML.DETECT_ANOMALIES(MODEL `p.d.ae_t`,
+          STRUCT(0.02 AS contamination), (SELECT x, y FROM ae_data))
+        WHERE is_anomaly
+        """,
+    ).result.collect()
+    assert len(an) >= 1
+    assert any(r["x"] == 30.0 and r["y"] == -30.0 for r in an), an
+
+
+def test_ml_wide_and_deep_aliases(ctx):
+    """DNN_LINEAR_COMBINED_* models train and serve through the MLP
+    path (documented divergence in estimators.py)."""
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.wd_c`
+        OPTIONS(MODEL_TYPE='DNN_LINEAR_COMBINED_CLASSIFIER',
+                INPUT_LABEL_COLS=['label'], MAX_ITERATIONS=20)
+          AS (SELECT x1, x2, label FROM training_data)
+        """,
+    )
+    w = _run(
+        ctx,
+        "SELECT predicted_label FROM ML.PREDICT(MODEL `p.d.wd_c`,"
+        " (SELECT x1, x2, label FROM training_data)) LIMIT 5",
+    )
+    assert w.result.count() == 5
