@@ -1061,6 +1061,11 @@ def _rewrite_misc_fns(sql: str) -> str:
             "COTH",
             "SECH",
             "CSCH",
+            "JSON_ARRAY_APPEND",
+            "JSON_ARRAY_INSERT",
+            "JSON_SET",
+            "JSON_REMOVE",
+            "JSON_STRIP_NULLS",
             "JSON_ARRAY",
             "JSON_OBJECT",
             "LAX_INT64",
@@ -1115,6 +1120,55 @@ def _rewrite_misc_fns(sql: str) -> str:
                 f"CAST(size(filter({args[1]}, __e -> __e <= {args[0]})) "
                 "AS BIGINT)"
             )
+        elif fn in (
+            "json_set",
+            "json_remove",
+            "json_array_append",
+            "json_array_insert",
+            "json_strip_nulls",
+        ):
+            # JSON mutators -> Arrow UDFs (functions/json_mutators.py).
+            # Values encode as to_json(struct(v)) so any SQL type
+            # reaches the UDF as JSON text; multi-pair forms nest
+            # left-to-right (BigQuery's application order). Named args
+            # (append_each_element / include_arrays / remove_empty)
+            # reject loudly.
+            if any("=>" in a for a in args):
+                raise ValueError(
+                    f"{fn.upper()}: named arguments are not supported "
+                    "(append_each_element / include_arrays / "
+                    "remove_empty use their BigQuery defaults)"
+                )
+
+            def _enc(v: str) -> str:
+                return (
+                    f"to_json(struct({v} AS v), "
+                    "map('ignoreNullFields', 'false'))"
+                )
+
+            if fn == "json_set" and len(args) >= 3 and len(args) % 2 == 1:
+                rep = args[0]
+                for pi in range(1, len(args), 2):
+                    rep = (
+                        f"bq_json_set({rep}, {args[pi]}, "
+                        f"{_enc(args[pi + 1])})"
+                    )
+            elif fn == "json_remove" and len(args) >= 2:
+                rep = args[0]
+                for pth in args[1:]:
+                    rep = f"bq_json_remove({rep}, {pth})"
+            elif (
+                fn in ("json_array_append", "json_array_insert")
+                and len(args) == 3
+            ):
+                rep = f"bq_{fn}({args[0]}, {args[1]}, {_enc(args[2])})"
+            elif fn == "json_strip_nulls" and len(args) == 1:
+                rep = f"bq_json_strip_nulls({args[0]})"
+            else:
+                raise ValueError(
+                    f"{fn.upper()}: unsupported argument shape "
+                    f"({len(args)} args)"
+                )
         elif fn in ("normalize", "normalize_and_casefold") and len(args) in (
             1,
             2,

@@ -108,12 +108,24 @@ def register_engine_udfs(spark) -> None:
             return None
         return unicodedata.normalize(form, s).casefold()
 
-    try:
-        norm = F.udf(_normalize, StringType(), useArrow=True)
-        normcf = F.udf(_normalize_casefold, StringType(), useArrow=True)
-    except TypeError:  # older pyspark without useArrow
-        norm = F.udf(_normalize, StringType())
-        normcf = F.udf(_normalize_casefold, StringType())
-    spark.udf.register("bq_normalize", norm)
-    spark.udf.register("bq_normalize_and_casefold", normcf)
+    from . import json_mutators as _jm
+
+    def _register(name, fn, arity):
+        try:
+            udf = F.udf(fn, StringType(), useArrow=True)
+        except TypeError:  # older pyspark without useArrow
+            udf = F.udf(fn, StringType())
+        spark.udf.register(name, udf)
+
+    _register("bq_normalize", _normalize, 2)
+    _register("bq_normalize_and_casefold", _normalize_casefold, 2)
+    # JSON mutators (functions/json_mutators.py): BigQuery's JSON_SET /
+    # JSON_REMOVE / JSON_ARRAY_APPEND / JSON_ARRAY_INSERT /
+    # JSON_STRIP_NULLS have no Spark builtins and take arbitrary
+    # JSONPaths — the documented escape hatch, Arrow-vectorized
+    _register("bq_json_set", _jm.json_set, 3)
+    _register("bq_json_remove", _jm.json_remove, 2)
+    _register("bq_json_array_append", _jm.json_array_append, 3)
+    _register("bq_json_array_insert", _jm.json_array_insert, 3)
+    _register("bq_json_strip_nulls", _jm.json_strip_nulls, 1)
     _UDF_SESSIONS.add(spark)

@@ -3398,3 +3398,55 @@ EXTENDED_QUERIES: dict[str, tuple] = {
     ),
     "streaming_merge_upsert": (streaming_merge_upsert, STREAMING_UPSERT_SQL),
 }
+
+
+def q87_json_mutators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eleventh function batch — the JSON mutator family (JSON_SET /
+    JSON_REMOVE / JSON_ARRAY_APPEND / JSON_ARRAY_INSERT /
+    JSON_STRIP_NULLS, functions/json_mutators.py Arrow UDFs). DuckDB's
+    json extension has no same-shape twins, so the oracle pins
+    BigQuery's documented outputs as literals (the q64 pattern) plus a
+    json_merge_patch cross-check where RFC 7386 semantics coincide with
+    JSON_SET, and keeps the testdata probe."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    SELECT
+      JSON_SET(JSON '{"a":1,"b":{"c":2}}', '$.b.d', 5) AS set_nested,
+      JSON_SET('{"a":1}', '$.arr[2]', 'x') AS set_pad,
+      JSON_SET('{"a":1}', '$.a', [1,2,3], '$.z', 9.5) AS set_multi,
+      JSON_REMOVE('{"a":1,"b":{"c":2,"d":3}}', '$.b.c', '$.a') AS rm_multi,
+      JSON_REMOVE('[1,2,3]', '$[1]') AS rm_idx,
+      JSON_ARRAY_APPEND('{"l":[1,2]}', '$.l', 9) AS app,
+      JSON_ARRAY_APPEND('{"l":1}', '$.l', 9) AS app_noop,
+      JSON_ARRAY_INSERT('[1,2,3]', '$[1]', 99) AS ins,
+      JSON_STRIP_NULLS(
+        '{"a":null,"b":{"c":null,"d":1},"e":[1,null,2]}') AS stripped,
+      (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 50) AS src_n
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False}, WorkerContext(spark)
+    )
+    w.execute()
+    return w.result
+
+
+Q87_SQL = """
+SELECT
+  CAST(json_merge_patch('{"a":1,"b":{"c":2}}', '{"b":{"d":5}}') AS VARCHAR)
+    AS set_nested,
+  '{"a":1,"arr":[null,null,"x"]}' AS set_pad,
+  '{"a":[1,2,3],"z":9.5}' AS set_multi,
+  CAST(json_merge_patch('{"a":1,"b":{"c":2,"d":3}}',
+                        '{"b":{"c":null},"a":null}') AS VARCHAR) AS rm_multi,
+  '[1,3]' AS rm_idx,
+  '{"l":[1,2,9]}' AS app,
+  '{"l":1}' AS app_noop,
+  '[1,99,2,3]' AS ins,
+  '{"b":{"d":1},"e":[1,2]}' AS stripped,
+  (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 50) AS src_n
+"""
+
+EXTENDED_QUERIES["q87_json_mutators"] = (q87_json_mutators, Q87_SQL)

@@ -1382,3 +1382,45 @@ def test_bignumeric_type_name():
 
     assert _bq_type_name(T.DecimalType(38, 9)) == "NUMERIC"
     assert _bq_type_name(T.DecimalType(38, 18)) == "BIGNUMERIC"
+
+
+def test_json_mutators_edges(spark):
+    """JSON mutator error contract + lax edges (the happy paths are
+    oracle-certified by q87_json_mutators)."""
+    import pytest as _pytest
+
+    from crmint_spark.functions import register_engine_udfs
+    from crmint_spark.functions.json_mutators import (
+        json_remove,
+        json_set,
+        json_strip_nulls,
+    )
+
+    register_engine_udfs(spark)
+    # root replacement and null-document propagation
+    assert json_set('{"a":1}', "$", '{"v":[1]}') == "[1]"
+    assert json_set(None, "$.a", '{"v":1}') is None
+    # quoted keys with dots
+    assert (
+        json_set("{}", '$."k.1"', '{"v":2}') == '{"k.1":2}'
+    )
+    with _pytest.raises(ValueError, match="root"):
+        json_remove('{"a":1}', "$")
+    with _pytest.raises(ValueError, match="JSONPath"):
+        json_set("{}", "a.b", '{"v":1}')
+    # strip on null root -> JSON 'null'
+    assert json_strip_nulls("null") == "null"
+    # named args reject at transpile time
+    from crmint_spark.dialect import transpile_statement
+
+    with _pytest.raises(ValueError, match="named arguments"):
+        transpile_statement(
+            "SELECT JSON_STRIP_NULLS(j, remove_empty => TRUE) FROM t"
+        )
+    # SQL-level roundtrip through the registered UDFs
+    row = spark.sql(
+        transpile_statement(
+            "SELECT JSON_SET('{\"x\":1}', '$.y[1]', 'z') AS a"
+        )
+    ).first()
+    assert row["a"] == '{"x":1,"y":[null,"z"]}'
