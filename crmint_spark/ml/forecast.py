@@ -684,22 +684,34 @@ def rewrite_ml_detect_anomalies(
         meta = registry.load_meta(name)
         mc = _STRUCT_CONTAMINATION_RE.match(args[0])
         if mc:
-            # reconstruction-loss anomalies (AUTOENCODER / PCA models —
-            # BigQuery's contamination contract)
-            if meta["model_type"] not in ("AUTOENCODER", "PCA"):
-                raise ValueError(
-                    "STRUCT(c AS contamination) needs an AUTOENCODER or"
-                    f" PCA model, got {meta['model_type']}"
-                )
-            from .pca_model import detect_reconstruction_anomalies
+            # contamination anomalies: reconstruction loss for
+            # AUTOENCODER/PCA, centroid distance for KMEANS —
+            # BigQuery's contract for each model family
             from .sql_ml import _inner_query as _iq
 
-            out = detect_reconstruction_anomalies(
-                spark,
-                meta["pca"],
-                spark.sql(_iq(args[1])),
-                float(mc.group(1)),
-            )
+            if meta["model_type"] in ("AUTOENCODER", "PCA"):
+                from .pca_model import detect_reconstruction_anomalies
+
+                out = detect_reconstruction_anomalies(
+                    spark,
+                    meta["pca"],
+                    spark.sql(_iq(args[1])),
+                    float(mc.group(1)),
+                )
+            elif meta["model_type"] == "KMEANS":
+                from .kmeans import detect_distance_anomalies
+
+                out = detect_distance_anomalies(
+                    spark,
+                    meta["kmeans"],
+                    spark.sql(_iq(args[1])),
+                    float(mc.group(1)),
+                )
+            else:
+                raise ValueError(
+                    "STRUCT(c AS contamination) needs an AUTOENCODER,"
+                    f" PCA or KMEANS model, got {meta['model_type']}"
+                )
             counter[0] += 1
             view = f"__ml_detect_{counter[0]}"
             out.createOrReplaceTempView(view)

@@ -274,3 +274,34 @@ def evaluate_frame(
         [(round(db, 6), round(float(msd_row["msd"]), 6))],
         "davies_bouldin_index double, mean_squared_distance double",
     )
+
+
+def detect_distance_anomalies(
+    spark: SparkSession, state: dict, df: DataFrame, contamination: float
+) -> DataFrame:
+    """KMEANS ML.DETECT_ANOMALIES (BigQuery's contamination contract):
+    flag the ``contamination`` fraction of rows farthest from their
+    nearest centroid. Threshold = the ceil((1-c)*n)-th smallest
+    nearest-centroid distance — the same exact order statistic as the
+    AUTOENCODER path (pca_model.py; approx-quantile is the documented
+    100 TB swap). Output adds ``normalized_distance`` (BigQuery's
+    column) = the flagged row's distance."""
+    if not 0.0 < contamination < 0.5:
+        raise ValueError(
+            f"contamination must be in (0, 0.5), got {contamination}"
+        )
+    scored = assign_frame(spark, state, df)
+    n = scored.count()
+    k_pos = math.ceil((1.0 - contamination) * n)
+    thr = float(
+        scored.select("nearest_centroid_distance")
+        .orderBy("nearest_centroid_distance")
+        .offset(k_pos - 1)
+        .limit(1)
+        .first()["nearest_centroid_distance"]
+    )
+    return scored.withColumn(
+        "normalized_distance", F.col("nearest_centroid_distance")
+    ).withColumn(
+        "is_anomaly", F.col("nearest_centroid_distance") > F.lit(thr)
+    )

@@ -1338,3 +1338,37 @@ def test_ml_wide_and_deep_aliases(ctx):
         " (SELECT x1, x2, label FROM training_data)) LIMIT 5",
     )
     assert w.result.count() == 5
+
+
+def test_ml_kmeans_distance_anomalies(ctx):
+    """KMEANS contamination anomalies: the planted far-away point is
+    flagged; flagged fraction respects the contamination bound."""
+    spark = ctx.spark
+    rows = [(float(i % 10), float((i * 3) % 7)) for i in range(100)]
+    spark.createDataFrame(rows, "x double, y double").createOrReplaceTempView(
+        "km_clean"
+    )
+    # outlier only in the DETECTION input — a training outlier would
+    # correctly capture its own centroid and score distance ~0
+    spark.createDataFrame(
+        rows + [(500.0, 500.0)], "x double, y double"
+    ).createOrReplaceTempView("km_anom")
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.km_an`
+        OPTIONS(MODEL_TYPE='KMEANS', NUM_CLUSTERS=3, MAX_ITERATIONS=4)
+          AS (SELECT x, y FROM km_clean)
+        """,
+    )
+    an = _run(
+        ctx,
+        """
+        SELECT x, y, is_anomaly, normalized_distance
+        FROM ML.DETECT_ANOMALIES(MODEL `p.d.km_an`,
+          STRUCT(0.05 AS contamination), (SELECT x, y FROM km_anom))
+        WHERE is_anomaly
+        """,
+    ).result.collect()
+    assert 1 <= len(an) <= 6, an
+    assert any(r["x"] == 500.0 for r in an), an
