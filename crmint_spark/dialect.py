@@ -691,7 +691,8 @@ def _rewrite_extract_parts(sql: str) -> str:
     for start, open_idx, end, _fn in _iter_calls(sql, ("EXTRACT",)):
         inner = sql[open_idx + 1 : end - 1].strip()
         m = re.match(
-            r"(DATE|DATETIME|TIME|DAYOFYEAR|ISOWEEK|ISOYEAR|WEEK)"
+            r"(DATE|DATETIME|TIME|DAYOFYEAR|ISOWEEK|ISOYEAR|WEEK"
+            r"|HOUR|MINUTE|SECOND|MILLISECOND|MICROSECOND)"
             r"\s+FROM\s+(.+)$",
             inner,
             re.IGNORECASE | re.DOTALL,
@@ -700,6 +701,19 @@ def _rewrite_extract_parts(sql: str) -> str:
             continue
         part = m.group(1).upper()
         expr = _rewrite_extract_parts(m.group(2).strip())
+        tm = re.match(r"^TIME\s*'([^']*)'$", expr, re.IGNORECASE)
+        if part in ("HOUR", "MINUTE", "SECOND", "MILLISECOND", "MICROSECOND"):
+            # only rewritten when the source is a TIME literal (Spark's
+            # TIME type has no EXTRACT yet); other sources pass through
+            if not tm:
+                continue
+            repl = f"EXTRACT({part} FROM TIMESTAMP '1970-01-01 {tm.group(1)}')"
+            out.append(sql[pos:start])
+            out.append(repl)
+            pos = end
+            continue
+        if tm:
+            expr = f"TIMESTAMP '1970-01-01 {tm.group(1)}'"
         if part == "DATE":
             repl = f"CAST({expr} AS DATE)"
         elif part == "DATETIME":
@@ -850,6 +864,102 @@ def _rewrite_format_date(sql: str) -> str:
         expr = _rewrite_format_date(args[1].strip())  # nested FORMAT_*
         out.append(sql[pos:start])
         out.append(f"date_format({expr}, '{fmt}')")
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+_TIME_UNIT_US = {
+    "MICROSECOND": 1,
+    "MILLISECOND": 1_000,
+    "SECOND": 1_000_000,
+    "MINUTE": 60_000_000,
+    "HOUR": 3_600_000_000,
+}
+
+
+def _time_anchor(t: str) -> str:
+    """The engine's TIME encoding is the HH:mm:ss[.SSSSSS] string
+    (Spark 4's TIME type parses literals but supports almost no
+    functions on them yet) — anchor it on the epoch date so timestamp
+    arithmetic applies. CAST AS STRING accepts both encodings."""
+    return f"to_timestamp(concat('1970-01-01 ', CAST({t} AS STRING)))"
+
+
+def _rewrite_time_fns(sql: str) -> str:
+    """BigQuery TIME function family over the string encoding:
+    TIME_ADD/SUB wrap at 24 h (date_format drops the rolled day),
+    TIME_DIFF counts whole units, TIME_TRUNC truncates, FORMAT_TIME /
+    PARSE_TIME reuse the strftime mapping, TIME(h, m, s) and
+    TIME(timestamp) construct, CURRENT_TIME() reads the clock."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, fn in _iter_calls(
+        sql,
+        (
+            "TIME_ADD",
+            "TIME_SUB",
+            "TIME_DIFF",
+            "TIME_TRUNC",
+            "FORMAT_TIME",
+            "PARSE_TIME",
+            "CURRENT_TIME",
+            "TIME",
+        ),
+    ):
+        args = [
+            _rewrite_time_fns(a.strip())
+            for a in _split_top_level(sql[open_idx + 1 : end - 1])
+            if a.strip()
+        ]
+        rep = None
+        if fn in ("time_add", "time_sub") and len(args) == 2:
+            sign = "+" if fn == "time_add" else "-"
+            rep = (
+                f"date_format({_time_anchor(args[0])} {sign} {args[1]}, "
+                "'HH:mm:ss')"
+            )
+        elif fn == "time_diff" and len(args) == 3:
+            unit = _TIME_UNIT_US.get(args[2].upper().strip())
+            if unit:
+                rep = (
+                    f"CAST((unix_micros({_time_anchor(args[0])}) - "
+                    f"unix_micros({_time_anchor(args[1])})) DIV {unit} "
+                    "AS BIGINT)"
+                )
+        elif fn == "time_trunc" and len(args) == 2:
+            part = args[1].upper().strip()
+            if part in _TIME_UNIT_US:
+                rep = (
+                    f"date_format(date_trunc('{part}', "
+                    f"{_time_anchor(args[0])}), 'HH:mm:ss')"
+                )
+        elif fn == "format_time" and len(args) == 2:
+            fmt_raw = args[0].strip()
+            if fmt_raw[:1] in "'\"" and fmt_raw[-1:] == fmt_raw[:1]:
+                fmt = _strftime_to_spark(fmt_raw[1:-1])
+                rep = f"date_format({_time_anchor(args[1])}, '{fmt}')"
+        elif fn == "parse_time" and len(args) == 2:
+            fmt_raw = args[0].strip()
+            if fmt_raw[:1] in "'\"" and fmt_raw[-1:] == fmt_raw[:1]:
+                fmt = _strftime_to_spark(fmt_raw[1:-1])
+                rep = (
+                    f"date_format(to_timestamp({args[1]}, '{fmt}'), "
+                    "'HH:mm:ss')"
+                )
+        elif fn == "current_time" and not args:
+            rep = "date_format(current_timestamp(), 'HH:mm:ss')"
+        elif fn == "time" and len(args) == 3:
+            rep = (
+                "format_string('%02d:%02d:%02d', "
+                f"{args[0]}, {args[1]}, {args[2]})"
+            )
+        elif fn == "time" and len(args) == 1:
+            rep = f"date_format({args[0]}, 'HH:mm:ss')"
+        if rep is None:
+            continue
+        out.append(sql[pos:start])
+        out.append(rep)
         pos = end
     out.append(sql[pos:])
     return "".join(out)
@@ -1061,6 +1171,12 @@ def _rewrite_misc_fns(sql: str) -> str:
             "COTH",
             "SECH",
             "CSCH",
+            "GENERATE_DATE_ARRAY",
+            "SAFE_NEGATE",
+            "SPLIT_SUBSTR",
+            "MAKE_INTERVAL",
+            r"ML\.BAG_OF_WORDS",
+            "COLLATE",
             "JSON_ARRAY_APPEND",
             "JSON_ARRAY_INSERT",
             "JSON_SET",
@@ -1120,6 +1236,66 @@ def _rewrite_misc_fns(sql: str) -> str:
                 f"CAST(size(filter({args[1]}, __e -> __e <= {args[0]})) "
                 "AS BIGINT)"
             )
+        elif fn == "generate_date_array" and len(args) in (2, 3):
+            step = args[2] if len(args) == 3 else "INTERVAL 1 DAY"
+            rep = (
+                f"sequence(CAST({args[0]} AS DATE), "
+                f"CAST({args[1]} AS DATE), {step})"
+            )
+        elif fn == "safe_negate" and len(args) == 1:
+            # NULL on INT64 overflow instead of the ANSI error
+            rep = f"try_subtract(CAST(0 AS BIGINT), {args[0]})"
+        elif fn == "split_substr" and len(args) in (3, 4):
+            # BigQuery SPLIT_SUBSTR(value, delim, start[, count]):
+            # the split parts from start (negative = from the end),
+            # re-joined with the delimiter. slice() clamps
+            # out-of-range lengths like BigQuery clamps counts.
+            # Literal delimiters only (Spark split takes a regex — the
+            # same restriction as the SPLIT rewrite).
+            d = args[1].strip()
+            if not (d[:1] in "'\"" and d[-1:] == d[:1]):
+                raise ValueError(
+                    "SPLIT_SUBSTR needs a literal delimiter (the engine"
+                    " regex-escapes it for Spark's split)"
+                )
+            esc = "".join(
+                ("\\\\" + ch) if ch in _REGEX_SPECIALS else ch
+                for ch in d[1:-1]
+            ).replace("'", "\\'")
+            parts = f"split({args[0]}, '{esc}')"
+            cnt = (
+                args[3]
+                if len(args) == 4
+                else f"greatest(size({parts}), 1)"
+            )
+            rep = f"array_join(slice({parts}, {args[2]}, {cnt}), {d})"
+        elif fn == "make_interval" and 1 <= len(args) <= 6:
+            # BigQuery (year, month, day, hour, minute, second) ->
+            # Spark (years, months, WEEKS, days, hours, mins, secs)
+            a = list(args) + ["0"] * (6 - len(args))
+            rep = (
+                f"make_interval({a[0]}, {a[1]}, 0, {a[2]}, {a[3]}, "
+                f"{a[4]}, {a[5]})"
+            )
+        elif fn == "ml.bag_of_words" and len(args) == 1:
+            # ARRAY<STRUCT<term, count>> sorted by term — counting via
+            # HOFs over the whitespace tokenization (BQML preprocessing)
+            toks = f"filter(split({args[0]}, ' '), __w -> __w <> '')"
+            rep = (
+                f"transform(array_sort(array_distinct({toks})), "
+                f"__w -> struct(__w AS term, "
+                f"CAST(size(filter({toks}, __t -> __t = __w)) AS BIGINT)"
+                " AS count))"
+            )
+        elif fn == "collate" and len(args) == 2:
+            spec = args[1].strip().strip("'\"")
+            if spec in ("und:ci",):
+                rep = f"collate({args[0]}, 'UTF8_LCASE')"
+            else:
+                raise ValueError(
+                    f"COLLATE spec {spec!r} is not supported; the engine"
+                    " maps 'und:ci' to Spark's UTF8_LCASE collation"
+                )
         elif fn in (
             "json_set",
             "json_remove",
@@ -4895,6 +5071,7 @@ def transpile_statement(
     out = _rewrite_typed_struct(out)
     out = _rewrite_safe_subscript(out)
     out = _rewrite_offset_ordinal(out)
+    out = _rewrite_time_fns(out)
     out = _rewrite_extract_parts(out)
     out = _rewrite_date_ctor(out)
     out = _rewrite_format_date(out)

@@ -3450,3 +3450,73 @@ SELECT
 """
 
 EXTENDED_QUERIES["q87_json_mutators"] = (q87_json_mutators, Q87_SQL)
+
+
+def q88_bq_functions11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twelfth function batch — GENERATE_DATE_ARRAY, SAFE_NEGATE,
+    SPLIT_SUBSTR, MAKE_INTERVAL, ML.BAG_OF_WORDS, COLLATE('und:ci')
+    and the TIME function family (TIME_ADD/SUB wrap at 24 h, TIME_DIFF
+    whole units, TIME_TRUNC, FORMAT_TIME/PARSE_TIME strftime patterns,
+    EXTRACT from TIME literals, TIME(h,m,s) ctor) over the engine's
+    HH:mm:ss string encoding. DuckDB lacks same-shape twins for most
+    (its TIME is a real type, BigQuery's strftime specifiers differ),
+    so the oracle pins documented outputs as literals (q64 pattern)
+    with the testdata probe."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    SELECT
+      CAST(ARRAY_LENGTH(GENERATE_DATE_ARRAY('2024-01-01', '2024-01-10'))
+           AS INT64) AS gda_n,
+      CAST(GENERATE_DATE_ARRAY(DATE '2024-01-01', DATE '2024-03-01',
+           INTERVAL 1 MONTH)[OFFSET(2)] AS STRING) AS gda_m,
+      SAFE_NEGATE(9) AS sn,
+      SPLIT_SUBSTR('a,b,c,d', ',', 2, 2) AS ss1,
+      SPLIT_SUBSTR('a,b,c,d', ',', -2) AS ss2,
+      CAST(DATE '2024-01-01' + MAKE_INTERVAL(0, 1, 2) AS STRING) AS mi,
+      TO_JSON_STRING(ML.BAG_OF_WORDS('b a b c a b')) AS bow,
+      COLLATE('aBc', 'und:ci') = 'ABC' AS coll,
+      TIME_ADD(TIME '23:30:00', INTERVAL 45 MINUTE) AS tadd,
+      TIME_SUB(TIME '00:15:00', INTERVAL 30 MINUTE) AS tsub,
+      TIME_DIFF(TIME '12:00:00', TIME '10:30:00', MINUTE) AS tdiff,
+      TIME_TRUNC(TIME '12:34:56', HOUR) AS ttrunc,
+      FORMAT_TIME('%H|%M', TIME '09:05:00') AS ftime,
+      PARSE_TIME('%H:%M', '18:21') AS ptime,
+      CAST(EXTRACT(HOUR FROM TIME '12:34:56') AS INT64) AS eh,
+      TIME(14, 5, 9) AS tctor,
+      (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 50) AS src_n
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False}, WorkerContext(spark)
+    )
+    w.execute()
+    return w.result
+
+
+Q88_SQL = """
+SELECT
+  CAST(10 AS BIGINT) AS gda_n,
+  '2024-03-01' AS gda_m,
+  CAST(-9 AS BIGINT) AS sn,
+  'b,c' AS ss1,
+  'c,d' AS ss2,
+  '2024-02-03' AS mi,
+  '[{"term":"a","count":2},{"term":"b","count":3},{"term":"c","count":1}]'
+    AS bow,
+  TRUE AS coll,
+  '00:15:00' AS tadd,
+  '23:45:00' AS tsub,
+  CAST(date_diff('minute', TIME '10:30:00', TIME '12:00:00') AS BIGINT)
+    AS tdiff,
+  strftime(date_trunc('hour', TIMESTAMP '1970-01-01 12:34:56'), '%H:%M:%S')
+    AS ttrunc,
+  strftime(TIMESTAMP '1970-01-01 09:05:00', '%H|%M') AS ftime,
+  '18:21:00' AS ptime,
+  CAST(EXTRACT(HOUR FROM TIME '12:34:56') AS BIGINT) AS eh,
+  '14:05:09' AS tctor,
+  (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 50) AS src_n
+"""
+
+EXTENDED_QUERIES["q88_bq_functions11"] = (q88_bq_functions11, Q88_SQL)
