@@ -152,6 +152,15 @@ SECONDARY = [
     "q84_search_index",
     "q85_vocab_encoders",
     "q86_tfidf_encoder",
+    # round 6b: holiday ARIMA, time travel, clustering/PCA/autoencoder
+    # model types, JSON mutators, TIME function batch
+    "bqml_arima_holiday",
+    "dml_time_travel",
+    "bqml_kmeans",
+    "bqml_pca",
+    "bqml_autoencoder_anomalies",
+    "q87_json_mutators",
+    "q88_bq_functions11",
 ]
 
 

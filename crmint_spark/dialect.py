@@ -891,7 +891,13 @@ def _rewrite_time_fns(sql: str) -> str:
     TIME_ADD/SUB wrap at 24 h (date_format drops the rolled day),
     TIME_DIFF counts whole units, TIME_TRUNC truncates, FORMAT_TIME /
     PARSE_TIME reuse the strftime mapping, TIME(h, m, s) and
-    TIME(timestamp) construct, CURRENT_TIME() reads the clock."""
+    TIME(timestamp) construct, CURRENT_TIME() reads the clock.
+
+    DOCUMENTED DIVERGENCE: outputs render whole seconds ('HH:mm:ss');
+    sub-second TIME inputs are honored by the arithmetic (the anchored
+    timestamp keeps micros) but truncated in the rendered result —
+    BigQuery prints fractional seconds. TIME_DIFF at MILLISECOND/
+    MICROSECOND granularity is exact (it never renders)."""
     out: list[str] = []
     pos = 0
     for start, open_idx, end, fn in _iter_calls(
@@ -1238,9 +1244,15 @@ def _rewrite_misc_fns(sql: str) -> str:
             )
         elif fn == "generate_date_array" and len(args) in (2, 3):
             step = args[2] if len(args) == 3 else "INTERVAL 1 DAY"
+            # BigQuery returns [] when the step sign contradicts the
+            # bounds; Spark's sequence raises — guard by literal sign
+            sm = re.search(r"INTERVAL\s+(-?\d+)", step, re.IGNORECASE)
+            neg = bool(sm and int(sm.group(1)) < 0)
+            a0, a1 = f"CAST({args[0]} AS DATE)", f"CAST({args[1]} AS DATE)"
+            empty_when = f"{a0} < {a1}" if neg else f"{a0} > {a1}"
             rep = (
-                f"sequence(CAST({args[0]} AS DATE), "
-                f"CAST({args[1]} AS DATE), {step})"
+                f"CASE WHEN {empty_when} THEN CAST(array() AS "
+                f"ARRAY<DATE>) ELSE sequence({a0}, {a1}, {step}) END"
             )
         elif fn == "safe_negate" and len(args) == 1:
             # NULL on INT64 overflow instead of the ANSI error
@@ -1278,9 +1290,15 @@ def _rewrite_misc_fns(sql: str) -> str:
                 f"{a[4]}, {a[5]})"
             )
         elif fn == "ml.bag_of_words" and len(args) == 1:
-            # ARRAY<STRUCT<term, count>> sorted by term — counting via
-            # HOFs over the whitespace tokenization (BQML preprocessing)
-            toks = f"filter(split({args[0]}, ' '), __w -> __w <> '')"
+            # BigQuery's signature takes the TOKENIZED document
+            # (ARRAY<STRING>) -> ARRAY<STRUCT<term, count>> sorted by
+            # term; a string-literal argument is tokenized on
+            # whitespace as a convenience (counting via HOFs)
+            a = args[0].strip()
+            if a[:1] in "'\"" and a[-1:] == a[:1]:
+                toks = f"filter(split({a}, ' '), __w -> __w <> '')"
+            else:
+                toks = f"filter({a}, __w -> __w IS NOT NULL)"
             rep = (
                 f"transform(array_sort(array_distinct({toks})), "
                 f"__w -> struct(__w AS term, "

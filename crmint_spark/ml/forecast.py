@@ -686,31 +686,30 @@ def rewrite_ml_detect_anomalies(
         if mc:
             # contamination anomalies: reconstruction loss for
             # AUTOENCODER/PCA, centroid distance for KMEANS —
-            # BigQuery's contract for each model family
+            # BigQuery's contract for each model family. The persisted
+            # TRANSFORM clause replays over the input first.
+            from .sql_ml import _apply_transform
             from .sql_ml import _inner_query as _iq
 
+            if meta["model_type"] not in ("AUTOENCODER", "PCA", "KMEANS"):
+                raise ValueError(
+                    "STRUCT(c AS contamination) needs an AUTOENCODER,"
+                    f" PCA or KMEANS model, got {meta['model_type']}"
+                )
+            df_in = _apply_transform(
+                spark, _iq(args[1]), meta, drop_label=True
+            )
             if meta["model_type"] in ("AUTOENCODER", "PCA"):
                 from .pca_model import detect_reconstruction_anomalies
 
                 out = detect_reconstruction_anomalies(
-                    spark,
-                    meta["pca"],
-                    spark.sql(_iq(args[1])),
-                    float(mc.group(1)),
+                    spark, meta["pca"], df_in, float(mc.group(1))
                 )
             elif meta["model_type"] == "KMEANS":
                 from .kmeans import detect_distance_anomalies
 
                 out = detect_distance_anomalies(
-                    spark,
-                    meta["kmeans"],
-                    spark.sql(_iq(args[1])),
-                    float(mc.group(1)),
-                )
-            else:
-                raise ValueError(
-                    "STRUCT(c AS contamination) needs an AUTOENCODER,"
-                    f" PCA or KMEANS model, got {meta['model_type']}"
+                    spark, meta["kmeans"], df_in, float(mc.group(1))
                 )
             counter[0] += 1
             view = f"__ml_detect_{counter[0]}"

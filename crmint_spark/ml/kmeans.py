@@ -57,9 +57,12 @@ def _feature_cols(df: DataFrame) -> list[str]:
             cols.append(f.name)
         else:
             raise ValueError(
-                f"KMEANS: column {f.name!r} has non-numeric type {t}; "
-                "BigQuery one-hot-encodes such columns — apply "
-                "ML.ONE_HOT_ENCODER in a TRANSFORM clause or exclude it"
+                f"KMEANS/PCA: column {f.name!r} has non-numeric type "
+                f"{t}; BigQuery auto-encodes such columns — the engine "
+                "needs numeric features: exclude it, or transform it "
+                "numerically (ML.LABEL_ENCODER / ML.BUCKETIZE / a CASE "
+                "expression). One-hot struct arrays are not consumable "
+                "by the clustering trainers."
             )
     if not cols:
         raise ValueError("KMEANS: the training query has no feature columns")

@@ -210,9 +210,9 @@ def principal_component_info_frame(
 # ---------------------------------------------------------------------------
 
 
-def _mse_expr(state: dict):
-    """Per-row reconstruction mean-squared error in standardized space,
-    written in the exact fold order the DuckDB oracle uses."""
+def _recon_error_exprs(state: dict):
+    """(mse, mae) per-row reconstruction errors in standardized space;
+    the mse fold order matches the DuckDB oracle exactly."""
     cols = state["cols"]
     d = len(cols)
     comps = state["components"]
@@ -231,13 +231,19 @@ def _mse_expr(state: dict):
             acc = acc + std[j] * F.lit(comp[j])
         projs.append(acc)
     mse = F.lit(0.0)
+    mae = F.lit(0.0)
     for j in range(d):
         xhat = F.lit(0.0)
         for ci, comp in enumerate(comps):
             xhat = xhat + projs[ci] * F.lit(comp[j])
         err = std[j] - xhat
         mse = mse + err * err
-    return mse / F.lit(float(d))
+        mae = mae + F.abs(err)
+    return mse / F.lit(float(d)), mae / F.lit(float(d))
+
+
+def _mse_expr(state: dict):
+    return _recon_error_exprs(state)[0]
 
 
 def reconstruction_errors(
@@ -252,10 +258,9 @@ def reconstruction_errors(
 def autoencoder_evaluate_frame(
     spark: SparkSession, state: dict, df: DataFrame
 ) -> DataFrame:
-    mse = _mse_expr(state)
+    mse, mae = _recon_error_exprs(state)
     return df.select(
-        F.round(F.avg(F.sqrt(mse * F.lit(float(len(state["cols"]))))), 6)
-        .alias("mean_absolute_error"),
+        F.round(F.avg(mae), 6).alias("mean_absolute_error"),
         F.round(F.avg(mse), 6).alias("mean_squared_error"),
     )
 

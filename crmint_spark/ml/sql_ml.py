@@ -665,6 +665,7 @@ def try_create_model(
                 "model_type": "KMEANS",
                 "kmeans": state,
                 "source_sql": query,
+                "transform_sql": transform_sql,
             },
         )
         return df
@@ -691,7 +692,12 @@ def try_create_model(
         )
         registry.save_meta(
             name,
-            {"model_type": "PCA", "pca": state, "source_sql": query},
+            {
+                "model_type": "PCA",
+                "pca": state,
+                "source_sql": query,
+                "transform_sql": transform_sql,
+            },
         )
         return df
     if model_type == "AUTOENCODER":
@@ -714,6 +720,7 @@ def try_create_model(
                 "model_type": "AUTOENCODER",
                 "pca": state,
                 "source_sql": query,
+                "transform_sql": transform_sql,
             },
         )
         return df
@@ -1412,7 +1419,7 @@ def rewrite_ml_predict(
             view = f"__ml_predict_{counter[0]}"
             scored.createOrReplaceTempView(view)
             return view
-        model, meta = _load(registry, name)
+        model, meta = load_model(registry.path(name)), meta0
         df = _apply_transform(spark, inner, meta, cte, drop_label=True)
         if meta["model_type"] == "MATRIX_FACTORIZATION":
             scored = _score_mf(model, meta, df)
@@ -1723,9 +1730,12 @@ def rewrite_ml_evaluate(
             from .kmeans import evaluate_frame
 
             if args:
-                inner_q = _inner_query(args[0])
-                df = spark.sql(f"{cte} {inner_q}" if cte else inner_q)
+                df = _apply_transform(
+                    spark, _inner_query(args[0]), meta, cte,
+                    drop_label=True,
+                )
             else:
+                # source_sql already embeds the TRANSFORM wrap
                 df = spark.sql(meta["source_sql"])
             out = evaluate_frame(spark, meta["kmeans"], df)
             counter[0] += 1
@@ -1738,9 +1748,12 @@ def rewrite_ml_evaluate(
             from .pca_model import autoencoder_evaluate_frame
 
             if args:
-                inner_q = _inner_query(args[0])
-                df = spark.sql(f"{cte} {inner_q}" if cte else inner_q)
+                df = _apply_transform(
+                    spark, _inner_query(args[0]), meta, cte,
+                    drop_label=True,
+                )
             else:
+                # source_sql already embeds the TRANSFORM wrap
                 df = spark.sql(meta["source_sql"])
             out = autoencoder_evaluate_frame(spark, meta["pca"], df)
             counter[0] += 1

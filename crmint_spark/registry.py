@@ -215,6 +215,15 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str |
 _PINNED = ["q01_"]
 _HEAVY_TAIL = ("dedup_clusters_star", "semantic_dedup", "corpus_bpe_merges")
 _COSTLY_PREFIXES = ("streaming_", "bqml_", "multimodal_", "ml_train")
+# bqml_ entries measured CHEAP in the bench secondary tier (<= ~2 s
+# first-run) — rank with the never-sampled non-costly block so new
+# model-type entries reach the driver's ~50-entry sweep window
+_CHEAP_OVERRIDES = {
+    "bqml_kmeans",
+    "bqml_pca",
+    "bqml_autoencoder_anomalies",
+    "bqml_arima_holiday",
+}
 
 
 def _driver_green_names() -> set[str]:
@@ -238,9 +247,14 @@ def _driver_green_names() -> set[str]:
             if not isinstance(row, dict):
                 out.add(name)
                 continue
-            if row.get("err") == "no_oracle" and row.get("spark_rows", 0) >= 0:
+            if (
+                row.get("err") == "no_oracle"
+                and (row.get("spark_rows") or 0) > 0
+            ):
                 # rows-only entries: the driver records a weaker
-                # ran-and-returned-rows check (all matches are None)
+                # ran-and-returned-rows check (all matches are None);
+                # zero/absent rows do NOT count as green — the entry
+                # must re-earn its evidence
                 out.add(name)
             elif (
                 row.get("rows_match")
@@ -261,7 +275,10 @@ def _sweep_order(names: list[str]) -> list[str]:
                 return (0, j, 0)
         if name in _HEAVY_TAIL:
             return (5, 0, i)
-        costly = name.startswith(_COSTLY_PREFIXES)
+        costly = (
+            name.startswith(_COSTLY_PREFIXES)
+            and name not in _CHEAP_OVERRIDES
+        )
         if name not in sampled:
             return ((2, 0, i) if not costly else (3, 0, i))
         return (4, 0, i)

@@ -91,8 +91,6 @@ class SparkSQLExecutor(Worker):
     def _asof_path(self, table_id: str, expr: str) -> str:
         """Evaluate a FOR SYSTEM_TIME AS OF timestamp expression and
         resolve the catalog version directory holding that state."""
-        import calendar
-
         from ..dialect import transpile_statement as _t
 
         cat, spark = self._ctx.catalog, self._ctx.spark
@@ -100,15 +98,20 @@ class SparkSQLExecutor(Worker):
             raise WorkerException(
                 "FOR SYSTEM_TIME AS OF requires a catalog-backed session"
             )
-        ts = spark.sql(
-            _t(f"SELECT CAST(({expr}) AS TIMESTAMP) AS t", self._resolver())
+        # epoch micros computed IN SQL — collect()'d naive datetimes are
+        # rendered in the driver's local zone, which need not be the
+        # session's UTC
+        ts_us = spark.sql(
+            _t(
+                f"SELECT unix_micros(CAST(({expr}) AS TIMESTAMP)) AS t",
+                self._resolver(),
+            )
         ).first()["t"]
-        if ts is None:
+        if ts_us is None:
             raise WorkerException(
                 f"FOR SYSTEM_TIME AS OF evaluated to NULL: {expr!r}"
             )
-        # session timezone is UTC; collect() returns a naive UTC datetime
-        ts_us = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+        ts_us = int(ts_us)
         try:
             return cat.resolve_as_of(table_id, ts_us)
         except ValueError as e:
@@ -875,7 +878,17 @@ class SparkSQLExecutor(Worker):
                 continue
             qual, col = m_col.group(1), m_col.group(2)
             hits = [
-                e for e in search_indexes if col in e["indexed_columns"]
+                e
+                for e in search_indexes
+                if col in e["indexed_columns"]
+                # the statement must actually scan the INDEXED table —
+                # a same-named column on another table keeps the scan
+                # rewrite (postings only answer for their own corpus)
+                and re.search(
+                    r"\b" + re.escape(e["table"].split(".")[-1]) + r"\b",
+                    sub,
+                    re.IGNORECASE,
+                )
             ]
             if len(hits) != 1:
                 continue
@@ -1016,16 +1029,42 @@ class SparkSQLExecutor(Worker):
             )
             # probe union for STATIC partition pruning: one bounded job
             # over the (small by construction) query side; result size
-            # <= n_lists values
+            # <= n_lists values. The query side runs once more inside
+            # the rewritten statement — bounded duplicate work by
+            # construction. A query relation referencing the enclosing
+            # statement's CTEs is re-scoped by prepending its WITH
+            # clause; if it still cannot run standalone, fall back to
+            # the exact brute-force path instead of failing a query
+            # that worked before the index existed.
+            from ..dialect import extract_with_clause
+
             union_sql = transpile_statement(
                 f"SELECT explode({probe_expr}) AS p"
                 f" FROM {query_rel} AS vs_qt",
                 resolver,
             )
-            probes = sorted(
-                {int(r["p"]) for r in
-                 self._ctx.spark.sql(union_sql).distinct().collect()}
-            )
+            try:
+                rows = self._ctx.spark.sql(union_sql).distinct().collect()
+            except Exception:
+                cte = extract_with_clause(sub)
+                try:
+                    rows = (
+                        self._ctx.spark.sql(f"{cte} {union_sql}")
+                        .distinct()
+                        .collect()
+                        if cte
+                        else None
+                    )
+                except Exception:
+                    rows = None
+                if rows is None:
+                    self.log_info(
+                        f"VECTOR_SEARCH on {base_table}: query relation"
+                        " not standalone-executable — serving the exact"
+                        " path"
+                    )
+                    continue
+            probes = sorted({int(r["p"]) for r in rows})
             in_list = ", ".join(str(p) for p in probes) if probes else "-1"
             base_struct = ", ".join(
                 f"vs_b.`{c}` AS `{c}`" for c in entry["base_columns"]

@@ -1424,3 +1424,41 @@ def test_json_mutators_edges(spark):
         )
     ).first()
     assert row["a"] == '{"x":1,"y":[null,"z"]}'
+
+
+def test_generate_date_array_inverted_bounds(spark):
+    """start > end with a positive step returns [] (BigQuery), not a
+    Spark sequence error; negative steps invert the rule."""
+    from crmint_spark.dialect import transpile_statement
+
+    row = spark.sql(
+        transpile_statement(
+            "SELECT GENERATE_DATE_ARRAY('2024-01-10', '2024-01-01') AS a,"
+            " GENERATE_DATE_ARRAY(DATE '2024-01-10', DATE '2024-01-01',"
+            " INTERVAL -3 DAY) AS b,"
+            " GENERATE_DATE_ARRAY('2024-01-01', '2024-01-10',"
+            " INTERVAL -1 DAY) AS c"
+        )
+    ).first()
+    assert row["a"] == []
+    assert len(row["b"]) == 4
+    assert row["c"] == []
+
+
+def test_bag_of_words_array_signature(spark):
+    """BigQuery's documented signature takes ARRAY<STRING> (tokenized
+    document); string literals tokenize on whitespace as a
+    convenience."""
+    from crmint_spark.dialect import transpile_statement
+
+    row = spark.sql(
+        transpile_statement(
+            "SELECT ML.BAG_OF_WORDS(['b', 'a', 'b']) AS arr,"
+            " ML.BAG_OF_WORDS(SPLIT('x y x', ' ')) AS splitf"
+        )
+    ).first()
+    assert [(r["term"], r["count"]) for r in row["arr"]] == [("a", 1), ("b", 2)]
+    assert [(r["term"], r["count"]) for r in row["splitf"]] == [
+        ("x", 2),
+        ("y", 1),
+    ]

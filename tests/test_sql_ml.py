@@ -1185,7 +1185,7 @@ def test_ml_kmeans_rejections(ctx):
     spark.createDataFrame(
         [(1.0, "a"), (2.0, "b")], "x double, s string"
     ).createOrReplaceTempView("km_bad")
-    with pytest.raises(Exception, match="one-hot"):
+    with pytest.raises(Exception, match="numeric features"):
         _run(
             ctx,
             """
@@ -1372,3 +1372,69 @@ def test_ml_kmeans_distance_anomalies(ctx):
     ).result.collect()
     assert 1 <= len(an) <= 6, an
     assert any(r["x"] == 500.0 for r in an), an
+
+
+def test_ml_kmeans_transform_replay(ctx):
+    """CREATE MODEL KMEANS with a numeric TRANSFORM clause: the clause
+    persists with the model and replays over ML.PREDICT / ML.EVALUATE /
+    contamination ML.DETECT_ANOMALIES inputs (review finding: the
+    clustering metas used to drop transform_sql)."""
+    spark = ctx.spark
+    rows = [(float(i % 10), float((i * 3) % 7)) for i in range(60)]
+    spark.createDataFrame(rows, "x double, y double").createOrReplaceTempView(
+        "km_tf"
+    )
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.km_tfm`
+        TRANSFORM(x * 2 AS x2, y)
+        OPTIONS(MODEL_TYPE='KMEANS', NUM_CLUSTERS=2, MAX_ITERATIONS=3)
+          AS (SELECT x, y FROM km_tf)
+        """,
+    )
+    w = _run(
+        ctx,
+        "SELECT centroid_id, COUNT(*) AS n FROM ML.PREDICT("
+        "MODEL `p.d.km_tfm`, (SELECT x, y FROM km_tf)) GROUP BY 1",
+    )
+    assert sum(r["n"] for r in w.result.collect()) == 60
+    ev = _run(
+        ctx,
+        "SELECT * FROM ML.EVALUATE(MODEL `p.d.km_tfm`,"
+        " (SELECT x, y FROM km_tf))",
+    ).result.first()
+    assert ev["mean_squared_distance"] is not None
+    an = _run(
+        ctx,
+        "SELECT COUNT(*) AS n FROM ML.DETECT_ANOMALIES(MODEL `p.d.km_tfm`,"
+        " STRUCT(0.1 AS contamination), (SELECT x, y FROM km_tf))",
+    ).result.first()
+    assert an["n"] == 60
+
+
+def test_ml_autoencoder_true_mae(ctx):
+    """mean_absolute_error is the mean |per-dim error| (review finding:
+    it used to report the mean L2 norm). For a perfect 1-D fit on a
+    collinear series both MAE and MSE are ~0; for the planted outlier
+    dataset MAE must be <= sqrt(MSE * d) / d strictly (norm inequality
+    with distinct per-dim errors)."""
+    import math
+
+    spark = ctx.spark
+    rows = [((i - 50) / 5.0, (i - 50) / 2.5 + (i % 3) * 0.3) for i in range(100)]
+    spark.createDataFrame(rows, "x double, y double").createOrReplaceTempView(
+        "ae_mae"
+    )
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.ae_mae`
+        OPTIONS(MODEL_TYPE='AUTOENCODER', HIDDEN_UNITS=[1])
+          AS (SELECT x, y FROM ae_mae)
+        """,
+    )
+    ev = _run(ctx, "SELECT * FROM ML.EVALUATE(MODEL `p.d.ae_mae`)").result.first()
+    d = 2
+    assert ev["mean_absolute_error"] <= math.sqrt(ev["mean_squared_error"] * d) + 1e-9
+    assert ev["mean_absolute_error"] > 0

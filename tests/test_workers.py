@@ -1453,3 +1453,64 @@ def test_search_index_routing_plan_and_equality(spark):
     w2 = run(q)
     assert not any("routed" in line for line in w2.log)
     assert routed == [r["doc_id"] for r in w2.result.collect()]
+
+
+def test_search_index_routing_respects_table(spark):
+    """A same-named column on a DIFFERENT table must NOT be answered
+    from the recorded index's postings (review finding: the routing
+    used to match by column name alone)."""
+    from crmint_spark.catalog import register_testdata
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    spark.sql(
+        "SELECT doc_id, concat('spark merge ', text) AS text"
+        " FROM documents LIMIT 50"
+    ).createOrReplaceTempView("emails")
+
+    def run(script):
+        w = SparkSQLExecutor(
+            {"script": script, "dry_run": False}, WorkerContext(spark)
+        )
+        w.execute()
+        return w
+
+    q = ("SELECT COUNT(*) AS n FROM emails"
+         " WHERE SEARCH(text, 'spark merge')")
+    w = run("CREATE SEARCH INDEX sidx_tbl ON documents(text);" + q)
+    # the scan rewrite must serve it (every emails row matches)
+    assert not any("routed through index" in line for line in w.log), w.log
+    assert w.result.first()["n"] == 50
+
+
+def test_vector_search_cte_query_falls_back_exact(spark):
+    """VECTOR_SEARCH whose query relation references the enclosing
+    statement's CTE cannot be probe-pruned standalone — it must fall
+    back to the exact path, not fail (review finding)."""
+    from crmint_spark.catalog import register_testdata
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+
+    def run(script):
+        w = SparkSQLExecutor(
+            {"script": script, "dry_run": False}, WorkerContext(spark)
+        )
+        w.execute()
+        return w
+
+    q = """
+    WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2)
+    SELECT query.vec_id AS qid, base.vec_id AS bid
+    FROM VECTOR_SEARCH(TABLE embeddings, 'embedding', (SELECT * FROM probes),
+                       top_k => 1)
+    ORDER BY qid
+    """
+    w = run(
+        "CREATE VECTOR INDEX vidx_cte ON embeddings(embedding)"
+        " OPTIONS(index_type='IVF');" + q
+    )
+    rows = w.result.collect()
+    assert len(rows) == 2
+    # top-1 of a self-probe is the probe itself
+    assert all(r["qid"] == r["bid"] for r in rows), rows

@@ -72,6 +72,16 @@ PROBE = [
     "q59_vector_search",
     "bqml_generate_embedding",
     "corpus_bpe_encode",
+    # round 6: index-routed search paths, clustering/PCA/autoencoder
+    # model fits (bounded trainers — expect FLAT), time travel (swap
+    # cost is the DML write), holiday ARIMA (per-series state)
+    "q83_vector_index_search",
+    "q84_search_index",
+    "bqml_kmeans",
+    "bqml_pca",
+    "bqml_autoencoder_anomalies",
+    "bqml_arima_holiday",
+    "dml_time_travel",
 ]
 
 # key columns to shift per copy so joins stay consistent and
