@@ -127,6 +127,31 @@ SHOW = [
         "partial top-k BEFORE the exchange",
     ),
     (
+        "q83_vector_index_search",
+        "index-routed VECTOR_SEARCH: exploded probe-list equi-join "
+        "against the list_id-partitioned layout; PartitionFilters on "
+        "list_id prune unprobed lists from the scan",
+    ),
+    (
+        "bqml_kmeans",
+        "KMEANS serve: broadcast centroid codebook, argmin fold in "
+        "codegen (map-only assignment) -> one partial-agg exchange for "
+        "the cluster counts",
+    ),
+    (
+        "bqml_autoencoder_anomalies",
+        "reconstruction anomalies: fused per-row error expression in "
+        "codegen; the only wide step is the order-statistic threshold "
+        "(TakeOrdered at fixture scale; approx-quantile is the "
+        "documented 100 TB swap)",
+    ),
+    (
+        "dml_time_travel",
+        "FOR SYSTEM_TIME AS OF: the version directory joins as an "
+        "ordinary pruned parquet scan — time travel adds zero plan "
+        "overhead beyond the second scan",
+    ),
+    (
         "dedup_char_spans",
         "char-gram grid explode -> distinct-doc count on gram digest "
         "(text never shuffles) -> per-doc lag-window span merge",
