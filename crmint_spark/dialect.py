@@ -4655,6 +4655,50 @@ def _st_haversine(a: str, b: str) -> str:
     )
 
 
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _st_geohash_expr(pt: str, precision: str) -> str:
+    """``ST_GEOHASH(point[, maxchars])`` as pure JVM arithmetic: the
+    classic geohash is bit k of floor((lon+180)/360 * 2^n) (resp. lat)
+    interleaved lon-first, 5 bits per base-32 character (Niemeyer's
+    public algorithm). HOF fold per character keeps every intermediate
+    <= 31; the axis integers (<= 2^50 at the max precision 20) stay
+    exact in doubles, shifts via pow(2, s) division. Literal precision
+    only (the unrolled bit counts depend on it)."""
+    p_lit = precision.strip()
+    if not p_lit.isdigit() or not 1 <= int(p_lit) <= 20:
+        raise ValueError(
+            "ST_GEOHASH precision must be a literal 1..20, got "
+            f"{precision!r}"
+        )
+    p = int(p_lit)
+    n_lon = -(-5 * p // 2)  # ceil: even interleave slots
+    n_lat = 5 * p // 2
+    xe = (
+        f"least(CAST(floor((({pt}).lon + 180.0) / 360.0 * {2 ** n_lon}"
+        f") AS BIGINT), {2 ** n_lon - 1})"
+    )
+    ye = (
+        f"least(CAST(floor((({pt}).lat + 90.0) / 180.0 * {2 ** n_lat}"
+        f") AS BIGINT), {2 ** n_lat - 1})"
+    )
+    bit = (
+        f"CAST((CASE WHEN __gt % 2 = 0"
+        f" THEN floor({xe} / pow(2.0, {n_lon - 1} - (__gt DIV 2)))"
+        f" ELSE floor({ye} / pow(2.0, {n_lat - 1} - (__gt DIV 2)))"
+        f" END % 2) AS INT)"
+    )
+    idx = (
+        f"aggregate(sequence(__gc * 5, __gc * 5 + 4), 0,"
+        f" (__ga, __gt) -> __ga * 2 + {bit})"
+    )
+    return (
+        f"array_join(transform(sequence(0, {p - 1}), __gc ->"
+        f" substr('{_GEOHASH_B32}', 1 + {idx}, 1)), '')"
+    )
+
+
 def _rewrite_geography(sql: str) -> str:
     """BigQuery GEOGRAPHY — POINT subset only, encoded as
     STRUCT<lon: double, lat: double>: ST_GEOGPOINT, ST_X/ST_Y,
@@ -4670,7 +4714,7 @@ def _rewrite_geography(sql: str) -> str:
         sql,
         (
             "ST_GEOGPOINT", "ST_GEOGFROMTEXT", "ST_ASTEXT", "ST_X", "ST_Y",
-            "ST_DISTANCE", "ST_DWITHIN", "ST_CENTROID_AGG",
+            "ST_DISTANCE", "ST_DWITHIN", "ST_CENTROID_AGG", "ST_GEOHASH",
         ),
     ):
         inner = _rewrite_geography(sql[open_idx + 1 : end - 1])
@@ -4707,6 +4751,8 @@ def _rewrite_geography(sql: str) -> str:
                 f"named_struct('lon', avg(({a}).lon),"
                 f" 'lat', avg(({a}).lat))"
             )
+        elif fn == "st_geohash" and len(args) in (1, 2):
+            repl = _st_geohash_expr(a, args[1] if len(args) == 2 else "20")
         else:
             repl = sql[start : open_idx + 1] + inner + ")"
         out.append(sql[pos:start])

@@ -2531,7 +2531,10 @@ def q76_geography(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(ST_Y(loc), 6) AS lat,
            ST_ASTEXT(ST_GEOGPOINT(-121.5, 37.25)) AS ref_wkt,
            ROUND(ST_X(ST_GEOGFROMTEXT('POINT(-120.5 36.75)')), 6) AS parsed_lon,
-           (SELECT ROUND(ST_Y(ST_CENTROID_AGG(loc)), 6) FROM cust_geo) AS centroid_lat
+           (SELECT ROUND(ST_Y(ST_CENTROID_AGG(loc)), 6) FROM cust_geo) AS centroid_lat,
+           ST_GEOHASH(ST_GEOGPOINT(-122.35, 47.62), 5) AS gh5,
+           ST_GEOHASH(ST_GEOGPOINT(151.2093, -33.8688), 7) AS gh7,
+           ST_GEOHASH(ST_GEOGPOINT(180.0, 90.0), 4) AS gh_edge
     FROM cust_geo ORDER BY c_custkey LIMIT 120
     """
     w = SparkSQLExecutor({"script": script, "dry_run": False}, WorkerContext(spark))
@@ -2560,7 +2563,10 @@ SELECT c_custkey,
        ROUND(lat, 6) AS lat,
        'POINT(-121.5 37.25)' AS ref_wkt,
        CAST(-120.5 AS DOUBLE) AS parsed_lon,
-       (SELECT ROUND(avg(lat), 6) FROM cust_geo) AS centroid_lat
+       (SELECT ROUND(avg(lat), 6) FROM cust_geo) AS centroid_lat,
+       'c22yz' AS gh5,
+       'r3gx2f7' AS gh7,
+       'zzzz' AS gh_edge
 FROM cust_geo ORDER BY c_custkey LIMIT 120
 """
 

@@ -1462,3 +1462,27 @@ def test_bag_of_words_array_signature(spark):
         ("x", 2),
         ("y", 1),
     ]
+
+
+def test_st_geohash(spark):
+    """Geohash matches the independent bisection reference (Niemeyer's
+    public algorithm) including the lon=180/lat=90 clamp; non-literal
+    precision rejects."""
+    from crmint_spark.dialect import transpile_statement
+
+    row = spark.sql(
+        transpile_statement(
+            "SELECT ST_GEOHASH(ST_GEOGPOINT(-122.35, 47.62), 10) AS a,"
+            " ST_GEOHASH(ST_GEOGPOINT(0.0, 0.0), 6) AS b,"
+            " ST_GEOHASH(ST_GEOGPOINT(180.0, 90.0), 4) AS c"
+        )
+    ).first()
+    assert row["a"] == "c22yzugqw7"
+    assert row["b"] == "s00000"
+    assert row["c"] == "zzzz"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="literal"):
+        transpile_statement(
+            "SELECT ST_GEOHASH(ST_GEOGPOINT(1.0, 2.0), n) FROM t"
+        )
