@@ -1486,3 +1486,62 @@ def test_st_geohash(spark):
         transpile_statement(
             "SELECT ST_GEOHASH(ST_GEOGPOINT(1.0, 2.0), n) FROM t"
         )
+
+
+def test_time_family_random_cases_vs_model(spark):
+    """50 seeded-random TIME_ADD/TIME_SUB/TIME_DIFF/TIME_TRUNC cases
+    compared against an independent datetime model (wrap-at-24h,
+    whole-unit truncation toward zero, part truncation)."""
+    import datetime as dt
+    import random
+
+    from crmint_spark.dialect import transpile_statement
+
+    rng = random.Random(88)
+    units = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600}
+    exprs, expected = [], {}
+    for i in range(50):
+        h, m, s = rng.randrange(24), rng.randrange(60), rng.randrange(60)
+        t = dt.datetime(1970, 1, 1, h, m, s)
+        lit = t.strftime("%H:%M:%S")
+        kind = rng.choice(["add", "sub", "diff", "trunc"])
+        if kind in ("add", "sub"):
+            amt = rng.randrange(1, 5000)
+            unit = rng.choice(list(units))
+            delta = dt.timedelta(seconds=amt * units[unit])
+            r = (t + delta) if kind == "add" else (t - delta)
+            expected[f"c{i}"] = r.strftime("%H:%M:%S")
+            fn = "TIME_ADD" if kind == "add" else "TIME_SUB"
+            exprs.append(
+                f"{fn}(TIME '{lit}', INTERVAL {amt} {unit}) AS c{i}"
+            )
+        elif kind == "diff":
+            h2, m2, s2 = (
+                rng.randrange(24), rng.randrange(60), rng.randrange(60)
+            )
+            t2 = dt.datetime(1970, 1, 1, h2, m2, s2)
+            unit = rng.choice(list(units))
+            # whole units, truncated toward zero (BigQuery TIME_DIFF)
+            expected[f"c{i}"] = int(
+                (t - t2).total_seconds() / units[unit]
+            )
+            exprs.append(
+                f"TIME_DIFF(TIME '{lit}',"
+                f" TIME '{t2.strftime('%H:%M:%S')}', {unit}) AS c{i}"
+            )
+        else:
+            part = rng.choice(["HOUR", "MINUTE", "SECOND"])
+            r = t.replace(
+                **(
+                    {"minute": 0, "second": 0}
+                    if part == "HOUR"
+                    else {"second": 0} if part == "MINUTE" else {}
+                )
+            )
+            expected[f"c{i}"] = r.strftime("%H:%M:%S")
+            exprs.append(f"TIME_TRUNC(TIME '{lit}', {part}) AS c{i}")
+    row = spark.sql(
+        transpile_statement("SELECT " + ", ".join(exprs))
+    ).first()
+    for k, want in expected.items():
+        assert row[k] == want, (k, row[k], want)
