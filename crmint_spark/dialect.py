@@ -214,11 +214,15 @@ def split_script(script: str) -> list[str]:
 # BEGIN block. FOR..IN blocks are not supported (detected downstream).
 
 _BLOCK_TOKEN_RE = re.compile(
-    r"\b(END\s+IF|END\s+WHILE|END\s+LOOP|END\s+FOR|END|CASE|IF|WHILE|"
-    r"BEGIN|LOOP|FOR)\b",
+    r"\b(END\s+IF|END\s+WHILE|END\s+LOOP|END\s+FOR|END\s+CASE|END|CASE|"
+    r"IF|WHILE|BEGIN|LOOP|FOR)\b",
     re.IGNORECASE,
 )
-_BLOCK_OPEN_RE = re.compile(r"^\s*(IF|WHILE|LOOP|BEGIN|FOR)\b", re.IGNORECASE)
+_BLOCK_OPEN_RE = re.compile(
+    # optional BigQuery loop label ("lbl: WHILE ... END WHILE lbl")
+    r"^\s*(?:[A-Za-z_]\w*\s*:\s*)?(IF|WHILE|LOOP|BEGIN|FOR|CASE)\b",
+    re.IGNORECASE,
+)
 
 
 def _at_statement_position(s: str, i: int) -> bool:
@@ -259,13 +263,20 @@ def _block_depth_delta(fragment: str) -> int:
         k = re.sub(r"\s+", " ", m.group(1).upper())
         after = s[m.end():].lstrip()
         if k == "CASE":
-            case_depth += 1
+            # statement-position CASE is the procedural block (closed
+            # by END CASE); expression CASE closes with a bare END.
+            # case_depth == 0 guard: "THEN CASE" inside an expression
+            # CASE is the nested expression form
+            if case_depth == 0 and _at_statement_position(s, m.start()):
+                depth += 1
+            else:
+                case_depth += 1
         elif k == "END":
             if case_depth > 0:
                 case_depth -= 1
             else:
                 depth -= 1
-        elif k in ("END IF", "END WHILE", "END LOOP", "END FOR"):
+        elif k in ("END IF", "END WHILE", "END LOOP", "END FOR", "END CASE"):
             depth -= 1
         elif k == "IF":
             if case_depth == 0 and _at_statement_position(s, m.start()):
@@ -365,13 +376,19 @@ def parse_script_block(stmt: str) -> dict | None:
                     k = re.sub(r"\s+", " ", tm.group(1).upper())
                     after = s[tm.end():].lstrip()
                     if k == "CASE":
-                        case_depth += 1
+                        if case_depth == 0 and _at_statement_position(s, i):
+                            depth += 1
+                        else:
+                            case_depth += 1
                     elif k == "END":
                         if case_depth > 0:
                             case_depth -= 1
                         else:
                             depth -= 1
-                    elif k in ("END IF", "END WHILE", "END LOOP", "END FOR"):
+                    elif k in (
+                        "END IF", "END WHILE", "END LOOP", "END FOR",
+                        "END CASE",
+                    ):
                         depth -= 1
                     elif k == "IF" and case_depth == 0 and _at_statement_position(s, i):
                         depth += 1
@@ -421,6 +438,45 @@ def parse_script_block(stmt: str) -> dict | None:
                     branches.append((cond, stmt[seg_start:pos]))
                 break
             raise ValueError(f"unexpected {name} in IF block")
+        return {"kind": "IF", "branches": branches, "else": else_body}
+    if kind == "CASE":
+        # procedural CASE (both forms) desugars to the IF structure:
+        #   CASE [subject] WHEN v THEN stmts; ... [ELSE stmts;] END CASE
+        ms = markers(("WHEN", "THEN", "ELSE", "END CASE"))
+        if not ms or ms[0][2] != "WHEN" or ms[-1][2] != "END CASE":
+            raise ValueError(f"malformed CASE block: {stmt[:120]!r}")
+        subject = stmt[body_from : ms[0][0]].strip()
+        branches = []
+        else_body: str | None = None
+        cond: str | None = None
+        seg_start = 0
+        j = 0
+        while j < len(ms):
+            pos, end, name = ms[j]
+            if name == "WHEN":
+                if cond is not None:
+                    branches.append((cond, stmt[seg_start:pos]))
+                if j + 1 >= len(ms) or ms[j + 1][2] != "THEN":
+                    raise ValueError("CASE WHEN without THEN")
+                val = stmt[end : ms[j + 1][0]].strip()
+                cond = f"({subject}) = ({val})" if subject else val
+                seg_start = ms[j + 1][1]
+                j += 2
+                continue
+            if name == "ELSE":
+                if cond is not None:
+                    branches.append((cond, stmt[seg_start:pos]))
+                    cond = None
+                seg_start = end
+                j += 1
+                continue
+            if name == "END CASE":
+                if cond is not None:
+                    branches.append((cond, stmt[seg_start:pos]))
+                else:
+                    else_body = stmt[seg_start:pos]
+                break
+            raise ValueError(f"unexpected {name} in CASE block")
         return {"kind": "IF", "branches": branches, "else": else_body}
     if kind == "WHILE":
         ms = markers(("DO", "END WHILE"))

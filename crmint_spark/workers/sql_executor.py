@@ -43,11 +43,19 @@ from .base import Worker, WorkerException
 
 
 class _BreakSignal(Exception):
-    """BREAK/LEAVE inside WHILE/LOOP."""
+    """BREAK/LEAVE inside WHILE/LOOP; optional loop label."""
+
+    def __init__(self, label: str | None = None):
+        self.label = label
+        super().__init__(label)
 
 
 class _ContinueSignal(Exception):
-    """CONTINUE/ITERATE inside WHILE/LOOP."""
+    """CONTINUE/ITERATE inside WHILE/LOOP; optional loop label."""
+
+    def __init__(self, label: str | None = None):
+        self.label = label
+        super().__init__(label)
 
 
 class _ReturnSignal(Exception):
@@ -266,19 +274,56 @@ class SparkSQLExecutor(Worker):
                 continue
             if self._try_procedure(raw_stmt, sctx, resolver, registry):
                 continue
+            rm = re.match(
+                r"^\s*RAISE(?:\s+USING\s+MESSAGE\s*=\s*(.+?))?\s*$",
+                raw_stmt,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if rm:
+                # RAISE [USING MESSAGE = expr]: a user error (BigQuery
+                # scripting) — caught by BEGIN...EXCEPTION handlers like
+                # any other failure. A bare RAISE outside a handler
+                # re-raises generically (the engine splices
+                # @@error.message textually, so inside a handler the
+                # message is available to an explicit RAISE USING).
+                if self._params["dry_run"]:
+                    continue
+                if rm.group(1):
+                    expr = transpile_statement(
+                        sctx.substitute(rm.group(1).strip()), resolver
+                    )
+                    msg = spark.sql(f"SELECT ({expr})").first()[0]
+                else:
+                    msg = "raised exception (bare RAISE)"
+                raise WorkerException(str(msg))
             flow = re.match(
-                r"^\s*(BREAK|LEAVE|CONTINUE|ITERATE|RETURN)\s*$",
+                r"^\s*(BREAK|LEAVE|CONTINUE|ITERATE|RETURN)"
+                r"(?:\s+(\w+))?\s*$",
                 raw_stmt,
                 re.IGNORECASE,
             )
             if flow:
                 kw = flow.group(1).upper()
+                label = flow.group(2)
                 if kw in ("BREAK", "LEAVE"):
-                    raise _BreakSignal()
+                    raise _BreakSignal(label)
                 if kw in ("CONTINUE", "ITERATE"):
-                    raise _ContinueSignal()
+                    raise _ContinueSignal(label)
                 raise _ReturnSignal(last)
-            block = parse_script_block(raw_stmt)
+            # BigQuery loop labels: label: WHILE ... END WHILE label
+            lbl = None
+            block_stmt = raw_stmt
+            lm = re.match(
+                r"^\s*([A-Za-z_]\w*)\s*:\s*"
+                r"((?:WHILE|LOOP|FOR|BEGIN)\b.*)$",
+                raw_stmt,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if lm:
+                lbl, block_stmt = lm.group(1), lm.group(2)
+            block = parse_script_block(block_stmt)
+            if block is not None and lbl:
+                block["label"] = lbl
             if block is not None:
                 result = self._exec_block(block, sctx, resolver, registry)
                 if result is not None:
@@ -311,6 +356,90 @@ class SparkSQLExecutor(Worker):
         r"^\s*ALTER\s+TABLE\s+(IF\s+EXISTS\s+)?`?([\w.\-]+)`?\s+(.*)$",
         re.IGNORECASE | re.DOTALL,
     )
+
+    def _try_metadata_only(self, sub: str) -> bool:
+        """Statements that carry only BigQuery metadata the engine has
+        no plane for — validated and logged, never silently wrong:
+        ``ALTER TABLE/VIEW/MATERIALIZED VIEW/SCHEMA ... SET OPTIONS``
+        (descriptions, expirations, labels) and ``GRANT``/``REVOKE``
+        (IAM DCL). Scripts exported from BigQuery run unchanged; the
+        log records exactly what was ignored."""
+        m = re.match(
+            r"^\s*ALTER\s+(TABLE|VIEW|MATERIALIZED\s+VIEW|SCHEMA)\s+"
+            r"(?:IF\s+EXISTS\s+)?`?([\w.\-]+)`?\s+SET\s+OPTIONS\s*\(",
+            sub,
+            re.IGNORECASE,
+        )
+        if m:
+            from ..dialect import _balanced_end
+
+            if _balanced_end(sub, sub.index("(", m.end() - 1)) == -1:
+                raise WorkerException(
+                    f"unbalanced OPTIONS in: {sub[:120]!r}"
+                )
+            self.log_info(
+                f"ALTER {m.group(1).upper()} {m.group(2)} SET OPTIONS:"
+                " metadata-only, validated and ignored (the engine"
+                " stores no table options)"
+            )
+            return True
+        m = re.match(r"^\s*(GRANT|REVOKE)\b", sub, re.IGNORECASE)
+        if m:
+            self.log_info(
+                f"{m.group(1).upper()} ignored: the engine has no IAM"
+                " plane (BigQuery DCL is access metadata)"
+            )
+            return True
+        return False
+
+    def _try_temp_table(self, sub: str, resolver, registry) -> bool:
+        """``CREATE [OR REPLACE] TEMP TABLE name AS query`` (BigQuery
+        scripting): materialized session-scoped relation — the query
+        runs ONCE (localCheckpoint on the executors), then registers as
+        a temp view so downstream statements see a stable snapshot
+        (temp-VIEW semantics would re-run the query per reference).
+        Schema-only TEMP TABLE (no AS) rejects loudly."""
+        m = re.match(
+            r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+"
+            r"(IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*(.*)$",
+            sub,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            return False
+        name, rest = m.group(3), m.group(4).strip()
+        am = re.match(r"(?:\([^)]*\)\s*)?AS\b(.*)$", rest, re.IGNORECASE | re.DOTALL)
+        if not am:
+            raise WorkerException(
+                "CREATE TEMP TABLE needs an AS query (schema-only temp"
+                " tables are not supported)"
+            )
+        spark = self._ctx.spark
+        if self._params["dry_run"]:
+            self._dry_run_statement(
+                spark, transpile_statement(am.group(1).strip(), resolver)
+            )
+            return True
+        if m.group(2) and spark.catalog.tableExists(name):
+            self.log_info(f"TEMP TABLE {name} exists — skipped")
+            return True
+        q = am.group(1).strip()
+        if q.startswith("(") and q.endswith(")"):
+            q = q[1:-1]
+        df = self._run_statement(q, resolver, registry)
+        if df is None:
+            raise WorkerException(
+                "CREATE TEMP TABLE query produced no result"
+            )
+        try:
+            df = df.localCheckpoint(eager=True)
+        except Exception:
+            from pyspark.storagelevel import StorageLevel
+
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.createOrReplaceTempView(name)
+        self.log_info(f"CREATE TEMP TABLE {name}: materialized")
+        return True
 
     def _try_drop_alter(self, sub: str) -> bool:
         """BigQuery DDL beyond CREATE: ``DROP TABLE/VIEW/PROCEDURE/
@@ -1402,9 +1531,13 @@ class SparkSQLExecutor(Worker):
                         result = run(block["body"])
                         if result is not None:
                             last = result
-                    except _BreakSignal:
+                    except _BreakSignal as sig:
+                        if sig.label and sig.label != block.get("label"):
+                            raise
                         return last
-                    except _ContinueSignal:
+                    except _ContinueSignal as sig:
+                        if sig.label and sig.label != block.get("label"):
+                            raise
                         continue
             finally:
                 for k in list(sctx.variables):
@@ -1426,9 +1559,13 @@ class SparkSQLExecutor(Worker):
                     result = run(block["body"])
                     if result is not None:
                         last = result
-                except _BreakSignal:
+                except _BreakSignal as sig:
+                    if sig.label and sig.label != block.get("label"):
+                        raise
                     return last
-                except _ContinueSignal:
+                except _ContinueSignal as sig:
+                    if sig.label and sig.label != block.get("label"):
+                        raise
                     continue
             raise WorkerException(
                 f"{kind} exceeded {self._MAX_LOOP_ITERATIONS} iterations"
@@ -1449,7 +1586,12 @@ class SparkSQLExecutor(Worker):
                 # large trailing SELECT must not OOM the driver.
                 result = result.localCheckpoint(eager=True)
             return result
-        except (_BreakSignal, _ContinueSignal, _ReturnSignal):
+        except _BreakSignal as sig:
+            # BREAK <label> exits a LABELED block (BigQuery scripting)
+            if sig.label and sig.label == block.get("label"):
+                return None
+            raise
+        except (_ContinueSignal, _ReturnSignal):
             raise
         except Exception as exc:
             if not block["handler"]:
@@ -1506,10 +1648,14 @@ class SparkSQLExecutor(Worker):
             return None
         if self._try_table_function_ddl(sub):
             return None
+        if self._try_metadata_only(sub):
+            return None
         if self._try_drop_alter(sub):
             return None
         sub = self._expand_table_functions(sub)
         if self._try_external_table(sub):
+            return None
+        if self._try_temp_table(sub, resolver, registry):
             return None
         if self._try_assert(sub, resolver):
             return None

@@ -1514,3 +1514,71 @@ def test_vector_search_cte_query_falls_back_exact(spark):
     assert len(rows) == 2
     # top-1 of a self-probe is the probe itself
     assert all(r["qid"] == r["bid"] for r in rows), rows
+
+
+def test_scripting_raise_case_labels_temp_tables(ctx):
+    """Round-6 scripting wave: RAISE USING MESSAGE, procedural CASE
+    (valued + searched, desugared to IF), loop labels (BREAK/CONTINUE
+    <label> through nested loops, labeled BEGIN), CREATE TEMP TABLE
+    materialization, and the metadata-only ALTER ... SET OPTIONS /
+    GRANT no-ops."""
+    run = lambda s: find_worker("SparkSQLExecutor")(  # noqa: E731
+        {"script": s, "dry_run": False}, ctx
+    )
+
+    w = run(
+        "BEGIN RAISE USING MESSAGE = 'custom boom'; "
+        "EXCEPTION WHEN ERROR THEN SELECT @@error.message AS m; END"
+    )
+    w.execute()
+    assert w.result.first()["m"] == "custom boom"
+    with pytest.raises(WorkerException, match="oops"):
+        run("RAISE USING MESSAGE = 'oops'").execute()
+
+    w = run(
+        "DECLARE x INT64 DEFAULT 2; "
+        "CASE x WHEN 1 THEN SELECT 'a' AS v; WHEN 2 THEN SELECT 'b' AS v;"
+        " ELSE SELECT 'c' AS v; END CASE"
+    )
+    w.execute()
+    assert w.result.first()["v"] == "b"
+    w = run(
+        "DECLARE x INT64 DEFAULT 9; "
+        "CASE WHEN x < 5 THEN SELECT 'lo' AS v;"
+        " WHEN x < 20 THEN SELECT CASE WHEN x > 0 THEN 'mid' END AS v;"
+        " ELSE SELECT 'hi' AS v; END CASE"
+    )
+    w.execute()
+    assert w.result.first()["v"] == "mid"
+
+    w = run(
+        "DECLARE n INT64 DEFAULT 0; "
+        "outer_l: WHILE TRUE DO"
+        "  inner_l: WHILE TRUE DO SET n = n + 1; BREAK outer_l; END WHILE;"
+        "  SET n = n + 100; "
+        "END WHILE; SELECT n AS v"
+    )
+    w.execute()
+    assert w.result.first()["v"] == 1
+    with pytest.raises(WorkerException, match="outside a loop"):
+        run("WHILE TRUE DO BREAK nolabel; END WHILE").execute()
+
+    w = run(
+        "CREATE TEMP TABLE tt_scr AS SELECT 1 AS k UNION ALL SELECT 2;"
+        " SELECT COUNT(*) AS n FROM tt_scr"
+    )
+    w.execute()
+    assert w.result.first()["n"] == 2
+    with pytest.raises(WorkerException, match="AS query"):
+        run("CREATE TEMP TABLE tt_schema (x INT64)").execute()
+
+    _seed_table(ctx, "p.d.meta_t", [(1,)], "id long")
+    w = run(
+        "ALTER TABLE `p.d.meta_t` SET OPTIONS(description='x',"
+        " labels=[('a','b')]); GRANT `roles/viewer` ON TABLE"
+        " `p.d.meta_t` TO 'user:a@b.c'; SELECT 1 AS ok"
+    )
+    w.execute()
+    assert w.result.first()["ok"] == 1
+    assert any("validated and ignored" in line for line in w.log)
+    assert any("no IAM plane" in line for line in w.log)
