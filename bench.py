@@ -161,6 +161,7 @@ SECONDARY = [
     "bqml_autoencoder_anomalies",
     "q87_json_mutators",
     "q88_bq_functions11",
+    "q89_scripting2",
 ]
 
 

@@ -3526,3 +3526,50 @@ SELECT
 """
 
 EXTENDED_QUERIES["q88_bq_functions11"] = (q88_bq_functions11, Q88_SQL)
+
+
+def q89_scripting2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second scripting batch end-to-end: CREATE TEMP TABLE
+    materialization, a labeled WHILE driven by a procedural CASE
+    (BREAK <label> exit), RAISE caught by an EXCEPTION handler with
+    @@error.message capture — the BigQuery scripting constructs a
+    maintenance script composes. Final state is pure arithmetic over
+    customer, so DuckDB certifies the whole control flow by value."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    DECLARE total INT64 DEFAULT 0;
+    DECLARE msg STRING DEFAULT '';
+    CREATE TEMP TABLE seg89 AS
+      SELECT c_custkey AS k, c_acctbal AS bal
+      FROM customer WHERE c_custkey <= 100;
+    lp: WHILE TRUE DO
+      CASE WHEN total >= 3 THEN BREAK lp;
+           ELSE SET total = total + 1;
+      END CASE;
+    END WHILE;
+    BEGIN
+      RAISE USING MESSAGE = 'threshold breach';
+    EXCEPTION WHEN ERROR THEN
+      SET msg = @@error.message;
+    END;
+    SELECT CAST(total AS INT64) AS loops, msg AS err_msg,
+           COUNT(*) AS n, ROUND(SUM(bal), 4) AS s
+    FROM seg89
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False}, WorkerContext(spark)
+    )
+    w.execute()
+    return w.result
+
+
+Q89_SQL = """
+SELECT CAST(3 AS BIGINT) AS loops, 'threshold breach' AS err_msg,
+       COUNT(*) AS n, ROUND(SUM(c_acctbal), 4) AS s
+FROM customer WHERE c_custkey <= 100
+"""
+
+EXTENDED_QUERIES["q89_scripting2"] = (q89_scripting2, Q89_SQL)
