@@ -676,12 +676,21 @@ def rewrite_ml_detect_anomalies(
     counter = [0]
 
     def handler(name: str, args: list[str]) -> str:
-        if len(args) != 2:
+        if len(args) not in (1, 2):
             raise ValueError(
                 "ML.DETECT_ANOMALIES expects (MODEL m, STRUCT(p AS "
-                "anomaly_prob_threshold | contamination), (query))"
+                "anomaly_prob_threshold | contamination) [, (query)])"
             )
         meta = registry.load_meta(name)
+        if len(args) == 1 and (
+            not _STRUCT_CONTAMINATION_RE.match(args[0])
+            or not meta.get("source_sql")
+        ):
+            raise ValueError(
+                "ML.DETECT_ANOMALIES without an input query needs a"
+                " contamination STRUCT and a model with a persisted"
+                " training source"
+            )
         mc = _STRUCT_CONTAMINATION_RE.match(args[0])
         if mc:
             # contamination anomalies: reconstruction loss for
@@ -696,9 +705,14 @@ def rewrite_ml_detect_anomalies(
                     "STRUCT(c AS contamination) needs an AUTOENCODER,"
                     f" PCA or KMEANS model, got {meta['model_type']}"
                 )
-            df_in = _apply_transform(
-                spark, _iq(args[1]), meta, drop_label=True
-            )
+            if len(args) == 1:
+                # no input query -> training data; source_sql already
+                # embeds any TRANSFORM wrap
+                df_in = spark.sql(meta["source_sql"])
+            else:
+                df_in = _apply_transform(
+                    spark, _iq(args[1]), meta, drop_label=True
+                )
             if meta["model_type"] in ("AUTOENCODER", "PCA"):
                 from .pca_model import detect_reconstruction_anomalies
 

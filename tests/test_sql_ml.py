@@ -1438,3 +1438,29 @@ def test_ml_autoencoder_true_mae(ctx):
     d = 2
     assert ev["mean_absolute_error"] <= math.sqrt(ev["mean_squared_error"] * d) + 1e-9
     assert ev["mean_absolute_error"] > 0
+
+
+def test_ml_detect_anomalies_no_input_training_data(ctx):
+    """Contamination ML.DETECT_ANOMALIES without an input query scores
+    the persisted training data (BigQuery's contract)."""
+    spark = ctx.spark
+    rows = [((i - 50) / 5.0, (i - 50) / 2.5 + (i % 3) * 0.3) for i in range(100)]
+    spark.createDataFrame(rows, "x double, y double").createOrReplaceTempView(
+        "ae_noin"
+    )
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.ae_noin`
+        OPTIONS(MODEL_TYPE='AUTOENCODER', HIDDEN_UNITS=[1])
+          AS (SELECT x, y FROM ae_noin)
+        """,
+    )
+    w = _run(
+        ctx,
+        "SELECT COUNT(*) AS n, SUM(CAST(is_anomaly AS INT64)) AS k"
+        " FROM ML.DETECT_ANOMALIES(MODEL `p.d.ae_noin`,"
+        " STRUCT(0.1 AS contamination))",
+    )
+    r = w.result.first()
+    assert r["n"] == 100 and 1 <= r["k"] <= 10, r
