@@ -920,6 +920,15 @@ def try_create_model(
     dest = registry.path(name)
     if os.path.isdir(dest):
         shutil.rmtree(dest)
+    # per-iteration objective history (Spark summaries exist only on
+    # the freshly fitted estimator, never after reload) — persisted for
+    # ML.TRAINING_INFO
+    loss_hist: list[float] = []
+    try:
+        summ = model.stages[-1].summary
+        loss_hist = [float(x) for x in summ.objectiveHistory]
+    except Exception:
+        pass
     model.write().overwrite().save(dest)
     registry.save_meta(
         name,
@@ -927,6 +936,7 @@ def try_create_model(
             "model_type": model_type,
             "label": label,
             "features": feature_cols,
+            **({"loss_history": loss_hist} if loss_hist else {}),
             # persisted so no-input ML.EVALUATE can rebuild the held-out
             # split (BigQuery's evaluate-on-reserved-split behavior);
             # source_sql already includes the TRANSFORM projection
@@ -1534,6 +1544,95 @@ def _model_feature_rows(model, meta: dict) -> list[tuple[str, float]]:
             "(DNN models: inspect the saved network artifact instead)"
         )
     return list(zip(feats, vals))
+
+
+_ML_TRAINING_INFO_RE = re.compile(
+    r"ML\.TRAINING_INFO\s*\(\s*MODEL\s+`?([\w.\-]+)`?\s*\)", re.IGNORECASE
+)
+
+
+def rewrite_ml_training_info(
+    spark: SparkSession, stmt: str, registry: ModelRegistry
+) -> str:
+    """``ML.TRAINING_INFO(MODEL m)`` -> per-iteration training table in
+    BigQuery's column shape (training_run, iteration, loss, eval_loss,
+    learning_rate, duration_ms). The loss column is the REAL optimizer
+    objective history Spark's summary exposed at fit time (persisted in
+    the meta — summaries do not survive model reload); eval_loss /
+    learning_rate / duration_ms are NULL — Spark's LBFGS/OWLQN exposes
+    no per-iteration eval pass, step size, or wall time (documented).
+    Models whose estimator has no objective history (tree ensembles)
+    reject loudly naming ML.FEATURE_IMPORTANCE instead."""
+    counter = [0]
+
+    def repl(m: re.Match) -> str:
+        meta = registry.load_meta(m.group(1))
+        hist = meta.get("loss_history")
+        if not hist:
+            raise ValueError(
+                f"ML.TRAINING_INFO: {meta['model_type']} exposes no"
+                " per-iteration objective history (tree ensembles:"
+                " inspect ML.FEATURE_IMPORTANCE / ML.GLOBAL_EXPLAIN)"
+            )
+        rows = [
+            (1, i, round(float(loss), 6), None, None, None)
+            for i, loss in enumerate(hist)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "training_run bigint, iteration bigint, loss double,"
+            " eval_loss double, learning_rate double, duration_ms bigint",
+        )
+        counter[0] += 1
+        view = f"__ml_training_info_{counter[0]}"
+        df.createOrReplaceTempView(view)
+        return view
+
+    return _ML_TRAINING_INFO_RE.sub(repl, stmt)
+
+
+_ML_FEATURE_IMPORTANCE_RE = re.compile(
+    r"ML\.FEATURE_IMPORTANCE\s*\(\s*MODEL\s+`?([\w.\-]+)`?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_ml_feature_importance(
+    spark: SparkSession, stmt: str, registry: ModelRegistry
+) -> str:
+    """``ML.FEATURE_IMPORTANCE(MODEL m)`` -> (feature,
+    importance_weight, importance_gain, importance_cover) for tree
+    ensembles — BigQuery's boosted-tree importance table.
+    importance_weight carries Spark's impurity-based
+    featureImportances; gain/cover are NULL (Spark MLlib exposes a
+    single importance measure — documented divergence)."""
+    counter = [0]
+
+    def repl(m: re.Match) -> str:
+        model, meta = _load(registry, m.group(1))
+        est = model.stages[-1]
+        if not hasattr(est, "featureImportances"):
+            raise ValueError(
+                f"ML.FEATURE_IMPORTANCE needs a tree-ensemble model"
+                f" (BOOSTED_TREE_*/RANDOM_FOREST_*), got"
+                f" {meta['model_type']} — linear models: ML.WEIGHTS"
+            )
+        feats = meta["features"]
+        rows = [
+            (f, round(float(est.featureImportances[i]), 6), None, None)
+            for i, f in enumerate(feats)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "feature string, importance_weight double,"
+            " importance_gain double, importance_cover double",
+        )
+        counter[0] += 1
+        view = f"__ml_feature_importance_{counter[0]}"
+        df.createOrReplaceTempView(view)
+        return view
+
+    return _ML_FEATURE_IMPORTANCE_RE.sub(repl, stmt)
 
 
 _ML_PC_RE = re.compile(

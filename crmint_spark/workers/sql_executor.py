@@ -1631,6 +1631,8 @@ class SparkSQLExecutor(Worker):
             rewrite_ml_transform,
             rewrite_ml_centroids,
             rewrite_ml_principal_components,
+            rewrite_ml_training_info,
+            rewrite_ml_feature_importance,
             rewrite_ml_trial_info,
             rewrite_ml_weights,
             try_create_model,
@@ -1702,6 +1704,8 @@ class SparkSQLExecutor(Worker):
         stmt = rewrite_ml_weights(spark, stmt, registry)
         stmt = rewrite_ml_centroids(spark, stmt, registry)
         stmt = rewrite_ml_principal_components(spark, stmt, registry)
+        stmt = rewrite_ml_training_info(spark, stmt, registry)
+        stmt = rewrite_ml_feature_importance(spark, stmt, registry)
         stmt = rewrite_ml_global_explain(spark, stmt, registry)
         stmt = rewrite_ml_forecast(spark, stmt, registry)
         stmt = rewrite_ml_arima_evaluate(spark, stmt, registry)

@@ -1464,3 +1464,47 @@ def test_ml_detect_anomalies_no_input_training_data(ctx):
     )
     r = w.result.first()
     assert r["n"] == 100 and 1 <= r["k"] <= 10, r
+
+
+def test_ml_training_info_and_feature_importance(ctx):
+    """ML.TRAINING_INFO serves the REAL optimizer objective history
+    persisted at fit time (summaries don't survive model reload);
+    ML.FEATURE_IMPORTANCE serves tree importances; each rejects the
+    other family with a pointer."""
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.ti_m`
+        OPTIONS(MODEL_TYPE='LOGISTIC_REG', INPUT_LABEL_COLS=['label'],
+                MAX_ITERATIONS=15) AS (SELECT x1, x2, label FROM training_data)
+        """,
+    )
+    rows = _run(
+        ctx,
+        "SELECT iteration, loss FROM ML.TRAINING_INFO(MODEL `p.d.ti_m`)"
+        " ORDER BY iteration",
+    ).result.collect()
+    assert len(rows) >= 3
+    assert rows[0]["loss"] > rows[-1]["loss"] > 0.0  # optimizer descends
+    assert [r["iteration"] for r in rows] == list(range(len(rows)))
+
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.fi_m`
+        OPTIONS(MODEL_TYPE='BOOSTED_TREE_CLASSIFIER',
+                INPUT_LABEL_COLS=['label'], MAX_ITERATIONS=5)
+          AS (SELECT x1, x2, label FROM training_data)
+        """,
+    )
+    fi = _run(
+        ctx,
+        "SELECT feature, importance_weight FROM"
+        " ML.FEATURE_IMPORTANCE(MODEL `p.d.fi_m`) ORDER BY feature",
+    ).result.collect()
+    assert [r["feature"] for r in fi] == ["x1", "x2"]
+    assert abs(sum(r["importance_weight"] for r in fi) - 1.0) < 0.01
+    with pytest.raises(ValueError, match="FEATURE_IMPORTANCE"):
+        _run(ctx, "SELECT * FROM ML.TRAINING_INFO(MODEL `p.d.fi_m`)")
+    with pytest.raises(ValueError, match="ML.WEIGHTS"):
+        _run(ctx, "SELECT * FROM ML.FEATURE_IMPORTANCE(MODEL `p.d.ti_m`)")
