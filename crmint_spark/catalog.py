@@ -194,6 +194,10 @@ class Catalog:
         # name (the partitioned-table scale path registers here so SQL
         # wildcard scans partition-prune instead of unioning shards)
         self._wildcard_views: dict[str, str] = {}
+        # (project, dataset) -> {view_name: definition SQL} recorded by
+        # the executor's CREATE VIEW path, served by
+        # INFORMATION_SCHEMA.VIEWS and as table_type='VIEW' in .TABLES
+        self._view_defs: dict[tuple[str, str], dict[str, str]] = {}
         os.makedirs(warehouse_root, exist_ok=True)
 
     def path_for(self, table_id: str) -> str:
@@ -603,11 +607,27 @@ class Catalog:
             return view
         project, dataset = self._split_is_qualifier(qualifier)
         tables = self._dataset_tables(project, dataset)
+        views = self._view_defs.get((project, dataset), {})
         if kind == "TABLES":
+            rows = [
+                (project, dataset, t, "BASE TABLE")
+                for t in tables
+                if t not in views
+            ] + [(project, dataset, v, "VIEW") for v in sorted(views)]
             self.spark.createDataFrame(
-                [(project, dataset, t, "BASE TABLE") for t in tables],
+                rows,
                 "table_catalog string, table_schema string, "
                 "table_name string, table_type string",
+            ).createOrReplaceTempView(view)
+            return view
+        if kind == "VIEWS":
+            self.spark.createDataFrame(
+                [
+                    (project, dataset, v, d)
+                    for v, d in sorted(views.items())
+                ],
+                "table_catalog string, table_schema string, "
+                "table_name string, view_definition string",
             ).createOrReplaceTempView(view)
             return view
         if kind != "COLUMNS":
@@ -637,6 +657,17 @@ class Catalog:
             "is_nullable string, data_type string",
         ).createOrReplaceTempView(view)
         return view
+
+    def record_view(self, view_id: str, definition: str) -> None:
+        """Remember a CREATE VIEW's name + definition for the
+        INFORMATION_SCHEMA.VIEWS contract (metadata only — the view
+        itself lives in the Spark session catalog)."""
+        parts = view_id.split(".")
+        if len(parts) != 3:
+            return
+        self._view_defs.setdefault((parts[0], parts[1]), {})[
+            parts[2]
+        ] = definition.strip()
 
     def resolve_table(self, table_id: str) -> str:
         """Dialect resolver hook: wildcard and metadata names ->

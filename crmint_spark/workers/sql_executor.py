@@ -1654,6 +1654,17 @@ class SparkSQLExecutor(Worker):
             return None
         if self._try_drop_alter(sub):
             return None
+        vm = re.match(
+            r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.\-]+)`?\s*"
+            r"(?:OPTIONS\s*\([^)]*\)\s*)?AS\b(.*)$",
+            sub,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if vm and self._ctx.catalog is not None:
+            # metadata for INFORMATION_SCHEMA.VIEWS; the view itself is
+            # created below through the normal transpile path
+            self._ctx.catalog.record_view(vm.group(1), vm.group(2))
         sub = self._expand_table_functions(sub)
         if self._try_external_table(sub):
             return None

@@ -1582,3 +1582,28 @@ def test_scripting_raise_case_labels_temp_tables(ctx):
     assert w.result.first()["ok"] == 1
     assert any("validated and ignored" in line for line in w.log)
     assert any("no IAM plane" in line for line in w.log)
+
+
+def test_information_schema_views(ctx):
+    """INFORMATION_SCHEMA.VIEWS serves recorded CREATE VIEW definitions;
+    .TABLES lists views with table_type='VIEW' (BigQuery contract)."""
+    run = lambda s: find_worker("SparkSQLExecutor")(  # noqa: E731
+        {"script": s, "dry_run": False}, ctx
+    )
+    _seed_table(ctx, "p.d.isv_base", [(1,)], "id long")
+    w = run(
+        "CREATE OR REPLACE VIEW `p.d.isv_v` AS"
+        " SELECT id FROM `p.d.isv_base` WHERE id > 0;"
+        " SELECT table_name, view_definition"
+        " FROM `p.d.INFORMATION_SCHEMA.VIEWS`"
+    )
+    w.execute()
+    rows = {r["table_name"]: r["view_definition"] for r in w.result.collect()}
+    assert "isv_v" in rows and "WHERE id > 0" in rows["isv_v"]
+    w2 = run(
+        "SELECT table_name, table_type FROM `p.d.INFORMATION_SCHEMA.TABLES`"
+    )
+    w2.execute()
+    types = {r["table_name"]: r["table_type"] for r in w2.result.collect()}
+    assert types.get("isv_v") == "VIEW"
+    assert types.get("isv_base") == "BASE TABLE"
