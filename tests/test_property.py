@@ -390,3 +390,102 @@ def test_js_udf_var_binding_equals_inline(a, b):
     )
     got = duckdb.sql(f"SELECT {sql} AS v").fetchone()[0]
     assert got == val_a + val_b, (js_a, js_b, sql)
+
+
+# -- JSON mutator fuzz (functions/json_mutators.py) --------------------------
+
+import json as _json
+
+_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(-10**6, 10**6),
+    st.text(alphabet="abcxyz09 _", max_size=8),
+)
+_doc = st.recursive(
+    _scalar,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=4),
+        st.dictionaries(
+            st.from_regex(r"[a-z_][a-z0-9_]{0,5}", fullmatch=True),
+            inner,
+            max_size=4,
+        ),
+    ),
+    max_leaves=12,
+)
+_key = st.from_regex(r"[a-z_][a-z0-9_]{0,5}", fullmatch=True)
+
+
+@given(_doc, _key, _scalar)
+@settings(max_examples=200, deadline=None)
+def test_json_set_then_read_back(doc, key, val):
+    """JSON_SET on an object root: output parses, the key reads back
+    exactly, other keys survive untouched."""
+    from crmint_spark.functions.json_mutators import json_set
+
+    root = doc if isinstance(doc, dict) else {"wrap": doc}
+    out = json_set(
+        _json.dumps(root), f"$.{key}", _json.dumps({"v": val})
+    )
+    parsed = _json.loads(out)
+    assert parsed[key] == val
+    for k, v in root.items():
+        if k != key:
+            assert parsed[k] == v
+
+
+@given(_doc, _key)
+@settings(max_examples=200, deadline=None)
+def test_json_remove_then_missing(doc, key):
+    from crmint_spark.functions.json_mutators import json_remove
+
+    root = doc if isinstance(doc, dict) else {"wrap": doc}
+    out = _json.loads(json_remove(_json.dumps(root), f"$.{key}"))
+    assert key not in out
+    for k, v in root.items():
+        if k != key:
+            assert out[k] == v
+
+
+@given(_doc)
+@settings(max_examples=200, deadline=None)
+def test_json_strip_nulls_removes_every_null(doc):
+    """No null survives anywhere (include_arrays default true), and
+    non-null leaves are preserved in order."""
+    from crmint_spark.functions.json_mutators import json_strip_nulls
+
+    out = _json.loads(json_strip_nulls(_json.dumps(doc)))
+
+    def has_null(x):
+        if x is None:
+            return True
+        if isinstance(x, dict):
+            return any(has_null(v) for v in x.values())
+        if isinstance(x, list):
+            return any(has_null(v) for v in x)
+        return False
+
+    if doc is None:
+        assert out is None  # null root stays JSON 'null'
+    else:
+        assert not has_null(out)
+
+
+@given(st.lists(_scalar, min_size=1, max_size=6), st.integers(0, 7), _scalar)
+@settings(max_examples=200, deadline=None)
+def test_json_array_insert_position(arr, idx, val):
+    """Inserted value lands at the requested index (null-padded past
+    the end), everything else keeps relative order."""
+    from crmint_spark.functions.json_mutators import json_array_insert
+
+    out = _json.loads(
+        json_array_insert(
+            _json.dumps(arr), f"$[{idx}]", _json.dumps({"v": val})
+        )
+    )
+    expect = list(arr)
+    while len(expect) < idx:
+        expect.append(None)
+    expect.insert(idx, val)
+    assert out == expect
