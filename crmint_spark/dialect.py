@@ -1115,23 +1115,47 @@ def _rewrite_string_agg(sql: str) -> str:
         distinct = bool(re.match(r"DISTINCT\b", inner, re.IGNORECASE))
         if distinct:
             inner = inner[len("DISTINCT") :].strip()
-        # strip a top-level trailing ORDER BY (the sort is reproduced by
-        # array_sort in the DISTINCT form)
+        # trailing top-level LIMIT n -> slice after the sort
+        limit = None
+        m_lim = re.search(r"\bLIMIT\s+(\d+)\s*$", inner, re.IGNORECASE)
+        if m_lim and _balanced_end("(" + inner[: m_lim.start()] + ")", 0) != -1:
+            inner, limit = inner[: m_lim.start()].rstrip(), int(m_lim.group(1))
+        # top-level ORDER BY o [ASC|DESC] -> real sort (struct-sort for
+        # non-DISTINCT arbitrary keys, array_sort for DISTINCT/self)
+        order_expr = direction = None
         m_ord = re.search(r"\bORDER\s+BY\b", inner, re.IGNORECASE)
         if m_ord and _balanced_end("(" + inner[: m_ord.start()] + ")", 0) == -1:
             m_ord = None  # ORDER BY sits inside parens — leave it
         if m_ord:
+            tail = inner[m_ord.end() :].strip()
             inner = inner[: m_ord.start()].rstrip()
+            m_dir = re.search(r"\s+(ASC|DESC)\s*$", tail, re.IGNORECASE)
+            if m_dir:
+                direction = m_dir.group(1).upper()
+                tail = tail[: m_dir.start()].strip()
+            order_expr = tail
         parts = _split_top_level(inner)
         expr = parts[0].strip()
         sep = parts[1].strip() if len(parts) > 1 else "','"
-        agg = (
-            f"array_join(array_sort(collect_set({expr})), {sep})"
-            if distinct
-            else f"array_join(collect_list({expr}), {sep})"
-        )
+        arr = f"collect_set({expr})" if distinct else f"collect_list({expr})"
+        if order_expr is not None:
+            if distinct or order_expr == expr:
+                arr = f"array_sort({arr})"
+            else:
+                arr = (
+                    f"transform(array_sort(collect_list("
+                    f"struct({order_expr} AS _o, {expr} AS _v))), s -> s._v)"
+                )
+            if direction == "DESC":
+                arr = f"reverse({arr})"
+        elif distinct:
+            # unordered DISTINCT: sorted for determinism (BigQuery may
+            # pick any order)
+            arr = f"array_sort({arr})"
+        if limit is not None:
+            arr = f"slice({arr}, 1, {limit})"
         out.append(sql[pos:start])
-        out.append(agg)
+        out.append(f"array_join({arr}, {sep})")
         pos = end
     out.append(sql[pos:])
     return "".join(out)

@@ -1545,3 +1545,22 @@ def test_time_family_random_cases_vs_model(spark):
     ).first()
     for k, want in expected.items():
         assert row[k] == want, (k, row[k], want)
+
+
+def test_string_agg_order_by_and_limit(spark):
+    """Non-DISTINCT STRING_AGG honors ORDER BY (struct sort over an
+    arbitrary key, DESC supported) and LIMIT (review probe found both
+    silently ignored before)."""
+    from crmint_spark.catalog import register_testdata
+    from crmint_spark.dialect import transpile_statement
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    row = spark.sql(
+        transpile_statement(
+            "SELECT STRING_AGG(n_name, ',' ORDER BY n_name LIMIT 2) AS a,"
+            " STRING_AGG(n_name, '|' ORDER BY n_nationkey DESC LIMIT 1)"
+            " AS b FROM nation WHERE n_nationkey < 4"
+        )
+    ).first()
+    assert row["a"] == "NATION_0,NATION_1"
+    assert row["b"] == "NATION_3"
