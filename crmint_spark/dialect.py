@@ -2212,25 +2212,81 @@ _DIFF_PARTS = {
     "HOUR", "MINUTE", "SECOND", "MILLISECOND", "MICROSECOND",
 }
 
+# boundary-counting parts of DATE_DIFF/DATETIME_DIFF: BigQuery returns
+# the number of PART BOUNDARIES crossed (DATE_DIFF('2024-01-01',
+# '2023-12-31', YEAR) = 1), not Spark timestampdiff's whole intervals
+_BOUNDARY_DIFF_PARTS = {"WEEK", "MONTH", "QUARTER", "YEAR", "ISOWEEK", "ISOYEAR"}
+
+
+def _boundary_diff_expr(a: str, b: str, part: str) -> str | None:
+    """Boundary-count expression for DATE_DIFF/DATETIME_DIFF parts, or
+    None when the part isn't boundary-style. WEEK anchors on epoch-near
+    start-day dates (1970-01-04 was a Sunday); floor-division handles
+    pre-anchor dates."""
+    def wk(anchor: str) -> str:
+        return (
+            f"CAST(floor(datediff(CAST({a} AS DATE), DATE '{anchor}') / 7)"
+            f" - floor(datediff(CAST({b} AS DATE), DATE '{anchor}') / 7)"
+            " AS BIGINT)"
+        )
+
+    if part == "YEAR":
+        return f"CAST(year({a}) - year({b}) AS BIGINT)"
+    if part == "ISOYEAR":
+        return (
+            f"CAST(extract(YEAROFWEEK FROM {a})"
+            f" - extract(YEAROFWEEK FROM {b}) AS BIGINT)"
+        )
+    if part == "QUARTER":
+        return (
+            f"CAST((year({a}) * 4 + quarter({a}))"
+            f" - (year({b}) * 4 + quarter({b})) AS BIGINT)"
+        )
+    if part == "MONTH":
+        return (
+            f"CAST((year({a}) * 12 + month({a}))"
+            f" - (year({b}) * 12 + month({b})) AS BIGINT)"
+        )
+    if part == "ISOWEEK":
+        return wk("1970-01-05")  # Monday boundaries
+    m_wk = re.fullmatch(r"WEEK(?:\s*\(\s*(\w+)\s*\))?", part)
+    if m_wk:
+        day = (m_wk.group(1) or "SUNDAY").upper()
+        if day not in _WEEKDAY_IDX:
+            return None
+        anchor = f"1970-01-{4 + _WEEKDAY_IDX[day]:02d}"
+        return wk(anchor)
+    return None
+
 
 def _rewrite_datetime_diff(sql: str) -> str:
     """``DATE_DIFF/DATETIME_DIFF/TIMESTAMP_DIFF(end, start, PART)`` ->
-    ``timestampdiff(PART, start, end)`` (BigQuery leads with the end
-    point; Spark leads with the unit). WEEK keeps Spark's whole-weeks
-    meaning — BigQuery counts Sunday boundaries crossed; scripts that
-    depend on boundary counting should diff DATE_TRUNC(.., WEEK) days."""
+    ``timestampdiff(PART, start, end)`` for exact-interval parts
+    (BigQuery leads with the end point; Spark leads with the unit).
+    DATE_DIFF/DATETIME_DIFF's WEEK[(<DAY>)]/ISOWEEK/MONTH/QUARTER/
+    YEAR/ISOYEAR count PART BOUNDARIES (BigQuery's documented
+    semantics) via explicit index arithmetic — timestampdiff's
+    whole-interval meaning would silently undercount by up to one."""
     out: list[str] = []
     pos = 0
-    for start, open_idx, end, _fn in _iter_calls(
+    for start, open_idx, end, fn in _iter_calls(
         sql, ("DATE_DIFF", "DATETIME_DIFF", "TIMESTAMP_DIFF")
     ):
         args = _split_top_level(sql[open_idx + 1 : end - 1])
-        if len(args) != 3 or args[2].strip().upper() not in _DIFF_PARTS:
+        if len(args) != 3:
             continue
+        part = re.sub(r"\s+", "", args[2].strip().upper())
         a = _rewrite_datetime_diff(args[0].strip())
         b = _rewrite_datetime_diff(args[1].strip())
+        rep = None
+        if fn in ("date_diff", "datetime_diff"):
+            rep = _boundary_diff_expr(a, b, part)
+        if rep is None:
+            if part not in _DIFF_PARTS:
+                continue
+            rep = f"timestampdiff({part}, {b}, {a})"
         out.append(sql[pos:start])
-        out.append(f"timestampdiff({args[2].strip().upper()}, {b}, {a})")
+        out.append(rep)
         pos = end
     out.append(sql[pos:])
     return "".join(out)

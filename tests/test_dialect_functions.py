@@ -1564,3 +1564,25 @@ def test_string_agg_order_by_and_limit(spark):
     ).first()
     assert row["a"] == "NATION_0,NATION_1"
     assert row["b"] == "NATION_3"
+
+
+def test_date_diff_boundary_semantics(spark):
+    """DATE_DIFF/DATETIME_DIFF count PART BOUNDARIES (BigQuery's
+    documented examples), not whole intervals: the Dec-31 -> Jan-1 year
+    case and the Saturday -> Sunday week case both return 1."""
+    from crmint_spark.dialect import transpile_statement
+
+    row = spark.sql(
+        transpile_statement(
+            "SELECT DATE_DIFF(DATE '2024-01-01', DATE '2023-12-31', YEAR) AS y,"
+            " DATE_DIFF(DATE '2017-10-15', DATE '2017-10-14', WEEK) AS w,"
+            " DATE_DIFF(DATE '2017-10-15', DATE '2017-10-14', WEEK(MONDAY)) AS wm,"
+            " DATE_DIFF(DATE '2024-03-01', DATE '2024-01-31', MONTH) AS m,"
+            " DATE_DIFF(DATE '2024-01-08', DATE '2024-01-07', ISOWEEK) AS iw,"
+            " DATE_DIFF(DATE '2023-01-01', DATE '2024-01-01', MONTH) AS neg,"
+            " DATE_DIFF(DATE '2024-02-01', DATE '2024-01-01', DAY) AS d"
+        )
+    ).first()
+    assert (
+        row["y"], row["w"], row["wm"], row["m"], row["iw"], row["neg"], row["d"]
+    ) == (1, 1, 0, 2, 1, -12, 31)
