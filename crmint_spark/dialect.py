@@ -747,7 +747,8 @@ def _rewrite_extract_parts(sql: str) -> str:
     for start, open_idx, end, _fn in _iter_calls(sql, ("EXTRACT",)):
         inner = sql[open_idx + 1 : end - 1].strip()
         m = re.match(
-            r"(DATE|DATETIME|TIME|DAYOFYEAR|ISOWEEK|ISOYEAR|WEEK"
+            r"(DATE|DATETIME|TIME|DAYOFYEAR|ISOWEEK|ISOYEAR"
+            r"|WEEK(?:\s*\(\s*\w+\s*\))?"
             r"|HOUR|MINUTE|SECOND|MILLISECOND|MICROSECOND)"
             r"\s+FROM\s+(.+)$",
             inner,
@@ -755,7 +756,7 @@ def _rewrite_extract_parts(sql: str) -> str:
         )
         if not m:
             continue
-        part = m.group(1).upper()
+        part = re.sub(r"\s+", "", m.group(1).upper())
         expr = _rewrite_extract_parts(m.group(2).strip())
         tm = re.match(r"^TIME\s*'([^']*)'$", expr, re.IGNORECASE)
         if part in ("HOUR", "MINUTE", "SECOND", "MILLISECOND", "MICROSECOND"):
@@ -782,11 +783,18 @@ def _rewrite_extract_parts(sql: str) -> str:
             repl = f"EXTRACT(WEEK FROM {expr})"
         elif part == "ISOYEAR":
             repl = f"EXTRACT(YEAROFWEEK FROM {expr})"
-        else:  # WEEK, Sunday-start
+        else:  # WEEK / WEEK(<WEEKDAY>): 0-based, weeks begin on the
+            # start day (Sunday when unqualified); dates before the
+            # year's first start-day are week 0
+            m_day = re.fullmatch(r"WEEK(?:\((\w+)\))?", part)
+            day = (m_day.group(1) if m_day and m_day.group(1) else "SUNDAY")
+            if day not in _WEEKDAY_IDX:
+                continue
+            t = _WEEKDAY_IDX[day] + 1  # Spark dayofweek: Sunday=1
             # make_date, not trunc(d, 'YEAR'): the numeric-TRUNC rewrite
             # would capture the trunc() spelling
             fsd = (
-                f"(((8 - dayofweek(make_date(year({expr}), 1, 1))) "
+                f"((({t} - dayofweek(make_date(year({expr}), 1, 1)) + 7) "
                 f"% 7) + 1)"
             )
             repl = (

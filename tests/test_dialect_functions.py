@@ -1586,3 +1586,19 @@ def test_date_diff_boundary_semantics(spark):
     assert (
         row["y"], row["w"], row["wm"], row["m"], row["iw"], row["neg"], row["d"]
     ) == (1, 1, 0, 2, 1, -12, 31)
+
+
+def test_extract_week_weekday_variants(spark):
+    """EXTRACT(WEEK(<WEEKDAY>) FROM d): 0-based week numbers starting
+    on the named day — BigQuery's documented 2017-11-05 examples."""
+    from crmint_spark.dialect import transpile_statement
+
+    row = spark.sql(
+        transpile_statement(
+            "SELECT EXTRACT(WEEK FROM DATE '2017-11-05') AS a,"
+            " EXTRACT(WEEK(MONDAY) FROM DATE '2017-11-05') AS b,"
+            " EXTRACT(WEEK FROM DATE '2024-01-01') AS c,"
+            " EXTRACT(WEEK(MONDAY) FROM DATE '2024-01-01') AS d"
+        )
+    ).first()
+    assert (row["a"], row["b"], row["c"], row["d"]) == (45, 44, 0, 1)
