@@ -52,6 +52,15 @@ from dataclasses import dataclass, field
 
 _STRFTIME_TO_SPARK = [
     ("%Y", "yyyy"),
+    ("%A", "EEEE"),
+    ("%a", "EEE"),
+    ("%B", "MMMM"),
+    ("%b", "MMM"),
+    ("%h", "MMM"),
+    ("%j", "DDD"),
+    ("%e", "d"),
+    ("%p", "a"),
+    ("%I", "hh"),
     ("%m", "MM"),
     ("%d", "dd"),
     ("%H", "HH"),
@@ -1645,7 +1654,20 @@ def _rewrite_misc_fns(sql: str) -> str:
             elif part == "ISOWEEK":
                 rep = f"date_add({d}, (8 - dayofweek({d})) % 7)"
             else:
-                rep = sql[start:end]
+                # WEEK(<WEEKDAY>): week ends the day before the start
+                # day; with Spark dayofweek Sunday=1 the end-day index
+                # is ((t-2) % 7) + 1, so days to add = (t+6-dow) % 7
+                m_wk = re.fullmatch(
+                    r"WEEK\s*\(\s*(\w+)\s*\)", part
+                )
+                if m_wk and m_wk.group(1) in _WEEKDAY_IDX:
+                    t = _WEEKDAY_IDX[m_wk.group(1)] + 1
+                    rep = (
+                        f"date_add({d},"
+                        f" ({t + 6} - dayofweek({d}) + 7) % 7)"
+                    )
+                else:
+                    rep = sql[start:end]
         elif fn == "parse_json" and len(args) in (1, 2):
             # JSON is carried as its text in this engine (see the typed-
             # literal strip): PARSE_JSON reduces to its string argument

@@ -1602,3 +1602,19 @@ def test_extract_week_weekday_variants(spark):
         )
     ).first()
     assert (row["a"], row["b"], row["c"], row["d"]) == (45, 44, 0, 1)
+
+
+def test_last_day_week_variants_and_strftime_names(spark):
+    from crmint_spark.dialect import transpile_statement
+
+    row = spark.sql(
+        transpile_statement(
+            "SELECT CAST(LAST_DAY(DATE '2024-01-10', WEEK(MONDAY)) AS STRING) AS a,"
+            " CAST(LAST_DAY(DATE '2024-01-14', WEEK(MONDAY)) AS STRING) AS b,"
+            " FORMAT_DATE('%A %a %B %b %j', DATE '2024-01-10') AS c,"
+            " FORMAT_TIMESTAMP('%I %p', TIMESTAMP '2024-01-01 13:05:00') AS d"
+        )
+    ).first()
+    assert row["a"] == "2024-01-14" and row["b"] == "2024-01-14"
+    assert row["c"] == "Wednesday Wed January Jan 010"
+    assert row["d"] == "01 PM"
