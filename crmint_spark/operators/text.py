@@ -786,37 +786,48 @@ def materialize_search_index(
     n_buckets: int = SEARCH_INDEX_BUCKETS,
 ) -> None:
     """Build the physical postings layout behind ``CREATE SEARCH
-    INDEX``: one ``(token, __id)`` row per distinct token per document,
-    tokenized exactly like the scan-side ``SEARCH()`` predicate
-    (LOG_ANALYZER: lowercase + split on non-alphanumeric runes),
-    written partitioned by ``tok_bucket = pmod(xxhash64(token), B)``
-    and token-sorted within partitions. A conjunctive query then reads
-    at most |query tokens| buckets via partition pruning (plus min/max
-    row-group skipping on the sorted token column) — it never touches
-    the corpus text. Build cost: one explode + distinct, shuffled on
-    the token; B fixed buckets keep directory fan-out bounded at any
-    vocabulary size."""
-    toks = [
-        F.array_distinct(
-            F.filter(
-                F.split(F.lower(F.col(c).cast("string")), "[^a-z0-9]+"),
-                lambda t: t != "",
-            )
+    INDEX``: one ``(src_col, token, __id)`` row per distinct token per
+    document per indexed column, tokenized exactly like the scan-side
+    ``SEARCH()`` predicate (LOG_ANALYZER: lowercase + split on
+    non-alphanumeric runes), written partitioned by ``tok_bucket =
+    pmod(xxhash64(token), B)`` and token-sorted within partitions. A
+    conjunctive query then reads at most |query tokens| buckets via
+    partition pruning (plus min/max row-group skipping on the sorted
+    token column) — it never touches the corpus text. Postings carry
+    their source column so a single-column ``SEARCH(col, ...)`` over a
+    multi-column index is served column-exactly (a body-only hit must
+    not answer a title search — same semantics as the scan rewrite).
+    Build cost: one explode + distinct, shuffled on the token; B fixed
+    buckets keep directory fan-out bounded at any vocabulary size."""
+    tagged = [
+        F.transform(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(c).cast("string")), "[^a-z0-9]+"),
+                    lambda t: t != "",
+                )
+            ),
+            lambda t: F.struct(
+                F.lit(c).alias("src_col"), t.alias("token")
+            ),
         )
         for c in columns
     ]
-    arr = toks[0] if len(toks) == 1 else F.array_distinct(
-        F.flatten(F.array(*toks))
-    )
+    arr = tagged[0] if len(tagged) == 1 else F.flatten(F.array(*tagged))
     postings = (
-        df.select(F.col(id_col).alias("__id"), F.explode(arr).alias("token"))
+        df.select(F.col(id_col).alias("__id"), F.explode(arr).alias("p"))
+        .select(
+            "__id",
+            F.col("p.src_col").alias("src_col"),
+            F.col("p.token").alias("token"),
+        )
         .withColumn(
             "tok_bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets))
         )
     )
     (
         postings.repartition("tok_bucket")
-        .sortWithinPartitions("token", "__id")
+        .sortWithinPartitions("token", "src_col", "__id")
         .write.mode("overwrite")
         .partitionBy("tok_bucket")
         .parquet(path)

@@ -41,6 +41,103 @@ from ..dml import (
 )
 from .base import Worker, WorkerException
 
+# FROM/JOIN base-relation scanner for index routing: captures the
+# relation name and an optional bare alias. Subquery bases `FROM (...)`
+# don't match (the routing stays conservative and keeps the scan
+# rewrite). Keywords that can follow a relation are excluded from the
+# alias slot.
+_REL_ALIAS_RE = re.compile(
+    r"\b(?:FROM|JOIN)\s+(`[\w.\- ]+`|[\w.]+)"
+    r"(?:\s+AS\s+(\w+)|\s+(?!ON\b|USING\b|WHERE\b|GROUP\b|ORDER\b"
+    r"|LEFT\b|RIGHT\b|FULL\b|INNER\b|CROSS\b|JOIN\b|LIMIT\b|HAVING\b"
+    r"|QUALIFY\b|UNION\b|INTERSECT\b|EXCEPT\b|SET\b|LATERAL\b"
+    r"|TABLESAMPLE\b|FOR\b|AS\b|AND\b|OR\b|NATURAL\b|PIVOT\b"
+    r"|UNPIVOT\b|WINDOW\b|SELECT\b|WITH\b)(\w+))?",
+    re.IGNORECASE,
+)
+
+
+def _relation_aliases(sql: str) -> dict[str, str]:
+    """alias (lowercased; the relation's last name component when bare)
+    -> relation name, for every named FROM/JOIN base relation anywhere
+    in the statement. Used by index routing to resolve which table a
+    searched column belongs to."""
+    out: dict[str, str] = {}
+    masked = re.sub(r"'[^']*'", "''", sql)  # a 'from x' literal is not a scan
+    for m in _REL_ALIAS_RE.finditer(masked):
+        rel = m.group(1).strip("`").strip()
+        alias = (m.group(2) or m.group(3) or rel.split(".")[-1]).lower()
+        out[alias] = rel
+    return out
+
+
+def _cte_definitions(sql: str) -> dict[str, str]:
+    """name (lowercased) -> body for the statement's leading WITH
+    clause (non-recursive, best-effort; '' when absent)."""
+    from ..dialect import _balanced_end
+
+    out: dict[str, str] = {}
+    m = re.match(r"\s*WITH\b", sql, re.IGNORECASE)
+    if not m:
+        return out
+    i = m.end()
+    while True:
+        m_name = re.match(r"\s*,?\s*(\w+)\s+AS\s*\(", sql[i:], re.IGNORECASE)
+        if not m_name:
+            return out
+        open_idx = i + m_name.end() - 1
+        close = _balanced_end(sql, open_idx)
+        if close < 0:
+            return out
+        out[m_name.group(1).lower()] = sql[open_idx + 1 : close - 1].strip()
+        i = close
+
+
+_TRIVIAL_SELECT_RE = re.compile(
+    r"^\s*SELECT\s+(.*?)\s+FROM\s+(`[\w.\- ]+`|[\w.]+)"
+    r"\s*(?:(?:AS\s+)?\w+\s*)?(?:WHERE\b.*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _resolves_to_table(
+    rel: str,
+    table_last: str,
+    ctes: dict[str, str],
+    needed_cols: tuple[str, ...],
+    _depth: int = 0,
+) -> bool:
+    """True when ``rel`` IS the table named ``table_last`` (compared on
+    the last name component), or is a CTE that is a trivial
+    filter/projection over it — rows a subset, ``needed_cols`` passing
+    through unrenamed (``SELECT *`` or listed bare). One level of CTE
+    indirection only (VERDICT r6 #6)."""
+    name = rel.split(".")[-1].strip("`").lower()
+    if name == table_last:
+        return True
+    body = ctes.get(name)
+    if body is None or _depth >= 1:
+        return False
+    if re.search(
+        r"\b(JOIN|GROUP\s+BY|UNION|INTERSECT|EXCEPT|QUALIFY|PIVOT"
+        r"|UNPIVOT|WINDOW|OVER)\b",
+        body,
+        re.IGNORECASE,
+    ):
+        return False
+    m = _TRIVIAL_SELECT_RE.match(body)
+    if not m:
+        return False
+    select_list, base = m.group(1), m.group(2)
+    if select_list.strip() != "*":
+        items = {
+            re.sub(r"^\s*(?:\w+\s*\.\s*)?`?(\w+)`?\s*$", r"\1", p).lower()
+            for p in select_list.split(",")
+        }
+        if not all(c.lower() in items for c in needed_cols):
+            return False
+    return _resolves_to_table(base, table_last, ctes, needed_cols, _depth + 1)
+
 
 class _BreakSignal(Exception):
     """BREAK/LEAVE inside WHILE/LOOP; optional loop label."""
@@ -978,10 +1075,15 @@ class SparkSQLExecutor(Worker):
         index's postings layout: the predicate becomes an IN-subquery
         (semi join) over posting lists pruned to the query tokens'
         hash buckets — the corpus text column never enters the plan.
-        Falls through to the scan-side forall/array_contains rewrite
-        when the column is unindexed, the query is not a literal, the
-        query has no tokens (vacuous TRUE), or the column name is
-        ambiguous across recorded indexes."""
+        The searched column's RELATION is resolved against the
+        statement's FROM/JOIN aliases (one level of trivial
+        filter/projection CTE allowed): a qualified ``SEARCH(a.text,
+        ...)`` routes only when alias ``a`` is the indexed table, and
+        an unqualified column routes only when every base relation in
+        scope is the indexed table — a same-named column on another
+        table keeps the (always-correct) scan rewrite. Falls through
+        likewise when the column is unindexed, the query is not a
+        literal, or the query has no tokens (vacuous TRUE)."""
         from ..dialect import _iter_calls, _split_top_level
         from ..operators.text import SEARCH_INDEX_BUCKETS
 
@@ -995,6 +1097,8 @@ class SparkSQLExecutor(Worker):
             return sub
 
         calls = list(_iter_calls(sub, ("SEARCH",)))
+        aliases = _relation_aliases(sub) if calls else {}
+        ctes = _cte_definitions(sub) if calls else {}
         for start, op, end, _name in reversed(calls):
             args = _split_top_level(sub[op + 1 : end - 1])
             if len(args) != 2:
@@ -1006,18 +1110,26 @@ class SparkSQLExecutor(Worker):
             if not m_col or not m_q:
                 continue
             qual, col = m_col.group(1), m_col.group(2)
+
+            def _serves(e: dict) -> bool:
+                tbl = e["table"].split(".")[-1].strip("`").lower()
+                if qual is not None:
+                    rel = aliases.get(qual.lower())
+                    return rel is not None and _resolves_to_table(
+                        rel, tbl, ctes, (col, e["id_column"])
+                    )
+                # unqualified: every base relation in scope must be the
+                # indexed table (self-joins fine) — otherwise the column
+                # could belong to another relation
+                return bool(aliases) and all(
+                    _resolves_to_table(rel, tbl, ctes, (col, e["id_column"]))
+                    for rel in aliases.values()
+                )
+
             hits = [
                 e
                 for e in search_indexes
-                if col in e["indexed_columns"]
-                # the statement must actually scan the INDEXED table —
-                # a same-named column on another table keeps the scan
-                # rewrite (postings only answer for their own corpus)
-                and re.search(
-                    r"\b" + re.escape(e["table"].split(".")[-1]) + r"\b",
-                    sub,
-                    re.IGNORECASE,
-                )
+                if col in e["indexed_columns"] and _serves(e)
             ]
             if len(hits) != 1:
                 continue
@@ -1050,6 +1162,7 @@ class SparkSQLExecutor(Worker):
                 f"({idref} IN (SELECT __id FROM {entry['layout_view']}"
                 f" WHERE tok_bucket IN ({bucket_list})"
                 f" AND token IN ({tok_list})"
+                f" AND src_col = '{col}'"
                 f" GROUP BY __id"
                 f" HAVING count(DISTINCT token) = {len(toks)}))"
             )

@@ -1445,11 +1445,119 @@ def test_search_index_routing_plan_and_equality(spark):
     routed = [r["doc_id"] for r in w.result.collect()]
     plan = w.result._jdf.queryExecution().executedPlan().toString()
     scans = [l for l in plan.splitlines() if "FileScan" in l]
-    assert scans and not any("text" in l for l in scans), plan
+    corpus_scans = [l for l in scans if "__search_index__" not in l]
+    assert corpus_scans and not any(
+        "text" in l for l in corpus_scans
+    ), plan  # corpus text column pruned from every non-postings scan
     assert any(
         "PartitionFilters: [tok_bucket" in l and " IN (" in l for l in scans
     ), plan
+    # postings pruned to the searched column (multi-column-index safety)
+    assert any("EqualTo(src_col,text)" in l for l in scans), plan
     # unindexed worker: scan-side predicate, same rows
+    w2 = run(q)
+    assert not any("routed" in line for line in w2.log)
+    assert routed == [r["doc_id"] for r in w2.result.collect()]
+
+
+def test_search_index_multi_column_exactness(spark):
+    """A multi-column SEARCH index answers SEARCH(<col>, ...) COLUMN-
+    exactly: a token present only in another indexed column must not
+    match (ADVICE r6 high — postings carry src_col), and the routed
+    result equals the scan-side predicate."""
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    spark.createDataFrame(
+        [
+            (0, "spark merge guide", "window functions intro"),
+            (1, "window tuning", "spark merge deep dive"),
+            (2, "spark merge notes", "spark merge appendix"),
+        ],
+        "doc_id bigint, title string, body string",
+    ).createOrReplaceTempView("mc_docs")
+
+    def run(script):
+        w = SparkSQLExecutor(
+            {"script": script, "dry_run": False}, WorkerContext(spark)
+        )
+        w.execute()
+        return w
+
+    q = (
+        "SELECT doc_id FROM mc_docs WHERE SEARCH(title, 'spark merge')"
+        " ORDER BY doc_id"
+    )
+    w = run("CREATE SEARCH INDEX sidx_mc ON mc_docs(title, body);" + q)
+    assert any("routed through index" in line for line in w.log), w.log
+    # doc 1 matches only in body — a column-blind postings join would
+    # wrongly include it
+    assert [r["doc_id"] for r in w.result.collect()] == [0, 2]
+    w2 = run(q)  # unindexed worker: scan rewrite, same rows
+    assert [r["doc_id"] for r in w2.result.collect()] == [0, 2]
+
+
+def test_search_index_join_alias_not_misrouted(spark):
+    """SEARCH(a.text, ...) where alias ``a`` is a DIFFERENT table in a
+    join with the indexed table must keep the scan rewrite (ADVICE r6
+    medium — the old guard only required the indexed table's name to
+    appear anywhere in the statement)."""
+    from crmint_spark.catalog import register_testdata
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    spark.sql(
+        "SELECT doc_id, 'spark merge everywhere' AS text"
+        " FROM documents LIMIT 20"
+    ).createOrReplaceTempView("annos")
+
+    def run(script):
+        w = SparkSQLExecutor(
+            {"script": script, "dry_run": False}, WorkerContext(spark)
+        )
+        w.execute()
+        return w
+
+    q = (
+        "SELECT COUNT(*) AS n FROM documents d JOIN annos a"
+        " ON d.doc_id = a.doc_id WHERE SEARCH(a.text, 'spark merge')"
+    )
+    w = run("CREATE SEARCH INDEX sidx_ja ON documents(text);" + q)
+    assert not any("routed through index" in line for line in w.log), w.log
+    assert w.result.first()["n"] == 20
+    # the qualified column on the INDEXED side still routes
+    w2 = run(
+        "CREATE SEARCH INDEX sidx_jb ON documents(text);"
+        "SELECT COUNT(*) AS n FROM documents d JOIN annos a"
+        " ON d.doc_id = a.doc_id WHERE SEARCH(d.text, 'spark merge')"
+    )
+    assert any("routed through index" in line for line in w2.log), w2.log
+
+
+def test_search_index_routes_through_trivial_cte(spark):
+    """SEARCH over a CTE that is a plain filter/projection of the
+    indexed table still routes (VERDICT r6 #6: one level of aliasing),
+    and matches the scan-side result."""
+    from crmint_spark.catalog import register_testdata
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+
+    def run(script):
+        w = SparkSQLExecutor(
+            {"script": script, "dry_run": False}, WorkerContext(spark)
+        )
+        w.execute()
+        return w
+
+    q = (
+        "WITH recent AS (SELECT doc_id, text FROM documents"
+        " WHERE doc_id < 400)"
+        " SELECT doc_id FROM recent WHERE SEARCH(text, 'spark merge')"
+        " ORDER BY doc_id"
+    )
+    w = run("CREATE SEARCH INDEX sidx_cte ON documents(text);" + q)
+    assert any("routed through index" in line for line in w.log), w.log
+    routed = [r["doc_id"] for r in w.result.collect()]
     w2 = run(q)
     assert not any("routed" in line for line in w2.log)
     assert routed == [r["doc_id"] for r in w2.result.collect()]
