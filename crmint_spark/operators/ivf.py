@@ -644,23 +644,40 @@ def materialize_sql_vector_index(
     vecs = base_df.withColumn(
         "__v", F.transform(F.col(column), lambda x: x.cast("double"))
     )
-    n = vecs.count()
+    stats = vecs.select(
+        F.count("*").alias("n"), F.min(id_col).alias("lo")
+    ).first()
+    n = int(stats["n"])
+    if n == 0:
+        raise ValueError("cannot build a vector index over an empty table")
+    # seed arithmetic runs on (id - min(id)) so offset id spaces (keys
+    # starting at 1_000_000) seed identically to 0-based ones; for a
+    # dense 0-based id column this is the identity, which keeps the
+    # DuckDB oracle replay (_sql_assigned_ctes) bit-exact (ADVICE r6)
+    lo = int(stats["lo"])
+    rel = F.col(id_col) - F.lit(lo)
     stride = max(n // IVF_K, 1)
     tstride = _train_stride(n)
-    train = vecs.filter(F.col(id_col) % tstride == 0).select(
+    train = vecs.filter(rel % tstride == 0).select(
         F.col(id_col).alias("vec_id"),
         F.lit("").alias("label"),
         F.col("__v").alias("v"),
     )
     cent_rows = [
         (int(r["vec_id"]) // stride, [float(x) for x in r["v"]])
-        for r in vecs.filter(
-            (F.col(id_col) % stride == 0)
-            & (F.col(id_col) < IVF_K * stride)
-        )
-        .select(F.col(id_col).alias("vec_id"), F.col("__v").alias("v"))
+        for r in vecs.filter((rel % stride == 0) & (rel < IVF_K * stride))
+        .select(rel.alias("vec_id"), F.col("__v").alias("v"))
         .collect()
     ]
+    # sparse / non-unique id spaces under-fill the seed grid — raise so
+    # the caller keeps the exact brute-force path instead of silently
+    # serving from an empty or degenerate codebook (ADVICE r6)
+    if len(cent_rows) != min(IVF_K, n):
+        raise ValueError(
+            f"quantizer seeding expected {min(IVF_K, n)} centroids, got"
+            f" {len(cent_rows)}: id column {id_col!r} is not dense —"
+            " VECTOR_SEARCH keeps the exact path"
+        )
     for _ in range(IVF_LLOYD_STEPS):
         assigned = _assign_codebook(train, cent_rows)
         cent_rows = [

@@ -139,6 +139,23 @@ def _resolves_to_table(
     return _resolves_to_table(base, table_last, ctes, needed_cols, _depth + 1)
 
 
+def _pick_integral_id(df) -> str | None:
+    """The column used to key an index layout: prefer an id-NAMED
+    integral column (``id``, ``*_id``, ``*id``) over the first integral
+    one, so a leading count/metric column can't silently key postings
+    or quantizer seeding (ADVICE r6). Density/uniqueness is validated
+    downstream (the IVF seeder raises on non-dense ids)."""
+    ints = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() in ("bigint", "int", "smallint")
+    ]
+    for c in ints:
+        if c.lower().endswith("id"):
+            return c
+    return ints[0] if ints else None
+
+
 class _BreakSignal(Exception):
     """BREAK/LEAVE inside WHILE/LOOP; optional loop label."""
 
@@ -970,14 +987,7 @@ class SparkSQLExecutor(Worker):
         resolver = self._resolver() or _default_resolver
         view = resolver(table) if "." in table else table
         df = spark.table(view)
-        id_col = next(
-            (
-                f.name
-                for f in df.schema.fields
-                if f.dataType.simpleString() in ("bigint", "int", "smallint")
-            ),
-            None,
-        )
+        id_col = _pick_integral_id(df)
         if id_col is None:
             raise WorkerException(
                 f"no integral id column on {table} for deterministic"
@@ -1038,14 +1048,7 @@ class SparkSQLExecutor(Worker):
             ]
         if not columns:
             raise WorkerException(f"no string columns to index on {table}")
-        id_col = next(
-            (
-                f.name
-                for f in df.schema.fields
-                if f.dataType.simpleString() in ("bigint", "int", "smallint")
-            ),
-            None,
-        )
+        id_col = _pick_integral_id(df)
         if id_col is None:
             raise WorkerException(
                 f"no integral id column on {table} to key postings"

@@ -1460,6 +1460,83 @@ def test_search_index_routing_plan_and_equality(spark):
     assert routed == [r["doc_id"] for r in w2.result.collect()]
 
 
+def test_vector_index_offset_and_sparse_ids(spark):
+    """IVF quantizer seeding runs on (id - min(id)), so an offset id
+    space (keys from 1_000_000) indexes and routes like a 0-based one;
+    a SPARSE id space under-fills the seed grid and must fall back to
+    the exact path with correct results, not return zero rows
+    (ADVICE r6 medium)."""
+    from crmint_spark.catalog import register_testdata
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+
+    def run(script):
+        w = SparkSQLExecutor(
+            {"script": script, "dry_run": False}, WorkerContext(spark)
+        )
+        w.execute()
+        return w
+
+    spark.sql(
+        "SELECT vec_id + 1000000 AS vec_id, label, embedding"
+        " FROM embeddings"
+    ).createOrReplaceTempView("emb_off")
+    q = (
+        "SELECT query.vec_id AS qid, base.vec_id AS bid"
+        " FROM VECTOR_SEARCH(TABLE {t}, 'embedding',"
+        " (SELECT vec_id, embedding FROM {t} WHERE vec_id = {q0}),"
+        " top_k => 3) ORDER BY qid, bid"
+    )
+    w = run(
+        "CREATE VECTOR INDEX vidx_off ON emb_off(embedding)"
+        " OPTIONS(index_type='IVF');"
+        + q.format(t="emb_off", q0=1000000)
+    )
+    assert any("routed through index" in l for l in w.log), w.log
+    rows = w.result.collect()
+    assert len(rows) == 3 and rows[0]["bid"] == 1000000, rows
+
+    spark.sql(
+        "SELECT vec_id * 97 AS vec_id, label, embedding FROM embeddings"
+    ).createOrReplaceTempView("emb_sparse")
+    w2 = run(
+        "CREATE VECTOR INDEX vidx_sp ON emb_sparse(embedding)"
+        " OPTIONS(index_type='IVF');"
+        + q.format(t="emb_sparse", q0=0)
+    )
+    assert any("exact path serves" in l for l in w2.log), w2.log
+    assert not any("routed through index" in l for l in w2.log)
+    rows2 = w2.result.collect()
+    assert len(rows2) == 3 and rows2[0]["bid"] == 0, rows2
+
+
+def test_index_id_column_picker_prefers_id_names(spark):
+    """A leading integral metric column must not key the postings —
+    the picker prefers id-named columns (ADVICE r6)."""
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    spark.createDataFrame(
+        [(7, 0, "spark merge alpha"), (7, 1, "beta spark merge")],
+        "views bigint, doc_id bigint, text string",
+    ).createOrReplaceTempView("picker_docs")
+    w = SparkSQLExecutor(
+        {
+            "script": (
+                "CREATE SEARCH INDEX sidx_pick ON picker_docs(text);"
+                "SELECT doc_id FROM picker_docs"
+                " WHERE SEARCH(text, 'spark merge') ORDER BY doc_id"
+            ),
+            "dry_run": False,
+        },
+        WorkerContext(spark),
+    )
+    w.execute()
+    assert any("routed through index" in l for l in w.log), w.log
+    # duplicate `views` values would collapse postings to one id
+    assert [r["doc_id"] for r in w.result.collect()] == [0, 1]
+
+
 def test_search_index_multi_column_exactness(spark):
     """A multi-column SEARCH index answers SEARCH(<col>, ...) COLUMN-
     exactly: a token present only in another indexed column must not
