@@ -1156,6 +1156,17 @@ def _rewrite_string_agg(sql: str) -> str:
         sep = parts[1].strip() if len(parts) > 1 else "','"
         arr = f"collect_set({expr})" if distinct else f"collect_list({expr})"
         if order_expr is not None:
+            if distinct and order_expr != expr:
+                # BigQuery rejects this form loudly (the ORDER BY key
+                # of a DISTINCT aggregation must be the aggregated
+                # expression itself) — substituting value order would
+                # silently change the output string (ADVICE r6)
+                raise ValueError(
+                    "STRING_AGG: An aggregate function that has both"
+                    " DISTINCT and ORDER BY arguments can only ORDER BY"
+                    f" expressions that are arguments to the function;"
+                    f" got ORDER BY {order_expr!r} over DISTINCT {expr!r}"
+                )
             if distinct or order_expr == expr:
                 arr = f"array_sort({arr})"
             else:

@@ -284,27 +284,29 @@ def detect_distance_anomalies(
 ) -> DataFrame:
     """KMEANS ML.DETECT_ANOMALIES (BigQuery's contamination contract):
     flag the ``contamination`` fraction of rows farthest from their
-    nearest centroid. Threshold = the ceil((1-c)*n)-th smallest
-    nearest-centroid distance — the same exact order statistic as the
-    AUTOENCODER path (pca_model.py; approx-quantile is the documented
-    100 TB swap). Output adds ``normalized_distance`` (BigQuery's
-    column) = the flagged row's distance."""
+    nearest centroid. Threshold = the (floor((1-c)*n)+1)-th smallest
+    nearest-centroid distance, flagging every row >= it — exactly
+    ceil(c*n) rows without ties, never zero with them (ADVICE r6) —
+    the same exact order statistic as the AUTOENCODER path
+    (pca_model.py; approx-quantile is the documented 100 TB swap).
+    Output adds ``normalized_distance`` (BigQuery's column) = the
+    flagged row's distance."""
     if not 0.0 < contamination < 0.5:
         raise ValueError(
             f"contamination must be in (0, 0.5), got {contamination}"
         )
     scored = assign_frame(spark, state, df)
     n = scored.count()
-    k_pos = math.ceil((1.0 - contamination) * n)
+    k_pos = math.floor((1.0 - contamination) * n)
     thr = float(
         scored.select("nearest_centroid_distance")
         .orderBy("nearest_centroid_distance")
-        .offset(k_pos - 1)
+        .offset(k_pos)
         .limit(1)
         .first()["nearest_centroid_distance"]
     )
     return scored.withColumn(
         "normalized_distance", F.col("nearest_centroid_distance")
     ).withColumn(
-        "is_anomaly", F.col("nearest_centroid_distance") > F.lit(thr)
+        "is_anomaly", F.col("nearest_centroid_distance") >= F.lit(thr)
     )

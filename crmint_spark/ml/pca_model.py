@@ -268,22 +268,26 @@ def autoencoder_evaluate_frame(
 def detect_reconstruction_anomalies(
     spark: SparkSession, state: dict, df: DataFrame, contamination: float
 ) -> DataFrame:
-    """Flag the worst-reconstructed ``contamination`` fraction."""
+    """Flag the worst-reconstructed ``contamination`` fraction:
+    threshold = the (floor((1-c)*n)+1)-th smallest MSE, flagging every
+    row >= it — exactly ceil(c*n) rows without ties, never zero rows
+    with them (ADVICE r6: the old strictly-greater form flagged
+    floor(c*n) and could flag nothing on tied errors)."""
     if not 0.0 < contamination < 0.5:
         raise ValueError(
             f"contamination must be in (0, 0.5), got {contamination}"
         )
     scored = reconstruction_errors(spark, state, df)
     n = scored.count()
-    k_pos = math.ceil((1.0 - contamination) * n)
+    k_pos = math.floor((1.0 - contamination) * n)
     thr_row = (
         scored.select("mean_squared_error")
         .orderBy("mean_squared_error")
-        .offset(k_pos - 1)
+        .offset(k_pos)
         .limit(1)
         .first()
     )
     thr = float(thr_row["mean_squared_error"])
     return scored.withColumn(
-        "is_anomaly", F.col("mean_squared_error") > F.lit(thr)
+        "is_anomaly", F.col("mean_squared_error") >= F.lit(thr)
     )

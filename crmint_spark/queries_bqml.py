@@ -1099,7 +1099,8 @@ def bqml_autoencoder_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _autoencoder_oracle_sql(iters: int = 48) -> str:
     """DuckDB replay: k=1 PCA fit + per-row reconstruction MSE (same
     fold order as pca_model._mse_expr) + exact order-statistic
-    threshold at ceil((1 - 0.05) * n)."""
+    threshold at floor((1 - 0.05) * n) + 1, flagging >= (ADVICE r6:
+    exactly ceil(c*n) rows without ties, nonzero with them)."""
     # proj = (0.0 + s1*u1) + s2*u2; xhat_j = 0.0 + proj*u_j;
     # mse = ((0.0 + e1*e1) + e2*e2) / 2.0
     proj = "((0.0 + v1 * u1) + v2 * u2)"
@@ -1116,11 +1117,11 @@ WITH {_pca_fit_prefix()}, {_pca_power_chain("p", "cov", iters)}, fin AS (
 ), thr AS (
   SELECT mse AS t FROM (
     SELECT mse, ROW_NUMBER() OVER (ORDER BY mse) AS rn FROM scored)
-  WHERE rn = (SELECT CAST(CEIL((1.0 - 0.05) * n) AS BIGINT) FROM nrow)
+  WHERE rn = (SELECT CAST(FLOOR((1.0 - 0.05) * n) AS BIGINT) + 1 FROM nrow)
 )
 SELECT is_anomaly, COUNT(*) AS n,
        ROUND(MIN(mse), 6) AS min_mse, ROUND(MAX(mse), 6) AS max_mse
-FROM (SELECT mse, mse > t AS is_anomaly FROM scored, thr)
+FROM (SELECT mse, mse >= t AS is_anomaly FROM scored, thr)
 GROUP BY is_anomaly ORDER BY is_anomaly
 """
 

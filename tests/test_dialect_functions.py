@@ -1566,6 +1566,26 @@ def test_string_agg_order_by_and_limit(spark):
     assert row["b"] == "NATION_3"
 
 
+def test_string_agg_distinct_foreign_order_key_rejected(spark):
+    """STRING_AGG(DISTINCT x ORDER BY other) is rejected loudly — the
+    BigQuery contract (ADVICE r6: it used to silently sort by the
+    aggregated value instead of the requested key)."""
+    import pytest
+
+    from crmint_spark.dialect import transpile_statement
+
+    with pytest.raises(ValueError, match="DISTINCT and ORDER BY"):
+        transpile_statement(
+            "SELECT STRING_AGG(DISTINCT n_name ORDER BY n_nationkey)"
+            " FROM nation"
+        )
+    # self-keyed DISTINCT ORDER BY stays accepted
+    out = transpile_statement(
+        "SELECT STRING_AGG(DISTINCT n_name ORDER BY n_name) FROM nation"
+    )
+    assert "array_sort" in out
+
+
 def test_date_diff_boundary_semantics(spark):
     """DATE_DIFF/DATETIME_DIFF count PART BOUNDARIES (BigQuery's
     documented examples), not whole intervals: the Dec-31 -> Jan-1 year

@@ -1361,17 +1361,24 @@ def test_ml_kmeans_distance_anomalies(ctx):
           AS (SELECT x, y FROM km_clean)
         """,
     )
-    an = _run(
+    rows_all = _run(
         ctx,
         """
         SELECT x, y, is_anomaly, normalized_distance
         FROM ML.DETECT_ANOMALIES(MODEL `p.d.km_an`,
           STRUCT(0.05 AS contamination), (SELECT x, y FROM km_anom))
-        WHERE is_anomaly
         """,
     ).result.collect()
-    assert 1 <= len(an) <= 6, an
+    an = [r for r in rows_all if r["is_anomaly"]]
+    ok = [r for r in rows_all if not r["is_anomaly"]]
+    # >= threshold semantics (ADVICE r6): at least ceil(c*n) flagged,
+    # the flagged set is a distance upper set (tie groups flag whole),
+    # and most rows stay unflagged on this tied grid
+    assert 6 <= len(an) < len(rows_all) / 2, len(an)
     assert any(r["x"] == 500.0 for r in an), an
+    assert min(r["normalized_distance"] for r in an) >= max(
+        r["normalized_distance"] for r in ok
+    )
 
 
 def test_ml_kmeans_transform_replay(ctx):
@@ -1438,6 +1445,51 @@ def test_ml_autoencoder_true_mae(ctx):
     d = 2
     assert ev["mean_absolute_error"] <= math.sqrt(ev["mean_squared_error"] * d) + 1e-9
     assert ev["mean_absolute_error"] > 0
+
+
+def test_ml_detect_anomalies_threshold_ties_and_count(ctx):
+    """Contamination threshold = the (floor((1-c)*n)+1)-th smallest
+    error, flagged >= (ADVICE r6): exactly ceil(c*n) rows with distinct
+    errors, and NEVER zero rows when errors tie at the threshold (a
+    perfectly-reconstructed corpus ties every error at 0 — the old
+    strictly-greater form flagged nothing)."""
+    spark = ctx.spark
+    # perfect 1-D structure: every reconstruction error == 0 (all tied)
+    rows = [((i - 50) / 5.0, (i - 50) / 2.5) for i in range(100)]
+    spark.createDataFrame(rows, "x double, y double").createOrReplaceTempView(
+        "ae_tied"
+    )
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.ae_tied`
+        OPTIONS(MODEL_TYPE='AUTOENCODER', HIDDEN_UNITS=[1])
+          AS (SELECT x, y FROM ae_tied)
+        """,
+    )
+    r = _run(
+        ctx,
+        "SELECT COUNT(*) AS n, SUM(CAST(is_anomaly AS INT64)) AS k"
+        " FROM ML.DETECT_ANOMALIES(MODEL `p.d.ae_tied`,"
+        " STRUCT(0.1 AS contamination))",
+    ).result.first()
+    assert r["n"] == 100 and r["k"] == 100, r  # all tied at the threshold
+    # distinct errors: exactly ceil(c*n) flagged (n=101, c=0.02 -> 3).
+    # Detection input offsets each point ORTHOGONALLY to the trained
+    # line by a distinct amount, so reconstruction errors are distinct.
+    rows2 = [
+        ((i - 50) / 5.0, (i - 50) / 2.5 + (i + 1) * 0.05) for i in range(101)
+    ]
+    spark.createDataFrame(
+        rows2, "x double, y double"
+    ).createOrReplaceTempView("ae_dst")
+    r2 = _run(
+        ctx,
+        "SELECT SUM(CAST(is_anomaly AS INT64)) AS k"
+        " FROM ML.DETECT_ANOMALIES(MODEL `p.d.ae_tied`,"
+        " STRUCT(0.02 AS contamination), (SELECT x, y FROM ae_dst))",
+    ).result.first()
+    assert r2["k"] == 3, r2  # ceil(0.02 * 101)
 
 
 def test_ml_detect_anomalies_no_input_training_data(ctx):
