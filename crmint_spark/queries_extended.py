@@ -3573,3 +3573,78 @@ FROM customer WHERE c_custkey <= 100
 """
 
 EXTENDED_QUERIES["q89_scripting2"] = (q89_scripting2, Q89_SQL)
+
+
+def q90_date_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 date-boundary semantics, oracle-backed (VERDICT r6 #5):
+    DATE_DIFF/DATETIME_DIFF count PART BOUNDARIES for WEEK /
+    WEEK(<WEEKDAY>) / ISOWEEK / MONTH / QUARTER / YEAR / ISOYEAR,
+    EXTRACT(WEEK(<WEEKDAY>)) is the 0-based week-of-year starting on
+    the named day, LAST_DAY(d, WEEK(<D>)) closes the containing week,
+    and %A/%B/%j/%p strftime names format by value. The DuckDB oracle
+    spells the boundary arithmetic explicitly (its datediff counts its
+    own partition boundaries, whose week start differs): week index =
+    floor((days_since_epoch + 4 - start_dow) / 7) with 0=Sunday and
+    the +4 anchoring epoch Thursday."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    SELECT o_orderkey,
+      CAST(DATE_DIFF(o_orderdate, DATE '1995-06-17', WEEK) AS INT64) AS w_sun,
+      CAST(DATE_DIFF(o_orderdate, DATE '1995-06-17', WEEK(MONDAY)) AS INT64) AS w_mon,
+      CAST(DATE_DIFF(o_orderdate, DATE '1995-06-17', WEEK(THURSDAY)) AS INT64) AS w_thu,
+      CAST(DATE_DIFF(o_orderdate, DATE '1995-06-17', ISOWEEK) AS INT64) AS iw,
+      CAST(DATE_DIFF(o_orderdate, DATE '1995-06-17', MONTH) AS INT64) AS mth,
+      CAST(DATE_DIFF(o_orderdate, DATE '1995-06-17', QUARTER) AS INT64) AS qtr,
+      CAST(DATE_DIFF(o_orderdate, DATE '1995-06-17', YEAR) AS INT64) AS yr,
+      CAST(DATE_DIFF(o_orderdate, DATE '1995-06-17', ISOYEAR) AS INT64) AS iyr,
+      CAST(DATETIME_DIFF(CAST(o_orderdate AS DATETIME),
+           DATETIME '1995-06-17 18:30:00', MONTH) AS INT64) AS dt_mth,
+      CAST(EXTRACT(WEEK FROM o_orderdate) AS INT64) AS ew_sun,
+      CAST(EXTRACT(WEEK(TUESDAY) FROM o_orderdate) AS INT64) AS ew_tue,
+      LAST_DAY(o_orderdate, WEEK) AS ld_w,
+      LAST_DAY(o_orderdate, WEEK(WEDNESDAY)) AS ld_wed,
+      LAST_DAY(o_orderdate, MONTH) AS ld_m,
+      FORMAT_DATE('%A %B %j', o_orderdate) AS fmt_names,
+      FORMAT_TIMESTAMP('%p', TIMESTAMP(o_orderdate)) AS ampm
+    FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False}, WorkerContext(spark)
+    )
+    w.execute()
+    return w.result
+
+
+Q90_SQL = """
+WITH base AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS dd,
+         (DATE '1995-06-17' - DATE '1970-01-01') AS ad,
+         ((CAST(date_trunc('year', o_orderdate) AS DATE) - 1)
+          - DATE '1970-01-01') AS jd
+  FROM orders WHERE o_orderkey <= 200
+)
+SELECT o_orderkey,
+  CAST(FLOOR((dd + 4 - 0) / 7.0) - FLOOR((ad + 4 - 0) / 7.0) AS BIGINT) AS w_sun,
+  CAST(FLOOR((dd + 4 - 1) / 7.0) - FLOOR((ad + 4 - 1) / 7.0) AS BIGINT) AS w_mon,
+  CAST(FLOOR((dd + 4 - 4) / 7.0) - FLOOR((ad + 4 - 4) / 7.0) AS BIGINT) AS w_thu,
+  CAST(FLOOR((dd + 4 - 1) / 7.0) - FLOOR((ad + 4 - 1) / 7.0) AS BIGINT) AS iw,
+  CAST((year(d) * 12 + month(d)) - (1995 * 12 + 6) AS BIGINT) AS mth,
+  CAST((year(d) * 4 + quarter(d)) - (1995 * 4 + 2) AS BIGINT) AS qtr,
+  CAST(year(d) - 1995 AS BIGINT) AS yr,
+  CAST(isoyear(d) - isoyear(DATE '1995-06-17') AS BIGINT) AS iyr,
+  CAST((year(d) * 12 + month(d)) - (1995 * 12 + 6) AS BIGINT) AS dt_mth,
+  CAST(FLOOR((dd + 4) / 7.0) - FLOOR((jd + 4) / 7.0) AS BIGINT) AS ew_sun,
+  CAST(FLOOR((dd + 4 - 2) / 7.0) - FLOOR((jd + 4 - 2) / 7.0) AS BIGINT) AS ew_tue,
+  DATE '1970-01-01' + CAST(7 * FLOOR((dd + 4 - 0) / 7.0) + 0 + 2 AS INTEGER) AS ld_w,
+  DATE '1970-01-01' + CAST(7 * FLOOR((dd + 4 - 3) / 7.0) + 3 + 2 AS INTEGER) AS ld_wed,
+  last_day(d) AS ld_m,
+  strftime(d, '%A %B %j') AS fmt_names,
+  strftime(CAST(d AS TIMESTAMP), '%p') AS ampm
+FROM base ORDER BY o_orderkey
+"""
+
+EXTENDED_QUERIES["q90_date_boundaries"] = (q90_date_boundaries, Q90_SQL)
