@@ -183,9 +183,20 @@ class Catalog:
     (ref: bq_query_launcher.py:44-47, storage_to_bq_importer.py:71-79).
     """
 
-    def __init__(self, spark: SparkSession, warehouse_root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        time_travel_hours: float = 168.0,
+    ):
         self.spark = spark
         self.root = warehouse_root
+        # FOR SYSTEM_TIME AS OF retention window (BigQuery's
+        # max_time_travel_hours contract: 7-day default). Versions
+        # whose mutation instant falls out of the window are pruned on
+        # the next archive (and by vacuum_versions); as-of requests
+        # beyond it error like pre-creation instants do.
+        self.time_travel_hours = time_travel_hours
         # (project, dataset) -> {table_name: view_name} for shard tables
         # registered as views rather than parquet dirs (zero-copy shards
         # over an already-loaded DataFrame)
@@ -246,11 +257,13 @@ class Catalog:
     # with the smallest mutation time AFTER the requested instant, else
     # the live directory. BigQuery semantics mirrored: a time before
     # the table's creation errors, recreating a dropped table resets
-    # its history. Documented divergences: retention is unbounded (not
-    # 7 days), and because the engine's DML commits eagerly (BEGIN
-    # TRANSACTION is a rollback convenience — see sql_executor), states
-    # later rolled back are visible to time travel exactly as they were
-    # visible to concurrent queries.
+    # its history, and retention is bounded by ``time_travel_hours``
+    # (7-day default): expired versions are pruned at archive time and
+    # by ``vacuum_versions``, and as-of instants beyond the window
+    # error. Documented divergence: because the engine's DML commits
+    # eagerly (BEGIN TRANSACTION is a rollback convenience — see
+    # sql_executor), states later rolled back are visible to time
+    # travel exactly as they were visible to concurrent queries.
     # ------------------------------------------------------------------
 
     def _versions_root(self, table_id: str) -> str:
@@ -282,9 +295,51 @@ class Catalog:
             vdir = os.path.join(vroot, str(ts))
         if move:
             os.rename(self.path_for(table_id), vdir)
+            self._prune_expired(vroot, ts)
             return True
         _link_tree(self.path_for(table_id), vdir)
+        self._prune_expired(vroot, ts)
         return False
+
+    @property
+    def _retention_us(self) -> int:
+        return int(self.time_travel_hours * 3600 * 1_000_000)
+
+    def _prune_expired(self, vroot: str, now_us: int) -> int:
+        """Drop version dirs whose mutation instant fell out of the
+        retention window (every instant they cover is now
+        unresolvable — ``resolve_as_of`` raises before reaching them).
+        Cost: one listdir + rmtree per expired generation; a table
+        rewritten daily stops accumulating bytes after
+        ``time_travel_hours`` of generations (VERDICT r6 #2)."""
+        import shutil
+
+        cutoff = now_us - self._retention_us
+        removed = 0
+        if not os.path.isdir(vroot):
+            return 0
+        for d in os.listdir(vroot):
+            if d.isdigit() and int(d) < cutoff:
+                shutil.rmtree(os.path.join(vroot, d), ignore_errors=True)
+                removed += 1
+        return removed
+
+    def vacuum_versions(self) -> int:
+        """Maintenance hook (StorageCleaner's ``vacuum_time_travel``):
+        prune expired versions across EVERY table's version store —
+        tables no longer being mutated never hit the archive-time
+        prune, so a periodic vacuum bounds their storage too. Returns
+        the number of version dirs removed."""
+        import time
+
+        base = os.path.join(self.root, "__versions__")
+        now_us = time.time_ns() // 1000
+        removed = 0
+        if not os.path.isdir(base):
+            return 0
+        for t in os.listdir(base):
+            removed += self._prune_expired(os.path.join(base, t), now_us)
+        return removed
 
     def _record_creation(self, table_id: str) -> None:
         import shutil
@@ -302,7 +357,18 @@ class Catalog:
 
     def resolve_as_of(self, table_id: str, ts_us: int) -> str:
         """Directory holding the table's state as of epoch-micros
-        ``ts_us`` (state committed at or before that instant)."""
+        ``ts_us`` (state committed at or before that instant). Instants
+        beyond the retention window error (BigQuery's contract) — this
+        is what makes archive-time pruning safe: no reachable instant
+        ever maps to a pruned version."""
+        import time
+
+        if ts_us < time.time_ns() // 1000 - self._retention_us:
+            raise ValueError(
+                f"cannot read table {table_id} as of the requested time:"
+                f" it is beyond the {self.time_travel_hours:g} h time"
+                " travel window"
+            )
         vroot = self._versions_root(table_id)
         created = None
         versions: list[int] = []

@@ -17,9 +17,26 @@ class StorageCleaner(Worker):
         ("file_patterns", "string_list", True, None, "glob patterns"),
         ("days_to_keep", "number", True, 30, "age threshold"),
         ("base_dir", "string", False, "", "root dir (defaults to catalog root)"),
+        (
+            "vacuum_time_travel",
+            "boolean",
+            False,
+            False,
+            "also prune expired time-travel versions (catalog-wide)",
+        ),
     ]
 
     def _execute(self) -> None:
+        if self._params.get("vacuum_time_travel"):
+            if not self._ctx.catalog:
+                raise WorkerException(
+                    "vacuum_time_travel needs a catalog on the context"
+                )
+            pruned = self._ctx.catalog.vacuum_versions()
+            self.log_info(
+                f"vacuumed {pruned} expired time-travel versions"
+                f" (window {self._ctx.catalog.time_travel_hours:g} h)"
+            )
         base = self._params["base_dir"] or (
             self._ctx.catalog.root if self._ctx.catalog else None
         )

@@ -369,7 +369,17 @@ def test_time_travel_zero_copy_versions(spark, cat):
 
 def test_time_travel_before_creation_errors(spark, cat):
     _seed(spark, cat)
+    # in-window but pre-creation: the existence error
     with pytest.raises(WorkerException, match="did not exist"):
+        run(
+            spark,
+            cat,
+            "SELECT * FROM `p.d.tt` FOR SYSTEM_TIME AS OF"
+            " TIMESTAMP_SUB(CURRENT_TIMESTAMP(), INTERVAL 1 HOUR)",
+        )
+    # beyond the retention window: the window error fires first
+    # (BigQuery's contract — VERDICT r6 #2)
+    with pytest.raises(WorkerException, match="time travel window"):
         run(
             spark,
             cat,
@@ -388,7 +398,8 @@ def test_time_travel_recreate_resets_history(spark, cat):
         run(
             spark,
             cat,
-            "SELECT * FROM `p.d.tt` FOR SYSTEM_TIME AS OF TIMESTAMP '2001-01-01'",
+            "SELECT * FROM `p.d.tt` FOR SYSTEM_TIME AS OF"
+            " TIMESTAMP_SUB(CURRENT_TIMESTAMP(), INTERVAL 1 HOUR)",
         )
     # current state readable, history starts at the recreation
     assert cat.read("p.d.tt").count() == 3
@@ -516,3 +527,70 @@ def test_time_travel_random_mutation_history(spark, cat):
     # in which case it still errors — created marker moved later)
     with pytest.raises(ValueError):
         cat.resolve_as_of("p.d.hist", t_pre_creation)
+
+
+def test_time_travel_retention_prunes_and_errors(spark):
+    """Retention GC (VERDICT r6 #2): versions older than the window are
+    pruned from disk at archive time, as-of instants beyond the window
+    raise, and in-window resolution is unchanged."""
+    import os
+    import time
+
+    root = tempfile.mkdtemp(prefix="dml_ret_")
+    c = Catalog(spark, root, time_travel_hours=1.0 / 3600)  # 1 s window
+    c.write(
+        spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS bal"),
+        "p.d.rt",
+    )
+    run(spark, c, "UPDATE `p.d.rt` SET bal = 1 WHERE TRUE")  # archives v1
+    vroot = c._versions_root("p.d.rt")
+    assert len([d for d in os.listdir(vroot) if d.isdigit()]) == 1
+    time.sleep(1.2)  # v1 expires
+    run(spark, c, "UPDATE `p.d.rt` SET bal = 2 WHERE TRUE")  # archives v2
+    digits = [d for d in os.listdir(vroot) if d.isdigit()]
+    assert len(digits) == 1, digits  # (a) expired version pruned
+    with pytest.raises(WorkerException, match="time travel window"):
+        run(
+            spark,
+            c,
+            "SELECT * FROM `p.d.rt` FOR SYSTEM_TIME AS OF"
+            " TIMESTAMP_SUB(CURRENT_TIMESTAMP(), INTERVAL 10 SECOND)",
+        )  # (b) out-of-window instant errors
+    # (c) in-window resolution unchanged: the fresh v2 pre-image serves
+    w = run(
+        spark,
+        c,
+        "SELECT SUM(bal) AS s FROM `p.d.rt` FOR SYSTEM_TIME AS OF"
+        " TIMESTAMP_SUB(CURRENT_TIMESTAMP(), INTERVAL 500 MILLISECOND)",
+    )
+    assert w.result.first()["s"] == 5.0  # bal = 1 state (5 rows)
+
+
+def test_time_travel_vacuum_and_storage_cleaner_hook(spark):
+    """vacuum_versions prunes expired versions of tables that are no
+    longer mutated; the StorageCleaner vacuum_time_travel hook drives
+    it."""
+    import os
+    import time
+
+    from crmint_spark.workers.storage_cleaner import StorageCleaner
+
+    root = tempfile.mkdtemp(prefix="dml_vac_")
+    c = Catalog(spark, root, time_travel_hours=1.0 / 3600)
+    c.write(
+        spark.range(3).selectExpr("id", "CAST(id AS DOUBLE) AS bal"),
+        "p.d.vt",
+    )
+    run(spark, c, "UPDATE `p.d.vt` SET bal = 9 WHERE TRUE")
+    vroot = c._versions_root("p.d.vt")
+    assert len([d for d in os.listdir(vroot) if d.isdigit()]) == 1
+    time.sleep(1.2)
+    w = StorageCleaner(
+        {"file_patterns": [], "vacuum_time_travel": True},
+        WorkerContext(spark=spark, catalog=c),
+    )
+    w.execute()
+    assert [d for d in os.listdir(vroot) if d.isdigit()] == []
+    assert any("vacuumed 1 expired" in line for line in w.log), w.log
+    # live table untouched
+    assert c.read("p.d.vt").count() == 3

@@ -94,7 +94,8 @@ def test_snapshot_clone_ddl(ctx):
     with pytest.raises(WorkerException, match="did not exist"):
         run(
             "CREATE SNAPSHOT TABLE `p.d.sn_t` CLONE `p.d.sn_base`"
-            " FOR SYSTEM_TIME AS OF TIMESTAMP '2020-01-01'"
+            " FOR SYSTEM_TIME AS OF"
+            " TIMESTAMP_SUB(CURRENT_TIMESTAMP(), INTERVAL 1 HOUR)"
         )
     run("DROP SNAPSHOT TABLE `p.d.sn_snap`")
     assert not ctx.catalog.exists("p.d.sn_snap")
