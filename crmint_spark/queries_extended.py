@@ -3648,3 +3648,57 @@ FROM base ORDER BY o_orderkey
 """
 
 EXTENDED_QUERIES["q90_date_boundaries"] = (q90_date_boundaries, Q90_SQL)
+
+
+def ml_recommend_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-artifact twin of ``ml_recommend`` (VERDICT r6 #7):
+    ALS factor VALUES are not SQL-reproducible, but the recommendation
+    KEY STRUCTURE is — the fitted indexer vocabularies and the
+    user-slice x item-vocabulary cross ML.RECOMMEND must emit. The
+    oracle replays that cross in DuckDB (every slice user present in
+    training x every distinct item), certifying vocabulary coverage,
+    cross cardinality, and output schema by hash; predicted_rating
+    quality/determinism stays pytest-certified (test_sql_ml)."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE MODEL `p.d.ev_recsys_art`
+    OPTIONS(MODEL_TYPE='MATRIX_FACTORIZATION', USER_COL='user_id',
+            ITEM_COL='event_type', RATING_COL='rating',
+            NUM_FACTORS=4, MAX_ITERATIONS=8, L2_REG=0.1) AS
+      SELECT user_id, event_type,
+             CAST(COUNT(*) AS FLOAT64) AS rating
+      FROM events GROUP BY user_id, event_type;
+    SELECT CAST(user_id AS INT64) AS user_id, event_type,
+           (SELECT COUNT(DISTINCT event_type) FROM events) AS n_items,
+           CAST(predicted_rating IS NOT NULL AS INT64) AS has_score
+    FROM ML.RECOMMEND(MODEL `p.d.ev_recsys_art`,
+      (SELECT DISTINCT user_id FROM events WHERE user_id <= 20))
+    ORDER BY user_id, event_type
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False}, WorkerContext(spark)
+    )
+    w.execute()
+    return w.result
+
+
+ML_RECOMMEND_ARTIFACTS_SQL = """
+WITH u AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id <= 20
+), i AS (
+  SELECT DISTINCT event_type FROM events
+)
+SELECT CAST(u.user_id AS BIGINT) AS user_id, i.event_type,
+       (SELECT COUNT(DISTINCT event_type) FROM events) AS n_items,
+       CAST(1 AS BIGINT) AS has_score
+FROM u CROSS JOIN i
+ORDER BY user_id, event_type
+"""
+
+EXTENDED_QUERIES["ml_recommend_artifacts"] = (
+    ml_recommend_artifacts,
+    ML_RECOMMEND_ARTIFACTS_SQL,
+)
