@@ -243,6 +243,14 @@ def fit_holt_state(
                 "(element_at(tus, -1) - element_at(tus, 1)) div (size(tus) - 1)"
             ).alias("iv_us"),
             F.size("tus").cast("bigint").alias("n_obs"),
+            # the fitted series itself persists with the model state so
+            # ML.EXPLAIN_FORECAST can replay the fold's per-step
+            # decomposition (BigQuery models persist their history
+            # decomposition too); size is bounded by model size (k
+            # series x n_obs scalars), the same order as the fit's own
+            # per-series collect
+            F.col("ys").alias("ys_fit"),
+            F.col("tus").alias("ts_us_arr"),
         )
     )
     return [
@@ -257,6 +265,8 @@ def fit_holt_state(
             "last_us": int(r["last_us"]),
             "iv_us": int(r["iv_us"]),
             "n_obs": int(r["n_obs"]),
+            "ys": [float(x) for x in r["ys_fit"]],
+            "tus": [int(x) for x in r["ts_us_arr"]],
         }
         for r in fitted.collect()
     ]
@@ -817,3 +827,193 @@ def rewrite_ml_arima_evaluate(
         return view
 
     return _ML_ARIMA_EVALUATE_RE.sub(repl, stmt)
+
+
+def _r6(x: float) -> float:
+    """ROUND(x, 6) half-away-from-zero (bit-identical to Spark/DuckDB
+    ROUND — same discipline as ml/kmeans._round6), normalized +0.0."""
+    import math
+
+    scaled = x * 1e6
+    f = math.floor(abs(scaled) + 0.5)
+    return math.copysign(f, x) / 1e6 + 0.0
+
+
+def explain_forecast_frame(
+    spark: SparkSession,
+    state: list[dict],
+    horizon: int,
+    holiday: dict | None = None,
+) -> DataFrame:
+    """``ML.EXPLAIN_FORECAST``: per-timestamp decomposition for history
+    AND horizon rows — BigQuery's companion to ML.FORECAST
+    (time_series_type, time_series_data, trend, seasonal, holiday
+    effect, residual, and the forecast interval columns).
+
+    The fold replay runs on the driver over the PERSISTED per-series
+    arrays (fit_holt_state stores them with the model — the same
+    boundedness as the fit's own per-series collect: model size, not
+    data size), using arithmetic expression order identical to the
+    Spark fold and the DuckDB oracle, so every component is
+    IEEE-reproducible cross-engine.
+
+    Decomposition contract (documented divergences from BigQuery's
+    ARIMA-based decomposition, consistent with the Holt-Winters
+    stand-in documented at module top):
+      - history ``trend`` = the fold's one-step-ahead level+trend
+        prediction (classical-init fitted line over the first period);
+        ``seasonal_period_weekly`` = the seasonal index used at that
+        step (zero for non-seasonal fits — all cyclic effect reports
+        under this column whatever the period); ``residual`` =
+        time_series_data - trend - seasonal - holiday_effect (the
+        fold's one-step residual).
+      - forecast rows: trend + seasonal + holiday_effect ==
+        ML.FORECAST's forecast_value exactly; standard_error and the
+        prediction interval match ML.FORECAST; time_series_data and
+        residual are NULL.
+    """
+    import math
+
+    a, one_a = float(HOLT_ALPHA), 1.0 - HOLT_ALPHA
+    b_, one_b = float(HOLT_BETA), 1.0 - HOLT_BETA
+    g_, one_g = float(HOLT_GAMMA), 1.0 - HOLT_GAMMA
+    hol_eff = (holiday or {}).get("effects", {})
+    hol_dates = set((holiday or {}).get("dates", []))
+
+    def _day(us: int) -> str:
+        import datetime
+
+        return datetime.datetime.fromtimestamp(
+            us / 1e6, datetime.timezone.utc
+        ).strftime("%Y-%m-%d")
+
+    rows = []
+    for s in state:
+        ys, tus = s.get("ys"), s.get("tus")
+        if not ys:
+            raise ValueError(
+                "ML.EXPLAIN_FORECAST needs a model fitted with the"
+                " per-series history persisted (re-run CREATE MODEL)"
+            )
+        m = int(s.get("period", 0))
+        he = float(hol_eff.get(s["series_id"], 0.0))
+        n = len(ys)
+        comp = []  # (trend, seasonal) per history position
+        if m >= 2 and n >= 2 * m:
+            acc = 0.0
+            for y in ys[:m]:
+                acc = acc + y
+            l0 = acc / float(m)
+            acc2 = 0.0
+            for y in ys[m : 2 * m]:
+                acc2 = acc2 + y
+            b0 = (acc2 / float(m) - l0) / float(m)
+            mid = (m + 1) / 2.0
+            s_arr = [
+                ys[i] - (l0 + (float(i + 1) - mid) * b0) for i in range(m)
+            ]
+            for i in range(m):
+                comp.append((l0 + (float(i + 1) - mid) * b0, s_arr[i]))
+            lev, tr = l0, b0
+            for t in range(m, n):
+                y, s1 = ys[t], s_arr[0]
+                comp.append((lev + tr, s1))
+                new_l = a * (y - s1) + one_a * (lev + tr)
+                new_b = b_ * (new_l - lev) + one_b * tr
+                s_arr = s_arr[1:] + [g_ * (y - new_l) + one_g * s1]
+                lev, tr = new_l, new_b
+        else:
+            comp.append((ys[0], 0.0))
+            lev, tr = ys[0], 0.0
+            for t in range(1, n):
+                y = ys[t]
+                comp.append((lev + tr, 0.0))
+                new_l = a * y + one_a * (lev + tr)
+                new_b = b_ * (new_l - lev) + one_b * tr
+                lev, tr = new_l, new_b
+        for t in range(n):
+            hol_t = he if _day(tus[t]) in hol_dates else 0.0
+            data_t = ys[t] + hol_t
+            trend_t, seas_t = comp[t]
+            rows.append(
+                (
+                    s["series_id"],
+                    int(tus[t]),
+                    "history",
+                    _r6(data_t),
+                    _r6(trend_t),
+                    _r6(seas_t),
+                    _r6(hol_t),
+                    _r6(data_t - trend_t - seas_t - hol_t),
+                    None,
+                    None,
+                    None,
+                    None,
+                )
+            )
+        sigma = math.sqrt(s["sse"] / s["n_resid"]) if s["n_resid"] else 0.0
+        for h in range(1, int(horizon) + 1):
+            ts_h = s["last_us"] + h * s["iv_us"]
+            trend_h = s["level"] + h * s["trend"]
+            seas_h = s["seasonal"][(h - 1) % m] if m > 0 else 0.0
+            hol_h = he if _day(ts_h) in hol_dates else 0.0
+            point = (trend_h + seas_h) + hol_h
+            se = sigma * math.sqrt(float(h))
+            rows.append(
+                (
+                    s["series_id"],
+                    int(ts_h),
+                    "forecast",
+                    None,
+                    _r6(trend_h),
+                    _r6(seas_h),
+                    _r6(hol_h),
+                    None,
+                    _r6(se),
+                    FORECAST_CONFIDENCE_LEVEL,
+                    _r6(point - FORECAST_Z * se),
+                    _r6(point + FORECAST_Z * se),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "series_id string, time_series_timestamp_us bigint, "
+        "time_series_type string, time_series_data double, trend double, "
+        "seasonal_period_weekly double, holiday_effect double, "
+        "residual double, standard_error double, confidence_level double, "
+        "prediction_interval_lower_bound double, "
+        "prediction_interval_upper_bound double",
+    )
+
+
+_ML_EXPLAIN_FORECAST_RE = re.compile(
+    r"ML\.EXPLAIN_FORECAST\s*\(\s*MODEL\s+`?([\w.\-]+)`?\s*"
+    r"(?:,\s*STRUCT\s*\(\s*(\d+)\s+AS\s+horizon\s*\))?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_ml_explain_forecast(
+    spark: SparkSession, stmt: str, registry
+) -> str:
+    """Replace ML.EXPLAIN_FORECAST(MODEL m [, STRUCT(n AS horizon)])
+    with a temp view of the decomposition rows (VERDICT r6 #4)."""
+    counter = [0]
+
+    def repl(m: re.Match) -> str:
+        name, h = m.group(1), m.group(2)
+        meta = registry.load_meta(name)
+        if meta.get("model_type") != "ARIMA_PLUS":
+            raise ValueError(
+                "ML.EXPLAIN_FORECAST requires an ARIMA_PLUS model"
+            )
+        horizon = int(h) if h else int(meta.get("horizon", 10))
+        df = explain_forecast_frame(
+            spark, meta["state"], horizon, meta.get("holiday")
+        )
+        counter[0] += 1
+        view = f"__ml_explain_forecast_{counter[0]}"
+        df.createOrReplaceTempView(view)
+        return view
+
+    return _ML_EXPLAIN_FORECAST_RE.sub(repl, stmt)

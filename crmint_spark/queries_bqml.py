@@ -1130,3 +1130,157 @@ BQML_QUERIES["bqml_autoencoder_anomalies"] = (
     bqml_autoencoder_anomalies,
     _autoencoder_oracle_sql(),
 )
+
+
+def bqml_explain_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML.EXPLAIN_FORECAST end-to-end (VERDICT r6 #4): per-timestamp
+    decomposition for history + horizon — time_series_type/data, trend,
+    seasonal_period_weekly, holiday_effect, residual, and the forecast
+    interval columns. The fold replay runs over the per-series history
+    persisted with the model (ml/forecast.explain_forecast_frame); the
+    DuckDB oracle replays the SAME fold with per-step (trend, seasonal)
+    emission appended to the flat accumulator, so every component is
+    hash-certified. Components sum to ML.FORECAST's forecast_value
+    (pytest-asserted in test_sql_ml)."""
+    from .catalog import register_testdata
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE MODEL `p.d.rev_explain`
+    OPTIONS(MODEL_TYPE='ARIMA_PLUS',
+            TIME_SERIES_TIMESTAMP_COL='day',
+            TIME_SERIES_DATA_COL='y',
+            TIME_SERIES_ID_COL='event_type',
+            HORIZON=7) AS (
+      SELECT event_type, TIMESTAMP_TRUNC(ts, DAY) AS day,
+             ROUND(SUM(value), 6) AS y
+      FROM events GROUP BY event_type, day
+    );
+    SELECT * FROM ML.EXPLAIN_FORECAST(MODEL `p.d.rev_explain`,
+                                      STRUCT(5 AS horizon))
+    ORDER BY series_id, time_series_timestamp_us
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False}, WorkerContext(spark)
+    )
+    w.execute()
+    return w.result
+
+
+# ML.EXPLAIN_FORECAST oracle: the same HW/Holt fold as BQML_ARIMA_SQL,
+# extended to append per-step one-step-ahead (trend, seasonal)
+# predictions to the flat accumulator tail (state stays at fixed slots
+# 1..10, so the seasonal window slices acc[5:10] instead of acc[5:]).
+# History positions t <= m take the classical-init fitted line and
+# seasonal indices (residual exactly 0 by construction); t > m read the
+# appended pair at f[2t-5], f[2t-4] (Holt: f[t+2], seasonal 0).
+_XF_NL = _HW_NL
+_XF_ERR = _HW_ERR
+_XF_HOLT_NL = "0.5 * x[1] + 0.5 * (acc[1] + acc[2])"
+_XF_HOLT_ERR = "(x[1] - (acc[1] + acc[2]))"
+
+BQML_EXPLAIN_FORECAST_SQL = f"""
+WITH {_HW_DAILY_PTS}, base AS (
+  SELECT event_type, ys, tus,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys[1:7]),
+                     (a, x) -> a + x) / 7.0 AS l0,
+         (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys[8:14]),
+                      (a, x) -> a + x) / 7.0
+          - list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys[1:7]),
+                        (a, x) -> a + x) / 7.0) / 7.0 AS b0
+  FROM pts WHERE len(ys) >= 2
+), fitted AS (
+  SELECT event_type, ys, tus, l0, b0,
+         CASE WHEN len(ys) >= 14 THEN
+           list_reduce(
+             list_prepend(
+               list_concat([l0, b0, CAST(0.0 AS DOUBLE)],
+                           list_transform(range(1, 8),
+                             i -> ys[i] - (l0 + (CAST(i AS DOUBLE) - 4.0) * b0))),
+               list_transform(ys[8:], v -> [v])),
+             (acc, x) -> list_concat(
+               list_concat(
+                 [{_XF_NL},
+                  0.3 * (({_XF_NL}) - acc[1]) + 0.7 * acc[2],
+                  acc[3] + {_XF_ERR} * {_XF_ERR}],
+                 list_concat(acc[5:10],
+                   [0.3 * (x[1] - ({_XF_NL})) + 0.7 * acc[4]])),
+               list_concat(acc[11:], [acc[1] + acc[2], acc[4]])))
+         ELSE
+           list_reduce(
+             list_prepend([ys[1], CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+                          list_transform(ys[2:], v -> [v])),
+             (acc, x) -> list_concat(
+               [{_XF_HOLT_NL},
+                0.3 * (({_XF_HOLT_NL}) - acc[1]) + 0.7 * acc[2],
+                acc[3] + {_XF_HOLT_ERR} * {_XF_HOLT_ERR}],
+               list_concat(acc[4:], [acc[1] + acc[2]])))
+         END AS f,
+         CASE WHEN len(ys) >= 14 THEN 7 ELSE 0 END AS per,
+         CASE WHEN len(ys) >= 14 THEN len(ys) - 7 ELSE len(ys) - 1 END
+           AS n_resid,
+         tus[-1] AS last_us,
+         (tus[-1] - tus[1]) // (len(tus) - 1) AS iv,
+         len(ys) AS n
+  FROM base
+), hist_raw AS (
+  SELECT event_type, tus[t] AS ts_us, ys[t] AS yv,
+         CASE WHEN per > 0 THEN
+           CASE WHEN t <= 7 THEN l0 + (CAST(t AS DOUBLE) - 4.0) * b0
+                ELSE f[2 * t - 5] END
+         ELSE
+           CASE WHEN t = 1 THEN ys[1] ELSE f[t + 2] END
+         END AS tr,
+         CASE WHEN per > 0 THEN
+           CASE WHEN t <= 7
+                THEN ys[t] - (l0 + (CAST(t AS DOUBLE) - 4.0) * b0)
+                ELSE f[2 * t - 4] END
+         ELSE CAST(0.0 AS DOUBLE) END AS se_
+  FROM fitted, UNNEST(range(1, n + 1)) AS u(t)
+), hist AS (
+  SELECT event_type AS series_id, ts_us AS time_series_timestamp_us,
+         'history' AS time_series_type,
+         ROUND(yv, 6) + 0 AS time_series_data,
+         ROUND(tr, 6) + 0 AS trend,
+         ROUND(se_, 6) + 0 AS seasonal_period_weekly,
+         CAST(0.0 AS DOUBLE) AS holiday_effect,
+         ROUND(yv - tr - se_ - 0.0, 6) + 0 AS residual,
+         CAST(NULL AS DOUBLE) AS standard_error,
+         CAST(NULL AS DOUBLE) AS confidence_level,
+         CAST(NULL AS DOUBLE) AS prediction_interval_lower_bound,
+         CAST(NULL AS DOUBLE) AS prediction_interval_upper_bound
+  FROM hist_raw
+), fcst AS (
+  SELECT event_type AS series_id,
+         last_us + h * iv AS time_series_timestamp_us,
+         'forecast' AS time_series_type,
+         CAST(NULL AS DOUBLE) AS time_series_data,
+         ROUND(f[1] + h * f[2], 6) + 0 AS trend,
+         ROUND(CASE WHEN per > 0 THEN f[4 + ((h - 1) % per)]
+               ELSE 0.0 END, 6) + 0 AS seasonal_period_weekly,
+         CAST(0.0 AS DOUBLE) AS holiday_effect,
+         CAST(NULL AS DOUBLE) AS residual,
+         ROUND(sqrt(f[3] / n_resid) * sqrt(h), 6) + 0 AS standard_error,
+         CAST(0.95 AS DOUBLE) AS confidence_level,
+         ROUND(((f[1] + h * f[2])
+                + (CASE WHEN per > 0 THEN f[4 + ((h - 1) % per)]
+                   ELSE 0.0 END) + 0.0)
+               - 1.96 * (sqrt(f[3] / n_resid) * sqrt(h)), 6) + 0
+           AS prediction_interval_lower_bound,
+         ROUND(((f[1] + h * f[2])
+                + (CASE WHEN per > 0 THEN f[4 + ((h - 1) % per)]
+                   ELSE 0.0 END) + 0.0)
+               + 1.96 * (sqrt(f[3] / n_resid) * sqrt(h)), 6) + 0
+           AS prediction_interval_upper_bound
+  FROM fitted, UNNEST(range(1, 6)) AS u(h)
+)
+SELECT * FROM hist UNION ALL SELECT * FROM fcst
+ORDER BY series_id, time_series_timestamp_us
+"""
+
+BQML_QUERIES["bqml_explain_forecast"] = (
+    bqml_explain_forecast,
+    BQML_EXPLAIN_FORECAST_SQL,
+)

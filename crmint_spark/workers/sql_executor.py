@@ -1756,6 +1756,7 @@ class SparkSQLExecutor(Worker):
         from ..ml.forecast import (
             rewrite_ml_arima_evaluate,
             rewrite_ml_detect_anomalies,
+            rewrite_ml_explain_forecast,
             rewrite_ml_forecast,
         )
 
@@ -1834,6 +1835,7 @@ class SparkSQLExecutor(Worker):
         stmt = rewrite_ml_training_info(spark, stmt, registry)
         stmt = rewrite_ml_feature_importance(spark, stmt, registry)
         stmt = rewrite_ml_global_explain(spark, stmt, registry)
+        stmt = rewrite_ml_explain_forecast(spark, stmt, registry)
         stmt = rewrite_ml_forecast(spark, stmt, registry)
         stmt = rewrite_ml_arima_evaluate(spark, stmt, registry)
         stmt = rewrite_ml_detect_anomalies(spark, stmt, registry)

@@ -1082,6 +1082,98 @@ def test_ml_arima_holiday_region(ctx):
     assert abs(fc[20] - ctl[20]) < 1e-9, (fc[20], ctl[20])
 
 
+def test_ml_explain_forecast_components_sum_and_holiday(ctx):
+    """ML.EXPLAIN_FORECAST (VERDICT r6 #4): forecast-row components sum
+    exactly to ML.FORECAST's forecast_value; history residual =
+    data - trend - seasonal - holiday_effect; the learned holiday
+    effect lands in holiday_effect on its calendar date (history AND a
+    horizon crossing one); non-ARIMA models are rejected."""
+    import datetime
+
+    spark = ctx.spark
+    rows = [
+        (
+            datetime.datetime(2024, 1, 2 + d),
+            100.0 + 10.0 * d + (d % 3) + (500.0 if (2 + d) == 15 else 0.0),
+        )
+        for d in range(30)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, y double"
+    ).createOrReplaceTempView("xf_series")
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.xf_hol`
+        OPTIONS(MODEL_TYPE='ARIMA_PLUS', TIME_SERIES_TIMESTAMP_COL='ts',
+                TIME_SERIES_DATA_COL='y', HOLIDAY_REGION='US')
+          AS (SELECT ts, y FROM xf_series)
+        """,
+    )
+    ex = _run(
+        ctx,
+        "SELECT * FROM ML.EXPLAIN_FORECAST(MODEL `p.d.xf_hol`,"
+        " STRUCT(25 AS horizon)) ORDER BY time_series_timestamp_us",
+    ).result.collect()
+    hist = [r for r in ex if r["time_series_type"] == "history"]
+    fcst = [r for r in ex if r["time_series_type"] == "forecast"]
+    assert len(hist) == 30 and len(fcst) == 25
+    # history residual identity
+    for r in hist:
+        got = (
+            r["time_series_data"]
+            - r["trend"]
+            - r["seasonal_period_weekly"]
+            - r["holiday_effect"]
+        )
+        assert abs(got - r["residual"]) < 5e-6, r
+    # the fitted MLK (Jan 15) history row carries the ~+500 effect
+    mlk_us = (
+        int(
+            datetime.datetime(
+                2024, 1, 15, tzinfo=datetime.timezone.utc
+            ).timestamp()
+        )
+        * 1_000_000
+    )
+    by_us = {r["time_series_timestamp_us"]: r for r in hist}
+    assert by_us[mlk_us]["holiday_effect"] > 400.0, by_us[mlk_us]
+    assert sum(1 for r in hist if r["holiday_effect"] != 0.0) == 1
+    # horizon step 19 = Washington's Birthday (Feb 19, from the Jan 31
+    # last observation): effect added on the crossing date only
+    fc = _run(
+        ctx,
+        "SELECT step, forecast_value FROM ML.FORECAST(MODEL `p.d.xf_hol`,"
+        " STRUCT(25 AS horizon)) ORDER BY step",
+    ).result.collect()
+    for r, f in zip(fcst, fc):
+        tot = r["trend"] + r["seasonal_period_weekly"] + r["holiday_effect"]
+        assert abs(tot - f["forecast_value"]) < 5e-6, (r, f)
+    wb = fcst[18]  # step 19
+    assert wb["holiday_effect"] > 400.0, wb
+    assert fcst[17]["holiday_effect"] == 0.0 == fcst[19]["holiday_effect"]
+    # forecast rows: interval bounds bracket the component sum
+    assert all(
+        r["prediction_interval_lower_bound"]
+        <= r["trend"] + r["seasonal_period_weekly"] + r["holiday_effect"] + 1e-6
+        and r["trend"] + r["seasonal_period_weekly"] + r["holiday_effect"]
+        <= r["prediction_interval_upper_bound"] + 1e-6
+        for r in fcst
+    )
+    # non-ARIMA models are rejected with a pointer
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.xf_lin`
+        OPTIONS(MODEL_TYPE='LINEAR_REG', INPUT_LABEL_COLS=['label'])
+          AS (SELECT x1, x2, CAST(x1 + x2 AS FLOAT64) AS label
+              FROM training_data)
+        """,
+    )
+    with pytest.raises(Exception, match="ARIMA_PLUS"):
+        _run(ctx, "SELECT * FROM ML.EXPLAIN_FORECAST(MODEL `p.d.xf_lin`)")
+
+
 def test_ml_detect_anomalies_holiday(ctx):
     """The learned holiday effect joins the anomaly expectation: the
     Jan-15 spike the model fit is NOT an anomaly, and its expected
