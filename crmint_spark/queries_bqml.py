@@ -1284,3 +1284,58 @@ BQML_QUERIES["bqml_explain_forecast"] = (
     bqml_explain_forecast,
     BQML_EXPLAIN_FORECAST_SQL,
 )
+
+
+def bqml_vocab_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """>10k-category TRANSFORM encoder scale path (VERDICT r6 #3): a
+    10,001-category ML.LABEL_ENCODER vocabulary exceeds _VOCAB_MAX, so
+    the fit persists it as a vocabulary table and the encode becomes an
+    equi LEFT JOIN Spark broadcasts (BroadcastHashJoin — asserted in
+    test_sql_ml) instead of a 10k-entry literal map. ML.TRANSFORM
+    replays it over a probe mixing in-vocabulary, beyond-vocabulary and
+    unseen categories; the DuckDB oracle replays the frequency-then-
+    value vocabulary ranking and the left join by value."""
+    from .catalog import register_testdata
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE MODEL `p.d.bigvocab91`
+    TRANSFORM(ML.LABEL_ENCODER(cat) AS cat_enc)
+    OPTIONS(MODEL_TYPE='KMEANS', NUM_CLUSTERS=2, MAX_ITERATIONS=1) AS
+    SELECT CONCAT('c', CAST(r AS STRING)) AS cat
+    FROM UNNEST(GENERATE_ARRAY(1, 10001)) AS r;
+    SELECT CAST(cat_enc AS INT64) AS cat_enc
+    FROM ML.TRANSFORM(MODEL `p.d.bigvocab91`,
+      (SELECT CONCAT('c', CAST(r * 37 AS STRING)) AS cat
+       FROM UNNEST(GENERATE_ARRAY(1, 400)) AS r
+       UNION ALL SELECT 'zzz_unseen'))
+    ORDER BY cat_enc
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False}, WorkerContext(spark)
+    )
+    w.execute()
+    return w.result
+
+
+BQML_VOCAB_BROADCAST_SQL = """
+WITH vocab AS (
+  SELECT cat AS v,
+         row_number() OVER (ORDER BY COUNT(*) DESC, cat ASC) AS idx
+  FROM (SELECT 'c' || CAST(x AS VARCHAR) AS cat FROM range(1, 10002) t(x))
+  GROUP BY cat
+), probe AS (
+  SELECT 'c' || CAST(x * 37 AS VARCHAR) AS cat FROM range(1, 401) t(x)
+  UNION ALL SELECT 'zzz_unseen'
+)
+SELECT CAST(coalesce(v.idx, 0) AS BIGINT) AS cat_enc
+FROM probe p LEFT JOIN vocab v ON p.cat = v.v
+ORDER BY cat_enc
+"""
+
+BQML_QUERIES["bqml_vocab_broadcast"] = (
+    bqml_vocab_broadcast,
+    BQML_VOCAB_BROADCAST_SQL,
+)

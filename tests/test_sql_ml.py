@@ -1652,3 +1652,97 @@ def test_ml_training_info_and_feature_importance(ctx):
         _run(ctx, "SELECT * FROM ML.TRAINING_INFO(MODEL `p.d.fi_m`)")
     with pytest.raises(ValueError, match="ML.WEIGHTS"):
         _run(ctx, "SELECT * FROM ML.FEATURE_IMPORTANCE(MODEL `p.d.ti_m`)")
+
+
+def test_big_vocab_encoder_broadcast_paths(ctx, monkeypatch):
+    """>_VOCAB_MAX encoder scale paths (VERDICT r6 #3), exercised with
+    a lowered threshold: LABEL_ENCODER joins the persisted vocabulary
+    table (plan shows a BroadcastHashJoin), MULTI_HOT encodes through
+    the vectorized broadcast-dict UDF, ONE_HOT hash-buckets (documented
+    divergence), and the persisted model replays identically through a
+    FRESH registry load (vocab views/UDFs re-registered from meta)."""
+    from crmint_spark.ml import sql_ml
+
+    monkeypatch.setattr(sql_ml, "_VOCAB_MAX", 5)
+    spark = ctx.spark
+    rows = [
+        (f"k{i % 9}", [f"k{i % 9}", f"k{(i + 1) % 9}"], float(i % 4))
+        for i in range(60)
+    ]
+    spark.createDataFrame(
+        rows, "cat string, tags array<string>, label double"
+    ).createOrReplaceTempView("bv_train")
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.bv_m`
+        TRANSFORM(ML.LABEL_ENCODER(cat) AS cat_enc,
+                  ML.MULTI_HOT_ENCODER(tags) AS tags_enc,
+                  ML.ONE_HOT_ENCODER(cat) AS cat_oh,
+                  label)
+        OPTIONS(MODEL_TYPE='LINEAR_REG', INPUT_LABEL_COLS=['label'],
+                MAX_ITERATIONS=2)
+          AS (SELECT cat, tags, label FROM bv_train)
+        """,
+    )
+    w = _run(
+        ctx,
+        """
+        SELECT CAST(cat_enc AS INT64) AS cat_enc,
+               tags_enc[OFFSET(0)].index AS tag0,
+               ARRAY_LENGTH(tags_enc) AS n_tags,
+               cat_oh[OFFSET(0)].index AS oh_idx
+        FROM ML.TRANSFORM(MODEL `p.d.bv_m`,
+          (SELECT 'k3' AS cat, ['k3', 'k4', 'nope'] AS tags,
+                  CAST(0 AS FLOAT64) AS label))
+        """,
+    )
+    r = w.result.first()
+    # vocab rank: 9 categories, k0..k5 appear 7x, k6..k8 appear 6x...
+    # (60 rows, i%9) — ranked count DESC then value ASC; in-vocab
+    # results must be consistent between LABEL and MULTI_HOT
+    assert r["cat_enc"] > 0 and r["n_tags"] == 2 and r["tag0"] > 0
+    assert r["oh_idx"] >= 1  # hash bucket, 1-based
+    # the vocabulary join broadcasts (BroadcastHashJoin) over a real
+    # relation input (a single literal row constant-folds to a
+    # nested-loop probe instead — also broadcast, also fine)
+    wp = _run(
+        ctx,
+        "SELECT CAST(cat_enc AS INT64) AS cat_enc"
+        " FROM ML.TRANSFORM(MODEL `p.d.bv_m`,"
+        " (SELECT cat, tags, label FROM bv_train))",
+    )
+    plan = wp.result._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # unseen / NULL-safe: unseen LABEL -> 0, unseen MULTI_HOT filtered
+    r2 = _run(
+        ctx,
+        """
+        SELECT CAST(cat_enc AS INT64) AS cat_enc,
+               ARRAY_LENGTH(tags_enc) AS n_tags
+        FROM ML.TRANSFORM(MODEL `p.d.bv_m`,
+          (SELECT 'unseen' AS cat, ['nope'] AS tags,
+                  CAST(0 AS FLOAT64) AS label))
+        """,
+    ).result.first()
+    assert r2["cat_enc"] == 0 and r2["n_tags"] == 0
+    # fresh-registry replay: drop the fitting session's views/UDFs,
+    # reload the model purely from persisted meta
+    spark.catalog.dropTempView("__mlvocab_p__d__bv_m_1")
+    w3 = _run(
+        ctx,
+        """
+        SELECT CAST(cat_enc AS INT64) AS cat_enc,
+               tags_enc[OFFSET(0)].index AS tag0
+        FROM ML.TRANSFORM(MODEL `p.d.bv_m`,
+          (SELECT 'k3' AS cat, ['k3'] AS tags, CAST(0 AS FLOAT64) AS label))
+        """,
+    ).result.first()
+    assert w3["cat_enc"] == r["cat_enc"] and w3["tag0"] == r["tag0"]
+    # ML.PREDICT consumes the broadcast-encoded features end-to-end
+    p = _run(
+        ctx,
+        "SELECT COUNT(*) AS n FROM ML.PREDICT(MODEL `p.d.bv_m`,"
+        " (SELECT cat, tags, label FROM bv_train))",
+    ).result.first()
+    assert p["n"] == 60
