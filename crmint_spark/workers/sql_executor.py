@@ -139,6 +139,74 @@ def _resolves_to_table(
     return _resolves_to_table(base, table_last, ctes, needed_cols, _depth + 1)
 
 
+_VS_TRIVIAL_RE = re.compile(
+    r"^\s*\(?\s*SELECT\s+\*\s+FROM\s+(`?[\w.\-]+`?)"
+    r"\s*(?:WHERE\s+(.+?))?\s*\)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _vs_trivial_subset(
+    body: str, vector_indexes: dict
+) -> tuple[str, dict, str | None] | None:
+    """Resolve a ``SELECT * FROM <indexed table> [WHERE pred]`` body to
+    (table, index entry, pred). None when the body is anything else —
+    the always-correct exact path serves opaque bases."""
+    if not body:
+        return None
+    m = _VS_TRIVIAL_RE.match(body)
+    if not m:
+        return None
+    pred = m.group(2)
+    if pred and re.search(
+        r"\b(SELECT|JOIN|GROUP|UNION|ORDER|LIMIT)\b", pred, re.IGNORECASE
+    ):
+        return None
+    table = m.group(1).strip("`")
+    entry = vector_indexes.get(table)
+    if entry is None:
+        return None
+    return table, entry, (pred.strip() if pred else None)
+
+
+def _qualify_pred(
+    pred: str, columns: list[str], alias: str
+) -> str | None:
+    """Qualify every bare base-column reference in ``pred`` with
+    ``alias.`` (string literals masked). None when the predicate
+    references a name that is neither a base column nor a plain
+    literal/function token it is safe to leave — conservative: the
+    caller falls back to the exact path."""
+    lits: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    masked = re.sub(r"'[^']*'", _mask, pred)
+    cols = {c.lower() for c in columns}
+    out = []
+    pos = 0
+    for m in re.finditer(r"(?<![\w.`])([A-Za-z_]\w*)(?![\w`(])", masked):
+        out.append(masked[pos : m.start()])
+        tok = m.group(1)
+        if tok.lower() in cols:
+            out.append(f"{alias}.`{tok}`")
+        elif tok.upper() in (
+            "AND", "OR", "NOT", "IN", "IS", "NULL", "TRUE", "FALSE",
+            "BETWEEN", "LIKE", "RLIKE", "ESCAPE", "DIV",
+        ):
+            out.append(tok)
+        else:
+            return None  # unknown bare identifier: don't guess
+        pos = m.end()
+    out.append(masked[pos:])
+    res = "".join(out)
+    for i, lit in enumerate(lits):
+        res = res.replace(f"\x00{i}\x00", lit)
+    return res
+
+
 def _pick_integral_id(df) -> str | None:
     """The column used to key an index layout: prefer an id-NAMED
     integral column (``id``, ``*_id``, ``*id``) over the first integral
@@ -1208,6 +1276,7 @@ class SparkSQLExecutor(Worker):
             return sub
 
         calls = list(_iter_calls(sub, ("VECTOR_SEARCH",)))
+        ctes = _cte_definitions(sub) if calls else {}
         for start, op, end, _name in reversed(calls):
             raw_args = _split_top_level(sub[op + 1 : end - 1])
             if len(raw_args) < 3:
@@ -1215,13 +1284,36 @@ class SparkSQLExecutor(Worker):
             m_t = re.match(
                 r"\s*TABLE\s+(.+?)\s*$", raw_args[0], re.IGNORECASE | re.DOTALL
             )
-            if not m_t:
-                continue  # subquery base: no index can apply
-            base_table = m_t.group(1).strip().strip("`")
-            entry = vector_indexes.get(base_table)
+            base_pred = None
+            if m_t:
+                base_table = m_t.group(1).strip().strip("`")
+                entry = vector_indexes.get(base_table)
+                if entry is None:
+                    # one level of aliasing (VERDICT r6 #6): a CTE that
+                    # is SELECT * [WHERE ...] over an indexed table
+                    # still routes — the filter applies post-join (the
+                    # layout holds every base row, so filtering the
+                    # joined rows is exactly filtering the base)
+                    resolved = _vs_trivial_subset(
+                        ctes.get(base_table.split(".")[-1].lower(), ""),
+                        vector_indexes,
+                    )
+                    if resolved:
+                        base_table, entry, base_pred = resolved
+            else:
+                # inline trivial subquery base: (SELECT * FROM t WHERE ..)
+                resolved = _vs_trivial_subset(raw_args[0], vector_indexes)
+                if not resolved:
+                    continue  # opaque subquery base: exact path serves
+                base_table, entry, base_pred = resolved
             base_col = raw_args[1].strip().strip("'\"")
             if entry is None or entry.get("indexed_column") != base_col:
                 continue
+            if base_pred is not None:
+                qpred = _qualify_pred(base_pred, entry["base_columns"], "vs_b")
+                if qpred is None:
+                    continue  # un-qualifiable predicate: exact path
+                base_pred = qpred
             query_rel = raw_args[2].strip()
             m_qt = re.match(
                 r"TABLE\s+(.+)$", query_rel, re.IGNORECASE | re.DOTALL
@@ -1335,7 +1427,8 @@ class SparkSQLExecutor(Worker):
                 f" JOIN {entry['layout_view']} AS vs_b"
                 " ON vs_b.list_id = vs_q.vs_probe"
                 f" AND vs_b.list_id IN ({in_list})"
-                ") AS vs_scored) AS vs_ranked"
+                + (f" WHERE ({base_pred})" if base_pred else "")
+                + ") AS vs_scored) AS vs_ranked"
                 f" WHERE vs_rn <= {top_k})"
             )
             sub = sub[:start] + replacement + sub[end:]

@@ -1669,6 +1669,69 @@ def test_search_index_routing_respects_table(spark):
     assert w.result.first()["n"] == 50
 
 
+def test_vector_search_routes_through_trivial_base(spark):
+    """VECTOR_SEARCH over a CTE or inline subquery that is SELECT *
+    [WHERE ...] of the indexed table still routes (VERDICT r6 #6): the
+    filter applies post-join on the layout rows, results equal the
+    exact path, and opaque predicates keep the exact fallback."""
+    from crmint_spark.catalog import register_testdata
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+
+    def run(script):
+        w = SparkSQLExecutor(
+            {"script": script, "dry_run": False}, WorkerContext(spark)
+        )
+        w.execute()
+        return w
+
+    body = """
+    SELECT query.vec_id AS qid, base.vec_id AS bid
+    FROM VECTOR_SEARCH(TABLE recent, 'embedding',
+      (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+      top_k => 5, options => '{"fraction_lists_to_search": 1.0}')
+    ORDER BY bid
+    """
+    q = (
+        "WITH recent AS (SELECT * FROM embeddings WHERE vec_id < 500)"
+        + body
+    )
+    w = run(
+        "CREATE VECTOR INDEX vidx_tb ON embeddings(embedding)"
+        " OPTIONS(index_type='IVF');" + q
+    )
+    assert any("routed through index" in l for l in w.log), w.log
+    routed = [r["bid"] for r in w.result.collect()]
+    assert routed and all(b < 500 for b in routed), routed
+    w2 = run(q)  # unindexed: exact path over the same CTE
+    assert not any("routed" in l for l in w2.log)
+    assert routed == [r["bid"] for r in w2.result.collect()]
+    # inline subquery base routes identically
+    w3 = run(
+        "CREATE VECTOR INDEX vidx_tb2 ON embeddings(embedding)"
+        " OPTIONS(index_type='IVF');"
+        + body.replace(
+            "TABLE recent",
+            "(SELECT * FROM embeddings WHERE vec_id < 500)",
+        )
+    )
+    assert any("routed through index" in l for l in w3.log), w3.log
+    assert routed == [r["bid"] for r in w3.result.collect()]
+    # an opaque base (projection, not SELECT *) keeps the exact path
+    w4 = run(
+        "CREATE VECTOR INDEX vidx_tb3 ON embeddings(embedding)"
+        " OPTIONS(index_type='IVF');"
+        + body.replace(
+            "TABLE recent",
+            "(SELECT vec_id, label, embedding FROM embeddings"
+            " WHERE vec_id < 500)",
+        )
+    )
+    assert not any("routed through index" in l for l in w4.log), w4.log
+    assert routed == [r["bid"] for r in w4.result.collect()]
+
+
 def test_vector_search_cte_query_falls_back_exact(spark):
     """VECTOR_SEARCH whose query relation references the enclosing
     statement's CTE cannot be probe-pruned standalone — it must fall
