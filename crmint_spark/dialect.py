@@ -1155,8 +1155,11 @@ def _rewrite_string_agg(sql: str) -> str:
         expr = parts[0].strip()
         sep = parts[1].strip() if len(parts) > 1 else "','"
         arr = f"collect_set({expr})" if distinct else f"collect_list({expr})"
+        def _canon(e: str) -> str:
+            return re.sub(r"\s+", "", e).lower()
+
         if order_expr is not None:
-            if distinct and order_expr != expr:
+            if distinct and _canon(order_expr) != _canon(expr):
                 # BigQuery rejects this form loudly (the ORDER BY key
                 # of a DISTINCT aggregation must be the aggregated
                 # expression itself) — substituting value order would
@@ -1167,7 +1170,7 @@ def _rewrite_string_agg(sql: str) -> str:
                     f" expressions that are arguments to the function;"
                     f" got ORDER BY {order_expr!r} over DISTINCT {expr!r}"
                 )
-            if distinct or order_expr == expr:
+            if distinct or _canon(order_expr) == _canon(expr):
                 arr = f"array_sort({arr})"
             else:
                 arr = (

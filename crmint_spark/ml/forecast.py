@@ -38,6 +38,13 @@ HOLT_ALPHA = 0.5
 HOLT_BETA = 0.3
 HOLT_GAMMA = 0.3
 
+# ML.EXPLAIN_FORECAST per-series history bound: beyond this the fitted
+# series is NOT persisted with the model (scalar state still serves
+# ML.FORECAST/ML.DETECT_ANOMALIES; only the history decomposition is
+# unavailable). Matches the order of BigQuery's own ARIMA_PLUS input
+# limits (tens of thousands of points per series).
+EXPLAIN_HISTORY_MAX = 10_000
+
 # DATA_FREQUENCY -> seasonal period (one full cycle in grid steps):
 # hour-of-day, day-of-week, week-of-year, month-of-year, quarter-of-year
 _FREQ_PERIOD = {
@@ -246,11 +253,19 @@ def fit_holt_state(
             # the fitted series itself persists with the model state so
             # ML.EXPLAIN_FORECAST can replay the fold's per-step
             # decomposition (BigQuery models persist their history
-            # decomposition too); size is bounded by model size (k
-            # series x n_obs scalars), the same order as the fit's own
-            # per-series collect
-            F.col("ys").alias("ys_fit"),
-            F.col("tus").alias("ts_us_arr"),
+            # decomposition too). HARD-BOUNDED per series (review
+            # finding r7: an unbounded collect turns model size from
+            # O(k x 4 scalars) into O(total training rows)): series
+            # longer than EXPLAIN_HISTORY_MAX points transfer NULL —
+            # their scalar state still forecasts, only the history
+            # decomposition is unavailable (explain_forecast_frame
+            # raises with a pointer)
+            F.when(
+                F.size("ys") <= EXPLAIN_HISTORY_MAX, F.col("ys")
+            ).alias("ys_fit"),
+            F.when(
+                F.size("tus") <= EXPLAIN_HISTORY_MAX, F.col("tus")
+            ).alias("ts_us_arr"),
         )
     )
     return [
@@ -265,8 +280,16 @@ def fit_holt_state(
             "last_us": int(r["last_us"]),
             "iv_us": int(r["iv_us"]),
             "n_obs": int(r["n_obs"]),
-            "ys": [float(x) for x in r["ys_fit"]],
-            "tus": [int(x) for x in r["ts_us_arr"]],
+            "ys": (
+                [float(x) for x in r["ys_fit"]]
+                if r["ys_fit"] is not None
+                else None
+            ),
+            "tus": (
+                [int(x) for x in r["ts_us_arr"]]
+                if r["ts_us_arr"] is not None
+                else None
+            ),
         }
         for r in fitted.collect()
     ]
@@ -830,13 +853,12 @@ def rewrite_ml_arima_evaluate(
 
 
 def _r6(x: float) -> float:
-    """ROUND(x, 6) half-away-from-zero (bit-identical to Spark/DuckDB
-    ROUND — same discipline as ml/kmeans._round6), normalized +0.0."""
-    import math
+    """ROUND(x, 6) half-away-from-zero, normalized +0.0 — the canonical
+    rounding discipline lives in ml/kmeans._round6 (one copy only:
+    review finding r7)."""
+    from .kmeans import _round6
 
-    scaled = x * 1e6
-    f = math.floor(abs(scaled) + 0.5)
-    return math.copysign(f, x) / 1e6 + 0.0
+    return _round6(x) + 0.0
 
 
 def explain_forecast_frame(
@@ -892,8 +914,11 @@ def explain_forecast_frame(
         ys, tus = s.get("ys"), s.get("tus")
         if not ys:
             raise ValueError(
-                "ML.EXPLAIN_FORECAST needs a model fitted with the"
-                " per-series history persisted (re-run CREATE MODEL)"
+                "ML.EXPLAIN_FORECAST needs the per-series history"
+                " persisted with the model: re-run CREATE MODEL, and"
+                f" note series longer than {EXPLAIN_HISTORY_MAX} points"
+                " do not persist history (EXPLAIN_HISTORY_MAX) —"
+                " ML.FORECAST still serves them"
             )
         m = int(s.get("period", 0))
         he = float(hol_eff.get(s["series_id"], 0.0))

@@ -386,8 +386,9 @@ _VOCAB_ENCODERS = (
 # literal-map replay bound: beyond this, an expression-level literal
 # map is the wrong tool and the encoders switch to the broadcast scale
 # path (VERDICT r6 #3) — LABEL joins a materialized vocabulary table
-# (BroadcastHashJoin), MULTI_HOT reads a once-evaluated subquery map,
-# ONE_HOT hash-buckets; BigQuery's own defaults are top_k=32000
+# (BroadcastHashJoin), MULTI_HOT encodes through a vectorized
+# broadcast-dict UDF (_register_mh_udf), ONE_HOT hash-buckets;
+# BigQuery's own defaults are top_k=32000
 _VOCAB_MAX = 10_000
 
 
@@ -506,7 +507,9 @@ def _fit_vocab_encoders(
     LABEL_ENCODER persists the vocabulary as a (value, index) table and
     encodes via an equi LEFT JOIN (_transform_query attaches it; Spark
     broadcasts the k-row side — BroadcastHashJoin); MULTI_HOT_ENCODER
-    reads a subquery map column evaluated once per query; ONE_HOT
+    encodes through a vectorized broadcast-dict UDF
+    (_register_mh_udf — HOF lambdas cannot host joins, and a per-row
+    map column would materialize the map into every row); ONE_HOT
     falls back to a hash-bucketed index (pmod(xxhash64(value), B) + 1,
     B = next power of two >= vocab size — DOCUMENTED DIVERGENCE:
     distinct categories can collide into one bucket, the standard
@@ -598,8 +601,18 @@ def _fit_vocab_encoders(
                     f" 'value', CAST(1.0 AS DOUBLE)))"
                 )
             else:
-                view = f"{view_prefix}_{n_aux}"
+                import hashlib
+
                 rows = [[v, i + 1] for i, v in enumerate(vocab)]
+                # content digest in the name: a re-created model gets a
+                # DIFFERENT view/UDF name, so a session that registered
+                # the old vocabulary can never serve it to the new
+                # model (review finding r7: existence-by-name trusted
+                # stale views)
+                digest = hashlib.md5(
+                    repr(rows).encode()
+                ).hexdigest()[:10]
+                view = f"{view_prefix}_{n_aux}_{digest}"
                 aux["tables"][view] = rows
                 spark.createDataFrame(
                     [(v, i) for v, i in rows],

@@ -136,8 +136,10 @@ def dml_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     script mutates a table twice after capturing t0, then joins the
     live state against the t0 state — BigQuery's canonical
     "compare with yesterday" audit query (BigQuery docs: time travel /
-    FOR SYSTEM_TIME AS OF). Documented divergences in catalog.py:
-    unbounded retention, eager DML visibility."""
+    FOR SYSTEM_TIME AS OF). Retention is bounded by the catalog's
+    time_travel_hours window (7-day default; out-of-window instants
+    raise). Documented divergence in catalog.py: eager DML
+    visibility."""
     register_testdata(spark, sf_dir)
     cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_tt_"))
     target = spark.sql(

@@ -57,17 +57,48 @@ _REL_ALIAS_RE = re.compile(
 )
 
 
-def _relation_aliases(sql: str) -> dict[str, str]:
+_REL_COMMA_RE = re.compile(
+    r"\s*,\s*(`[\w.\- ]+`|[\w.]+)"
+    r"(?:\s+AS\s+(\w+)|\s+(?!ON\b|USING\b|WHERE\b|GROUP\b|ORDER\b"
+    r"|LEFT\b|RIGHT\b|FULL\b|INNER\b|CROSS\b|JOIN\b|LIMIT\b|HAVING\b"
+    r"|QUALIFY\b|UNION\b|INTERSECT\b|EXCEPT\b|SET\b|LATERAL\b"
+    r"|TABLESAMPLE\b|FOR\b|AS\b|AND\b|OR\b|NATURAL\b|PIVOT\b"
+    r"|UNPIVOT\b|WINDOW\b|SELECT\b|WITH\b)(\w+))?",
+    re.IGNORECASE,
+)
+
+
+def _relation_aliases(sql: str) -> dict[str, str | None]:
     """alias (lowercased; the relation's last name component when bare)
     -> relation name, for every named FROM/JOIN base relation anywhere
-    in the statement. Used by index routing to resolve which table a
-    searched column belongs to."""
-    out: dict[str, str] = {}
+    in the statement, INCLUDING comma-separated FROM lists (an
+    invisible comma relation would let an unqualified SEARCH route past
+    an ambiguous column — review finding r7). The map is scope-blind by
+    construction, so an alias bound to two DIFFERENT relations in
+    different subqueries maps to None (never route on a conflicted
+    alias). Used by index routing to resolve which table a searched
+    column belongs to."""
+    out: dict[str, str | None] = {}
+
+    def _add(rel: str, alias: str | None) -> None:
+        rel = rel.strip("`").strip()
+        key = (alias or rel.split(".")[-1]).lower()
+        if key in out and out[key] != rel:
+            out[key] = None  # cross-scope conflict: ambiguous
+        else:
+            out[key] = rel
+
     masked = re.sub(r"'[^']*'", "''", sql)  # a 'from x' literal is not a scan
     for m in _REL_ALIAS_RE.finditer(masked):
-        rel = m.group(1).strip("`").strip()
-        alias = (m.group(2) or m.group(3) or rel.split(".")[-1]).lower()
-        out[alias] = rel
+        _add(m.group(1), m.group(2) or m.group(3))
+        # comma-continued FROM list: FROM a, b c, d
+        pos = m.end()
+        while True:
+            cm = _REL_COMMA_RE.match(masked, pos)
+            if not cm:
+                break
+            _add(cm.group(1), cm.group(2) or cm.group(3))
+            pos = cm.end()
     return out
 
 
@@ -140,8 +171,8 @@ def _resolves_to_table(
 
 
 _VS_TRIVIAL_RE = re.compile(
-    r"^\s*\(?\s*SELECT\s+\*\s+FROM\s+(`?[\w.\-]+`?)"
-    r"\s*(?:WHERE\s+(.+?))?\s*\)?\s*$",
+    r"^\s*SELECT\s+\*\s+FROM\s+(`?[\w.\-]+`?)"
+    r"\s*(?:WHERE\s+(.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -151,9 +182,18 @@ def _vs_trivial_subset(
 ) -> tuple[str, dict, str | None] | None:
     """Resolve a ``SELECT * FROM <indexed table> [WHERE pred]`` body to
     (table, index entry, pred). None when the body is anything else —
-    the always-correct exact path serves opaque bases."""
+    the always-correct exact path serves opaque bases. Outer parens are
+    stripped only when balanced as a pair (an optional ``\\)?`` in the
+    regex would eat the closing paren of a predicate ending in ')',
+    e.g. ``WHERE cat IN (1, 2)`` — review finding r7)."""
     if not body:
         return None
+    body = body.strip()
+    if body.startswith("(") and body.endswith(")"):
+        from ..dialect import _balanced_end
+
+        if _balanced_end(body, 0) == len(body):
+            body = body[1:-1].strip()
     m = _VS_TRIVIAL_RE.match(body)
     if not m:
         return None
@@ -208,20 +248,37 @@ def _qualify_pred(
 
 
 def _pick_integral_id(df) -> str | None:
-    """The column used to key an index layout: prefer an id-NAMED
-    integral column (``id``, ``*_id``, ``*id``) over the first integral
-    one, so a leading count/metric column can't silently key postings
-    or quantizer seeding (ADVICE r6). Density/uniqueness is validated
-    downstream (the IVF seeder raises on non-dense ids)."""
+    """The column used to key an index layout: a UNIQUE, non-null
+    integral column, preferring id-named ones. Uniqueness is VERIFIED
+    (one agg job at index-build time) — a non-unique key would collapse
+    distinct rows into one posting list, turning the conjunctive
+    ``HAVING count(DISTINCT token) = n`` into silent false positives
+    (review finding r7: the old name-only preference could key postings
+    by a foreign key like ``user_id``). None when no unique integral
+    column exists — the caller raises and the scan/exact path serves."""
+    from pyspark.sql import functions as F
+
     ints = [
         f.name
         for f in df.schema.fields
         if f.dataType.simpleString() in ("bigint", "int", "smallint")
     ]
-    for c in ints:
+    if not ints:
+        return None
+    row = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.countDistinct(c).alias(c) for c in ints],
+    ).first()
+    unique = [c for c in ints if int(row[c]) == int(row["__n"])]
+    if not unique:
+        return None
+    for c in unique:
+        if c.lower() == "id":
+            return c
+    for c in unique:
         if c.lower().endswith("id"):
             return c
-    return ints[0] if ints else None
+    return unique[0]
 
 
 class _BreakSignal(Exception):
@@ -1058,8 +1115,8 @@ class SparkSQLExecutor(Worker):
         id_col = _pick_integral_id(df)
         if id_col is None:
             raise WorkerException(
-                f"no integral id column on {table} for deterministic"
-                " quantizer seeding"
+                f"no unique integral id column on {table} for"
+                " deterministic quantizer seeding"
             )
         root = getattr(self._ctx.catalog, "root", None) or tempfile.mkdtemp(
             prefix="crmint_vidx_"
@@ -1119,7 +1176,7 @@ class SparkSQLExecutor(Worker):
         id_col = _pick_integral_id(df)
         if id_col is None:
             raise WorkerException(
-                f"no integral id column on {table} to key postings"
+                f"no unique integral id column on {table} to key postings"
             )
         root = getattr(self._ctx.catalog, "root", None) or tempfile.mkdtemp(
             prefix="crmint_sidx_"
@@ -1191,9 +1248,13 @@ class SparkSQLExecutor(Worker):
                     )
                 # unqualified: every base relation in scope must be the
                 # indexed table (self-joins fine) — otherwise the column
-                # could belong to another relation
+                # could belong to another relation; a None relation is a
+                # conflicted alias and never routes
                 return bool(aliases) and all(
-                    _resolves_to_table(rel, tbl, ctes, (col, e["id_column"]))
+                    rel is not None
+                    and _resolves_to_table(
+                        rel, tbl, ctes, (col, e["id_column"])
+                    )
                     for rel in aliases.values()
                 )
 

@@ -1726,9 +1726,16 @@ def test_big_vocab_encoder_broadcast_paths(ctx, monkeypatch):
         """,
     ).result.first()
     assert r2["cat_enc"] == 0 and r2["n_tags"] == 0
-    # fresh-registry replay: drop the fitting session's views/UDFs,
-    # reload the model purely from persisted meta
-    spark.catalog.dropTempView("__mlvocab_p__d__bv_m_1")
+    # fresh-registry replay: drop the fitting session's views (found by
+    # prefix — names carry a content digest), reload purely from meta
+    vocab_views = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("__mlvocab_p__d__bv_m_")
+    ]
+    assert vocab_views, "fit did not register a vocab view"
+    for v in vocab_views:
+        assert spark.catalog.dropTempView(v), v
     w3 = _run(
         ctx,
         """
