@@ -162,6 +162,12 @@ SECONDARY = [
     "q87_json_mutators",
     "q88_bq_functions11",
     "q89_scripting2",
+    # round 7: date-boundary semantics, ALS artifact oracle, forecast
+    # decomposition, >10k-category broadcast encoders
+    "q90_date_boundaries",
+    "ml_recommend_artifacts",
+    "bqml_explain_forecast",
+    "bqml_vocab_broadcast",
 ]
 
 

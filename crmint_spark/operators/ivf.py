@@ -663,20 +663,32 @@ def materialize_sql_vector_index(
         F.lit("").alias("label"),
         F.col("__v").alias("v"),
     )
-    cent_rows = [
-        (int(r["vec_id"]) // stride, [float(x) for x in r["v"]])
-        for r in vecs.filter((rel % stride == 0) & (rel < IVF_K * stride))
-        .select(rel.alias("vec_id"), F.col("__v").alias("v"))
+    # seeds = the first IVF_K stride-multiples in id order (TakeOrdered
+    # — distributed top-k, no global sort). On a dense 0-based id space
+    # these are exactly ids {0, stride, ..., (K-1)*stride} with
+    # list_id = id // stride, bit-identical to the DuckDB oracle replay;
+    # on multi-range id spaces (sharded tables: 0..n, 10M..10M+n, ...)
+    # the multiples land across every range, so the seed grid still
+    # fills — the r7 scale probe's key-shifted 10x dataset is exactly
+    # this shape and the old `rel < K*stride` cap starved it
+    seed_rows = (
+        vecs.filter(rel % stride == 0)
+        .select(F.col(id_col).alias("sid"), F.col("__v").alias("v"))
+        .orderBy("sid")
+        .limit(IVF_K)
         .collect()
+    )
+    cent_rows = [
+        (i, [float(x) for x in r["v"]]) for i, r in enumerate(seed_rows)
     ]
-    # sparse / non-unique id spaces under-fill the seed grid — raise so
-    # the caller keeps the exact brute-force path instead of silently
-    # serving from an empty or degenerate codebook (ADVICE r6)
-    if len(cent_rows) != min(IVF_K, n):
+    # a degenerate id space under-fills the seed grid — raise so the
+    # caller keeps the exact brute-force path instead of silently
+    # serving from an empty or skewed codebook (ADVICE r6)
+    if len(cent_rows) < min(IVF_K, n):
         raise ValueError(
             f"quantizer seeding expected {min(IVF_K, n)} centroids, got"
-            f" {len(cent_rows)}: id column {id_col!r} is not dense —"
-            " VECTOR_SEARCH keeps the exact path"
+            f" {len(cent_rows)}: id column {id_col!r} under-fills the"
+            " stride grid — VECTOR_SEARCH keeps the exact path"
         )
     for _ in range(IVF_LLOYD_STEPS):
         assigned = _assign_codebook(train, cent_rows)

@@ -223,6 +223,9 @@ _CHEAP_OVERRIDES = {
     "bqml_pca",
     "bqml_autoencoder_anomalies",
     "bqml_arima_holiday",
+    # round 7 (bench secondary: 1.2-1.3 s first-run)
+    "bqml_explain_forecast",
+    "bqml_vocab_broadcast",
 }
 
 

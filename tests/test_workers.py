@@ -1498,6 +1498,9 @@ def test_vector_index_offset_and_sparse_ids(spark):
     rows = w.result.collect()
     assert len(rows) == 3 and rows[0]["bid"] == 1000000, rows
 
+    # sparse-but-unique ids (vec_id * 97): the stride grid still fills
+    # (first K multiples in id order), so the index routes — and the
+    # self-probe top-1 stays exact
     spark.sql(
         "SELECT vec_id * 97 AS vec_id, label, embedding FROM embeddings"
     ).createOrReplaceTempView("emb_sparse")
@@ -1506,10 +1509,25 @@ def test_vector_index_offset_and_sparse_ids(spark):
         " OPTIONS(index_type='IVF');"
         + q.format(t="emb_sparse", q0=0)
     )
-    assert any("exact path serves" in l for l in w2.log), w2.log
-    assert not any("routed through index" in l for l in w2.log)
+    assert any("routed through index" in l for l in w2.log), w2.log
     rows2 = w2.result.collect()
     assert len(rows2) == 3 and rows2[0]["bid"] == 0, rows2
+    # NON-UNIQUE ids cannot key a layout: the exact path serves
+    spark.sql(
+        "SELECT CAST(vec_id % 10 AS BIGINT) AS vec_id, label, embedding"
+        " FROM embeddings"
+    ).createOrReplaceTempView("emb_dup")
+    w3 = run(
+        "CREATE VECTOR INDEX vidx_dup ON emb_dup(embedding)"
+        " OPTIONS(index_type='IVF');"
+        "SELECT COUNT(*) AS n"
+        " FROM VECTOR_SEARCH(TABLE emb_dup, 'embedding',"
+        " (SELECT vec_id, embedding FROM emb_dup WHERE vec_id = 0"
+        "  LIMIT 1), top_k => 3)"
+    )
+    assert any("exact path serves" in l for l in w3.log), w3.log
+    assert not any("routed through index" in l for l in w3.log)
+    assert w3.result.first()["n"] == 3
 
 
 def test_index_id_column_picker_prefers_id_names(spark):

@@ -191,6 +191,16 @@ SHOW = [
         "ST_DISTANCE/DWITHIN: pure JVM trig inside WholeStageCodegen; "
         "no UDF, no shuffle for the per-row proximity scan",
     ),
+    (
+        "bqml_vocab_broadcast",
+        ">10k-category LABEL encode: vocabulary table joined via "
+        "hinted BroadcastHashJoin, never a 10k-entry literal map",
+    ),
+    (
+        "q90_date_boundaries",
+        "boundary-counting date functions: pure JVM arithmetic in one "
+        "WholeStageCodegen span over the orders scan",
+    ),
 ]
 
 

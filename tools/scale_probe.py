@@ -82,6 +82,13 @@ PROBE = [
     "bqml_autoencoder_anomalies",
     "bqml_arima_holiday",
     "dml_time_travel",
+    # round 7: retention GC rides the dml_time_travel probe (archive +
+    # prune are file-count ops on the same path); broadcast encoders
+    # (vocab fit = one groupBy; encode = broadcast join — expect FLAT);
+    # forecast decomposition (driver replay bounded by model size)
+    "bqml_vocab_broadcast",
+    "bqml_explain_forecast",
+    "ml_recommend_artifacts",
 ]
 
 # key columns to shift per copy so joins stay consistent and
