@@ -625,7 +625,12 @@ SEMANTIC_DEDUP_SQL = semantic_dedup_sql()
 
 
 def materialize_sql_vector_index(
-    spark, base_df: DataFrame, column: str, id_col: str, path: str
+    spark,
+    base_df: DataFrame,
+    column: str,
+    id_col: str,
+    path: str,
+    stats: tuple[int, int] | None = None,
 ) -> tuple[list[tuple[int, list[float]]], list[str]]:
     """Build the physical layout behind ``CREATE VECTOR INDEX`` on an
     arbitrary table: deterministic stride-seeded Lloyd quantizer over
@@ -644,17 +649,18 @@ def materialize_sql_vector_index(
     vecs = base_df.withColumn(
         "__v", F.transform(F.col(column), lambda x: x.cast("double"))
     )
-    stats = vecs.select(
-        F.count("*").alias("n"), F.min(id_col).alias("lo")
-    ).first()
-    n = int(stats["n"])
+    if stats is None:
+        row = vecs.select(
+            F.count("*").alias("n"), F.min(id_col).alias("lo")
+        ).first()
+        stats = (int(row["n"]), int(row["lo"]) if row["lo"] is not None else 0)
+    n, lo = stats
     if n == 0:
         raise ValueError("cannot build a vector index over an empty table")
     # seed arithmetic runs on (id - min(id)) so offset id spaces (keys
     # starting at 1_000_000) seed identically to 0-based ones; for a
     # dense 0-based id column this is the identity, which keeps the
     # DuckDB oracle replay (_sql_assigned_ctes) bit-exact (ADVICE r6)
-    lo = int(stats["lo"])
     rel = F.col(id_col) - F.lit(lo)
     stride = max(n // IVF_K, 1)
     tstride = _train_stride(n)

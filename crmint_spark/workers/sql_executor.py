@@ -256,6 +256,15 @@ def _pick_integral_id(df) -> str | None:
     (review finding r7: the old name-only preference could key postings
     by a foreign key like ``user_id``). None when no unique integral
     column exists — the caller raises and the scan/exact path serves."""
+    col, _, _ = _pick_integral_id_stats(df)
+    return col
+
+
+def _pick_integral_id_stats(df) -> tuple[str | None, int, int]:
+    """(column, row count, min value) in ONE aggregation pass — the id
+    pick, its uniqueness proof, and the quantizer's (n, lo) stats share
+    a single column-pruned scan (the separate passes cost ~2 s each at
+    sf0.1 index-build time)."""
     from pyspark.sql import functions as F
 
     ints = [
@@ -264,21 +273,30 @@ def _pick_integral_id(df) -> str | None:
         if f.dataType.simpleString() in ("bigint", "int", "smallint")
     ]
     if not ints:
-        return None
-    row = df.agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[F.countDistinct(c).alias(c) for c in ints],
-    ).first()
-    unique = [c for c in ints if int(row[c]) == int(row["__n"])]
+        return None, 0, 0
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in ints:
+        aggs.append(F.countDistinct(c).alias(f"__d_{c}"))
+        aggs.append(F.min(c).alias(f"__m_{c}"))
+    row = df.agg(*aggs).first()
+    n = int(row["__n"])
+    unique = [c for c in ints if int(row[f"__d_{c}"]) == n]
     if not unique:
-        return None
+        return None, n, 0
+    pick = None
     for c in unique:
         if c.lower() == "id":
-            return c
-    for c in unique:
-        if c.lower().endswith("id"):
-            return c
-    return unique[0]
+            pick = c
+            break
+    if pick is None:
+        for c in unique:
+            if c.lower().endswith("id"):
+                pick = c
+                break
+    if pick is None:
+        pick = unique[0]
+    lo = int(row[f"__m_{pick}"]) if n else 0
+    return pick, n, lo
 
 
 class _BreakSignal(Exception):
@@ -1112,7 +1130,7 @@ class SparkSQLExecutor(Worker):
         resolver = self._resolver() or _default_resolver
         view = resolver(table) if "." in table else table
         df = spark.table(view)
-        id_col = _pick_integral_id(df)
+        id_col, n_rows, lo = _pick_integral_id_stats(df)
         if id_col is None:
             raise WorkerException(
                 f"no unique integral id column on {table} for"
@@ -1123,7 +1141,7 @@ class SparkSQLExecutor(Worker):
         )
         path = os.path.join(root, "__vector_index__", _safe_view_name(name))
         cent_rows, base_cols = materialize_sql_vector_index(
-            spark, df, col, id_col, path
+            spark, df, col, id_col, path, stats=(n_rows, lo)
         )
         layout_view = f"__vidx_{_safe_view_name(name)}"
         spark.read.parquet(path).createOrReplaceTempView(layout_view)
