@@ -1306,7 +1306,8 @@ def bqml_vocab_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     OPTIONS(MODEL_TYPE='KMEANS', NUM_CLUSTERS=2, MAX_ITERATIONS=1) AS
     SELECT CONCAT('c', CAST(r AS STRING)) AS cat
     FROM UNNEST(GENERATE_ARRAY(1, 10001)) AS r;
-    SELECT CAST(cat_enc AS INT64) AS cat_enc
+    SELECT CAST(cat_enc AS INT64) AS cat_enc,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 50) AS src_n
     FROM ML.TRANSFORM(MODEL `p.d.bigvocab91`,
       (SELECT CONCAT('c', CAST(r * 37 AS STRING)) AS cat
        FROM UNNEST(GENERATE_ARRAY(1, 400)) AS r
@@ -1330,7 +1331,8 @@ WITH vocab AS (
   SELECT 'c' || CAST(x * 37 AS VARCHAR) AS cat FROM range(1, 401) t(x)
   UNION ALL SELECT 'zzz_unseen'
 )
-SELECT CAST(coalesce(v.idx, 0) AS BIGINT) AS cat_enc
+SELECT CAST(coalesce(v.idx, 0) AS BIGINT) AS cat_enc,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 50) AS src_n
 FROM probe p LEFT JOIN vocab v ON p.cat = v.v
 ORDER BY cat_enc
 """
