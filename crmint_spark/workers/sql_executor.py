@@ -634,6 +634,29 @@ class SparkSQLExecutor(Worker):
                 raise WorkerException(
                     f"unbalanced OPTIONS in: {sub[:120]!r}"
                 )
+            # max_time_travel_hours is the ONE option with an engine
+            # plane: it configures the catalog's time-travel retention
+            # window (BigQuery's ALTER SCHEMA contract; applied
+            # catalog-wide here — the catalog models one dataset tree)
+            tt = re.search(
+                r"\bmax_time_travel_hours\s*=\s*(\d+(?:\.\d+)?)",
+                sub,
+                re.IGNORECASE,
+            )
+            if tt and self._ctx.catalog is not None:
+                hours = float(tt.group(1))
+                if not 48.0 <= hours <= 168.0:
+                    raise WorkerException(
+                        "max_time_travel_hours must be between 48 and"
+                        f" 168 (BigQuery contract), got {hours:g}"
+                    )
+                if not self._params["dry_run"]:
+                    self._ctx.catalog.time_travel_hours = hours
+                self.log_info(
+                    f"ALTER {m.group(1).upper()} {m.group(2)}:"
+                    f" time-travel retention set to {hours:g} h"
+                )
+                return True
             self.log_info(
                 f"ALTER {m.group(1).upper()} {m.group(2)} SET OPTIONS:"
                 " metadata-only, validated and ignored (the engine"

@@ -594,3 +594,30 @@ def test_time_travel_vacuum_and_storage_cleaner_hook(spark):
     assert any("vacuumed 1 expired" in line for line in w.log), w.log
     # live table untouched
     assert c.read("p.d.vt").count() == 3
+
+
+def test_alter_schema_max_time_travel_hours(spark):
+    """ALTER SCHEMA ... SET OPTIONS(max_time_travel_hours=N) configures
+    the catalog's retention window (BigQuery's contract: 48..168 h);
+    out-of-range values raise; other options stay metadata-only."""
+    c = Catalog(spark, tempfile.mkdtemp(prefix="dml_ttl_"))
+    w = run(
+        spark,
+        c,
+        "ALTER SCHEMA `p.d` SET OPTIONS(max_time_travel_hours = 48)",
+    )
+    assert c.time_travel_hours == 48.0
+    assert any("retention set to 48 h" in line for line in w.log), w.log
+    with pytest.raises(WorkerException, match="between 48 and 168"):
+        run(
+            spark,
+            c,
+            "ALTER SCHEMA `p.d` SET OPTIONS(max_time_travel_hours = 24)",
+        )
+    assert c.time_travel_hours == 48.0
+    w2 = run(
+        spark,
+        c,
+        "ALTER SCHEMA `p.d` SET OPTIONS(description = 'x')",
+    )
+    assert any("metadata-only" in line for line in w2.log)

@@ -489,3 +489,89 @@ def test_json_array_insert_position(arr, idx, val):
         expect.append(None)
     expect.insert(idx, val)
     assert out == expect
+
+
+# ---------------------------------------------------------------------------
+# round-7 index-routing helpers (pure string functions — no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_relation_aliases_shapes():
+    """FROM/JOIN scanner: bare, aliased, AS-aliased, comma lists,
+    literal masking, cross-scope conflicts -> None."""
+    from crmint_spark.workers.sql_executor import _relation_aliases
+
+    m = _relation_aliases(
+        "SELECT * FROM docs d JOIN p.d.other AS o ON d.id = o.id"
+    )
+    assert m["d"] == "docs" and m["o"] == "p.d.other"
+    # string literal containing 'from x' is not a scan
+    m2 = _relation_aliases("SELECT * FROM docs WHERE t = 'from spark'")
+    assert list(m2) == ["docs"]
+    # same alias bound to two relations in different scopes -> None
+    m3 = _relation_aliases(
+        "SELECT * FROM (SELECT 1 FROM other c) z JOIN corpus c ON TRUE"
+    )
+    assert m3["c"] is None
+    # comma FROM list with trailing alias
+    m4 = _relation_aliases("SELECT 1 FROM a x, b y WHERE x.k = y.k")
+    assert m4 == {"x": "a", "y": "b"}
+
+
+def test_cte_definitions_nested_parens():
+    from crmint_spark.workers.sql_executor import _cte_definitions
+
+    c = _cte_definitions(
+        "WITH a AS (SELECT f(x, (1)) FROM t), b AS (SELECT * FROM a"
+        " WHERE k IN (1, 2)) SELECT * FROM b"
+    )
+    assert c["a"] == "SELECT f(x, (1)) FROM t"
+    assert c["b"] == "SELECT * FROM a WHERE k IN (1, 2)"
+    assert _cte_definitions("SELECT 1") == {}
+
+
+def test_vs_trivial_subset_paren_predicates():
+    """The trivial-base parser must not eat a predicate's closing paren
+    (review finding r7) and rejects anything beyond filter shapes."""
+    from crmint_spark.workers.sql_executor import _vs_trivial_subset
+
+    idx = {"items": {"indexed_column": "emb"}}
+    t, e, p = _vs_trivial_subset(
+        "SELECT * FROM items WHERE cat IN (1, 2)", idx
+    )
+    assert t == "items" and p == "cat IN (1, 2)"
+    t2, e2, p2 = _vs_trivial_subset(
+        "(SELECT * FROM items WHERE f(x) > 0)", idx
+    )
+    assert t2 == "items" and p2 == "f(x) > 0"
+    assert _vs_trivial_subset("SELECT id FROM items", idx) is None
+    assert (
+        _vs_trivial_subset(
+            "SELECT * FROM items JOIN other ON TRUE", idx
+        )
+        is None
+    )
+    assert (
+        _vs_trivial_subset(
+            "SELECT * FROM items WHERE k IN (SELECT k FROM x)", idx
+        )
+        is None
+    )
+    assert _vs_trivial_subset("SELECT * FROM unknown", idx) is None
+
+
+def test_qualify_pred_columns_and_literals():
+    from crmint_spark.workers.sql_executor import _qualify_pred
+
+    cols = ["vec_id", "label", "cat"]
+    assert (
+        _qualify_pred("vec_id < 500 AND label = 'vec_id'", cols, "b")
+        == "b.`vec_id` < 500 AND b.`label` = 'vec_id'"
+    )
+    # function names pass through; their args qualify
+    assert _qualify_pred("abs(vec_id) > 3", cols, "b") == "b.`vec_id`" \
+        " > 3".replace("b.`vec_id`", "abs(b.`vec_id`)")
+    # unknown bare identifier -> None (conservative exact-path fallback)
+    assert _qualify_pred("mystery > 1", cols, "b") is None
+    # qualified references are left alone -> None (can't re-scope)
+    assert _qualify_pred("t.vec_id > 1", cols, "b") is None
