@@ -298,6 +298,12 @@ def fit_holt_state(
 FORECAST_CONFIDENCE_LEVEL = 0.95
 FORECAST_Z = 1.96  # two-sided 95% normal quantile
 
+# supported confidence_level STRUCT values -> two-sided normal z
+# (the same fixed quantile table as ANOMALY_Z — arbitrary levels would
+# need a normal-quantile implementation both engines replay; the
+# documented trio covers BigQuery's examples)
+CONFIDENCE_Z = {0.9: 1.6449, 0.95: 1.96, 0.99: 2.5758}
+
 
 # ---------------------------------------------------------------------------
 # HOLIDAY_REGION support (reference surface: BigQuery ARIMA_PLUS's
@@ -481,6 +487,7 @@ def forecast_frame(
     state: list[dict],
     horizon: int,
     holiday: dict | None = None,
+    confidence: float = FORECAST_CONFIDENCE_LEVEL,
 ) -> DataFrame:
     """Expand the per-series state into h forecast rows each:
     (series_id, step, forecast_ts_us, forecast_value, standard_error,
@@ -561,11 +568,11 @@ def forecast_frame(
         ),
         F.round(point, 6).alias("forecast_value"),
         F.round(se, 6).alias("standard_error"),
-        F.lit(FORECAST_CONFIDENCE_LEVEL).alias("confidence_level"),
-        F.round(point - F.lit(FORECAST_Z) * se, 6).alias(
+        F.lit(float(confidence)).alias("confidence_level"),
+        F.round(point - F.lit(CONFIDENCE_Z[confidence]) * se, 6).alias(
             "prediction_interval_lower_bound"
         ),
-        F.round(point + F.lit(FORECAST_Z) * se, 6).alias(
+        F.round(point + F.lit(CONFIDENCE_Z[confidence]) * se, 6).alias(
             "prediction_interval_upper_bound"
         ),
     )
@@ -573,22 +580,55 @@ def forecast_frame(
 
 _ML_FORECAST_RE = re.compile(
     r"ML\.FORECAST\s*\(\s*MODEL\s+`?([\w.\-]+)`?\s*"
-    r"(?:,\s*STRUCT\s*\(\s*(\d+)\s+AS\s+horizon\s*\))?\s*\)",
+    r"(?:,\s*STRUCT\s*\(\s*([^()]*?)\s*\))?\s*\)",
     re.IGNORECASE,
 )
 
 
+def _parse_forecast_struct(body: str | None) -> tuple[int | None, float]:
+    """(horizon | None, confidence_level) from a ``STRUCT(5 AS horizon,
+    0.9 AS confidence_level)`` body, either field order."""
+    horizon: int | None = None
+    conf = FORECAST_CONFIDENCE_LEVEL
+    if not body:
+        return horizon, conf
+    for part in body.split(","):
+        m = re.match(
+            r"\s*([0-9.]+)\s+AS\s+(horizon|confidence_level)\s*$",
+            part,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                "ML.FORECAST STRUCT accepts horizon and"
+                f" confidence_level fields, got {part.strip()!r}"
+            )
+        if m.group(2).lower() == "horizon":
+            horizon = int(float(m.group(1)))
+        else:
+            conf = float(m.group(1))
+            if conf not in CONFIDENCE_Z:
+                raise ValueError(
+                    "confidence_level must be one of"
+                    f" {sorted(CONFIDENCE_Z)} (documented divergence:"
+                    " arbitrary levels need a cross-engine normal"
+                    f" quantile), got {conf}"
+                )
+    return horizon, conf
+
+
 def rewrite_ml_forecast(spark: SparkSession, stmt: str, registry) -> str:
-    """Replace ML.FORECAST(MODEL m [, STRUCT(n AS horizon)]) with a temp
-    view of the forecast rows."""
+    """Replace ML.FORECAST(MODEL m [, STRUCT(n AS horizon [, c AS
+    confidence_level])]) with a temp view of the forecast rows."""
     counter = [0]
 
     def repl(m: re.Match) -> str:
-        name, h = m.group(1), m.group(2)
+        name = m.group(1)
         meta = registry.load_meta(name)
-        horizon = int(h) if h else int(meta.get("horizon", 10))
+        h, conf = _parse_forecast_struct(m.group(2))
+        horizon = h if h is not None else int(meta.get("horizon", 10))
         df = forecast_frame(
-            spark, meta["state"], horizon, meta.get("holiday")
+            spark, meta["state"], horizon, meta.get("holiday"), conf
         )
         counter[0] += 1
         view = f"__ml_forecast_{counter[0]}"
@@ -866,6 +906,7 @@ def explain_forecast_frame(
     state: list[dict],
     horizon: int,
     holiday: dict | None = None,
+    confidence: float = FORECAST_CONFIDENCE_LEVEL,
 ) -> DataFrame:
     """``ML.EXPLAIN_FORECAST``: per-timestamp decomposition for history
     AND horizon rows — BigQuery's companion to ML.FORECAST
@@ -995,9 +1036,9 @@ def explain_forecast_frame(
                     _r6(hol_h),
                     None,
                     _r6(se),
-                    FORECAST_CONFIDENCE_LEVEL,
-                    _r6(point - FORECAST_Z * se),
-                    _r6(point + FORECAST_Z * se),
+                    float(confidence),
+                    _r6(point - CONFIDENCE_Z[confidence] * se),
+                    _r6(point + CONFIDENCE_Z[confidence] * se),
                 )
             )
     return spark.createDataFrame(
@@ -1013,7 +1054,7 @@ def explain_forecast_frame(
 
 _ML_EXPLAIN_FORECAST_RE = re.compile(
     r"ML\.EXPLAIN_FORECAST\s*\(\s*MODEL\s+`?([\w.\-]+)`?\s*"
-    r"(?:,\s*STRUCT\s*\(\s*(\d+)\s+AS\s+horizon\s*\))?\s*\)",
+    r"(?:,\s*STRUCT\s*\(\s*([^()]*?)\s*\))?\s*\)",
     re.IGNORECASE,
 )
 
@@ -1026,15 +1067,16 @@ def rewrite_ml_explain_forecast(
     counter = [0]
 
     def repl(m: re.Match) -> str:
-        name, h = m.group(1), m.group(2)
+        name = m.group(1)
         meta = registry.load_meta(name)
         if meta.get("model_type") != "ARIMA_PLUS":
             raise ValueError(
                 "ML.EXPLAIN_FORECAST requires an ARIMA_PLUS model"
             )
-        horizon = int(h) if h else int(meta.get("horizon", 10))
+        h, conf = _parse_forecast_struct(m.group(2))
+        horizon = h if h is not None else int(meta.get("horizon", 10))
         df = explain_forecast_frame(
-            spark, meta["state"], horizon, meta.get("holiday")
+            spark, meta["state"], horizon, meta.get("holiday"), conf
         )
         counter[0] += 1
         view = f"__ml_explain_forecast_{counter[0]}"

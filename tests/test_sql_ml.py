@@ -1753,3 +1753,69 @@ def test_big_vocab_encoder_broadcast_paths(ctx, monkeypatch):
         " (SELECT cat, tags, label FROM bv_train))",
     ).result.first()
     assert p["n"] == 60
+
+
+def test_ml_forecast_confidence_level_struct(ctx):
+    """ML.FORECAST / ML.EXPLAIN_FORECAST accept STRUCT(n AS horizon,
+    c AS confidence_level) in either order: wider level -> wider bands
+    around the same point forecast; unsupported levels raise with the
+    supported trio."""
+    import datetime
+
+    spark = ctx.spark
+    rows = [
+        (datetime.datetime(2024, 1, 1 + d), 50.0 + 2.0 * d + (d % 3))
+        for d in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, y double"
+    ).createOrReplaceTempView("cl_series")
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.cl_m`
+        OPTIONS(MODEL_TYPE='ARIMA_PLUS', TIME_SERIES_TIMESTAMP_COL='ts',
+                TIME_SERIES_DATA_COL='y') AS (SELECT ts, y FROM cl_series)
+        """,
+    )
+
+    def fc(struct_body):
+        return _run(
+            ctx,
+            "SELECT * FROM ML.FORECAST(MODEL `p.d.cl_m`,"
+            f" STRUCT({struct_body})) ORDER BY step",
+        ).result.collect()
+
+    lo = fc("3 AS horizon, 0.9 AS confidence_level")
+    hi = fc("0.99 AS confidence_level, 3 AS horizon")  # order-free
+    dft = fc("3 AS horizon")
+    assert len(lo) == len(hi) == len(dft) == 3
+    assert lo[0]["confidence_level"] == 0.9
+    assert hi[0]["confidence_level"] == 0.99
+    assert dft[0]["confidence_level"] == 0.95
+    for a, b, c in zip(lo, dft, hi):
+        assert a["forecast_value"] == b["forecast_value"] == c["forecast_value"]
+        assert (
+            a["prediction_interval_upper_bound"]
+            < b["prediction_interval_upper_bound"]
+            < c["prediction_interval_upper_bound"]
+        )
+        assert (
+            a["prediction_interval_lower_bound"]
+            > b["prediction_interval_lower_bound"]
+            > c["prediction_interval_lower_bound"]
+        )
+    # EXPLAIN carries the level too, intervals match FORECAST's
+    ex = _run(
+        ctx,
+        "SELECT * FROM ML.EXPLAIN_FORECAST(MODEL `p.d.cl_m`,"
+        " STRUCT(3 AS horizon, 0.9 AS confidence_level))"
+        " WHERE time_series_type = 'forecast'"
+        " ORDER BY time_series_timestamp_us",
+    ).result.collect()
+    assert [r["confidence_level"] for r in ex] == [0.9] * 3
+    assert [r["prediction_interval_upper_bound"] for r in ex] == [
+        r["prediction_interval_upper_bound"] for r in lo
+    ]
+    with pytest.raises(Exception, match="confidence_level must be one of"):
+        fc("3 AS horizon, 0.8 AS confidence_level")
