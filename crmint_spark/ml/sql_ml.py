@@ -432,6 +432,55 @@ def _register_mh_udf(spark: SparkSession, fn_name: str, rows: list) -> None:
     )
 
 
+def _register_tfidf_udf(
+    spark: SparkSession, fn_name: str, rows: list, n_docs: int
+) -> None:
+    """Arrow-batched TF-IDF encode over a broadcast dict: value =
+    tf(t, d) * idf(t) with tf = count(t in doc)/len(doc) and the same
+    smoothed idf = ln((N+1)/(df+1)) + 1 as the literal-map path. The
+    big-vocabulary twin of _register_mh_udf (same map-only scale
+    argument); rows carry (token, index, doc_freq)."""
+    import math
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    table = {
+        str(v): (int(i), math.log((n_docs + 1.0) / (df + 1.0)) + 1.0)
+        for v, i, df in rows
+    }
+
+    def _tfidf(col):
+        def enc(arr):
+            if arr is None or len(arr) == 0:
+                return []
+            toks = [str(x) for x in arr]
+            n = float(len(toks))
+            out = []
+            for t in sorted(set(toks)):
+                hit = table.get(t)
+                if hit is not None:
+                    idx, idf = hit
+                    out.append(
+                        {
+                            "index": idx,
+                            "value": (toks.count(t) / n) * idf,
+                        }
+                    )
+            out.sort(key=lambda s: s["index"])
+            return out
+
+        return col.map(enc)
+
+    spark.udf.register(
+        fn_name,
+        pandas_udf(
+            _tfidf,
+            "array<struct<index:bigint,value:double>>",
+            PandasUDFType.SCALAR,
+        ),
+    )
+
+
 def _ensure_vocab_views(spark: SparkSession, vocab_aux: dict | None) -> None:
     """Re-register the persisted big-vocabulary tables as temp views
     (and the multi-hot lookup UDFs) — replay sessions load the model
@@ -447,7 +496,14 @@ def _ensure_vocab_views(spark: SparkSession, vocab_aux: dict | None) -> None:
                 "__mlv_v string, __mlv_idx bigint",
             ).createOrReplaceTempView(view)
     for u in vocab_aux.get("udfs", []):
-        _register_mh_udf(spark, u["fn"], vocab_aux["tables"][u["view"]])
+        if u.get("kind") == "tfidf":
+            _register_tfidf_udf(
+                spark, u["fn"], u["rows"], int(u["n_docs"])
+            )
+        else:
+            _register_mh_udf(
+                spark, u["fn"], vocab_aux["tables"][u["view"]]
+            )
 
 
 def _transform_query(
@@ -509,12 +565,13 @@ def _fit_vocab_encoders(
     broadcasts the k-row side — BroadcastHashJoin); MULTI_HOT_ENCODER
     encodes through a vectorized broadcast-dict UDF
     (_register_mh_udf — HOF lambdas cannot host joins, and a per-row
-    map column would materialize the map into every row); ONE_HOT
-    falls back to a hash-bucketed index (pmod(xxhash64(value), B) + 1,
-    B = next power of two >= vocab size — DOCUMENTED DIVERGENCE:
-    distinct categories can collide into one bucket, the standard
-    hashing-trick trade; BigQuery has no hash mode). TF_IDF keeps the
-    hard cap (its per-token idf weights don't reduce to a join).
+    map column would materialize the map into every row); TF_IDF rides
+    the same shape with (index, idf) riding the broadcast dict
+    (_register_tfidf_udf); ONE_HOT falls back to a hash-bucketed index
+    (pmod(xxhash64(value), B) + 1, B = next power of two >= vocab size
+    — DOCUMENTED DIVERGENCE: distinct categories can collide into one
+    bucket, the standard hashing-trick trade; BigQuery has no hash
+    mode).
 
     -> (rewritten clause, vocab_aux) where vocab_aux carries the
     persisted vocabulary tables + join/map attachments (None when every
@@ -579,14 +636,34 @@ def _fit_vocab_encoders(
         vocab = [str(r["v"]) for r in vocab_rows]
         doc_freq = [int(r["c"]) for r in vocab_rows]
         if len(vocab) > _VOCAB_MAX:
-            if tfidf:
-                raise ValueError(
-                    f"{fn}: vocabulary exceeds {_VOCAB_MAX} categories;"
-                    " TF_IDF has no broadcast form (per-token idf"
-                    " weights) — lower top_k or raise"
-                    " frequency_threshold"
-                )
             n_aux += 1
+            if tfidf:
+                # big-vocabulary TF-IDF: broadcast (index, idf) dict
+                # into a vectorized UDF — same map-only scale shape as
+                # MULTI_HOT (the idf weights ride the dict, so no
+                # literal map and no join is needed)
+                fn_name = f"{view_prefix}_{n_aux}_tfidf"
+                rows3 = [
+                    [v, i + 1, df]
+                    for i, (v, df) in enumerate(zip(vocab, doc_freq))
+                ]
+                aux["udfs"].append(
+                    {
+                        "kind": "tfidf",
+                        "fn": fn_name,
+                        "rows": rows3,
+                        "n_docs": int(n_docs),
+                    }
+                )
+                _register_tfidf_udf(spark, fn_name, rows3, int(n_docs))
+                rep = (
+                    f"{fn_name}(transform({expr},"
+                    f" __tf -> CAST(__tf AS STRING)))"
+                )
+                transform_sql = (
+                    transform_sql[:start] + rep + transform_sql[end:]
+                )
+                continue
             if fn == "ML.ONE_HOT_ENCODER":
                 # hashing trick: bucketed index, no vocabulary at all.
                 # DOCUMENTED DIVERGENCE: distinct categories can share

@@ -1819,3 +1819,50 @@ def test_ml_forecast_confidence_level_struct(ctx):
     ]
     with pytest.raises(Exception, match="confidence_level must be one of"):
         fc("3 AS horizon, 0.8 AS confidence_level")
+
+
+def test_big_vocab_tfidf_broadcast_udf(ctx, monkeypatch):
+    """TF_IDF past _VOCAB_MAX encodes through the broadcast-dict UDF:
+    values match the literal-map formula (tf * (ln((N+1)/(df+1)) + 1)),
+    out-of-vocabulary tokens drop, and a fresh-session replay
+    re-registers the UDF from meta."""
+    import math
+
+    from crmint_spark.ml import sql_ml
+
+    monkeypatch.setattr(sql_ml, "_VOCAB_MAX", 5)
+    spark = ctx.spark
+    # 8 distinct tokens over 40 docs; doc i holds [t(i%8), t((i+1)%8)]
+    rows = [([f"t{i % 8}", f"t{(i + 1) % 8}"], float(i % 3)) for i in range(40)]
+    spark.createDataFrame(
+        rows, "toks array<string>, label double"
+    ).createOrReplaceTempView("tfidf_big")
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.tfb_m`
+        TRANSFORM(ML.TF_IDF(toks) AS tf, label)
+        OPTIONS(MODEL_TYPE='LINEAR_REG', INPUT_LABEL_COLS=['label'],
+                MAX_ITERATIONS=2)
+          AS (SELECT toks, label FROM tfidf_big)
+        """,
+    )
+    r = _run(
+        ctx,
+        "SELECT tf FROM ML.TRANSFORM(MODEL `p.d.tfb_m`,"
+        " (SELECT ['t1', 't1', 'zzz'] AS toks,"
+        "  CAST(0 AS FLOAT64) AS label))",
+    ).result.first()["tf"]
+    assert len(r) == 1, r  # 'zzz' out of vocabulary
+    # every token appears in 10 of 40 docs -> df=10; tf = 2/3
+    expect = (2.0 / 3.0) * (math.log(41.0 / 11.0) + 1.0)
+    assert abs(r[0]["value"] - expect) < 1e-12, (r, expect)
+    # fresh replay: drop the registered UDF's backing by re-loading in
+    # a new executor (meta round-trip re-registers via vocab_aux)
+    r2 = _run(
+        ctx,
+        "SELECT tf FROM ML.TRANSFORM(MODEL `p.d.tfb_m`,"
+        " (SELECT ['t1', 't1', 'zzz'] AS toks,"
+        "  CAST(0 AS FLOAT64) AS label))",
+    ).result.first()["tf"]
+    assert r2 == r
