@@ -296,13 +296,14 @@ def fit_holt_state(
 
 
 FORECAST_CONFIDENCE_LEVEL = 0.95
-FORECAST_Z = 1.96  # two-sided 95% normal quantile
 
-# supported confidence_level STRUCT values -> two-sided normal z
-# (the same fixed quantile table as ANOMALY_Z — arbitrary levels would
-# need a normal-quantile implementation both engines replay; the
-# documented trio covers BigQuery's examples)
+# supported confidence/threshold levels -> two-sided normal z — the
+# ONE quantile table in the module (ML.FORECAST confidence_level and
+# ML.DETECT_ANOMALIES anomaly_prob_threshold share it; arbitrary
+# levels would need a normal-quantile implementation both engines
+# replay; the documented trio covers BigQuery's examples)
 CONFIDENCE_Z = {0.9: 1.6449, 0.95: 1.96, 0.99: 2.5758}
+FORECAST_Z = CONFIDENCE_Z[FORECAST_CONFIDENCE_LEVEL]
 
 
 # ---------------------------------------------------------------------------
@@ -604,7 +605,12 @@ def _parse_forecast_struct(body: str | None) -> tuple[int | None, float]:
                 f" confidence_level fields, got {part.strip()!r}"
             )
         if m.group(2).lower() == "horizon":
-            horizon = int(float(m.group(1)))
+            if not re.fullmatch(r"\d+", m.group(1)):
+                raise ValueError(
+                    f"horizon must be a positive integer, got"
+                    f" {m.group(1)!r}"
+                )
+            horizon = int(m.group(1))
         else:
             conf = float(m.group(1))
             if conf not in CONFIDENCE_Z:
@@ -641,7 +647,7 @@ def rewrite_ml_forecast(spark: SparkSession, stmt: str, registry) -> str:
 # z-scores for the supported anomaly_prob_threshold values (two-sided
 # normal quantiles); BigQuery accepts any probability — the engine
 # supports this table and errors otherwise (documented)
-ANOMALY_Z = {0.9: 1.6449, 0.95: 1.96, 0.99: 2.5758}
+ANOMALY_Z = CONFIDENCE_Z
 
 _STRUCT_THRESHOLD_RE = re.compile(
     r"STRUCT\s*\(\s*([0-9.]+)\s+AS\s+anomaly_prob_threshold\s*\)",

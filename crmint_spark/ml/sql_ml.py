@@ -414,9 +414,13 @@ def _register_mh_udf(spark: SparkSession, fn_name: str, rows: list) -> None:
     def _mh(col):
         def enc(arr):
             if arr is None:
-                return []
+                return None  # literal path: transform(NULL) -> NULL
             idxs = sorted(
-                {mapping[str(x)] for x in arr if str(x) in mapping}
+                {
+                    mapping[str(x)]
+                    for x in arr
+                    if x is not None and str(x) in mapping
+                }
             )
             return [{"index": i, "value": 1.0} for i in idxs]
 
@@ -450,21 +454,27 @@ def _register_tfidf_udf(
     }
 
     def _tfidf(col):
+        from collections import Counter
+
         def enc(arr):
-            if arr is None or len(arr) == 0:
+            if arr is None:
+                return None  # literal path: transform(NULL) -> NULL
+            # NULL elements drop (NULL = 'x' filters in the SQL path;
+            # str(None) == 'None' could otherwise hit a real token);
+            # tf denominator stays the FULL array length, matching
+            # size(expr) in the literal-map expression
+            toks = [str(x) for x in arr if x is not None]
+            if not toks:
                 return []
-            toks = [str(x) for x in arr]
-            n = float(len(toks))
+            n = float(len(arr))
+            counts = Counter(toks)  # one O(len) pass, not O(k * len)
             out = []
-            for t in sorted(set(toks)):
+            for t, c in counts.items():
                 hit = table.get(t)
                 if hit is not None:
                     idx, idf = hit
                     out.append(
-                        {
-                            "index": idx,
-                            "value": (toks.count(t) / n) * idf,
-                        }
+                        {"index": idx, "value": (c / n) * idf}
                     )
             out.sort(key=lambda s: s["index"])
             return out

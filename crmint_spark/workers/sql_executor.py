@@ -636,24 +636,49 @@ class SparkSQLExecutor(Worker):
                 )
             # max_time_travel_hours is the ONE option with an engine
             # plane: it configures the catalog's time-travel retention
-            # window (BigQuery's ALTER SCHEMA contract; applied
-            # catalog-wide here — the catalog models one dataset tree)
-            tt = re.search(
-                r"\bmax_time_travel_hours\s*=\s*(\d+(?:\.\d+)?)",
-                sub,
-                re.IGNORECASE,
-            )
-            if tt and self._ctx.catalog is not None:
-                hours = float(tt.group(1))
-                if not 48.0 <= hours <= 168.0:
-                    raise WorkerException(
-                        "max_time_travel_hours must be between 48 and"
-                        f" 168 (BigQuery contract), got {hours:g}"
+            # window (BigQuery's ALTER SCHEMA contract — a SCHEMA-only
+            # option; applied catalog-wide here, the catalog models one
+            # dataset tree). Parsed from the OPTIONS k/v pairs, not a
+            # whole-statement scan — the token inside a description
+            # STRING must stay metadata-only (review finding r7b).
+            tt = None
+            if m.group(1).upper() == "SCHEMA":
+                from ..dialect import _split_top_level
+
+                body_start = sub.index("(", m.end() - 1)
+                body_end = _balanced_end(sub, body_start)
+                for pair in _split_top_level(
+                    sub[body_start + 1 : body_end - 1]
+                ):
+                    km = re.match(
+                        r"\s*max_time_travel_hours\s*=\s*(\S+)\s*$",
+                        pair,
+                        re.IGNORECASE,
                     )
-                if not self._params["dry_run"]:
-                    self._ctx.catalog.time_travel_hours = hours
+                    if km:
+                        tt = km.group(1)
+            if tt is not None and self._ctx.catalog is not None:
+                if not re.fullmatch(r"\d+", tt):
+                    raise WorkerException(
+                        "max_time_travel_hours must be an integer"
+                        f" number of hours, got {tt!r}"
+                    )
+                hours = float(tt)
+                if not (48.0 <= hours <= 168.0 and hours % 24 == 0):
+                    raise WorkerException(
+                        "max_time_travel_hours must be a multiple of 24"
+                        " between 48 and 168 (BigQuery contract), got"
+                        f" {hours:g}"
+                    )
+                if self._params["dry_run"]:
+                    self.log_info(
+                        f"dry run OK: ALTER SCHEMA {m.group(2)}"
+                        f" max_time_travel_hours={hours:g}"
+                    )
+                    return True
+                self._ctx.catalog.time_travel_hours = hours
                 self.log_info(
-                    f"ALTER {m.group(1).upper()} {m.group(2)}:"
+                    f"ALTER SCHEMA {m.group(2)}:"
                     f" time-travel retention set to {hours:g} h"
                 )
                 return True

@@ -608,11 +608,17 @@ def test_alter_schema_max_time_travel_hours(spark):
     )
     assert c.time_travel_hours == 48.0
     assert any("retention set to 48 h" in line for line in w.log), w.log
-    with pytest.raises(WorkerException, match="between 48 and 168"):
+    with pytest.raises(WorkerException, match="multiple of 24"):
         run(
             spark,
             c,
             "ALTER SCHEMA `p.d` SET OPTIONS(max_time_travel_hours = 24)",
+        )
+    with pytest.raises(WorkerException, match="multiple of 24"):
+        run(
+            spark,
+            c,
+            "ALTER SCHEMA `p.d` SET OPTIONS(max_time_travel_hours = 50)",
         )
     assert c.time_travel_hours == 48.0
     w2 = run(
@@ -621,3 +627,21 @@ def test_alter_schema_max_time_travel_hours(spark):
         "ALTER SCHEMA `p.d` SET OPTIONS(description = 'x')",
     )
     assert any("metadata-only" in line for line in w2.log)
+    # the option token inside a STRING value stays metadata-only
+    # (review finding r7b: the old whole-statement regex matched it)
+    w3 = run(
+        spark,
+        c,
+        "ALTER SCHEMA `p.d` SET OPTIONS("
+        "description = 'todo: max_time_travel_hours=3 later')",
+    )
+    assert any("metadata-only" in line for line in w3.log)
+    assert c.time_travel_hours == 48.0
+    # TABLE options have no such key: metadata-only, window untouched
+    w4 = run(
+        spark,
+        c,
+        "ALTER TABLE `p.d.t` SET OPTIONS(max_time_travel_hours = 72)",
+    )
+    assert any("metadata-only" in line for line in w4.log)
+    assert c.time_travel_hours == 48.0
