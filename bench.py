@@ -168,6 +168,7 @@ SECONDARY = [
     "ml_recommend_artifacts",
     "bqml_explain_forecast",
     "bqml_vocab_broadcast",
+    "q91_bq_functions13",
 ]
 
 

@@ -2534,6 +2534,92 @@ def _rewrite_regexp_extract(sql: str) -> str:
     return "".join(out)
 
 
+# BigQuery INITCAP's DEFAULT delimiter set (docs: string functions) —
+# whitespace plus the listed punctuation; Spark's initcap only splits
+# on whitespace, so INITCAP('hello-world') would diverge ('Hello-world'
+# vs BigQuery's 'Hello-World')
+_INITCAP_DELIMS = (
+    # \\u000C = form feed (Spark string literals have no \\f escape —
+    # it would land as a literal 'f' in the class)
+    " \\t\\n\\u000C\\r\\\\[\\\\](){}/|\\\\\\\\<>!?@\"^#$&~_,.:;*%+\\\\-"
+)
+
+
+def _rewrite_initcap(sql: str) -> str:
+    """``INITCAP(value)`` with BigQuery's default-delimiter semantics:
+    lowercase everything, uppercase the first character after any
+    delimiter (or at the start) — a single JVM char fold, no UDF. The
+    two-argument (custom delimiters) form rewrites with that set
+    instead. Spark's own initcap (whitespace-only words) stays for
+    nothing — BigQuery scripts always mean BigQuery's delimiters."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, _fn in _iter_calls(sql, ("INITCAP",)):
+        args = [
+            a.strip() for a in _split_top_level(sql[open_idx + 1 : end - 1])
+        ]
+        if len(args) not in (1, 2):
+            continue
+        if len(args) == 2:
+            d = args[1]
+            if not (d[:1] in "'\"" and d[-1:] == d[:1]):
+                continue  # non-literal delimiters: leave untouched
+            cls = re.sub(r"([\\^\\]\\[\\\\-])", r"\\\\\1", d[1:-1])
+        else:
+            cls = _INITCAP_DELIMS
+        v = args[0]
+        repl = (
+            f"aggregate(split(lower({v}), ''),"
+            f" named_struct('s', '', 'up', true),"
+            f" (acc, ch) -> named_struct("
+            f"'s', concat(acc.s, CASE WHEN acc.up THEN upper(ch)"
+            f" ELSE ch END),"
+            f" 'up', ch RLIKE '[{cls}]'),"
+            f" acc -> acc.s)"
+        )
+        out.append(sql[pos:start])
+        out.append(repl)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_regexp_instr(sql: str) -> str:
+    """BigQuery ``REGEXP_INSTR(value, regexp[, position[, occurrence[,
+    occurrence_position]]])``: 1-based match position. Spark's
+    regexp_instr shares the 2-arg shape, but its THIRD argument is a
+    group index, not a start position — so the position form rewrites
+    structurally (search the suffix, re-offset, 0 stays 0) and the
+    occurrence forms raise with a pointer (no per-match positions in
+    Spark's expression surface)."""
+    out: list[str] = []
+    pos = 0
+    for start, open_idx, end, _fn in _iter_calls(sql, ("REGEXP_INSTR",)):
+        args = [
+            a.strip() for a in _split_top_level(sql[open_idx + 1 : end - 1])
+        ]
+        if len(args) <= 2:
+            continue  # 2-arg shape matches Spark's exactly
+        if len(args) > 3:
+            raise ValueError(
+                "REGEXP_INSTR: the occurrence/occurrence_position"
+                " arguments are not supported (Spark exposes no"
+                " per-match positions) — restructure with"
+                " REGEXP_EXTRACT_ALL"
+            )
+        v, p, posn = args
+        repl = (
+            f"(CASE WHEN regexp_instr(substr({v}, {posn}), {p}) = 0"
+            f" THEN 0 ELSE ({posn}) - 1"
+            f" + regexp_instr(substr({v}, {posn}), {p}) END)"
+        )
+        out.append(sql[pos:start])
+        out.append(repl)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def _rewrite_regexp_replace(sql: str) -> str:
     """BigQuery ``REGEXP_REPLACE`` replacement strings use ``\\1``
     backreferences; Java's (Spark's) use ``$1`` and treat ``\\1`` as a
@@ -5330,6 +5416,8 @@ def transpile_statement(
     out = _rewrite_string_agg(out)
     out = _rewrite_regexp_extract(out)
     out = _rewrite_regexp_replace(out)
+    out = _rewrite_regexp_instr(out)
+    out = _rewrite_initcap(out)
     out = _rewrite_least_greatest(out)
     out = _rewrite_to_hex(out)
     out = _rewrite_array_agg(out)

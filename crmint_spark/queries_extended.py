@@ -3702,3 +3702,69 @@ EXTENDED_QUERIES["ml_recommend_artifacts"] = (
     ml_recommend_artifacts,
     ML_RECOMMEND_ARTIFACTS_SQL,
 )
+
+
+def q91_bq_functions13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thirteenth function batch — INITCAP with BigQuery's DEFAULT
+    delimiter set (dash/underscore/brackets capitalize the next letter;
+    Spark's whitespace-only initcap would diverge, so the dialect folds
+    chars JVM-side) + the custom-delimiter form, REGEXP_INSTR (2-arg
+    passthrough and the 3-arg position form — Spark's third arg is a
+    GROUP index, so position rewrites structurally; occurrence args
+    raise), and the natively-shared scalar tail (SOUNDEX, TRANSLATE,
+    OCTET_LENGTH/CHAR_LENGTH, CBRT/COT/SEC/CSC, REPEAT) certified by
+    value. DuckDB twins are real where they exist (translate,
+    octet_length over encode(), length, cbrt, cot, 1/cos, 1/sin,
+    repeat); soundex/initcap/regexp_instr pin documented outputs as
+    literals (q64/q88 pattern)."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    SELECT
+      SOUNDEX('Ashcraft') AS snd,
+      TRANSLATE('abcde', 'ce', 'XY') AS tr,
+      INITCAP('hello-world foo_bar') AS ic,
+      INITCAP('hApPy 2b or.not') AS ic2,
+      INITCAP('a,b;c', ',') AS ic3,
+      CAST(OCTET_LENGTH('héllo') AS INT64) AS ol,
+      CAST(CHAR_LENGTH('héllo') AS INT64) AS cl,
+      ROUND(CBRT(27.0), 6) AS cb,
+      ROUND(COT(1.0), 6) AS ct,
+      ROUND(SEC(1.0), 6) AS sc_v,
+      ROUND(CSC(1.0), 6) AS cs_v,
+      REPEAT('ab', 3) AS rp,
+      CAST(REGEXP_INSTR('ab@cd-ef', '@[^-]*') AS INT64) AS ri,
+      CAST(REGEXP_INSTR('ab@cd-ef@gh', '@[^-@]*', 4) AS INT64) AS ri3,
+      CAST(REGEXP_INSTR('abc', 'zz', 1) AS INT64) AS ri0,
+      (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 50) AS src_n
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False}, WorkerContext(spark)
+    )
+    w.execute()
+    return w.result
+
+
+Q91_SQL = """
+SELECT
+  'A261' AS snd,
+  translate('abcde', 'ce', 'XY') AS tr,
+  'Hello-World Foo_Bar' AS ic,
+  'Happy 2b Or.Not' AS ic2,
+  'A,B;c' AS ic3,
+  octet_length(encode('héllo')) AS ol,
+  length('héllo') AS cl,
+  ROUND(cbrt(27.0), 6) AS cb,
+  ROUND(cot(1.0), 6) AS ct,
+  ROUND(1.0 / cos(1.0), 6) AS sc_v,
+  ROUND(1.0 / sin(1.0), 6) AS cs_v,
+  repeat('ab', 3) AS rp,
+  CAST(3 AS BIGINT) AS ri,
+  CAST(9 AS BIGINT) AS ri3,
+  CAST(0 AS BIGINT) AS ri0,
+  (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 50) AS src_n
+"""
+
+EXTENDED_QUERIES["q91_bq_functions13"] = (q91_bq_functions13, Q91_SQL)
