@@ -1138,8 +1138,9 @@ def q56_bq_functions6(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate trio BIT_AND/BIT_OR/BIT_XOR + BIT_COUNT, CBRT/SINH/COT
     math, and PARSE_JSON/JSON_TYPE over the engine's JSON-as-text
     representation — all through SparkSQLExecutor unchanged; the oracle
-    reproduces each (word-split initcap emulation, exp-based sinh,
-    0-based-Sunday dayofweek week-end arithmetic)."""
+    reproduces each (char-fold initcap with BigQuery's delimiter
+    semantics — dash and space are the delimiters this fixture hits;
+    exp-based sinh, 0-based-Sunday dayofweek week-end arithmetic)."""
     from .workers.base import WorkerContext
     from .workers.sql_executor import SparkSQLExecutor
 
@@ -1173,9 +1174,14 @@ def q56_bq_functions6(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q56_SQL = """
 SELECT
   o_orderpriority AS prio,
-  array_to_string(list_transform(
-    string_split(lower(o_orderpriority), ' '),
-    w -> upper(w[1:1]) || w[2:]), ' ') AS prio_title,
+  list_reduce(
+    list_prepend(['', '1'],
+      list_transform(string_split(lower(o_orderpriority), ''),
+                     c -> [c, ''])),
+    (acc, ch) -> [acc[1] || CASE WHEN acc[2] = '1' THEN upper(ch[1])
+                            ELSE ch[1] END,
+                  CASE WHEN ch[1] IN ('-', ' ') THEN '1' ELSE '0' END]
+  )[1] AS prio_title,
   translate(o_orderpriority, '- ', '_.') AS prio_tr,
   MIN(last_day(CAST(o_orderdate AS DATE))) AS first_month_end,
   MIN(make_date(CAST(year(o_orderdate) AS INT), 12, 31)) AS year_end,
