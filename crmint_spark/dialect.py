@@ -2545,13 +2545,84 @@ _INITCAP_DELIMS = (
 )
 
 
+def _unescape_string_literal(body: str) -> str:
+    """Minimal C-style unescape for the TEXT between a SQL literal's
+    quotes (Spark and BigQuery share the escape rules this cares
+    about): ``\\\\``/``\\'``/``\\"`` and the common control escapes;
+    an unknown escape passes the escaped character through, matching
+    Spark's lexer."""
+    esc = {
+        "n": "\n",
+        "t": "\t",
+        "r": "\r",
+        "b": "\b",
+        "f": "\f",
+        "0": "\0",
+        "\\": "\\",
+        "'": "'",
+        '"': '"',
+    }
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch == "\\" and i + 1 < len(body):
+            out.append(esc.get(body[i + 1], body[i + 1]))
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _initcap_delim_class(raw: str) -> str:
+    """Character-class TEXT (to splice inside ``'[...]'`` in Spark SQL)
+    matching exactly the runtime characters in ``raw``. Every
+    non-alphanumeric character is backslash-escaped at the REGEX level
+    (Java allows escaping any punctuation; this neutralizes class
+    metacharacters like ``] - ^ &``), which is two parse layers deep:
+    the Spark string-literal parse eats one backslash, the regex engine
+    the next — so the TEXT carries doubled backslashes. A quote also
+    needs the literal-level ``\\'`` escape to keep the SQL string
+    intact."""
+    parts: list[str] = []
+    for c in raw:
+        if c.isalnum():
+            parts.append(c)
+        elif c == "\\":
+            parts.append("\\\\\\\\")  # text \\\\ -> literal \\ -> regex \
+        elif c == "'":
+            parts.append("\\\\\\'")  # text \\\' -> literal \' -> regex '
+        elif c == "\t":
+            parts.append("\\\\t")
+        elif c == "\n":
+            parts.append("\\\\n")
+        elif c == "\r":
+            parts.append("\\\\r")
+        elif c == "\f":
+            parts.append("\\u000C")
+        elif c == "\0":
+            parts.append("\\u0000")
+        else:
+            parts.append("\\\\" + c)
+    return "".join(parts)
+
+
 def _rewrite_initcap(sql: str) -> str:
     """``INITCAP(value)`` with BigQuery's default-delimiter semantics:
     lowercase everything, uppercase the first character after any
     delimiter (or at the start) — a single JVM char fold, no UDF. The
-    two-argument (custom delimiters) form rewrites with that set
-    instead. Spark's own initcap (whitespace-only words) stays for
-    nothing — BigQuery scripts always mean BigQuery's delimiters."""
+    two-argument (custom delimiters) form rewrites with the literal's
+    characters instead, each regex-escaped for the string-literal+regex
+    double parse (ADVICE r7: the previous escape pattern was a no-op,
+    so ``]``/``\\`` delimiters produced invalid Java regexes) and
+    matched CASE-SENSITIVELY against the ORIGINAL character (BigQuery
+    matches delimiters against the raw string; a delimiter that is
+    itself a letter still lowercases in the output — documented
+    divergence only for that exotic case). Empty delimiters = no word
+    breaks: only the first character capitalizes. Spark's own initcap
+    (whitespace-only words) stays for nothing — BigQuery scripts always
+    mean BigQuery's delimiters."""
     out: list[str] = []
     pos = 0
     for start, open_idx, end, _fn in _iter_calls(sql, ("INITCAP",)):
@@ -2564,17 +2635,22 @@ def _rewrite_initcap(sql: str) -> str:
             d = args[1]
             if not (d[:1] in "'\"" and d[-1:] == d[:1]):
                 continue  # non-literal delimiters: leave untouched
-            cls = re.sub(r"([\\^\\]\\[\\\\-])", r"\\\\\1", d[1:-1])
+            raw = _unescape_string_literal(d[1:-1])
+            up_expr = (
+                f"ch RLIKE '[{_initcap_delim_class(raw)}]'"
+                if raw
+                else "false"  # '[]' is an invalid (empty) Java class
+            )
         else:
-            cls = _INITCAP_DELIMS
+            up_expr = f"ch RLIKE '[{_INITCAP_DELIMS}]'"
         v = args[0]
         repl = (
-            f"aggregate(split(lower({v}), ''),"
+            f"aggregate(split({v}, ''),"
             f" named_struct('s', '', 'up', true),"
             f" (acc, ch) -> named_struct("
             f"'s', concat(acc.s, CASE WHEN acc.up THEN upper(ch)"
-            f" ELSE ch END),"
-            f" 'up', ch RLIKE '[{cls}]'),"
+            f" ELSE lower(ch) END),"
+            f" 'up', {up_expr}),"
             f" acc -> acc.s)"
         )
         out.append(sql[pos:start])
@@ -2591,7 +2667,15 @@ def _rewrite_regexp_instr(sql: str) -> str:
     group index, not a start position — so the position form rewrites
     structurally (search the suffix, re-offset, 0 stays 0) and the
     occurrence forms raise with a pointer (no per-match positions in
-    Spark's expression surface)."""
+    Spark's expression surface). BigQuery guard rails (ADVICE r7):
+    position < 1 is a BigQuery ERROR — a literal raises at transpile
+    time, an expression raises at query time (Spark substr semantics
+    would otherwise yield silent off-by-one results); a
+    ``'^'``-anchored LITERAL pattern with position > 1 raises too,
+    because BigQuery anchors ``^`` to the ORIGINAL string start while
+    the suffix rewrite would anchor it at ``position`` (a non-literal
+    pattern starting with ``^`` cannot be detected — documented
+    divergence)."""
     out: list[str] = []
     pos = 0
     for start, open_idx, end, _fn in _iter_calls(sql, ("REGEXP_INSTR",)):
@@ -2608,8 +2692,40 @@ def _rewrite_regexp_instr(sql: str) -> str:
                 " REGEXP_EXTRACT_ALL"
             )
         v, p, posn = args
+        anchored = p[:1] in "'\"" and p[1:2] == "^"
+        m_int = re.match(r"^[+-]?\d+$", posn)
+        if m_int:
+            if int(posn) < 1:
+                raise ValueError(
+                    "REGEXP_INSTR: position must be >= 1"
+                    " (BigQuery raises OUT_OF_RANGE)"
+                )
+            if int(posn) == 1:
+                # identical to the 2-arg shape — no suffix arithmetic,
+                # and '^' anchoring is exact
+                repl = f"regexp_instr({v}, {p})"
+                out.append(sql[pos:start])
+                out.append(repl)
+                pos = end
+                continue
+        if anchored:
+            raise ValueError(
+                "REGEXP_INSTR: a '^'-anchored pattern with a position"
+                " argument anchors to the ORIGINAL string start in"
+                " BigQuery (position > 1 never matches) — drop the"
+                " anchor or the position argument"
+            )
+        guard = (
+            ""
+            if m_int
+            else (
+                f" WHEN ({posn}) < 1 THEN CAST(raise_error("
+                f"'REGEXP_INSTR: position must be >= 1') AS INT)"
+            )
+        )
         repl = (
-            f"(CASE WHEN regexp_instr(substr({v}, {posn}), {p}) = 0"
+            f"(CASE{guard}"
+            f" WHEN regexp_instr(substr({v}, {posn}), {p}) = 0"
             f" THEN 0 ELSE ({posn}) - 1"
             f" + regexp_instr(substr({v}, {posn}), {p}) END)"
         )

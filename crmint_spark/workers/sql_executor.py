@@ -76,8 +76,14 @@ def _relation_aliases(sql: str) -> dict[str, str | None]:
     an ambiguous column — review finding r7). The map is scope-blind by
     construction, so an alias bound to two DIFFERENT relations in
     different subqueries maps to None (never route on a conflicted
-    alias). Used by index routing to resolve which table a searched
-    column belongs to."""
+    alias). Inline SUBQUERY bases — ``FROM (SELECT ...) z`` — are
+    recorded as ``alias -> None`` sentinels (anonymous ones under a
+    reserved key), so the unqualified-SEARCH "every base relation is
+    the indexed table" check refuses to route past an unresolvable
+    relation in scope (ADVICE r7). Used by index routing to resolve
+    which table a searched column belongs to."""
+    from ..dialect import _balanced_end
+
     out: dict[str, str | None] = {}
 
     def _add(rel: str, alias: str | None) -> None:
@@ -99,6 +105,38 @@ def _relation_aliases(sql: str) -> dict[str, str | None]:
                 break
             _add(cm.group(1), cm.group(2) or cm.group(3))
             pos = cm.end()
+    # inline subquery bases: FROM (...) [AS] z / JOIN (...) z / , (...) z
+    anon = 0
+    for sm in re.finditer(
+        r"\b(?:FROM|JOIN)\s*\(|,\s*\(", masked, re.IGNORECASE
+    ):
+        open_idx = sm.end() - 1
+        # only subquery parens (a plain parenthesized expression after
+        # a comma in a SELECT list also matches ',\s*\(' — require a
+        # leading SELECT/WITH/TABLE inside)
+        if not re.match(
+            r"\s*(SELECT|WITH|TABLE)\b",
+            masked[open_idx + 1 : open_idx + 16],
+            re.IGNORECASE,
+        ):
+            continue
+        close = _balanced_end(masked, open_idx)
+        if close < 0:
+            continue
+        m_alias = re.match(
+            r"\s*(?:AS\s+)?(\w+)", masked[close:], re.IGNORECASE
+        )
+        key = None
+        if m_alias and m_alias.group(1).upper() not in (
+            "ON", "USING", "WHERE", "GROUP", "ORDER", "LEFT", "RIGHT",
+            "FULL", "INNER", "CROSS", "JOIN", "LIMIT", "HAVING",
+            "QUALIFY", "UNION", "INTERSECT", "EXCEPT", "SELECT",
+        ):
+            key = m_alias.group(1).lower()
+        if key is None:
+            key = f"\x00subquery{anon}"
+            anon += 1
+        out[key] = None  # unresolvable base: never route through it
     return out
 
 

@@ -195,6 +195,20 @@ CASES = [
     ("REPEAT('ab', 2)", "abab"),
     ("REVERSE('abc')", "cba"),
     ("INITCAP('hello world')", "Hello World"),
+    # 2-arg INITCAP: regex-special delimiters must be escaped through
+    # the literal+regex double parse (ADVICE r7 — the old escape was a
+    # no-op, ']' produced a PatternSyntaxException at query time)
+    ("INITCAP('a]b[c', ']')", "A]B[c"),
+    ("INITCAP('a[b]c', '[')", "A[B]c"),
+    (r"INITCAP('a\\b-c', '\\')", "A\\B-c"),
+    ("INITCAP('x^y-z', '^')", "X^Y-z"),
+    # 'a-z' is the three CHARS a,-,z — never a range (m must not delimit)
+    ("INITCAP('xmy-w', 'a-z')", "Xmy-W"),
+    # delimiters match case-SENSITIVELY against the original character
+    ("INITCAP('aBcBd', 'B')", "AbCbD"),
+    ("INITCAP('aBcBd', 'b')", "Abcbd"),
+    # empty delimiter set: no word breaks beyond the first character
+    ("INITCAP('hELLO wORLD', '')", "Hello world"),
     ("TRANSLATE('abc', 'bc', 'xy')", "axy"),
     ("ASCII('A')", 65),
     ("LTRIM('  a  ')", "a  "),
@@ -217,6 +231,40 @@ def test_bq_function_surface(spark, expr, expected):
     if isinstance(got, datetime.datetime):
         got = got.replace(tzinfo=None)
     assert got == expected, f"{expr} -> {stmt!r} -> {got!r}"
+
+
+def test_regexp_instr_position_guards(spark):
+    """BigQuery REGEXP_INSTR position semantics (ADVICE r7): position
+    < 1 raises (transpile-time for literals, query-time for
+    expressions); a '^'-anchored literal pattern with position > 1
+    raises (BigQuery anchors to the ORIGINAL string start); position
+    = 1 collapses to the exact 2-arg form."""
+    stmt = transpile_statement(
+        "SELECT REGEXP_INSTR('ab@cd@ef', '@[a-z]+', 4) AS v"
+    )
+    assert spark.sql(stmt).collect()[0]["v"] == 6
+    # position 1 == 2-arg shape (no suffix arithmetic emitted)
+    stmt = transpile_statement("SELECT REGEXP_INSTR('a^b', '\\\\^', 1) AS v")
+    assert "substr" not in stmt
+    assert spark.sql(stmt).collect()[0]["v"] == 2
+    with pytest.raises(ValueError, match="position must be >= 1"):
+        transpile_statement("SELECT REGEXP_INSTR('abc', 'a', 0)")
+    with pytest.raises(ValueError, match="position must be >= 1"):
+        transpile_statement("SELECT REGEXP_INSTR('abc', 'a', -2)")
+    with pytest.raises(ValueError, match="anchored"):
+        transpile_statement("SELECT REGEXP_INSTR('abc', '^a', 2)")
+    # non-literal position: runtime guard raises on < 1
+    stmt = transpile_statement(
+        "SELECT REGEXP_INSTR(x, 'b', p) AS v"
+        " FROM (SELECT 'abc' AS x, 0 AS p)"
+    )
+    with pytest.raises(Exception, match="position must be >= 1"):
+        spark.sql(stmt).collect()
+    stmt = transpile_statement(
+        "SELECT REGEXP_INSTR(x, 'b', p) AS v"
+        " FROM (SELECT 'abcb' AS x, 3 AS p)"
+    )
+    assert spark.sql(stmt).collect()[0]["v"] == 4
 
 
 def test_nested_rewrites_compose(spark):

@@ -1687,6 +1687,58 @@ def test_search_index_routing_respects_table(spark):
     assert w.result.first()["n"] == 50
 
 
+def test_search_index_subquery_base_blocks_unqualified_routing(spark):
+    """An inline subquery base in the FROM list is an UNRESOLVABLE
+    relation: an unqualified SEARCH column could belong to it, so the
+    routing must refuse and keep the scan rewrite (ADVICE r7 — the
+    alias scanner used to skip ``FROM (...) z`` entirely, silently
+    routing past the ambiguity)."""
+    from crmint_spark.catalog import register_testdata
+    from crmint_spark.workers.sql_executor import (
+        SparkSQLExecutor,
+        _relation_aliases,
+    )
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+
+    # the scanner records subquery bases as alias -> None sentinels
+    m = _relation_aliases(
+        "SELECT 1 FROM documents, (SELECT doc_id, 'x' AS text"
+        " FROM documents) z WHERE a = 1"
+    )
+    assert m.get("z", "missing") is None
+    assert m.get("documents") == "documents"
+    m2 = _relation_aliases(
+        "SELECT 1 FROM documents JOIN (SELECT 1 AS doc_id) ON true"
+    )
+    assert None in m2.values()  # anonymous subquery still blocks
+
+    def run(script):
+        w = SparkSQLExecutor(
+            {"script": script, "dry_run": False}, WorkerContext(spark)
+        )
+        w.execute()
+        return w
+
+    q = (
+        "SELECT COUNT(*) AS n FROM documents,"
+        " (SELECT doc_id AS zid, 'spark merge' AS ztext FROM documents"
+        " LIMIT 5) z"
+        " WHERE SEARCH(text, 'spark merge') AND doc_id = z.zid"
+    )
+    w = run("CREATE SEARCH INDEX sidx_subq ON documents(text);" + q)
+    assert not any("routed through index" in line for line in w.log), w.log
+    # the qualified form still routes (documents is resolvable)
+    q2 = (
+        "SELECT COUNT(*) AS n FROM documents d,"
+        " (SELECT doc_id AS zid FROM documents LIMIT 5) z"
+        " WHERE SEARCH(d.text, 'spark merge') AND d.doc_id = z.zid"
+    )
+    w2 = run("CREATE SEARCH INDEX sidx_subq2 ON documents(text);" + q2)
+    assert any("routed through index" in line for line in w2.log), w2.log
+    assert w.result.first()["n"] == w2.result.first()["n"]
+
+
 def test_vector_search_routes_through_trivial_base(spark):
     """VECTOR_SEARCH over a CTE or inline subquery that is SELECT *
     [WHERE ...] of the indexed table still routes (VERDICT r6 #6): the
