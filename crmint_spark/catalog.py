@@ -229,9 +229,13 @@ class Catalog:
         what lets a CTAS from ``SparkSQLExecutor`` (which lands in the
         Spark session catalog, not the parquet tree) feed a downstream
         worker in the same pipeline — in the reference both are the
-        same BigQuery table (ref: bq_worker.py:61-66)."""
+        same BigQuery table (ref: bq_worker.py:61-66). Partitioned /
+        clustered tables (``PARTITION BY`` DDL — see ``layout_meta``)
+        come back with their USER-VISIBLE schema: the derived partition
+        column is dropped and the declared column order restored."""
         if self.exists(table_id):
-            return self.spark.read.parquet(self.path_for(table_id))
+            df = self.spark.read.parquet(self.path_for(table_id))
+            return self.restore_layout(df, self.layout_meta(table_id))
         view = _safe_view_name(table_id)
         try:
             return self.spark.table(view)
@@ -242,6 +246,165 @@ class Catalog:
         """Make the table resolvable from SQL; returns the view name."""
         view = _safe_view_name(table_id)
         self.read(table_id).createOrReplaceTempView(view)
+        return view
+
+    # ------------------------------------------------------------------
+    # Physical layout metadata (PARTITION BY / CLUSTER BY on CREATE
+    # TABLE — the reference's pipelines run these BigQuery DDL clauses
+    # verbatim; ref: model_bqml.sql:91-94 relies on date-shaped layouts
+    # for exactly this pruning).
+    #
+    # A table with layout metadata is stored hive-partitioned
+    # (``<path>/<pcol>=<value>/part-*.parquet``). For an IDENTITY
+    # partition spec (a bare DATE column) the real column is the
+    # partition key — date filters partition-prune natively through
+    # Catalyst. For a DERIVED spec (``DATE(ts)``, ``DATE_TRUNC``,
+    # ``TIMESTAMP_TRUNC``, ``RANGE_BUCKET``) a hidden ``__pk`` column
+    # carries the derived value; ``read``/``register`` hide it, and the
+    # executor's partition-scan routing injects ``__pk`` conjuncts
+    # derived from user predicates so the scan prunes. CLUSTER BY
+    # columns are range-repartitioned + sorted within partitions so
+    # parquet row-group min/max stats serve cluster-key filters.
+    # The metadata lives OUTSIDE the table directory
+    # (``<root>/__layouts__/<safe>.json``) so WRITE_TRUNCATE keeps the
+    # layout (BigQuery: writing to a partitioned table preserves
+    # partitioning) while DROP/recreate clears it.
+    # ------------------------------------------------------------------
+
+    #: BigQuery's per-table partition limit — enforced after layout
+    #: writes (listdir count, no data pass). A violation raises; the
+    #: caller decides whether to roll back (CREATE does).
+    max_partitions = 4000
+
+    def _layout_meta_path(self, table_id: str) -> str:
+        return os.path.join(
+            self.root, "__layouts__", _safe_view_name(table_id) + ".json"
+        )
+
+    def layout_meta(self, table_id: str) -> dict | None:
+        import json
+
+        p = self._layout_meta_path(table_id)
+        if not os.path.isfile(p):
+            # dropped layout tables keep a stash beside their version
+            # store so FOR SYSTEM_TIME AS OF reads still restore the
+            # user-visible schema. The stash NEVER applies to a live
+            # table (a post-drop recreate may be unpartitioned);
+            # recreation also resets the version root and the stash.
+            if self.exists(table_id):
+                return None
+            p = os.path.join(self._versions_root(table_id), ".layout.json")
+            if not os.path.isfile(p):
+                return None
+        with open(p) as f:
+            return json.load(f)
+
+    def set_layout_meta(self, table_id: str, meta: dict) -> None:
+        import json
+
+        p = self._layout_meta_path(table_id)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            json.dump(meta, f, indent=1)
+
+    def clear_layout_meta(self, table_id: str) -> None:
+        import shutil
+
+        p = self._layout_meta_path(table_id)
+        if os.path.isfile(p):
+            vroot = self._versions_root(table_id)
+            if os.path.isdir(vroot):
+                shutil.copy2(p, os.path.join(vroot, ".layout.json"))
+            os.remove(p)
+
+    def has_layouts(self) -> bool:
+        d = os.path.join(self.root, "__layouts__")
+        return os.path.isdir(d) and bool(os.listdir(d))
+
+    def restore_layout(self, df: DataFrame, meta: dict | None) -> DataFrame:
+        """User-visible schema of a layout table's raw parquet read:
+        drop the derived partition column, restore declared column
+        order, and pin an identity partition column back to its
+        declared type (partition-value inference yields DATE for date
+        dirs, but the cast is cheap insurance)."""
+        from pyspark.sql import functions as F
+
+        if not meta:
+            return df
+        cols = []
+        for c in meta["columns"]:
+            e = F.col(f"`{c}`")
+            if c == meta.get("source_col") and meta["kind"] == "identity":
+                e = e.cast(meta["source_type"]).alias(c)
+            cols.append(e)
+        return df.select(*cols)
+
+    def apply_layout(self, df: DataFrame, meta: dict) -> DataFrame:
+        """Write-side shape: derive the partition column when the spec
+        is an expression, then range-repartition on (partition, cluster
+        keys) and sort within partitions. Range partitioning splits a
+        hot partition across tasks (sampling-based) instead of funneling
+        each date into one writer — the skew-safe shape at 100 TB — and
+        the sort gives parquet row-group min/max locality on the
+        cluster keys."""
+        from pyspark.sql import functions as F
+
+        pcol = meta.get("pcol")
+        if pcol and meta["kind"] != "identity":
+            if pcol in df.columns:
+                raise ValueError(
+                    f"column name {pcol!r} is reserved for the partition"
+                    " layout"
+                )
+            df = df.withColumn(pcol, F.expr(meta["pexpr_spark"]))
+        keys = ([pcol] if pcol else []) + list(meta.get("cluster_cols", []))
+        if keys:
+            df = df.repartitionByRange(
+                *[F.col(f"`{k}`") for k in keys]
+            ).sortWithinPartitions(*[F.col(f"`{k}`") for k in keys])
+        return df
+
+    def layout_writer(self, df: DataFrame, meta: dict | None):
+        """DataFrameWriter honoring the table's layout (plain writer
+        when the table has none)."""
+        if not meta:
+            return df.write
+        w = self.apply_layout(df, meta).write
+        if meta.get("pcol"):
+            w = w.partitionBy(meta["pcol"])
+        return w
+
+    def check_partition_cap(self, table_id: str) -> int:
+        """Enforce BigQuery's 4,000-partition-per-table cap after a
+        layout write — a listdir count, no data pass. Returns the
+        partition count; raises beyond the cap (the partition-count
+        explosion failure mode: partitioning on a near-unique key)."""
+        meta = self.layout_meta(table_id)
+        pcol = (meta or {}).get("pcol")
+        if not pcol:
+            return 0
+        p = self.path_for(table_id)
+        n = sum(
+            1 for d in os.listdir(p) if d.startswith(pcol + "=")
+        ) if os.path.isdir(p) else 0
+        if n > self.max_partitions:
+            raise ValueError(
+                f"table {table_id} would have {n} partitions — over the"
+                f" {self.max_partitions} cap (BigQuery parity). Use a"
+                " coarser PARTITION BY expression."
+            )
+        return n
+
+    def ensure_layout_view(self, table_id: str) -> str:
+        """Temp view over the RAW partitioned layout (derived partition
+        column exposed) — the executor's partition-scan routing reads
+        through this so injected ``__pk`` conjuncts reach the scan as
+        PartitionFilters. Re-registered on every call: a DML swap
+        replaces the directory under the old view's plan."""
+        view = _safe_view_name(table_id) + "__layout"
+        self.spark.read.parquet(self.path_for(table_id)).createOrReplaceTempView(
+            view
+        )
         return view
 
     # ------------------------------------------------------------------
@@ -409,7 +572,10 @@ class Catalog:
         if existed:
             self.archive_preimage(table_id)
         mode = {"WRITE_TRUNCATE": "overwrite", "WRITE_APPEND": "append"}[disposition]
-        df.write.mode(mode).parquet(self.path_for(table_id))
+        self.layout_writer(df, self.layout_meta(table_id)).mode(mode).parquet(
+            self.path_for(table_id)
+        )
+        self.check_partition_cap(table_id)
         if not existed:
             self._record_creation(table_id)
         # downstream SQL jobs in the same pipeline address the table by
@@ -423,6 +589,7 @@ class Catalog:
         if os.path.isdir(p):
             if not self.archive_preimage(table_id, move=True):
                 shutil.rmtree(p)
+        self.clear_layout_meta(table_id)
 
     def clone(self, src_id: str, dst_id: str) -> None:
         """Table clone/snapshot: a zero-copy HARDLINK of the immutable
@@ -439,13 +606,23 @@ class Catalog:
         import shutil
 
         if self.exists(src_id):
-            self.clone_path(self.path_for(src_id), dst_id)
+            # a clone of a partitioned table IS partitioned (BigQuery
+            # contract) — carry the layout so reads hide the derived
+            # column and later writes keep partitioning
+            self.clone_path(
+                self.path_for(src_id), dst_id, meta=self.layout_meta(src_id)
+            )
         else:
             self.write(self.read(src_id), dst_id)
 
-    def clone_path(self, src_path: str, dst_id: str) -> None:
+    def clone_path(
+        self, src_path: str, dst_id: str, meta: dict | None = None
+    ) -> None:
         """Hardlink-clone an arbitrary parquet directory (e.g. a
-        time-travel version dir) into a catalog table."""
+        time-travel version dir) into a catalog table. ``meta`` is the
+        source's layout metadata when the files are hive-partitioned —
+        it replaces (or, when None, clears) any stale layout on the
+        destination BEFORE the view registers."""
         import shutil
 
         dst = self.path_for(dst_id)
@@ -454,6 +631,10 @@ class Catalog:
             shutil.rmtree(dst)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         _link_tree(src_path, dst)
+        if meta is not None:
+            self.set_layout_meta(dst_id, meta)
+        else:
+            self.clear_layout_meta(dst_id)
         if not existed:
             self._record_creation(dst_id)
         self.register(dst_id)

@@ -561,7 +561,12 @@ def swap_catalog_table(catalog, table_id: str, result: DataFrame) -> None:
     path = catalog.path_for(table_id)
     tmp = path + "__dml_tmp"
     try:
-        result.write.mode("overwrite").parquet(tmp)
+        # a partitioned/clustered table keeps its layout through DML
+        # (BigQuery contract): the writer re-derives the partition
+        # column and re-sorts cluster keys
+        catalog.layout_writer(result, catalog.layout_meta(table_id)).mode(
+            "overwrite"
+        ).parquet(tmp)
     except Exception:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
@@ -570,6 +575,7 @@ def swap_catalog_table(catalog, table_id: str, result: DataFrame) -> None:
     if not catalog.archive_preimage(table_id, move=True):
         shutil.rmtree(path)
     os.rename(tmp, path)
+    catalog.check_partition_cap(table_id)
     catalog.register(table_id)
 
 
@@ -588,7 +594,10 @@ def merge_upsert_batch(
     # micro-batch runs in a cloned session whose temp views are isolated
     # from the main one, so read the target through it, not the catalog
     spark = batch_df.sparkSession
-    target_df = spark.read.parquet(catalog.path_for(table_id))
+    target_df = catalog.restore_layout(
+        spark.read.parquet(catalog.path_for(table_id)),
+        catalog.layout_meta(table_id),
+    )
     missing = set(keys) - set(batch_df.columns)
     if missing:
         raise DmlError(f"upsert keys absent from batch: {sorted(missing)}")

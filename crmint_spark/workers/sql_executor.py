@@ -21,8 +21,10 @@ from pyspark.sql import DataFrame
 
 from ..dialect import (
     ScriptContext,
+    _split_top_level,
     classify_statement,
     expand_create_or_replace_table,
+    extract_create_table_layout,
     split_script,
     transpile_statement,
 )
@@ -285,6 +287,354 @@ def _qualify_pred(
     return res
 
 
+# ---------------------------------------------------------------------------
+# PARTITION BY / CLUSTER BY layout support (VERDICT r7 #1): parse the
+# BigQuery partition spec, and derive partition-key conjuncts from user
+# predicates so scans over expression-partitioned tables prune.
+
+
+def _parse_partition_spec(expr: str, dtypes: dict[str, str]) -> dict:
+    """BigQuery CREATE TABLE partition expression -> layout descriptor.
+
+    Supported (the BigQuery surface, docs: partitioned tables):
+    a bare DATE column (identity), ``DATE(ts)``, ``DATE_TRUNC(d, unit)``
+    / ``DATETIME_TRUNC`` / ``TIMESTAMP_TRUNC(ts, unit)`` for
+    DAY/MONTH/YEAR (+HOUR for timestamp), and ``RANGE_BUCKET(col,
+    GENERATE_ARRAY(lo, hi, step))``. ``dtypes`` maps lowercase column
+    name -> Spark simpleString type of the table being created.
+
+    The descriptor fields:
+    - ``kind``/``source_col``/``source_type``/``pcol``
+    - ``pexpr_bq``: the partition VALUE as a BigQuery expression over
+      the source column (transpiled once to ``pexpr_spark`` for the
+      catalog's write path)
+    - ``g_template``: ``{X}``-templated BigQuery expression mapping a
+      LITERAL bound on the source column to a bound on the partition
+      value — monotone non-decreasing AND idempotent on its range, the
+      two properties the conjunct derivation in
+      ``_derive_partition_conjunct`` relies on
+    - ``match_forms``: ``{C}``-templated normalized spellings of the
+      partition expression, for recognizing expression-form predicates
+    """
+    e = expr.strip().rstrip(";").strip()
+    if re.match(r"^_PARTITION(DATE|TIME)$", e, re.IGNORECASE):
+        raise WorkerException(
+            "ingestion-time partitioning (_PARTITIONDATE) is not"
+            " supported — partition on a column: PARTITION BY DATE(ts)"
+        )
+    m = re.match(r"^`?(\w+)`?$", e)
+    if m:
+        col = m.group(1)
+        dt = dtypes.get(col.lower())
+        if dt is None:
+            raise WorkerException(f"PARTITION BY: unknown column {col!r}")
+        if dt == "date":
+            return {
+                "kind": "identity",
+                "source_col": col,
+                "source_type": "date",
+                "pcol": col,
+                "g_template": "{X}",
+                "match_forms": [],
+            }
+        if dt.startswith("timestamp"):
+            raise WorkerException(
+                f"PARTITION BY {col}: a TIMESTAMP column needs an"
+                " explicit granularity — use DATE({col}) or"
+                " TIMESTAMP_TRUNC({col}, DAY) (BigQuery contract)"
+            )
+        raise WorkerException(
+            f"PARTITION BY {col}: type {dt} is not partitionable —"
+            " integers go through RANGE_BUCKET(col, GENERATE_ARRAY(...))"
+        )
+    m = re.match(r"^DATE\s*\(\s*`?(\w+)`?\s*\)$", e, re.IGNORECASE)
+    if m:
+        col = m.group(1)
+        _require_col(col, dtypes, ("timestamp", "timestamp_ntz", "date"))
+        return {
+            "kind": "date",
+            "source_col": col,
+            "source_type": dtypes[col.lower()],
+            "pcol": "__pk",
+            "pexpr_bq": f"DATE(`{col}`)",
+            "g_template": "DATE({X})",
+            "match_forms": ["date({C})", "to_date({C})"],
+        }
+    m = re.match(
+        r"^(DATE_TRUNC|DATETIME_TRUNC|TIMESTAMP_TRUNC)\s*\("
+        r"\s*`?(\w+)`?\s*,\s*(\w+)\s*\)$",
+        e,
+        re.IGNORECASE,
+    )
+    if m:
+        fn, col, unit = m.group(1).upper(), m.group(2), m.group(3).upper()
+        _require_col(col, dtypes, None)
+        if unit == "DAY":
+            g = "DATE({X})"
+        elif unit in ("MONTH", "YEAR"):
+            g = f"DATE_TRUNC(DATE({{X}}), {unit})"
+        elif unit == "HOUR" and fn != "DATE_TRUNC":
+            g = "TIMESTAMP_TRUNC(CAST({X} AS TIMESTAMP), HOUR)"
+        else:
+            raise WorkerException(
+                f"PARTITION BY {fn}(..., {unit}): unsupported granularity"
+                " (DAY/MONTH/YEAR, HOUR for timestamps)"
+            )
+        return {
+            "kind": "trunc",
+            "source_col": col,
+            "source_type": dtypes[col.lower()],
+            "pcol": "__pk",
+            "pexpr_bq": g.replace("{X}", f"`{col}`"),
+            "g_template": g,
+            "match_forms": [f"{fn.lower()}({{C}},{unit.lower()})"],
+        }
+    m = re.match(
+        r"^RANGE_BUCKET\s*\(\s*`?(\w+)`?\s*,\s*GENERATE_ARRAY\s*\("
+        r"\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?\)\s*\)$",
+        e,
+        re.IGNORECASE,
+    )
+    if m:
+        col = m.group(1)
+        _require_col(col, dtypes, ("int", "bigint", "smallint"))
+        lo, hi, step = m.group(2), m.group(3), m.group(4) or "1"
+        arr = f"GENERATE_ARRAY({lo}, {hi}, {step})"
+        g = f"RANGE_BUCKET({{X}}, {arr})"
+        return {
+            "kind": "range_bucket",
+            "source_col": col,
+            "source_type": dtypes[col.lower()],
+            "pcol": "__pk",
+            "pexpr_bq": g.replace("{X}", f"`{col}`"),
+            "g_template": g,
+            "match_forms": [
+                f"range_bucket({{C}},generate_array({lo},{hi},{step}))"
+            ],
+        }
+    raise WorkerException(
+        f"unsupported PARTITION BY expression: {expr!r} — supported:"
+        " a DATE column, DATE(ts), DATE_TRUNC/TIMESTAMP_TRUNC/"
+        "DATETIME_TRUNC(col, DAY|MONTH|YEAR[|HOUR]),"
+        " RANGE_BUCKET(col, GENERATE_ARRAY(lo, hi[, step]))"
+    )
+
+
+def _require_col(col: str, dtypes: dict[str, str], kinds) -> None:
+    dt = dtypes.get(col.lower())
+    if dt is None:
+        raise WorkerException(f"PARTITION BY: unknown column {col!r}")
+    if kinds is not None and not any(dt.startswith(k) for k in kinds):
+        raise WorkerException(
+            f"PARTITION BY: column {col!r} has type {dt}, expected one"
+            f" of {kinds}"
+        )
+
+
+def _mask_literals_same_length(sql: str) -> str:
+    """String literals blanked to spaces (offsets preserved) so textual
+    scans never match keywords inside them."""
+    return re.sub(
+        r"'[^']*'", lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", sql
+    )
+
+
+_SCOPE_END_RE = re.compile(
+    r"(GROUP|ORDER|LIMIT|HAVING|QUALIFY|WINDOW|UNION|INTERSECT|EXCEPT)\b",
+    re.IGNORECASE,
+)
+
+
+def _scope_where(masked: str, start: int) -> tuple[int, int] | None:
+    """(clause_start, clause_end) of the WHERE belonging to the FROM at
+    ``start``'s scope — scanning at paren depth 0 from just after the
+    relation reference; a closing paren or a scope-ending keyword before
+    any WHERE means the scope has none."""
+    i, n = start, len(masked)
+    depth = 0
+    ws = None
+    while i < n:
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                return (ws, i) if ws is not None else None
+            depth -= 1
+        elif ch == ";" and depth == 0:
+            return (ws, i) if ws is not None else None
+        elif depth == 0 and (ch.isalpha() or ch == "_"):
+            if i > 0 and (masked[i - 1].isalnum() or masked[i - 1] in "_.`"):
+                i += 1
+                continue
+            m = re.match(r"(WHERE|SELECT)\b", masked[i:], re.IGNORECASE)
+            if m:
+                if ws is not None:
+                    return ws, i
+                if m.group(1).upper() == "SELECT":
+                    return None  # a set-op arm or malformed scope
+                ws = i + 5
+                i += 5
+                continue
+            m = _SCOPE_END_RE.match(masked[i:])
+            if m:
+                return (ws, i) if ws is not None else None
+            # skip the whole word
+            m = re.match(r"[\w.]+", masked[i:])
+            i += m.end()
+            continue
+        i += 1
+    return (ws, n) if ws is not None else None
+
+
+def _split_conjuncts(clause: str) -> list[str]:
+    """Top-level AND split, paren- and string-aware, NOT splitting the
+    AND that belongs to a BETWEEN."""
+    from ..dialect import _balanced_end, _skip_string
+
+    parts: list[str] = []
+    i, n, seg_start = 0, len(clause), 0
+    between = 0
+    while i < n:
+        ch = clause[i]
+        if ch in ("'", '"', "`"):
+            i = _skip_string(clause, i)
+            continue
+        if ch == "(":
+            i = max(_balanced_end(clause, i), i + 1)
+            continue
+        m = re.match(r"(AND|OR|BETWEEN)\b", clause[i:], re.IGNORECASE)
+        if m and (i == 0 or not (clause[i - 1].isalnum() or clause[i - 1] in "_.")):
+            kw = m.group(1).upper()
+            if kw == "BETWEEN":
+                between += 1
+            elif kw == "AND":
+                if between:
+                    between -= 1
+                else:
+                    parts.append(clause[seg_start:i])
+                    seg_start = i + 3
+            i += m.end()
+            continue
+        i += 1
+    parts.append(clause[seg_start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+_CONST_TOKENS = frozenset(
+    {
+        "date", "timestamp", "datetime", "time", "interval", "cast", "as",
+        "current_date", "current_timestamp", "current_datetime",
+        "date_sub", "date_add", "timestamp_sub", "timestamp_add",
+        "datetime_sub", "datetime_add", "to_date", "date_trunc",
+        "timestamp_trunc", "parse_date", "parse_timestamp",
+        "day", "month", "year", "hour", "minute", "second", "week",
+        "quarter", "millisecond", "microsecond",
+        "null", "true", "false", "int64", "float64", "string", "numeric",
+        "bignumeric", "bigint", "int", "double",
+    }
+)
+
+
+def _is_constant_expr(text: str) -> bool:
+    """True when ``text`` is a literal / deterministic-constant scalar
+    (no column references): every bare identifier is a whitelisted
+    date/time/cast function or keyword. Conservative by construction —
+    an unrecognized token means no pruning, never wrong pruning."""
+    t = re.sub(r"'[^']*'", "''", text)
+    if ";" in t or re.search(r"\b(SELECT|FROM)\b", t, re.IGNORECASE):
+        return False
+    for tok in re.findall(r"[A-Za-z_][\w.]*", t):
+        if tok.lower() not in _CONST_TOKENS:
+            return False
+    return True
+
+
+def _derive_partition_conjunct(
+    conj: str, meta: dict, alias: str, allow_bare: bool
+) -> str | None:
+    """One user conjunct -> an equivalent-or-weaker conjunct on the
+    layout's partition column, or None.
+
+    Two shapes route:
+    - SOURCE form (``ts >= X``): mapped through the layout's monotone
+      ``g`` template with RELAXED ops (``>``/``<`` widen to ``>=``/
+      ``<=``) — ``g`` non-decreasing makes the result a superset of the
+      original conjunct's rows, and the original conjunct still applies
+      afterwards, so the rewrite can only prune, never lose rows.
+    - EXPRESSION form (``DATE(ts) >= X``): the partition column IS that
+      expression, so the op and bound apply VERBATIM (exact, strict ops
+      included).
+    """
+    from ..dialect import _balanced_end
+
+    c = conj.strip()
+    while c.startswith("(") and _balanced_end(c, 0) == len(c):
+        c = c[1:-1].strip()
+
+    def lhs_kind(lhs: str) -> str | None:
+        n = re.sub(r"[\s`]+", "", lhs).lower()
+        src = meta["source_col"].lower()
+        qual = f"{alias.lower()}.{src}"
+        if n == qual or (allow_bare and n == src):
+            return "col"
+        for form in meta.get("match_forms", []):
+            if n == form.format(C=qual) or (
+                allow_bare and n == form.format(C=src)
+            ):
+                return "expr"
+        return None
+
+    pcol = f"`{meta['pcol']}`"
+
+    def g(x: str) -> str:
+        return meta["g_template"].replace("{X}", f"({x.strip()})")
+
+    # LHS IN (lit, ...)
+    m = re.match(r"^(.*?)\s+IN\s*\(", c, re.IGNORECASE | re.DOTALL)
+    if m and _balanced_end(c, m.end() - 1) == len(c):
+        kind = lhs_kind(m.group(1))
+        if kind is None:
+            return None
+        from ..dialect import _split_top_level
+
+        items = _split_top_level(c[m.end() : -1])
+        if not items or not all(_is_constant_expr(x) for x in items):
+            return None
+        vals = [x.strip() if kind == "expr" else g(x) for x in items]
+        return f"{pcol} IN ({', '.join(vals)})"
+    # LHS BETWEEN a AND b
+    m = re.match(
+        r"^(.*?)\s+BETWEEN\s+(.+?)\s+AND\s+(.+)$", c, re.IGNORECASE | re.DOTALL
+    )
+    if m:
+        kind = lhs_kind(m.group(1))
+        if kind is None:
+            return None
+        a, b = m.group(2), m.group(3)
+        if not (_is_constant_expr(a) and _is_constant_expr(b)):
+            return None
+        lo = a.strip() if kind == "expr" else g(a)
+        hi = b.strip() if kind == "expr" else g(b)
+        return f"{pcol} BETWEEN {lo} AND {hi}"
+    # LHS <op> rhs
+    m = re.match(r"^(.*?)(>=|<=|=|<|>)(.+)$", c, re.DOTALL)
+    if m and "!" not in m.group(1)[-1:]:
+        kind = lhs_kind(m.group(1))
+        if kind is None:
+            return None
+        op, rhs = m.group(2), m.group(3)
+        if rhs[:1] in (">", "=", "<"):  # '<>' / malformed: no pruning
+            return None
+        if not _is_constant_expr(rhs):
+            return None
+        if kind == "expr":
+            return f"{pcol} {op} {rhs.strip()}"
+        relaxed = {">": ">=", "<": "<=", ">=": ">=", "<=": "<=", "=": "="}[op]
+        return f"{pcol} {relaxed} {g(rhs)}"
+    return None
+
+
 def _pick_integral_id(df) -> str | None:
     """The column used to key an index layout: a UNIQUE, non-null
     integral column, preferring id-named ones. Uniqueness is VERIFIED
@@ -430,9 +780,16 @@ class SparkSQLExecutor(Worker):
         def handler(table_id: str, expr: str) -> str:
             import hashlib
 
+            cat = self._ctx.catalog
             path = self._asof_path(table_id, expr)
             view = "__asof_" + hashlib.md5(path.encode()).hexdigest()[:10]
-            spark.read.parquet(path).createOrReplaceTempView(view)
+            df = spark.read.parquet(path)
+            # partitioned-layout versions restore the user-visible
+            # schema (derived partition column hidden, order restored)
+            meta = cat.layout_meta(table_id)
+            if meta and set(meta["columns"]) <= set(df.columns):
+                df = cat.restore_layout(df, meta)
+            df.createOrReplaceTempView(view)
             return view
 
         return handler
@@ -830,7 +1187,9 @@ class SparkSQLExecutor(Worker):
                         flags=re.IGNORECASE,
                     ).strip()
                     cat.clone_path(
-                        self._asof_path(sn.group(3), expr), sn.group(2)
+                        self._asof_path(sn.group(3), expr),
+                        sn.group(2),
+                        meta=cat.layout_meta(sn.group(3)),
                     )
                 else:
                     cat.clone(sn.group(3), sn.group(2))
@@ -1301,6 +1660,175 @@ class SparkSQLExecutor(Worker):
             f"SEARCH INDEX {name}: postings layout materialized"
             f" ({len(columns)} columns, bucket-partitioned)"
         )
+
+    def _route_partition_scan(self, sub: str) -> str:
+        """Partition pruning for EXPRESSION-partitioned catalog tables
+        (``PARTITION BY DATE(ts)`` and friends — VERDICT r7 #1): every
+        ``FROM``/``JOIN`` reference to such a table whose scope's WHERE
+        carries a constant bound on the partition source column (or on
+        the partition expression itself) is rewritten to a subquery
+        over the RAW layout view with the derived partition-key
+        conjunct, so the parquet scan gets PartitionFilters. The
+        original predicate stays in place — the injected conjunct is
+        implied by it (monotone ``g``), so the rewrite can only prune.
+        Identity-partitioned tables (bare DATE column) skip this: their
+        partition column is a real column and Catalyst prunes natively.
+        """
+        cat = self._ctx.catalog
+        if cat is None or not cat.has_layouts():
+            return sub
+        masked = _mask_literals_same_length(sub)
+        aliases = None
+        edits: list[tuple[int, int, str]] = []
+        for m in _REL_ALIAS_RE.finditer(masked):
+            rel = m.group(1).strip("`")
+            meta = cat.layout_meta(rel)
+            if not meta or meta.get("kind") in (None, "identity"):
+                continue
+            if not meta.get("pcol"):
+                continue  # CLUSTER BY only: row-group stats serve it
+            alias = m.group(2) or m.group(3) or rel.split(".")[-1]
+            scope = _scope_where(masked, m.end())
+            if not scope:
+                continue
+            cs, ce = scope
+            if aliases is None:
+                aliases = _relation_aliases(sub)
+            rels = set(aliases.values())
+            allow_bare = rels == {rel}
+            derived = []
+            for conj in _split_conjuncts(sub[cs:ce]):
+                d = _derive_partition_conjunct(conj, meta, alias, allow_bare)
+                if d:
+                    derived.append(d)
+            if not derived:
+                continue
+            table_id = meta.get("table_id", rel)
+            layout_view = cat.ensure_layout_view(table_id)
+            cols = ", ".join(f"`{c}`" for c in meta["columns"])
+            repl = (
+                f"(SELECT {cols} FROM {layout_view}"
+                f" WHERE {' AND '.join(sorted(set(derived)))}) AS {alias}"
+            )
+            edits.append((m.start(1), m.end(), repl))
+            self.log_info(
+                f"partitioned scan of {table_id}: pruned on"
+                f" {len(set(derived))} derived partition conjunct(s)"
+            )
+        for start, end, repl in reversed(edits):
+            sub = sub[:start] + repl + sub[end:]
+        return sub
+
+    def _create_layout_table(
+        self,
+        stmt: str,
+        table_id: str,
+        partition_expr: str | None,
+        cluster_cols: list[str],
+    ):
+        """Execute a CREATE TABLE carrying PARTITION BY / CLUSTER BY as
+        a CATALOG table with a real partitioned parquet layout (VERDICT
+        r7 #1 — previously the clauses were stripped and the table was
+        written flat, so every date-filtered query full-scanned; at
+        100 TB that is the difference between reading one day and three
+        years). ``stmt`` is the fully transpiled statement WITHOUT the
+        layout clauses. Time travel, DML and WRITE dispositions keep
+        working: the table lives on the catalog plane, whose write/swap
+        paths re-apply the layout (see Catalog.layout_writer)."""
+        spark, cat = self._ctx.spark, self._ctx.catalog
+        m = re.match(
+            r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"(`?[\w.\-]+`?)\s*(.*)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise WorkerException(
+                f"cannot parse partitioned CREATE TABLE: {stmt[:120]}"
+            )
+        or_replace, if_not_exists, rest = m.group(1), m.group(2), m.group(4)
+        existed = cat.exists(table_id)
+        if existed and if_not_exists:
+            self.log_info(f"{table_id} exists — skipped")
+            return None
+        if existed and not or_replace:
+            raise WorkerException(f"table already exists: {table_id}")
+        schema_text = None
+        ms = re.match(r"\s*\(", rest)
+        if ms:
+            from ..dialect import _balanced_end
+
+            send = _balanced_end(rest, ms.end() - 1)
+            schema_text = rest[ms.end() : send - 1]
+            rest = rest[send:]
+        ma = re.match(r"\s*AS\b(.*)$", rest, re.IGNORECASE | re.DOTALL)
+        if ma:
+            df = spark.sql(ma.group(1))
+        elif schema_text is not None:
+            casts = []
+            for col_def in _split_top_level(schema_text):
+                cm = re.match(
+                    r"\s*`?(\w+)`?\s+([\w<>,() ]+?)"
+                    r"(?:\s+NOT\s+NULL)?(?:\s+OPTIONS\s*\(.*)?\s*$",
+                    col_def,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not cm:
+                    raise WorkerException(
+                        f"cannot parse column definition: {col_def[:60]}"
+                    )
+                casts.append(
+                    f"CAST(NULL AS {cm.group(2).strip()}) AS `{cm.group(1)}`"
+                )
+            df = spark.sql(f"SELECT {', '.join(casts)} WHERE 1 = 0")
+        else:
+            raise WorkerException(
+                "partitioned CREATE TABLE needs a column list or AS query"
+            )
+        dtypes = {
+            f.name.lower(): f.dataType.simpleString() for f in df.schema.fields
+        }
+        if partition_expr is not None:
+            meta = _parse_partition_spec(partition_expr, dtypes)
+        else:
+            meta = {"kind": None, "pcol": None}
+        for c in cluster_cols:
+            if c.lower() not in dtypes:
+                raise WorkerException(f"CLUSTER BY: unknown column {c!r}")
+        if meta.get("pcol") == "__pk" and "__pk" in dtypes:
+            raise WorkerException(
+                "column name __pk is reserved for the partition layout"
+            )
+        if meta.get("pexpr_bq"):
+            from ..dialect import transpile_expression
+
+            meta["pexpr_spark"] = transpile_expression(meta["pexpr_bq"])
+        meta["cluster_cols"] = list(cluster_cols)
+        meta["columns"] = list(df.columns)
+        meta["table_id"] = table_id
+        meta["partition_expr_text"] = partition_expr
+        cat.set_layout_meta(table_id, meta)
+        try:
+            cat.write(df, table_id, "WRITE_TRUNCATE")
+        except ValueError as e:
+            if not existed:  # fresh create: roll the directory back
+                import shutil
+
+                shutil.rmtree(cat.path_for(table_id), ignore_errors=True)
+                cat.clear_layout_meta(table_id)
+            raise WorkerException(str(e)) from None
+        n_parts = cat.check_partition_cap(table_id)
+        self.log_info(
+            f"CREATE TABLE {table_id}: "
+            + (
+                f"partitioned on {partition_expr}"
+                f" ({n_parts} partitions)"
+                if partition_expr
+                else "clustered"
+            )
+            + (f", clustered on {cluster_cols}" if cluster_cols else "")
+        )
+        return None
 
     def _route_search_predicate(self, sub: str) -> str:
         """Serve ``SEARCH(<col>, '<literal>')`` from a recorded SEARCH
@@ -2049,6 +2577,7 @@ class SparkSQLExecutor(Worker):
             return None
         if self._try_export_load(sub, resolver):
             return None
+        layout = None
         if not self._params["dry_run"]:
             try:
                 dml = parse_dml(sub)
@@ -2060,6 +2589,16 @@ class SparkSQLExecutor(Worker):
                 sub = self._route_vector_search(sub, resolver)
             if re.search(r"\bSEARCH\s*\(", sub, re.IGNORECASE):
                 sub = self._route_search_predicate(sub)
+            if self._ctx.catalog is not None:
+                # PARTITION BY / CLUSTER BY honored (VERDICT r7 #1):
+                # layout clauses peel off here and the CREATE executes
+                # on the catalog plane after the ML rewrite chain;
+                # catalog-less sessions keep the historical stripping
+                if re.match(r"\s*CREATE\b", sub, re.IGNORECASE):
+                    layout = extract_create_table_layout(sub)
+                    if layout is not None:
+                        sub = layout[0]
+                sub = self._route_partition_scan(sub)
         stmt = transpile_statement(
             sub,
             resolver,
@@ -2097,6 +2636,10 @@ class SparkSQLExecutor(Worker):
         stmt = rewrite_ml_forecast(spark, stmt, registry)
         stmt = rewrite_ml_arima_evaluate(spark, stmt, registry)
         stmt = rewrite_ml_detect_anomalies(spark, stmt, registry)
+        if layout is not None:
+            return self._create_layout_table(
+                stmt, layout[1], layout[2], layout[3]
+            )
         last: DataFrame | None = None
         for piece in expand_create_or_replace_table(stmt):
             self._clean_orphan_location(spark, piece)
@@ -2500,7 +3043,11 @@ class SparkSQLExecutor(Worker):
                 src_query = src_sql[1:-1]
             else:
                 src_query = f"SELECT * FROM {src_sql}"
-            source_df = spark.sql(transpile_statement(src_query, resolver))
+            source_df = spark.sql(
+                transpile_statement(
+                    self._route_partition_scan(src_query), resolver
+                )
+            )
             tv, sv = prepare_merge_views(spark, target_df, source_df)
             gen = compile_merge(
                 dml, tv, sv, target_df.schema, source_df.columns
@@ -2539,7 +3086,11 @@ class SparkSQLExecutor(Worker):
         cat = self._ctx.catalog
         spark = self._ctx.spark
         target_df = cat.read(ins.target)
-        rows = spark.sql(transpile_statement(ins.source_sql, self._resolver()))
+        rows = spark.sql(
+            transpile_statement(
+                self._route_partition_scan(ins.source_sql), self._resolver()
+            )
+        )
         cols = ins.columns or [f.name for f in target_df.schema.fields]
         if len(rows.columns) != len(cols):
             raise WorkerException(

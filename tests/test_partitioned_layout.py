@@ -1,0 +1,318 @@
+"""PARTITION BY / CLUSTER BY on CREATE TABLE honored as a real
+partitioned parquet layout (VERDICT r7 #1): pruned scans (asserted via
+PartitionFilters), schema-stable reads, DML + time travel on the same
+table, the 4,000-partition cap, and the derived-conjunct routing's
+conservatism (never inject past OR / non-constant bounds / other
+relations).
+
+Reference parity target: BigQuery partitioned-table DDL, the single
+most common physical-layout idiom in the reference's generated SQL
+(ref: model_bqml.sql:91-94 date-shards for the same pruning)."""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import tempfile
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from crmint_spark.catalog import Catalog, register_testdata  # noqa: E402
+from crmint_spark.workers.base import WorkerContext, WorkerException  # noqa: E402
+from crmint_spark.workers.sql_executor import (  # noqa: E402
+    SparkSQLExecutor,
+    _derive_partition_conjunct,
+    _parse_partition_spec,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def ctx(spark):
+    register_testdata(spark, SF)
+    wh = tempfile.mkdtemp(prefix="crmint_part_")
+    return WorkerContext(spark=spark, catalog=Catalog(spark, wh))
+
+
+def run(ctx, script):
+    w = SparkSQLExecutor({"script": script, "dry_run": False}, ctx)
+    w.execute()
+    return w
+
+
+def partition_filters(df) -> str:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    return m.group(1) if m else ""
+
+
+def test_partitioned_ctas_prunes_and_matches(ctx):
+    """DATE(ts)-partitioned CTAS: hive-partitioned directory, hidden
+    derived column, user-visible schema unchanged, and a date-range
+    query prunes (PartitionFilters on __pk) while matching the
+    unpruned answer exactly."""
+    run(
+        ctx,
+        "CREATE OR REPLACE TABLE p.d.op PARTITION BY DATE(o_orderdate)"
+        " CLUSTER BY o_custkey AS"
+        " SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice"
+        " FROM orders WHERE o_orderkey <= 2000",
+    )
+    path = ctx.catalog.path_for("p.d.op")
+    assert any(d.startswith("__pk=") for d in os.listdir(path))
+    df = ctx.catalog.read("p.d.op")
+    assert df.columns == [
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+    ]
+    w = run(
+        ctx,
+        "SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS s"
+        " FROM `p.d.op`"
+        " WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01'"
+        " AND TIMESTAMP '1995-03-15'",
+    )
+    assert any("pruned" in line for line in w.log), w.log
+    pf = partition_filters(w.result)
+    assert "__pk" in pf and ">= 1995-01-01" in pf, pf
+    exact = (
+        ctx.catalog.read("p.d.op")
+        .filter(
+            "o_orderdate BETWEEN TIMESTAMP '1995-01-01'"
+            " AND TIMESTAMP '1995-03-15'"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("s"),
+        )
+        .collect()
+    )
+    assert [tuple(r) for r in w.result.collect()] == [tuple(r) for r in exact]
+    # expression-form predicate routes too, with the exact (verbatim) op
+    w2 = run(
+        ctx,
+        "SELECT COUNT(*) AS n FROM `p.d.op`"
+        " WHERE DATE(o_orderdate) = DATE '1995-01-05'",
+    )
+    pf2 = partition_filters(w2.result)
+    assert "__pk" in pf2 and "= 1995-01-05" in pf2, pf2
+
+
+def test_identity_partition_prunes_natively(ctx):
+    """A bare DATE partition column is the real hive partition key:
+    Catalyst prunes with no routing, and the declared column order
+    survives the read-back (partition columns normally list last)."""
+    run(
+        ctx,
+        "CREATE OR REPLACE TABLE p.d.idp PARTITION BY d AS"
+        " SELECT o_orderkey, DATE(o_orderdate) AS d, o_totalprice"
+        " FROM orders WHERE o_orderkey <= 2000",
+    )
+    df = ctx.catalog.read("p.d.idp")
+    assert df.columns == ["o_orderkey", "d", "o_totalprice"]
+    assert dict(df.dtypes)["d"] == "date"
+    w = run(
+        ctx, "SELECT COUNT(*) AS n FROM `p.d.idp` WHERE d = DATE '1995-01-05'"
+    )
+    assert not any("pruned" in line for line in w.log)  # no routing needed
+    pf = partition_filters(w.result)
+    assert "d#" in pf and "1995-01-05" in pf, pf
+
+
+def test_dml_and_time_travel_keep_layout(ctx):
+    """UPDATE / INSERT / DELETE on a partitioned table re-derive the
+    layout (directory stays hive-partitioned, new partitions appear),
+    and FOR SYSTEM_TIME AS OF restores both the pre-mutation rows AND
+    the user-visible schema."""
+    run(
+        ctx,
+        "CREATE OR REPLACE TABLE p.d.mut PARTITION BY"
+        " DATE_TRUNC(o_orderdate, MONTH) AS"
+        " SELECT o_orderkey, o_orderdate, o_totalprice FROM orders"
+        " WHERE o_orderkey <= 400",
+    )
+    before = ctx.catalog.read("p.d.mut").count()
+    w = run(
+        ctx,
+        "DECLARE t0 TIMESTAMP DEFAULT CURRENT_TIMESTAMP();"
+        "UPDATE `p.d.mut` SET o_totalprice = 0 WHERE o_orderkey = 1;"
+        "INSERT INTO `p.d.mut` VALUES"
+        " (999999, TIMESTAMP '1997-06-05 00:00:00', 42.0);"
+        "DELETE FROM `p.d.mut` WHERE o_orderkey = 2;"
+        "SELECT"
+        "  (SELECT COUNT(*) FROM `p.d.mut`) AS n_now,"
+        "  (SELECT COUNT(*) FROM `p.d.mut` FOR SYSTEM_TIME AS OF t0)"
+        "   AS n_before",
+    )
+    row = w.result.first()
+    assert row["n_now"] == before  # +1 insert, -1 delete
+    assert row["n_before"] == before
+    path = ctx.catalog.path_for("p.d.mut")
+    dirs = os.listdir(path)
+    assert any(d.startswith("__pk=") for d in dirs)
+    assert "__pk=1997-06-01" in dirs  # insert landed in a new partition
+    # the updated value survived the layout rewrite
+    got = (
+        ctx.catalog.read("p.d.mut")
+        .filter("o_orderkey = 1")
+        .select("o_totalprice")
+        .first()[0]
+    )
+    assert got == 0.0
+
+
+def test_cluster_by_sorts_within_partitions(ctx):
+    """CLUSTER BY columns are sorted within each partition's files —
+    the property parquet row-group min/max skipping relies on."""
+    run(
+        ctx,
+        "CREATE OR REPLACE TABLE p.d.cl PARTITION BY DATE(o_orderdate)"
+        " CLUSTER BY o_custkey AS"
+        " SELECT o_orderkey, o_custkey, o_orderdate FROM orders",
+    )
+    path = ctx.catalog.path_for("p.d.cl")
+    pdirs = [d for d in os.listdir(path) if d.startswith("__pk=")]
+    checked = 0
+    spark = ctx.spark
+    for d in sorted(pdirs)[:5]:
+        for f in os.listdir(os.path.join(path, d)):
+            if not f.endswith(".parquet"):
+                continue
+            vals = [
+                r[0]
+                for r in spark.read.parquet(os.path.join(path, d, f))
+                .select("o_custkey")
+                .collect()
+            ]
+            assert vals == sorted(vals), (d, f)
+            checked += 1
+    assert checked > 0
+
+
+def test_partition_cap_enforced_and_rolled_back(ctx):
+    """Beyond max_partitions (BigQuery's 4,000) the CREATE raises and a
+    FRESH create rolls its directory and layout metadata back."""
+    ctx.catalog.max_partitions = 5
+    with pytest.raises(WorkerException, match="over the 5 cap"):
+        run(
+            ctx,
+            "CREATE TABLE p.d.toomany PARTITION BY DATE(o_orderdate) AS"
+            " SELECT o_orderkey, o_orderdate FROM orders"
+            " WHERE o_orderkey <= 600",
+        )
+    assert not os.path.isdir(ctx.catalog.path_for("p.d.toomany"))
+    assert ctx.catalog.layout_meta("p.d.toomany") is None
+    ctx.catalog.max_partitions = 4000
+
+
+def test_routing_is_conservative(ctx):
+    """No injection through OR, non-constant bounds, or predicates on
+    OTHER relations' columns — and results stay correct either way."""
+    run(
+        ctx,
+        "CREATE OR REPLACE TABLE p.d.cons PARTITION BY DATE(o_orderdate)"
+        " AS SELECT o_orderkey, o_custkey, o_orderdate FROM orders"
+        " WHERE o_orderkey <= 2000",
+    )
+    # OR at the top level: the whole disjunction is one conjunct -> no route
+    w = run(
+        ctx,
+        "SELECT COUNT(*) AS n FROM `p.d.cons`"
+        " WHERE o_orderdate >= TIMESTAMP '1995-01-01' OR o_custkey = 1",
+    )
+    assert not any("pruned" in line for line in w.log), w.log
+    # non-constant bound (column on the right): no route
+    w = run(
+        ctx,
+        "SELECT COUNT(*) AS n FROM `p.d.cons`"
+        " WHERE o_orderdate >= CAST(o_orderkey AS TIMESTAMP)",
+    )
+    assert not any("pruned" in line for line in w.log), w.log
+    # a JOIN where the bound sits on the OTHER relation's column: the
+    # bare column must NOT be attributed to the partitioned table
+    w = run(
+        ctx,
+        "SELECT COUNT(*) AS n FROM `p.d.cons` c JOIN customer cu"
+        " ON c.o_custkey = cu.c_custkey"
+        " WHERE cu.c_acctbal >= 0 AND c_custkey <= 100",
+    )
+    assert not any("pruned" in line for line in w.log), w.log
+    # ...but a QUALIFIED bound on the partitioned side routes inside the join
+    w = run(
+        ctx,
+        "SELECT COUNT(*) AS n FROM `p.d.cons` c JOIN customer cu"
+        " ON c.o_custkey = cu.c_custkey"
+        " WHERE c.o_orderdate >= TIMESTAMP '1997-01-01'",
+    )
+    assert any("pruned" in line for line in w.log), w.log
+    pf = partition_filters(w.result)
+    assert "__pk" in pf, pf
+
+
+def test_parse_partition_spec_surface():
+    dt = {"ts": "timestamp", "d": "date", "n": "bigint", "s": "string"}
+    assert _parse_partition_spec("d", dt)["kind"] == "identity"
+    assert _parse_partition_spec("DATE(ts)", dt)["kind"] == "date"
+    spec = _parse_partition_spec("TIMESTAMP_TRUNC(ts, MONTH)", dt)
+    assert spec["g_template"] == "DATE_TRUNC(DATE({X}), MONTH)"
+    spec = _parse_partition_spec(
+        "RANGE_BUCKET(n, GENERATE_ARRAY(0, 100, 10))", dt
+    )
+    assert spec["kind"] == "range_bucket"
+    with pytest.raises(WorkerException, match="TIMESTAMP column"):
+        _parse_partition_spec("ts", dt)
+    with pytest.raises(WorkerException, match="RANGE_BUCKET"):
+        _parse_partition_spec("n", dt)
+    with pytest.raises(WorkerException, match="unknown column"):
+        _parse_partition_spec("DATE(zz)", dt)
+    with pytest.raises(WorkerException, match="ingestion-time"):
+        _parse_partition_spec("_PARTITIONDATE", dt)
+    with pytest.raises(WorkerException, match="unsupported"):
+        _parse_partition_spec("DATE_TRUNC(d, WEEK)", dt)
+
+
+def test_derive_partition_conjunct_table():
+    meta = {
+        "source_col": "ts",
+        "pcol": "__pk",
+        "g_template": "DATE({X})",
+        "match_forms": ["date({C})", "to_date({C})"],
+    }
+    d = _derive_partition_conjunct
+    # source form: relaxed monotone mapping
+    assert (
+        d("a.ts > TIMESTAMP '2024-01-02 03:00:00'", meta, "a", False)
+        == "`__pk` >= DATE((TIMESTAMP '2024-01-02 03:00:00'))"
+    )
+    assert d("ts = '2024-01-02'", meta, "a", True) == "`__pk` = DATE(('2024-01-02'))"
+    assert d("ts = '2024-01-02'", meta, "a", False) is None  # bare, ambiguous
+    assert (
+        d("a.ts BETWEEN '2024-01-01' AND '2024-02-01'", meta, "a", False)
+        == "`__pk` BETWEEN DATE(('2024-01-01')) AND DATE(('2024-02-01'))"
+    )
+    # expression form: verbatim op (exact)
+    assert (
+        d("DATE(a.ts) > DATE '2024-01-02'", meta, "a", False)
+        == "`__pk` > DATE '2024-01-02'"
+    )
+    assert (
+        d("DATE(a.ts) IN (DATE '2024-01-02', DATE '2024-01-09')", meta, "a", False)
+        == "`__pk` IN (DATE '2024-01-02', DATE '2024-01-09')"
+    )
+    # inequality / disjunction / non-constant: never derived
+    assert d("a.ts != '2024-01-02'", meta, "a", False) is None
+    assert d("a.ts <> '2024-01-02'", meta, "a", False) is None
+    assert d("a.ts >= '2024-01-01' OR a.x = 1", meta, "a", False) is None
+    assert d("a.ts >= b.other_col", meta, "a", False) is None
+    assert d("a.other = '2024-01-01'", meta, "a", False) is None
+    # constant-expression bounds (CURRENT_DATE arithmetic) still derive
+    assert (
+        d("a.ts >= TIMESTAMP_SUB(CURRENT_TIMESTAMP(), INTERVAL 7 DAY)",
+          meta, "a", False)
+        == "`__pk` >= DATE((TIMESTAMP_SUB(CURRENT_TIMESTAMP(), INTERVAL 7 DAY)))"
+    )
