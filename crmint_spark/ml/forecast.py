@@ -907,12 +907,137 @@ def _r6(x: float) -> float:
     return _round6(x) + 0.0
 
 
+#: Above this many series the EXPLAIN decomposition routes through the
+#: distributed replay (when a history table was persisted) instead of
+#: the driver loop — the driver path is O(n_series x history) Python.
+EXPLAIN_DRIVER_SERIES_MAX = 1024
+
+
+def _day_utc(us: int) -> str:
+    import datetime
+
+    return datetime.datetime.fromtimestamp(
+        us / 1e6, datetime.timezone.utc
+    ).strftime("%Y-%m-%d")
+
+
+def _replay_series(
+    s: dict,
+    ys: list[float],
+    tus: list[int],
+    horizon: int,
+    he: float,
+    hol_dates: set,
+    confidence: float,
+) -> list[tuple]:
+    """Per-series decomposition rows (history + forecast) — the ONE fold
+    replay implementation, shared verbatim by the driver loop and the
+    distributed applyInPandas path so both produce IEEE-identical
+    components (plain Python floats, expression order identical to the
+    Spark fit fold and the DuckDB oracle)."""
+    import math
+
+    a, one_a = float(HOLT_ALPHA), 1.0 - HOLT_ALPHA
+    b_, one_b = float(HOLT_BETA), 1.0 - HOLT_BETA
+    g_, one_g = float(HOLT_GAMMA), 1.0 - HOLT_GAMMA
+    m = int(s.get("period", 0))
+    n = len(ys)
+    rows: list[tuple] = []
+    comp = []  # (trend, seasonal) per history position
+    if m >= 2 and n >= 2 * m:
+        acc = 0.0
+        for y in ys[:m]:
+            acc = acc + y
+        l0 = acc / float(m)
+        acc2 = 0.0
+        for y in ys[m : 2 * m]:
+            acc2 = acc2 + y
+        b0 = (acc2 / float(m) - l0) / float(m)
+        mid = (m + 1) / 2.0
+        s_arr = [ys[i] - (l0 + (float(i + 1) - mid) * b0) for i in range(m)]
+        for i in range(m):
+            comp.append((l0 + (float(i + 1) - mid) * b0, s_arr[i]))
+        lev, tr = l0, b0
+        for t in range(m, n):
+            y, s1 = ys[t], s_arr[0]
+            comp.append((lev + tr, s1))
+            new_l = a * (y - s1) + one_a * (lev + tr)
+            new_b = b_ * (new_l - lev) + one_b * tr
+            s_arr = s_arr[1:] + [g_ * (y - new_l) + one_g * s1]
+            lev, tr = new_l, new_b
+    else:
+        comp.append((ys[0], 0.0))
+        lev, tr = ys[0], 0.0
+        for t in range(1, n):
+            y = ys[t]
+            comp.append((lev + tr, 0.0))
+            new_l = a * y + one_a * (lev + tr)
+            new_b = b_ * (new_l - lev) + one_b * tr
+            lev, tr = new_l, new_b
+    for t in range(n):
+        hol_t = he if _day_utc(tus[t]) in hol_dates else 0.0
+        data_t = ys[t] + hol_t
+        trend_t, seas_t = comp[t]
+        rows.append(
+            (
+                s["series_id"],
+                int(tus[t]),
+                "history",
+                _r6(data_t),
+                _r6(trend_t),
+                _r6(seas_t),
+                _r6(hol_t),
+                _r6(data_t - trend_t - seas_t - hol_t),
+                None,
+                None,
+                None,
+                None,
+            )
+        )
+    sigma = math.sqrt(s["sse"] / s["n_resid"]) if s["n_resid"] else 0.0
+    for h in range(1, int(horizon) + 1):
+        ts_h = s["last_us"] + h * s["iv_us"]
+        trend_h = s["level"] + h * s["trend"]
+        seas_h = s["seasonal"][(h - 1) % m] if m > 0 else 0.0
+        hol_h = he if _day_utc(ts_h) in hol_dates else 0.0
+        point = (trend_h + seas_h) + hol_h
+        se = sigma * math.sqrt(float(h))
+        rows.append(
+            (
+                s["series_id"],
+                int(ts_h),
+                "forecast",
+                None,
+                _r6(trend_h),
+                _r6(seas_h),
+                _r6(hol_h),
+                None,
+                _r6(se),
+                float(confidence),
+                _r6(point - CONFIDENCE_Z[confidence] * se),
+                _r6(point + CONFIDENCE_Z[confidence] * se),
+            )
+        )
+    return rows
+
+
+EXPLAIN_SCHEMA = (
+    "series_id string, time_series_timestamp_us bigint, "
+    "time_series_type string, time_series_data double, trend double, "
+    "seasonal_period_weekly double, holiday_effect double, "
+    "residual double, standard_error double, confidence_level double, "
+    "prediction_interval_lower_bound double, "
+    "prediction_interval_upper_bound double"
+)
+
+
 def explain_forecast_frame(
     spark: SparkSession,
     state: list[dict],
     horizon: int,
     holiday: dict | None = None,
     confidence: float = FORECAST_CONFIDENCE_LEVEL,
+    history_path: str | None = None,
 ) -> DataFrame:
     """``ML.EXPLAIN_FORECAST``: per-timestamp decomposition for history
     AND horizon rows — BigQuery's companion to ML.FORECAST
@@ -940,122 +1065,77 @@ def explain_forecast_frame(
         ML.FORECAST's forecast_value exactly; standard_error and the
         prediction interval match ML.FORECAST; time_series_data and
         residual are NULL.
-    """
-    import math
 
-    a, one_a = float(HOLT_ALPHA), 1.0 - HOLT_ALPHA
-    b_, one_b = float(HOLT_BETA), 1.0 - HOLT_BETA
-    g_, one_g = float(HOLT_GAMMA), 1.0 - HOLT_GAMMA
+    Scale (round 8, VERDICT r7 #2): series whose history exceeds
+    EXPLAIN_HISTORY_MAX (not embedded in the model meta), and whole
+    models past EXPLAIN_DRIVER_SERIES_MAX series, replay DISTRIBUTED —
+    an applyInPandas per-series fold over the history TABLE persisted
+    at fit time (``history_path``), sharing the exact ``_replay_series``
+    code with the driver loop so both paths are bit-identical. The
+    raise remains only for pre-round-8 models that persisted neither
+    arrays nor a history table."""
     hol_eff = (holiday or {}).get("effects", {})
     hol_dates = set((holiday or {}).get("dates", []))
 
-    def _day(us: int) -> str:
-        import datetime
-
-        return datetime.datetime.fromtimestamp(
-            us / 1e6, datetime.timezone.utc
-        ).strftime("%Y-%m-%d")
+    driver_state = [s for s in state if s.get("ys")]
+    dist_state = [s for s in state if not s.get("ys")]
+    if history_path and len(state) > EXPLAIN_DRIVER_SERIES_MAX:
+        driver_state, dist_state = [], list(state)
+    if dist_state and not history_path:
+        raise ValueError(
+            "ML.EXPLAIN_FORECAST needs the per-series history persisted"
+            " with the model: re-run CREATE MODEL (models fit before the"
+            " distributed-replay support persisted neither the"
+            f" <= {EXPLAIN_HISTORY_MAX}-point arrays nor a history"
+            " table) — ML.FORECAST still serves them"
+        )
 
     rows = []
-    for s in state:
-        ys, tus = s.get("ys"), s.get("tus")
-        if not ys:
-            raise ValueError(
-                "ML.EXPLAIN_FORECAST needs the per-series history"
-                " persisted with the model: re-run CREATE MODEL, and"
-                f" note series longer than {EXPLAIN_HISTORY_MAX} points"
-                " do not persist history (EXPLAIN_HISTORY_MAX) —"
-                " ML.FORECAST still serves them"
-            )
-        m = int(s.get("period", 0))
+    for s in driver_state:
         he = float(hol_eff.get(s["series_id"], 0.0))
-        n = len(ys)
-        comp = []  # (trend, seasonal) per history position
-        if m >= 2 and n >= 2 * m:
-            acc = 0.0
-            for y in ys[:m]:
-                acc = acc + y
-            l0 = acc / float(m)
-            acc2 = 0.0
-            for y in ys[m : 2 * m]:
-                acc2 = acc2 + y
-            b0 = (acc2 / float(m) - l0) / float(m)
-            mid = (m + 1) / 2.0
-            s_arr = [
-                ys[i] - (l0 + (float(i + 1) - mid) * b0) for i in range(m)
-            ]
-            for i in range(m):
-                comp.append((l0 + (float(i + 1) - mid) * b0, s_arr[i]))
-            lev, tr = l0, b0
-            for t in range(m, n):
-                y, s1 = ys[t], s_arr[0]
-                comp.append((lev + tr, s1))
-                new_l = a * (y - s1) + one_a * (lev + tr)
-                new_b = b_ * (new_l - lev) + one_b * tr
-                s_arr = s_arr[1:] + [g_ * (y - new_l) + one_g * s1]
-                lev, tr = new_l, new_b
-        else:
-            comp.append((ys[0], 0.0))
-            lev, tr = ys[0], 0.0
-            for t in range(1, n):
-                y = ys[t]
-                comp.append((lev + tr, 0.0))
-                new_l = a * y + one_a * (lev + tr)
-                new_b = b_ * (new_l - lev) + one_b * tr
-                lev, tr = new_l, new_b
-        for t in range(n):
-            hol_t = he if _day(tus[t]) in hol_dates else 0.0
-            data_t = ys[t] + hol_t
-            trend_t, seas_t = comp[t]
-            rows.append(
-                (
-                    s["series_id"],
-                    int(tus[t]),
-                    "history",
-                    _r6(data_t),
-                    _r6(trend_t),
-                    _r6(seas_t),
-                    _r6(hol_t),
-                    _r6(data_t - trend_t - seas_t - hol_t),
-                    None,
-                    None,
-                    None,
-                    None,
-                )
+        rows.extend(
+            _replay_series(
+                s, s["ys"], s["tus"], horizon, he, hol_dates, confidence
             )
-        sigma = math.sqrt(s["sse"] / s["n_resid"]) if s["n_resid"] else 0.0
-        for h in range(1, int(horizon) + 1):
-            ts_h = s["last_us"] + h * s["iv_us"]
-            trend_h = s["level"] + h * s["trend"]
-            seas_h = s["seasonal"][(h - 1) % m] if m > 0 else 0.0
-            hol_h = he if _day(ts_h) in hol_dates else 0.0
-            point = (trend_h + seas_h) + hol_h
-            se = sigma * math.sqrt(float(h))
-            rows.append(
-                (
-                    s["series_id"],
-                    int(ts_h),
-                    "forecast",
-                    None,
-                    _r6(trend_h),
-                    _r6(seas_h),
-                    _r6(hol_h),
-                    None,
-                    _r6(se),
-                    float(confidence),
-                    _r6(point - CONFIDENCE_Z[confidence] * se),
-                    _r6(point + CONFIDENCE_Z[confidence] * se),
-                )
-            )
-    return spark.createDataFrame(
-        rows,
-        "series_id string, time_series_timestamp_us bigint, "
-        "time_series_type string, time_series_data double, trend double, "
-        "seasonal_period_weekly double, holiday_effect double, "
-        "residual double, standard_error double, confidence_level double, "
-        "prediction_interval_lower_bound double, "
-        "prediction_interval_upper_bound double",
+        )
+    df = spark.createDataFrame(rows, EXPLAIN_SCHEMA)
+    if not dist_state:
+        return df
+
+    scalars = {s["series_id"]: s for s in dist_state}
+    n_horizon, conf = int(horizon), float(confidence)
+
+    def replay(pdf):
+        import pandas as pd
+
+        sid = pdf["series_id"].iloc[0]
+        s = scalars.get(sid)
+        if s is None:  # series dropped by the fit (< 2 points)
+            return pd.DataFrame(columns=_EXPLAIN_COLS)
+        pdf = pdf.sort_values(["ts_us", "y"])
+        ys = [float(v) for v in pdf["y"]]
+        tus = [int(v) for v in pdf["ts_us"]]
+        he = float(hol_eff.get(sid, 0.0))
+        out = _replay_series(
+            s, ys, tus, n_horizon, he, hol_dates, conf
+        )
+        return pd.DataFrame(out, columns=_EXPLAIN_COLS)
+
+    hist = spark.read.parquet(history_path)
+    if len(scalars) < len(state):
+        hist = hist.where(F.col("series_id").isin(list(scalars)))
+    dist_df = hist.groupBy("series_id").applyInPandas(
+        replay, schema=EXPLAIN_SCHEMA
     )
+    return df.unionByName(dist_df)
+
+
+_EXPLAIN_COLS = [
+    "series_id", "time_series_timestamp_us", "time_series_type",
+    "time_series_data", "trend", "seasonal_period_weekly",
+    "holiday_effect", "residual", "standard_error", "confidence_level",
+    "prediction_interval_lower_bound", "prediction_interval_upper_bound",
+]
 
 
 _ML_EXPLAIN_FORECAST_RE = re.compile(
@@ -1082,7 +1162,12 @@ def rewrite_ml_explain_forecast(
         h, conf = _parse_forecast_struct(m.group(2))
         horizon = h if h is not None else int(meta.get("horizon", 10))
         df = explain_forecast_frame(
-            spark, meta["state"], horizon, meta.get("holiday"), conf
+            spark,
+            meta["state"],
+            horizon,
+            meta.get("holiday"),
+            conf,
+            history_path=meta.get("history_path"),
         )
         counter[0] += 1
         view = f"__ml_explain_forecast_{counter[0]}"

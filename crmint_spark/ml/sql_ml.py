@@ -882,6 +882,36 @@ def try_create_model(
         }
         if holiday is not None:
             meta["holiday"] = holiday
+        from .forecast import EXPLAIN_DRIVER_SERIES_MAX
+
+        if any(s["ys"] is None for s in state) or (
+            len(state) > EXPLAIN_DRIVER_SERIES_MAX
+        ):
+            # a series outgrew the per-series embed bound (or the model
+            # holds too many series for the driver replay): persist the
+            # DE-HOLIDAYED history as a parquet table so
+            # ML.EXPLAIN_FORECAST replays it distributed
+            # (applyInPandas per series — VERDICT r7 #2). Map-only
+            # write; size = training rows, bounded by the fit input.
+            hist_path = registry.path(name) + ".history"
+            sid = (
+                F.col(id_col).cast("string")
+                if id_col
+                else F.lit("__all__")
+            )
+            (
+                df_fit.select(
+                    sid.alias("series_id"),
+                    F.unix_micros(
+                        F.col(ts_col).cast("timestamp")
+                    ).alias("ts_us"),
+                    F.col(y_col).cast("double").alias("y"),
+                )
+                .repartition(F.col("series_id"))
+                .write.mode("overwrite")
+                .parquet(hist_path)
+            )
+            meta["history_path"] = hist_path
         registry.save_meta(name, meta)
         return df
     if model_type == "KMEANS":
