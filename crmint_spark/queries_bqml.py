@@ -1341,3 +1341,69 @@ BQML_QUERIES["bqml_vocab_broadcast"] = (
     bqml_vocab_broadcast,
     BQML_VOCAB_BROADCAST_SQL,
 )
+
+
+def bqml_onehot_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """>10k-category ML.ONE_HOT_ENCODER scale path (round 8, VERDICT r7
+    #3): above _VOCAB_MAX the encoder now joins the SAME persisted
+    vocabulary table as LABEL_ENCODER (hinted BroadcastHashJoin) and
+    wraps the joined index as its single sparse entry — EXACT
+    semantics, closing the former hash-bucket divergence (the hashing
+    trick remains as the opt-in drop => 'hash'). The probe mixes
+    in-vocabulary, beyond-vocabulary and unseen categories plus a NULL;
+    the DuckDB oracle replays the frequency-then-value ranking and the
+    left join by value. The TRANSFORM consumes the encoder's single
+    sparse entry immediately (``[OFFSET(0)]``) so the KMEANS host model
+    sees numeric features; the struct-array shape itself is asserted in
+    test_sql_ml (test_big_vocab_encoder_broadcast_paths)."""
+    from .catalog import register_testdata
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE MODEL `p.d.bigonehot`
+    TRANSFORM(ML.ONE_HOT_ENCODER(cat)[OFFSET(0)].index AS oh_idx,
+              ML.ONE_HOT_ENCODER(cat)[OFFSET(0)].value AS oh_val)
+    OPTIONS(MODEL_TYPE='KMEANS', NUM_CLUSTERS=2, MAX_ITERATIONS=1,
+            STANDARDIZE_FEATURES=FALSE) AS
+    SELECT CONCAT('c', CAST(r AS STRING)) AS cat
+    FROM UNNEST(GENERATE_ARRAY(1, 10001)) AS r;
+    SELECT oh_idx, oh_val,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 50) AS src_n
+    FROM ML.TRANSFORM(MODEL `p.d.bigonehot`,
+      (SELECT CONCAT('c', CAST(r * 53 AS STRING)) AS cat
+       FROM UNNEST(GENERATE_ARRAY(1, 300)) AS r
+       UNION ALL SELECT 'zzz_unseen'
+       UNION ALL SELECT CAST(NULL AS STRING)))
+    ORDER BY oh_idx
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False}, WorkerContext(spark)
+    )
+    w.execute()
+    return w.result
+
+
+BQML_ONEHOT_BROADCAST_SQL = """
+WITH vocab AS (
+  SELECT cat AS v,
+         row_number() OVER (ORDER BY COUNT(*) DESC, cat ASC) AS idx
+  FROM (SELECT 'c' || CAST(x AS VARCHAR) AS cat FROM range(1, 10002) t(x))
+  GROUP BY cat
+), probe AS (
+  SELECT 'c' || CAST(x * 53 AS VARCHAR) AS cat FROM range(1, 301) t(x)
+  UNION ALL SELECT 'zzz_unseen'
+  UNION ALL SELECT CAST(NULL AS VARCHAR)
+)
+SELECT CAST(coalesce(v.idx, 0) AS BIGINT) AS oh_idx,
+       CAST(1.0 AS DOUBLE) AS oh_val,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 50) AS src_n
+FROM probe p LEFT JOIN vocab v ON p.cat = v.v
+ORDER BY oh_idx
+"""
+
+BQML_QUERIES["bqml_onehot_broadcast"] = (
+    bqml_onehot_broadcast,
+    BQML_ONEHOT_BROADCAST_SQL,
+)

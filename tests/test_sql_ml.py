@@ -1708,11 +1708,13 @@ def test_ml_training_info_and_feature_importance(ctx):
 
 def test_big_vocab_encoder_broadcast_paths(ctx, monkeypatch):
     """>_VOCAB_MAX encoder scale paths (VERDICT r6 #3), exercised with
-    a lowered threshold: LABEL_ENCODER joins the persisted vocabulary
-    table (plan shows a BroadcastHashJoin), MULTI_HOT encodes through
-    the vectorized broadcast-dict UDF, ONE_HOT hash-buckets (documented
-    divergence), and the persisted model replays identically through a
-    FRESH registry load (vocab views/UDFs re-registered from meta)."""
+    a lowered threshold: LABEL_ENCODER and ONE_HOT_ENCODER join the
+    persisted vocabulary table (plan shows a BroadcastHashJoin; ONE_HOT
+    is EXACT since round 8 — VERDICT r7 #3), MULTI_HOT encodes through
+    the vectorized broadcast-dict UDF, and the persisted model replays
+    identically through a FRESH registry load (vocab views/UDFs
+    re-registered from meta). drop => 'hash' opts into the hashing
+    trick."""
     from crmint_spark.ml import sql_ml
 
     monkeypatch.setattr(sql_ml, "_VOCAB_MAX", 5)
@@ -1754,7 +1756,9 @@ def test_big_vocab_encoder_broadcast_paths(ctx, monkeypatch):
     # (60 rows, i%9) — ranked count DESC then value ASC; in-vocab
     # results must be consistent between LABEL and MULTI_HOT
     assert r["cat_enc"] > 0 and r["n_tags"] == 2 and r["tag0"] > 0
-    assert r["oh_idx"] >= 1  # hash bucket, 1-based
+    # big-vocab ONE_HOT is EXACT: its single sparse entry carries the
+    # SAME vocabulary index LABEL_ENCODER assigns (round 8)
+    assert r["oh_idx"] == r["cat_enc"]
     # the vocabulary join broadcasts (BroadcastHashJoin) over a real
     # relation input (a single literal row constant-folds to a
     # nested-loop probe instead — also broadcast, also fine)
@@ -1771,13 +1775,33 @@ def test_big_vocab_encoder_broadcast_paths(ctx, monkeypatch):
         ctx,
         """
         SELECT CAST(cat_enc AS INT64) AS cat_enc,
-               ARRAY_LENGTH(tags_enc) AS n_tags
+               ARRAY_LENGTH(tags_enc) AS n_tags,
+               cat_oh[OFFSET(0)].index AS oh_idx
         FROM ML.TRANSFORM(MODEL `p.d.bv_m`,
           (SELECT 'unseen' AS cat, ['nope'] AS tags,
                   CAST(0 AS FLOAT64) AS label))
         """,
     ).result.first()
     assert r2["cat_enc"] == 0 and r2["n_tags"] == 0
+    assert r2["oh_idx"] == 0  # unseen -> index 0, literal-path parity
+    # opt-in hashing trick still available as drop => 'hash'
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.bv_h`
+        TRANSFORM(ML.ONE_HOT_ENCODER(cat, 'hash') AS cat_oh, label)
+        OPTIONS(MODEL_TYPE='LINEAR_REG', INPUT_LABEL_COLS=['label'],
+                MAX_ITERATIONS=2)
+          AS (SELECT cat, label FROM bv_train)
+        """,
+    )
+    rh = _run(
+        ctx,
+        "SELECT cat_oh[OFFSET(0)].index AS oh_idx"
+        " FROM ML.TRANSFORM(MODEL `p.d.bv_h`,"
+        " (SELECT 'k3' AS cat, CAST(0 AS FLOAT64) AS label))",
+    ).result.first()
+    assert 1 <= rh["oh_idx"] <= 16  # bucketed (next pow2 >= 9 vocab)
     # fresh-registry replay: drop the fitting session's views (found by
     # prefix — names carry a content digest), reload purely from meta
     vocab_views = [
