@@ -1905,13 +1905,16 @@ class SparkSQLExecutor(Worker):
                 continue  # vacuous TRUE: scan rewrite folds it cheaply
             tok_list = ", ".join(f"'{t}'" for t in toks)
             # bucket literals for STATIC partition pruning (one tiny
-            # job, |query tokens| rows)
+            # job, |query tokens| rows). The searched COLUMN is part of
+            # the bucket key (round 8): a multi-column index's probe
+            # opens only this column's buckets.
             vals = ", ".join(f"('{t}')" for t in toks)
             buckets = sorted(
                 {
                     int(r["b"])
                     for r in self._ctx.spark.sql(
-                        f"SELECT pmod(xxhash64(t), {SEARCH_INDEX_BUCKETS})"
+                        f"SELECT pmod(xxhash64('{col}', t),"
+                        f" {SEARCH_INDEX_BUCKETS})"
                         f" AS b FROM VALUES {vals} AS v(t)"
                     ).collect()
                 }
