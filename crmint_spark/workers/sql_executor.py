@@ -179,15 +179,17 @@ def _resolves_to_table(
     _depth: int = 0,
 ) -> bool:
     """True when ``rel`` IS the table named ``table_last`` (compared on
-    the last name component), or is a CTE that is a trivial
-    filter/projection over it — rows a subset, ``needed_cols`` passing
-    through unrenamed (``SELECT *`` or listed bare). One level of CTE
-    indirection only (VERDICT r6 #6)."""
+    the last name component), or is a CTE chain of trivial
+    filter/projections over it — rows a subset, ``needed_cols`` passing
+    through unrenamed (``SELECT *`` or listed bare) at EVERY level.
+    Multi-level chains resolve (round 8, VERDICT r7 #5 — one level
+    before); the depth cap only guards pathological self-referencing
+    WITH clauses."""
     name = rel.split(".")[-1].strip("`").lower()
     if name == table_last:
         return True
     body = ctes.get(name)
-    if body is None or _depth >= 1:
+    if body is None or _depth >= 8:
         return False
     if re.search(
         r"\b(JOIN|GROUP\s+BY|UNION|INTERSECT|EXCEPT|QUALIFY|PIVOT"
@@ -218,15 +220,20 @@ _VS_TRIVIAL_RE = re.compile(
 
 
 def _vs_trivial_subset(
-    body: str, vector_indexes: dict
+    body: str,
+    vector_indexes: dict,
+    ctes: dict[str, str] | None = None,
+    _depth: int = 0,
 ) -> tuple[str, dict, str | None] | None:
     """Resolve a ``SELECT * FROM <indexed table> [WHERE pred]`` body to
-    (table, index entry, pred). None when the body is anything else —
-    the always-correct exact path serves opaque bases. Outer parens are
-    stripped only when balanced as a pair (an optional ``\\)?`` in the
-    regex would eat the closing paren of a predicate ending in ')',
-    e.g. ``WHERE cat IN (1, 2)`` — review finding r7)."""
-    if not body:
+    (table, index entry, pred). The base may itself be a trivial CTE —
+    chains resolve through ``ctes`` with the levels' predicates ANDed
+    (round 8, VERDICT r7 #5; one level before). None when the body is
+    anything else — the always-correct exact path serves opaque bases.
+    Outer parens are stripped only when balanced as a pair (an optional
+    ``\\)?`` in the regex would eat the closing paren of a predicate
+    ending in ')', e.g. ``WHERE cat IN (1, 2)`` — review finding r7)."""
+    if not body or _depth >= 8:
         return None
     body = body.strip()
     if body.startswith("(") and body.endswith(")"):
@@ -242,11 +249,24 @@ def _vs_trivial_subset(
         r"\b(SELECT|JOIN|GROUP|UNION|ORDER|LIMIT)\b", pred, re.IGNORECASE
     ):
         return None
+    pred = pred.strip() if pred else None
     table = m.group(1).strip("`")
     entry = vector_indexes.get(table)
     if entry is None:
-        return None
-    return table, entry, (pred.strip() if pred else None)
+        inner_body = (ctes or {}).get(table.split(".")[-1].lower())
+        if inner_body is None:
+            return None
+        inner = _vs_trivial_subset(
+            inner_body, vector_indexes, ctes, _depth + 1
+        )
+        if inner is None:
+            return None
+        table, entry, inner_pred = inner
+        if inner_pred is not None:
+            pred = (
+                f"({inner_pred}) AND ({pred})" if pred else inner_pred
+            )
+    return table, entry, pred
 
 
 def _qualify_pred(
@@ -1985,20 +2005,23 @@ class SparkSQLExecutor(Worker):
                 base_table = m_t.group(1).strip().strip("`")
                 entry = vector_indexes.get(base_table)
                 if entry is None:
-                    # one level of aliasing (VERDICT r6 #6): a CTE that
-                    # is SELECT * [WHERE ...] over an indexed table
-                    # still routes — the filter applies post-join (the
-                    # layout holds every base row, so filtering the
-                    # joined rows is exactly filtering the base)
+                    # CTE chains of SELECT * [WHERE ...] over an
+                    # indexed table route (VERDICT r6 #6, multi-level
+                    # since round 8): the ANDed filters apply post-join
+                    # (the layout holds every base row, so filtering
+                    # the joined rows is exactly filtering the base)
                     resolved = _vs_trivial_subset(
                         ctes.get(base_table.split(".")[-1].lower(), ""),
                         vector_indexes,
+                        ctes,
                     )
                     if resolved:
                         base_table, entry, base_pred = resolved
             else:
                 # inline trivial subquery base: (SELECT * FROM t WHERE ..)
-                resolved = _vs_trivial_subset(raw_args[0], vector_indexes)
+                resolved = _vs_trivial_subset(
+                    raw_args[0], vector_indexes, ctes
+                )
                 if not resolved:
                     continue  # opaque subquery base: exact path serves
                 base_table, entry, base_pred = resolved

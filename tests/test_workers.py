@@ -1659,6 +1659,82 @@ def test_search_index_routes_through_trivial_cte(spark):
     assert routed == [r["doc_id"] for r in w2.result.collect()]
 
 
+def test_search_index_routes_through_two_level_cte(spark):
+    """A CHAIN of trivial filter/projection CTEs still resolves to the
+    indexed table (VERDICT r7 #5 — one level before round 8), and a
+    non-trivial level (JOIN) anywhere in the chain blocks routing."""
+    from crmint_spark.catalog import register_testdata
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+
+    def run(script):
+        w = SparkSQLExecutor(
+            {"script": script, "dry_run": False}, WorkerContext(spark)
+        )
+        w.execute()
+        return w
+
+    q = (
+        "WITH recent AS (SELECT doc_id, text FROM documents"
+        " WHERE doc_id < 400),"
+        " narrowed AS (SELECT doc_id, text FROM recent WHERE doc_id >= 10)"
+        " SELECT doc_id FROM narrowed WHERE SEARCH(text, 'spark merge')"
+        " ORDER BY doc_id"
+    )
+    w = run("CREATE SEARCH INDEX sidx_cte2 ON documents(text);" + q)
+    assert any("routed through index" in line for line in w.log), w.log
+    routed = [r["doc_id"] for r in w.result.collect()]
+    w2 = run(q)  # unindexed: scan rewrite, same rows
+    assert routed == [r["doc_id"] for r in w2.result.collect()]
+    # a JOIN level in the chain is NOT trivial: no routing
+    q3 = (
+        "WITH recent AS (SELECT d.doc_id, d.text FROM documents d"
+        " JOIN documents e ON d.doc_id = e.doc_id),"
+        " narrowed AS (SELECT doc_id, text FROM recent)"
+        " SELECT COUNT(*) AS n FROM narrowed"
+        " WHERE SEARCH(text, 'spark merge')"
+    )
+    w3 = run("CREATE SEARCH INDEX sidx_cte3 ON documents(text);" + q3)
+    assert not any("routed through index" in line for line in w3.log), w3.log
+
+
+def test_vector_search_routes_through_cte_chain(spark):
+    """VECTOR_SEARCH over a two-level trivial CTE chain routes through
+    the IVF layout with the levels' predicates ANDed, matching the
+    exact path's rows."""
+    from crmint_spark.catalog import register_testdata
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+
+    def run(script):
+        w = SparkSQLExecutor(
+            {"script": script, "dry_run": False}, WorkerContext(spark)
+        )
+        w.execute()
+        return w
+
+    q = (
+        "WITH lvl1 AS (SELECT * FROM embeddings WHERE vec_id < 500),"
+        " lvl2 AS (SELECT * FROM lvl1 WHERE vec_id >= 4)"
+        " SELECT query.vec_id AS qid, base.vec_id AS nid"
+        " FROM VECTOR_SEARCH(TABLE lvl2, 'embedding',"
+        " (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 7),"
+        " query_column_to_search => 'embedding', top_k => 3)"
+        " ORDER BY qid, nid"
+    )
+    w = run(
+        "CREATE VECTOR INDEX vidx_cte2 ON embeddings(embedding)"
+        " OPTIONS(index_type='IVF');" + q
+    )
+    assert any("IVF" in line or "routed" in line for line in w.log), w.log
+    routed = [tuple(r) for r in w.result.collect()]
+    w2 = run(q)  # no index: exact path
+    assert routed == [tuple(r) for r in w2.result.collect()]
+    assert len(routed) == 3
+
+
 def test_search_index_routing_respects_table(spark):
     """A same-named column on a DIFFERENT table must NOT be answered
     from the recorded index's postings (review finding: the routing
