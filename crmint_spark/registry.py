@@ -213,6 +213,15 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str |
 # small twins each already hold 3-5 green rows from r1-r5).
 
 _PINNED = ["q01_"]
+# Bench/pytest-only tier (VERDICT r7 #6): these full-size heavy entries
+# exceed the driver's per-entry budget BY DESIGN (multi-round star-CC
+# over the whole corpus, full SemDeDup, full BPE merge training); their
+# `_small` same-algorithm/same-oracle twins carry the driver contract
+# and are driver-green (r5-r7). The full-size entries move OUT of
+# queries() into HEAVY_QUERIES below — still oracle-checked every run
+# in tests/test_parity.py (sf0.001 default, sf0.01 under PARITY_FULL)
+# and probed by tools/scale_probe.py — so the driver's never-sampled
+# count reflects only entries it can actually sample.
 _HEAVY_TAIL = ("dedup_clusters_star", "semantic_dedup", "corpus_bpe_merges")
 _COSTLY_PREFIXES = ("streaming_", "bqml_", "multimodal_", "ml_train")
 # bqml_ entries measured CHEAP in the bench secondary tier (<= ~2 s
@@ -276,8 +285,6 @@ def _sweep_order(names: list[str]) -> list[str]:
         for j, pfx in enumerate(_PINNED):
             if name.startswith(pfx):
                 return (0, j, 0)
-        if name in _HEAVY_TAIL:
-            return (5, 0, i)
         costly = (
             name.startswith(_COSTLY_PREFIXES)
             and name not in _CHEAP_OVERRIDES
@@ -288,6 +295,14 @@ def _sweep_order(names: list[str]) -> list[str]:
 
     return [n for _, n in sorted(enumerate(names), key=rank)]
 
+
+HEAVY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+HEAVY_ORACLES: dict[str, str] = {}
+for _n in _HEAVY_TAIL:
+    if _n in QUERIES:
+        HEAVY_QUERIES[_n] = QUERIES.pop(_n)
+    if _n in ORACLES:
+        HEAVY_ORACLES[_n] = ORACLES.pop(_n)
 
 for _n in _sweep_order(list(QUERIES)):
     QUERIES[_n] = QUERIES.pop(_n)

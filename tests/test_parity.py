@@ -11,7 +11,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from crmint_spark.registry import ORACLES, QUERIES  # noqa: E402
+from crmint_spark.registry import (  # noqa: E402
+    HEAVY_ORACLES,
+    HEAVY_QUERIES,
+    ORACLES,
+    QUERIES,
+)
 from tests.parity import compare, duckdb_conn  # noqa: E402
 
 SF = (
@@ -32,6 +37,16 @@ def con():
 def test_oracle_parity(spark, con, name):
     df = QUERIES[name](spark, SF)
     compare(df, con, ORACLES[name])
+
+
+@pytest.mark.parametrize("name", sorted(HEAVY_ORACLES))
+def test_heavy_oracle_parity(spark, con, name):
+    """The bench/pytest-only heavy tier (full-size star-CC, SemDeDup,
+    BPE — VERDICT r7 #6): out of the driver's queries() because they
+    exceed its per-entry budget by design, but oracle-checked HERE at
+    the same SFs so the full-size code paths keep hard evidence."""
+    df = HEAVY_QUERIES[name](spark, SF)
+    compare(df, con, HEAVY_ORACLES[name])
 
 
 def test_all_queries_return_rows(spark):

@@ -27,7 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from crmint_spark.catalog import TESTDATA_TABLES, load  # noqa: E402
-from crmint_spark.registry import QUERIES  # noqa: E402
+from crmint_spark.registry import HEAVY_QUERIES, QUERIES  # noqa: E402
+
+QUERIES = {**QUERIES, **HEAVY_QUERIES}  # probes cover the heavy tier too
 from crmint_spark.session import get_spark  # noqa: E402
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
