@@ -395,6 +395,18 @@ class Catalog:
             )
         return n
 
+    def table_fingerprint(self, table_id: str) -> str | None:
+        """Cheap change detector for a catalog-tree table: directory
+        mtime (every copy-on-write swap renames a fresh directory into
+        place; appends add files) plus entry count. None for anything
+        not in the parquet tree (session views are untrackable). Used
+        by the materialized-view smart rewrite's staleness check."""
+        p = self.path_for(table_id)
+        if not os.path.isdir(p):
+            return None
+        st = os.stat(p)
+        return f"{st.st_mtime_ns}:{len(os.listdir(p))}"
+
     def ensure_layout_view(self, table_id: str) -> str:
         """Temp view over the RAW partitioned layout (derived partition
         column exposed) — the executor's partition-scan routing reads

@@ -257,9 +257,82 @@ GROUP BY month ORDER BY month
 """
 
 
+def dml_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view smart rewrite end-to-end (round 8, VERDICT r7
+    #7): an aggregate MATERIALIZED VIEW over a catalog table; the same
+    aggregate statement re-issued reads the MV (rewrite asserted via
+    the worker log), then a base INSERT flips the staleness fingerprint
+    and the identical statement recomputes fresh. Both phases return —
+    the rewrite must be INVISIBLE in values (phase 'mv' equals the
+    pre-mutation aggregate, phase 'fresh' the post-mutation one), which
+    is exactly what the DuckDB oracle replays."""
+    from pyspark.sql import functions as F
+
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_q_"))
+    cat.write(
+        spark.sql(
+            "SELECT c_mktsegment AS seg, c_acctbal AS bal FROM customer"
+            " WHERE c_custkey <= 500"
+        ),
+        "p.crm.mvb",
+    )
+
+    def run(script):
+        w = SparkSQLExecutor(
+            {"script": script, "dry_run": False},
+            WorkerContext(spark=spark, catalog=cat),
+        )
+        w.execute()
+        return w
+
+    agg = (
+        "SELECT seg, COUNT(*) AS n, ROUND(SUM(bal), 2) AS tot"
+        " FROM `p.crm.mvb` GROUP BY seg"
+    )
+    run(f"CREATE MATERIALIZED VIEW `p.crm.mvagg` AS {agg}")
+    w_mv = run(agg)
+    assert any("smart rewrite" in line for line in w_mv.log), w_mv.log
+    r_mv = w_mv.result
+    run(
+        "INSERT INTO `p.crm.mvb` VALUES ('ZNEW', 10.0),"
+        " ('BUILDING', 5.0)"
+    )
+    w_fresh = run(agg)
+    assert not any("smart rewrite" in line for line in w_fresh.log)
+    return (
+        r_mv.select(F.lit("mv").alias("phase"), "seg", "n", "tot")
+        .unionAll(
+            w_fresh.result.select(
+                F.lit("fresh").alias("phase"), "seg", "n", "tot"
+            )
+        )
+        .orderBy("phase", "seg")
+    )
+
+
+DML_MV_REWRITE_SQL = """
+WITH base0 AS (
+  SELECT c_mktsegment AS seg, c_acctbal AS bal FROM customer
+  WHERE c_custkey <= 500
+), base1 AS (
+  SELECT * FROM base0
+  UNION ALL SELECT 'ZNEW', 10.0
+  UNION ALL SELECT 'BUILDING', 5.0
+)
+SELECT 'mv' AS phase, seg, COUNT(*) AS n, ROUND(SUM(bal), 2) AS tot
+FROM base0 GROUP BY seg
+UNION ALL
+SELECT 'fresh' AS phase, seg, COUNT(*) AS n, ROUND(SUM(bal), 2) AS tot
+FROM base1 GROUP BY seg
+ORDER BY phase, seg
+"""
+
+
 DML_QUERIES: dict[str, tuple] = {
     "dml_merge_upsert": (dml_merge_upsert, DML_MERGE_SQL),
     "dml_update_delete_insert": (dml_update_delete_insert, DML_UPDATE_SQL),
     "dml_time_travel": (dml_time_travel, DML_TIME_TRAVEL_SQL),
     "dml_partitioned_table": (dml_partitioned_table, DML_PARTITIONED_SQL),
+    "dml_mv_rewrite": (dml_mv_rewrite, DML_MV_REWRITE_SQL),
 }

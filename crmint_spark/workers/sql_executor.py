@@ -1681,6 +1681,121 @@ class SparkSQLExecutor(Worker):
             f" ({len(columns)} columns, bucket-partitioned)"
         )
 
+    # -- materialized-view smart rewrite ---------------------------------
+
+    _MV_CREATE_RE = re.compile(
+        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+"
+        r"(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.\-]+)`?\s*",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _match_mv_create(self, sub: str) -> tuple[str, str] | None:
+        """(mv_name, defining query) for a CREATE MATERIALIZED VIEW
+        statement, else None (OPTIONS skipped with the balanced
+        scanner, mirroring the dialect's CTAS rewrite)."""
+        from ..dialect import _balanced_end
+
+        m = self._MV_CREATE_RE.match(sub)
+        if not m:
+            return None
+        rest = sub[m.end() :]
+        mo = re.match(r"OPTIONS\s*\(", rest, re.IGNORECASE)
+        if mo:
+            end = _balanced_end(rest, mo.end() - 1)
+            if end > 0:
+                rest = rest[end:].lstrip()
+        ma = re.match(r"AS\b(.*)$", rest, re.IGNORECASE | re.DOTALL)
+        if not ma:
+            return None
+        return m.group(1), ma.group(1).strip()
+
+    def _mv_store(self) -> dict:
+        cat = self._ctx.catalog
+        if cat is not None:
+            if not hasattr(cat, "_mviews"):
+                cat._mviews = {}
+            return cat._mviews
+        if not hasattr(self, "_session_mviews"):
+            self._session_mviews = {}
+        return self._session_mviews
+
+    @staticmethod
+    def _normalize_query(q: str) -> str:
+        """Whitespace-collapsed, case-folded OUTSIDE string literals —
+        two statements normalize equal iff they are the same query up
+        to spacing/keyword case (differing literals never match)."""
+        lits: list[str] = []
+
+        def _mask(m: re.Match) -> str:
+            lits.append(m.group(0))
+            return f"\x00{len(lits) - 1}\x00"
+
+        t = re.sub(r"'[^']*'", _mask, q.strip().rstrip(";").strip())
+        t = re.sub(r"\s+", " ", t).lower()
+        for i, lit in enumerate(lits):
+            t = t.replace(f"\x00{i}\x00", lit)
+        return t.strip()
+
+    def _base_fingerprints(self, query: str) -> dict[str, str]:
+        """Base catalog table -> directory fingerprint at MV
+        materialization time. A base that is NOT a catalog-tree table
+        (session view, testdata view) fingerprints as '' — untrackable,
+        so the rewrite never fires for that MV (conservative)."""
+        cat = self._ctx.catalog
+        out: dict[str, str] = {}
+        for rel in set(_relation_aliases(query).values()):
+            if rel is None:
+                return {"": ""}  # unresolvable relation: never rewrite
+            fp = cat.table_fingerprint(rel) if cat else None
+            out[rel] = fp or ""
+        return out
+
+    def _record_mview(self, name: str, query: str) -> None:
+        self._mv_store()[name] = {
+            "query_norm": self._normalize_query(query),
+            "fps": self._base_fingerprints(query),
+        }
+        self.log_info(f"MATERIALIZED VIEW {name}: smart rewrite recorded")
+
+    def _route_mv_rewrite(self, sub: str) -> str:
+        """BigQuery-style materialized-view smart rewrite (VERDICT r7
+        #7, conservative slice): a SELECT statement that IS (normalized
+        exact match) a recorded MATERIALIZED VIEW's defining query
+        reads the materialized table instead of recomputing over the
+        base — but ONLY while every base table's directory fingerprint
+        still equals its at-materialization value (staleness tied to
+        the catalog's copy-on-write mutations: any DML/write swap
+        changes the fingerprint and the query silently recomputes
+        fresh, which is always correct). MVs over untrackable bases
+        (session views) never rewrite."""
+        cat = self._ctx.catalog
+        store = self._mv_store()
+        if not store or not re.match(r"^\s*SELECT\b", sub, re.IGNORECASE):
+            return sub
+        norm = self._normalize_query(sub)
+        from ..catalog import _safe_view_name
+
+        for name, e in store.items():
+            if norm != e["query_norm"] or not e["fps"]:
+                continue
+            stale = any(
+                not fp or (cat and cat.table_fingerprint(rel) != fp)
+                for rel, fp in e["fps"].items()
+            )
+            if stale:
+                continue
+            view = _safe_view_name(name)
+            try:
+                self._ctx.spark.table(view)
+            except Exception:
+                continue  # MV table dropped: recompute
+            self.log_info(
+                f"query rewritten to read MATERIALIZED VIEW {name}"
+                " (smart rewrite; base tables unchanged)"
+            )
+            return f"SELECT * FROM {view}"
+        return sub
+
     def _route_partition_scan(self, sub: str) -> str:
         """Partition pruning for EXPRESSION-partitioned catalog tables
         (``PARTITION BY DATE(ts)`` and friends — VERDICT r7 #1): every
@@ -2604,6 +2719,7 @@ class SparkSQLExecutor(Worker):
         if self._try_export_load(sub, resolver):
             return None
         layout = None
+        mv_rec = None
         if not self._params["dry_run"]:
             try:
                 dml = parse_dml(sub)
@@ -2625,6 +2741,16 @@ class SparkSQLExecutor(Worker):
                     if layout is not None:
                         sub = layout[0]
                 sub = self._route_partition_scan(sub)
+            mv_rec = self._match_mv_create(sub)
+            dm = re.match(
+                r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?"
+                r"`?([\w.\-]+)`?",
+                sub,
+                re.IGNORECASE,
+            )
+            if dm:
+                self._mv_store().pop(dm.group(1), None)
+            sub = self._route_mv_rewrite(sub)
         stmt = transpile_statement(
             sub,
             resolver,
@@ -2670,6 +2796,10 @@ class SparkSQLExecutor(Worker):
         for piece in expand_create_or_replace_table(stmt):
             self._clean_orphan_location(spark, piece)
             last = spark.sql(piece)
+        if mv_rec is not None:
+            # record AFTER the CTAS materialized — the base-table
+            # fingerprints must describe the state the MV captured
+            self._record_mview(*mv_rec)
         # DML/DDL statements execute eagerly in spark.sql; a trailing
         # SELECT is left lazy for the caller.
         return last

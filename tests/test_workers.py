@@ -1815,6 +1815,69 @@ def test_search_index_subquery_base_blocks_unqualified_routing(spark):
     assert w.result.first()["n"] == w2.result.first()["n"]
 
 
+def test_materialized_view_smart_rewrite(spark, tmp_path):
+    """MV smart rewrite (VERDICT r7 #7): a SELECT that exactly matches
+    a MATERIALIZED VIEW's defining query reads the materialized table
+    (plan scans the MV, not the base); any base mutation flips the
+    fingerprint and the query silently recomputes fresh; DROP
+    MATERIALIZED VIEW stops the rewrite."""
+    from crmint_spark.catalog import Catalog, register_testdata
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ctx = WorkerContext(spark=spark, catalog=cat)
+    cat.write(
+        spark.sql(
+            "SELECT c_mktsegment AS seg, c_acctbal AS bal FROM customer"
+            " WHERE c_custkey <= 500"
+        ),
+        "p.crm.mvbase",
+    )
+
+    def run(script):
+        w = SparkSQLExecutor(
+            {"script": script, "dry_run": False}, ctx
+        )
+        w.execute()
+        return w
+
+    agg = (
+        "SELECT seg, COUNT(*) AS n, ROUND(SUM(bal), 2) AS tot"
+        " FROM `p.crm.mvbase` GROUP BY seg"
+    )
+    run(f"CREATE MATERIALIZED VIEW `p.crm.mv1` AS {agg}")
+    # spacing/case-folded duplicate of the defining query -> rewritten
+    w = run(
+        "SELECT   seg, count(*) AS n, round(SUM(bal), 2) AS tot"
+        "  FROM `p.crm.mvbase`  GROUP BY seg"
+    )
+    assert any("smart rewrite; base" in line for line in w.log), w.log
+    rewritten = sorted(tuple(r) for r in w.result.collect())
+    plan = w.result._jdf.queryExecution().executedPlan().toString()
+    assert "p__crm__mv1" in plan, plan  # scans the MV, not the base
+    # a DIFFERENT query (extra literal) must not match
+    w0 = run(agg.replace("GROUP BY seg", "WHERE seg <> 'zz' GROUP BY seg"))
+    assert not any("smart rewrite" in line for line in w0.log), w0.log
+    # base mutation -> stale fingerprint -> fresh recompute
+    run("INSERT INTO `p.crm.mvbase` VALUES ('ZNEW', 10.0)")
+    w2 = run(agg)
+    assert not any("smart rewrite; base" in line for line in w2.log), w2.log
+    fresh = sorted(tuple(r) for r in w2.result.collect())
+    assert any(r[0] == "ZNEW" for r in fresh)
+    assert not any(r[0] == "ZNEW" for r in rewritten)
+    # re-running the MV DDL re-materializes and re-arms the rewrite
+    run(f"CREATE OR REPLACE MATERIALIZED VIEW `p.crm.mv1` AS {agg}")
+    w3 = run(agg)
+    assert any("smart rewrite; base" in line for line in w3.log), w3.log
+    assert sorted(tuple(r) for r in w3.result.collect()) == fresh
+    # DROP stops the rewrite
+    run("DROP MATERIALIZED VIEW `p.crm.mv1`")
+    w4 = run(agg)
+    assert not any("smart rewrite" in line for line in w4.log), w4.log
+    assert sorted(tuple(r) for r in w4.result.collect()) == fresh
+
+
 def test_vector_search_routes_through_trivial_base(spark):
     """VECTOR_SEARCH over a CTE or inline subquery that is SELECT *
     [WHERE ...] of the indexed table still routes (VERDICT r6 #6): the
