@@ -169,6 +169,11 @@ SECONDARY = [
     "bqml_explain_forecast",
     "bqml_vocab_broadcast",
     "q91_bq_functions13",
+    # round 8: partitioned CREATE TABLE layouts + pruned scans, MV
+    # smart rewrite, exact >10k ONE_HOT broadcast join
+    "dml_partitioned_table",
+    "dml_mv_rewrite",
+    "bqml_onehot_broadcast",
 ]
 
 

@@ -28,6 +28,28 @@ TESTDATA_TABLES = (
 )
 
 
+def _parquet_dir_stats(d: str) -> tuple[int, int]:
+    """(total_rows, total_bytes) of every parquet file under ``d`` —
+    footer metadata only (pyarrow), no Spark job. Cost: one small read
+    per file; the INFORMATION_SCHEMA.PARTITIONS contract is metadata,
+    exactly like BigQuery's."""
+    import pyarrow.parquet as pq
+
+    rows = 0
+    size = 0
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, f)
+            try:
+                rows += pq.ParquetFile(fp).metadata.num_rows
+            except Exception:
+                continue
+            size += os.path.getsize(fp)
+    return rows, size
+
+
 def _link_tree(src: str, dst: str) -> None:
     """Replicate a parquet directory tree by hardlinking every file
     (``os.link`` — metadata cost only); per-file copy fallback for
@@ -284,6 +306,8 @@ class Catalog:
     def layout_meta(self, table_id: str) -> dict | None:
         import json
 
+        if table_id.count(".") > 2:
+            return None  # INFORMATION_SCHEMA.* and other >3-part names
         p = self._layout_meta_path(table_id)
         if not os.path.isfile(p):
             # dropped layout tables keep a stash beside their version
@@ -887,6 +911,66 @@ class Catalog:
                 ],
                 "table_catalog string, table_schema string, "
                 "table_name string, view_definition string",
+            ).createOrReplaceTempView(view)
+            return view
+        if kind == "PARTITIONS":
+            # BigQuery INFORMATION_SCHEMA.PARTITIONS (round 8 — natural
+            # companion to honored PARTITION BY): one row per partition
+            # of every catalog-tree table in the dataset, metadata-only
+            # (row counts from parquet FOOTERS via pyarrow, byte sizes
+            # from the filesystem — no Spark job, no data scan).
+            # partition_id mirrors BigQuery's spelling: digits of the
+            # partition value for date/timestamp layouts ('2024-01-01'
+            # -> '20240101'), the bucket index for integer-range
+            # layouts, '__NULL__' for the NULL partition; unpartitioned
+            # tables report a single row with partition_id NULL.
+            import datetime as _dt
+            from urllib.parse import unquote
+
+            rows = []
+            for t in tables:
+                tid = f"{project}.{dataset}.{t}"
+                p = self.path_for(tid)
+                if not os.path.isdir(p):
+                    continue  # virtual shard/view: no physical layout
+                meta = self.layout_meta(tid)
+                pcol = (meta or {}).get("pcol")
+                pdirs = (
+                    sorted(
+                        d
+                        for d in os.listdir(p)
+                        if d.startswith(f"{pcol}=")
+                    )
+                    if pcol
+                    else []
+                )
+                mtime = _dt.datetime.utcfromtimestamp(
+                    os.stat(p).st_mtime
+                ).replace(microsecond=0)
+                if not pdirs:
+                    n, b = _parquet_dir_stats(p)
+                    rows.append(
+                        (project, dataset, t, None, n, b, mtime)
+                    )
+                    continue
+                for d in pdirs:
+                    val = unquote(d.split("=", 1)[1])
+                    if val == "__HIVE_DEFAULT_PARTITION__":
+                        pid = "__NULL__"
+                    elif meta.get("kind") == "range_bucket":
+                        pid = val
+                    else:
+                        pid = re.sub(r"[^0-9]", "", val)
+                    n, b = _parquet_dir_stats(os.path.join(p, d))
+                    rows.append(
+                        (project, dataset, t, pid, n, b, mtime)
+                    )
+            self.spark.createDataFrame(
+                rows,
+                "table_catalog string, table_schema string, "
+                "table_name string, partition_id string, "
+                "total_rows bigint, total_logical_bytes bigint, "
+                "last_modified_time timestamp",
             ).createOrReplaceTempView(view)
             return view
         if kind != "COLUMNS":

@@ -329,10 +329,53 @@ ORDER BY phase, seg
 """
 
 
+def dml_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INFORMATION_SCHEMA.PARTITIONS over an honored PARTITION BY
+    layout (round 8): per-partition row counts served metadata-only
+    (parquet footers + directory listing, no Spark scan — BigQuery's
+    own PARTITIONS view is metadata too). partition_id follows
+    BigQuery's spelling: the digits of the partition value
+    ('1995-01-01' -> '19950101'). The DuckDB oracle recomputes the
+    per-year counts relationally."""
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_q_"))
+    w = SparkSQLExecutor(
+        {
+            "script": """
+        CREATE OR REPLACE TABLE p.d.po
+        PARTITION BY DATE_TRUNC(o_orderdate, YEAR) AS
+        SELECT o_orderkey, o_orderdate, o_totalprice FROM orders;
+        SELECT table_name, partition_id, total_rows
+        FROM `p.d.INFORMATION_SCHEMA.PARTITIONS`
+        WHERE table_name = 'po'
+        ORDER BY partition_id
+        """,
+            "dry_run": False,
+        },
+        WorkerContext(spark=spark, catalog=cat),
+    )
+    w.execute()
+    return w.result
+
+
+DML_PARTITIONS_META_SQL = """
+SELECT 'po' AS table_name,
+       strftime(CAST(o_orderdate AS DATE), '%Y') || '0101' AS partition_id,
+       COUNT(*) AS total_rows
+FROM orders
+GROUP BY 1, 2
+ORDER BY partition_id
+"""
+
+
 DML_QUERIES: dict[str, tuple] = {
     "dml_merge_upsert": (dml_merge_upsert, DML_MERGE_SQL),
     "dml_update_delete_insert": (dml_update_delete_insert, DML_UPDATE_SQL),
     "dml_time_travel": (dml_time_travel, DML_TIME_TRAVEL_SQL),
     "dml_partitioned_table": (dml_partitioned_table, DML_PARTITIONED_SQL),
     "dml_mv_rewrite": (dml_mv_rewrite, DML_MV_REWRITE_SQL),
+    "dml_partitions_metadata": (
+        dml_partitions_metadata,
+        DML_PARTITIONS_META_SQL,
+    ),
 }

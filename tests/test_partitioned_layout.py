@@ -254,6 +254,36 @@ def test_routing_is_conservative(ctx):
     assert "__pk" in pf, pf
 
 
+def test_information_schema_partitions(ctx):
+    """INFORMATION_SCHEMA.PARTITIONS: per-partition rows for layout
+    tables (metadata-only — parquet footers), a NULL partition id of
+    '__NULL__', and a single partition_id-NULL row for unpartitioned
+    catalog tables."""
+    run(
+        ctx,
+        "CREATE OR REPLACE TABLE p.d.pm PARTITION BY d AS"
+        " SELECT r AS k,"
+        " CASE WHEN r = 1 THEN CAST(NULL AS DATE)"
+        " ELSE DATE '1995-03-01' END AS d"
+        " FROM UNNEST(GENERATE_ARRAY(1, 10)) AS r",
+    )
+    ctx.catalog.write(
+        ctx.spark.sql("SELECT 1 AS x UNION ALL SELECT 2"), "p.d.flat"
+    )
+    w = run(
+        ctx,
+        "SELECT table_name, partition_id, total_rows"
+        " FROM `p.d.INFORMATION_SCHEMA.PARTITIONS`"
+        " WHERE table_name IN ('pm', 'flat')"
+        " ORDER BY table_name, partition_id",
+    )
+    rows = {(r["table_name"], r["partition_id"]): r["total_rows"]
+            for r in w.result.collect()}
+    assert rows[("flat", None)] == 2
+    assert rows[("pm", "19950301")] == 9
+    assert rows[("pm", "__NULL__")] == 1
+
+
 def test_parse_partition_spec_surface():
     dt = {"ts": "timestamp", "d": "date", "n": "bigint", "s": "string"}
     assert _parse_partition_spec("d", dt)["kind"] == "identity"
