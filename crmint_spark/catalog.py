@@ -303,12 +303,16 @@ class Catalog:
             self.root, "__layouts__", _safe_view_name(table_id) + ".json"
         )
 
-    def layout_meta(self, table_id: str) -> dict | None:
+    def layout_meta(
+        self, table_id: str, include_stash: bool = True
+    ) -> dict | None:
         import json
 
         if table_id.count(".") > 2:
             return None  # INFORMATION_SCHEMA.* and other >3-part names
         p = self._layout_meta_path(table_id)
+        if not os.path.isfile(p) and not include_stash:
+            return None
         if not os.path.isfile(p):
             # dropped layout tables keep a stash beside their version
             # store so FOR SYSTEM_TIME AS OF reads still restore the
@@ -398,16 +402,21 @@ class Catalog:
             w = w.partitionBy(meta["pcol"])
         return w
 
-    def check_partition_cap(self, table_id: str) -> int:
-        """Enforce BigQuery's 4,000-partition-per-table cap after a
-        layout write — a listdir count, no data pass. Returns the
-        partition count; raises beyond the cap (the partition-count
-        explosion failure mode: partitioning on a near-unique key)."""
+    def check_partition_cap(
+        self, table_id: str, path: str | None = None
+    ) -> int:
+        """Enforce BigQuery's 4,000-partition-per-table cap — a listdir
+        count, no data pass. ``path`` lets callers check a STAGED
+        directory before swapping it live (the DML plane does: a
+        violating mutation then raises with the table untouched —
+        review finding r8). Returns the partition count; raises beyond
+        the cap (the partition-count explosion failure mode:
+        partitioning on a near-unique key)."""
         meta = self.layout_meta(table_id)
         pcol = (meta or {}).get("pcol")
         if not pcol:
             return 0
-        p = self.path_for(table_id)
+        p = path or self.path_for(table_id)
         n = sum(
             1 for d in os.listdir(p) if d.startswith(pcol + "=")
         ) if os.path.isdir(p) else 0
@@ -608,7 +617,35 @@ class Catalog:
         if existed:
             self.archive_preimage(table_id)
         mode = {"WRITE_TRUNCATE": "overwrite", "WRITE_APPEND": "append"}[disposition]
-        self.layout_writer(df, self.layout_meta(table_id)).mode(mode).parquet(
+        # a FRESH creation never inherits the stash a dropped/renamed
+        # predecessor left for its time-travel readers — only a LIVE
+        # layout record shapes writes
+        meta = self.layout_meta(table_id, include_stash=existed)
+        if (
+            meta
+            and disposition == "WRITE_TRUNCATE"
+            and list(df.columns) != meta.get("columns")
+        ):
+            # a truncating write with a NEW schema keeps the layout
+            # (BigQuery contract) but must refresh the visible-column
+            # record — stale columns would brick every later read
+            src = meta.get("source_col")
+            if src and src not in df.columns:
+                raise ValueError(
+                    f"write to {table_id}: the partitioning column"
+                    f" {src!r} is missing from the new schema"
+                )
+            meta = {
+                **meta,
+                "columns": list(df.columns),
+                "cluster_cols": [
+                    c
+                    for c in meta.get("cluster_cols", [])
+                    if c in df.columns
+                ],
+            }
+            self.set_layout_meta(table_id, meta)
+        self.layout_writer(df, meta).mode(mode).parquet(
             self.path_for(table_id)
         )
         self.check_partition_cap(table_id)
@@ -668,7 +705,10 @@ class Catalog:
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         _link_tree(src_path, dst)
         if meta is not None:
-            self.set_layout_meta(dst_id, meta)
+            # the clone's layout must point at the CLONE (review
+            # finding r8: copying table_id verbatim routed the clone's
+            # pruned scans to the SOURCE table's layout view)
+            self.set_layout_meta(dst_id, {**meta, "table_id": dst_id})
         else:
             self.clear_layout_meta(dst_id)
         if not existed:
@@ -919,11 +959,13 @@ class Catalog:
             # of every catalog-tree table in the dataset, metadata-only
             # (row counts from parquet FOOTERS via pyarrow, byte sizes
             # from the filesystem — no Spark job, no data scan).
-            # partition_id mirrors BigQuery's spelling: digits of the
-            # partition value for date/timestamp layouts ('2024-01-01'
-            # -> '20240101'), the bucket index for integer-range
-            # layouts, '__NULL__' for the NULL partition; unpartitioned
-            # tables report a single row with partition_id NULL.
+            # partition_id mirrors BigQuery's spelling BY GRANULARITY
+            # (review finding r8): daily 'YYYYMMDD', monthly 'YYYYMM',
+            # yearly 'YYYY', hourly 'YYYYMMDDHH'; integer-range layouts
+            # report the range START (not the bucket index), with
+            # out-of-range buckets as '__UNPARTITIONED__'; '__NULL__'
+            # for the NULL partition; unpartitioned tables report a
+            # single row with partition_id NULL.
             import datetime as _dt
             from urllib.parse import unquote
 
@@ -953,14 +995,25 @@ class Catalog:
                         (project, dataset, t, None, n, b, mtime)
                     )
                     continue
+                gran_len = {"YEAR": 4, "MONTH": 6, "DAY": 8, "HOUR": 10}[
+                    meta.get("granularity", "DAY")
+                    if meta.get("kind") != "range_bucket"
+                    else "DAY"
+                ]
                 for d in pdirs:
                     val = unquote(d.split("=", 1)[1])
                     if val == "__HIVE_DEFAULT_PARTITION__":
                         pid = "__NULL__"
                     elif meta.get("kind") == "range_bucket":
-                        pid = val
+                        rng = meta["range"]
+                        b = int(val)
+                        n_bounds = (rng["hi"] - rng["lo"]) // rng["step"] + 1
+                        if b < 1 or b >= n_bounds:
+                            pid = "__UNPARTITIONED__"
+                        else:
+                            pid = str(rng["lo"] + (b - 1) * rng["step"])
                     else:
-                        pid = re.sub(r"[^0-9]", "", val)
+                        pid = re.sub(r"[^0-9]", "", val)[:gran_len]
                     n, b = _parquet_dir_stats(os.path.join(p, d))
                     rows.append(
                         (project, dataset, t, pid, n, b, mtime)

@@ -567,6 +567,9 @@ def swap_catalog_table(catalog, table_id: str, result: DataFrame) -> None:
         catalog.layout_writer(result, catalog.layout_meta(table_id)).mode(
             "overwrite"
         ).parquet(tmp)
+        # cap-check the STAGED directory: a violating mutation raises
+        # HERE with the live table untouched (atomic-DML contract)
+        catalog.check_partition_cap(table_id, path=tmp)
     except Exception:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
@@ -575,7 +578,6 @@ def swap_catalog_table(catalog, table_id: str, result: DataFrame) -> None:
     if not catalog.archive_preimage(table_id, move=True):
         shutil.rmtree(path)
     os.rename(tmp, path)
-    catalog.check_partition_cap(table_id)
     catalog.register(table_id)
 
 

@@ -334,9 +334,8 @@ def dml_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout (round 8): per-partition row counts served metadata-only
     (parquet footers + directory listing, no Spark scan — BigQuery's
     own PARTITIONS view is metadata too). partition_id follows
-    BigQuery's spelling: the digits of the partition value
-    ('1995-01-01' -> '19950101'). The DuckDB oracle recomputes the
-    per-year counts relationally."""
+    BigQuery's GRANULARITY spelling — 'YYYY' for a yearly layout.
+    The DuckDB oracle recomputes the per-year counts relationally."""
     register_testdata(spark, sf_dir)
     cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_q_"))
     w = SparkSQLExecutor(
@@ -360,7 +359,7 @@ def dml_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DML_PARTITIONS_META_SQL = """
 SELECT 'po' AS table_name,
-       strftime(CAST(o_orderdate AS DATE), '%Y') || '0101' AS partition_id,
+       strftime(CAST(o_orderdate AS DATE), '%Y') AS partition_id,
        COUNT(*) AS total_rows
 FROM orders
 GROUP BY 1, 2

@@ -96,26 +96,61 @@ def _relation_aliases(sql: str) -> dict[str, str | None]:
         else:
             out[key] = rel
 
+    anon = 0
+
+    def _add_subquery_base(close_idx: int) -> int:
+        """Record the subquery base whose closing paren sits at
+        ``close_idx`` (alias -> None sentinel, anonymous under a
+        reserved key); returns the scan position after any alias."""
+        nonlocal anon
+        m_alias = re.match(
+            r"\s*(?:AS\s+)?(\w+)", masked[close_idx:], re.IGNORECASE
+        )
+        key = None
+        end = close_idx
+        if m_alias and m_alias.group(1).upper() not in (
+            "ON", "USING", "WHERE", "GROUP", "ORDER", "LEFT", "RIGHT",
+            "FULL", "INNER", "CROSS", "JOIN", "LIMIT", "HAVING",
+            "QUALIFY", "UNION", "INTERSECT", "EXCEPT", "SELECT",
+        ):
+            key = m_alias.group(1).lower()
+            end = close_idx + m_alias.end()
+        if key is None:
+            key = f"\x00subquery{anon}"
+            anon += 1
+        out[key] = None  # unresolvable base: never route through it
+        return end
+
     masked = re.sub(r"'[^']*'", "''", sql)  # a 'from x' literal is not a scan
     for m in _REL_ALIAS_RE.finditer(masked):
         _add(m.group(1), m.group(2) or m.group(3))
-        # comma-continued FROM list: FROM a, b c, d
+        # comma-continued FROM list: FROM a, b c, (SELECT ...) d
         pos = m.end()
         while True:
             cm = _REL_COMMA_RE.match(masked, pos)
-            if not cm:
-                break
-            _add(cm.group(1), cm.group(2) or cm.group(3))
-            pos = cm.end()
-    # inline subquery bases: FROM (...) [AS] z / JOIN (...) z / , (...) z
-    anon = 0
-    for sm in re.finditer(
-        r"\b(?:FROM|JOIN)\s*\(|,\s*\(", masked, re.IGNORECASE
-    ):
+            if cm:
+                _add(cm.group(1), cm.group(2) or cm.group(3))
+                pos = cm.end()
+                continue
+            # a comma-listed SUBQUERY base — anchored to this FROM
+            # list, so a scalar subquery in a SELECT list or function
+            # argument never creates a false sentinel (review finding
+            # r8: a global ',\s*\(' scan disabled routing statement-wide)
+            sq = re.match(r"\s*,\s*\(", masked[pos:])
+            if sq and re.match(
+                r"\s*(SELECT|WITH|TABLE)\b",
+                masked[pos + sq.end() : pos + sq.end() + 15],
+                re.IGNORECASE,
+            ):
+                close = _balanced_end(masked, pos + sq.end() - 1)
+                if close < 0:
+                    break
+                pos = _add_subquery_base(close)
+                continue
+            break
+    # inline subquery bases directly after FROM / JOIN
+    for sm in re.finditer(r"\b(?:FROM|JOIN)\s*\(", masked, re.IGNORECASE):
         open_idx = sm.end() - 1
-        # only subquery parens (a plain parenthesized expression after
-        # a comma in a SELECT list also matches ',\s*\(' — require a
-        # leading SELECT/WITH/TABLE inside)
         if not re.match(
             r"\s*(SELECT|WITH|TABLE)\b",
             masked[open_idx + 1 : open_idx + 16],
@@ -125,20 +160,7 @@ def _relation_aliases(sql: str) -> dict[str, str | None]:
         close = _balanced_end(masked, open_idx)
         if close < 0:
             continue
-        m_alias = re.match(
-            r"\s*(?:AS\s+)?(\w+)", masked[close:], re.IGNORECASE
-        )
-        key = None
-        if m_alias and m_alias.group(1).upper() not in (
-            "ON", "USING", "WHERE", "GROUP", "ORDER", "LEFT", "RIGHT",
-            "FULL", "INNER", "CROSS", "JOIN", "LIMIT", "HAVING",
-            "QUALIFY", "UNION", "INTERSECT", "EXCEPT", "SELECT",
-        ):
-            key = m_alias.group(1).lower()
-        if key is None:
-            key = f"\x00subquery{anon}"
-            anon += 1
-        out[key] = None  # unresolvable base: never route through it
+        _add_subquery_base(close)
     return out
 
 
@@ -356,6 +378,7 @@ def _parse_partition_spec(expr: str, dtypes: dict[str, str]) -> dict:
                 "pcol": col,
                 "g_template": "{X}",
                 "match_forms": [],
+                "granularity": "DAY",
             }
         if dt.startswith("timestamp"):
             raise WorkerException(
@@ -379,6 +402,7 @@ def _parse_partition_spec(expr: str, dtypes: dict[str, str]) -> dict:
             "pexpr_bq": f"DATE(`{col}`)",
             "g_template": "DATE({X})",
             "match_forms": ["date({C})", "to_date({C})"],
+            "granularity": "DAY",
         }
     m = re.match(
         r"^(DATE_TRUNC|DATETIME_TRUNC|TIMESTAMP_TRUNC)\s*\("
@@ -408,6 +432,7 @@ def _parse_partition_spec(expr: str, dtypes: dict[str, str]) -> dict:
             "pexpr_bq": g.replace("{X}", f"`{col}`"),
             "g_template": g,
             "match_forms": [f"{fn.lower()}({{C}},{unit.lower()})"],
+            "granularity": unit,
         }
     m = re.match(
         r"^RANGE_BUCKET\s*\(\s*`?(\w+)`?\s*,\s*GENERATE_ARRAY\s*\("
@@ -431,6 +456,7 @@ def _parse_partition_spec(expr: str, dtypes: dict[str, str]) -> dict:
             "match_forms": [
                 f"range_bucket({{C}},generate_array({lo},{hi},{step}))"
             ],
+            "range": {"lo": int(lo), "hi": int(hi), "step": int(step)},
         }
     raise WorkerException(
         f"unsupported PARTITION BY expression: {expr!r} — supported:"
@@ -449,6 +475,29 @@ def _require_col(col: str, dtypes: dict[str, str], kinds) -> None:
             f"PARTITION BY: column {col!r} has type {dt}, expected one"
             f" of {kinds}"
         )
+
+
+def _split_columns_angle_aware(text: str) -> list[str]:
+    """Top-level comma split that respects BOTH parens and angle
+    brackets — a column list like ``d DATE, s STRUCT<a INT64, b
+    STRING>`` must not split inside the STRUCT type (review finding
+    r8: the paren-only splitter broke valid partitioned CREATEs)."""
+    parts: list[str] = []
+    depth = angle = start = 0
+    for i, ch in enumerate(text):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "<":
+            angle += 1
+        elif ch == ">":
+            angle = max(0, angle - 1)
+        elif ch == "," and depth == 0 and angle == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
 
 
 def _mask_literals_same_length(sql: str) -> str:
@@ -541,32 +590,68 @@ def _split_conjuncts(clause: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-_CONST_TOKENS = frozenset(
+_CONST_FNS = frozenset(
     {
-        "date", "timestamp", "datetime", "time", "interval", "cast", "as",
+        "date", "timestamp", "datetime", "time", "cast",
         "current_date", "current_timestamp", "current_datetime",
         "date_sub", "date_add", "timestamp_sub", "timestamp_add",
         "datetime_sub", "datetime_add", "to_date", "date_trunc",
         "timestamp_trunc", "parse_date", "parse_timestamp",
-        "day", "month", "year", "hour", "minute", "second", "week",
-        "quarter", "millisecond", "microsecond",
-        "null", "true", "false", "int64", "float64", "string", "numeric",
-        "bignumeric", "bigint", "int", "double",
     }
+)
+_CONST_TYPED_LIT = frozenset(
+    {"date", "timestamp", "datetime", "time", "numeric", "bignumeric",
+     "interval", "json"}
+)
+_CONST_TYPES = frozenset(
+    {"date", "timestamp", "datetime", "time", "string", "int64",
+     "float64", "numeric", "bignumeric", "bigint", "int", "double"}
+)
+_CONST_UNITS = frozenset(
+    {"day", "month", "year", "hour", "minute", "second", "week",
+     "quarter", "millisecond", "microsecond", "isoweek", "isoyear"}
 )
 
 
 def _is_constant_expr(text: str) -> bool:
     """True when ``text`` is a literal / deterministic-constant scalar
-    (no column references): every bare identifier is a whitelisted
-    date/time/cast function or keyword. Conservative by construction —
-    an unrecognized token means no pruning, never wrong pruning."""
+    (no column references). Every bare identifier must be justified by
+    its POSITION (review finding r8: a flat whitelist classified a
+    column named ``day``/``month``/... as a constant): a function name
+    directly before ``(``, a type keyword before a quoted literal
+    (``DATE '...'``) or after ``AS`` (cast target), a date-part unit
+    directly after ``,`` or as an INTERVAL qualifier, a bare
+    CURRENT_DATE/..., or NULL/TRUE/FALSE. Conservative by construction
+    — an unjustified token means no pruning, never wrong pruning."""
     t = re.sub(r"'[^']*'", "''", text)
     if ";" in t or re.search(r"\b(SELECT|FROM)\b", t, re.IGNORECASE):
         return False
-    for tok in re.findall(r"[A-Za-z_][\w.]*", t):
-        if tok.lower() not in _CONST_TOKENS:
-            return False
+    # INTERVAL <n> <unit> consumed as a unit (the unit word would
+    # otherwise look like a bare identifier)
+    t = re.sub(
+        r"\bINTERVAL\s+\d+\s+\w+", " 0 ", t, flags=re.IGNORECASE
+    )
+    for m in re.finditer(r"[A-Za-z_][\w.]*", t):
+        tok = m.group(0).lower()
+        if tok in ("null", "true", "false"):
+            continue
+        if tok in ("current_date", "current_timestamp", "current_datetime"):
+            continue
+        after = t[m.end() :].lstrip()
+        before = t[: m.start()].rstrip()
+        if after[:1] == "(" and tok in _CONST_FNS:
+            continue
+        if after[:1] == "'" and tok in _CONST_TYPED_LIT:
+            continue
+        if tok in _CONST_TYPES and re.search(
+            r"\bAS$", before, re.IGNORECASE
+        ):
+            continue
+        if tok == "as":  # reserved keyword (CAST(x AS T)), never a column
+            continue
+        if tok in _CONST_UNITS and before[-1:] == ",":
+            continue
+        return False
     return True
 
 
@@ -1353,6 +1438,13 @@ class SparkSQLExecutor(Worker):
             dest = rn.group(1)
             os.makedirs(os.path.dirname(cat.path_for(dest)), exist_ok=True)
             shutil.move(cat.path_for(name), cat.path_for(dest))
+            # the physical layout travels with the table (review
+            # finding r8: the orphaned metadata exposed the raw layout
+            # under the new name and poisoned a later recreate)
+            meta = cat.layout_meta(name)
+            if meta:
+                cat.set_layout_meta(dest, {**meta, "table_id": dest})
+            cat.clear_layout_meta(name)
             cat.register(dest)
             self.log_info(f"ALTER TABLE {name} RENAME TO {dest}")
             return True
@@ -1421,15 +1513,44 @@ class SparkSQLExecutor(Worker):
     def _rewrite_catalog_table(self, name: str, df) -> None:
         """Copy-on-write storage swap (same mechanism as row-level
         DML): materialize the evolved frame, then replace the table
-        directory atomically-enough for a single-writer engine."""
+        directory atomically-enough for a single-writer engine. A
+        partitioned/clustered table keeps its layout through schema
+        evolution (review finding r8: the old staging write was flat,
+        bricking reads against the stale layout metadata): the layout
+        re-applies on the staged write and the metadata's visible
+        column list refreshes; dropping or renaming the PARTITION
+        source column is rejected (BigQuery contract), a dropped
+        cluster column simply leaves the sort list."""
         import shutil
-        import uuid
 
         cat = self._ctx.catalog
-        tmp_id = f"{name}__alter_{uuid.uuid4().hex[:8]}"
-        cat.write(df, tmp_id)
+        meta = cat.layout_meta(name)
+        if meta:
+            src = meta.get("source_col")
+            if src and src not in df.columns:
+                raise WorkerException(
+                    f"ALTER TABLE {name}: cannot drop or rename the"
+                    f" partitioning column {src!r} (BigQuery contract)"
+                )
+            meta = {
+                **meta,
+                "columns": list(df.columns),
+                "cluster_cols": [
+                    c
+                    for c in meta.get("cluster_cols", [])
+                    if c in df.columns
+                ],
+            }
+        tmp_path = cat.path_for(name) + "__alter_tmp"
+        try:
+            cat.layout_writer(df, meta).mode("overwrite").parquet(tmp_path)
+        except Exception:
+            shutil.rmtree(tmp_path, ignore_errors=True)
+            raise
         shutil.rmtree(cat.path_for(name))
-        shutil.move(cat.path_for(tmp_id), cat.path_for(name))
+        shutil.move(tmp_path, cat.path_for(name))
+        if meta:
+            cat.set_layout_meta(name, meta)
         cat.register(name)
 
     # -- SQL table functions (TVFs) ---------------------------------------
@@ -1823,6 +1944,13 @@ class SparkSQLExecutor(Worker):
             if not meta.get("pcol"):
                 continue  # CLUSTER BY only: row-group stats serve it
             alias = m.group(2) or m.group(3) or rel.split(".")[-1]
+            if re.match(
+                r"\s*FOR\s+SYSTEM_TIME\b", masked[m.end() :], re.IGNORECASE
+            ):
+                # time travel reads a VERSION directory, not the live
+                # layout — rewriting the reference here would splice
+                # live data into a historical read (review finding r8)
+                continue
             scope = _scope_where(masked, m.end())
             if not scope:
                 continue
@@ -1901,7 +2029,7 @@ class SparkSQLExecutor(Worker):
             df = spark.sql(ma.group(1))
         elif schema_text is not None:
             casts = []
-            for col_def in _split_top_level(schema_text):
+            for col_def in _split_columns_angle_aware(schema_text):
                 cm = re.match(
                     r"\s*`?(\w+)`?\s+([\w<>,() ]+?)"
                     r"(?:\s+NOT\s+NULL)?(?:\s+OPTIONS\s*\(.*)?\s*$",
@@ -2743,12 +2871,19 @@ class SparkSQLExecutor(Worker):
                 sub = self._route_partition_scan(sub)
             mv_rec = self._match_mv_create(sub)
             dm = re.match(
-                r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?"
+                r"^\s*(?:DROP\s+(?:MATERIALIZED\s+VIEW|TABLE|VIEW)"
+                r"(?:\s+IF\s+EXISTS)?"
+                r"|CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?"
+                r"(?:TABLE|VIEW)(?:\s+IF\s+NOT\s+EXISTS)?)\s+"
                 r"`?([\w.\-]+)`?",
                 sub,
                 re.IGNORECASE,
             )
             if dm:
+                # any DDL that rebinds the name invalidates the smart
+                # rewrite (review finding r8: a CREATE OR REPLACE TABLE
+                # over the MV's name would otherwise keep serving the
+                # old record against an arbitrary new relation)
                 self._mv_store().pop(dm.group(1), None)
             sub = self._route_mv_rewrite(sub)
         stmt = transpile_statement(

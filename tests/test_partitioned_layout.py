@@ -284,6 +284,149 @@ def test_information_schema_partitions(ctx):
     assert rows[("pm", "__NULL__")] == 1
 
 
+def test_clone_routes_to_clone_not_source(ctx):
+    """A clone of a partitioned table carries the layout but routes its
+    pruned scans to ITS OWN directory (review finding r8: copied
+    metadata pointed the layout view at the SOURCE, resurrecting
+    deleted rows)."""
+    run(
+        ctx,
+        "CREATE OR REPLACE TABLE p.d.src PARTITION BY DATE(o_orderdate)"
+        " AS SELECT o_orderkey, o_orderdate FROM orders"
+        " WHERE o_orderkey <= 1000;"
+        "CREATE TABLE p.d.cln CLONE p.d.src;"
+        "DELETE FROM `p.d.cln` WHERE o_orderkey < 900",
+    )
+    q = (
+        "SELECT COUNT(*) AS n FROM `p.d.cln`"
+        " WHERE o_orderdate >= TIMESTAMP '1992-01-01'"
+    )
+    w = run(ctx, q)
+    assert any("pruned" in line for line in w.log), w.log
+    expect = ctx.catalog.read("p.d.cln").count()
+    assert w.result.first()["n"] == expect
+    assert expect < ctx.catalog.read("p.d.src").count()
+
+
+def test_time_travel_with_prunable_predicate(ctx):
+    """FOR SYSTEM_TIME AS OF on a partitioned table with a date bound
+    in the WHERE must NOT be partition-routed (the version directory,
+    not the live layout, serves it — review finding r8) and must return
+    the historical rows."""
+    run(
+        ctx,
+        "CREATE OR REPLACE TABLE p.d.tt PARTITION BY DATE(o_orderdate)"
+        " AS SELECT o_orderkey, o_orderdate FROM orders"
+        " WHERE o_orderkey <= 400",
+    )
+    before = ctx.catalog.read("p.d.tt").count()
+    w = run(
+        ctx,
+        "DECLARE t0 TIMESTAMP DEFAULT CURRENT_TIMESTAMP();"
+        "DELETE FROM `p.d.tt` WHERE o_orderkey > 0;"
+        "SELECT COUNT(*) AS n FROM `p.d.tt` FOR SYSTEM_TIME AS OF t0"
+        " WHERE o_orderdate >= TIMESTAMP '1992-01-01'",
+    )
+    assert not any("pruned" in line for line in w.log), w.log
+    assert w.result.first()["n"] == before
+
+
+def test_alter_table_keeps_layout(ctx):
+    """ADD/DROP COLUMN and RENAME TO on a partitioned table re-apply
+    the layout and refresh the visible-column record; dropping the
+    partitioning column is rejected (review finding r8: the old staging
+    write was flat and the stale metadata bricked reads)."""
+    run(
+        ctx,
+        "CREATE OR REPLACE TABLE p.d.alt PARTITION BY DATE(o_orderdate)"
+        " AS SELECT o_orderkey, o_orderdate, o_totalprice FROM orders"
+        " WHERE o_orderkey <= 400",
+    )
+    run(ctx, "ALTER TABLE `p.d.alt` ADD COLUMN note STRING")
+    df = ctx.catalog.read("p.d.alt")
+    assert df.columns == [
+        "o_orderkey", "o_orderdate", "o_totalprice", "note",
+    ]
+    path = ctx.catalog.path_for("p.d.alt")
+    assert any(d.startswith("__pk=") for d in os.listdir(path))
+    run(ctx, "ALTER TABLE `p.d.alt` DROP COLUMN o_totalprice")
+    df = ctx.catalog.read("p.d.alt")
+    assert df.columns == ["o_orderkey", "o_orderdate", "note"]
+    # a date filter still prunes after the schema evolution
+    w = run(
+        ctx,
+        "SELECT COUNT(*) AS n FROM `p.d.alt`"
+        " WHERE DATE(o_orderdate) >= DATE '1995-01-01'",
+    )
+    assert any("pruned" in line for line in w.log), w.log
+    with pytest.raises(WorkerException, match="partitioning column"):
+        run(ctx, "ALTER TABLE `p.d.alt` DROP COLUMN o_orderdate")
+    # RENAME TO carries the layout; the old name is clean for reuse
+    run(ctx, "ALTER TABLE `p.d.alt` RENAME TO p.d.alt2")
+    df2 = ctx.catalog.read("p.d.alt2")
+    assert df2.columns == ["o_orderkey", "o_orderdate", "note"]
+    assert ctx.catalog.layout_meta("p.d.alt2")["table_id"] == "p.d.alt2"
+    ctx.catalog.write(
+        ctx.spark.sql("SELECT 1 AS z"), "p.d.alt"
+    )  # unpartitioned reuse of the old name must NOT inherit the layout
+    assert ctx.catalog.read("p.d.alt").columns == ["z"]
+
+
+def test_dml_partition_cap_leaves_table_untouched(ctx):
+    """A mutation that would blow the partition cap raises with the
+    live table UNTOUCHED (staged-directory check — review finding r8:
+    the old post-swap check reported failure after applying it)."""
+    run(
+        ctx,
+        "CREATE OR REPLACE TABLE p.d.capd PARTITION BY"
+        " DATE_TRUNC(o_orderdate, YEAR) AS"
+        " SELECT o_orderkey, o_orderdate FROM orders"
+        " WHERE o_orderkey <= 1000",
+    )
+    before = sorted(
+        tuple(r) for r in ctx.catalog.read("p.d.capd").collect()
+    )
+    ctx.catalog.max_partitions = 5
+    try:
+        with pytest.raises(Exception, match="over the 5 cap"):
+            run(
+                ctx,
+                "UPDATE `p.d.capd` SET o_orderdate ="
+                " TIMESTAMP_MICROS("
+                "UNIX_MICROS(CAST(o_orderdate AS TIMESTAMP))"
+                " + o_orderkey * 86400000000)"
+                " WHERE o_orderkey > 0",
+            )
+    finally:
+        ctx.catalog.max_partitions = 4000
+    after = sorted(
+        tuple(r) for r in ctx.catalog.read("p.d.capd").collect()
+    )
+    assert after == before
+
+
+def test_is_constant_expr_positional():
+    from crmint_spark.workers.sql_executor import _is_constant_expr
+
+    assert _is_constant_expr("DATE '2024-01-01'")
+    assert _is_constant_expr("TIMESTAMP '2024-01-01 03:00:00'")
+    assert _is_constant_expr("'2024-01-01'")
+    assert _is_constant_expr("CAST('2024-01-01' AS DATE)")
+    assert _is_constant_expr(
+        "TIMESTAMP_SUB(CURRENT_TIMESTAMP(), INTERVAL 7 DAY)"
+    )
+    assert _is_constant_expr("DATE_TRUNC(DATE '2024-03-05', MONTH)")
+    assert _is_constant_expr("CURRENT_DATE")
+    # bare identifiers that HAPPEN to spell date parts / types are
+    # column references, not constants (review finding r8)
+    assert not _is_constant_expr("day")
+    assert not _is_constant_expr("month")
+    assert not _is_constant_expr("date")  # bare, no literal/paren after
+    assert not _is_constant_expr("b.other_col")
+    assert not _is_constant_expr("upper('x')")
+    assert not _is_constant_expr("(SELECT MAX(d) FROM t)")
+
+
 def test_parse_partition_spec_surface():
     dt = {"ts": "timestamp", "d": "date", "n": "bigint", "s": "string"}
     assert _parse_partition_spec("d", dt)["kind"] == "identity"

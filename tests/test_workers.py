@@ -1788,6 +1788,19 @@ def test_search_index_subquery_base_blocks_unqualified_routing(spark):
         "SELECT 1 FROM documents JOIN (SELECT 1 AS doc_id) ON true"
     )
     assert None in m2.values()  # anonymous subquery still blocks
+    # a scalar subquery in the SELECT list is NOT a base relation —
+    # no sentinel, routing stays enabled (review finding r8)
+    m3 = _relation_aliases(
+        "SELECT doc_id, (SELECT MAX(doc_id) FROM documents) AS mx"
+        " FROM documents WHERE doc_id > 0"
+    )
+    assert None not in m3.values(), m3
+    # ...same for a parenthesized subquery in a function argument
+    m4 = _relation_aliases(
+        "SELECT COALESCE(doc_id, (SELECT MIN(doc_id) FROM documents))"
+        " FROM documents"
+    )
+    assert None not in m4.values(), m4
 
     def run(script):
         w = SparkSQLExecutor(
@@ -1871,7 +1884,18 @@ def test_materialized_view_smart_rewrite(spark, tmp_path):
     w3 = run(agg)
     assert any("smart rewrite; base" in line for line in w3.log), w3.log
     assert sorted(tuple(r) for r in w3.result.collect()) == fresh
-    # DROP stops the rewrite
+    # a CREATE OR REPLACE TABLE over the MV's NAME invalidates the
+    # rewrite record (review finding r8: the stale record would serve
+    # the replaced table's arbitrary contents as the aggregate)
+    run(
+        "CREATE OR REPLACE TABLE `p.crm.mv1` AS"
+        " SELECT 'junk' AS seg, 0 AS n, 0.0 AS tot"
+    )
+    w3b = run(agg)
+    assert not any("smart rewrite" in line for line in w3b.log), w3b.log
+    assert sorted(tuple(r) for r in w3b.result.collect()) == fresh
+    # re-create, then DROP stops the rewrite
+    run(f"CREATE OR REPLACE MATERIALIZED VIEW `p.crm.mv1` AS {agg}")
     run("DROP MATERIALIZED VIEW `p.crm.mv1`")
     w4 = run(agg)
     assert not any("smart rewrite" in line for line in w4.log), w4.log
