@@ -172,6 +172,7 @@ SECONDARY = [
     # round 8: partitioned CREATE TABLE layouts + pruned scans, MV
     # smart rewrite, exact >10k ONE_HOT broadcast join
     "dml_partitioned_table",
+    "dml_partitions_metadata",
     "dml_mv_rewrite",
     "bqml_onehot_broadcast",
 ]

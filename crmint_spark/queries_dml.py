@@ -192,14 +192,19 @@ def dml_partitioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose scan is partition-pruned by the derived ``__pk`` conjuncts
     (PartitionFilters plan assert lives in test_partitioned_layout).
     The oracle replays the same mutations as pure relational algebra —
-    semantics must be IDENTICAL with and without the physical layout."""
+    semantics must be IDENTICAL with and without the physical layout.
+    MONTH granularity: daily partitioning of sf0.1 orders would mean
+    ~2,400 partitions of ~60 rows — 4 copy-on-write passes over a
+    pathological small-file layout (~95 s measured); months give the
+    same code coverage at ~80 partitions (the DAY path is covered at
+    fixture scale in test_partitioned_layout)."""
     register_testdata(spark, sf_dir)
     cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_q_"))
     w = SparkSQLExecutor(
         {
             "script": """
         CREATE OR REPLACE TABLE p.d.orders_part
-        PARTITION BY DATE(o_orderdate)
+        PARTITION BY DATE_TRUNC(o_orderdate, MONTH)
         CLUSTER BY o_custkey AS
         SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
                o_orderstatus

@@ -91,6 +91,16 @@ PROBE = [
     "bqml_vocab_broadcast",
     "bqml_explain_forecast",
     "ml_recommend_artifacts",
+    # round 8: partitioned CREATE TABLE (probe the partition-count
+    # failure mode — dates don't multiply with copies, so expect the
+    # SAME ~2.4k partitions over more rows: sublinear write, flat
+    # pruned read), PARTITIONS metadata (listdir + footers only), MV
+    # smart rewrite (rewrite serves from the MV — flat), exact ONE_HOT
+    # broadcast join (vocab fixed at 10k — flat)
+    "dml_partitioned_table",
+    "dml_partitions_metadata",
+    "dml_mv_rewrite",
+    "bqml_onehot_broadcast",
 ]
 
 # key columns to shift per copy so joins stay consistent and
