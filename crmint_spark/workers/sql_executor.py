@@ -513,6 +513,25 @@ _SCOPE_END_RE = re.compile(
     re.IGNORECASE,
 )
 
+#: non-determinism that makes a two-pass pruned DML unsound (the probe
+#: and rewrite passes would see different row sets). Timezone-argument
+#: CURRENT_* forms are included — only the argless spellings are frozen
+#: to literals by ``_freeze_now_fns``.
+_DML_NONDET_RE = re.compile(
+    r"\b(?:rand|randn|uuid|generate_uuid|session_user)\s*\("
+    r"|\bcurrent_(?:time|datetime)\b"
+    r"|\bcurrent_(?:date|timestamp)\s*\(\s*[^\s)]",
+    re.IGNORECASE,
+)
+
+#: argless CURRENT_DATE / CURRENT_TIMESTAMP (with or without empty
+#: parens) — BigQuery evaluates these once per statement, so the pruned
+#: DML path pins them to literals shared by its probe and rewrite passes
+_NOW_FN_RE = re.compile(
+    r"\b(current_timestamp|current_date)\b(\s*\(\s*\))?(?!\s*\()",
+    re.IGNORECASE,
+)
+
 
 def _scope_where(masked: str, start: int) -> tuple[int, int] | None:
     """(clause_start, clause_end) of the WHERE belonging to the FROM at
@@ -3320,6 +3339,12 @@ class SparkSQLExecutor(Worker):
         if isinstance(dml, TruncateStmt):
             result = target_df.limit(0)
         elif isinstance(dml, (UpdateStmt, DeleteStmt)):
+            if in_catalog and self._try_pruned_update_delete(dml, resolver):
+                self.log_info(
+                    f"{type(dml).__name__.replace('Stmt', '').upper()}"
+                    f" applied to {dml.target}"
+                )
+                return True
             view = f"__dml_t_{uuid.uuid4().hex[:8]}"
             target_df.createOrReplaceTempView(view)
             gen = (
@@ -3339,6 +3364,13 @@ class SparkSQLExecutor(Worker):
                     self._route_partition_scan(src_query), resolver
                 )
             )
+            if (
+                in_catalog
+                and not dml.not_matched_by_source
+                and self._try_pruned_merge(dml, target_df, source_df, resolver)
+            ):
+                self.log_info(f"MERGE applied to {dml.target}")
+                return True
             tv, sv = prepare_merge_views(spark, target_df, source_df)
             gen = compile_merge(
                 dml, tv, sv, target_df.schema, source_df.columns
@@ -3348,6 +3380,179 @@ class SparkSQLExecutor(Worker):
             return False
         self._dml_overwrite(dml.target, result, in_catalog, session_name)
         self.log_info(f"{type(dml).__name__.replace('Stmt', '').upper()} applied to {dml.target}")
+        return True
+
+    def _freeze_now_fns(self, text: str) -> str | None:
+        """Pin argless CURRENT_DATE / CURRENT_TIMESTAMP in a DML
+        predicate to literals evaluated ONCE, so the pruned-DML probe
+        and rewrite passes see the same instant (BigQuery evaluates
+        them once per statement). None = the predicate carries other
+        non-determinism and the caller must fall back to the
+        single-pass full rewrite."""
+        masked = _mask_literals_same_length(text)
+        if _DML_NONDET_RE.search(masked):
+            return None
+        ms = list(_NOW_FN_RE.finditer(masked))
+        if not ms:
+            return text
+        now = self._ctx.spark.sql(
+            "SELECT date_format(current_timestamp(),"
+            " 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS t,"
+            " CAST(current_date() AS STRING) AS d"
+        ).first()
+        out = text
+        for m in reversed(ms):
+            lit = (
+                f"TIMESTAMP '{now['t']}'"
+                if m.group(1).lower() == "current_timestamp"
+                else f"DATE '{now['d']}'"
+            )
+            out = out[: m.start()] + lit + out[m.end() :]
+        return out
+
+    def _try_pruned_update_delete(self, dml, resolver) -> bool:
+        """Partition-pruned copy-on-write for UPDATE/DELETE on a
+        PARTITION BY catalog table (the Delta/Iceberg shape for
+        row-level DML on immutable files): one column-pruned probe scan
+        — itself partition-pruned through ``_route_partition_scan`` —
+        finds the partition directories holding predicate-matching
+        rows; only those are rewritten, every other directory rides
+        the swap as a hardlink. At 100 TB a one-month UPDATE rewrites
+        one month, not three years. Returns False (caller runs the
+        full rewrite) whenever the two-pass split could be unsound:
+        non-deterministic predicates, file URIs that do not map onto
+        the layout, or every live partition affected anyway."""
+        import dataclasses
+        import uuid
+
+        from ..dml import (
+            FILE_DIR_SQL,
+            layout_partition_dirs,
+            map_affected_dirs,
+            read_partition_subset,
+            swap_catalog_table,
+        )
+
+        cat, spark = self._ctx.catalog, self._ctx.spark
+        cand = layout_partition_dirs(cat, dml.target)
+        if not cand:
+            return False
+        frozen = self._freeze_now_fns(dml.where)
+        if frozen is None:
+            return False
+        meta, path, all_dirs = cand
+        dml = dataclasses.replace(dml, where=frozen)
+        a = dml.alias or dml.target.split(".")[-1].strip("`")
+        # the dir name is computed in the projection directly over the
+        # scan (file names do not survive the DISTINCT exchange)
+        probe = (
+            f"SELECT DISTINCT {FILE_DIR_SQL} AS __dml_dir"
+            f" FROM `{dml.target}` AS {a}"
+            f" WHERE COALESCE(({dml.where}), false)"
+        )
+        rows = spark.sql(
+            transpile_statement(self._route_partition_scan(probe), resolver)
+        ).collect()
+        hit = map_affected_dirs([r["__dml_dir"] for r in rows], all_dirs)
+        if hit is None or len(hit) == len(all_dirs):
+            return False
+        verb = type(dml).__name__.replace("Stmt", "").upper()
+        if not hit:
+            self.log_info(
+                f"{verb} on {dml.target}: no partition holds matching"
+                " rows — table unchanged"
+            )
+            return True
+        sub = read_partition_subset(cat, spark, path, meta, hit)
+        view = f"__dml_t_{uuid.uuid4().hex[:8]}"
+        sub.createOrReplaceTempView(view)
+        gen = (
+            compile_update(dml, view, sub.schema)
+            if isinstance(dml, UpdateStmt)
+            else compile_delete(dml, view)
+        )
+        result = spark.sql(transpile_statement(gen, resolver))
+        swap_catalog_table(
+            cat, dml.target, result, keep_dirs=sorted(set(all_dirs) - hit)
+        )
+        self.log_info(
+            f"{verb} on {dml.target}: pruned copy-on-write rewrote"
+            f" {len(hit)}/{len(all_dirs)} partitions"
+        )
+        return True
+
+    def _try_pruned_merge(self, dml, target_df, source_df, resolver) -> bool:
+        """MERGE without NOT MATCHED BY SOURCE arms only mutates target
+        rows that join the source on the ON condition, so the affected
+        partitions are exactly those holding semi-join survivors: merge
+        against that subset, hardlink the rest. Matched pairs all live
+        inside the affected directories, so the multi-match guard and
+        the insert-if-unmatched arms resolve identically to the full
+        rewrite (a source row matching ANY target row matches one in an
+        affected directory). A key-matched CDC micro-batch upsert is the
+        canonical winner: it lands in a handful of a date-partitioned
+        table's directories."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from ..dml import (
+            FILE_DIR_SQL,
+            layout_partition_dirs,
+            map_affected_dirs,
+            read_partition_subset,
+            swap_catalog_table,
+        )
+
+        cat, spark = self._ctx.catalog, self._ctx.spark
+        cand = layout_partition_dirs(cat, dml.target)
+        if not cand:
+            return False
+        masked_on = _mask_literals_same_length(dml.on)
+        if _DML_NONDET_RE.search(masked_on) or _NOW_FN_RE.search(masked_on):
+            return False
+        meta, path, all_dirs = cand
+        t = dml.target_alias or dml.target.split(".")[-1].strip("`")
+        s = dml.source_alias or (
+            dml.source_sql.split(".")[-1].strip("`")
+            if not dml.source_sql.startswith("(")
+            else "S"
+        )
+        if t == s:
+            return False  # compile_merge raises a clearer error
+        tag = uuid.uuid4().hex[:8]
+        tview, sview = f"__dmlp_t_{tag}", f"__dmlp_s_{tag}"
+        # dir name computed BELOW the join: file names do not survive a
+        # shuffle, and the semi join may plan as a sort-merge
+        target_df.withColumn(
+            "__dml_dir", F.expr(FILE_DIR_SQL)
+        ).createOrReplaceTempView(tview)
+        source_df.createOrReplaceTempView(sview)
+        probe = (
+            f"SELECT DISTINCT {t}.__dml_dir FROM {tview} AS {t}"
+            f" LEFT SEMI JOIN {sview} AS {s} ON ({dml.on})"
+        )
+        rows = spark.sql(transpile_statement(probe, resolver)).collect()
+        hit = map_affected_dirs([r["__dml_dir"] for r in rows], all_dirs)
+        if hit is None or len(hit) == len(all_dirs):
+            return False
+        # no matched target row at all -> the merge degenerates to the
+        # insert arms over an empty target; every partition is kept
+        target_sub = (
+            read_partition_subset(cat, spark, path, meta, hit)
+            if hit
+            else target_df.limit(0)
+        )
+        tv, sv = prepare_merge_views(spark, target_sub, source_df)
+        gen = compile_merge(dml, tv, sv, target_sub.schema, source_df.columns)
+        result = spark.sql(transpile_statement(gen, resolver))
+        swap_catalog_table(
+            cat, dml.target, result, keep_dirs=sorted(set(all_dirs) - hit)
+        )
+        self.log_info(
+            f"MERGE on {dml.target}: pruned copy-on-write rewrote"
+            f" {len(hit)}/{len(all_dirs)} partitions"
+        )
         return True
 
     def _dml_target(self, table_id: str, in_catalog: bool):

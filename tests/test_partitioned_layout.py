@@ -327,7 +327,9 @@ def test_time_travel_with_prunable_predicate(ctx):
         "SELECT COUNT(*) AS n FROM `p.d.tt` FOR SYSTEM_TIME AS OF t0"
         " WHERE o_orderdate >= TIMESTAMP '1992-01-01'",
     )
-    assert not any("pruned" in line for line in w.log), w.log
+    # the AS-OF read must not be partition-scan ROUTED (the pruned
+    # copy-on-write message from the DELETE itself is fine)
+    assert not any("partitioned scan" in line for line in w.log), w.log
     assert w.result.first()["n"] == before
 
 
@@ -489,3 +491,257 @@ def test_derive_partition_conjunct_table():
           meta, "a", False)
         == "`__pk` >= DATE((TIMESTAMP_SUB(CURRENT_TIMESTAMP(), INTERVAL 7 DAY)))"
     )
+
+
+# ---------------------------------------------------------------------------
+# partition-pruned copy-on-write DML (round 8): UPDATE/DELETE/MERGE on a
+# PARTITION BY table rewrite only the affected partition directories and
+# hardlink the rest — at 100 TB a one-month UPDATE must not rewrite
+# three years. Inode stability is the proof of "no rewrite".
+
+
+def _inode_map(path):
+    return {
+        d: {
+            f: os.stat(os.path.join(path, d, f)).st_ino
+            for f in os.listdir(os.path.join(path, d))
+        }
+        for d in os.listdir(path)
+        if d.startswith("__pk=") or "=" in d
+    }
+
+
+def _twin(ctx, name, create_suffix=""):
+    """An unpartitioned twin (session-plane) table with the same rows,
+    for comparing the pruned rewrite against the full rewrite."""
+    run(
+        ctx,
+        f"CREATE OR REPLACE TABLE `p.d.{name}` AS"
+        " SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice"
+        " FROM orders" + create_suffix,
+    )
+
+
+def _rows(ctx, table):
+    return sorted(tuple(r) for r in ctx.catalog.read(table).collect())
+
+
+def test_pruned_update_hardlinks_untouched_partitions(ctx):
+    """A one-month UPDATE rewrites ONE partition directory; every other
+    directory survives the swap with identical file names AND inodes
+    (hardlinked, zero bytes copied), the time-travel pre-image still
+    resolves, and the values match the unpartitioned full rewrite."""
+    run(
+        ctx,
+        "CREATE OR REPLACE TABLE p.d.pru PARTITION BY"
+        " DATE_TRUNC(o_orderdate, MONTH) AS"
+        " SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice"
+        " FROM orders",
+    )
+    _twin(ctx, "pruf")
+    path = ctx.catalog.path_for("p.d.pru")
+    before = _inode_map(path)
+    upd = (
+        "UPDATE `{t}` SET o_totalprice = 0"
+        " WHERE DATE(o_orderdate) BETWEEN DATE '1995-03-01'"
+        " AND DATE '1995-03-31'"
+    )
+    w = run(
+        ctx,
+        "DECLARE t0 TIMESTAMP DEFAULT CURRENT_TIMESTAMP();"
+        + upd.format(t="p.d.pru")
+        + ";SELECT COUNT(*) AS n FROM `p.d.pru` FOR SYSTEM_TIME AS OF t0"
+        " WHERE o_totalprice = 0",
+    )
+    assert any(
+        "pruned copy-on-write rewrote 1/" in line for line in w.log
+    ), w.log
+    assert w.result.first()["n"] == 0  # pre-image has no zeroed rows
+    run(ctx, upd.format(t="p.d.pruf"))
+    assert _rows(ctx, "p.d.pru") == _rows(ctx, "p.d.pruf")
+    after = _inode_map(path)
+    changed = {d for d in before if before[d] != after.get(d)}
+    assert changed == {"__pk=1995-03-01"}, changed
+    # untouched dirs are the SAME inodes (hardlinks, not copies)
+    for d in before:
+        if d != "__pk=1995-03-01":
+            assert after[d] == before[d]
+
+
+def test_pruned_update_noop_and_nondet_fallback(ctx):
+    """A predicate matching no rows is a no-op (no new version, data
+    untouched); a non-deterministic predicate falls back to the full
+    single-pass rewrite (two probe passes would be unsound); an argless
+    CURRENT_TIMESTAMP predicate is frozen to one instant and still
+    prunes."""
+    run(
+        ctx,
+        "CREATE OR REPLACE TABLE p.d.prn PARTITION BY"
+        " DATE_TRUNC(o_orderdate, MONTH) AS"
+        " SELECT o_orderkey, o_orderdate, o_totalprice FROM orders",
+    )
+    rows0 = _rows(ctx, "p.d.prn")
+    vroot = ctx.catalog._versions_root("p.d.prn")
+    nv0 = len(os.listdir(vroot))
+    w = run(
+        ctx,
+        "UPDATE `p.d.prn` SET o_totalprice = 0 WHERE o_orderkey = -5",
+    )
+    assert any("no partition holds matching rows" in l for l in w.log)
+    assert len(os.listdir(vroot)) == nv0  # no version churn on a no-op
+    assert _rows(ctx, "p.d.prn") == rows0
+    # frozen CURRENT_TIMESTAMP: engaged the pruned path (no-op message),
+    # not the non-determinism fallback
+    w2 = run(
+        ctx,
+        "DELETE FROM `p.d.prn` WHERE o_orderdate > CURRENT_TIMESTAMP()",
+    )
+    assert any("no partition holds matching rows" in l for l in w2.log)
+    # RAND() is genuinely non-deterministic -> full rewrite path
+    w3 = run(ctx, "DELETE FROM `p.d.prn` WHERE RAND() < -1")
+    assert not any("pruned copy-on-write" in l for l in w3.log)
+    assert not any("no partition holds" in l for l in w3.log)
+    assert _rows(ctx, "p.d.prn") == rows0
+
+
+def test_pruned_delete_drops_emptied_partition(ctx):
+    """A DELETE that empties a partition removes its directory from the
+    layout; the other directories ride through by hardlink."""
+    run(
+        ctx,
+        "CREATE OR REPLACE TABLE p.d.prd PARTITION BY"
+        " DATE_TRUNC(o_orderdate, MONTH) AS"
+        " SELECT o_orderkey, o_orderdate, o_totalprice FROM orders",
+    )
+    path = ctx.catalog.path_for("p.d.prd")
+    before = _inode_map(path)
+    assert "__pk=1995-03-01" in before
+    w = run(
+        ctx,
+        "DELETE FROM `p.d.prd` WHERE DATE(o_orderdate)"
+        " BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'",
+    )
+    assert any("pruned copy-on-write rewrote 1/" in l for l in w.log)
+    after = _inode_map(path)
+    assert "__pk=1995-03-01" not in after
+    assert {d: m for d, m in before.items() if d != "__pk=1995-03-01"} == after
+    assert (
+        ctx.catalog.read("p.d.prd")
+        .filter("o_orderdate >= TIMESTAMP '1995-03-01'"
+                " AND o_orderdate < TIMESTAMP '1995-04-01'")
+        .count()
+        == 0
+    )
+
+
+def test_pruned_update_moves_rows_between_partitions(ctx):
+    """An UPDATE that reassigns the partitioning column merges the
+    moved rows INTO untouched destination directories (old files
+    hardlinked beside the new ones) — the union must equal the full
+    rewrite exactly."""
+    run(
+        ctx,
+        "CREATE OR REPLACE TABLE p.d.prm PARTITION BY"
+        " DATE_TRUNC(o_orderdate, MONTH) AS"
+        " SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice"
+        " FROM orders",
+    )
+    _twin(ctx, "prmf")
+    n0 = ctx.catalog.read("p.d.prm").count()
+    upd = (
+        "UPDATE `{t}` SET o_orderdate ="
+        " TIMESTAMP_ADD(o_orderdate, INTERVAL 40 DAY)"
+        " WHERE DATE(o_orderdate) BETWEEN DATE '1995-03-01'"
+        " AND DATE '1995-03-31'"
+    )
+    w = run(ctx, upd.format(t="p.d.prm"))
+    assert any("pruned copy-on-write rewrote 1/" in l for l in w.log)
+    run(ctx, upd.format(t="p.d.prmf"))
+    assert _rows(ctx, "p.d.prm") == _rows(ctx, "p.d.prmf")
+    assert ctx.catalog.read("p.d.prm").count() == n0
+
+
+def test_pruned_merge_and_by_source_fallback(ctx):
+    """A MERGE whose ON condition only reaches one month's rows prunes
+    to that month's directory; adding a NOT MATCHED BY SOURCE arm (which
+    can mutate ANY unmatched target row) disables pruning; both match
+    the unpartitioned twin exactly."""
+    create = (
+        "CREATE OR REPLACE TABLE {n} {clause} AS"
+        " SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice"
+        " FROM orders"
+    )
+    run(ctx, create.format(
+        n="p.d.prg", clause="PARTITION BY DATE_TRUNC(o_orderdate, MONTH)"
+    ))
+    run(ctx, create.format(n="`p.d.prgf`", clause=""))
+    merge = (
+        "MERGE INTO `{t}` T USING ("
+        " SELECT o_orderkey AS k, o_totalprice AS p FROM orders"
+        " WHERE DATE(o_orderdate) BETWEEN DATE '1995-03-01'"
+        " AND DATE '1995-03-31') S"
+        " ON T.o_orderkey = S.k"
+        " WHEN MATCHED THEN UPDATE SET o_totalprice = S.p * 2"
+        " WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey,"
+        " o_orderdate, o_totalprice)"
+        " VALUES (S.k + 9000000, 1, TIMESTAMP '2001-05-15', S.p)"
+    )
+    w = run(ctx, merge.format(t="p.d.prg"))
+    assert any("pruned copy-on-write rewrote 1/" in l for l in w.log), w.log
+    run(ctx, merge.format(t="p.d.prgf"))
+    assert _rows(ctx, "p.d.prg") == _rows(ctx, "p.d.prgf")
+    # the inserts landed in a NEW partition without disturbing others
+    assert "__pk=2001-05-01" in os.listdir(ctx.catalog.path_for("p.d.prg"))
+    by_source = (
+        "MERGE INTO `{t}` T USING (SELECT 1 AS k) S ON T.o_orderkey = S.k"
+        " WHEN MATCHED THEN UPDATE SET o_totalprice = 0"
+        " WHEN NOT MATCHED BY SOURCE AND o_totalprice < 1000"
+        " THEN DELETE"
+    )
+    w2 = run(ctx, by_source.format(t="p.d.prg"))
+    assert not any("pruned copy-on-write" in l for l in w2.log)
+    run(ctx, by_source.format(t="p.d.prgf"))
+    assert _rows(ctx, "p.d.prg") == _rows(ctx, "p.d.prgf")
+
+
+def test_merge_upsert_batch_prunes_partitions(ctx):
+    """The streaming CDC building block (merge_upsert_batch) probes the
+    key match with a broadcast semi join and merges against only the
+    affected partition directories — a micro-batch touching one month
+    of a date-partitioned table must not rewrite the rest (inode
+    proof)."""
+    from crmint_spark.dml import merge_upsert_batch
+
+    run(
+        ctx,
+        "CREATE OR REPLACE TABLE p.d.prub PARTITION BY"
+        " DATE_TRUNC(o_orderdate, MONTH) AS"
+        " SELECT o_orderkey, o_orderdate, o_totalprice FROM orders",
+    )
+    path = ctx.catalog.path_for("p.d.prub")
+    spark = ctx.spark
+    victim = (
+        ctx.catalog.read("p.d.prub")
+        .filter("o_orderdate >= TIMESTAMP '1995-03-01'"
+                " AND o_orderdate < TIMESTAMP '1995-04-01'")
+        .first()
+    )
+    before = _inode_map(path)
+    batch = spark.createDataFrame(
+        [
+            (victim["o_orderkey"], victim["o_orderdate"], 123.45),
+            (9999991, victim["o_orderdate"], 67.89),  # new key, same month
+        ],
+        schema=ctx.catalog.read("p.d.prub").schema,
+    )
+    merge_upsert_batch(ctx.catalog, "p.d.prub", batch, ["o_orderkey"])
+    after = _inode_map(path)
+    changed = {d for d in set(before) | set(after)
+               if before.get(d) != after.get(d)}
+    assert changed == {"__pk=1995-03-01"}, changed
+    got = ctx.catalog.read("p.d.prub").filter(
+        f"o_orderkey IN ({victim['o_orderkey']}, 9999991)"
+    )
+    vals = {r["o_orderkey"]: r["o_totalprice"] for r in got.collect()}
+    assert vals[victim["o_orderkey"]] == 123.45
+    assert vals[9999991] == 67.89
