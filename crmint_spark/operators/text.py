@@ -797,43 +797,65 @@ def materialize_search_index(
     at the PARTITION level, not per-row), reading at most
     |query tokens| buckets via partition pruning plus min/max row-group
     skipping on the sorted (src_col, token) prefix — it never touches
-    the corpus text. Postings still carry their source column so the
-    residual ``src_col = ...`` conjunct keeps a single-column
-    ``SEARCH(col, ...)`` over a multi-column index column-exact (a
-    body-only hit must not answer a title search — same semantics as
-    the scan rewrite). Build cost: one explode + distinct, shuffled on
-    the bucket; B fixed buckets keep directory fan-out bounded at any
+    the corpus text. MULTI-column postings carry their source column so
+    the residual ``src_col = ...`` conjunct keeps ``SEARCH(col, ...)``
+    column-exact (a body-only hit must not answer a title search — same
+    semantics as the scan rewrite); a SINGLE-column index elides the
+    constant column from its rows entirely (round 8: the bucket key
+    still hashes the column NAME, so the probe arithmetic is uniform,
+    but rows are narrower and the routed query needs no residual
+    filter). Build cost: one explode + distinct, shuffled on the
+    bucket; B fixed buckets keep directory fan-out bounded at any
     vocabulary size."""
-    tagged = [
-        F.transform(
-            F.array_distinct(
-                F.filter(
-                    F.split(F.lower(F.col(c).cast("string")), "[^a-z0-9]+"),
-                    lambda t: t != "",
-                )
-            ),
-            lambda t: F.struct(
-                F.lit(c).alias("src_col"), t.alias("token")
-            ),
+    if len(columns) == 1:
+        c = columns[0]
+        toks = F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col(c).cast("string")), "[^a-z0-9]+"),
+                lambda t: t != "",
+            )
         )
-        for c in columns
-    ]
-    arr = tagged[0] if len(tagged) == 1 else F.flatten(F.array(*tagged))
-    postings = (
-        df.select(F.col(id_col).alias("__id"), F.explode(arr).alias("p"))
-        .select(
-            "__id",
-            F.col("p.src_col").alias("src_col"),
-            F.col("p.token").alias("token"),
-        )
-        .withColumn(
+        postings = df.select(
+            F.col(id_col).alias("__id"), F.explode(toks).alias("token")
+        ).withColumn(
             "tok_bucket",
-            F.pmod(F.xxhash64("src_col", "token"), F.lit(n_buckets)),
+            F.pmod(F.xxhash64(F.lit(c), F.col("token")), F.lit(n_buckets)),
         )
-    )
+        sort_cols = ["token", "__id"]
+    else:
+        tagged = [
+            F.transform(
+                F.array_distinct(
+                    F.filter(
+                        F.split(
+                            F.lower(F.col(c).cast("string")), "[^a-z0-9]+"
+                        ),
+                        lambda t: t != "",
+                    )
+                ),
+                lambda t: F.struct(
+                    F.lit(c).alias("src_col"), t.alias("token")
+                ),
+            )
+            for c in columns
+        ]
+        arr = F.flatten(F.array(*tagged))
+        postings = (
+            df.select(F.col(id_col).alias("__id"), F.explode(arr).alias("p"))
+            .select(
+                "__id",
+                F.col("p.src_col").alias("src_col"),
+                F.col("p.token").alias("token"),
+            )
+            .withColumn(
+                "tok_bucket",
+                F.pmod(F.xxhash64("src_col", "token"), F.lit(n_buckets)),
+            )
+        )
+        sort_cols = ["src_col", "token", "__id"]
     (
         postings.repartition("tok_bucket")
-        .sortWithinPartitions("src_col", "token", "__id")
+        .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
         .partitionBy("tok_bucket")
         .parquet(path)

@@ -2207,11 +2207,19 @@ class SparkSQLExecutor(Worker):
                 if qual
                 else f"`{entry['id_column']}`"
             )
+            # a single-column index stores no src_col (the constant is
+            # folded into the bucket hash only); multi-column postings
+            # need the residual conjunct for column-exactness
+            src_filter = (
+                ""
+                if len(entry["indexed_columns"]) == 1
+                else f" AND src_col = '{col}'"
+            )
             rep = (
                 f"({idref} IN (SELECT __id FROM {entry['layout_view']}"
                 f" WHERE tok_bucket IN ({bucket_list})"
                 f" AND token IN ({tok_list})"
-                f" AND src_col = '{col}'"
+                f"{src_filter}"
                 f" GROUP BY __id"
                 f" HAVING count(DISTINCT token) = {len(toks)}))"
             )

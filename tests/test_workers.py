@@ -1453,8 +1453,9 @@ def test_search_index_routing_plan_and_equality(spark):
     assert any(
         "PartitionFilters: [tok_bucket" in l and " IN (" in l for l in scans
     ), plan
-    # postings pruned to the searched column (multi-column-index safety)
-    assert any("EqualTo(src_col,text)" in l for l in scans), plan
+    # a single-column index elides the constant src_col from its rows
+    # (round 8) — the postings scan must not read or filter it
+    assert not any("src_col" in l for l in scans), plan
     # unindexed worker: scan-side predicate, same rows
     w2 = run(q)
     assert not any("routed" in line for line in w2.log)
@@ -1588,6 +1589,10 @@ def test_search_index_multi_column_exactness(spark):
     # doc 1 matches only in body — a column-blind postings join would
     # wrongly include it
     assert [r["doc_id"] for r in w.result.collect()] == [0, 2]
+    # the multi-column postings scan DOES carry the residual src_col
+    # conjunct (single-column indexes elide it — round 8)
+    plan = w.result._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(src_col,title)" in plan, plan
     w2 = run(q)  # unindexed worker: scan rewrite, same rows
     assert [r["doc_id"] for r in w2.result.collect()] == [0, 2]
 
