@@ -372,6 +372,81 @@ ORDER BY partition_id
 """
 
 
+def dml_pruned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned copy-on-write MERGE (round 8): a CDC-shaped
+    MERGE whose ON condition only reaches one month of a monthly
+    PARTITION BY table rewrites that month's directory (asserted via
+    the worker log — every other partition rides the swap as a
+    hardlink), updates the matched half of the batch and inserts the
+    unmatched half into fresh partitions. The DuckDB oracle replays the
+    merge as a LEFT JOIN + anti-join union — pruned and full rewrites
+    must be value-identical."""
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_q_"))
+    w = SparkSQLExecutor(
+        {
+            "script": """
+        CREATE OR REPLACE TABLE p.d.ocdc
+        PARTITION BY DATE_TRUNC(o_orderdate, MONTH) AS
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        FROM orders;
+        MERGE INTO `p.d.ocdc` T USING (
+          SELECT CASE WHEN MOD(o_orderkey, 2) = 0 THEN o_orderkey
+                      ELSE o_orderkey + 7000000 END AS k,
+                 o_totalprice AS p, o_orderdate AS d
+          FROM orders
+          WHERE DATE(o_orderdate) BETWEEN DATE '1996-06-01'
+            AND DATE '1996-06-30'
+        ) S ON T.o_orderkey = S.k
+        WHEN MATCHED THEN UPDATE SET o_totalprice = S.p * 0.9
+        WHEN NOT MATCHED THEN INSERT
+          (o_orderkey, o_custkey, o_orderdate, o_totalprice)
+          VALUES (S.k, 42, TIMESTAMP_ADD(S.d, INTERVAL 2000 DAY), S.p);
+        SELECT DATE_TRUNC(DATE(o_orderdate), MONTH) AS month,
+               COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev
+        FROM `p.d.ocdc`
+        WHERE o_custkey = 42
+           OR (o_orderdate >= TIMESTAMP '1996-06-01'
+               AND o_orderdate < TIMESTAMP '1996-07-01')
+        GROUP BY month ORDER BY month
+        """,
+            "dry_run": False,
+        },
+        WorkerContext(spark=spark, catalog=cat),
+    )
+    w.execute()
+    assert any("pruned copy-on-write" in line for line in w.log), w.log
+    return w.result
+
+
+DML_PRUNED_MERGE_SQL = """
+WITH src AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey
+              ELSE o_orderkey + 7000000 END AS k,
+         o_totalprice AS p, o_orderdate AS d
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-06-01'
+    AND DATE '1996-06-30'
+), merged AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+         CASE WHEN s.k IS NOT NULL THEN s.p * 0.9
+              ELSE o.o_totalprice END AS o_totalprice
+  FROM orders o LEFT JOIN src s ON o.o_orderkey = s.k
+  UNION ALL
+  SELECT s.k, 42, s.d + INTERVAL 2000 DAY, s.p
+  FROM src s
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = s.k)
+)
+SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev
+FROM merged
+WHERE o_custkey = 42
+   OR (o_orderdate >= TIMESTAMP '1996-06-01'
+       AND o_orderdate < TIMESTAMP '1996-07-01')
+GROUP BY month ORDER BY month
+"""
+
+
 DML_QUERIES: dict[str, tuple] = {
     "dml_merge_upsert": (dml_merge_upsert, DML_MERGE_SQL),
     "dml_update_delete_insert": (dml_update_delete_insert, DML_UPDATE_SQL),
@@ -382,4 +457,5 @@ DML_QUERIES: dict[str, tuple] = {
         dml_partitions_metadata,
         DML_PARTITIONS_META_SQL,
     ),
+    "dml_pruned_merge": (dml_pruned_merge, DML_PRUNED_MERGE_SQL),
 }
