@@ -447,6 +447,75 @@ GROUP BY month ORDER BY month
 """
 
 
+def dml_change_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery change-history TVF ``CHANGES(TABLE t, start, end)``
+    (round 8): INSERT/DELETE/UPDATE mutations against a catalog table,
+    then the per-change-type row counts and key sums since a declared
+    start instant, reconstructed from the time-travel version store
+    (value-level diff of adjacent states — an UPDATE is its
+    DELETE+INSERT pair, the documented divergence from BigQuery's
+    physical change records). The DuckDB oracle replays the three
+    mutations relationally."""
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_q_"))
+    cat.write(
+        spark.sql(
+            "SELECT o_orderkey, o_totalprice FROM orders"
+            " WHERE o_custkey <= 100"
+        ),
+        "p.d.ch",
+    )
+    w = SparkSQLExecutor(
+        {
+            "script": """
+        DECLARE t0 TIMESTAMP DEFAULT CURRENT_TIMESTAMP();
+        INSERT INTO `p.d.ch`
+        SELECT o_orderkey + 9000000, o_totalprice FROM orders
+        WHERE o_custkey BETWEEN 101 AND 120;
+        DELETE FROM `p.d.ch`
+        WHERE MOD(o_orderkey, 10) = 3 AND o_orderkey < 9000000;
+        UPDATE `p.d.ch` SET o_totalprice = 0
+        WHERE MOD(o_orderkey, 10) = 4 AND o_orderkey < 9000000;
+        SELECT _CHANGE_TYPE AS change_type, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS INT64) AS key_sum,
+               ROUND(SUM(o_totalprice), 2) AS price_sum
+        FROM CHANGES(TABLE `p.d.ch`, t0, NULL)
+        GROUP BY change_type ORDER BY change_type
+        """,
+            "dry_run": False,
+        },
+        WorkerContext(spark=spark, catalog=cat),
+    )
+    w.execute()
+    assert any("change history" in line for line in w.log), w.log
+    return w.result
+
+
+DML_CHANGE_HISTORY_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+  WHERE o_custkey <= 100
+), ins AS (
+  SELECT o_orderkey + 9000000 AS k, o_totalprice AS p FROM orders
+  WHERE o_custkey BETWEEN 101 AND 120
+), deleted AS (
+  SELECT k, p FROM base WHERE k % 10 = 3
+), upd AS (
+  SELECT k, p FROM base WHERE k % 10 = 4
+), changes AS (
+  SELECT 'INSERT' AS change_type, k, p FROM ins
+  UNION ALL SELECT 'INSERT', k, CAST(0.0 AS DOUBLE) FROM upd
+  UNION ALL SELECT 'DELETE', k, p FROM deleted
+  UNION ALL SELECT 'DELETE', k, p FROM upd
+)
+SELECT change_type, COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS key_sum,
+       ROUND(SUM(p), 2) AS price_sum
+FROM changes
+GROUP BY change_type ORDER BY change_type
+"""
+
+
 DML_QUERIES: dict[str, tuple] = {
     "dml_merge_upsert": (dml_merge_upsert, DML_MERGE_SQL),
     "dml_update_delete_insert": (dml_update_delete_insert, DML_UPDATE_SQL),
@@ -458,4 +527,5 @@ DML_QUERIES: dict[str, tuple] = {
         DML_PARTITIONS_META_SQL,
     ),
     "dml_pruned_merge": (dml_pruned_merge, DML_PRUNED_MERGE_SQL),
+    "dml_change_history": (dml_change_history, DML_CHANGE_HISTORY_SQL),
 }

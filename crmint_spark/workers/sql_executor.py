@@ -2112,6 +2112,73 @@ class SparkSQLExecutor(Worker):
         )
         return None
 
+    def _route_change_history(self, sub: str, resolver) -> str:
+        """BigQuery change-history TVFs — ``APPENDS(TABLE t, s, e)`` /
+        ``CHANGES(TABLE t, s, e)`` (ref: the reference's pipelines poll
+        BigQuery job/table state between runs; change history is the
+        query-plane spelling) — served from the time-travel version
+        store (Catalog.change_history). Each call site becomes a
+        registered temp view; NULL bounds follow BigQuery (NULL start =
+        window start, NULL end = now). Non-TVF calls named APPENDS /
+        CHANGES (no ``TABLE`` first argument) pass through."""
+        import uuid
+
+        from ..dialect import _balanced_end
+
+        cat, spark = self._ctx.catalog, self._ctx.spark
+        if cat is None:
+            return sub
+        masked = _mask_literals_same_length(sub)
+        pat = re.compile(r"\b(APPENDS|CHANGES)\s*\(", re.IGNORECASE)
+        for m in reversed(list(pat.finditer(masked))):
+            end = _balanced_end(sub, m.end() - 1)
+            if end < 0:
+                continue
+            args = _split_top_level(sub[m.end() : end - 1])
+            if not args:
+                continue
+            tm = re.match(
+                r"\s*TABLE\s+(`[^`]+`|[\w.]+)\s*$", args[0], re.IGNORECASE
+            )
+            if not tm:
+                continue
+            if len(args) != 3:
+                raise WorkerException(
+                    f"{m.group(1).upper()}(TABLE t, start_timestamp,"
+                    " end_timestamp) takes exactly 3 arguments"
+                )
+            table_id = tm.group(1).strip("`")
+
+            def _bound(expr: str) -> int | None:
+                if re.match(r"\s*NULL\s*$", expr, re.IGNORECASE):
+                    return None
+                row = spark.sql(
+                    transpile_statement(
+                        f"SELECT unix_micros(CAST(({expr}) AS TIMESTAMP))"
+                        " AS t",
+                        resolver,
+                    )
+                ).first()
+                return None if row["t"] is None else int(row["t"])
+
+            try:
+                df = cat.change_history(
+                    table_id,
+                    _bound(args[1]),
+                    _bound(args[2]),
+                    include_deletes=m.group(1).upper() == "CHANGES",
+                )
+            except ValueError as e:
+                raise WorkerException(str(e)) from None
+            view = f"__chg_{uuid.uuid4().hex[:8]}"
+            df.createOrReplaceTempView(view)
+            sub = sub[: m.start()] + view + sub[end:]
+            self.log_info(
+                f"{m.group(1).upper()}(TABLE {table_id}): change history"
+                " reconstructed from the version store"
+            )
+        return sub
+
     def _route_search_predicate(self, sub: str) -> str:
         """Serve ``SEARCH(<col>, '<literal>')`` from a recorded SEARCH
         index's postings layout: the predicate becomes an IN-subquery
@@ -2882,6 +2949,10 @@ class SparkSQLExecutor(Worker):
                 raise WorkerException(str(e)) from None
             if dml is not None and self._try_dml(dml, resolver):
                 return None
+            if re.search(
+                r"\b(?:APPENDS|CHANGES)\s*\(\s*TABLE\b", sub, re.IGNORECASE
+            ):
+                sub = self._route_change_history(sub, resolver)
             if "VECTOR_SEARCH" in sub.upper():
                 sub = self._route_vector_search(sub, resolver)
             if re.search(r"\bSEARCH\s*\(", sub, re.IGNORECASE):

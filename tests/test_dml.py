@@ -645,3 +645,111 @@ def test_alter_schema_max_time_travel_hours(spark):
     )
     assert any("metadata-only" in line for line in w4.log)
     assert c.time_travel_hours == 48.0
+
+
+# ---------------------------------------------------------------------------
+# change-history TVFs (round 8): APPENDS / CHANGES reconstructed from
+# the time-travel version store
+
+
+def test_changes_tvf_insert_delete_update(spark, cat):
+    """CHANGES returns the value-level diff per mutation instant: an
+    INSERT contributes INSERT rows, a DELETE contributes DELETE rows,
+    an UPDATE its DELETE+INSERT pair; creation is an INSERT of the
+    initial rows; a start bound excludes earlier events."""
+    seed(spark, cat)
+    w = run(
+        spark,
+        cat,
+        "DECLARE t0 TIMESTAMP DEFAULT CURRENT_TIMESTAMP();"
+        "INSERT INTO `p.d.t` VALUES (4, 'd', 40.0);"
+        "DELETE FROM `p.d.t` WHERE id = 2;"
+        "UPDATE `p.d.t` SET bal = 99.0 WHERE id = 1;"
+        "SELECT _CHANGE_TYPE AS ct, id, seg, bal"
+        " FROM CHANGES(TABLE `p.d.t`, t0, NULL) ORDER BY ct, id, bal",
+    )
+    assert any("change history" in line for line in w.log)
+    got = [tuple(r) for r in w.result.collect()]
+    assert got == [
+        ("DELETE", 1, "a", 10.0),   # update pre-image
+        ("DELETE", 2, "b", 20.0),   # deleted row
+        ("INSERT", 1, "a", 99.0),   # update post-image
+        ("INSERT", 4, "d", 40.0),   # inserted row
+    ], got
+    # NULL start includes creation: the three seed rows appear too
+    w2 = run(
+        spark, cat,
+        "SELECT COUNT(*) AS n FROM CHANGES(TABLE `p.d.t`, NULL, NULL)"
+        " WHERE _CHANGE_TYPE = 'INSERT'",
+    )
+    assert w2.result.first()["n"] == 3 + 2  # creation(3) + insert + update
+
+
+def test_appends_tvf_excludes_deletes_and_window(spark, cat):
+    """APPENDS is the insert-only shape; an end bound excludes later
+    mutations; _CHANGE_TIMESTAMP orders the history."""
+    seed(spark, cat)
+    w = run(
+        spark,
+        cat,
+        "DECLARE t0 TIMESTAMP DEFAULT CURRENT_TIMESTAMP();"
+        "INSERT INTO `p.d.t` VALUES (4, 'd', 40.0);"
+        "DECLARE t1 TIMESTAMP DEFAULT CURRENT_TIMESTAMP();"
+        "DELETE FROM `p.d.t` WHERE id <= 2;"
+        "SELECT _CHANGE_TYPE AS ct, id FROM APPENDS(TABLE `p.d.t`, t0, t1)"
+        " ORDER BY id",
+    )
+    got = [tuple(r) for r in w.result.collect()]
+    assert got == [("INSERT", 4)], got  # no DELETE rows, window-bounded
+    # distinct change timestamps are monotone in mutation order
+    w2 = run(
+        spark, cat,
+        "SELECT COUNT(DISTINCT _CHANGE_TIMESTAMP) AS k"
+        " FROM CHANGES(TABLE `p.d.t`, NULL, NULL)",
+    )
+    assert w2.result.first()["k"] == 3  # creation, insert, delete
+
+
+def test_changes_tvf_out_of_window_start_raises(spark, cat):
+    seed(spark, cat)
+    with pytest.raises(WorkerException, match="time travel window"):
+        run(
+            spark, cat,
+            "SELECT * FROM CHANGES(TABLE `p.d.t`,"
+            " TIMESTAMP '2000-01-01 00:00:00', NULL)",
+        )
+
+
+def test_changes_tvf_on_partitioned_table_after_pruned_dml(spark, cat):
+    """The version store holds COMPLETE pre-images even under the
+    partition-pruned copy-on-write (untouched directories ride both
+    sides as hardlinks), so CHANGES over a PARTITION BY table sees
+    exactly the pruned mutation's diff."""
+    from crmint_spark.catalog import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    run(
+        spark, cat,
+        "CREATE OR REPLACE TABLE p.d.pch PARTITION BY"
+        " DATE_TRUNC(o_orderdate, MONTH) AS"
+        " SELECT o_orderkey, o_orderdate, o_totalprice FROM orders",
+    )
+    w = run(
+        spark, cat,
+        "DECLARE t0 TIMESTAMP DEFAULT CURRENT_TIMESTAMP();"
+        "UPDATE `p.d.pch` SET o_totalprice = -1"
+        " WHERE DATE(o_orderdate) BETWEEN DATE '1995-03-01'"
+        " AND DATE '1995-03-31';"
+        "SELECT _CHANGE_TYPE AS ct, COUNT(*) AS n"
+        " FROM CHANGES(TABLE `p.d.pch`, t0, NULL)"
+        " GROUP BY ct ORDER BY ct",
+    )
+    assert any("pruned copy-on-write" in line for line in w.log)
+    march = (
+        cat.read("p.d.pch")
+        .filter("o_orderdate >= TIMESTAMP '1995-03-01'"
+                " AND o_orderdate < TIMESTAMP '1995-04-01'")
+        .count()
+    )
+    got = {r["ct"]: r["n"] for r in w.result.collect()}
+    assert got == {"DELETE": march, "INSERT": march}, got
