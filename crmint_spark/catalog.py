@@ -615,7 +615,6 @@ class Catalog:
                 elif d.isdigit():
                     versions.append(int(d))
         versions.sort()
-        meta = self.layout_meta(table_id)
         states: list[str] = [
             os.path.join(vroot, str(t)) for t in versions
         ] + [self.path_for(table_id)]
@@ -623,7 +622,12 @@ class Catalog:
         cols = [(f.name, f.dataType) for f in cur.schema.fields]
 
         def _state(path: str) -> DataFrame:
-            df = self.restore_layout(self.spark.read.parquet(path), meta)
+            # align the RAW parquet directly onto the CURRENT columns
+            # (drops a derived __pk, reorders, casts, NULLs columns a
+            # pre-schema-evolution pre-image lacks) — restore_layout
+            # would select current-meta columns an old pre-image may
+            # not have and raise (review finding r8)
+            df = self.spark.read.parquet(path)
             return df.select(
                 *[
                     (

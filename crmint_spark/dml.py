@@ -641,6 +641,27 @@ def layout_partition_dirs(catalog, table_id: str):
     return meta, path, dirs
 
 
+def _plan_nondeterministic(df: DataFrame) -> bool:
+    """True when a DataFrame's analyzed plan carries non-deterministic
+    or per-execution-pinned expressions (rand/uuid/current_timestamp…)
+    — the pruned upsert evaluates the batch twice, so such a batch must
+    take the single-pass full rewrite. Column references print as
+    ``name#id`` in the plan, so the ``name(`` scan cannot false-match
+    a column called rand. Unreadable plans count as non-deterministic
+    (fall back, never risk a wrong prune)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True
+    return bool(
+        re.search(
+            r"\b(?:rand|randn|uuid|shuffle|random|current_timestamp"
+            r"|current_date|now|unix_timestamp)\(",
+            plan,
+        )
+    )
+
+
 def map_affected_dirs(values, all_dirs: list[str]):
     """Collected ``FILE_DIR_SQL`` strings -> partition-dir basenames.
     None = refuse to prune (a URI that does not map onto the known
@@ -699,9 +720,14 @@ def merge_upsert_batch(
     # handful of partitions of a PARTITION BY target — probe which
     # directories hold key-matching rows (one broadcast semi join, the
     # dir name computed BELOW the join) and merge against only those;
-    # every other partition rides the swap as a hardlink
+    # every other partition rides the swap as a hardlink. The batch
+    # plan is evaluated twice under pruning (probe + merge), so a
+    # non-deterministic batch falls back to the single-pass rewrite
+    # (review finding r8).
     keep_dirs = None
     cand = layout_partition_dirs(catalog, table_id)
+    if cand and _plan_nondeterministic(batch_df):
+        cand = None
     if cand:
         meta, path, all_dirs = cand
         probe = (

@@ -807,32 +807,34 @@ def materialize_search_index(
     filter). Build cost: one explode + distinct, shuffled on the
     bucket; B fixed buckets keep directory fan-out bounded at any
     vocabulary size."""
-    if len(columns) == 1:
-        c = columns[0]
-        toks = F.array_distinct(
+    def _toks(c: str):
+        """Distinct index-side tokens of one column — MUST stay
+        byte-identical to the scan-rewrite / query-side tokenization
+        (LOG_ANALYZER)."""
+        return F.array_distinct(
             F.filter(
                 F.split(F.lower(F.col(c).cast("string")), "[^a-z0-9]+"),
                 lambda t: t != "",
             )
         )
+
+    if len(columns) == 1:
+        c = columns[0]
         postings = df.select(
-            F.col(id_col).alias("__id"), F.explode(toks).alias("token")
+            F.col(id_col).alias("__id"), F.explode(_toks(c)).alias("token")
         ).withColumn(
             "tok_bucket",
             F.pmod(F.xxhash64(F.lit(c), F.col("token")), F.lit(n_buckets)),
         )
         sort_cols = ["token", "__id"]
     else:
+        # NB: a second lambda parameter would make Spark treat this as
+        # the (element, index) HOF form — the closure over ``c`` is
+        # safe because F.transform builds the expression EAGERLY inside
+        # this loop iteration
         tagged = [
             F.transform(
-                F.array_distinct(
-                    F.filter(
-                        F.split(
-                            F.lower(F.col(c).cast("string")), "[^a-z0-9]+"
-                        ),
-                        lambda t: t != "",
-                    )
-                ),
+                _toks(c),
                 lambda t: F.struct(
                     F.lit(c).alias("src_col"), t.alias("token")
                 ),

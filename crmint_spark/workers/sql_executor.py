@@ -502,9 +502,14 @@ def _split_columns_angle_aware(text: str) -> list[str]:
 
 def _mask_literals_same_length(sql: str) -> str:
     """String literals blanked to spaces (offsets preserved) so textual
-    scans never match keywords inside them."""
+    scans never match keywords inside them. Both quote styles mask:
+    BigQuery (and Spark) read double-quoted text as STRINGS, so a
+    predicate like ``name = "current_date"`` must not look like a
+    now-function to the pruned-DML freezer (review finding r8)."""
     return re.sub(
-        r"'[^']*'", lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", sql
+        r"'[^']*'|\"[^\"]*\"",
+        lambda m: m.group(0)[0] + " " * (len(m.group(0)) - 2) + m.group(0)[0],
+        sql,
     )
 
 
@@ -2138,7 +2143,7 @@ class SparkSQLExecutor(Worker):
             if not args:
                 continue
             tm = re.match(
-                r"\s*TABLE\s+(`[^`]+`|[\w.]+)\s*$", args[0], re.IGNORECASE
+                r"\s*TABLE\s+(`[^`]+`|[\w.\-]+)\s*$", args[0], re.IGNORECASE
             )
             if not tm:
                 continue
@@ -3438,6 +3443,9 @@ class SparkSQLExecutor(Worker):
                 src_query = src_sql[1:-1]
             else:
                 src_query = f"SELECT * FROM {src_sql}"
+            # replaying change history into a table is the TVFs'
+            # canonical use — route the source like a plain query would
+            src_query = self._route_change_history(src_query, resolver)
             source_df = spark.sql(
                 transpile_statement(
                     self._route_partition_scan(src_query), resolver
@@ -3587,9 +3595,17 @@ class SparkSQLExecutor(Worker):
         cand = layout_partition_dirs(cat, dml.target)
         if not cand:
             return False
-        masked_on = _mask_literals_same_length(dml.on)
-        if _DML_NONDET_RE.search(masked_on) or _NOW_FN_RE.search(masked_on):
-            return False
+        # the USING source is evaluated TWICE under pruning (probe
+        # semi-join + merge rewrite), so non-determinism anywhere in it
+        # — not just the ON clause — would let the two passes disagree
+        # (review finding r8: a RAND()-sampled source could match a
+        # target row in a hardlinked partition and both keep and
+        # re-insert it). CURRENT_* count too: Spark pins them per query
+        # execution, and probe and rewrite are two executions.
+        for text in (dml.on, dml.source_sql):
+            masked = _mask_literals_same_length(text)
+            if _DML_NONDET_RE.search(masked) or _NOW_FN_RE.search(masked):
+                return False
         meta, path, all_dirs = cand
         t = dml.target_alias or dml.target.split(".")[-1].strip("`")
         s = dml.source_alias or (
@@ -3661,9 +3677,10 @@ class SparkSQLExecutor(Worker):
         cat = self._ctx.catalog
         spark = self._ctx.spark
         target_df = cat.read(ins.target)
+        src = self._route_change_history(ins.source_sql, self._resolver())
         rows = spark.sql(
             transpile_statement(
-                self._route_partition_scan(ins.source_sql), self._resolver()
+                self._route_partition_scan(src), self._resolver()
             )
         )
         cols = ins.columns or [f.name for f in target_df.schema.fields]

@@ -753,3 +753,138 @@ def test_changes_tvf_on_partitioned_table_after_pruned_dml(spark, cat):
     )
     got = {r["ct"]: r["n"] for r in w.result.collect()}
     assert got == {"DELETE": march, "INSERT": march}, got
+
+
+def test_pruned_merge_nondeterministic_source_falls_back(spark, cat):
+    """The USING source is evaluated twice under pruning (probe +
+    rewrite), so a RAND()-sampled or CURRENT_TIMESTAMP-stamped source
+    must take the single-pass full rewrite (review finding r8)."""
+    from crmint_spark.catalog import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    run(
+        spark, cat,
+        "CREATE OR REPLACE TABLE p.d.ndm PARTITION BY"
+        " DATE_TRUNC(o_orderdate, MONTH) AS"
+        " SELECT o_orderkey, o_orderdate, o_totalprice FROM orders",
+    )
+    before = sorted(
+        tuple(r) for r in cat.read("p.d.ndm").collect()
+    )
+    w = run(
+        spark, cat,
+        "MERGE INTO `p.d.ndm` T USING ("
+        " SELECT o_orderkey AS k FROM orders WHERE RAND() < -1) S"
+        " ON T.o_orderkey = S.k"
+        " WHEN MATCHED THEN UPDATE SET o_totalprice = 0",
+    )
+    assert not any("pruned copy-on-write" in l for l in w.log), w.log
+    assert sorted(tuple(r) for r in cat.read("p.d.ndm").collect()) == before
+    w2 = run(
+        spark, cat,
+        "MERGE INTO `p.d.ndm` T USING ("
+        " SELECT o_orderkey AS k FROM orders"
+        " WHERE o_orderdate > CURRENT_TIMESTAMP()) S"
+        " ON T.o_orderkey = S.k"
+        " WHEN MATCHED THEN UPDATE SET o_totalprice = 0",
+    )
+    assert not any("pruned copy-on-write" in l for l in w2.log), w2.log
+
+
+def test_merge_upsert_batch_nondeterministic_plan_falls_back(spark, cat):
+    """A batch whose plan carries rand() must not take the two-pass
+    pruned path (review finding r8) — and must still upsert correctly."""
+    from crmint_spark.catalog import register_testdata
+    from crmint_spark.dml import _plan_nondeterministic, merge_upsert_batch
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    run(
+        spark, cat,
+        "CREATE OR REPLACE TABLE p.d.ndb PARTITION BY"
+        " DATE_TRUNC(o_orderdate, MONTH) AS"
+        " SELECT o_orderkey, o_orderdate, o_totalprice FROM orders",
+    )
+    batch = spark.sql(
+        "SELECT o_orderkey, o_orderdate, o_totalprice * 0 AS o_totalprice"
+        " FROM orders WHERE RAND() >= 0 AND o_orderkey = 1"
+    )
+    assert _plan_nondeterministic(batch)
+    stable = spark.sql(
+        "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders"
+        " WHERE o_orderkey = 1"
+    )
+    assert not _plan_nondeterministic(stable)
+    merge_upsert_batch(cat, "p.d.ndb", batch, ["o_orderkey"])
+    got = cat.read("p.d.ndb").filter("o_orderkey = 1").first()
+    assert got["o_totalprice"] == 0.0
+
+
+def test_change_history_after_schema_evolving_truncate(spark, cat):
+    """A truncating write that EVOLVES the schema of a partitioned
+    table leaves pre-images without the new column; change history
+    aligns them onto the current columns (missing -> NULL) instead of
+    crashing (review finding r8)."""
+    from pyspark.sql import functions as F
+
+    seed(spark, cat)
+    cat.write(
+        spark.sql(
+            "SELECT 1 AS id, 'a' AS seg, CAST(10.0 AS DOUBLE) AS bal,"
+            " 'x' AS extra"
+        ),
+        "p.d.t",
+        "WRITE_TRUNCATE",
+    )
+    w = run(
+        spark, cat,
+        "SELECT _CHANGE_TYPE AS ct, id, extra"
+        " FROM CHANGES(TABLE `p.d.t`, NULL, NULL)"
+        " WHERE id = 1 ORDER BY ct, extra NULLS FIRST",
+    )
+    got = [tuple(r) for r in w.result.collect()]
+    # creation INSERT (pre-evolution: extra NULL), truncate's DELETE of
+    # the old image (extra NULL) and INSERT of the new one
+    assert ("INSERT", 1, None) in got and ("INSERT", 1, "x") in got, got
+    assert ("DELETE", 1, None) in got, got
+
+
+def test_insert_from_appends_tvf(spark, cat):
+    """INSERT INTO ... SELECT FROM APPENDS(...) — replaying captured
+    changes into another table, the TVFs' canonical composition — routes
+    inside the DML source (review finding r8)."""
+    seed(spark, cat)
+    cat.write(spark.sql("SELECT 0 AS id LIMIT 0"), "p.d.sink")
+    w = run(
+        spark, cat,
+        "DECLARE t0 TIMESTAMP DEFAULT CURRENT_TIMESTAMP();"
+        "INSERT INTO `p.d.t` VALUES (7, 'z', 70.0);"
+        "INSERT INTO `p.d.sink`"
+        " SELECT id FROM APPENDS(TABLE `p.d.t`, t0, NULL);"
+        "SELECT id FROM `p.d.sink` ORDER BY id",
+    )
+    assert [r["id"] for r in w.result.collect()] == [7]
+
+
+def test_changes_tvf_dashed_project_name(spark):
+    """Unquoted dashed project ids parse like every other table regex
+    in the executor (review finding r8)."""
+    c = Catalog(spark, tempfile.mkdtemp(prefix="dml_dash_"))
+    c.write(spark.sql("SELECT 1 AS id"), "my-proj.d.t")
+    w = run(
+        spark, c,
+        "SELECT _CHANGE_TYPE AS ct, id"
+        " FROM CHANGES(TABLE my-proj.d.t, NULL, NULL)",
+    )
+    assert [tuple(r) for r in w.result.collect()] == [("INSERT", 1)]
+
+
+def test_mask_literals_masks_double_quoted_strings():
+    from crmint_spark.workers.sql_executor import (
+        _NOW_FN_RE,
+        _mask_literals_same_length,
+    )
+
+    masked = _mask_literals_same_length(
+        "seg = \"current_date\" AND x = 'current_timestamp'"
+    )
+    assert not _NOW_FN_RE.search(masked), masked
