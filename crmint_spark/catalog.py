@@ -50,6 +50,16 @@ def _parquet_dir_stats(d: str) -> tuple[int, int]:
     return rows, size
 
 
+def _dir_has_parquet(path: str) -> bool:
+    """Any parquet footer under ``path`` (cheap walk, early exit) —
+    empty layout tables have none and must read via the schema
+    sidecar."""
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def _link_tree(src: str, dst: str) -> None:
     """Replicate a parquet directory tree by hardlinking every file
     (``os.link`` — metadata cost only); per-file copy fallback for
@@ -254,10 +264,17 @@ class Catalog:
         same BigQuery table (ref: bq_worker.py:61-66). Partitioned /
         clustered tables (``PARTITION BY`` DDL — see ``layout_meta``)
         come back with their USER-VISIBLE schema: the derived partition
-        column is dropped and the declared column order restored."""
+        column is dropped and the declared column order restored. An
+        EMPTY layout table (TRUNCATE / full partition expiration leaves
+        no parquet footers to infer from) reads through the schema
+        sidecar recorded at write time."""
         if self.exists(table_id):
-            df = self.spark.read.parquet(self.path_for(table_id))
-            return self.restore_layout(df, self.layout_meta(table_id))
+            path = self.path_for(table_id)
+            meta = self.layout_meta(table_id)
+            if meta and not _dir_has_parquet(path):
+                return self._empty_layout_df(meta)
+            df = self.spark.read.parquet(path)
+            return self.restore_layout(df, meta)
         view = _safe_view_name(table_id)
         try:
             return self.spark.table(view)
@@ -349,6 +366,122 @@ class Catalog:
         d = os.path.join(self.root, "__layouts__")
         return os.path.isdir(d) and bool(os.listdir(d))
 
+    # ------------------------------------------------------------------
+    # Table options (BigQuery CREATE/ALTER TABLE OPTIONS(...)). Two of
+    # them have an ENGINE plane here: ``require_partition_filter``
+    # (scan guard — the executor refuses unfiltered queries/DML over
+    # the table) and ``partition_expiration_days`` (partition GC at
+    # mutation/vacuum time). Everything else (description, labels,
+    # friendly_name, expiration_timestamp) is stored metadata served
+    # through INFORMATION_SCHEMA.TABLE_OPTIONS. Stored OUTSIDE the
+    # table directory (``<root>/__table_options__/<safe>.json``) so
+    # copy-on-write swaps keep them; DROP clears them, CLONE copies
+    # them (BigQuery contract).
+    # ------------------------------------------------------------------
+
+    def _options_path(self, table_id: str) -> str:
+        return os.path.join(
+            self.root, "__table_options__", _safe_view_name(table_id) + ".json"
+        )
+
+    def table_options(self, table_id: str) -> dict:
+        import json
+
+        p = self._options_path(table_id)
+        if not os.path.isfile(p):
+            return {}
+        with open(p) as f:
+            return json.load(f).get("options", {})
+
+    def set_table_options(self, table_id: str, opts: dict) -> None:
+        """Merge ``opts`` into the stored options; a None value clears
+        that option (BigQuery ``option = NULL`` semantics). The file
+        records the real table id — safe names are lossy for tables
+        whose own name contains a double underscore."""
+        import json
+
+        cur = self.table_options(table_id)
+        for k, v in opts.items():
+            if v is None:
+                cur.pop(k, None)
+            else:
+                cur[k] = v
+        p = self._options_path(table_id)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            json.dump({"table_id": table_id, "options": cur}, f, indent=1)
+
+    def clear_table_options(self, table_id: str) -> None:
+        p = self._options_path(table_id)
+        if os.path.isfile(p):
+            os.remove(p)
+
+    def has_table_options(self) -> bool:
+        d = os.path.join(self.root, "__table_options__")
+        return os.path.isdir(d) and bool(os.listdir(d))
+
+    def expire_partitions(self, table_id: str, today=None) -> int:
+        """``partition_expiration_days`` GC: drop partition directories
+        whose DATE value is more than N days old (time-partitioned
+        layouts only — BigQuery's own restriction). The pre-image
+        archives first, so FOR SYSTEM_TIME AS OF still serves expired
+        rows inside the retention window. Runs at mutation points and
+        from the StorageCleaner vacuum hook — BigQuery expires
+        continuously, this engine at maintenance points (documented).
+        ``today`` is injectable for tests. Returns dirs dropped."""
+        import datetime as _dt
+        import shutil
+        from urllib.parse import unquote
+
+        days = self.table_options(table_id).get("partition_expiration_days")
+        meta = self.layout_meta(table_id)
+        if days is None or not meta or not meta.get("pcol"):
+            return 0
+        if meta.get("kind") == "range_bucket":
+            return 0  # integer-range layouts never expire (BigQuery)
+        path = self.path_for(table_id)
+        if not os.path.isdir(path):
+            return 0
+        today = today or _dt.date.today()
+        cutoff = today - _dt.timedelta(days=float(days))
+        expired = []
+        for d in os.listdir(path):
+            if not d.startswith(meta["pcol"] + "="):
+                continue
+            val = unquote(d.split("=", 1)[1])
+            if val == "__HIVE_DEFAULT_PARTITION__":
+                continue  # NULL partition never expires
+            try:
+                pdate = _dt.date.fromisoformat(val[:10])
+            except ValueError:
+                continue
+            if pdate < cutoff:
+                expired.append(d)
+        if not expired:
+            return 0
+        self.archive_preimage(table_id)
+        for d in expired:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        self.register(table_id)
+        return len(expired)
+
+    def vacuum_expired_partitions(self) -> int:
+        """Maintenance sweep across every table carrying
+        ``partition_expiration_days`` (StorageCleaner hook — tables no
+        longer being written never hit the mutation-point GC)."""
+        import json
+
+        d = os.path.join(self.root, "__table_options__")
+        if not os.path.isdir(d):
+            return 0
+        dropped = 0
+        for f in os.listdir(d):
+            with open(os.path.join(d, f)) as fh:
+                table_id = json.load(fh).get("table_id")
+            if table_id and self.exists(table_id):
+                dropped += self.expire_partitions(table_id)
+        return dropped
+
     def restore_layout(self, df: DataFrame, meta: dict | None) -> DataFrame:
         """User-visible schema of a layout table's raw parquet read:
         drop the derived partition column, restore declared column
@@ -366,6 +499,32 @@ class Catalog:
                 e = e.cast(meta["source_type"]).alias(c)
             cols.append(e)
         return df.select(*cols)
+
+    def _empty_layout_df(self, meta: dict, with_pcol: bool = False) -> DataFrame:
+        """Zero-row DataFrame in a layout table's user-visible schema,
+        built from the sidecar recorded at write time (an empty
+        hive-partitioned directory has no footers OR partition dirs to
+        infer from). ``with_pcol`` appends the derived partition column
+        (NULL-typed) for raw-layout consumers."""
+        import json
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        sj = meta.get("schema_json")
+        if not sj:
+            raise ValueError(
+                f"table {meta.get('table_id')} is empty and predates the"
+                " layout schema sidecar — rewrite it to restore reads"
+            )
+        df = self.spark.createDataFrame(
+            [], StructType.fromJson(json.loads(sj))
+        )
+        pcol = meta.get("pcol")
+        if with_pcol and pcol and pcol not in df.columns:
+            ptype = "bigint" if meta.get("kind") == "range_bucket" else "date"
+            df = df.withColumn(pcol, F.lit(None).cast(ptype))
+        return df
 
     def apply_layout(self, df: DataFrame, meta: dict) -> DataFrame:
         """Write-side shape: derive the partition column when the spec
@@ -447,9 +606,13 @@ class Catalog:
         PartitionFilters. Re-registered on every call: a DML swap
         replaces the directory under the old view's plan."""
         view = _safe_view_name(table_id) + "__layout"
-        self.spark.read.parquet(self.path_for(table_id)).createOrReplaceTempView(
-            view
-        )
+        path = self.path_for(table_id)
+        meta = self.layout_meta(table_id)
+        if meta and not _dir_has_parquet(path):
+            df = self._empty_layout_df(meta, with_pcol=True)
+        else:
+            df = self.spark.read.parquet(path)
+        df.createOrReplaceTempView(view)
         return view
 
     # ------------------------------------------------------------------
@@ -626,7 +789,10 @@ class Catalog:
             # (drops a derived __pk, reorders, casts, NULLs columns a
             # pre-schema-evolution pre-image lacks) — restore_layout
             # would select current-meta columns an old pre-image may
-            # not have and raise (review finding r8)
+            # not have and raise (review finding r8). An EMPTY state
+            # (post-TRUNCATE pre-image) has no footers to read.
+            if not _dir_has_parquet(path):
+                return cur.limit(0)
             df = self.spark.read.parquet(path)
             return df.select(
                 *[
@@ -756,12 +922,19 @@ class Catalog:
         self.layout_writer(df, meta).mode(mode).parquet(
             self.path_for(table_id)
         )
+        if meta:
+            # schema sidecar: what an EMPTY layout directory reads as
+            # (TRUNCATE / full partition expiration leave no footers)
+            self.set_layout_meta(
+                table_id, {**meta, "schema_json": df.schema.json()}
+            )
         self.check_partition_cap(table_id)
         if not existed:
             self._record_creation(table_id)
         # downstream SQL jobs in the same pipeline address the table by
         # name immediately (BigQuery-catalog semantics)
         self.register(table_id)
+        self.expire_partitions(table_id)
 
     def drop(self, table_id: str) -> None:
         import shutil
@@ -771,6 +944,7 @@ class Catalog:
             if not self.archive_preimage(table_id, move=True):
                 shutil.rmtree(p)
         self.clear_layout_meta(table_id)
+        self.clear_table_options(table_id)
 
     def clone(self, src_id: str, dst_id: str) -> None:
         """Table clone/snapshot: a zero-copy HARDLINK of the immutable
@@ -793,6 +967,9 @@ class Catalog:
             self.clone_path(
                 self.path_for(src_id), dst_id, meta=self.layout_meta(src_id)
             )
+            opts = self.table_options(src_id)
+            if opts:  # clones inherit table options (BigQuery contract)
+                self.set_table_options(dst_id, opts)
         else:
             self.write(self.read(src_id), dst_id)
 
@@ -1132,6 +1309,40 @@ class Catalog:
                 "table_name string, partition_id string, "
                 "total_rows bigint, total_logical_bytes bigint, "
                 "last_modified_time timestamp",
+            ).createOrReplaceTempView(view)
+            return view
+        if kind == "TABLE_OPTIONS":
+            # BigQuery INFORMATION_SCHEMA.TABLE_OPTIONS: one row per
+            # set option per table; option_value renders as the SQL
+            # literal text (BigQuery's own contract). Metadata-only.
+            _types = {
+                "require_partition_filter": "BOOL",
+                "partition_expiration_days": "FLOAT64",
+                "expiration_timestamp": "TIMESTAMP",
+                "description": "STRING",
+                "friendly_name": "STRING",
+                "labels": "ARRAY<STRUCT<STRING, STRING>>",
+            }
+            rows = []
+            for t in tables:
+                for k, v in sorted(
+                    self.table_options(f"{project}.{dataset}.{t}").items()
+                ):
+                    ty = _types.get(k, "STRING")
+                    if ty == "BOOL":
+                        val = str(bool(v)).lower()
+                    elif ty == "FLOAT64":
+                        val = f"{float(v):g}"
+                    elif ty == "STRING":
+                        val = f'"{v}"'
+                    else:
+                        val = str(v)
+                    rows.append((project, dataset, t, k, ty, val))
+            self.spark.createDataFrame(
+                rows,
+                "table_catalog string, table_schema string, "
+                "table_name string, option_name string, "
+                "option_type string, option_value string",
             ).createOrReplaceTempView(view)
             return view
         if kind != "COLUMNS":

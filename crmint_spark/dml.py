@@ -609,6 +609,8 @@ def swap_catalog_table(
         shutil.rmtree(path)
     os.rename(tmp, path)
     catalog.register(table_id)
+    # partition_expiration_days GC rides every mutation point
+    catalog.expire_partitions(table_id)
 
 
 # ---------------------------------------------------------------------------

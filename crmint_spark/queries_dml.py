@@ -516,6 +516,63 @@ GROUP BY change_type ORDER BY change_type
 """
 
 
+def dml_table_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery table OPTIONS end-to-end (round 8): a partitioned CTAS
+    carrying ``require_partition_filter`` / ``partition_expiration_days``
+    / ``description``, read back through
+    INFORMATION_SCHEMA.TABLE_OPTIONS (BigQuery's literal-rendered
+    option_value contract) joined with an aggregate whose WHERE
+    satisfies the partition-filter guard. The guard itself is
+    behavioral (an unfiltered query raises — pytest-certified in
+    test_partitioned_layout); this oracle certifies the metadata
+    surface and that guarded queries still answer exactly."""
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_q_"))
+    w = SparkSQLExecutor(
+        {
+            "script": """
+        CREATE OR REPLACE TABLE p.d.topt
+        PARTITION BY DATE_TRUNC(o_orderdate, MONTH)
+        OPTIONS(require_partition_filter = true,
+                partition_expiration_days = 365000.0,
+                description = "guarded orders")
+        AS SELECT o_orderkey, o_orderdate, o_totalprice FROM orders;
+        SELECT o.option_name, o.option_type, o.option_value, a.n, a.rev
+        FROM `p.d.INFORMATION_SCHEMA.TABLE_OPTIONS` o
+        CROSS JOIN (
+          SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev
+          FROM `p.d.topt`
+          WHERE DATE(o_orderdate) BETWEEN DATE '1996-01-01'
+            AND DATE '1996-12-31'
+        ) a
+        WHERE o.table_name = 'topt'
+        ORDER BY o.option_name
+        """,
+            "dry_run": False,
+        },
+        WorkerContext(spark=spark, catalog=cat),
+    )
+    w.execute()
+    return w.result
+
+
+DML_TABLE_OPTIONS_SQL = """
+WITH agg AS (
+  SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01'
+    AND DATE '1996-12-31'
+), opts(option_name, option_type, option_value) AS (
+  VALUES ('description', 'STRING', '"guarded orders"'),
+         ('partition_expiration_days', 'FLOAT64', '365000'),
+         ('require_partition_filter', 'BOOL', 'true')
+)
+SELECT o.option_name, o.option_type, o.option_value, a.n, a.rev
+FROM opts o CROSS JOIN agg a
+ORDER BY o.option_name
+"""
+
+
 DML_QUERIES: dict[str, tuple] = {
     "dml_merge_upsert": (dml_merge_upsert, DML_MERGE_SQL),
     "dml_update_delete_insert": (dml_update_delete_insert, DML_UPDATE_SQL),
@@ -528,4 +585,5 @@ DML_QUERIES: dict[str, tuple] = {
     ),
     "dml_pruned_merge": (dml_pruned_merge, DML_PRUNED_MERGE_SQL),
     "dml_change_history": (dml_change_history, DML_CHANGE_HISTORY_SQL),
+    "dml_table_options": (dml_table_options, DML_TABLE_OPTIONS_SQL),
 }

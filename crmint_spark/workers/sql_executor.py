@@ -538,6 +538,97 @@ _NOW_FN_RE = re.compile(
 )
 
 
+def _extract_options_kv(sql: str) -> dict | None:
+    """The top-level ``OPTIONS(k = v, ...)`` clause of a CREATE/ALTER
+    statement as a dict with typed values (bool/number/string; NULL ->
+    None so ALTER can clear an option; anything else kept as raw
+    text). None when the statement carries no OPTIONS clause."""
+    from ..dialect import _balanced_end, _find_top_level
+
+    masked = _mask_literals_same_length(sql)
+    # top-level only: a column-level `x STRING OPTIONS(...)` inside the
+    # schema parens is NOT the table's OPTIONS clause
+    m = _find_top_level(
+        masked, re.compile(r"\bOPTIONS\s*\(", re.IGNORECASE)
+    )
+    if not m:
+        return None
+    end = _balanced_end(sql, m.end() - 1)
+    if end < 0:
+        return None
+    out: dict = {}
+    for pair in _split_top_level(sql[m.end() : end - 1]):
+        pm = re.match(r"\s*(\w+)\s*=\s*(.+?)\s*$", pair, re.DOTALL)
+        if not pm:
+            continue
+        key, val = pm.group(1).lower(), pm.group(2).strip()
+        if re.fullmatch(r"NULL", val, re.IGNORECASE):
+            out[key] = None
+        elif re.fullmatch(r"true|false", val, re.IGNORECASE):
+            out[key] = val.lower() == "true"
+        elif re.fullmatch(r"-?\d+", val):
+            out[key] = int(val)
+        elif re.fullmatch(r"-?\d*\.\d+", val):
+            out[key] = float(val)
+        elif len(val) >= 2 and val[0] in "'\"" and val[-1] == val[0]:
+            out[key] = val[1:-1]
+        else:
+            out[key] = val
+    return out
+
+
+#: operators that can serve partition elimination (BigQuery's
+#: require_partition_filter contract): comparisons, BETWEEN, IN,
+#: IS [NOT] NULL — but never a pure != / <>
+_ELIM_OP_RE = re.compile(
+    r"(?<![!<>])=|<=|>=|(?<!<)>(?!=)|<(?![>=])"
+    r"|\bBETWEEN\b|\bIN\s*\(|\bIS\s+(?:NOT\s+)?NULL\b",
+    re.IGNORECASE,
+)
+
+
+def _scope_single_relation(masked: str, start: int, stop: int) -> bool:
+    """True when no further base relation joins the scope between the
+    matched relation and its WHERE clause — no top-level comma or JOIN
+    keyword at paren depth 0 (a closing paren ends the scope)."""
+    depth = 0
+    i = start
+    while i < stop:
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                return True
+            depth -= 1
+        elif depth == 0:
+            if ch == ",":
+                return False
+            if masked[i : i + 5].upper() == "JOIN " or masked[
+                i : i + 5
+            ].upper() == "JOIN\n":
+                if i == 0 or not (masked[i - 1].isalnum() or masked[i - 1] == "_"):
+                    return False
+        i += 1
+    return True
+
+
+def _partition_filter_conjunct(
+    conj: str, col: str, alias: str, allow_bare: bool
+) -> bool:
+    """Does one top-level WHERE conjunct reference the partitioning
+    column (qualified by ``alias``, or bare when the scope has a single
+    relation) with an operator usable for elimination?"""
+    if allow_bare:
+        ref = rf"(?:\b{re.escape(alias)}\s*\.\s*)?`?\b{re.escape(col)}\b`?"
+    else:
+        ref = rf"\b{re.escape(alias)}\s*\.\s*`?\b{re.escape(col)}\b`?"
+    masked = _mask_literals_same_length(conj)
+    if not re.search(ref, masked, re.IGNORECASE):
+        return False
+    return bool(_ELIM_OP_RE.search(masked))
+
+
 def _scope_where(masked: str, start: int) -> tuple[int, int] | None:
     """(clause_start, clause_end) of the WHERE belonging to the FROM at
     ``start``'s scope — scanning at paren depth 0 from just after the
@@ -1206,10 +1297,24 @@ class SparkSQLExecutor(Worker):
                     f" time-travel retention set to {hours:g} h"
                 )
                 return True
+            if (
+                m.group(1).upper() == "TABLE"
+                and self._ctx.catalog is not None
+                and self._ctx.catalog.exists(m.group(2))
+            ):
+                opts = _extract_options_kv(sub) or {}
+                if self._params["dry_run"]:
+                    self.log_info(
+                        f"dry run OK: ALTER TABLE {m.group(2)} SET"
+                        f" OPTIONS {sorted(opts)}"
+                    )
+                    return True
+                self._apply_table_options(m.group(2), opts, None)
+                return True
             self.log_info(
                 f"ALTER {m.group(1).upper()} {m.group(2)} SET OPTIONS:"
                 " metadata-only, validated and ignored (the engine"
-                " stores no table options)"
+                " stores table options only for catalog-plane tables)"
             )
             return True
         m = re.match(r"^\s*(GRANT|REVOKE)\b", sub, re.IGNORECASE)
@@ -1469,6 +1574,10 @@ class SparkSQLExecutor(Worker):
             if meta:
                 cat.set_layout_meta(dest, {**meta, "table_id": dest})
             cat.clear_layout_meta(name)
+            opts = cat.table_options(name)
+            if opts:  # table options travel with the table too
+                cat.set_table_options(dest, opts)
+            cat.clear_table_options(name)
             cat.register(dest)
             self.log_info(f"ALTER TABLE {name} RENAME TO {dest}")
             return True
@@ -1559,6 +1668,9 @@ class SparkSQLExecutor(Worker):
             meta = {
                 **meta,
                 "columns": list(df.columns),
+                # keep the empty-table schema sidecar in step with the
+                # ALTERed shape
+                "schema_json": df.schema.json(),
                 "cluster_cols": [
                     c
                     for c in meta.get("cluster_cols", [])
@@ -2012,6 +2124,7 @@ class SparkSQLExecutor(Worker):
         table_id: str,
         partition_expr: str | None,
         cluster_cols: list[str],
+        tbl_opts: dict | None = None,
     ):
         """Execute a CREATE TABLE carrying PARTITION BY / CLUSTER BY as
         a CATALOG table with a real partitioned parquet layout (VERDICT
@@ -2105,6 +2218,8 @@ class SparkSQLExecutor(Worker):
                 cat.clear_layout_meta(table_id)
             raise WorkerException(str(e)) from None
         n_parts = cat.check_partition_cap(table_id)
+        if tbl_opts:
+            self._apply_table_options(table_id, tbl_opts, partition_expr)
         self.log_info(
             f"CREATE TABLE {table_id}: "
             + (
@@ -2116,6 +2231,93 @@ class SparkSQLExecutor(Worker):
             + (f", clustered on {cluster_cols}" if cluster_cols else "")
         )
         return None
+
+    def _apply_table_options(
+        self, table_id: str, opts: dict, partition_expr: str | None
+    ) -> None:
+        """Validate + persist CREATE/ALTER TABLE OPTIONS for a catalog
+        table. ``require_partition_filter`` and
+        ``partition_expiration_days`` have engine planes (scan guard /
+        partition GC) and demand a [time-]partitioned table (BigQuery
+        contract); everything else is stored metadata served through
+        INFORMATION_SCHEMA.TABLE_OPTIONS."""
+        cat = self._ctx.catalog
+        meta = cat.layout_meta(table_id)
+        partitioned = bool((meta or {}).get("pcol")) or bool(partition_expr)
+        if opts.get("require_partition_filter") and not partitioned:
+            raise WorkerException(
+                "require_partition_filter=true needs a partitioned"
+                f" table; {table_id} is not partitioned"
+            )
+        days = opts.get("partition_expiration_days")
+        if days is not None:
+            if not partitioned or (meta or {}).get("kind") == "range_bucket":
+                raise WorkerException(
+                    "partition_expiration_days applies only to"
+                    f" time-partitioned tables; check {table_id}"
+                )
+            if not isinstance(days, (int, float)) or days <= 0:
+                raise WorkerException(
+                    "partition_expiration_days must be a positive"
+                    f" number, got {days!r}"
+                )
+        cat.set_table_options(table_id, opts)
+        engine = [
+            k
+            for k in ("require_partition_filter", "partition_expiration_days")
+            if opts.get(k) is not None
+        ]
+        self.log_info(
+            f"table options on {table_id}: {sorted(opts)}"
+            + (f" ({', '.join(engine)} enforced)" if engine else "")
+        )
+        cat.expire_partitions(table_id)
+
+    def _enforce_partition_filters(self, sub: str) -> None:
+        """BigQuery ``require_partition_filter=true``: every FROM/JOIN
+        reference to such a table must sit in a scope whose WHERE
+        carries a filter on the partitioning (source) column usable for
+        elimination — comparison / BETWEEN / IN / IS [NOT] NULL,
+        directly or inside the partition expression; a ``!=``/``<>``-
+        only conjunct does not eliminate (BigQuery contract). Pure text
+        analysis, so dry runs error exactly like BigQuery's."""
+        cat = self._ctx.catalog
+        if cat is None or not cat.has_table_options():
+            return
+        masked = _mask_literals_same_length(sub)
+        for m in _REL_ALIAS_RE.finditer(masked):
+            rel = m.group(1).strip("`")
+            if not cat.table_options(rel).get("require_partition_filter"):
+                continue
+            meta = cat.layout_meta(rel)
+            if not meta or not meta.get("pcol"):
+                continue
+            alias = m.group(2) or m.group(3) or rel.split(".")[-1]
+            col = meta.get("source_col") or meta["pcol"]
+            scope = _scope_where(masked, m.end())
+            # bare column references count only when THIS scope holds a
+            # single relation (a global aliases check would wrongly
+            # demand qualification inside a single-table subquery of a
+            # multi-relation statement — this is a HARD guard, so false
+            # positives break valid queries)
+            allow_bare = not masked[
+                m.start() : m.start() + 4
+            ].upper().startswith("JOIN") and _scope_single_relation(
+                masked, m.end(), scope[0] if scope else len(masked)
+            )
+            ok = False
+            if scope:
+                cs, ce = scope
+                ok = any(
+                    _partition_filter_conjunct(conj, col, alias, allow_bare)
+                    for conj in _split_conjuncts(sub[cs:ce])
+                )
+            if not ok:
+                raise WorkerException(
+                    f"Cannot query over table {rel} without a filter on"
+                    f" column {col!r} that can be used for partition"
+                    " elimination (require_partition_filter=true)"
+                )
 
     def _route_change_history(self, sub: str, resolver) -> str:
         """BigQuery change-history TVFs — ``APPENDS(TABLE t, s, e)`` /
@@ -2937,6 +3139,7 @@ class SparkSQLExecutor(Worker):
             # created below through the normal transpile path
             self._ctx.catalog.record_view(vm.group(1), vm.group(2))
         sub = self._expand_table_functions(sub)
+        self._enforce_partition_filters(sub)
         if self._try_external_table(sub):
             return None
         if self._try_temp_table(sub, resolver, registry):
@@ -2947,6 +3150,7 @@ class SparkSQLExecutor(Worker):
             return None
         layout = None
         mv_rec = None
+        tbl_opts = None
         if not self._params["dry_run"]:
             try:
                 dml = parse_dml(sub)
@@ -2971,6 +3175,10 @@ class SparkSQLExecutor(Worker):
                     layout = extract_create_table_layout(sub)
                     if layout is not None:
                         sub = layout[0]
+                        # the OPTIONS clause survives in the peeled
+                        # statement but is stripped by the transpile
+                        # chain — capture it HERE for the option store
+                        tbl_opts = _extract_options_kv(sub)
                 sub = self._route_partition_scan(sub)
             mv_rec = self._match_mv_create(sub)
             dm = re.match(
@@ -3028,7 +3236,7 @@ class SparkSQLExecutor(Worker):
         stmt = rewrite_ml_detect_anomalies(spark, stmt, registry)
         if layout is not None:
             return self._create_layout_table(
-                stmt, layout[1], layout[2], layout[3]
+                stmt, layout[1], layout[2], layout[3], tbl_opts
             )
         last: DataFrame | None = None
         for piece in expand_create_or_replace_table(stmt):
@@ -3413,6 +3621,7 @@ class SparkSQLExecutor(Worker):
         cat = self._ctx.catalog
         in_catalog = cat is not None and cat.exists(dml.target)
         if in_catalog:
+            self._require_dml_partition_filter(dml)
             self._txn_snapshot_target(dml.target)
         if isinstance(dml, InsertStmt):
             if not in_catalog:
@@ -3468,6 +3677,41 @@ class SparkSQLExecutor(Worker):
         self._dml_overwrite(dml.target, result, in_catalog, session_name)
         self.log_info(f"{type(dml).__name__.replace('Stmt', '').upper()} applied to {dml.target}")
         return True
+
+    def _require_dml_partition_filter(self, dml) -> None:
+        """``require_partition_filter`` applies to DML too (BigQuery):
+        UPDATE/DELETE need a usable filter in WHERE, MERGE in the ON
+        condition; INSERT appends and TRUNCATE is a metadata op — both
+        exempt."""
+        cat = self._ctx.catalog
+        if not cat.has_table_options():
+            return
+        if not cat.table_options(dml.target).get("require_partition_filter"):
+            return
+        meta = cat.layout_meta(dml.target)
+        if not meta or not meta.get("pcol"):
+            return
+        if isinstance(dml, (InsertStmt, TruncateStmt)):
+            return
+        col = meta.get("source_col") or meta["pcol"]
+        if isinstance(dml, (UpdateStmt, DeleteStmt)):
+            text = dml.where
+            alias = dml.alias or dml.target.split(".")[-1].strip("`")
+            allow_bare = True
+        else:
+            text = dml.on
+            alias = dml.target_alias or dml.target.split(".")[-1].strip("`")
+            allow_bare = False  # the MERGE scope holds two relations
+        if not any(
+            _partition_filter_conjunct(c, col, alias, allow_bare)
+            for c in _split_conjuncts(text)
+        ):
+            raise WorkerException(
+                f"Cannot run {type(dml).__name__.replace('Stmt', '').upper()}"
+                f" on table {dml.target} without a filter on column"
+                f" {col!r} usable for partition elimination"
+                " (require_partition_filter=true)"
+            )
 
     def _freeze_now_fns(self, text: str) -> str | None:
         """Pin argless CURRENT_DATE / CURRENT_TIMESTAMP in a DML

@@ -24,6 +24,14 @@ class StorageCleaner(Worker):
             False,
             "also prune expired time-travel versions (catalog-wide)",
         ),
+        (
+            "vacuum_partition_expiration",
+            "boolean",
+            False,
+            False,
+            "also drop partitions past their table's"
+            " partition_expiration_days (catalog-wide)",
+        ),
     ]
 
     def _execute(self) -> None:
@@ -36,6 +44,17 @@ class StorageCleaner(Worker):
             self.log_info(
                 f"vacuumed {pruned} expired time-travel versions"
                 f" (window {self._ctx.catalog.time_travel_hours:g} h)"
+            )
+        if self._params.get("vacuum_partition_expiration"):
+            if not self._ctx.catalog:
+                raise WorkerException(
+                    "vacuum_partition_expiration needs a catalog on the"
+                    " context"
+                )
+            dropped = self._ctx.catalog.vacuum_expired_partitions()
+            self.log_info(
+                f"dropped {dropped} expired partitions"
+                " (partition_expiration_days)"
             )
         base = self._params["base_dir"] or (
             self._ctx.catalog.root if self._ctx.catalog else None

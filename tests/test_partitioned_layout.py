@@ -745,3 +745,174 @@ def test_merge_upsert_batch_prunes_partitions(ctx):
     vals = {r["o_orderkey"]: r["o_totalprice"] for r in got.collect()}
     assert vals[victim["o_orderkey"]] == 123.45
     assert vals[9999991] == 67.89
+
+
+# ---------------------------------------------------------------------------
+# table options (round 8): require_partition_filter scan/DML guard,
+# partition_expiration_days GC, INFORMATION_SCHEMA.TABLE_OPTIONS
+
+
+def test_require_partition_filter_guard(ctx):
+    run(
+        ctx,
+        "CREATE OR REPLACE TABLE p.d.rpf"
+        " PARTITION BY DATE_TRUNC(o_orderdate, MONTH)"
+        " OPTIONS(require_partition_filter = true, description = 'guarded')"
+        " AS SELECT o_orderkey, o_orderdate, o_totalprice FROM orders",
+    )
+    # unfiltered / !=-only / other-column filters all refuse
+    for bad in (
+        "SELECT COUNT(*) AS n FROM `p.d.rpf`",
+        "SELECT COUNT(*) AS n FROM `p.d.rpf`"
+        " WHERE o_orderdate != TIMESTAMP '1995-01-01'",
+        "SELECT COUNT(*) AS n FROM `p.d.rpf` WHERE o_totalprice > 0",
+    ):
+        with pytest.raises(WorkerException, match="partition elimination"):
+            run(ctx, bad)
+    # usable filters pass: direct range, expression form, IN, IS NULL
+    for good in (
+        "SELECT COUNT(*) AS n FROM `p.d.rpf`"
+        " WHERE o_orderdate >= TIMESTAMP '1996-01-01'",
+        "SELECT COUNT(*) AS n FROM `p.d.rpf`"
+        " WHERE DATE(o_orderdate) = DATE '1995-03-05'",
+        "SELECT COUNT(*) AS n FROM `p.d.rpf` WHERE o_orderdate IS NULL",
+    ):
+        run(ctx, good)
+    # DML: WHERE/ON must carry the filter; INSERT is exempt
+    with pytest.raises(WorkerException, match="partition elimination"):
+        run(ctx, "DELETE FROM `p.d.rpf` WHERE o_totalprice < 0")
+    with pytest.raises(WorkerException, match="partition elimination"):
+        run(
+            ctx,
+            "MERGE INTO `p.d.rpf` T USING (SELECT 1 AS k) S"
+            " ON T.o_orderkey = S.k"
+            " WHEN MATCHED THEN UPDATE SET o_totalprice = 0",
+        )
+    run(
+        ctx,
+        "UPDATE `p.d.rpf` SET o_totalprice = 0"
+        " WHERE o_orderdate = TIMESTAMP '1995-01-05'",
+    )
+    run(
+        ctx,
+        "INSERT INTO `p.d.rpf` VALUES"
+        " (999999, TIMESTAMP '1999-01-01', 1.0)",
+    )
+    # dry run errors too (BigQuery contract), and the guard clears
+    # through ALTER ... SET OPTIONS
+    w = SparkSQLExecutor(
+        {"script": "SELECT COUNT(*) AS n FROM `p.d.rpf`", "dry_run": True},
+        ctx,
+    )
+    with pytest.raises(WorkerException, match="partition elimination"):
+        w.execute()
+    run(ctx, "ALTER TABLE `p.d.rpf` SET OPTIONS(require_partition_filter = false)")
+    run(ctx, "SELECT COUNT(*) AS n FROM `p.d.rpf`")
+    # ... and an unpartitioned table refuses the option outright
+    with pytest.raises(WorkerException, match="needs a partitioned"):
+        run(
+            ctx,
+            "CREATE OR REPLACE TABLE p.d.flatc CLUSTER BY o_custkey"
+            " OPTIONS(require_partition_filter = true)"
+            " AS SELECT o_orderkey, o_custkey FROM orders",
+        )
+
+
+def test_partition_expiration_and_table_options_view(ctx):
+    import datetime
+
+    run(
+        ctx,
+        "CREATE OR REPLACE TABLE p.d.pex"
+        " PARTITION BY DATE_TRUNC(o_orderdate, MONTH)"
+        " OPTIONS(partition_expiration_days = 365000.0)"
+        " AS SELECT o_orderkey, o_orderdate FROM orders",
+    )
+    before = ctx.catalog.read("p.d.pex").count()
+    assert before > 0  # a ~1000-year window expires nothing at create
+    ctx.catalog.set_table_options(
+        "p.d.pex", {"partition_expiration_days": 365.0}
+    )
+    dropped = ctx.catalog.expire_partitions(
+        "p.d.pex", today=datetime.date(1997, 1, 1)
+    )
+    assert dropped > 0
+    live = ctx.catalog.read("p.d.pex")
+    assert live.filter("o_orderdate < TIMESTAMP '1996-01-01'").count() == 0
+    assert live.count() < before
+    # the pre-image archived: change history sees the expiration as
+    # DELETEs of exactly the expired rows
+    w = run(
+        ctx,
+        "SELECT COUNT(*) AS n FROM CHANGES(TABLE `p.d.pex`, NULL, NULL)"
+        " WHERE _CHANGE_TYPE = 'DELETE'",
+    )
+    assert w.result.first()["n"] == before - live.count()
+    # TABLE_OPTIONS contract
+    w2 = run(
+        ctx,
+        "SELECT table_name, option_name, option_type, option_value"
+        " FROM `p.d.INFORMATION_SCHEMA.TABLE_OPTIONS`"
+        " WHERE table_name = 'pex'",
+    )
+    rows = [tuple(r) for r in w2.result.collect()]
+    assert ("pex", "partition_expiration_days", "FLOAT64", "365") in rows
+    # a creation-time window older than ALL data expires everything
+    # immediately yet leaves a READABLE empty table (schema sidecar)
+    run(
+        ctx,
+        "CREATE OR REPLACE TABLE p.d.pez"
+        " PARTITION BY DATE_TRUNC(o_orderdate, MONTH)"
+        " OPTIONS(partition_expiration_days = 365.0)"
+        " AS SELECT o_orderkey, o_orderdate FROM orders",
+    )
+    assert ctx.catalog.read("p.d.pez").count() == 0
+    assert ctx.catalog.read("p.d.pez").columns == [
+        "o_orderkey", "o_orderdate",
+    ]
+    # vacuum hook reaches tables not being written — under the REAL
+    # clock every remaining 1990s partition is long past 365 days, and
+    # the fully-expired table stays readable (schema sidecar)
+    assert ctx.catalog.vacuum_expired_partitions() > 0
+    assert ctx.catalog.read("p.d.pex").count() == 0
+    # clone and rename carry options; drop clears them
+    run(ctx, "CREATE TABLE p.d.pex2 CLONE p.d.pex")
+    assert ctx.catalog.table_options("p.d.pex2").get(
+        "partition_expiration_days"
+    ) == 365.0
+    run(ctx, "ALTER TABLE `p.d.pex2` RENAME TO `p.d.pex3`")
+    assert ctx.catalog.table_options("p.d.pex3")
+    assert not ctx.catalog.table_options("p.d.pex2")
+    run(ctx, "DROP TABLE `p.d.pex3`")
+    assert not ctx.catalog.table_options("p.d.pex3")
+
+
+def test_truncate_partitioned_table_stays_readable(ctx):
+    """TRUNCATE on a partitioned table leaves zero parquet footers —
+    reads must serve the empty user schema from the layout sidecar, and
+    a later INSERT re-populates the layout normally (pre-existing bug
+    found in round 8 while building partition expiration)."""
+    run(
+        ctx,
+        "CREATE OR REPLACE TABLE p.d.trp PARTITION BY"
+        " DATE_TRUNC(o_orderdate, MONTH) AS"
+        " SELECT o_orderkey, o_orderdate FROM orders"
+        " WHERE o_orderkey <= 100",
+    )
+    run(ctx, "TRUNCATE TABLE p.d.trp")
+    empty = ctx.catalog.read("p.d.trp")
+    assert empty.count() == 0
+    assert empty.columns == ["o_orderkey", "o_orderdate"]
+    # SQL-plane read and pruned-scan routing survive the empty state
+    w = run(
+        ctx,
+        "SELECT COUNT(*) AS n FROM `p.d.trp`"
+        " WHERE DATE(o_orderdate) = DATE '1995-01-05'",
+    )
+    assert w.result.first()["n"] == 0
+    run(
+        ctx,
+        "INSERT INTO `p.d.trp` VALUES (7, TIMESTAMP '1999-02-03')",
+    )
+    assert ctx.catalog.read("p.d.trp").count() == 1
+    assert "__pk=1999-02-01" in os.listdir(ctx.catalog.path_for("p.d.trp"))

@@ -101,6 +101,12 @@ PROBE = [
     "dml_partitions_metadata",
     "dml_mv_rewrite",
     "bqml_onehot_broadcast",
+    # round 8 (late): partition-pruned copy-on-write (the one-month
+    # MERGE rewrites ONE partition regardless of copies — expect the
+    # probe scan to scale with data but the write to stay flat),
+    # change-history reconstruction (diff cost ∝ mutated states)
+    "dml_pruned_merge",
+    "dml_change_history",
 ]
 
 # key columns to shift per copy so joins stay consistent and
