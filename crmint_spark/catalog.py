@@ -967,8 +967,13 @@ class Catalog:
             self.clone_path(
                 self.path_for(src_id), dst_id, meta=self.layout_meta(src_id)
             )
+            # clones get EXACTLY the source's options (BigQuery
+            # contract) — including none: a replaced destination must
+            # not keep its predecessor's (review finding r8: a stale
+            # partition_expiration_days would GC the clone)
+            self.clear_table_options(dst_id)
             opts = self.table_options(src_id)
-            if opts:  # clones inherit table options (BigQuery contract)
+            if opts:
                 self.set_table_options(dst_id, opts)
         else:
             self.write(self.read(src_id), dst_id)

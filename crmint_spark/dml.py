@@ -710,11 +710,26 @@ def merge_upsert_batch(
     # everything must live in batch_df's session: inside foreachBatch the
     # micro-batch runs in a cloned session whose temp views are isolated
     # from the main one, so read the target through it, not the catalog
+    from .catalog import _dir_has_parquet
+
     spark = batch_df.sparkSession
-    target_df = catalog.restore_layout(
-        spark.read.parquet(catalog.path_for(table_id)),
-        catalog.layout_meta(table_id),
-    )
+    meta_all = catalog.layout_meta(table_id)
+    tpath = catalog.path_for(table_id)
+    if meta_all and not _dir_has_parquet(tpath):
+        # empty layout table (TRUNCATE / full partition expiration):
+        # no footers to infer from — build the zero-row frame in the
+        # BATCH session from the schema sidecar (review finding r8)
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        target_df = spark.createDataFrame(
+            [], StructType.fromJson(_json.loads(meta_all["schema_json"]))
+        )
+    else:
+        target_df = catalog.restore_layout(
+            spark.read.parquet(tpath), meta_all
+        )
     missing = set(keys) - set(batch_df.columns)
     if missing:
         raise DmlError(f"upsert keys absent from batch: {sorted(missing)}")

@@ -538,6 +538,34 @@ _NOW_FN_RE = re.compile(
 )
 
 
+def _split_options_pairs(body: str) -> list[str]:
+    """Split an OPTIONS body on top-level commas — paren, BRACKET and
+    string aware (``labels = [("k","v"), ("k2","v2")]`` is one pair;
+    the shared ``_split_top_level`` is bracket-blind — review finding
+    r8)."""
+    out: list[str] = []
+    start = depth = 0
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch in ("'", '"', "`"):
+            j = i + 1
+            while j < n and body[j] != ch:
+                j += 1
+            i = j + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(body[start:i])
+            start = i + 1
+        i += 1
+    out.append(body[start:])
+    return [p for p in out if p.strip()]
+
+
 def _extract_options_kv(sql: str) -> dict | None:
     """The top-level ``OPTIONS(k = v, ...)`` clause of a CREATE/ALTER
     statement as a dict with typed values (bool/number/string; NULL ->
@@ -557,7 +585,7 @@ def _extract_options_kv(sql: str) -> dict | None:
     if end < 0:
         return None
     out: dict = {}
-    for pair in _split_top_level(sql[m.end() : end - 1]):
+    for pair in _split_options_pairs(sql[m.end() : end - 1]):
         pm = re.match(r"\s*(\w+)\s*=\s*(.+?)\s*$", pair, re.DOTALL)
         if not pm:
             continue
@@ -590,7 +618,10 @@ _ELIM_OP_RE = re.compile(
 def _scope_single_relation(masked: str, start: int, stop: int) -> bool:
     """True when no further base relation joins the scope between the
     matched relation and its WHERE clause — no top-level comma or JOIN
-    keyword at paren depth 0 (a closing paren ends the scope)."""
+    keyword at paren depth 0 (a closing paren ends the scope). A comma
+    followed by UNNEST(...) correlates the SAME relation and does not
+    count (``FROM t, UNNEST(t.tags)`` is single-relation for bareness),
+    and ``JOIN UNNEST(...)`` likewise."""
     depth = 0
     i = start
     while i < stop:
@@ -602,15 +633,73 @@ def _scope_single_relation(masked: str, start: int, stop: int) -> bool:
                 return True
             depth -= 1
         elif depth == 0:
+            boundary = i == 0 or not (
+                masked[i - 1].isalnum() or masked[i - 1] == "_"
+            )
             if ch == ",":
-                return False
-            if masked[i : i + 5].upper() == "JOIN " or masked[
-                i : i + 5
-            ].upper() == "JOIN\n":
-                if i == 0 or not (masked[i - 1].isalnum() or masked[i - 1] == "_"):
+                if not re.match(
+                    r",\s*UNNEST\s*\(", masked[i:], re.IGNORECASE
+                ):
                     return False
+            elif (
+                boundary
+                and re.match(r"JOIN\b", masked[i:], re.IGNORECASE)
+                and not re.match(
+                    r"JOIN\s+UNNEST\s*\(", masked[i:], re.IGNORECASE
+                )
+            ):
+                return False
         i += 1
     return True
+
+
+_ON_SCOPE_END_RE = re.compile(
+    r"(WHERE|JOIN|LEFT|RIGHT|FULL|INNER|CROSS|GROUP|ORDER|LIMIT|HAVING"
+    r"|UNION|INTERSECT|EXCEPT|QUALIFY|ON|USING)\b",
+    re.IGNORECASE,
+)
+
+
+def _scope_on(masked: str, start: int) -> tuple[int, int] | None:
+    """(start, end) of the ON condition directly attached to the
+    relation reference ending at ``start`` — None when another clause
+    or the scope end comes first."""
+    n = len(masked)
+    i, depth = start, 0
+    while i < n:
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                return None
+            depth -= 1
+        elif depth == 0 and (
+            i == 0 or not (masked[i - 1].isalnum() or masked[i - 1] == "_")
+        ):
+            m = _ON_SCOPE_END_RE.match(masked, i)
+            if m:
+                if m.group(1).upper() != "ON":
+                    return None
+                on_start = m.end()
+                j, d2 = on_start, 0
+                while j < n:
+                    c2 = masked[j]
+                    if c2 == "(":
+                        d2 += 1
+                    elif c2 == ")":
+                        if d2 == 0:
+                            return (on_start, j)
+                        d2 -= 1
+                    elif d2 == 0 and not (
+                        masked[j - 1].isalnum() or masked[j - 1] == "_"
+                    ):
+                        if _ON_SCOPE_END_RE.match(masked, j):
+                            return (on_start, j)
+                    j += 1
+                return (on_start, n)
+        i += 1
+    return None
 
 
 def _partition_filter_conjunct(
@@ -1390,7 +1479,8 @@ class SparkSQLExecutor(Worker):
         spark = self._ctx.spark
         cat = self._ctx.catalog
         sn = re.match(
-            r"^\s*CREATE\s+(?:SNAPSHOT\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:SNAPSHOT\s+)?TABLE\s+"
+            r"(IF\s+NOT\s+EXISTS\s+)?"
             r"`?([\w.\-]+)`?\s+(?:CLONE|COPY)\s+`?([\w.\-]+)`?"
             r"(\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\b.*?)?"
             r"\s*(?:OPTIONS\s*\(.*\))?\s*$",
@@ -1398,36 +1488,46 @@ class SparkSQLExecutor(Worker):
             re.IGNORECASE | re.DOTALL,
         )
         if sn:
-            # CREATE SNAPSHOT TABLE / CREATE TABLE ... CLONE / COPY:
-            # all directory-level copies in the catalog (Catalog.clone
-            # — the metadata-only-snapshot analog, no row rewrite;
-            # BigQuery's COPY and CLONE differ only in billing).
-            # BigQuery's snapshot DDL: cloud.google.com table snapshots.
-            # FOR SYSTEM_TIME AS OF clones from the catalog's archived
-            # version directory (time-travel store, Catalog.resolve_as_of)
+            # CREATE SNAPSHOT TABLE / CREATE [OR REPLACE] TABLE ...
+            # CLONE / COPY: all directory-level copies in the catalog
+            # (Catalog.clone — the metadata-only-snapshot analog, no
+            # row rewrite; BigQuery's COPY and CLONE differ only in
+            # billing). FOR SYSTEM_TIME AS OF clones from the catalog's
+            # archived version directory (Catalog.resolve_as_of).
+            or_replace, if_not_exists = sn.group(1), sn.group(2)
+            dst, src, asof = sn.group(3), sn.group(4), sn.group(5)
             if cat is None:
                 raise WorkerException(
                     "CLONE requires a catalog-backed session"
                 )
             if not self._params["dry_run"]:
-                if sn.group(1) and cat.exists(sn.group(2)):
-                    self.log_info(f"{sn.group(2)} exists — skipped")
-                    return True
-                if sn.group(4):
+                if cat.exists(dst):
+                    if if_not_exists:
+                        self.log_info(f"{dst} exists — skipped")
+                        return True
+                    if not or_replace:
+                        # a bare CREATE onto an existing directory
+                        # would hardlink-MERGE old and new files
+                        raise WorkerException(
+                            f"table already exists: {dst}"
+                        )
+                    cat.drop(dst)  # archives the pre-image, clears
+                    # options — the clone then carries the SOURCE's
+                if asof:
                     expr = re.sub(
                         r"^\s*FOR\s+SYSTEM_TIME\s+AS\s+OF\s*",
                         "",
-                        sn.group(4),
+                        asof,
                         flags=re.IGNORECASE,
                     ).strip()
                     cat.clone_path(
-                        self._asof_path(sn.group(3), expr),
-                        sn.group(2),
-                        meta=cat.layout_meta(sn.group(3)),
+                        self._asof_path(src, expr),
+                        dst,
+                        meta=cat.layout_meta(src),
                     )
                 else:
-                    cat.clone(sn.group(3), sn.group(2))
-            self.log_info(f"CLONE {sn.group(3)} -> {sn.group(2)}")
+                    cat.clone(src, dst)
+            self.log_info(f"CLONE {src} -> {dst}")
             return True
         lk = re.match(
             r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
@@ -2207,7 +2307,17 @@ class SparkSQLExecutor(Worker):
         meta["columns"] = list(df.columns)
         meta["table_id"] = table_id
         meta["partition_expr_text"] = partition_expr
+        if tbl_opts:
+            # BEFORE the write: an invalid OPTIONS clause must fail
+            # with the old table intact (review finding r8)
+            self._validate_table_options(
+                table_id, tbl_opts, bool(partition_expr), meta.get("kind")
+            )
         cat.set_layout_meta(table_id, meta)
+        # the point of replacement: OR REPLACE resets every option the
+        # new DDL does not restate (review finding r8: a predecessor's
+        # stale partition_expiration_days would GC the new table)
+        cat.clear_table_options(table_id)
         try:
             cat.write(df, table_id, "WRITE_TRUNCATE")
         except ValueError as e:
@@ -2232,6 +2342,35 @@ class SparkSQLExecutor(Worker):
         )
         return None
 
+    def _validate_table_options(
+        self, table_id: str, opts: dict, partitioned: bool, kind
+    ) -> None:
+        """Engine-plane option validation — callable BEFORE any write
+        so an invalid CREATE ... OPTIONS fails with the old table
+        intact (review finding r8: validating after cat.write made the
+        DDL non-atomic)."""
+        if opts.get("require_partition_filter") and not partitioned:
+            raise WorkerException(
+                "require_partition_filter=true needs a partitioned"
+                f" table; {table_id} is not partitioned"
+            )
+        days = opts.get("partition_expiration_days")
+        if days is not None:
+            if not partitioned or kind == "range_bucket":
+                raise WorkerException(
+                    "partition_expiration_days applies only to"
+                    f" time-partitioned tables; check {table_id}"
+                )
+            if (
+                isinstance(days, bool)  # bool IS an int — a typo'd
+                or not isinstance(days, (int, float))  # `= true` would
+                or days <= 0  # otherwise become a 1-day mass GC
+            ):
+                raise WorkerException(
+                    "partition_expiration_days must be a positive"
+                    f" number, got {days!r}"
+                )
+
     def _apply_table_options(
         self, table_id: str, opts: dict, partition_expr: str | None
     ) -> None:
@@ -2243,24 +2382,12 @@ class SparkSQLExecutor(Worker):
         INFORMATION_SCHEMA.TABLE_OPTIONS."""
         cat = self._ctx.catalog
         meta = cat.layout_meta(table_id)
-        partitioned = bool((meta or {}).get("pcol")) or bool(partition_expr)
-        if opts.get("require_partition_filter") and not partitioned:
-            raise WorkerException(
-                "require_partition_filter=true needs a partitioned"
-                f" table; {table_id} is not partitioned"
-            )
-        days = opts.get("partition_expiration_days")
-        if days is not None:
-            if not partitioned or (meta or {}).get("kind") == "range_bucket":
-                raise WorkerException(
-                    "partition_expiration_days applies only to"
-                    f" time-partitioned tables; check {table_id}"
-                )
-            if not isinstance(days, (int, float)) or days <= 0:
-                raise WorkerException(
-                    "partition_expiration_days must be a positive"
-                    f" number, got {days!r}"
-                )
+        self._validate_table_options(
+            table_id,
+            opts,
+            bool((meta or {}).get("pcol")) or bool(partition_expr),
+            (meta or {}).get("kind"),
+        )
         cat.set_table_options(table_id, opts)
         engine = [
             k
@@ -2285,33 +2412,56 @@ class SparkSQLExecutor(Worker):
         if cat is None or not cat.has_table_options():
             return
         masked = _mask_literals_same_length(sub)
+        # every base-relation reference: FROM/JOIN heads AND their
+        # comma continuations (review finding r8: a comma-listed
+        # guarded table silently escaped the guard)
+        refs: list[tuple[str, str | None, int, bool]] = []
         for m in _REL_ALIAS_RE.finditer(masked):
-            rel = m.group(1).strip("`")
+            is_join = masked[m.start() : m.start() + 4].upper() == "JOIN"
+            refs.append((m.group(1), m.group(2) or m.group(3), m.end(), is_join))
+            pos = m.end()
+            while True:
+                cm = _REL_COMMA_RE.match(masked, pos)
+                if not cm:
+                    break
+                # comma-listed relation: never the only one in scope
+                refs.append(
+                    (cm.group(1), cm.group(2) or cm.group(3), cm.end(), True)
+                )
+                pos = cm.end()
+        for rel_raw, alias_raw, end_pos, multi in refs:
+            rel = rel_raw.strip("`")
             if not cat.table_options(rel).get("require_partition_filter"):
                 continue
             meta = cat.layout_meta(rel)
             if not meta or not meta.get("pcol"):
                 continue
-            alias = m.group(2) or m.group(3) or rel.split(".")[-1]
+            alias = alias_raw or rel.split(".")[-1]
             col = meta.get("source_col") or meta["pcol"]
-            scope = _scope_where(masked, m.end())
+            scope = _scope_where(masked, end_pos)
             # bare column references count only when THIS scope holds a
             # single relation (a global aliases check would wrongly
             # demand qualification inside a single-table subquery of a
             # multi-relation statement — this is a HARD guard, so false
-            # positives break valid queries)
-            allow_bare = not masked[
-                m.start() : m.start() + 4
-            ].upper().startswith("JOIN") and _scope_single_relation(
-                masked, m.end(), scope[0] if scope else len(masked)
+            # positives break valid queries). UNNEST correlates, it
+            # does not add an ambiguating relation.
+            allow_bare = not multi and _scope_single_relation(
+                masked, end_pos, scope[0] if scope else len(masked)
             )
-            ok = False
+            texts = []
             if scope:
-                cs, ce = scope
-                ok = any(
-                    _partition_filter_conjunct(conj, col, alias, allow_bare)
-                    for conj in _split_conjuncts(sub[cs:ce])
-                )
+                texts.append((sub[scope[0] : scope[1]], allow_bare))
+            on = _scope_on(masked, end_pos)
+            if on:
+                # a join's ON condition can carry the eliminating
+                # filter (review finding r8) — qualified only, the ON
+                # scope always holds two relations
+                texts.append((sub[on[0] : on[1]], False))
+            ok = any(
+                _partition_filter_conjunct(conj, col, alias, bare)
+                for text, bare in texts
+                for conj in _split_conjuncts(text)
+            )
             if not ok:
                 raise WorkerException(
                     f"Cannot query over table {rel} without a filter on"
@@ -3632,6 +3782,20 @@ class SparkSQLExecutor(Worker):
         if isinstance(dml, TruncateStmt):
             result = target_df.limit(0)
         elif isinstance(dml, (UpdateStmt, DeleteStmt)):
+            if re.search(
+                r"\b(?:APPENDS|CHANGES)\s*\(\s*TABLE\b",
+                dml.where,
+                re.IGNORECASE,
+            ):
+                # DELETE ... WHERE id IN (SELECT ... FROM APPENDS(...))
+                # — route the predicate's change-history TVFs like any
+                # other source (review finding r8)
+                import dataclasses
+
+                dml = dataclasses.replace(
+                    dml,
+                    where=self._route_change_history(dml.where, resolver),
+                )
             if in_catalog and self._try_pruned_update_delete(dml, resolver):
                 self.log_info(
                     f"{type(dml).__name__.replace('Stmt', '').upper()}"

@@ -916,3 +916,107 @@ def test_truncate_partitioned_table_stays_readable(ctx):
     )
     assert ctx.catalog.read("p.d.trp").count() == 1
     assert "__pk=1999-02-01" in os.listdir(ctx.catalog.path_for("p.d.trp"))
+
+
+def test_table_options_lifecycle_review_fixes(ctx):
+    """Round-8 review wave: OR REPLACE resets unstated options; CLONE
+    onto an existing name clears the predecessor's; a boolean
+    partition_expiration_days is a type error; an invalid OPTIONS
+    clause leaves the old table intact (atomic DDL); labels arrays
+    parse as one option."""
+    import datetime
+
+    create = (
+        "CREATE OR REPLACE TABLE p.d.lif"
+        " PARTITION BY DATE_TRUNC(o_orderdate, MONTH) {opts}"
+        " AS SELECT o_orderkey, o_orderdate FROM orders"
+    )
+    run(ctx, create.format(opts="OPTIONS(partition_expiration_days = 365.0,"
+                                " require_partition_filter = true)"))
+    # OR REPLACE with no OPTIONS resets both engine-plane options: the
+    # stale 365-day window must NOT GC the replacement, and unfiltered
+    # queries work again
+    run(ctx, create.format(opts=""))
+    assert ctx.catalog.table_options("p.d.lif") == {}
+    assert ctx.catalog.read("p.d.lif").count() > 0
+    run(ctx, "SELECT COUNT(*) AS n FROM `p.d.lif`")
+    # clone onto an existing table: destination options = source's
+    ctx.catalog.set_table_options("p.d.lif", {"description": "src"})
+    run(ctx, create.format(opts="").replace("p.d.lif", "p.d.lifdst"))
+    ctx.catalog.set_table_options(
+        "p.d.lifdst", {"partition_expiration_days": 365.0}
+    )
+    run(ctx, "CREATE OR REPLACE TABLE `p.d.lifdst` CLONE `p.d.lif`")
+    assert ctx.catalog.table_options("p.d.lifdst") == {"description": "src"}
+    # boolean expiration = type error (bool IS an int in Python)
+    with pytest.raises(WorkerException, match="positive number"):
+        run(
+            ctx,
+            "ALTER TABLE `p.d.lif` SET"
+            " OPTIONS(partition_expiration_days = true)",
+        )
+    # invalid OPTIONS on CREATE OR REPLACE: the old table survives
+    before = ctx.catalog.read("p.d.lif").count()
+    with pytest.raises(WorkerException, match="needs a partitioned"):
+        run(
+            ctx,
+            "CREATE OR REPLACE TABLE p.d.lif CLUSTER BY o_orderkey"
+            " OPTIONS(require_partition_filter = true)"
+            " AS SELECT o_orderkey, o_orderdate FROM orders LIMIT 5",
+        )
+    assert ctx.catalog.read("p.d.lif").count() == before
+    # labels array parses as ONE option (bracket-aware split)
+    run(
+        ctx,
+        "ALTER TABLE `p.d.lif` SET OPTIONS("
+        "labels = [(\"team\", \"growth\"), (\"env\", \"prod\")],"
+        " description = 'labeled')",
+    )
+    opts = ctx.catalog.table_options("p.d.lif")
+    assert opts["description"] == "labeled"
+    assert opts["labels"] == '[("team", "growth"), ("env", "prod")]'
+
+
+def test_partition_filter_guard_scopes_review_fixes(ctx):
+    """Round-8 review wave: comma-listed guarded relations are checked;
+    UNNEST correlation keeps the scope single-relation (bare filters
+    count); a JOIN's ON condition can carry the eliminating filter."""
+    run(
+        ctx,
+        "CREATE OR REPLACE TABLE p.d.gsc"
+        " PARTITION BY DATE_TRUNC(o_orderdate, MONTH)"
+        " OPTIONS(require_partition_filter = true)"
+        " AS SELECT o_orderkey, o_orderdate FROM orders",
+    )
+    # comma-listed, unfiltered -> refuses (previously escaped the guard)
+    with pytest.raises(WorkerException, match="partition elimination"):
+        run(
+            ctx,
+            "SELECT COUNT(*) AS n FROM customer, `p.d.gsc` g"
+            " WHERE c_custkey = 1",
+        )
+    # ... and with a QUALIFIED filter it passes
+    run(
+        ctx,
+        "SELECT COUNT(*) AS n FROM customer, `p.d.gsc` g"
+        " WHERE g.o_orderdate >= TIMESTAMP '1996-01-01' AND c_custkey = 1",
+    )
+    # UNNEST comma keeps bare filters usable
+    run(
+        ctx,
+        "SELECT COUNT(*) AS n FROM `p.d.gsc`, UNNEST([1, 2]) AS x"
+        " WHERE o_orderdate >= TIMESTAMP '1996-01-01'",
+    )
+    # the ON clause carries the filter
+    run(
+        ctx,
+        "SELECT COUNT(*) AS n FROM customer c JOIN `p.d.gsc` g"
+        " ON g.o_orderkey = c.c_custkey"
+        " AND g.o_orderdate >= TIMESTAMP '1996-01-01'",
+    )
+    with pytest.raises(WorkerException, match="partition elimination"):
+        run(
+            ctx,
+            "SELECT COUNT(*) AS n FROM customer c JOIN `p.d.gsc` g"
+            " ON g.o_orderkey = c.c_custkey",
+        )
