@@ -2067,7 +2067,9 @@ def test_scripting_raise_case_labels_temp_tables(ctx):
     )
     w.execute()
     assert w.result.first()["ok"] == 1
-    assert any("validated and ignored" in line for line in w.log)
+    # round 8: catalog tables STORE their options (TABLE_OPTIONS plane)
+    assert any("table options on p.d.meta_t" in line for line in w.log)
+    assert ctx.catalog.table_options("p.d.meta_t")["description"] == "x"
     assert any("no IAM plane" in line for line in w.log)
 
 
