@@ -175,6 +175,11 @@ SECONDARY = [
     "dml_partitions_metadata",
     "dml_mv_rewrite",
     "bqml_onehot_broadcast",
+    # round 8 (late): pruned copy-on-write MERGE, change-history TVFs,
+    # table-options guard + TABLE_OPTIONS metadata view
+    "dml_pruned_merge",
+    "dml_change_history",
+    "dml_table_options",
 ]
 
 
