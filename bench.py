@@ -180,6 +180,7 @@ SECONDARY = [
     "dml_pruned_merge",
     "dml_change_history",
     "dml_table_options",
+    "dml_column_field_paths",
 ]
 
 

@@ -482,6 +482,37 @@ class Catalog:
                 dropped += self.expire_partitions(table_id)
         return dropped
 
+    def vacuum_expired_tables(self) -> int:
+        """Drop tables whose ``expiration_timestamp`` has passed
+        (BigQuery deletes at expiration; this engine at maintenance
+        points — the StorageCleaner hook — which is the documented
+        divergence). The normalized instant is recorded at option-set
+        time (``expiration_timestamp_us``); the pre-image archives via
+        the normal drop path, so time travel serves the final state
+        inside the retention window. Returns tables dropped."""
+        import json
+        import time
+
+        d = os.path.join(self.root, "__table_options__")
+        if not os.path.isdir(d):
+            return 0
+        now_us = time.time_ns() // 1000
+        dropped = 0
+        for f in list(os.listdir(d)):
+            with open(os.path.join(d, f)) as fh:
+                rec = json.load(fh)
+            table_id = rec.get("table_id")
+            exp = rec.get("options", {}).get("expiration_timestamp_us")
+            if (
+                table_id
+                and exp is not None
+                and int(exp) < now_us
+                and self.exists(table_id)
+            ):
+                self.drop(table_id)
+                dropped += 1
+        return dropped
+
     def restore_layout(self, df: DataFrame, meta: dict | None) -> DataFrame:
         """User-visible schema of a layout table's raw parquet read:
         drop the derived partition column, restore declared column
@@ -1333,6 +1364,8 @@ class Catalog:
                 for k, v in sorted(
                     self.table_options(f"{project}.{dataset}.{t}").items()
                 ):
+                    if k == "expiration_timestamp_us":
+                        continue  # internal normalization, not an option
                     ty = _types.get(k, "STRING")
                     if ty == "BOOL":
                         val = str(bool(v)).lower()
@@ -1348,6 +1381,40 @@ class Catalog:
                 "table_catalog string, table_schema string, "
                 "table_name string, option_name string, "
                 "option_type string, option_value string",
+            ).createOrReplaceTempView(view)
+            return view
+        if kind == "COLUMN_FIELD_PATHS":
+            # BigQuery INFORMATION_SCHEMA.COLUMN_FIELD_PATHS: one row
+            # per column AND per nested field reachable from it, with
+            # dotted field_path (REPEATED STRUCTs traverse through the
+            # array element, matching BigQuery's nested-schema listing)
+            from pyspark.sql import types as T
+
+            rows = []
+
+            def _walk(t_name: str, col: str, path: str, dt) -> None:
+                rows.append(
+                    (project, dataset, t_name, col, path, _bq_type_name(dt))
+                )
+                inner = dt
+                if isinstance(inner, T.ArrayType):
+                    inner = inner.elementType
+                if isinstance(inner, T.StructType):
+                    for f in inner.fields:
+                        _walk(t_name, col, f"{path}.{f.name}", f.dataType)
+
+            for t in tables:
+                try:
+                    df = self.read(f"{project}.{dataset}.{t}")
+                except ValueError:
+                    continue
+                for f in df.schema.fields:
+                    _walk(t, f.name, f.name, f.dataType)
+            self.spark.createDataFrame(
+                rows,
+                "table_catalog string, table_schema string, "
+                "table_name string, column_name string, "
+                "field_path string, data_type string",
             ).createOrReplaceTempView(view)
             return view
         if kind != "COLUMNS":

@@ -573,6 +573,60 @@ ORDER BY o.option_name
 """
 
 
+def dml_column_field_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INFORMATION_SCHEMA.COLUMN_FIELD_PATHS (round 8): nested-schema
+    metadata — one row per column and per nested field with dotted
+    field_path, REPEATED STRUCTs traversed through the array element
+    (BigQuery's nested-listing contract). The oracle pins the literal
+    rows (schema metadata, not data) beside a row-count probe over the
+    same table."""
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_q_"))
+    cat.write(
+        spark.sql(
+            "SELECT o_orderkey,"
+            " STRUCT(o_totalprice AS amount,"
+            "        STRUCT(o_custkey AS who) AS ownr) AS meta,"
+            " ARRAY(STRUCT(CAST(1 AS BIGINT) AS q)) AS items"
+            " FROM orders WHERE o_orderkey <= 200"
+        ),
+        "p.d.nst",
+    )
+    w = SparkSQLExecutor(
+        {
+            "script": """
+        SELECT f.column_name, f.field_path, f.data_type, a.n
+        FROM `p.d.INFORMATION_SCHEMA.COLUMN_FIELD_PATHS` f
+        CROSS JOIN (SELECT COUNT(*) AS n FROM `p.d.nst`) a
+        WHERE f.table_name = 'nst'
+        ORDER BY f.field_path
+        """,
+            "dry_run": False,
+        },
+        WorkerContext(spark=spark, catalog=cat),
+    )
+    w.execute()
+    return w.result
+
+
+DML_FIELD_PATHS_SQL = """
+WITH paths(column_name, field_path, data_type) AS (
+  VALUES ('items', 'items', 'ARRAY<STRUCT<q INT64>>'),
+         ('items', 'items.q', 'INT64'),
+         ('meta', 'meta', 'STRUCT<amount FLOAT64, ownr STRUCT<who INT64>>'),
+         ('meta', 'meta.amount', 'FLOAT64'),
+         ('meta', 'meta.ownr', 'STRUCT<who INT64>'),
+         ('meta', 'meta.ownr.who', 'INT64'),
+         ('o_orderkey', 'o_orderkey', 'INT64')
+), agg AS (
+  SELECT COUNT(*) AS n FROM orders WHERE o_orderkey <= 200
+)
+SELECT p.column_name, p.field_path, p.data_type, a.n
+FROM paths p CROSS JOIN agg a
+ORDER BY p.field_path
+"""
+
+
 DML_QUERIES: dict[str, tuple] = {
     "dml_merge_upsert": (dml_merge_upsert, DML_MERGE_SQL),
     "dml_update_delete_insert": (dml_update_delete_insert, DML_UPDATE_SQL),
@@ -586,4 +640,8 @@ DML_QUERIES: dict[str, tuple] = {
     "dml_pruned_merge": (dml_pruned_merge, DML_PRUNED_MERGE_SQL),
     "dml_change_history": (dml_change_history, DML_CHANGE_HISTORY_SQL),
     "dml_table_options": (dml_table_options, DML_TABLE_OPTIONS_SQL),
+    "dml_column_field_paths": (
+        dml_column_field_paths,
+        DML_FIELD_PATHS_SQL,
+    ),
 }

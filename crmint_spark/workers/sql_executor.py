@@ -2388,6 +2388,25 @@ class SparkSQLExecutor(Worker):
             bool((meta or {}).get("pcol")) or bool(partition_expr),
             (meta or {}).get("kind"),
         )
+        if "expiration_timestamp" in opts:
+            # normalize ONCE to epoch micros so the vacuum's expiry
+            # check needs no SQL evaluation; NULL unsets both
+            exp = opts["expiration_timestamp"]
+            if exp is None:
+                opts = {**opts, "expiration_timestamp_us": None}
+            else:
+                row = self._ctx.spark.sql(
+                    transpile_statement(
+                        f"SELECT unix_micros(CAST(({exp}) AS TIMESTAMP))"
+                        " AS t",
+                        None,
+                    )
+                ).first()
+                if row["t"] is None:
+                    raise WorkerException(
+                        f"expiration_timestamp evaluated to NULL: {exp!r}"
+                    )
+                opts = {**opts, "expiration_timestamp_us": int(row["t"])}
         cat.set_table_options(table_id, opts)
         engine = [
             k

@@ -32,6 +32,14 @@ class StorageCleaner(Worker):
             "also drop partitions past their table's"
             " partition_expiration_days (catalog-wide)",
         ),
+        (
+            "vacuum_table_expiration",
+            "boolean",
+            False,
+            False,
+            "also drop whole tables past their expiration_timestamp"
+            " (catalog-wide)",
+        ),
     ]
 
     def _execute(self) -> None:
@@ -55,6 +63,16 @@ class StorageCleaner(Worker):
             self.log_info(
                 f"dropped {dropped} expired partitions"
                 " (partition_expiration_days)"
+            )
+        if self._params.get("vacuum_table_expiration"):
+            if not self._ctx.catalog:
+                raise WorkerException(
+                    "vacuum_table_expiration needs a catalog on the"
+                    " context"
+                )
+            dropped = self._ctx.catalog.vacuum_expired_tables()
+            self.log_info(
+                f"dropped {dropped} expired tables (expiration_timestamp)"
             )
         base = self._params["base_dir"] or (
             self._ctx.catalog.root if self._ctx.catalog else None

@@ -1020,3 +1020,67 @@ def test_partition_filter_guard_scopes_review_fixes(ctx):
             "SELECT COUNT(*) AS n FROM customer c JOIN `p.d.gsc` g"
             " ON g.o_orderkey = c.c_custkey",
         )
+
+
+def test_table_expiration_and_column_field_paths(ctx):
+    """expiration_timestamp drops the whole table at vacuum time (the
+    pre-image archives, so time travel still serves the final state);
+    COLUMN_FIELD_PATHS lists nested fields with dotted paths."""
+    from crmint_spark.workers.storage_cleaner import StorageCleaner
+
+    ctx.catalog.write(
+        ctx.spark.sql(
+            "SELECT 1 AS id, STRUCT('x' AS tag) AS meta,"
+            " ARRAY(STRUCT(2 AS q)) AS items"
+        ),
+        "p.d.exp",
+    )
+    run(
+        ctx,
+        'ALTER TABLE `p.d.exp` SET OPTIONS(expiration_timestamp ='
+        ' TIMESTAMP "2020-01-01 00:00:00")',
+    )
+    w = run(
+        ctx,
+        "SELECT field_path, data_type"
+        " FROM `p.d.INFORMATION_SCHEMA.COLUMN_FIELD_PATHS`"
+        " WHERE table_name = 'exp' ORDER BY field_path",
+    )
+    got = [tuple(r) for r in w.result.collect()]
+    assert ("items.q", "INT64") in got and ("meta.tag", "STRING") in got
+    # internal normalization never leaks into TABLE_OPTIONS
+    w2 = run(
+        ctx,
+        "SELECT option_name FROM `p.d.INFORMATION_SCHEMA.TABLE_OPTIONS`"
+        " WHERE table_name = 'exp'",
+    )
+    names = {r["option_name"] for r in w2.result.collect()}
+    assert "expiration_timestamp" in names
+    assert "expiration_timestamp_us" not in names
+    # a NULL expiration evaluates to an error, a FUTURE one survives
+    # the vacuum, a PAST one drops
+    sc = StorageCleaner(
+        {
+            "file_patterns": ["__nope__"],
+            "days_to_keep": 9999,
+            "vacuum_table_expiration": True,
+        },
+        ctx,
+    )
+    sc.execute()
+    assert not ctx.catalog.exists("p.d.exp")
+    assert not ctx.catalog.table_options("p.d.exp")  # drop cleared them
+    ctx.catalog.write(ctx.spark.sql("SELECT 1 AS id"), "p.d.keep")
+    run(
+        ctx,
+        'ALTER TABLE `p.d.keep` SET OPTIONS(expiration_timestamp ='
+        ' TIMESTAMP "2999-01-01 00:00:00")',
+    )
+    assert ctx.catalog.vacuum_expired_tables() == 0
+    assert ctx.catalog.exists("p.d.keep")
+    with pytest.raises(WorkerException, match="evaluated to NULL"):
+        run(
+            ctx,
+            "ALTER TABLE `p.d.keep` SET OPTIONS(expiration_timestamp ="
+            " CAST(NULL AS TIMESTAMP))",
+        )

@@ -107,6 +107,8 @@ PROBE = [
     # change-history reconstruction (diff cost ∝ mutated states)
     "dml_pruned_merge",
     "dml_change_history",
+    "dml_table_options",
+    "dml_column_field_paths",
 ]
 
 # key columns to shift per copy so joins stay consistent and
