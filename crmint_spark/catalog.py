@@ -241,7 +241,19 @@ class Catalog:
         # the executor's CREATE VIEW path, served by
         # INFORMATION_SCHEMA.VIEWS and as table_type='VIEW' in .TABLES
         self._view_defs: dict[tuple[str, str], dict[str, str]] = {}
+        # jobs plane: one dict per executed statement (the executor's
+        # _record_job), served by INFORMATION_SCHEMA.JOBS. In-memory —
+        # the catalog object IS the project for its executors' lifetime
+        self._jobs: list[dict] = []
         os.makedirs(warehouse_root, exist_ok=True)
+
+    def record_job(self, row: dict) -> None:
+        """Append one job-history row (INFORMATION_SCHEMA.JOBS). The
+        deterministic ordinal job id is assigned here so concurrent
+        executors sharing this catalog never collide."""
+        self._jobs.append(
+            {**row, "job_id": f"script_job_{len(self._jobs) + 1:05d}"}
+        )
 
     def path_for(self, table_id: str) -> str:
         parts = table_id.split(".")
@@ -582,12 +594,21 @@ class Catalog:
             ).sortWithinPartitions(*[F.col(f"`{k}`") for k in keys])
         return df
 
-    def layout_writer(self, df: DataFrame, meta: dict | None):
+    def layout_writer(self, df: DataFrame, meta: dict | None, stats_hook=None):
         """DataFrameWriter honoring the table's layout (plain writer
-        when the table has none)."""
+        when the table has none). ``stats_hook`` (DML statistics plane)
+        attaches an Observation + drops its flag columns ABOVE the
+        layout shaping: ``apply_layout``'s repartitionByRange samples
+        range boundaries with an extra scan of its child, so an
+        Observation placed below the exchange would accumulate every
+        metric twice."""
         if not meta:
-            return df.write
-        w = self.apply_layout(df, meta).write
+            df2 = stats_hook(df) if stats_hook is not None else df
+            return df2.write
+        shaped = self.apply_layout(df, meta)
+        if stats_hook is not None:
+            shaped = stats_hook(shaped)
+        w = shaped.write
         if meta.get("pcol"):
             w = w.partitionBy(meta["pcol"])
         return w
@@ -1248,6 +1269,125 @@ class Catalog:
                 [(project, d) for d in datasets],
                 "catalog_name string, schema_name string",
             ).createOrReplaceTempView(view)
+            return view
+        if kind in ("JOBS", "JOBS_BY_PROJECT", "JOBS_BY_USER"):
+            # BigQuery job history (project-level: any qualifier serves
+            # the same rows, mirroring region-us.INFORMATION_SCHEMA.JOBS).
+            # One row per engine-executed statement, recorded by the
+            # executor's _record_job. Deterministic ordinal job ids and
+            # a constant user_email are documented divergences from
+            # BigQuery's random ids / real principals — chosen so job
+            # history is oracle-comparable. Timestamps are real wall
+            # clock (exclude them from deterministic comparisons).
+            import datetime as _dt
+
+            from pyspark.sql import types as T
+
+            def _ts(v):
+                return (
+                    _dt.datetime.fromtimestamp(v) if v is not None else None
+                )
+
+            def _dest(d):
+                if not d:
+                    return None
+                parts = d.split(".")
+                parts = [None] * (3 - len(parts)) + parts
+                return tuple(parts[-3:])
+
+            schema = T.StructType(
+                [
+                    T.StructField("creation_time", T.TimestampType()),
+                    T.StructField("project_id", T.StringType()),
+                    T.StructField("user_email", T.StringType()),
+                    T.StructField("job_id", T.StringType()),
+                    T.StructField("job_type", T.StringType()),
+                    T.StructField("statement_type", T.StringType()),
+                    T.StructField("priority", T.StringType()),
+                    T.StructField("start_time", T.TimestampType()),
+                    T.StructField("end_time", T.TimestampType()),
+                    T.StructField("query", T.StringType()),
+                    T.StructField("state", T.StringType()),
+                    T.StructField("cache_hit", T.BooleanType()),
+                    T.StructField(
+                        "destination_table",
+                        T.StructType(
+                            [
+                                T.StructField("project_id", T.StringType()),
+                                T.StructField("dataset_id", T.StringType()),
+                                T.StructField("table_id", T.StringType()),
+                            ]
+                        ),
+                    ),
+                    T.StructField(
+                        "dml_statistics",
+                        T.StructType(
+                            [
+                                T.StructField(
+                                    "inserted_row_count", T.LongType()
+                                ),
+                                T.StructField(
+                                    "deleted_row_count", T.LongType()
+                                ),
+                                T.StructField(
+                                    "updated_row_count", T.LongType()
+                                ),
+                            ]
+                        ),
+                    ),
+                    T.StructField(
+                        "error_result",
+                        T.StructType(
+                            [
+                                T.StructField("reason", T.StringType()),
+                                T.StructField("message", T.StringType()),
+                            ]
+                        ),
+                    ),
+                    T.StructField("total_bytes_processed", T.LongType()),
+                    T.StructField("total_slot_ms", T.LongType()),
+                ]
+            )
+            proj = qualifier.split(".")[0]
+            rows = []
+            for j in self._jobs:
+                dml = j.get("dml_statistics")
+                rows.append(
+                    (
+                        _ts(j["creation_time"]),
+                        proj,
+                        j["user_email"],
+                        j["job_id"],
+                        j["job_type"],
+                        j["statement_type"],
+                        "INTERACTIVE",
+                        _ts(j["start_time"]),
+                        _ts(j["end_time"]),
+                        j["query"],
+                        j["state"],
+                        j["cache_hit"],
+                        _dest(j.get("destination_table")),
+                        (
+                            (
+                                dml["inserted_row_count"],
+                                dml["deleted_row_count"],
+                                dml["updated_row_count"],
+                            )
+                            if dml
+                            else None
+                        ),
+                        (
+                            ("invalidQuery", j["error_message"])
+                            if j.get("error_message")
+                            else None
+                        ),
+                        None,
+                        None,
+                    )
+                )
+            self.spark.createDataFrame(rows, schema).createOrReplaceTempView(
+                view
+            )
             return view
         project, dataset = self._split_is_qualifier(qualifier)
         tables = self._dataset_tables(project, dataset)

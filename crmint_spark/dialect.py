@@ -161,10 +161,33 @@ def _iter_calls(sql: str, names: tuple[str, ...]):
         i += 1
 
 
+def strip_leading_comments(s: str) -> str:
+    """Drop ``--`` / ``/* */`` comments (and whitespace) from the FRONT
+    of a statement. The executor routes statements on their head keyword
+    (``^\\s*ASSERT``, ``^\\s*UPDATE``, ...), so a comment attached to the
+    statement's first line would silently defeat every router — BigQuery
+    treats leading comments as whitespace."""
+    while True:
+        t = s.lstrip()
+        if t.startswith("--"):
+            nl = t.find("\n")
+            if nl == -1:
+                return ""
+            s = t[nl + 1 :]
+        elif t.startswith("/*"):
+            end = t.find("*/")
+            if end == -1:
+                return t  # unterminated: leave for the parser to report
+            s = t[end + 2 :]
+        else:
+            return t
+
+
 def split_script(script: str) -> list[str]:
     """Split a SQL script into statements on top-level semicolons,
     respecting single/double-quoted strings, backticks, and ``--`` /
-    ``/* */`` comments."""
+    ``/* */`` comments. Leading comments are stripped from each
+    statement (head-keyword routing; pure-comment statements drop)."""
     stmts: list[str] = []
     buf: list[str] = []
     i, n = 0, len(script)
@@ -174,7 +197,7 @@ def split_script(script: str) -> list[str]:
         nxt = script[i + 1] if i + 1 < n else ""
         if state is None:
             if ch == ";":
-                stmt = "".join(buf).strip()
+                stmt = strip_leading_comments("".join(buf).strip())
                 if stmt:
                     stmts.append(stmt)
                 buf = []
@@ -207,7 +230,7 @@ def split_script(script: str) -> list[str]:
                 state = None
         buf.append(ch)
         i += 1
-    tail = "".join(buf).strip()
+    tail = strip_leading_comments("".join(buf).strip())
     if tail:
         stmts.append(tail)
     return _group_block_statements(stmts)
@@ -3767,7 +3790,8 @@ def _rewrite_backtick_tables(sql: str, resolver=None) -> str:
         sql,
         lambda seg: re.sub(
             r"\b([\w\-]+(?:\.[\w\-]+)?\.INFORMATION_SCHEMA\."
-            r"(?:TABLES|COLUMNS|SCHEMATA))\b",
+            r"(?:TABLES|COLUMNS|SCHEMATA|VIEWS|PARTITIONS|TABLE_OPTIONS"
+            r"|COLUMN_FIELD_PATHS|JOBS(?:_BY_PROJECT|_BY_USER)?))\b",
             lambda m: resolver(m.group(1)),
             seg,
             flags=re.IGNORECASE,
@@ -5730,16 +5754,50 @@ _DECLARE_RE = re.compile(
 _SET_RE = re.compile(r"^\s*SET\s+(\w+)\s*=\s*(.+)$", re.IGNORECASE | re.DOTALL)
 
 
+_ROW_COUNT_RE = re.compile(r"@@row_count\b", re.IGNORECASE)
+
+
+def splice_row_count(sql: str, n: int) -> str:
+    """Replace the ``@@row_count`` system variable (BigQuery scripting:
+    rows modified by the most recent DML statement) with its current
+    integer value — only outside quoted strings/backticks."""
+    if "@@row_count" not in sql.lower():
+        return sql
+    out: list[str] = []
+    pos = 0
+    i, ln = 0, len(sql)
+    while i < ln:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            i = _skip_string(sql, i)
+            continue
+        m = _ROW_COUNT_RE.match(sql, i)
+        if m:
+            out.append(sql[pos:i])
+            out.append(str(int(n)))
+            pos = i = m.end()
+            continue
+        i += 1
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 @dataclass
 class ScriptContext:
     """Scripting variable state across statements (DECLARE/SET)."""
 
     variables: dict[str, object] = field(default_factory=dict)
+    #: @@row_count system variable — rows modified/inserted/deleted by
+    #: the most recent DML statement in the script (the executor syncs
+    #: this after every statement; 0 before any DML has run)
+    row_count: int = 0
 
     def substitute(self, sql: str) -> str:
         """Replace declared variable names with literals — only outside
         quoted strings/backticks, so a variable name inside a string
-        literal survives untouched."""
+        literal survives untouched. The ``@@row_count`` system variable
+        splices through the same string-aware walk."""
+        sql = splice_row_count(sql, self.row_count)
         if not self.variables:
             return sql
         out: list[str] = []

@@ -398,7 +398,14 @@ def _find_then_outside_case(text: str) -> int:
 # compilation: DML -> one declarative Spark SQL query over temp views
 
 
-def compile_update(u: UpdateStmt, target_view: str, schema) -> str:
+def compile_update(
+    u: UpdateStmt, target_view: str, schema, stats: bool = False
+) -> str:
+    """``stats=True`` appends a ``__dml_touched`` boolean (the WHERE
+    predicate over PRE-update values) so the executor can count
+    modified rows via an Observation riding the write job — BigQuery's
+    ``dml_statistics.updated_row_count`` counts predicate matches, and
+    the flag must be computed before assignments rewrite the values."""
     a = u.alias or u.target.split(".")[-1].strip("`")
     cols = []
     assigned = dict(u.assignments)
@@ -414,11 +421,25 @@ def compile_update(u: UpdateStmt, target_view: str, schema) -> str:
     unknown = set(assigned) - {f_.name for f_ in schema.fields}
     if unknown:
         raise DmlError(f"UPDATE sets unknown column(s): {sorted(unknown)}")
+    if stats:
+        cols.append(f"COALESCE(({u.where}), false) AS `__dml_touched`")
     return f"SELECT {', '.join(cols)} FROM {target_view} AS {a}"
 
 
-def compile_delete(d: DeleteStmt, target_view: str) -> str:
+def compile_delete(d: DeleteStmt, target_view: str, stats: bool = False) -> str:
+    """``stats=True`` keeps every row and emits a ``__dml_keep`` flag
+    instead of filtering in SQL; the executor observes the deletion
+    count below its own filter, so the count rides the write job with
+    no second scan. (The SQL-side WHERE could in principle let parquet
+    row-group stats skip fully-kept groups, but a DELETE predicate's
+    negation almost never excludes whole groups, so nothing real is
+    lost.)"""
     a = d.alias or d.target.split(".")[-1].strip("`")
+    if stats:
+        return (
+            f"SELECT {a}.*, NOT COALESCE(({d.where}), false) AS `__dml_keep` "
+            f"FROM {target_view} AS {a}"
+        )
     return (
         f"SELECT {a}.* FROM {target_view} AS {a} "
         f"WHERE NOT COALESCE(({d.where}), false)"
@@ -431,6 +452,7 @@ def compile_merge(
     source_view: str,
     schema,
     source_cols: list[str],
+    stats: bool = False,
 ) -> str:
     """The whole MERGE as one query over the FULL OUTER JOIN:
 
@@ -524,6 +546,23 @@ def compile_merge(
         f"ON ({m.on})"
     )
     col_list = ", ".join(f"`{f_.name}`" for f_ in schema.fields)
+    if stats:
+        # counting mode: delete-arm rows survive this query tagged with
+        # their action code (``__dml_action``) so the executor's
+        # Observation can count inserted/updated/deleted rows in the
+        # write job itself, then filter the deletions out — BigQuery's
+        # dml_statistics without a second scan. 'drop' (unmatched
+        # either side, no applicable arm) is not an affected row and
+        # stays filtered here.
+        return (
+            f"SELECT {col_list}, __action AS `__dml_action` "
+            f"FROM ({inner}) WHERE "
+            f"CASE WHEN __nmod > 1 THEN CAST(raise_error("
+            f"'MERGE: a target row matched more than one source row') AS BOOLEAN) "
+            f"WHEN __action = 'keep' THEN __nmod = 0 AND __rn = 1 "
+            f"WHEN __action = 'drop' THEN false "
+            f"ELSE true END"
+        )
     return (
         f"SELECT {col_list} FROM ({inner}) WHERE "
         f"CASE WHEN __nmod > 1 THEN CAST(raise_error("
@@ -563,7 +602,11 @@ def prepare_merge_views(
 
 
 def swap_catalog_table(
-    catalog, table_id: str, result: DataFrame, keep_dirs: list[str] | None = None
+    catalog,
+    table_id: str,
+    result: DataFrame,
+    keep_dirs: list[str] | None = None,
+    stats_hook=None,
 ) -> None:
     """Copy-on-write replace of a catalog parquet table: materialize the
     new contents BESIDE the old files (the result plan reads them), then
@@ -592,9 +635,9 @@ def swap_catalog_table(
         # a partitioned/clustered table keeps its layout through DML
         # (BigQuery contract): the writer re-derives the partition
         # column and re-sorts cluster keys
-        catalog.layout_writer(result, catalog.layout_meta(table_id)).mode(
-            "overwrite"
-        ).parquet(tmp)
+        catalog.layout_writer(
+            result, catalog.layout_meta(table_id), stats_hook=stats_hook
+        ).mode("overwrite").parquet(tmp)
         for d in keep_dirs or []:
             _link_tree(os.path.join(path, d), os.path.join(tmp, d))
         # cap-check the STAGED directory (rewritten + kept union): a

@@ -627,6 +627,89 @@ ORDER BY p.field_path
 """
 
 
+def dml_jobs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INFORMATION_SCHEMA.JOBS over the engine's jobs plane (round 8):
+    every statement the executor runs is recorded as a job row with
+    BigQuery's ``statement_type`` spelling and — for DML — exact
+    ``dml_statistics`` affected-row counts. The counts ride the DML
+    write job itself via a Spark ``Observation`` (zero extra scans at
+    any scale; sql_executor._attach_dml_stats), so this entry's oracle
+    is a REAL correctness gate on the counting plane: DuckDB recomputes
+    every count from the base data. The in-script ASSERT additionally
+    pins the ``@@row_count`` scripting system variable to the UPDATE's
+    count (BigQuery system variables; ref runs scripts verbatim through
+    bq_script_executor.py:40-56)."""
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_jobs_"))
+    cat.write(
+        spark.sql(
+            "SELECT c_custkey AS id, c_mktsegment AS seg, c_acctbal AS bal "
+            "FROM customer"
+        ),
+        "p.crm.accounts",
+    )
+    w = SparkSQLExecutor(
+        {
+            "script": """
+        INSERT INTO `p.crm.accounts`
+        SELECT id + 1000000, 'COPY', 0.0 FROM `p.crm.accounts`
+        WHERE seg = 'MACHINERY';
+        UPDATE `p.crm.accounts` SET bal = bal * 2 WHERE seg = 'BUILDING';
+        ASSERT @@row_count =
+          (SELECT COUNT(*) FROM `p.crm.accounts` WHERE seg = 'BUILDING')
+          AS '@@row_count mirrors the UPDATE count';
+        DELETE FROM `p.crm.accounts` WHERE seg = 'FURNITURE' AND bal < 0;
+        MERGE `p.crm.accounts` t USING (
+          SELECT c_custkey + CASE WHEN MOD(c_custkey, 3) = 0
+                                  THEN 3000000 ELSE 0 END AS k,
+                 c_acctbal AS b
+          FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        ) s ON t.id = s.k
+        WHEN MATCHED THEN UPDATE SET bal = t.bal + 1
+        WHEN NOT MATCHED THEN INSERT (id, seg, bal) VALUES (s.k, 'MERGED', s.b);
+        SELECT statement_type,
+               dml_statistics.inserted_row_count AS ins_n,
+               dml_statistics.deleted_row_count AS del_n,
+               dml_statistics.updated_row_count AS upd_n
+        FROM `p.crm.INFORMATION_SCHEMA.JOBS`
+        WHERE dml_statistics IS NOT NULL
+        ORDER BY job_id
+        """,
+            "dry_run": False,
+        },
+        WorkerContext(spark=spark, catalog=cat),
+    )
+    w.execute()
+    return w.result
+
+
+DML_JOBS_SQL = """
+WITH ins AS (
+  SELECT COUNT(*) AS n FROM customer WHERE c_mktsegment = 'MACHINERY'
+), upd AS (
+  SELECT COUNT(*) AS n FROM customer WHERE c_mktsegment = 'BUILDING'
+), del AS (
+  SELECT COUNT(*) AS n FROM customer
+  WHERE c_mktsegment = 'FURNITURE' AND c_acctbal < 0
+), mrg AS (
+  SELECT COUNT(*) FILTER (WHERE c_custkey % 3 <> 0) AS u,
+         COUNT(*) FILTER (WHERE c_custkey % 3 = 0) AS i
+  FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+)
+SELECT statement_type, ins_n, del_n, upd_n FROM (
+  SELECT 'INSERT' AS statement_type, ins.n AS ins_n,
+         CAST(0 AS BIGINT) AS del_n, CAST(0 AS BIGINT) AS upd_n FROM ins
+  UNION ALL SELECT 'UPDATE', CAST(0 AS BIGINT), CAST(0 AS BIGINT), upd.n
+  FROM upd
+  UNION ALL SELECT 'DELETE', CAST(0 AS BIGINT), del.n, CAST(0 AS BIGINT)
+  FROM del
+  UNION ALL SELECT 'MERGE', mrg.i, CAST(0 AS BIGINT), mrg.u FROM mrg
+) t
+ORDER BY CASE statement_type WHEN 'INSERT' THEN 1 WHEN 'UPDATE' THEN 2
+         WHEN 'DELETE' THEN 3 ELSE 4 END
+"""
+
+
 DML_QUERIES: dict[str, tuple] = {
     "dml_merge_upsert": (dml_merge_upsert, DML_MERGE_SQL),
     "dml_update_delete_insert": (dml_update_delete_insert, DML_UPDATE_SQL),
@@ -644,4 +727,5 @@ DML_QUERIES: dict[str, tuple] = {
         dml_column_field_paths,
         DML_FIELD_PATHS_SQL,
     ),
+    "dml_jobs_history": (dml_jobs_history, DML_JOBS_SQL),
 }

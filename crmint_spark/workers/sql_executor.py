@@ -43,6 +43,95 @@ from ..dml import (
 )
 from .base import Worker, WorkerException
 
+# INFORMATION_SCHEMA.JOBS statement_type classification — best-effort
+# mapping of a statement's head onto BigQuery's published
+# statement_type vocabulary (jobs view contract). Order matters: the
+# first matching pattern wins. Statements the engine routes but
+# BigQuery has no job spelling for fall back to 'SCRIPT'.
+_STMT_TYPE_PATTERNS: list[tuple[re.Pattern, str]] = [
+    (re.compile(p, re.IGNORECASE | re.DOTALL), t)
+    for p, t in [
+        (r"^\s*(?:SELECT|WITH|\()", "SELECT"),
+        (r"^\s*INSERT\b", "INSERT"),
+        (r"^\s*UPDATE\b", "UPDATE"),
+        (r"^\s*DELETE\b", "DELETE"),
+        (r"^\s*MERGE\b", "MERGE"),
+        (r"^\s*TRUNCATE\b", "TRUNCATE_TABLE"),
+        (r"^\s*EXPORT\s+DATA\b", "EXPORT_DATA"),
+        (r"^\s*LOAD\s+DATA\b", "LOAD_DATA"),
+        (r"^\s*CALL\b", "CALL"),
+        (r"^\s*ASSERT\b", "ASSERT"),
+        (r"^\s*BEGIN\s+TRANSACTION\b", "BEGIN_TRANSACTION"),
+        (r"^\s*COMMIT\b", "COMMIT_TRANSACTION"),
+        (r"^\s*ROLLBACK\b", "ROLLBACK_TRANSACTION"),
+        (r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?SNAPSHOT\s+TABLE\b",
+         "CREATE_SNAPSHOT_TABLE"),
+        (r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?EXTERNAL\s+TABLE\b",
+         "CREATE_EXTERNAL_TABLE"),
+        (r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\b",
+         "CREATE_MATERIALIZED_VIEW"),
+        (r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\b", "CREATE_VIEW"),
+        (r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MODEL\b", "CREATE_MODEL"),
+        (r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\s+"
+         r"FUNCTION\b", "CREATE_TABLE_FUNCTION"),
+        (r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?"
+         r"FUNCTION\b", "CREATE_FUNCTION"),
+        (r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\b",
+         "CREATE_PROCEDURE"),
+        (r"^\s*CREATE\s+SEARCH\s+INDEX\b", "CREATE_SEARCH_INDEX"),
+        (r"^\s*CREATE\s+VECTOR\s+INDEX\b", "CREATE_VECTOR_INDEX"),
+        (r"^\s*CREATE\s+SCHEMA\b", "CREATE_SCHEMA"),
+        (r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\b"
+         r"(?=[^;]*?\bAS\b)", "CREATE_TABLE_AS_SELECT"),
+        (r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\b",
+         "CREATE_TABLE"),
+        (r"^\s*DROP\s+MATERIALIZED\s+VIEW\b", "DROP_MATERIALIZED_VIEW"),
+        (r"^\s*DROP\s+TABLE\s+FUNCTION\b", "DROP_TABLE_FUNCTION"),
+        (r"^\s*DROP\s+TABLE\b", "DROP_TABLE"),
+        (r"^\s*DROP\s+VIEW\b", "DROP_VIEW"),
+        (r"^\s*DROP\s+MODEL\b", "DROP_MODEL"),
+        (r"^\s*DROP\s+FUNCTION\b", "DROP_FUNCTION"),
+        (r"^\s*DROP\s+PROCEDURE\b", "DROP_PROCEDURE"),
+        (r"^\s*DROP\s+SCHEMA\b", "DROP_SCHEMA"),
+        (r"^\s*DROP\s+(?:SEARCH|VECTOR)\s+INDEX\b", "DROP_INDEX"),
+        (r"^\s*ALTER\s+TABLE\b", "ALTER_TABLE"),
+        (r"^\s*ALTER\s+VIEW\b", "ALTER_VIEW"),
+        (r"^\s*ALTER\s+MATERIALIZED\s+VIEW\b", "ALTER_MATERIALIZED_VIEW"),
+        (r"^\s*ALTER\s+SCHEMA\b", "ALTER_SCHEMA"),
+        (r"^\s*GRANT\b", "GRANT"),
+        (r"^\s*REVOKE\b", "REVOKE"),
+    ]
+]
+
+# destination relation of a mutating statement, for JOBS.destination_table
+_JOB_DEST_RE = re.compile(
+    r"^\s*(?:INSERT\s+(?:INTO\s+)?|UPDATE\s+|DELETE\s+(?:FROM\s+)?"
+    r"|MERGE\s+(?:INTO\s+)?|TRUNCATE\s+TABLE\s+"
+    r"|CREATE\s+(?:OR\s+REPLACE\s+)?(?:SNAPSHOT\s+|EXTERNAL\s+)?TABLE\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?)"
+    r"`?([\w.\-]+)`?",
+    re.IGNORECASE,
+)
+
+
+def classify_statement_type(sql: str) -> str:
+    """BigQuery ``INFORMATION_SCHEMA.JOBS.statement_type`` spelling for
+    one engine statement (best-effort; 'SCRIPT' for heads BigQuery has
+    no job spelling for)."""
+    for pat, stype in _STMT_TYPE_PATTERNS:
+        if pat.match(sql):
+            return stype
+    return "SCRIPT"
+
+
+def statement_destination(sql: str) -> str | None:
+    """The mutated/created relation of a statement, or None when the
+    statement has no destination (plain SELECT, EXPORT, DDL on non-table
+    objects)."""
+    m = _JOB_DEST_RE.match(sql)
+    return m.group(1) if m else None
+
+
 # FROM/JOIN base-relation scanner for index routing: captures the
 # relation name and an optional bare alias. Subquery bases `FROM (...)`
 # don't match (the routing stays conservative and keeps the scan
@@ -1297,11 +1386,15 @@ class SparkSQLExecutor(Worker):
             if ei is not None:
                 handled, result = ei
                 if handled:
+                    sctx.row_count = getattr(self, "_row_count", 0)
                     if result is not None:
                         last = result
                     continue
             sub = sctx.substitute(raw_stmt)
             result = self._run_statement(sub, resolver, registry)
+            # @@row_count tracks the most recent DML for the NEXT
+            # statement's substitution (BigQuery system variable)
+            sctx.row_count = getattr(self, "_row_count", 0)
             if result is not None:
                 last = result
         return last
@@ -3254,6 +3347,62 @@ class SparkSQLExecutor(Worker):
     def _run_statement(
         self, sub: str, resolver, registry
     ) -> DataFrame | None:
+        """Execute ONE statement and record it as a job in the catalog's
+        jobs plane (INFORMATION_SCHEMA.JOBS). The ``@@row_count`` system
+        variable splices here too so it resolves inside EXECUTE
+        IMMEDIATE dynamic SQL, which deliberately skips script-variable
+        substitution. Failed statements are recorded with an
+        ``error_result`` (BigQuery keeps failed jobs in the view) and
+        re-raised."""
+        import time as _time
+
+        from ..dialect import splice_row_count
+
+        sub = splice_row_count(sub, getattr(self, "_row_count", 0))
+        # dml_statistics describes THIS statement only: NULL unless one
+        # of the DML handlers below sets it
+        self._dml_stats = None
+        t0 = _time.time()
+        try:
+            result = self._run_statement_inner(sub, resolver, registry)
+        except Exception as e:
+            self._record_job(sub, t0, error=str(e))
+            raise
+        self._record_job(sub, t0)
+        return result
+
+    def _record_job(self, sub: str, t0: float, error: str | None = None) -> None:
+        """Append one row to the catalog's jobs plane (queryable as
+        ``INFORMATION_SCHEMA.JOBS``). Job ids are deterministic ordinals
+        (``script_job_00001`` — documented divergence from BigQuery's
+        random ids, chosen so job history is oracle-comparable); control
+        statements (DECLARE/SET/IF/WHILE) never reach this layer, so the
+        view holds engine-work child jobs only."""
+        cat = self._ctx.catalog
+        if cat is None:
+            return
+        import time as _time
+
+        cat.record_job(
+            {
+                "creation_time": t0,
+                "start_time": t0,
+                "end_time": _time.time(),
+                "query": sub.strip(),
+                "statement_type": classify_statement_type(sub),
+                "job_type": "QUERY",
+                "state": "DONE",  # BigQuery: failed jobs are DONE + error_result
+                "user_email": "crmint-spark@localhost",
+                "destination_table": statement_destination(sub),
+                "dml_statistics": None if error else getattr(self, "_dml_stats", None),
+                "error_message": error,
+                "cache_hit": False,
+            }
+        )
+
+    def _run_statement_inner(
+        self, sub: str, resolver, registry
+    ) -> DataFrame | None:
         """Execute ONE (already variable-substituted) SQL statement
         through the full routing chain — export/load, DML, BQML
         interception, ML table functions, CTAS expansion. Returns the
@@ -3780,6 +3929,84 @@ class SparkSQLExecutor(Worker):
     # followed by a copy-on-write storage swap — the same mechanism
     # Delta/Iceberg use for row-level DML, minus the transaction log.
 
+    # -- DML statistics (BigQuery dml_statistics / @@row_count) -----------
+
+    def _set_dml_stats(
+        self, inserted: int = 0, deleted: int = 0, updated: int = 0
+    ) -> None:
+        """Record the affected-row counts of the DML statement that just
+        ran — surfaced as ``dml_statistics`` in INFORMATION_SCHEMA.JOBS
+        and as the ``@@row_count`` scripting system variable (their sum,
+        per BigQuery: rows modified, inserted or deleted by the most
+        recent DML)."""
+        self._dml_stats = {
+            "inserted_row_count": int(inserted or 0),
+            "deleted_row_count": int(deleted or 0),
+            "updated_row_count": int(updated or 0),
+        }
+        self._row_count = sum(self._dml_stats.values())
+
+    def _dml_stats_hook(self, kind: str):
+        """(Observation, hook) for a compiled DML result built with
+        ``stats=True``. The hook attaches the Observation and strips the
+        stats flag columns, so affected-row counts ride the write job
+        itself — zero extra scans at any scale. Callers thread the hook
+        through ``swap_catalog_table``/``layout_writer`` so it lands
+        ABOVE any layout shaping: ``repartitionByRange``'s boundary
+        sampling re-scans its child within the same query execution,
+        which would accumulate every metric twice if the Observation sat
+        below the exchange."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+
+        def hook(df):
+            if kind == "update":
+                return df.observe(
+                    obs,
+                    F.sum(F.col("__dml_touched").cast("long")).alias(
+                        "updated"
+                    ),
+                ).drop("__dml_touched")
+            if kind == "delete":
+                return (
+                    df.observe(
+                        obs,
+                        F.sum((~F.col("__dml_keep")).cast("long")).alias(
+                            "deleted"
+                        ),
+                    )
+                    .filter(F.col("__dml_keep"))
+                    .drop("__dml_keep")
+                )
+            # merge: action codes mu/su (update), md/sd (delete), in
+            a = F.col("__dml_action")
+            deleted = a.startswith("md") | a.startswith("sd")
+            return (
+                df.observe(
+                    obs,
+                    F.sum(a.startswith("in").cast("long")).alias("inserted"),
+                    F.sum(
+                        (a.startswith("mu") | a.startswith("su")).cast("long")
+                    ).alias("updated"),
+                    F.sum(deleted.cast("long")).alias("deleted"),
+                )
+                .filter(~deleted)
+                .drop("__dml_action")
+            )
+
+        return obs, hook
+
+    def _finish_dml_stats(self, obs, kind: str) -> None:
+        """Harvest the Observation after the write action completed."""
+        vals = obs.get
+        self._set_dml_stats(
+            inserted=vals.get("inserted") or 0,
+            deleted=vals.get("deleted") or 0,
+            updated=vals.get("updated") or 0,
+        )
+
     def _try_dml(self, dml, resolver) -> bool:
         """Execute one parsed DML statement; returns False only for
         INSERT into a session-catalog table, which spark.sql handles
@@ -3798,7 +4025,11 @@ class SparkSQLExecutor(Worker):
             self._dml_insert(dml)
             return True
         target_df, session_name = self._dml_target(dml.target, in_catalog)
+        obs = obs_kind = stats_hook = None
         if isinstance(dml, TruncateStmt):
+            # dml_statistics.deleted_row_count = the whole pre-image; a
+            # catalog table counts from parquet footers (metadata-only)
+            self._set_dml_stats(deleted=target_df.count())
             result = target_df.limit(0)
         elif isinstance(dml, (UpdateStmt, DeleteStmt)):
             if re.search(
@@ -3823,12 +4054,14 @@ class SparkSQLExecutor(Worker):
                 return True
             view = f"__dml_t_{uuid.uuid4().hex[:8]}"
             target_df.createOrReplaceTempView(view)
+            obs_kind = "update" if isinstance(dml, UpdateStmt) else "delete"
             gen = (
-                compile_update(dml, view, target_df.schema)
+                compile_update(dml, view, target_df.schema, stats=True)
                 if isinstance(dml, UpdateStmt)
-                else compile_delete(dml, view)
+                else compile_delete(dml, view, stats=True)
             )
             result = spark.sql(transpile_statement(gen, resolver))
+            obs, stats_hook = self._dml_stats_hook(obs_kind)
         elif isinstance(dml, MergeStmt):
             src_sql = dml.source_sql
             if src_sql.startswith("("):
@@ -3852,12 +4085,18 @@ class SparkSQLExecutor(Worker):
                 return True
             tv, sv = prepare_merge_views(spark, target_df, source_df)
             gen = compile_merge(
-                dml, tv, sv, target_df.schema, source_df.columns
+                dml, tv, sv, target_df.schema, source_df.columns, stats=True
             )
             result = spark.sql(transpile_statement(gen, resolver))
+            obs, stats_hook = self._dml_stats_hook("merge")
+            obs_kind = "merge"
         else:  # pragma: no cover - parse_dml returns only the above
             return False
-        self._dml_overwrite(dml.target, result, in_catalog, session_name)
+        self._dml_overwrite(
+            dml.target, result, in_catalog, session_name, stats_hook
+        )
+        if obs is not None:
+            self._finish_dml_stats(obs, obs_kind)
         self.log_info(f"{type(dml).__name__.replace('Stmt', '').upper()} applied to {dml.target}")
         return True
 
@@ -3972,6 +4211,7 @@ class SparkSQLExecutor(Worker):
             return False
         verb = type(dml).__name__.replace("Stmt", "").upper()
         if not hit:
+            self._set_dml_stats()  # no matching row: all counts zero
             self.log_info(
                 f"{verb} on {dml.target}: no partition holds matching"
                 " rows — table unchanged"
@@ -3980,15 +4220,24 @@ class SparkSQLExecutor(Worker):
         sub = read_partition_subset(cat, spark, path, meta, hit)
         view = f"__dml_t_{uuid.uuid4().hex[:8]}"
         sub.createOrReplaceTempView(view)
+        kind = "update" if isinstance(dml, UpdateStmt) else "delete"
         gen = (
-            compile_update(dml, view, sub.schema)
+            compile_update(dml, view, sub.schema, stats=True)
             if isinstance(dml, UpdateStmt)
-            else compile_delete(dml, view)
+            else compile_delete(dml, view, stats=True)
         )
         result = spark.sql(transpile_statement(gen, resolver))
+        # the pruned subset holds EVERY predicate-matching row (that is
+        # what the probe proved), so counts observed here are complete
+        obs, stats_hook = self._dml_stats_hook(kind)
         swap_catalog_table(
-            cat, dml.target, result, keep_dirs=sorted(set(all_dirs) - hit)
+            cat,
+            dml.target,
+            result,
+            keep_dirs=sorted(set(all_dirs) - hit),
+            stats_hook=stats_hook,
         )
+        self._finish_dml_stats(obs, kind)
         self.log_info(
             f"{verb} on {dml.target}: pruned copy-on-write rewrote"
             f" {len(hit)}/{len(all_dirs)} partitions"
@@ -4066,11 +4315,19 @@ class SparkSQLExecutor(Worker):
             else target_df.limit(0)
         )
         tv, sv = prepare_merge_views(spark, target_sub, source_df)
-        gen = compile_merge(dml, tv, sv, target_sub.schema, source_df.columns)
-        result = spark.sql(transpile_statement(gen, resolver))
-        swap_catalog_table(
-            cat, dml.target, result, keep_dirs=sorted(set(all_dirs) - hit)
+        gen = compile_merge(
+            dml, tv, sv, target_sub.schema, source_df.columns, stats=True
         )
+        result = spark.sql(transpile_statement(gen, resolver))
+        obs, stats_hook = self._dml_stats_hook("merge")
+        swap_catalog_table(
+            cat,
+            dml.target,
+            result,
+            keep_dirs=sorted(set(all_dirs) - hit),
+            stats_hook=stats_hook,
+        )
+        self._finish_dml_stats(obs, "merge")
         self.log_info(
             f"MERGE on {dml.target}: pruned copy-on-write rewrote"
             f" {len(hit)}/{len(all_dirs)} partitions"
@@ -4129,13 +4386,22 @@ class SparkSQLExecutor(Worker):
         tmp = tempfile.mkdtemp(prefix="crmint_dml_ins_")
         try:
             aligned.write.mode("overwrite").parquet(tmp)
-            cat.write(spark.read.parquet(tmp), ins.target, "WRITE_APPEND")
+            staged = spark.read.parquet(tmp)
+            # inserted_row_count from the staged files' parquet footers
+            # — metadata-only, no data scan
+            self._set_dml_stats(inserted=staged.count())
+            cat.write(staged, ins.target, "WRITE_APPEND")
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         self.log_info(f"INSERT appended to {ins.target}")
 
     def _dml_overwrite(
-        self, table_id: str, result, in_catalog: bool, session_name: str | None
+        self,
+        table_id: str,
+        result,
+        in_catalog: bool,
+        session_name: str | None,
+        stats_hook=None,
     ) -> None:
         """Copy-on-write swap: materialize the new contents beside the
         old storage, then replace. The result plan reads the old files,
@@ -4147,8 +4413,12 @@ class SparkSQLExecutor(Worker):
 
         spark = self._ctx.spark
         if in_catalog:
-            swap_catalog_table(self._ctx.catalog, table_id, result)
+            swap_catalog_table(
+                self._ctx.catalog, table_id, result, stats_hook=stats_hook
+            )
             return
+        if stats_hook is not None:
+            result = stats_hook(result)
         tmp = tempfile.mkdtemp(prefix="crmint_dml_")
         result.write.mode("overwrite").parquet(tmp)
         fresh = spark.read.parquet(tmp)

@@ -888,3 +888,188 @@ def test_mask_literals_masks_double_quoted_strings():
         "seg = \"current_date\" AND x = 'current_timestamp'"
     )
     assert not _NOW_FN_RE.search(masked), masked
+
+
+# -- jobs plane: dml_statistics / @@row_count / INFORMATION_SCHEMA.JOBS ----
+
+
+def _jobs(spark, cat, where="1=1"):
+    return run(
+        spark, cat,
+        "SELECT job_id, statement_type, state, query,"
+        " destination_table, dml_statistics, error_result"
+        f" FROM `p.d.INFORMATION_SCHEMA.JOBS` WHERE {where}"
+        " ORDER BY job_id",
+    ).result.collect()
+
+
+def test_dml_statistics_update_delete_insert(spark, cat):
+    seed(spark, cat)
+    run(
+        spark, cat,
+        "UPDATE `p.d.t` SET bal = bal + 1 WHERE bal > 0;"
+        "DELETE FROM `p.d.t` WHERE bal < 0;"
+        "INSERT INTO `p.d.t` VALUES (4, 'd', 40.0), (5, 'e', 50.0)",
+    )
+    rows = _jobs(spark, cat, "dml_statistics IS NOT NULL")
+    got = [
+        (r["statement_type"], tuple(r["dml_statistics"])) for r in rows
+    ]
+    assert got == [
+        ("UPDATE", (0, 0, 2)),
+        ("DELETE", (0, 1, 0)),
+        ("INSERT", (2, 0, 0)),
+    ]
+
+
+def test_dml_statistics_merge_counts_all_three(spark, cat):
+    seed(spark, cat)
+    run(
+        spark, cat,
+        "MERGE `p.d.t` t USING ("
+        " SELECT 1 AS id UNION ALL SELECT 3 UNION ALL SELECT 9) s"
+        " ON t.id = s.id"
+        " WHEN MATCHED AND t.bal < 0 THEN DELETE"
+        " WHEN MATCHED THEN UPDATE SET bal = t.bal * 2"
+        " WHEN NOT MATCHED THEN INSERT (id, seg, bal)"
+        "   VALUES (s.id, 'new', 0.0)",
+    )
+    (row,) = _jobs(spark, cat, "statement_type = 'MERGE'")
+    assert tuple(row["dml_statistics"]) == (1, 1, 1)
+    # and the merged state is unchanged by the counting plane
+    assert state(spark, cat) == [
+        (1, "a", 20.0),
+        (2, "b", 20.0),
+        (9, "new", 0.0),
+    ]
+
+
+def test_dml_statistics_truncate_reports_preimage(spark, cat):
+    seed(spark, cat)
+    run(spark, cat, "TRUNCATE TABLE `p.d.t`")
+    (row,) = _jobs(spark, cat, "statement_type = 'TRUNCATE_TABLE'")
+    assert tuple(row["dml_statistics"]) == (0, 3, 0)
+
+
+def test_row_count_system_variable(spark, cat):
+    seed(spark, cat)
+    w = run(
+        spark, cat,
+        "SELECT @@row_count AS before_any;"
+        "UPDATE `p.d.t` SET bal = 0 WHERE bal > 0;"
+        "SET x = @@row_count;"
+        "ASSERT @@row_count = 2;"
+        "DELETE FROM `p.d.t` WHERE id = 1;"
+        "SELECT x AS after_update, @@row_count AS after_delete",
+    )
+    assert [tuple(r) for r in w.result.collect()] == [(2, 1)]
+
+
+def test_row_count_not_replaced_inside_string_literal(spark, cat):
+    seed(spark, cat)
+    w = run(
+        spark, cat,
+        "UPDATE `p.d.t` SET bal = 0 WHERE id = 1;"
+        "SELECT '@@row_count' AS s, @@row_count AS n",
+    )
+    assert [tuple(r) for r in w.result.collect()] == [("@@row_count", 1)]
+
+
+def test_row_count_in_execute_immediate(spark, cat):
+    """System variables resolve inside dynamic SQL, which deliberately
+    skips script-VARIABLE substitution."""
+    seed(spark, cat)
+    w = run(
+        spark, cat,
+        "DECLARE n INT64;"
+        "DELETE FROM `p.d.t` WHERE bal < 0;"
+        "EXECUTE IMMEDIATE 'SELECT @@row_count' INTO n;"
+        "SELECT n",
+    )
+    assert w.result.collect()[0][0] == 1
+
+
+def test_pruned_dml_statistics_match_full_rewrite(spark, cat):
+    """The partition-pruned copy-on-write paths count through the same
+    Observation plane as the full rewrite, and a predicate matching no
+    partition reports explicit zeros."""
+    cat.write(
+        spark.sql(
+            "SELECT id, CAST(CONCAT('2024-0', 1 + id % 3, '-15') AS DATE)"
+            " AS d, CAST(id AS DOUBLE) AS v FROM RANGE(30)"
+        ),
+        "p.d.seed_part",
+    )
+    run(
+        spark, cat,
+        "CREATE OR REPLACE TABLE p.d.part PARTITION BY DATE_TRUNC(d, MONTH)"
+        " AS SELECT * FROM `p.d.seed_part`;"
+        "UPDATE `p.d.part` SET v = v + 1"
+        " WHERE d >= DATE '2024-02-01' AND d < DATE '2024-03-01';"
+        "DELETE FROM `p.d.part`"
+        " WHERE d >= DATE '2024-03-01' AND d < DATE '2024-04-01' AND id < 10;"
+        "DELETE FROM `p.d.part` WHERE d >= DATE '2030-01-01'",
+    )
+    rows = _jobs(spark, cat, "dml_statistics IS NOT NULL")
+    got = [(r["statement_type"], tuple(r["dml_statistics"])) for r in rows]
+    # months cycle 1+id%3: Feb holds the 10 ids with id%3==1; March the
+    # ids with id%3==2, of which 2,5,8 are < 10; 2030 hits no partition
+    # (the pruned no-op path must still report explicit zeros)
+    assert got == [
+        ("UPDATE", (0, 0, 10)),
+        ("DELETE", (0, 3, 0)),
+        ("DELETE", (0, 0, 0)),
+    ]
+
+
+def test_jobs_view_records_failures_and_destinations(spark, cat):
+    seed(spark, cat)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        run(spark, cat, "SELECT broken_column FROM `p.d.t`")
+    rows = _jobs(spark, cat, "error_result IS NOT NULL")
+    assert len(rows) == 1
+    assert rows[0]["state"] == "DONE"  # BigQuery: failed jobs stay DONE
+    assert rows[0]["error_result"]["message"]
+    run(spark, cat, "UPDATE `p.d.t` SET bal = 0 WHERE id = 1")
+    (upd,) = _jobs(spark, cat, "statement_type = 'UPDATE'")
+    assert tuple(upd["destination_table"]) == ("p", "d", "t")
+
+
+def test_statement_type_classifier():
+    from crmint_spark.workers.sql_executor import classify_statement_type as c
+
+    assert c("SELECT 1") == "SELECT"
+    assert c("WITH a AS (SELECT 1) SELECT * FROM a") == "SELECT"
+    assert c("INSERT INTO t VALUES (1)") == "INSERT"
+    assert c("CREATE OR REPLACE TABLE t AS SELECT 1") == "CREATE_TABLE_AS_SELECT"
+    assert c("CREATE TABLE t (x INT64)") == "CREATE_TABLE"
+    assert c("CREATE SNAPSHOT TABLE s CLONE t") == "CREATE_SNAPSHOT_TABLE"
+    assert c("CREATE MATERIALIZED VIEW mv AS SELECT 1") == "CREATE_MATERIALIZED_VIEW"
+    assert c("CREATE OR REPLACE MODEL m OPTIONS() AS SELECT 1") == "CREATE_MODEL"
+    assert c("CREATE TEMP FUNCTION f() AS (1)") == "CREATE_FUNCTION"
+    assert c("EXPORT DATA OPTIONS() AS SELECT 1") == "EXPORT_DATA"
+    assert c("LOAD DATA INTO t FROM FILES()") == "LOAD_DATA"
+    assert c("TRUNCATE TABLE t") == "TRUNCATE_TABLE"
+    assert c("DROP TABLE IF EXISTS t") == "DROP_TABLE"
+    assert c("ALTER TABLE t ADD COLUMN c INT64") == "ALTER_TABLE"
+    assert c("BEGIN TRANSACTION") == "BEGIN_TRANSACTION"
+    assert c("ASSERT 1 = 1") == "ASSERT"
+
+
+def test_leading_comment_does_not_defeat_routing(spark, cat):
+    """Statements are routed on their head keyword; a comment attached
+    to the statement's first line must be stripped by split_script or
+    ASSERT/DML routing silently falls through to spark.sql."""
+    seed(spark, cat)
+    w = run(
+        spark, cat,
+        "UPDATE `p.d.t` SET bal = 0 WHERE id = 1;  -- trailing note\n"
+        "-- leading comment\n"
+        "ASSERT @@row_count = 1;\n"
+        "/* block comment */ DELETE FROM `p.d.t` WHERE id = 2;\n"
+        "-- pure-comment statement drops entirely;\n"
+        "SELECT COUNT(*) AS n FROM `p.d.t`",
+    )
+    assert w.result.collect()[0][0] == 2
