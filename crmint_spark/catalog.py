@@ -1487,6 +1487,107 @@ class Catalog:
                 "last_modified_time timestamp",
             ).createOrReplaceTempView(view)
             return view
+        if kind == "TABLE_STORAGE":
+            # BigQuery INFORMATION_SCHEMA.TABLE_STORAGE: storage
+            # accounting per table, metadata-only (parquet footers +
+            # filesystem stat — no Spark job). Documented divergences:
+            # logical bytes = parquet-encoded bytes (BigQuery's logical
+            # is the uncompressed column width), long_term tiers are 0
+            # (no 90-day tiering plane), and time_travel_physical_bytes
+            # counts version-store files by UNIQUE inode not shared with
+            # the live table — hardlinked pre-images cost metadata only,
+            # so this reports the engine's true physical overhead.
+            import datetime as _dt
+
+            rows = []
+            for t in tables:
+                tid = f"{project}.{dataset}.{t}"
+                p = self.path_for(tid)
+                if not os.path.isdir(p):
+                    continue  # virtual shard/view: no physical storage
+                n_rows, live_bytes = _parquet_dir_stats(p)
+                live_inodes = set()
+                for root, _dirs, files in os.walk(p):
+                    for f in files:
+                        try:
+                            live_inodes.add(
+                                os.stat(os.path.join(root, f)).st_ino
+                            )
+                        except OSError:
+                            continue
+                tt_bytes = 0
+                seen = set(live_inodes)
+                vroot = self._versions_root(tid)
+                if os.path.isdir(vroot):
+                    # only the numeric version dirs hold pre-image data;
+                    # vroot-level bookkeeping (.created, .layout.json)
+                    # is not time-travel storage
+                    for vd in os.listdir(vroot):
+                        vp = os.path.join(vroot, vd)
+                        if not (vd.isdigit() and os.path.isdir(vp)):
+                            continue
+                        for root, _dirs, files in os.walk(vp):
+                            for f in files:
+                                fp = os.path.join(root, f)
+                                try:
+                                    st = os.stat(fp)
+                                except OSError:
+                                    continue
+                                if st.st_ino in seen:
+                                    continue
+                                seen.add(st.st_ino)
+                                tt_bytes += st.st_size
+                meta = self.layout_meta(tid)
+                pcol = (meta or {}).get("pcol")
+                n_parts = (
+                    sum(
+                        1
+                        for d in os.listdir(p)
+                        if d.startswith(f"{pcol}=")
+                    )
+                    if pcol
+                    else 0
+                )
+                created = None
+                cfile = os.path.join(vroot, ".created")
+                if os.path.isfile(cfile):
+                    with open(cfile) as fh:
+                        created = _dt.datetime.fromtimestamp(
+                            int(fh.read().strip()) / 1e6
+                        )
+                mtime = _dt.datetime.fromtimestamp(os.stat(p).st_mtime)
+                rows.append(
+                    (
+                        project,
+                        dataset,
+                        t,
+                        created,
+                        False,
+                        mtime,
+                        n_rows,
+                        n_parts,
+                        live_bytes,
+                        live_bytes,
+                        0,
+                        live_bytes + tt_bytes,
+                        live_bytes,
+                        0,
+                        tt_bytes,
+                    )
+                )
+            self.spark.createDataFrame(
+                rows,
+                "project_id string, table_schema string, "
+                "table_name string, creation_time timestamp, "
+                "deleted boolean, storage_last_modified_time timestamp, "
+                "total_rows bigint, total_partitions bigint, "
+                "total_logical_bytes bigint, active_logical_bytes bigint, "
+                "long_term_logical_bytes bigint, "
+                "total_physical_bytes bigint, active_physical_bytes bigint, "
+                "long_term_physical_bytes bigint, "
+                "time_travel_physical_bytes bigint",
+            ).createOrReplaceTempView(view)
+            return view
         if kind == "TABLE_OPTIONS":
             # BigQuery INFORMATION_SCHEMA.TABLE_OPTIONS: one row per
             # set option per table; option_value renders as the SQL

@@ -710,6 +710,59 @@ ORDER BY CASE statement_type WHEN 'INSERT' THEN 1 WHEN 'UPDATE' THEN 2
 """
 
 
+def dml_table_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INFORMATION_SCHEMA.TABLE_STORAGE (round 8): storage accounting
+    per catalog table — row counts from parquet footers, byte sizes
+    from the filesystem, time-travel overhead by unique inode (a
+    hardlinked pre-image costs metadata, not bytes) — no Spark job.
+    The oracle checks the deterministic columns (row counts, partition
+    counts, liveness) against the base data; the byte/timestamp columns
+    are asserted non-trivial in test_dml (they are machine-dependent)."""
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_stor_"))
+    cat.write(
+        spark.sql(
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_orderkey <= 3000"
+        ),
+        "p.d.fact",
+    )
+    w = SparkSQLExecutor(
+        {
+            "script": """
+        CREATE OR REPLACE TABLE p.d.fact_part
+        PARTITION BY DATE_TRUNC(o_orderdate, YEAR)
+        CLUSTER BY o_custkey AS
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        FROM orders;
+        UPDATE `p.d.fact` SET o_totalprice = o_totalprice * 1.1
+        WHERE o_custkey = 1;
+        SELECT table_name, total_rows, total_partitions, deleted
+        FROM `p.d.INFORMATION_SCHEMA.TABLE_STORAGE`
+        ORDER BY table_name
+        """,
+            "dry_run": False,
+        },
+        WorkerContext(spark=spark, catalog=cat),
+    )
+    w.execute()
+    return w.result
+
+
+DML_TABLE_STORAGE_SQL = """
+SELECT * FROM (
+  SELECT 'fact' AS table_name,
+         (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 3000)
+           AS total_rows,
+         CAST(0 AS BIGINT) AS total_partitions, FALSE AS deleted
+  UNION ALL
+  SELECT 'fact_part', (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(DISTINCT DATE_TRUNC('year', o_orderdate))
+          FROM orders), FALSE
+) t ORDER BY table_name
+"""
+
+
 DML_QUERIES: dict[str, tuple] = {
     "dml_merge_upsert": (dml_merge_upsert, DML_MERGE_SQL),
     "dml_update_delete_insert": (dml_update_delete_insert, DML_UPDATE_SQL),
@@ -728,4 +781,5 @@ DML_QUERIES: dict[str, tuple] = {
         DML_FIELD_PATHS_SQL,
     ),
     "dml_jobs_history": (dml_jobs_history, DML_JOBS_SQL),
+    "dml_table_storage": (dml_table_storage, DML_TABLE_STORAGE_SQL),
 }

@@ -1073,3 +1073,40 @@ def test_leading_comment_does_not_defeat_routing(spark, cat):
         "SELECT COUNT(*) AS n FROM `p.d.t`",
     )
     assert w.result.collect()[0][0] == 2
+
+
+def test_table_storage_byte_accounting(spark, cat):
+    """TABLE_STORAGE's machine-dependent columns: live bytes counted,
+    time-travel bytes appear after a copy-on-write mutation, and
+    hardlinked pre-image files (shared inodes) are NOT double-billed."""
+    seed(spark, cat)
+    w0 = run(
+        spark, cat,
+        "SELECT active_physical_bytes AS ab, time_travel_physical_bytes"
+        " AS tb, creation_time FROM `p.d.INFORMATION_SCHEMA.TABLE_STORAGE`",
+    )
+    r0 = w0.result.collect()[0]
+    assert r0["ab"] > 0 and r0["tb"] == 0
+    assert r0["creation_time"] is not None
+    # copy-on-write UPDATE renames the old files into the version store:
+    # those inodes are no longer in the live dir, so they bill as
+    # time-travel physical bytes
+    run(spark, cat, "UPDATE `p.d.t` SET bal = 0 WHERE id = 1")
+    r1 = run(
+        spark, cat,
+        "SELECT active_physical_bytes AS ab, time_travel_physical_bytes"
+        " AS tb, total_physical_bytes AS tot"
+        " FROM `p.d.INFORMATION_SCHEMA.TABLE_STORAGE`",
+    ).result.collect()[0]
+    assert r1["tb"] > 0
+    assert r1["tot"] == r1["ab"] + r1["tb"]
+    # an APPEND archives by HARDLINK: the pre-image shares every inode
+    # with the live files it links, so time-travel bytes must not jump
+    # by the table's size — only the pre-existing rename bytes remain
+    run(spark, cat, "INSERT INTO `p.d.t` VALUES (7, 'z', 1.0)")
+    r2 = run(
+        spark, cat,
+        "SELECT time_travel_physical_bytes AS tb"
+        " FROM `p.d.INFORMATION_SCHEMA.TABLE_STORAGE`",
+    ).result.collect()[0]
+    assert r2["tb"] == r1["tb"]
