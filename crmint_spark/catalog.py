@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -245,15 +246,31 @@ class Catalog:
         # _record_job), served by INFORMATION_SCHEMA.JOBS. In-memory —
         # the catalog object IS the project for its executors' lifetime
         self._jobs: list[dict] = []
+        self._jobs_lock = threading.Lock()
+        self._job_seq = 0
         os.makedirs(warehouse_root, exist_ok=True)
+
+    #: retention cap on the in-memory jobs plane (BigQuery's JOBS view
+    #: is itself retention-bounded to 180 days): a long-lived Engine
+    #: records one row per executed statement, so without a cap the
+    #: list and every INFORMATION_SCHEMA.JOBS rebuild grow without
+    #: bound. Oldest rows drop first; ids keep increasing.
+    JOBS_RETENTION_MAX = 100_000
 
     def record_job(self, row: dict) -> None:
         """Append one job-history row (INFORMATION_SCHEMA.JOBS). The
-        deterministic ordinal job id is assigned here so concurrent
-        executors sharing this catalog never collide."""
-        self._jobs.append(
-            {**row, "job_id": f"script_job_{len(self._jobs) + 1:05d}"}
-        )
+        deterministic ordinal job id is assigned under a lock —
+        Engine shares one Catalog across a thread pool, and a
+        len-then-append race would mint duplicate ids. 12-digit zero
+        padding keeps lexicographic ORDER BY job_id equal to execution
+        order far past any realistic job count."""
+        with self._jobs_lock:
+            self._job_seq += 1
+            self._jobs.append(
+                {**row, "job_id": f"script_job_{self._job_seq:012d}"}
+            )
+            if len(self._jobs) > self.JOBS_RETENTION_MAX:
+                del self._jobs[: -self.JOBS_RETENTION_MAX]
 
     def path_for(self, table_id: str) -> str:
         parts = table_id.split(".")
@@ -1350,7 +1367,9 @@ class Catalog:
             )
             proj = qualifier.split(".")[0]
             rows = []
-            for j in self._jobs:
+            with self._jobs_lock:
+                jobs_snapshot = list(self._jobs)
+            for j in jobs_snapshot:
                 dml = j.get("dml_statistics")
                 rows.append(
                     (
@@ -1499,12 +1518,47 @@ class Catalog:
             # so this reports the engine's true physical overhead.
             import datetime as _dt
 
+            def _tt_bytes(vroot: str, seen: set) -> int:
+                # only the numeric version dirs hold pre-image data;
+                # vroot-level bookkeeping (.created, .layout.json) is
+                # not time-travel storage. Unique-inode billing.
+                total = 0
+                if not os.path.isdir(vroot):
+                    return 0
+                for vd in os.listdir(vroot):
+                    vp = os.path.join(vroot, vd)
+                    if not (vd.isdigit() and os.path.isdir(vp)):
+                        continue
+                    for root, _dirs, files in os.walk(vp):
+                        for f in files:
+                            fp = os.path.join(root, f)
+                            try:
+                                st = os.stat(fp)
+                            except OSError:
+                                continue
+                            if st.st_ino in seen:
+                                continue
+                            seen.add(st.st_ino)
+                            total += st.st_size
+                return total
+
+            def _created_at(vroot: str):
+                cfile = os.path.join(vroot, ".created")
+                if os.path.isfile(cfile):
+                    with open(cfile) as fh:
+                        return _dt.datetime.fromtimestamp(
+                            int(fh.read().strip()) / 1e6
+                        )
+                return None
+
             rows = []
+            live_vroots = set()
             for t in tables:
                 tid = f"{project}.{dataset}.{t}"
                 p = self.path_for(tid)
                 if not os.path.isdir(p):
                     continue  # virtual shard/view: no physical storage
+                live_vroots.add(os.path.basename(self._versions_root(tid)))
                 n_rows, live_bytes = _parquet_dir_stats(p)
                 live_inodes = set()
                 for root, _dirs, files in os.walk(p):
@@ -1515,28 +1569,8 @@ class Catalog:
                             )
                         except OSError:
                             continue
-                tt_bytes = 0
-                seen = set(live_inodes)
                 vroot = self._versions_root(tid)
-                if os.path.isdir(vroot):
-                    # only the numeric version dirs hold pre-image data;
-                    # vroot-level bookkeeping (.created, .layout.json)
-                    # is not time-travel storage
-                    for vd in os.listdir(vroot):
-                        vp = os.path.join(vroot, vd)
-                        if not (vd.isdigit() and os.path.isdir(vp)):
-                            continue
-                        for root, _dirs, files in os.walk(vp):
-                            for f in files:
-                                fp = os.path.join(root, f)
-                                try:
-                                    st = os.stat(fp)
-                                except OSError:
-                                    continue
-                                if st.st_ino in seen:
-                                    continue
-                                seen.add(st.st_ino)
-                                tt_bytes += st.st_size
+                tt_bytes = _tt_bytes(vroot, set(live_inodes))
                 meta = self.layout_meta(tid)
                 pcol = (meta or {}).get("pcol")
                 n_parts = (
@@ -1548,20 +1582,13 @@ class Catalog:
                     if pcol
                     else 0
                 )
-                created = None
-                cfile = os.path.join(vroot, ".created")
-                if os.path.isfile(cfile):
-                    with open(cfile) as fh:
-                        created = _dt.datetime.fromtimestamp(
-                            int(fh.read().strip()) / 1e6
-                        )
                 mtime = _dt.datetime.fromtimestamp(os.stat(p).st_mtime)
                 rows.append(
                     (
                         project,
                         dataset,
                         t,
-                        created,
+                        _created_at(vroot),
                         False,
                         mtime,
                         n_rows,
@@ -1575,6 +1602,51 @@ class Catalog:
                         tt_bytes,
                     )
                 )
+            # dropped tables whose pre-images still bill in the version
+            # store appear with deleted=true (BigQuery shows dropped
+            # tables during their time-travel window); rows report the
+            # newest archived state's footer count
+            vbase = os.path.join(self.root, "__versions__")
+            prefix = _safe_view_name(f"{project}.{dataset}.")
+            if os.path.isdir(vbase):
+                for vname in sorted(os.listdir(vbase)):
+                    if not vname.startswith(prefix) or vname in live_vroots:
+                        continue
+                    vroot = os.path.join(vbase, vname)
+                    versions = sorted(
+                        int(d)
+                        for d in os.listdir(vroot)
+                        if d.isdigit()
+                        and os.path.isdir(os.path.join(vroot, d))
+                    )
+                    if not versions:
+                        continue
+                    tt_bytes = _tt_bytes(vroot, set())
+                    n_rows, _b = _parquet_dir_stats(
+                        os.path.join(vroot, str(versions[-1]))
+                    )
+                    mtime = _dt.datetime.fromtimestamp(
+                        os.stat(vroot).st_mtime
+                    )
+                    rows.append(
+                        (
+                            project,
+                            dataset,
+                            vname[len(prefix):],
+                            _created_at(vroot),
+                            True,
+                            mtime,
+                            n_rows,
+                            0,
+                            0,
+                            0,
+                            0,
+                            tt_bytes,
+                            0,
+                            0,
+                            tt_bytes,
+                        )
+                    )
             self.spark.createDataFrame(
                 rows,
                 "project_id string, table_schema string, "

@@ -93,6 +93,21 @@ def _skip_string(sql: str, i: int) -> int:
     return n
 
 
+def _skip_comment(sql: str, i: int) -> int:
+    """If sql[i] opens a ``--`` or ``/* */`` comment, return the index
+    just past its end; else return i. Walks that treat quotes as string
+    openers must skip comments FIRST — an apostrophe inside a comment
+    (``/* don't */``) would otherwise swallow the rest of the statement
+    (review finding r8)."""
+    if sql.startswith("--", i):
+        nl = sql.find("\n", i)
+        return len(sql) if nl == -1 else nl + 1
+    if sql.startswith("/*", i):
+        end = sql.find("*/", i + 2)
+        return len(sql) if end == -1 else end + 2
+    return i
+
+
 def _balanced_end(sql: str, open_idx: int) -> int:
     """Index just past the ``)`` matching the ``(`` at ``open_idx``
     (string-literal aware); -1 if unbalanced."""
@@ -5768,6 +5783,10 @@ def splice_row_count(sql: str, n: int) -> str:
     pos = 0
     i, ln = 0, len(sql)
     while i < ln:
+        j = _skip_comment(sql, i)
+        if j > i:
+            i = j
+            continue
         ch = sql[i]
         if ch in ("'", '"', "`"):
             i = _skip_string(sql, i)
@@ -5809,6 +5828,10 @@ class ScriptContext:
             for name in self.variables
         }
         while i < n:
+            j = _skip_comment(sql, i)
+            if j > i:
+                i = j
+                continue
             ch = sql[i]
             if ch in ("'", '"', "`"):
                 i = _skip_string(sql, i)

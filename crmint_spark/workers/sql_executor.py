@@ -114,12 +114,18 @@ _JOB_DEST_RE = re.compile(
 )
 
 
+_STRING_LIT_RE = re.compile(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"")
+
+
 def classify_statement_type(sql: str) -> str:
     """BigQuery ``INFORMATION_SCHEMA.JOBS.statement_type`` spelling for
     one engine statement (best-effort; 'SCRIPT' for heads BigQuery has
-    no job spelling for)."""
+    no job spelling for). String literals are masked first — the
+    CREATE_TABLE_AS_SELECT lookahead must not match an 'AS' inside an
+    OPTIONS description (review finding r8)."""
+    masked = _STRING_LIT_RE.sub("''", sql)
     for pat, stype in _STMT_TYPE_PATTERNS:
-        if pat.match(sql):
+        if pat.match(masked):
             return stype
     return "SCRIPT"
 
@@ -1542,7 +1548,13 @@ class SparkSQLExecutor(Worker):
         q = am.group(1).strip()
         if q.startswith("(") and q.endswith(")"):
             q = q[1:-1]
-        df = self._run_statement(q, resolver, registry)
+        # the inner query is a sub-step of THIS statement, not its own
+        # child job (BigQuery records one job per script statement)
+        self._suppress_job = True
+        try:
+            df = self._run_statement(q, resolver, registry)
+        finally:
+            self._suppress_job = False
         if df is None:
             raise WorkerException(
                 "CREATE TEMP TABLE query produced no result"
@@ -3381,6 +3393,10 @@ class SparkSQLExecutor(Worker):
         cat = self._ctx.catalog
         if cat is None:
             return
+        if self._params.get("dry_run"):
+            return  # BigQuery dry runs create no job
+        if getattr(self, "_suppress_job", False):
+            return  # sub-step of one user statement (temp-table inner)
         import time as _time
 
         cat.record_job(
@@ -4025,11 +4041,13 @@ class SparkSQLExecutor(Worker):
             self._dml_insert(dml)
             return True
         target_df, session_name = self._dml_target(dml.target, in_catalog)
-        obs = obs_kind = stats_hook = None
+        obs = obs_kind = stats_hook = pending_stats = None
         if isinstance(dml, TruncateStmt):
             # dml_statistics.deleted_row_count = the whole pre-image; a
-            # catalog table counts from parquet footers (metadata-only)
-            self._set_dml_stats(deleted=target_df.count())
+            # catalog table counts from parquet footers (metadata-only).
+            # Committed only AFTER the overwrite succeeds — @@row_count
+            # reflects the most recently COMPLETED DML
+            pending_stats = {"deleted": target_df.count()}
             result = target_df.limit(0)
         elif isinstance(dml, (UpdateStmt, DeleteStmt)):
             if re.search(
@@ -4097,6 +4115,8 @@ class SparkSQLExecutor(Worker):
         )
         if obs is not None:
             self._finish_dml_stats(obs, obs_kind)
+        elif pending_stats is not None:
+            self._set_dml_stats(**pending_stats)
         self.log_info(f"{type(dml).__name__.replace('Stmt', '').upper()} applied to {dml.target}")
         return True
 
@@ -4388,9 +4408,12 @@ class SparkSQLExecutor(Worker):
             aligned.write.mode("overwrite").parquet(tmp)
             staged = spark.read.parquet(tmp)
             # inserted_row_count from the staged files' parquet footers
-            # — metadata-only, no data scan
-            self._set_dml_stats(inserted=staged.count())
+            # (metadata-only, no data scan) — committed only after the
+            # append succeeds, so a failed INSERT leaves @@row_count at
+            # the last COMPLETED DML
+            n_staged = staged.count()
             cat.write(staged, ins.target, "WRITE_APPEND")
+            self._set_dml_stats(inserted=n_staged)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         self.log_info(f"INSERT appended to {ins.target}")

@@ -1110,3 +1110,65 @@ def test_table_storage_byte_accounting(spark, cat):
         " FROM `p.d.INFORMATION_SCHEMA.TABLE_STORAGE`",
     ).result.collect()[0]
     assert r2["tb"] == r1["tb"]
+
+
+def test_row_count_after_comment_with_apostrophe(spark, cat):
+    """An apostrophe inside a comment must not swallow the walk (review
+    finding r8: the splice treated it as a string opener)."""
+    seed(spark, cat)
+    w = run(
+        spark, cat,
+        "DELETE FROM `p.d.t` WHERE id = 1;"
+        "SELECT /* don't stop here */ @@row_count AS n",
+    )
+    assert w.result.collect()[0][0] == 1
+
+
+def test_classifier_ignores_as_inside_string():
+    from crmint_spark.workers.sql_executor import classify_statement_type as c
+
+    assert (
+        c("CREATE TABLE t (x INT64) OPTIONS(description=\"same as before\")")
+        == "CREATE_TABLE"
+    )
+    assert c("CREATE TABLE t2 AS SELECT 1") == "CREATE_TABLE_AS_SELECT"
+
+
+def test_jobs_plane_no_dry_run_rows_and_single_temp_table_job(spark, cat):
+    seed(spark, cat)
+    run(spark, cat, "UPDATE `p.d.t` SET bal = 0 WHERE id = 1", dry_run=True)
+    run(spark, cat, "CREATE TEMP TABLE tt1 AS SELECT 1 AS x;")
+    rows = _jobs(spark, cat)
+    # the dry run recorded nothing; the temp-table CTAS is ONE job (the
+    # inner query is a sub-step, not a child job); the _jobs SELECT
+    # itself records only after its view materialized, so it's absent
+    assert [r["statement_type"] for r in rows] == ["CREATE_TABLE_AS_SELECT"]
+
+
+def test_job_ids_unique_under_concurrency(spark, cat):
+    import concurrent.futures
+
+    def one(i):
+        cat.record_job({"statement_type": "SELECT", "query": str(i)})
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(one, range(200)))
+    ids = [j["job_id"] for j in cat._jobs]
+    assert len(set(ids)) == 200
+    assert ids == sorted(ids)  # ordinal order == append order
+
+
+def test_table_storage_reports_dropped_tables(spark, cat):
+    seed(spark, cat)
+    run(spark, cat, "UPDATE `p.d.t` SET bal = 1 WHERE id = 1")
+    run(spark, cat, "DROP TABLE `p.d.t`")
+    rows = run(
+        spark, cat,
+        "SELECT table_name, deleted, total_rows, active_physical_bytes AS ab,"
+        " time_travel_physical_bytes AS tb"
+        " FROM `p.d.INFORMATION_SCHEMA.TABLE_STORAGE`",
+    ).result.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["table_name"] == "t" and r["deleted"] is True
+    assert r["total_rows"] == 3 and r["ab"] == 0 and r["tb"] > 0
