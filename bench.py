@@ -181,6 +181,10 @@ SECONDARY = [
     "dml_change_history",
     "dml_table_options",
     "dml_column_field_paths",
+    # round 8 (this session): jobs plane (Observation-counted DML
+    # statistics + @@row_count) and storage accounting views
+    "dml_jobs_history",
+    "dml_table_storage",
 ]
 
 

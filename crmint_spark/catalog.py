@@ -1506,6 +1506,97 @@ class Catalog:
                 "last_modified_time timestamp",
             ).createOrReplaceTempView(view)
             return view
+        if kind == "ROUTINES":
+            # BigQuery INFORMATION_SCHEMA.ROUTINES over the executor's
+            # persisted stores (procedures + table functions live as
+            # JSON sidecars in the catalog root; TEMP functions are
+            # session-scoped and excluded, matching BigQuery). Names
+            # stored unqualified report under the queried dataset.
+            import json as _json
+
+            def _rows_from(path: str, rtype: str):
+                if not os.path.isfile(path):
+                    return
+                with open(path) as fh:
+                    store = _json.load(fh)
+                for name, rec in sorted(store.items()):
+                    parts = name.split(".")
+                    if len(parts) == 3 and (parts[0], parts[1]) != (
+                        project,
+                        dataset,
+                    ):
+                        continue
+                    body = rec.get("body") or rec.get("query") or ""
+                    yield (
+                        project,
+                        dataset,
+                        parts[-1],
+                        rtype,
+                        "SQL",
+                        body,
+                    )
+
+            rows = list(
+                _rows_from(
+                    os.path.join(self.root, "_procedures.json"), "PROCEDURE"
+                )
+            ) + list(
+                _rows_from(
+                    os.path.join(self.root, "_table_functions.json"),
+                    "TABLE FUNCTION",
+                )
+            )
+            self.spark.createDataFrame(
+                rows,
+                "routine_catalog string, routine_schema string, "
+                "routine_name string, routine_type string, "
+                "routine_body string, routine_definition string",
+            ).createOrReplaceTempView(view)
+            return view
+        if kind in ("SEARCH_INDEXES", "VECTOR_INDEXES"):
+            # BigQuery index-metadata views over the executor's index
+            # registry (CREATE VECTOR/SEARCH INDEX DDL). The engine's
+            # indexes are always fully built at query time, so
+            # index_status is ACTIVE and coverage is 100.
+            want = "SEARCH" if kind == "SEARCH_INDEXES" else "VECTOR"
+            rows = []
+            for name, rec in sorted(
+                getattr(self, "_indexes", {}).items()
+            ):
+                if rec.get("kind") != want:
+                    continue
+                tparts = rec.get("table", "").split(".")
+                if len(tparts) == 3 and (tparts[0], tparts[1]) != (
+                    project,
+                    dataset,
+                ):
+                    continue
+                opts = rec.get("options", {})
+                extra = (
+                    (opts.get("analyzer", "LOG_ANALYZER").upper(),)
+                    if want == "SEARCH"
+                    else (
+                        opts.get("index_type", "IVF").upper(),
+                        opts.get("distance_type", "COSINE").upper(),
+                    )
+                )
+                rows.append(
+                    (project, dataset, tparts[-1], name, "ACTIVE", 100)
+                    + extra
+                )
+            extra_schema = (
+                "analyzer string"
+                if want == "SEARCH"
+                else "index_type string, distance_type string"
+            )
+            self.spark.createDataFrame(
+                rows,
+                "index_catalog string, index_schema string, "
+                "table_name string, index_name string, "
+                "index_status string, coverage_percentage bigint, "
+                + extra_schema,
+            ).createOrReplaceTempView(view)
+            return view
         if kind == "TABLE_STORAGE":
             # BigQuery INFORMATION_SCHEMA.TABLE_STORAGE: storage
             # accounting per table, metadata-only (parquet footers +

@@ -3806,7 +3806,8 @@ def _rewrite_backtick_tables(sql: str, resolver=None) -> str:
         lambda seg: re.sub(
             r"\b([\w\-]+(?:\.[\w\-]+)?\.INFORMATION_SCHEMA\."
             r"(?:TABLES|COLUMNS|SCHEMATA|VIEWS|PARTITIONS|TABLE_OPTIONS"
-            r"|COLUMN_FIELD_PATHS|TABLE_STORAGE"
+            r"|COLUMN_FIELD_PATHS|TABLE_STORAGE|ROUTINES"
+            r"|SEARCH_INDEXES|VECTOR_INDEXES"
             r"|JOBS(?:_BY_PROJECT|_BY_USER)?))\b",
             lambda m: resolver(m.group(1)),
             seg,

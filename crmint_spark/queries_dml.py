@@ -763,6 +763,68 @@ SELECT * FROM (
 """
 
 
+def dml_routines_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INFORMATION_SCHEMA.ROUTINES / SEARCH_INDEXES / VECTOR_INDEXES
+    (round 8): the metadata views over the executor's persisted routine
+    stores and index registry. The script creates one of each through
+    the normal DDL path, calls the table function to prove the
+    definition is live (not just recorded), and reads the unified
+    metadata back. Pure-metadata contract, so the oracle is the
+    expected VALUES — the same shape dml_column_field_paths uses."""
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_rt_"))
+    cat.write(
+        spark.sql(
+            "SELECT c_custkey AS id, c_name AS body, "
+            "ARRAY(CAST(c_acctbal AS FLOAT), 0.0) AS emb "
+            "FROM customer WHERE c_custkey <= 50"
+        ),
+        "p.d.docs",
+    )
+    w = SparkSQLExecutor(
+        {
+            "script": """
+        CREATE OR REPLACE PROCEDURE p.d.refresh_docs(IN lo INT64)
+        BEGIN
+          DELETE FROM `p.d.docs` WHERE id < lo;
+        END;
+        CREATE OR REPLACE TABLE FUNCTION p.d.docs_above(thr INT64) AS (
+          SELECT id FROM `p.d.docs` WHERE id > thr
+        );
+        CREATE SEARCH INDEX docs_search ON `p.d.docs`(body)
+          OPTIONS (analyzer = 'LOG_ANALYZER');
+        CREATE VECTOR INDEX docs_vec ON `p.d.docs`(emb)
+          OPTIONS (index_type = 'IVF', distance_type = 'COSINE');
+        ASSERT (SELECT COUNT(*) FROM p.d.docs_above(45)) = 5;
+        SELECT name, kind FROM (
+          SELECT routine_name AS name, routine_type AS kind
+          FROM `p.d.INFORMATION_SCHEMA.ROUTINES`
+          UNION ALL
+          SELECT index_name, CONCAT('SEARCH/', analyzer)
+          FROM `p.d.INFORMATION_SCHEMA.SEARCH_INDEXES`
+          UNION ALL
+          SELECT index_name, CONCAT('VECTOR/', index_type, '/', distance_type)
+          FROM `p.d.INFORMATION_SCHEMA.VECTOR_INDEXES`
+        ) ORDER BY name
+        """,
+            "dry_run": False,
+        },
+        WorkerContext(spark=spark, catalog=cat),
+    )
+    w.execute()
+    return w.result
+
+
+DML_ROUTINES_SQL = """
+SELECT * FROM (
+  VALUES ('docs_above', 'TABLE FUNCTION'),
+         ('docs_search', 'SEARCH/LOG_ANALYZER'),
+         ('docs_vec', 'VECTOR/IVF/COSINE'),
+         ('refresh_docs', 'PROCEDURE')
+) t(name, kind) ORDER BY name
+"""
+
+
 DML_QUERIES: dict[str, tuple] = {
     "dml_merge_upsert": (dml_merge_upsert, DML_MERGE_SQL),
     "dml_update_delete_insert": (dml_update_delete_insert, DML_UPDATE_SQL),
@@ -782,4 +844,5 @@ DML_QUERIES: dict[str, tuple] = {
     ),
     "dml_jobs_history": (dml_jobs_history, DML_JOBS_SQL),
     "dml_table_storage": (dml_table_storage, DML_TABLE_STORAGE_SQL),
+    "dml_routines_indexes": (dml_routines_indexes, DML_ROUTINES_SQL),
 }

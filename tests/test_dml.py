@@ -1172,3 +1172,48 @@ def test_table_storage_reports_dropped_tables(spark, cat):
     r = rows[0]
     assert r["table_name"] == "t" and r["deleted"] is True
     assert r["total_rows"] == 3 and r["ab"] == 0 and r["tb"] > 0
+
+
+def test_routines_and_index_views_lifecycle(spark, cat):
+    """ROUTINES / SEARCH_INDEXES / VECTOR_INDEXES reflect the live
+    stores: creation appears, other datasets are filtered out, DROP
+    removes the row. Bare INFORMATION_SCHEMA spellings resolve too."""
+    seed(spark, cat)
+    run(
+        spark, cat,
+        "CREATE PROCEDURE p.d.proc1(IN x INT64) BEGIN SELECT x; END;"
+        "CREATE PROCEDURE other.ds.proc2(IN x INT64) BEGIN SELECT x; END;"
+        "CREATE TABLE FUNCTION p.d.tf1(n INT64) AS"
+        " (SELECT id FROM `p.d.t` WHERE id > n);"
+        "CREATE SEARCH INDEX si1 ON `p.d.t`(seg);"
+        "CREATE VECTOR INDEX IF NOT EXISTS vi1 ON `other.ds.x`(emb);",
+    )
+    rows = run(
+        spark, cat,
+        "SELECT routine_name, routine_type, routine_definition"
+        " FROM p.d.INFORMATION_SCHEMA.ROUTINES ORDER BY routine_name",
+    ).result.collect()
+    assert [(r[0], r[1]) for r in rows] == [
+        ("proc1", "PROCEDURE"),
+        ("tf1", "TABLE FUNCTION"),
+    ]
+    assert "BEGIN" in rows[0]["routine_definition"]
+    s = run(
+        spark, cat,
+        "SELECT index_name, table_name, analyzer"
+        " FROM p.d.INFORMATION_SCHEMA.SEARCH_INDEXES",
+    ).result.collect()
+    assert [tuple(r) for r in s] == [("si1", "t", "LOG_ANALYZER")]
+    v = run(
+        spark, cat,
+        "SELECT index_name FROM p.d.INFORMATION_SCHEMA.VECTOR_INDEXES",
+    ).result.collect()
+    assert v == []  # vi1 belongs to other.ds
+    run(spark, cat, "DROP PROCEDURE p.d.proc1; DROP SEARCH INDEX si1 ON `p.d.t`;")
+    rows2 = run(
+        spark, cat,
+        "SELECT routine_name FROM p.d.INFORMATION_SCHEMA.ROUTINES"
+        " UNION ALL SELECT index_name"
+        " FROM p.d.INFORMATION_SCHEMA.SEARCH_INDEXES",
+    ).result.collect()
+    assert [r[0] for r in rows2] == ["tf1"]
