@@ -257,8 +257,9 @@ class Catalog:
     #: bound. Oldest rows drop first; ids keep increasing.
     JOBS_RETENTION_MAX = 100_000
 
-    def record_job(self, row: dict) -> None:
-        """Append one job-history row (INFORMATION_SCHEMA.JOBS). The
+    def record_job(self, row: dict) -> str:
+        """Append one job-history row (INFORMATION_SCHEMA.JOBS); returns
+        the assigned job id (served back as ``@@last_job_id``). The
         deterministic ordinal job id is assigned under a lock —
         Engine shares one Catalog across a thread pool, and a
         len-then-append race would mint duplicate ids. 12-digit zero
@@ -266,11 +267,11 @@ class Catalog:
         order far past any realistic job count."""
         with self._jobs_lock:
             self._job_seq += 1
-            self._jobs.append(
-                {**row, "job_id": f"script_job_{self._job_seq:012d}"}
-            )
+            job_id = f"script_job_{self._job_seq:012d}"
+            self._jobs.append({**row, "job_id": job_id})
             if len(self._jobs) > self.JOBS_RETENTION_MAX:
                 del self._jobs[: -self.JOBS_RETENTION_MAX]
+            return job_id
 
     def path_for(self, table_id: str) -> str:
         parts = table_id.split(".")

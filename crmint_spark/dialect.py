@@ -5771,14 +5771,19 @@ _DECLARE_RE = re.compile(
 _SET_RE = re.compile(r"^\s*SET\s+(\w+)\s*=\s*(.+)$", re.IGNORECASE | re.DOTALL)
 
 
-_ROW_COUNT_RE = re.compile(r"@@row_count\b", re.IGNORECASE)
+_SYSVAR_RE = re.compile(
+    r"@@(row_count|last_job_id|time_zone)\b", re.IGNORECASE
+)
 
 
-def splice_row_count(sql: str, n: int) -> str:
-    """Replace the ``@@row_count`` system variable (BigQuery scripting:
-    rows modified by the most recent DML statement) with its current
-    integer value — only outside quoted strings/backticks."""
-    if "@@row_count" not in sql.lower():
+def splice_system_vars(sql: str, values: dict) -> str:
+    """Replace BigQuery scripting system variables (``@@row_count``,
+    ``@@last_job_id``, ``@@time_zone``) with typed literals — only
+    outside quoted strings/backticks and comments. ``values`` maps the
+    lowercase variable name to its current Python value (int/str/None);
+    unlisted names pass through untouched (``@@error.*`` has its own
+    handler-scope splice)."""
+    if "@@" not in sql:
         return sql
     out: list[str] = []
     pos = 0
@@ -5792,15 +5797,20 @@ def splice_row_count(sql: str, n: int) -> str:
         if ch in ("'", '"', "`"):
             i = _skip_string(sql, i)
             continue
-        m = _ROW_COUNT_RE.match(sql, i)
-        if m:
+        m = _SYSVAR_RE.match(sql, i)
+        if m and m.group(1).lower() in values:
             out.append(sql[pos:i])
-            out.append(str(int(n)))
+            out.append(script_literal(values[m.group(1).lower()]))
             pos = i = m.end()
             continue
         i += 1
     out.append(sql[pos:])
     return "".join(out)
+
+
+def splice_row_count(sql: str, n: int) -> str:
+    """Back-compat shim: splice only ``@@row_count``."""
+    return splice_system_vars(sql, {"row_count": int(n)})
 
 
 @dataclass
@@ -5812,13 +5822,18 @@ class ScriptContext:
     #: the most recent DML statement in the script (the executor syncs
     #: this after every statement; 0 before any DML has run)
     row_count: int = 0
+    #: other system variables the executor syncs (@@last_job_id,
+    #: @@time_zone) — lowercase name -> current value
+    system: dict = field(default_factory=dict)
 
     def substitute(self, sql: str) -> str:
         """Replace declared variable names with literals — only outside
         quoted strings/backticks, so a variable name inside a string
-        literal survives untouched. The ``@@row_count`` system variable
-        splices through the same string-aware walk."""
-        sql = splice_row_count(sql, self.row_count)
+        literal survives untouched. System variables (@@row_count,
+        @@last_job_id, @@time_zone) splice through the same walk."""
+        sql = splice_system_vars(
+            sql, {"row_count": self.row_count, **self.system}
+        )
         if not self.variables:
             return sql
         out: list[str] = []

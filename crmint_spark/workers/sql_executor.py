@@ -1206,6 +1206,7 @@ class SparkSQLExecutor(Worker):
         resolver = self._resolver()
         sctx = ScriptContext()
         self._txn = None
+        self._tz_original = None
         try:
             result = self._exec_statements(
                 split_script(self._params["script"]), sctx, resolver, registry
@@ -1223,6 +1224,13 @@ class SparkSQLExecutor(Worker):
                 self._txn_rollback()
                 self.log_info("open transaction rolled back after error")
             raise
+        finally:
+            # SET @@time_zone is script-scoped: never leak a zone into
+            # the shared SparkSession
+            if getattr(self, "_tz_original", None) is not None:
+                self._ctx.spark.conf.set(
+                    "spark.sql.session.timeZone", self._tz_original
+                )
         if self._txn is not None:
             self._txn_rollback()
             raise WorkerException(
@@ -1310,6 +1318,17 @@ class SparkSQLExecutor(Worker):
         spark = self._ctx.spark
         last: DataFrame | None = None
         for raw_stmt in stmts:
+            self._sync_system_vars(sctx)
+            sm = re.match(
+                r"^\s*SET\s+@@(\w+(?:\.\w+)*)\s*=\s*(.+)$",
+                raw_stmt,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if sm:
+                self._set_system_var(
+                    sm.group(1).lower(), sm.group(2).strip(), sctx, resolver
+                )
+                continue
             kind, m = classify_statement(raw_stmt)
             if kind == "declare":
                 name, default = m.group(1), m.group(2)
@@ -3368,9 +3387,9 @@ class SparkSQLExecutor(Worker):
         re-raised."""
         import time as _time
 
-        from ..dialect import splice_row_count
+        from ..dialect import splice_system_vars
 
-        sub = splice_row_count(sub, getattr(self, "_row_count", 0))
+        sub = splice_system_vars(sub, self._system_vars())
         # dml_statistics describes THIS statement only: NULL unless one
         # of the DML handlers below sets it
         self._dml_stats = None
@@ -3382,6 +3401,56 @@ class SparkSQLExecutor(Worker):
             raise
         self._record_job(sub, t0)
         return result
+
+    def _sync_system_vars(self, sctx) -> None:
+        vals = self._system_vars()
+        sctx.row_count = vals.pop("row_count")
+        sctx.system = vals
+
+    def _set_system_var(self, name: str, expr: str, sctx, resolver) -> None:
+        """``SET @@time_zone = <expr>`` — the one assignable system
+        variable the engine supports (BigQuery scripting). Scoped to the
+        SCRIPT: _run_script restores the session time zone afterwards,
+        so one worker's script cannot leak a zone into the shared
+        SparkSession. Anything else raises loudly (never silently
+        ignored)."""
+        spark = self._ctx.spark
+        if name != "time_zone":
+            raise WorkerException(
+                f"SET @@{name} is not supported (assignable system"
+                " variables: @@time_zone)"
+            )
+        if self._params["dry_run"]:
+            return
+        sql_expr = transpile_statement(sctx.substitute(expr), resolver)
+        tz = spark.sql(f"SELECT ({sql_expr})").first()[0]
+        if not isinstance(tz, str) or not tz:
+            raise WorkerException("SET @@time_zone needs a STRING zone")
+        if not re.fullmatch(r"[+-]\d{2}:\d{2}", tz):
+            try:
+                from zoneinfo import ZoneInfo
+
+                ZoneInfo(tz)
+            except Exception:
+                raise WorkerException(
+                    f"SET @@time_zone: unknown time zone {tz!r}"
+                ) from None
+        if getattr(self, "_tz_original", None) is None:
+            self._tz_original = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        self.log_info(f"SET @@time_zone = {tz}")
+
+    def _system_vars(self) -> dict:
+        """Current values of the spliceable scripting system variables
+        (BigQuery system variables: @@row_count, @@last_job_id,
+        @@time_zone)."""
+        return {
+            "row_count": getattr(self, "_row_count", 0),
+            "last_job_id": getattr(self, "_last_job_id", None),
+            "time_zone": self._ctx.spark.conf.get(
+                "spark.sql.session.timeZone"
+            ),
+        }
 
     def _record_job(self, sub: str, t0: float, error: str | None = None) -> None:
         """Append one row to the catalog's jobs plane (queryable as
@@ -3399,7 +3468,7 @@ class SparkSQLExecutor(Worker):
             return  # sub-step of one user statement (temp-table inner)
         import time as _time
 
-        cat.record_job(
+        self._last_job_id = cat.record_job(
             {
                 "creation_time": t0,
                 "start_time": t0,

@@ -1217,3 +1217,37 @@ def test_routines_and_index_views_lifecycle(spark, cat):
         " FROM p.d.INFORMATION_SCHEMA.SEARCH_INDEXES",
     ).result.collect()
     assert [r[0] for r in rows2] == ["tf1"]
+
+
+def test_time_zone_system_variable_script_scoped(spark, cat):
+    seed(spark, cat)
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    w = run(
+        spark, cat,
+        "SET @@time_zone = 'Asia/Tokyo';"
+        "SELECT CAST(TIMESTAMP '2024-01-01 00:00:00+00:00' AS DATETIME)"
+        " AS d, @@time_zone AS tz",
+    )
+    row = w.result.collect()[0]
+    assert str(row["d"]) == "2024-01-01 09:00:00"
+    assert row["tz"] == "Asia/Tokyo"
+    # script-scoped: the shared session zone is restored afterwards
+    assert spark.conf.get("spark.sql.session.timeZone") == tz_before
+    with pytest.raises(WorkerException, match="unknown time zone"):
+        run(spark, cat, "SET @@time_zone = 'Not/AZone'")
+    with pytest.raises(WorkerException, match="not supported"):
+        run(spark, cat, "SET @@project_id = 'x'")
+
+
+def test_last_job_id_system_variable(spark, cat):
+    seed(spark, cat)
+    w = run(
+        spark, cat,
+        "UPDATE `p.d.t` SET bal = 0 WHERE id = 1;"
+        "SELECT @@last_job_id AS prev",
+    )
+    prev = w.result.collect()[0]["prev"]
+    (upd,) = [
+        j for j in _jobs(spark, cat) if j["statement_type"] == "UPDATE"
+    ]
+    assert prev == upd["job_id"]
