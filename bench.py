@@ -182,9 +182,12 @@ SECONDARY = [
     "dml_table_options",
     "dml_column_field_paths",
     # round 8 (this session): jobs plane (Observation-counted DML
-    # statistics + @@row_count) and storage accounting views
+    # statistics + @@row_count), storage accounting + routine/index
+    # metadata views, ARIMA family completion
     "dml_jobs_history",
     "dml_table_storage",
+    "dml_routines_indexes",
+    "bqml_arima_coefficients",
 ]
 
 

@@ -838,6 +838,46 @@ _ML_ARIMA_EVALUATE_RE = re.compile(
     re.IGNORECASE,
 )
 
+_ML_ARIMA_COEFFICIENTS_RE = re.compile(
+    r"ML\.ARIMA_COEFFICIENTS\s*\(\s*MODEL\s+`?([\w.\-]+)`?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_ml_arima_coefficients(
+    spark: SparkSession, stmt: str, registry
+) -> str:
+    """Replace ``ML.ARIMA_COEFFICIENTS(MODEL m)`` with a per-series
+    coefficients view in BigQuery's column shape: ar_coefficients,
+    ma_coefficients, intercept_or_drift.
+
+    DOCUMENTED DIVERGENCE (same note as the module header): the fitted
+    model is the deterministic Holt / Holt-Winters substitute, so there
+    are no autoregressive or moving-average terms — both arrays are
+    empty — and intercept_or_drift reports the fitted per-step drift
+    (the final trend state), which is the substitute's exact analog of
+    an ARIMA drift constant. Pure functions of the persisted fold
+    state, so the DuckDB oracle replays every value."""
+    counter = [0]
+
+    def repl(m: re.Match) -> str:
+        meta = registry.load_meta(m.group(1))
+        rows = [
+            (s["series_id"], [], [], _r6(s["trend"]))
+            for s in meta["state"]
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "series_id string, ar_coefficients array<double>,"
+            " ma_coefficients array<double>, intercept_or_drift double",
+        )
+        counter[0] += 1
+        view = f"__ml_arima_coefficients_{counter[0]}"
+        df.createOrReplaceTempView(view)
+        return view
+
+    return _ML_ARIMA_COEFFICIENTS_RE.sub(repl, stmt)
+
 
 def rewrite_ml_arima_evaluate(
     spark: SparkSession, stmt: str, registry

@@ -669,6 +669,61 @@ BQML_QUERIES["bqml_arima_evaluate"] = (
 )
 
 
+def bqml_arima_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML.ARIMA_COEFFICIENTS over the fitted ARIMA_PLUS model: BigQuery's
+    column shape (ar_coefficients, ma_coefficients, intercept_or_drift).
+    The Holt/Holt-Winters substitute has no AR/MA terms (empty arrays,
+    documented divergence in ml/forecast.py); intercept_or_drift is the
+    fitted per-step drift — the final trend state of the fold, which
+    the DuckDB oracle replays exactly."""
+    from .catalog import register_testdata
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    CREATE OR REPLACE MODEL `p.d.rev_fit_coef`
+    OPTIONS(MODEL_TYPE='ARIMA_PLUS',
+            TIME_SERIES_TIMESTAMP_COL='day',
+            TIME_SERIES_DATA_COL='y',
+            TIME_SERIES_ID_COL='event_type') AS (
+      SELECT event_type, TIMESTAMP_TRUNC(ts, DAY) AS day,
+             ROUND(SUM(value), 6) AS y
+      FROM events GROUP BY event_type, day
+    );
+    SELECT series_id,
+           ARRAY_LENGTH(ar_coefficients) AS n_ar,
+           ARRAY_LENGTH(ma_coefficients) AS n_ma,
+           intercept_or_drift
+    FROM ML.ARIMA_COEFFICIENTS(MODEL `p.d.rev_fit_coef`)
+    ORDER BY series_id
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False}, WorkerContext(spark)
+    )
+    w.execute()
+    return w.result
+
+
+# the array columns are projected to their lengths for the oracle — the
+# driver's value-hash compare has no array contract; the raw arrays are
+# asserted in test_sql_ml
+BQML_ARIMA_COEFFICIENTS_SQL = f"""
+WITH {_HW_FIT_CTES}
+SELECT event_type AS series_id,
+       CAST(0 AS INT) AS n_ar,
+       CAST(0 AS INT) AS n_ma,
+       ROUND(f[2], 6) AS intercept_or_drift
+FROM fitted
+ORDER BY series_id
+"""
+
+BQML_QUERIES["bqml_arima_coefficients"] = (
+    bqml_arima_coefficients,
+    BQML_ARIMA_COEFFICIENTS_SQL,
+)
+
+
 def bqml_arima_holiday_forecast(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

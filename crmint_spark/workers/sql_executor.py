@@ -3513,6 +3513,7 @@ class SparkSQLExecutor(Worker):
             try_create_model,
         )
         from ..ml.forecast import (
+            rewrite_ml_arima_coefficients,
             rewrite_ml_arima_evaluate,
             rewrite_ml_detect_anomalies,
             rewrite_ml_explain_forecast,
@@ -3636,6 +3637,7 @@ class SparkSQLExecutor(Worker):
         stmt = rewrite_ml_explain_forecast(spark, stmt, registry)
         stmt = rewrite_ml_forecast(spark, stmt, registry)
         stmt = rewrite_ml_arima_evaluate(spark, stmt, registry)
+        stmt = rewrite_ml_arima_coefficients(spark, stmt, registry)
         stmt = rewrite_ml_detect_anomalies(spark, stmt, registry)
         if layout is not None:
             return self._create_layout_table(

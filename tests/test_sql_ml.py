@@ -1942,3 +1942,35 @@ def test_big_vocab_tfidf_broadcast_udf(ctx, monkeypatch):
         "  CAST(0 AS FLOAT64) AS label))",
     ).result.first()["tf"]
     assert r2 == r
+
+
+def test_ml_arima_coefficients(ctx):
+    """ML.ARIMA_COEFFICIENTS: empty AR/MA arrays (the exponential-
+    smoothing substitute has no such terms — documented divergence) and
+    intercept_or_drift equal to the fitted per-step drift (the fold's
+    persisted final trend state)."""
+    import datetime
+
+    spark = ctx.spark
+    rows = [
+        (datetime.datetime(2024, 1, 1 + d), 100.0 + 10.0 * d)
+        for d in range(15)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, y double"
+    ).createOrReplaceTempView("series_coef")
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.fcc`
+        OPTIONS(MODEL_TYPE='ARIMA_PLUS', TIME_SERIES_TIMESTAMP_COL='ts',
+                TIME_SERIES_DATA_COL='y') AS (SELECT ts, y FROM series_coef)
+        """,
+    )
+    w = _run(ctx, "SELECT * FROM ML.ARIMA_COEFFICIENTS(MODEL `p.d.fcc`)")
+    row = w.result.first()
+    assert row["ar_coefficients"] == [] and row["ma_coefficients"] == []
+    state = w._model_registry().load_meta("p.d.fcc")["state"][0]
+    assert abs(row["intercept_or_drift"] - state["trend"]) < 1e-6
+    # and the drift is positive on a strictly increasing series
+    assert row["intercept_or_drift"] > 0
