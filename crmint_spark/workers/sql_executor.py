@@ -4115,10 +4115,19 @@ class SparkSQLExecutor(Worker):
         obs = obs_kind = stats_hook = pending_stats = None
         if isinstance(dml, TruncateStmt):
             # dml_statistics.deleted_row_count = the whole pre-image; a
-            # catalog table counts from parquet footers (metadata-only).
+            # catalog table counts from parquet footers ON THE DRIVER
+            # (pyarrow — no Spark job); session targets pay one count.
             # Committed only AFTER the overwrite succeeds — @@row_count
             # reflects the most recently COMPLETED DML
-            pending_stats = {"deleted": target_df.count()}
+            if in_catalog:
+                from ..catalog import _parquet_dir_stats
+
+                n_before = _parquet_dir_stats(
+                    cat.path_for(dml.target)
+                )[0]
+            else:
+                n_before = target_df.count()
+            pending_stats = {"deleted": n_before}
             result = target_df.limit(0)
         elif isinstance(dml, (UpdateStmt, DeleteStmt)):
             if re.search(
@@ -4478,11 +4487,15 @@ class SparkSQLExecutor(Worker):
         try:
             aligned.write.mode("overwrite").parquet(tmp)
             staged = spark.read.parquet(tmp)
-            # inserted_row_count from the staged files' parquet footers
-            # (metadata-only, no data scan) — committed only after the
-            # append succeeds, so a failed INSERT leaves @@row_count at
-            # the last COMPLETED DML
-            n_staged = staged.count()
+            # inserted_row_count straight from the staged files' parquet
+            # footers on the driver (pyarrow) — a spark count() would be
+            # footer-metadata too but still launches a job (~0.1-0.2 s
+            # of pure scheduling in local mode, measured in bench).
+            # Committed only after the append succeeds, so a failed
+            # INSERT leaves @@row_count at the last COMPLETED DML
+            from ..catalog import _parquet_dir_stats
+
+            n_staged = _parquet_dir_stats(tmp)[0]
             cat.write(staged, ins.target, "WRITE_APPEND")
             self._set_dml_stats(inserted=n_staged)
         finally:
