@@ -1527,7 +1527,14 @@ class Catalog:
                         dataset,
                     ):
                         continue
-                    body = rec.get("body") or rec.get("query") or ""
+                    if len(parts) == 2 and parts[0] != dataset:
+                        continue  # dataset-qualified, other dataset
+                    body = (
+                        rec.get("raw")
+                        or rec.get("body")
+                        or rec.get("query")
+                        or ""
+                    )
                     yield (
                         project,
                         dataset,
@@ -1572,6 +1579,8 @@ class Catalog:
                     dataset,
                 ):
                     continue
+                if len(tparts) == 2 and tparts[0] != dataset:
+                    continue  # dataset-qualified, other dataset
                 opts = rec.get("options", {})
                 extra = (
                     (opts.get("analyzer", "LOG_ANALYZER").upper(),)

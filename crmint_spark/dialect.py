@@ -5808,9 +5808,6 @@ def splice_system_vars(sql: str, values: dict) -> str:
     return "".join(out)
 
 
-def splice_row_count(sql: str, n: int) -> str:
-    """Back-compat shim: splice only ``@@row_count``."""
-    return splice_system_vars(sql, {"row_count": int(n)})
 
 
 @dataclass

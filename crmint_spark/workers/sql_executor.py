@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 
 from pyspark.sql import DataFrame
 
@@ -1207,6 +1208,7 @@ class SparkSQLExecutor(Worker):
         sctx = ScriptContext()
         self._txn = None
         self._tz_original = None
+        self._tz_cache = None
         try:
             result = self._exec_statements(
                 split_script(self._params["script"]), sctx, resolver, registry
@@ -1226,11 +1228,15 @@ class SparkSQLExecutor(Worker):
             raise
         finally:
             # SET @@time_zone is script-scoped: never leak a zone into
-            # the shared SparkSession
+            # the shared SparkSession (restore + release the serializing
+            # lock acquired by the first SET)
             if getattr(self, "_tz_original", None) is not None:
                 self._ctx.spark.conf.set(
                     "spark.sql.session.timeZone", self._tz_original
                 )
+                self._tz_original = None
+                self._tz_cache = None
+                SparkSQLExecutor._TZ_LOCK.release()
         if self._txn is not None:
             self._txn_rollback()
             raise WorkerException(
@@ -3027,7 +3033,13 @@ class SparkSQLExecutor(Worker):
                 raise WorkerException(f"bad table-function parameter: {part!r}")
             names.append(pm.group(1))
         store = self._tvf_store()
-        store[name] = {"params": names, "body": body}
+        # "raw" keeps the user's BigQuery spelling for the ROUTINES
+        # metadata view; "body" is the transpiled executable form
+        store[name] = {
+            "params": names,
+            "body": body,
+            "raw": sub[m.end(): body_end - 1].strip(),
+        }
         path = self._tvf_store_path()
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as fh:
@@ -3389,7 +3401,16 @@ class SparkSQLExecutor(Worker):
 
         from ..dialect import splice_system_vars
 
-        sub = splice_system_vars(sub, self._system_vars())
+        if re.match(r"\s*SET\s+@@", sub, re.IGNORECASE):
+            # only the script loop's intercept may assign system
+            # variables; reaching here means EXECUTE IMMEDIATE (BigQuery
+            # forbids control statements in dynamic SQL) — raise instead
+            # of letting Spark's SET record a junk conf key silently
+            raise WorkerException(
+                "SET @@... is not allowed in dynamic SQL"
+            )
+        if "@@" in sub:
+            sub = splice_system_vars(sub, self._system_vars())
         # dml_statistics describes THIS statement only: NULL unless one
         # of the DML handlers below sets it
         self._dml_stats = None
@@ -3407,13 +3428,21 @@ class SparkSQLExecutor(Worker):
         sctx.row_count = vals.pop("row_count")
         sctx.system = vals
 
+    #: serializes SET @@time_zone scripts across the SHARED SparkSession
+    #: (PipelineRunner runs workers on a thread pool over one session):
+    #: the second zone-setting script blocks until the first finishes,
+    #: so interleaved save/restores can never corrupt the session zone.
+    #: Documented divergence: a concurrent worker that does NOT set the
+    #: zone may still analyze statements under another script's zone —
+    #: inherent to a shared SQLConf (BigQuery gives every job its own).
+    _TZ_LOCK = threading.Lock()
+
     def _set_system_var(self, name: str, expr: str, sctx, resolver) -> None:
         """``SET @@time_zone = <expr>`` — the one assignable system
         variable the engine supports (BigQuery scripting). Scoped to the
-        SCRIPT: _run_script restores the session time zone afterwards,
-        so one worker's script cannot leak a zone into the shared
-        SparkSession. Anything else raises loudly (never silently
-        ignored)."""
+        SCRIPT: _run_script restores the session time zone afterwards
+        (under _TZ_LOCK, held from first SET to script end). Anything
+        else raises loudly (never silently ignored)."""
         spark = self._ctx.spark
         if name != "time_zone":
             raise WorkerException(
@@ -3436,20 +3465,27 @@ class SparkSQLExecutor(Worker):
                     f"SET @@time_zone: unknown time zone {tz!r}"
                 ) from None
         if getattr(self, "_tz_original", None) is None:
+            SparkSQLExecutor._TZ_LOCK.acquire()
             self._tz_original = spark.conf.get("spark.sql.session.timeZone")
         spark.conf.set("spark.sql.session.timeZone", tz)
+        self._tz_cache = tz
         self.log_info(f"SET @@time_zone = {tz}")
 
     def _system_vars(self) -> dict:
         """Current values of the spliceable scripting system variables
         (BigQuery system variables: @@row_count, @@last_job_id,
-        @@time_zone)."""
+        @@time_zone). The zone is cached per script — a conf.get is a
+        py4j round-trip, and paying two per statement is the same class
+        of overhead as the per-statement count() job this round removed;
+        SET @@time_zone refreshes the cache."""
+        tz = getattr(self, "_tz_cache", None)
+        if tz is None:
+            tz = self._ctx.spark.conf.get("spark.sql.session.timeZone")
+            self._tz_cache = tz
         return {
             "row_count": getattr(self, "_row_count", 0),
             "last_job_id": getattr(self, "_last_job_id", None),
-            "time_zone": self._ctx.spark.conf.get(
-                "spark.sql.session.timeZone"
-            ),
+            "time_zone": tz,
         }
 
     def _record_job(self, sub: str, t0: float, error: str | None = None) -> None:

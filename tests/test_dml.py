@@ -1251,3 +1251,31 @@ def test_last_job_id_system_variable(spark, cat):
         j for j in _jobs(spark, cat) if j["statement_type"] == "UPDATE"
     ]
     assert prev == upd["job_id"]
+
+
+def test_set_system_var_rejected_in_dynamic_sql(spark, cat):
+    with pytest.raises(WorkerException, match="dynamic SQL"):
+        run(
+            spark, cat,
+            'EXECUTE IMMEDIATE "SET @@time_zone = \'Asia/Tokyo\'"',
+        )
+
+
+def test_routines_two_part_names_dataset_filtered(spark, cat):
+    seed(spark, cat)
+    run(
+        spark, cat,
+        "CREATE PROCEDURE d.proc_here(IN x INT64) BEGIN SELECT x; END;"
+        "CREATE PROCEDURE other.proc_there(IN x INT64) BEGIN SELECT x; END;"
+        "CREATE TABLE FUNCTION d.tf_here(n INT64) AS"
+        " (SELECT CAST(id AS INT64) AS id FROM `p.d.t` WHERE id > n);",
+    )
+    rows = run(
+        spark, cat,
+        "SELECT routine_name, routine_definition"
+        " FROM p.d.INFORMATION_SCHEMA.ROUTINES ORDER BY routine_name",
+    ).result.collect()
+    assert [r["routine_name"] for r in rows] == ["proc_here", "tf_here"]
+    # the table function reports the user's BigQuery spelling, not the
+    # transpiled Spark form
+    assert "CAST(id AS INT64)" in rows[1]["routine_definition"]
