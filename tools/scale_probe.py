@@ -108,6 +108,16 @@ PROBE = [
     "dml_pruned_merge",
     "dml_change_history",
     "dml_table_options",
+    # round 8 (this session): jobs plane (dml_statistics ride the DML
+    # writes via Observation — expect the DML entries' own scaling,
+    # zero extra passes; the JOBS view itself is an in-memory list),
+    # storage accounting (footer+inode walks: file-count-bound, flat
+    # at constant file counts), routine/index metadata (pure JSON),
+    # ARIMA coefficients (per-series persisted state — flat)
+    "dml_jobs_history",
+    "dml_table_storage",
+    "dml_routines_indexes",
+    "bqml_arima_coefficients",
     "dml_column_field_paths",
 ]
 
