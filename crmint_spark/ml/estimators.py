@@ -81,6 +81,38 @@ class _MLPPipeline:
         return MLPRegressor(self.feature_cols, self.label_col, **kwargs).fit(df)
 
 
+def strip_training_summary(model):
+    """Drop Spark ML training summaries right after fit (loss-free: the
+    engine reads its metrics at fit time, never from the summary).
+
+    Why: a training summary holds the SparkSession, and once ANY
+    ``Dataset.observe`` has materialized the session's
+    ObservationManager — the DML-statistics plane does — Java task
+    serialization of a summary-carrying model walks
+    model -> summary -> session -> ObservationManager and dies with
+    NotSerializableException (Spark 4.1: the manager is neither
+    @transient nor Serializable; reproduced minimally with one observed
+    write followed by BinaryClassificationEvaluator.evaluate). Stripping
+    the summary makes every engine-fit model immune regardless of DML
+    history. Models without a JVM setSummary (our pure-Python MLP,
+    ALS, PCA) pass through untouched."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return model
+    stages = getattr(model, "stages", None)
+    for st in stages if stages else [model]:
+        jo = getattr(st, "_java_obj", None)
+        if jo is None:
+            continue
+        try:
+            jo.setSummary(sc._jvm.scala.Option.empty())
+        except Exception:
+            pass  # no summary plane on this model type
+    return model
+
+
 def load_model(path: str):
     """Load a saved model: JSON-persisted MLP or a Spark ML PipelineModel."""
     from .mlp import MLPRegressorModel

@@ -35,6 +35,7 @@ from .estimators import (
     is_classifier,
     load_model,
     predict_with_probability,
+    strip_training_summary,
 )
 
 _CREATE_MODEL_RE = re.compile(
@@ -1068,9 +1069,11 @@ def try_create_model(
                 coldStartStrategy="drop",
             ),
         ]
-        model = _Pipeline(stages=stages).fit(
-            df.withColumn(user_col, F.col(user_col).cast("string"))
-            .withColumn(item_col, F.col(item_col).cast("string"))
+        model = strip_training_summary(
+            _Pipeline(stages=stages).fit(
+                df.withColumn(user_col, F.col(user_col).cast("string"))
+                .withColumn(item_col, F.col(item_col).cast("string"))
+            )
         )
         dest = registry.path(name)
         if os.path.isdir(dest):
@@ -1157,6 +1160,7 @@ def try_create_model(
         # passes (the DNN/tree types keep their own tuned defaults)
         hyper.setdefault("MAX_ITERATIONS", 20)
     trials_meta: list[dict] = []
+    best_loss_hist: list[float] = []
     if num_trials and hp_specs:
         # hyperparameter tuning: fit every trial on the training split,
         # score on the reserved split (fall back to the training frame
@@ -1187,6 +1191,19 @@ def try_create_model(
                 model_type, feature_cols, label, {**hyper, **trial_hp},
                 vector_sizes=dense_sizes,
             ).fit(train_df)
+            # capture the loss curve BEFORE stripping the summary —
+            # evaluate() serializes the model into tasks, and a
+            # summary-carrying model drags the SparkSession (and its
+            # non-serializable ObservationManager) along; see
+            # estimators.strip_training_summary
+            try:
+                trial_hist = [
+                    float(x)
+                    for x in fitted.stages[-1].summary.objectiveHistory
+                ]
+            except Exception:
+                trial_hist = []
+            strip_training_summary(fitted)
             val = float(evaluator.evaluate(fitted.transform(eval_df)))
             trials_meta.append(
                 {
@@ -1199,6 +1216,7 @@ def try_create_model(
             )
             if best_val is None or better(val, best_val):
                 best_val, model = val, fitted
+                best_loss_hist = trial_hist
         best_i = max(
             range(len(trials_meta)),
             key=lambda i: (
@@ -1223,12 +1241,14 @@ def try_create_model(
     # per-iteration objective history (Spark summaries exist only on
     # the freshly fitted estimator, never after reload) — persisted for
     # ML.TRAINING_INFO
-    loss_hist: list[float] = []
-    try:
-        summ = model.stages[-1].summary
-        loss_hist = [float(x) for x in summ.objectiveHistory]
-    except Exception:
-        pass
+    loss_hist: list[float] = list(best_loss_hist)
+    if not loss_hist:
+        try:
+            summ = model.stages[-1].summary
+            loss_hist = [float(x) for x in summ.objectiveHistory]
+        except Exception:
+            pass
+    strip_training_summary(model)
     model.write().overwrite().save(dest)
     registry.save_meta(
         name,

@@ -37,7 +37,11 @@ def build_ivf_index(
     train = vecs if sample_fraction >= 1.0 else vecs.sample(
         fraction=sample_fraction, seed=seed
     )
-    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
+    from ..ml.estimators import strip_training_summary
+
+    model = strip_training_summary(
+        KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
+    )
     assigned = (
         model.transform(vecs)
         .withColumnRenamed("prediction", "list_id")

@@ -50,7 +50,9 @@ class MLTrainer(Worker):
             self._params["label_col"],
             hp,
         )
-        model = pipeline.fit(df)
+        from ..ml.estimators import strip_training_summary
+
+        model = strip_training_summary(pipeline.fit(df))
         dest = model_dir(self._ctx.catalog.root, self._params["model_name"])
         if self._params["clean_up"] and os.path.isdir(dest):
             shutil.rmtree(dest)  # keep-latest (ref: vertexai_worker cleanup)

@@ -1974,3 +1974,34 @@ def test_ml_arima_coefficients(ctx):
     assert abs(row["intercept_or_drift"] - state["trend"]) < 1e-6
     # and the drift is positive on a strictly increasing series
     assert row["intercept_or_drift"] > 0
+
+
+def test_ml_fit_and_evaluate_after_observed_dml(ctx):
+    """Round-8 regression: the DML-statistics plane rides Dataset.observe,
+    which materializes the session's ObservationManager; in Spark 4.1
+    task serialization of a summary-carrying model then walks
+    model -> trainingSummary -> SparkSession -> ObservationManager and
+    dies NotSerializable. Engine fits strip summaries
+    (estimators.strip_training_summary), so DML followed by
+    train + ML.EVALUATE in ONE session must work."""
+    ctx.catalog.write(
+        ctx.spark.sql("SELECT 1 AS id, 10.0 AS v UNION ALL SELECT 2, -3.0"),
+        "p.d.obs_seed",
+    )
+    _run(ctx, "UPDATE `p.d.obs_seed` SET v = 0 WHERE v < 0")  # observes
+    _run(
+        ctx,
+        """
+        CREATE OR REPLACE MODEL `p.d.after_dml`
+        OPTIONS(MODEL_TYPE='LOGISTIC_REG', INPUT_LABEL_COLS=['label'],
+                NUM_TRIALS=2, max_iterations=4,
+                l2_reg=HPARAM_CANDIDATES([0.0, 0.1]))
+        AS (SELECT x1, x2, label FROM training_data)
+        """,
+    )
+    w = _run(
+        ctx,
+        "SELECT * FROM ML.EVALUATE(MODEL `p.d.after_dml`,"
+        " (SELECT x1, x2, label FROM training_data))",
+    )
+    assert w.result.first() is not None
