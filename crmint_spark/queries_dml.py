@@ -796,7 +796,7 @@ def dml_routines_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
         CREATE VECTOR INDEX docs_vec ON `p.d.docs`(emb)
           OPTIONS (index_type = 'IVF', distance_type = 'COSINE');
         ASSERT (SELECT COUNT(*) FROM p.d.docs_above(45)) = 5;
-        SELECT name, kind FROM (
+        SELECT m.name, m.kind, a.n_docs FROM (
           SELECT routine_name AS name, routine_type AS kind
           FROM `p.d.INFORMATION_SCHEMA.ROUTINES`
           UNION ALL
@@ -805,7 +805,9 @@ def dml_routines_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
           UNION ALL
           SELECT index_name, CONCAT('VECTOR/', index_type, '/', distance_type)
           FROM `p.d.INFORMATION_SCHEMA.VECTOR_INDEXES`
-        ) ORDER BY name
+        ) m
+        CROSS JOIN (SELECT COUNT(*) AS n_docs FROM `p.d.docs`) a
+        ORDER BY m.name
         """,
             "dry_run": False,
         },
@@ -816,12 +818,15 @@ def dml_routines_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DML_ROUTINES_SQL = """
-SELECT * FROM (
+WITH agg AS (
+  SELECT COUNT(*) AS n_docs FROM customer WHERE c_custkey <= 50
+)
+SELECT t.name, t.kind, agg.n_docs FROM (
   VALUES ('docs_above', 'TABLE FUNCTION'),
          ('docs_search', 'SEARCH/LOG_ANALYZER'),
          ('docs_vec', 'VECTOR/IVF/COSINE'),
          ('refresh_docs', 'PROCEDURE')
-) t(name, kind) ORDER BY name
+) t(name, kind) CROSS JOIN agg ORDER BY t.name
 """
 
 
