@@ -188,6 +188,8 @@ SECONDARY = [
     "dml_table_storage",
     "dml_routines_indexes",
     "bqml_arima_coefficients",
+    # round 8 (this session): constraint-driven join elimination
+    "dml_join_elimination",
 ]
 
 

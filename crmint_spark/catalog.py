@@ -242,6 +242,12 @@ class Catalog:
         # the executor's CREATE VIEW path, served by
         # INFORMATION_SCHEMA.VIEWS and as table_type='VIEW' in .TABLES
         self._view_defs: dict[tuple[str, str], dict[str, str]] = {}
+        # unenforced PRIMARY KEY / FOREIGN KEY declarations (BigQuery's
+        # NOT ENFORCED constraints): table_id -> {"pk": [cols],
+        # "fks": {name: {cols, ref_table, ref_cols}}}. Served by
+        # INFORMATION_SCHEMA.TABLE_CONSTRAINTS / KEY_COLUMN_USAGE and
+        # consumed by the executor's join-elimination rewrite.
+        self._constraints: dict[str, dict] = {}
         # jobs plane: one dict per executed statement (the executor's
         # _record_job), served by INFORMATION_SCHEMA.JOBS. In-memory —
         # the catalog object IS the project for its executors' lifetime
@@ -249,6 +255,102 @@ class Catalog:
         self._jobs_lock = threading.Lock()
         self._job_seq = 0
         os.makedirs(warehouse_root, exist_ok=True)
+
+    # -- unenforced key constraints (BigQuery PRIMARY KEY / FOREIGN KEY
+    # -- ... NOT ENFORCED; the engine trusts declarations exactly as
+    # -- BigQuery does — a false declaration changes join-elimination
+    # -- results there too)
+
+    def set_primary_key(self, table_id: str, cols: list[str]) -> None:
+        self._check_constraint_cols(table_id, cols, "PRIMARY KEY")
+        rec = self._constraints.setdefault(table_id, {"fks": {}})
+        if rec.get("pk"):
+            raise ValueError(
+                f"table {table_id} already has a primary key"
+            )
+        rec["pk"] = list(cols)
+
+    def drop_primary_key(self, table_id: str) -> None:
+        rec = self._constraints.get(table_id) or {}
+        if not rec.get("pk"):
+            raise ValueError(f"table {table_id} has no primary key")
+        rec.pop("pk", None)
+
+    def add_foreign_key(
+        self,
+        table_id: str,
+        name: str | None,
+        cols: list[str],
+        ref_table: str,
+        ref_cols: list[str],
+    ) -> str:
+        self._check_constraint_cols(table_id, cols, "FOREIGN KEY")
+        self._check_constraint_cols(ref_table, ref_cols, "REFERENCES")
+        if len(cols) != len(ref_cols):
+            raise ValueError(
+                "FOREIGN KEY column count does not match REFERENCES"
+            )
+        rec = self._constraints.setdefault(table_id, {"fks": {}})
+        name = name or f"fk${len(rec['fks']) + 1}"
+        if name in rec["fks"]:
+            raise ValueError(f"constraint {name!r} already exists")
+        rec["fks"][name] = {
+            "cols": list(cols),
+            "ref_table": ref_table,
+            "ref_cols": list(ref_cols),
+        }
+        return name
+
+    def drop_constraint(self, table_id: str, name: str) -> None:
+        rec = self._constraints.get(table_id) or {"fks": {}}
+        if name not in rec["fks"]:
+            raise ValueError(
+                f"table {table_id} has no constraint {name!r}"
+            )
+        del rec["fks"][name]
+
+    def primary_key(self, table_id: str) -> list[str] | None:
+        return (self._constraints.get(table_id) or {}).get("pk")
+
+    def foreign_keys(self, table_id: str) -> dict:
+        return (self._constraints.get(table_id) or {}).get("fks", {})
+
+    def clear_constraints(self, table_id: str) -> None:
+        """A drop/replace invalidates the declarations (and any FK
+        pointing AT the dropped table — a dangling reference would let
+        join elimination fire against a recreated, different table)."""
+        self._constraints.pop(table_id, None)
+        for rec in self._constraints.values():
+            rec["fks"] = {
+                n: fk
+                for n, fk in rec["fks"].items()
+                if fk["ref_table"] != table_id
+            }
+
+    def constrained_columns(self, table_id: str) -> set:
+        """Every column of ``table_id`` named by a live constraint —
+        ALTER DROP COLUMN refuses these (BigQuery errors there too)."""
+        rec = self._constraints.get(table_id) or {}
+        out = set(rec.get("pk") or [])
+        for fk in rec.get("fks", {}).values():
+            out |= set(fk["cols"])
+        for other in self._constraints.values():
+            for fk in other.get("fks", {}).values():
+                if fk["ref_table"] == table_id:
+                    out |= set(fk["ref_cols"])
+        return out
+
+    def _check_constraint_cols(
+        self, table_id: str, cols: list[str], kind: str
+    ) -> None:
+        if not cols:
+            raise ValueError(f"{kind}: empty column list")
+        have = {f.name for f in self.read(table_id).schema.fields}
+        missing = [c for c in cols if c not in have]
+        if missing:
+            raise ValueError(
+                f"{kind} on {table_id}: unknown column(s) {missing}"
+            )
 
     #: retention cap on the in-memory jobs plane (BigQuery's JOBS view
     #: is itself retention-bounded to 180 days): a long-lived Engine
@@ -1015,6 +1117,7 @@ class Catalog:
                 shutil.rmtree(p)
         self.clear_layout_meta(table_id)
         self.clear_table_options(table_id)
+        self.clear_constraints(table_id)
 
     def clone(self, src_id: str, dst_id: str) -> None:
         """Table clone/snapshot: a zero-copy HARDLINK of the immutable
@@ -1606,6 +1709,59 @@ class Catalog:
                 "index_status string, coverage_percentage bigint, "
                 + extra_schema,
             ).createOrReplaceTempView(view)
+            return view
+        if kind in ("TABLE_CONSTRAINTS", "KEY_COLUMN_USAGE"):
+            # BigQuery's unenforced-constraint metadata views. PK
+            # constraints are named <table>.pk$ (BigQuery spelling);
+            # KEY_COLUMN_USAGE reports position_in_unique_constraint
+            # only for FOREIGN KEY columns (NULL for PK, per the
+            # standard).
+            tc_rows, kcu_rows = [], []
+            for tid, rec in sorted(self._constraints.items()):
+                parts = tid.split(".")
+                if len(parts) == 3 and (parts[0], parts[1]) != (
+                    project,
+                    dataset,
+                ):
+                    continue
+                if len(parts) == 2 and parts[0] != dataset:
+                    continue
+                tname = parts[-1]
+                if rec.get("pk"):
+                    cname = f"{tname}.pk$"
+                    tc_rows.append(
+                        (project, dataset, cname, tname, "PRIMARY KEY",
+                         "NO", "NO", "NO")
+                    )
+                    kcu_rows.extend(
+                        (project, dataset, cname, tname, c, i + 1, None)
+                        for i, c in enumerate(rec["pk"])
+                    )
+                for cname, fk in sorted(rec.get("fks", {}).items()):
+                    tc_rows.append(
+                        (project, dataset, cname, tname, "FOREIGN KEY",
+                         "NO", "NO", "NO")
+                    )
+                    kcu_rows.extend(
+                        (project, dataset, cname, tname, c, i + 1, i + 1)
+                        for i, c in enumerate(fk["cols"])
+                    )
+            if kind == "TABLE_CONSTRAINTS":
+                self.spark.createDataFrame(
+                    tc_rows,
+                    "constraint_catalog string, constraint_schema string, "
+                    "constraint_name string, table_name string, "
+                    "constraint_type string, is_deferrable string, "
+                    "initially_deferred string, enforced string",
+                ).createOrReplaceTempView(view)
+            else:
+                self.spark.createDataFrame(
+                    kcu_rows,
+                    "constraint_catalog string, constraint_schema string, "
+                    "constraint_name string, table_name string, "
+                    "column_name string, ordinal_position bigint, "
+                    "position_in_unique_constraint bigint",
+                ).createOrReplaceTempView(view)
             return view
         if kind == "TABLE_STORAGE":
             # BigQuery INFORMATION_SCHEMA.TABLE_STORAGE: storage

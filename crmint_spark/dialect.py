@@ -3808,6 +3808,7 @@ def _rewrite_backtick_tables(sql: str, resolver=None) -> str:
             r"(?:TABLES|COLUMNS|SCHEMATA|VIEWS|PARTITIONS|TABLE_OPTIONS"
             r"|COLUMN_FIELD_PATHS|TABLE_STORAGE|ROUTINES"
             r"|SEARCH_INDEXES|VECTOR_INDEXES"
+            r"|TABLE_CONSTRAINTS|KEY_COLUMN_USAGE"
             r"|JOBS(?:_BY_PROJECT|_BY_USER)?))\b",
             lambda m: resolver(m.group(1)),
             seg,

@@ -830,6 +830,62 @@ SELECT t.name, t.kind, agg.n_docs FROM (
 """
 
 
+def dml_join_elimination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-driven join elimination (round 8): BigQuery's
+    optimizer use of NOT ENFORCED PRIMARY KEY / FOREIGN KEY
+    declarations. The script declares customer's PK and orders' FK,
+    then runs the canonical fact-to-dim inner join that projects no
+    dimension column — the engine drops the join entirely (one scan,
+    ``IS NOT NULL`` conjoined for NULL-key parity) and the DuckDB
+    oracle executes the REAL join, so a wrong elimination can never
+    hash-match. TPC-H referential integrity makes the trusted FK
+    genuinely true. Plan shape (single pushed-filter FileScan) is
+    asserted in test_dml."""
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_je_"))
+    cat.write(
+        spark.sql(
+            "SELECT c_custkey, c_name, c_mktsegment FROM customer"
+        ),
+        "p.d.cust_dim",
+    )
+    cat.write(
+        spark.sql(
+            "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+            "FROM orders"
+        ),
+        "p.d.orders_f",
+    )
+    w = SparkSQLExecutor(
+        {
+            "script": """
+        ALTER TABLE `p.d.cust_dim` ADD PRIMARY KEY (c_custkey) NOT ENFORCED;
+        ALTER TABLE `p.d.orders_f` ADD CONSTRAINT fk_cust
+          FOREIGN KEY (o_custkey) REFERENCES p.d.cust_dim (c_custkey)
+          NOT ENFORCED;
+        SELECT o.o_orderstatus AS status, COUNT(*) AS n,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM `p.d.orders_f` o JOIN `p.d.cust_dim` c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY status ORDER BY status
+        """,
+            "dry_run": False,
+        },
+        WorkerContext(spark=spark, catalog=cat),
+    )
+    w.execute()
+    assert any("join eliminated" in line for line in w.log), w.log
+    return w.result
+
+
+DML_JOIN_ELIM_SQL = """
+SELECT o.o_orderstatus AS status, COUNT(*) AS n,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY status ORDER BY status
+"""
+
+
 DML_QUERIES: dict[str, tuple] = {
     "dml_merge_upsert": (dml_merge_upsert, DML_MERGE_SQL),
     "dml_update_delete_insert": (dml_update_delete_insert, DML_UPDATE_SQL),
@@ -850,4 +906,5 @@ DML_QUERIES: dict[str, tuple] = {
     "dml_jobs_history": (dml_jobs_history, DML_JOBS_SQL),
     "dml_table_storage": (dml_table_storage, DML_TABLE_STORAGE_SQL),
     "dml_routines_indexes": (dml_routines_indexes, DML_ROUTINES_SQL),
+    "dml_join_elimination": (dml_join_elimination, DML_JOIN_ELIM_SQL),
 }

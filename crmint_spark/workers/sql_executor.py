@@ -1594,6 +1594,243 @@ class SparkSQLExecutor(Worker):
         self.log_info(f"CREATE TEMP TABLE {name}: materialized")
         return True
 
+    _JOIN_ELIM_TAIL_KW = re.compile(
+        r"(?:WHERE|GROUP|ORDER|HAVING|QUALIFY|WINDOW|LIMIT|UNION"
+        r"|INTERSECT|EXCEPT)\b",
+        re.IGNORECASE,
+    )
+
+    def _scan_to_top_keyword(self, text: str, start: int = 0) -> int:
+        """Index of the first top-level (paren- and string-aware)
+        clause keyword in ``text`` at/after ``start``; len(text) if
+        none."""
+        from ..dialect import _skip_string
+
+        depth = 0
+        i, n = start, len(text)
+        while i < n:
+            ch = text[i]
+            if ch in ("'", '"', "`"):
+                i = _skip_string(text, i)
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and (i == 0 or not text[i - 1].isalnum()):
+                if self._JOIN_ELIM_TAIL_KW.match(text, i):
+                    return i
+            i += 1
+        return n
+
+    def _route_join_elimination(self, sub: str) -> str:
+        """Constraint-driven join elimination (BigQuery's optimizer use
+        of NOT ENFORCED keys): drop a join to a table whose declared
+        PRIMARY KEY is the full join key when no other column of it is
+        referenced. A LEFT JOIN to a unique key never changes rows, so
+        the PK declaration alone eliminates it; an INNER join also needs
+        a declared FOREIGN KEY from the outer side (totality) and keeps
+        semantics for NULL keys by conjoining ``key IS NOT NULL``. The
+        engine trusts the declarations exactly as BigQuery does — a
+        false declaration changes results in both systems. Conservative
+        by construction: single-join SELECTs only, one base relation on
+        the outer side, no ``*`` projection, no qualified or resolvable
+        unqualified reference to the eliminated table outside the ON
+        clause; anything unprovable keeps the join."""
+        cat = self._ctx.catalog
+        if cat is None or not getattr(cat, "_constraints", None):
+            return sub
+        if not re.match(r"\s*SELECT\b", sub, re.IGNORECASE):
+            return sub
+        masked = _mask_literals_same_length(sub)
+        if len(re.findall(r"\bJOIN\b", masked, re.IGNORECASE)) != 1:
+            return sub
+        if re.search(
+            r"\b(?:CROSS|RIGHT|FULL|NATURAL)\s+JOIN\b|\bUSING\s*\(",
+            masked,
+            re.IGNORECASE,
+        ):
+            return sub
+        jm = re.search(
+            r"\b(LEFT\s+(?:OUTER\s+)?|INNER\s+)?JOIN\s+`?([\w.\-]+)`?"
+            r"(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+ON\b",
+            sub,
+            re.IGNORECASE,
+        )
+        if not jm:
+            return sub
+        left_join = bool(jm.group(1) and jm.group(1).strip().upper().startswith("LEFT"))
+        dim_rel = jm.group(2)
+        dim_alias = jm.group(3) or dim_rel.split(".")[-1]
+        head = sub[: jm.start()]
+        aliases = {
+            a: r
+            for a, r in _relation_aliases(head).items()
+            if r is not None
+        }
+        if len(aliases) != 1:
+            return sub  # multi-relation outer side: stay conservative
+        ((fact_alias, fact_rel),) = aliases.items()
+        fact_rel = fact_rel.strip("`")
+        if fact_alias == dim_alias.lower():
+            return sub
+        # ON clause extent, then the statement tail
+        on_end = self._scan_to_top_keyword(sub, jm.end())
+        on_text = sub[jm.end():on_end].strip()
+        tail = sub[on_end:]
+        if on_text.startswith("(") and on_text.endswith(")"):
+            inner = on_text[1:-1]
+            if self._scan_to_top_keyword(inner) == len(inner):
+                on_text = inner
+        pairs = []
+        for part in re.split(r"\bAND\b", on_text, flags=re.IGNORECASE):
+            pm = re.fullmatch(
+                r"\s*\(?\s*(\w+)\.`?(\w+)`?\s*=\s*(\w+)\.`?(\w+)`?\s*\)?\s*",
+                part,
+            )
+            if not pm:
+                return sub
+            q1, c1, q2, c2 = pm.groups()
+            if q1.lower() == fact_alias and q2.lower() == dim_alias.lower():
+                pairs.append((c1, c2))
+            elif q2.lower() == fact_alias and q1.lower() == dim_alias.lower():
+                pairs.append((c2, c1))
+            else:
+                return sub
+        pk = cat.primary_key(dim_rel)
+        if not pk or set(pk) != {d for _f, d in pairs}:
+            return sub
+        if not left_join:
+            # INNER needs totality: a declared FK covering exactly the
+            # ON pairing
+            fks = cat.foreign_keys(fact_rel)
+            if not any(
+                fk["ref_table"] == dim_rel
+                and set(zip(fk["cols"], fk["ref_cols"])) == set(pairs)
+                for fk in fks.values()
+            ):
+                return sub
+        # no other reference to the eliminated table may survive
+        remainder = head + " " + tail
+        rem_masked = _mask_literals_same_length(remainder)
+        sel_list = re.split(r"\bFROM\b", rem_masked, flags=re.IGNORECASE)[0]
+        if re.search(
+            r"SELECT\s+(?:DISTINCT\s+)?\*", sel_list, re.IGNORECASE
+        ):
+            return sub  # bare * would project dim columns (COUNT(*)
+            # and fact_alias.* stay eligible; dim_alias.* is caught by
+            # the qualified-reference check below)
+        if re.search(
+            rf"(?<![\w.`]){re.escape(dim_alias)}\s*\.",
+            rem_masked,
+            re.IGNORECASE,
+        ):
+            return sub
+        try:
+            dim_cols = {f.name for f in cat.read(dim_rel).schema.fields}
+            fact_cols = {f.name for f in cat.read(fact_rel).schema.fields}
+        except Exception:
+            return sub
+        dim_only = {c.lower() for c in dim_cols - fact_cols}
+        if dim_only:
+            for ident in re.finditer(r"(?<![\w.`])([A-Za-z_]\w*)\b", rem_masked):
+                if ident.group(1).lower() in dim_only:
+                    return sub  # would have resolved to the dim table
+        if not left_join:
+            conj = " AND ".join(
+                f"{fact_alias}.`{f}` IS NOT NULL" for f, _d in pairs
+            )
+            wm = re.match(r"\s*WHERE\b", tail, re.IGNORECASE)
+            if wm:
+                w_end = self._scan_to_top_keyword(tail, wm.end())
+                tail = (
+                    f"WHERE {conj} AND ({tail[wm.end():w_end].strip()}) "
+                    + tail[w_end:]
+                )
+            else:
+                tail = f"WHERE {conj} " + tail
+        self.log_info(
+            f"join eliminated: {dim_rel} via declared "
+            + ("PRIMARY KEY" if left_join else "PRIMARY KEY + FOREIGN KEY")
+        )
+        return head + " " + tail
+
+    def _try_constraint_ddl(
+        self, name: str, action: str, in_catalog: bool
+    ) -> bool:
+        """BigQuery's unenforced key constraints: ``ALTER TABLE t ADD
+        PRIMARY KEY (...) NOT ENFORCED``, ``ADD [CONSTRAINT c] FOREIGN
+        KEY (...) REFERENCES t2 (...) NOT ENFORCED``, ``DROP PRIMARY
+        KEY``, ``DROP CONSTRAINT c``. Declarations are metadata the
+        engine TRUSTS for join elimination — exactly BigQuery's
+        contract (a false declaration changes results there too, which
+        is why ENFORCED is rejected as unsupported in both systems).
+        Catalog tables only: constraints anchor to the table identity
+        the drop/replace lifecycle manages."""
+        cat = self._ctx.catalog
+
+        def _cols(raw: str) -> list[str]:
+            return [c.strip().strip("`") for c in raw.split(",") if c.strip()]
+
+        pk = re.match(
+            r"ADD\s+PRIMARY\s+KEY\s*\(([^)]*)\)\s*(NOT\s+ENFORCED)?\s*$",
+            action,
+            re.IGNORECASE,
+        )
+        fk = re.match(
+            r"ADD\s+(?:CONSTRAINT\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+)?"
+            r"FOREIGN\s+KEY\s*\(([^)]*)\)\s*REFERENCES\s+`?([\w.\-]+)`?"
+            r"\s*\(([^)]*)\)\s*(NOT\s+ENFORCED)?\s*$",
+            action,
+            re.IGNORECASE,
+        )
+        dp = re.match(r"DROP\s+PRIMARY\s+KEY\s*$", action, re.IGNORECASE)
+        dc = re.match(
+            r"DROP\s+CONSTRAINT\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*$",
+            action,
+            re.IGNORECASE,
+        )
+        if not (pk or fk or dp or dc):
+            return False
+        if cat is None or not in_catalog:
+            raise WorkerException(
+                f"constraints need a catalog table: {name}"
+            )
+        try:
+            if pk:
+                if not pk.group(2):
+                    raise WorkerException(
+                        "BigQuery key constraints must be NOT ENFORCED"
+                    )
+                cat.set_primary_key(name, _cols(pk.group(1)))
+                self.log_info(f"ALTER TABLE {name} ADD PRIMARY KEY")
+            elif fk:
+                if not fk.group(5):
+                    raise WorkerException(
+                        "BigQuery key constraints must be NOT ENFORCED"
+                    )
+                cname = cat.add_foreign_key(
+                    name,
+                    fk.group(1),
+                    _cols(fk.group(2)),
+                    fk.group(3),
+                    _cols(fk.group(4)),
+                )
+                self.log_info(
+                    f"ALTER TABLE {name} ADD FOREIGN KEY {cname}"
+                )
+            elif dp:
+                cat.drop_primary_key(name)
+                self.log_info(f"ALTER TABLE {name} DROP PRIMARY KEY")
+            else:
+                cat.drop_constraint(name, dc.group(1))
+                self.log_info(
+                    f"ALTER TABLE {name} DROP CONSTRAINT {dc.group(1)}"
+                )
+        except ValueError as e:
+            raise WorkerException(str(e)) from None
+        return True
+
     def _try_drop_alter(self, sub: str) -> bool:
         """BigQuery DDL beyond CREATE: ``DROP TABLE/VIEW/PROCEDURE/
         TABLE FUNCTION/MODEL [IF EXISTS]`` and ``ALTER TABLE ...
@@ -1792,6 +2029,8 @@ class SparkSQLExecutor(Worker):
         if self._params["dry_run"]:
             self.log_info("ALTER TABLE validated (dry run)")
             return True
+        if self._try_constraint_ddl(name, action, in_catalog):
+            return True
         rn = re.match(r"RENAME\s+TO\s+`?([\w.\-]+)`?\s*$", action, re.IGNORECASE)
         if rn and in_catalog:
             dest = rn.group(1)
@@ -1862,6 +2101,14 @@ class SparkSQLExecutor(Worker):
                 if re.search(r"IF\s+EXISTS", action, re.IGNORECASE):
                     return True
                 raise WorkerException(f"DROP COLUMN: no column `{col}`")
+            if col in cat.constrained_columns(name):
+                # BigQuery refuses dropping a key-constraint column;
+                # silently keeping the constraint would let join
+                # elimination fire on a vanished column
+                raise WorkerException(
+                    f"DROP COLUMN {col}: named by a PRIMARY KEY/FOREIGN"
+                    " KEY constraint — drop the constraint first"
+                )
             self._rewrite_catalog_table(name, df.drop(col))
             self.log_info(f"ALTER TABLE {name} DROP COLUMN {col}")
             return True
@@ -3634,9 +3881,13 @@ class SparkSQLExecutor(Worker):
                 # any DDL that rebinds the name invalidates the smart
                 # rewrite (review finding r8: a CREATE OR REPLACE TABLE
                 # over the MV's name would otherwise keep serving the
-                # old record against an arbitrary new relation)
+                # old record against an arbitrary new relation) — and
+                # the name's key constraints (same lifecycle argument)
                 self._mv_store().pop(dm.group(1), None)
+                if self._ctx.catalog is not None:
+                    self._ctx.catalog.clear_constraints(dm.group(1))
             sub = self._route_mv_rewrite(sub)
+            sub = self._route_join_elimination(sub)
         stmt = transpile_statement(
             sub,
             resolver,

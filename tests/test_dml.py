@@ -1279,3 +1279,147 @@ def test_routines_two_part_names_dataset_filtered(spark, cat):
     # the table function reports the user's BigQuery spelling, not the
     # transpiled Spark form
     assert "CAST(id AS INT64)" in rows[1]["routine_definition"]
+
+
+# -- unenforced key constraints + join elimination --------------------------
+
+
+def _seed_star(spark, cat):
+    cat.write(
+        spark.sql("SELECT id AS ck, CONCAT('c', id) AS cname FROM RANGE(50)"),
+        "p.d.dim",
+    )
+    cat.write(
+        spark.sql(
+            "SELECT id AS ok, CAST(CASE WHEN id % 7 = 0 THEN NULL"
+            " ELSE id % 50 END AS BIGINT) AS ck,"
+            " CAST(id AS DOUBLE) AS amt FROM RANGE(500)"
+        ),
+        "p.d.fact",
+    )
+    run(
+        spark, cat,
+        "ALTER TABLE `p.d.dim` ADD PRIMARY KEY (ck) NOT ENFORCED;"
+        "ALTER TABLE `p.d.fact` ADD CONSTRAINT fk1 FOREIGN KEY (ck)"
+        " REFERENCES p.d.dim (ck) NOT ENFORCED;",
+    )
+
+
+def test_constraint_views_and_lifecycle(spark, cat):
+    _seed_star(spark, cat)
+    rows = run(
+        spark, cat,
+        "SELECT constraint_name, table_name, constraint_type, enforced"
+        " FROM p.d.INFORMATION_SCHEMA.TABLE_CONSTRAINTS"
+        " ORDER BY constraint_name",
+    ).result.collect()
+    assert [tuple(r) for r in rows] == [
+        ("dim.pk$", "dim", "PRIMARY KEY", "NO"),
+        ("fk1", "fact", "FOREIGN KEY", "NO"),
+    ]
+    kcu = run(
+        spark, cat,
+        "SELECT constraint_name, column_name, ordinal_position,"
+        " position_in_unique_constraint"
+        " FROM p.d.INFORMATION_SCHEMA.KEY_COLUMN_USAGE"
+        " ORDER BY constraint_name",
+    ).result.collect()
+    assert [tuple(r) for r in kcu] == [
+        ("dim.pk$", "ck", 1, None),
+        ("fk1", "ck", 1, 1),
+    ]
+    # ENFORCED is rejected loudly; unknown columns too
+    with pytest.raises(WorkerException, match="NOT ENFORCED"):
+        run(spark, cat, "ALTER TABLE `p.d.fact` ADD PRIMARY KEY (ok)")
+    with pytest.raises(WorkerException, match="unknown column"):
+        run(
+            spark, cat,
+            "ALTER TABLE `p.d.fact` ADD PRIMARY KEY (nope) NOT ENFORCED",
+        )
+    # key columns refuse DROP COLUMN until the constraint goes
+    with pytest.raises(WorkerException, match="constraint"):
+        run(spark, cat, "ALTER TABLE `p.d.fact` DROP COLUMN ck")
+    run(
+        spark, cat,
+        "ALTER TABLE `p.d.fact` DROP CONSTRAINT fk1;"
+        "ALTER TABLE `p.d.dim` DROP PRIMARY KEY;",
+    )
+    n = run(
+        spark, cat,
+        "SELECT COUNT(*) AS n"
+        " FROM p.d.INFORMATION_SCHEMA.TABLE_CONSTRAINTS",
+    ).result.collect()[0]["n"]
+    assert n == 0
+
+
+def test_join_elimination_inner_matches_real_join(spark, cat):
+    """The eliminated inner join must agree with the real join row for
+    row — including NULL foreign keys, which the rewrite preserves via
+    the conjoined IS NOT NULL."""
+    q = (
+        "SELECT f.ck AS k, COUNT(*) AS n, ROUND(SUM(f.amt), 2) AS total"
+        " FROM `p.d.fact` f JOIN `p.d.dim` d ON f.ck = d.ck"
+        " GROUP BY k ORDER BY k"
+    )
+    cat2 = Catalog(spark, tempfile.mkdtemp(prefix="je_t2_"))
+    _seed_star(spark, cat2)
+    truth_cat = Catalog(spark, tempfile.mkdtemp(prefix="je_t1_"))
+    cat2_dim = cat2.read("p.d.dim")
+    cat2_fact = cat2.read("p.d.fact")
+    truth_cat.write(cat2_dim, "p.d.dim")
+    truth_cat.write(cat2_fact, "p.d.fact")
+    truth = run(spark, truth_cat, q)  # no constraints: real join
+    assert not any("eliminat" in line for line in truth.log)
+    w = run(spark, cat2, q)
+    assert any("join eliminated" in line for line in w.log)
+    assert [tuple(r) for r in w.result.collect()] == [
+        tuple(r) for r in truth.result.collect()
+    ]
+    # plan: no join operator survives (AQE prints initial+final plans,
+    # so scan-counting over the string is unreliable), and the
+    # null-guard reaches the scan as a pushed filter
+    plan = w.result._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "PushedFilters: [IsNotNull(ck)]" in plan
+
+
+def test_join_elimination_left_join_needs_only_pk(spark, cat):
+    _seed_star(spark, cat)
+    run(spark, cat, "ALTER TABLE `p.d.fact` DROP CONSTRAINT fk1")
+    w = run(
+        spark, cat,
+        "SELECT f.ok FROM `p.d.fact` f LEFT JOIN `p.d.dim` d"
+        " ON f.ck = d.ck ORDER BY f.ok LIMIT 5",
+    )
+    assert any("join eliminated" in line for line in w.log)
+    assert w.result.count() == 5
+    # but INNER without the FK keeps the join (no totality proof)
+    w2 = run(
+        spark, cat,
+        "SELECT f.ok FROM `p.d.fact` f JOIN `p.d.dim` d"
+        " ON f.ck = d.ck ORDER BY f.ok LIMIT 5",
+    )
+    assert not any("eliminat" in line for line in w2.log)
+
+
+def test_join_elimination_conservative_aborts(spark, cat):
+    _seed_star(spark, cat)
+    keeps = [
+        # dim column referenced (qualified / unqualified / star)
+        "SELECT f.ok, d.cname FROM `p.d.fact` f JOIN `p.d.dim` d"
+        " ON f.ck = d.ck LIMIT 3",
+        "SELECT f.ok, cname FROM `p.d.fact` f JOIN `p.d.dim` d"
+        " ON f.ck = d.ck LIMIT 3",
+        "SELECT * FROM `p.d.fact` f JOIN `p.d.dim` d ON f.ck = d.ck"
+        " LIMIT 3",
+        # non-key join condition
+        "SELECT f.ok FROM `p.d.fact` f JOIN `p.d.dim` d"
+        " ON f.ok = d.ck LIMIT 3",
+    ]
+    for q in keeps:
+        w = run(spark, cat, q)
+        assert not any("eliminat" in line for line in w.log), q
+    # dropping the dim invalidates its constraints AND the fact's FK at it
+    run(spark, cat, "DROP TABLE `p.d.dim`")
+    assert cat.primary_key("p.d.dim") is None
+    assert cat.foreign_keys("p.d.fact") == {}

@@ -118,6 +118,9 @@ PROBE = [
     "dml_table_storage",
     "dml_routines_indexes",
     "bqml_arima_coefficients",
+    # join elimination: the dropped join leaves ONE pushed-filter scan,
+    # so the probe should scale as the bare fact aggregation
+    "dml_join_elimination",
     "dml_column_field_paths",
 ]
 
