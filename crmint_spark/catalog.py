@@ -327,6 +327,39 @@ class Catalog:
                 if fk["ref_table"] != table_id
             }
 
+    def rename_constraints(self, old_id: str, new_id: str) -> None:
+        """ALTER TABLE RENAME TO: constraints travel with the table
+        (BigQuery contract), and every FK referencing the old name is
+        re-pointed — a stale entry under the old name would attach to
+        whatever table is created there next (review finding r8)."""
+        rec = self._constraints.pop(old_id, None)
+        if rec is not None:
+            self._constraints[new_id] = rec
+        for other in self._constraints.values():
+            for fk in other.get("fks", {}).values():
+                if fk["ref_table"] == old_id:
+                    fk["ref_table"] = new_id
+
+    def rename_constraint_column(
+        self, table_id: str, old: str, new: str
+    ) -> None:
+        """ALTER TABLE RENAME COLUMN: key declarations follow the
+        column (otherwise the DROP COLUMN guard is bypassable and a
+        later ADD COLUMN under the old name silently re-anchors the
+        key — review finding r8)."""
+        rec = self._constraints.get(table_id)
+        if rec:
+            if rec.get("pk"):
+                rec["pk"] = [new if c == old else c for c in rec["pk"]]
+            for fk in rec.get("fks", {}).values():
+                fk["cols"] = [new if c == old else c for c in fk["cols"]]
+        for other in self._constraints.values():
+            for fk in other.get("fks", {}).values():
+                if fk["ref_table"] == table_id:
+                    fk["ref_cols"] = [
+                        new if c == old else c for c in fk["ref_cols"]
+                    ]
+
     def constrained_columns(self, table_id: str) -> set:
         """Every column of ``table_id`` named by a live constraint —
         ALTER DROP COLUMN refuses these (BigQuery errors there too)."""
@@ -1719,6 +1752,11 @@ class Catalog:
             tc_rows, kcu_rows = [], []
             for tid, rec in sorted(self._constraints.items()):
                 parts = tid.split(".")
+                if len(parts) == 1:
+                    # a bare table id belongs to no dataset; emitting it
+                    # into every queried dataset would be metadata
+                    # leakage (review finding r8)
+                    continue
                 if len(parts) == 3 and (parts[0], parts[1]) != (
                     project,
                     dataset,

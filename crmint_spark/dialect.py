@@ -108,6 +108,28 @@ def _skip_comment(sql: str, i: int) -> int:
     return i
 
 
+def blank_comments_same_length(sql: str) -> str:
+    """Replace ``--`` / ``/* */`` comment spans with spaces, preserving
+    every index — scans that return offsets into the original text can
+    run over the blanked copy without keyword false-matches inside
+    comments."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        j = _skip_comment(sql, i)
+        if j > i:
+            for k in range(i, j):
+                if out[k] != "\n":
+                    out[k] = " "
+            i = j
+            continue
+        if sql[i] in ("'", '"', "`"):
+            i = _skip_string(sql, i)
+            continue
+        i += 1
+    return "".join(out)
+
+
 def _balanced_end(sql: str, open_idx: int) -> int:
     """Index just past the ``)`` matching the ``(`` at ``open_idx``
     (string-literal aware); -1 if unbalanced."""

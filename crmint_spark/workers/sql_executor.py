@@ -1595,33 +1595,24 @@ class SparkSQLExecutor(Worker):
         return True
 
     _JOIN_ELIM_TAIL_KW = re.compile(
-        r"(?:WHERE|GROUP|ORDER|HAVING|QUALIFY|WINDOW|LIMIT|UNION"
+        r"\b(?:WHERE|GROUP|ORDER|HAVING|QUALIFY|WINDOW|LIMIT|UNION"
         r"|INTERSECT|EXCEPT)\b",
         re.IGNORECASE,
     )
 
     def _scan_to_top_keyword(self, text: str, start: int = 0) -> int:
-        """Index of the first top-level (paren- and string-aware)
-        clause keyword in ``text`` at/after ``start``; len(text) if
-        none."""
-        from ..dialect import _skip_string
+        """Index of the first top-level clause keyword in ``text``
+        at/after ``start``; len(text) if none. Reuses the dialect's
+        paren/string-aware scanner over a comment-blanked copy (same
+        length, so offsets map back), and the \\b anchor rejects
+        keyword substrings of identifiers like ``sort_order`` — review
+        findings r8."""
+        from ..dialect import _find_top_level, blank_comments_same_length
 
-        depth = 0
-        i, n = start, len(text)
-        while i < n:
-            ch = text[i]
-            if ch in ("'", '"', "`"):
-                i = _skip_string(text, i)
-                continue
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif depth == 0 and (i == 0 or not text[i - 1].isalnum()):
-                if self._JOIN_ELIM_TAIL_KW.match(text, i):
-                    return i
-            i += 1
-        return n
+        m = _find_top_level(
+            blank_comments_same_length(text), self._JOIN_ELIM_TAIL_KW, start
+        )
+        return m.start() if m else len(text)
 
     def _route_join_elimination(self, sub: str) -> str:
         """Constraint-driven join elimination (BigQuery's optimizer use
@@ -1700,6 +1691,14 @@ class SparkSQLExecutor(Worker):
         pk = cat.primary_key(dim_rel)
         if not pk or set(pk) != {d for _f, d in pairs}:
             return sub
+        # both relations must be LIVE catalog tables with QUALIFIED ids
+        # — a session temp view (always single-part) shadowing a short
+        # catalog name would let the query read one relation while the
+        # declaration describes another
+        if "." not in dim_rel or "." not in fact_rel:
+            return sub
+        if not (cat.exists(dim_rel) and cat.exists(fact_rel)):
+            return sub
         if not left_join:
             # INNER needs totality: a declared FK covering exactly the
             # ON pairing
@@ -1710,9 +1709,12 @@ class SparkSQLExecutor(Worker):
                 for fk in fks.values()
             ):
                 return sub
-        # no other reference to the eliminated table may survive
+        # no other reference to the eliminated table may survive.
+        # Backticks blank to spaces so `d`.cname / bare `cname` are
+        # visible to the scans (review finding r8); string literals
+        # mask first so quotes can't hide references either.
         remainder = head + " " + tail
-        rem_masked = _mask_literals_same_length(remainder)
+        rem_masked = _mask_literals_same_length(remainder).replace("`", " ")
         sel_list = re.split(r"\bFROM\b", rem_masked, flags=re.IGNORECASE)[0]
         if re.search(
             r"SELECT\s+(?:DISTINCT\s+)?\*", sel_list, re.IGNORECASE
@@ -1721,21 +1723,24 @@ class SparkSQLExecutor(Worker):
             # and fact_alias.* stay eligible; dim_alias.* is caught by
             # the qualified-reference check below)
         if re.search(
-            rf"(?<![\w.`]){re.escape(dim_alias)}\s*\.",
+            rf"(?<![\w.]){re.escape(dim_alias)}\s*\.",
             rem_masked,
             re.IGNORECASE,
         ):
             return sub
         try:
             dim_cols = {f.name for f in cat.read(dim_rel).schema.fields}
-            fact_cols = {f.name for f in cat.read(fact_rel).schema.fields}
         except Exception:
             return sub
-        dim_only = {c.lower() for c in dim_cols - fact_cols}
-        if dim_only:
-            for ident in re.finditer(r"(?<![\w.`])([A-Za-z_]\w*)\b", rem_masked):
-                if ident.group(1).lower() in dim_only:
-                    return sub  # would have resolved to the dim table
+        # ANY unqualified identifier naming a dim column aborts — even
+        # one the fact table shares: BigQuery rejects it as ambiguous,
+        # and keeping the join lets Spark raise the same error instead
+        # of the rewrite silently resolving it to the fact side
+        # (review finding r8)
+        dim_lower = {c.lower() for c in dim_cols}
+        for ident in re.finditer(r"(?<![\w.])([A-Za-z_]\w*)\b", rem_masked):
+            if ident.group(1).lower() in dim_lower:
+                return sub
         if not left_join:
             conj = " AND ".join(
                 f"{fact_alias}.`{f}` IS NOT NULL" for f, _d in pairs
@@ -1756,7 +1761,11 @@ class SparkSQLExecutor(Worker):
         return head + " " + tail
 
     def _try_constraint_ddl(
-        self, name: str, action: str, in_catalog: bool
+        self,
+        name: str,
+        action: str,
+        in_catalog: bool,
+        if_exists: bool = False,
     ) -> bool:
         """BigQuery's unenforced key constraints: ``ALTER TABLE t ADD
         PRIMARY KEY (...) NOT ENFORCED``, ``ADD [CONSTRAINT c] FOREIGN
@@ -1778,7 +1787,7 @@ class SparkSQLExecutor(Worker):
             re.IGNORECASE,
         )
         fk = re.match(
-            r"ADD\s+(?:CONSTRAINT\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+)?"
+            r"ADD\s+(?:CONSTRAINT\s+(IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+)?"
             r"FOREIGN\s+KEY\s*\(([^)]*)\)\s*REFERENCES\s+`?([\w.\-]+)`?"
             r"\s*\(([^)]*)\)\s*(NOT\s+ENFORCED)?\s*$",
             action,
@@ -1786,13 +1795,18 @@ class SparkSQLExecutor(Worker):
         )
         dp = re.match(r"DROP\s+PRIMARY\s+KEY\s*$", action, re.IGNORECASE)
         dc = re.match(
-            r"DROP\s+CONSTRAINT\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*$",
+            r"DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s*$",
             action,
             re.IGNORECASE,
         )
         if not (pk or fk or dp or dc):
             return False
         if cat is None or not in_catalog:
+            if if_exists:
+                # ALTER TABLE IF EXISTS <missing>: the whole statement
+                # no-ops (BigQuery contract)
+                self.log_info(f"ALTER TABLE IF EXISTS {name}: absent")
+                return True
             raise WorkerException(
                 f"constraints need a catalog table: {name}"
             )
@@ -1805,16 +1819,25 @@ class SparkSQLExecutor(Worker):
                 cat.set_primary_key(name, _cols(pk.group(1)))
                 self.log_info(f"ALTER TABLE {name} ADD PRIMARY KEY")
             elif fk:
-                if not fk.group(5):
+                if not fk.group(6):
                     raise WorkerException(
                         "BigQuery key constraints must be NOT ENFORCED"
                     )
+                if (
+                    fk.group(1)
+                    and fk.group(2)
+                    and fk.group(2) in cat.foreign_keys(name)
+                ):
+                    self.log_info(
+                        f"constraint {fk.group(2)} exists — skipped"
+                    )
+                    return True
                 cname = cat.add_foreign_key(
                     name,
-                    fk.group(1),
-                    _cols(fk.group(2)),
-                    fk.group(3),
-                    _cols(fk.group(4)),
+                    fk.group(2),
+                    _cols(fk.group(3)),
+                    fk.group(4),
+                    _cols(fk.group(5)),
                 )
                 self.log_info(
                     f"ALTER TABLE {name} ADD FOREIGN KEY {cname}"
@@ -1823,9 +1846,14 @@ class SparkSQLExecutor(Worker):
                 cat.drop_primary_key(name)
                 self.log_info(f"ALTER TABLE {name} DROP PRIMARY KEY")
             else:
-                cat.drop_constraint(name, dc.group(1))
+                if dc.group(1) and dc.group(2) not in cat.foreign_keys(name):
+                    self.log_info(
+                        f"constraint {dc.group(2)} absent — skipped"
+                    )
+                    return True
+                cat.drop_constraint(name, dc.group(2))
                 self.log_info(
-                    f"ALTER TABLE {name} DROP CONSTRAINT {dc.group(1)}"
+                    f"ALTER TABLE {name} DROP CONSTRAINT {dc.group(2)}"
                 )
         except ValueError as e:
             raise WorkerException(str(e)) from None
@@ -1908,9 +1936,17 @@ class SparkSQLExecutor(Worker):
             if cat is None:
                 raise WorkerException("LIKE requires a catalog-backed session")
             if not self._params["dry_run"]:
-                if lk.group(1) and cat.exists(lk.group(2)):
-                    self.log_info(f"{lk.group(2)} exists — skipped")
-                    return True
+                if cat.exists(lk.group(2)):
+                    if lk.group(1):
+                        self.log_info(f"{lk.group(2)} exists — skipped")
+                        return True
+                    # a bare CREATE must never silently overwrite (the
+                    # CLONE path already refuses; review finding r8: the
+                    # rebind also kept the old table's key constraints
+                    # alive against the new empty table)
+                    raise WorkerException(
+                        f"table already exists: {lk.group(2)}"
+                    )
                 cat.write(cat.read(lk.group(3)).limit(0), lk.group(2))
             self.log_info(f"CREATE TABLE {lk.group(2)} LIKE {lk.group(3)}")
             return True
@@ -2029,7 +2065,9 @@ class SparkSQLExecutor(Worker):
         if self._params["dry_run"]:
             self.log_info("ALTER TABLE validated (dry run)")
             return True
-        if self._try_constraint_ddl(name, action, in_catalog):
+        if self._try_constraint_ddl(
+            name, action, in_catalog, if_exists=bool(m.group(1))
+        ):
             return True
         rn = re.match(r"RENAME\s+TO\s+`?([\w.\-]+)`?\s*$", action, re.IGNORECASE)
         if rn and in_catalog:
@@ -2047,6 +2085,7 @@ class SparkSQLExecutor(Worker):
             if opts:  # table options travel with the table too
                 cat.set_table_options(dest, opts)
             cat.clear_table_options(name)
+            cat.rename_constraints(name, dest)
             cat.register(dest)
             self.log_info(f"ALTER TABLE {name} RENAME TO {dest}")
             return True
@@ -2058,6 +2097,7 @@ class SparkSQLExecutor(Worker):
         if rc and in_catalog:
             df = cat.read(name).withColumnRenamed(rc.group(1), rc.group(2))
             self._rewrite_catalog_table(name, df)
+            cat.rename_constraint_column(name, rc.group(1), rc.group(2))
             self.log_info(f"ALTER TABLE {name} RENAME COLUMN")
             return True
         ac = re.match(r"ADD\s+COLUMN\s+(.*)$", action, re.IGNORECASE | re.DOTALL)
@@ -3871,18 +3911,20 @@ class SparkSQLExecutor(Worker):
             dm = re.match(
                 r"^\s*(?:DROP\s+(?:MATERIALIZED\s+VIEW|TABLE|VIEW)"
                 r"(?:\s+IF\s+EXISTS)?"
-                r"|CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?"
-                r"(?:TABLE|VIEW)(?:\s+IF\s+NOT\s+EXISTS)?)\s+"
+                r"|CREATE\s+OR\s+REPLACE\s+(?:TEMP(?:ORARY)?\s+)?"
+                r"(?:TABLE|VIEW))\s+"
                 r"`?([\w.\-]+)`?",
                 sub,
                 re.IGNORECASE,
             )
             if dm:
-                # any DDL that rebinds the name invalidates the smart
-                # rewrite (review finding r8: a CREATE OR REPLACE TABLE
-                # over the MV's name would otherwise keep serving the
-                # old record against an arbitrary new relation) — and
-                # the name's key constraints (same lifecycle argument)
+                # DDL that REBINDS the name invalidates the smart
+                # rewrite record and the name's key constraints. Only
+                # DROP and CREATE OR REPLACE qualify: a bare CREATE on
+                # an existing name errors without rebinding, and CREATE
+                # IF NOT EXISTS no-ops — invalidating on those wiped
+                # live metadata for statements that changed nothing
+                # (review finding r8)
                 self._mv_store().pop(dm.group(1), None)
                 if self._ctx.catalog is not None:
                     self._ctx.catalog.clear_constraints(dm.group(1))

@@ -1423,3 +1423,66 @@ def test_join_elimination_conservative_aborts(spark, cat):
     run(spark, cat, "DROP TABLE `p.d.dim`")
     assert cat.primary_key("p.d.dim") is None
     assert cat.foreign_keys("p.d.fact") == {}
+
+
+def test_join_elimination_review_findings(spark, cat):
+    """Round-8 review wave: identifiers containing clause keywords,
+    backticked dim references, ambiguous shared columns, comments."""
+    _seed_star(spark, cat)
+    # sort_order-style identifier must not truncate the WHERE splice
+    run(spark, cat, "ALTER TABLE `p.d.fact` ADD COLUMN sort_order INT64")
+    w = run(
+        spark, cat,
+        "SELECT f.ok FROM `p.d.fact` f JOIN `p.d.dim` d ON f.ck = d.ck"
+        " WHERE f.sort_order IS NULL AND f.ok < 9 ORDER BY f.ok",
+    )
+    assert any("eliminat" in line for line in w.log)
+    assert w.result.count() == 7  # ok 0..8 minus NULL-ck ok=0 and ok=7
+    # backticked dim reference keeps the join
+    w2 = run(
+        spark, cat,
+        "SELECT f.ok, `d`.cname FROM `p.d.fact` f JOIN `p.d.dim` d"
+        " ON f.ck = d.ck LIMIT 3",
+    )
+    assert not any("eliminat" in line for line in w2.log)
+    # a shared unqualified column is ambiguous in BigQuery: keep the
+    # join and let the engine raise, never silently resolve
+    with pytest.raises(Exception):
+        run(
+            spark, cat,
+            "SELECT ck FROM `p.d.fact` f JOIN `p.d.dim` d ON f.ck = d.ck"
+            " GROUP BY ck LIMIT 3",
+        )
+
+
+def test_constraint_lifecycle_review_findings(spark, cat):
+    _seed_star(spark, cat)
+    # CREATE TABLE IF NOT EXISTS no-op must NOT wipe constraints
+    run(spark, cat, "CREATE TABLE IF NOT EXISTS `p.d.dim` (x INT64)")
+    assert cat.primary_key("p.d.dim") == ["ck"]
+    # RENAME TO carries constraints and re-points inbound FKs
+    run(spark, cat, "ALTER TABLE `p.d.dim` RENAME TO `p.d.dim2`")
+    assert cat.primary_key("p.d.dim2") == ["ck"]
+    assert (
+        cat.foreign_keys("p.d.fact")["fk1"]["ref_table"] == "p.d.dim2"
+    )
+    # RENAME COLUMN follows in both the PK and the inbound FK ref_cols
+    run(spark, cat, "ALTER TABLE `p.d.dim2` RENAME COLUMN ck TO ck2")
+    assert cat.primary_key("p.d.dim2") == ["ck2"]
+    assert cat.foreign_keys("p.d.fact")["fk1"]["ref_cols"] == ["ck2"]
+    with pytest.raises(WorkerException, match="constraint"):
+        run(spark, cat, "ALTER TABLE `p.d.dim2` DROP COLUMN ck2")
+    # IF EXISTS guards no-op instead of raising
+    run(spark, cat, "ALTER TABLE `p.d.fact` DROP CONSTRAINT IF EXISTS nope")
+    run(
+        spark, cat,
+        "ALTER TABLE IF EXISTS `p.d.absent` ADD PRIMARY KEY (x) NOT ENFORCED",
+    )
+    run(
+        spark, cat,
+        "ALTER TABLE `p.d.fact` ADD CONSTRAINT IF NOT EXISTS fk1"
+        " FOREIGN KEY (ck) REFERENCES p.d.dim2 (ck2) NOT ENFORCED",
+    )
+    # bare CREATE TABLE LIKE must refuse to overwrite
+    with pytest.raises(WorkerException, match="already exists"):
+        run(spark, cat, "CREATE TABLE `p.d.dim2` LIKE `p.d.fact`")
