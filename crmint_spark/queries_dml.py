@@ -886,6 +886,95 @@ GROUP BY status ORDER BY status
 """
 
 
+def dml_index_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index freshness end-to-end (VERDICT r8 #1): a SEARCH index built
+    over a catalog copy of ``documents`` serves the routed path; an
+    INSERT + UPDATE then flips the base fingerprint and the identical
+    SEARCH() statement must return the post-DML truth from the exact
+    path — BigQuery's contract is that index refresh state NEVER
+    changes results. Both phases return, so a regression (the r8
+    confirmed wrong answer: routed path missing the inserted/updated
+    rows) can never hash-match the oracle."""
+    from pyspark.sql import functions as F
+
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_q_"))
+    cat.write(spark.sql("SELECT doc_id, text FROM documents"), "p.crm.sdocs")
+
+    def run(script):
+        w = SparkSQLExecutor(
+            {"script": script, "dry_run": False},
+            WorkerContext(spark=spark, catalog=cat),
+        )
+        w.execute()
+        return w
+
+    q = (
+        "SELECT doc_id FROM `p.crm.sdocs`"
+        " WHERE SEARCH(text, 'spark merge') ORDER BY doc_id"
+    )
+    run("CREATE SEARCH INDEX sfi ON `p.crm.sdocs` (text)")
+    w_idx = run(q)
+    assert any("routed through index" in line for line in w_idx.log), w_idx.log
+    # materialize phase 1 NOW: the copy-on-write DML below swaps the
+    # base directory out from under the lazy plan (bounded: hit rows)
+    r_idx = spark.createDataFrame(
+        w_idx.result.collect(), w_idx.result.schema
+    )
+    run(
+        "INSERT INTO `p.crm.sdocs` SELECT doc_id + 10000000,"
+        " 'spark merge freshness probe' FROM documents WHERE doc_id < 5;"
+        "UPDATE `p.crm.sdocs` SET text = 'spark merge updated'"
+        " WHERE doc_id = 7;"
+    )
+    w_fresh = run(q)
+    assert any("base changed" in line for line in w_fresh.log), w_fresh.log
+    assert not any("routed through index" in line for line in w_fresh.log)
+    return (
+        r_idx.select(F.lit("indexed").alias("phase"), "doc_id")
+        .unionAll(
+            w_fresh.result.select(F.lit("post_dml").alias("phase"), "doc_id")
+        )
+        .orderBy("phase", "doc_id")
+    )
+
+
+def _search_pred(data: str, query_lit: str) -> str:
+    """DuckDB twin of the engine's SEARCH tokenization (LOG_ANALYZER:
+    lowercase + split on non-alphanumeric runes; TRUE iff every query
+    token appears among the data tokens)."""
+    def tok(e: str) -> str:
+        return (
+            f"list_filter(string_split_regex(lower({e}), '[^a-z0-9]+'),"
+            f" x -> x != '')"
+        )
+
+    return (
+        f"coalesce(list_aggregate(list_transform({tok(query_lit)},"
+        f" t -> list_contains({tok(data)}, t)), 'bool_and'), TRUE)"
+    )
+
+
+DML_INDEX_FRESHNESS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+), mut AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = 7 THEN 'spark merge updated' ELSE text END AS text
+  FROM base
+  UNION ALL
+  SELECT doc_id + 10000000, 'spark merge freshness probe'
+  FROM documents WHERE doc_id < 5
+)
+SELECT 'indexed' AS phase, doc_id FROM base
+WHERE {_search_pred('text', "'spark merge'")}
+UNION ALL
+SELECT 'post_dml' AS phase, doc_id FROM mut
+WHERE {_search_pred('text', "'spark merge'")}
+ORDER BY phase, doc_id
+"""
+
+
 DML_QUERIES: dict[str, tuple] = {
     "dml_merge_upsert": (dml_merge_upsert, DML_MERGE_SQL),
     "dml_update_delete_insert": (dml_update_delete_insert, DML_UPDATE_SQL),
@@ -907,4 +996,5 @@ DML_QUERIES: dict[str, tuple] = {
     "dml_table_storage": (dml_table_storage, DML_TABLE_STORAGE_SQL),
     "dml_routines_indexes": (dml_routines_indexes, DML_ROUTINES_SQL),
     "dml_join_elimination": (dml_join_elimination, DML_JOIN_ELIM_SQL),
+    "dml_index_freshness": (dml_index_freshness, DML_INDEX_FRESHNESS_SQL),
 }

@@ -750,13 +750,23 @@ def ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import array_to_vector
 
+    from .ml.estimators import strip_training_summary
+
     emb = load(spark, sf_dir, "embeddings")
     data = emb.withColumn("features", array_to_vector("embedding")).withColumn(
         "is_zero", (F.col("label") == 0).cast("double")
     )
-    model = LogisticRegression(
-        featuresCol="features", labelCol="is_zero", maxIter=20, regParam=0.01
-    ).fit(data)
+    # strip like every other engine fit: a summary-carrying model dies
+    # in task serialization once any Dataset.observe (the DML-statistics
+    # plane) has materialized the session's ObservationManager
+    model = strip_training_summary(
+        LogisticRegression(
+            featuresCol="features",
+            labelCol="is_zero",
+            maxIter=20,
+            regParam=0.01,
+        ).fit(data)
+    )
     scored = model.transform(data)
     return (
         scored.groupBy("label")

@@ -1636,8 +1636,14 @@ class SparkSQLExecutor(Worker):
         masked = _mask_literals_same_length(sub)
         if len(re.findall(r"\bJOIN\b", masked, re.IGNORECASE)) != 1:
             return sub
+        # SEMI/ANTI excluded explicitly: 'LEFT SEMI JOIN' would slip
+        # past the LEFT-capture below (the optional group matches empty
+        # before JOIN) and be treated as INNER — eliminating a LEFT
+        # ANTI JOIN into 'WHERE key IS NOT NULL' INVERTS the result set
+        # (review finding r9)
         if re.search(
-            r"\b(?:CROSS|RIGHT|FULL|NATURAL)\s+JOIN\b|\bUSING\s*\(",
+            r"\b(?:CROSS|RIGHT|FULL|NATURAL|SEMI|ANTI)\s+JOIN\b"
+            r"|\bUSING\s*\(",
             masked,
             re.IGNORECASE,
         ):
@@ -1728,6 +1734,21 @@ class SparkSQLExecutor(Worker):
             re.IGNORECASE,
         ):
             return sub
+        # a FULLY-qualified dim reference (`p.d.dim`.col) hides the
+        # alias behind leading path segments, which the lookbehind
+        # above skips — abort when a dotted path's FINAL qualifier
+        # segment names the dim table (review finding r9). Only the
+        # final qualifier: earlier segments are project/dataset ids
+        # (the fact's own dataset may share the dim's alias)
+        dim_last = dim_rel.split(".")[-1].lower()
+        for dp in re.finditer(r"(?<!\w)((?:\w+\s*\.\s*)+)\w+", rem_masked):
+            segs = [
+                s.strip().lower()
+                for s in dp.group(1).split(".")
+                if s.strip()
+            ]
+            if segs and segs[-1] == dim_last:
+                return sub
         try:
             dim_cols = {f.name for f in cat.read(dim_rel).schema.fields}
         except Exception:
@@ -2247,6 +2268,35 @@ class SparkSQLExecutor(Worker):
             self._session_indexes = {}
         return self._session_indexes
 
+    def _stamp_base_freshness(self, entry: dict) -> None:
+        """Snapshot the indexed base's identity at materialization time
+        (VERDICT r8 #1 — BigQuery's index contract: refresh state NEVER
+        changes results). A catalog-tree base stamps its directory
+        fingerprint; routing compares and falls through to the
+        always-correct exact path on drift. Non-catalog bases (session
+        / testdata temp views) stamp None — the engine's DML plane
+        cannot mutate them, so their snapshot cannot drift."""
+        cat = self._ctx.catalog
+        try:
+            entry["base_fp"] = (
+                cat.table_fingerprint(entry["table"]) if cat else None
+            )
+        except ValueError:
+            entry["base_fp"] = None
+
+    def _index_entry_fresh(self, entry: dict) -> bool:
+        fp = entry.get("base_fp")
+        if fp is None:
+            return True
+        cat = self._ctx.catalog
+        try:
+            return (
+                cat is not None
+                and cat.table_fingerprint(entry["table"]) == fp
+            )
+        except ValueError:
+            return False
+
     def _try_index_ddl(self, sub: str) -> bool:
         """``CREATE [OR REPLACE] VECTOR|SEARCH INDEX ... ON t(cols)
         [OPTIONS(...)]`` / ``DROP VECTOR|SEARCH INDEX`` — BigQuery's
@@ -2368,6 +2418,7 @@ class SparkSQLExecutor(Worker):
         col = entry["columns"].split(",")[0].strip().strip("`")
         resolver = self._resolver() or _default_resolver
         view = resolver(table) if "." in table else table
+        self._stamp_base_freshness(entry)  # before the read: conservative
         df = spark.table(view)
         id_col, n_rows, lo = _pick_integral_id_stats(df)
         if id_col is None:
@@ -2416,6 +2467,7 @@ class SparkSQLExecutor(Worker):
         table = entry["table"]
         resolver = self._resolver() or _default_resolver
         view = resolver(table) if "." in table else table
+        self._stamp_base_freshness(entry)  # before the read: conservative
         df = spark.table(view)
         cols_raw = entry["columns"].strip()
         if re.fullmatch(r"ALL\s+COLUMNS", cols_raw, re.IGNORECASE):
@@ -2999,6 +3051,23 @@ class SparkSQLExecutor(Worker):
             return sub
 
         calls = list(_iter_calls(sub, ("SEARCH",)))
+        if calls:
+            # freshness gate (VERDICT r8 #1): a base mutated since the
+            # postings snapshot must NOT be served from the index —
+            # BigQuery's contract is results-always-correct. Drift
+            # falls through to the exact scan rewrite.
+            fresh = []
+            for e in search_indexes:
+                if self._index_entry_fresh(e):
+                    fresh.append(e)
+                else:
+                    self.log_info(
+                        f"SEARCH INDEX over {e['table']}: base changed"
+                        " since materialization — exact path serves"
+                    )
+            search_indexes = fresh
+            if not search_indexes:
+                return sub
         aliases = _relation_aliases(sub) if calls else {}
         ctes = _cte_definitions(sub) if calls else {}
         for start, op, end, _name in reversed(calls):
@@ -3122,6 +3191,21 @@ class SparkSQLExecutor(Worker):
             return sub
 
         calls = list(_iter_calls(sub, ("VECTOR_SEARCH",)))
+        if calls:
+            # freshness gate (VERDICT r8 #1) — same contract as the
+            # SEARCH postings: drift → exact brute-force path
+            fresh = {}
+            for t, e in vector_indexes.items():
+                if self._index_entry_fresh(e):
+                    fresh[t] = e
+                else:
+                    self.log_info(
+                        f"VECTOR INDEX over {e['table']}: base changed"
+                        " since materialization — exact path serves"
+                    )
+            vector_indexes = fresh
+            if not vector_indexes:
+                return sub
         ctes = _cte_definitions(sub) if calls else {}
         for start, op, end, _name in reversed(calls):
             raw_args = _split_top_level(sub[op + 1 : end - 1])
@@ -3753,7 +3837,16 @@ class SparkSQLExecutor(Worker):
                 ) from None
         if getattr(self, "_tz_original", None) is None:
             SparkSQLExecutor._TZ_LOCK.acquire()
-            self._tz_original = spark.conf.get("spark.sql.session.timeZone")
+            try:
+                self._tz_original = spark.conf.get(
+                    "spark.sql.session.timeZone"
+                )
+            except BaseException:
+                # _run_script's finally only releases when _tz_original
+                # is set — a conf.get failure here would otherwise hold
+                # the class lock forever (review finding r9)
+                SparkSQLExecutor._TZ_LOCK.release()
+                raise
         spark.conf.set("spark.sql.session.timeZone", tz)
         self._tz_cache = tz
         self.log_info(f"SET @@time_zone = {tz}")

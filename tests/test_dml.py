@@ -1158,6 +1158,56 @@ def test_job_ids_unique_under_concurrency(spark, cat):
     assert ids == sorted(ids)  # ordinal order == append order
 
 
+def test_jobs_plane_survives_catalog_restart(spark, cat):
+    """VERDICT r8 #6: BigQuery job history is durable (~180 days); the
+    engine's must survive an Engine/Catalog restart over the same
+    warehouse root — rows AND the ordinal id sequence resume."""
+    seed(spark, cat)
+    run(spark, cat, "SELECT COUNT(*) AS n FROM `p.d.t`")
+    run(spark, cat, "UPDATE `p.d.t` SET bal = 0 WHERE id = 1")
+    before = [(j["job_id"], j["statement_type"]) for j in cat._jobs]
+    assert len(before) >= 2
+    cat2 = Catalog(spark, cat.root)  # fresh object, same root
+    after = [(j["job_id"], j["statement_type"]) for j in cat2._jobs]
+    assert after == before
+    # the sequence resumes — no duplicate ids after restart
+    run(spark, cat2, "SELECT 1 AS one")
+    ids = [j["job_id"] for j in cat2._jobs]
+    assert len(set(ids)) == len(ids)
+    assert ids == sorted(ids)
+    # dml_statistics round-trip through the JSONL (dict fidelity)
+    upd = [j for j in cat2._jobs if j["statement_type"] == "UPDATE"]
+    assert upd and upd[0]["dml_statistics"]["updated_row_count"] == 1
+    # and the INFORMATION_SCHEMA.JOBS view serves the resumed history
+    rows = run(
+        spark, cat2,
+        "SELECT job_id, statement_type FROM `p.d.INFORMATION_SCHEMA.JOBS`"
+        " ORDER BY job_id",
+    ).result.collect()
+    assert [r["job_id"] for r in rows][: len(before)] == [
+        b[0] for b in before
+    ]
+
+
+def test_jobs_file_compaction(spark, cat):
+    """The durable file compacts at 2x retention (atomic replace)."""
+    old_max = Catalog.JOBS_RETENTION_MAX
+    Catalog.JOBS_RETENTION_MAX = 5
+    try:
+        for i in range(12):
+            cat.record_job({"statement_type": "SELECT", "query": str(i)})
+        with open(cat._jobs_path, encoding="utf-8") as f:
+            n_lines = sum(1 for _ in f)
+        assert n_lines <= 10  # compacted at 2x retention
+        assert len(cat._jobs) == 5
+        cat3 = Catalog(spark, cat.root)
+        assert [j["job_id"] for j in cat3._jobs] == [
+            j["job_id"] for j in cat._jobs
+        ]
+    finally:
+        Catalog.JOBS_RETENTION_MAX = old_max
+
+
 def test_table_storage_reports_dropped_tables(spark, cat):
     seed(spark, cat)
     run(spark, cat, "UPDATE `p.d.t` SET bal = 1 WHERE id = 1")
@@ -1453,6 +1503,71 @@ def test_join_elimination_review_findings(spark, cat):
             "SELECT ck FROM `p.d.fact` f JOIN `p.d.dim` d ON f.ck = d.ck"
             " GROUP BY ck LIMIT 3",
         )
+
+
+def test_join_elimination_review_findings_r9(spark, cat):
+    """Round-9 review wave: SEMI/ANTI joins never eliminate (an
+    eliminated LEFT ANTI JOIN would INVERT the result set), and a
+    fully-qualified dim reference hiding the alias behind leading path
+    segments keeps the join."""
+    _seed_star(spark, cat)
+    # LEFT ANTI: only the NULL-ck fact rows survive (every non-NULL ck
+    # matches the 0..49 dim) — ids 0,7,...,497 = 72 rows. The broken
+    # rewrite would return the 428 NOT NULL rows instead.
+    w = run(
+        spark, cat,
+        "SELECT f.ok FROM `p.d.fact` f LEFT ANTI JOIN `p.d.dim` d"
+        " ON f.ck = d.ck",
+    )
+    assert not any("eliminat" in line for line in w.log)
+    assert w.result.count() == 72
+    # LEFT SEMI likewise keeps the join
+    w2 = run(
+        spark, cat,
+        "SELECT f.ok FROM `p.d.fact` f LEFT SEMI JOIN `p.d.dim` d"
+        " ON f.ck = d.ck",
+    )
+    assert not any("eliminat" in line for line in w2.log)
+    assert w2.result.count() == 428
+    # fully-qualified dim reference (alias hidden behind leading path
+    # segments): the dotted-path guard must keep the join (unit-level:
+    # the rewrite is a no-op on the statement text)
+    w3 = SparkSQLExecutor(
+        {"script": "", "dry_run": False},
+        WorkerContext(spark=spark, catalog=cat),
+    )
+    q = (
+        "SELECT f.ok, `p.d.dim`.cname FROM `p.d.fact` f"
+        " JOIN `p.d.dim` d ON f.ck = d.ck LIMIT 3"
+    )
+    assert w3._route_join_elimination(q) == q
+
+
+def test_constraint_views_table_catalog_columns(spark, cat):
+    """BigQuery's TABLE_CONSTRAINTS/KEY_COLUMN_USAGE carry
+    table_catalog/table_schema alongside the constraint_* triple
+    (review finding r9: projecting them failed)."""
+    _seed_star(spark, cat)
+    rows = run(
+        spark, cat,
+        "SELECT table_catalog, table_schema, table_name, constraint_name"
+        " FROM p.d.INFORMATION_SCHEMA.TABLE_CONSTRAINTS"
+        " ORDER BY constraint_name",
+    ).result.collect()
+    assert [tuple(r) for r in rows] == [
+        ("p", "d", "dim", "dim.pk$"),
+        ("p", "d", "fact", "fk1"),
+    ]
+    kcu = run(
+        spark, cat,
+        "SELECT table_catalog, table_schema, table_name, column_name"
+        " FROM p.d.INFORMATION_SCHEMA.KEY_COLUMN_USAGE"
+        " ORDER BY constraint_name",
+    ).result.collect()
+    assert [tuple(r) for r in kcu] == [
+        ("p", "d", "dim", "ck"),
+        ("p", "d", "fact", "ck"),
+    ]
 
 
 def test_constraint_lifecycle_review_findings(spark, cat):
