@@ -1614,6 +1614,12 @@ class SparkSQLExecutor(Worker):
         )
         return m.start() if m else len(text)
 
+    _JOIN_CLAUSE_RE = re.compile(
+        r"\b(LEFT\s+(?:OUTER\s+)?|INNER\s+)?JOIN\s+`?([\w.\-]+)`?"
+        r"(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+ON\b",
+        re.IGNORECASE,
+    )
+
     def _route_join_elimination(self, sub: str) -> str:
         """Constraint-driven join elimination (BigQuery's optimizer use
         of NOT ENFORCED keys): drop a join to a table whose declared
@@ -1624,18 +1630,76 @@ class SparkSQLExecutor(Worker):
         semantics for NULL keys by conjoining ``key IS NOT NULL``. The
         engine trusts the declarations exactly as BigQuery does — a
         false declaration changes results in both systems. Conservative
-        by construction: single-join SELECTs only, one base relation on
-        the outer side, no ``*`` projection, no qualified or resolvable
-        unqualified reference to the eliminated table outside the ON
-        clause; anything unprovable keeps the join."""
+        by construction: one base relation on the outer side, all joins
+        top-level fact-to-dim equi-joins, no ``*`` projection, no
+        qualified or resolvable unqualified reference to an eliminated
+        table outside its own ON clause; anything unprovable keeps the
+        join. Round 9 (VERDICT r8 #4): the single-join eliminator now
+        iterates to fixpoint, so a star query joining N dims and
+        projecting from the fact alone drops them all — each pass
+        re-parses and keeps every abort condition per join."""
         cat = self._ctx.catalog
         if cat is None or not getattr(cat, "_constraints", None):
             return sub
         if not re.match(r"\s*SELECT\b", sub, re.IGNORECASE):
             return sub
+        for _ in range(8):  # bounded fixpoint: star fan-out, not depth
+            new = self._eliminate_one_join(sub)
+            if new is None:
+                return sub
+            sub = new
+        return sub
+
+    def _top_level_join_clauses(self, sub: str) -> list[re.Match] | None:
+        """Every top-level JOIN clause of the statement, or None when
+        any ``JOIN`` token is NOT part of a parsed top-level clause
+        (nested subquery joins, comma-elided ON, exotic forms) — the
+        eliminator must see the whole join list or touch nothing."""
+        from ..dialect import _find_top_level, blank_comments_same_length
+
+        masked = blank_comments_same_length(_mask_literals_same_length(sub))
+        out: list[re.Match] = []
+        pos = 0
+        while True:
+            m = _find_top_level(masked, self._JOIN_CLAUSE_RE, pos)
+            if m is None:
+                break
+            out.append(m)
+            pos = m.end()
+        n_tokens = len(re.findall(r"\bJOIN\b", masked, re.IGNORECASE))
+        if n_tokens != len(out):
+            return None
+        return out
+
+    def _conjoin_where(self, stmt: str, conj: str) -> str:
+        """AND ``conj`` into the statement's top-level WHERE clause,
+        creating one before the first tail keyword (GROUP/ORDER/...)
+        if absent."""
+        from ..dialect import _find_top_level, blank_comments_same_length
+
+        blanked = blank_comments_same_length(
+            _mask_literals_same_length(stmt)
+        )
+        m = _find_top_level(
+            blanked, re.compile(r"\bWHERE\b", re.IGNORECASE)
+        )
+        if m:
+            w_end = self._scan_to_top_keyword(stmt, m.end())
+            body = stmt[m.end() : w_end].strip()
+            return (
+                stmt[: m.start()]
+                + f"WHERE {conj} AND ({body}) "
+                + stmt[w_end:]
+            )
+        kw = self._scan_to_top_keyword(stmt)
+        return stmt[:kw] + f" WHERE {conj} " + stmt[kw:]
+
+    def _eliminate_one_join(self, sub: str) -> str | None:
+        """One pass of the eliminator: drop the FIRST top-level join
+        provably redundant under the declared keys; None when no join
+        qualifies (the statement is left untouched)."""
+        cat = self._ctx.catalog
         masked = _mask_literals_same_length(sub)
-        if len(re.findall(r"\bJOIN\b", masked, re.IGNORECASE)) != 1:
-            return sub
         # SEMI/ANTI excluded explicitly: 'LEFT SEMI JOIN' would slip
         # past the LEFT-capture below (the optional group matches empty
         # before JOIN) and be treated as INNER — eliminating a LEFT
@@ -1647,34 +1711,58 @@ class SparkSQLExecutor(Worker):
             masked,
             re.IGNORECASE,
         ):
-            return sub
-        jm = re.search(
-            r"\b(LEFT\s+(?:OUTER\s+)?|INNER\s+)?JOIN\s+`?([\w.\-]+)`?"
-            r"(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+ON\b",
-            sub,
-            re.IGNORECASE,
-        )
-        if not jm:
-            return sub
-        left_join = bool(jm.group(1) and jm.group(1).strip().upper().startswith("LEFT"))
-        dim_rel = jm.group(2)
-        dim_alias = jm.group(3) or dim_rel.split(".")[-1]
-        head = sub[: jm.start()]
+            return None
+        jms = self._top_level_join_clauses(sub)
+        if not jms:
+            return None
+        head0 = sub[: jms[0].start()]
         aliases = {
             a: r
-            for a, r in _relation_aliases(head).items()
+            for a, r in _relation_aliases(head0).items()
             if r is not None
         }
         if len(aliases) != 1:
-            return sub  # multi-relation outer side: stay conservative
+            return None  # multi-relation outer side: stay conservative
         ((fact_alias, fact_rel),) = aliases.items()
         fact_rel = fact_rel.strip("`")
+        # alias uniqueness across the whole join list — a duplicate
+        # alias would make the reference scans unsound
+        all_aliases = [fact_alias] + [
+            (m.group(3) or m.group(2).split(".")[-1]).lower() for m in jms
+        ]
+        if len(set(all_aliases)) != len(all_aliases):
+            return None
+        for i, jm in enumerate(jms):
+            new = self._try_eliminate_join_at(
+                sub, jms, i, fact_alias, fact_rel
+            )
+            if new is not None:
+                return new
+        return None
+
+    def _try_eliminate_join_at(
+        self,
+        sub: str,
+        jms: list[re.Match],
+        i: int,
+        fact_alias: str,
+        fact_rel: str,
+    ) -> str | None:
+        cat = self._ctx.catalog
+        jm = jms[i]
+        left_join = bool(
+            jm.group(1) and jm.group(1).strip().upper().startswith("LEFT")
+        )
+        dim_rel = jm.group(2)
+        dim_alias = jm.group(3) or dim_rel.split(".")[-1]
         if fact_alias == dim_alias.lower():
-            return sub
-        # ON clause extent, then the statement tail
+            return None
+        # ON clause extent: the next top-level clause keyword OR the
+        # next JOIN clause, whichever comes first
         on_end = self._scan_to_top_keyword(sub, jm.end())
-        on_text = sub[jm.end():on_end].strip()
-        tail = sub[on_end:]
+        if i + 1 < len(jms):
+            on_end = min(on_end, jms[i + 1].start())
+        on_text = sub[jm.end() : on_end].strip()
         if on_text.startswith("(") and on_text.endswith(")"):
             inner = on_text[1:-1]
             if self._scan_to_top_keyword(inner) == len(inner):
@@ -1686,25 +1774,25 @@ class SparkSQLExecutor(Worker):
                 part,
             )
             if not pm:
-                return sub
+                return None
             q1, c1, q2, c2 = pm.groups()
             if q1.lower() == fact_alias and q2.lower() == dim_alias.lower():
                 pairs.append((c1, c2))
             elif q2.lower() == fact_alias and q1.lower() == dim_alias.lower():
                 pairs.append((c2, c1))
             else:
-                return sub
+                return None  # dim-to-dim condition: not a star edge
         pk = cat.primary_key(dim_rel)
         if not pk or set(pk) != {d for _f, d in pairs}:
-            return sub
+            return None
         # both relations must be LIVE catalog tables with QUALIFIED ids
         # — a session temp view (always single-part) shadowing a short
         # catalog name would let the query read one relation while the
         # declaration describes another
         if "." not in dim_rel or "." not in fact_rel:
-            return sub
+            return None
         if not (cat.exists(dim_rel) and cat.exists(fact_rel)):
-            return sub
+            return None
         if not left_join:
             # INNER needs totality: a declared FK covering exactly the
             # ON pairing
@@ -1714,18 +1802,19 @@ class SparkSQLExecutor(Worker):
                 and set(zip(fk["cols"], fk["ref_cols"])) == set(pairs)
                 for fk in fks.values()
             ):
-                return sub
-        # no other reference to the eliminated table may survive.
-        # Backticks blank to spaces so `d`.cname / bare `cname` are
-        # visible to the scans (review finding r8); string literals
-        # mask first so quotes can't hide references either.
-        remainder = head + " " + tail
+                return None
+        # no other reference to the eliminated table may survive —
+        # including inside the OTHER joins' ON clauses, which stay in
+        # the remainder. Backticks blank to spaces so `d`.cname / bare
+        # `cname` are visible to the scans (review finding r8); string
+        # literals mask first so quotes can't hide references either.
+        remainder = sub[: jm.start()] + " " + sub[on_end:]
         rem_masked = _mask_literals_same_length(remainder).replace("`", " ")
         sel_list = re.split(r"\bFROM\b", rem_masked, flags=re.IGNORECASE)[0]
         if re.search(
             r"SELECT\s+(?:DISTINCT\s+)?\*", sel_list, re.IGNORECASE
         ):
-            return sub  # bare * would project dim columns (COUNT(*)
+            return None  # bare * would project dim columns (COUNT(*)
             # and fact_alias.* stay eligible; dim_alias.* is caught by
             # the qualified-reference check below)
         if re.search(
@@ -1733,7 +1822,7 @@ class SparkSQLExecutor(Worker):
             rem_masked,
             re.IGNORECASE,
         ):
-            return sub
+            return None
         # a FULLY-qualified dim reference (`p.d.dim`.col) hides the
         # alias behind leading path segments, which the lookbehind
         # above skips — abort when a dotted path's FINAL qualifier
@@ -1748,11 +1837,11 @@ class SparkSQLExecutor(Worker):
                 if s.strip()
             ]
             if segs and segs[-1] == dim_last:
-                return sub
+                return None
         try:
             dim_cols = {f.name for f in cat.read(dim_rel).schema.fields}
         except Exception:
-            return sub
+            return None
         # ANY unqualified identifier naming a dim column aborts — even
         # one the fact table shares: BigQuery rejects it as ambiguous,
         # and keeping the join lets Spark raise the same error instead
@@ -1761,25 +1850,18 @@ class SparkSQLExecutor(Worker):
         dim_lower = {c.lower() for c in dim_cols}
         for ident in re.finditer(r"(?<![\w.])([A-Za-z_]\w*)\b", rem_masked):
             if ident.group(1).lower() in dim_lower:
-                return sub
+                return None
+        new_stmt = sub[: jm.start()] + " " + sub[on_end:]
         if not left_join:
             conj = " AND ".join(
                 f"{fact_alias}.`{f}` IS NOT NULL" for f, _d in pairs
             )
-            wm = re.match(r"\s*WHERE\b", tail, re.IGNORECASE)
-            if wm:
-                w_end = self._scan_to_top_keyword(tail, wm.end())
-                tail = (
-                    f"WHERE {conj} AND ({tail[wm.end():w_end].strip()}) "
-                    + tail[w_end:]
-                )
-            else:
-                tail = f"WHERE {conj} " + tail
+            new_stmt = self._conjoin_where(new_stmt, conj)
         self.log_info(
             f"join eliminated: {dim_rel} via declared "
             + ("PRIMARY KEY" if left_join else "PRIMARY KEY + FOREIGN KEY")
         )
-        return head + " " + tail
+        return new_stmt
 
     def _try_constraint_ddl(
         self,
@@ -2580,8 +2662,224 @@ class SparkSQLExecutor(Worker):
         self._mv_store()[name] = {
             "query_norm": self._normalize_query(query),
             "fps": self._base_fingerprints(query),
+            # containment template (round 9, VERDICT r8 #3): None when
+            # the defining query is not a simple single-relation
+            # aggregate — such MVs serve the exact-match slice only
+            "shape": self._parse_agg_shape(query),
         }
         self.log_info(f"MATERIALIZED VIEW {name}: smart rewrite recorded")
+
+    _AGG_SHAPE_TAIL_KW = re.compile(
+        r"\b(?:ORDER\s+BY|LIMIT|HAVING|QUALIFY|WINDOW|UNION|INTERSECT"
+        r"|EXCEPT)\b",
+        re.IGNORECASE,
+    )
+
+    def _parse_agg_shape(self, q: str) -> dict | None:
+        """Parse a statement into a containment template when it is a
+        SIMPLE single-relation aggregate::
+
+            SELECT <bare keys and SUM/COUNT/MIN/MAX aggregates AS name>
+            FROM <one relation> [WHERE w] GROUP BY <keys>
+            [ORDER BY <names/ordinals>] [LIMIT n]
+
+        Returns ``{base, alias, where_norm, keys: {out: col},
+        aggs: {out: (FN, arg)}, order: [(kind, out)], tail}`` — or None
+        for any other shape (joins, subqueries, DISTINCT, expression
+        keys, HAVING, composite aggregates). The template drives the
+        materialized-view containment rewrite: a query grouping a
+        SUBSET of an MV's keys over the same base/WHERE re-aggregates
+        the MV instead of the base (SUM/MIN/MAX compose as themselves,
+        COUNT composes as SUM of the partial counts)."""
+        from ..dialect import (
+            _find_top_level,
+            _split_top_level,
+            blank_comments_same_length,
+        )
+
+        s = q.strip().rstrip(";").strip()
+        blanked = blank_comments_same_length(_mask_literals_same_length(s))
+        if not re.match(r"SELECT\b", blanked, re.IGNORECASE):
+            return None
+        mf = _find_top_level(
+            blanked, re.compile(r"\bFROM\b", re.IGNORECASE), 6
+        )
+        if not mf:
+            return None
+        items_raw = s[6 : mf.start()]
+        if re.match(r"\s*DISTINCT\b", items_raw, re.IGNORECASE):
+            return None
+        mg = _find_top_level(
+            blanked, re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE), mf.end()
+        )
+        if not mg:
+            return None
+        mw = _find_top_level(
+            blanked, re.compile(r"\bWHERE\b", re.IGNORECASE), mf.end()
+        )
+        if mw and mw.start() > mg.start():
+            mw = None
+        rel_end = mw.start() if mw else mg.start()
+        m_rel = re.fullmatch(
+            r"`?([\w.\-]+)`?(?:\s+(?:AS\s+)?(\w+))?",
+            s[mf.end() : rel_end].strip(),
+            re.IGNORECASE,
+        )
+        if not m_rel:
+            return None
+        base = m_rel.group(1)
+        alias = (m_rel.group(2) or base.split(".")[-1]).lower()
+        where_norm = (
+            self._normalize_query(s[mw.end() : mg.start()]) if mw else None
+        )
+        mt = _find_top_level(blanked, self._AGG_SHAPE_TAIL_KW, mg.end())
+        gb_end = mt.start() if mt else len(s)
+        tail = s[gb_end:].strip()
+        if tail:
+            # ORDER BY over plain names/ordinals + LIMIT only — these
+            # refer to OUTPUT columns, which the rewrite preserves
+            if not re.fullmatch(
+                r"(?:ORDER\s+BY\s+\w+(?:\s+(?:ASC|DESC))?"
+                r"(?:\s*,\s*\w+(?:\s+(?:ASC|DESC))?)*)?"
+                r"\s*(?:LIMIT\s+\d+)?",
+                tail,
+                re.IGNORECASE,
+            ):
+                return None
+
+        def _unqual(name_: str) -> str | None:
+            m2 = re.fullmatch(
+                r"(?:(\w+)\s*\.\s*)?`?(\w+)`?", name_.strip()
+            )
+            if not m2:
+                return None
+            if m2.group(1) and m2.group(1).lower() != alias:
+                return None
+            return m2.group(2).lower()
+
+        keys: dict[str, str] = {}
+        aggs: dict[str, tuple[str, str]] = {}
+        order: list[tuple[str, str]] = []
+        for item in _split_top_level(items_raw):
+            it = item.strip()
+            m_agg = re.fullmatch(
+                r"(SUM|COUNT|MIN|MAX)\s*\(\s*([^()]*?)\s*\)\s+AS\s+(\w+)",
+                it,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if m_agg:
+                fn = m_agg.group(1).upper()
+                arg_raw = m_agg.group(2).strip()
+                if arg_raw == "*":
+                    if fn != "COUNT":
+                        return None
+                    arg = "*"
+                else:
+                    arg = _unqual(arg_raw)
+                    if arg is None:
+                        return None
+                out = m_agg.group(3).lower()
+                if out in aggs or out in keys:
+                    return None
+                aggs[out] = (fn, arg)
+                order.append(("agg", out))
+                continue
+            m_key = re.fullmatch(
+                r"((?:\w+\s*\.\s*)?`?\w+`?)(?:\s+AS\s+(\w+))?",
+                it,
+                re.IGNORECASE,
+            )
+            if not m_key:
+                return None
+            col = _unqual(m_key.group(1))
+            if col is None:
+                return None
+            out = (m_key.group(2) or col).lower()
+            if out in aggs or out in keys:
+                return None
+            keys[out] = col
+            order.append(("key", out))
+        if not keys or not aggs:
+            return None
+        # every key item must be grouped (names, source cols or
+        # 1-based ordinals), and nothing else
+        gb_terms = [
+            t.strip() for t in _split_top_level(s[mg.end() : gb_end])
+        ]
+        grouped: set[str] = set()
+        out_names = [o for _k, o in order]
+        for t in gb_terms:
+            if re.fullmatch(r"\d+", t):
+                ix = int(t) - 1
+                if not (0 <= ix < len(order)) or order[ix][0] != "key":
+                    return None
+                grouped.add(order[ix][1])
+                continue
+            tc = _unqual(t)
+            if tc is None:
+                return None
+            if tc in keys:
+                grouped.add(tc)
+            else:
+                hit = [o for o, c in keys.items() if c == tc]
+                if len(hit) != 1:
+                    return None
+                grouped.add(hit[0])
+        if grouped != set(keys) or len(gb_terms) != len(keys):
+            return None
+        if len(set(out_names)) != len(out_names):
+            return None
+        return {
+            "base": base.strip("`").lower(),
+            "alias": alias,
+            "where_norm": where_norm,
+            "keys": keys,
+            "aggs": aggs,
+            "order": order,
+            "tail": tail,
+        }
+
+    def _compose_mv_containment(
+        self, qs: dict, ms: dict, view: str
+    ) -> str | None:
+        """Rewrite a parsed aggregate query ``qs`` into a re-aggregation
+        over MV template ``ms``'s materialized table ``view`` — None
+        when containment does not hold. Requirements: same base
+        relation, IDENTICAL normalized WHERE, query keys a subset of MV
+        keys, every query aggregate composable from an MV output
+        (SUM->SUM, COUNT->SUM of partial counts, MIN/MAX->themselves;
+        AVG is deliberately absent — recomposing it from SUM/COUNT
+        changes float rounding). Output column ORDER and names are
+        preserved, so the rewrite is invisible to the caller."""
+        if qs["base"] != ms["base"] or qs["where_norm"] != ms["where_norm"]:
+            return None
+        if re.search(r"\bLIMIT\b", ms.get("tail", ""), re.IGNORECASE):
+            return None  # a LIMITed MV is not the full group set
+        mv_key_by_col = {c: o for o, c in ms["keys"].items()}
+        mv_agg_by = {(f, a): o for o, (f, a) in ms["aggs"].items()}
+        sels: list[str] = []
+        gb: list[str] = []
+        for kind, out in qs["order"]:
+            if kind == "key":
+                src = mv_key_by_col.get(qs["keys"][out])
+                if src is None:
+                    return None
+                sels.append(f"`{src}` AS `{out}`")
+                gb.append(f"`{src}`")
+            else:
+                fn, arg = qs["aggs"][out]
+                src = mv_agg_by.get((fn, arg))
+                if src is None:
+                    return None
+                refn = "SUM" if fn == "COUNT" else fn
+                sels.append(f"{refn}(`{src}`) AS `{out}`")
+        if not gb:
+            return None
+        return (
+            f"SELECT {', '.join(sels)} FROM {view}"
+            f" GROUP BY {', '.join(gb)}"
+            + (f" {qs['tail']}" if qs["tail"] else "")
+        )
 
     def _route_mv_rewrite(self, sub: str) -> str:
         """BigQuery-style materialized-view smart rewrite (VERDICT r7
@@ -2601,8 +2899,25 @@ class SparkSQLExecutor(Worker):
         norm = self._normalize_query(sub)
         from ..catalog import _safe_view_name
 
+        q_shape: dict | None | bool = None  # lazy: parse sub at most once
         for name, e in store.items():
-            if norm != e["query_norm"] or not e["fps"]:
+            if not e["fps"]:
+                continue
+            rewritten = None
+            if norm == e["query_norm"]:
+                rewritten = "SELECT * FROM {view}"
+                how = "smart rewrite"
+            elif e.get("shape"):
+                # containment (VERDICT r8 #3): a coarser GROUP BY over
+                # the same aggregates re-aggregates the MV
+                if q_shape is None:
+                    q_shape = self._parse_agg_shape(sub) or False
+                if q_shape:
+                    rewritten = self._compose_mv_containment(
+                        q_shape, e["shape"], "{view}"
+                    )
+                    how = "containment rewrite"
+            if rewritten is None:
                 continue
             stale = any(
                 not fp or (cat and cat.table_fingerprint(rel) != fp)
@@ -2617,9 +2932,9 @@ class SparkSQLExecutor(Worker):
                 continue  # MV table dropped: recompute
             self.log_info(
                 f"query rewritten to read MATERIALIZED VIEW {name}"
-                " (smart rewrite; base tables unchanged)"
+                f" ({how}; base tables unchanged)"
             )
-            return f"SELECT * FROM {view}"
+            return rewritten.replace("{view}", view)
         return sub
 
     def _route_partition_scan(self, sub: str) -> str:

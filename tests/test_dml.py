@@ -11,6 +11,7 @@ from __future__ import annotations
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from crmint_spark.catalog import Catalog
 from crmint_spark.dml import (
@@ -1543,6 +1544,83 @@ def test_join_elimination_review_findings_r9(spark, cat):
     assert w3._route_join_elimination(q) == q
 
 
+def _seed_star3(spark, cat):
+    """A 3-dim star: two INNER-eligible dims (PK + FK) and one
+    LEFT-eligible dim (PK only)."""
+    _seed_star(spark, cat)  # p.d.dim (ck) + p.d.fact (ok, ck, amt) + fk1
+    cat.write(
+        spark.sql(
+            "SELECT id AS sk, CONCAT('s', id) AS sname FROM RANGE(25)"
+        ),
+        "p.d.dim2",
+    )
+    cat.write(
+        spark.sql("SELECT id AS tk, id * 10 AS tval FROM RANGE(99)"),
+        "p.d.dim3",
+    )
+    run(
+        spark, cat,
+        "ALTER TABLE `p.d.fact` ADD COLUMN sk INT64;"
+        "ALTER TABLE `p.d.dim2` ADD PRIMARY KEY (sk) NOT ENFORCED;"
+        "ALTER TABLE `p.d.dim3` ADD PRIMARY KEY (tk) NOT ENFORCED;",
+    )
+    run(
+        spark, cat,
+        "UPDATE `p.d.fact` SET sk = MOD(ok, 25) WHERE TRUE",
+    )
+    run(
+        spark, cat,
+        "ALTER TABLE `p.d.fact` ADD CONSTRAINT fk2 FOREIGN KEY (sk)"
+        " REFERENCES p.d.dim2 (sk) NOT ENFORCED",
+    )
+
+
+def test_join_elimination_star_multi_dim(spark, cat):
+    """VERDICT r8 #4: a star query joining 3 dims and projecting only
+    fact columns eliminates ALL the joins — and agrees with the real
+    joins row for row (the NULL-ck rows drop under INNER semantics)."""
+    _seed_star3(spark, cat)
+    q = (
+        "SELECT f.ok AS ok, ROUND(SUM(f.amt), 2) AS total"
+        " FROM `p.d.fact` f"
+        " JOIN `p.d.dim` d ON f.ck = d.ck"
+        " JOIN `p.d.dim2` s ON f.sk = s.sk"
+        " LEFT JOIN `p.d.dim3` t ON f.ok = t.tk"
+        " WHERE f.ok < 40 GROUP BY ok ORDER BY ok"
+    )
+    w = run(spark, cat, q)
+    elim = [line for line in w.log if "join eliminated" in line]
+    assert len(elim) == 3, w.log
+    plan = w.result._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    # truth: the same star over an unconstrained catalog
+    cat2 = Catalog(spark, tempfile.mkdtemp(prefix="star3_t_"))
+    for t in ("p.d.fact", "p.d.dim", "p.d.dim2", "p.d.dim3"):
+        df = spark.createDataFrame(
+            cat.read(t).collect(), cat.read(t).schema
+        )
+        cat2.write(df, t)
+    truth = run(spark, cat2, q)
+    assert not any("eliminat" in line for line in truth.log)
+    assert [tuple(r) for r in w.result.collect()] == [
+        tuple(r) for r in truth.result.collect()
+    ]
+    # referencing ONE dim's column keeps that join, eliminates the rest
+    q2 = (
+        "SELECT f.ok AS ok, s.sname AS sname FROM `p.d.fact` f"
+        " JOIN `p.d.dim` d ON f.ck = d.ck"
+        " JOIN `p.d.dim2` s ON f.sk = s.sk"
+        " WHERE f.ok < 5 ORDER BY ok"
+    )
+    w2 = run(spark, cat, q2)
+    elim2 = [line for line in w2.log if "join eliminated" in line]
+    assert len(elim2) == 1 and "p.d.dim" in elim2[0], w2.log
+    truth2 = run(spark, cat2, q2)
+    assert [tuple(r) for r in w2.result.collect()] == [
+        tuple(r) for r in truth2.result.collect()
+    ]
+
+
 def test_constraint_views_table_catalog_columns(spark, cat):
     """BigQuery's TABLE_CONSTRAINTS/KEY_COLUMN_USAGE carry
     table_catalog/table_schema alongside the constraint_* triple
@@ -1568,6 +1646,65 @@ def test_constraint_views_table_catalog_columns(spark, cat):
         ("p", "d", "dim", "ck"),
         ("p", "d", "fact", "ck"),
     ]
+
+
+def test_mv_containment_rewrite(spark, cat):
+    """VERDICT r8 #3: a query grouping a SUBSET of an MV's keys over
+    the same aggregates re-aggregates the MV instead of the base —
+    values identical rewrite-on/off, plan scans the MV, staleness
+    falls through like the exact-match slice."""
+    cat.write(
+        spark.sql(
+            "SELECT CAST(id % 5 AS STRING) AS seg, id % 3 AS nat,"
+            " CAST(id * 7 AS BIGINT) AS balc FROM RANGE(1000)"
+        ),
+        "p.d.base",
+    )
+    run(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW `p.d.mv` AS"
+        " SELECT seg, nat, COUNT(*) AS n, SUM(balc) AS tot,"
+        " MIN(balc) AS lo, MAX(balc) AS hi"
+        " FROM `p.d.base` GROUP BY seg, nat",
+    )
+    q = (
+        "SELECT seg, COUNT(*) AS n, SUM(balc) AS tot, MAX(balc) AS hi"
+        " FROM `p.d.base` GROUP BY seg ORDER BY seg"
+    )
+    w = run(spark, cat, q)
+    assert any("containment rewrite" in line for line in w.log), w.log
+    got = [tuple(r) for r in w.result.collect()]
+    truth = [
+        tuple(r)
+        for r in spark.read.parquet(cat.path_for("p.d.base"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("balc").alias("tot"),
+            F.max("balc").alias("hi"),
+        )
+        .orderBy("seg")
+        .collect()
+    ]
+    assert got == truth
+    plan = w.result._jdf.queryExecution().executedPlan().toString()
+    assert "p__d__mv" in plan, plan  # the MV layout is what's scanned
+    assert "p__d__base" not in plan
+    # composability limits hold: AVG / different WHERE / dim reference
+    for keep in (
+        "SELECT seg, AVG(balc) AS a FROM `p.d.base` GROUP BY seg",
+        "SELECT seg, COUNT(*) AS n FROM `p.d.base`"
+        " WHERE nat = 1 GROUP BY seg",
+        "SELECT seg, COUNT(DISTINCT balc) AS n FROM `p.d.base`"
+        " GROUP BY seg",
+    ):
+        wk = run(spark, cat, keep)
+        assert not any("rewritten" in line for line in wk.log), keep
+    # staleness: a base mutation recomputes fresh
+    run(spark, cat, "INSERT INTO `p.d.base` SELECT 'Z', 9, CAST(1 AS BIGINT)")
+    w2 = run(spark, cat, q)
+    assert not any("rewritten" in line for line in w2.log)
+    assert {r["seg"]: r["n"] for r in w2.result.collect()}.get("Z") == 1
 
 
 def test_constraint_lifecycle_review_findings(spark, cat):
