@@ -870,6 +870,43 @@ class Catalog:
         st = os.stat(p)
         return f"{st.st_mtime_ns}:{len(os.listdir(p))}"
 
+    def partition_fingerprints(self, table_id: str) -> dict[str, str] | None:
+        """Per-partition change detector for a PARTITION BY table: hive
+        partition value -> digest of the partition's (file name, size,
+        mtime_ns) listing. FILE-level stats on purpose: the pruned-DML
+        swap carries untouched partitions as re-created directories of
+        HARDLINKED files (dml.swap_catalog_table), so directory mtimes
+        churn on every swap while the immutable files' inodes — name,
+        size, mtime — survive exactly when the partition's content
+        does. None when the table has no partitioned layout or no live
+        directory. Cost: one listdir per partition (metadata-bounded by
+        the 4,000-partition cap)."""
+        from urllib.parse import unquote
+
+        meta = self.layout_meta(table_id)
+        if not meta or not meta.get("pcol"):
+            return None
+        path = self.path_for(table_id)
+        if not os.path.isdir(path):
+            return None
+        pcol = meta["pcol"]
+        out: dict[str, str] = {}
+        for d in os.listdir(path):
+            if not d.startswith(pcol + "="):
+                continue
+            pdir = os.path.join(path, d)
+            if not os.path.isdir(pdir):
+                continue
+            ents = []
+            for f in sorted(os.listdir(pdir)):
+                try:
+                    st = os.stat(os.path.join(pdir, f))
+                except OSError:
+                    continue
+                ents.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+            out[unquote(d.split("=", 1)[1])] = ";".join(ents)
+        return out
+
     def ensure_layout_view(self, table_id: str) -> str:
         """Temp view over the RAW partitioned layout (derived partition
         column exposed) — the executor's partition-scan routing reads

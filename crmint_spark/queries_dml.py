@@ -1050,6 +1050,62 @@ def dml_index_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dml_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index freshness (round 9, VERDICT r8 #2): the SEARCH
+    index over a RANGE_BUCKET-partitioned catalog copy of ``documents``
+    keeps serving after INSERT+UPDATE — index over the unchanged
+    partitions UNION an exact scan pruned to the changed directories
+    (both asserted via the worker log). Values must equal the full
+    post-DML truth, which is what the oracle computes. The 100 TB
+    shape: DML to one partition re-scans one partition, not the
+    corpus."""
+    from pyspark.sql import functions as F
+
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_q_"))
+
+    def run(script):
+        w = SparkSQLExecutor(
+            {"script": script, "dry_run": False},
+            WorkerContext(spark=spark, catalog=cat),
+        )
+        w.execute()
+        return w
+
+    run(
+        "CREATE TABLE `p.crm.pdocs`"
+        " PARTITION BY RANGE_BUCKET(doc_id, GENERATE_ARRAY(0, 5000, 250))"
+        " AS SELECT doc_id, text FROM documents"
+    )
+    run("CREATE SEARCH INDEX psi ON `p.crm.pdocs` (text)")
+    q = (
+        "SELECT doc_id FROM `p.crm.pdocs`"
+        " WHERE SEARCH(text, 'spark merge') ORDER BY doc_id"
+    )
+    w_idx = run(q)
+    assert any("routed through index" in line for line in w_idx.log)
+    assert not any("delta" in line for line in w_idx.log)
+    r_idx = spark.createDataFrame(
+        w_idx.result.collect(), w_idx.result.schema
+    )
+    run(
+        "INSERT INTO `p.crm.pdocs` SELECT doc_id + 10000000,"
+        " 'spark merge freshness probe' FROM documents WHERE doc_id < 5;"
+        "UPDATE `p.crm.pdocs` SET text = 'spark merge updated'"
+        " WHERE doc_id = 7;"
+    )
+    w_delta = run(q)
+    assert any("delta scan" in line for line in w_delta.log), w_delta.log
+    assert any("routed through index" in line for line in w_delta.log)
+    return (
+        r_idx.select(F.lit("indexed").alias("phase"), "doc_id")
+        .unionAll(
+            w_delta.result.select(F.lit("delta").alias("phase"), "doc_id")
+        )
+        .orderBy("phase", "doc_id")
+    )
+
+
 def _search_pred(data: str, query_lit: str) -> str:
     """DuckDB twin of the engine's SEARCH tokenization (LOG_ANALYZER:
     lowercase + split on non-alphanumeric runes; TRUE iff every query
@@ -1086,6 +1142,26 @@ ORDER BY phase, doc_id
 """
 
 
+DML_INDEX_DELTA_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+), mut AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = 7 THEN 'spark merge updated' ELSE text END AS text
+  FROM base
+  UNION ALL
+  SELECT doc_id + 10000000, 'spark merge freshness probe'
+  FROM documents WHERE doc_id < 5
+)
+SELECT 'indexed' AS phase, doc_id FROM base
+WHERE {_search_pred('text', "'spark merge'")}
+UNION ALL
+SELECT 'delta' AS phase, doc_id FROM mut
+WHERE {_search_pred('text', "'spark merge'")}
+ORDER BY phase, doc_id
+"""
+
+
 DML_QUERIES: dict[str, tuple] = {
     "dml_merge_upsert": (dml_merge_upsert, DML_MERGE_SQL),
     "dml_update_delete_insert": (dml_update_delete_insert, DML_UPDATE_SQL),
@@ -1110,4 +1186,5 @@ DML_QUERIES: dict[str, tuple] = {
     "dml_index_freshness": (dml_index_freshness, DML_INDEX_FRESHNESS_SQL),
     "dml_star_elimination": (dml_star_elimination, DML_STAR_ELIM_SQL),
     "dml_mv_containment": (dml_mv_containment, DML_MV_CONTAINMENT_SQL),
+    "dml_index_delta": (dml_index_delta, DML_INDEX_DELTA_SQL),
 }

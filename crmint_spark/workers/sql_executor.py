@@ -2366,6 +2366,107 @@ class SparkSQLExecutor(Worker):
         except ValueError:
             entry["base_fp"] = None
 
+    _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+    def _partition_snapshot(self, table: str, df):
+        """(part_expr Column, entry extras) enabling incremental index
+        freshness (VERDICT r8 #2) when the indexed base is a catalog
+        table with an eligible PARTITION BY layout: the postings carry
+        each row's partition value (``__part``), and the entry records
+        the per-partition file fingerprints plus the partition VALUE
+        expression (BigQuery dialect, over the user-visible columns) so
+        routing can classify partitions as unchanged vs changed and
+        serve index-over-unchanged UNION exact-scan-over-changed.
+        Eligible kinds: identity/date/trunc(DAY|MONTH|YEAR)/
+        range_bucket — their CAST-to-STRING value equals the hive
+        directory spelling. HOUR truncation (timestamp value) is not
+        eligible. (None, {}) for everything else — the binary
+        fingerprint gate then governs alone."""
+        from pyspark.sql import functions as F
+
+        cat = self._ctx.catalog
+        if cat is None:
+            return None, {}
+        try:
+            meta = cat.layout_meta(table)
+        except Exception:
+            return None, {}
+        if not meta or not meta.get("pcol"):
+            return None, {}
+        kind = meta.get("kind")
+        if kind not in ("identity", "date", "trunc", "range_bucket"):
+            return None, {}
+        if kind == "trunc" and meta.get("granularity") not in (
+            "DAY",
+            "MONTH",
+            "YEAR",
+        ):
+            return None, {}
+        src = meta["source_col"]
+        if src not in df.columns:
+            return None, {}
+        pexpr_bq = (
+            f"`{src}`" if kind == "identity" else meta["pexpr_bq"]
+        )
+        pe = (
+            F.col(src)
+            if kind == "identity"
+            else F.expr(meta["pexpr_spark"])
+        )
+        part_expr = F.coalesce(
+            pe.cast("string"), F.lit(self._HIVE_NULL)
+        )
+        fps = cat.partition_fingerprints(table)
+        if fps is None:
+            return None, {}
+        return part_expr, {
+            "part_fps": fps,
+            "part_pexpr_bq": pexpr_bq,
+            "part_src_col": src,
+            "part_kind": kind,
+            "part_pcol": meta["pcol"],
+            "part_sig": (meta["pcol"], pexpr_bq),
+        }
+
+    def _index_delta_parts(
+        self, entry: dict
+    ) -> tuple[list[str], list[str], list[str]] | None:
+        """Classify a STALE partition-tagged index's base partitions:
+        (unchanged, changed_or_new, removed) hive values — or None when
+        the incremental path cannot serve (no partition tags, layout
+        altered/dropped, or nothing unchanged to save). File-level
+        fingerprints make untouched partitions compare equal across
+        pruned-DML hardlink swaps."""
+        if not entry.get("part_fps"):
+            return None
+        cat = self._ctx.catalog
+        if cat is None:
+            return None
+        try:
+            meta = cat.layout_meta(entry["table"])
+        except Exception:
+            return None
+        if not meta or not meta.get("pcol"):
+            return None
+        kind = meta.get("kind")
+        pexpr_bq = (
+            f"`{meta['source_col']}`"
+            if kind == "identity"
+            else meta.get("pexpr_bq")
+        )
+        if tuple(entry.get("part_sig") or ()) != (meta["pcol"], pexpr_bq):
+            return None  # layout re-declared since materialization
+        cur = cat.partition_fingerprints(entry["table"])
+        if cur is None:
+            return None
+        old = entry["part_fps"]
+        unchanged = sorted(v for v, fp in cur.items() if old.get(v) == fp)
+        changed = sorted(v for v in cur if old.get(v) != cur[v])
+        removed = sorted(v for v in old if v not in cur)
+        if not unchanged:
+            return None  # nothing salvageable: plain exact path
+        return unchanged, changed, removed
+
     def _index_entry_fresh(self, entry: dict) -> bool:
         fp = entry.get("base_fp")
         if fp is None:
@@ -2573,7 +2674,10 @@ class SparkSQLExecutor(Worker):
             prefix="crmint_sidx_"
         )
         path = os.path.join(root, "__search_index__", _safe_view_name(name))
-        materialize_search_index(spark, df, columns, id_col, path)
+        part_expr, part_extra = self._partition_snapshot(table, df)
+        materialize_search_index(
+            spark, df, columns, id_col, path, part_expr=part_expr
+        )
         layout_view = f"__sidx_{_safe_view_name(name)}"
         spark.read.parquet(path).createOrReplaceTempView(layout_view)
         entry.update(
@@ -2582,6 +2686,7 @@ class SparkSQLExecutor(Worker):
                 "layout_path": path,
                 "indexed_columns": columns,
                 "id_column": id_col,
+                **part_extra,
             }
         )
         self.log_info(
@@ -3368,13 +3473,25 @@ class SparkSQLExecutor(Worker):
         calls = list(_iter_calls(sub, ("SEARCH",)))
         if calls:
             # freshness gate (VERDICT r8 #1): a base mutated since the
-            # postings snapshot must NOT be served from the index —
-            # BigQuery's contract is results-always-correct. Drift
-            # falls through to the exact scan rewrite.
+            # postings snapshot must NOT be served from the index as-is
+            # — BigQuery's contract is results-always-correct. A
+            # partition-tagged index serves incrementally (index over
+            # unchanged partitions UNION exact scan over changed ones —
+            # VERDICT r8 #2); anything else falls through to the exact
+            # scan rewrite wholesale.
             fresh = []
             for e in search_indexes:
                 if self._index_entry_fresh(e):
-                    fresh.append(e)
+                    fresh.append(dict(e, _delta=None))
+                    continue
+                d = self._index_delta_parts(e)
+                if d is not None:
+                    fresh.append(dict(e, _delta=d))
+                    self.log_info(
+                        f"SEARCH INDEX over {e['table']}: base changed —"
+                        f" serving index over {len(d[0])} unchanged"
+                        f" partitions + delta scan of {len(d[1])}"
+                    )
                 else:
                     self.log_info(
                         f"SEARCH INDEX over {e['table']}: base changed"
@@ -3459,14 +3576,74 @@ class SparkSQLExecutor(Worker):
                 if len(entry["indexed_columns"]) == 1
                 else f" AND src_col = '{col}'"
             )
+
+            def _qvals(vs: list[str]) -> str:
+                return ", ".join(
+                    "'" + v.replace("'", "''") + "'" for v in vs
+                )
+
+            delta = entry.get("_delta")
+            part_filter = ""
+            if delta:
+                unchanged, changed, removed = delta
+                excl = changed + removed
+                # postings restricted to partitions whose files are
+                # byte-identical to the snapshot — pick the shorter
+                # literal list (they are complements over __part)
+                if len(unchanged) <= len(excl):
+                    part_filter = f" AND __part IN ({_qvals(unchanged)})"
+                elif excl:
+                    part_filter = (
+                        f" AND __part NOT IN ({_qvals(excl)})"
+                    )
             rep = (
                 f"({idref} IN (SELECT __id FROM {entry['layout_view']}"
                 f" WHERE tok_bucket IN ({bucket_list})"
                 f" AND token IN ({tok_list})"
-                f"{src_filter}"
+                f"{src_filter}{part_filter}"
                 f" GROUP BY __id"
                 f" HAVING count(DISTINCT token) = {len(toks)}))"
             )
+            if delta and delta[1]:
+                # changed/new partitions: exact scan, expressed as a
+                # SELF-subquery so the OUTER scan stays text-free and
+                # the delta scan is a pure conjunction on the PARTITION
+                # column itself — statically pruned to the changed
+                # directories. Identity layouts filter their real
+                # column on the base; derived layouts read the RAW
+                # layout view (``__pk`` exposed) so the conjunct
+                # reaches the scan as PartitionFilters. The leftover
+                # SEARCH() call is NOT re-routed (calls were collected
+                # up front); it compiles to the dialect's scan
+                # predicate inside the subquery.
+                dvals = delta[1]
+                nullable = self._HIVE_NULL in dvals
+                plits = [
+                    v
+                    if entry["part_kind"] == "range_bucket"
+                    else f"DATE '{v}'"
+                    for v in dvals
+                    if v != self._HIVE_NULL
+                ]
+                if entry["part_kind"] == "identity":
+                    drel = f"`{entry['table']}`"
+                    pref = f"`{entry['part_pcol']}`"
+                else:
+                    cat = self._ctx.catalog
+                    drel = cat.ensure_layout_view(entry["table"])
+                    pref = f"`{entry['part_pcol']}`"
+                conds = []
+                if plits:
+                    conds.append(f"{pref} IN ({', '.join(plits)})")
+                if nullable:
+                    conds.append(f"{pref} IS NULL")
+                delta_pred = (
+                    f"({idref} IN (SELECT `{entry['id_column']}`"
+                    f" FROM {drel}"
+                    f" WHERE ({' OR '.join(conds)})"
+                    f" AND SEARCH(`{col}`, '{m_q.group(1)}')))"
+                )
+                rep = f"({rep} OR {delta_pred})"
             sub = sub[:start] + rep + sub[end:]
             self.log_info(
                 f"SEARCH({col}, ...): routed through index"
