@@ -3547,20 +3547,17 @@ class SparkSQLExecutor(Worker):
             if not toks:
                 continue  # vacuous TRUE: scan rewrite folds it cheaply
             tok_list = ", ".join(f"'{t}'" for t in toks)
-            # bucket literals for STATIC partition pruning (one tiny
-            # job, |query tokens| rows). The searched COLUMN is part of
-            # the bucket key (round 8): a multi-column index's probe
-            # opens only this column's buckets.
-            vals = ", ".join(f"('{t}')" for t in toks)
+            # bucket literals for STATIC partition pruning, computed
+            # DRIVER-SIDE (VERDICT r8 #7: the previous per-call Spark
+            # job was a fixed ~0.2 s tax on every routed SEARCH). The
+            # searched COLUMN is part of the bucket key (round 8): a
+            # multi-column index's probe opens only this column's
+            # buckets. search_bucket is asserted byte-identical to the
+            # engine's pmod(xxhash64(...)) in tests.
+            from ..operators.text import search_bucket
+
             buckets = sorted(
-                {
-                    int(r["b"])
-                    for r in self._ctx.spark.sql(
-                        f"SELECT pmod(xxhash64('{col}', t),"
-                        f" {SEARCH_INDEX_BUCKETS})"
-                        f" AS b FROM VALUES {vals} AS v(t)"
-                    ).collect()
-                }
+                {search_bucket(col, t, SEARCH_INDEX_BUCKETS) for t in toks}
             )
             bucket_list = ", ".join(str(b) for b in buckets)
             idref = (

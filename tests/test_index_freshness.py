@@ -88,6 +88,36 @@ def test_search_index_drop_recreate_purges_entries(spark, cat):
     assert _ids(w) == [7]
 
 
+def test_driver_side_bucket_hash_matches_engine(spark):
+    """The routed SEARCH computes its bucket literals driver-side
+    (VERDICT r8 #7 — the per-call Spark probe job was a fixed tax);
+    search_bucket MUST stay byte-identical to the layout's
+    pmod(xxhash64(col, token), B) bucket key."""
+    from crmint_spark.operators.text import (
+        SEARCH_INDEX_BUCKETS,
+        search_bucket,
+    )
+
+    toks = [
+        "spark", "merge", "a", "", "2024",
+        "longertokenvaluewithmorethan32bytesofcontenthere",
+        "naïve", "日本語テスト文字列とより長い入力",
+    ]
+    cols = ["text", "seg", "body_column_name"]
+    row = spark.sql(
+        "SELECT "
+        + ", ".join(
+            f"pmod(xxhash64('{c}', '{t}'), {SEARCH_INDEX_BUCKETS})"
+            f" AS b_{i}_{j}"
+            for i, c in enumerate(cols)
+            for j, t in enumerate(toks)
+        )
+    ).first()
+    for i, c in enumerate(cols):
+        for j, t in enumerate(toks):
+            assert search_bucket(c, t) == row[f"b_{i}_{j}"], (c, t)
+
+
 def _mk_partitioned_logs(spark, cat, part_clause, ts_expr):
     run(
         spark, cat,
