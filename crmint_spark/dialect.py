@@ -151,7 +151,10 @@ def _balanced_end(sql: str, open_idx: int) -> int:
 
 
 def _split_top_level(args: str, sep: str = ",") -> list[str]:
-    """Split on top-level separators (paren/string aware)."""
+    """Split on top-level separators (paren, BRACKET and string aware —
+    brackets since round 9: ``SET emb = [1.0, 2.0]`` must be ONE
+    assignment; the bracket-blind splitter broke every array-literal
+    argument, review finding r9)."""
     out: list[str] = []
     buf_start = 0
     depth = 0
@@ -161,9 +164,9 @@ def _split_top_level(args: str, sep: str = ",") -> list[str]:
         if ch in ("'", '"', "`"):
             i = _skip_string(args, i)
             continue
-        if ch == "(":
+        if ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
         elif ch == sep and depth == 0:
             out.append(args[buf_start:i])

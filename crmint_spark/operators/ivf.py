@@ -635,6 +635,7 @@ def materialize_sql_vector_index(
     id_col: str,
     path: str,
     stats: tuple[int, int] | None = None,
+    part_expr=None,
 ) -> tuple[list[tuple[int, list[float]]], list[str]]:
     """Build the physical layout behind ``CREATE VECTOR INDEX`` on an
     arbitrary table: deterministic stride-seeded Lloyd quantizer over
@@ -718,6 +719,12 @@ def materialize_sql_vector_index(
     indexed = vecs.withColumn(
         "list_id", F.array_min(dist_structs)["list_id"]
     ).drop("__v")
+    if part_expr is not None:
+        # base-partition tag for incremental freshness (VERDICT r8 #2):
+        # a stale routed VECTOR_SEARCH reads unchanged partitions from
+        # this layout and unions the changed partitions' rows with
+        # their nearest-centroid assignment computed inline
+        indexed = indexed.withColumn("__part", part_expr)
     (
         indexed.repartition("list_id")
         .sortWithinPartitions(id_col)

@@ -1106,6 +1106,88 @@ def dml_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dml_vector_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VECTOR index freshness (round 9, VERDICT r8 #2): a
+    RANGE_BUCKET-partitioned embedding table gets a VECTOR INDEX, an
+    INSERT lands the true nearest neighbour in a new partition, and the
+    routed VECTOR_SEARCH (every list probed) must surface it via the
+    delta-assignment branch (asserted in the log) with results EXACTLY
+    equal to the brute-force truth — which is what the oracle computes.
+    1-D embeddings keep every distance distinct, so the top-k cut is
+    deterministic."""
+    from pyspark.sql import functions as F
+
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_q_"))
+
+    def run(script):
+        w = SparkSQLExecutor(
+            {"script": script, "dry_run": False},
+            WorkerContext(spark=spark, catalog=cat),
+        )
+        w.execute()
+        return w
+
+    run(
+        "CREATE TABLE `p.crm.vdocs`"
+        " PARTITION BY RANGE_BUCKET(vid, GENERATE_ARRAY(0, 5000, 250))"
+        " AS SELECT doc_id AS vid,"
+        " ARRAY[CAST(doc_id AS FLOAT64), CAST(0.0 AS FLOAT64)] AS emb"
+        " FROM documents"
+    )
+    run("CREATE VECTOR INDEX dvi ON `p.crm.vdocs` (emb)")
+    q = (
+        "SELECT base.vid AS vid, ROUND(distance, 3) AS dist"
+        " FROM VECTOR_SEARCH(TABLE `p.crm.vdocs`, 'emb',"
+        " (SELECT ARRAY[CAST(57.25 AS FLOAT64), CAST(0.0 AS FLOAT64)]"
+        " AS emb), top_k => 5,"
+        " options => '{\"fraction_lists_to_search\": 1.0}')"
+        " ORDER BY dist, vid"
+    )
+    w_idx = run(q)
+    assert any("routed through index" in line for line in w_idx.log)
+    r_idx = spark.createDataFrame(
+        w_idx.result.collect(), w_idx.result.schema
+    )
+    run(
+        "INSERT INTO `p.crm.vdocs` SELECT 10000057,"
+        " ARRAY[CAST(57.2 AS FLOAT64), CAST(0.0 AS FLOAT64)]"
+    )
+    w_delta = run(q)
+    assert any("delta assignment" in line for line in w_delta.log), (
+        w_delta.log
+    )
+    return (
+        r_idx.select(F.lit("indexed").alias("phase"), "vid", "dist")
+        .unionAll(
+            w_delta.result.select(
+                F.lit("delta").alias("phase"), "vid", "dist"
+            )
+        )
+        .orderBy("phase", "dist", "vid")
+    )
+
+
+DML_VECTOR_DELTA_SQL = """
+WITH base AS (
+  SELECT doc_id AS vid, CAST(doc_id AS DOUBLE) AS v FROM documents
+), mut AS (
+  SELECT vid, v FROM base
+  UNION ALL SELECT 10000057, 57.2
+), d1 AS (
+  SELECT 'indexed' AS phase, vid,
+         ROUND(sqrt((v - 57.25) * (v - 57.25)), 3) AS dist
+  FROM base ORDER BY dist, vid LIMIT 5
+), d2 AS (
+  SELECT 'delta' AS phase, vid,
+         ROUND(sqrt((v - 57.25) * (v - 57.25)), 3) AS dist
+  FROM mut ORDER BY dist, vid LIMIT 5
+)
+SELECT * FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+ORDER BY phase, dist, vid
+"""
+
+
 def _search_pred(data: str, query_lit: str) -> str:
     """DuckDB twin of the engine's SEARCH tokenization (LOG_ANALYZER:
     lowercase + split on non-alphanumeric runes; TRUE iff every query
@@ -1187,4 +1269,5 @@ DML_QUERIES: dict[str, tuple] = {
     "dml_star_elimination": (dml_star_elimination, DML_STAR_ELIM_SQL),
     "dml_mv_containment": (dml_mv_containment, DML_MV_CONTAINMENT_SQL),
     "dml_index_delta": (dml_index_delta, DML_INDEX_DELTA_SQL),
+    "dml_vector_delta": (dml_vector_delta, DML_VECTOR_DELTA_SQL),
 }

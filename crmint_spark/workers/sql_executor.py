@@ -2613,9 +2613,12 @@ class SparkSQLExecutor(Worker):
             prefix="crmint_vidx_"
         )
         path = os.path.join(root, "__vector_index__", _safe_view_name(name))
+        part_expr, part_extra = self._partition_snapshot(table, df)
         cent_rows, base_cols = materialize_sql_vector_index(
-            spark, df, col, id_col, path, stats=(n_rows, lo)
+            spark, df, col, id_col, path, stats=(n_rows, lo),
+            part_expr=part_expr,
         )
+        entry.update(part_extra)
         layout_view = f"__vidx_{_safe_view_name(name)}"
         spark.read.parquet(path).createOrReplaceTempView(layout_view)
         entry.update(
@@ -3682,11 +3685,26 @@ class SparkSQLExecutor(Worker):
         calls = list(_iter_calls(sub, ("VECTOR_SEARCH",)))
         if calls:
             # freshness gate (VERDICT r8 #1) — same contract as the
-            # SEARCH postings: drift → exact brute-force path
+            # SEARCH postings: drift → exact brute-force path, UNLESS
+            # the base has a partition-tagged layout (VERDICT r8 #2):
+            # then the probe join reads unchanged partitions from the
+            # layout and unions the changed partitions' rows with an
+            # inline nearest-centroid assignment (same codebook the
+            # materialization used — identical to an incremental
+            # refresh of exactly those rows)
             fresh = {}
             for t, e in vector_indexes.items():
                 if self._index_entry_fresh(e):
-                    fresh[t] = e
+                    fresh[t] = dict(e, _delta=None)
+                    continue
+                d = self._index_delta_parts(e)
+                if d is not None:
+                    fresh[t] = dict(e, _delta=d)
+                    self.log_info(
+                        f"VECTOR INDEX over {e['table']}: base changed —"
+                        f" serving index over {len(d[0])} unchanged"
+                        f" partitions + delta assignment of {len(d[1])}"
+                    )
                 else:
                     self.log_info(
                         f"VECTOR INDEX over {e['table']}: base changed"
@@ -3828,6 +3846,64 @@ class SparkSQLExecutor(Worker):
             base_struct = ", ".join(
                 f"vs_b.`{c}` AS `{c}`" for c in entry["base_columns"]
             )
+            vs_b_rel = entry["layout_view"]
+            delta = entry.get("_delta")
+            if delta:
+                unchanged, changed, removed = delta
+                excl = changed + removed
+
+                def _qvals(vs: list[str]) -> str:
+                    return ", ".join(
+                        "'" + v.replace("'", "''") + "'" for v in vs
+                    )
+
+                base_sel = ", ".join(
+                    f"`{c}`" for c in entry["base_columns"]
+                )
+                if len(unchanged) <= len(excl):
+                    pfil = f"__part IN ({_qvals(unchanged)})"
+                elif excl:
+                    pfil = f"__part NOT IN ({_qvals(excl)})"
+                else:
+                    pfil = "TRUE"
+                branches = [
+                    f"SELECT {base_sel}, list_id"
+                    f" FROM {entry['layout_view']} WHERE {pfil}"
+                ]
+                if changed:
+                    nullable = self._HIVE_NULL in changed
+                    plits = [
+                        v
+                        if entry["part_kind"] == "range_bucket"
+                        else f"DATE '{v}'"
+                        for v in changed
+                        if v != self._HIVE_NULL
+                    ]
+                    if entry["part_kind"] == "identity":
+                        drel = f"`{entry['table']}`"
+                    else:
+                        drel = self._ctx.catalog.ensure_layout_view(
+                            entry["table"]
+                        )
+                    pref = f"`{entry['part_pcol']}`"
+                    conds = []
+                    if plits:
+                        conds.append(f"{pref} IN ({', '.join(plits)})")
+                    if nullable:
+                        conds.append(f"{pref} IS NULL")
+                    assign = (
+                        "element_at("
+                        + sql_probe_expr(
+                            cent_rows, f"`{entry['indexed_column']}`", 1
+                        )
+                        + ", 1)"
+                    )
+                    branches.append(
+                        f"SELECT {base_sel}, {assign} AS list_id"
+                        f" FROM {drel}"
+                        f" WHERE ({' OR '.join(conds)})"
+                    )
+                vs_b_rel = "(" + " UNION ALL ".join(branches) + ")"
             dist = _vs_distance(
                 f"vs_q.query.{query_col}", f"vs_b.`{base_col}`", dist_kind
             )
@@ -3846,7 +3922,7 @@ class SparkSQLExecutor(Worker):
                 f" FROM {query_rel} AS vs_qt)"
                 " LATERAL VIEW explode(vs_probes) vs_pl AS vs_probe"
                 ") AS vs_q"
-                f" JOIN {entry['layout_view']} AS vs_b"
+                f" JOIN {vs_b_rel} AS vs_b"
                 " ON vs_b.list_id = vs_q.vs_probe"
                 f" AND vs_b.list_id IN ({in_list})"
                 + (f" WHERE ({base_pred})" if base_pred else "")

@@ -198,6 +198,54 @@ def test_search_index_delta_union(spark, cat, label, part_clause, ts_expr, inser
     assert [r["lid"] for r in w4.result.collect()] == ids
 
 
+def test_vector_index_delta_union(spark, cat):
+    """VERDICT r8 #2 (vector side): a partition-tagged VECTOR index
+    serves incrementally after DML — unchanged partitions from the IVF
+    layout UNION the changed partitions' rows with an inline
+    nearest-centroid assignment (same codebook). With every list
+    probed (fraction_lists_to_search=1.0) the result must equal the
+    brute-force truth exactly."""
+    run(
+        spark, cat,
+        "CREATE TABLE `p.d.vecs` PARTITION BY d AS"
+        " SELECT DATE_ADD(DATE '2024-01-01', CAST(id % 4 AS INT)) AS d,"
+        " id AS vid, ARRAY[CAST(id AS FLOAT64),"
+        " CAST(MOD(id * 37, 101) AS FLOAT64)] AS emb"
+        " FROM UNNEST(GENERATE_ARRAY(0, 199)) AS id",
+    )
+    run(spark, cat, "CREATE VECTOR INDEX vvi ON `p.d.vecs` (emb)")
+
+    def vq(opts=""):
+        return (
+            "SELECT base.vid AS vid, ROUND(distance, 6) AS dist"
+            " FROM VECTOR_SEARCH(TABLE `p.d.vecs`, 'emb',"
+            " (SELECT ARRAY[CAST(57.0 AS FLOAT64),"
+            " CAST(10.0 AS FLOAT64)] AS emb), top_k => 5"
+            + opts
+            + ") ORDER BY dist, vid"
+        )
+
+    full = ", options => '{\"fraction_lists_to_search\": 1.0}'"
+    w = run(spark, cat, vq(full))
+    assert any("routed through index" in line for line in w.log)
+    run(
+        spark, cat,
+        "INSERT INTO `p.d.vecs` SELECT DATE '2024-01-02', 9999,"
+        " ARRAY[CAST(57.0 AS FLOAT64), CAST(10.0 AS FLOAT64)]",
+    )
+    w2 = run(spark, cat, vq(full))
+    assert any("delta assignment" in line for line in w2.log), w2.log
+    r2 = [tuple(r) for r in w2.result.collect()]
+    assert r2[0] == (9999, 0.0)
+    w3 = run(spark, cat, vq(", options => '{\"use_brute_force\": true}'"))
+    assert r2 == [tuple(r) for r in w3.result.collect()]
+    # partial probes: the inserted vector still surfaces (its list is
+    # its true nearest centroid — same assignment a rebuild would make)
+    w4 = run(spark, cat, vq())
+    assert any("delta assignment" in line for line in w4.log)
+    assert [r["vid"] for r in w4.result.collect()][0] == 9999
+
+
 def test_vector_index_freshness(spark, cat):
     """VECTOR_SEARCH has the identical gate: an INSERTed vector that is
     the true nearest neighbour must appear even though the IVF layout
