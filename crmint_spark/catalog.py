@@ -79,6 +79,30 @@ def _link_tree(src: str, dst: str) -> None:
                 shutil.copy2(s, d)
 
 
+def purge_index_entries(idx: dict | None, table_id: str) -> None:
+    """Remove every SEARCH/VECTOR index entry whose base table names
+    ``table_id`` (trailing-segment match — over-purge only costs the
+    index; the exact path is always correct). Shared by
+    ``Catalog.purge_indexes`` and the executor's rebind-DDL
+    invalidation for session-view bases (review finding r9: a CREATE
+    OR REPLACE TEMP VIEW rebind left the dead snapshot routable)."""
+    if not idx:
+        return
+    segs = [s for s in table_id.strip("`").lower().split(".") if s]
+
+    def _same(entry_table: str) -> bool:
+        es = [
+            s for s in str(entry_table).strip("`").lower().split(".") if s
+        ]
+        if not es:
+            return False
+        k = min(len(es), len(segs))
+        return es[-k:] == segs[-k:]
+
+    for name in [n for n, e in idx.items() if _same(e.get("table", ""))]:
+        idx.pop(name, None)
+
+
 def _safe_view_name(table_id: str) -> str:
     """``proj.ds.tbl`` -> ``proj__ds__tbl`` (temp views are single-part)."""
     return re.sub(r"[^A-Za-z0-9_]", "_", table_id.replace(".", "__"))
@@ -1263,24 +1287,7 @@ class Catalog:
         postings snapshot (VERDICT r8 #1, confirmed wrong answer).
         Suffix-matching ids errs toward over-purge, which only costs
         the index: the exact path is always correct."""
-        idx = getattr(self, "_indexes", None)
-        if not idx:
-            return
-        segs = [s for s in table_id.strip("`").lower().split(".") if s]
-
-        def _same(entry_table: str) -> bool:
-            es = [
-                s
-                for s in str(entry_table).strip("`").lower().split(".")
-                if s
-            ]
-            if not es:
-                return False
-            k = min(len(es), len(segs))
-            return es[-k:] == segs[-k:]
-
-        for name in [n for n, e in idx.items() if _same(e.get("table", ""))]:
-            idx.pop(name, None)
+        purge_index_entries(getattr(self, "_indexes", None), table_id)
 
     def clone(self, src_id: str, dst_id: str) -> None:
         """Table clone/snapshot: a zero-copy HARDLINK of the immutable

@@ -342,8 +342,6 @@ def dml_mv_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly what the oracle does. Integral SUM keeps the
     re-aggregation byte-exact. The 100 TB shape: a dashboard's coarse
     roll-up reads the (tiny) MV instead of rescanning the fact."""
-    from pyspark.sql import functions as F
-
     register_testdata(spark, sf_dir)
     cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_q_"))
     cat.write(
@@ -1176,11 +1174,11 @@ WITH base AS (
   UNION ALL SELECT 10000057, 57.2
 ), d1 AS (
   SELECT 'indexed' AS phase, vid,
-         ROUND(sqrt((v - 57.25) * (v - 57.25)), 3) AS dist
+         ROUND(sqrt((v - 57.25) * (v - 57.25)), 3) + 0 AS dist
   FROM base ORDER BY dist, vid LIMIT 5
 ), d2 AS (
   SELECT 'delta' AS phase, vid,
-         ROUND(sqrt((v - 57.25) * (v - 57.25)), 3) AS dist
+         ROUND(sqrt((v - 57.25) * (v - 57.25)), 3) + 0 AS dist
   FROM mut ORDER BY dist, vid LIMIT 5
 )
 SELECT * FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)

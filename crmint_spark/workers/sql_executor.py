@@ -1698,7 +1698,6 @@ class SparkSQLExecutor(Worker):
         """One pass of the eliminator: drop the FIRST top-level join
         provably redundant under the declared keys; None when no join
         qualifies (the statement is left untouched)."""
-        cat = self._ctx.catalog
         masked = _mask_literals_same_length(sub)
         # SEMI/ANTI excluded explicitly: 'LEFT SEMI JOIN' would slip
         # past the LEFT-capture below (the optional group matches empty
@@ -2466,6 +2465,59 @@ class SparkSQLExecutor(Worker):
         if not unchanged:
             return None  # nothing salvageable: plain exact path
         return unchanged, changed, removed
+
+    @staticmethod
+    def _quote_vals(vs: list[str]) -> str:
+        return ", ".join("'" + v.replace("'", "''") + "'" for v in vs)
+
+    def _delta_scan_parts(
+        self, entry: dict, delta: tuple[list[str], list[str], list[str]]
+    ) -> tuple[str, str | None, str | None]:
+        """Shared delta-union plumbing for the SEARCH and VECTOR
+        routers (review finding r9: keep the partition-literal / NULL /
+        relation-selection subtleties in ONE place):
+
+        - ``part_pred``: predicate keeping the index layout to
+          partitions byte-identical to the snapshot — the shorter of
+          ``__part IN (unchanged)`` / ``__part NOT IN (changed ∪
+          removed)`` (they are complements); '' when every current
+          partition is unchanged (pure removals).
+        - ``drel``: the relation to re-scan for changed rows — the base
+          itself for identity layouts (the partition column is real,
+          Catalyst prunes natively), the RAW layout view (``__pk``
+          exposed) for derived specs so the conjunct reaches the scan
+          as PartitionFilters.
+        - ``dcond``: typed partition conjunct over ``drel`` (DATE
+          literals for date-valued kinds, bare ints for range_bucket,
+          IS NULL for the hive default partition); None when nothing
+          changed."""
+        unchanged, changed, removed = delta
+        excl = changed + removed
+        if len(unchanged) <= len(excl):
+            part_pred = f"__part IN ({self._quote_vals(unchanged)})"
+        elif excl:
+            part_pred = f"__part NOT IN ({self._quote_vals(excl)})"
+        else:
+            part_pred = ""
+        if not changed:
+            return part_pred, None, None
+        nullable = self._HIVE_NULL in changed
+        plits = [
+            v if entry["part_kind"] == "range_bucket" else f"DATE '{v}'"
+            for v in changed
+            if v != self._HIVE_NULL
+        ]
+        if entry["part_kind"] == "identity":
+            drel = f"`{entry['table']}`"
+        else:
+            drel = self._ctx.catalog.ensure_layout_view(entry["table"])
+        pref = f"`{entry['part_pcol']}`"
+        conds = []
+        if plits:
+            conds.append(f"{pref} IN ({', '.join(plits)})")
+        if nullable:
+            conds.append(f"{pref} IS NULL")
+        return part_pred, drel, " OR ".join(conds)
 
     def _index_entry_fresh(self, entry: dict) -> bool:
         fp = entry.get("base_fp")
@@ -3477,32 +3529,16 @@ class SparkSQLExecutor(Worker):
         if calls:
             # freshness gate (VERDICT r8 #1): a base mutated since the
             # postings snapshot must NOT be served from the index as-is
-            # — BigQuery's contract is results-always-correct. A
-            # partition-tagged index serves incrementally (index over
-            # unchanged partitions UNION exact scan over changed ones —
-            # VERDICT r8 #2); anything else falls through to the exact
-            # scan rewrite wholesale.
-            fresh = []
-            for e in search_indexes:
-                if self._index_entry_fresh(e):
-                    fresh.append(dict(e, _delta=None))
-                    continue
-                d = self._index_delta_parts(e)
-                if d is not None:
-                    fresh.append(dict(e, _delta=d))
-                    self.log_info(
-                        f"SEARCH INDEX over {e['table']}: base changed —"
-                        f" serving index over {len(d[0])} unchanged"
-                        f" partitions + delta scan of {len(d[1])}"
-                    )
-                else:
-                    self.log_info(
-                        f"SEARCH INDEX over {e['table']}: base changed"
-                        " since materialization — exact path serves"
-                    )
-            search_indexes = fresh
-            if not search_indexes:
-                return sub
+            # — BigQuery's contract is results-always-correct. Stale
+            # entries stay candidates marked _stale; the SERVE site
+            # classifies their partitions (a partition-tagged index
+            # serves incrementally — VERDICT r8 #2) or falls through —
+            # so logs and partition listdirs only happen for an index
+            # this statement actually resolves to (review finding r9).
+            search_indexes = [
+                dict(e, _stale=not self._index_entry_fresh(e))
+                for e in search_indexes
+            ]
         aliases = _relation_aliases(sub) if calls else {}
         ctes = _cte_definitions(sub) if calls else {}
         for start, op, end, _name in reversed(calls):
@@ -3544,6 +3580,21 @@ class SparkSQLExecutor(Worker):
             if len(hits) != 1:
                 continue
             entry = hits[0]
+            delta = None
+            if entry.get("_stale"):
+                delta = self._index_delta_parts(entry)
+                if delta is None:
+                    self.log_info(
+                        f"SEARCH INDEX over {entry['table']}: base"
+                        " changed since materialization — exact path"
+                        " serves"
+                    )
+                    continue
+                self.log_info(
+                    f"SEARCH INDEX over {entry['table']}: base changed —"
+                    f" serving index over {len(delta[0])} unchanged"
+                    f" partitions + delta scan of {len(delta[1])}"
+                )
             toks = sorted(
                 {t for t in re.split(r"[^a-z0-9]+", m_q.group(1).lower()) if t}
             )
@@ -3577,70 +3628,33 @@ class SparkSQLExecutor(Worker):
                 else f" AND src_col = '{col}'"
             )
 
-            def _qvals(vs: list[str]) -> str:
-                return ", ".join(
-                    "'" + v.replace("'", "''") + "'" for v in vs
-                )
-
-            delta = entry.get("_delta")
-            part_filter = ""
-            if delta:
-                unchanged, changed, removed = delta
-                excl = changed + removed
-                # postings restricted to partitions whose files are
-                # byte-identical to the snapshot — pick the shorter
-                # literal list (they are complements over __part)
-                if len(unchanged) <= len(excl):
-                    part_filter = f" AND __part IN ({_qvals(unchanged)})"
-                elif excl:
-                    part_filter = (
-                        f" AND __part NOT IN ({_qvals(excl)})"
-                    )
+            part_pred, drel, dcond = (
+                self._delta_scan_parts(entry, delta)
+                if delta
+                else ("", None, None)
+            )
             rep = (
                 f"({idref} IN (SELECT __id FROM {entry['layout_view']}"
                 f" WHERE tok_bucket IN ({bucket_list})"
                 f" AND token IN ({tok_list})"
-                f"{src_filter}{part_filter}"
-                f" GROUP BY __id"
+                f"{src_filter}"
+                + (f" AND {part_pred}" if part_pred else "")
+                + f" GROUP BY __id"
                 f" HAVING count(DISTINCT token) = {len(toks)}))"
             )
-            if delta and delta[1]:
+            if dcond:
                 # changed/new partitions: exact scan, expressed as a
                 # SELF-subquery so the OUTER scan stays text-free and
                 # the delta scan is a pure conjunction on the PARTITION
                 # column itself — statically pruned to the changed
-                # directories. Identity layouts filter their real
-                # column on the base; derived layouts read the RAW
-                # layout view (``__pk`` exposed) so the conjunct
-                # reaches the scan as PartitionFilters. The leftover
-                # SEARCH() call is NOT re-routed (calls were collected
-                # up front); it compiles to the dialect's scan
-                # predicate inside the subquery.
-                dvals = delta[1]
-                nullable = self._HIVE_NULL in dvals
-                plits = [
-                    v
-                    if entry["part_kind"] == "range_bucket"
-                    else f"DATE '{v}'"
-                    for v in dvals
-                    if v != self._HIVE_NULL
-                ]
-                if entry["part_kind"] == "identity":
-                    drel = f"`{entry['table']}`"
-                    pref = f"`{entry['part_pcol']}`"
-                else:
-                    cat = self._ctx.catalog
-                    drel = cat.ensure_layout_view(entry["table"])
-                    pref = f"`{entry['part_pcol']}`"
-                conds = []
-                if plits:
-                    conds.append(f"{pref} IN ({', '.join(plits)})")
-                if nullable:
-                    conds.append(f"{pref} IS NULL")
+                # directories. The leftover SEARCH() call is NOT
+                # re-routed (calls were collected up front); it
+                # compiles to the dialect's scan predicate inside the
+                # subquery.
                 delta_pred = (
                     f"({idref} IN (SELECT `{entry['id_column']}`"
                     f" FROM {drel}"
-                    f" WHERE ({' OR '.join(conds)})"
+                    f" WHERE ({dcond})"
                     f" AND SEARCH(`{col}`, '{m_q.group(1)}')))"
                 )
                 rep = f"({rep} OR {delta_pred})"
@@ -3690,29 +3704,13 @@ class SparkSQLExecutor(Worker):
             # then the probe join reads unchanged partitions from the
             # layout and unions the changed partitions' rows with an
             # inline nearest-centroid assignment (same codebook the
-            # materialization used — identical to an incremental
-            # refresh of exactly those rows)
-            fresh = {}
-            for t, e in vector_indexes.items():
-                if self._index_entry_fresh(e):
-                    fresh[t] = dict(e, _delta=None)
-                    continue
-                d = self._index_delta_parts(e)
-                if d is not None:
-                    fresh[t] = dict(e, _delta=d)
-                    self.log_info(
-                        f"VECTOR INDEX over {e['table']}: base changed —"
-                        f" serving index over {len(d[0])} unchanged"
-                        f" partitions + delta assignment of {len(d[1])}"
-                    )
-                else:
-                    self.log_info(
-                        f"VECTOR INDEX over {e['table']}: base changed"
-                        " since materialization — exact path serves"
-                    )
-            vector_indexes = fresh
-            if not vector_indexes:
-                return sub
+            # materialization used). Stale entries stay candidates
+            # marked _stale; classification + logging happen at the
+            # serve site only (review finding r9).
+            vector_indexes = {
+                t: dict(e, _stale=not self._index_entry_fresh(e))
+                for t, e in vector_indexes.items()
+            }
         ctes = _cte_definitions(sub) if calls else {}
         for start, op, end, _name in reversed(calls):
             raw_args = _split_top_level(sub[op + 1 : end - 1])
@@ -3749,6 +3747,19 @@ class SparkSQLExecutor(Worker):
             base_col = raw_args[1].strip().strip("'\"")
             if entry is None or entry.get("indexed_column") != base_col:
                 continue
+            stale_delta = None
+            if entry.get("_stale"):
+                # classify BEFORE the probe job: a stale entry without
+                # a salvageable partition delta falls through to the
+                # exact path with zero extra Spark work
+                stale_delta = self._index_delta_parts(entry)
+                if stale_delta is None:
+                    self.log_info(
+                        f"VECTOR INDEX over {entry['table']}: base"
+                        " changed since materialization — exact path"
+                        " serves"
+                    )
+                    continue
             if base_pred is not None:
                 qpred = _qualify_pred(base_pred, entry["base_columns"], "vs_b")
                 if qpred is None:
@@ -3847,50 +3858,25 @@ class SparkSQLExecutor(Worker):
                 f"vs_b.`{c}` AS `{c}`" for c in entry["base_columns"]
             )
             vs_b_rel = entry["layout_view"]
-            delta = entry.get("_delta")
-            if delta:
-                unchanged, changed, removed = delta
-                excl = changed + removed
-
-                def _qvals(vs: list[str]) -> str:
-                    return ", ".join(
-                        "'" + v.replace("'", "''") + "'" for v in vs
-                    )
-
+            if stale_delta is not None:
+                self.log_info(
+                    f"VECTOR INDEX over {entry['table']}: base changed —"
+                    f" serving index over {len(stale_delta[0])} unchanged"
+                    f" partitions + delta assignment of"
+                    f" {len(stale_delta[1])}"
+                )
+                part_pred, drel, dcond = self._delta_scan_parts(
+                    entry, stale_delta
+                )
                 base_sel = ", ".join(
                     f"`{c}`" for c in entry["base_columns"]
                 )
-                if len(unchanged) <= len(excl):
-                    pfil = f"__part IN ({_qvals(unchanged)})"
-                elif excl:
-                    pfil = f"__part NOT IN ({_qvals(excl)})"
-                else:
-                    pfil = "TRUE"
                 branches = [
                     f"SELECT {base_sel}, list_id"
-                    f" FROM {entry['layout_view']} WHERE {pfil}"
+                    f" FROM {entry['layout_view']}"
+                    f" WHERE {part_pred or 'TRUE'}"
                 ]
-                if changed:
-                    nullable = self._HIVE_NULL in changed
-                    plits = [
-                        v
-                        if entry["part_kind"] == "range_bucket"
-                        else f"DATE '{v}'"
-                        for v in changed
-                        if v != self._HIVE_NULL
-                    ]
-                    if entry["part_kind"] == "identity":
-                        drel = f"`{entry['table']}`"
-                    else:
-                        drel = self._ctx.catalog.ensure_layout_view(
-                            entry["table"]
-                        )
-                    pref = f"`{entry['part_pcol']}`"
-                    conds = []
-                    if plits:
-                        conds.append(f"{pref} IN ({', '.join(plits)})")
-                    if nullable:
-                        conds.append(f"{pref} IS NULL")
+                if dcond:
                     assign = (
                         "element_at("
                         + sql_probe_expr(
@@ -3901,7 +3887,7 @@ class SparkSQLExecutor(Worker):
                     branches.append(
                         f"SELECT {base_sel}, {assign} AS list_id"
                         f" FROM {drel}"
-                        f" WHERE ({' OR '.join(conds)})"
+                        f" WHERE ({dcond})"
                     )
                 vs_b_rel = "(" + " UNION ALL ".join(branches) + ")"
             dist = _vs_distance(
@@ -4586,6 +4572,15 @@ class SparkSQLExecutor(Worker):
                 self._mv_store().pop(dm.group(1), None)
                 if self._ctx.catalog is not None:
                     self._ctx.catalog.clear_constraints(dm.group(1))
+                # a rebound name also invalidates any index keyed on it
+                # (review finding r9: an untrackable session-view base
+                # stamps base_fp=None — permanently "fresh" — so a
+                # CREATE OR REPLACE TEMP VIEW rebind kept routing
+                # through the dead snapshot; catalog-table DROPs purge
+                # in Catalog.drop, this covers the session plane)
+                from ..catalog import purge_index_entries
+
+                purge_index_entries(self._index_store(), dm.group(1))
             sub = self._route_mv_rewrite(sub)
             sub = self._route_join_elimination(sub)
         stmt = transpile_statement(

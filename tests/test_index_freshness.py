@@ -88,6 +88,31 @@ def test_search_index_drop_recreate_purges_entries(spark, cat):
     assert _ids(w) == [7]
 
 
+def test_search_index_session_view_rebind(spark, cat):
+    """Review finding r9: an index over an untrackable SESSION view
+    stamps base_fp=None (it cannot drift through the DML plane), so
+    rebinding the name via CREATE OR REPLACE TEMP VIEW must PURGE the
+    entry — otherwise the dead snapshot keeps routing."""
+    run(
+        spark, cat,
+        "CREATE OR REPLACE TEMP VIEW sdocs AS"
+        " SELECT 1 AS id, 'alpha' AS seg;"
+        "CREATE SEARCH INDEX svi ON sdocs (seg);",
+    )
+    w = run(spark, cat, "SELECT id FROM sdocs WHERE SEARCH(seg, 'alpha')")
+    assert any("routed through index" in line for line in w.log)
+    assert [r["id"] for r in w.result.collect()] == [1]
+    w2 = run(
+        spark, cat,
+        "CREATE OR REPLACE TEMP VIEW sdocs AS"
+        " SELECT 2 AS id, 'alpha beta' AS seg;"
+        "SELECT id FROM sdocs WHERE SEARCH(seg, 'alpha');",
+    )
+    assert not any("routed through index" in line for line in w2.log)
+    assert [r["id"] for r in w2.result.collect()] == [2]
+    assert "svi" not in cat._indexes  # rebind purged the entry
+
+
 def test_driver_side_bucket_hash_matches_engine(spark):
     """The routed SEARCH computes its bucket literals driver-side
     (VERDICT r8 #7 — the per-call Spark probe job was a fixed tax);

