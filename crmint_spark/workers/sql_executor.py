@@ -2889,8 +2889,9 @@ class SparkSQLExecutor(Worker):
             return None
         base = m_rel.group(1)
         alias = (m_rel.group(2) or base.split(".")[-1]).lower()
+        where_raw = s[mw.end() : mg.start()].strip() if mw else None
         where_norm = (
-            self._normalize_query(s[mw.end() : mg.start()]) if mw else None
+            self._normalize_query(where_raw) if where_raw else None
         )
         mt = _find_top_level(blanked, self._AGG_SHAPE_TAIL_KW, mg.end())
         gb_end = mt.start() if mt else len(s)
@@ -2993,6 +2994,7 @@ class SparkSQLExecutor(Worker):
             "base": base.strip("`").lower(),
             "alias": alias,
             "where_norm": where_norm,
+            "where_raw": where_raw,
             "keys": keys,
             "aggs": aggs,
             "order": order,
@@ -3011,11 +3013,26 @@ class SparkSQLExecutor(Worker):
         AVG is deliberately absent — recomposing it from SUM/COUNT
         changes float rounding). Output column ORDER and names are
         preserved, so the rewrite is invisible to the caller."""
-        if qs["base"] != ms["base"] or qs["where_norm"] != ms["where_norm"]:
+        if qs["base"] != ms["base"]:
             return None
         if re.search(r"\bLIMIT\b", ms.get("tail", ""), re.IGNORECASE):
             return None  # a LIMITed MV is not the full group set
         mv_key_by_col = {c: o for o, c in ms["keys"].items()}
+        where_clause = ""
+        if qs["where_norm"] != ms["where_norm"]:
+            # the query may carry an EXTRA predicate the MV lacks — it
+            # composes iff it touches GROUP KEYS only (every row of a
+            # group shares its key values, so filtering MV rows is
+            # exactly filtering base rows). BigQuery's MV rewrite
+            # covers this dashboard shape.
+            if ms["where_norm"] is not None or not qs["where_raw"]:
+                return None
+            rewritten_pred = self._rewrite_key_predicate(
+                qs["where_raw"], mv_key_by_col
+            )
+            if rewritten_pred is None:
+                return None
+            where_clause = f" WHERE {rewritten_pred}"
         mv_agg_by = {(f, a): o for o, (f, a) in ms["aggs"].items()}
         sels: list[str] = []
         gb: list[str] = []
@@ -3037,9 +3054,126 @@ class SparkSQLExecutor(Worker):
             return None
         return (
             f"SELECT {', '.join(sels)} FROM {view}"
+            f"{where_clause}"
             f" GROUP BY {', '.join(gb)}"
             + (f" {qs['tail']}" if qs["tail"] else "")
         )
+
+    _KEY_PRED_LIT = (
+        r"(?:'[^']*'|-?\d+(?:\.\d+)?|TRUE|FALSE"
+        r"|(?:DATE|TIMESTAMP)\s+'[^']*')"
+    )
+    _KEY_PRED_FORMS = [
+        re.compile(
+            r"\(?\s*`?(\w+)`?\s*(?:=|!=|<>|<=|>=|<|>)\s*"
+            + _KEY_PRED_LIT
+            + r"\s*\)?",
+            re.IGNORECASE,
+        ),
+        re.compile(
+            r"\(?\s*`?(\w+)`?\s+IN\s*\(\s*"
+            + _KEY_PRED_LIT
+            + r"(?:\s*,\s*"
+            + _KEY_PRED_LIT
+            + r")*\s*\)\s*\)?",
+            re.IGNORECASE,
+        ),
+        re.compile(
+            r"\(?\s*`?(\w+)`?\s+IS(?:\s+NOT)?\s+NULL\s*\)?",
+            re.IGNORECASE,
+        ),
+        re.compile(
+            r"\(?\s*`?(\w+)`?\s+BETWEEN\s+"
+            + _KEY_PRED_LIT
+            + r"\s+AND\s+"
+            + _KEY_PRED_LIT
+            + r"\s*\)?",
+            re.IGNORECASE,
+        ),
+    ]
+
+    @staticmethod
+    def _split_and_conjuncts(pred: str) -> list[str]:
+        """Split a predicate on its top-level ANDs — string-, bracket-
+        and BETWEEN-aware (the AND of ``x BETWEEN a AND b`` is not a
+        conjunction boundary; a literal containing ' AND ' is masked
+        before scanning)."""
+        masked = _mask_literals_same_length(pred)
+        parts: list[str] = []
+        start = 0
+        depth = 0
+        pending_between = False
+        i, n = 0, len(masked)
+
+        def _word_at(kw: str) -> bool:
+            if not masked.upper().startswith(kw, i):
+                return False
+            before_ok = i == 0 or not (
+                masked[i - 1].isalnum() or masked[i - 1] == "_"
+            )
+            j = i + len(kw)
+            after_ok = j >= n or not (
+                masked[j].isalnum() or masked[j] == "_"
+            )
+            return before_ok and after_ok
+
+        while i < n:
+            ch = masked[i]
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif depth == 0 and _word_at("BETWEEN"):
+                pending_between = True
+                i += 7
+                continue
+            elif depth == 0 and _word_at("AND"):
+                if pending_between:
+                    pending_between = False
+                else:
+                    parts.append(pred[start:i])
+                    start = i + 3
+                i += 3
+                continue
+            i += 1
+        parts.append(pred[start:])
+        return parts
+
+    def _rewrite_key_predicate(
+        self, pred: str, mv_key_by_col: dict[str, str]
+    ) -> str | None:
+        """Rewrite a conjunction of simple key-column-vs-literal
+        predicates onto the MV's output column names — None when any
+        conjunct has another shape (functions, OR, subqueries,
+        non-key columns). Accepted conjunct forms: ``key <cmp> lit``,
+        ``key IN (lits)``, ``key IS [NOT] NULL``,
+        ``key BETWEEN lit AND lit``."""
+        out = []
+        for part in self._split_and_conjuncts(pred):
+            p = part.strip()
+            col = None
+            for form in self._KEY_PRED_FORMS:
+                m = form.fullmatch(p)
+                if m:
+                    col = m.group(1).lower()
+                    break
+            if col is None:
+                return None
+            # the predicate references BASE columns; each must be one
+            # of the MV's GROUP KEYS (it need not be selected by the
+            # query — filtering any key commutes with re-aggregation)
+            mv_out = mv_key_by_col.get(col)
+            if mv_out is None:
+                return None
+            out.append(
+                re.sub(
+                    rf"`?{re.escape(m.group(1))}`?",
+                    f"`{mv_out}`",
+                    p,
+                    count=1,
+                )
+            )
+        return " AND ".join(out)
 
     def _route_mv_rewrite(self, sub: str) -> str:
         """BigQuery-style materialized-view smart rewrite (VERDICT r7

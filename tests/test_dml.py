@@ -1690,11 +1690,38 @@ def test_mv_containment_rewrite(spark, cat):
     plan = w.result._jdf.queryExecution().executedPlan().toString()
     assert "p__d__mv" in plan, plan  # the MV layout is what's scanned
     assert "p__d__base" not in plan
-    # composability limits hold: AVG / different WHERE / dim reference
+    # a KEY-column predicate composes: filtering MV rows is exactly
+    # filtering base rows (every row of a group shares its key values)
+    for q_extra in (
+        "SELECT seg, COUNT(*) AS n FROM `p.d.base`"
+        " WHERE nat = 1 GROUP BY seg ORDER BY seg",
+        "SELECT seg, SUM(balc) AS tot FROM `p.d.base`"
+        " WHERE nat IN (0, 2) AND seg >= '2' GROUP BY seg ORDER BY seg",
+        "SELECT nat, COUNT(*) AS n FROM `p.d.base`"
+        " WHERE seg BETWEEN '1' AND '3' GROUP BY nat ORDER BY nat",
+    ):
+        wf = run(spark, cat, q_extra)
+        assert any("containment rewrite" in line for line in wf.log), q_extra
+        spark.read.parquet(cat.path_for("p.d.base")).createOrReplaceTempView(
+            "mvc_truth"
+        )
+        truth2 = [
+            tuple(r)
+            for r in spark.sql(
+                q_extra.replace("`p.d.base`", "mvc_truth")
+            ).collect()
+        ]
+        assert [tuple(r) for r in wf.result.collect()] == truth2, q_extra
+    # composability limits hold: AVG / non-key or non-simple WHERE /
+    # DISTINCT / OR
     for keep in (
         "SELECT seg, AVG(balc) AS a FROM `p.d.base` GROUP BY seg",
         "SELECT seg, COUNT(*) AS n FROM `p.d.base`"
-        " WHERE nat = 1 GROUP BY seg",
+        " WHERE balc > 10 GROUP BY seg",
+        "SELECT seg, COUNT(*) AS n FROM `p.d.base`"
+        " WHERE upper(seg) = 'A' GROUP BY seg",
+        "SELECT seg, COUNT(*) AS n FROM `p.d.base`"
+        " WHERE nat = 1 OR nat = 2 GROUP BY seg",
         "SELECT seg, COUNT(DISTINCT balc) AS n FROM `p.d.base`"
         " GROUP BY seg",
     ):
