@@ -190,6 +190,13 @@ SECONDARY = [
     "bqml_arima_coefficients",
     # round 8 (this session): constraint-driven join elimination
     "dml_join_elimination",
+    # round 9: index freshness (binary gate + partition-delta unions),
+    # multi-join star elimination, MV containment rewrite
+    "dml_index_freshness",
+    "dml_index_delta",
+    "dml_vector_delta",
+    "dml_star_elimination",
+    "dml_mv_containment",
 ]
 
 
