@@ -894,6 +894,32 @@ class Catalog:
         st = os.stat(p)
         return f"{st.st_mtime_ns}:{len(os.listdir(p))}"
 
+    def _index_coverage(self, rec: dict) -> int:
+        """coverage_percentage for the index-metadata views: 100 while
+        the base's fingerprint equals the materialization snapshot (or
+        the base is untrackable / the layout never materialized — the
+        exact path serves those outright); for a STALE partition-tagged
+        index, the unchanged-partition share the delta-union still
+        serves from the layout; 0 for a stale untagged index."""
+        fp = rec.get("base_fp")
+        if fp is None or not rec.get("layout_view"):
+            return 100
+        try:
+            cur = self.table_fingerprint(rec["table"])
+        except ValueError:
+            cur = None
+        if cur == fp:
+            return 100
+        if rec.get("part_fps"):
+            curp = self.partition_fingerprints(rec["table"])
+            if curp:
+                old = rec["part_fps"]
+                unchanged = sum(
+                    1 for v, f in curp.items() if old.get(v) == f
+                )
+                return int(100 * unchanged / max(len(curp), 1))
+        return 0
+
     def partition_fingerprints(self, table_id: str) -> dict[str, str] | None:
         """Per-partition change detector for a PARTITION BY table: hive
         partition value -> digest of the partition's (file name, size,
@@ -1837,9 +1863,12 @@ class Catalog:
             return view
         if kind in ("SEARCH_INDEXES", "VECTOR_INDEXES"):
             # BigQuery index-metadata views over the executor's index
-            # registry (CREATE VECTOR/SEARCH INDEX DDL). The engine's
-            # indexes are always fully built at query time, so
-            # index_status is ACTIVE and coverage is 100.
+            # registry (CREATE VECTOR/SEARCH INDEX DDL). Since round 9
+            # the freshness plane makes coverage_percentage REAL: a
+            # fresh snapshot reports 100, a stale partition-tagged
+            # index the unchanged-partition share (the fraction the
+            # routed delta-union still serves from postings), and a
+            # stale untagged index 0 (the exact path serves wholesale).
             want = "SEARCH" if kind == "SEARCH_INDEXES" else "VECTOR"
             rows = []
             for name, rec in sorted(
@@ -1865,7 +1894,14 @@ class Catalog:
                     )
                 )
                 rows.append(
-                    (project, dataset, tparts[-1], name, "ACTIVE", 100)
+                    (
+                        project,
+                        dataset,
+                        tparts[-1],
+                        name,
+                        "ACTIVE",
+                        self._index_coverage(rec),
+                    )
                     + extra
                 )
             extra_schema = (

@@ -271,6 +271,35 @@ def test_vector_index_delta_union(spark, cat):
     assert [r["vid"] for r in w4.result.collect()][0] == 9999
 
 
+def test_index_coverage_metadata_reflects_freshness(spark, cat):
+    """INFORMATION_SCHEMA.SEARCH_INDEXES coverage_percentage is real
+    since round 9: 100 while fresh, the unchanged-partition share for
+    a stale partition-tagged index, 0 for a stale untagged one."""
+    _mk_partitioned_logs(
+        spark, cat, "ts",
+        "DATE_ADD(DATE '2024-01-01', CAST(id % 5 AS INT))",
+    )
+    q = (
+        "SELECT index_name, coverage_percentage"
+        " FROM `p.d.INFORMATION_SCHEMA.SEARCH_INDEXES`"
+        " ORDER BY index_name"
+    )
+    assert [tuple(r) for r in run(spark, cat, q).result.collect()] == [
+        ("dsi", 100)
+    ]
+    run(spark, cat, "INSERT INTO `p.d.logs` SELECT DATE '2024-01-03', 99, 'alpha y'")
+    assert [tuple(r) for r in run(spark, cat, q).result.collect()] == [
+        ("dsi", 80)  # 4 of 5 partitions unchanged
+    ]
+    cat.write(spark.sql("SELECT 1 AS id, 'x y' AS seg"), "p.d.plain")
+    run(spark, cat, "CREATE SEARCH INDEX psi ON `p.d.plain` (seg)")
+    run(spark, cat, "INSERT INTO `p.d.plain` VALUES (2, 'z w')")
+    assert [tuple(r) for r in run(spark, cat, q).result.collect()] == [
+        ("dsi", 80),
+        ("psi", 0),
+    ]
+
+
 def test_vector_index_freshness(spark, cat):
     """VECTOR_SEARCH has the identical gate: an INSERTed vector that is
     the true nearest neighbour must appear even though the IVF layout
