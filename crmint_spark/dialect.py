@@ -1348,6 +1348,7 @@ def _rewrite_misc_fns(sql: str) -> str:
             r"ML\.FEATURE_CROSS",
             r"ML\.NGRAMS",
             "SEARCH",
+            "TEXT_ANALYZE",
             "COTH",
             "SECH",
             "CSCH",
@@ -1889,11 +1890,74 @@ def _rewrite_misc_fns(sql: str) -> str:
                 f"forall({_tok(args[1])}, "
                 f"t -> array_contains({_tok(args[0])}, t))"
             )
-        elif fn == "search" and len(args) > 2:
-            raise ValueError(
-                "SEARCH: json_scope/analyzer arguments are not supported"
-                " (2-arg string form only)"
+        elif fn == "search" and len(args) == 3:
+            # named analyzer argument (BigQuery: SEARCH(data, query,
+            # analyzer => '...')). LOG_ANALYZER is the 2-arg default;
+            # NO_OP_ANALYZER does not tokenize — the WHOLE value must
+            # equal the query exactly (BigQuery docs). PATTERN_ANALYZER
+            # and json_scope stay unsupported (loud, not divergent).
+            m_an = re.match(
+                r"\s*analyzer\s*=>\s*'(\w+)'\s*$", args[2], re.IGNORECASE
             )
+            if not m_an:
+                raise ValueError(
+                    "SEARCH: only the analyzer => '...' named argument"
+                    " is supported (json_scope is not)"
+                )
+            an = m_an.group(1).upper()
+            if an == "LOG_ANALYZER":
+
+                def _tok3(e: str) -> str:
+                    return (
+                        f"filter(split(lower({e}), '[^a-z0-9]+'), "
+                        f"x -> x != '')"
+                    )
+
+                rep = (
+                    f"forall({_tok3(args[1])}, "
+                    f"t -> array_contains({_tok3(args[0])}, t))"
+                )
+            elif an == "NO_OP_ANALYZER":
+                rep = f"({args[0]} = {args[1]})"
+            else:
+                raise ValueError(
+                    f"SEARCH: unsupported analyzer {an!r}"
+                    " (LOG_ANALYZER or NO_OP_ANALYZER)"
+                )
+        elif fn == "search" and len(args) > 3:
+            raise ValueError(
+                "SEARCH: json_scope/extra arguments are not supported"
+            )
+        elif fn == "text_analyze" and len(args) in (1, 2):
+            # BigQuery TEXT_ANALYZE(text[, analyzer => '...']): the
+            # token array the analyzer produces — LOG_ANALYZER default
+            # (lowercase + split on non-alphanumeric runes, empties
+            # dropped), NO_OP_ANALYZER the whole value as one token.
+            an = "LOG_ANALYZER"
+            if len(args) == 2:
+                m_an = re.match(
+                    r"\s*analyzer\s*=>\s*'(\w+)'\s*$",
+                    args[1],
+                    re.IGNORECASE,
+                )
+                if not m_an:
+                    raise ValueError(
+                        "TEXT_ANALYZE: second argument must be"
+                        " analyzer => '...'"
+                    )
+                an = m_an.group(1).upper()
+            if an == "LOG_ANALYZER":
+                rep = (
+                    f"filter(split(lower({args[0]}), '[^a-z0-9]+'), "
+                    f"x -> x != '')"
+                )
+            elif an == "NO_OP_ANALYZER":
+                rep = f"array({args[0]})"
+            else:
+                raise ValueError(
+                    f"TEXT_ANALYZE: unsupported analyzer {an!r}"
+                    " (LOG_ANALYZER or NO_OP_ANALYZER)"
+                )
         elif fn in ("coth", "sech", "csch") and len(args) == 1:
             # hyperbolic reciprocals (no Spark builtins; tanh/cosh/sinh
             # are builtins, so these stay codegen'd expressions)

@@ -3784,3 +3784,65 @@ SELECT
 """
 
 EXTENDED_QUERIES["q91_bq_functions13"] = (q91_bq_functions13, Q91_SQL)
+
+
+def q92_search_analyzers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEARCH analyzer argument + TEXT_ANALYZE (round 9): the named
+    ``analyzer => 'LOG_ANALYZER'`` form matches the 2-arg default;
+    ``NO_OP_ANALYZER`` does not tokenize — the whole value must equal
+    the query exactly (BigQuery's search-analyzer docs). TEXT_ANALYZE
+    exposes the analyzer's token array directly (LOG default; NO_OP =
+    the value as one token). All JVM HOFs/equality — map-only at any
+    scale; the DuckDB oracle replays the tokenization verbatim."""
+    from .workers.base import WorkerContext
+    from .workers.sql_executor import SparkSQLExecutor
+
+    register_testdata(spark, sf_dir)
+    script = """
+    SELECT
+      COUNT(*) AS n_docs,
+      COUNTIF(SEARCH(text, 'spark merge', analyzer => 'LOG_ANALYZER'))
+        AS log_hits,
+      COUNTIF(SEARCH(lang, lang, analyzer => 'NO_OP_ANALYZER'))
+        AS noop_self,
+      COUNTIF(SEARCH(UPPER(lang), lang, analyzer => 'NO_OP_ANALYZER'))
+        AS noop_case,
+      CAST(SUM(ARRAY_LENGTH(TEXT_ANALYZE(text))) AS INT64) AS total_toks,
+      COUNTIF(ARRAY_LENGTH(
+        TEXT_ANALYZE(source, analyzer => 'NO_OP_ANALYZER')) = 1)
+        AS noop_single
+    FROM documents
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False}, WorkerContext(spark)
+    )
+    w.execute()
+    return w.result
+
+
+def _q92_oracle() -> str:
+    tok = (
+        "list_filter(string_split_regex(lower({e}), '[^a-z0-9]+'),"
+        " x -> x != '')"
+    )
+    search_log = (
+        "coalesce(list_aggregate(list_transform("
+        + tok.format(e="'spark merge'")
+        + ", t -> list_contains("
+        + tok.format(e="text")
+        + ", t)), 'bool_and'), TRUE)"
+    )
+    return f"""
+SELECT COUNT(*) AS n_docs,
+  COUNT(*) FILTER (WHERE {search_log}) AS log_hits,
+  COUNT(*) FILTER (WHERE lang = lang) AS noop_self,
+  COUNT(*) FILTER (WHERE upper(lang) = lang) AS noop_case,
+  CAST(SUM(len({tok.format(e='text')})) AS BIGINT) AS total_toks,
+  COUNT(*) FILTER (WHERE source IS NOT NULL) AS noop_single
+FROM documents
+"""
+
+
+Q92_SQL = _q92_oracle()
+
+EXTENDED_QUERIES["q92_search_analyzers"] = (q92_search_analyzers, Q92_SQL)

@@ -1686,3 +1686,61 @@ def test_last_day_week_variants_and_strftime_names(spark):
     assert row["a"] == "2024-01-14" and row["b"] == "2024-01-14"
     assert row["c"] == "Wednesday Wed January Jan 010"
     assert row["d"] == "01 PM"
+
+
+def test_search_analyzer_argument_and_text_analyze(spark):
+    """Round 9: the named analyzer argument (LOG == 2-arg default;
+    NO_OP == whole-value exact equality) and TEXT_ANALYZE's token
+    arrays. PATTERN_ANALYZER / json_scope stay loud errors."""
+    import pytest as _pytest
+
+    from crmint_spark.dialect import transpile_statement
+
+    row = spark.sql(
+        transpile_statement(
+            "SELECT"
+            " SEARCH('Spark SQL merge', 'spark merge') AS a,"
+            " SEARCH('Spark SQL merge', 'spark merge',"
+            "   analyzer => 'LOG_ANALYZER') AS a2,"
+            " SEARCH('abc', 'abc', analyzer => 'NO_OP_ANALYZER') AS b,"
+            " SEARCH('Abc', 'abc', analyzer => 'NO_OP_ANALYZER') AS c,"
+            " TEXT_ANALYZE('Hello, World 42!') AS toks,"
+            " TEXT_ANALYZE('Keep AS-IS',"
+            "   analyzer => 'NO_OP_ANALYZER') AS noop",
+            None,
+        )
+    ).first()
+    assert row["a"] is True and row["a2"] is True
+    assert row["b"] is True and row["c"] is False
+    assert row["toks"] == ["hello", "world", "42"]
+    assert row["noop"] == ["Keep AS-IS"]
+    for bad in (
+        "SELECT SEARCH('a', 'b', analyzer => 'PATTERN_ANALYZER')",
+        "SELECT SEARCH('a', 'b', json_scope => 'JSON_VALUES')",
+        "SELECT TEXT_ANALYZE('a', analyzer => 'PATTERN_ANALYZER')",
+    ):
+        with _pytest.raises(ValueError):
+            transpile_statement(bad, None)
+
+
+def test_xxh64_fuzz_against_engine(spark):
+    """Driver-side XXH64 vs Spark's xxhash64 over 120 random
+    seeded strings (all lane/tail lengths + unicode) — the routed
+    SEARCH's bucket arithmetic must never drift."""
+    import random
+
+    from crmint_spark.operators.text import SEARCH_INDEX_BUCKETS, search_bucket
+
+    rng = random.Random(42)
+    alphabet = "abcXYZ019 _-.,é漢🙂"
+    toks = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        for _ in range(120)
+    ]
+    vals = ", ".join(f"('{t}')" for t in (s.replace("'", "") for s in toks))
+    rows = spark.sql(
+        f"SELECT t, pmod(xxhash64('text', t), {SEARCH_INDEX_BUCKETS}) AS b"
+        f" FROM VALUES {vals} AS v(t)"
+    ).collect()
+    for r in rows:
+        assert search_bucket("text", r["t"]) == r["b"], repr(r["t"])
