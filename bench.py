@@ -197,6 +197,7 @@ SECONDARY = [
     "dml_vector_delta",
     "dml_star_elimination",
     "dml_mv_containment",
+    "q92_search_analyzers",
 ]
 
 

@@ -271,6 +271,35 @@ def test_vector_index_delta_union(spark, cat):
     assert [r["vid"] for r in w4.result.collect()][0] == 9999
 
 
+def test_multi_column_index_delta_column_exact(spark, cat):
+    """Multi-column postings + delta union: the src_col residual and
+    the __part filter compose — a post-DML body-only hit must answer
+    body searches ONLY (column exactness survives the delta branch)."""
+    run(
+        spark, cat,
+        "CREATE TABLE `p.d.logs` PARTITION BY ts AS"
+        " SELECT DATE_ADD(DATE '2024-01-01', CAST(id % 4 AS INT)) AS ts,"
+        " id AS lid, CONCAT('title alpha ', CAST(id AS STRING)) AS title,"
+        " CONCAT('body beta ', CAST(id AS STRING)) AS body"
+        " FROM UNNEST(GENERATE_ARRAY(0, 39)) AS id",
+    )
+    run(spark, cat, "CREATE SEARCH INDEX mci ON `p.d.logs` (title, body)")
+    q1 = "SELECT lid FROM `p.d.logs` WHERE SEARCH(title, 'alpha') ORDER BY lid"
+    q2 = "SELECT lid FROM `p.d.logs` WHERE SEARCH(body, 'alpha') ORDER BY lid"
+    assert run(spark, cat, q1).result.count() == 40
+    assert run(spark, cat, q2).result.count() == 0
+    run(
+        spark, cat,
+        "INSERT INTO `p.d.logs` SELECT DATE '2024-01-02', 999,"
+        " 'no match', 'body alpha here'",
+    )
+    w1, w2 = run(spark, cat, q1), run(spark, cat, q2)
+    assert any("delta scan" in line for line in w1.log)
+    assert any("delta scan" in line for line in w2.log)
+    assert [r["lid"] for r in w1.result.collect()] == list(range(40))
+    assert [r["lid"] for r in w2.result.collect()] == [999]
+
+
 def test_index_coverage_metadata_reflects_freshness(spark, cat):
     """INFORMATION_SCHEMA.SEARCH_INDEXES coverage_percentage is real
     since round 9: 100 while fresh, the unchanged-partition share for
