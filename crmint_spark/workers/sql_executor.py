@@ -3660,6 +3660,16 @@ class SparkSQLExecutor(Worker):
             return sub
 
         calls = list(_iter_calls(sub, ("SEARCH",)))
+        if calls and re.search(
+            r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b",
+            _mask_literals_same_length(sub),
+            re.IGNORECASE,
+        ):
+            # a time-travel read must NEVER serve from an index
+            # snapshot: the postings reflect the CURRENT state, the AS
+            # OF relation an archived one — routing returned wrong
+            # answers here (round-9 adversarial probe). Exact path.
+            return sub
         if calls:
             # freshness gate (VERDICT r8 #1): a base mutated since the
             # postings snapshot must NOT be served from the index as-is
@@ -3831,6 +3841,12 @@ class SparkSQLExecutor(Worker):
             return sub
 
         calls = list(_iter_calls(sub, ("VECTOR_SEARCH",)))
+        if calls and re.search(
+            r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b",
+            _mask_literals_same_length(sub),
+            re.IGNORECASE,
+        ):
+            return sub  # time-travel reads never serve from snapshots
         if calls:
             # freshness gate (VERDICT r8 #1) — same contract as the
             # SEARCH postings: drift → exact brute-force path, UNLESS

@@ -271,6 +271,59 @@ def test_vector_index_delta_union(spark, cat):
     assert [r["vid"] for r in w4.result.collect()][0] == 9999
 
 
+def test_time_travel_never_served_from_index(spark, cat):
+    """Round-9 adversarial probe (CONFIRMED wrong answer, fixed): a
+    FOR SYSTEM_TIME AS OF read routed through the CURRENT-snapshot
+    postings and returned post-mutation rows for a pre-mutation
+    instant. Index routing must skip any time-travel statement."""
+    cat.write(
+        spark.sql(
+            "SELECT 1 AS id, 'alpha one' AS seg"
+            " UNION ALL SELECT 2, 'beta two'"
+        ),
+        "p.d.docs",
+    )
+    w = run(
+        spark, cat,
+        "DECLARE t0 TIMESTAMP DEFAULT CURRENT_TIMESTAMP();"
+        "UPDATE `p.d.docs` SET seg = 'alpha changed' WHERE id = 2;"
+        "CREATE SEARCH INDEX si ON `p.d.docs` (seg);"
+        "SELECT id FROM `p.d.docs` FOR SYSTEM_TIME AS OF t0"
+        " WHERE SEARCH(seg, 'alpha') ORDER BY id;",
+    )
+    assert not any("routed through index" in line for line in w.log)
+    assert [r["id"] for r in w.result.collect()] == [1]
+    # the same statement WITHOUT the clause still routes
+    w2 = run(
+        spark, cat,
+        "SELECT id FROM `p.d.docs` WHERE SEARCH(seg, 'alpha') ORDER BY id",
+    )
+    assert any("routed through index" in line for line in w2.log)
+    assert [r["id"] for r in w2.result.collect()] == [1, 2]
+
+
+def test_full_partition_delete_and_truncate(spark, cat):
+    """Removed partitions: a whole-partition DELETE serves index over
+    the surviving partitions with an EMPTY delta scan (the removed
+    values are excluded, nothing changed to re-scan); TRUNCATE falls
+    back to the exact path over the empty table."""
+    _mk_partitioned_logs(
+        spark, cat, "ts",
+        "DATE_ADD(DATE '2024-01-01', CAST(id % 4 AS INT))",
+    )
+    run(spark, cat, "DELETE FROM `p.d.logs` WHERE ts = DATE '2024-01-02'")
+    w = run(spark, cat, LOGS_Q)
+    assert any(
+        "unchanged partitions + delta scan of 0" in line for line in w.log
+    ), w.log
+    ids = [r["lid"] for r in w.result.collect()]
+    assert ids == sorted(i for i in range(50) if i % 4 != 1)
+    run(spark, cat, "TRUNCATE TABLE `p.d.logs`")
+    w2 = run(spark, cat, LOGS_Q)
+    assert w2.result.count() == 0
+    assert any("base changed" in line for line in w2.log)
+
+
 def test_multi_column_index_delta_column_exact(spark, cat):
     """Multi-column postings + delta union: the src_col residual and
     the __part filter compose — a post-DML body-only hit must answer
