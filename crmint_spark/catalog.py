@@ -911,6 +911,20 @@ class Catalog:
         if cur == fp:
             return 100
         if rec.get("part_fps"):
+            # same eligibility the ROUTER applies (_index_delta_parts):
+            # a re-declared layout serves nothing from the index, so
+            # coverage must not claim a share of it (review finding r9)
+            meta = self.layout_meta(rec["table"])
+            pexpr = (
+                f"`{meta['source_col']}`"
+                if meta and meta.get("kind") == "identity"
+                else (meta or {}).get("pexpr_bq")
+            )
+            if not meta or tuple(rec.get("part_sig") or ()) != (
+                meta.get("pcol"),
+                pexpr,
+            ):
+                return 0
             curp = self.partition_fingerprints(rec["table"])
             if curp:
                 old = rec["part_fps"]

@@ -1880,15 +1880,9 @@ def _rewrite_misc_fns(sql: str) -> str:
             # delimiter list is punctuation + '_' + whitespace).
             # json_scope / analyzer named args are not supported — the
             # engine raises rather than silently diverging.
-            def _tok(e: str) -> str:
-                return (
-                    f"filter(split(lower({e}), '[^a-z0-9]+'), "
-                    f"x -> x != '')"
-                )
-
             rep = (
-                f"forall({_tok(args[1])}, "
-                f"t -> array_contains({_tok(args[0])}, t))"
+                f"forall({_log_analyzer_tokens(args[1])}, "
+                f"t -> array_contains({_log_analyzer_tokens(args[0])}, t))"
             )
         elif fn == "search" and len(args) == 3:
             # named analyzer argument (BigQuery: SEARCH(data, query,
@@ -1897,7 +1891,9 @@ def _rewrite_misc_fns(sql: str) -> str:
             # equal the query exactly (BigQuery docs). PATTERN_ANALYZER
             # and json_scope stay unsupported (loud, not divergent).
             m_an = re.match(
-                r"\s*analyzer\s*=>\s*'(\w+)'\s*$", args[2], re.IGNORECASE
+                r"""\s*analyzer\s*=>\s*['"](\w+)['"]\s*$""",
+                args[2],
+                re.IGNORECASE,
             )
             if not m_an:
                 raise ValueError(
@@ -1906,16 +1902,10 @@ def _rewrite_misc_fns(sql: str) -> str:
                 )
             an = m_an.group(1).upper()
             if an == "LOG_ANALYZER":
-
-                def _tok3(e: str) -> str:
-                    return (
-                        f"filter(split(lower({e}), '[^a-z0-9]+'), "
-                        f"x -> x != '')"
-                    )
-
                 rep = (
-                    f"forall({_tok3(args[1])}, "
-                    f"t -> array_contains({_tok3(args[0])}, t))"
+                    f"forall({_log_analyzer_tokens(args[1])}, "
+                    f"t -> array_contains("
+                    f"{_log_analyzer_tokens(args[0])}, t))"
                 )
             elif an == "NO_OP_ANALYZER":
                 rep = f"({args[0]} = {args[1]})"
@@ -1936,7 +1926,7 @@ def _rewrite_misc_fns(sql: str) -> str:
             an = "LOG_ANALYZER"
             if len(args) == 2:
                 m_an = re.match(
-                    r"\s*analyzer\s*=>\s*'(\w+)'\s*$",
+                    r"""\s*analyzer\s*=>\s*['"](\w+)['"]\s*$""",
                     args[1],
                     re.IGNORECASE,
                 )
@@ -1947,12 +1937,13 @@ def _rewrite_misc_fns(sql: str) -> str:
                     )
                 an = m_an.group(1).upper()
             if an == "LOG_ANALYZER":
-                rep = (
-                    f"filter(split(lower({args[0]}), '[^a-z0-9]+'), "
-                    f"x -> x != '')"
-                )
+                rep = _log_analyzer_tokens(args[0])
             elif an == "NO_OP_ANALYZER":
-                rep = f"array({args[0]})"
+                # null-propagating like the LOG path (BigQuery:
+                # TEXT_ANALYZE(NULL) IS NULL — review finding r9)
+                rep = (
+                    f"IF(({args[0]}) IS NULL, NULL, array({args[0]}))"
+                )
             else:
                 raise ValueError(
                     f"TEXT_ANALYZE: unsupported analyzer {an!r}"
@@ -3858,6 +3849,15 @@ def _rewrite_qualify(sql: str) -> str:
         if with_clause
         else f"SELECT * EXCEPT (__q) FROM ({inner}) WHERE __q{tail}"
     )
+
+
+def _log_analyzer_tokens(e: str) -> str:
+    """LOG_ANALYZER tokenization as a Spark SQL expression — the ONE
+    definition shared by SEARCH (2- and 3-arg), TEXT_ANALYZE and,
+    byte-for-byte, the index write path and the driver-side
+    search_bucket (operators/text.py): lowercase + split on any
+    non-alphanumeric rune, empties dropped."""
+    return f"filter(split(lower({e}), '[^a-z0-9]+'), x -> x != '')"
 
 
 def _default_resolver(table_id: str) -> str:

@@ -1196,9 +1196,15 @@ def _search_pred(data: str, query_lit: str) -> str:
             f" x -> x != '')"
         )
 
+    # empty query tokens are vacuously TRUE (matching the engine's
+    # forall over an empty array); NULL data must NOT count as a hit
+    # (the engine's forall yields NULL there — review finding r9: the
+    # old blanket coalesce(.., TRUE) counted NULL rows as matches)
     return (
-        f"coalesce(list_aggregate(list_transform({tok(query_lit)},"
-        f" t -> list_contains({tok(data)}, t)), 'bool_and'), TRUE)"
+        f"CASE WHEN len({tok(query_lit)}) = 0 THEN TRUE"
+        f" ELSE list_aggregate(list_transform({tok(query_lit)},"
+        f" t -> coalesce(list_contains({tok(data)}, t), FALSE)),"
+        f" 'bool_and') END"
     )
 
 

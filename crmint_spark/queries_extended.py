@@ -1773,9 +1773,13 @@ def _q63_oracle() -> str:
         )
 
     def search(data: str, query: str) -> str:
+        # vacuous TRUE only for EMPTY query tokens; NULL data is not a
+        # hit (engine forall yields NULL — review finding r9)
         return (
-            f"coalesce(list_aggregate(list_transform({tok(query)}, "
-            f"t -> list_contains({tok(data)}, t)), 'bool_and'), TRUE)"
+            f"CASE WHEN len({tok(query)}) = 0 THEN TRUE"
+            f" ELSE list_aggregate(list_transform({tok(query)}, "
+            f"t -> coalesce(list_contains({tok(data)}, t), FALSE)), "
+            f"'bool_and') END"
         )
 
     return f"""
@@ -3826,11 +3830,11 @@ def _q92_oracle() -> str:
         " x -> x != '')"
     )
     search_log = (
-        "coalesce(list_aggregate(list_transform("
+        "list_aggregate(list_transform("
         + tok.format(e="'spark merge'")
-        + ", t -> list_contains("
+        + ", t -> coalesce(list_contains("
         + tok.format(e="text")
-        + ", t)), 'bool_and'), TRUE)"
+        + ", t), FALSE)), 'bool_and')"
     )
     return f"""
 SELECT COUNT(*) AS n_docs,

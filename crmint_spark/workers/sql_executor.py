@@ -3099,6 +3099,7 @@ class SparkSQLExecutor(Worker):
         conjunction boundary; a literal containing ' AND ' is masked
         before scanning)."""
         masked = _mask_literals_same_length(pred)
+        upper = masked.upper()  # once, not per character position
         parts: list[str] = []
         start = 0
         depth = 0
@@ -3106,7 +3107,7 @@ class SparkSQLExecutor(Worker):
         i, n = 0, len(masked)
 
         def _word_at(kw: str) -> bool:
-            if not masked.upper().startswith(kw, i):
+            if not upper.startswith(kw, i):
                 return False
             before_ok = i == 0 or not (
                 masked[i - 1].isalnum() or masked[i - 1] == "_"

@@ -1714,6 +1714,22 @@ def test_search_analyzer_argument_and_text_analyze(spark):
     assert row["b"] is True and row["c"] is False
     assert row["toks"] == ["hello", "world", "42"]
     assert row["noop"] == ["Keep AS-IS"]
+    # NULL propagation (BigQuery: TEXT_ANALYZE(NULL)/SEARCH(NULL,..)
+    # are NULL — review finding r9: array(NULL) was [NULL]) and the
+    # double-quoted analyzer literal form
+    row2 = spark.sql(
+        transpile_statement(
+            "SELECT"
+            " TEXT_ANALYZE(CAST(NULL AS STRING),"
+            "   analyzer => 'NO_OP_ANALYZER') AS a,"
+            " TEXT_ANALYZE(CAST(NULL AS STRING)) AS b,"
+            " SEARCH(CAST(NULL AS STRING), 'x') AS c,"
+            ' SEARCH(\'a b\', \'b\', analyzer => "LOG_ANALYZER") AS d',
+            None,
+        )
+    ).first()
+    assert row2["a"] is None and row2["b"] is None
+    assert row2["c"] is None and row2["d"] is True
     for bad in (
         "SELECT SEARCH('a', 'b', analyzer => 'PATTERN_ANALYZER')",
         "SELECT SEARCH('a', 'b', json_scope => 'JSON_VALUES')",
