@@ -2820,6 +2820,7 @@ class SparkSQLExecutor(Worker):
 
     def _record_mview(self, name: str, query: str) -> None:
         self._mv_store()[name] = {
+            "query_raw": query,  # CALL BQ.REFRESH_MATERIALIZED_VIEW
             "query_norm": self._normalize_query(query),
             "fps": self._base_fingerprints(query),
             # containment template (round 9, VERDICT r8 #3): None when
@@ -4267,6 +4268,35 @@ class SparkSQLExecutor(Worker):
         if not m:
             return False
         name, args_raw = m.group(1), m.group(2)
+        if name.upper() == "BQ.REFRESH_MATERIALIZED_VIEW":
+            # BigQuery's system procedure: manual MV refresh. The
+            # engine re-materializes from the recorded defining query,
+            # which also re-stamps the base fingerprints — the smart
+            # rewrite serves again immediately.
+            ma = re.match(r"""\s*['"]([\w.\-]+)['"]\s*$""", args_raw)
+            if not ma:
+                raise WorkerException(
+                    "BQ.REFRESH_MATERIALIZED_VIEW takes one quoted"
+                    " materialized-view name"
+                )
+            mv = ma.group(1)
+            e = self._mv_store().get(mv)
+            if e is None or not e.get("query_raw"):
+                raise WorkerException(
+                    f"BQ.REFRESH_MATERIALIZED_VIEW: unknown"
+                    f" materialized view `{mv}`"
+                )
+            if self._params["dry_run"]:
+                self.log_info(f"CALL {name} validated (dry run)")
+                return True
+            self._run_statement_inner(
+                f"CREATE OR REPLACE MATERIALIZED VIEW `{mv}` AS"
+                f" {e['query_raw']}",
+                resolver,
+                registry,
+            )
+            self.log_info(f"MATERIALIZED VIEW {mv} refreshed")
+            return True
         path = self._proc_store_path()
         store = {}
         if os.path.exists(path):

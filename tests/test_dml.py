@@ -1734,6 +1734,29 @@ def test_mv_containment_rewrite(spark, cat):
     assert {r["seg"]: r["n"] for r in w2.result.collect()}.get("Z") == 1
 
 
+def test_mv_manual_refresh_procedure(spark, cat):
+    """CALL BQ.REFRESH_MATERIALIZED_VIEW (BigQuery's system procedure):
+    re-materializes from the recorded defining query and re-stamps the
+    base fingerprints, so the smart rewrite serves again with the
+    post-mutation values."""
+    cat.write(
+        spark.sql("SELECT id % 3 AS k, CAST(id AS BIGINT) AS v FROM RANGE(100)"),
+        "p.d.b",
+    )
+    agg = "SELECT k, COUNT(*) AS n, SUM(v) AS tot FROM `p.d.b` GROUP BY k"
+    run(spark, cat, f"CREATE MATERIALIZED VIEW `p.d.mv` AS {agg}")
+    run(spark, cat, "INSERT INTO `p.d.b` SELECT 9, CAST(1 AS BIGINT)")
+    assert not any(
+        "rewritten" in line for line in run(spark, cat, agg).log
+    )
+    run(spark, cat, "CALL BQ.REFRESH_MATERIALIZED_VIEW('p.d.mv')")
+    w = run(spark, cat, agg)
+    assert any("smart rewrite" in line for line in w.log), w.log
+    assert {r["k"]: r["n"] for r in w.result.collect()}.get(9) == 1
+    with pytest.raises(WorkerException, match="unknown materialized view"):
+        run(spark, cat, "CALL BQ.REFRESH_MATERIALIZED_VIEW('p.d.nope')")
+
+
 def test_constraint_lifecycle_review_findings(spark, cat):
     _seed_star(spark, cat)
     # CREATE TABLE IF NOT EXISTS no-op must NOT wipe constraints
