@@ -894,6 +894,22 @@ class Catalog:
         st = os.stat(p)
         return f"{st.st_mtime_ns}:{len(os.listdir(p))}"
 
+    def layout_signature(self, table_id: str) -> tuple | None:
+        """(pcol, partition VALUE expression) identifying a table's
+        PARTITION BY declaration — the eligibility token the index
+        freshness plane stamps at materialization and re-checks at
+        serve/metadata time (a re-declared layout invalidates
+        partition-tagged snapshots). None when unpartitioned."""
+        meta = self.layout_meta(table_id)
+        if not meta or not meta.get("pcol"):
+            return None
+        pexpr = (
+            f"`{meta['source_col']}`"
+            if meta.get("kind") == "identity"
+            else meta.get("pexpr_bq")
+        )
+        return (meta["pcol"], pexpr)
+
     def _index_coverage(self, rec: dict) -> int:
         """coverage_percentage for the index-metadata views: 100 while
         the base's fingerprint equals the materialization snapshot (or
@@ -914,16 +930,8 @@ class Catalog:
             # same eligibility the ROUTER applies (_index_delta_parts):
             # a re-declared layout serves nothing from the index, so
             # coverage must not claim a share of it (review finding r9)
-            meta = self.layout_meta(rec["table"])
-            pexpr = (
-                f"`{meta['source_col']}`"
-                if meta and meta.get("kind") == "identity"
-                else (meta or {}).get("pexpr_bq")
-            )
-            if not meta or tuple(rec.get("part_sig") or ()) != (
-                meta.get("pcol"),
-                pexpr,
-            ):
+            sig = self.layout_signature(rec["table"])
+            if sig is None or tuple(rec.get("part_sig") or ()) != sig:
                 return 0
             curp = self.partition_fingerprints(rec["table"])
             if curp:

@@ -2404,9 +2404,10 @@ class SparkSQLExecutor(Worker):
         src = meta["source_col"]
         if src not in df.columns:
             return None, {}
-        pexpr_bq = (
-            f"`{src}`" if kind == "identity" else meta["pexpr_bq"]
-        )
+        sig = cat.layout_signature(table)
+        pexpr_bq = sig[1] if sig else None
+        if pexpr_bq is None:
+            return None, {}
         pe = (
             F.col(src)
             if kind == "identity"
@@ -2424,7 +2425,7 @@ class SparkSQLExecutor(Worker):
             "part_src_col": src,
             "part_kind": kind,
             "part_pcol": meta["pcol"],
-            "part_sig": (meta["pcol"], pexpr_bq),
+            "part_sig": sig,
         }
 
     def _index_delta_parts(
@@ -2442,18 +2443,10 @@ class SparkSQLExecutor(Worker):
         if cat is None:
             return None
         try:
-            meta = cat.layout_meta(entry["table"])
+            sig = cat.layout_signature(entry["table"])
         except Exception:
             return None
-        if not meta or not meta.get("pcol"):
-            return None
-        kind = meta.get("kind")
-        pexpr_bq = (
-            f"`{meta['source_col']}`"
-            if kind == "identity"
-            else meta.get("pexpr_bq")
-        )
-        if tuple(entry.get("part_sig") or ()) != (meta["pcol"], pexpr_bq):
+        if sig is None or tuple(entry.get("part_sig") or ()) != sig:
             return None  # layout re-declared since materialization
         cur = cat.partition_fingerprints(entry["table"])
         if cur is None:
@@ -3650,7 +3643,7 @@ class SparkSQLExecutor(Worker):
         likewise when the column is unindexed, the query is not a
         literal, or the query has no tokens (vacuous TRUE)."""
         from ..dialect import _iter_calls, _split_top_level
-        from ..operators.text import SEARCH_INDEX_BUCKETS
+        from ..operators.text import SEARCH_INDEX_BUCKETS, search_bucket
 
         store = self._index_store()
         search_indexes = [
@@ -3754,8 +3747,6 @@ class SparkSQLExecutor(Worker):
             # multi-column index's probe opens only this column's
             # buckets. search_bucket is asserted byte-identical to the
             # engine's pmod(xxhash64(...)) in tests.
-            from ..operators.text import search_bucket
-
             buckets = sorted(
                 {search_bucket(col, t, SEARCH_INDEX_BUCKETS) for t in toks}
             )
