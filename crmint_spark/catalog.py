@@ -2256,6 +2256,17 @@ class Catalog:
         ).createOrReplaceTempView(view)
         return view
 
+    def is_recorded_view(self, table_id: str) -> bool:
+        """True when the (3-part) name is a recorded CREATE VIEW —
+        index DDL must reject these: a view reads THROUGH its
+        definition, so a snapshot index over it can never detect base
+        mutations (BigQuery's contract anyway: search/vector indexes
+        are only supported on tables)."""
+        parts = table_id.strip("`").split(".")
+        if len(parts) != 3:
+            return False
+        return parts[2] in self._view_defs.get((parts[0], parts[1]), {})
+
     def record_view(self, view_id: str, definition: str) -> None:
         """Remember a CREATE VIEW's name + definition for the
         INFORMATION_SCHEMA.VIEWS contract (metadata only — the view

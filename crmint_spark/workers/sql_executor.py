@@ -2566,6 +2566,18 @@ class SparkSQLExecutor(Worker):
                         f"CREATE {kind} INDEX: invalid {k}={opts[k]!r}"
                         f" (one of {sorted(allowed)})"
                     )
+            cat = self._ctx.catalog
+            if cat is not None and cat.is_recorded_view(table):
+                # BigQuery contract: search/vector indexes are only
+                # supported on TABLES. An index over a view would also
+                # be un-invalidatable — the view reads THROUGH its
+                # definition, so base-table DML never moves the view's
+                # own fingerprint (round-9 adversarial probe: a routed
+                # SEARCH over an indexed view served stale rows).
+                raise WorkerException(
+                    f"CREATE {kind} INDEX: `{table}` is a view —"
+                    " indexes are only supported on tables"
+                )
             store = self._index_store()
             if m.group(2) and name in store:
                 self.log_info(f"{kind} INDEX {name} exists; skipped")
@@ -4728,7 +4740,7 @@ class SparkSQLExecutor(Worker):
                 r"^\s*(?:DROP\s+(?:MATERIALIZED\s+VIEW|TABLE|VIEW)"
                 r"(?:\s+IF\s+EXISTS)?"
                 r"|CREATE\s+OR\s+REPLACE\s+(?:TEMP(?:ORARY)?\s+)?"
-                r"(?:TABLE|VIEW))\s+"
+                r"(?:MATERIALIZED\s+VIEW|TABLE|VIEW))\s+"
                 r"`?([\w.\-]+)`?",
                 sub,
                 re.IGNORECASE,

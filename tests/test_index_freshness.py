@@ -271,6 +271,42 @@ def test_vector_index_delta_union(spark, cat):
     assert [r["vid"] for r in w4.result.collect()][0] == 9999
 
 
+def test_index_on_view_rejected_and_mv_index_purged(spark, cat):
+    """Round-9 adversarial probe #2 (CONFIRMED wrong answer, fixed):
+    an index on a catalog VIEW routed through a snapshot that base
+    DML never invalidates (the view's own fingerprint never moves).
+    BigQuery's contract — indexes only on tables — is now enforced
+    loudly; an index on a MATERIALIZED VIEW's name is purged when the
+    MV re-materializes (refresh/replace)."""
+    from crmint_spark.workers.base import WorkerException
+
+    cat.write(
+        spark.sql("SELECT 1 AS id, 'alpha' AS seg UNION ALL SELECT 2, 'beta'"),
+        "p.d.t",
+    )
+    run(spark, cat, "CREATE VIEW `p.d.v` AS SELECT id, seg FROM `p.d.t`")
+    with pytest.raises(WorkerException, match="is a view"):
+        run(spark, cat, "CREATE SEARCH INDEX vi ON `p.d.v` (seg)")
+    run(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW `p.d.mv` AS SELECT id, seg FROM `p.d.t`",
+    )
+    run(spark, cat, "CREATE SEARCH INDEX mvi ON `p.d.mv` (seg)")
+    w = run(spark, cat, "SELECT id FROM `p.d.mv` WHERE SEARCH(seg, 'alpha')")
+    assert any("routed" in line for line in w.log)
+    run(
+        spark, cat,
+        "UPDATE `p.d.t` SET seg = 'alpha' WHERE id = 2;"
+        "CALL BQ.REFRESH_MATERIALIZED_VIEW('p.d.mv');",
+    )
+    w2 = run(
+        spark, cat,
+        "SELECT id FROM `p.d.mv` WHERE SEARCH(seg, 'alpha') ORDER BY id",
+    )
+    assert [r["id"] for r in w2.result.collect()] == [1, 2]
+    assert "mvi" not in cat._indexes
+
+
 def test_time_travel_never_served_from_index(spark, cat):
     """Round-9 adversarial probe (CONFIRMED wrong answer, fixed): a
     FOR SYSTEM_TIME AS OF read routed through the CURRENT-snapshot
