@@ -2267,6 +2267,19 @@ class Catalog:
             return False
         return parts[2] in self._view_defs.get((parts[0], parts[1]), {})
 
+    def record_external(self, table_id: str) -> None:
+        """Remember a CREATE EXTERNAL TABLE name — their files mutate
+        OUTSIDE the engine, so index DDL must reject them (BigQuery
+        does too: indexes are unsupported on external tables)."""
+        if not hasattr(self, "_externals"):
+            self._externals: set[str] = set()
+        self._externals.add(table_id.strip("`").lower())
+
+    def is_external(self, table_id: str) -> bool:
+        return table_id.strip("`").lower() in getattr(
+            self, "_externals", set()
+        )
+
     def record_view(self, view_id: str, definition: str) -> None:
         """Remember a CREATE VIEW's name + definition for the
         INFORMATION_SCHEMA.VIEWS contract (metadata only — the view

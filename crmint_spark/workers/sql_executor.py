@@ -2567,6 +2567,12 @@ class SparkSQLExecutor(Worker):
                         f" (one of {sorted(allowed)})"
                     )
             cat = self._ctx.catalog
+            if cat is not None and cat.is_external(table):
+                raise WorkerException(
+                    f"CREATE {kind} INDEX: `{table}` is an external"
+                    " table — indexes are not supported on external"
+                    " tables (their files mutate outside the engine)"
+                )
             if cat is not None and cat.is_recorded_view(table):
                 # BigQuery contract: search/vector indexes are only
                 # supported on TABLES. An index over a view would also
@@ -5004,6 +5010,10 @@ class SparkSQLExecutor(Worker):
                 " (CSV/JSON/PARQUET/ORC)"
             )
         df.createOrReplaceTempView(_safe_view_name(name))
+        if self._ctx.catalog is not None:
+            # indexes must reject external tables (their files mutate
+            # outside the engine — BigQuery rejects them too)
+            self._ctx.catalog.record_external(name)
         self.log_info(f"CREATE EXTERNAL TABLE {name} -> {len(uris)} uri(s)")
         return True
 

@@ -307,6 +307,27 @@ def test_index_on_view_rejected_and_mv_index_purged(spark, cat):
     assert "mvi" not in cat._indexes
 
 
+def test_index_on_external_table_rejected(spark, cat, tmp_path):
+    """External tables' files mutate outside the engine — index DDL
+    rejects them (BigQuery contract), closing the last un-invalidatable
+    base class: catalog tables fingerprint, session views purge on
+    rebind, catalog views/externals reject, MV names purge on
+    re-materialization."""
+    import json
+
+    from crmint_spark.workers.base import WorkerException
+
+    p = tmp_path / "a.json"
+    p.write_text(json.dumps({"id": 1, "seg": "alpha"}) + "\n")
+    run(
+        spark, cat,
+        "CREATE EXTERNAL TABLE `p.d.ext` OPTIONS("
+        f"format='NEWLINE_DELIMITED_JSON', uris=['{tmp_path}/*.json'])",
+    )
+    with pytest.raises(WorkerException, match="external table"):
+        run(spark, cat, "CREATE SEARCH INDEX ei ON `p.d.ext` (seg)")
+
+
 def test_time_travel_never_served_from_index(spark, cat):
     """Round-9 adversarial probe (CONFIRMED wrong answer, fixed): a
     FOR SYSTEM_TIME AS OF read routed through the CURRENT-snapshot
