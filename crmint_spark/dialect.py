@@ -1940,9 +1940,15 @@ def _rewrite_misc_fns(sql: str) -> str:
                 rep = _log_analyzer_tokens(args[0])
             elif an == "NO_OP_ANALYZER":
                 # null-propagating like the LOG path (BigQuery:
-                # TEXT_ANALYZE(NULL) IS NULL — review finding r9)
+                # TEXT_ANALYZE(NULL) IS NULL — review finding r9). The
+                # argument is evaluated ONCE (round-10 advisory: the
+                # previous IF(arg IS NULL, ..., array(arg)) form
+                # double-evaluated it — a non-deterministic expression
+                # diverged): wrap it in a singleton array and map the
+                # null/value cases through the lambda variable.
                 rep = (
-                    f"IF(({args[0]}) IS NULL, NULL, array({args[0]}))"
+                    f"element_at(transform(array({args[0]}),"
+                    f" x -> IF(x IS NULL, NULL, array(x))), 1)"
                 )
             else:
                 raise ValueError(

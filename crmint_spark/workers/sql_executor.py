@@ -1704,8 +1704,13 @@ class SparkSQLExecutor(Worker):
         # before JOIN) and be treated as INNER — eliminating a LEFT
         # ANTI JOIN into 'WHERE key IS NOT NULL' INVERTS the result set
         # (review finding r9)
+        # OUTER is optional in the guard: 'RIGHT OUTER JOIN' must abort
+        # exactly like 'RIGHT JOIN' (round-10 advisory — the bare-JOIN
+        # capture otherwise treated it as INNER and left a dangling
+        # 'RIGHT OUTER' token behind)
         if re.search(
-            r"\b(?:CROSS|RIGHT|FULL|NATURAL|SEMI|ANTI)\s+JOIN\b"
+            r"\b(?:CROSS|RIGHT|FULL|NATURAL|SEMI|ANTI)\s+"
+            r"(?:OUTER\s+)?JOIN\b"
             r"|\bUSING\s*\(",
             masked,
             re.IGNORECASE,
@@ -3210,9 +3215,14 @@ class SparkSQLExecutor(Worker):
         for name, e in store.items():
             if not e["fps"]:
                 continue
+            # the REAL view name goes into the composition directly —
+            # a post-hoc placeholder substitution would rewrite a user
+            # literal containing the placeholder text (round-10
+            # advisory)
+            view = _safe_view_name(name)
             rewritten = None
             if norm == e["query_norm"]:
-                rewritten = "SELECT * FROM {view}"
+                rewritten = f"SELECT * FROM {view}"
                 how = "smart rewrite"
             elif e.get("shape"):
                 # containment (VERDICT r8 #3): a coarser GROUP BY over
@@ -3221,7 +3231,7 @@ class SparkSQLExecutor(Worker):
                     q_shape = self._parse_agg_shape(sub) or False
                 if q_shape:
                     rewritten = self._compose_mv_containment(
-                        q_shape, e["shape"], "{view}"
+                        q_shape, e["shape"], view
                     )
                     how = "containment rewrite"
             if rewritten is None:
@@ -3232,7 +3242,6 @@ class SparkSQLExecutor(Worker):
             )
             if stale:
                 continue
-            view = _safe_view_name(name)
             try:
                 self._ctx.spark.table(view)
             except Exception:
@@ -3241,7 +3250,7 @@ class SparkSQLExecutor(Worker):
                 f"query rewritten to read MATERIALIZED VIEW {name}"
                 f" ({how}; base tables unchanged)"
             )
-            return rewritten.replace("{view}", view)
+            return rewritten
         return sub
 
     def _route_partition_scan(self, sub: str) -> str:

@@ -1544,6 +1544,30 @@ def test_join_elimination_review_findings_r9(spark, cat):
     assert w3._route_join_elimination(q) == q
 
 
+def test_join_elimination_outer_variants_keep_join(spark, cat):
+    """Round-10 advisory: RIGHT/FULL OUTER JOIN must abort elimination
+    exactly like RIGHT/FULL JOIN — the old guard missed the OUTER
+    spelling, treated them as INNER and emitted a dangling
+    'RIGHT OUTER' token (a parse error on a valid query)."""
+    _seed_star(spark, cat)
+    # RIGHT OUTER JOIN: every dim row survives (50), fact-side NULLs
+    # for unmatched dims would change the count under a broken rewrite
+    w = run(
+        spark, cat,
+        "SELECT f.ok FROM `p.d.fact` f RIGHT OUTER JOIN `p.d.dim` d"
+        " ON f.ck = d.ck",
+    )
+    assert not any("eliminat" in line for line in w.log)
+    assert w.result.count() == 428  # 428 matched fact rows, 0 dim-only
+    w2 = run(
+        spark, cat,
+        "SELECT f.ok FROM `p.d.fact` f FULL OUTER JOIN `p.d.dim` d"
+        " ON f.ck = d.ck",
+    )
+    assert not any("eliminat" in line for line in w2.log)
+    assert w2.result.count() == 500  # 428 matched + 72 NULL-ck facts
+
+
 def _seed_star3(spark, cat):
     """A 3-dim star: two INNER-eligible dims (PK + FK) and one
     LEFT-eligible dim (PK only)."""
