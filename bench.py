@@ -198,6 +198,12 @@ SECONDARY = [
     "dml_star_elimination",
     "dml_mv_containment",
     "q92_search_analyzers",
+    # round-10 additions: session-plane freshness closed via the
+    # catalog-plane CTAS, MV global/HAVING containment, analyzer-
+    # faithful index routing
+    "dml_session_index_freshness",
+    "dml_mv_global",
+    "q93_analyzer_index",
 ]
 
 

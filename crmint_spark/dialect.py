@@ -3857,13 +3857,35 @@ def _rewrite_qualify(sql: str) -> str:
     )
 
 
+# BigQuery LOG_ANALYZER's documented default delimiter list (public
+# "Text analyzers" docs): [ ] < > ( ) { } | ! ; , ' " * & ? + / : = @
+# . - $ % \ _ and whitespace. Unicode letters/digits are KEPT — the
+# previous [^a-z0-9]+ split dropped every non-ASCII rune (round-10
+# advisory). Character-class notes for cross-engine byte-identity:
+# the quote delimiters are spelled \x27/\x22 so the SAME pattern
+# embeds in Spark SQL literals (backslash-doubled), DuckDB literals
+# (verbatim — standard SQL strings don't process escapes) and Python
+# raw strings; whitespace is spelled as explicit ASCII characters
+# because Java's \s is ASCII-only while Python's is Unicode-wide.
+LOG_ANALYZER_DELIMS = (
+    r"[\[\]<>(){}|!;,\x27\x22*&?+/:=@.\-$%\\_ \t\n\r\x0b\x0c]+"
+)
+#: the same pattern as it must appear INSIDE a single-quoted Spark SQL
+#: string literal (Spark unescapes C-style sequences at parse time)
+LOG_ANALYZER_DELIMS_SPARK_SQL = LOG_ANALYZER_DELIMS.replace("\\", "\\\\")
+
+
 def _log_analyzer_tokens(e: str) -> str:
     """LOG_ANALYZER tokenization as a Spark SQL expression — the ONE
     definition shared by SEARCH (2- and 3-arg), TEXT_ANALYZE and,
     byte-for-byte, the index write path and the driver-side
-    search_bucket (operators/text.py): lowercase + split on any
-    non-alphanumeric rune, empties dropped."""
-    return f"filter(split(lower({e}), '[^a-z0-9]+'), x -> x != '')"
+    search_bucket (operators/text.py): lowercase + split on the
+    documented delimiter list (Unicode letters/digits kept), empties
+    dropped."""
+    return (
+        f"filter(split(lower({e}),"
+        f" '{LOG_ANALYZER_DELIMS_SPARK_SQL}'), x -> x != '')"
+    )
 
 
 def _default_resolver(table_id: str) -> str:
@@ -5417,6 +5439,7 @@ def _rewrite_create_table_layout(sql: str) -> str:
 
 def extract_create_table_layout(
     sql: str,
+    include_plain: bool = False,
 ) -> tuple[str, str, str | None, list[str]] | None:
     """``CREATE TABLE ... PARTITION BY expr [CLUSTER BY cols] ...`` ->
     ``(sql_without_layout_clauses, table_name, partition_expr,
@@ -5424,8 +5447,16 @@ def extract_create_table_layout(
     (VERDICT r7 #1) instead of stripping it. Returns None when the
     statement has no PARTITION BY/CLUSTER BY between the table name and
     ``AS`` (OPTIONS/DEFAULT COLLATE alone are left for the stripping
-    rewriter). TEMP tables return None too — BigQuery disallows
-    partitioned temp tables."""
+    rewriter) — unless ``include_plain`` is set, in which case a plain
+    unpartitioned ``CREATE TABLE ... AS`` / schema-only CREATE also
+    returns (with ``partition_expr=None``) so a catalog-backed executor
+    can route it onto the catalog plane (VERDICT r9 #1: session-plane
+    CTAS tables had no fingerprints, constraints, time travel or
+    OPTIONS — and index freshness could not see their mutations).
+    TEMP tables return None either way — BigQuery disallows partitioned
+    temp tables, and temp tables are session-scoped by contract.
+    CLONE/COPY/LIKE forms return None (their mid-clauses don't parse
+    as layout clauses); they are handled by the executor's DDL plane."""
     m = _CT_HEAD_RE.match(sql)
     if not m:
         return None
@@ -5477,7 +5508,11 @@ def extract_create_table_layout(
             kept.append(p[: seg_end].strip())
         probe = p[seg_end:]
     if partition_expr is None and not cluster_cols:
-        return None
+        # plain CREATE: only routable when it defines contents (an AS
+        # query) or a schema — a bare name (or an unparsed CLONE/LIKE,
+        # which never reaches here) stays with Spark's native DDL
+        if not include_plain or not (schema or m_as):
+            return None
     clean = (
         head
         + schema

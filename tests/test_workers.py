@@ -1873,7 +1873,11 @@ def test_materialized_view_smart_rewrite(spark, tmp_path):
     assert any("smart rewrite; base" in line for line in w.log), w.log
     rewritten = sorted(tuple(r) for r in w.result.collect())
     plan = w.result._jdf.queryExecution().executedPlan().toString()
-    assert "p__crm__mv1" in plan, plan  # scans the MV, not the base
+    # scans the MV's materialized (aggregated) storage, not the base:
+    # the MV lives on the catalog plane since round 10, so the scan
+    # shows the aggregate's 3-column schema instead of a table name
+    assert "struct<seg:string,n:bigint,tot:double>" in plan, plan
+    assert "mvbase" not in plan, plan
     # a DIFFERENT query (extra literal) must not match
     w0 = run(agg.replace("GROUP BY seg", "WHERE seg <> 'zz' GROUP BY seg"))
     assert not any("smart rewrite" in line for line in w0.log), w0.log

@@ -134,6 +134,14 @@ PROBE = [
     "dml_vector_delta",
     "dml_star_elimination",
     "dml_mv_containment",
+    # round 10: catalog-plane CTAS freshness (CTAS + index build scale
+    # with data; the post-DML query is one exact scan), MV global
+    # containment (reads the group-count-bound MV — flat), analyzer
+    # routing (two bucket-pruned postings probes + one scan — scales
+    # as the corpus scan at worst)
+    "dml_session_index_freshness",
+    "dml_mv_global",
+    "q93_analyzer_index",
 ]
 
 # key columns to shift per copy so joins stay consistent and
