@@ -275,13 +275,6 @@ def dml_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_testdata(spark, sf_dir)
     cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_q_"))
-    cat.write(
-        spark.sql(
-            "SELECT c_mktsegment AS seg, c_acctbal AS bal FROM customer"
-            " WHERE c_custkey <= 500"
-        ),
-        "p.crm.mvb",
-    )
 
     def run(script):
         w = SparkSQLExecutor(
@@ -291,6 +284,14 @@ def dml_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.execute()
         return w
 
+    # the base is a PLAIN CTAS through the engine (round 10, VERDICT
+    # r9 #6): it lands on the catalog plane, so the MV's fingerprints
+    # are real and the smart rewrite serves over a CTAS base too
+    run(
+        "CREATE OR REPLACE TABLE `p.crm.mvb` AS"
+        " SELECT c_mktsegment AS seg, c_acctbal AS bal FROM customer"
+        " WHERE c_custkey <= 500"
+    )
     agg = (
         "SELECT seg, COUNT(*) AS n, ROUND(SUM(bal), 2) AS tot"
         " FROM `p.crm.mvb` GROUP BY seg"
