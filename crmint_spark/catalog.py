@@ -1735,8 +1735,25 @@ class Catalog:
         tables = self._dataset_tables(project, dataset)
         views = self._view_defs.get((project, dataset), {})
         if kind == "TABLES":
+            # MATERIALIZED VIEW storage is a catalog table (round 10);
+            # BigQuery's TABLES view reports its own type for them
+            mviews = {
+                str(n).split(".")[-1]
+                for n in getattr(self, "_mviews", {})
+                if str(n).count(".") <= 2
+                and str(n).startswith(f"{project}.{dataset}.")
+            }
             rows = [
-                (project, dataset, t, "BASE TABLE")
+                (
+                    project,
+                    dataset,
+                    t,
+                    (
+                        "MATERIALIZED VIEW"
+                        if t in mviews
+                        else "BASE TABLE"
+                    ),
+                )
                 for t in tables
                 if t not in views
             ] + [(project, dataset, v, "VIEW") for v in sorted(views)]
@@ -1881,6 +1898,45 @@ class Catalog:
                 "routine_catalog string, routine_schema string, "
                 "routine_name string, routine_type string, "
                 "routine_body string, routine_definition string",
+            ).createOrReplaceTempView(view)
+            return view
+        if kind == "MATERIALIZED_VIEWS":
+            # BigQuery INFORMATION_SCHEMA.MATERIALIZED_VIEWS over the
+            # executor's MV registry (round 10 — MV storage is a
+            # catalog table, so the metadata plane lists them as
+            # first-class objects; re-running the DDL or CALL
+            # BQ.REFRESH_MATERIALIZED_VIEW updates last_refresh_time)
+            from datetime import datetime, timezone
+
+            rows = []
+            for name, rec in sorted(getattr(self, "_mviews", {}).items()):
+                nparts = str(name).split(".")
+                if len(nparts) == 3 and (nparts[0], nparts[1]) != (
+                    project,
+                    dataset,
+                ):
+                    continue
+                if len(nparts) == 2 and nparts[0] != dataset:
+                    continue
+                ts = rec.get("refreshed_at")
+                rows.append(
+                    (
+                        project,
+                        dataset,
+                        nparts[-1],
+                        (
+                            datetime.fromtimestamp(ts, tz=timezone.utc)
+                            if ts
+                            else None
+                        ),
+                        rec.get("query_raw"),
+                    )
+                )
+            self.spark.createDataFrame(
+                rows,
+                "table_catalog string, table_schema string, "
+                "table_name string, last_refresh_time timestamp, "
+                "query string",
             ).createOrReplaceTempView(view)
             return view
         if kind in ("SEARCH_INDEXES", "VECTOR_INDEXES"):

@@ -3922,7 +3922,8 @@ def _rewrite_backtick_tables(sql: str, resolver=None) -> str:
         sql,
         lambda seg: re.sub(
             r"\b([\w\-]+(?:\.[\w\-]+)?\.INFORMATION_SCHEMA\."
-            r"(?:TABLES|COLUMNS|SCHEMATA|VIEWS|PARTITIONS|TABLE_OPTIONS"
+            r"(?:TABLES|COLUMNS|SCHEMATA|VIEWS|MATERIALIZED_VIEWS"
+            r"|PARTITIONS|TABLE_OPTIONS"
             r"|COLUMN_FIELD_PATHS|TABLE_STORAGE|ROUTINES"
             r"|SEARCH_INDEXES|VECTOR_INDEXES"
             r"|TABLE_CONSTRAINTS|KEY_COLUMN_USAGE"

@@ -2899,6 +2899,8 @@ class SparkSQLExecutor(Worker):
         return out
 
     def _record_mview(self, name: str, query: str) -> None:
+        import time
+
         self._mv_store()[name] = {
             "query_raw": query,  # CALL BQ.REFRESH_MATERIALIZED_VIEW
             "query_norm": self._normalize_query(query),
@@ -2907,6 +2909,8 @@ class SparkSQLExecutor(Worker):
             # the defining query is not a simple single-relation
             # aggregate — such MVs serve the exact-match slice only
             "shape": self._parse_agg_shape(query),
+            # INFORMATION_SCHEMA.MATERIALIZED_VIEWS last_refresh_time
+            "refreshed_at": time.time(),
         }
         self.log_info(f"MATERIALIZED VIEW {name}: smart rewrite recorded")
 

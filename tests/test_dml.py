@@ -1225,6 +1225,63 @@ def test_table_storage_reports_dropped_tables(spark, cat):
     assert r["total_rows"] == 3 and r["ab"] == 0 and r["tb"] > 0
 
 
+def test_materialized_views_metadata_plane(spark, cat):
+    """Round 10: MV storage is a catalog table, so the metadata plane
+    lists MVs first-class — TABLES reports table_type='MATERIALIZED
+    VIEW' for them, and INFORMATION_SCHEMA.MATERIALIZED_VIEWS serves
+    name / last_refresh_time / defining query; DROP removes the row."""
+    run(
+        spark, cat,
+        "CREATE OR REPLACE TABLE `p.mm.base` AS SELECT 1 AS x;"
+        "CREATE MATERIALIZED VIEW `p.mm.agg` AS"
+        " SELECT x, COUNT(*) AS n FROM `p.mm.base` GROUP BY x;"
+        "CREATE VIEW `p.mm.v` AS SELECT x FROM `p.mm.base`;",
+    )
+    w = run(
+        spark, cat,
+        "SELECT table_name, table_type FROM"
+        " `p.mm.INFORMATION_SCHEMA.TABLES` ORDER BY table_name",
+    )
+    assert [tuple(r) for r in w.result.collect()] == [
+        ("agg", "MATERIALIZED VIEW"),
+        ("base", "BASE TABLE"),
+        ("v", "VIEW"),
+    ]
+    w = run(
+        spark, cat,
+        "SELECT table_name, last_refresh_time IS NOT NULL AS has_ts,"
+        " query IS NOT NULL AS has_q FROM"
+        " `p.mm.INFORMATION_SCHEMA.MATERIALIZED_VIEWS`",
+    )
+    assert [tuple(r) for r in w.result.collect()] == [("agg", True, True)]
+    ts0 = run(
+        spark, cat,
+        "SELECT last_refresh_time AS t FROM"
+        " `p.mm.INFORMATION_SCHEMA.MATERIALIZED_VIEWS`",
+    ).result.collect()[0]["t"]
+    run(spark, cat, "CALL BQ.REFRESH_MATERIALIZED_VIEW('p.mm.agg')")
+    ts1 = run(
+        spark, cat,
+        "SELECT last_refresh_time AS t FROM"
+        " `p.mm.INFORMATION_SCHEMA.MATERIALIZED_VIEWS`",
+    ).result.collect()[0]["t"]
+    assert ts1 >= ts0  # manual refresh re-stamps
+    run(spark, cat, "DROP MATERIALIZED VIEW `p.mm.agg`")
+    w = run(
+        spark, cat,
+        "SELECT COUNT(*) AS n FROM"
+        " `p.mm.INFORMATION_SCHEMA.MATERIALIZED_VIEWS`",
+    )
+    assert w.result.collect()[0]["n"] == 0
+    # the dropped MV's storage row leaves TABLES too
+    w = run(
+        spark, cat,
+        "SELECT table_name FROM `p.mm.INFORMATION_SCHEMA.TABLES`"
+        " WHERE table_type = 'MATERIALIZED VIEW'",
+    )
+    assert w.result.count() == 0
+
+
 def test_routines_and_index_views_lifecycle(spark, cat):
     """ROUTINES / SEARCH_INDEXES / VECTOR_INDEXES reflect the live
     stores: creation appears, other datasets are filtered out, DROP
