@@ -103,6 +103,22 @@ def purge_index_entries(idx: dict | None, table_id: str) -> None:
         idx.pop(name, None)
 
 
+def _name_in_dataset(name, project: str, dataset: str) -> bool:
+    """Does an object NAME belong to a (project, dataset) metadata
+    scope? 3-part names must match both, dataset-qualified 2-part
+    names the dataset; dataset-LESS (1-part session) names belong to
+    no dataset view — listing them everywhere leaked phantom rows into
+    other projects' INFORMATION_SCHEMA (round-10 review finding).
+    Shared by the TABLES mview-type filter and MATERIALIZED_VIEWS so
+    the two can never disagree."""
+    parts = str(name).strip("`").split(".")
+    if len(parts) == 3:
+        return (parts[0], parts[1]) == (project, dataset)
+    if len(parts) == 2:
+        return parts[0] == dataset
+    return False
+
+
 def _safe_view_name(table_id: str) -> str:
     """``proj.ds.tbl`` -> ``proj__ds__tbl`` (temp views are single-part)."""
     return re.sub(r"[^A-Za-z0-9_]", "_", table_id.replace(".", "__"))
@@ -1740,8 +1756,7 @@ class Catalog:
             mviews = {
                 str(n).split(".")[-1]
                 for n in getattr(self, "_mviews", {})
-                if str(n).count(".") <= 2
-                and str(n).startswith(f"{project}.{dataset}.")
+                if _name_in_dataset(n, project, dataset)
             }
             rows = [
                 (
@@ -1910,14 +1925,9 @@ class Catalog:
 
             rows = []
             for name, rec in sorted(getattr(self, "_mviews", {}).items()):
+                if not _name_in_dataset(name, project, dataset):
+                    continue
                 nparts = str(name).split(".")
-                if len(nparts) == 3 and (nparts[0], nparts[1]) != (
-                    project,
-                    dataset,
-                ):
-                    continue
-                if len(nparts) == 2 and nparts[0] != dataset:
-                    continue
                 ts = rec.get("refreshed_at")
                 rows.append(
                     (

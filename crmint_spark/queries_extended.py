@@ -2192,14 +2192,25 @@ def q69_pipe_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.result
 
 
-Q69_SQL = """
+def _log_tok_sql(col: str) -> str:
+    """DuckDB mirror of the engine's LOG_ANALYZER tokenization — the
+    shared delimiter list (round-10 review finding: Q69/Q84 kept the
+    old [^a-z0-9]+ split after the engine moved to the documented
+    delimiters, silently breaking the one-definition invariant)."""
+    from .dialect import LOG_ANALYZER_DELIMS
+
+    return (
+        f"list_filter(string_split_regex(lower({col}),"
+        f" '{LOG_ANALYZER_DELIMS}'), x -> x != '')"
+    )
+
+
+Q69_SQL = f"""
 WITH hits AS (
   SELECT lang, n_chars,
          len(string_split(text, ' ')) AS n_words
   FROM documents
-  WHERE list_contains(
-    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                x -> x != ''), 'spark')
+  WHERE list_contains({_log_tok_sql('text')}, 'spark')
 )
 SELECT lang,
        'bin_' || CAST(1 + len(list_filter([200.0, 400.0],
@@ -3151,11 +3162,9 @@ def q84_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.result
 
 
-Q84_SQL = """
+Q84_SQL = f"""
 WITH toks AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                     x -> x != '') AS t
+  SELECT doc_id, {_log_tok_sql('text')} AS t
   FROM documents
 )
 SELECT d.doc_id, d.lang, d.source

@@ -2156,7 +2156,21 @@ class SparkSQLExecutor(Worker):
                 # MV storage is a catalog table since round 10; the
                 # record + constraint/index invalidation that the
                 # rebind regex used to apply on the fall-through path
-                # happens here instead
+                # happens here instead. BigQuery contract (round-10
+                # review finding): DROP MATERIALIZED VIEW on an object
+                # that is NOT a materialized view errors instead of
+                # silently deleting a base table.
+                if name not in self._mv_store():
+                    if if_exists:
+                        self.log_info(
+                            f"DROP MATERIALIZED VIEW {name}: not found"
+                            " — skipped"
+                        )
+                        return True
+                    raise WorkerException(
+                        f"DROP MATERIALIZED VIEW: `{name}` is not a"
+                        " materialized view"
+                    )
                 self._mv_store().pop(name, None)
                 if cat is not None:
                     cat.clear_constraints(name)
@@ -2164,6 +2178,13 @@ class SparkSQLExecutor(Worker):
 
                 purge_index_entries(self._index_store(), name)
                 kind = "TABLE"
+            elif kind == "TABLE":
+                # dropping an MV's storage via DROP TABLE (engine
+                # leniency) must kill the MV record too — a phantom
+                # record would list in MATERIALIZED_VIEWS and let CALL
+                # BQ.REFRESH_MATERIALIZED_VIEW resurrect a dropped
+                # object (round-10 review finding)
+                self._mv_store().pop(name, None)
             # TABLE / VIEW
             in_catalog = cat is not None and cat.exists(name)
             if in_catalog and kind == "TABLE":
@@ -4987,9 +5008,29 @@ class SparkSQLExecutor(Worker):
                     # CREATE OR REPLACE TABLE rebound the same name —
                     # and an MV table without a directory fingerprint
                     # is a second-class citizen exactly like a plain
-                    # CTAS was (VERDICT r9 #1). Bare-CREATE/IF NOT
-                    # EXISTS leniency mirrors the dialect's historical
-                    # OR-REPLACE flattening.
+                    # CTAS was (VERDICT r9 #1). Unlike the dialect's
+                    # historical OR-REPLACE flattening, the catalog
+                    # plane must honor BigQuery's create semantics —
+                    # a bare CREATE over an existing object would
+                    # otherwise silently TRUNCATE durable data
+                    # (round-10 review finding).
+                    mvm = re.match(
+                        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED"
+                        r"\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?",
+                        sub,
+                        re.IGNORECASE,
+                    )
+                    mv_exists = self._ctx.catalog.exists(mv_rec[0])
+                    if mv_exists and mvm.group(2):
+                        self.log_info(
+                            f"MATERIALIZED VIEW {mv_rec[0]} exists —"
+                            " skipped"
+                        )
+                        return None
+                    if mv_exists and not mvm.group(1):
+                        raise WorkerException(
+                            f"already exists: {mv_rec[0]}"
+                        )
                     sub = (
                         f"CREATE OR REPLACE TABLE `{mv_rec[0]}` AS"
                         f" {mv_rec[1]}"

@@ -1265,7 +1265,9 @@ def test_materialized_views_metadata_plane(spark, cat):
         "SELECT last_refresh_time AS t FROM"
         " `p.mm.INFORMATION_SCHEMA.MATERIALIZED_VIEWS`",
     ).result.collect()[0]["t"]
-    assert ts1 >= ts0  # manual refresh re-stamps
+    # STRICTLY greater: a refresh that failed to re-stamp would leave
+    # ts1 == ts0 (round-10 review finding — >= was a tautology)
+    assert ts1 > ts0
     run(spark, cat, "DROP MATERIALIZED VIEW `p.mm.agg`")
     w = run(
         spark, cat,
@@ -1280,6 +1282,83 @@ def test_materialized_views_metadata_plane(spark, cat):
         " WHERE table_type = 'MATERIALIZED VIEW'",
     )
     assert w.result.count() == 0
+
+
+def test_mv_ddl_create_drop_strictness(spark, cat):
+    """Round-10 review findings: on the catalog plane a bare CREATE
+    MATERIALIZED VIEW must not silently TRUNCATE an existing object
+    (BigQuery errors; IF NOT EXISTS no-ops), DROP MATERIALIZED VIEW on
+    a base table errors instead of deleting it, DROP TABLE on an MV
+    kills the record (no phantom metadata / refresh resurrection), and
+    dataset-less MV names never leak into other datasets' metadata."""
+    import pytest
+
+    from crmint_spark.workers.base import WorkerException
+
+    run(
+        spark, cat,
+        "CREATE OR REPLACE TABLE `p.sx.base` AS"
+        " SELECT 1 AS x UNION ALL SELECT 2;",
+    )
+    # bare CREATE MV over an existing TABLE name: error, data intact
+    with pytest.raises(WorkerException, match="already exists"):
+        run(
+            spark, cat,
+            "CREATE MATERIALIZED VIEW `p.sx.base` AS"
+            " SELECT x, COUNT(*) AS n FROM `p.sx.base` GROUP BY x",
+        )
+    assert run(
+        spark, cat, "SELECT COUNT(*) AS n FROM `p.sx.base`"
+    ).result.collect()[0]["n"] == 2
+    # IF NOT EXISTS over an existing object: no-op, data intact
+    w = run(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW IF NOT EXISTS `p.sx.base` AS"
+        " SELECT x, COUNT(*) AS n FROM `p.sx.base` GROUP BY x",
+    )
+    assert any("skipped" in line for line in w.log), w.log
+    assert run(
+        spark, cat, "SELECT COUNT(*) AS n FROM `p.sx.base`"
+    ).result.collect()[0]["n"] == 2
+    # DROP MATERIALIZED VIEW on a base table: error (IF EXISTS no-ops)
+    with pytest.raises(WorkerException, match="not a materialized view"):
+        run(spark, cat, "DROP MATERIALIZED VIEW `p.sx.base`")
+    assert cat.exists("p.sx.base")
+    run(spark, cat, "DROP MATERIALIZED VIEW IF EXISTS `p.sx.nothing`")
+    # DROP TABLE on an MV pops the record: no phantom metadata row,
+    # no resurrection via CALL BQ.REFRESH_MATERIALIZED_VIEW
+    run(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW `p.sx.agg` AS"
+        " SELECT x, COUNT(*) AS n FROM `p.sx.base` GROUP BY x;"
+        "DROP TABLE `p.sx.agg`;",
+    )
+    w = run(
+        spark, cat,
+        "SELECT COUNT(*) AS n FROM"
+        " `p.sx.INFORMATION_SCHEMA.MATERIALIZED_VIEWS`",
+    )
+    assert w.result.collect()[0]["n"] == 0
+    with pytest.raises(WorkerException, match="unknown"):
+        run(spark, cat, "CALL BQ.REFRESH_MATERIALIZED_VIEW('p.sx.agg')")
+    # dataset-less MV names belong to NO dataset metadata view
+    store = cat._mviews
+    store["sessmv"] = {
+        "query_raw": "SELECT 1",
+        "query_norm": "select 1",
+        "fps": {},
+        "shape": None,
+        "refreshed_at": 1.0,
+    }
+    try:
+        w = run(
+            spark, cat,
+            "SELECT COUNT(*) AS n FROM"
+            " `p.sx.INFORMATION_SCHEMA.MATERIALIZED_VIEWS`",
+        )
+        assert w.result.collect()[0]["n"] == 0
+    finally:
+        store.pop("sessmv", None)
 
 
 def test_routines_and_index_views_lifecycle(spark, cat):
