@@ -1865,11 +1865,15 @@ def _rewrite_misc_fns(sql: str) -> str:
             mx = int(m_rng.group(2) or m_rng.group(1))
             sep = args[2] if len(args) == 3 else "' '"
             arr = args[0]
+            # collision-proof lambda params (round-10 probe): bare
+            # `n`/`i` would shadow same-named user columns referenced
+            # by the embedded array/separator expressions
             rep = (
-                f"flatten(transform(sequence({mn}, {mx}), n -> "
-                f"CASE WHEN size({arr}) >= n THEN "
-                f"transform(sequence(1, size({arr}) - n + 1), "
-                f"i -> array_join(slice({arr}, i, n), {sep})) "
+                f"flatten(transform(sequence({mn}, {mx}), __ng_n -> "
+                f"CASE WHEN size({arr}) >= __ng_n THEN "
+                f"transform(sequence(1, size({arr}) - __ng_n + 1), "
+                f"__ng_i -> array_join("
+                f"slice({arr}, __ng_i, __ng_n), {sep})) "
                 f"ELSE CAST(array() AS ARRAY<STRING>) END))"
             )
         elif fn == "search" and len(args) == 2:
@@ -1880,9 +1884,15 @@ def _rewrite_misc_fns(sql: str) -> str:
             # delimiter list is punctuation + '_' + whitespace).
             # json_scope / analyzer named args are not supported — the
             # engine raises rather than silently diverging.
+            # the lambda parameter must be collision-proof: a bare
+            # `t ->` SHADOWED a user column named `t` referenced by the
+            # data expression inside the lambda body, turning the
+            # predicate vacuously TRUE (round-10 adversarial probe —
+            # confirmed wrong answer for any column named t)
             rep = (
                 f"forall({_log_analyzer_tokens(args[1])}, "
-                f"t -> array_contains({_log_analyzer_tokens(args[0])}, t))"
+                f"__sq_tok -> array_contains("
+                f"{_log_analyzer_tokens(args[0])}, __sq_tok))"
             )
         elif fn == "search" and len(args) == 3:
             # named analyzer argument (BigQuery: SEARCH(data, query,
@@ -1904,8 +1914,8 @@ def _rewrite_misc_fns(sql: str) -> str:
             if an == "LOG_ANALYZER":
                 rep = (
                     f"forall({_log_analyzer_tokens(args[1])}, "
-                    f"t -> array_contains("
-                    f"{_log_analyzer_tokens(args[0])}, t))"
+                    f"__sq_tok -> array_contains("
+                    f"{_log_analyzer_tokens(args[0])}, __sq_tok))"
                 )
             elif an == "NO_OP_ANALYZER":
                 rep = f"({args[0]} = {args[1]})"
@@ -3915,7 +3925,37 @@ def _rewrite_backtick_tables(sql: str, resolver=None) -> str:
             return resolver(t)
         return _safe_view_name(t)
 
-    sql = re.sub(r"`([A-Za-z0-9_\-.*]+)`", repl, sql)
+    # OUTSIDE string literals only (round 10): a backticked name inside
+    # a literal — the EXECUTE IMMEDIATE pattern `'CREATE TABLE
+    # `p.d.t` AS ...'` — must reach the dynamic statement verbatim; the
+    # dynamic text is transpiled again when it executes, so mangling it
+    # here routed the CTAS under the session-safe name instead of the
+    # real one (caught by the round-10 plane probes). NB: not
+    # _sub_outside_strings — that helper masks backtick regions too,
+    # which are exactly what this rewrite targets.
+    out: list[str] = []
+    seg_start = 0
+    i, n = 0, len(sql)
+
+    def _apply(seg: str) -> str:
+        return re.sub(r"`([A-Za-z0-9_\-.*]+)`", repl, seg)
+
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"'):
+            out.append(_apply(sql[seg_start:i]))
+            lit_end = _skip_string(sql, i)
+            out.append(sql[i:lit_end])
+            i = seg_start = lit_end
+            continue
+        if c == "`":
+            # stay in CODE but skip the identifier body so a quote
+            # character inside it cannot open a bogus literal
+            i = _skip_string(sql, i)
+            continue
+        i += 1
+    out.append(_apply(sql[seg_start:]))
+    sql = "".join(out)
     # bare (unbackticked) INFORMATION_SCHEMA references — the common
     # spelling in BigQuery metadata queries
     return _sub_outside_strings(

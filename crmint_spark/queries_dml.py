@@ -1210,7 +1210,8 @@ def _search_pred(data: str, query_lit: str) -> str:
     return (
         f"CASE WHEN len({tok(query_lit)}) = 0 THEN TRUE"
         f" ELSE list_aggregate(list_transform({tok(query_lit)},"
-        f" t -> coalesce(list_contains({tok(data)}, t), FALSE)),"
+        f" __sq_tok -> coalesce(list_contains({tok(data)}, __sq_tok),"
+        f" FALSE)),"
         f" 'bool_and') END"
     )
 

@@ -1783,7 +1783,8 @@ def _q63_oracle() -> str:
         return (
             f"CASE WHEN len({tok(query)}) = 0 THEN TRUE"
             f" ELSE list_aggregate(list_transform({tok(query)}, "
-            f"t -> coalesce(list_contains({tok(data)}, t), FALSE)), "
+            f"__sq_tok -> coalesce(list_contains({tok(data)}, __sq_tok),"
+            f" FALSE)), "
             f"'bool_and') END"
         )
 
@@ -3853,9 +3854,9 @@ def _q92_oracle() -> str:
     search_log = (
         "list_aggregate(list_transform("
         + tok("'spark merge'")
-        + ", t -> coalesce(list_contains("
+        + ", __sq_tok -> coalesce(list_contains("
         + tok("text")
-        + ", t), FALSE)), 'bool_and')"
+        + ", __sq_tok), FALSE)), 'bool_and')"
     )
     return f"""
 SELECT COUNT(*) AS n_docs,

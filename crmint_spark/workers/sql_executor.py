@@ -3569,6 +3569,40 @@ class SparkSQLExecutor(Worker):
         ma = re.match(r"\s*AS\b(.*)$", rest, re.IGNORECASE | re.DOTALL)
         if ma:
             df = spark.sql(ma.group(1))
+            if schema_text is not None:
+                # BigQuery: a column list WITH an AS query makes the
+                # result adopt the DECLARED names and types positionally
+                # (round-10 plane probe: the list was silently ignored,
+                # leaving expression-derived column names)
+                decls = []
+                for col_def in _split_columns_angle_aware(schema_text):
+                    cm = re.match(
+                        r"\s*`?(\w+)`?\s+([\w<>,() ]+?)"
+                        r"(?:\s+NOT\s+NULL)?(?:\s+OPTIONS\s*\(.*)?\s*$",
+                        col_def,
+                        re.IGNORECASE | re.DOTALL,
+                    )
+                    if not cm:
+                        raise WorkerException(
+                            f"cannot parse column definition: "
+                            f"{col_def[:60]}"
+                        )
+                    decls.append((cm.group(1), cm.group(2).strip()))
+                if len(decls) != len(df.columns):
+                    raise WorkerException(
+                        f"CREATE TABLE {table_id}: column list has"
+                        f" {len(decls)} columns, AS query returns"
+                        f" {len(df.columns)}"
+                    )
+                # ``stmt`` is already transpiled, so the declared types
+                # are Spark spellings; positional df[i] avoids name
+                # lookups on expression-derived output columns
+                df = df.select(
+                    *[
+                        df[i].cast(btype).alias(name)
+                        for i, (name, btype) in enumerate(decls)
+                    ]
+                )
         elif schema_text is not None:
             casts = []
             for col_def in _split_columns_angle_aware(schema_text):

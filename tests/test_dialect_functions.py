@@ -1760,3 +1760,51 @@ def test_xxh64_fuzz_against_engine(spark):
     ).collect()
     for r in rows:
         assert search_bucket("text", r["t"]) == r["b"], repr(r["t"])
+
+
+def test_hof_lambda_params_never_shadow_user_columns(spark):
+    """Round-10 adversarial probe (CONFIRMED wrong answer): the SEARCH
+    scan rewrite's lambda parameter `t` shadowed a user column named
+    `t` referenced inside the lambda body, turning the predicate
+    vacuously TRUE — SEARCH(t, 'alpha') matched every row. Generated
+    lambda parameters are now collision-proof (__sq_tok / __ng_*);
+    this drives the worst-case column names through SEARCH (2- and
+    3-arg) and ML.NGRAMS."""
+    from crmint_spark.dialect import transpile_statement
+
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'alpha'), (9, 'gamma') AS v(id, t)"
+    ).createOrReplaceTempView("shadow_t")
+    got = spark.sql(
+        transpile_statement(
+            "SELECT id FROM shadow_t WHERE SEARCH(t, 'alpha')", None
+        )
+    ).collect()
+    assert [r.id for r in got] == [1], got
+    got = spark.sql(
+        transpile_statement(
+            "SELECT id FROM shadow_t WHERE"
+            " SEARCH(t, 'alpha', analyzer => 'LOG_ANALYZER')",
+            None,
+        )
+    ).collect()
+    assert [r.id for r in got] == [1], got
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'alpha') AS v(id, x)"
+    ).createOrReplaceTempView("shadow_x")
+    got = spark.sql(
+        transpile_statement(
+            "SELECT id FROM shadow_x WHERE SEARCH(x, 'gamma')", None
+        )
+    ).collect()
+    assert got == [], got
+    # ML.NGRAMS over columns named n / i (the generated loop params)
+    spark.sql(
+        "SELECT array('a', 'b', 'c') AS n, '-' AS i"
+    ).createOrReplaceTempView("shadow_ni")
+    got = spark.sql(
+        transpile_statement(
+            "SELECT ML.NGRAMS(n, [1, 2], i) AS g FROM shadow_ni", None
+        )
+    ).collect()
+    assert got[0]["g"] == ["a", "b", "c", "a-b", "b-c"], got

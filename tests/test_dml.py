@@ -1361,6 +1361,65 @@ def test_mv_ddl_create_drop_strictness(spark, cat):
         store.pop("sessmv", None)
 
 
+def test_execute_immediate_ctas_catalog_plane(spark, cat):
+    """Round-10 plane probe: the transpiler used to rewrite backticked
+    names INSIDE string literals, so EXECUTE IMMEDIATE's dynamic CTAS
+    landed under the session-safe name (`p__w__dyn`) instead of the
+    real catalog name — invisible to INFORMATION_SCHEMA and the DML
+    plane. Literals now reach the dynamic statement verbatim."""
+    run(
+        spark, cat,
+        "EXECUTE IMMEDIATE"
+        " 'CREATE OR REPLACE TABLE `p.ei.dyn` AS SELECT 7 AS x'",
+    )
+    assert cat.exists("p.ei.dyn")
+    w = run(
+        spark, cat,
+        "EXECUTE IMMEDIATE FORMAT("
+        "'SELECT COUNT(*) AS n FROM %s', '`p.ei.dyn`')",
+    )
+    assert w.result.collect()[0]["n"] == 1
+    # DML through the real name reaches the catalog plane
+    run(spark, cat, "INSERT INTO `p.ei.dyn` VALUES (8)")
+    assert cat.read("p.ei.dyn").count() == 2
+    # a literal that merely MENTIONS a backticked name stays verbatim
+    w = run(spark, cat, "SELECT 'see `p.ei.dyn` docs' AS note")
+    assert w.result.collect()[0]["note"] == "see `p.ei.dyn` docs"
+
+
+def test_ctas_column_list_with_as_query(spark, cat):
+    """BigQuery: `CREATE TABLE t (cols) AS SELECT ...` adopts the
+    DECLARED names and types positionally (round-10 plane probe: the
+    list was silently ignored, leaving expression-derived column
+    names). Applies to flat and partitioned layouts; a count mismatch
+    errors loudly."""
+    import pytest
+
+    from crmint_spark.workers.base import WorkerException
+
+    run(
+        spark, cat,
+        "CREATE OR REPLACE TABLE `p.cl.sa` (x INT64, y STRING)"
+        " AS SELECT 5, 'q'",
+    )
+    df = cat.read("p.cl.sa")
+    assert df.dtypes == [("x", "bigint"), ("y", "string")]
+    assert [tuple(r) for r in df.collect()] == [(5, "q")]
+    run(
+        spark, cat,
+        "CREATE OR REPLACE TABLE `p.cl.sp` (d DATE, v FLOAT64)"
+        " PARTITION BY d AS SELECT DATE '2021-01-01', 1",
+    )
+    df = cat.read("p.cl.sp")
+    assert df.dtypes == [("d", "date"), ("v", "double")]
+    with pytest.raises(WorkerException, match="column list"):
+        run(
+            spark, cat,
+            "CREATE OR REPLACE TABLE `p.cl.bad` (x INT64)"
+            " AS SELECT 1, 2",
+        )
+
+
 def test_routines_and_index_views_lifecycle(spark, cat):
     """ROUTINES / SEARCH_INDEXES / VECTOR_INDEXES reflect the live
     stores: creation appears, other datasets are filtered out, DROP
