@@ -3953,6 +3953,14 @@ def _rewrite_backtick_tables(sql: str, resolver=None) -> str:
             # character inside it cannot open a bogus literal
             i = _skip_string(sql, i)
             continue
+        cm_end = _skip_comment(sql, i)
+        if cm_end > i:
+            # comments are CODE for this rewrite (names inside them
+            # don't matter) but an apostrophe in one must not open a
+            # bogus literal that swallows the rest of the statement
+            # (round-10 probe: `-- user's note` broke later names)
+            i = cm_end
+            continue
         i += 1
     out.append(_apply(sql[seg_start:]))
     sql = "".join(out)

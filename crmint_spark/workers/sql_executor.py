@@ -5214,8 +5214,17 @@ class SparkSQLExecutor(Worker):
         if im is not None:
             body, into_raw = im
             into_vars = [v.strip() for v in into_raw.split(",") if v.strip()]
+        from ..dialect import blank_comments_same_length as _blank_comments
+
+        # comments are blanked (string-aware) BEFORE the parenthesized
+        # wrap — a trailing `-- note` would otherwise comment out the
+        # closing paren (round-10 probe)
         sql_text = spark.sql(
-            f"SELECT ({_transpile(sctx.substitute(body), resolver)})"
+            "SELECT ("
+            + _transpile(
+                _blank_comments(sctx.substitute(body)).strip(), resolver
+            )
+            + ")"
         ).first()[0]
         if not isinstance(sql_text, str) or not sql_text.strip():
             raise WorkerException(

@@ -1808,3 +1808,20 @@ def test_hof_lambda_params_never_shadow_user_columns(spark):
         )
     ).collect()
     assert got[0]["g"] == ["a", "b", "c", "a-b", "b-c"], got
+
+
+def test_backtick_rewrite_masks_literals_not_comments():
+    """Round 10: backticked names inside STRING LITERALS reach dynamic
+    SQL verbatim (EXECUTE IMMEDIATE pattern), while names in code —
+    including after comments containing apostrophes — still rewrite."""
+    from crmint_spark.dialect import transpile_statement as t
+
+    assert "p__d__t" in t(
+        "SELECT x -- note's\n FROM `p.d.t` WHERE y = 'a'", None
+    )
+    assert "p__d__t" in t("/* don't */ SELECT x FROM `p.d.t`", None)
+    out = t("SELECT 'docs: `p.d.t`' AS s FROM `p.d.u`", None)
+    assert "`p.d.t`" in out and "p__d__u" in out
+    assert "`p.d.v`" in t(
+        "EXECUTE IMMEDIATE 'CREATE TABLE `p.d.v` AS SELECT 1'", None
+    )
