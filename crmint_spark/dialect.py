@@ -1816,10 +1816,15 @@ def _rewrite_misc_fns(sql: str) -> str:
             # 1 + #(split points <= v): bin_1 below s1, bin_2 in
             # [s1, s2), ... (BigQuery's TRANSFORM-clause bucketizer).
             # The 3-arg exclude_boundaries form is not supported.
+            # collision-proof lambda param (round-10 review wave 2):
+            # bare `p` shadowed a user column named p referenced by the
+            # embedded value expression — every non-NULL row landed in
+            # the top bucket
             rep = (
                 f"CASE WHEN ({args[0]}) IS NULL THEN CAST(NULL AS STRING)"
                 f" ELSE concat('bin_', CAST(1 + size(filter({args[1]}, "
-                f"p -> CAST(p AS DOUBLE) <= CAST({args[0]} AS DOUBLE)))"
+                f"__bk_p -> CAST(__bk_p AS DOUBLE)"
+                f" <= CAST({args[0]} AS DOUBLE)))"
                 f" AS STRING)) END"
             )
         elif fn == "ml.feature_cross" and len(args) == 1:
@@ -2222,15 +2227,21 @@ def _rewrite_ml_scalers(sql: str) -> str:
                     # a decimal-typed quotient
                     norm = (
                         f"CAST(array_max(transform({x},"
-                        f" _ne -> abs(_ne))) AS DOUBLE)"
+                        f" __nrm_e -> abs(__nrm_e))) AS DOUBLE)"
                     )
                 else:
                     norm = (
                         f"power(aggregate({x}, CAST(0 AS DOUBLE),"
-                        f" (_na, _ne) -> _na + power(abs(_ne), {p})),"
+                        f" (__nrm_a, __nrm_e) ->"
+                        f" __nrm_a + power(abs(__nrm_e), {p})),"
                         f" 1.0 / {p})"
                     )
-                rep = f"transform({x}, _ne -> _ne / NULLIF({norm}, 0))"
+                # __-prefixed params: the embedded user expression {x}
+                # inside the lambda body must not be shadow-captured
+                rep = (
+                    f"transform({x}, __nrm_e ->"
+                    f" __nrm_e / NULLIF({norm}, 0))"
+                )
             else:
                 if len(args) != 2:
                     raise ValueError(
@@ -2338,18 +2349,38 @@ def _map_code_literal_pairs(sql: str, fn) -> str:
     return "".join(out)
 
 
-def _sub_outside_strings(sql: str, sub: Callable[[str], str]) -> str:
+def _sub_outside_strings(
+    sql: str,
+    sub: Callable[[str], str],
+    code_backticks: bool = False,
+) -> str:
     """Apply ``sub`` to the segments of ``sql`` outside quoted strings/
-    backticks, leaving literal contents untouched."""
+    backticks, leaving literal contents untouched. COMMENT-aware
+    (round 10): an apostrophe inside a ``--``/``/* */`` comment must
+    not open a bogus literal that swallows the rest of the statement —
+    comments stay part of the surrounding code segment (rewrites inside
+    them are inert). ``code_backticks=True`` keeps backtick-quoted
+    identifiers in the code segments too (for rewrites that TARGET
+    backticked names, e.g. the table-name resolver)."""
     out: list[str] = []
     seg_start = 0
     i, n = 0, len(sql)
     while i < n:
-        if sql[i] in ("'", '"', "`"):
+        c = sql[i]
+        if c in ("'", '"') or (c == "`" and not code_backticks):
             out.append(sub(sql[seg_start:i]))
             lit_end = _skip_string(sql, i)
             out.append(sql[i:lit_end])
             i = seg_start = lit_end
+            continue
+        if c == "`":
+            # code_backticks: stay in CODE but skip the identifier body
+            # so a quote character inside it cannot open a literal
+            i = _skip_string(sql, i)
+            continue
+        cm_end = _skip_comment(sql, i)
+        if cm_end > i:
+            i = cm_end
             continue
         i += 1
     out.append(sub(sql[seg_start:]))
@@ -3930,40 +3961,15 @@ def _rewrite_backtick_tables(sql: str, resolver=None) -> str:
     # `p.d.t` AS ...'` — must reach the dynamic statement verbatim; the
     # dynamic text is transpiled again when it executes, so mangling it
     # here routed the CTAS under the session-safe name instead of the
-    # real one (caught by the round-10 plane probes). NB: not
-    # _sub_outside_strings — that helper masks backtick regions too,
-    # which are exactly what this rewrite targets.
-    out: list[str] = []
-    seg_start = 0
-    i, n = 0, len(sql)
-
-    def _apply(seg: str) -> str:
-        return re.sub(r"`([A-Za-z0-9_\-.*]+)`", repl, seg)
-
-    while i < n:
-        c = sql[i]
-        if c in ("'", '"'):
-            out.append(_apply(sql[seg_start:i]))
-            lit_end = _skip_string(sql, i)
-            out.append(sql[i:lit_end])
-            i = seg_start = lit_end
-            continue
-        if c == "`":
-            # stay in CODE but skip the identifier body so a quote
-            # character inside it cannot open a bogus literal
-            i = _skip_string(sql, i)
-            continue
-        cm_end = _skip_comment(sql, i)
-        if cm_end > i:
-            # comments are CODE for this rewrite (names inside them
-            # don't matter) but an apostrophe in one must not open a
-            # bogus literal that swallows the rest of the statement
-            # (round-10 probe: `-- user's note` broke later names)
-            i = cm_end
-            continue
-        i += 1
-    out.append(_apply(sql[seg_start:]))
-    sql = "".join(out)
+    # real one (caught by the round-10 plane probes). code_backticks
+    # keeps backtick regions in the code segments — they are exactly
+    # what this rewrite targets — and the shared walker is comment-
+    # aware, so `-- user's note` cannot swallow later names.
+    sql = _sub_outside_strings(
+        sql,
+        lambda seg: re.sub(r"`([A-Za-z0-9_\-.*]+)`", repl, seg),
+        code_backticks=True,
+    )
     # bare (unbackticked) INFORMATION_SCHEMA references — the common
     # spelling in BigQuery metadata queries
     return _sub_outside_strings(

@@ -596,6 +596,47 @@ def _split_columns_angle_aware(text: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _parse_column_decls(schema_text: str) -> list[tuple[str, str]]:
+    """A CREATE TABLE column list -> [(name, type_text)] (NOT NULL /
+    OPTIONS clauses tolerated and dropped). One definition shared by
+    the schema-only CREATE, the column-list+AS adoption and TEMP TABLE
+    (round-10 review wave 2: the copies had started to drift)."""
+    decls: list[tuple[str, str]] = []
+    for col_def in _split_columns_angle_aware(schema_text):
+        cm = re.match(
+            r"\s*`?(\w+)`?\s+([\w<>,() ]+?)"
+            r"(?:\s+NOT\s+NULL)?(?:\s+OPTIONS\s*\(.*)?\s*$",
+            col_def,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not cm:
+            raise WorkerException(
+                f"cannot parse column definition: {col_def[:60]}"
+            )
+        decls.append((cm.group(1), cm.group(2).strip()))
+    return decls
+
+
+def _adopt_column_decls(df, decls: list[tuple[str, str]], table_id: str):
+    """BigQuery: a column list WITH an AS query makes the result adopt
+    the DECLARED names and types POSITIONALLY. toDF renames by position
+    (round-10 review wave 2: df[i] resolves by NAME in PySpark, so
+    expression-derived names with dots or join-duplicated names
+    crashed), then the casts apply to the new unique names."""
+    if len(decls) != len(df.columns):
+        raise WorkerException(
+            f"CREATE TABLE {table_id}: column list has"
+            f" {len(decls)} columns, AS query returns"
+            f" {len(df.columns)}"
+        )
+    from pyspark.sql import functions as F
+
+    df = df.toDF(*[name for name, _ in decls])
+    return df.select(
+        *[F.col(name).cast(btype).alias(name) for name, btype in decls]
+    )
+
+
 def _mask_literals_same_length(sql: str) -> str:
     """String literals blanked to spaces (offsets preserved) so textual
     scans never match keywords inside them. Both quote styles mask:
@@ -1556,22 +1597,28 @@ class SparkSQLExecutor(Worker):
         if not m:
             return False
         name, rest = m.group(3), m.group(4).strip()
-        am = re.match(r"(?:\([^)]*\)\s*)?AS\b(.*)$", rest, re.IGNORECASE | re.DOTALL)
+        am = re.match(
+            r"(?:\(([^)]*)\)\s*)?AS\b(.*)$", rest, re.IGNORECASE | re.DOTALL
+        )
         if not am:
             raise WorkerException(
                 "CREATE TEMP TABLE needs an AS query (schema-only temp"
                 " tables are not supported)"
             )
+        # a column list adopts declared names/types positionally, like
+        # the catalog-plane CTAS (round-10 review wave 2: it was
+        # silently discarded here)
+        temp_schema_text = am.group(1)
         spark = self._ctx.spark
         if self._params["dry_run"]:
             self._dry_run_statement(
-                spark, transpile_statement(am.group(1).strip(), resolver)
+                spark, transpile_statement(am.group(2).strip(), resolver)
             )
             return True
         if m.group(2) and spark.catalog.tableExists(name):
             self.log_info(f"TEMP TABLE {name} exists — skipped")
             return True
-        q = am.group(1).strip()
+        q = am.group(2).strip()
         if q.startswith("(") and q.endswith(")"):
             q = q[1:-1]
         # the inner query is a sub-step of THIS statement, not its own
@@ -1585,6 +1632,16 @@ class SparkSQLExecutor(Worker):
             raise WorkerException(
                 "CREATE TEMP TABLE query produced no result"
             )
+        if temp_schema_text and temp_schema_text.strip():
+            # the TEMP statement text is PRE-transpile BigQuery — map
+            # its type spellings before casting
+            from ..dialect import _map_bq_types
+
+            decls = [
+                (n, _map_bq_types(t))
+                for n, t in _parse_column_decls(temp_schema_text)
+            ]
+            df = _adopt_column_decls(df, decls, name)
         try:
             df = df.localCheckpoint(eager=True)
         except Exception:
@@ -3573,52 +3630,16 @@ class SparkSQLExecutor(Worker):
                 # BigQuery: a column list WITH an AS query makes the
                 # result adopt the DECLARED names and types positionally
                 # (round-10 plane probe: the list was silently ignored,
-                # leaving expression-derived column names)
-                decls = []
-                for col_def in _split_columns_angle_aware(schema_text):
-                    cm = re.match(
-                        r"\s*`?(\w+)`?\s+([\w<>,() ]+?)"
-                        r"(?:\s+NOT\s+NULL)?(?:\s+OPTIONS\s*\(.*)?\s*$",
-                        col_def,
-                        re.IGNORECASE | re.DOTALL,
-                    )
-                    if not cm:
-                        raise WorkerException(
-                            f"cannot parse column definition: "
-                            f"{col_def[:60]}"
-                        )
-                    decls.append((cm.group(1), cm.group(2).strip()))
-                if len(decls) != len(df.columns):
-                    raise WorkerException(
-                        f"CREATE TABLE {table_id}: column list has"
-                        f" {len(decls)} columns, AS query returns"
-                        f" {len(df.columns)}"
-                    )
-                # ``stmt`` is already transpiled, so the declared types
-                # are Spark spellings; positional df[i] avoids name
-                # lookups on expression-derived output columns
-                df = df.select(
-                    *[
-                        df[i].cast(btype).alias(name)
-                        for i, (name, btype) in enumerate(decls)
-                    ]
+                # leaving expression-derived column names). ``stmt`` is
+                # already transpiled — the types are Spark spellings.
+                df = _adopt_column_decls(
+                    df, _parse_column_decls(schema_text), table_id
                 )
         elif schema_text is not None:
-            casts = []
-            for col_def in _split_columns_angle_aware(schema_text):
-                cm = re.match(
-                    r"\s*`?(\w+)`?\s+([\w<>,() ]+?)"
-                    r"(?:\s+NOT\s+NULL)?(?:\s+OPTIONS\s*\(.*)?\s*$",
-                    col_def,
-                    re.IGNORECASE | re.DOTALL,
-                )
-                if not cm:
-                    raise WorkerException(
-                        f"cannot parse column definition: {col_def[:60]}"
-                    )
-                casts.append(
-                    f"CAST(NULL AS {cm.group(2).strip()}) AS `{cm.group(1)}`"
-                )
+            casts = [
+                f"CAST(NULL AS {btype}) AS `{name}`"
+                for name, btype in _parse_column_decls(schema_text)
+            ]
             df = spark.sql(f"SELECT {', '.join(casts)} WHERE 1 = 0")
         else:
             raise WorkerException(
@@ -5202,7 +5223,13 @@ class SparkSQLExecutor(Worker):
         if not m:
             return None
         spark = self._ctx.spark
-        body = m.group(1).strip().rstrip(";").strip()
+        from ..dialect import blank_comments_same_length as _blank_comments
+
+        # comments are blanked (string-aware) FIRST: an INTO/USING word
+        # inside a trailing comment mis-split the statement, and an
+        # apostrophe or trailing `--` would corrupt the parenthesized
+        # expression wraps below (round-10 review wave 2)
+        body = _blank_comments(m.group(1)).strip().rstrip(";").strip()
         # split off top-level INTO / USING clauses (scan outside strings
         # and parens via the dialect's top-level splitter on a sentinel)
         into_vars: list[str] = []
@@ -5214,17 +5241,10 @@ class SparkSQLExecutor(Worker):
         if im is not None:
             body, into_raw = im
             into_vars = [v.strip() for v in into_raw.split(",") if v.strip()]
-        from ..dialect import blank_comments_same_length as _blank_comments
-
-        # comments are blanked (string-aware) BEFORE the parenthesized
-        # wrap — a trailing `-- note` would otherwise comment out the
-        # closing paren (round-10 probe)
+        # body is already comment-blanked above, so the parenthesized
+        # wrap is safe from trailing `-- note` forms (round-10 probe)
         sql_text = spark.sql(
-            "SELECT ("
-            + _transpile(
-                _blank_comments(sctx.substitute(body)).strip(), resolver
-            )
-            + ")"
+            f"SELECT ({_transpile(sctx.substitute(body), resolver)})"
         ).first()[0]
         if not isinstance(sql_text, str) or not sql_text.strip():
             raise WorkerException(

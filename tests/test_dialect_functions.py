@@ -1825,3 +1825,36 @@ def test_backtick_rewrite_masks_literals_not_comments():
     assert "`p.d.v`" in t(
         "EXECUTE IMMEDIATE 'CREATE TABLE `p.d.v` AS SELECT 1'", None
     )
+
+
+def test_bucketize_and_norm_lambda_shadowing(spark):
+    """Review wave 2: ML.BUCKETIZE's `p ->` lambda shadowed a user
+    column named p (every row landed in the top bucket); the
+    ML.NORMALIZER lambdas had the same residual exposure."""
+    from crmint_spark.dialect import transpile_statement
+
+    spark.sql(
+        "SELECT * FROM VALUES (5.0), (15.0), (25.0) AS v(p)"
+    ).createOrReplaceTempView("shadow_p")
+    got = sorted(
+        r.b
+        for r in spark.sql(
+            transpile_statement(
+                "SELECT ML.BUCKETIZE(p, [10, 20]) AS b FROM shadow_p",
+                None,
+            )
+        ).collect()
+    )
+    assert got == ["bin_1", "bin_2", "bin_3"], got
+
+
+def test_bare_information_schema_rewrite_comment_aware():
+    """Review wave 2: the bare INFORMATION_SCHEMA rewrite shares the
+    comment-aware walker — an apostrophe in a comment no longer
+    suppresses the reference mapping."""
+    from crmint_spark.dialect import transpile_statement as t
+
+    out = t(
+        "SELECT x -- don't\n FROM p.d.INFORMATION_SCHEMA.TABLES", None
+    )
+    assert "p__d__INFORMATION_SCHEMA__TABLES" in out, out

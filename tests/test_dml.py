@@ -1418,6 +1418,56 @@ def test_ctas_column_list_with_as_query(spark, cat):
             "CREATE OR REPLACE TABLE `p.cl.bad` (x INT64)"
             " AS SELECT 1, 2",
         )
+    # review wave 2: expression-derived names containing dots and
+    # join-duplicated output names must adopt positionally (df[i]
+    # resolved BY NAME in PySpark and crashed on both)
+    run(
+        spark, cat,
+        "CREATE OR REPLACE TABLE `p.cl.dot` (v FLOAT64)"
+        " AS SELECT x * 1.5 FROM UNNEST([1, 2]) AS x",
+    )
+    assert cat.read("p.cl.dot").dtypes == [("v", "double")]
+    run(
+        spark, cat,
+        "CREATE OR REPLACE TABLE `p.cl.l` AS SELECT 1 AS id;"
+        "CREATE OR REPLACE TABLE `p.cl.r` AS SELECT 1 AS id;"
+        "CREATE OR REPLACE TABLE `p.cl.j` (x INT64, y INT64) AS"
+        " SELECT a.id, b.id FROM `p.cl.l` a"
+        " JOIN `p.cl.r` b ON a.id = b.id",
+    )
+    assert [tuple(r) for r in cat.read("p.cl.j").collect()] == [(1, 1)]
+    # TEMP TABLE adopts its column list too (it was silently discarded)
+    w = run(
+        spark, cat,
+        "CREATE TEMP TABLE tt_cl (x INT64, y STRING) AS SELECT 5, 'q';"
+        "SELECT * FROM tt_cl;",
+    )
+    assert w.result.dtypes == [("x", "bigint"), ("y", "string")]
+    spark.catalog.dropTempView("tt_cl")
+
+
+def test_execute_immediate_comment_robustness(spark, cat):
+    """Review wave 2: INTO/USING words inside trailing comments must
+    not mis-split EXECUTE IMMEDIATE, and a USING parameter with a
+    trailing comment must still wrap cleanly."""
+    w = run(
+        spark, cat,
+        "EXECUTE IMMEDIATE 'SELECT 42 AS v' -- stores INTO nothing\n",
+    )
+    assert w.result.collect()[0]["v"] == 42
+    w = run(
+        spark, cat,
+        "EXECUTE IMMEDIATE 'SELECT 43 AS v' -- USING nothing\n",
+    )
+    assert w.result.collect()[0]["v"] == 43
+    w = run(
+        spark, cat,
+        "DECLARE out INT64;"
+        "EXECUTE IMMEDIATE 'SELECT @a + 1 AS v' INTO out"
+        " USING 1 -- param\n AS a;"
+        "SELECT out AS v;",
+    )
+    assert w.result.collect()[0]["v"] == 2
 
 
 def test_routines_and_index_views_lifecycle(spark, cat):
