@@ -1858,3 +1858,46 @@ def test_bare_information_schema_rewrite_comment_aware():
         "SELECT x -- don't\n FROM p.d.INFORMATION_SCHEMA.TABLES", None
     )
     assert "p__d__INFORMATION_SCHEMA__TABLES" in out, out
+
+
+def test_generated_lambdas_robust_to_any_column_name(spark):
+    """Generalization of the round-10 shadow fixes: for every short
+    identifier a generated lambda has ever used as a parameter, a
+    column by that name must still evaluate correctly through SEARCH
+    (engine truth = Python tokenization) and ML.BUCKETIZE."""
+    import re as _re
+
+    from crmint_spark.dialect import (
+        LOG_ANALYZER_DELIMS,
+        transpile_statement,
+    )
+
+    names = ["t", "x", "p", "n", "i", "s", "v", "acc", "ch", "tok"]
+    texts = ["alpha beta", "gamma", "ALPHA only", "beta alpha x t p"]
+
+    def truth(text, query):
+        toks = lambda e: {
+            w for w in _re.split(LOG_ANALYZER_DELIMS, e.lower()) if w
+        }
+        q = toks(query)
+        return bool(q) and q <= toks(text) or not q
+
+    for name in names:
+        rows = ", ".join(f"({j}, '{s}')" for j, s in enumerate(texts))
+        spark.sql(
+            f"SELECT * FROM VALUES {rows} AS v(id, {name})"
+        ).createOrReplaceTempView("shadow_any")
+        got = sorted(
+            r.id
+            for r in spark.sql(
+                transpile_statement(
+                    f"SELECT id FROM shadow_any"
+                    f" WHERE SEARCH({name}, 'alpha')",
+                    None,
+                )
+            ).collect()
+        )
+        want = sorted(
+            j for j, s in enumerate(texts) if truth(s, "alpha")
+        )
+        assert got == want, (name, got, want)

@@ -249,6 +249,13 @@ SHOW = [
         "over unchanged partitions UNION inline nearest-centroid "
         "assignment of the changed partitions' rows",
     ),
+    (
+        "q93_analyzer_index",
+        "analyzer-faithful routing (r10): the named-LOG and NO_OP "
+        "SEARCH forms serve from their matching postings layouts — "
+        "tok_bucket PartitionFilters prune to the probed buckets; the "
+        "corpus text column never enters the routed plans",
+    ),
 ]
 
 
