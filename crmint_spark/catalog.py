@@ -103,19 +103,24 @@ def purge_index_entries(idx: dict | None, table_id: str) -> None:
         idx.pop(name, None)
 
 
-def _name_in_dataset(name, project: str, dataset: str) -> bool:
+def _name_in_dataset(
+    name, project: str, dataset: str, owner_project: str | None = None
+) -> bool:
     """Does an object NAME belong to a (project, dataset) metadata
-    scope? 3-part names must match both, dataset-qualified 2-part
-    names the dataset; dataset-LESS (1-part session) names belong to
-    no dataset view — listing them everywhere leaked phantom rows into
-    other projects' INFORMATION_SCHEMA (round-10 review finding).
-    Shared by the TABLES mview-type filter and MATERIALIZED_VIEWS so
-    the two can never disagree."""
+    scope? 3-part names must match both; dataset-qualified 2-part
+    names match the dataset AND the dataset's unique owning project
+    (``owner_project``, resolved by the caller like dataset-only
+    qualifiers are — without it a 2-part record listed under EVERY
+    project owning a same-named dataset, round-11 advisory, the same
+    cross-scope phantom-row leak the round-10 finding fixed for
+    1-part names); dataset-LESS (1-part session) names belong to no
+    dataset view. Shared by the TABLES mview-type filter and
+    MATERIALIZED_VIEWS so the two can never disagree."""
     parts = str(name).strip("`").split(".")
     if len(parts) == 3:
         return (parts[0], parts[1]) == (project, dataset)
     if len(parts) == 2:
-        return parts[0] == dataset
+        return parts[0] == dataset and owner_project == project
     return False
 
 
@@ -1568,6 +1573,21 @@ class Catalog:
             and "tables_summary" not in n.lower()
         )
 
+    def _unique_project_for(self, dataset: str) -> str | None:
+        """The single project owning ``dataset`` in the catalog tree /
+        virtual registry, or None when absent or ambiguous — the same
+        resolution dataset-only INFORMATION_SCHEMA qualifiers use."""
+        hits = [
+            p
+            for p in sorted(os.listdir(self.root))
+            if not p.startswith("__")
+            and os.path.isdir(os.path.join(self.root, p, dataset))
+        ]
+        hits.extend(
+            p for p, d in self._virtual if d == dataset and p not in hits
+        )
+        return hits[0] if len(hits) == 1 else None
+
     def _split_is_qualifier(self, qualifier: str) -> tuple[str, str]:
         parts = qualifier.split(".")
         if len(parts) == 2:
@@ -1753,10 +1773,11 @@ class Catalog:
         if kind == "TABLES":
             # MATERIALIZED VIEW storage is a catalog table (round 10);
             # BigQuery's TABLES view reports its own type for them
+            owner = self._unique_project_for(dataset)
             mviews = {
                 str(n).split(".")[-1]
                 for n in getattr(self, "_mviews", {})
-                if _name_in_dataset(n, project, dataset)
+                if _name_in_dataset(n, project, dataset, owner)
             }
             rows = [
                 (
@@ -1924,8 +1945,9 @@ class Catalog:
             from datetime import datetime, timezone
 
             rows = []
+            owner = self._unique_project_for(dataset)
             for name, rec in sorted(getattr(self, "_mviews", {}).items()):
-                if not _name_in_dataset(name, project, dataset):
+                if not _name_in_dataset(name, project, dataset, owner):
                     continue
                 nparts = str(name).split(".")
                 ts = rec.get("refreshed_at")

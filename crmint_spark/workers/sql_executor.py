@@ -3250,6 +3250,28 @@ class SparkSQLExecutor(Worker):
             "global": mg is None,
         }
 
+    def _mv_col_is_exact(self, view: str, col: str) -> bool:
+        """True when re-aggregating the MV column cannot drift from
+        base aggregation: integral and decimal addition is associative
+        byte-for-byte; float/double SUM reassociation is not."""
+        from pyspark.sql import types as T
+
+        try:
+            dt = self._ctx.spark.table(view).schema[col].dataType
+        except Exception:
+            return False
+        return isinstance(
+            dt,
+            (
+                T.ByteType,
+                T.ShortType,
+                T.IntegerType,
+                T.LongType,
+                T.DecimalType,
+                T.BooleanType,
+            ),
+        )
+
     def _compose_mv_containment(
         self, qs: dict, ms: dict, view: str
     ) -> str | None:
@@ -3324,6 +3346,17 @@ class SparkSQLExecutor(Worker):
         for fn, arg, cmp_lit in qs.get("having") or []:
             composed = _compose_agg(fn, arg)
             if composed is None:
+                return None
+            if fn in ("SUM", "COUNT") and not self._mv_col_is_exact(
+                view, mv_agg_by[(fn, arg)]
+            ):
+                # float SUM re-aggregation reassociates: a last-ulp
+                # value drift is invisible in a returned column but a
+                # HAVING boundary comparison can flip a GROUP in or
+                # out — compose HAVING only over exactly-additive
+                # (integral/decimal) partials, else recompute from
+                # base (round-11 advisory). MIN/MAX compose exactly
+                # for any type.
                 return None
             having_parts.append(f"{composed} {cmp_lit}")
         return (
@@ -3498,11 +3531,9 @@ class SparkSQLExecutor(Worker):
                     how = "containment rewrite"
             if rewritten is None:
                 continue
-            stale = any(
-                not fp or (cat and cat.table_fingerprint(rel) != fp)
-                for rel, fp in e["fps"].items()
-            )
-            if stale:
+            # recursive: a base that is itself a stale recorded MV
+            # poisons this MV's snapshot too (round 11)
+            if self._mv_record_stale(name):
                 continue
             try:
                 self._ctx.spark.table(view)
@@ -3513,6 +3544,121 @@ class SparkSQLExecutor(Worker):
                 f" ({how}; base tables unchanged)"
             )
             return rewritten
+        return sub
+
+    def _mv_record_stale(
+        self,
+        name: str,
+        memo: dict | None = None,
+        _seen: frozenset = frozenset(),
+    ) -> bool:
+        """True when the recorded MV snapshot can no longer be trusted:
+        any base fingerprint moved, any base is untrackable, or —
+        transitively — any base is itself a recorded MV that is stale
+        (the outer MV's fingerprint of the inner MV's materialization
+        doesn't move when only the inner MV's BASE moved, round 11).
+        Metadata-only: one os.stat per distinct base."""
+        store = self._mv_store()
+        cat = self._ctx.catalog
+        if memo is not None and name in memo:
+            return memo[name]
+        e = store.get(name)
+        res = e is None or not e.get("fps")
+        for rel, fp in ((e or {}).get("fps") or {}).items():
+            if res:
+                break
+            if rel in store and rel not in _seen:
+                res = self._mv_record_stale(
+                    rel, memo=memo, _seen=_seen | {name}
+                )
+            if not res:
+                res = (
+                    not fp
+                    or cat is None
+                    or cat.table_fingerprint(rel) != fp
+                )
+        if memo is not None:
+            memo[name] = res
+        return res
+
+    def _route_stale_mv_reads(self, sub: str) -> str:
+        """BigQuery contract: querying a materialized view BY NAME
+        always returns up-to-date results (BigQuery combines the
+        materialization with the base delta). The engine materializes
+        MVs as catalog tables, so a direct ``FROM mv`` read after base
+        DML/LOAD served the stale snapshot (round-11 probe — the smart
+        rewrite's staleness gate only protected queries over the
+        BASE). When any recorded base fingerprint moved, the MV
+        relation reference rewrites to a derived table over the
+        defining query — always correct, no hidden write; fresh MVs
+        keep the materialized fast path, and the staleness check is
+        metadata-only (one os.stat per base). MVs over untrackable
+        bases (session views, externals) have no fingerprint to trust
+        and always read through."""
+        store = self._mv_store()
+        if not store:
+            return sub
+        from ..dialect import _sub_outside_strings
+
+        memo: dict[str, bool] = {}
+        # fixpoint over nesting (an MV defined over another MV): each
+        # pass may expose one more stale reference; bounded by the
+        # store size
+        for _ in range(max(len(store), 1)):
+            changed = False
+            for name, e in store.items():
+                if name not in sub or not e.get("query_raw"):
+                    continue
+                pat = re.compile(
+                    r"\b(FROM|JOIN)\s+`?" + re.escape(name)
+                    + r"`?(?![\w.`])",
+                    re.IGNORECASE,
+                )
+                if not pat.search(sub):
+                    continue
+                if not self._mv_record_stale(name, memo=memo):
+                    continue
+
+                def seg_sub(seg: str) -> str:
+                    def repl(m: re.Match) -> str:
+                        tail = seg[m.end():]
+                        # keep an explicit alias if one follows;
+                        # otherwise restore BigQuery's implicit alias
+                        # (the name's last component)
+                        has_alias = re.match(
+                            r"\s+(?:AS\s+\w+|(?!WHERE\b|GROUP\b"
+                            r"|HAVING\b|ORDER\b|LIMIT\b|JOIN\b"
+                            r"|LEFT\b|RIGHT\b|FULL\b|INNER\b|CROSS\b"
+                            r"|ON\b|USING\b|UNION\b|QUALIFY\b"
+                            r"|WINDOW\b|FOR\b|TABLESAMPLE\b"
+                            r"|SELECT\b)[A-Za-z_]\w*)",
+                            tail,
+                            re.IGNORECASE,
+                        )
+                        alias = (
+                            "" if has_alias
+                            else f" AS {name.split('.')[-1]}"
+                        )
+                        return f"{m.group(1)} ({e['query_raw']}){alias}"
+
+                    return pat.sub(repl, seg)
+
+                # string-aware: a literal containing "FROM <mv>" text
+                # (EXECUTE IMMEDIATE payloads) must not be touched —
+                # the dynamic statement gets its own routing when run;
+                # code_backticks keeps `p.d.mv` references in CODE
+                new = _sub_outside_strings(
+                    sub, seg_sub, code_backticks=True
+                )
+                if new != sub:
+                    self.log_info(
+                        f"MATERIALIZED VIEW {name} is stale — direct"
+                        " read served through its defining query"
+                    )
+                    sub = new
+                    changed = True
+            if not changed:
+                break
         return sub
 
     def _route_partition_scan(self, sub: str) -> str:
@@ -5029,6 +5175,7 @@ class SparkSQLExecutor(Worker):
         layout = None
         mv_rec = None
         tbl_opts = None
+        pending_index_purge = None
         if not self._params["dry_run"]:
             try:
                 dml = parse_dml(sub)
@@ -5039,8 +5186,11 @@ class SparkSQLExecutor(Worker):
             if dml is not None:
                 # INSERT into a session table falls through to native
                 # spark.sql below — still a mutation an untrackable
-                # index can't see (round 10, VERDICT r9 #1)
-                self._purge_untrackable_indexes(dml.target)
+                # index can't see (round 10, VERDICT r9 #1). Purge
+                # AFTER the native statement succeeds: a statement
+                # that fails analysis mutated nothing, so purging
+                # up-front destroyed a valid entry (round-11 advisory)
+                pending_index_purge = dml.target
             if re.search(
                 r"\b(?:APPENDS|CHANGES)\s*\(\s*TABLE\b", sub, re.IGNORECASE
             ):
@@ -5086,6 +5236,21 @@ class SparkSQLExecutor(Worker):
                         raise WorkerException(
                             f"already exists: {mv_rec[0]}"
                         )
+                    if (
+                        mv_exists
+                        and mvm.group(1)
+                        and mv_rec[0] not in self._mv_store()
+                    ):
+                        # BigQuery errors on object-type mismatch:
+                        # OR REPLACE must not silently swallow a plain
+                        # TABLE into an MV (round-11 advisory)
+                        raise WorkerException(
+                            f"CREATE OR REPLACE MATERIALIZED VIEW"
+                            f" {mv_rec[0]}: the existing object is a"
+                            " TABLE, not a materialized view — DROP"
+                            " it first (BigQuery object-type"
+                            " mismatch)"
+                        )
                     sub = (
                         f"CREATE OR REPLACE TABLE `{mv_rec[0]}` AS"
                         f" {mv_rec[1]}"
@@ -5124,6 +5289,27 @@ class SparkSQLExecutor(Worker):
                 # IF NOT EXISTS no-ops — invalidating on those wiped
                 # live metadata for statements that changed nothing
                 # (review finding r8)
+                if mv_rec is None and dm.group(1) in self._mv_store():
+                    created = re.match(
+                        r"^\s*CREATE\s+OR\s+REPLACE\s+"
+                        r"(TABLE|VIEW)\b",
+                        sub,
+                        re.IGNORECASE,
+                    )
+                    if created:
+                        # BigQuery errors on object-type mismatch:
+                        # OR REPLACE TABLE/VIEW must not silently
+                        # demote a MATERIALIZED VIEW (round-11
+                        # advisory; the MV branch above rewrites its
+                        # OWN re-creates to CREATE OR REPLACE TABLE,
+                        # hence the mv_rec gate)
+                        raise WorkerException(
+                            f"CREATE OR REPLACE {created.group(1).upper()}"
+                            f" {dm.group(1)}: the existing object is a"
+                            " MATERIALIZED VIEW — DROP MATERIALIZED"
+                            " VIEW first (BigQuery object-type"
+                            " mismatch)"
+                        )
                 self._mv_store().pop(dm.group(1), None)
                 if self._ctx.catalog is not None:
                     self._ctx.catalog.clear_constraints(dm.group(1))
@@ -5136,6 +5322,7 @@ class SparkSQLExecutor(Worker):
                 from ..catalog import purge_index_entries
 
                 purge_index_entries(self._index_store(), dm.group(1))
+            sub = self._route_stale_mv_reads(sub)
             sub = self._route_mv_rewrite(sub)
             sub = self._route_join_elimination(sub)
         stmt = transpile_statement(
@@ -5189,6 +5376,10 @@ class SparkSQLExecutor(Worker):
         for piece in expand_create_or_replace_table(stmt):
             self._clean_orphan_location(spark, piece)
             last = spark.sql(piece)
+        if pending_index_purge is not None:
+            # the native DML executed without error — NOW the session
+            # mutation is real and untrackable entries must die
+            self._purge_untrackable_indexes(pending_index_purge)
         if mv_rec is not None:
             # record AFTER the CTAS materialized — the base-table
             # fingerprints must describe the state the MV captured

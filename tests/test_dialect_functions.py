@@ -1999,3 +1999,60 @@ def test_every_derived_lambda_site_survives_its_own_param_names(spark):
         " KLL_QUANTILES.INIT_INT64(c) AS s FROM"
         " (SELECT * FROM VALUES (1), (2), (3), (4) t(c)))"
     )
+
+
+def test_triple_quoted_literals(spark):
+    """Round-11 verdict: triple-quoted literals (legal BigQuery) were
+    silently mis-lexed — Spark kept quote characters in the value. The
+    early rewrite converts them to escaped single-quoted literals;
+    bodies may contain apostrophes, ``--``, ``;`` and newlines."""
+    from crmint_spark.dialect import transpile_statement as T
+
+    def one(sql):
+        return spark.sql(T(sql, None)).collect()[0][0]
+
+    assert one("SELECT '''abc'''") == "abc"
+    assert one('SELECT """ab c"""') == "ab c"
+    assert one("SELECT '''it's a; test -- really'''") == (
+        "it's a; test -- really"
+    )
+    assert one('SELECT """with "quote" inside"""') == 'with "quote" inside'
+    assert one("SELECT '''multi\nline'''") == "multi\nline"
+    assert one(r"SELECT '''a\nb'''") == "a\nb"  # escapes still process
+    assert one(r"SELECT r'''a\nb'''") == "a\\nb"  # raw: backslash literal
+    assert one("SELECT LENGTH('''''')") == 0  # empty triple literal
+    # quote runs shorter than three stay in the body
+    assert one("SELECT '''don''t'''") == "don''t"
+
+
+def test_hash_line_comments(spark):
+    """Round-11 verdict: ``#`` line comments are legal BigQuery but were
+    unrecognized everywhere. They now split/strip/blank like ``--`` and
+    convert to ``--`` before reaching Spark; a ``#`` inside a string
+    literal is untouched."""
+    from crmint_spark.dialect import split_script, transpile_statement as T
+
+    stmts = split_script(
+        "# leading, don't trip\nSELECT 1;\nSELECT 2 # trailing, it's\n;"
+    )
+    assert len(stmts) == 2, stmts
+    got = spark.sql(T("SELECT 1 # comment's tail\n + 1 AS a", None)).collect()
+    assert got[0]["a"] == 2
+    got = spark.sql(T("SELECT '#not a comment' AS s", None)).collect()
+    assert got[0]["s"] == "#not a comment"
+
+
+def test_code_literal_walk_is_comment_aware(spark):
+    """Round-11 probe: an apostrophe inside a ``--`` comment misaligned
+    the quote walk of _map_code_literal_pairs, so a triple-quoted (or
+    raw) literal AFTER the comment was skipped by the rewrite."""
+    from crmint_spark.dialect import transpile_statement as T
+
+    got = spark.sql(
+        T("SELECT 1 AS k, -- don't trip\n '''it's fine''' AS s", None)
+    ).collect()
+    assert got[0]["s"] == "it's fine"
+    got = spark.sql(
+        T("SELECT /* won't */ r'a\\d+' AS s", None)
+    ).collect()
+    assert got[0]["s"] == "a\\d+"

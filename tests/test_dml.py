@@ -2138,3 +2138,131 @@ def test_constraint_lifecycle_review_findings(spark, cat):
     # bare CREATE TABLE LIKE must refuse to overwrite
     with pytest.raises(WorkerException, match="already exists"):
         run(spark, cat, "CREATE TABLE `p.d.dim2` LIKE `p.d.fact`")
+
+
+def test_create_type_mismatch_raises(spark, cat):
+    """Round-11 advisory: BigQuery errors on object-type mismatch —
+    CREATE OR REPLACE MATERIALIZED VIEW over a plain TABLE and CREATE
+    OR REPLACE TABLE over an MV both raise instead of silently
+    replacing/demoting; DROP first makes either legal again."""
+    run(spark, cat, "CREATE OR REPLACE TABLE `p.tm.t` AS SELECT 1 AS id")
+    with pytest.raises(WorkerException, match="object-type mismatch"):
+        run(
+            spark,
+            cat,
+            "CREATE OR REPLACE MATERIALIZED VIEW `p.tm.t` AS"
+            " SELECT COUNT(*) AS n FROM `p.tm.t`",
+        )
+    run(
+        spark,
+        cat,
+        "CREATE OR REPLACE TABLE `p.tm.b` AS SELECT 1 AS id;"
+        "CREATE MATERIALIZED VIEW `p.tm.mv` AS"
+        " SELECT COUNT(*) AS n FROM `p.tm.b`",
+    )
+    with pytest.raises(WorkerException, match="object-type mismatch"):
+        run(spark, cat, "CREATE OR REPLACE TABLE `p.tm.mv` AS SELECT 2 AS id")
+    # the MV's own re-create still routes through its TABLE rewrite
+    run(
+        spark,
+        cat,
+        "CREATE OR REPLACE MATERIALIZED VIEW `p.tm.mv` AS"
+        " SELECT COUNT(*) AS n FROM `p.tm.b`",
+    )
+    run(
+        spark,
+        cat,
+        "DROP MATERIALIZED VIEW `p.tm.mv`;"
+        "CREATE OR REPLACE TABLE `p.tm.mv` AS SELECT 7 AS id",
+    )
+
+
+def test_mv_having_composition_requires_exact_sums(spark, cat):
+    """Round-11 advisory: float SUM re-aggregation reassociates, so a
+    HAVING boundary over it could flip a group in/out — HAVING
+    composes only over integral/decimal partials; the float shape
+    recomputes from base (correct, just not MV-served)."""
+    run(
+        spark,
+        cat,
+        "CREATE OR REPLACE TABLE `p.hv.t` AS"
+        " SELECT 'a' AS k, CAST(1 AS INT64) AS vi, CAST(0.1 AS FLOAT64)"
+        " AS vf UNION ALL SELECT 'a', 2, 0.2 UNION ALL SELECT 'b', 5, 0.5;"
+        "CREATE MATERIALIZED VIEW `p.hv.mv` AS SELECT k, SUM(vi) AS si,"
+        " SUM(vf) AS sf, COUNT(*) AS c FROM `p.hv.t` GROUP BY k",
+    )
+    wi = run(
+        spark,
+        cat,
+        "SELECT k, COUNT(*) AS c FROM `p.hv.t` GROUP BY k"
+        " HAVING SUM(vi) > 2 ORDER BY k",
+    )
+    assert any("containment" in line for line in wi.log), wi.log
+    assert [(r.k, r.c) for r in wi.result.collect()] == [("a", 2), ("b", 1)]
+    wf = run(
+        spark,
+        cat,
+        "SELECT k, COUNT(*) AS c FROM `p.hv.t` GROUP BY k"
+        " HAVING SUM(vf) > 0.2 ORDER BY k",
+    )
+    assert not any("containment" in line for line in wf.log), wf.log
+    assert [(r.k, r.c) for r in wf.result.collect()] == [("a", 2), ("b", 1)]
+    # float SUM in the SELECT list (no HAVING boundary) still composes
+    wp = run(spark, cat, "SELECT k, SUM(vf) AS s FROM `p.hv.t` GROUP BY k")
+    assert any("containment" in line for line in wp.log), wp.log
+
+
+def test_untrackable_index_survives_failed_native_dml(spark, cat):
+    """Round-11 advisory: the untrackable-index purge fired BEFORE the
+    fall-through native statement ran, so a DML that failed analysis
+    (mutated nothing) still destroyed a valid index entry. The purge
+    now fires only after the native statement succeeds."""
+    spark.sql("SELECT 1 AS id, 'alpha' AS txt").write.mode(
+        "overwrite"
+    ).saveAsTable("sess_purge_t")
+    run(spark, cat, "CREATE SEARCH INDEX upx ON `sess_purge_t` (txt)")
+    q = "SELECT id FROM sess_purge_t WHERE SEARCH(txt, 'alpha')"
+    assert any("routed" in line for line in run(spark, cat, q).log)
+    with pytest.raises(Exception):
+        run(
+            spark,
+            cat,
+            "INSERT INTO sess_purge_t VALUES (2, 'beta', 'ARITY_BOOM')",
+        )
+    w = run(spark, cat, q)
+    assert any("routed" in line for line in w.log), w.log
+    assert sorted(r.id for r in w.result.collect()) == [1]
+    # a SUCCESSFUL native insert still purges (the r9/r10 contract)
+    run(spark, cat, "INSERT INTO sess_purge_t VALUES (2, 'alpha beta')")
+    w2 = run(spark, cat, q + " ORDER BY id")
+    assert not any("routed" in line for line in w2.log), w2.log
+    assert sorted(r.id for r in w2.result.collect()) == [1, 2]
+
+
+def test_two_part_mv_names_scope_to_owning_project(spark, cat):
+    """Round-11 advisory: a 2-part MV record (`ds.mv`) listed in
+    INFORMATION_SCHEMA.MATERIALIZED_VIEWS/TABLES of dataset `ds` under
+    EVERY project — it must resolve to the dataset's unique owning
+    project only."""
+    run(
+        spark,
+        cat,
+        "CREATE OR REPLACE TABLE `proj1.dsx.base` AS SELECT 1 AS id;"
+        "CREATE MATERIALIZED VIEW `dsx.mv2p` AS"
+        " SELECT COUNT(*) AS n FROM `proj1.dsx.base`;"
+        "CREATE OR REPLACE TABLE `proj2.other.t` AS SELECT 1 AS id",
+    )
+    w = run(
+        spark,
+        cat,
+        "SELECT table_name FROM"
+        " proj1.dsx.INFORMATION_SCHEMA.MATERIALIZED_VIEWS",
+    )
+    assert [r.table_name for r in w.result.collect()] == ["mv2p"]
+    w2 = run(
+        spark,
+        cat,
+        "SELECT table_name FROM"
+        " proj2.dsx.INFORMATION_SCHEMA.MATERIALIZED_VIEWS",
+    )
+    assert w2.result.collect() == []

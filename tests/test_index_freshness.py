@@ -600,3 +600,161 @@ def test_vector_index_freshness(spark, cat):
     rows = w2.result.collect()
     assert [r["id"] for r in rows] == [99]
     assert rows[0]["d"] == 0.0
+
+
+def _write_csvs(tmpdir):
+    import os
+
+    with open(os.path.join(tmpdir, "a.csv"), "w") as f:
+        f.write("id,txt\n1,alpha beta\n2,gamma delta\n")
+    with open(os.path.join(tmpdir, "b.csv"), "w") as f:
+        f.write("id,txt\n3,alpha omega\n")
+    return tmpdir
+
+
+def test_load_data_flips_search_index_freshness(spark, cat):
+    """Round-11 directive: LOAD DATA into an indexed managed table must
+    flip the freshness fingerprint — append and OVERWRITE both."""
+    d = _write_csvs(tempfile.mkdtemp(prefix="ld_"))
+    run(
+        spark,
+        cat,
+        "CREATE OR REPLACE TABLE `p.ld.t` (id INT64, txt STRING);"
+        f"LOAD DATA INTO `p.ld.t` FROM FILES(format='CSV',"
+        f" uris=['{d}/a.csv'], skip_leading_rows=1);"
+        "CREATE SEARCH INDEX sidx ON `p.ld.t` (txt);",
+    )
+    q = "SELECT id FROM `p.ld.t` WHERE SEARCH(txt, 'alpha') ORDER BY id"
+    assert _ids(run(spark, cat, q)) == [1]
+    run(
+        spark,
+        cat,
+        f"LOAD DATA INTO `p.ld.t` FROM FILES(format='CSV',"
+        f" uris=['{d}/b.csv'], skip_leading_rows=1)",
+    )
+    assert _ids(run(spark, cat, q)) == [1, 3]
+    run(
+        spark,
+        cat,
+        f"LOAD DATA OVERWRITE `p.ld.t` FROM FILES(format='CSV',"
+        f" uris=['{d}/b.csv'], skip_leading_rows=1)",
+    )
+    assert _ids(run(spark, cat, q)) == [3]
+
+
+def test_external_table_rejects_index_and_mv_reads_through(spark, cat):
+    """Externals must keep rejecting indexes (their files mutate
+    outside the engine), and an MV over an external base must never
+    serve the stale materialization — its base is untrackable."""
+    import os
+
+    d = _write_csvs(tempfile.mkdtemp(prefix="ld_"))
+    run(
+        spark,
+        cat,
+        f"CREATE EXTERNAL TABLE `p.ld.ext` OPTIONS(format='CSV',"
+        f" uris=['{d}/a.csv'], skip_leading_rows=1)",
+    )
+    with pytest.raises(Exception, match="external"):
+        run(spark, cat, "CREATE SEARCH INDEX eidx ON `p.ld.ext` (txt)")
+    run(
+        spark,
+        cat,
+        "CREATE MATERIALIZED VIEW `p.ld.mvx` AS"
+        " SELECT COUNT(*) AS n FROM `p.ld.ext`",
+    )
+    w = run(spark, cat, "SELECT n FROM `p.ld.mvx`")
+    assert w.result.collect()[0]["n"] == 2
+    with open(os.path.join(d, "a.csv"), "a") as f:
+        f.write("9,appended row\n")
+    w = run(spark, cat, "SELECT n FROM `p.ld.mvx`")
+    assert w.result.collect()[0]["n"] == 3
+
+
+def test_mv_direct_read_is_always_fresh(spark, cat):
+    """Round-11 confirmed wrong answer: querying an MV BY NAME after
+    base DML/LOAD served the stale materialization. BigQuery's
+    contract is that direct MV reads always return up-to-date results;
+    stale reads now route through the defining query (fresh MVs keep
+    the materialized fast path)."""
+    run(
+        spark,
+        cat,
+        "CREATE OR REPLACE TABLE `p.m.base` AS SELECT 1 AS id"
+        " UNION ALL SELECT 2 AS id;"
+        "CREATE MATERIALIZED VIEW `p.m.mv` AS"
+        " SELECT COUNT(*) AS n FROM `p.m.base`;",
+    )
+
+    def read(q):
+        return run(spark, cat, q)
+
+    assert read("SELECT n FROM `p.m.mv`").result.collect()[0]["n"] == 2
+    run(spark, cat, "INSERT INTO `p.m.base` VALUES (3)")
+    w = read("SELECT n FROM `p.m.mv`")
+    assert w.result.collect()[0]["n"] == 3
+    assert any("stale" in line for line in w.log), w.log
+    # refresh restores the materialized fast path
+    run(spark, cat, "CALL BQ.REFRESH_MATERIALIZED_VIEW('p.m.mv')")
+    w = read("SELECT n FROM `p.m.mv`")
+    assert w.result.collect()[0]["n"] == 3
+    assert not any("stale" in line for line in w.log), w.log
+    # alias forms and join references stay resolvable after rewrite
+    run(spark, cat, "INSERT INTO `p.m.base` VALUES (4)")
+    assert (
+        read("SELECT m.n FROM `p.m.mv` AS m").result.collect()[0]["n"] == 4
+    )
+    assert read("SELECT mv.n FROM `p.m.mv`").result.collect()[0]["n"] == 4
+    assert read("SELECT x.n FROM `p.m.mv` x").result.collect()[0]["n"] == 4
+    assert (
+        read("EXECUTE IMMEDIATE 'SELECT n FROM `p.m.mv`'")
+        .result.collect()[0]["n"]
+        == 4
+    )
+    w = read(
+        "SELECT b.id, m.n FROM `p.m.base` b JOIN `p.m.mv` m ON TRUE"
+        " WHERE b.id = 1"
+    )
+    assert w.result.collect()[0]["n"] == 4
+    # LOAD DATA mutations count too
+    import os
+
+    d = tempfile.mkdtemp(prefix="ld_")
+    with open(os.path.join(d, "c.csv"), "w") as f:
+        f.write("id\n5\n")
+    run(
+        spark,
+        cat,
+        f"LOAD DATA INTO `p.m.base` FROM FILES(format='CSV',"
+        f" uris=['{d}/c.csv'], skip_leading_rows=1)",
+    )
+    assert read("SELECT n FROM `p.m.mv`").result.collect()[0]["n"] == 5
+
+
+def test_mv_staleness_propagates_through_nesting(spark, cat):
+    """An MV over another MV: mutating only the BASE leaves the outer
+    MV's recorded fingerprint of the inner materialization unmoved —
+    staleness must propagate recursively, for direct reads AND for the
+    smart/containment rewrite."""
+    run(
+        spark,
+        cat,
+        "CREATE OR REPLACE TABLE `p.m.base` AS SELECT 1 AS id;"
+        "CREATE MATERIALIZED VIEW `p.m.mv` AS"
+        " SELECT COUNT(*) AS n FROM `p.m.base`;"
+        "CREATE MATERIALIZED VIEW `p.m.mv2` AS"
+        " SELECT n + 0 AS n2 FROM `p.m.mv`;",
+    )
+    run(spark, cat, "INSERT INTO `p.m.base` VALUES (2)")
+    assert (
+        run(spark, cat, "SELECT n2 FROM `p.m.mv2`")
+        .result.collect()[0]["n2"]
+        == 2
+    )
+    # exact-match smart rewrite over mv2's defining text must not
+    # serve the stale mv2 materialization either
+    assert (
+        run(spark, cat, "SELECT n + 0 AS n2 FROM `p.m.mv`")
+        .result.collect()[0]["n2"]
+        == 2
+    )
