@@ -358,7 +358,9 @@ def _strip_strings(sql: str) -> str:
 
 
 def _block_depth_delta(fragment: str) -> int:
-    s = _strip_strings(fragment)
+    # comments blank first — a block keyword inside a comment must not
+    # depth-count, and a comment apostrophe must not misalign strings
+    s = _strip_strings(blank_comments_same_length(fragment))
     depth = 0
     case_depth = 0
     for m in _BLOCK_TOKEN_RE.finditer(s):
@@ -438,9 +440,11 @@ def parse_script_block(stmt: str) -> dict | None:
 
     def markers(names: tuple[str, ...]) -> list[tuple[int, int, str]]:
         """(start, end, NAME) for marker phrases at block depth 1,
-        paren depth 0, outside strings/CASE, scanning after the
-        opener."""
-        s = _strip_strings(stmt)
+        paren depth 0, outside strings/COMMENTS/CASE, scanning after
+        the opener. Comments blank FIRST (round 11): an apostrophe in
+        ``IF c -- don't\\nTHEN`` opened a bogus string that swallowed
+        THEN, and a keyword inside a comment would depth-count."""
+        s = _strip_strings(blank_comments_same_length(stmt))
         found: list[tuple[int, int, str]] = []
         depth, case_depth, paren = 1, 0, 0
         ws = r"[ \t\r\n]+"

@@ -4821,7 +4821,9 @@ class SparkSQLExecutor(Worker):
 
     def _eval_cond(self, cond: str, sctx, resolver) -> bool:
         expr = transpile_statement(sctx.substitute(cond), resolver)
-        val = self._ctx.spark.sql(f"SELECT ({expr})").first()[0]
+        # newline before the closing paren: a condition ending in a
+        # trailing -- comment must not swallow it (round 11)
+        val = self._ctx.spark.sql(f"SELECT ({expr}\n)").first()[0]
         return bool(val)
 
     def _exec_block(

@@ -2056,3 +2056,44 @@ def test_code_literal_walk_is_comment_aware(spark):
         T("SELECT /* won't */ r'a\\d+' AS s", None)
     ).collect()
     assert got[0]["s"] == "a\\d+"
+
+
+def test_comments_in_procedural_block_heads(spark):
+    """Round 11: a comment between a block head and THEN/DO (legal
+    BigQuery; apostrophes and block keywords inside comments included)
+    broke the marker scan — comments blank before strings strip."""
+    import tempfile
+
+    from crmint_spark.catalog import Catalog
+    from crmint_spark.workers.base import WorkerContext
+    from crmint_spark.workers.sql_executor import SparkSQLExecutor
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="blk_"))
+
+    def run(script):
+        w = SparkSQLExecutor(
+            {"script": script, "dry_run": False},
+            WorkerContext(spark=spark, catalog=cat),
+        )
+        w.execute()
+        return w
+
+    shapes = [
+        ("IF 1 = 1 # cond's note\nTHEN SELECT 1 AS v; END IF;", 1),
+        ("IF 1 = 1 -- cond's note\nTHEN SELECT 1 AS v; END IF;", 1),
+        (
+            "DECLARE i INT64 DEFAULT 0;\nWHILE i < 2 # loop's\n DO"
+            " SET i = i + 1; END WHILE;\nSELECT i AS v;",
+            2,
+        ),
+        ("IF 1 = 1 /* don't */ THEN SELECT 1 AS v; END IF;", 1),
+        (
+            "IF 1 = 1 THEN\n-- END IF? no, it's a comment\n"
+            "SELECT 1 AS v; END IF;",
+            1,
+        ),
+        ("BEGIN\n-- a BEGIN comment with WHILE keyword\nSELECT 4 AS v;\nEND;", 4),
+    ]
+    for script, want in shapes:
+        got = run(script).result.collect()[0]["v"]
+        assert got == want, (script, got, want)

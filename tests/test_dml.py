@@ -2217,6 +2217,12 @@ def test_untrackable_index_survives_failed_native_dml(spark, cat):
     fall-through native statement ran, so a DML that failed analysis
     (mutated nothing) still destroyed a valid index entry. The purge
     now fires only after the native statement succeeds."""
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS sess_purge_t")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    loc = wh.replace("file:", "") + "/sess_purge_t"
+    shutil.rmtree(loc, ignore_errors=True)
     spark.sql("SELECT 1 AS id, 'alpha' AS txt").write.mode(
         "overwrite"
     ).saveAsTable("sess_purge_t")
