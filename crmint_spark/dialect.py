@@ -3489,6 +3489,16 @@ def _find_top_level(s: str, pat: re.Pattern, start: int = 0) -> re.Match | None:
 
 _SELECT_OPEN_RE = re.compile(r"^\(\s*SELECT\s+", re.IGNORECASE)
 _FROM_UNNEST_RE = re.compile(r"\bFROM\s+UNNEST\s*\(", re.IGNORECASE)
+
+# a word here after UNNEST(...) is the next CLAUSE, not an alias
+_UNNEST_STOP_WORDS = frozenset(
+    {
+        "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION",
+        "QUALIFY", "WINDOW", "ON", "JOIN", "LEFT", "RIGHT", "FULL",
+        "INNER", "CROSS", "EXCEPT", "INTERSECT", "WITH", "AND", "OR",
+        "THEN", "ELSE", "END", "DO", "SELECT", "FOR", "USING",
+    }
+)
 _FROM_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
 
 
@@ -3600,18 +3610,28 @@ def _rewrite_correlated_unnest(sql: str) -> str:
                         i = end
                         continue
                     sel = _rewrite_correlated_unnest(sel_text)
-                    var = "__u"
+                    # derived per site (round 11): the fixed `__u` was
+                    # shadowable by a same-named outer column exactly
+                    # like the SEARCH/NGRAMS params were
+                    var, v_nn, v_acc, v_x = _fresh_lambda_params(
+                        [arr, sel, cond or ""],
+                        "__u", "__nn", "__acc", "__x",
+                    )
                     sel_r = _rewrite_elem_refs(sel, alias, var)
+                    farr = arr
                     if cond:
                         cond_r = _rewrite_elem_refs(
                             _rewrite_correlated_unnest(cond), alias, var
                         )
+                        farr = f"filter({arr}, {var} -> {cond_r})"
+                    repl = _compile_unnest_scalar_agg(
+                        sel_r, farr, var, v_nn, v_acc, v_x
+                    )
+                    if repl is None:
                         repl = (
-                            f"get(transform(filter({arr}, {var} -> {cond_r}),"
+                            f"get(transform({farr},"
                             f" {var} -> {sel_r}), 0)"
                         )
-                    else:
-                        repl = f"get(transform({arr}, {var} -> {sel_r}), 0)"
                     out.append(sql[pos:i])
                     out.append(repl)
                     pos = end
@@ -3622,6 +3642,74 @@ def _rewrite_correlated_unnest(sql: str) -> str:
         i += 1
     out.append(sql[pos:])
     return "".join(out)
+
+
+def _compile_unnest_scalar_agg(
+    sel_r: str, farr: str, var: str, v_nn: str, v_acc: str, v_x: str
+) -> str | None:
+    """``(SELECT AGG(e) FROM UNNEST(arr) [AS a] [WHERE c])`` -> array
+    algebra. The element-selection path picked element 0, so an
+    aggregate select silently returned the OUTER query's aggregate
+    (round 11: ``(SELECT COUNT(*) FROM UNNEST([1,2,3]))`` gave 1).
+    BigQuery NULL semantics: COUNT over empty/NULL array is 0;
+    SUM/MIN/MAX/AVG/LOGICAL_* over zero non-NULL elements are NULL;
+    non-COUNT aggregates skip NULL elements. SUM seeds the fold with
+    ``first_element * 0`` so the element type (INT64 exactness
+    included) is preserved — DECIMAL elements are the one case this
+    rejects LOUDLY (Spark's aggregate() demands a type-stable fold and
+    decimal addition widens per step; cast to FLOAT64 to sum them);
+    None when the select is not a recognized aggregate (the
+    first-element path still serves)."""
+    m = re.match(
+        r"(COUNT|SUM|MIN|MAX|AVG|LOGICAL_AND|LOGICAL_OR)\s*\(",
+        sel_r,
+        re.IGNORECASE,
+    )
+    if not m or _balanced_end(sel_r, m.end() - 1) != len(sel_r.rstrip()):
+        return None
+    fn = m.group(1).upper()
+    inner = sel_r[m.end(): sel_r.rstrip().rfind(")")].strip()
+    distinct = False
+    dm = re.match(r"DISTINCT\s+", inner, re.IGNORECASE)
+    if dm:
+        distinct = True
+        inner = inner[dm.end():].strip()
+    if fn == "COUNT" and inner == "*" and not distinct:
+        return f"CAST(coalesce(size({farr}), 0) AS BIGINT)"
+    if inner == "*":
+        return None  # SUM(*) etc. is not a shape BigQuery accepts
+    vals = f"transform({farr}, {var} -> {inner})"
+    nn = f"filter({vals}, {v_nn} -> {v_nn} IS NOT NULL)"
+    if distinct:
+        nn = f"array_distinct({nn})"
+    if fn == "COUNT":
+        return f"CAST(coalesce(size({nn}), 0) AS BIGINT)"
+    if fn == "MIN":
+        return f"array_min({nn})"
+    if fn == "MAX":
+        return f"array_max({nn})"
+    if fn == "SUM":
+        return (
+            f"aggregate({nn}, try_element_at({nn}, 1) * 0,"
+            f" ({v_acc}, {v_x}) -> {v_acc} + {v_x})"
+        )
+    if fn == "AVG":
+        return (
+            f"IF(coalesce(size({nn}), 0) = 0, CAST(NULL AS DOUBLE),"
+            f" aggregate({nn}, CAST(0.0 AS DOUBLE),"
+            f" ({v_acc}, {v_x}) -> {v_acc} + CAST({v_x} AS DOUBLE))"
+            f" / size({nn}))"
+        )
+    if fn == "LOGICAL_AND":
+        return (
+            f"IF(coalesce(size({nn}), 0) = 0, CAST(NULL AS BOOLEAN),"
+            f" forall({nn}, {v_x} -> {v_x}))"
+        )
+    # LOGICAL_OR
+    return (
+        f"IF(coalesce(size({nn}), 0) = 0, CAST(NULL AS BOOLEAN),"
+        f" exists({nn}, {v_x} -> {v_x}))"
+    )
 
 
 def _enclosing_paren_span(sql: str, idx: int) -> tuple[int, int]:
@@ -3740,7 +3828,7 @@ def _rewrite_lateral_unnest(sql: str) -> str:
 
 
 def _rewrite_from_unnest(sql: str) -> str:
-    """Standalone ``FROM UNNEST(arr) AS x [WITH OFFSET [AS] o]`` (the
+    """Standalone ``FROM UNNEST(arr) [AS x] [WITH OFFSET [AS] o]`` (the
     array is the whole relation) -> a derived table exploding the array;
     posexplode supplies BigQuery's 0-based WITH OFFSET column."""
     out: list[str] = []
@@ -3763,11 +3851,15 @@ def _rewrite_from_unnest(sql: str) -> str:
             continue
         arr = _rewrite_from_unnest(sql[arr_open + 1 : arr_end - 1].strip())
         m_alias = re.match(r"\s*(?:AS\s+)?(\w+)", sql[arr_end:], re.IGNORECASE)
-        if not m_alias:
-            i += 1
-            continue
-        alias = m_alias.group(1)
-        clause_end = arr_end + m_alias.end()
+        # alias-less UNNEST is legal BigQuery (anonymous element column,
+        # surfaced as f0_ like BigQuery names it); without this guard
+        # the next clause KEYWORD was eaten as the alias (round 11)
+        if m_alias and m_alias.group(1).upper() not in _UNNEST_STOP_WORDS:
+            alias = m_alias.group(1)
+            clause_end = arr_end + m_alias.end()
+        else:
+            alias = "f0_"
+            clause_end = arr_end
         m_off = re.match(
             r"\s*WITH\s+OFFSET(?:\s+AS)?"
             r"(?:\s+(?!ORDER\b|WHERE\b|GROUP\b|HAVING\b|LIMIT\b|JOIN\b"

@@ -735,6 +735,13 @@ def _extract_options_kv(sql: str) -> dict | None:
             out[key] = int(val)
         elif re.fullmatch(r"-?\d*\.\d+", val):
             out[key] = float(val)
+        elif (
+            len(val) >= 6
+            and val[:3] in ("'''", '"""')
+            and val[-3:] == val[:3]
+        ):
+            # triple-quoted OPTIONS value (legal BigQuery, round 11)
+            out[key] = val[3:-3]
         elif len(val) >= 2 and val[0] in "'\"" and val[-1] == val[0]:
             out[key] = val[1:-1]
         else:

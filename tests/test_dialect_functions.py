@@ -2097,3 +2097,79 @@ def test_comments_in_procedural_block_heads(spark):
     for script, want in shapes:
         got = run(script).result.collect()[0]["v"]
         assert got == want, (script, got, want)
+
+
+def test_aliasless_from_unnest(spark):
+    """Round 11: alias-less ``FROM UNNEST(arr)`` is legal BigQuery (the
+    element column is anonymous, surfaced as f0_); previously the next
+    clause keyword was eaten as the alias (loud)."""
+    from crmint_spark.dialect import transpile_statement as T
+
+    def one(sql):
+        return spark.sql(T(sql, None)).collect()[0][0]
+
+    assert one("SELECT COUNT(*) FROM UNNEST(SPLIT('a;b;c', ';'))") == 3
+    assert one("SELECT COUNT(*) FROM UNNEST([1, 2, 3]) WHERE TRUE") == 3
+    assert one("SELECT * FROM UNNEST([7])") == 7
+    assert one("SELECT COUNT(*) FROM UNNEST(['x', 'y']) WITH OFFSET") == 2
+    # aliased form unchanged
+    assert one("SELECT COUNT(*) FROM UNNEST([1, 2]) AS t") == 2
+
+
+def test_aggregate_over_unnest_scalar_subquery(spark):
+    """Round 11 CONFIRMED wrong answer: ``(SELECT COUNT(*) FROM
+    UNNEST([1,2,3]))`` returned the OUTER query's aggregate (1) via the
+    first-element path. Aggregate selects now compile to array algebra
+    with BigQuery NULL semantics."""
+    from crmint_spark.dialect import transpile_statement as T
+
+    def one(sql):
+        return spark.sql(T(sql, None)).collect()[0][0]
+
+    assert one("SELECT (SELECT COUNT(*) FROM UNNEST([1,2,3]))") == 3
+    assert one(
+        "SELECT (SELECT COUNT(*) FROM UNNEST(CAST(NULL AS ARRAY<INT64>)))"
+    ) == 0
+    assert one("SELECT (SELECT COUNT(x) FROM UNNEST([1,NULL,3]) AS x)") == 2
+    assert (
+        one("SELECT (SELECT COUNT(DISTINCT x) FROM UNNEST([1,1,3]) AS x)")
+        == 2
+    )
+    assert one("SELECT (SELECT SUM(x) FROM UNNEST([1,2,3]) AS x)") == 6
+    assert (
+        one("SELECT (SELECT SUM(x) FROM UNNEST(CAST([] AS ARRAY<INT64>)) AS x)")
+        is None
+    )
+    assert one("SELECT (SELECT SUM(x) FROM UNNEST([1,NULL,3]) AS x)") == 4
+    assert one("SELECT (SELECT MIN(x) FROM UNNEST([3,1,2]) AS x)") == 1
+    assert one("SELECT (SELECT MAX(x) FROM UNNEST([3,NULL,2]) AS x)") == 3
+    assert one("SELECT (SELECT AVG(x) FROM UNNEST([2,4]) AS x)") == 3.0
+    assert (
+        one("SELECT (SELECT COUNT(*) FROM UNNEST([1,2,3]) AS x WHERE x > 1)")
+        == 2
+    )
+    assert (
+        one("SELECT (SELECT SUM(x) FROM UNNEST([1,2,3]) AS x WHERE x > 1)")
+        == 5
+    )
+    assert (
+        one("SELECT (SELECT LOGICAL_AND(b) FROM UNNEST([TRUE, FALSE]) AS b)")
+        is False
+    )
+    # element-selection shape untouched
+    assert one("SELECT (SELECT x FROM UNNEST([7, 8]) AS x WHERE x > 7)") == 8
+    # correlated over table columns, incl. an outer column named __u
+    # (the old fixed lambda var — must not shadow)
+    spark.sql(
+        "SELECT 1 AS id, array(1,2,3) AS arr, 5 AS __u"
+        " UNION ALL SELECT 2, array(10), 7"
+    ).createOrReplaceTempView("agg_unnest_t")
+    got = spark.sql(
+        T(
+            "SELECT id, (SELECT SUM(x) FROM UNNEST(arr) AS x) AS s,"
+            " (SELECT COUNT(*) FROM UNNEST(arr) WHERE __u > 0) AS c"
+            " FROM agg_unnest_t ORDER BY id",
+            None,
+        )
+    ).collect()
+    assert [(r.id, r.s, r.c) for r in got] == [(1, 6, 3), (2, 10, 1)]
