@@ -3646,7 +3646,11 @@ class SparkSQLExecutor(Worker):
                             "" if has_alias
                             else f" AS {name.split('.')[-1]}"
                         )
-                        return f"{m.group(1)} ({e['query_raw']}){alias}"
+                        # newline before ')': a defining query ending
+                        # in a -- comment must not swallow it
+                        return (
+                            f"{m.group(1)} ({e['query_raw']}\n){alias}"
+                        )
 
                     return pat.sub(repl, seg)
 

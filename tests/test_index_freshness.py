@@ -758,3 +758,21 @@ def test_mv_staleness_propagates_through_nesting(spark, cat):
         .result.collect()[0]["n2"]
         == 2
     )
+
+
+def test_mv_stale_read_with_trailing_comment_in_definition(spark, cat):
+    """A defining query that ends in a ``--`` line comment: the stale
+    direct-read rewrite wraps the query text in parentheses, so the
+    injected ``)`` must land on a NEW line or the comment swallows it
+    (round-11 hardening)."""
+    run(
+        spark,
+        cat,
+        "CREATE OR REPLACE TABLE `p.mc.base` AS SELECT 1 AS id;"
+        "CREATE MATERIALIZED VIEW `p.mc.mv` AS"
+        " SELECT COUNT(*) AS n FROM `p.mc.base` -- trailing note\n;",
+    )
+    run(spark, cat, "INSERT INTO `p.mc.base` VALUES (2)")
+    w = run(spark, cat, "SELECT n FROM `p.mc.mv`")
+    assert w.result.collect()[0]["n"] == 2
+    assert any("stale" in line for line in w.log), w.log
