@@ -692,6 +692,45 @@ class Catalog:
         if os.path.isfile(p):
             os.remove(p)
 
+    # -- column DEFAULT expressions (BigQuery DDL ``col T DEFAULT e``) --
+
+    def _defaults_path(self, table_id: str) -> str:
+        return os.path.join(
+            self.root,
+            "__column_defaults__",
+            _safe_view_name(table_id) + ".json",
+        )
+
+    def column_defaults(self, table_id: str) -> dict:
+        """Column name -> Spark-spelling default expression (transpiled
+        at DDL time); {} when the table declares none."""
+        import json
+
+        p = self._defaults_path(table_id)
+        if not os.path.isfile(p):
+            return {}
+        with open(p) as f:
+            return json.load(f).get("defaults", {})
+
+    def set_column_defaults(self, table_id: str, defaults: dict) -> None:
+        """Replace the stored defaults wholesale (a CREATE OR REPLACE
+        defines the complete new set); empty dict clears the sidecar."""
+        import json
+
+        p = self._defaults_path(table_id)
+        if not defaults:
+            if os.path.isfile(p):
+                os.remove(p)
+            return
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            json.dump({"table_id": table_id, "defaults": defaults}, f, indent=1)
+
+    def clear_column_defaults(self, table_id: str) -> None:
+        p = self._defaults_path(table_id)
+        if os.path.isfile(p):
+            os.remove(p)
+
     def has_table_options(self) -> bool:
         d = os.path.join(self.root, "__table_options__")
         return os.path.isdir(d) and bool(os.listdir(d))
@@ -1346,6 +1385,7 @@ class Catalog:
                 shutil.rmtree(p)
         self.clear_layout_meta(table_id)
         self.clear_table_options(table_id)
+        self.clear_column_defaults(table_id)
         self.clear_constraints(table_id)
         self.purge_indexes(table_id)
 
@@ -1919,14 +1959,24 @@ class Catalog:
                         body,
                     )
 
-            rows = list(
-                _rows_from(
-                    os.path.join(self.root, "_procedures.json"), "PROCEDURE"
+            rows = (
+                list(
+                    _rows_from(
+                        os.path.join(self.root, "_procedures.json"),
+                        "PROCEDURE",
+                    )
                 )
-            ) + list(
-                _rows_from(
-                    os.path.join(self.root, "_table_functions.json"),
-                    "TABLE FUNCTION",
+                + list(
+                    _rows_from(
+                        os.path.join(self.root, "_table_functions.json"),
+                        "TABLE FUNCTION",
+                    )
+                )
+                + list(
+                    _rows_from(
+                        os.path.join(self.root, "_scalar_functions.json"),
+                        "FUNCTION",
+                    )
                 )
             )
             self.spark.createDataFrame(

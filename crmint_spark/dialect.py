@@ -148,10 +148,17 @@ def blank_comments_same_length(sql: str) -> str:
 
 def _balanced_end(sql: str, open_idx: int) -> int:
     """Index just past the ``)`` matching the ``(`` at ``open_idx``
-    (string-literal aware); -1 if unbalanced."""
+    (string-literal AND comment aware — a paren inside ``-- (note`` or
+    ``/* ) */`` must not move the depth, round-11 probe: it broke every
+    UDF/TVF body containing an unbalanced paren in a comment); -1 if
+    unbalanced."""
     depth = 0
     i, n = open_idx, len(sql)
     while i < n:
+        j = _skip_comment(sql, i)
+        if j > i:
+            i = j
+            continue
         ch = sql[i]
         if ch in ("'", '"', "`"):
             i = _skip_string(sql, i)
@@ -176,6 +183,10 @@ def _split_top_level(args: str, sep: str = ",") -> list[str]:
     depth = 0
     i, n = 0, len(args)
     while i < n:
+        j = _skip_comment(args, i)
+        if j > i:
+            i = j
+            continue
         ch = args[i]
         if ch in ("'", '"', "`"):
             i = _skip_string(args, i)
@@ -1211,6 +1222,76 @@ def _rewrite_raw_strings(sql: str) -> str:
         return (
             code[: max(0, len(code) - 2) + m.start()],
             "'" + body.replace("\\", "\\\\").replace("'", "\\'") + "'",
+        )
+
+    return _map_code_literal_pairs(sql, fn)
+
+
+_BYTES_ESCAPES = {
+    "\\": b"\\", "'": b"'", '"': b'"', "`": b"`", "?": b"?",
+    "a": b"\a", "b": b"\b", "f": b"\f", "n": b"\n",
+    "r": b"\r", "t": b"\t", "v": b"\v",
+}
+
+
+def _decode_bytes_literal(body: str, raw: bool) -> bytes:
+    """The byte content of a BigQuery bytes literal body (text between
+    the quotes): raw keeps backslashes verbatim; otherwise the escape
+    set is BigQuery's (named, \\xHH, \\ooo — \\u is NOT legal in bytes
+    literals and rejects loudly). Non-ASCII characters contribute their
+    UTF-8 encoding, matching BigQuery."""
+    if raw:
+        return body.encode("utf-8")
+    out = bytearray()
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch != "\\":
+            out += ch.encode("utf-8")
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise ValueError("trailing backslash")
+        e = body[i + 1]
+        if e in _BYTES_ESCAPES:
+            out += _BYTES_ESCAPES[e]
+            i += 2
+            continue
+        if e in "xX" and re.match(r"[0-9A-Fa-f]{2}", body[i + 2 : i + 4]):
+            out.append(int(body[i + 2 : i + 4], 16))
+            i += 4
+            continue
+        if e in "01234567" and re.match(r"[0-7]{3}", body[i + 1 : i + 4]):
+            out.append(int(body[i + 1 : i + 4], 8))
+            i += 4
+            continue
+        raise ValueError(f"unsupported escape \\{e} in bytes literal")
+    return bytes(out)
+
+
+def _rewrite_bytes_literals(sql: str) -> str:
+    """BigQuery bytes literals ``b'…'`` / ``B"…"`` (raw combos rb/br/…)
+    -> Spark hex literals ``X'…'`` (round-11 probe: Spark lexes ``b``
+    as an unsupported typed-literal prefix). Runs BEFORE the raw-string
+    pass so ``br'…'`` isn't half-consumed as a raw STRING first; walks
+    code/literal pairs so a column named ``b`` before a plain string
+    (``b 'x'`` never matches — the prefix must be adjacent) and ``b``
+    inside literals are untouched."""
+
+    def fn(code: str, lit: str) -> tuple[str, str]:
+        if not lit or lit[0] == "`":
+            return code, lit
+        m = re.search(r"(?<![\w$.])(rb|br|b)$", code[-3:], re.IGNORECASE)
+        if not m:
+            return code, lit
+        raw = "r" in m.group(1).lower()
+        try:
+            data = _decode_bytes_literal(lit[1:-1], raw)
+        except ValueError as e:
+            raise ValueError(f"bytes literal {lit[:40]!r}: {e}") from None
+        return (
+            code[: max(0, len(code) - 3) + m.start()],
+            "X'" + data.hex().upper() + "'",
         )
 
     return _map_code_literal_pairs(sql, fn)
@@ -4225,6 +4306,25 @@ _BQ_TYPE_MAP = (
 
 
 def _map_bq_types(fragment: str) -> str:
+    # parameterized types first (BigQuery DDL: STRING(10), BYTES(5),
+    # NUMERIC(10, 2)) — the bare-name map below would otherwise turn
+    # NUMERIC(10, 2) into DECIMAL(38, 9)(10, 2). Digit-only arguments
+    # distinguish the type parameter from the STRING(timestamp)
+    # FUNCTION form; STRING/BYTES length caps are constraints BigQuery
+    # enforces on write — the Spark types are unbounded (documented:
+    # lengths drop, precision/scale keep).
+    fragment = re.sub(
+        r"\b(BIG)?NUMERIC\s*\((\s*\d+\s*(?:,\s*\d+\s*)?)\)",
+        r"DECIMAL(\2)",
+        fragment,
+        flags=re.IGNORECASE,
+    )
+    fragment = re.sub(
+        r"\bSTRING\s*\(\s*\d+\s*\)", "STRING", fragment, flags=re.IGNORECASE
+    )
+    fragment = re.sub(
+        r"\bBYTES\s*\(\s*\d+\s*\)", "BINARY", fragment, flags=re.IGNORECASE
+    )
     for bq, sp in _BQ_TYPE_MAP:
         fragment = re.sub(rf"\b{bq}\b", sp, fragment, flags=re.IGNORECASE)
     return fragment
@@ -5987,6 +6087,7 @@ def transpile_statement(
     # pass (which consumes its own '''bodies''') so every later pass
     # sees only plain single-quoted literals
     out = _rewrite_triple_quoted_strings(out)
+    out = _rewrite_bytes_literals(out)
     out = _rewrite_create_table_layout(out)
     out = _rewrite_materialized_view(out)
     out = _rewrite_create_view(out)

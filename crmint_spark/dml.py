@@ -398,8 +398,20 @@ def _find_then_outside_case(text: str) -> int:
 # compilation: DML -> one declarative Spark SQL query over temp views
 
 
+def _resolve_default_kw(expr: str, col: str, defaults: dict | None) -> str:
+    """A bare ``DEFAULT`` assignment/insert value resolves to the
+    column's declared default expression, NULL when none (BigQuery)."""
+    if re.fullmatch(r"\s*DEFAULT\s*", expr, re.IGNORECASE):
+        return f"({(defaults or {}).get(col, 'NULL')})"
+    return expr
+
+
 def compile_update(
-    u: UpdateStmt, target_view: str, schema, stats: bool = False
+    u: UpdateStmt,
+    target_view: str,
+    schema,
+    stats: bool = False,
+    defaults: dict | None = None,
 ) -> str:
     """``stats=True`` appends a ``__dml_touched`` boolean (the WHERE
     predicate over PRE-update values) so the executor can count
@@ -408,7 +420,9 @@ def compile_update(
     the flag must be computed before assignments rewrite the values."""
     a = u.alias or u.target.split(".")[-1].strip("`")
     cols = []
-    assigned = dict(u.assignments)
+    assigned = {
+        c: _resolve_default_kw(e, c, defaults) for c, e in u.assignments
+    }
     for f_ in schema.fields:
         if f_.name in assigned:
             cols.append(
@@ -453,6 +467,7 @@ def compile_merge(
     schema,
     source_cols: list[str],
     stats: bool = False,
+    defaults: dict | None = None,
 ) -> str:
     """The whole MERGE as one query over the FULL OUTER JOIN:
 
@@ -492,13 +507,14 @@ def compile_merge(
 
     # per-target-column projection: CASE over the resolved action
     def insert_expr(w: MergeWhen, col: str) -> str:
+        dflt = (defaults or {}).get(col, "NULL")
         if w.insert_values is None:  # INSERT ROW
-            return f"{s}.`{col}`" if col in source_cols else "NULL"
+            return f"{s}.`{col}`" if col in source_cols else dflt
         cols = w.insert_columns or [f_.name for f_ in schema.fields]
         if len(cols) != len(w.insert_values):
             raise DmlError("INSERT column/value count mismatch")
         mapping = dict(zip(cols, w.insert_values))
-        return mapping.get(col, "NULL")
+        return _resolve_default_kw(mapping.get(col, "DEFAULT"), col, defaults)
 
     proj = []
     for f_ in schema.fields:
@@ -508,11 +524,13 @@ def compile_merge(
             if w.kind == "update":
                 e = dict(w.assignments).get(f_.name)
                 if e is not None:
+                    e = _resolve_default_kw(e, f_.name, defaults)
                     arms_c.append(f"WHEN __action = 'mu{i}' THEN CAST(({e}) AS {ty})")
         for i, w in enumerate(m.not_matched_by_source):
             if w.kind == "update":
                 e = dict(w.assignments).get(f_.name)
                 if e is not None:
+                    e = _resolve_default_kw(e, f_.name, defaults)
                     arms_c.append(f"WHEN __action = 'su{i}' THEN CAST(({e}) AS {ty})")
         for i, w in enumerate(m.not_matched_by_target):
             arms_c.append(

@@ -1615,3 +1615,129 @@ ORDER BY k
 """
 
 DML_QUERIES["q94_lexer_edges"] = (q94_lexer_edges, Q94_LEXER_EDGES_SQL)
+
+
+def q95_persistent_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 routine plane: persistent (non-TEMP) ``CREATE
+    FUNCTION`` — dataset-qualified scalar UDFs that persist in the
+    catalog sidecar and expand inline at call sites (RETURNS cast,
+    nested function-calls-function, a LANGUAGE js body through the
+    subset compiler) plus a TABLE FUNCTION whose body carries an
+    unbalanced paren inside a comment and a trailing ``--`` comment
+    (comment-aware balance scan). BigQuery persistent UDF docs;
+    the reference's BQScriptExecutor runs arbitrary user scripts
+    (bq_script_executor.py:26-36)."""
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_q_"))
+    script = """
+    CREATE OR REPLACE FUNCTION `p.fn.tier`(bal FLOAT64) RETURNS STRING AS (
+      -- tier by balance (cut at 0 (inclusive
+      CASE WHEN bal < 0 THEN 'debt' WHEN bal < 5000 THEN 'mid'
+           ELSE 'high' END -- trailing note
+    );
+    CREATE OR REPLACE FUNCTION `p.fn.tagged`(bal FLOAT64, seg STRING) AS (
+      CONCAT(seg, ':', `p.fn.tier`(bal))
+    );
+    CREATE OR REPLACE FUNCTION `p.fn.jsround2`(x FLOAT64) RETURNS FLOAT64
+    LANGUAGE js AS '''
+      return Math.round(x * 100) / 100;
+    ''';
+    CREATE OR REPLACE TABLE FUNCTION `p.fn.bigcust`(lo FLOAT64) AS (
+      -- customers at or above lo (exclusive? no — inclusive
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer
+      WHERE c_acctbal >= lo -- threshold
+    );
+    SELECT c_custkey AS k,
+           `p.fn.tier`(c_acctbal) AS tier,
+           `p.fn.tagged`(c_acctbal, c_mktsegment) AS tag,
+           `p.fn.jsround2`(c_acctbal / 3) AS third
+    FROM `p.fn.bigcust`(1000.0)
+    WHERE MOD(c_custkey, 7) = 0
+    ORDER BY k
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False},
+        WorkerContext(spark=spark, catalog=cat),
+    )
+    w.execute()
+    return w.result
+
+
+Q95_PERSISTENT_UDFS_SQL = """
+SELECT c_custkey AS k,
+       CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS tier,
+       c_mktsegment || ':' ||
+       CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS tag,
+       ROUND(c_acctbal / 3 * 100) / 100 AS third
+FROM customer
+WHERE c_acctbal >= 1000.0 AND MOD(c_custkey, 7) = 0
+ORDER BY k
+"""
+
+DML_QUERIES["q95_persistent_udfs"] = (q95_persistent_udfs, Q95_PERSISTENT_UDFS_SQL)
+
+
+def dml_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 DDL plane: column DEFAULT expressions (BigQuery
+    ``col T DEFAULT e``) — captured at CREATE, applied by INSERT for
+    omitted columns and the bare DEFAULT keyword, by UPDATE/MERGE
+    ``SET col = DEFAULT`` and MERGE INSERT omission; parameterized
+    types (STRING(n), NUMERIC(p,s)) and a bytes literal ride along.
+    The oracle computes the same final table arithmetic directly."""
+    register_testdata(spark, sf_dir)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_q_"))
+    script = """
+    CREATE OR REPLACE TABLE `p.dd.cust` (
+      k INT64,
+      seg STRING(12) DEFAULT 'UNSEGMENTED',
+      bal NUMERIC(12, 2) DEFAULT 0.0 NOT NULL,
+      src BYTES DEFAULT b'crm'
+    );
+    INSERT INTO `p.dd.cust` (k, seg, bal)
+    SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS NUMERIC)
+    FROM customer WHERE MOD(c_custkey, 11) = 0;
+    -- omitted seg/bal/src pick up their defaults
+    INSERT INTO `p.dd.cust` (k)
+    SELECT c_custkey FROM customer WHERE MOD(c_custkey, 11) = 1
+      AND c_custkey <= 400;
+    INSERT INTO `p.dd.cust` VALUES (999991, DEFAULT, 42.5, DEFAULT);
+    UPDATE `p.dd.cust` SET seg = DEFAULT WHERE k = 999991;
+    MERGE `p.dd.cust` t
+    USING (SELECT 999992 AS k UNION ALL SELECT 999991) s ON t.k = s.k
+    WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)
+    WHEN MATCHED THEN UPDATE SET bal = DEFAULT;
+    SELECT k, seg, bal, CAST(src AS STRING) AS src
+    FROM `p.dd.cust` ORDER BY k
+    """
+    w = SparkSQLExecutor(
+        {"script": script, "dry_run": False},
+        WorkerContext(spark=spark, catalog=cat),
+    )
+    w.execute()
+    return w.result
+
+
+DML_COLUMN_DEFAULTS_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         ROUND(CAST(c_acctbal AS DECIMAL(38, 9)), 2) AS bal, 'crm' AS src
+  FROM customer WHERE MOD(c_custkey, 11) = 0
+  UNION ALL
+  SELECT c_custkey, 'UNSEGMENTED', 0.00, 'crm'
+  FROM customer WHERE MOD(c_custkey, 11) = 1 AND c_custkey <= 400
+  UNION ALL
+  SELECT 999991, 'UNSEGMENTED', 0.00, 'crm'
+  UNION ALL
+  SELECT 999992, 'UNSEGMENTED', 0.00, 'crm'
+)
+SELECT k, seg, CAST(bal AS DECIMAL(12, 2)) AS bal, src
+FROM base ORDER BY k
+"""
+
+DML_QUERIES["dml_column_defaults"] = (
+    dml_column_defaults,
+    DML_COLUMN_DEFAULTS_SQL,
+)

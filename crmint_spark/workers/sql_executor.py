@@ -574,13 +574,32 @@ def _require_col(col: str, dtypes: dict[str, str], kinds) -> None:
 
 
 def _split_columns_angle_aware(text: str) -> list[str]:
-    """Top-level comma split that respects BOTH parens and angle
-    brackets — a column list like ``d DATE, s STRUCT<a INT64, b
-    STRING>`` must not split inside the STRUCT type (review finding
-    r8: the paren-only splitter broke valid partitioned CREATEs)."""
+    """Top-level comma split that respects parens AND angle brackets —
+    a column list like ``d DATE, s STRUCT<a INT64, b STRING>`` must not
+    split inside the STRUCT type (review finding r8: the paren-only
+    splitter broke valid partitioned CREATEs) — and skips comments and
+    string literals (round-11 verify probe: a ``--`` comment between
+    declarations, or a comma inside a ``DEFAULT 'a,b'`` literal, broke
+    the split). Comment text is dropped from the returned parts so the
+    per-column regex never sees it."""
+    from ..dialect import _skip_comment, _skip_string
+
     parts: list[str] = []
-    depth = angle = start = 0
-    for i, ch in enumerate(text):
+    buf: list[str] = []
+    depth = angle = 0
+    i, n = 0, len(text)
+    while i < n:
+        j = _skip_comment(text, i)
+        if j > i:
+            buf.append(" ")
+            i = j
+            continue
+        ch = text[i]
+        if ch in ("'", '"', "`"):
+            j = _skip_string(text, i)
+            buf.append(text[i:j])
+            i = j
+            continue
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -590,22 +609,33 @@ def _split_columns_angle_aware(text: str) -> list[str]:
         elif ch == ">":
             angle = max(0, angle - 1)
         elif ch == "," and depth == 0 and angle == 0:
-            parts.append(text[start:i])
-            start = i + 1
-    parts.append(text[start:])
+            parts.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
     return [p.strip() for p in parts if p.strip()]
 
 
-def _parse_column_decls(schema_text: str) -> list[tuple[str, str]]:
-    """A CREATE TABLE column list -> [(name, type_text)] (NOT NULL /
-    OPTIONS clauses tolerated and dropped). One definition shared by
-    the schema-only CREATE, the column-list+AS adoption and TEMP TABLE
-    (round-10 review wave 2: the copies had started to drift)."""
-    decls: list[tuple[str, str]] = []
+def _parse_column_decls_full(
+    schema_text: str,
+) -> list[tuple[str, str, str | None]]:
+    """A CREATE TABLE column list -> [(name, type_text, default_expr)]
+    (NOT NULL / OPTIONS clauses tolerated and dropped; ``DEFAULT expr``
+    captured — BigQuery allows it before or after NOT NULL). One
+    definition shared by the schema-only CREATE, the column-list+AS
+    adoption and TEMP TABLE (round-10 review wave 2: the copies had
+    started to drift)."""
+    decls: list[tuple[str, str, str | None]] = []
     for col_def in _split_columns_angle_aware(schema_text):
         cm = re.match(
             r"\s*`?(\w+)`?\s+([\w<>,() ]+?)"
-            r"(?:\s+NOT\s+NULL)?(?:\s+OPTIONS\s*\(.*)?\s*$",
+            r"(?:\s+NOT\s+NULL)?"
+            r"(?:\s+DEFAULT\s+(.+?))?"
+            r"(?:\s+NOT\s+NULL)?"
+            r"(?:\s+OPTIONS\s*\(.*)?\s*$",
             col_def,
             re.IGNORECASE | re.DOTALL,
         )
@@ -613,8 +643,51 @@ def _parse_column_decls(schema_text: str) -> list[tuple[str, str]]:
             raise WorkerException(
                 f"cannot parse column definition: {col_def[:60]}"
             )
-        decls.append((cm.group(1), cm.group(2).strip()))
+        default = cm.group(3).strip() if cm.group(3) else None
+        decls.append((cm.group(1), cm.group(2).strip(), default))
     return decls
+
+
+def _parse_column_decls(schema_text: str) -> list[tuple[str, str]]:
+    """Pairs-only view of ``_parse_column_decls_full`` for paths with
+    no default-value plane (TEMP TABLE adoption): a DEFAULT there would
+    be silently dropped, so it is loud instead."""
+    out: list[tuple[str, str]] = []
+    for name, btype, default in _parse_column_decls_full(schema_text):
+        if default is not None:
+            raise WorkerException(
+                f"column {name!r}: DEFAULT values are only supported on"
+                " catalog-plane CREATE TABLE"
+            )
+        out.append((name, btype))
+    return out
+
+
+def _fill_values_defaults(
+    source_sql: str, cols: list[str], defaults: dict
+) -> str:
+    """Rewrite bare ``DEFAULT`` items inside an INSERT ``VALUES`` list
+    to the target column's stored default expression (NULL when the
+    column declares none — BigQuery semantics). Non-VALUES sources
+    (SELECT/WITH) pass through untouched; ``DEFAULT`` is not a valid
+    scalar there."""
+    from ..dialect import _split_top_level
+
+    m = re.match(r"\s*VALUES\b", source_sql, re.IGNORECASE)
+    if not m or not re.search(r"(?i)(?<![\w.`])DEFAULT(?![\w$])", source_sql):
+        return source_sql
+    rows_out = []
+    for tup in _split_top_level(source_sql[m.end():]):
+        tup = tup.strip()
+        if not (tup.startswith("(") and tup.endswith(")")):
+            return source_sql  # not a plain tuple list — leave as-is
+        items = [i.strip() for i in _split_top_level(tup[1:-1])]
+        for idx, item in enumerate(items):
+            if item.upper() == "DEFAULT":
+                col = cols[idx] if idx < len(cols) else None
+                items[idx] = f"({defaults.get(col, 'NULL')})"
+        rows_out.append("(" + ", ".join(items) + ")")
+    return "VALUES " + ", ".join(rows_out)
 
 
 def _adopt_column_decls(df, decls: list[tuple[str, str]], table_id: str):
@@ -1482,7 +1555,7 @@ class SparkSQLExecutor(Worker):
 
     _DROP_RE = re.compile(
         r"^\s*DROP\s+(MATERIALIZED\s+VIEW|TABLE\s+FUNCTION|TABLE|VIEW"
-        r"|PROCEDURE|MODEL)\s+"
+        r"|PROCEDURE|MODEL|FUNCTION)\s+"
         r"(IF\s+EXISTS\s+)?`?([\w.\-]+)`?\s*$",
         re.IGNORECASE,
     )
@@ -2183,10 +2256,12 @@ class SparkSQLExecutor(Worker):
             if self._params["dry_run"]:
                 self.log_info(f"DROP {kind} validated (dry run)")
                 return True
-            if kind in ("PROCEDURE", "TABLE FUNCTION"):
+            if kind in ("PROCEDURE", "TABLE FUNCTION", "FUNCTION"):
                 path = (
                     self._proc_store_path()
                     if kind == "PROCEDURE"
+                    else self._fn_store_path()
+                    if kind == "FUNCTION"
                     else self._tvf_store_path()
                 )
                 store = {}
@@ -2298,6 +2373,8 @@ class SparkSQLExecutor(Worker):
             if opts:  # table options travel with the table too
                 cat.set_table_options(dest, opts)
             cat.clear_table_options(name)
+            cat.set_column_defaults(dest, cat.column_defaults(name))
+            cat.clear_column_defaults(name)
             cat.rename_constraints(name, dest)
             cat.register(dest)
             self.log_info(f"ALTER TABLE {name} RENAME TO {dest}")
@@ -2311,6 +2388,11 @@ class SparkSQLExecutor(Worker):
             df = cat.read(name).withColumnRenamed(rc.group(1), rc.group(2))
             self._rewrite_catalog_table(name, df)
             cat.rename_constraint_column(name, rc.group(1), rc.group(2))
+            dflts = cat.column_defaults(name)
+            if rc.group(1) in dflts:
+                dflts[rc.group(2)] = dflts.pop(rc.group(1))
+                cat.clear_column_defaults(name)
+                cat.set_column_defaults(name, dflts)
             self.log_info(f"ALTER TABLE {name} RENAME COLUMN")
             return True
         ac = re.match(r"ADD\s+COLUMN\s+(.*)$", action, re.IGNORECASE | re.DOTALL)
@@ -2363,7 +2445,41 @@ class SparkSQLExecutor(Worker):
                     " KEY constraint — drop the constraint first"
                 )
             self._rewrite_catalog_table(name, df.drop(col))
+            dflts = cat.column_defaults(name)
+            if col in dflts:
+                dflts.pop(col)
+                cat.clear_column_defaults(name)
+                cat.set_column_defaults(name, dflts)
             self.log_info(f"ALTER TABLE {name} DROP COLUMN {col}")
+            return True
+        ad = re.match(
+            r"ALTER\s+COLUMN\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s+"
+            r"(?:SET\s+DEFAULT\s+(.+)|DROP\s+DEFAULT)\s*$",
+            action,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if ad and in_catalog:
+            col, dexpr = ad.group(1), ad.group(2)
+            df_cols = [f.name for f in cat.read(name).schema.fields]
+            if col not in df_cols:
+                if re.search(
+                    r"ALTER\s+COLUMN\s+IF\s+EXISTS", action, re.IGNORECASE
+                ):
+                    return True
+                raise WorkerException(f"ALTER COLUMN: no column `{col}`")
+            dflts = cat.column_defaults(name)
+            if dexpr is None:
+                dflts.pop(col, None)
+            else:
+                from ..dialect import transpile_expression
+
+                dflts[col] = transpile_expression(dexpr.strip())
+            cat.clear_column_defaults(name)
+            cat.set_column_defaults(name, dflts)
+            self.log_info(
+                f"ALTER TABLE {name} ALTER COLUMN {col} "
+                + ("SET DEFAULT" if dexpr is not None else "DROP DEFAULT")
+            )
             return True
         if in_catalog:
             raise WorkerException(
@@ -2427,6 +2543,12 @@ class SparkSQLExecutor(Worker):
         re.IGNORECASE | re.DOTALL,
     )
 
+    _CREATE_FN_RE = re.compile(
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+"
+        r"(IF\s+NOT\s+EXISTS\s+)?`?([\w.\-]+)`?\s*\(",
+        re.IGNORECASE,
+    )
+
     def _tvf_store_path(self) -> str:
         root = (
             self._ctx.catalog.root if self._ctx.catalog else "/tmp/crmint_models"
@@ -2437,6 +2559,28 @@ class SparkSQLExecutor(Worker):
         import json
 
         path = self._tvf_store_path()
+        if os.path.exists(path):
+            with open(path) as fh:
+                return json.load(fh)
+        return {}
+
+    def _target_defaults(self, target: str, in_catalog: bool) -> dict:
+        """Declared column DEFAULT expressions for a DML target —
+        catalog-plane tables only (session views have no DDL plane)."""
+        if not in_catalog or self._ctx.catalog is None:
+            return {}
+        return self._ctx.catalog.column_defaults(target)
+
+    def _fn_store_path(self) -> str:
+        root = (
+            self._ctx.catalog.root if self._ctx.catalog else "/tmp/crmint_models"
+        )
+        return os.path.join(root, "_scalar_functions.json")
+
+    def _fn_store(self) -> dict:
+        import json
+
+        path = self._fn_store_path()
         if os.path.exists(path):
             with open(path) as fh:
                 return json.load(fh)
@@ -3780,6 +3924,14 @@ class SparkSQLExecutor(Worker):
             send = _balanced_end(rest, ms.end() - 1)
             schema_text = rest[ms.end() : send - 1]
             rest = rest[send:]
+        # ``stmt`` is already transpiled — declared types AND any
+        # DEFAULT expressions are Spark spellings, storable verbatim
+        col_defaults: dict[str, str] = {}
+        if schema_text is not None:
+            full_decls = _parse_column_decls_full(schema_text)
+            col_defaults = {
+                n: d for n, _t, d in full_decls if d is not None
+            }
         ma = re.match(r"\s*AS\b(.*)$", rest, re.IGNORECASE | re.DOTALL)
         if ma:
             df = spark.sql(ma.group(1))
@@ -3787,15 +3939,14 @@ class SparkSQLExecutor(Worker):
                 # BigQuery: a column list WITH an AS query makes the
                 # result adopt the DECLARED names and types positionally
                 # (round-10 plane probe: the list was silently ignored,
-                # leaving expression-derived column names). ``stmt`` is
-                # already transpiled — the types are Spark spellings.
+                # leaving expression-derived column names).
                 df = _adopt_column_decls(
-                    df, _parse_column_decls(schema_text), table_id
+                    df, [(n, t) for n, t, _d in full_decls], table_id
                 )
         elif schema_text is not None:
             casts = [
                 f"CAST(NULL AS {btype}) AS `{name}`"
-                for name, btype in _parse_column_decls(schema_text)
+                for name, btype, _d in full_decls
             ]
             df = spark.sql(f"SELECT {', '.join(casts)} WHERE 1 = 0")
         else:
@@ -3841,8 +3992,10 @@ class SparkSQLExecutor(Worker):
             cat.set_layout_meta(table_id, meta)
         # the point of replacement: OR REPLACE resets every option the
         # new DDL does not restate (review finding r8: a predecessor's
-        # stale partition_expiration_days would GC the new table)
+        # stale partition_expiration_days would GC the new table) —
+        # column DEFAULTs follow the same wholesale-replacement rule
         cat.clear_table_options(table_id)
+        cat.set_column_defaults(table_id, col_defaults)
         try:
             cat.write(df, table_id, "WRITE_TRUNCATE")
         except ValueError as e:
@@ -4608,7 +4761,12 @@ class SparkSQLExecutor(Worker):
         """Rewrite ``f(args)`` call sites of stored table functions into
         parenthesized subqueries with the argument expressions spliced
         for the parameter names (word-boundary, outside strings)."""
-        from ..dialect import _balanced_end, _skip_string, _split_top_level
+        from ..dialect import (
+            _balanced_end,
+            _skip_comment,
+            _skip_string,
+            _split_top_level,
+        )
 
         store = self._tvf_store()
         if not store:
@@ -4619,13 +4777,19 @@ class SparkSQLExecutor(Worker):
         for _round in range(100):
             changed = False
             for name, spec in store.items():
+                # lookbehind (not \b): ``q.p.d.f(`` must not match a
+                # stored ``p.d.f`` as its dotted suffix
                 pat = re.compile(
-                    r"(`" + re.escape(name) + r"`|\b" + re.escape(name)
-                    + r")\s*\(",
+                    r"(`" + re.escape(name) + r"`|(?<![\w.`])"
+                    + re.escape(name) + r")\s*\(",
                 )
                 pos = 0
                 site = None
                 while pos < len(sub):
+                    j = _skip_comment(sub, pos)
+                    if j > pos:
+                        pos = j
+                        continue
                     ch = sub[pos]
                     if ch in ("'", '"'):
                         pos = _skip_string(sub, pos)
@@ -4653,12 +4817,211 @@ class SparkSQLExecutor(Worker):
                 body = spec["body"]
                 for pname, arg in zip(spec["params"], args):
                     body = self._splice_word(body, pname, f"({arg})")
-                sub = sub[: site.start()] + "(" + body + ")" + sub[end:]
+                # newline before ')': a body ending in a line comment
+                # must not swallow the closing paren (round-11 probe)
+                sub = sub[: site.start()] + "(" + body + "\n)" + sub[end:]
                 changed = True
             if not changed:
                 return sub
         raise WorkerException(
             "table function expansion did not converge (recursive "
+            "definition?)"
+        )
+
+    def _try_scalar_function_ddl(self, sub: str) -> bool:
+        """Persistent ``CREATE [OR REPLACE] FUNCTION d.f(p TYPE, ...)
+        [RETURNS T] AS (expr)`` (BigQuery persistent UDFs,
+        ref: bq_script_executor.py:26-36 runs arbitrary user scripts).
+        TEMP functions stay on the dialect's Spark-native SQL-UDF path
+        (session-scoped, matching BigQuery); persistent ones persist in
+        a catalog sidecar and expand inline at call sites — the raw
+        BigQuery body is spliced pre-transpile so every dialect rewrite
+        applies to it in place. ``LANGUAGE js`` bodies translate through
+        the same subset compiler as TEMP JS UDFs at DDL time."""
+        import json
+
+        from ..dialect import (
+            _JS_FN_RE,
+            _balanced_end,
+            _js_body_to_sql,
+            _split_top_level,
+        )
+
+        m = self._CREATE_FN_RE.match(sub)
+        if not m:
+            return False
+        or_replace, if_not_exists, name = (
+            bool(m.group(1)),
+            bool(m.group(2)),
+            m.group(3),
+        )
+        if "." not in name:
+            raise WorkerException(
+                "persistent CREATE FUNCTION requires a dataset-qualified"
+                " name; use CREATE TEMP FUNCTION for session-scoped"
+                " functions"
+            )
+        params_end = _balanced_end(sub, m.end() - 1)
+        if params_end < 0:
+            raise WorkerException("CREATE FUNCTION: unbalanced parameters")
+        names: list[str] = []
+        for part in _split_top_level(sub[m.end(): params_end - 1]):
+            part = part.strip()
+            if not part:
+                continue
+            pm = re.match(r"([A-Za-z_]\w*)\s+\S.*", part, re.DOTALL)
+            if not pm:
+                raise WorkerException(f"bad function parameter: {part!r}")
+            if re.search(r"\bANY\s+TYPE\b", part, re.IGNORECASE):
+                raise WorkerException(
+                    "templated ANY TYPE parameters are not supported for"
+                    " persistent functions"
+                )
+            names.append(pm.group(1))
+        rest = sub[params_end:]
+        returns = None
+        mjs = _JS_FN_RE.search(rest)
+        if mjs:
+            m_ret = re.search(
+                r"RETURNS\s+(.+?)\s+(?:NOT\s+DETERMINISTIC|DETERMINISTIC"
+                r"|LANGUAGE)\b",
+                rest,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m_ret:
+                raise WorkerException(
+                    "LANGUAGE js functions require a RETURNS type"
+                )
+            returns = m_ret.group(1).strip()
+            delim = mjs.group(1)
+            body_start = params_end + mjs.end()
+            body_end = sub.find(delim, body_start)
+            if body_end < 0:
+                raise WorkerException(
+                    "CREATE FUNCTION: unterminated JS body string"
+                )
+            raw = sub[body_start:body_end]
+            body = _js_body_to_sql(raw, names)
+        else:
+            m_ret = re.match(
+                r"\s*RETURNS\s+(.+?)\s+AS\s*\(",
+                rest,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if m_ret:
+                returns = m_ret.group(1).strip()
+                body_open = params_end + m_ret.end() - 1
+            else:
+                m_as = re.match(
+                    r"\s*(?:(?:NOT\s+)?DETERMINISTIC\s+)?AS\s*\(",
+                    rest,
+                    re.IGNORECASE,
+                )
+                if not m_as:
+                    raise WorkerException(
+                        "CREATE FUNCTION: expected AS (expression)"
+                    )
+                body_open = params_end + m_as.end() - 1
+            body_end = _balanced_end(sub, body_open)
+            if body_end < 0:
+                raise WorkerException("CREATE FUNCTION: unbalanced body")
+            raw = sub[body_open + 1: body_end - 1].strip()
+            body = raw
+        store = self._fn_store()
+        if name in store and not or_replace:
+            if if_not_exists:
+                self.log_info(f"FUNCTION {name} exists, skipped")
+                return True
+            raise WorkerException(
+                f"CREATE FUNCTION: `{name}` already exists (use CREATE OR"
+                " REPLACE FUNCTION)"
+            )
+        store[name] = {
+            "params": names,
+            "body": body,
+            "raw": raw,
+            "returns": returns,
+        }
+        path = self._fn_store_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(store, fh)
+        self.log_info(f"CREATE FUNCTION {name} ({len(names)} params)")
+        return True
+
+    def _expand_scalar_functions(self, sub: str) -> str:
+        """Rewrite ``d.f(args)`` call sites of stored persistent scalar
+        functions into parenthesized expressions with the argument
+        texts spliced for the parameter names; a declared RETURNS type
+        becomes an outer CAST (BigQuery coerces the body result)."""
+        from ..dialect import (
+            _balanced_end,
+            _map_bq_types,
+            _skip_comment,
+            _skip_string,
+            _split_top_level,
+        )
+
+        store = self._fn_store()
+        if not store:
+            return sub
+        # fixpoint so function bodies that call other persistent
+        # functions expand too, loudly bounded against recursion
+        for _round in range(100):
+            changed = False
+            for name, spec in store.items():
+                pat = re.compile(
+                    r"(`" + re.escape(name) + r"`|(?<![\w.`])"
+                    + re.escape(name) + r")\s*\(",
+                )
+                pos = 0
+                site = None
+                while pos < len(sub):
+                    j = _skip_comment(sub, pos)
+                    if j > pos:
+                        pos = j
+                        continue
+                    if sub[pos] in ("'", '"'):
+                        pos = _skip_string(sub, pos)
+                        continue
+                    m = pat.match(sub, pos)
+                    if m:
+                        site = m
+                        break
+                    pos += 1
+                if site is None:
+                    continue
+                end = _balanced_end(sub, site.end() - 1)
+                if end < 0:
+                    continue
+                args = [
+                    a.strip()
+                    for a in _split_top_level(sub[site.end(): end - 1])
+                    if a.strip()
+                ]
+                if len(args) != len(spec["params"]):
+                    raise WorkerException(
+                        f"function {name} expects "
+                        f"{len(spec['params'])} args, got {len(args)}"
+                    )
+                body = spec["body"]
+                for pname, arg in zip(spec["params"], args):
+                    body = self._splice_word(body, pname, f"({arg})")
+                # newline before ')': a body ending in a line comment
+                # must not swallow the closing paren
+                if spec.get("returns"):
+                    rep = (
+                        f"CAST(({body}\n) AS"
+                        f" {_map_bq_types(spec['returns'])})"
+                    )
+                else:
+                    rep = f"({body}\n)"
+                sub = sub[: site.start()] + rep + sub[end:]
+                changed = True
+            if not changed:
+                return sub
+        raise WorkerException(
+            "scalar function expansion did not converge (recursive "
             "definition?)"
         )
 
@@ -5160,6 +5523,8 @@ class SparkSQLExecutor(Worker):
             return None
         if self._try_table_function_ddl(sub):
             return None
+        if self._try_scalar_function_ddl(sub):
+            return None
         if self._try_metadata_only(sub):
             return None
         if self._try_drop_alter(sub):
@@ -5176,6 +5541,7 @@ class SparkSQLExecutor(Worker):
             # created below through the normal transpile path
             self._ctx.catalog.record_view(vm.group(1), vm.group(2))
         sub = self._expand_table_functions(sub)
+        sub = self._expand_scalar_functions(sub)
         self._enforce_partition_filters(sub)
         if self._try_external_table(sub):
             return None
@@ -5912,7 +6278,13 @@ class SparkSQLExecutor(Worker):
             target_df.createOrReplaceTempView(view)
             obs_kind = "update" if isinstance(dml, UpdateStmt) else "delete"
             gen = (
-                compile_update(dml, view, target_df.schema, stats=True)
+                compile_update(
+                    dml,
+                    view,
+                    target_df.schema,
+                    stats=True,
+                    defaults=self._target_defaults(dml.target, in_catalog),
+                )
                 if isinstance(dml, UpdateStmt)
                 else compile_delete(dml, view, stats=True)
             )
@@ -5941,7 +6313,13 @@ class SparkSQLExecutor(Worker):
                 return True
             tv, sv = prepare_merge_views(spark, target_df, source_df)
             gen = compile_merge(
-                dml, tv, sv, target_df.schema, source_df.columns, stats=True
+                dml,
+                tv,
+                sv,
+                target_df.schema,
+                source_df.columns,
+                stats=True,
+                defaults=self._target_defaults(dml.target, in_catalog),
             )
             result = spark.sql(transpile_statement(gen, resolver))
             obs, stats_hook = self._dml_stats_hook("merge")
@@ -6223,13 +6601,16 @@ class SparkSQLExecutor(Worker):
         cat = self._ctx.catalog
         spark = self._ctx.spark
         target_df = cat.read(ins.target)
+        defaults = cat.column_defaults(ins.target)
+        cols = ins.columns or [f.name for f in target_df.schema.fields]
         src = self._route_change_history(ins.source_sql, self._resolver())
+        if defaults or re.search(r"(?i)\bDEFAULT\b", src):
+            src = _fill_values_defaults(src, cols, defaults)
         rows = spark.sql(
             transpile_statement(
                 self._route_partition_scan(src), self._resolver()
             )
         )
-        cols = ins.columns or [f.name for f in target_df.schema.fields]
         if len(rows.columns) != len(cols):
             raise WorkerException(
                 f"INSERT has {len(rows.columns)} columns for {len(cols)} targets"
@@ -6239,7 +6620,13 @@ class SparkSQLExecutor(Worker):
             raise WorkerException(f"INSERT into unknown column(s): {sorted(unknown)}")
         aligned = rows.toDF(*cols).select(
             *[
-                (F.col(f.name) if f.name in cols else F.lit(None))
+                (
+                    F.col(f.name)
+                    if f.name in cols
+                    else F.expr(defaults[f.name])
+                    if f.name in defaults
+                    else F.lit(None)
+                )
                 .cast(f.dataType)
                 .alias(f.name)
                 for f in target_df.schema.fields

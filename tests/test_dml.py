@@ -2272,3 +2272,124 @@ def test_two_part_mv_names_scope_to_owning_project(spark, cat):
         " proj2.dsx.INFORMATION_SCHEMA.MATERIALIZED_VIEWS",
     )
     assert w2.result.collect() == []
+
+
+def test_column_defaults_full_lifecycle(spark, cat):
+    """BigQuery column DEFAULTs (round 11): captured from CREATE TABLE
+    DDL (before or after NOT NULL), applied by INSERT for omitted
+    columns and the bare ``DEFAULT`` keyword in VALUES, by ``SET col =
+    DEFAULT`` in UPDATE and MERGE, and by MERGE INSERT for omitted
+    columns; ALTER COLUMN SET/DROP DEFAULT edits the stored set;
+    CREATE OR REPLACE without DEFAULT clauses clears it; TEMP TABLE
+    DEFAULTs are loud (no session-plane default machinery)."""
+    run(
+        spark,
+        cat,
+        "CREATE OR REPLACE TABLE `p.dd.t` (id INT64,"
+        " tag STRING DEFAULT 'zz', score FLOAT64 DEFAULT 1.5 NOT NULL);"
+        "INSERT INTO `p.dd.t` (id) VALUES (1);"
+        "INSERT INTO `p.dd.t` VALUES (2, DEFAULT, 9.0);"
+        "INSERT INTO `p.dd.t` (id, score) VALUES (3, DEFAULT);",
+    )
+    w = run(spark, cat, "SELECT * FROM `p.dd.t` ORDER BY id")
+    assert [tuple(r) for r in w.result.collect()] == [
+        (1, "zz", 1.5),
+        (2, "zz", 9.0),
+        (3, "zz", 1.5),
+    ]
+    run(
+        spark,
+        cat,
+        "UPDATE `p.dd.t` SET tag = 'xx' WHERE id = 1;"
+        "UPDATE `p.dd.t` SET tag = DEFAULT WHERE id = 1;"
+        "MERGE `p.dd.t` t USING (SELECT 9 AS id UNION ALL SELECT 2) s"
+        " ON t.id = s.id"
+        " WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)"
+        " WHEN MATCHED THEN UPDATE SET score = DEFAULT;",
+    )
+    w = run(spark, cat, "SELECT * FROM `p.dd.t` ORDER BY id")
+    assert [tuple(r) for r in w.result.collect()] == [
+        (1, "zz", 1.5),
+        (2, "zz", 1.5),
+        (3, "zz", 1.5),
+        (9, "zz", 1.5),
+    ]
+    # expression defaults evaluate at insert time
+    run(
+        spark,
+        cat,
+        "CREATE OR REPLACE TABLE `p.dd.ts`"
+        " (id INT64, d DATE DEFAULT CURRENT_DATE());"
+        "INSERT INTO `p.dd.ts` (id) VALUES (1);",
+    )
+    w = run(spark, cat, "SELECT d IS NOT NULL AS has_d FROM `p.dd.ts`")
+    assert w.result.collect()[0]["has_d"] is True
+    # ALTER COLUMN SET / DROP DEFAULT
+    run(
+        spark,
+        cat,
+        "ALTER TABLE `p.dd.t` ALTER COLUMN tag SET DEFAULT 'ww';"
+        "INSERT INTO `p.dd.t` (id) VALUES (10);"
+        "ALTER TABLE `p.dd.t` ALTER COLUMN tag DROP DEFAULT;"
+        "INSERT INTO `p.dd.t` (id) VALUES (11);",
+    )
+    w = run(
+        spark, cat,
+        "SELECT id, tag FROM `p.dd.t` WHERE id >= 10 ORDER BY id",
+    )
+    assert [tuple(r) for r in w.result.collect()] == [
+        (10, "ww"), (11, None),
+    ]
+    # OR REPLACE without DEFAULTs clears the stored set
+    run(
+        spark,
+        cat,
+        "CREATE OR REPLACE TABLE `p.dd.t` (id INT64, tag STRING);"
+        "INSERT INTO `p.dd.t` (id) VALUES (7);",
+    )
+    w = run(spark, cat, "SELECT tag FROM `p.dd.t`")
+    assert w.result.collect()[0]["tag"] is None
+    # TEMP TABLE defaults reject loudly
+    with pytest.raises(WorkerException, match="DEFAULT"):
+        run(
+            spark,
+            cat,
+            "CREATE TEMP TABLE tt (id INT64, tag STRING DEFAULT 'x')"
+            " AS SELECT 1, 'a'",
+        )
+
+
+def test_parameterized_types_and_bytes_literals(spark, cat):
+    """Parameterized DDL types (STRING(10), BYTES(5), NUMERIC(10,2))
+    map to Spark types — NUMERIC keeps precision/scale, lengths drop —
+    and BigQuery bytes literals (b'…', escapes, rb'…' raw) become hex
+    literals (round-11 probes: both previously failed loudly)."""
+    run(
+        spark,
+        cat,
+        "CREATE OR REPLACE TABLE `p.dd.pt`"
+        " (s STRING(10), n NUMERIC(10,2), b BYTES(5));"
+        "INSERT INTO `p.dd.pt` VALUES ('abc', 1.256, b'xy');",
+    )
+    w = run(
+        spark, cat,
+        "SELECT s, n, CAST(b AS STRING) AS bs FROM `p.dd.pt`",
+    )
+    import decimal
+
+    assert [tuple(r) for r in w.result.collect()] == [
+        ("abc", decimal.Decimal("1.26"), "xy")
+    ]
+    w = run(
+        spark,
+        cat,
+        r"SELECT b'\x41\x42' AS h, TO_HEX(b'hi') AS hx,"
+        r" BYTE_LENGTH(b'\000\377') AS bl, rb'a\nb' AS rw,"
+        r" CAST(B'it\'s' AS STRING) AS q",
+    )
+    r = w.result.collect()[0]
+    assert bytes(r["h"]) == b"AB"
+    assert r["hx"] == "6869"
+    assert r["bl"] == 2
+    assert bytes(r["rw"]) == b"a\\nb"
+    assert r["q"] == "it's"

@@ -1893,18 +1893,22 @@ def test_materialized_view_smart_rewrite(spark, tmp_path):
     w3 = run(agg)
     assert any("smart rewrite; base" in line for line in w3.log), w3.log
     assert sorted(tuple(r) for r in w3.result.collect()) == fresh
-    # a CREATE OR REPLACE TABLE over the MV's NAME invalidates the
-    # rewrite record (review finding r8: the stale record would serve
-    # the replaced table's arbitrary contents as the aggregate)
-    run(
-        "CREATE OR REPLACE TABLE `p.crm.mv1` AS"
-        " SELECT 'junk' AS seg, 0 AS n, 0.0 AS tot"
-    )
+    # a CREATE OR REPLACE TABLE over the MV's NAME is an object-type
+    # mismatch — loud, like BigQuery (round-11 advisory; supersedes the
+    # r8 silent-invalidation contract), and the MV record stays intact
+    import pytest as _pytest
+
+    from crmint_spark.workers.base import WorkerException
+
+    with _pytest.raises(WorkerException, match="MATERIALIZED VIEW"):
+        run(
+            "CREATE OR REPLACE TABLE `p.crm.mv1` AS"
+            " SELECT 'junk' AS seg, 0 AS n, 0.0 AS tot"
+        )
     w3b = run(agg)
-    assert not any("smart rewrite" in line for line in w3b.log), w3b.log
+    assert any("smart rewrite; base" in line for line in w3b.log), w3b.log
     assert sorted(tuple(r) for r in w3b.result.collect()) == fresh
-    # re-create, then DROP stops the rewrite
-    run(f"CREATE OR REPLACE MATERIALIZED VIEW `p.crm.mv1` AS {agg}")
+    # DROP stops the rewrite
     run("DROP MATERIALIZED VIEW `p.crm.mv1`")
     w4 = run(agg)
     assert not any("smart rewrite" in line for line in w4.log), w4.log
@@ -2100,3 +2104,110 @@ def test_information_schema_views(ctx):
     types = {r["table_name"]: r["table_type"] for r in w2.result.collect()}
     assert types.get("isv_v") == "VIEW"
     assert types.get("isv_base") == "BASE TABLE"
+
+
+def test_create_persistent_scalar_function(spark, tmp_path):
+    """Persistent (non-TEMP) CREATE FUNCTION: dataset-qualified scalar
+    UDFs persist in the catalog, expand inline at call sites (with a
+    RETURNS cast when declared), may call each other, translate
+    LANGUAGE js bodies through the subset compiler, list in
+    INFORMATION_SCHEMA.ROUTINES, and DROP FUNCTION removes them.
+    Comment-laden bodies (trailing --, unbalanced paren inside a
+    comment) parse correctly (round-11 probe)."""
+    import pytest as _pytest
+
+    from crmint_spark.catalog import Catalog
+    from crmint_spark.workers import find_worker
+    from crmint_spark.workers.base import WorkerContext, WorkerException
+
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+
+    def run(script):
+        w = find_worker("BQScriptExecutor")(
+            {"script": script, "dry_run": False}, ctx
+        )
+        w.execute()
+        return w
+
+    run(
+        "CREATE OR REPLACE FUNCTION p.d.addone(v INT64) AS (\n"
+        "  -- adds one (the usual\n"
+        "  v + 1 -- trailing note\n"
+        ");"
+    )
+    assert run("SELECT p.d.addone(4) AS r").result.collect()[0]["r"] == 5
+    assert run("SELECT `p.d.addone`(9) AS r").result.collect()[0]["r"] == 10
+    # RETURNS coerces the body result
+    run("CREATE FUNCTION p.d.half(v INT64) RETURNS FLOAT64 AS (v / 2);")
+    r = run("SELECT p.d.half(5) AS r").result.collect()[0]["r"]
+    assert r == 2.5 and isinstance(r, float)
+    # persistent functions may call other persistent functions
+    run(
+        "CREATE FUNCTION p.d.labeled(v INT64) AS"
+        " (CONCAT('v=', CAST(p.d.addone(v) AS STRING)));"
+    )
+    assert (
+        run("SELECT p.d.labeled(7) AS r").result.collect()[0]["r"] == "v=8"
+    )
+    # LANGUAGE js bodies go through the JS subset compiler at DDL time
+    run(
+        "CREATE OR REPLACE FUNCTION p.d.jsq(x FLOAT64) RETURNS FLOAT64"
+        " LANGUAGE js AS '''\n  return x * x;\n''';"
+    )
+    assert run("SELECT p.d.jsq(3.0) AS r").result.collect()[0]["r"] == 9.0
+    # plain CREATE on an existing name is loud; IF NOT EXISTS skips
+    with _pytest.raises(WorkerException, match="already exists"):
+        run("CREATE FUNCTION p.d.addone(v INT64) AS (v + 2);")
+    run("CREATE FUNCTION IF NOT EXISTS p.d.addone(v INT64) AS (v + 2);")
+    assert run("SELECT p.d.addone(1) AS r").result.collect()[0]["r"] == 2
+    # session-scoped functions must use CREATE TEMP FUNCTION
+    with _pytest.raises(WorkerException, match="dataset-qualified"):
+        run("CREATE FUNCTION nodot(v INT64) AS (v);")
+    # metadata plane
+    w = run(
+        "SELECT routine_name, routine_type FROM"
+        " `p.d.INFORMATION_SCHEMA.ROUTINES` ORDER BY routine_name"
+    )
+    names = {(r["routine_name"], r["routine_type"]) for r in w.result.collect()}
+    assert ("addone", "FUNCTION") in names and ("jsq", "FUNCTION") in names
+    # DROP
+    run("DROP FUNCTION p.d.labeled")
+    run("DROP FUNCTION IF EXISTS p.d.labeled")
+    with _pytest.raises(WorkerException, match="unknown"):
+        run("DROP FUNCTION p.d.labeled")
+
+
+def test_tvf_and_udf_bodies_with_comments(spark, tmp_path):
+    """Balance scans are comment-aware: TVF/TEMP-UDF bodies containing
+    an unbalanced paren inside a comment, or ending in a line comment,
+    parse and expand correctly (round-11 probe: both previously failed
+    with parse errors)."""
+    from crmint_spark.catalog import Catalog
+    from crmint_spark.workers import find_worker
+    from crmint_spark.workers.base import WorkerContext
+
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+
+    def run(script):
+        w = find_worker("BQScriptExecutor")(
+            {"script": script, "dry_run": False}, ctx
+        )
+        w.execute()
+        return w
+
+    run(
+        "CREATE TABLE FUNCTION p.d.f(lo INT64) AS (\n"
+        "  -- note: range (inclusive\n"
+        "  SELECT x FROM UNNEST([1,2,3]) AS x\n"
+        "  WHERE x >= lo -- keep big ones\n"
+        ");"
+    )
+    w = run("SELECT * FROM p.d.f(2) ORDER BY x")
+    assert [r["x"] for r in w.result.collect()] == [2, 3]
+    w = run(
+        "CREATE TEMP FUNCTION f2(v INT64) AS (\n"
+        "  -- add one (inclusive\n"
+        "  v + 1);"
+        "SELECT f2(4) AS r"
+    )
+    assert w.result.collect()[0]["r"] == 5
