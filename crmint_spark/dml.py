@@ -839,6 +839,15 @@ def merge_upsert_batch(
     )
     tv, sv = prepare_merge_views(spark, target_df, batch_df)
     result = spark.sql(
-        compile_merge(stmt, tv, sv, target_df.schema, batch_df.columns)
+        compile_merge(
+            stmt,
+            tv,
+            sv,
+            target_df.schema,
+            batch_df.columns,
+            defaults=catalog.column_defaults(table_id)
+            if hasattr(catalog, "column_defaults")
+            else None,
+        )
     )
     swap_catalog_table(catalog, table_id, result, keep_dirs=keep_dirs)

@@ -6462,7 +6462,13 @@ class SparkSQLExecutor(Worker):
         sub.createOrReplaceTempView(view)
         kind = "update" if isinstance(dml, UpdateStmt) else "delete"
         gen = (
-            compile_update(dml, view, sub.schema, stats=True)
+            compile_update(
+                dml,
+                view,
+                sub.schema,
+                stats=True,
+                defaults=self._target_defaults(dml.target, True),
+            )
             if isinstance(dml, UpdateStmt)
             else compile_delete(dml, view, stats=True)
         )
@@ -6556,7 +6562,13 @@ class SparkSQLExecutor(Worker):
         )
         tv, sv = prepare_merge_views(spark, target_sub, source_df)
         gen = compile_merge(
-            dml, tv, sv, target_sub.schema, source_df.columns, stats=True
+            dml,
+            tv,
+            sv,
+            target_sub.schema,
+            source_df.columns,
+            stats=True,
+            defaults=self._target_defaults(dml.target, True),
         )
         result = spark.sql(transpile_statement(gen, resolver))
         obs, stats_hook = self._dml_stats_hook("merge")

@@ -2357,6 +2357,25 @@ def test_column_defaults_full_lifecycle(spark, cat):
             "CREATE TEMP TABLE tt (id INT64, tag STRING DEFAULT 'x')"
             " AS SELECT 1, 'a'",
         )
+    # partition-pruned UPDATE and MERGE apply defaults too
+    run(
+        spark,
+        cat,
+        "CREATE OR REPLACE TABLE `p.dd.pp`"
+        " (d DATE, id INT64, tag STRING DEFAULT 'pd')"
+        " PARTITION BY d;"
+        "INSERT INTO `p.dd.pp` (d, id)"
+        " VALUES (DATE '2024-01-01', 1), (DATE '2024-02-01', 2);"
+        "UPDATE `p.dd.pp` SET tag = DEFAULT WHERE d = DATE '2024-01-01';"
+        "MERGE `p.dd.pp` t USING"
+        " (SELECT DATE '2024-02-01' AS d, 3 AS id) s"
+        " ON t.d = s.d AND t.id = s.id"
+        " WHEN NOT MATCHED THEN INSERT (d, id) VALUES (s.d, s.id);",
+    )
+    w = run(spark, cat, "SELECT id, tag FROM `p.dd.pp` ORDER BY id")
+    assert [tuple(r) for r in w.result.collect()] == [
+        (1, "pd"), (2, "pd"), (3, "pd"),
+    ]
 
 
 def test_parameterized_types_and_bytes_literals(spark, cat):
