@@ -204,6 +204,9 @@ SECONDARY = [
     "dml_session_index_freshness",
     "dml_mv_global",
     "q93_analyzer_index",
+    "q94_lexer_edges",
+    "q95_persistent_udfs",
+    "dml_column_defaults",
 ]
 
 

@@ -1709,7 +1709,9 @@ def dml_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     USING (SELECT 999992 AS k UNION ALL SELECT 999991) s ON t.k = s.k
     WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)
     WHEN MATCHED THEN UPDATE SET bal = DEFAULT;
-    SELECT k, seg, bal, CAST(src AS STRING) AS src
+    -- FLOAT64 projection: NUMERIC(12,2) storage is exercised above;
+    -- the 2-decimal values are float-exact in both engines
+    SELECT k, seg, CAST(bal AS FLOAT64) AS bal, CAST(src AS STRING) AS src
     FROM `p.dd.cust` ORDER BY k
     """
     w = SparkSQLExecutor(
@@ -1733,7 +1735,7 @@ WITH base AS (
   UNION ALL
   SELECT 999992, 'UNSEGMENTED', 0.00, 'crm'
 )
-SELECT k, seg, CAST(bal AS DECIMAL(12, 2)) AS bal, src
+SELECT k, seg, CAST(CAST(bal AS DECIMAL(12, 2)) AS DOUBLE) AS bal, src
 FROM base ORDER BY k
 """
 

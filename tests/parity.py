@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import datetime
 import math
+import re
 import struct
 from decimal import Decimal
 
@@ -69,7 +70,11 @@ def compare(spark_df, con, sql: str, rel_tol: float = 1e-9):
     for f in spark_df.schema.fields:
         st = f.dataType.simpleString()
         dt = d_types.get(f.name)
-        allowed = _SPARK_TO_ARROW.get(st, {st})
+        dm = re.match(r"decimal\((\d+),(\d+)\)", st)
+        if dm:  # arrow spells the same type decimal128(p, s)
+            allowed = {st, f"decimal128({dm.group(1)}, {dm.group(2)})"}
+        else:
+            allowed = _SPARK_TO_ARROW.get(st, {st})
         assert dt in allowed, (
             f"dtype mismatch {f.name}: spark={st} duckdb={dt}"
         )
