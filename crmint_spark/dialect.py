@@ -327,13 +327,13 @@ def split_script(script: str) -> list[str]:
 # iteration count (sql_executor._exec_block's FOR branch).
 
 _BLOCK_TOKEN_RE = re.compile(
-    r"\b(END\s+IF|END\s+WHILE|END\s+LOOP|END\s+FOR|END\s+CASE|END|CASE|"
-    r"IF|WHILE|BEGIN|LOOP|FOR)\b",
+    r"\b(END\s+IF|END\s+WHILE|END\s+LOOP|END\s+FOR|END\s+CASE|"
+    r"END\s+REPEAT|END|CASE|IF|WHILE|BEGIN|LOOP|FOR|REPEAT)\b",
     re.IGNORECASE,
 )
 _BLOCK_OPEN_RE = re.compile(
     # optional BigQuery loop label ("lbl: WHILE ... END WHILE lbl")
-    r"^\s*(?:[A-Za-z_]\w*\s*:\s*)?(IF|WHILE|LOOP|BEGIN|FOR|CASE)\b",
+    r"^\s*(?:[A-Za-z_]\w*\s*:\s*)?(IF|WHILE|LOOP|BEGIN|FOR|CASE|REPEAT)\b",
     re.IGNORECASE,
 )
 
@@ -348,8 +348,21 @@ def _at_statement_position(s: str, i: int) -> bool:
         j -= 1
     if j < 0 or s[j] == ";":
         return True
+    if s[j] == ":":
+        # BigQuery loop label ("lbl: REPEAT ..."): the label must be a
+        # bare identifier reaching back to a statement boundary
+        k = j - 1
+        while k >= 0 and (s[k].isalnum() or s[k] == "_"):
+            k -= 1
+        if k < j - 1:
+            while k >= 0 and s[k].isspace():
+                k -= 1
+            if k < 0 or s[k] == ";":
+                return True
     head = s[max(0, j - 9): j + 1]
-    return bool(re.search(r"\b(?:THEN|ELSE|DO|BEGIN|LOOP)$", head, re.IGNORECASE))
+    return bool(
+        re.search(r"\b(?:THEN|ELSE|DO|BEGIN|LOOP|REPEAT)$", head, re.IGNORECASE)
+    )
 
 
 def _strip_strings(sql: str) -> str:
@@ -391,10 +404,18 @@ def _block_depth_delta(fragment: str) -> int:
                 case_depth -= 1
             else:
                 depth -= 1
-        elif k in ("END IF", "END WHILE", "END LOOP", "END FOR", "END CASE"):
+        elif k in (
+            "END IF", "END WHILE", "END LOOP", "END FOR", "END CASE",
+            "END REPEAT",
+        ):
             depth -= 1
         elif k == "IF":
             if case_depth == 0 and _at_statement_position(s, m.start()):
+                depth += 1
+        elif k == "REPEAT":
+            # REPEAT is also a scalar function — only the
+            # statement-position keyword opens a block
+            if _at_statement_position(s, m.start()):
                 depth += 1
         elif k == "BEGIN":
             if not re.match(r"TRANSACTION\b", after, re.IGNORECASE):
@@ -439,6 +460,7 @@ def parse_script_block(stmt: str) -> dict | None:
       {"kind": "IF",    "branches": [(cond, body), ...], "else": body?}
       {"kind": "WHILE", "cond": c, "body": b}
       {"kind": "LOOP",  "body": b}
+      {"kind": "REPEAT","cond": c, "body": b}   # cond tested after body
       {"kind": "FOR",   "var": v, "query": q, "body": b}
       {"kind": "BEGIN", "body": b, "handler": b?}
 
@@ -504,10 +526,12 @@ def parse_script_block(stmt: str) -> dict | None:
                             depth -= 1
                     elif k in (
                         "END IF", "END WHILE", "END LOOP", "END FOR",
-                        "END CASE",
+                        "END CASE", "END REPEAT",
                     ):
                         depth -= 1
                     elif k == "IF" and case_depth == 0 and _at_statement_position(s, i):
+                        depth += 1
+                    elif k == "REPEAT" and _at_statement_position(s, i):
                         depth += 1
                     elif k == "BEGIN" and not re.match(
                         r"TRANSACTION\b", after, re.IGNORECASE
@@ -609,6 +633,21 @@ def parse_script_block(stmt: str) -> dict | None:
         if not ms:
             raise ValueError(f"malformed LOOP block: {stmt[:120]!r}")
         return {"kind": "LOOP", "body": stmt[body_from: ms[-1][0]]}
+    if kind == "REPEAT":
+        # REPEAT body; UNTIL cond END REPEAT — body runs at least once,
+        # the condition is tested AFTER each pass (BigQuery scripting)
+        ms = markers(("UNTIL", "END REPEAT"))
+        if (
+            len(ms) < 2
+            or ms[0][2] != "UNTIL"
+            or ms[-1][2] != "END REPEAT"
+        ):
+            raise ValueError(f"malformed REPEAT block: {stmt[:120]!r}")
+        return {
+            "kind": "REPEAT",
+            "body": stmt[body_from: ms[0][0]],
+            "cond": stmt[ms[0][1]: ms[-1][0]].strip(),
+        }
     if kind == "FOR":
         # FOR var IN (query) DO body END FOR
         ms = markers(("IN", "DO", "END FOR"))
@@ -6384,6 +6423,28 @@ class ScriptContext:
             for name, pat in pats.items():
                 m = pat.match(sql, i)
                 if m:
+                    # a variable NAME is never a reference in these
+                    # positions (round-11 probe: the blind replace
+                    # corrupted them): qualified columns ``t.o``,
+                    # alias position ``... AS o``, loop labels
+                    # ``o: REPEAT`` / ``BREAK o``
+                    k = i - 1
+                    while k >= 0 and sql[k].isspace():
+                        k -= 1
+                    if k >= 0 and sql[k] == ".":
+                        continue
+                    mw = re.search(r"([A-Za-z_]\w*)\s*$", sql[:i])
+                    if mw and mw.group(1).upper() in (
+                        "AS", "BREAK", "LEAVE", "CONTINUE", "ITERATE",
+                    ):
+                        continue
+                    e = m.end()
+                    while e < n and sql[e].isspace():
+                        e += 1
+                    if e < n and sql[e] == ":" and not sql.startswith(
+                        "::", e
+                    ):
+                        continue
                     out.append(sql[pos:i])
                     out.append(script_literal(self.variables[name]))
                     pos = m.end()

@@ -1517,7 +1517,7 @@ class SparkSQLExecutor(Worker):
             block_stmt = raw_stmt
             lm = re.match(
                 r"^\s*([A-Za-z_]\w*)\s*:\s*"
-                r"((?:WHILE|LOOP|FOR|BEGIN)\b.*)$",
+                r"((?:WHILE|LOOP|FOR|BEGIN|REPEAT)\b.*)$",
                 raw_stmt,
                 re.IGNORECASE | re.DOTALL,
             )
@@ -5273,7 +5273,7 @@ class SparkSQLExecutor(Worker):
                         del sctx.variables[k]
                 sctx.variables.update(saved)
             return last
-        if kind in ("WHILE", "LOOP"):
+        if kind in ("WHILE", "LOOP", "REPEAT"):
             if dry:
                 run(block["body"])
                 return None
@@ -5294,7 +5294,12 @@ class SparkSQLExecutor(Worker):
                 except _ContinueSignal as sig:
                     if sig.label and sig.label != block.get("label"):
                         raise
-                    continue
+                    # falls through: REPEAT's ITERATE still jumps to
+                    # the UNTIL test (BigQuery), WHILE/LOOP just spin
+                if kind == "REPEAT" and self._eval_cond(
+                    block["cond"], sctx, resolver
+                ):
+                    return last
             raise WorkerException(
                 f"{kind} exceeded {self._MAX_LOOP_ITERATIONS} iterations"
             )

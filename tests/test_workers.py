@@ -2211,3 +2211,103 @@ def test_tvf_and_udf_bodies_with_comments(spark, tmp_path):
         "SELECT f2(4) AS r"
     )
     assert w.result.collect()[0]["r"] == 5
+
+
+def test_script_repeat_until(spark, tmp_path):
+    """BigQuery REPEAT ... UNTIL cond END REPEAT (round 11): the body
+    runs at least once, the condition tests AFTER each pass, ITERATE
+    jumps to the UNTIL test, BREAK honors labels, nesting works, and
+    the scalar REPEAT() function is untouched."""
+    from crmint_spark.catalog import Catalog
+    from crmint_spark.workers import find_worker
+    from crmint_spark.workers.base import WorkerContext
+
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+
+    def run(script):
+        w = find_worker("BQScriptExecutor")(
+            {"script": script, "dry_run": False}, ctx
+        )
+        w.execute()
+        return w
+
+    w = run(
+        "DECLARE i INT64 DEFAULT 0;\nREPEAT\n SET i = i + 1;\n"
+        "UNTIL i >= 3\nEND REPEAT;\nSELECT i AS n"
+    )
+    assert w.result.collect()[0]["n"] == 3
+    # at-least-once semantics
+    w = run(
+        "DECLARE i INT64 DEFAULT 99;\nREPEAT\n SET i = i + 1;\n"
+        "UNTIL i >= 3\nEND REPEAT;\nSELECT i AS n"
+    )
+    assert w.result.collect()[0]["n"] == 100
+    # ITERATE -> UNTIL test, labeled BREAK, scalar REPEAT() in body
+    w = run(
+        """
+        DECLARE i INT64 DEFAULT 0;
+        DECLARE acc STRING DEFAULT '';
+        lbl: REPEAT
+          SET i = i + 1;
+          IF i = 2 THEN ITERATE; END IF;
+          IF i >= 5 THEN BREAK lbl; END IF;
+          SET acc = CONCAT(acc, REPEAT('x', 1));
+        UNTIL i >= 10
+        END REPEAT;
+        SELECT i AS n, acc AS a
+        """
+    )
+    r = w.result.collect()[0]
+    assert (r["n"], r["a"]) == (5, "xxx")
+    # nested REPEAT with a trailing comment on the opener
+    w = run(
+        """
+        DECLARE t INT64 DEFAULT 0;
+        DECLARE o INT64 DEFAULT 0;
+        REPEAT  -- outer (note
+          SET o = o + 1;
+          REPEAT
+            SET t = t + 1;
+          UNTIL MOD(t, 3) = 0
+          END REPEAT;
+        UNTIL o >= 2
+        END REPEAT;
+        SELECT o AS o, t AS t
+        """
+    )
+    assert tuple(w.result.collect()[0]) == (2, 6)
+
+
+def test_script_variable_substitution_position_guards(spark, tmp_path):
+    """Variable names are NOT references in alias position (``AS o``),
+    qualified columns (``x.o``), or label positions (round-11 probe:
+    the blind textual replace corrupted all three)."""
+    from crmint_spark.catalog import Catalog
+    from crmint_spark.workers import find_worker
+    from crmint_spark.workers.base import WorkerContext
+
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+
+    def run(script):
+        w = find_worker("BQScriptExecutor")(
+            {"script": script, "dry_run": False}, ctx
+        )
+        w.execute()
+        return w
+
+    w = run(
+        "DECLARE o INT64 DEFAULT 77;"
+        "CREATE OR REPLACE TABLE `p.s.tt` AS SELECT 5 AS o;"
+        "SELECT x.o AS col, o AS var FROM `p.s.tt` x"
+    )
+    r = w.result.collect()[0]
+    assert (r["col"], r["var"]) == (5, 77)
+    assert w.result.columns == ["col", "var"]
+    # a loop whose label collides with a variable name still runs
+    w = run(
+        "DECLARE v INT64 DEFAULT 0;"
+        "v: LOOP SET v = v + 1; IF v >= 2 THEN BREAK v; END IF;"
+        " END LOOP;"
+        "SELECT v AS n"
+    )
+    assert w.result.collect()[0]["n"] == 2
