@@ -658,10 +658,18 @@ def parse_script_block(stmt: str) -> dict | None:
             or ms[-1][2] != "END FOR"
         ):
             raise ValueError(f"malformed FOR block: {stmt[:120]!r}")
+        query = stmt[ms[0][1]: ms[1][0]].strip()
+        # FOR's mandatory parens come off here: a parenthesized
+        # ``(SELECT … FROM UNNEST(…))`` reaching transpile reads as an
+        # EXPRESSION-position scalar subquery (round-11 probe: the
+        # UNNEST element rewrite compiled the loop query to a bare
+        # scalar), while the unwrapped text is a plain statement
+        if query.startswith("(") and _balanced_end(query, 0) == len(query):
+            query = query[1:-1].strip()
         return {
             "kind": "FOR",
             "var": stmt[body_from: ms[0][0]].strip(),
-            "query": stmt[ms[0][1]: ms[1][0]].strip(),
+            "query": query,
             "body": stmt[ms[1][1]: ms[-1][0]],
         }
     # BEGIN [body] [EXCEPTION WHEN ERROR THEN handler] END

@@ -2311,3 +2311,43 @@ def test_script_variable_substitution_position_guards(spark, tmp_path):
         "SELECT v AS n"
     )
     assert w.result.collect()[0]["n"] == 2
+
+
+def test_script_for_in_over_unnest_and_labels(spark, tmp_path):
+    """FOR's mandatory parens must come off before transpile: a
+    parenthesized ``(SELECT … FROM UNNEST(…))`` otherwise reads as an
+    expression-position scalar subquery and the loop query compiles to
+    a bare scalar (round-11 probe). Labeled FOR with CONTINUE/BREAK
+    label rides the same block-lexer label fix."""
+    from crmint_spark.catalog import Catalog
+    from crmint_spark.workers import find_worker
+    from crmint_spark.workers.base import WorkerContext
+
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+
+    def run(script):
+        w = find_worker("BQScriptExecutor")(
+            {"script": script, "dry_run": False}, ctx
+        )
+        w.execute()
+        return w
+
+    w = run(
+        """
+        DECLARE total INT64 DEFAULT 0;
+        outer_l: FOR r IN (SELECT x FROM UNNEST([1,2,3,4]) AS x) DO
+          IF r.x = 3 THEN CONTINUE outer_l; END IF;
+          IF r.x = 4 THEN BREAK outer_l; END IF;
+          SET total = total + r.x;
+        END FOR;
+        SELECT total AS n
+        """
+    )
+    assert w.result.collect()[0]["n"] == 3
+    w = run(
+        "DECLARE t INT64 DEFAULT 0;"
+        "FOR r IN (SELECT x FROM UNNEST([5,6]) AS x) DO"
+        " SET t = t + r.x; END FOR;"
+        "SELECT t AS n"
+    )
+    assert w.result.collect()[0]["n"] == 11
