@@ -1173,7 +1173,9 @@ def test_block_grouping_edge_cases():
         "FOR r IN (SELECT 1 AS a WHERE 1 IN (1)) DO SET x = r.a; END FOR"
     )
     assert blk["kind"] == "FOR" and blk["var"] == "r"
-    assert blk["query"].startswith("(SELECT")
+    # the mandatory parens come off at parse (round 11: parenthesized
+    # UNNEST queries otherwise read as expression-position scalars)
+    assert blk["query"] == "SELECT 1 AS a WHERE 1 IN (1)"
     assert "SET x = r.a" in blk["body"]
 
     # ELSEIF chains

@@ -142,6 +142,14 @@ PROBE = [
     "dml_session_index_freshness",
     "dml_mv_global",
     "q93_analyzer_index",
+    # round 11: lexer-surface script (scan bounded by o_orderkey
+    # predicate — expect near-flat), persistent-UDF expansion
+    # (inline expressions over a customer scan — expect linear
+    # scan growth, no extra shuffles), column-DEFAULT DML chain
+    # (CREATE + 3 INSERTs + MERGE over a MOD-filtered subset)
+    "q94_lexer_edges",
+    "q95_persistent_udfs",
+    "dml_column_defaults",
 ]
 
 # key columns to shift per copy so joins stay consistent and
