@@ -115,7 +115,10 @@ def _skip_comment(sql: str, i: int) -> int:
     statement (review finding r8). ``#`` line comments are legal
     BigQuery (round-11 verdict) and never appear in code position in
     the engine's own generated SQL."""
-    if sql.startswith("--", i) or sql.startswith("#", i):
+    ch = sql[i]
+    if ch not in "-#/":  # cheap bail — this runs per character in the
+        return i  # hot lexing walks (round-11 perf creep fix)
+    if ch == "#" or sql.startswith("--", i):
         nl = sql.find("\n", i)
         return len(sql) if nl == -1 else nl + 1
     if sql.startswith("/*", i):
@@ -155,11 +158,12 @@ def _balanced_end(sql: str, open_idx: int) -> int:
     depth = 0
     i, n = open_idx, len(sql)
     while i < n:
-        j = _skip_comment(sql, i)
-        if j > i:
-            i = j
-            continue
         ch = sql[i]
+        if ch in "-#/":  # comment-start chars only — hot loop
+            j = _skip_comment(sql, i)
+            if j > i:
+                i = j
+                continue
         if ch in ("'", '"', "`"):
             i = _skip_string(sql, i)
             continue
@@ -183,11 +187,12 @@ def _split_top_level(args: str, sep: str = ",") -> list[str]:
     depth = 0
     i, n = 0, len(args)
     while i < n:
-        j = _skip_comment(args, i)
-        if j > i:
-            i = j
-            continue
         ch = args[i]
+        if ch in "-#/":  # comment-start chars only — hot loop
+            j = _skip_comment(args, i)
+            if j > i:
+                i = j
+                continue
         if ch in ("'", '"', "`"):
             i = _skip_string(args, i)
             continue
@@ -1274,6 +1279,10 @@ def _rewrite_raw_strings(sql: str) -> str:
     return _map_code_literal_pairs(sql, fn)
 
 
+#: fast bail for the bytes-literal pass — the prefix letter must sit
+#: immediately before the quote, so this misses nothing real
+_BYTES_LIT_HINT_RE = re.compile(r"[bB][rR]?['\"]|[rR][bB]['\"]")
+
 _BYTES_ESCAPES = {
     "\\": b"\\", "'": b"'", '"': b'"', "`": b"`", "?": b"?",
     "a": b"\a", "b": b"\b", "f": b"\f", "n": b"\n",
@@ -1325,6 +1334,9 @@ def _rewrite_bytes_literals(sql: str) -> str:
     (``b 'x'`` never matches — the prefix must be adjacent) and ``b``
     inside literals are untouched."""
 
+    if not _BYTES_LIT_HINT_RE.search(sql):
+        return sql  # no b'/b"/rb'/br' anywhere — skip the walk
+
     def fn(code: str, lit: str) -> tuple[str, str]:
         if not lit or lit[0] == "`":
             return code, lit
@@ -1351,6 +1363,8 @@ def _rewrite_hash_comments(sql: str) -> str:
     only knows ``--`` and ``/* */``, so the conversion must happen
     before the statement reaches it; the engine's own generated SQL
     never emits ``#`` in code position."""
+    if "#" not in sql:
+        return sql  # fast bail — this pass runs per statement
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:
@@ -1383,6 +1397,8 @@ def _rewrite_triple_quoted_strings(sql: str) -> str:
     pipeline only ever sees plain literals. Escape sequences are copied
     verbatim (same meaning in the single-quoted form); only bare
     quotes need escaping."""
+    if "'''" not in sql and '"""' not in sql:
+        return sql  # fast bail — this pass runs per statement
 
     def fn(code: str, lit: str) -> tuple[str, str]:
         if len(lit) < 6 or lit[0] == "`" or lit[:3] not in ("'''", '"""'):

@@ -250,6 +250,13 @@ SHOW = [
         "assignment of the changed partitions' rows",
     ),
     (
+        "q95_persistent_udfs",
+        "persistent scalar UDFs expand inline at call sites (r11): "
+        "the plan is ONE customer scan with the spliced CASE/CONCAT "
+        "expressions in the projection - no extra joins, shuffles or "
+        "Python UDFs from the function plane",
+    ),
+    (
         "q93_analyzer_index",
         "analyzer-faithful routing (r10): the named-LOG and NO_OP "
         "SEARCH forms serve from their matching postings layouts — "
