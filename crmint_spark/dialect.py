@@ -5000,9 +5000,18 @@ def _rewrite_vector_search(sql: str) -> str:
         base_col = raw_args[1].strip().strip("'\"")
         query_rel = _rel(raw_args[2])
         query_col = base_col
+        rest = raw_args[3:]
+        # optional 4th POSITIONAL argument: query_column_to_search
+        # (BigQuery signature; round-11 probe — a quoted string here is
+        # never a named argument)
+        if rest and re.fullmatch(
+            r"\s*(['\"])[A-Za-z_]\w*\1\s*", rest[0], re.DOTALL
+        ):
+            query_col = rest[0].strip().strip("'\"")
+            rest = rest[1:]
         top_k = 10
         dist_kind = "EUCLIDEAN"
-        for extra in raw_args[3:]:
+        for extra in rest:
             m_kv = re.match(r"\s*(\w+)\s*=>\s*(.+)$", extra, re.DOTALL)
             if not m_kv:
                 raise ValueError(f"VECTOR_SEARCH: bad argument {extra!r}")

@@ -382,7 +382,7 @@ def _vs_trivial_subset(
         table, entry, inner_pred = inner
         if inner_pred is not None:
             pred = (
-                f"({inner_pred}) AND ({pred})" if pred else inner_pred
+                f"({inner_pred}\n) AND ({pred}\n)" if pred else inner_pred
             )
     return table, entry, pred
 
@@ -1282,7 +1282,7 @@ class SparkSQLExecutor(Worker):
         # session's UTC
         ts_us = spark.sql(
             _t(
-                f"SELECT unix_micros(CAST(({expr}) AS TIMESTAMP)) AS t",
+                f"SELECT unix_micros(CAST(({expr}\n) AS TIMESTAMP)) AS t",
                 self._resolver(),
             )
         ).first()["t"]
@@ -1494,7 +1494,7 @@ class SparkSQLExecutor(Worker):
                     expr = transpile_statement(
                         sctx.substitute(rm.group(1).strip()), resolver
                     )
-                    msg = spark.sql(f"SELECT ({expr})").first()[0]
+                    msg = spark.sql(f"SELECT ({expr}\n)").first()[0]
                 else:
                     msg = "raised exception (bare RAISE)"
                 raise WorkerException(str(msg))
@@ -1826,7 +1826,7 @@ class SparkSQLExecutor(Worker):
             body = stmt[m.end() : w_end].strip()
             return (
                 stmt[: m.start()]
-                + f"WHERE {conj} AND ({body}) "
+                + f"WHERE {conj} AND ({body}\n) "
                 + stmt[w_end:]
             )
         kw = self._scan_to_top_keyword(stmt)
@@ -4075,7 +4075,7 @@ class SparkSQLExecutor(Worker):
             else:
                 row = self._ctx.spark.sql(
                     transpile_statement(
-                        f"SELECT unix_micros(CAST(({exp}) AS TIMESTAMP))"
+                        f"SELECT unix_micros(CAST(({exp}\n) AS TIMESTAMP))"
                         " AS t",
                         None,
                     )
@@ -4208,7 +4208,7 @@ class SparkSQLExecutor(Worker):
                     return None
                 row = spark.sql(
                     transpile_statement(
-                        f"SELECT unix_micros(CAST(({expr}) AS TIMESTAMP))"
+                        f"SELECT unix_micros(CAST(({expr}\n) AS TIMESTAMP))"
                         " AS t",
                         resolver,
                     )
@@ -4699,7 +4699,7 @@ class SparkSQLExecutor(Worker):
                 f" JOIN {vs_b_rel} AS vs_b"
                 " ON vs_b.list_id = vs_q.vs_probe"
                 f" AND vs_b.list_id IN ({in_list})"
-                + (f" WHERE ({base_pred})" if base_pred else "")
+                + (f" WHERE ({base_pred}\n)" if base_pred else "")
                 + ") AS vs_scored) AS vs_ranked"
                 f" WHERE vs_rn <= {top_k})"
             )
@@ -4816,7 +4816,7 @@ class SparkSQLExecutor(Worker):
                     )
                 body = spec["body"]
                 for pname, arg in zip(spec["params"], args):
-                    body = self._splice_word(body, pname, f"({arg})")
+                    body = self._splice_word(body, pname, f"({arg}\n)")
                 # newline before ')': a body ending in a line comment
                 # must not swallow the closing paren (round-11 probe)
                 sub = sub[: site.start()] + "(" + body + "\n)" + sub[end:]
@@ -5006,7 +5006,7 @@ class SparkSQLExecutor(Worker):
                     )
                 body = spec["body"]
                 for pname, arg in zip(spec["params"], args):
-                    body = self._splice_word(body, pname, f"({arg})")
+                    body = self._splice_word(body, pname, f"({arg}\n)")
                 # newline before ')': a body ending in a line comment
                 # must not swallow the closing paren
                 if spec.get("returns"):
@@ -5165,7 +5165,7 @@ class SparkSQLExecutor(Worker):
             if mode == "IN":
                 expr = transpile_statement(sctx.substitute(arg), resolver)
                 inner.variables[pname] = (
-                    self._ctx.spark.sql(f"SELECT ({expr})").first()[0]
+                    self._ctx.spark.sql(f"SELECT ({expr}\n)").first()[0]
                 )
             else:
                 vm = re.fullmatch(r"[A-Za-z_]\w*", arg)
@@ -5408,7 +5408,7 @@ class SparkSQLExecutor(Worker):
         if self._params["dry_run"]:
             return
         sql_expr = transpile_statement(sctx.substitute(expr), resolver)
-        tz = spark.sql(f"SELECT ({sql_expr})").first()[0]
+        tz = spark.sql(f"SELECT ({sql_expr}\n)").first()[0]
         if not isinstance(tz, str) or not tz:
             raise WorkerException("SET @@time_zone needs a STRING zone")
         if not re.fullmatch(r"[+-]\d{2}:\d{2}", tz):
@@ -5997,7 +5997,7 @@ class SparkSQLExecutor(Worker):
             body = mm.group(1).strip()
             message = mm.group(2)[1:-1].replace("''", "'")
         stmt = transpile_statement(
-            f"SELECT ({body}) AS ok",
+            f"SELECT ({body}\n) AS ok",
             resolver,
             approx_sketches=bool(self._params.get("approx_sketches")),
         )

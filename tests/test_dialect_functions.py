@@ -1261,6 +1261,21 @@ def test_vector_search_rewrite(spark):
     ).collect()
     assert [(r["id"], r["d"]) for r in cos] == [(2, 0.0)]
 
+    # BigQuery's optional 4th POSITIONAL query_column_to_search
+    # (round-11 probe: a quoted string there read as a bad named arg),
+    # with a trailing line comment inside the base subquery
+    pos = spark.sql(
+        transpile_statement(
+            "SELECT base.id AS id, ROUND(distance, 4) AS d"
+            " FROM VECTOR_SEARCH("
+            " (SELECT id, v FROM vs_base"
+            "  WHERE id <> 3 -- drop the diagonal\n"
+            " ), 'v', TABLE vs_probe2, 'probe_vec', top_k => 1,"
+            " distance_type => 'COSINE')"
+        )
+    ).collect()
+    assert [(r["id"], r["d"]) for r in pos] == [(2, 0.0)]
+
 
 def test_vector_search_rejects_bad_args():
     import pytest as _pytest

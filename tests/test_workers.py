@@ -2351,3 +2351,57 @@ def test_script_for_in_over_unnest_and_labels(spark, tmp_path):
         "SELECT t AS n"
     )
     assert w.result.collect()[0]["n"] == 11
+
+
+def test_trailing_comments_survive_expression_wraps(spark, tmp_path):
+    """Expressions the executor wraps in parentheses (ASSERT bodies,
+    RAISE messages, SET @@time_zone, CALL args, TVF args, enforced
+    partition predicates) may end in a line comment; the injected
+    closing paren lands on a fresh line so the comment can't swallow
+    it (round-11 review wave)."""
+    import pytest as _pytest
+
+    from crmint_spark.catalog import Catalog
+    from crmint_spark.workers import find_worker
+    from crmint_spark.workers.base import WorkerContext, WorkerException
+
+    ctx = WorkerContext(spark=spark, catalog=Catalog(spark, str(tmp_path / "wh")))
+
+    def run(script):
+        w = find_worker("BQScriptExecutor")(
+            {"script": script, "dry_run": False}, ctx
+        )
+        w.execute()
+        return w
+
+    run("ASSERT 1 = 1 -- always true\n")
+    with _pytest.raises(WorkerException, match="boom"):
+        run("RAISE USING MESSAGE = 'boom' -- note\n")
+    run("SET @@time_zone = '+02:00' -- zone\n;SELECT 1")
+    run(
+        "CREATE OR REPLACE TABLE `p.sw.t` (d DATE, v INT64)"
+        " PARTITION BY d OPTIONS (require_partition_filter = true);"
+        "INSERT INTO `p.sw.t` VALUES (DATE '2024-01-01', 1),"
+        " (DATE '2024-02-01', 2);"
+    )
+    w = run(
+        "SELECT SUM(v) AS s FROM `p.sw.t`"
+        " WHERE d = DATE '2024-01-01' -- pruned\n GROUP BY d"
+    )
+    assert w.result.collect()[0]["s"] == 1
+    run(
+        "CREATE OR REPLACE TABLE FUNCTION p.sw.f(lo INT64) AS"
+        " (SELECT x FROM UNNEST([1,2,3]) x WHERE x >= lo);"
+    )
+    w = run("SELECT COUNT(*) AS n FROM p.sw.f(2 -- inline\n)")
+    assert w.result.collect()[0]["n"] == 2
+    run(
+        "CREATE OR REPLACE PROCEDURE p.sw.echo(IN v INT64, OUT r INT64)"
+        " BEGIN SET r = v + 1; END;"
+    )
+    w = run(
+        "DECLARE got INT64;"
+        "CALL p.sw.echo(41 -- the answer, minus one\n, got);"
+        "SELECT got AS g"
+    )
+    assert w.result.collect()[0]["g"] == 42
