@@ -1356,32 +1356,35 @@ def _rewrite_bytes_literals(sql: str) -> str:
     return _map_code_literal_pairs(sql, fn)
 
 
-def _rewrite_hash_comments(sql: str) -> str:
-    """``#`` line comments (legal BigQuery, round-11 verdict: failed
-    loudly everywhere) -> ``--`` comments, string- and comment-aware so
-    a ``#`` inside a literal or an existing comment is untouched. Spark
-    only knows ``--`` and ``/* */``, so the conversion must happen
-    before the statement reaches it; the engine's own generated SQL
-    never emits ``#`` in code position."""
-    if "#" not in sql:
-        return sql  # fast bail — this pass runs per statement
-    out: list[str] = []
+def blank_comments_keep_hints(sql: str) -> str:
+    """Blank every comment to spaces (newlines kept, string-aware —
+    incl. triple-quoted spans) EXCEPT ``/*+ … */`` optimizer hints,
+    which the engine itself emits (BROADCAST on the VECTOR_SEARCH probe
+    and BQML join sides) and users may write. Run once at transpile
+    entry (round-11 review wave): every downstream rewrite interpolates
+    argument text into generated SQL, and a comment inside an argument
+    would swallow whatever the rewrite appends on the same line — one
+    blanking pass makes the whole class unrepresentable instead of
+    guarding hundreds of sites."""
+    if "--" not in sql and "#" not in sql and "/*" not in sql:
+        return sql
+    out = list(sql)
     i, n = 0, len(sql)
     while i < n:
-        ch = sql[i]
-        if ch == "#":
-            j = _skip_comment(sql, i)
-            out.append("--" + sql[i + 1 : j])
-            i = j
+        if sql.startswith("/*+", i):
+            end = sql.find("*/", i + 3)
+            i = n if end == -1 else end + 2
             continue
         j = _skip_comment(sql, i)
-        if j == i and ch in ("'", '"', "`"):
-            j = _skip_string(sql, i)
         if j > i:
-            out.append(sql[i:j])
+            for k in range(i, j):
+                if out[k] != "\n":
+                    out[k] = " "
             i = j
             continue
-        out.append(ch)
+        if sql[i] in ("'", '"', "`"):
+            i = _skip_string(sql, i)
+            continue
         i += 1
     return "".join(out)
 
@@ -6153,7 +6156,10 @@ def transpile_statement(
     family to Spark's constant-memory DataSketches builtins instead of
     the exact-set algebra (see ``_rewrite_hll_family``)."""
     out = sql
-    out = _rewrite_hash_comments(out)
+    # ONE comment-blanking pass (hint comments survive) makes every
+    # downstream rewrite comment-free — see blank_comments_keep_hints.
+    # It subsumes the `#`->`--` conversion: blanked is blanked.
+    out = blank_comments_keep_hints(out)
     out = _rewrite_temp_function(out)
     # triple-quoted literals normalize immediately after the JS-UDF
     # pass (which consumes its own '''bodies''') so every later pass

@@ -2190,3 +2190,30 @@ def test_aggregate_over_unnest_scalar_subquery(spark):
         )
     ).collect()
     assert [(r.id, r.s, r.c) for r in got] == [(1, 6, 3), (2, 10, 1)]
+
+
+def test_comments_inside_rewritten_arguments(spark):
+    """One blanking pass at transpile entry (hints preserved) makes
+    comments inside FUNCTION ARGUMENTS safe for every rewrite — a
+    trailing ``--`` in an argument previously swallowed whatever the
+    rewrite appended on that line (round-11 review wave)."""
+    from crmint_spark.dialect import transpile_statement as T
+
+    r = spark.sql(T(
+        "SELECT IFNULL(NULL -- missing\n        , 7) AS a,"
+        " ML.NGRAMS(['a','b','c'] -- toks\n        , [2,2], ' ') AS g,"
+        " SEARCH('alpha beta' -- corpus\n        , 'beta') AS s,"
+        " '--not a comment' AS lit,"
+        " \"# neither\" AS lit2,"
+        " '''tri -- keep; it's''' AS t3",
+        None,
+    )).collect()[0]
+    assert r["a"] == 7
+    assert list(r["g"]) == ["a b", "b c"]
+    assert r["s"] is True
+    assert r["lit"] == "--not a comment"
+    assert r["lit2"] == "# neither"
+    assert r["t3"] == "tri -- keep; it's"
+    # the engine's own optimizer hints survive the blanking
+    t = T("SELECT /*+ BROADCAST(x) */ 1 FROM (SELECT 1) x", None)
+    assert "/*+ BROADCAST(x) */" in t
