@@ -327,6 +327,22 @@ def _assign_codebook(
     return vecs.withColumn("list_id", F.array_min(dist_structs)["list_id"])
 
 
+def _round6_half_up(x: float) -> float:
+    """Driver-side twin of Spark's ``ROUND(x, 6)`` on DOUBLE: Spark
+    rounds HALF_UP over ``BigDecimal.valueOf(double)`` — the shortest
+    round-trip decimal representation, which is exactly what Python's
+    ``repr(float)`` produces — so quantizing Decimal(repr(x)) HALF_UP
+    is bit-identical to the engine's (and DuckDB's) ROUND."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+    # BigDecimal has no signed zero, so Spark's ROUND yields +0.0 where
+    # Decimal would yield -0.0; `+ 0.0` normalizes (-0.0 + 0.0 == +0.0)
+    return q + 0.0
+
+
 def _py_sq_l2(c: list[float], q: list[float]) -> float:
     """Driver-side twin of ``_sq_l2``: left fold in dim order over IEEE
     doubles — bit-identical to the SQL fold on both engines."""

@@ -39,71 +39,64 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from .ivf import IVF_TRAIN_ROWS, _dlit, _train_stride
+from .ivf import IVF_TRAIN_ROWS, _round6_half_up, _train_stride
 
 PCA_ITERS = 24
-
-
-def _arr_lit(xs: list[float]):
-    return F.expr("array(" + ", ".join(_dlit(x) for x in xs) + ")")
 
 
 def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: (dim, mean_val, pc1, eigenvalue) — the per-dim
     corpus mean, the top principal direction, and its variance
-    (Rayleigh quotient), all deterministic and oracle-certified."""
+    (Rayleigh quotient), all deterministic and oracle-certified.
+
+    The whole fit runs on the stride-bounded trainer sample (<=
+    ~IVF_TRAIN_ROWS rows at ANY corpus size), so since round 11 the
+    sample is collected ONCE and the 24 power iterations run as plain
+    driver float math instead of 24 explode+groupBy+collect Spark jobs
+    (optimization guide §1.2/§5: the per-job scheduling + codegen
+    overhead dominated — ~6 s for a 250x64 sample). Arithmetic is
+    kept step-for-step identical to the previous in-engine form: the
+    projection s is the same left fold in dim order, per-dim sums
+    round to 6 dp through the same HALF_UP rule as Spark's ROUND
+    (``_round6_half_up``), and normalization still uses Python round/
+    sqrt on rounded inputs — so the iterate trajectory, and therefore
+    the oracle-certified output, is bit-identical (parity-verified)."""
     from .similarity import _corpus_stats
 
     n_all, dims = _corpus_stats(spark, sf_dir)
     ts = _train_stride(n_all)
-    vecs = (
-        load(spark, sf_dir, "embeddings")
+    sample = [
+        [float(x) for x in r["v"]]
+        for r in load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % ts == 0)
         .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-        .persist()
-    )
-    n = vecs.count()
-
-    mu_rows = (
-        vecs.select(F.posexplode("v").alias("dim", "val"))
-        .groupBy("dim")
-        .agg(F.round(F.avg("val"), 6).alias("m"))
         .collect()
-    )
-    mu = [0.0] * dims
-    for r in mu_rows:
-        mu[int(r["dim"])] = float(r["m"])
+    ]
+    n = len(sample)
+
+    mu = [
+        _round6_half_up(sum(row[d] for row in sample) / n)
+        for d in range(dims)
+    ]
+    centered = [[row[d] - mu[d] for d in range(dims)] for row in sample]
 
     v = [1.0] + [0.0] * (dims - 1)
     eig = 0.0
     for _ in range(PCA_ITERS):
-        mu_l, v_l = _arr_lit(mu), _arr_lit(v)
-        centered = F.zip_with(F.col("v"), mu_l, lambda x, m: x - m)
-        s = F.aggregate(
-            F.zip_with(centered, v_l, lambda c, w: c * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        w_rows = (
-            vecs.select(
-                F.posexplode(
-                    F.transform(centered, lambda c: c * s)
-                ).alias("dim", "contrib")
-            )
-            .groupBy("dim")
-            .agg(
-                F.round(F.sum("contrib") / F.lit(float(n)), 6).alias("w")
-            )
-            .collect()
-        )
-        w = [0.0] * dims
-        for r in w_rows:
-            w[int(r["dim"])] = float(r["w"])
+        sums = [0.0] * dims
+        for c in centered:
+            # projection s: left fold in dim order — the exact order the
+            # in-engine F.aggregate(zip_with(...)) fold used
+            s = 0.0
+            for d in range(dims):
+                s = s + c[d] * v[d]
+            for d in range(dims):
+                sums[d] += c[d] * s
+        w = [_round6_half_up(sums[d] / n) for d in range(dims)]
         eig = round(math.sqrt(sum(x * x for x in w)), 6)
         if eig == 0.0:
             break
         v = [round(x / eig, 6) for x in w]
-    vecs.unpersist()
 
     out = spark.createDataFrame(
         [(d, mu[d], v[d], eig) for d in range(dims)],
