@@ -1600,9 +1600,13 @@ class Catalog:
         names = set(self.list_tables(project, dataset))
         prefix = _safe_view_name(f"{project}.{dataset}.")
         try:
-            for t in self.spark.catalog.listTables():
-                if t.name.startswith(prefix):
-                    names.add(t.name[len(prefix):])
+            # SHOW TABLES, not catalog.listTables(): the latter builds
+            # full CatalogTable metadata for every relation (~1-3 s per
+            # call once a session holds a few hundred temp views) where
+            # the name listing here needs only the names (r11, guide §1)
+            for t in self.spark.sql("SHOW TABLES").collect():
+                if t["tableName"].startswith(prefix):
+                    names.add(t["tableName"][len(prefix):])
         except Exception:
             pass
         # the materialized metadata views themselves are not tables

@@ -113,13 +113,61 @@ def strip_training_summary(model):
     return model
 
 
+# path -> (directory mtime_ns stamp, model object). Spark ML model
+# (de)serialization launches a dozen tiny jobs per call (~0.5-1 s each
+# way); within one process the just-saved object can serve loads
+# directly (r11, guide §1 — pure fixed overhead). The DISK artifact is
+# still written unconditionally: it stays the source of truth, and the
+# stamp check invalidates the cache whenever anything rewrites the
+# directory. Bounded LRU so long sessions don't pin JVM model objects.
+_MODEL_CACHE: dict[str, tuple[int, object]] = {}
+_MODEL_CACHE_MAX = 32
+
+
+def _model_stamp(path: str) -> int:
+    """Change stamp for a saved-model directory: every Spark ML
+    overwrite-save rewrites the metadata/stages children, bumping the
+    directory mtime."""
+    import os
+
+    try:
+        st = os.stat(path).st_mtime_ns
+        for child in ("metadata", "stages"):
+            p = os.path.join(path, child)
+            if os.path.isdir(p):
+                st = max(st, os.stat(p).st_mtime_ns)
+        return st
+    except OSError:
+        return -1
+
+
+def save_model(model, dest: str):
+    """Persist a fitted model AND memoize the live object for same-
+    process loads (the artifact on disk is unchanged)."""
+    model.write().overwrite().save(dest)
+    while len(_MODEL_CACHE) >= _MODEL_CACHE_MAX:
+        _MODEL_CACHE.pop(next(iter(_MODEL_CACHE)))
+    _MODEL_CACHE[dest] = (_model_stamp(dest), model)
+    return model
+
+
 def load_model(path: str):
-    """Load a saved model: JSON-persisted MLP or a Spark ML PipelineModel."""
+    """Load a saved model: JSON-persisted MLP or a Spark ML
+    PipelineModel; served from the in-process cache when the directory
+    is unchanged since the cached save/load."""
+    cached = _MODEL_CACHE.get(path)
+    if cached is not None and cached[0] == _model_stamp(path):
+        return cached[1]
     from .mlp import MLPRegressorModel
 
     if MLPRegressorModel.is_saved(path):
-        return MLPRegressorModel.load(path)
-    return PipelineModel.load(path)
+        model = MLPRegressorModel.load(path)
+    else:
+        model = PipelineModel.load(path)
+    while len(_MODEL_CACHE) >= _MODEL_CACHE_MAX:
+        _MODEL_CACHE.pop(next(iter(_MODEL_CACHE)))
+    _MODEL_CACHE[path] = (_model_stamp(path), model)
+    return model
 
 
 def is_classifier(model_type: str) -> bool:

@@ -35,6 +35,7 @@ from .estimators import (
     is_classifier,
     load_model,
     predict_with_probability,
+    save_model,
     strip_training_summary,
 )
 
@@ -1078,7 +1079,7 @@ def try_create_model(
         dest = registry.path(name)
         if os.path.isdir(dest):
             shutil.rmtree(dest)
-        model.write().overwrite().save(dest)
+        save_model(model, dest)
         registry.save_meta(
             name,
             {
@@ -1249,7 +1250,7 @@ def try_create_model(
         except Exception:
             pass
     strip_training_summary(model)
-    model.write().overwrite().save(dest)
+    save_model(model, dest)
     registry.save_meta(
         name,
         {

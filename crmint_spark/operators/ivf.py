@@ -272,14 +272,15 @@ def _assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def _recompute_centroids(assigned: DataFrame) -> DataFrame:
-    """Per-list mean vectors, each dim rounded to 6 dp. The shuffle rows
-    are (list_id, dim, partial sum/count) scalars with map-side combine;
-    the array is reassembled only on the k output rows.
-
-    (Measured: the single inlined argmin under this explode does NOT
-    trigger the optimizer blowup the PQ trainer's M-argmin array did —
-    a pre-explode localCheckpoint changed nothing here, so none is
-    taken; see pq._all_centroid_rows for the case that needs one.)"""
+    """Per-list mean vectors, each dim rounded to 6 dp — the DISTRIBUTED
+    form of the Lloyd reduce, for callers whose assignment set is not
+    sample-bounded. The shuffle rows are (list_id, dim, partial
+    sum/count) scalars with map-side combine; the array is reassembled
+    only on the k output rows. The production quantizer trainers run
+    their bounded-sample Lloyd steps driver-side since round 11
+    (``_py_lloyd_step`` — bit-identical semantics, no per-step job);
+    this stays the reference implementation and is equivalence-tested
+    against the driver form in test_ivf_operator_worker."""
     return (
         assigned.select("list_id", F.posexplode("v").alias("dim", "val"))
         .groupBy("list_id", "dim")
@@ -352,6 +353,39 @@ def _py_sq_l2(c: list[float], q: list[float]) -> float:
     return acc
 
 
+def _py_lloyd_step(
+    train_vs: list[list[float]],
+    cent_rows: list[tuple[int, list[float]]],
+) -> list[tuple[int, list[float]]]:
+    """One Lloyd step over the collected trainer sample, driver-side —
+    the round-11 replacement for the per-step ``_assign_codebook`` +
+    ``_recompute_centroids`` Spark jobs (optimization guide §1.2: the
+    sample is <= ~IVF_TRAIN_ROWS rows by construction, so each step was
+    pure job-scheduling overhead). Semantics are kept bit-identical to
+    the in-engine form, which is what the DuckDB oracles replay:
+    assignment is argmin over (squared-L2 left fold in dim order,
+    list_id) — the same tie-break as the ``array_min`` struct compare —
+    and new centroids are per-dim means rounded to 6 dp with Spark's
+    HALF_UP rule (``_round6_half_up``; the ROUND absorbs float
+    summation-order differences between engines, exactly as it already
+    did between Spark and DuckDB). Lists with no assigned sample
+    vectors drop out, mirroring the groupBy."""
+    groups: dict[int, tuple[list[int], list[float]]] = {}
+    for v in train_vs:
+        lid = min((_py_sq_l2(c, v), i) for i, c in cent_rows)[1]
+        g = groups.get(lid)
+        if g is None:
+            g = groups[lid] = ([0], [0.0] * len(v))
+        g[0][0] += 1
+        sums = g[1]
+        for d, x in enumerate(v):
+            sums[d] = sums[d] + x
+    return [
+        (lid, [_round6_half_up(s / cnt[0]) for s in sums])
+        for lid, (cnt, sums) in sorted(groups.items())
+    ]
+
+
 def deterministic_assign(spark, sf_dir: str, vec_where: str | None = None):
     """Shared deterministic quantizer front end: stride-seeded centroids
     + IVF_LLOYD_STEPS driver-materialized Lloyd steps -> (persisted
@@ -374,23 +408,32 @@ def deterministic_assign(spark, sf_dir: str, vec_where: str | None = None):
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     ).persist()
-    # the trainer bound: Lloyd statistics over a stride sample only
-    train = vecs.filter(F.col("vec_id") % _train_stride(n) == 0)
-    cent_rows = [
-        (int(r["vec_id"]) // stride, [float(x) for x in r["v"]])
+    # the trainer bound: Lloyd statistics over a stride sample only.
+    # ONE bounded collect fetches both the seed grid (<= IVF_K rows:
+    # the K stride-multiples below K*stride) and the trainer sample
+    # (<= ~IVF_TRAIN_ROWS rows); the Lloyd steps then run driver-side
+    # (_py_lloyd_step) instead of issuing a Spark job per step.
+    tstride = _train_stride(n)
+    sample_rows = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
         for r in vecs.filter(
-            (F.col("vec_id") % stride == 0)
-            & (F.col("vec_id") < IVF_K * stride)
-        ).collect()
+            (F.col("vec_id") % tstride == 0)
+            | (
+                (F.col("vec_id") % stride == 0)
+                & (F.col("vec_id") < IVF_K * stride)
+            )
+        )
+        .select("vec_id", "v")
+        .collect()
     ]
+    train_vs = [v for vid, v in sample_rows if vid % tstride == 0]
+    cent_rows = sorted(
+        (vid // stride, v)
+        for vid, v in sample_rows
+        if vid % stride == 0 and vid < IVF_K * stride
+    )
     for _ in range(IVF_LLOYD_STEPS):
-        assigned = _assign_codebook(train, cent_rows)
-        cent_rows = [
-            (int(r["list_id"]), [float(x) for x in r["c"]])
-            for r in _recompute_centroids(
-                assigned.select("list_id", "v")
-            ).collect()
-        ]
+        cent_rows = _py_lloyd_step(train_vs, cent_rows)
     return vecs, _assign_codebook(vecs, cent_rows), cent_rows
 
 
@@ -685,11 +728,14 @@ def materialize_sql_vector_index(
     rel = F.col(id_col) - F.lit(lo)
     stride = max(n // IVF_K, 1)
     tstride = _train_stride(n)
-    train = vecs.filter(rel % tstride == 0).select(
-        F.col(id_col).alias("vec_id"),
-        F.lit("").alias("label"),
-        F.col("__v").alias("v"),
-    )
+    # trainer sample: ONE bounded collect (<= ~IVF_TRAIN_ROWS rows at
+    # any corpus size); the Lloyd steps run driver-side on it
+    train_vs = [
+        [float(x) for x in r["v"]]
+        for r in vecs.filter(rel % tstride == 0)
+        .select(F.col("__v").alias("v"))
+        .collect()
+    ]
     # seeds = the first IVF_K stride-multiples in id order (TakeOrdered
     # — distributed top-k, no global sort). On a dense 0-based id space
     # these are exactly ids {0, stride, ..., (K-1)*stride} with
@@ -718,13 +764,7 @@ def materialize_sql_vector_index(
             " stride grid — VECTOR_SEARCH keeps the exact path"
         )
     for _ in range(IVF_LLOYD_STEPS):
-        assigned = _assign_codebook(train, cent_rows)
-        cent_rows = [
-            (int(r["list_id"]), [float(x) for x in r["c"]])
-            for r in _recompute_centroids(
-                assigned.select("list_id", "v")
-            ).collect()
-        ]
+        cent_rows = _py_lloyd_step(train_vs, cent_rows)
     dist_structs = F.transform(
         _codebook_literal(cent_rows),
         lambda s: F.struct(

@@ -45,8 +45,7 @@ PQ_TOP_K = 10
 PQ_QUERY_VEC_ID = 0
 # Trainer bound shared with the coarse quantizer (the IVF-PQ oracle
 # composes both chains over ONE params/train CTE pair, so the strides
-# must agree): Lloyd statistics — and therefore the pre-explode
-# localCheckpoint in _all_centroid_rows — cover at most ~PQ_TRAIN_ROWS
+# must agree): Lloyd statistics cover at most ~PQ_TRAIN_ROWS collected
 # vectors at any corpus size; encoding always covers the full corpus.
 PQ_TRAIN_ROWS = IVF_TRAIN_ROWS
 
@@ -78,75 +77,47 @@ def _assign_code(sub_col, cents: list[tuple[int, list[float]]]):
     return F.array_min(dist_structs)["code"]
 
 
-def _all_centroid_rows(
-    df: DataFrame, codes_col
-) -> list[list[tuple[int, list[float]]]]:
-    """ALL M per-code mean sub-codebooks in ONE aggregation pass: the
-    posexplode carries (subspace, code, dim, val) scalars with map-side
-    combine, so the shuffle is M*K*subdim partial sums regardless of
-    corpus size; dims are rounded to 6 dp (oracle-reproducible means).
-
-    The coded projection is materialized (localCheckpoint) BEFORE the
-    explode: Catalyst otherwise inlines the M argmin expressions under
-    the generator and re-optimizes/evaluates them per exploded dim —
-    measured 6x slower. Callers pass the PQ_TRAIN_ROWS-bounded stride
-    sample (train_books_from), so the checkpoint is sample-sized —
-    never corpus-sized — at any scale."""
-    coded = df.select(codes_col.alias("codes"), "v")
-    try:
-        coded = coded.localCheckpoint(eager=True)
-    except Exception:
-        coded = coded.persist()
-    exploded = coded.select(
-        "codes", F.posexplode("v").alias("dim", "val")
-    ).select(
-        (F.col("dim") / PQ_SUBDIM).cast("int").alias("sub"),
-        F.element_at("codes", (F.col("dim") / PQ_SUBDIM).cast("int") + 1).alias(
-            "code"
-        ),
-        (F.col("dim") % PQ_SUBDIM).alias("sdim"),
-        "val",
-    )
-    out = (
-        exploded.groupBy("sub", "code", "sdim")
-        .agg(F.round(F.avg("val"), 6).alias("cval"))
-        .groupBy("sub", "code")
-        .agg(F.array_sort(F.collect_list(F.struct("sdim", "cval"))).alias("z"))
-        .select("sub", "code", F.transform("z", lambda s: s.cval).alias("c"))
-    )
-    books: list[list[tuple[int, list[float]]]] = [[] for _ in range(PQ_M)]
-    for r in out.collect():
-        books[int(r["sub"])].append(
-            (int(r["code"]), [float(x) for x in r["c"]])
-        )
-    return books
-
-
 def train_books_from(vecs: DataFrame, stride: int, tstride: int = 1):
     """Per-subspace codebooks from a prepared (vec_id, label, v) frame:
-    stride-seeded init + ONE Lloyd step, TWO jobs total (one k-row
-    seeds collect, then one pass computing every subspace's assignment
-    AND all M centroid sets together). The Lloyd step — and its
-    pre-explode checkpoint — runs over the vec_id % tstride = 0 sample
-    only, bounding trainer IO at any corpus size."""
-    seeds = vecs.filter(
-        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < PQ_K * stride)
-    ).collect()
-    inits = [
-        [
-            (
-                int(r["vec_id"]) // stride,
-                [float(x) for x in r["v"][j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]],
+    stride-seeded init + ONE Lloyd step, now ONE bounded job total
+    (round 11, optimization guide §1.2): a single collect fetches the
+    seed grid (<= PQ_K rows — the K stride-multiples below K*stride)
+    together with the vec_id % tstride = 0 trainer sample
+    (<= ~PQ_TRAIN_ROWS rows at any corpus size), and the per-subspace
+    assignment + centroid means run driver-side. Arithmetic stays
+    bit-identical to the previous in-engine pass, which is what the
+    DuckDB oracles replay: assignment is argmin over (squared-L2 left
+    fold in subdim order, code) — the ``array_min`` struct tie-break —
+    and means round to 6 dp with Spark's HALF_UP rule
+    (``_round6_half_up``; ROUND absorbs summation-order differences
+    between engines, as it already did Spark-vs-DuckDB). Codes with no
+    assigned sample vectors drop out, mirroring the groupBy."""
+    from .ivf import _py_lloyd_step
+
+    sample_rows = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in vecs.filter(
+            (F.col("vec_id") % tstride == 0)
+            | (
+                (F.col("vec_id") % stride == 0)
+                & (F.col("vec_id") < PQ_K * stride)
             )
-            for r in seeds
-        ]
-        for j in range(PQ_M)
+        )
+        .select("vec_id", "v")
+        .collect()
     ]
-    init_codes = F.array(
-        *[_assign_code(_sub(F.col("v"), j), inits[j]) for j in range(PQ_M)]
+    seeds = sorted(
+        (vid, v)
+        for vid, v in sample_rows
+        if vid % stride == 0 and vid < PQ_K * stride
     )
-    train = vecs.filter(F.col("vec_id") % tstride == 0)
-    return _all_centroid_rows(train, init_codes)
+    train_vs = [v for vid, v in sample_rows if vid % tstride == 0]
+    books: list[list[tuple[int, list[float]]]] = []
+    for j in range(PQ_M):
+        lo, hi = j * PQ_SUBDIM, (j + 1) * PQ_SUBDIM
+        inits = [(vid // stride, v[lo:hi]) for vid, v in seeds]
+        books.append(_py_lloyd_step([v[lo:hi] for v in train_vs], inits))
+    return books
 
 
 def train_pq_codebooks(spark, sf_dir: str):

@@ -56,7 +56,9 @@ class MLTrainer(Worker):
         dest = model_dir(self._ctx.catalog.root, self._params["model_name"])
         if self._params["clean_up"] and os.path.isdir(dest):
             shutil.rmtree(dest)  # keep-latest (ref: vertexai_worker cleanup)
-        model.write().overwrite().save(dest)
+        from ..ml.estimators import save_model
+
+        save_model(model, dest)
         self.log_info(f"trained {self._params['model_type']} -> {dest}")
 
 

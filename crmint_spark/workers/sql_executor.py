@@ -6695,9 +6695,13 @@ class SparkSQLExecutor(Worker):
         tmp = tempfile.mkdtemp(prefix="crmint_dml_")
         result.write.mode("overwrite").parquet(tmp)
         fresh = spark.read.parquet(tmp)
+        # SHOW TABLES (names + isTemporary only) — catalog.listTables()
+        # materializes per-relation metadata and costs seconds on a
+        # session with many temp views (r11, guide §1)
         is_temp_view = any(
-            t.name.lower() == session_name.lower() and t.isTemporary
-            for t in spark.catalog.listTables()
+            t["tableName"].lower() == session_name.lower()
+            and t["isTemporary"]
+            for t in spark.sql("SHOW TABLES").collect()
         )
         if is_temp_view:
             # temp-view target: rebind the view; the tmp files back it

@@ -252,38 +252,36 @@ def test_star_cc_converges_on_chain(spark):
 
 def test_pq_ivf_trainer_checkpoint_is_sample_bounded(spark, monkeypatch):
     """VERDICT r4 weak: the deterministic PQ/IVF codebook trainers must
-    run their Lloyd statistics — and the PQ trainer's pre-explode
-    localCheckpoint — over the vec_id % tstride = 0 stride sample, never
-    the full corpus. Spies on the centroid reducers record the actual
-    row counts entering them; at sf0.001 (500 vectors, tstride 2) both
-    must see exactly 250 rows <= *_TRAIN_ROWS."""
+    run their Lloyd statistics over the vec_id % tstride = 0 stride
+    sample, never the full corpus. Since round 11 the bounded sample is
+    collected once and the Lloyd steps run driver-side
+    (ivf._py_lloyd_step); a spy on that step records the actual sample
+    sizes entering it — at sf0.001 (500 vectors, tstride 2) both
+    trainers must see exactly 250 rows <= *_TRAIN_ROWS."""
     import crmint_spark.operators.ivf as ivf
     import crmint_spark.operators.pq as pq
 
     sf = "/root/testdata/sf0.001"
     seen: dict[str, int] = {}
 
-    orig_pq = pq._all_centroid_rows
+    orig_step = ivf._py_lloyd_step
 
-    def spy_pq(df, codes_col):
-        seen["pq"] = df.count()
-        return orig_pq(df, codes_col)
+    def spy_step(train_vs, cent_rows):
+        seen["max"] = max(seen.get("max", 0), len(train_vs))
+        seen["calls"] = seen.get("calls", 0) + 1
+        return orig_step(train_vs, cent_rows)
 
-    monkeypatch.setattr(pq, "_all_centroid_rows", spy_pq)
+    monkeypatch.setattr(ivf, "_py_lloyd_step", spy_step)
     vecs, books = pq.train_pq_codebooks(spark, sf)
     vecs.unpersist()
-    assert seen["pq"] == 250 and seen["pq"] <= pq.PQ_TRAIN_ROWS
+    assert seen["max"] == 250 and seen["max"] <= pq.PQ_TRAIN_ROWS
+    assert seen["calls"] == pq.PQ_M  # one driver step per subspace
     assert all(len(b) > 1 for b in books)  # still a usable codebook
 
-    orig_ivf = ivf._recompute_centroids
-
-    def spy_ivf(assigned):
-        seen["ivf"] = max(seen.get("ivf", 0), assigned.count())
-        return orig_ivf(assigned)
-
-    monkeypatch.setattr(ivf, "_recompute_centroids", spy_ivf)
+    seen.clear()
     vecs, assigned, cents = ivf.deterministic_assign(spark, sf)
-    assert seen["ivf"] == 250 and seen["ivf"] <= ivf.IVF_TRAIN_ROWS
+    assert seen["max"] == 250 and seen["max"] <= ivf.IVF_TRAIN_ROWS
+    assert seen["calls"] == ivf.IVF_LLOYD_STEPS
     # the FINAL assignment still covers the full corpus
     assert assigned.count() == 500
     vecs.unpersist()
@@ -292,6 +290,45 @@ def test_pq_ivf_trainer_checkpoint_is_sample_bounded(spark, monkeypatch):
     assert ivf._train_stride(256) == 1
     assert ivf._train_stride(257) == 2
     assert -(-10**9 // ivf._train_stride(10**9)) <= ivf.IVF_TRAIN_ROWS
+
+
+def test_driver_lloyd_step_matches_distributed_reduce(spark):
+    """The round-11 driver-side Lloyd step must be value-identical to
+    the distributed _assign + _recompute_centroids it replaced (the form
+    the DuckDB oracles replay), on a real sample of the fixture."""
+    from pyspark.sql import functions as F
+
+    import crmint_spark.operators.ivf as ivf
+
+    sf = "/root/testdata/sf0.001"
+    from crmint_spark.catalog import load
+
+    vecs = (
+        load(spark, sf, "embeddings")
+        .filter(F.col("vec_id") % 7 == 0)
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    seed_rows = vecs.filter(F.col("vec_id") % 70 == 0).collect()
+    cent = [
+        (int(r["vec_id"]) // 70, [float(x) for x in r["v"]])
+        for r in seed_rows
+    ]
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in cent], "list_id int, c array<double>"
+    )
+    distributed = {
+        int(r["list_id"]): [float(x) for x in r["c"]]
+        for r in ivf._recompute_centroids(
+            ivf._assign(vecs, cent_df).select("list_id", "v")
+        ).collect()
+    }
+    train_vs = [[float(x) for x in r["v"]] for r in vecs.collect()]
+    driver = dict(ivf._py_lloyd_step(train_vs, cent))
+    assert driver == distributed
 
 
 def test_pca_power_iteration_matches_numpy(spark):
