@@ -198,6 +198,11 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # DataFrame can't pin a dead SparkSession alive.
 _LOAD_CACHE: dict[tuple[int, str, str, int, int], DataFrame] = {}
 
+#: (session id, table path) -> (table fingerprint, inferred schema).
+#: Catalog.read's footer-inference memo — schema only, invalidated by
+#: the fingerprint on any directory swap/truncate (see read()).
+_READ_SCHEMA_CACHE: dict[tuple[int, str], tuple[str, object]] = {}
+
 
 def clear_load_cache() -> None:
     """Drop every cached reader plan (e.g. after regenerating testdata)."""
@@ -549,7 +554,26 @@ class Catalog:
             meta = self.layout_meta(table_id)
             if meta and not _dir_has_parquet(path):
                 return self._empty_layout_df(meta)
-            df = self.spark.read.parquet(path)
+            # schema memo keyed on the table fingerprint: re-inferring
+            # the schema from footers costs ~0.2-0.4 s per read on a
+            # many-partition directory and every DML statement re-reads
+            # its target (r11, guide §1). Only the SCHEMA is memoized —
+            # data reads always hit the live files — and any swap/
+            # truncate replaces the directory, changing the
+            # fingerprint; appends never change the schema.
+            fp = self.table_fingerprint(table_id)
+            key = (id(self.spark), path)
+            hit = _READ_SCHEMA_CACHE.get(key)
+            if fp is not None and hit is not None and hit[0] == fp:
+                df = self.spark.read.schema(hit[1]).parquet(path)
+            else:
+                df = self.spark.read.parquet(path)
+                if fp is not None:
+                    while len(_READ_SCHEMA_CACHE) >= 256:
+                        _READ_SCHEMA_CACHE.pop(
+                            next(iter(_READ_SCHEMA_CACHE))
+                        )
+                    _READ_SCHEMA_CACHE[key] = (fp, df.schema)
             return self.restore_layout(df, meta)
         view = _safe_view_name(table_id)
         try:
@@ -1322,6 +1346,7 @@ class Catalog:
         table_id: str,
         disposition: str = "WRITE_TRUNCATE",
         create_if_needed: bool = True,
+        stats_hook=None,
     ) -> None:
         """WRITE_TRUNCATE/WRITE_APPEND + CREATE_IF_NEEDED/CREATE_NEVER
         semantics (ref: bq_query_launcher.py:44-47)."""
@@ -1359,9 +1384,9 @@ class Catalog:
                 ],
             }
             self.set_layout_meta(table_id, meta)
-        self.layout_writer(df, meta).mode(mode).parquet(
-            self.path_for(table_id)
-        )
+        self.layout_writer(df, meta, stats_hook=stats_hook).mode(
+            mode
+        ).parquet(self.path_for(table_id))
         if meta:
             # schema sidecar: what an EMPTY layout directory reads as
             # (TRUNCATE / full partition expiration leave no footers)
