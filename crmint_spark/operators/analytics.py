@@ -903,16 +903,42 @@ def profile_columns(
     plan)."""
     li = load(spark, sf_dir, "lineitem")
     approx = _use_scale_path(sf_dir, "lineitem", scale_path)
+    if not approx:
+        # exact path (r11, guide §2.3): k exact COUNT(DISTINCT) in ONE
+        # aggregate makes Catalyst Expand-multiply the input k-fold; a
+        # union of per-column aggregates instead plans k column-pruned
+        # scans, each a plain two-phase single-distinct aggregate with
+        # map-side combine — same total input bytes off columnar
+        # storage, no Expand, and far smaller codegen units. (The
+        # approx path below keeps the single fused scan: with
+        # approx_count_distinct there is no Expand to avoid, and one
+        # pass beats k there.)
+        from functools import reduce
+
+        parts = [
+            li.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_if(F.col(c).isNull()).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(F.col(c).cast("string")).alias("min_value"),
+                F.max(F.col(c).cast("string")).alias("max_value"),
+            ).select(
+                F.lit(c).alias("column"),
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                "min_value",
+                "max_value",
+            )
+            for c in PROFILE_COLS
+        ]
+        return reduce(lambda x, y: x.unionByName(y), parts)
     aggs = []
     for c in PROFILE_COLS:
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.count_if(F.col(c).isNull()).alias(f"{c}__nulls"),
-            (
-                F.approx_count_distinct(c)
-                if approx
-                else F.countDistinct(c)
-            ).alias(f"{c}__distinct"),
+            F.approx_count_distinct(c).alias(f"{c}__distinct"),
             F.min(F.col(c).cast("string")).alias(f"{c}__min"),
             F.max(F.col(c).cast("string")).alias(f"{c}__max"),
         ]

@@ -670,6 +670,13 @@ def _neighborhood_mins(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     return und, mins
 
 
+#: Edge-count bound for the driver union-find fast path of
+#: ``connected_components_star`` — ~30 MB of collected edge rows at the
+#: bound, far under driver headroom; anything larger runs the
+#: distributed star rounds.
+CC_DRIVER_EDGE_MAX = 200_000
+
+
 def connected_components_star(
     pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
 ) -> DataFrame:
@@ -696,6 +703,56 @@ def connected_components_star(
         .distinct()
         .persist()
     )
+    # Scale-adaptive hybrid (r11, guide §1.2): the near-dup EDGE set is
+    # orders of magnitude smaller than the corpus (only colliding
+    # pairs), and below the explicit bound the whole component
+    # computation fits driver memory — a union-find over the collected
+    # edges replaces ~4 rounds x ~6 tiny shuffles of pure scheduling
+    # overhead. Above the bound the star rounds below run unchanged
+    # (the O(log n)-round distributed path the module docstring
+    # derives); results are identical by construction (cluster_id =
+    # min doc_id of the component) and oracle-certified either way.
+    # The count materializes the persisted edges, which round 1 would
+    # have paid anyway.
+    n_edges = e.count()
+    if n_edges <= CC_DRIVER_EDGE_MAX:
+        rows = e.collect()
+        dtype = e.schema["u"].dataType
+        e.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            u, v = r["u"], r["v"]
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # attach the larger root under the smaller: the root of
+                # every set stays its minimum, so the final root IS the
+                # component min — the contract the star rounds converge to
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("doc_id", dtype, True),
+                StructField("cluster_id", dtype, True),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(
+            [(x, find(x)) for x in parent], schema
+        )
     prev_sum = None
     while True:
         # large-star: strictly larger neighbors attach to the min

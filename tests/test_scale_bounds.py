@@ -121,15 +121,17 @@ def _plan_str(df):
 
 
 def test_profile_columns_scale_path_plan(spark):
-    """Above the row threshold the profiler must not plan the Expand
-    k-fold row multiply that k exact COUNT(DISTINCT) aggregates force;
-    the approx_count_distinct form is one pass. Values stay within HLL
-    error of exact, schema identical."""
+    """Neither profiler path may plan the Expand k-fold row multiply
+    that k exact COUNT(DISTINCT) in one aggregate force: the approx
+    path is one fused approx_count_distinct pass, and since r11 the
+    exact path is a union of per-column single-distinct aggregates
+    (column-pruned scans, two-phase distinct, no Expand). Values stay
+    within HLL error of exact, schema identical."""
     from crmint_spark.operators.analytics import profile_columns
 
     exact = profile_columns(spark, SF, scale_path=False)
     scale = profile_columns(spark, SF, scale_path=True)
-    assert "Expand" in _plan_str(exact)  # the thing being removed
+    assert "Expand" not in _plan_str(exact)  # r11: union form, no Expand
     assert "Expand" not in _plan_str(scale)
     assert exact.columns == scale.columns
     e = {r["column"]: r for r in exact.collect()}
@@ -248,6 +250,29 @@ def test_star_cc_converges_on_chain(spark):
     assert (
         labels.filter(F.col("doc_id") == 102).first()["cluster_id"] == 100
     )
+
+
+def test_star_cc_driver_fast_path_matches_distributed(spark, monkeypatch):
+    """The r11 bounded driver union-find must produce exactly the
+    distributed star rounds' labels; forcing the bound to 0 exercises
+    the distributed path on the same input."""
+    import crmint_spark.operators.dedup as dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)]
+        + [(200, 201), (203, 201), (203, 205), (300, 300)],
+        "doc_a long, doc_b long",
+    )
+    fast = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    monkeypatch.setattr(dedup, "CC_DRIVER_EDGE_MAX", 0)
+    dist = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert fast == dist and len(fast) == 45
 
 
 def test_pq_ivf_trainer_checkpoint_is_sample_bounded(spark, monkeypatch):
