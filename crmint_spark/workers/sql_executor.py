@@ -3016,7 +3016,7 @@ class SparkSQLExecutor(Worker):
             ]
         if not columns:
             raise WorkerException(f"no string columns to index on {table}")
-        id_col = _pick_integral_id(df)
+        id_col, n_rows, _lo = _pick_integral_id_stats(df)
         if id_col is None:
             raise WorkerException(
                 f"no unique integral id column on {table} to key postings"
@@ -3032,12 +3032,24 @@ class SparkSQLExecutor(Worker):
         analyzer = (
             entry.get("options", {}).get("analyzer") or "LOG_ANALYZER"
         ).upper()
+        # bucket fan-out scaled to the base row count (r11, guide §6):
+        # a 64-way hive layout over a 50-row table is ~64 directory
+        # commits of pure overhead; small bases get proportionally few
+        # buckets, large ones keep the full fan-out. The count is
+        # RECORDED on the entry and the routed probe reads it back, so
+        # probe arithmetic always matches the layout it probes.
+        from ..operators.text import SEARCH_INDEX_BUCKETS
+
+        n_buckets = min(
+            SEARCH_INDEX_BUCKETS, max(8, 1 << max(n_rows // 8, 1).bit_length())
+        )
         materialize_search_index(
             spark,
             df,
             columns,
             id_col,
             path,
+            n_buckets=n_buckets,
             part_expr=part_expr,
             analyzer=analyzer,
         )
@@ -3050,12 +3062,13 @@ class SparkSQLExecutor(Worker):
                 "indexed_columns": columns,
                 "id_column": id_col,
                 "analyzer": analyzer,
+                "n_buckets": n_buckets,
                 **part_extra,
             }
         )
         self.log_info(
             f"SEARCH INDEX {name}: postings layout materialized"
-            f" ({len(columns)} columns, bucket-partitioned, {analyzer})"
+            f" ({len(columns)} columns, {n_buckets} buckets, {analyzer})"
         )
 
     # -- materialized-view smart rewrite ---------------------------------
@@ -4388,7 +4401,14 @@ class SparkSQLExecutor(Worker):
             # buckets. search_bucket is asserted byte-identical to the
             # engine's pmod(xxhash64(...)) in tests.
             buckets = sorted(
-                {search_bucket(col, t, SEARCH_INDEX_BUCKETS) for t in toks}
+                {
+                    search_bucket(
+                        col,
+                        t,
+                        entry.get("n_buckets", SEARCH_INDEX_BUCKETS),
+                    )
+                    for t in toks
+                }
             )
             bucket_list = ", ".join(str(b) for b in buckets)
             idref = (
