@@ -946,6 +946,11 @@ CORPUS_QUERIES["corpus_bpe_pairs"] = (corpus_bpe_pairs, BPE_PAIRS_SQL)
 
 BPE_MERGE_ROUNDS = 6
 
+#: Word-type bound for the driver fast path of the BPE merge rounds —
+#: ~50 MB of (wf, symbols) rows at the bound; larger vocabularies run
+#: the distributed per-round pair-count shuffles.
+BPE_DRIVER_VOCAB_MAX = 100_000
+
 
 def _bpe_symbol_pairs(sym_col):
     return F.transform(
@@ -1011,6 +1016,45 @@ def corpus_bpe_merges(
         syms = syms.localCheckpoint(eager=True)
     except Exception:
         syms = syms.persist()
+    # Scale-adaptive hybrid (r11, guide §1.2): the merge rounds operate
+    # on the VOCABULARY, which is tiny relative to the corpus; below an
+    # explicit word-type bound the whole (wf, symbols) table fits the
+    # driver and the rounds run as exact integer/string math — pair
+    # counts are integer wf sums, the argmax tie-break (n DESC, pair
+    # ASC) and the greedy left-to-right fold transcribe 1:1, and UTF-8
+    # binary string order equals code-point order, so results are
+    # bit-identical to the distributed rounds (equivalence-tested).
+    # The limit probe is one cheap job on the checkpointed vocabulary;
+    # an over-bound vocabulary falls through to the per-round shuffles.
+    probe = syms.limit(BPE_DRIVER_VOCAB_MAX + 1).collect()
+    if len(probe) <= BPE_DRIVER_VOCAB_MAX:
+        words = [(int(r["wf"]), list(r["sym"])) for r in probe]
+        merges = []
+        for rnd in range(1, rounds + 1):
+            counts: dict[str, int] = {}
+            for wf, sym in words:
+                for i in range(len(sym) - 1):
+                    p = sym[i] + " " + sym[i + 1]
+                    counts[p] = counts.get(p, 0) + wf
+            n, pair = max((n, p) for p, n in counts.items())
+            pair = min(p for p, c in counts.items() if c == n)
+            merges.append((rnd, pair, int(n)))
+            a, b = pair.split(" ")
+            ab = a + b
+            nxt_words = []
+            for wf, sym in words:
+                acc: list[str] = []
+                for s in sym:
+                    if acc and acc[-1] == a and s == b:
+                        acc[-1] = ab
+                    else:
+                        acc.append(s)
+                nxt_words.append((wf, acc))
+            words = nxt_words
+        return spark.createDataFrame(
+            [(int(r), p, n) for r, p, n in merges],
+            "round bigint, pair string, n bigint",
+        )
     merges = []
     for rnd in range(1, rounds + 1):
         top = (

@@ -159,6 +159,16 @@ def test_dsir_weights_favor_target_language(spark):
     assert len(out) == docs
 
 
+def test_bpe_driver_rounds_match_distributed(spark, monkeypatch):
+    """The r11 bounded driver BPE merge rounds must emit exactly the
+    distributed rounds' merge table; forcing the vocab bound to 0
+    exercises the distributed path on the same corpus."""
+    fast = [tuple(r) for r in corpus.corpus_bpe_merges(spark, SF).collect()]
+    monkeypatch.setattr(corpus, "BPE_DRIVER_VOCAB_MAX", 0)
+    dist = [tuple(r) for r in corpus.corpus_bpe_merges(spark, SF).collect()]
+    assert fast == dist and len(fast) == corpus.BPE_MERGE_ROUNDS
+
+
 def test_bpe_encode_compresses_tokens(spark):
     """Applying learned merges must strictly shrink token counts vs
     character count for docs containing the merged pairs, and never
