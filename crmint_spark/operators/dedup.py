@@ -371,17 +371,22 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # SUM of the masked bit (plus one shared COUNT) instead of a
     # SUM(CASE +1/-1) per bit: ~3x cheaper in codegen, identical
-    # semantics (vote sum > 0  <=>  2*ones > count; ties -> 0)
+    # semantics (vote sum > 0  <=>  2*ones > count; ties -> 0).
+    # Expressions are built as SQL strings — one py4j round-trip per
+    # F.expr — because composing them through the Column API cost
+    # ~0.8 s of driver time per call (4+ JVM round-trips per bit for
+    # 48 bits, twice; r11, guide §1: measured in cProfile)
     ones = [
-        F.sum(F.shiftright(F.col("wh"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+        F.expr(f"SUM(shiftright(wh, {i}) & 1) AS b{i}")
         for i in range(SIMHASH_BITS)
     ]
-    agg = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt"), *ones)
-    sig = sum(
-        F.when(F.col(f"b{i}") * 2 > F.col("cnt"), F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(SIMHASH_BITS)
+    agg = words.groupBy("doc_id").agg(F.expr("COUNT(1) AS cnt"), *ones)
+    sig_sql = " + ".join(
+        f"IF(b{i} * 2 > cnt, {1 << i}, 0)" for i in range(SIMHASH_BITS)
     )
-    return agg.select("doc_id", sig.cast("bigint").alias("simhash"))
+    return agg.select(
+        "doc_id", F.expr(f"CAST({sig_sql} AS BIGINT) AS simhash")
+    )
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
