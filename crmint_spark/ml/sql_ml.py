@@ -1177,17 +1177,11 @@ def try_create_model(
         eval_df = df.filter(F.expr(pred)) if pred else train_df
         classifier = is_classifier(model_type)
         if classifier:
-            evaluator = MulticlassClassificationEvaluator(
-                labelCol=label, metricName="accuracy"
-            )
             objective, better = "accuracy", lambda a, b: a > b
         else:
-            evaluator = RegressionEvaluator(
-                labelCol=label, metricName="rmse"
-            )
             objective, better = "rmse", lambda a, b: a < b
-        best_val, model = None, None
-        for i, trial_hp in enumerate(_hparam_trials(hp_specs, num_trials)):
+
+        def _run_trial(trial_hp: dict):
             fitted = build_pipeline(
                 model_type, feature_cols, label, {**hyper, **trial_hp},
                 vector_sizes=dense_sizes,
@@ -1205,7 +1199,44 @@ def try_create_model(
             except Exception:
                 trial_hist = []
             strip_training_summary(fitted)
+            # evaluator per trial: the shared JavaEvaluator would race
+            # its param transfer across threads
+            evaluator = (
+                MulticlassClassificationEvaluator(
+                    labelCol=label, metricName="accuracy"
+                )
+                if classifier
+                else RegressionEvaluator(labelCol=label, metricName="rmse")
+            )
             val = float(evaluator.evaluate(fitted.transform(eval_df)))
+            return fitted, trial_hist, val
+
+        # Overlap the independent trial fits (optimization guide §2.6):
+        # Spark happily runs concurrent jobs, and each trial's fit is a
+        # chain of small jobs that leaves most cores idle — 2-3 in
+        # flight back-fill the tail. Per-trial results are computed on
+        # the same frozen train_df with per-trial estimator instances,
+        # so values are identical to the sequential loop; pool.map
+        # preserves trial order.
+        from concurrent.futures import ThreadPoolExecutor
+
+        try:
+            from pyspark import inheritable_thread_target
+
+            _wrap = inheritable_thread_target
+        except ImportError:  # pragma: no cover - very old pyspark
+            def _wrap(f):
+                return f
+
+        trial_hps = _hparam_trials(hp_specs, num_trials)
+        with ThreadPoolExecutor(
+            max_workers=min(3, max(len(trial_hps), 1))
+        ) as pool:
+            results = list(pool.map(_wrap(_run_trial), trial_hps))
+        best_val, model = None, None
+        for i, (trial_hp, (fitted, trial_hist, val)) in enumerate(
+            zip(trial_hps, results)
+        ):
             trials_meta.append(
                 {
                     "trial_id": i + 1,
