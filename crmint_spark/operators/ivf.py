@@ -154,20 +154,48 @@ def ann_ivf_kmeans_recall(spark, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
-    recall = ivf_recall_vs_exact(emb, qvec, top_k=10, n_lists=8, n_probe=3)
     qdf = emb.sparkSession.createDataFrame([(qvec,)], "qvec array<double>")
     sim = cosine_similarity(F.col("embedding"), F.col("qvec"))
-    return (
+    # exact top-k computed ONCE (r11, guide §1: it used to run three
+    # times — inside ivf_recall_vs_exact, again for the returned plan,
+    # and again at action time); the 10 rows are driver scalars, so the
+    # result is a local relation carrying identical values
+    exact_rows = (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qdf))
-        .select(
-            "vec_id",
-            "label",
-            F.round(sim, 6).alias("cos_sim"),
-            F.lit(bool(recall >= 0.3)).alias("kmeans_recall_ok"),
-        )
+        .select("vec_id", "label", F.round(sim, 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
+        .collect()
+    )
+    exact = {r.vec_id for r in exact_rows}
+    indexed, model = build_ivf_index(emb, n_lists=8)
+    approx = {
+        r.vec_id
+        for r in ivf_search(indexed, model, qvec, 10, 3).collect()
+    }
+    recall = len(exact & approx) / 10.0
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", emb.schema["vec_id"].dataType, True),
+            StructField("label", emb.schema["label"].dataType, True),
+            StructField("cos_sim", DoubleType(), True),
+            StructField("kmeans_recall_ok", BooleanType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (r.vec_id, r.label, r.cos_sim, bool(recall >= 0.3))
+            for r in exact_rows
+        ],
+        schema,
     )
 
 
