@@ -321,8 +321,13 @@ def _recompute_centroids(assigned: DataFrame) -> DataFrame:
 
 def _dlit(x: float) -> str:
     """Exact double literal: repr() is the shortest round-trip decimal,
-    and string->double parsing is correctly rounded on the JVM."""
-    return f"CAST('{float(x)!r}' AS DOUBLE)"
+    and decimal->double parsing is correctly rounded on the JVM. The
+    typed ``...D`` literal (Spark-side SQL only — never DuckDB) parses
+    through the same Double.parseDouble as the former
+    ``CAST('..' AS DOUBLE)`` spelling at ~2.5x less statement text —
+    codebook-bearing routed statements are re-lexed by every dialect
+    pass, so literal width is transpile time (r11, guide §1)."""
+    return f"{float(x)!r}D"
 
 
 def _codebook_literal(cent_rows: list[tuple[int, list[float]]]):
