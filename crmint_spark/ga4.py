@@ -186,6 +186,9 @@ _GA4_CACHE: dict[tuple[int, str, int], DataFrame] = {}
 # once per (session, dir, mtime) saves a ~0.4 s Spark job per verbatim
 # script entry (r11, guide §1). Evicted in lockstep with _GA4_CACHE.
 _GA4_SUFFIXES: dict[tuple[int, str, int], list[str]] = {}
+# same key -> the session-scoped parquet directory materializing the
+# dataset (see the cache-substitution note inside ga4_events)
+_GA4_PATHS: dict[tuple[int, str, int], str] = {}
 
 
 def ga4_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,11 +223,33 @@ def ga4_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXTRACT(HOUR FROM TIMESTAMP_MICROS(...)) must agree with DuckDB's
     # naive (UTC) timestamps regardless of driver JVM zone
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    from pyspark.storagelevel import StorageLevel
+    # Materialize the synthesized dataset to session-scoped PARQUET
+    # instead of .persist() (r11, guide §1/§7.2): Spark 4.1's cache
+    # substitution does not fire inside WITH-CTE queries (verified:
+    # `WITH e AS (SELECT .. FROM <cached view>) SELECT .. FROM e`
+    # plans zero InMemoryTableScans where the same query as an inline
+    # subquery substitutes), and the reference templates are CTE-heavy
+    # — each verbatim script was re-running the whole GA4 synthesis
+    # (windows + nested-struct assembly) up to 19x from raw parquet.
+    # A parquet round-trip is immune: every reference, CTE or not, is
+    # a plain columnar scan. In the reference this dataset IS
+    # materialized storage (the BigQuery GA4 export), so the physical
+    # materialization also mirrors reality. One write per (session,
+    # sf_dir, mtime); superseded directories are removed on eviction.
+    import shutil
+    import tempfile
 
-    df = spark.sql(GA4_SPARK_SQL.format(events="__ga4_source_events")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    path = tempfile.mkdtemp(prefix="crmint_ga4_")
+    spark.sql(GA4_SPARK_SQL.format(events="__ga4_source_events")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    df = spark.read.parquet(path)
+    # drop directories whose cache entry was evicted above (superseded
+    # mtime / dead session); live entries for OTHER (session, dir)
+    # keys keep their files
+    for k in [k for k in _GA4_PATHS if k not in _GA4_CACHE]:
+        shutil.rmtree(_GA4_PATHS.pop(k), ignore_errors=True)
+    _GA4_PATHS[key] = path
     _GA4_CACHE[key] = df
     return df
 
