@@ -204,6 +204,30 @@ _LOAD_CACHE: dict[tuple[int, str, str, int, int], DataFrame] = {}
 _READ_SCHEMA_CACHE: dict[tuple[int, str], tuple[str, object]] = {}
 
 
+def _as_read_nullable(dt):
+    """A datatype with every (nested) field nullable — what a parquet
+    read-back infers regardless of the written frame's nullability.
+    Used to prime the schema memo from a just-written frame without
+    leaking writer-side non-null flags into reads (INFORMATION_SCHEMA
+    is_nullable is a value-checked surface)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _as_read_nullable(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_as_read_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _as_read_nullable(dt.keyType), _as_read_nullable(dt.valueType), True
+        )
+    return dt
+
+
 def clear_load_cache() -> None:
     """Drop every cached reader plan (e.g. after regenerating testdata)."""
     _LOAD_CACHE.clear()
@@ -1396,6 +1420,19 @@ class Catalog:
         self.check_partition_cap(table_id)
         if not existed:
             self._record_creation(table_id)
+        if not meta:
+            # prime the read-schema memo from the written frame (plain
+            # tables only — a layout read-back reorders/derives
+            # partition columns): every write aligns rows to the table
+            # schema, so the read-back schema is the written one with
+            # parquet's all-nullable flags. Saves the footer inference
+            # the register() below (and every later read) would pay.
+            fp = self.table_fingerprint(table_id)
+            if fp is not None:
+                _READ_SCHEMA_CACHE[(id(self.spark), self.path_for(table_id))] = (
+                    fp,
+                    _as_read_nullable(df.schema),
+                )
         # downstream SQL jobs in the same pipeline address the table by
         # name immediately (BigQuery-catalog semantics)
         self.register(table_id)
