@@ -848,9 +848,19 @@ def try_create_model(
     # events shards, ~0.5 s of planning per job before any data is
     # touched. localCheckpoint keeps the blocks distributed on the
     # executors (no driver collect) with a flat scan plan.
-    df = spark.sql(query)
+    # diamond-shaped reference inputs (model_bqml.sql references
+    # `events` 3x, `first_engagement`/`unified_dataset` 2x) re-execute
+    # each shared CTE per reference under Spark's inlining; materialize
+    # the hot CTEs once first (r11, guide §3.3 — 12 parquet scans +
+    # 6 windows collapse to one pass per subtree; values unchanged).
+    from ..optimize import drop_ctemat_views, materialize_repeated_ctes
+
+    query_exec, cte_views = materialize_repeated_ctes(spark, query)
+    df = spark.sql(query_exec)
     try:
         df = df.localCheckpoint(eager=True)
+        # the final checkpoint holds the data; the intermediates can go
+        drop_ctemat_views(spark, cte_views)
     except Exception:
         from pyspark.storagelevel import StorageLevel
 

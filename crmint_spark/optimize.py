@@ -235,3 +235,168 @@ def explain_has_exchange(df: DataFrame) -> bool:
         if "Exchange" in line and "BroadcastExchange" not in line:
             return True
     return False
+
+
+# ---------------------------------------------------------------------------
+# Repeated-CTE materialization (optimization round 11, guide §1.2/§3.3)
+# ---------------------------------------------------------------------------
+# Spark inlines every WITH-CTE reference (and 4.1's cache substitution
+# does not fire inside WITH queries), so a diamond-shaped script — the
+# reference's model_bqml.sql references `events` 3x, `first_engagement`
+# and `unified_dataset` 2x each — re-executes each shared subtree per
+# reference: 12 scans + 6 windows for one training input. BigQuery's
+# own cost model recomputes CTEs per reference too, so semantics are
+# unchanged by computing them once: materialize the hot CTEs bottom-up
+# with localCheckpoint (executor-resident blocks, disk-spillable, no
+# driver collect) and rebind the CTE name to the checkpoint.
+#
+# Scale gate: only CTEs that AGGREGATE (join / group by / window) are
+# materialized — their output is user/key-level, at most the size of
+# one input pass. Pure filter/project CTEs stay inline: re-scanning
+# columnar storage with pushed-down predicates beats materializing a
+# wide projection at 100 TB.
+
+_CTE_HEAVY = None  # compiled lazily (module import cost)
+
+
+def _scan_balanced(s: str, j: int) -> int:
+    """Index just past the ')' that closes the '(' at s[j-1], skipping
+    string literals (single/double quoted, backslash escapes) and
+    -- / /* */ comments so parens inside them don't count."""
+    depth = 1
+    k = j
+    n = len(s)
+    while k < n and depth:
+        c = s[k]
+        if c in ("'", '"'):
+            q = c
+            k += 1
+            while k < n:
+                if s[k] == "\\":
+                    k += 2
+                    continue
+                if s[k] == q:
+                    k += 1
+                    break
+                k += 1
+            continue
+        if c == "-" and s[k : k + 2] == "--":
+            while k < n and s[k] != "\n":
+                k += 1
+            continue
+        if c == "/" and s[k : k + 2] == "/*":
+            e = s.find("*/", k + 2)
+            k = n if e < 0 else e + 2
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        k += 1
+    if depth:
+        raise ValueError("unbalanced parens")
+    return k
+
+
+def _parse_top_ctes(sql: str):
+    """-> ([(name, body), ...], final_text) for a top-level WITH query;
+    raises on anything it cannot parse exactly."""
+    import re
+
+    s = sql.lstrip()
+    if not re.match(r"WITH\b", s, re.IGNORECASE):
+        raise ValueError("not a WITH query")
+    if re.match(r"WITH\s+RECURSIVE\b", s, re.IGNORECASE):
+        raise ValueError("recursive")
+    i = 4
+    ctes = []
+    while True:
+        while i < len(s) and (s[i].isspace() or s[i] == ","):
+            i += 1
+        m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(", s[i:], re.IGNORECASE)
+        if not m:
+            break
+        name = m.group(1)
+        j = i + m.end()
+        k = _scan_balanced(s, j)
+        ctes.append((name, s[j : k - 1]))
+        i = k
+        while i < len(s) and s[i].isspace():
+            i += 1
+        if i < len(s) and s[i] == ",":
+            continue
+        break
+    if not ctes:
+        raise ValueError("no CTEs parsed")
+    return ctes, s[i:]
+
+
+_CTEMAT_SEQ = [0]
+
+
+def materialize_repeated_ctes(
+    spark: SparkSession, sql: str
+) -> tuple[str, list[str]]:
+    """Rewrite a WITH query so that each heavy CTE referenced >= 2 times
+    reads a localCheckpoint instead of re-executing per reference.
+
+    Returns (possibly-rewritten SQL text, temp views created) — the
+    caller owns dropping the views once the rewritten query's result is
+    itself materialized. On ANY parse surprise the original text is
+    returned unchanged — the rewrite is a pure optimization and must
+    never be load-bearing."""
+    import re
+
+    global _CTE_HEAVY
+    if _CTE_HEAVY is None:
+        _CTE_HEAVY = re.compile(r"\b(JOIN\b|GROUP\s+BY\b|OVER\s*\()", re.IGNORECASE)
+    try:
+        ctes, final = _parse_top_ctes(sql)
+    except Exception:
+        return sql, []
+    later_text = [b for _, b in ctes] + [final]
+    any_hot = any(
+        sum(len(re.findall(r"\b%s\b" % re.escape(name), t)) for t in later_text[idx + 1 :]) >= 2
+        and _CTE_HEAVY.search(body)
+        for idx, (name, body) in enumerate(ctes)
+    )
+    if not any_hot:
+        return sql, []
+    views: list[str] = []
+    try:
+        stubs: list[str] = []
+        for idx, (name, body) in enumerate(ctes):
+            refs = sum(
+                len(re.findall(r"\b%s\b" % re.escape(name), t))
+                for t in later_text[idx + 1 :]
+            )
+            if refs >= 2 and _CTE_HEAVY.search(body):
+                inner = (
+                    "WITH " + ",\n".join(stubs) + "\n" + body if stubs else body
+                )
+                dfc = spark.sql(inner).localCheckpoint(eager=True)
+                _CTEMAT_SEQ[0] += 1
+                view = f"__ctemat_{_CTEMAT_SEQ[0]}_{name}"
+                dfc.createOrReplaceTempView(view)
+                views.append(view)
+                stubs.append(f"{name} AS (SELECT * FROM {view})")
+            else:
+                stubs.append(f"{name} AS ({body})")
+        return "WITH " + ",\n".join(stubs) + "\n" + final, views
+    except Exception:
+        for v in views:
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:
+                pass
+        return sql, []
+
+
+def drop_ctemat_views(spark: SparkSession, views: list[str]) -> None:
+    """Release the intermediate checkpoint views once the consuming
+    query's result is materialized (the blocks free on RDD GC)."""
+    for v in views:
+        try:
+            spark.catalog.dropTempView(v)
+        except Exception:
+            pass

@@ -209,3 +209,39 @@ def test_zorder_write_rejects_bit_overflow_and_dup_cols(spark, tmp_path):
         zorder_write(
             df, str(tmp_path / "z2"), ["o_custkey", "o_custkey"], bits_per_col=8
         )
+
+
+def test_materialize_repeated_ctes_equivalence(spark):
+    """The repeated-CTE materializer (r11) must be value-transparent:
+    hot CTEs re-bound to checkpoints, cold/parse-hostile inputs passed
+    through untouched."""
+    from crmint_spark.optimize import (
+        drop_ctemat_views,
+        materialize_repeated_ctes,
+    )
+
+    # not a WITH query / recursive: untouched
+    assert materialize_repeated_ctes(spark, "SELECT 1") == ("SELECT 1", [])
+    rec = "WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r"
+    assert materialize_repeated_ctes(spark, rec) == (rec, [])
+
+    # hot aggregate CTE referenced twice, with literals hostile to a
+    # naive scanner: parens, apostrophes and a line comment inside
+    # strings
+    q = """WITH a AS (
+      SELECT id % 3 AS k, ')(' AS s, "it's -- not a comment" AS t,
+             COUNT(*) AS n
+      FROM range(50) GROUP BY id % 3
+    ), b AS (SELECT * FROM a WHERE n > 0)
+    SELECT a.k, a.n, b.t FROM a JOIN b USING (k)"""
+    rewritten, views = materialize_repeated_ctes(spark, q)
+    assert views, "aggregate CTE referenced twice must materialize"
+    assert "__ctemat_" in rewritten
+    expected = sorted(map(tuple, spark.sql(q).collect()))
+    got = sorted(map(tuple, spark.sql(rewritten).collect()))
+    assert got == expected
+    drop_ctemat_views(spark, views)
+
+    # single-reference CTEs stay inline
+    q1 = "WITH a AS (SELECT COUNT(*) c FROM range(5) GROUP BY 1) SELECT * FROM a"
+    assert materialize_repeated_ctes(spark, q1) == (q1, [])
