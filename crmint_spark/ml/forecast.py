@@ -105,12 +105,81 @@ def infer_seasonal_period(df: DataFrame, ts_col: str, freq: str) -> int:
     return 0
 
 
+def _holiday_adjusted_pts(pts, dates: list[str]):
+    """Fuse :func:`fit_holiday_effects` + :func:`apply_holiday_adjustment`
+    into the already-aggregated per-series frame (r11, guide §1.2: one
+    groupBy + one collect instead of two of each).
+
+    Replicates the two-pass semantics EXACTLY: the pooled effect is
+    computed from the raw (ts, y)-sorted array with the identical
+    interior-residual fold, the adjustment subtracts it on holiday rows,
+    and the adjusted pairs are re-sorted by (ts, y_adjusted) — the order
+    the second pass's array_sort(collect_list(...)) would produce."""
+    date_arr = F.array(*[F.lit(d) for d in dates])
+    ds = F.transform(
+        "p",
+        lambda s: F.date_format(s["__ts"].cast("timestamp"), "yyyy-MM-dd"),
+    )
+    ys_raw = F.transform("p", lambda s: s["__y"])
+    pts = pts.withColumn("__ds", ds).withColumn("__ys_raw", ys_raw)
+    interior = F.when(
+        F.size("__ys_raw") >= 3,
+        F.sequence(F.lit(2), F.size("__ys_raw") - 1),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    resids = F.filter(
+        F.transform(
+            interior,
+            lambda i: F.when(
+                F.array_contains(date_arr, F.element_at("__ds", i)),
+                F.element_at("__ys_raw", i)
+                - (
+                    F.element_at("__ys_raw", i - F.lit(1))
+                    + F.element_at("__ys_raw", i + F.lit(1))
+                )
+                / F.lit(2.0),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    pts = pts.withColumn(
+        "__e",
+        F.when(
+            F.size(resids) > 0,
+            F.aggregate(resids, F.lit(0.0), lambda a, x: a + x)
+            / F.size(resids).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
+    # adjusted pairs, re-sorted exactly like the second pass would sort
+    p_adj = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.size("p")),
+            lambda i: F.struct(
+                F.element_at("p", i)["__ts"].alias("__ts"),
+                F.when(
+                    F.array_contains(date_arr, F.element_at("__ds", i)),
+                    F.element_at("p", i)["__y"]
+                    - F.coalesce("__e", F.lit(0.0)),
+                )
+                .otherwise(F.element_at("p", i)["__y"])
+                .alias("__y"),
+            ),
+        )
+    )
+    return pts.withColumn(
+        "p", F.when(F.size("p") > 0, p_adj).otherwise(F.col("p"))
+    ).drop("__ds", "__ys_raw")
+
+
 def fit_holt_state(
     df: DataFrame, ts_col: str, y_col: str, id_col: str | None,
     period: int = 0,
-) -> list[dict]:
+    holiday_dates: list[str] | None = None,
+) -> list[dict] | tuple[list[dict], dict[str, float]]:
     """-> [{series_id, level, trend, seasonal, period, n_resid, last_us,
-    iv_us, n_obs}, ...].
+    iv_us, n_obs}, ...]; with ``holiday_dates`` -> (state, effects),
+    the pooled holiday effects fitted and applied inside the SAME job
+    (one shuffle + one collect; effects cover every series, state only
+    those with >= 2 points, exactly like the two-pass pipeline).
 
     Fold (identical expression order on both engines, so IEEE-identical).
     Plain Holt (period 0, or series shorter than two periods):
@@ -149,6 +218,8 @@ def fit_holt_state(
             F.array_sort(F.collect_list(F.struct("__ts", "__y"))).alias("p")
         )
     )
+    if holiday_dates is not None:
+        pts = _holiday_adjusted_pts(pts, holiday_dates)
     ys = F.transform("p", lambda s: s["__y"])
     tus = F.transform(
         "p", lambda s: F.unix_micros(s["__ts"].cast("timestamp"))
@@ -232,22 +303,36 @@ def fit_holt_state(
         period_eff = F.lit(0)
         n_resid = F.size("ys") - 1
 
+    if holiday_dates is None:
+        pts = pts.where(F.size("p") >= 2)
+        guard = lambda c: c  # noqa: E731
+    else:
+        # holiday mode keeps EVERY series in the single collect (the
+        # effects map must cover them all); state expressions that
+        # would error on a 0/1-point series are CASE-guarded and their
+        # rows dropped driver-side below — identical to the two-pass
+        # pipeline's where(size >= 2).
+        guard = lambda c: F.when(F.size("p") >= 2, c)  # noqa: E731
     fitted = (
-        pts.where(F.size("p") >= 2)
+        pts
         .withColumn("ys", ys)
         .withColumn("tus", tus)
-        .withColumn("acc", acc_col)
+        .withColumn("acc", guard(acc_col))
         .select(
             "series_id",
+            *([F.col("__e")] if holiday_dates is not None else []),
             F.col("acc.l").alias("level"),
             F.col("acc.b").alias("trend"),
             F.col("acc.sse").alias("sse"),
             F.col("acc.s").alias("seasonal"),
             period_eff.cast("int").alias("period"),
             n_resid.cast("bigint").alias("n_resid"),
-            F.element_at("tus", -1).alias("last_us"),
-            F.expr(
-                "(element_at(tus, -1) - element_at(tus, 1)) div (size(tus) - 1)"
+            guard(F.element_at("tus", -1)).alias("last_us"),
+            guard(
+                F.expr(
+                    "(element_at(tus, -1) - element_at(tus, 1))"
+                    " div (size(tus) - 1)"
+                )
             ).alias("iv_us"),
             F.size("tus").cast("bigint").alias("n_obs"),
             # the fitted series itself persists with the model state so
@@ -268,7 +353,8 @@ def fit_holt_state(
             ).alias("ts_us_arr"),
         )
     )
-    return [
+    rows = fitted.collect()
+    state = [
         {
             "series_id": r["series_id"],
             "level": float(r["level"]),
@@ -291,8 +377,12 @@ def fit_holt_state(
                 else None
             ),
         }
-        for r in fitted.collect()
+        for r in rows
+        if int(r["n_obs"]) >= 2
     ]
+    if holiday_dates is None:
+        return state
+    return state, {r["series_id"]: float(r["__e"]) for r in rows}
 
 
 FORECAST_CONFIDENCE_LEVEL = 0.95

@@ -884,7 +884,6 @@ def try_create_model(
             # the de-holidayed series, add the effect back at serve time
             from .forecast import (
                 apply_holiday_adjustment,
-                fit_holiday_effects,
                 holiday_calendar,
             )
 
@@ -897,14 +896,17 @@ def try_create_model(
             # year boundary still see their holidays
             years = list(range(int(yr["lo"]), int(yr["hi"]) + 2))
             dates = holiday_calendar(region, years)
-            effects = fit_holiday_effects(df, ts_col, y_col, id_col, dates)
-            df_fit = apply_holiday_adjustment(
-                df, spark, ts_col, y_col, id_col, effects, dates
+            # effect fit + de-holidayed fold fused into ONE groupBy +
+            # collect (r11, guide §1.2); two-pass equivalence is
+            # pytest-asserted (test_sql_ml holiday fusion test)
+            state, effects = fit_holt_state(
+                df, ts_col, y_col, id_col, period, holiday_dates=dates
             )
+            df_fit = None  # lazily derived below only if history persists
             holiday = {"region": region, "effects": effects, "dates": dates}
         else:
             df_fit = df
-        state = fit_holt_state(df_fit, ts_col, y_col, id_col, period)
+            state = fit_holt_state(df_fit, ts_col, y_col, id_col, period)
         meta = {
             "model_type": "ARIMA_PLUS",
             "state": state,
@@ -925,6 +927,13 @@ def try_create_model(
             # (applyInPandas per series — VERDICT r7 #2). Map-only
             # write; size = training rows, bounded by the fit input.
             hist_path = registry.path(name) + ".history"
+            if df_fit is None:
+                # fused holiday fit skipped materializing the adjusted
+                # frame; derive it here (this rare branch only)
+                df_fit = apply_holiday_adjustment(
+                    df, spark, ts_col, y_col, id_col,
+                    holiday["effects"], holiday["dates"],
+                )
             sid = (
                 F.col(id_col).cast("string")
                 if id_col

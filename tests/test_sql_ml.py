@@ -2005,3 +2005,52 @@ def test_ml_fit_and_evaluate_after_observed_dml(ctx):
         " (SELECT x1, x2, label FROM training_data))",
     )
     assert w.result.first() is not None
+
+
+def test_holiday_fused_fit_matches_two_pass():
+    """The r11 fused holiday fit (one groupBy + one collect) must be
+    bit-identical to the two-pass pipeline (fit_holiday_effects ->
+    apply_holiday_adjustment -> fit_holt_state), including the
+    duplicate-timestamp tie case where the second pass re-sorts by
+    (ts, adjusted_y), and must keep sub-2-point series in the effects
+    map but out of the state."""
+    import datetime
+
+    from crmint_spark.ml.forecast import (
+        apply_holiday_adjustment,
+        fit_holiday_effects,
+        fit_holt_state,
+    )
+    from crmint_spark.session import get_spark
+
+    spark = get_spark()
+    dates = ["2024-01-15", "2024-01-20"]
+    rows = []
+    for d in range(25):
+        rows.append(
+            (
+                "a",
+                datetime.datetime(2024, 1, 2 + d),
+                50.0 + 3.0 * d + (200.0 if (2 + d) == 15 else 0.0),
+            )
+        )
+    # duplicate-timestamp tie on a holiday: adjustment can flip the
+    # (ts, y) sort order between raw and adjusted passes
+    rows.append(("a", datetime.datetime(2024, 1, 15), 51.0))
+    # a second, 1-point series: effects must include it, state must not
+    rows.append(("b", datetime.datetime(2024, 1, 15), 10.0))
+    df = spark.createDataFrame(rows, "sid string, ts timestamp, y double")
+
+    effects2 = fit_holiday_effects(df, "ts", "y", "sid", dates)
+    df_fit = apply_holiday_adjustment(
+        df, spark, "ts", "y", "sid", effects2, dates
+    )
+    state2 = fit_holt_state(df_fit, "ts", "y", "sid", period=7)
+
+    state1, effects1 = fit_holt_state(
+        df, "ts", "y", "sid", period=7, holiday_dates=dates
+    )
+    assert effects1 == effects2
+    assert state1 == state2
+    assert set(effects1) == {"a", "b"}
+    assert [s["series_id"] for s in state1] == ["a"]
