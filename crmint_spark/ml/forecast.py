@@ -114,7 +114,21 @@ def _holiday_adjusted_pts(pts, dates: list[str]):
     computed from the raw (ts, y)-sorted array with the identical
     interior-residual fold, the adjustment subtracts it on holiday rows,
     and the adjusted pairs are re-sorted by (ts, y_adjusted) — the order
-    the second pass's array_sort(collect_list(...)) would produce."""
+    the second pass's array_sort(collect_list(...)) would produce.
+
+    The per-dates expression set is memoized like :func:`_holt_fit_plan`
+    (same py4j construction-cost finding)."""
+    key = (_holt_plan_app_key(), tuple(dates))
+    hit = _HOLT_PLAN_MEMO.get(key)
+    if hit is not None:
+        ds_c, ys_raw_c, e_c, p_c = hit
+        return (
+            pts.withColumn("__ds", ds_c)
+            .withColumn("__ys_raw", ys_raw_c)
+            .withColumn("__e", e_c)
+            .withColumn("p", p_c)
+            .drop("__ds", "__ys_raw")
+        )
     date_arr = F.array(*[F.lit(d) for d in dates])
     ds = F.transform(
         "p",
@@ -141,14 +155,12 @@ def _holiday_adjusted_pts(pts, dates: list[str]):
         ),
         lambda x: x.isNotNull(),
     )
-    pts = pts.withColumn(
-        "__e",
-        F.when(
-            F.size(resids) > 0,
-            F.aggregate(resids, F.lit(0.0), lambda a, x: a + x)
-            / F.size(resids).cast("double"),
-        ).otherwise(F.lit(0.0)),
-    )
+    e_col = F.when(
+        F.size(resids) > 0,
+        F.aggregate(resids, F.lit(0.0), lambda a, x: a + x)
+        / F.size(resids).cast("double"),
+    ).otherwise(F.lit(0.0))
+    pts = pts.withColumn("__e", e_col)
     # adjusted pairs, re-sorted exactly like the second pass would sort
     p_adj = F.array_sort(
         F.transform(
@@ -165,9 +177,9 @@ def _holiday_adjusted_pts(pts, dates: list[str]):
             ),
         )
     )
-    return pts.withColumn(
-        "p", F.when(F.size("p") > 0, p_adj).otherwise(F.col("p"))
-    ).drop("__ds", "__ys_raw")
+    p_col = F.when(F.size("p") > 0, p_adj).otherwise(F.col("p"))
+    _HOLT_PLAN_MEMO[key] = (ds, ys_raw, e_col, p_col)
+    return pts.withColumn("p", p_col).drop("__ds", "__ys_raw")
 
 
 def fit_holt_state(
@@ -198,9 +210,6 @@ def fit_holt_state(
       s_t = G*(y_t - l_t) + (1-G)*s_{t-m}
     with one-step residuals e_t = y_t - ((l + b) + s_{t-m}).
     """
-    a, one_a = float(HOLT_ALPHA), 1.0 - HOLT_ALPHA
-    b_, one_b = float(HOLT_BETA), 1.0 - HOLT_BETA
-    g_, one_g = float(HOLT_GAMMA), 1.0 - HOLT_GAMMA
     m = int(period)
     sid = (
         F.col(id_col).cast("string")
@@ -220,6 +229,75 @@ def fit_holt_state(
     )
     if holiday_dates is not None:
         pts = _holiday_adjusted_pts(pts, holiday_dates)
+    ys_col, tus_col, acc_g, select_cols = _holt_fit_plan(
+        m, holiday_dates is not None
+    )
+    if holiday_dates is None:
+        pts = pts.where(F.size("p") >= 2)
+    fitted = (
+        pts
+        .withColumn("ys", ys_col)
+        .withColumn("tus", tus_col)
+        .withColumn("acc", acc_g)
+        .select(*select_cols)
+    )
+    rows = fitted.collect()
+    state = [
+        {
+            "series_id": r["series_id"],
+            "level": float(r["level"]),
+            "trend": float(r["trend"]),
+            "sse": float(r["sse"]),
+            "seasonal": [float(x) for x in (r["seasonal"] or [])],
+            "period": int(r["period"]),
+            "n_resid": int(r["n_resid"]),
+            "last_us": int(r["last_us"]),
+            "iv_us": int(r["iv_us"]),
+            "n_obs": int(r["n_obs"]),
+            "ys": (
+                [float(x) for x in r["ys_fit"]]
+                if r["ys_fit"] is not None
+                else None
+            ),
+            "tus": (
+                [int(x) for x in r["ts_us_arr"]]
+                if r["ts_us_arr"] is not None
+                else None
+            ),
+        }
+        for r in rows
+        if int(r["n_obs"]) >= 2
+    ]
+    if holiday_dates is None:
+        return state
+    return state, {r["series_id"]: float(r["__e"]) for r in rows}
+
+
+# Driver-side expression construction for the fold costs ~0.4 s of py4j
+# round-trips per call (8 HOF lambdas, nested structs — r11, guide §1 /
+# the SimHash finding); the expressions depend only on (period, holiday
+# flag) and are unresolved (no plan references), so build them once per
+# application and reuse the Column objects across fits.
+_HOLT_PLAN_MEMO: dict = {}
+
+
+def _holt_plan_app_key():
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    return sc.applicationId if sc is not None else None
+
+
+def _holt_fit_plan(m: int, holiday: bool):
+    """-> (ys, tus, guarded_acc, select_cols) Column objects for the
+    per-series fit frame; memoized per (application, m, holiday)."""
+    key = (_holt_plan_app_key(), m, holiday)
+    hit = _HOLT_PLAN_MEMO.get(key)
+    if hit is not None:
+        return hit
+    a, one_a = float(HOLT_ALPHA), 1.0 - HOLT_ALPHA
+    b_, one_b = float(HOLT_BETA), 1.0 - HOLT_BETA
+    g_, one_g = float(HOLT_GAMMA), 1.0 - HOLT_GAMMA
     ys = F.transform("p", lambda s: s["__y"])
     tus = F.transform(
         "p", lambda s: F.unix_micros(s["__ts"].cast("timestamp"))
@@ -303,86 +381,52 @@ def fit_holt_state(
         period_eff = F.lit(0)
         n_resid = F.size("ys") - 1
 
-    if holiday_dates is None:
-        pts = pts.where(F.size("p") >= 2)
+    if not holiday:
         guard = lambda c: c  # noqa: E731
     else:
         # holiday mode keeps EVERY series in the single collect (the
         # effects map must cover them all); state expressions that
         # would error on a 0/1-point series are CASE-guarded and their
-        # rows dropped driver-side below — identical to the two-pass
-        # pipeline's where(size >= 2).
+        # rows dropped driver-side by the caller — identical to the
+        # two-pass pipeline's where(size >= 2).
         guard = lambda c: F.when(F.size("p") >= 2, c)  # noqa: E731
-    fitted = (
-        pts
-        .withColumn("ys", ys)
-        .withColumn("tus", tus)
-        .withColumn("acc", guard(acc_col))
-        .select(
-            "series_id",
-            *([F.col("__e")] if holiday_dates is not None else []),
-            F.col("acc.l").alias("level"),
-            F.col("acc.b").alias("trend"),
-            F.col("acc.sse").alias("sse"),
-            F.col("acc.s").alias("seasonal"),
-            period_eff.cast("int").alias("period"),
-            n_resid.cast("bigint").alias("n_resid"),
-            guard(F.element_at("tus", -1)).alias("last_us"),
-            guard(
-                F.expr(
-                    "(element_at(tus, -1) - element_at(tus, 1))"
-                    " div (size(tus) - 1)"
-                )
-            ).alias("iv_us"),
-            F.size("tus").cast("bigint").alias("n_obs"),
-            # the fitted series itself persists with the model state so
-            # ML.EXPLAIN_FORECAST can replay the fold's per-step
-            # decomposition (BigQuery models persist their history
-            # decomposition too). HARD-BOUNDED per series (review
-            # finding r7: an unbounded collect turns model size from
-            # O(k x 4 scalars) into O(total training rows)): series
-            # longer than EXPLAIN_HISTORY_MAX points transfer NULL —
-            # their scalar state still forecasts, only the history
-            # decomposition is unavailable (explain_forecast_frame
-            # raises with a pointer)
-            F.when(
-                F.size("ys") <= EXPLAIN_HISTORY_MAX, F.col("ys")
-            ).alias("ys_fit"),
-            F.when(
-                F.size("tus") <= EXPLAIN_HISTORY_MAX, F.col("tus")
-            ).alias("ts_us_arr"),
-        )
-    )
-    rows = fitted.collect()
-    state = [
-        {
-            "series_id": r["series_id"],
-            "level": float(r["level"]),
-            "trend": float(r["trend"]),
-            "sse": float(r["sse"]),
-            "seasonal": [float(x) for x in (r["seasonal"] or [])],
-            "period": int(r["period"]),
-            "n_resid": int(r["n_resid"]),
-            "last_us": int(r["last_us"]),
-            "iv_us": int(r["iv_us"]),
-            "n_obs": int(r["n_obs"]),
-            "ys": (
-                [float(x) for x in r["ys_fit"]]
-                if r["ys_fit"] is not None
-                else None
-            ),
-            "tus": (
-                [int(x) for x in r["ts_us_arr"]]
-                if r["ts_us_arr"] is not None
-                else None
-            ),
-        }
-        for r in rows
-        if int(r["n_obs"]) >= 2
+    select_cols = [
+        F.col("series_id"),
+        *([F.col("__e")] if holiday else []),
+        F.col("acc.l").alias("level"),
+        F.col("acc.b").alias("trend"),
+        F.col("acc.sse").alias("sse"),
+        F.col("acc.s").alias("seasonal"),
+        period_eff.cast("int").alias("period"),
+        n_resid.cast("bigint").alias("n_resid"),
+        guard(F.element_at("tus", -1)).alias("last_us"),
+        guard(
+            F.expr(
+                "(element_at(tus, -1) - element_at(tus, 1))"
+                " div (size(tus) - 1)"
+            )
+        ).alias("iv_us"),
+        F.size("tus").cast("bigint").alias("n_obs"),
+        # the fitted series itself persists with the model state so
+        # ML.EXPLAIN_FORECAST can replay the fold's per-step
+        # decomposition (BigQuery models persist their history
+        # decomposition too). HARD-BOUNDED per series (review
+        # finding r7: an unbounded collect turns model size from
+        # O(k x 4 scalars) into O(total training rows)): series
+        # longer than EXPLAIN_HISTORY_MAX points transfer NULL —
+        # their scalar state still forecasts, only the history
+        # decomposition is unavailable (explain_forecast_frame
+        # raises with a pointer)
+        F.when(
+            F.size("ys") <= EXPLAIN_HISTORY_MAX, F.col("ys")
+        ).alias("ys_fit"),
+        F.when(
+            F.size("tus") <= EXPLAIN_HISTORY_MAX, F.col("tus")
+        ).alias("ts_us_arr"),
     ]
-    if holiday_dates is None:
-        return state
-    return state, {r["series_id"]: float(r["__e"]) for r in rows}
+    plan = (ys, tus, guard(acc_col), select_cols)
+    _HOLT_PLAN_MEMO[key] = plan
+    return plan
 
 
 FORECAST_CONFIDENCE_LEVEL = 0.95
