@@ -1868,31 +1868,39 @@ def rewrite_ml_generate_embedding(
             F.split(F.lower(F.col("content")), "[^a-z0-9]+"),
             lambda x: x != "",
         )
-        def _comp(d: int):
-            return F.aggregate(
-                toks,
-                F.lit(0.0),
-                lambda acc, t: acc
+        # ONE fold with an EMBED_DIM-wide accumulator instead of
+        # EMBED_DIM separate aggregates (r11, guide §1.2): HOF lambdas
+        # evaluate interpreted, so the old shape re-split and re-hashed
+        # the content once per dimension. Per-dimension vote order is
+        # unchanged (outer fold over tokens, inner zip over dims), so
+        # the sums are IEEE-identical.
+        suffixes = F.array(*[F.lit(f":{d}") for d in range(EMBED_DIM)])
+        zero = F.array(*[F.lit(0.0) for _ in range(EMBED_DIM)])
+        emb = F.aggregate(
+            F.col("__ge_toks"),
+            zero,
+            lambda acc, t: F.zip_with(
+                acc,
+                suffixes,
+                lambda a, sfx: a
                 + F.when(
-                    F.pmod(
-                        hash_str(F.concat(t, F.lit(f":{d}"))), F.lit(2)
-                    )
-                    == 0,
+                    F.pmod(hash_str(F.concat(t, sfx)), F.lit(2)) == 0,
                     F.lit(1.0),
                 ).otherwise(F.lit(-1.0)),
-            )
-
-        comps = [_comp(d) for d in range(EMBED_DIM)]
-        emb = F.array(*comps)
+            ),
+        )
         norm = F.sqrt(
             F.aggregate(emb, F.lit(0.0), lambda a, x: a + x * x)
         )
         result = F.when(
             norm > 0, F.transform(emb, lambda x: x / norm)
         ).otherwise(emb)
-        out = df.withColumn(
-            "ml_generate_embedding_result", result
-        ).withColumn("ml_generate_embedding_status", F.lit(""))
+        out = (
+            df.withColumn("__ge_toks", toks)
+            .withColumn("ml_generate_embedding_result", result)
+            .withColumn("ml_generate_embedding_status", F.lit(""))
+            .drop("__ge_toks")
+        )
         counter[0] += 1
         view = f"__ml_generate_embedding_{counter[0]}"
         out.createOrReplaceTempView(view)
