@@ -64,6 +64,20 @@ def get_spark(
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
             os.environ.get("SPARK_GRAFT_COMMITTER_V", "2"),
         )
+        # Compression codecs, parameterised for the A/B in
+        # OPTIMIZATION_r11.md (guide §6.4): shuffle/broadcast codec
+        # (lz4 default — fastest locally where shuffles are CPU-bound;
+        # zstd trades CPU for bytes and wins once shuffle I/O is the
+        # bottleneck at cluster scale) and the parquet write codec for
+        # managed tables (snappy default for the same reason).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
+        )
         # Read reference-style partitioned layouts efficiently.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
