@@ -207,6 +207,15 @@ SECONDARY = [
     "q94_lexer_edges",
     "q95_persistent_udfs",
     "dml_column_defaults",
+    # round 12 (VERDICT r11 #5): the six streaming operators get bench
+    # presence — availableNow micro-drivers over a deterministic NDJSON
+    # drop — so perf drift in the streaming plane is visible
+    "streaming_windowed_counts",
+    "streaming_sessionized",
+    "streaming_dedup_keys",
+    "streaming_running_profile",
+    "streaming_merge_upsert",
+    "streaming_interval_join",
 ]
 
 
@@ -272,6 +281,16 @@ def main() -> None:
                 "secondary": secondary,
                 "secondary_seconds": round(sec_total, 3),
                 "sf": float(sf) if sf else None,
+                # redundant totals at the TAIL of the (single) JSON line:
+                # a capture that stores only the last ~2000 chars of
+                # stdout (round 10 lost the whole round-over-round
+                # comparison that way) still carries the suite totals in
+                # a trivially regex-recoverable position. Additive only —
+                # every pre-existing key keeps its name and position.
+                "totals_tail": {
+                    "headline_seconds": round(total, 3),
+                    "secondary_seconds": round(sec_total, 3),
+                },
             }
         )
     )

@@ -204,6 +204,14 @@ _LOAD_CACHE: dict[tuple[int, str, str, int, int], DataFrame] = {}
 _READ_SCHEMA_CACHE: dict[tuple[int, str], tuple[str, object]] = {}
 
 
+def _prime_read_schema_cache(key, fp: str, schema) -> None:
+    """Insert with the same 256-entry FIFO bound read() enforces —
+    write-path priming must not grow the memo unboundedly (ADVICE r11)."""
+    while len(_READ_SCHEMA_CACHE) >= 256:
+        _READ_SCHEMA_CACHE.pop(next(iter(_READ_SCHEMA_CACHE)))
+    _READ_SCHEMA_CACHE[key] = (fp, schema)
+
+
 def _as_read_nullable(dt):
     """A datatype with every (nested) field nullable — what a parquet
     read-back infers regardless of the written frame's nullability.
@@ -593,11 +601,7 @@ class Catalog:
             else:
                 df = self.spark.read.parquet(path)
                 if fp is not None:
-                    while len(_READ_SCHEMA_CACHE) >= 256:
-                        _READ_SCHEMA_CACHE.pop(
-                            next(iter(_READ_SCHEMA_CACHE))
-                        )
-                    _READ_SCHEMA_CACHE[key] = (fp, df.schema)
+                    _prime_read_schema_cache(key, fp, df.schema)
             return self.restore_layout(df, meta)
         view = _safe_view_name(table_id)
         try:
@@ -1420,16 +1424,22 @@ class Catalog:
         self.check_partition_cap(table_id)
         if not existed:
             self._record_creation(table_id)
-        if not meta:
+        if not meta and (disposition == "WRITE_TRUNCATE" or not existed):
             # prime the read-schema memo from the written frame (plain
             # tables only — a layout read-back reorders/derives
-            # partition columns): every write aligns rows to the table
-            # schema, so the read-back schema is the written one with
-            # parquet's all-nullable flags. Saves the footer inference
-            # the register() below (and every later read) would pay.
+            # partition columns): a truncating or creating write defines
+            # the whole directory, so the read-back schema is the
+            # written one with parquet's all-nullable flags. Saves the
+            # footer inference the register() below (and every later
+            # read) would pay. APPENDS do not prime (ADVICE r11): an
+            # appender outside the aligned-DML path could land a
+            # different column order, and the written frame's schema
+            # would then misread the pre-existing files — let the next
+            # read infer from footers instead.
             fp = self.table_fingerprint(table_id)
             if fp is not None:
-                _READ_SCHEMA_CACHE[(id(self.spark), self.path_for(table_id))] = (
+                _prime_read_schema_cache(
+                    (id(self.spark), self.path_for(table_id)),
                     fp,
                     _as_read_nullable(df.schema),
                 )

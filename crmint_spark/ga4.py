@@ -251,7 +251,31 @@ def ga4_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(_GA4_PATHS.pop(k), ignore_errors=True)
     _GA4_PATHS[key] = path
     _GA4_CACHE[key] = df
+    _register_ga4_cleanup()
     return df
+
+
+_GA4_ATEXIT = [False]
+
+
+def _register_ga4_cleanup() -> None:
+    """Process-exit reclamation of the live session-scoped parquet
+    directories (ADVICE r11: superseded dirs are reclaimed on the next
+    ga4_events call, but the LAST one per session would otherwise leak
+    multi-hundred-MB temp trees across repeated runs)."""
+    import atexit
+    import shutil
+
+    if _GA4_ATEXIT[0]:
+        return
+    _GA4_ATEXIT[0] = True
+
+    def _cleanup():
+        for p in _GA4_PATHS.values():
+            shutil.rmtree(p, ignore_errors=True)
+        _GA4_PATHS.clear()
+
+    atexit.register(_cleanup)
 
 
 def setup_ga4_dataset(

@@ -45,6 +45,11 @@ HOLT_GAMMA = 0.3
 # limits (tens of thousands of points per series).
 EXPLAIN_HISTORY_MAX = 10_000
 
+#: Hard cap on distinct series a single ARIMA_PLUS fit may hold on the
+#: driver (VERDICT r11 #7). ~1 KB state per series -> ~100 MB at the
+#: bound; beyond it the fit raises instead of OOMing the driver.
+HOLT_FIT_SERIES_MAX = 100_000
+
 # DATA_FREQUENCY -> seasonal period (one full cycle in grid steps):
 # hour-of-day, day-of-week, week-of-year, month-of-year, quarter-of-year
 _FREQ_PERIOD = {
@@ -241,7 +246,21 @@ def fit_holt_state(
         .withColumn("acc", acc_g)
         .select(*select_cols)
     )
-    rows = fitted.collect()
+    # The ARIMA model state is driver-resident by design (per-series
+    # payload bounded by EXPLAIN_HISTORY_MAX since r7), but series
+    # COUNT was not (VERDICT r11 #7) — a high-cardinality id_col at
+    # 100 TB would outgrow the driver. The limit makes the collect
+    # structurally bounded (never ships more than MAX+1 rows) and the
+    # over-bound case raises a clear error instead of an OOM.
+    rows = fitted.limit(HOLT_FIT_SERIES_MAX + 1).collect()
+    if len(rows) > HOLT_FIT_SERIES_MAX:
+        raise ValueError(
+            f"ML.FORECAST: more than {HOLT_FIT_SERIES_MAX} distinct"
+            f" series in {id_col!r} — the per-series model state would"
+            " outgrow the driver. Aggregate or partition the id column"
+            " below the bound (documented limit, mirrors"
+            " EXPLAIN_HISTORY_MAX)."
+        )
     state = [
         {
             "series_id": r["series_id"],

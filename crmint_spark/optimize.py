@@ -298,9 +298,30 @@ def _scan_balanced(s: str, j: int) -> int:
     return k
 
 
+def _skip_ws_comments(s: str, i: int) -> int:
+    """Index of the first char at or after ``i`` that is not whitespace
+    or a -- / /* */ comment."""
+    n = len(s)
+    while i < n:
+        if s[i].isspace():
+            i += 1
+        elif s[i : i + 2] == "--":
+            while i < n and s[i] != "\n":
+                i += 1
+        elif s[i : i + 2] == "/*":
+            e = s.find("*/", i + 2)
+            i = n if e < 0 else e + 2
+        else:
+            break
+    return i
+
+
 def _parse_top_ctes(sql: str):
     """-> ([(name, body), ...], final_text) for a top-level WITH query;
-    raises on anything it cannot parse exactly."""
+    raises on anything it cannot parse exactly. A partial parse (e.g. a
+    quoted CTE name after a consumed comma) must raise, never silently
+    fold the unparsed tail into the final query — the caller rebuilds
+    the text from these pieces."""
     import re
 
     s = sql.lstrip()
@@ -311,8 +332,7 @@ def _parse_top_ctes(sql: str):
     i = 4
     ctes = []
     while True:
-        while i < len(s) and (s[i].isspace() or s[i] == ","):
-            i += 1
+        i = _skip_ws_comments(s, i)
         m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(", s[i:], re.IGNORECASE)
         if not m:
             break
@@ -320,15 +340,17 @@ def _parse_top_ctes(sql: str):
         j = i + m.end()
         k = _scan_balanced(s, j)
         ctes.append((name, s[j : k - 1]))
-        i = k
-        while i < len(s) and s[i].isspace():
-            i += 1
+        i = _skip_ws_comments(s, k)
         if i < len(s) and s[i] == ",":
+            i += 1
             continue
         break
     if not ctes:
         raise ValueError("no CTEs parsed")
-    return ctes, s[i:]
+    final = s[_skip_ws_comments(s, i) :]
+    if not re.match(r"(?:SELECT|\()", final, re.IGNORECASE):
+        raise ValueError(f"unparsed remainder after CTE list: {final[:40]!r}")
+    return ctes, final
 
 
 _CTEMAT_SEQ = [0]
@@ -371,10 +393,19 @@ def materialize_repeated_ctes(
                 for t in later_text[idx + 1 :]
             )
             if refs >= 2 and _CTE_HEAVY.search(body):
+                from .dml import _plan_nondeterministic
+
                 inner = (
                     "WITH " + ",\n".join(stubs) + "\n" + body if stubs else body
                 )
-                dfc = spark.sql(inner).localCheckpoint(eager=True)
+                df = spark.sql(inner)
+                # a RAND()/UUID()/CURRENT_* CTE is recomputed per
+                # reference by both Spark's inlining and BigQuery —
+                # freezing one sample would change observable values
+                if _plan_nondeterministic(df):
+                    stubs.append(f"{name} AS ({body})")
+                    continue
+                dfc = df.localCheckpoint(eager=True)
                 _CTEMAT_SEQ[0] += 1
                 view = f"__ctemat_{_CTEMAT_SEQ[0]}_{name}"
                 dfc.createOrReplaceTempView(view)
@@ -382,6 +413,8 @@ def materialize_repeated_ctes(
                 stubs.append(f"{name} AS (SELECT * FROM {view})")
             else:
                 stubs.append(f"{name} AS ({body})")
+        if not views:
+            return sql, []
         return "WITH " + ",\n".join(stubs) + "\n" + final, views
     except Exception:
         for v in views:

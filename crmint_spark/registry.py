@@ -174,6 +174,16 @@ for _name, (_fn, _sql) in DML_QUERIES.items():
     if _sql is not None:
         ORACLES[_name] = _sql
 
+# streaming operators (VERDICT r11 #5: bench/oracle presence so drift
+# in the streaming plane is visible; ranked in the costly block by the
+# streaming_ prefix below)
+from .streaming.queries_streaming import STREAMING_QUERIES
+
+for _name, (_fn, _sql) in STREAMING_QUERIES.items():
+    QUERIES[_name] = _fn
+    if _sql is not None:
+        ORACLES[_name] = _sql
+
 # verbatim reference-template execution (needs the reference checkout
 # to render from; registered only when it is present)
 from .ml.reference_templates import reference_templates_available

@@ -37,13 +37,20 @@ EVENT_SCHEMA = StructType(
 
 
 def stream_events_from_dir(
-    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+    timestamp_format: str | None = None,
 ) -> DataFrame:
     """File-source stream of event NDJSON drops (a stand-in for the
-    Kafka topic in production)."""
+    Kafka topic in production). ``timestamp_format`` overrides the
+    default ISO parser, whose pattern reads at most 3 fraction digits —
+    pass the writer's pattern when the drop carries microseconds."""
     reader = spark.readStream.schema(EVENT_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
     return reader.json(input_dir)
 
 

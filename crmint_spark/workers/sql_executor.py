@@ -6625,6 +6625,29 @@ class SparkSQLExecutor(Worker):
                 continue
         raise WorkerException(f"DML target not found: {table_id}")
 
+    def _reads_own_storage(self, df, table_id: str) -> bool:
+        """True when ``df``'s plan reads any file under the catalog
+        table's storage directory — the exact self-reference test for
+        the INSERT direct-append fast path (an in-place append while
+        scanning the same files relies on Spark freezing the listing,
+        an implementation detail). Unreadable plans count as
+        self-referencing: stage, never risk it."""
+        import os
+        from urllib.parse import unquote, urlparse
+
+        try:
+            root = os.path.realpath(
+                self._ctx.catalog.path_for(table_id)
+            ) + os.sep
+            return any(
+                os.path.realpath(
+                    unquote(urlparse(f).path) or f
+                ).startswith(root)
+                for f in df.inputFiles()
+            )
+        except Exception:
+            return True
+
     def _dml_insert(self, ins: InsertStmt) -> None:
         """INSERT into a catalog-tree table: align columns to the target
         schema (missing -> NULL, everything cast) and append. The rows
@@ -6673,19 +6696,19 @@ class SparkSQLExecutor(Worker):
         # SELECT .. FROM t) read a frozen snapshot, and so a
         # non-deterministic source isn't evaluated twice by the layout
         # writer's range-boundary sampling. When the source provably
-        # needs neither — no textual occurrence of the target's table
-        # name anywhere in the source (every engine view name embeds
-        # it, so this is conservative) and a deterministic plan — the
-        # append writes DIRECTLY, with the inserted count riding the
-        # write job as an Observation (r11, guide §1: the stage
-        # write+read-back cost ~0.5-0.7 s per INSERT at sf0.1 and a
-        # full extra materialization at any scale).
+        # needs neither — the plan's input files never reach into the
+        # target's storage directory (plan-based, ADVICE r11: a user
+        # view whose name does not embed the target's would defeat a
+        # textual check) and a deterministic plan — the append writes
+        # DIRECTLY, with the inserted count riding the write job as an
+        # Observation (r11, guide §1: the stage write+read-back cost
+        # ~0.5-0.7 s per INSERT at sf0.1 and a full extra
+        # materialization at any scale).
         from ..dml import _plan_nondeterministic
 
-        tgt_pat = re.compile(
-            r"(?i)" + re.escape(ins.target.strip("`").split(".")[-1])
-        )
-        if not tgt_pat.search(src) and not _plan_nondeterministic(aligned):
+        if not self._reads_own_storage(aligned, ins.target) and not (
+            _plan_nondeterministic(aligned)
+        ):
             from pyspark.sql import Observation
 
             obs = Observation()

@@ -245,3 +245,53 @@ def test_materialize_repeated_ctes_equivalence(spark):
     # single-reference CTEs stay inline
     q1 = "WITH a AS (SELECT COUNT(*) c FROM range(5) GROUP BY 1) SELECT * FROM a"
     assert materialize_repeated_ctes(spark, q1) == (q1, [])
+
+
+def test_materialize_repeated_ctes_comments_between_ctes(spark):
+    """ADVICE r11 (high): a comment between CTE definitions must not
+    produce a partial parse that rebuilds invalid SQL — either every
+    CTE parses (rewrite runs) or the text passes through untouched."""
+    from crmint_spark.optimize import (
+        _parse_top_ctes,
+        drop_ctemat_views,
+        materialize_repeated_ctes,
+    )
+
+    q = """WITH a AS (
+      SELECT id % 3 AS k, COUNT(*) AS n FROM range(50) GROUP BY id % 3
+    ),
+    -- note between CTE definitions
+    b AS (SELECT * FROM a WHERE n > 0)
+    /* block comment before the final query */
+    SELECT a.k, a.n FROM a JOIN b USING (k)"""
+    ctes, final = _parse_top_ctes(q)
+    assert [n for n, _ in ctes] == ["a", "b"]
+    assert final.upper().startswith("SELECT")
+    rewritten, views = materialize_repeated_ctes(spark, q)
+    expected = sorted(map(tuple, spark.sql(q).collect()))
+    got = sorted(map(tuple, spark.sql(rewritten).collect()))
+    assert got == expected
+    drop_ctemat_views(spark, views)
+
+    # a quoted CTE name after a consumed comma must raise (fall back),
+    # never fold the tail into the final query
+    import pytest
+
+    bad = "WITH a AS (SELECT 1 AS x), `b` AS (SELECT 2) SELECT * FROM a"
+    with pytest.raises(ValueError):
+        _parse_top_ctes(bad)
+    assert materialize_repeated_ctes(spark, bad) == (bad, [])
+
+
+def test_materialize_repeated_ctes_nondeterministic_gate(spark):
+    """ADVICE r11 (medium): a repeated CTE whose plan carries RAND()/
+    UUID() is recomputed per reference by Spark and BigQuery alike —
+    the materializer must not freeze one sample."""
+    from crmint_spark.optimize import materialize_repeated_ctes
+
+    q = """WITH a AS (
+      SELECT id % 3 AS k, SUM(rand()) AS r FROM range(50) GROUP BY id % 3
+    )
+    SELECT x.k FROM a x JOIN a y USING (k) GROUP BY x.k"""
+    rewritten, views = materialize_repeated_ctes(spark, q)
+    assert views == [] and rewritten == q

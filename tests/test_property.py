@@ -7,7 +7,7 @@ from __future__ import annotations
 import os
 import sys
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -330,10 +330,18 @@ def test_array_slice_matches_python_semantics(spark, arr, s, e):
 
 # -- JS UDF translator ------------------------------------------------------
 
-_js_expr = st.deferred(
-    lambda: st.one_of(
-        st.integers(-30, 30).map(lambda n: (str(n) if n >= 0 else f"({n})", n)),
-        st.tuples(_js_expr, st.sampled_from("+-*"), _js_expr).map(
+# Generate-by-construction via st.recursive: st.deferred self-recursion is
+# depth-limited by *rejection*, which trips Hypothesis's filter_too_much
+# health check when two trees are drawn in one example (seen in round 11's
+# driver verify on test_js_udf_var_binding_equals_inline).
+_js_leaf = st.integers(-30, 30).map(
+    lambda n: (str(n) if n >= 0 else f"({n})", n)
+)
+
+
+def _js_compound(inner):
+    return st.one_of(
+        st.tuples(inner, st.sampled_from("+-*"), inner).map(
             lambda t: (
                 f"({t[0][0]} {t[1]} {t[2][0]})",
                 {"+": t[0][1] + t[2][1], "-": t[0][1] - t[2][1],
@@ -341,11 +349,11 @@ _js_expr = st.deferred(
             )
         ),
         st.tuples(
-            _js_expr, st.sampled_from([">", "<", ">=", "<=", "==="]),
-            _js_expr, _js_expr, _js_expr,
+            inner, st.sampled_from([">", "<", ">=", "<=", "==="]),
+            inner, inner, inner,
         ).map(
             lambda t: (
-                f"(({t[0][0]} {t[1].replace('===', '===')} {t[2][0]}) "
+                f"(({t[0][0]} {t[1]} {t[2][0]}) "
                 f"? {t[3][0]} : {t[4][0]})",
                 t[3][1]
                 if {
@@ -357,7 +365,9 @@ _js_expr = st.deferred(
             )
         ),
     )
-)
+
+
+_js_expr = st.recursive(_js_leaf, _js_compound, max_leaves=12)
 
 
 @given(_js_expr)
@@ -377,6 +387,10 @@ def test_js_udf_numeric_translation_semantics(expr):
 
 
 @given(_js_expr, _js_expr)
+@example(
+    ("((1 + 2) * ((3 > 4) ? 5 : (6 - 7)))", -3),
+    ("(((8 <= 9) ? 10 : 11) * ((-2)))", -20),
+)
 @settings(max_examples=60, deadline=None)
 def test_js_udf_var_binding_equals_inline(a, b):
     """`var t = A; return (t + B);` must translate to the same value as

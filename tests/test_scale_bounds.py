@@ -385,3 +385,24 @@ def test_pca_power_iteration_matches_numpy(spark):
     top = vecs_np[:, -1]
     assert abs(float(np.dot(pc1, top))) > 0.99, float(np.dot(pc1, top))
     assert abs(eig - vals[-1]) < 0.05 * vals[-1], (eig, vals[-1])
+
+
+def test_holt_fit_series_bound(spark, monkeypatch):
+    """VERDICT r11 #7: an ARIMA fit over more distinct series than
+    HOLT_FIT_SERIES_MAX must raise the documented error (bounded
+    collect), and the bound leaves normal fits untouched."""
+    import pytest
+
+    from crmint_spark.ml import forecast
+
+    df = spark.sql(
+        "SELECT CAST(id % 4 AS STRING) AS sid,"
+        " timestamp_micros(CAST(id * 86400000000 AS BIGINT)) AS ts,"
+        " CAST(id AS DOUBLE) AS y FROM range(40)"
+    )
+    state = forecast.fit_holt_state(df, "ts", "y", "sid")
+    assert len(state) == 4
+
+    monkeypatch.setattr(forecast, "HOLT_FIT_SERIES_MAX", 3)
+    with pytest.raises(ValueError, match="distinct"):
+        forecast.fit_holt_state(df, "ts", "y", "sid")
