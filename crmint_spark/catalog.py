@@ -931,7 +931,14 @@ class Catalog:
         hot partition across tasks (sampling-based) instead of funneling
         each date into one writer — the skew-safe shape at 100 TB — and
         the sort gives parquet row-group min/max locality on the
-        cluster keys."""
+        cluster keys.
+
+        The range-partition COUNT is derived from the plan's size
+        estimate (guide §2/§6, r12): sizing to ~target-MB write tasks
+        instead of a flat ``spark.sql.shuffle.partitions`` means a
+        micro-batch append makes 1 file per partition dir instead of a
+        32-task small-file spray, and a 100 TB rewrite still fans out
+        to as many ~256 MB tasks as the data needs."""
         from pyspark.sql import functions as F
 
         pcol = meta.get("pcol")
@@ -944,10 +951,31 @@ class Catalog:
             df = df.withColumn(pcol, F.expr(meta["pexpr_spark"]))
         keys = ([pcol] if pcol else []) + list(meta.get("cluster_cols", []))
         if keys:
-            df = df.repartitionByRange(
-                *[F.col(f"`{k}`") for k in keys]
-            ).sortWithinPartitions(*[F.col(f"`{k}`") for k in keys])
+            cols = [F.col(f"`{k}`") for k in keys]
+            n = self._layout_write_partitions(df)
+            df = (
+                df.repartitionByRange(n, *cols)
+                if n
+                else df.repartitionByRange(*cols)
+            ).sortWithinPartitions(*cols)
         return df
+
+    def _layout_write_partitions(self, df: DataFrame) -> int | None:
+        """Range-partition count for a layout write from Catalyst's size
+        estimate: ceil(bytes / target), clamped to [1, 100k]. None
+        (keep Spark's default spark.sql.shuffle.partitions) when the
+        estimate is unusable — missing, zero, or the 8-EiB 'unknown'
+        sentinel plans without stats report."""
+        target_mb = int(os.environ.get("SPARK_GRAFT_LAYOUT_TARGET_MB", "256"))
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            return None
+        if est <= 0 or est > 1 << 50:  # > 1 PiB estimate = no real stats
+            return None
+        return min(max(1, -(-est // (target_mb << 20))), 100_000)
 
     def layout_writer(self, df: DataFrame, meta: dict | None, stats_hook=None):
         """DataFrameWriter honoring the table's layout (plain writer
@@ -993,6 +1021,42 @@ class Catalog:
                 " coarser PARTITION BY expression."
             )
         return n
+
+    def rekey_read_schema_memo(
+        self, table_id: str, pre_fp: str | None, written_schema, meta
+    ) -> None:
+        """Carry a VERIFIED read-schema memo entry across a
+        schema-preserving write (append or copy-on-write swap): every
+        DML statement otherwise pays ~0.3-0.4 s re-inferring an
+        unchanged footer schema right after mutating the table (r12,
+        guide §1 — the dominant fixed cost of the DML plane at sf0.1,
+        and a real driver-side cost at any scale). Only fires when the
+        pre-write entry was still current (fingerprint match) AND the
+        written frame's fields equal the memoized ones by name and type
+        (partition column aside — it lives in directory names, not
+        footers); anything else falls back to footer inference on the
+        next read."""
+        key = (id(self.spark), self.path_for(table_id))
+        hit = _READ_SCHEMA_CACHE.get(key)
+        if hit is None or pre_fp is None or hit[0] != pre_fp:
+            return
+        pcol = (meta or {}).get("pcol")
+
+        def core(schema):
+            # __dml_* flags are Observation inputs the stats hook drops
+            # before the write reaches storage; the partition column
+            # lives in directory names, not footers
+            return [
+                (f.name, _as_read_nullable(f.dataType))
+                for f in schema.fields
+                if f.name != pcol and not f.name.startswith("__dml_")
+            ]
+
+        if core(written_schema) != core(hit[1]):
+            return
+        new_fp = self.table_fingerprint(table_id)
+        if new_fp is not None:
+            _prime_read_schema_cache(key, new_fp, hit[1])
 
     def table_fingerprint(self, table_id: str) -> str | None:
         """Cheap change detector for a catalog-tree table: directory
@@ -1384,6 +1448,7 @@ class Catalog:
         if existed:
             self.archive_preimage(table_id)
         mode = {"WRITE_TRUNCATE": "overwrite", "WRITE_APPEND": "append"}[disposition]
+        pre_fp = self.table_fingerprint(table_id) if existed else None
         # a FRESH creation never inherits the stash a dropped/renamed
         # predecessor left for its time-travel readers — only a LIVE
         # layout record shapes writes
@@ -1424,6 +1489,9 @@ class Catalog:
         self.check_partition_cap(table_id)
         if not existed:
             self._record_creation(table_id)
+        # a schema-preserving write carries the verified memo entry to
+        # the new fingerprint so register() below skips re-inference
+        self.rekey_read_schema_memo(table_id, pre_fp, df.schema, meta)
         if not meta and (disposition == "WRITE_TRUNCATE" or not existed):
             # prime the read-schema memo from the written frame (plain
             # tables only — a layout read-back reorders/derives

@@ -649,12 +649,14 @@ def swap_catalog_table(
 
     path = catalog.path_for(table_id)
     tmp = path + "__dml_tmp"
+    pre_fp = catalog.table_fingerprint(table_id)
+    meta = catalog.layout_meta(table_id)
     try:
         # a partitioned/clustered table keeps its layout through DML
         # (BigQuery contract): the writer re-derives the partition
         # column and re-sorts cluster keys
         catalog.layout_writer(
-            result, catalog.layout_meta(table_id), stats_hook=stats_hook
+            result, meta, stats_hook=stats_hook
         ).mode("overwrite").parquet(tmp)
         for d in keep_dirs or []:
             _link_tree(os.path.join(path, d), os.path.join(tmp, d))
@@ -669,6 +671,9 @@ def swap_catalog_table(
     if not catalog.archive_preimage(table_id, move=True):
         shutil.rmtree(path)
     os.rename(tmp, path)
+    # the rewrite preserved the user schema: carry the verified schema
+    # memo across the swap so register() skips footer re-inference
+    catalog.rekey_read_schema_memo(table_id, pre_fp, result.schema, meta)
     catalog.register(table_id)
     # partition_expiration_days GC rides every mutation point
     catalog.expire_partitions(table_id)

@@ -80,6 +80,18 @@ def get_spark(
         )
         # Read reference-style partitioned layouts efficiently.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Partition discovery: list up to N root paths on the driver
+        # before falling back to a distributed listing job (Spark
+        # default 32). Every DataFrame over an ~80-partition layout
+        # table was paying an 80-task listing JOB per creation — the
+        # single largest fixed cost of the DML plane at sf0.1 (r12,
+        # guide §1/§6). Local directory listing is microseconds; on
+        # object-store deployments where driver listing is the
+        # bottleneck, lower it back via the env override.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_PART_DISCOVERY_THRESHOLD", "512"),
+        )
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
         # managed (bucketed) tables live outside the repo tree

@@ -2412,3 +2412,47 @@ def test_parameterized_types_and_bytes_literals(spark, cat):
     assert r["bl"] == 2
     assert bytes(r["rw"]) == b"a\\nb"
     assert r["q"] == "it's"
+
+
+def test_read_schema_memo_rekeyed_across_aligned_writes(spark, cat):
+    """r12 DML-plane optimization: a schema-preserving append or
+    copy-on-write swap carries the verified read-schema memo to the new
+    fingerprint (no footer re-inference per DML statement), while a
+    misaligned append drops it (footer inference on the next read)."""
+    from crmint_spark import catalog as C
+
+    run(
+        spark,
+        cat,
+        "CREATE OR REPLACE TABLE `p.rk.t` AS"
+        " SELECT CAST(1 AS INT64) AS id, 'a' AS tag",
+    )
+    key = (id(spark), cat.path_for("p.rk.t"))
+    cat.read("p.rk.t")  # primes on miss
+    entry0 = C._READ_SCHEMA_CACHE.get(key)
+    assert entry0 is not None and entry0[0] == cat.table_fingerprint("p.rk.t")
+
+    # aligned DML append: entry carried to the new fingerprint
+    run(spark, cat, "INSERT INTO `p.rk.t` VALUES (2, 'b')")
+    entry1 = C._READ_SCHEMA_CACHE.get(key)
+    assert entry1 is not None
+    assert entry1[0] == cat.table_fingerprint("p.rk.t")
+    assert entry1[0] != entry0[0]
+
+    # copy-on-write swap (UPDATE): carried again
+    run(spark, cat, "UPDATE `p.rk.t` SET tag = 'z' WHERE id = 2")
+    entry2 = C._READ_SCHEMA_CACHE.get(key)
+    assert entry2 is not None
+    assert entry2[0] == cat.table_fingerprint("p.rk.t")
+    assert [tuple(r) for r in run(
+        spark, cat, "SELECT id, tag FROM `p.rk.t` ORDER BY id"
+    ).result.collect()] == [(1, "a"), (2, "z")]
+
+    # a mismatched written frame (different column order/types) must
+    # refuse the carry; a matching one re-keys to the live fingerprint
+    mismatched = spark.sql("SELECT 'c' AS tag, CAST(3 AS INT) AS id")
+    C._READ_SCHEMA_CACHE[key] = ("stale-fp", entry2[1])
+    cat.rekey_read_schema_memo("p.rk.t", "stale-fp", mismatched.schema, None)
+    assert C._READ_SCHEMA_CACHE[key][0] == "stale-fp"  # refused
+    cat.rekey_read_schema_memo("p.rk.t", "stale-fp", entry2[1], None)
+    assert C._READ_SCHEMA_CACHE[key][0] == cat.table_fingerprint("p.rk.t")

@@ -15,10 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from crmint_spark.catalog import Catalog  # noqa: E402
 from crmint_spark.queries_dml import register_testdata  # noqa: E402
 from crmint_spark.session import get_spark  # noqa: E402
-from crmint_spark.workers.sql_executor import (  # noqa: E402
-    SparkSQLExecutor,
-    WorkerContext,
-)
+from crmint_spark.workers.base import WorkerContext  # noqa: E402
+from crmint_spark.workers.sql_executor import SparkSQLExecutor  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -96,12 +94,15 @@ MERGE_STMTS = [
 
 
 def run(spark, label, stmts, repeat=2):
+    sc = spark.sparkContext
+    st = sc.statusTracker()
     for it in range(repeat):
         register_testdata(spark, SF_DIR)
         cat = Catalog(spark, tempfile.mkdtemp(prefix="dml_prof_"))
         total = 0.0
         for name, stmt in stmts:
-            spark.sparkContext.setJobDescription(f"{label}:{name}")
+            group = f"{label}:{name}:{it}"
+            sc.setJobGroup(group, group)
             t0 = time.perf_counter()
             w = SparkSQLExecutor(
                 {"script": stmt, "dry_run": False},
@@ -112,7 +113,18 @@ def run(spark, label, stmts, repeat=2):
                 w.result.count()
             dt = time.perf_counter() - t0
             total += dt
-            print(f"  [{label} it{it}] {name:8s} {dt:7.3f}s", flush=True)
+            jobs = st.getJobIdsForGroup(group)
+            n_tasks = 0
+            for j in jobs:
+                ji = st.getJobInfo(j)
+                for sid in ji.stageIds if ji else []:
+                    si = st.getStageInfo(sid)
+                    n_tasks += si.numTasks if si else 0
+            print(
+                f"  [{label} it{it}] {name:8s} {dt:7.3f}s"
+                f"  jobs={len(jobs):3d} tasks={n_tasks:4d}",
+                flush=True,
+            )
         print(f"  [{label} it{it}] TOTAL    {total:7.3f}s", flush=True)
 
 
