@@ -933,12 +933,12 @@ class Catalog:
         the sort gives parquet row-group min/max locality on the
         cluster keys.
 
-        The range-partition COUNT is derived from the plan's size
-        estimate (guide §2/§6, r12): sizing to ~target-MB write tasks
-        instead of a flat ``spark.sql.shuffle.partitions`` means a
-        micro-batch append makes 1 file per partition dir instead of a
-        32-task small-file spray, and a 100 TB rewrite still fans out
-        to as many ~256 MB tasks as the data needs."""
+        The range-partition COUNT is deliberately left to Spark: a
+        column-only ``repartitionByRange`` is AQE-coalescable, so the
+        post-shuffle partition count adapts to the data's byte size at
+        any scale (measured r12: an explicit plan-stats-derived count
+        produced the same file layout but serialized small writes —
+        A/B in OPTIMIZATION_r12.md, rejected)."""
         from pyspark.sql import functions as F
 
         pcol = meta.get("pcol")
@@ -952,30 +952,8 @@ class Catalog:
         keys = ([pcol] if pcol else []) + list(meta.get("cluster_cols", []))
         if keys:
             cols = [F.col(f"`{k}`") for k in keys]
-            n = self._layout_write_partitions(df)
-            df = (
-                df.repartitionByRange(n, *cols)
-                if n
-                else df.repartitionByRange(*cols)
-            ).sortWithinPartitions(*cols)
+            df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
         return df
-
-    def _layout_write_partitions(self, df: DataFrame) -> int | None:
-        """Range-partition count for a layout write from Catalyst's size
-        estimate: ceil(bytes / target), clamped to [1, 100k]. None
-        (keep Spark's default spark.sql.shuffle.partitions) when the
-        estimate is unusable — missing, zero, or the 8-EiB 'unknown'
-        sentinel plans without stats report."""
-        target_mb = int(os.environ.get("SPARK_GRAFT_LAYOUT_TARGET_MB", "256"))
-        try:
-            est = int(
-                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
-        except Exception:
-            return None
-        if est <= 0 or est > 1 << 50:  # > 1 PiB estimate = no real stats
-            return None
-        return min(max(1, -(-est // (target_mb << 20))), 100_000)
 
     def layout_writer(self, df: DataFrame, meta: dict | None, stats_hook=None):
         """DataFrameWriter honoring the table's layout (plain writer
