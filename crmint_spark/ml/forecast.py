@@ -72,18 +72,12 @@ _AUTO_PERIOD = (
 )
 
 
-def infer_seasonal_period(df: DataFrame, ts_col: str, freq: str) -> int:
-    """Resolve DATA_FREQUENCY to a seasonal period. AUTO_FREQUENCY takes
-    the minimum positive gap between distinct timestamps (one tiny
-    sort-distinct aggregation) and maps it onto the table above; an
-    unrecognized grid (or YEARLY) disables seasonality."""
-    freq = freq.upper()
-    if freq != "AUTO_FREQUENCY":
-        return _FREQ_PERIOD.get(freq, 0)
-    # grid detection from the first 10k distinct timestamps — a
-    # TakeOrdered (no full sort/collect), so the probe stays O(10k)
-    # driver-side at any corpus size
-    head = (
+def _min_gap_df(df: DataFrame, ts_col: str) -> DataFrame:
+    """One-row frame holding ``g`` = the minimum positive gap between
+    the first 10k distinct timestamps — a TakeOrdered (no full
+    sort/collect), so the probe stays O(10k) driver-side at any corpus
+    size."""
+    return (
         df.select(F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"))
         .where(F.col("us").isNotNull())
         .distinct()
@@ -99,15 +93,46 @@ def infer_seasonal_period(df: DataFrame, ts_col: str, freq: str) -> int:
                 )
             ).alias("g")
         )
-        .first()
     )
-    g = head["g"] if head else None
+
+
+def _gap_to_period(g) -> int:
     if not g or g <= 0:
         return 0
     for grid, period in _AUTO_PERIOD:
         if g <= grid:
             return period
     return 0
+
+
+def infer_seasonal_period(df: DataFrame, ts_col: str, freq: str) -> int:
+    """Resolve DATA_FREQUENCY to a seasonal period. AUTO_FREQUENCY maps
+    the minimum distinct-timestamp gap onto the table above; an
+    unrecognized grid (or YEARLY) disables seasonality."""
+    freq = freq.upper()
+    if freq != "AUTO_FREQUENCY":
+        return _FREQ_PERIOD.get(freq, 0)
+    head = _min_gap_df(df, ts_col).first()
+    return _gap_to_period(head["g"] if head else None)
+
+
+def infer_period_and_years(
+    df: DataFrame, ts_col: str, freq: str
+) -> tuple[int, int, int]:
+    """(seasonal period, min year, max year) in ONE Spark action
+    (VERDICT r11 #6): the AUTO_FREQUENCY grid probe and the holiday
+    calendar's year span previously ran as two separate jobs over the
+    checkpointed training input."""
+    ts = F.col(ts_col).cast("timestamp")
+    years = df.select(
+        F.min(F.year(ts)).alias("lo"), F.max(F.year(ts)).alias("hi")
+    )
+    freq = freq.upper()
+    if freq != "AUTO_FREQUENCY":
+        r = years.first()
+        return _FREQ_PERIOD.get(freq, 0), int(r["lo"]), int(r["hi"])
+    row = _min_gap_df(df, ts_col).crossJoin(years).first()
+    return _gap_to_period(row["g"]), int(row["lo"]), int(row["hi"])
 
 
 def _holiday_adjusted_pts(pts, dates: list[str]):

@@ -868,16 +868,25 @@ def try_create_model(
     if model_type == "ARIMA_PLUS":
         # time-series path: Holt smoothing fit (ml/forecast.py), state
         # saved in the meta; ML.FORECAST expands it
-        from .forecast import fit_holt_state, infer_seasonal_period
+        from .forecast import (
+            fit_holt_state,
+            infer_period_and_years,
+            infer_seasonal_period,
+        )
 
         ts_col = str(opts.get("TIME_SERIES_TIMESTAMP_COL", "ts")).strip("'\"")
         y_col = str(opts.get("TIME_SERIES_DATA_COL", "y")).strip("'\"")
         id_col = opts.get("TIME_SERIES_ID_COL")
         id_col = str(id_col).strip("'\"") if id_col is not None else None
         freq = str(opts.get("DATA_FREQUENCY", "AUTO_FREQUENCY")).strip("'\"")
-        period = infer_seasonal_period(df, ts_col, freq)
         holiday = None
         region = opts.get("HOLIDAY_REGION")
+        if region is None:
+            period = infer_seasonal_period(df, ts_col, freq)
+        else:
+            # holiday path needs the calendar's year span too: fused
+            # with the seasonal probe into ONE job (VERDICT r11 #6)
+            period, yr_lo, yr_hi = infer_period_and_years(df, ts_col, freq)
         if region is not None:
             # RegARIMA-style pooled holiday dummy (ml/forecast.py module
             # note): fit the additive effect on the raw series, fold on
@@ -888,13 +897,9 @@ def try_create_model(
             )
 
             region = str(region).strip("'\"")
-            yr = df.select(
-                F.min(F.year(F.col(ts_col).cast("timestamp"))).alias("lo"),
-                F.max(F.year(F.col(ts_col).cast("timestamp"))).alias("hi"),
-            ).first()
             # one calendar year past the data so horizons that cross a
             # year boundary still see their holidays
-            years = list(range(int(yr["lo"]), int(yr["hi"]) + 2))
+            years = list(range(yr_lo, yr_hi + 2))
             dates = holiday_calendar(region, years)
             # effect fit + de-holidayed fold fused into ONE groupBy +
             # collect (r11, guide §1.2); two-pass equivalence is
