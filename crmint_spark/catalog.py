@@ -206,9 +206,15 @@ _READ_SCHEMA_CACHE: dict[tuple[int, str], tuple[str, object]] = {}
 
 def _prime_read_schema_cache(key, fp: str, schema) -> None:
     """Insert with the same 256-entry FIFO bound read() enforces —
-    write-path priming must not grow the memo unboundedly (ADVICE r11)."""
-    while len(_READ_SCHEMA_CACHE) >= 256:
-        _READ_SCHEMA_CACHE.pop(next(iter(_READ_SCHEMA_CACHE)))
+    write-path priming must not grow the memo unboundedly (ADVICE r11).
+    Replacing an existing key does not grow the dict, so it must not
+    evict an unrelated table's verified entry (r12 review: a hot
+    multi-table DML workload at the bound re-primes its own keys
+    constantly — each re-prime was costing some OTHER table a ~0.3 s
+    footer re-inference on its next read)."""
+    if key not in _READ_SCHEMA_CACHE:
+        while len(_READ_SCHEMA_CACHE) >= 256:
+            _READ_SCHEMA_CACHE.pop(next(iter(_READ_SCHEMA_CACHE)))
     _READ_SCHEMA_CACHE[key] = (fp, schema)
 
 

@@ -41,6 +41,27 @@ _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 _STREAM_DIRS: dict[tuple, str] = {}
 _ATEXIT = [False]
 
+#: per-invocation scratch (fresh checkpoints, CDC drops, merge catalog
+#: roots) — removed at process exit like the NDJSON drops above (the
+#: fresh-per-invocation contract itself is load-bearing: a REUSED
+#: checkpoint would skip input; only the cleanup is shared)
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    import atexit
+    import shutil
+
+    out = tempfile.mkdtemp(prefix=prefix)
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_DIRS
+            ]
+        )
+    _SCRATCH_DIRS.append(out)
+    return out
+
 
 def _events_ndjson_dir(spark: SparkSession, sf_dir: str, dup: bool = False) -> str:
     try:
@@ -54,9 +75,15 @@ def _events_ndjson_dir(spark: SparkSession, sf_dir: str, dup: bool = False) -> s
     import atexit
     import shutil
 
-    for k in [k for k in _STREAM_DIRS if k[:2] == (id(spark), sf_dir)]:
-        if k != key:
-            shutil.rmtree(_STREAM_DIRS.pop(k), ignore_errors=True)
+    # evict only STALE entries of the SAME dup flavor (an older mtime);
+    # the dup and non-dup drops coexist — evicting across flavors made
+    # every dup/non-dup alternation rebuild the other drop (r12 review)
+    for k in [
+        k
+        for k in _STREAM_DIRS
+        if k[:2] == (id(spark), sf_dir) and k[3] == dup and k != key
+    ]:
+        shutil.rmtree(_STREAM_DIRS.pop(k), ignore_errors=True)
     out = tempfile.mkdtemp(prefix="crmint_stream_in_")
     ev = load(spark, sf_dir, "events")
     if dup:
@@ -103,7 +130,7 @@ def _drain_to_memory(
     sustained state volume per core)."""
     spark = stream_df.sparkSession
     name = f"__stream_q_{uuid.uuid4().hex[:10]}"
-    ckpt = tempfile.mkdtemp(prefix="crmint_stream_ckpt_")
+    ckpt = _scratch_dir("crmint_stream_ckpt_")
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     if state_shuffle is not None:
@@ -265,13 +292,13 @@ FROM events GROUP BY user_id
 def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import Catalog
 
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="stream_merge_"))
+    cat = Catalog(spark, _scratch_dir("stream_merge_"))
     ev = load(spark, sf_dir, "events")
     cat.write(
         ev.where("event_id % 3 != 0").select("event_id", "user_id", "value"),
         "p.stream.snapshot",
     )
-    batch_dir = tempfile.mkdtemp(prefix="crmint_stream_cdc_")
+    batch_dir = _scratch_dir("crmint_stream_cdc_")
     ev.where("event_id % 2 = 0").select(
         "event_id", "user_id", (F.col("value") * 2).alias("value")
     ).coalesce(1).write.mode("overwrite").json(batch_dir)
@@ -290,7 +317,7 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     stream = spark.readStream.schema(cdc_schema).json(batch_dir)
-    ckpt = tempfile.mkdtemp(prefix="crmint_stream_ckpt_")
+    ckpt = _scratch_dir("crmint_stream_ckpt_")
     sevents.run_merge_upsert(
         stream, cat, "p.stream.snapshot", ["event_id"], ckpt
     )

@@ -6627,24 +6627,47 @@ class SparkSQLExecutor(Worker):
 
     def _reads_own_storage(self, df, table_id: str) -> bool:
         """True when ``df``'s plan reads any file under the catalog
-        table's storage directory — the exact self-reference test for
-        the INSERT direct-append fast path (an in-place append while
+        table's storage directory — the self-reference test for the
+        INSERT direct-append fast path (an in-place append while
         scanning the same files relies on Spark freezing the listing,
         an implementation detail). Unreadable plans count as
-        self-referencing: stage, never risk it."""
+        self-referencing: stage, never risk it.
+
+        Two complementary probes, because ``Dataset.inputFiles()``
+        resolves plan-tree leaves but does NOT traverse subquery
+        expressions — an uncorrelated scalar subquery over the target
+        (``.. WHERE x > (SELECT MAX(x) FROM t)``) survives analysis as
+        an expression and is invisible to it (r12 review). The
+        formatted explain string prints every scan location INCLUDING
+        the subquery sections, so a path match there stages too. A
+        false positive (e.g. a sibling table whose path shares this
+        prefix) only costs the staged copy the slow path always paid."""
         import os
         from urllib.parse import unquote, urlparse
 
         try:
-            root = os.path.realpath(
-                self._ctx.catalog.path_for(table_id)
-            ) + os.sep
-            return any(
+            raw_root = self._ctx.catalog.path_for(table_id).rstrip(os.sep)
+            root = os.path.realpath(raw_root) + os.sep
+            if any(
                 os.path.realpath(
                     unquote(urlparse(f).path) or f
                 ).startswith(root)
                 for f in df.inputFiles()
+            ):
+                return True
+            mode = (
+                df.sparkSession._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("formatted")
             )
+            plan_text = df._jdf.queryExecution().explainString(mode)
+            pat = (
+                "(?:"
+                + re.escape(raw_root)
+                + "|"
+                + re.escape(root.rstrip(os.sep))
+                + r")(?=[/\]\s,])"
+            )
+            return re.search(pat, plan_text) is not None
         except Exception:
             return True
 

@@ -133,6 +133,34 @@ def test_insert_self_reference(spark, cat):
     assert len(state(spark, cat)) == 4
 
 
+def test_insert_scalar_subquery_self_reference(spark, cat):
+    """An uncorrelated scalar subquery over the target is a
+    self-reference the direct-append guard must catch even though
+    Dataset.inputFiles() does not traverse subquery expressions
+    (r12 review): the INSERT must stage, and the subquery must see the
+    pre-insert snapshot exactly once."""
+    seed(spark, cat)
+    w = run(
+        spark,
+        cat,
+        "INSERT INTO `p.d.t` "
+        "SELECT id + 200, seg, bal FROM `p.d.t` "
+        "WHERE bal >= (SELECT MAX(bal) FROM `p.d.t`);",
+    )
+    # max(bal)=20.0 pre-insert -> exactly id=2 qualifies
+    assert (202, "b", 20.0) in state(spark, cat)
+    assert len(state(spark, cat)) == 4
+    # the guard itself: a frame whose ONLY target reference is the
+    # scalar subquery must read as self-referencing
+    cat.read("p.d.t").createOrReplaceTempView("__t_guard")
+    probe = spark.sql(
+        "SELECT 1 AS x WHERE 1 > (SELECT COUNT(*) FROM __t_guard)"
+    )
+    assert w._reads_own_storage(probe, "p.d.t") is True
+    other = spark.sql("SELECT 1 AS x")
+    assert w._reads_own_storage(other, "p.d.t") is False
+
+
 def test_merge_all_clause_kinds(spark, cat):
     seed(spark, cat)
     run(

@@ -167,3 +167,19 @@ def test_streaming_dedup_ttl_expires_quiet_keys(spark, tmp_path):
     n_key1 = sum(1 for r in rows if r.event_id == 1)
     assert n_key1 == 2, rows
     assert all(r.is_first == 1 for r in rows)
+
+
+def test_ndjson_drops_coexist_per_dup_flavor(spark):
+    """The dup and non-dup NDJSON drops are cached independently: an
+    alternation (windowed -> dedup -> profile, the bench order) must
+    not evict and rebuild the other flavor (r12 review)."""
+    from crmint_spark.streaming import queries_streaming as qs
+
+    sf = "/root/testdata/sf0.001"
+    plain1 = qs._events_ndjson_dir(spark, sf, dup=False)
+    dup1 = qs._events_ndjson_dir(spark, sf, dup=True)
+    plain2 = qs._events_ndjson_dir(spark, sf, dup=False)
+    dup2 = qs._events_ndjson_dir(spark, sf, dup=True)
+    assert plain1 == plain2 and os.path.isdir(plain1)
+    assert dup1 == dup2 and os.path.isdir(dup1)
+    assert plain1 != dup1
